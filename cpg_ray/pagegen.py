@@ -1,0 +1,273 @@
+"""Deterministic synthetic `pages` table generator (BASELINE.json
+`input_hint`: url, warc_ts, html:binary, text, lang) plus the golden
+fact oracle used by the P/R tests.
+
+The generator and the oracle share one fact-selection function
+(:func:`page_plan`), so the expected triples for any page are known
+without running the pipeline — the analog of the reference's
+hand-written fixture programs with programmatic assertions
+(SURVEY.md §5, cpg-core/src/test/resources/**).
+
+Generation runs as a Ray Data pipeline (``ray.data.range(n) →
+map_batches(PageGen) → write_parquet``) so the sf0.1 bench corpus is
+built in parallel and cached under /tmp; every row depends only on its
+index + the world seed (order-free, resumable).
+
+Variants (FIXTURES.md F1):
+- basic      — every mention resolvable in the alias dictionary
+- unresolved — some pages mention out-of-dictionary entities → inferred
+- skew       — hot_frac=0.6: one org in ≥50% of works_for triples
+- dupes      — basic (cross-page duplicate facts + twin orgs are already
+               built into the world)
+- ordering   — basic (EOG `index` asserted against text order)
+- malformed  — ~6% truncated HTML → problem rows, best-effort text
+- mixed      — bench corpus: basic + a pinch of unresolved + malformed
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from .normalize import norm_name
+from .schemas import PAGES
+from .stages.extract import extract_text
+from .world import PRED_TEMPLATES, World
+
+BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in µs
+
+HEADINGS = {
+    "en": ("Biography", "Career"),
+    "de": ("Biografie", "Karriere"),
+    "fr": ("Biographie", "Carrière"),
+}
+FILLERS = {
+    "en": (
+        "The profile was last reviewed in spring.",
+        "More details appear in the archive below.",
+    ),
+    "de": ("Zuletzt geprüft im vergangenen Frühjahr.",
+           "Es folgen weitere Angaben unten im Archiv."),
+    "fr": ("Le profil a été relu au printemps.",
+           "Plus de détails figurent dans les archives."),
+}
+
+
+@dataclass(frozen=True)
+class WorldCfg:
+    seed: int = 42
+    n_persons: int = 400
+    n_orgs: int = 120
+    n_cities: int = 60
+    hot_frac: float = 0.3
+
+    def build(self) -> World:
+        return World(self.seed, self.n_persons, self.n_orgs, self.n_cities, self.hot_frac)
+
+
+def cfg_for_variant(variant: str, scale: int = 1) -> WorldCfg:
+    hot = 0.6 if variant == "skew" else 0.3
+    return WorldCfg(
+        seed=42,
+        n_persons=400 * scale,
+        n_orgs=120 * scale,
+        n_cities=60 * scale,
+        hot_frac=hot,
+    )
+
+
+def _lang_for(i: int) -> str:
+    r = i % 10
+    return "de" if r == 8 else "fr" if r == 9 else "en"
+
+
+def _subject_id(world: World, i: int) -> str:
+    r = i % 10
+    if r < 7:
+        return f"P{(i * 31) % world.n_persons:06d}"
+    if r < 9:
+        return f"O{(i * 13) % world.n_orgs:05d}"
+    return f"C{(i * 7) % world.n_cities:05d}"
+
+
+def page_plan(world: World, i: int, variant: str):
+    """Deterministic fact plan for page i.
+
+    Returns (subject_id, lang, sentences) where each sentence is either
+    ("fact", subj_id, pred, obj_id, subj_alias, obj_alias) or
+    ("filler", text).  obj_id may be a twin org id or an out-of-dict
+    marker ("inf", surface)."""
+    sid = _subject_id(world, i)
+    lang = _lang_for(i)
+    ents = world.entities
+
+    def alias_of(eid: str, k: int) -> str:
+        al = ents[eid].aliases
+        return al[(i + k) % len(al)]
+
+    facts: list[tuple[str, str, str]] = []
+    for f in world.facts_by_subj.get(sid, []):
+        facts.append((f.subj, f.pred, f.obj))
+    # neighbor facts (cross-page duplication by construction)
+    for f in list(world.facts_by_subj.get(sid, [])):
+        for g in world.facts_by_subj.get(f.obj, [])[:1]:
+            facts.append((g.subj, g.pred, g.obj))
+    facts = facts[:5]
+
+    sentences: list[tuple] = []
+    for k, (s, pred, o) in enumerate(facts):
+        o_render = o
+        twin = o + "D" if o.startswith("O") and not o.endswith("D") else None
+        if twin and twin in ents and (i + k) % 3 == 2:
+            o_render = twin
+        sentences.append(
+            ("fact", s, pred, o_render, alias_of(s, k), alias_of(o_render, k + 1))
+        )
+
+    unresolved = variant == "unresolved" or (variant == "mixed" and i % 23 == 5)
+    if unresolved:
+        surface = f"Zorblax Unit {i % 50}"
+        sentences.append(("fact", sid, "works_for", ("inf", surface),
+                          alias_of(sid, 7), surface))
+
+    f1, f2 = FILLERS[lang]
+    sentences.insert(1, ("filler", f1))
+    sentences.append(("filler", f2))
+    return sid, lang, sentences
+
+
+def _render_sentence(sent: tuple, lang: str) -> str:
+    if sent[0] == "filler":
+        return sent[1]
+    _, _s, pred, _o, s_alias, o_alias = sent
+    conn, suffix = PRED_TEMPLATES[pred][lang]
+    return f"{s_alias}{conn}{o_alias}{suffix}."
+
+
+def render_page(world: World, i: int, variant: str) -> dict:
+    """One pages row. `text` is the exact expected extraction of `html`
+    (the byte-identical-per-url invariant)."""
+    sid, lang, sentences = page_plan(world, i, variant)
+    subj = world.entities[sid]
+    title = f"{subj.canonical_name} — Profile"
+    h1 = subj.canonical_name
+    h2a, h2b = HEADINGS[lang]
+
+    rendered = [_render_sentence(s, lang) for s in sentences]
+    para1 = " ".join(rendered[:2])
+    para2 = " ".join(rendered[2:4]) or rendered[-1]
+    para3 = " ".join(rendered[4:]) or rendered[-1]
+
+    esc = html_mod.escape
+    site = i % 97
+    html_doc = (
+        "<!DOCTYPE html>\n"
+        f'<html lang="{lang}">\n<head>\n<meta charset="utf-8"/>\n'
+        f"<title>{esc(title)}</title>\n"
+        "<style>body{font:14px serif}</style>\n</head>\n<body>\n"
+        '<nav class="top"><a href="/">Home</a> | <a href="/about">About</a>'
+        ' | <a href="/contact">Contact</a></nav>\n'
+        '<div id="main">\n'
+        f"<h1>{esc(h1)}</h1>\n"
+        f"<p>{esc(para1)}</p>\n"
+        f"<h2>{esc(h2a)}</h2>\n"
+        f"<p>{esc(para2)}</p>\n"
+        f"<h2>{esc(h2b)}</h2>\n"
+        f"<p>{esc(para3)}</p>\n"
+        "</div>\n"
+        f"<footer>&copy; 2025 site{site}.example &mdash; All rights reserved.</footer>\n"
+        "<script>var t=1;</script>\n</body>\n</html>\n"
+    ).encode("utf-8")
+
+    malformed = variant == "malformed" and i % 17 == 3
+    malformed = malformed or (variant == "mixed" and i % 41 == 7)
+    if malformed:
+        html_doc = html_doc[: int(len(html_doc) * 0.6)]
+        text, _ = extract_text(html_doc)  # best-effort, still deterministic
+    else:
+        text = "\n".join([title, h1, para1, h2a, para2, h2b, para3])
+
+    return {
+        "url": f"https://site{site}.example/p/{i}",
+        "warc_ts": BASE_TS_US + i * 1_000_000,
+        "html": html_doc,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def gold_triples(world: World, i: int, variant: str) -> set[tuple[str, str, str]]:
+    """Canonical (subj, pred, obj) triples expected from page i — entity
+    ids after union-find canonicalization; inferred → 'inf:<norm>'."""
+    cmap = world.canonical_map()
+    malformed = (variant == "malformed" and i % 17 == 3) or (
+        variant == "mixed" and i % 41 == 7
+    )
+    if malformed:
+        # truncated pages may lose sentences; exclude from the P/R gold
+        # (they are covered by the problem-row assertions instead)
+        return set()
+    _, _, sentences = page_plan(world, i, variant)
+    out = set()
+    for s in sentences:
+        if s[0] != "fact":
+            continue
+        _, subj, pred, obj, _sa, _oa = s
+        obj_id = f"inf:{norm_name(obj[1])}" if isinstance(obj, tuple) else cmap[obj]
+        out.add((cmap[subj], pred, obj_id))
+    return out
+
+
+# Per-worker-process world cache: generation runs as *stateless tasks*
+# (cheap, elastic — no actor pool to reserve CPUs away from downstream
+# stages in the same pipeline), with the world rebuilt at most once per
+# worker process.
+_WORLD_CACHE: dict[WorldCfg, World] = {}
+
+
+def _cached_world(cfg: WorldCfg) -> World:
+    w = _WORLD_CACHE.get(cfg)
+    if w is None:
+        w = _WORLD_CACHE[cfg] = cfg.build()
+    return w
+
+
+def make_pagegen(cfg: WorldCfg, variant: str = "basic"):
+    """Plain map_batches function: batch of {"id"} → pages rows."""
+
+    def gen(batch) -> pa.Table:
+        world = _cached_world(cfg)
+        ids = batch["id"].to_pylist()
+        rows = [render_page(world, int(i), variant) for i in ids]
+        cols = {name: [r[name] for r in rows] for name in PAGES.names}
+        return pa.Table.from_pydict(cols, schema=PAGES)
+
+    return gen
+
+
+def generate_pages_dataset(n_pages: int, cfg: WorldCfg, variant: str = "basic"):
+    """Lazy Ray Dataset of n_pages synthetic pages (stateless tasks)."""
+    import ray.data as rd
+
+    return rd.range(n_pages).map_batches(
+        make_pagegen(cfg, variant), batch_size=512, batch_format="pyarrow"
+    )
+
+
+def materialize_pages(path: str, n_pages: int, cfg: WorldCfg,
+                      variant: str = "basic", num_files: int = 16) -> str:
+    """Generate-and-cache pages parquet under `path` (idempotent: skips
+    if a _DONE marker exists).  Multiple files so downstream shard-level
+    resume has input shards to key on."""
+    import os
+
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    ds = generate_pages_dataset(n_pages, cfg, variant)
+    ds.write_parquet(path, min_rows_per_file=max(1, n_pages // num_files))
+    with open(done, "w") as f:
+        f.write(f"n_pages={n_pages} variant={variant} seed={cfg.seed}\n")
+    return path

@@ -1,0 +1,466 @@
+"""P1 extract stage: deterministic HTML→text + per-document graph.
+
+Reference analogs:
+- html→text = ``LanguageFrontend.parse(File) → TranslationUnitDeclaration``
+  (frontends/cpp/CXXLanguageFrontend.kt:69): one row in, one document
+  graph out, embarrassingly parallel, byte-identical per url (the
+  per-row invariant from BASELINE.json `input_hint`).
+- forgiving parsing + ProblemNode on bad input (Handler.java:129-138):
+  malformed HTML never raises; it yields best-effort text plus a
+  ``problem`` row.
+- mention order edges with an ``index`` property = EOG construction
+  (EvaluationOrderGraphPass.java:87-130, Properties.java:43 INDEX).
+- within-document coreference chain = DFG edges (Node.kt:109-112).
+- section containment = AST subgraph (SubgraphWalker.java:101-150).
+
+Everything here is *within-row*: no shuffle, no cross-document state
+(SURVEY.md §7.1 P1).  Stateful setup (gazetteer token index, compiled
+regexes) happens once per actor in ``__init__`` — the stage is passed to
+``map_batches`` as a callable class with ``concurrency=N``.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import numpy as np
+import pyarrow as pa
+
+from ..normalize import (
+    byte_offsets_ascii_fast,
+    char_to_byte_offsets,
+    collapse_ws,
+    content_id,
+    norm_name,
+)
+from ..world import CONNECTOR_TO_PRED
+
+BLOCK_TAGS = frozenset({"title", "h1", "h2", "h3", "h4", "h5", "h6", "p"})
+SKIP_TAGS = frozenset({"nav", "footer", "script", "style", "aside"})
+HEADING_TAGS = frozenset({"title", "h1", "h2", "h3", "h4", "h5", "h6"})
+
+_TOKEN = re.compile(r"\w+", re.UNICODE)
+_CAP = re.compile(r"^[A-ZÀ-Þ][\wÀ-ÿ]*$")
+# A sentence break is a newline, or terminal punctuation followed by
+# whitespace and a capital/digit (so "Acme Labs Inc. is based in ..."
+# does NOT break mid-sentence on the corporate-suffix period).  Callers
+# include the next mention's first character in the probed segment.
+_SENT_BREAK = re.compile(r"\n|[.!?](?=\s+[A-ZÀ-Þ0-9])")
+
+
+class _BlockParser(HTMLParser):
+    """Forgiving block extractor: collects the whitespace-normalized text
+    of every title/h1-h6/p element that is not inside
+    nav/footer/aside/script/style.  Blocks join with "\\n" to form the
+    canonical extracted text."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str]] = []  # (tag, text)
+        self._skip = 0
+        self._cur_tag: str | None = None
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip += 1
+        elif self._skip == 0 and tag in BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = tag
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in BLOCK_TAGS and self._cur_tag == tag:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip == 0 and self._cur_tag is not None:
+            self._buf.append(data)
+
+    def _flush(self) -> None:
+        if self._cur_tag is not None:
+            text = collapse_ws("".join(self._buf))
+            if text:
+                self.blocks.append((self._cur_tag, text))
+            self._buf.clear()
+            self._cur_tag = None
+
+    def close(self) -> None:  # flush an unterminated block (truncated html)
+        super().close()
+        self._flush()
+
+
+def extract_blocks(html: bytes) -> tuple[list[tuple[str, str]], bool]:
+    """(blocks, is_problem).  Never raises — the analog of best-effort
+    frontends with failOnError=false (TranslationManager.kt:353-369)."""
+    is_problem = b"</html>" not in html
+    try:
+        p = _BlockParser()
+        p.feed(html.decode("utf-8", errors="replace"))
+        p.close()
+        return p.blocks, is_problem
+    except Exception:  # html.parser is forgiving, but belt-and-braces
+        return [], True
+
+
+def extract_text(html: bytes) -> tuple[str, bool]:
+    blocks, is_problem = extract_blocks(html)
+    return "\n".join(t for _, t in blocks), is_problem
+
+
+class Mention:
+    __slots__ = ("start", "end", "surface", "norm", "inferred")
+
+    def __init__(self, start: int, end: int, surface: str, norm: str, inferred: bool):
+        self.start = start
+        self.end = end
+        self.surface = surface
+        self.norm = norm
+        self.inferred = inferred
+
+
+class MentionDetector:
+    """Gazetteer-driven mention detection via longest-match token n-gram
+    lookup (O(tokens × max_n) dict probes — NOT a giant regex
+    alternation, which backtracks per alternative), plus a
+    capitalized-run fallback for out-of-dictionary entities (the analog
+    of inference-on-miss, VariableUsageResolver.java:409-452)."""
+
+    def __init__(self, aliases: list[str]):
+        self.index: dict[tuple[str, ...], str] = {}
+        self.max_n = 1
+        for alias in aliases:
+            toks = tuple(t.lower() for t in _TOKEN.findall(alias))
+            if toks:
+                self.index[toks] = alias
+                self.max_n = max(self.max_n, len(toks))
+
+    def detect(self, text: str) -> list[Mention]:
+        toks = [(m.start(), m.end(), m.group()) for m in _TOKEN.finditer(text)]
+        low = [t[2].lower() for t in toks]
+        n_tok = len(toks)
+        mentions: list[Mention] = []
+        i = 0
+        while i < n_tok:
+            hit_n = 0
+            for n in range(min(self.max_n, n_tok - i), 0, -1):
+                if tuple(low[i : i + n]) in self.index:
+                    hit_n = n
+                    break
+            if hit_n:
+                start, end = toks[i][0], toks[i + hit_n - 1][1]
+                surface = text[start:end]
+                mentions.append(Mention(start, end, surface, norm_name(surface), False))
+                i += hit_n
+            else:
+                # capitalized-run fallback: >=2 tokens, first alphabetic
+                # capitalized, rest capitalized-or-numeric, no sentence
+                # break between tokens
+                if _CAP.match(toks[i][2]):
+                    j = i + 1
+                    while (
+                        j < n_tok
+                        and (_CAP.match(toks[j][2]) or toks[j][2].isdigit())
+                        and not _SENT_BREAK.search(text[toks[j - 1][1] : toks[j][0] + 1])
+                        and tuple(low[j : j + 1]) not in self.index
+                    ):
+                        j += 1
+                    if j - i >= 2:
+                        start, end = toks[i][0], toks[j - 1][1]
+                        surface = text[start:end]
+                        mentions.append(
+                            Mention(start, end, surface, norm_name(surface), True)
+                        )
+                        i = j
+                        continue
+                i += 1
+        return mentions
+
+
+def triples_from_mentions(
+    text: str, mentions: list[Mention], lang: str
+) -> list[tuple[Mention, str, Mention]]:
+    """Adjacent mention pairs within one sentence whose between-text is a
+    known predicate connector → (subj, pred, obj).  The connector table
+    is per-language — the analog of extension→frontend dispatch
+    (TranslationManager.kt:373-405)."""
+    conn = CONNECTOR_TO_PRED.get(lang) or CONNECTOR_TO_PRED["en"]
+    out = []
+    for m1, m2 in zip(mentions, mentions[1:]):
+        if _SENT_BREAK.search(text[m1.end : m2.start + 1]):
+            continue
+        pred = conn.get(text[m1.end : m2.start].strip(" \t.,;:"))
+        if pred:
+            out.append((m1, pred, m2))
+    return out
+
+
+def _byte_offsets(text: str) -> list[int]:
+    fast = byte_offsets_ascii_fast(text)
+    return fast if fast is not None else char_to_byte_offsets(text)
+
+
+class ExtractTriples:
+    """Lean extract: pages batch → TRIPLES_RAW batch (mention detection +
+    connector matching only; no node/edge assembly).  Used by the
+    in-memory query path.  Pass to ``map_batches(ExtractTriples,
+    fn_constructor_kwargs=dict(dict_ref=ref), concurrency=N)``."""
+
+    def __init__(self, dict_ref=None, aliases: list[str] | None = None):
+        if aliases is None:
+            import ray
+
+            rows = ray.get(dict_ref)
+            aliases = [r["alias"] for r in rows]
+        self.detector = MentionDetector(aliases)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in (
+            "subj_surface", "subj_norm", "pred", "obj_surface", "obj_norm",
+            "url", "span_start",
+        )}
+        urls = batch["url"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        for url, lang, html in zip(urls, langs, htmls):
+            text, _problem = extract_text(html)
+            mentions = self.detector.detect(text)
+            if not mentions:
+                continue
+            b_off = _byte_offsets(text)
+            for m1, pred, m2 in triples_from_mentions(text, mentions, lang):
+                cols["subj_surface"].append(m1.surface)
+                cols["subj_norm"].append(m1.norm)
+                cols["pred"].append(pred)
+                cols["obj_surface"].append(m2.surface)
+                cols["obj_norm"].append(m2.norm)
+                cols["url"].append(url)
+                cols["span_start"].append(b_off[m1.start])
+        from ..schemas import TRIPLES_RAW
+
+        return pa.Table.from_pydict(cols, schema=TRIPLES_RAW)
+
+
+# Superset schema for the single-pass full-graph extract: one output row
+# stream with a `kind` discriminator, written with
+# write_parquet(partition_cols=["kind"]) so ONE pass over the pages
+# produces nodes/, edges/ and triples_raw/ directories (SURVEY.md §7.1).
+GRAPH_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # node | edge | triple | problem
+        ("url", pa.string()),
+        ("node_id", pa.string()),
+        ("label", pa.string()),
+        ("name", pa.string()),
+        ("norm_name", pa.string()),
+        ("span_start", pa.int64()),
+        ("span_end", pa.int64()),
+        ("is_inferred", pa.bool_()),
+        ("src_id", pa.string()),
+        ("dst_id", pa.string()),
+        ("etype", pa.string()),
+        ("index", pa.int32()),
+        ("subj_surface", pa.string()),
+        ("subj_norm", pa.string()),
+        ("pred", pa.string()),
+        ("obj_surface", pa.string()),
+        ("obj_norm", pa.string()),
+    ]
+)
+
+
+class ExtractGraph:
+    """Full extract: pages batch → graph rows (nodes + AST/EOG/DFG/TRIPLE
+    edges + raw triples + problem rows) under GRAPH_SCHEMA."""
+
+    def __init__(self, dict_ref=None, aliases: list[str] | None = None):
+        if aliases is None:
+            import ray
+
+            rows = ray.get(dict_ref)
+            aliases = [r["alias"] for r in rows]
+        self.detector = MentionDetector(aliases)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        urls = batch["url"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        for url, lang, html in zip(urls, langs, htmls):
+            rows.extend(self._one(url, lang, html))
+        cols = {name: [r.get(name) for r in rows] for name in GRAPH_SCHEMA.names}
+        return pa.Table.from_pydict(cols, schema=GRAPH_SCHEMA)
+
+    def _one(self, url: str, lang: str, html: bytes) -> list[dict]:
+        blocks, is_problem = extract_blocks(html)
+        text = "\n".join(t for _, t in blocks)
+        b_off = _byte_offsets(text)
+        out: list[dict] = []
+
+        doc_id = content_id(url, "doc")
+        out.append(
+            {
+                "kind": "node",
+                "url": url,
+                "node_id": doc_id,
+                "label": "Document",
+                "name": url,
+                "norm_name": url,
+                "span_start": 0,
+                "span_end": b_off[-1],
+                "is_inferred": False,
+            }
+        )
+        if is_problem:
+            out.append(
+                {
+                    "kind": "problem",
+                    "url": url,
+                    "node_id": content_id(url, "problem"),
+                    "label": "Problem",
+                    "name": "truncated-html",
+                    "is_inferred": False,
+                }
+            )
+
+        # Section nodes from heading blocks + AST doc→section edges.
+        # Block k starts at cumulative offset (sum of lens + k separators).
+        sections: list[tuple[int, str]] = []  # (char_start, node_id)
+        pos = 0
+        sec_idx = 0
+        for tag, btext in blocks:
+            if tag in HEADING_TAGS:
+                sid = content_id(url, "sec", pos)
+                sections.append((pos, sid))
+                out.append(
+                    {
+                        "kind": "node",
+                        "url": url,
+                        "node_id": sid,
+                        "label": "Section",
+                        "name": btext,
+                        "norm_name": norm_name(btext),
+                        "span_start": b_off[pos],
+                        "span_end": b_off[pos + len(btext)],
+                        "is_inferred": False,
+                    }
+                )
+                out.append(
+                    {
+                        "kind": "edge",
+                        "url": url,
+                        "src_id": doc_id,
+                        "dst_id": sid,
+                        "etype": "AST",
+                        "index": sec_idx,
+                        "is_inferred": False,
+                    }
+                )
+                sec_idx += 1
+            pos += len(btext) + 1  # +1 for the "\n" joiner
+
+        mentions = self.detector.detect(text)
+        ment_ids: list[str] = []
+        sec_child_count: dict[str, int] = {}
+        for m in mentions:
+            mid = content_id(url, "m", m.start, m.end)
+            ment_ids.append(mid)
+            out.append(
+                {
+                    "kind": "node",
+                    "url": url,
+                    "node_id": mid,
+                    "label": "Mention",
+                    "name": m.surface,
+                    "norm_name": m.norm,
+                    "span_start": b_off[m.start],
+                    "span_end": b_off[m.end],
+                    "is_inferred": m.inferred,
+                }
+            )
+            # AST: owning section = last section starting at/before mention
+            owner = None
+            for s_start, sid in sections:
+                if s_start <= m.start:
+                    owner = sid
+                else:
+                    break
+            if owner is not None:
+                k = sec_child_count.get(owner, 0)
+                sec_child_count[owner] = k + 1
+                out.append(
+                    {
+                        "kind": "edge",
+                        "url": url,
+                        "src_id": owner,
+                        "dst_id": mid,
+                        "etype": "AST",
+                        "index": k,
+                        "is_inferred": False,
+                    }
+                )
+
+        # EOG: mention order chain (INDEX-carrying, order is data not
+        # stream position — SURVEY.md §2.11)
+        for i in range(len(mentions) - 1):
+            out.append(
+                {
+                    "kind": "edge",
+                    "url": url,
+                    "src_id": ment_ids[i],
+                    "dst_id": ment_ids[i + 1],
+                    "etype": "EOG",
+                    "index": i,
+                    "is_inferred": False,
+                }
+            )
+
+        # DFG: within-document coreference — consecutive mentions of the
+        # same norm form a chain (prevDFG/nextDFG analog)
+        last_by_norm: dict[str, int] = {}
+        for i, m in enumerate(mentions):
+            j = last_by_norm.get(m.norm)
+            if j is not None:
+                out.append(
+                    {
+                        "kind": "edge",
+                        "url": url,
+                        "src_id": ment_ids[j],
+                        "dst_id": ment_ids[i],
+                        "etype": "DFG",
+                        "index": None,
+                        "is_inferred": False,
+                    }
+                )
+            last_by_norm[m.norm] = i
+
+        # TRIPLE edges + raw triple rows
+        midx = {id(m): i for i, m in enumerate(mentions)}
+        for m1, pred, m2 in triples_from_mentions(text, mentions, lang):
+            out.append(
+                {
+                    "kind": "edge",
+                    "url": url,
+                    "src_id": ment_ids[midx[id(m1)]],
+                    "dst_id": ment_ids[midx[id(m2)]],
+                    "etype": "TRIPLE",
+                    "name": pred,
+                    "is_inferred": m1.inferred or m2.inferred,
+                }
+            )
+            out.append(
+                {
+                    "kind": "triple",
+                    "url": url,
+                    "subj_surface": m1.surface,
+                    "subj_norm": m1.norm,
+                    "pred": pred,
+                    "obj_surface": m2.surface,
+                    "obj_norm": m2.norm,
+                    "span_start": b_off[m1.start],
+                    "is_inferred": m1.inferred or m2.inferred,
+                }
+            )
+        return out
