@@ -1,0 +1,188 @@
+"""The flagship P0→P4 pipeline: pages → extract → link → canonicalize →
+materialize (SURVEY.md §7.1), the Ray-Data reinterpretation of
+``TranslationManager.analyze()`` (TranslationManager.kt:73-126):
+per-file frontend parse ≙ per-row extract (embarrassingly parallel),
+the ScopeManager.mergeFrom barrier ≙ the first shuffle (entity-vocab
+groupby), the sequential resolver passes ≙ ordered dataset-to-dataset
+stages where only link/canonicalize/materialize shuffle.
+
+Two paths:
+- :func:`triples_dataset` — in-memory, returns the canonicalized
+  triples ``Dataset``; used by queries()/tests/bench at sf≤0.1 scale.
+- :func:`run_flagship` — on-disk, sharded, resumable; ONE pass over the
+  pages writes nodes/edges/triples_raw (kind-partitioned), then a
+  second job links + canonicalizes the (much smaller) triples.  This is
+  the 100 TB shape: the pages are read exactly once, intermediates are
+  columnar Parquet, and every shard commits independently.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..pagegen import WorldCfg, _cached_world
+from ..stages.canonicalize import (
+    build_canonical_map,
+    collect_entity_vocab,
+    entities_table,
+)
+from ..stages.extract import ExtractGraph, ExtractTriples
+from ..stages.link import AddCanonical, LinkTriples
+from ..stages.materialize import (
+    read_lineage,
+    shard_done,
+    shard_input_files,
+    write_metrics,
+    write_shard,
+)
+
+
+def _put(obj):
+    import ray
+
+    return ray.put(obj)
+
+
+def triples_dataset(
+    pages_ds,
+    cfg: WorldCfg,
+    *,
+    extract_concurrency=(1, 8),
+    link_concurrency=(1, 4),
+    extract_batch_size: int = 256,
+):
+    """pages Dataset → canonicalized TRIPLES Dataset (+ entities table).
+
+    Returns ``(triples_ds, entities_tbl)``.  The linked intermediate is
+    materialized once (triples are orders of magnitude smaller than
+    pages) so the vocab groupby and the canonical rewrite don't re-run
+    extraction; the on-disk path in :func:`run_flagship` achieves the
+    same with a Parquet intermediate instead.
+    """
+    world = _cached_world(cfg)
+    dict_ref = _put(world.alias_rows())
+
+    raw = pages_ds.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={"dict_ref": dict_ref},
+        batch_size=extract_batch_size,
+        batch_format="pyarrow",
+        concurrency=extract_concurrency,
+    )
+    linked = raw.map_batches(
+        LinkTriples,
+        fn_constructor_kwargs={"dict_ref": dict_ref},
+        batch_size=8192,
+        batch_format="pyarrow",
+        concurrency=link_concurrency,
+    ).materialize()
+
+    vocab = collect_entity_vocab(linked)
+    cmap = build_canonical_map(vocab, world.equivalences)
+    triples = linked.map_batches(
+        AddCanonical,
+        fn_constructor_kwargs={"cmap_ref": _put(cmap)},
+        batch_size=16384,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    ents = entities_table(vocab, cmap, world.alias_rows())
+    return triples, ents
+
+
+def run_flagship(
+    pages_path: str,
+    out_dir: str,
+    cfg: WorldCfg,
+    *,
+    n_shards: int = 8,
+    resume: bool = False,
+) -> dict:
+    """On-disk sharded run. Returns summary stats (incl. lineage)."""
+    import glob
+
+    import ray.data as rd
+
+    world = _cached_world(cfg)
+    dict_ref = _put(world.alias_rows())
+    files = glob.glob(os.path.join(pages_path, "*.parquet"))
+    shards = shard_input_files(files, n_shards)
+    lineage: list[dict] = []
+    skipped = 0
+
+    # ---- phase A: one pass over pages → kind-partitioned graph shards
+    for sid, shard_files in enumerate(shards):
+        if resume and shard_done(out_dir, "graph", sid):
+            skipped += 1
+            continue
+        t0 = time.monotonic()
+        rows_in = sum(pq.read_metadata(f).num_rows for f in shard_files)
+        pages = rd.read_parquet(shard_files)
+        graph = pages.map_batches(
+            ExtractGraph,
+            fn_constructor_kwargs={"dict_ref": dict_ref},
+            batch_size=256,
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        lineage.append(
+            write_shard(
+                graph, out_dir, "graph", sid, "extract", rows_in,
+                shard_files, t0, partition_cols=["kind"],
+            )
+        )
+
+    # ---- phase B: link + canonicalize the (small) triples
+    if not (resume and shard_done(out_dir, "triples", 0)):
+        t0 = time.monotonic()
+        triple_dirs = sorted(
+            glob.glob(
+                os.path.join(out_dir, "graph", "shard=*", "kind=triple", "*.parquet")
+            )
+        )
+        raw = rd.read_parquet(
+            triple_dirs,
+            columns=["url", "span_start", "subj_surface", "subj_norm",
+                     "pred", "obj_surface", "obj_norm"],
+        )
+        linked = raw.map_batches(
+            LinkTriples,
+            fn_constructor_kwargs={"dict_ref": dict_ref},
+            batch_size=8192,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ).materialize()
+        vocab = collect_entity_vocab(linked)
+        cmap = build_canonical_map(vocab, world.equivalences)
+        triples = linked.map_batches(
+            AddCanonical,
+            fn_constructor_kwargs={"cmap_ref": _put(cmap)},
+            batch_size=16384,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ).sort(["canonical_subj", "pred", "canonical_obj"])  # O1 analog
+        lineage.append(
+            write_shard(
+                triples, out_dir, "triples", 0, "link+canonicalize",
+                linked.count(), triple_dirs, t0,
+            )
+        )
+        ents = entities_table(vocab, cmap, world.alias_rows())
+        ents_dir = os.path.join(out_dir, "entities")
+        os.makedirs(ents_dir, exist_ok=True)
+        pq.write_table(ents, os.path.join(ents_dir, "entities.parquet"))
+
+    write_metrics(out_dir, lineage)
+    done = read_lineage(out_dir, "graph") + read_lineage(out_dir, "triples")
+    return {
+        "shards": len(shards),
+        "shards_skipped": skipped,
+        "lineage_rows": len(done),
+        "triples_out": sum(
+            r["rows_out"] for r in done if r["partition_id"].startswith("triples")
+        ),
+    }

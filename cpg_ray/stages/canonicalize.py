@@ -1,0 +1,135 @@
+"""P3 canonicalize stage: entity-vocabulary collection via salted
+two-phase aggregation + driver-side union-find over the (small)
+alias-equivalence edge set, then a broadcast rewrite of the triples.
+
+Reference analog: TypeResolver deduplicating equal ``Type`` instances
+across all translation units and rewriting every node's type pointer to
+the canonical instance (TypeResolver.java:36-198), plus
+ScopeManager.mergeFrom as the extract→link phase barrier
+(ScopeManager.kt:130-160).
+
+Scale design (north rule):
+- The triples stream is NEVER grouped directly by entity — a Zipf-hot
+  entity (org 0 in the skew fixture appears in >50% of works_for
+  triples) would funnel most rows into one reducer.  Instead:
+  phase 0 (combiner): per-batch distinct inside ``map_batches`` —
+  a hot entity contributes ≤1 row per (batch, side);
+  phase 1: groupby on (salt, entity_id) where ``salt`` is
+  row-position-derived and independent of the key, so even the
+  per-batch partials of a hot key spread over SALT_K reducers;
+  phase 2: groupby on entity_id over ≤SALT_K rows/key.
+- Union-find runs on the driver over the equivalence edges only
+  (bounded by dictionary size, not corpus size) — SURVEY.md §2.9 G7.
+- The canonical map is broadcast once (``ray.put``) and applied in a
+  stateless ``map_batches`` rewrite, the anti-pattern-free analog of
+  TypeResolver's in-place pointer rewrite.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..state.unionfind import UnionFind
+
+SALT_K = 16
+
+
+def _vocab_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct entity_id + mention count.
+    (``is_inferred`` is derivable from the ``inf:`` id prefix.)"""
+    counts: dict[str, int] = {}
+    for id_col in ("subj", "obj"):
+        for eid in batch[id_col].to_pylist():
+            counts[eid] = counts.get(eid, 0) + 1
+    ids = sorted(counts)
+    return pa.table(
+        {
+            "entity_id": ids,
+            "n_mentions": [counts[e] for e in ids],
+            # salt from enumeration position — independent of the key,
+            # so a hot entity's partials spread across SALT_K groups
+            "salt": [i % SALT_K for i in range(len(ids))],
+        }
+    )
+
+
+def collect_entity_vocab(linked_ds) -> "pa.Table":
+    """Distinct entities (+ mention counts) present in the linked
+    triples, via combiner → salted groupby → final groupby."""
+    from ray.data.aggregate import Sum
+
+    partials = linked_ds.map_batches(_vocab_partial, batch_format="pyarrow")
+    phase1 = partials.groupby(["salt", "entity_id"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
+    phase2 = phase1.groupby("entity_id").aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
+    # entity vocabulary is small by construction (dictionary + distinct
+    # inferred norms) — safe to materialize on the driver
+    batches = [b for b in phase2.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table(
+            {
+                "entity_id": pa.array([], pa.string()),
+                "n_mentions": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches).select(["entity_id", "n_mentions"])
+
+
+def build_canonical_map(
+    vocab: pa.Table, equivalences: list[tuple[str, str]]
+) -> dict[str, str]:
+    """Union-find over vocab ids + equivalence edges → member → min(id)."""
+    uf = UnionFind()
+    for eid in vocab["entity_id"].to_pylist():
+        uf.add(eid)
+    for a, b in equivalences:
+        uf.union(a, b)
+    return uf.canonical_map()
+
+
+def entities_table(
+    vocab: pa.Table,
+    cmap: dict[str, str],
+    alias_rows: list[dict],
+) -> pa.Table:
+    """Canonical entities table (ENTITIES schema): one row per canonical
+    id observed in the corpus, aliases aggregated from the dictionary."""
+    observed = set(vocab["entity_id"].to_pylist())
+    canon_of = lambda e: cmap.get(e, e)  # noqa: E731
+    observed_canon = {canon_of(e) for e in observed}
+
+    aliases_by_canon: dict[str, list[str]] = {}
+    name_by_canon: dict[str, str] = {}
+    for row in alias_rows:
+        c = canon_of(row["entity_id"])
+        aliases_by_canon.setdefault(c, []).append(row["alias"])
+        # deterministic canonical name: the name registered for the
+        # canonical member itself wins, else first seen
+        if row["entity_id"] == c or c not in name_by_canon:
+            name_by_canon[c] = row["canonical_name"]
+
+    ids, names, aliases, inferred = [], [], [], []
+    for c in sorted(observed_canon):
+        ids.append(c)
+        if c.startswith("inf:"):
+            names.append(c[4:])
+            aliases.append([])
+            inferred.append(True)
+        else:
+            names.append(name_by_canon.get(c, c))
+            aliases.append(sorted(set(aliases_by_canon.get(c, []))))
+            inferred.append(False)
+    from ..schemas import ENTITIES
+
+    return pa.Table.from_pydict(
+        {
+            "entity_id": ids,
+            "canonical_name": names,
+            "aliases": aliases,
+            "is_inferred": inferred,
+        },
+        schema=ENTITIES,
+    )

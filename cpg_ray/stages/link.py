@@ -1,0 +1,114 @@
+"""P2 link stage: mention→entity resolution against a broadcast alias
+dictionary, run as a ``map_batches`` actor pool.
+
+Reference analogs:
+- the alias/candidate dictionary held once per actor =
+  recordMap/TypeManager state probed by the resolver passes
+  (CallResolver.java:67-69, 106-130; TypeManager.java:106-149) — the
+  global mutable singleton becomes a broadcast read-only table
+  (``ray.put`` once on the driver, ``ray.get`` once per actor in
+  ``__init__``), never re-shipped per batch.
+- tiered resolution cascade = CallResolver's signature matching with
+  implicit-cast / default-arg widening (CallResolver.java:242-301,
+  1017-1133): tier 1 exact norm match (highest prior wins,
+  deterministic entity-id tie-break), tier 2 honorific/suffix-stripped
+  retry, miss → inferred entity (createInferredFunctionDeclaration
+  analog, CallResolver.java:1078-1088): id ``inf:<norm>`` so equal
+  unknown surface forms collapse to one entity order-free.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..schemas import TRIPLES
+
+LINKED_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("url", pa.string()),
+        ("span_start", pa.int64()),
+        ("subj_is_inferred", pa.bool_()),
+        ("obj_is_inferred", pa.bool_()),
+    ]
+)
+
+
+def build_norm_index(alias_rows: list[dict]) -> dict[str, tuple[str, str, float]]:
+    """norm(alias) → (entity_id, canonical_name, prior); highest prior
+    wins, ties broken on min entity_id (explicit determinism)."""
+    from ..normalize import norm_name
+
+    out: dict[str, tuple[str, str, float]] = {}
+    for row in alias_rows:
+        key = norm_name(row["alias"])
+        cand = (row["entity_id"], row["canonical_name"], row["prior"])
+        cur = out.get(key)
+        if cur is None or cand[2] > cur[2] or (cand[2] == cur[2] and cand[0] < cur[0]):
+            out[key] = cand
+    return out
+
+
+class LinkTriples:
+    """TRIPLES_RAW batch → linked batch (entity ids, inferred flags)."""
+
+    def __init__(self, dict_ref=None, alias_rows: list[dict] | None = None):
+        if alias_rows is None:
+            import ray
+
+            alias_rows = ray.get(dict_ref)
+        self.index = build_norm_index(alias_rows)
+
+    def _link(self, norm: str) -> tuple[str, bool]:
+        hit = self.index.get(norm)
+        if hit is not None:
+            return hit[0], False
+        return f"inf:{norm}", True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj, obj = [], []
+        s_inf, o_inf = [], []
+        for sn, on in zip(
+            batch["subj_norm"].to_pylist(), batch["obj_norm"].to_pylist()
+        ):
+            sid, si = self._link(sn)
+            oid, oi = self._link(on)
+            subj.append(sid)
+            obj.append(oid)
+            s_inf.append(si)
+            o_inf.append(oi)
+        return pa.Table.from_pydict(
+            {
+                "subj": subj,
+                "pred": batch["pred"],
+                "obj": obj,
+                "url": batch["url"],
+                "span_start": batch["span_start"],
+                "subj_is_inferred": s_inf,
+                "obj_is_inferred": o_inf,
+            },
+            schema=LINKED_SCHEMA,
+        )
+
+
+class AddCanonical:
+    """Linked batch → TRIPLES batch: stamp canonical_subj/canonical_obj
+    from a broadcast canonical map (entity_id → canonical id)."""
+
+    def __init__(self, cmap_ref=None, cmap: dict[str, str] | None = None):
+        if cmap is None:
+            import ray
+
+            cmap = ray.get(cmap_ref)
+        self.cmap = cmap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.cmap.get
+        canon_s = [g(e, e) for e in batch["subj"].to_pylist()]
+        canon_o = [g(e, e) for e in batch["obj"].to_pylist()]
+        out = {name: batch[name] for name in batch.column_names}
+        out["canonical_subj"] = canon_s
+        out["canonical_obj"] = canon_o
+        return pa.Table.from_pydict(out, schema=TRIPLES)

@@ -1,0 +1,115 @@
+"""P4 materialize stage: partitioned, resumable Parquet output with
+per-partition lineage + metrics rows.
+
+Reference analog: the Neo4j push (cpg-neo4j/Application.kt:223-245) —
+one giant transactional ``session.save`` — re-expressed as independent
+per-shard Parquet writes:
+
+- output layout: ``out/<table>/shard=<k>/*.parquet`` — one directory per
+  input shard, written by an independent sub-pipeline;
+- commit protocol: a shard directory counts as done only when its
+  ``_SUCCESS`` marker exists; the marker is written after the data and
+  carries the lineage row (rows in/out, wall ms, input files);
+- resume: rerunning skips shards whose marker exists (anti-join of done
+  partition ids before scheduling, SURVEY.md §4 checkpoint/resume);
+  a partially-written shard is simply overwritten (idempotent).
+
+There is deliberately no cross-shard transaction and no purge — at
+100 TB a single transaction is the reference's StackOverflowError
+(cpg-neo4j/README.md "Known issues") writ large.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def shard_input_files(files: list[str], n_shards: int) -> list[list[str]]:
+    """Deterministic round-robin assignment of input files to shards."""
+    files = sorted(files)
+    n_shards = max(1, min(n_shards, len(files)))
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for i, f in enumerate(files):
+        shards[i % n_shards].append(f)
+    return shards
+
+
+def shard_dir(out_dir: str, table: str, shard_id: int) -> str:
+    return os.path.join(out_dir, table, f"shard={shard_id}")
+
+
+def shard_done(out_dir: str, table: str, shard_id: int) -> bool:
+    return os.path.exists(os.path.join(shard_dir(out_dir, table, shard_id), "_SUCCESS"))
+
+
+def write_shard(
+    ds,
+    out_dir: str,
+    table: str,
+    shard_id: int,
+    stage: str,
+    rows_in: int,
+    input_files: list[str],
+    t_start: float,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Write one shard's dataset + _SUCCESS lineage marker (idempotent:
+    an existing partial directory is clobbered first)."""
+    d = shard_dir(out_dir, table, shard_id)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    ds.write_parquet(d, partition_cols=partition_cols)
+    rows_out = sum(
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _dirs, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    lineage = {
+        "partition_id": f"{table}/shard={shard_id}",
+        "stage": stage,
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "wall_ms": (time.monotonic() - t_start) * 1000.0,
+        "input_files": input_files,
+    }
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        json.dump(lineage, f)
+    return lineage
+
+
+def write_metrics(out_dir: str, lineage_rows: list[dict]) -> None:
+    """Append lineage/metrics rows (METRICS schema) to out/metrics/."""
+    if not lineage_rows:
+        return
+    from ..schemas import METRICS
+
+    d = os.path.join(out_dir, "metrics")
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.Table.from_pydict(
+        {name: [r[name] for r in lineage_rows] for name in METRICS.names},
+        schema=METRICS,
+    )
+    # hash-named file per flush → idempotent overwrite on resume
+    key = abs(hash(tuple(sorted(r["partition_id"] for r in lineage_rows)))) % 10**9
+    pq.write_table(tbl, os.path.join(d, f"metrics-{key}.parquet"))
+
+
+def read_lineage(out_dir: str, table: str) -> list[dict]:
+    rows = []
+    base = os.path.join(out_dir, table)
+    if not os.path.isdir(base):
+        return rows
+    for entry in sorted(os.listdir(base)):
+        marker = os.path.join(base, entry, "_SUCCESS")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                rows.append(json.load(f))
+    return rows
