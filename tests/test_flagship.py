@@ -1,0 +1,106 @@
+"""Flagship pipeline P/R vs the golden oracle + resume semantics
+(reference analog: cross-language golden tests, JavaVsCppTest.java:42-54;
+our target: triple P/R >= 0.95, BASELINE.md)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from cpg_ray.pagegen import (
+    cfg_for_variant,
+    generate_pages_dataset,
+    gold_triples,
+    materialize_pages,
+)
+from cpg_ray.pipelines.flagship import run_flagship, triples_dataset
+
+N = 400
+
+
+def _pr(got: set, want: set):
+    tp = len(got & want)
+    p = tp / max(1, len(got))
+    r = tp / max(1, len(want))
+    return p, r
+
+
+@pytest.mark.parametrize("variant", ["basic", "unresolved", "skew", "mixed"])
+def test_flagship_pr(variant):
+    cfg = cfg_for_variant(variant)
+    pages = generate_pages_dataset(N, cfg, variant)
+    triples, ents = triples_dataset(pages, cfg)
+    df = triples.to_pandas()
+    got = set(zip(df.canonical_subj, df.pred, df.canonical_obj))
+    w = cfg.build()
+    want = set()
+    for i in range(N):
+        want |= gold_triples(w, i, variant)
+    p, r = _pr(got, want)
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+    # canonicalization collapsed every twin id
+    twins = {b for _a, b in w.equivalences}
+    assert not (set(df.canonical_subj) | set(df.canonical_obj)) & twins
+
+
+def test_inferred_entities_surface(tmp_path):
+    cfg = cfg_for_variant("unresolved")
+    pages = generate_pages_dataset(200, cfg, "unresolved")
+    triples, ents = triples_dataset(pages, cfg)
+    df = triples.to_pandas()
+    assert df.obj_is_inferred.any()
+    edf = ents.to_pandas()
+    inf = edf[edf.is_inferred]
+    assert len(inf) > 0
+    assert all(e.startswith("inf:") for e in inf.entity_id)
+
+
+def test_skew_hot_entity_still_exact():
+    """Salted two-phase aggregation must not lose or duplicate the hot
+    entity (north-rule skew fixture: org 0 in >50% of works_for)."""
+    cfg = cfg_for_variant("skew")
+    pages = generate_pages_dataset(300, cfg, "skew")
+    triples, ents = triples_dataset(pages, cfg)
+    df = triples.to_pandas()
+    wf = df[df.pred == "works_for"]
+    hot_share = (wf.canonical_obj == "O00000").mean()
+    assert hot_share >= 0.5
+    edf = ents.to_pandas()
+    assert (edf.entity_id == "O00000").sum() == 1  # exactly one canonical row
+
+
+def test_run_flagship_resume(tmp_path):
+    cfg = cfg_for_variant("basic")
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    materialize_pages(pages_dir, 200, cfg, "basic", num_files=4)
+
+    s1 = run_flagship(pages_dir, out_dir, cfg, n_shards=2)
+    assert s1["triples_out"] > 0 and s1["shards_skipped"] == 0
+    s2 = run_flagship(pages_dir, out_dir, cfg, n_shards=2, resume=True)
+    assert s2["shards_skipped"] == s2["shards"]
+    assert s2["triples_out"] == s1["triples_out"]
+
+    # partial-failure resume: nuke one shard's marker → only it reruns
+    marker = glob.glob(os.path.join(out_dir, "graph", "shard=0", "_SUCCESS"))[0]
+    os.remove(marker)
+    shutil.rmtree(os.path.join(out_dir, "triples"))
+    s3 = run_flagship(pages_dir, out_dir, cfg, n_shards=2, resume=True)
+    assert s3["shards_skipped"] == s3["shards"] - 1
+    assert s3["triples_out"] == s1["triples_out"]
+
+    # lineage/metrics written
+    mfiles = glob.glob(os.path.join(out_dir, "metrics", "*.parquet"))
+    assert mfiles
+    m = pq.read_table(mfiles[0])
+    assert {"partition_id", "stage", "rows_in", "rows_out", "wall_ms"} <= set(
+        m.column_names
+    )
+
+    # output is sorted by canonical_subj (O1 materialize sort)
+    tri = pq.read_table(glob.glob(os.path.join(out_dir, "triples", "shard=0", "*.parquet"))[0])
+    subj = tri["canonical_subj"].to_pylist()
+    assert subj == sorted(subj)

@@ -1,0 +1,37 @@
+"""World determinism + alias uniqueness (the dictionary invariants the
+link stage depends on)."""
+
+from cpg_ray.pagegen import cfg_for_variant, render_page
+from cpg_ray.world import World
+
+
+def test_alias_uniqueness_small_and_large():
+    for scale in (1, 8):
+        w = World(42, 400 * scale, 120 * scale, 60 * scale)
+        aliases = [r["alias"] for r in w.alias_rows()]
+        assert len(aliases) == len(set(aliases))
+
+
+def test_world_deterministic():
+    a = World(42, 100, 30, 20)
+    b = World(42, 100, 30, 20)
+    assert [e.canonical_name for e in a.entities.values()] == [
+        e.canonical_name for e in b.entities.values()
+    ]
+    assert a.equivalences == b.equivalences
+
+
+def test_render_deterministic():
+    cfg = cfg_for_variant("basic")
+    w1, w2 = cfg.build(), cfg.build()
+    for i in (0, 7, 8, 9, 123):
+        p1, p2 = render_page(w1, i, "basic"), render_page(w2, i, "basic")
+        assert p1 == p2
+
+
+def test_equivalence_twins_exist():
+    w = cfg_for_variant("basic").build()
+    assert len(w.equivalences) > 0
+    for a, b in w.equivalences:
+        assert a in w.entities and b in w.entities
+        assert min(a, b) == a  # canonical pick is the primary id
