@@ -1,0 +1,207 @@
+"""Relational operator library over Ray Data Datasets: broadcast /
+partitioned joins, pre-aggregated groupbys, top-k, distinct, semi/anti
+joins (SURVEY.md §2.4-§2.7 mapped Ray-Data-first).
+
+Scale notes (these choices are the point, not incidental):
+- small side broadcast: ``ray.put`` once on the driver, fetched at most
+  once per worker *process* via a module cache keyed by object-ref hex —
+  never re-shipped per batch (reference analog: per-pass lookup maps,
+  CallResolver.java:106-130);
+- big×big joins go through ``Dataset.join`` (hash-partitioned shuffle);
+- aggregations pre-combine inside ``map_batches`` so the shuffle moves
+  one row per (key, batch), not one per input row (A2/A3 analogs);
+- top-k never globally sorts the full dataset: local per-batch top-k
+  (the combiner) then a tiny global sort+limit (O2 analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+# ---- broadcast small-side cache (per worker process) ----------------------
+
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def bcast_get(ref):
+    """Fetch a broadcast object at most once per worker process."""
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        import ray
+
+        obj = _BCAST_CACHE[key] = ray.get(ref)
+    return obj
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Column-pruned parquet read of one testdata table."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---- joins ----------------------------------------------------------------
+
+
+def broadcast_join(
+    ds,
+    small_df: pd.DataFrame,
+    *,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+):
+    """Join a big Dataset against a small pandas side without a shuffle:
+    the small side is broadcast and merged per batch (J1-J9 analog —
+    probe a broadcast dictionary instead of exchanging the big side)."""
+    import ray
+
+    ref = ray.put(small_df)
+    right_on = right_on or left_on
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = bcast_get(ref)
+        return batch.merge(
+            small, how=how, left_on=left_on, right_on=right_on, sort=False
+        )
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(left, right, *, on, right_on=None, how: str = "inner",
+              num_partitions: int = 16):
+    """Big×big hash-partitioned shuffle join (Ray-native Dataset.join)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on if isinstance(on, (list, tuple)) else (on,),
+        right_on=(
+            None
+            if right_on is None
+            else right_on if isinstance(right_on, (list, tuple)) else (right_on,)
+        ),
+    )
+
+
+def semi_anti_filter(ds, key_col: str, keys, *, anti: bool = False):
+    """Semi/anti join via broadcast key set (D4/J11 analog: existence
+    check without moving the big side)."""
+    import ray
+
+    ref = ray.put(frozenset(keys))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = bcast_get(ref)
+        mask = batch[key_col].isin(ks)
+        return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---- aggregation with pre-combine -----------------------------------------
+
+_PARTIALS = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    # mean decomposes into sum+count partials, finalized after the shuffle
+}
+
+
+def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]]):
+    """Pre-aggregated groupby.
+
+    specs: (column, fn, alias) with fn in sum/count/min/max/mean.
+    Phase 1 (map_batches combiner): pandas groupby within each batch →
+    one row per (key, batch).  Phase 2: Ray groupby over the partials.
+    Phase 3: finalize means + rename.  Returns a Dataset with columns
+    keys + aliases.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial_cols: list[tuple[str, str, str]] = []  # (partial_name, src, fn)
+    for col, fn, alias in specs:
+        if fn == "mean":
+            partial_cols.append((f"__{alias}__s", col, "sum"))
+            partial_cols.append((f"__{alias}__c", col, "count"))
+        else:
+            partial_cols.append((f"__{alias}", col, fn))
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        out = {}
+        for pname, src, fn in partial_cols:
+            out[pname] = g[src].agg(_PARTIALS[fn][0])
+        return pd.DataFrame(out).reset_index()
+
+    partials = ds.map_batches(combine, batch_format="pandas")
+
+    aggs = []
+    for pname, _src, fn in partial_cols:
+        merge_fn = _PARTIALS[fn][1]
+        cls = {"sum": Sum, "min": Min, "max": Max}[merge_fn]
+        aggs.append(cls(pname, alias_name=pname))
+    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].copy()
+        for col, fn, alias in specs:
+            if fn == "mean":
+                out[alias] = batch[f"__{alias}__s"] / batch[f"__{alias}__c"]
+            else:
+                out[alias] = batch[f"__{alias}"]
+        return out
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+# ---- order / limit --------------------------------------------------------
+
+
+def topk(ds, sort_cols: list[str], k: int, *, descending=True):
+    """Global top-k without a global sort: per-batch local top-k combiner,
+    then sort+limit over the (tiny) survivors."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    asc = [not d for d in descending]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(sort_cols, ascending=asc, kind="mergesort").head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .sort(sort_cols, descending=descending)
+        .limit(k)
+    )
+
+
+def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
+                 *, descending: bool = True, tie_break: str | None = None):
+    """Top-k per group via groupby().map_groups (O3 analog with explicit
+    deterministic tie-break columns)."""
+    cols = [sort_col] + ([tie_break] if tie_break else [])
+    asc = [not descending] + ([True] if tie_break else [])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    return ds.groupby(group_keys).map_groups(head, batch_format="pandas")
+
+
+def distinct_on(ds, keys: list[str], *, order_col: str | None = None):
+    """Exact dedup: keep one row per key group — deterministically the
+    min(order_col) row when given (D1/A3 keep-first with an explicit
+    tie-break; plain first() is nondeterministic under parallelism)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col:
+            g = g.sort_values(order_col, kind="mergesort")
+        return g.head(1)
+
+    return ds.groupby(keys).map_groups(first, batch_format="pandas")

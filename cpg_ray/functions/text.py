@@ -1,0 +1,149 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...):
+token counting, quality scoring, language-ID, fingerprinting.
+
+These are the training-data-pipeline operators the engine needs beyond
+the reference's inventory (task brief): each is a vectorized
+``map_batches`` stage (pandas str kernels / numpy), no Python row loops
+in the hot path except where per-document set logic genuinely requires
+one (langid profile scoring is vectorized via per-language regex
+counts).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+# Token pattern kept in exact sync with the DuckDB oracle SQL:
+# regexp_extract_all(text, '[A-Za-z0-9_]+')
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,;:!?]"
+
+STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|with|for|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|für)\b",
+    "fr": r"\b(le|la|les|et|est|dans|pour|que|une|des)\b",
+    "es": r"\b(el|la|los|las|es|en|que|una|por|para)\b",
+}
+CJK_RE = r"[一-鿿]"
+
+
+def token_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """token_count / char_count / avg token length (vectorized)."""
+    s = batch[text_col]
+    batch = batch.copy()
+    batch["token_count"] = s.str.count(TOKEN_RE).astype("int64")
+    batch["char_count"] = s.str.len().astype("int64")
+    return batch
+
+
+def quality_score(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Length/punctuation/uppercase heuristic quality features + a
+    composite score in [0,1] (web-pipeline doc-quality analog)."""
+    s = batch[text_col]
+    out = batch.copy()
+    n = s.str.len().clip(lower=1)
+    out["punct_ratio"] = s.str.count(PUNCT_RE) / n
+    out["upper_ratio"] = s.str.count(r"[A-Z]") / n
+    out["digit_ratio"] = s.str.count(r"[0-9]") / n
+    length_term = (n.clip(upper=2000) / 2000.0) ** 0.5
+    out["quality"] = (
+        length_term
+        * (1.0 - out["punct_ratio"].clip(upper=0.5))
+        * (1.0 - out["digit_ratio"].clip(upper=0.5))
+    )
+    return out
+
+
+def langid(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Stopword-profile language ID (en/de/fr/es) + CJK-char detector
+    (zh).  Vectorized: one regex count per language per batch; argmax
+    with deterministic alphabetical tie-break."""
+    s = batch[text_col].str.lower()
+    counts = pd.DataFrame(index=batch.index)
+    ntok = s.str.count(TOKEN_RE).clip(lower=1)
+    for lang in sorted(STOPWORDS):
+        counts[lang] = s.str.count(STOPWORDS[lang]) / ntok
+    cjk = batch[text_col].str.count(CJK_RE) / batch[text_col].str.len().clip(lower=1)
+    out = batch.copy()
+    best = counts.idxmax(axis=1)  # ties → first alphabetically (stable)
+    best_score = counts.max(axis=1)
+    pred = np.where(cjk > 0.05, "zh", np.where(best_score > 0.0, best, "unknown"))
+    out["pred_lang"] = pred
+    return out
+
+
+_FP_WINDOW = 8
+
+
+def _doc_fingerprint(text: str) -> int:
+    """Deterministic 64-bit document fingerprint: min of crc32-hashed
+    rolling byte windows (winnowing-style rolling hash)."""
+    data = text.encode("utf-8")
+    if len(data) < _FP_WINDOW:
+        return zlib.crc32(data)
+    best = 0xFFFFFFFF
+    for i in range(len(data) - _FP_WINDOW + 1):
+        h = zlib.crc32(data[i : i + _FP_WINDOW])
+        if h < best:
+            best = h
+    return best
+
+
+def fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    out = batch.copy()
+    out["fingerprint"] = [ _doc_fingerprint(t) for t in batch[text_col] ]
+    out["fingerprint"] = out["fingerprint"].astype("int64")
+    return out
+
+
+# ---- shingling / hashing shared by the dedup family -----------------------
+
+
+def char_shingles(text: str, n: int = 5) -> np.ndarray:
+    """crc32 hashes of lowercase char n-grams (deterministic across
+    processes — no PYTHONHASHSEED dependence)."""
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(t) < n:
+        t = t + " " * (n - len(t))
+    data = t.encode("utf-8")
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(data[i : i + n]) for i in range(max(1, len(data) - n + 1))),
+            dtype=np.uint64,
+        )
+    )
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    toks = re.findall(TOKEN_RE, text.lower())
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    return np.unique(
+        np.fromiter(
+            (
+                zlib.crc32(" ".join(toks[i : i + n]).encode())
+                for i in range(max(1, len(toks) - n + 1))
+            ),
+            dtype=np.uint64,
+        )
+    )
+
+
+def word_shingles_weighted(text: str, n: int = 2) -> np.ndarray:
+    """Like :func:`word_shingles` but WITH multiplicity (no unique) —
+    the frequency-weighted variant SimHash needs on small-vocabulary
+    corpora."""
+    toks = re.findall(TOKEN_RE, text.lower())
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    return np.fromiter(
+        (
+            zlib.crc32(" ".join(toks[i : i + n]).encode())
+            for i in range(max(1, len(toks) - n + 1))
+        ),
+        dtype=np.uint64,
+    )

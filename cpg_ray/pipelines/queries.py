@@ -1,0 +1,678 @@
+"""The query layer: one callable per operator family from SURVEY.md §2,
+each over the driver's testdata tables (sf_dir) and — where
+SQL-expressible — paired with a DuckDB oracle in ORACLE_SQL.
+
+Conventions (driver contract):
+- every callable takes ``sf_dir`` and returns a pandas DataFrame;
+- computed/aggregate column names match the oracle SQL exactly
+  (the driver sorts columns by name and hashes values);
+- float aggregates are rounded identically on both sides;
+- deterministic tie-breaks everywhere a LIMIT / top-k could tie
+  (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..functions.relational import (
+    broadcast_join,
+    groupby_agg,
+    grouped_topk,
+    hash_join,
+    read_table,
+    semi_anti_filter,
+    topk,
+)
+
+
+def hround(x, d: int = 2):
+    """Half-away rounding as the explicit IEEE expression
+    ``floor(x*10^d + 0.5)/10^d`` — the oracle SQL uses the same literal
+    formula, so both engines run identical double ops on identical
+    inputs.  (pandas .round is half-even, DuckDB round() is half-away;
+    the testdata contains exact midpoints like 60802.925 where they
+    disagree.)  Positive inputs only."""
+    f = 10.0 ** d
+    return np.floor(np.asarray(x, dtype=np.float64) * f + 0.5) / f
+
+
+def _pq(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
+    """Driver-side read of a SMALL table (dimension side of broadcast
+    joins)."""
+    return pq.read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5 analog): pre-combined groupby
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filter + wide grouped aggregate with pre-combine."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.l_shipdate <= pd.Timestamp("2000-01-01")]
+        b = b.assign(
+            disc_price=b.l_extendedprice * (1 - b.l_discount),
+            charge=b.l_extendedprice * (1 - b.l_discount) * (1 + b.l_tax),
+        )
+        return b
+
+    agg = groupby_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("charge", "sum", "sum_charge"),
+            ("l_quantity", "mean", "avg_qty"),
+            ("l_extendedprice", "mean", "avg_price"),
+            ("l_discount", "mean", "avg_disc"),
+            ("l_quantity", "count", "count_order"),
+        ],
+    )
+    df = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+              "avg_qty", "avg_price", "avg_disc"]:
+        df[c] = df[c].round(2)
+    return df.reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: tight filter + single global aggregate."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b.l_shipdate >= pd.Timestamp("1996-01-01"))
+            & (b.l_shipdate < pd.Timestamp("1997-01-01"))
+            & (b.l_discount >= 0.05)
+            & (b.l_discount <= 0.07)
+            & (b.l_quantity < 24)
+        )
+        b = b[m]
+        return pd.DataFrame({"rev": b.l_extendedprice * b.l_discount, "one": 1})
+
+    part = ds.map_batches(prep, batch_format="pandas")
+    total = part.sum("rev")
+    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (streaming analog, SURVEY.md §2.11):
+    window key = hour bucket column; order is data, not stream order."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(hour=b.ts.dt.floor("h"))
+
+    agg = groupby_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "hour"],
+        [("value", "sum", "sum_value"), ("value", "count", "n_events")],
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    return df.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_top_users(sf_dir: str) -> pd.DataFrame:
+    """Grouped sum + global top-k with explicit tie-break (O2/O3)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+    agg = groupby_agg(ds, ["user_id"], [("value", "sum", "total_value"),
+                                        ("value", "count", "n_events")])
+    df = topk(agg, ["total_value", "user_id"], 20,
+              descending=[True, False]).to_pandas()
+    df["total_value"] = df["total_value"].round(4)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J11 analog)
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-join chain (small sides broadcast once) + grouped sum +
+    top-k."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]]
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders[orders.o_orderdate < pd.Timestamp("1998-01-01")]
+    side = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(rev=b.l_extendedprice * (1 - b.l_discount))[
+            ["l_orderkey", "rev"]
+        ]
+
+    joined = broadcast_join(
+        li.map_batches(rev, batch_format="pandas"),
+        side, left_on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = groupby_agg(joined, ["o_orderkey", "o_orderdate"],
+                      [("rev", "sum", "revenue")])
+    df = topk(agg, ["revenue", "o_orderkey"], 10,
+              descending=[True, False]).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """Star-join via one prebuilt broadcast dimension (region⋈nation⋈
+    customer⋈orders driver-side smalls) against the big fact table."""
+    region = _pq(sf_dir, "region")
+    nation = _pq(sf_dir, "nation")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    dim = (
+        region[region.r_name == "ASIA"]
+        .merge(nation, left_on="r_regionkey", right_on="n_regionkey")
+        .merge(cust, left_on="n_nationkey", right_on="c_nationkey")
+        .merge(orders, left_on="c_custkey", right_on="o_custkey")
+    )[["o_orderkey", "n_name"]]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(rev=b.l_extendedprice * (1 - b.l_discount))[
+            ["l_orderkey", "rev"]
+        ]
+
+    joined = broadcast_join(
+        li.map_batches(rev, batch_format="pandas"),
+        dim, left_on="l_orderkey", right_on="o_orderkey",
+    )
+    df = groupby_agg(joined, ["n_name"], [("rev", "sum", "revenue")]).to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("revenue", ascending=False).reset_index(drop=True)
+
+
+def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Big×big hash-partitioned shuffle join (Dataset.join)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       num_partitions=8)
+    agg = groupby_agg(joined, ["c_mktsegment"],
+                      [("o_totalprice", "sum", "total_revenue"),
+                       ("o_totalprice", "count", "n_orders")])
+    df = agg.to_pandas()
+    df["total_revenue"] = df["total_revenue"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set (D4 analog): customers with no
+    order after 2000-01-01."""
+    o = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    have = set(o[o.o_orderdate >= pd.Timestamp("2000-01-01")].o_custkey.unique())
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    df = semi_anti_filter(cust, "c_custkey", have, anti=True).to_pandas()
+    if df.empty:  # empty Datasets lose their schema on to_pandas
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype="object")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_suppliers_with_shipments(sf_dir: str) -> pd.DataFrame:
+    """Semi join: suppliers appearing in lineitem."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+    have = set(li.unique("l_suppkey"))
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    df = semi_anti_filter(sup, "s_suppkey", have).to_pandas()
+    return df.sort_values("s_suppkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Filters / sorts / limits / scalar functions (M*, F*, O*)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_topk_orders(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_totalprice", "o_orderdate"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b.o_orderstatus == "O") & (b.o_totalprice > 100000)]
+
+    df = topk(ds.map_batches(f, batch_format="pandas"),
+              ["o_totalprice", "o_orderkey"], 15,
+              descending=[True, False]).to_pandas()
+    df["o_totalprice"] = hround(df["o_totalprice"], 2)
+    return df[["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]]
+
+
+def q_lineitem_expressions(sf_dir: str) -> pd.DataFrame:
+    """Scalar-function family (F1-F5 analog): arithmetic, conditional,
+    string concat — vectorized per batch."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax",
+                             "l_returnflag", "l_linestatus"])
+
+    def fx(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b.l_orderkey,
+                "l_linenumber": b.l_linenumber,
+                "charge": hround(
+                    b.l_extendedprice * (1 - b.l_discount) * (1 + b.l_tax), 2
+                ),
+                "qty_class": np.where(b.l_quantity > 25, "H", "L"),
+                "rl": b.l_returnflag + b.l_linestatus,
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pandas").to_pandas()
+
+
+def q_grouped_topk_parts(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "part",
+                    columns=["p_brand", "p_partkey", "p_name", "p_retailprice"])
+    df = grouped_topk(ds, ["p_brand"], "p_retailprice", 3,
+                      descending=True, tie_break="p_partkey").to_pandas()
+    df["p_retailprice"] = hround(df["p_retailprice"], 2)
+    return df.sort_values(["p_brand", "p_retailprice", "p_partkey"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+def q_dedup_groups(sf_dir: str) -> pd.DataFrame:
+    """Exact keep-first dedup shape (D1/A3): min doc per (lang, source)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    agg = groupby_agg(ds, ["lang", "source"],
+                      [("doc_id", "min", "doc_id"),
+                       ("doc_id", "count", "n_copies")])
+    return agg.to_pandas().sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import token_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    stats = ds.map_batches(token_stats, batch_format="pandas")
+    agg = groupby_agg(stats, ["lang"],
+                      [("token_count", "sum", "total_tokens"),
+                       ("char_count", "mean", "avg_chars"),
+                       ("doc_id", "count", "n_docs")])
+    df = agg.to_pandas()
+    df["avg_chars"] = df["avg_chars"].round(2)
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import quality_score, token_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(token_stats, batch_format="pandas")
+        .map_batches(quality_score, batch_format="pandas")
+    )
+    df = out.to_pandas()[["doc_id", "token_count", "punct_ratio", "upper_ratio"]]
+    df["punct_ratio"] = hround(df["punct_ratio"], 4)
+    df["upper_ratio"] = hround(df["upper_ratio"], 4)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_langid(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic (rows-only check: no SQL equivalent)."""
+    from ..functions.text import langid
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    df = ds.map_batches(langid, batch_format="pandas").to_pandas()
+    return df[["doc_id", "lang", "pred_lang"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprints (rows-only)."""
+    from ..functions.text import fingerprint
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ds.map_batches(fingerprint, batch_format="pandas").to_pandas()
+    return df[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (rows-only: deterministic dup injection + near-dedup)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dupes(sf_dir: str):
+    """documents ∪ near-copies of every 10th doc (deterministic)."""
+    import ray.data as rd
+
+    base = _pq(sf_dir, "documents", ["doc_id", "text"])
+    dup = base[base.doc_id % 10 == 0].copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000_000
+    dup["text"] = dup["text"] + " tail"
+    return rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import near_dedup_minhash
+
+    survivors, pairs, cmap = near_dedup_minhash(
+        _docs_with_dupes(sf_dir), id_col="doc_id", text_col="text",
+        verify_threshold=0.5,
+    )
+    df = survivors.to_pandas()[["doc_id"]].sort_values("doc_id")
+    return df.reset_index(drop=True)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import simhash_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_docs_with_dupes(sf_dir), id_col="doc_id")
+    pairs = simhash_pairs(sigs.materialize(), id_col="doc_id", max_hamming=3)
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup over the embeddings table plus
+    deterministic injected near-copies (every 20th vector, tiny
+    perturbation) so the operator has true positives to find."""
+    import ray.data as rd
+
+    from ..functions.dedup import embedding_near_dup_pairs
+
+    base = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dup = base[base.vec_id % 20 == 0].copy()
+    dup["embedding"] = dup.apply(
+        lambda r: (np.asarray(r.embedding, dtype=np.float32)
+                   + np.float32(1e-3) * np.float32(1 + r.vec_id % 3)).tolist(),
+        axis=1,
+    )
+    dup["vec_id"] = dup["vec_id"] + 10_000_000
+    corpus = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.98)
+    if "cosine" not in pairs.columns:
+        pairs = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+    pairs["cosine"] = pairs["cosine"].round(4)
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
+    """Exact brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from ..functions.similarity import knn_bruteforce
+
+    q = _pq(sf_dir, "embeddings").query("vec_id == 0").embedding.iloc[0]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_bruteforce(ds, np.asarray([list(q)]), k=10)
+    df = df[["vec_id", "cosine", "rank"]]
+    df["cosine"] = df["cosine"].round(4)
+    df["rank"] = df["rank"].astype("int64") + 1
+    return df.reset_index(drop=True)
+
+
+def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate (LSH-bucketed) top-10 — rows-only; tests measure
+    recall vs brute force."""
+    from ..functions.similarity import knn_lsh
+
+    emb = _pq(sf_dir, "embeddings")
+    q = np.stack(emb[emb.vec_id.isin([0, 1, 2])].sort_values("vec_id").embedding)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df, _n = knn_lsh(ds, q, k=10)
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (window analog over the events log)
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per user via groupby().map_groups
+    over ts-sorted groups (guide 'streaming-shaped workloads' pattern)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gap = g.ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g.user_id.iloc[0]],
+             "n_sessions": [int(gap.sum()) + 1],
+             "n_events": [len(g)]}
+        )
+
+    df = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only; codec stubbed)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.multimodal import decode_features, synthesize_media
+
+    media = rd.from_arrow(synthesize_media(200))
+    df = decode_features(media).to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB, same parquet views)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                 AS sum_qty,
+               round(sum(l_extendedprice), 2)                            AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2)                                 AS avg_qty,
+               round(avg(l_extendedprice), 2)                            AS avg_price,
+               round(avg(l_discount), 2)                                 AS avg_disc,
+               count(*)                                                  AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q_events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               round(sum(value), 4) AS sum_value,
+               count(*)             AS n_events
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY event_type, hour
+    """,
+    "q_top_users": """
+        SELECT user_id, round(sum(value), 4) AS total_value,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY sum(value) DESC, user_id
+        LIMIT 20
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+    "q_segment_revenue": """
+        SELECT c_mktsegment,
+               round(sum(o_totalprice), 2) AS total_revenue,
+               count(*)                    AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q_customers_without_orders": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        ORDER BY c_custkey
+    """,
+    "q_suppliers_with_shipments": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    "q_filter_topk_orders": """
+        SELECT o_orderkey, o_custkey,
+               floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 15
+    """,
+    "q_lineitem_expressions": """
+        SELECT l_orderkey, l_linenumber,
+               floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                     + 0.5) / 100 AS charge,
+               CASE WHEN l_quantity > 25 THEN 'H' ELSE 'L' END AS qty_class,
+               l_returnflag || l_linestatus AS rl
+        FROM lineitem
+    """,
+    "q_grouped_topk_parts": """
+        SELECT p_brand, p_partkey, p_name,
+               floor(p_retailprice * 100 + 0.5) / 100 AS p_retailprice
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey
+            ) AS rn
+            FROM part
+        )
+        WHERE rn <= 3
+        ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """,
+    "q_dedup_groups": """
+        SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    "q_doc_token_stats": """
+        SELECT lang,
+               sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS total_tokens,
+               round(avg(length(text)), 2)                         AS avg_chars,
+               count(*)                                            AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "q_doc_quality": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token_count,
+               floor(len(regexp_extract_all(text, '[.,;:!?]'))
+                     / greatest(length(text), 1) * 10000 + 0.5) / 10000
+                                                              AS punct_ratio,
+               floor(len(regexp_extract_all(text, '[A-Z]'))
+                     / greatest(length(text), 1) * 10000 + 0.5) / 10000
+                                                              AS upper_ratio
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "q_events_sessions": """
+        SELECT user_id,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+               count(*)                            AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q_knn_cosine": """
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                   embedding::DOUBLE[],
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+               ), 4) AS cosine,
+               row_number() OVER (
+                   ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+                   ) DESC, vec_id
+               ) AS rank
+        FROM embeddings
+        ORDER BY rank
+        LIMIT 10
+    """,
+}
