@@ -1,0 +1,187 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline flagship KG pipeline (pages → extract → link
+→ canonicalize) over a cached sf-scaled synthetic pages corpus plus the
+relational query suite over $GRAFT_SF_DIR, and print ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: run the identical headline job in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
+N vs 4N cluster nodes) and report both throughputs + scaling
+efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages corpus matched to the sf dir (FIXTURES.md F5: ~100k pages at sf0.1)
+_PAGES_BY_SF = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_segment_revenue",
+    "q_events_hourly",
+    "q_top_users",
+    "q_lineitem_expressions",
+    "q_grouped_topk_parts",
+    "q_doc_token_stats",
+    "q_knn_cosine",
+    "q_dedup_minhash",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _pages_path() -> tuple[str, int, object]:
+    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+
+    base = os.path.basename(os.path.normpath(SF_DIR))
+    n = _PAGES_BY_SF.get(base, 10000)
+    scale = max(1, n // 2000)
+    cfg = cfg_for_variant("mixed", scale=scale)
+    path = materialize_pages(
+        f"/tmp/cpg_ray_pages/mixed_{n}_{cfg.seed}", n, cfg, "mixed"
+    )
+    return path, n, cfg
+
+
+def run_headline() -> dict:
+    """Flagship pipeline wall time (pages parquet already cached; one
+    untimed warm read first so we measure compute + shuffle, not cold
+    page-cache disk)."""
+    import ray.data as rd
+
+    from cpg_ray.pipelines.flagship import triples_dataset
+
+    path, n_pages, cfg = _pages_path()
+    rd.read_parquet(path).count()  # warm OS page cache (untimed)
+
+    t0 = time.monotonic()
+    pages = rd.read_parquet(path)
+    # fixed-size extract pool with headroom for the read + link tasks
+    triples, _ents = triples_dataset(
+        pages, cfg, extract_concurrency=max(1, NUM_CPUS - 4),
+    )
+    n_triples = triples.count()
+    sec = time.monotonic() - t0
+    return {
+        "sec": sec,
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "pages_per_sec": n_pages / sec,
+        "triples_per_sec": n_triples / sec,
+    }
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+
+    head = run_headline()
+    queries = run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_e2e_sec",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(SF_DIR),
+                "num_cpus": NUM_CPUS,
+                "n_pages": head["n_pages"],
+                "n_triples": head["n_triples"],
+                "pages_per_sec": round(head["pages_per_sec"], 1),
+                "triples_per_sec": round(head["triples_per_sec"], 1),
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Two fresh processes, same input, num_cpus=8 then 32; efficiency =
+    (t8/t32)/(32/8).  First run also warms the pages cache on disk."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "pages_per_sec_8": r_lo["pages_per_sec"],
+                "pages_per_sec_32": r_hi["pages_per_sec"],
+                "triples_per_sec_8": r_lo["triples_per_sec"],
+                "triples_per_sec_32": r_hi["triples_per_sec"],
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

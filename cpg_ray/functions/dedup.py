@@ -39,9 +39,16 @@ def _text_md5(batch: pd.DataFrame, text_col: str) -> pd.Series:
     )
 
 
-def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per identical text. Returns a Dataset with
-    the surviving rows plus an ``n_copies`` column."""
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                mode: str = "driver"):
+    """Keep the min-id row per identical text (D1 analog: hash-partition
+    + deterministic per-group first).  Returns a Dataset with the
+    surviving rows plus an ``n_copies`` column.
+
+    Default path: per-batch combiner (keep-min + local count per hash)
+    then a driver merge over one-candidate-per-(hash, batch) rows —
+    memory O(distinct texts).  mode="shuffle": hash groupby +
+    map_groups, for corpora whose distinct-set exceeds the driver."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -50,13 +57,29 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        first = g.head(1).copy()
-        first["n_copies"] = len(g)
-        return first.drop(columns="__h")
+    if mode == "shuffle":
+        def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(id_col, kind="mergesort")
+            first = g.head(1).copy()
+            first["n_copies"] = len(g)
+            return first.drop(columns="__h")
 
-    return hashed.groupby("__h").map_groups(keep_min, batch_format="pandas")
+        return hashed.groupby("__h").map_groups(keep_min, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(id_col, kind="mergesort")
+        counts = b.groupby("__h", sort=False).size().rename("n_copies")
+        first = b.drop_duplicates("__h", keep="first")
+        return first.merge(counts, left_on="__h", right_index=True)
+
+    import ray.data as rd
+
+    cand = hashed.map_batches(combine, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(id_col, kind="mergesort")
+    total = cand.groupby("__h", sort=False)["n_copies"].sum()
+    fin = cand.drop_duplicates("__h", keep="first").drop(columns="n_copies")
+    fin = fin.merge(total, left_on="__h", right_index=True).drop(columns="__h")
+    return rd.from_pandas(fin.reset_index(drop=True))
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -121,18 +144,22 @@ def minhash_lsh_pairs(
 
     banded = sig_ds.map_batches(band_rows, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        members = sorted(g[id_col].unique())
+    # group per BAND (a handful of groups), pandas-groupby the buckets
+    # inside — thousands of tiny per-bucket map_groups calls are the
+    # slow path in Ray Data (one Python/pandas round-trip per group)
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         pa_, pb_ = [], []
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                pa_.append(members[x])
-                pb_.append(members[y])
+        for _bh, sub in g.groupby("bh", sort=False):
+            members = sorted(sub[id_col].unique())
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    pa_.append(members[x])
+                    pb_.append(members[y])
         return pd.DataFrame({"a": pa_, "b": pb_})
 
     pairs = (
-        banded.groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -238,25 +265,44 @@ def simhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
     """Candidate pairs sharing any 16-bit band, verified by Hamming
     distance on the full signature."""
-    frames = []
-    for bnd in range(4):
-        def bucket_pairs(g: pd.DataFrame, _b=bnd) -> pd.DataFrame:
-            m = g.sort_values(id_col).drop_duplicates(id_col)
+    # reshape to (band_id, bucket_value) rows, then ONE groupby over the
+    # 4 band_ids with pandas bucketing inside (avoids per-bucket
+    # map_groups overhead — same rationale as minhash_lsh_pairs)
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bnd in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: batch[id_col].values,
+                        "simhash": batch["simhash"].values,
+                        "band_id": bnd,
+                        "bv": batch[f"band{bnd}"].values,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sig_ds.map_batches(explode, batch_format="pandas")
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ra, rb, ha_, hb_ = [], [], [], []
+        for _bv, sub in g.groupby("bv", sort=False):
+            m = sub.sort_values(id_col).drop_duplicates(id_col)
             ids = m[id_col].tolist()
             hs = m["simhash"].tolist()
-            ra, rb, ha_, hb_ = [], [], [], []
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
                     ra.append(ids[x]); rb.append(ids[y])
                     ha_.append(hs[x]); hb_.append(hs[y])
-            return pd.DataFrame({"a": ra, "b": rb, "ha": ha_, "hb": hb_})
+        return pd.DataFrame({"a": ra, "b": rb, "ha": ha_, "hb": hb_})
 
-        frames.append(
-            sig_ds.groupby(f"band{bnd}")
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas()
-        )
-    pairs = pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+    pairs = (
+        exploded.groupby("band_id")
+        .map_groups(band_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
     if pairs.empty:
         return pd.DataFrame(columns=["a", "b", "hamming"])
     x = pairs["ha"].values.astype(np.uint64) ^ pairs["hb"].values.astype(np.uint64)

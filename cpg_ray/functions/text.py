@@ -118,32 +118,45 @@ def char_shingles(text: str, n: int = 5) -> np.ndarray:
     )
 
 
-def word_shingles(text: str, n: int = 3) -> np.ndarray:
+# Per-process token-hash memo: crc32 once per distinct token, n-gram
+# hashes combined with a vectorized polynomial roll (one crc32 call per
+# SHINGLE was the dominant minhash cost; the memo is bounded by corpus
+# vocabulary and cleared if it grows absurd).
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+_POLY = np.uint64(1_000_003)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    memo = _TOKEN_HASH_MEMO
+    if len(memo) > 2_000_000:
+        memo.clear()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = memo.get(t)
+        if h is None:
+            h = memo[t] = zlib.crc32(t.encode("utf-8"))
+        out[i] = h
+    return out
+
+
+def _ngram_hashes(text: str, n: int) -> np.ndarray:
     toks = re.findall(TOKEN_RE, text.lower())
     if len(toks) < n:
         toks = toks + [""] * (n - len(toks))
-    return np.unique(
-        np.fromiter(
-            (
-                zlib.crc32(" ".join(toks[i : i + n]).encode())
-                for i in range(max(1, len(toks) - n + 1))
-            ),
-            dtype=np.uint64,
-        )
-    )
+    h = _token_hashes(toks)
+    m = len(h) - n + 1
+    v = h[:m].copy()
+    for k in range(1, n):
+        v = v * _POLY + h[k : m + k]  # uint64 wrap is fine for hashing
+    return v
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    return np.unique(_ngram_hashes(text, n))
 
 
 def word_shingles_weighted(text: str, n: int = 2) -> np.ndarray:
     """Like :func:`word_shingles` but WITH multiplicity (no unique) —
     the frequency-weighted variant SimHash needs on small-vocabulary
     corpora."""
-    toks = re.findall(TOKEN_RE, text.lower())
-    if len(toks) < n:
-        toks = toks + [""] * (n - len(toks))
-    return np.fromiter(
-        (
-            zlib.crc32(" ".join(toks[i : i + n]).encode())
-            for i in range(max(1, len(toks) - n + 1))
-        ),
-        dtype=np.uint64,
-    )
+    return _ngram_hashes(text, n)

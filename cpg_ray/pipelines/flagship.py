@@ -31,7 +31,6 @@ from ..stages.canonicalize import (
     entities_table,
 )
 from ..stages.extract import ExtractGraph, ExtractTriples
-from ..stages.link import AddCanonical, LinkTriples
 from ..stages.materialize import (
     read_lineage,
     shard_done,
@@ -52,43 +51,48 @@ def triples_dataset(
     cfg: WorldCfg,
     *,
     extract_concurrency=(1, 8),
-    link_concurrency=(1, 4),
+    link_concurrency=None,  # kept for API compat; link runs as tasks now
     extract_batch_size: int = 256,
 ):
     """pages Dataset → canonicalized TRIPLES Dataset (+ entities table).
 
+    Stage shapes: extract = actor pool (holds the gazetteer index);
+    link + canonical rewrite = stateless tasks with per-process
+    broadcast caches (they fill whatever cores extract leaves free —
+    two fixed actor pools in one pipeline can reserve every CPU and
+    starve the read stage into a deadlock).
+
     Returns ``(triples_ds, entities_tbl)``.  The linked intermediate is
     materialized once (triples are orders of magnitude smaller than
-    pages) so the vocab groupby and the canonical rewrite don't re-run
+    pages) so the vocab scan and the canonical rewrite don't re-run
     extraction; the on-disk path in :func:`run_flagship` achieves the
     same with a Parquet intermediate instead.
     """
     world = _cached_world(cfg)
-    dict_ref = _put(world.alias_rows())
+    alias_rows = world.alias_rows()
+    # both indexes built ONCE here and broadcast (per-actor rebuild of a
+    # 50k-alias index was the dominant flagship cost — see stages docstrings)
+    from ..stages.extract import build_detector_index
+    from ..stages.link import build_norm_index, make_canonical_fn, make_link_fn
+
+    det_ref = _put(build_detector_index([r["alias"] for r in alias_rows]))
+    norm_ref = _put(build_norm_index(alias_rows))
 
     raw = pages_ds.map_batches(
         ExtractTriples,
-        fn_constructor_kwargs={"dict_ref": dict_ref},
+        fn_constructor_kwargs={"index_ref": det_ref},
         batch_size=extract_batch_size,
         batch_format="pyarrow",
         concurrency=extract_concurrency,
     )
     linked = raw.map_batches(
-        LinkTriples,
-        fn_constructor_kwargs={"dict_ref": dict_ref},
-        batch_size=8192,
-        batch_format="pyarrow",
-        concurrency=link_concurrency,
+        make_link_fn(norm_ref), batch_size=8192, batch_format="pyarrow"
     ).materialize()
 
     vocab = collect_entity_vocab(linked)
     cmap = build_canonical_map(vocab, world.equivalences)
     triples = linked.map_batches(
-        AddCanonical,
-        fn_constructor_kwargs={"cmap_ref": _put(cmap)},
-        batch_size=16384,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        make_canonical_fn(_put(cmap)), batch_size=16384, batch_format="pyarrow"
     )
     ents = entities_table(vocab, cmap, world.alias_rows())
     return triples, ents
@@ -107,8 +111,13 @@ def run_flagship(
 
     import ray.data as rd
 
+    from ..stages.extract import build_detector_index
+    from ..stages.link import build_norm_index, make_canonical_fn, make_link_fn
+
     world = _cached_world(cfg)
-    dict_ref = _put(world.alias_rows())
+    alias_rows = world.alias_rows()
+    det_ref = _put(build_detector_index([r["alias"] for r in alias_rows]))
+    norm_ref = _put(build_norm_index(alias_rows))
     files = glob.glob(os.path.join(pages_path, "*.parquet"))
     shards = shard_input_files(files, n_shards)
     lineage: list[dict] = []
@@ -124,7 +133,7 @@ def run_flagship(
         pages = rd.read_parquet(shard_files)
         graph = pages.map_batches(
             ExtractGraph,
-            fn_constructor_kwargs={"dict_ref": dict_ref},
+            fn_constructor_kwargs={"index_ref": det_ref},
             batch_size=256,
             batch_format="pyarrow",
             concurrency=(1, 8),
@@ -150,20 +159,13 @@ def run_flagship(
                      "pred", "obj_surface", "obj_norm"],
         )
         linked = raw.map_batches(
-            LinkTriples,
-            fn_constructor_kwargs={"dict_ref": dict_ref},
-            batch_size=8192,
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            make_link_fn(norm_ref), batch_size=8192, batch_format="pyarrow"
         ).materialize()
         vocab = collect_entity_vocab(linked)
         cmap = build_canonical_map(vocab, world.equivalences)
         triples = linked.map_batches(
-            AddCanonical,
-            fn_constructor_kwargs={"cmap_ref": _put(cmap)},
-            batch_size=16384,
+            make_canonical_fn(_put(cmap)), batch_size=16384,
             batch_format="pyarrow",
-            concurrency=(1, 4),
         ).sort(["canonical_subj", "pred", "canonical_obj"])  # O1 analog
         lineage.append(
             write_shard(

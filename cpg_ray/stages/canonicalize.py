@@ -35,47 +35,98 @@ SALT_K = 16
 
 
 def _vocab_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: distinct entity_id + mention count.
+    """Per-batch combiner: distinct entity_id + mention count, fully
+    vectorized (pyarrow value_counts — no Python row loop).
     (``is_inferred`` is derivable from the ``inf:`` id prefix.)"""
-    counts: dict[str, int] = {}
-    for id_col in ("subj", "obj"):
-        for eid in batch[id_col].to_pylist():
-            counts[eid] = counts.get(eid, 0) + 1
-    ids = sorted(counts)
+    import pyarrow.compute as pc
+
+    both = pa.concat_arrays(
+        [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+    )
+    vc = pc.value_counts(both)
+    ids = vc.field("values")
+    counts = vc.field("counts")
+    n = len(ids)
     return pa.table(
         {
             "entity_id": ids,
-            "n_mentions": [counts[e] for e in ids],
+            "n_mentions": pc.cast(counts, pa.int64()),
             # salt from enumeration position — independent of the key,
             # so a hot entity's partials spread across SALT_K groups
-            "salt": [i % SALT_K for i in range(len(ids))],
+            "salt": pa.array([i % SALT_K for i in range(n)], pa.int32()),
         }
     )
 
 
-def collect_entity_vocab(linked_ds) -> "pa.Table":
+def collect_entity_vocab(linked_ds, *, mode: str = "driver") -> "pa.Table":
     """Distinct entities (+ mention counts) present in the linked
-    triples, via combiner → salted groupby → final groupby."""
-    from ray.data.aggregate import Sum
+    triples.
+
+    mode="driver" (default): combiner (per-batch distinct) → stream the
+    partials to the driver and merge incrementally in pandas.  The
+    combiner bounds each batch's contribution to O(distinct entities),
+    so driver memory is O(vocabulary), never O(triples) — and it skips
+    Ray's sort-based Aggregate barrier, which costs seconds even on
+    tiny inputs.
+
+    mode="shuffle": combiner → salted groupby (key-independent salt so
+    a Zipf-hot entity's partials spread across SALT_K reducers) → final
+    groupby.  The path for vocabularies too big for one driver.  Tests
+    assert both modes agree (incl. on the hot-entity skew fixture).
+    """
+    import pandas as pd
 
     partials = linked_ds.map_batches(_vocab_partial, batch_format="pyarrow")
-    phase1 = partials.groupby(["salt", "entity_id"]).aggregate(
-        Sum("n_mentions", alias_name="n_mentions")
-    )
-    phase2 = phase1.groupby("entity_id").aggregate(
-        Sum("n_mentions", alias_name="n_mentions")
-    )
-    # entity vocabulary is small by construction (dictionary + distinct
-    # inferred norms) — safe to materialize on the driver
-    batches = [b for b in phase2.iter_batches(batch_format="pyarrow") if b.num_rows]
-    if not batches:
-        return pa.table(
-            {
-                "entity_id": pa.array([], pa.string()),
-                "n_mentions": pa.array([], pa.int64()),
-            }
+    if mode == "shuffle":
+        from ray.data.aggregate import Sum
+
+        phase1 = partials.groupby(["salt", "entity_id"]).aggregate(
+            Sum("n_mentions", alias_name="n_mentions")
         )
-    return pa.concat_tables(batches).select(["entity_id", "n_mentions"])
+        phase2 = phase1.groupby("entity_id").aggregate(
+            Sum("n_mentions", alias_name="n_mentions")
+        )
+        batches = [
+            b for b in phase2.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        if not batches:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], pa.string()),
+                    "n_mentions": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(batches).select(["entity_id", "n_mentions"])
+
+    acc: "pd.DataFrame | None" = None
+    buf: list = []
+    buffered = 0
+
+    def flush(acc, buf):
+        frames = ([acc] if acc is not None else []) + buf
+        if not frames:
+            return pd.DataFrame({"entity_id": [], "n_mentions": []})
+        cat = pd.concat(frames, ignore_index=True)
+        return (
+            cat.groupby("entity_id", sort=False)["n_mentions"]
+            .sum()
+            .reset_index()
+        )
+
+    for b in partials.iter_batches(batch_format="pandas"):
+        buf.append(b[["entity_id", "n_mentions"]])
+        buffered += len(b)
+        if buffered >= 1_000_000:
+            acc = flush(acc, buf)
+            buf, buffered = [], 0
+    acc = flush(acc, buf)
+    acc = acc.sort_values("entity_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "entity_id": acc["entity_id"].astype(str).tolist(),
+            "n_mentions": acc["n_mentions"].astype("int64").tolist(),
+        }
+    )
 
 
 def build_canonical_map(

@@ -110,6 +110,19 @@ def extract_text(html: bytes) -> tuple[str, bool]:
     return "\n".join(t for _, t in blocks), is_problem
 
 
+def build_detector_index(aliases: list[str]) -> tuple[dict, int]:
+    """token-tuple → alias index + max n-gram length (driver-side,
+    broadcast-once)."""
+    index: dict[tuple[str, ...], str] = {}
+    max_n = 1
+    for alias in aliases:
+        toks = tuple(t.lower() for t in _TOKEN.findall(alias))
+        if toks:
+            index[toks] = alias
+            max_n = max(max_n, len(toks))
+    return index, max_n
+
+
 class Mention:
     __slots__ = ("start", "end", "surface", "norm", "inferred")
 
@@ -126,16 +139,19 @@ class MentionDetector:
     lookup (O(tokens × max_n) dict probes — NOT a giant regex
     alternation, which backtracks per alternative), plus a
     capitalized-run fallback for out-of-dictionary entities (the analog
-    of inference-on-miss, VariableUsageResolver.java:409-452)."""
+    of inference-on-miss, VariableUsageResolver.java:409-452).
 
-    def __init__(self, aliases: list[str]):
-        self.index: dict[tuple[str, ...], str] = {}
-        self.max_n = 1
-        for alias in aliases:
-            toks = tuple(t.lower() for t in _TOKEN.findall(alias))
-            if toks:
-                self.index[toks] = alias
-                self.max_n = max(self.max_n, len(toks))
+    For large gazetteers, build the index ONCE on the driver with
+    :func:`build_detector_index` and broadcast it — rebuilding a 50k+
+    alias index in every actor's ``__init__`` costs seconds × actors
+    (measured as the dominant flagship cost before this change)."""
+
+    def __init__(self, aliases: list[str] | None = None,
+                 prebuilt: tuple[dict, int] | None = None):
+        if prebuilt is not None:
+            self.index, self.max_n = prebuilt
+            return
+        self.index, self.max_n = build_detector_index(aliases or [])
 
     def detect(self, text: str) -> list[Mention]:
         toks = [(m.start(), m.end(), m.group()) for m in _TOKEN.finditer(text)]
@@ -208,7 +224,13 @@ class ExtractTriples:
     in-memory query path.  Pass to ``map_batches(ExtractTriples,
     fn_constructor_kwargs=dict(dict_ref=ref), concurrency=N)``."""
 
-    def __init__(self, dict_ref=None, aliases: list[str] | None = None):
+    def __init__(self, dict_ref=None, aliases: list[str] | None = None,
+                 index_ref=None):
+        if index_ref is not None:
+            import ray
+
+            self.detector = MentionDetector(prebuilt=ray.get(index_ref))
+            return
         if aliases is None:
             import ray
 
@@ -275,7 +297,13 @@ class ExtractGraph:
     """Full extract: pages batch → graph rows (nodes + AST/EOG/DFG/TRIPLE
     edges + raw triples + problem rows) under GRAPH_SCHEMA."""
 
-    def __init__(self, dict_ref=None, aliases: list[str] | None = None):
+    def __init__(self, dict_ref=None, aliases: list[str] | None = None,
+                 index_ref=None):
+        if index_ref is not None:
+            import ray
+
+            self.detector = MentionDetector(prebuilt=ray.get(index_ref))
+            return
         if aliases is None:
             import ray
 

@@ -52,9 +52,19 @@ def build_norm_index(alias_rows: list[dict]) -> dict[str, tuple[str, str, float]
 
 
 class LinkTriples:
-    """TRIPLES_RAW batch → linked batch (entity ids, inferred flags)."""
+    """TRIPLES_RAW batch → linked batch (entity ids, inferred flags).
 
-    def __init__(self, dict_ref=None, alias_rows: list[dict] | None = None):
+    Prefer ``index_ref`` (a norm index prebuilt once on the driver via
+    :func:`build_norm_index` + ``ray.put``): rebuilding the index per
+    actor costs ~1 s × actors on a 50k-alias dictionary."""
+
+    def __init__(self, dict_ref=None, alias_rows: list[dict] | None = None,
+                 index_ref=None):
+        if index_ref is not None:
+            import ray
+
+            self.index = ray.get(index_ref)
+            return
         if alias_rows is None:
             import ray
 
@@ -91,6 +101,66 @@ class LinkTriples:
             },
             schema=LINKED_SCHEMA,
         )
+
+
+def make_link_fn(index_ref):
+    """Stateless-task variant of LinkTriples: the norm index is fetched
+    at most once per worker process (bcast cache), so the stage runs as
+    elastic tasks instead of a CPU-reserving actor pool — it fills
+    whatever cores the extract pool leaves free."""
+
+    def link_batch(batch: pa.Table) -> pa.Table:
+        from ..functions.relational import bcast_get
+
+        index = bcast_get(index_ref)
+        subj, obj, s_inf, o_inf = [], [], [], []
+        for sn, on in zip(
+            batch["subj_norm"].to_pylist(), batch["obj_norm"].to_pylist()
+        ):
+            hit = index.get(sn)
+            if hit is None:
+                subj.append(f"inf:{sn}")
+                s_inf.append(True)
+            else:
+                subj.append(hit[0])
+                s_inf.append(False)
+            hit = index.get(on)
+            if hit is None:
+                obj.append(f"inf:{on}")
+                o_inf.append(True)
+            else:
+                obj.append(hit[0])
+                o_inf.append(False)
+        return pa.Table.from_pydict(
+            {
+                "subj": subj,
+                "pred": batch["pred"],
+                "obj": obj,
+                "url": batch["url"],
+                "span_start": batch["span_start"],
+                "subj_is_inferred": s_inf,
+                "obj_is_inferred": o_inf,
+            },
+            schema=LINKED_SCHEMA,
+        )
+
+    return link_batch
+
+
+def make_canonical_fn(cmap_ref):
+    """Stateless-task variant of AddCanonical (broadcast canonical map,
+    per-process cached)."""
+
+    def add_canonical(batch: pa.Table) -> pa.Table:
+        from ..functions.relational import bcast_get
+
+        g = bcast_get(cmap_ref).get
+        out = {name: batch[name] for name in batch.column_names}
+        out["canonical_subj"] = [g(e, e) for e in batch["subj"].to_pylist()]
+        out["canonical_obj"] = [g(e, e) for e in batch["obj"].to_pylist()]
+        return pa.Table.from_pydict(out, schema=TRIPLES)
+
+    return add_canonical
 
 
 class AddCanonical:
