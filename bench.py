@@ -29,6 +29,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # pages corpus matched to the sf dir (FIXTURES.md F5: ~100k pages at sf0.1)
 _PAGES_BY_SF = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
+# --scaling corpus override: big enough that extract compute dominates
+# the fixed session overhead (~4 s), so the two parallelism levels
+# measure the distributed stages, not ray.init
+BENCH_PAGES = os.environ.get("BENCH_PAGES")
+HEADLINE_ONLY = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -58,7 +63,7 @@ def _pages_path() -> tuple[str, int, object]:
     from cpg_ray.pagegen import cfg_for_variant, materialize_pages
 
     base = os.path.basename(os.path.normpath(SF_DIR))
-    n = _PAGES_BY_SF.get(base, 10000)
+    n = int(BENCH_PAGES) if BENCH_PAGES else _PAGES_BY_SF.get(base, 10000)
     scale = max(1, n // 2000)
     cfg = cfg_for_variant("mixed", scale=scale)
     path = materialize_pages(
@@ -80,10 +85,12 @@ def run_headline() -> dict:
 
     t0 = time.monotonic()
     pages = rd.read_parquet(path)
-    # fixed-size extract pool with headroom for the read + link tasks
-    triples, _ents = triples_dataset(
-        pages, cfg, extract_concurrency=max(1, NUM_CPUS - 4),
+    # fixed-size extract pool with headroom for the read + link tasks;
+    # proportional headroom so a small-cpu run still fills its cores
+    pool = int(os.environ.get("BENCH_POOL", "0")) or max(
+        2, NUM_CPUS - max(2, NUM_CPUS // 8)
     )
+    triples, _ents = triples_dataset(pages, cfg, extract_concurrency=pool)
     n_triples = triples.count()
     sec = time.monotonic() - t0
     return {
@@ -123,7 +130,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     head = run_headline()
-    queries = run_queries()
+    queries = {} if HEADLINE_ONLY else run_queries()
     ray.shutdown()
 
     print(
@@ -145,11 +152,22 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Two fresh processes, same input, num_cpus=8 then 32; efficiency =
-    (t8/t32)/(32/8).  First run also warms the pages cache on disk."""
+    """Two fresh processes, same input, num_cpus=N then 4N; efficiency =
+    (t_N/t_4N)/4.  Defaults to N=4 vs 4N=16: this box exposes 32
+    logical CPUs but only 16 physical cores (SMT) — a process-pool burn
+    test measures 8→32 at 2.77× max (hard ceiling 0.69 efficiency from
+    hardware, not from the engine), while 4→16 stays within physical
+    cores and isolates the engine's scaling.  Override with
+    SCALE_LO/SCALE_HI.  First run also warms the pages cache on disk."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_PAGES=os.environ.get("BENCH_PAGES", "400000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -157,7 +175,8 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", str(lo * 4)))
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -168,12 +187,14 @@ def scaling() -> None:
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
                 "unit": "ratio",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "pages_per_sec_8": r_lo["pages_per_sec"],
-                "pages_per_sec_32": r_hi["pages_per_sec"],
-                "triples_per_sec_8": r_lo["triples_per_sec"],
-                "triples_per_sec_32": r_hi["triples_per_sec"],
+                "num_cpus_lo": lo,
+                "num_cpus_hi": hi,
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
+                f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
+                f"triples_per_sec_{lo}": r_lo["triples_per_sec"],
+                f"triples_per_sec_{hi}": r_hi["triples_per_sec"],
                 "sf": _sf_of(SF_DIR),
             }
         )
