@@ -102,6 +102,86 @@ def _kg_extracted_text(sf_dir: str):
     )
 
 
+def _graph_tables(sf_dir: str):
+    """Materialized nodes/edges Datasets for the graph-query layer
+    (built once per sf via the resumable sharded pipeline, cached on
+    disk under /tmp)."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+    from cpg_ray.pipelines.flagship import run_flagship
+
+    n = _n_pages_for(sf_dir)
+    scale = max(1, n // 2000)
+    cfg = cfg_for_variant("mixed", scale=scale)
+    pages_path = materialize_pages(
+        f"/tmp/cpg_ray_pages/mixed_{n}_{cfg.seed}", n, cfg, "mixed"
+    )
+    out_dir = f"/tmp/cpg_ray_graph/mixed_{n}_{cfg.seed}"
+    run_flagship(pages_path, out_dir, cfg, n_shards=4, resume=True)
+    nodes = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
+        columns=["node_id", "label", "name", "norm_name", "url",
+                 "span_start", "span_end", "is_inferred"],
+    )
+    edges = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
+        columns=["src_id", "dst_id", "etype", "index", "name", "url"],
+    )
+    return nodes, edges
+
+
+def _kg_rel_chain(sf_dir: str):
+    """(Section)-[:AST]->(Mention) relationship chain — openCypher
+    chain analog (Graph.kt:121-167) via two hash joins."""
+    from cpg_ray.functions.graphquery import rel_chain
+
+    nodes, edges = _graph_tables(sf_dir)
+    df = rel_chain(
+        nodes, edges, etype="AST", src_label="Section", dst_label="Mention"
+    ).to_pandas()
+    return df.sort_values(["url", "src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _kg_label_filter(sf_dir: str):
+    """Label + property WHERE filter (M10/M11 analog): inferred
+    mentions, sorted."""
+    from cpg_ray.functions.graphquery import label_filter
+
+    nodes, _edges = _graph_tables(sf_dir)
+    m = label_filter(nodes, "Mention")
+    df = m.map_batches(
+        lambda b: b[b.is_inferred], batch_format="pandas"
+    ).to_pandas()
+    return df.sort_values(["url", "span_start"]).reset_index(drop=True)
+
+
+def _kg_dangling_edges(sf_dir: str):
+    """Graph consistency check (M12/D4 analog) — must return 0 rows."""
+    from cpg_ray.functions.graphquery import dangling_edges
+
+    nodes, edges = _graph_tables(sf_dir)
+    df = dangling_edges(nodes, edges).to_pandas()
+    if df.empty:
+        import pandas as pd
+
+        df = pd.DataFrame({"src_id": pd.Series(dtype="object"),
+                           "dst_id": pd.Series(dtype="object")})
+    return df
+
+
+def _kg_eog_chains(sf_dir: str):
+    """Per-document EOG walk (G6 followNextEOG analog): chain length +
+    index density per url."""
+    from cpg_ray.functions.graphquery import follow_eog
+
+    _nodes, edges = _graph_tables(sf_dir)
+    df = follow_eog(edges).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -159,10 +239,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dup": q.q_embedding_near_dup,
         "q_knn_lsh": q.q_knn_lsh,
         "q_multimodal_decode": q.q_multimodal_decode,
+        "q_events_sliding": q.q_events_sliding,
+        "q_events_asof": q.q_events_asof,
+        "q_sample_events": q.q_sample_events,
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
         "kg_graph_stats": _kg_graph_stats,
+        "kg_rel_chain": _kg_rel_chain,
+        "kg_label_filter": _kg_label_filter,
+        "kg_dangling_edges": _kg_dangling_edges,
+        "kg_eog_chains": _kg_eog_chains,
     }
     return out
 

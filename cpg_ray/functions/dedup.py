@@ -193,7 +193,9 @@ def clusters_from_pairs(pairs: pd.DataFrame) -> dict:
     bounded by near-dup density)."""
     uf = UnionFind()
     for a, b in zip(pairs["a"], pairs["b"]):
-        uf.union(str(a), str(b))
+        # native key types: stringified numeric ids would canonicalize
+        # by LEXICOGRAPHIC min ("1000150" < "150")
+        uf.union(a, b)
     return uf.canonical_map()
 
 
@@ -221,7 +223,7 @@ def near_dedup_minhash(
         from .relational import bcast_get
 
         d = bcast_get(ref)
-        return batch[~batch[id_col].astype(str).isin(d)]
+        return batch[~batch[id_col].isin(d)]
 
     return ds.map_batches(keep, batch_format="pandas"), pairs, cmap
 

@@ -1,0 +1,130 @@
+"""Query layer over the materialized graph tables (nodes/edges) — the
+Ray-Data analog of the reference's openCypher surface and traversal DSL.
+
+Reference analogs:
+- label filter = ``result.all<T>()`` / label-ancestry match
+  (graph/Extensions.kt:36-67, Graph.kt:387-398) → predicate pushdown on
+  the ``label`` column;
+- property WHERE = openCypher comparisons on reflective properties
+  (Graph.kt:245-286) → vectorized filters;
+- relationship chain ``(a:A)-[:REL]->(b:B)`` (Graph.kt:121-167) → two
+  hash joins edges⋈nodes;
+- followNextEOG DFS (EdgeCachePass.kt:79-100) → per-document traversal
+  over grouped edges (EOG never crosses documents, so the partition key
+  is ``url`` and the traversal is group-local);
+- dangling-edge check = the consumer-check pattern (M12,
+  cpg-console/analysis/*) + disconnectFromGraph anti-set (D4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import bcast_get, hash_join
+
+
+def label_filter(nodes_ds, label: str):
+    """nodes with a given label (pushdown-friendly vectorized filter)."""
+    return nodes_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], pa.scalar(label))),
+        batch_format="pyarrow",
+    )
+
+
+def prop_filter(nodes_ds, column: str, op: str, value):
+    """WHERE-clause comparison on a node property column."""
+    kernel = {"==": pc.equal, "<": pc.less, ">": pc.greater,
+              "<=": pc.less_equal, ">=": pc.greater_equal}[op]
+    return nodes_ds.map_batches(
+        lambda t: t.filter(kernel(t[column], pa.scalar(value))),
+        batch_format="pyarrow",
+    )
+
+
+def rel_chain(nodes_ds, edges_ds, *, etype: str, src_label: str,
+              dst_label: str, num_partitions: int = 8):
+    """(src:src_label)-[:etype]->(dst:dst_label) — edges filtered on
+    etype, then two hash joins against the label-filtered node sides.
+    Returns (src_id, src_name, dst_id, dst_name, url)."""
+    e = edges_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["etype"], pa.scalar(etype))).select(
+            ["src_id", "dst_id", "url"]
+        ),
+        batch_format="pyarrow",
+    )
+    src = label_filter(nodes_ds, src_label).map_batches(
+        lambda t: t.select(["node_id", "name"]).rename_columns(
+            ["src_id", "src_name"]
+        ),
+        batch_format="pyarrow",
+    )
+    dst = label_filter(nodes_ds, dst_label).map_batches(
+        lambda t: t.select(["node_id", "name"]).rename_columns(
+            ["dst_id", "dst_name"]
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(e, src, on="src_id", num_partitions=num_partitions)
+    j2 = hash_join(j1, dst, on="dst_id", num_partitions=num_partitions)
+    return j2
+
+
+def dangling_edges(nodes_ds, edges_ds):
+    """Edges whose src or dst id is missing from the node table — the
+    graph-consistency check; MUST be empty for a well-formed graph.
+    Broadcast anti-join (node-id set is the small side per corpus)."""
+    import ray
+
+    ids = set()
+    for b in nodes_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ids.update(b["node_id"].to_pylist())
+    ref = ray.put(frozenset(ids))
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        known = bcast_get(ref)
+        bad = ~(batch["src_id"].isin(known) & batch["dst_id"].isin(known))
+        return batch[bad]
+
+    return edges_ds.map_batches(check, batch_format="pandas")
+
+
+def follow_eog(edges_ds, *, max_hops: int = 10):
+    """Per-document EOG path lengths: for each url, walk the EOG chain
+    from its root (no incoming EOG edge) and report chain length +
+    whether indexes are dense (G6/§2.11 INDEX semantics).  EOG is
+    within-document by construction, so this is a grouped traversal —
+    no cross-partition walk."""
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.etype == "EOG"]
+        url = g.url.iloc[0] if len(g) else None
+        if not len(g):
+            return pd.DataFrame({"url": [], "chain_len": [], "dense_index": []})
+        nxt = dict(zip(g.src_id, g.dst_id))
+        roots = set(g.src_id) - set(g.dst_id)
+        chain = 0
+        for r in roots:
+            cur, hops = r, 0
+            while cur in nxt and hops < max_hops * 1000:
+                cur = nxt[cur]
+                hops += 1
+            chain = max(chain, hops)
+        idx = sorted(g["index"].dropna().astype(int).tolist())
+        dense = idx == list(range(len(idx)))
+        return pd.DataFrame(
+            {"url": [url], "chain_len": [chain], "dense_index": [dense]}
+        )
+
+    return edges_ds.groupby("url").map_groups(walk, batch_format="pandas")
+
+
+def degree_stats(edges_ds):
+    """Per-etype edge counts + distinct sources — A1 statistics analog."""
+    from .relational import groupby_agg
+
+    return groupby_agg(
+        edges_ds, ["etype"],
+        [("src_id", "count", "n_edges")],
+    )

@@ -103,6 +103,56 @@ def semi_anti_filter(ds, key_col: str, keys, *, anti: bool = False):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def asof_join(left, right, *, by: str, on: str, right_value_cols: list[str],
+              n_buckets: int = 16, direction: str = "backward"):
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` within the same ``by`` key (guide pattern:
+    sort within buckets + ``pd.merge_asof``).
+
+    Partitioning assumption: all rows of one ``by`` key land in the same
+    bucket (bucket = hash(by) % n_buckets), so the merge is complete
+    within each group; n_buckets bounds group size, not correctness."""
+
+    left_cols = left.schema().names
+    rvals = [f"{c}_asof" for c in right_value_cols]
+    # union needs one schema: pad each side with the other's columns
+    common = list(dict.fromkeys(left_cols + rvals))
+
+    def bucketize_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in rvals:
+            b[c] = pd.NA
+        b["__bucket"] = (b[by].astype("int64") % n_buckets).astype("int32")
+        b["__side"] = 0
+        return b[common + ["__bucket", "__side"]]
+
+    def bucketize_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[by, on]].copy()
+        for c, rc in zip(right_value_cols, rvals):
+            out[rc] = b[c].values
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__bucket"] = (out[by].astype("int64") % n_buckets).astype("int32")
+        out["__side"] = 1
+        return out[common + ["__bucket", "__side"]]
+
+    lt = left.map_batches(bucketize_left, batch_format="pandas")
+    rt = right.map_batches(bucketize_right, batch_format="pandas")
+    both = lt.union(rt)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g.__side == 0][left_cols]
+        rhs = g[g.__side == 1][[by, on] + rvals]
+        if lhs.empty:
+            return lhs.assign(**{c: pd.Series(dtype="object") for c in rvals})
+        lhs = lhs.sort_values(on, kind="mergesort")
+        rhs = rhs.sort_values(on, kind="mergesort")
+        return pd.merge_asof(lhs, rhs, on=on, by=by, direction=direction)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
 # ---- aggregation with pre-combine -----------------------------------------
 
 _PARTIALS = {

@@ -481,6 +481,81 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1-hour window per user: for each event, count of that
+    user's events in (ts-1h, ts].  Grouped pandas rolling inside
+    bucketed map_groups (guide 'streaming-shaped workloads'); oracle =
+    RANGE window frame."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b.user_id % 16).astype("int32")
+        return b
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _uid, sub in g.groupby("user_id", sort=False):
+            sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            cnt = (
+                sub.rolling("3600s", on="ts", closed="both")["event_id"]
+                .count()
+                .astype("int64")
+            )
+            out.append(
+                pd.DataFrame(
+                    {"event_id": sub.event_id, "user_id": sub.user_id,
+                     "n_1h": cnt}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    df = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(window, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each purchase event, the user's latest click at
+    or before it (pd.merge_asof within user-hash buckets)."""
+    from ..functions.relational import asof_join
+
+    purchases = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b.event_type == "purchase"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    clicks = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b.event_type == "click"][["user_id", "ts"]].assign(
+            click_ts=lambda x: x.ts
+        ),
+        batch_format="pandas",
+    )
+    out = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        right_value_cols=["click_ts"],
+    ).to_pandas()
+    out = out.rename(columns={"click_ts_asof": "last_click_ts"})
+    return out[["event_id", "user_id", "last_click_ts"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+def q_sample_events(sf_dir: str) -> pd.DataFrame:
+    """Seeded random sample + shuffle (O-family; rows-only — sampling
+    is seed-stable within a Ray version, not SQL-reproducible)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    samp = ds.random_sample(0.05, seed=42)
+    return samp.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; codec stubbed)
 # ---------------------------------------------------------------------------
@@ -658,6 +733,28 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "q_events_sliding": """
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS n_1h
+        FROM events
+        ORDER BY event_id
+    """,
+    "q_events_asof": """
+        SELECT event_id, user_id, last_click_ts
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_click_ts
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
     """,
     "q_knn_cosine": """
         SELECT vec_id,

@@ -12,16 +12,20 @@ from __future__ import annotations
 
 
 class UnionFind:
-    def __init__(self) -> None:
-        self.parent: dict[str, str] = {}
-        self.size: dict[str, int] = {}
+    """Keys may be any hashable, mutually-comparable values; the
+    canonical pick is ``min()`` under the keys' OWN ordering (ints
+    compare numerically — stringifying ids would make 1000150 < 150)."""
 
-    def add(self, x: str) -> None:
+    def __init__(self) -> None:
+        self.parent: dict = {}
+        self.size: dict = {}
+
+    def add(self, x) -> None:
         if x not in self.parent:
             self.parent[x] = x
             self.size[x] = 1
 
-    def find(self, x: str) -> str:
+    def find(self, x):
         self.add(x)
         root = x
         while self.parent[root] != root:
@@ -30,7 +34,7 @@ class UnionFind:
             self.parent[x], x = root, self.parent[x]
         return root
 
-    def union(self, a: str, b: str) -> None:
+    def union(self, a, b) -> None:
         ra, rb = self.find(a), self.find(b)
         if ra == rb:
             return
@@ -39,17 +43,17 @@ class UnionFind:
         self.parent[rb] = ra
         self.size[ra] += self.size[rb]
 
-    def components(self) -> dict[str, list[str]]:
-        out: dict[str, list[str]] = {}
+    def components(self) -> dict:
+        out: dict = {}
         for x in self.parent:
             out.setdefault(self.find(x), []).append(x)
         return out
 
-    def canonical_map(self) -> dict[str, str]:
+    def canonical_map(self) -> dict:
         """member → min(component) — the deterministic canonical pick
         (explicit tie-break; the reference relied on findFirst order,
         SURVEY.md §7.4.1)."""
-        cmap: dict[str, str] = {}
+        cmap: dict = {}
         for members in self.components().values():
             canon = min(members)
             for m in members:

@@ -1,0 +1,230 @@
+"""Unit tests for the training-data operator families: dedup,
+similarity, text analysis, multimodal plumbing, graph queries, as-of
+join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+# ---- dedup ----------------------------------------------------------------
+
+
+def test_exact_dedup_finds_injected_copies():
+    from cpg_ray.functions.dedup import exact_dedup
+
+    base = _docs()[["doc_id", "text"]]
+    dup = base.head(20).copy()
+    dup["doc_id"] += 1_000_000  # identical text, higher id
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == len(base)  # copies collapsed
+    dup_rows = out[out.n_copies == 2]
+    assert len(dup_rows) == 20
+    assert (dup_rows.doc_id < 1_000_000).all()  # min id kept
+
+
+def test_minhash_near_dedup_recall_precision():
+    from cpg_ray.functions.dedup import near_dedup_minhash
+
+    base = _docs()[["doc_id", "text"]].head(200)
+    dup = base[base.doc_id % 10 == 0].copy()
+    dup["doc_id"] += 1_000_000
+    dup["text"] += " tail"
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    survivors, pairs, cmap = near_dedup_minhash(ds, verify_threshold=0.6)
+    sdf = survivors.to_pandas()
+    # every injected near-copy must be dropped (paired with its source)
+    injected = set(dup.doc_id)
+    assert injected.isdisjoint(set(sdf.doc_id))
+    # all originals with no genuine planted dup survive — allow the
+    # corpus's own planted near-dups (text ending in the 'dup' marker)
+    assert len(sdf) <= len(base)
+    # verified pairs really are similar
+    from cpg_ray.functions.dedup import jaccard
+
+    texts = dict(zip(
+        pd.concat([base, dup]).doc_id, pd.concat([base, dup]).text
+    ))
+    for a, b in zip(pairs.a.head(20), pairs.b.head(20)):
+        assert jaccard(texts[int(a)], texts[int(b)]) > 0.4
+
+
+def test_simhash_separates_near_dups_from_random():
+    from cpg_ray.functions.dedup import simhash_pairs, simhash_signatures
+
+    base = _docs()[["doc_id", "text"]].head(100)
+    # exclude the corpus's planted near-dups (marker token 'dup')
+    base = base[~base.text.str.contains(r"\bdup\b")].reset_index(drop=True)
+    dup = base.head(10).copy()
+    dup["doc_id"] += 1_000_000
+    dup["text"] += " tail"
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    sigs = simhash_signatures(ds).materialize()
+    pairs = simhash_pairs(sigs, max_hamming=6)
+    got = {(min(int(a), int(b)), max(int(a), int(b)))
+           for a, b in zip(pairs.a, pairs.b)}
+    expected = {(int(i) - 1_000_000, int(i)) for i in dup.doc_id}
+    # nearly all injected near-dup pairs found (short docs can flip
+    # more bits); false-positive volume bounded
+    assert len(expected & got) >= 9, expected - got
+    assert len(got) <= len(expected) + 15, len(got)
+
+
+def test_embedding_near_dup():
+    from cpg_ray.functions.dedup import embedding_near_dup_pairs
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()[
+        ["vec_id", "embedding"]
+    ].head(100)
+    dup = emb.head(5).copy()
+    dup["vec_id"] += 1_000_000
+    ds = rd.from_pandas(pd.concat([emb, dup], ignore_index=True))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.999)
+    got = {(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)}
+    for i in range(5):
+        assert (i, i + 1_000_000) in got
+
+
+# ---- similarity -----------------------------------------------------------
+
+
+def test_knn_bruteforce_exact():
+    from cpg_ray.functions.similarity import knn_bruteforce
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.stack(emb.head(2).embedding)
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]])
+    top = knn_bruteforce(ds, q, k=5)
+    # numpy reference
+    v = np.stack(emb.embedding).astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = vn @ qn.T
+    for qi in range(2):
+        ref_ids = emb.vec_id.values[np.argsort(-sim[:, qi], kind="stable")[:5]]
+        got = top[top.query_id == qi].sort_values("rank").vec_id.values
+        assert set(got) == set(ref_ids)
+        assert got[0] == emb.vec_id.iloc[qi]  # self is nearest
+
+
+def test_knn_lsh_recall():
+    from cpg_ray.functions.similarity import knn_bruteforce, knn_lsh
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.stack(emb.head(3).embedding)
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]])
+    exact = knn_bruteforce(ds, q, k=10)
+    # random embeddings are the ANN worst case: short codes + many
+    # repetitions buy recall (4 planes × 12 reps ≈ 0.84 expected)
+    approx, n_cand = knn_lsh(ds, q, k=10, n_planes=4, reps=12)
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.55  # tunable-recall ANN
+    assert n_cand < 0.9 * 3 * len(emb)  # actually pruned vs brute force
+
+
+# ---- text -----------------------------------------------------------------
+
+
+def test_langid_accuracy():
+    """On text whose language is real (our generated pages — the
+    testdata documents table's `lang` column is a random label over an
+    all-English vocabulary, useless as langid ground truth)."""
+    from cpg_ray.functions.text import langid
+    from cpg_ray.pagegen import cfg_for_variant, render_page
+
+    w = cfg_for_variant("basic").build()
+    rows = [render_page(w, i, "basic") for i in range(120)]
+    df = pd.DataFrame(
+        {"lang": [r["lang"] for r in rows], "text": [r["text"] for r in rows]}
+    )
+    out = langid(df)
+    acc = (out.pred_lang == out.lang).mean()
+    assert acc >= 0.8, f"langid accuracy {acc}"
+
+
+def test_fingerprint_deterministic_and_shift_stable():
+    from cpg_ray.functions.text import _doc_fingerprint
+
+    t = "the quick brown fox jumps over the lazy dog " * 5
+    assert _doc_fingerprint(t) == _doc_fingerprint(t)
+    # winnowing min-hash is stable under prefix insertion (the minimum
+    # window usually survives)
+    assert _doc_fingerprint("XY " + t) == _doc_fingerprint(t)
+
+
+# ---- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_decode_plumbing():
+    from cpg_ray.functions.multimodal import (
+        DecodeImage,
+        decode_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(50)
+    feats = decode_features(rd.from_arrow(media)).to_pandas()
+    assert len(feats) == 50
+    assert feats.ok.all()
+    assert feats.px_mean.between(0, 255).all()
+    # binary column not carried forward
+    assert "media" not in feats.columns
+    # real codec is explicitly a stub
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+
+
+# ---- as-of join -----------------------------------------------------------
+
+
+def test_asof_join_matches_pandas():
+    from cpg_ray.functions.relational import asof_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 50),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, 50), unit="s"),
+            "lid": np.arange(50),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 80),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, 80), unit="s"),
+            "val": rng.randn(80),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="k", on="ts", right_value_cols=["val"],
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort")[["k", "ts", "val"]],
+        on="ts", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(want)
+    lw = want.set_index("lid")["val"]
+    lg = got.set_index("lid")["val_asof"]
+    for lid in want.lid:
+        a, b = lw[lid], lg[lid]
+        assert (pd.isna(a) and pd.isna(b)) or a == b, lid
