@@ -182,6 +182,32 @@ def _kg_eog_chains(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _kg_typestate(sf_dir: str):
+    """DFA order evaluation per (url, subject) — DFAOrderEvaluator
+    analog (cpg-analysis/fsm/DFAOrderEvaluator.kt:56-144)."""
+    import ray
+
+    from cpg_ray.functions.typestate import evaluate_order
+    from cpg_ray.pagegen import _cached_world
+    from cpg_ray.stages.extract import ExtractTriples, build_detector_index
+
+    pages, cfg = _pages_ds(sf_dir, "mixed")
+    det_ref = ray.put(
+        build_detector_index(
+            [r["alias"] for r in _cached_world(cfg).alias_rows()]
+        )
+    )
+    raw = pages.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={"index_ref": det_ref},
+        batch_size=256,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    df = evaluate_order(raw).to_pandas()
+    return df.sort_values(["url", "subject"]).reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -250,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_filter": _kg_label_filter,
         "kg_dangling_edges": _kg_dangling_edges,
         "kg_eog_chains": _kg_eog_chains,
+        "kg_typestate": _kg_typestate,
     }
     return out
 

@@ -1,0 +1,104 @@
+"""CLI — the cpg-console / cpg-neo4j Application analog
+(cpg-console/CpgConsole.kt:1-98 `:tr`/`:run`/`:export`;
+cpg-neo4j/Application.kt:460-463 translate-then-push):
+
+  python -m cpg_ray.cli translate --pages DIR --out DIR [--shards N] [--resume]
+  python -m cpg_ray.cli gen --out DIR --n 10000 [--variant mixed]
+  python -m cpg_ray.cli query --name q1_pricing_summary --sf-dir DIR
+  python -m cpg_ray.cli stats --out DIR
+
+Owns its Ray session (scripts own sessions; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(num_cpus: int):
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cpg_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a synthetic pages corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n", type=int, default=10000)
+    g.add_argument("--variant", default="mixed")
+
+    t = sub.add_parser("translate", help="pages → graph+triples (resumable)")
+    t.add_argument("--pages", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--shards", type=int, default=8)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--scale", type=int, default=1,
+                   help="world scale used when the corpus was generated")
+
+    q = sub.add_parser("query", help="run a queries() entry")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    s = sub.add_parser("stats", help="lineage/metrics of a translate run")
+    s.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    ray = _session(args.num_cpus)
+    try:
+        if args.cmd == "gen":
+            from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+
+            scale = max(1, args.n // 2000)
+            cfg = cfg_for_variant(args.variant, scale=scale)
+            path = materialize_pages(args.out, args.n, cfg, args.variant)
+            print(json.dumps({"pages": args.n, "path": path, "scale": scale}))
+        elif args.cmd == "translate":
+            from cpg_ray.pagegen import cfg_for_variant
+            from cpg_ray.pipelines.flagship import run_flagship
+
+            cfg = cfg_for_variant("mixed", scale=args.scale)
+            summary = run_flagship(
+                args.pages, args.out, cfg, n_shards=args.shards,
+                resume=args.resume,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "query":
+            sys.path.insert(0, ".")
+            import __ray_entry__ as entry
+
+            fn = entry.queries()[args.name]
+            res = fn(args.sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            print(res.head(args.limit).to_string())
+        elif args.cmd == "stats":
+            from cpg_ray.stages.materialize import read_lineage
+
+            rows = read_lineage(args.out, "graph") + read_lineage(
+                args.out, "triples"
+            )
+            for r in rows:
+                print(json.dumps(r))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

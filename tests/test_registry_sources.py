@@ -1,0 +1,116 @@
+"""Stage registry, source dispatch, CLI, typestate DFA."""
+
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_pipeline_registry_order_and_validation():
+    from cpg_ray.pipelines.registry import Pipeline, Stage
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column("y", pa.array([v + 1 for v in t["x"].to_pylist()]))
+
+    def double(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("z", pc.multiply(t["y"], 2))
+
+    p = Pipeline()
+    p.register(Stage("double", double, requires=["y"], produces=["z"]))
+    p.register(Stage("add_one", add_one, requires=["x"], produces=["y"]),
+               before="double")
+    ds = rd.range(5).map_batches(
+        lambda t: pa.table({"x": t["id"]}), batch_format="pyarrow"
+    )
+    out = p.run(ds).to_pandas().sort_values("x")
+    assert list(out.z) == [2, 4, 6, 8, 10]
+    assert [m["stage"] for m in p.metrics] == ["add_one", "double"]
+
+    bad = Pipeline([Stage("needs_missing", double, requires=["nope"])])
+    with pytest.raises(ValueError, match="nope"):
+        bad.run(ds)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        p.register(Stage("double", double))
+
+
+def test_read_any_dispatch(tmp_path):
+    from cpg_ray.sources.readers import read_any, write_metrics_json
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pq_path = tmp_path / "t.parquet"
+    csv_path = tmp_path / "t.csv"
+    json_path = tmp_path / "t.json"
+    df.to_parquet(pq_path)
+    df.to_csv(csv_path, index=False)
+    df.to_json(json_path, orient="records", lines=True)
+
+    for path in (pq_path, csv_path, json_path):
+        got = read_any(str(path)).to_pandas().sort_values("a").reset_index(drop=True)
+        assert list(got.a) == [1, 2, 3], path
+
+    with pytest.raises(ValueError, match="no reader registered"):
+        read_any(str(tmp_path / "t.xyz"))
+
+    out = write_metrics_json([{"stage": "x", "ms": 1.5}], str(tmp_path / "m"))
+    assert json.loads(open(out).readline())["stage"] == "x"
+
+
+def test_typestate_dfa():
+    from cpg_ray.functions.typestate import BIO_BEFORE_CORP, evaluate_order
+
+    ok, viol = BIO_BEFORE_CORP.run(["works_for", "born_in", "based_in"])
+    assert ok and viol == -1
+    ok, viol = BIO_BEFORE_CORP.run(["based_in", "works_for"])
+    assert not ok and viol == 1  # bio fact after corp phase = violation
+
+    df = pd.DataFrame(
+        {
+            "url": ["u1"] * 3 + ["u2"] * 2,
+            "subj_norm": ["s"] * 3 + ["t"] * 2,
+            "pred": ["works_for", "based_in", "acquired",
+                     "located_in", "born_in"],
+            "span_start": [0, 10, 20, 0, 10],
+        }
+    )
+    out = evaluate_order(rd.from_pandas(df)).to_pandas()
+    by = {(r.url, r.subject): (r.accepted, r.violation_at)
+          for r in out.itertuples()}
+    assert by[("u1", "s")] == (True, -1)
+    assert by[("u2", "t")] == (False, 1)
+
+
+def test_cli_gen_translate_stats(tmp_path):
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    r1 = subprocess.run(
+        [sys.executable, "-m", "cpg_ray.cli", "--num-cpus", "4",
+         "gen", "--out", pages, "--n", "200"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=180,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert json.loads(r1.stdout.strip().splitlines()[-1])["pages"] == 200
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "cpg_ray.cli", "--num-cpus", "4",
+         "translate", "--pages", pages, "--out", out, "--shards", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["triples_out"] > 0
+
+    r3 = subprocess.run(
+        [sys.executable, "-m", "cpg_ray.cli", "stats", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=120,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    lines = [json.loads(line) for line in r3.stdout.strip().splitlines()]
+    assert any(l["partition_id"].startswith("triples") for l in lines)
