@@ -120,10 +120,17 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     sig_ds, *, id_col: str = "doc_id", num_perm: int = 64, bands: int = 16,
-    verify_threshold: float = 0.6,
+    verify_threshold: float = 0.6, mode: str = "driver",
 ) -> pd.DataFrame:
     """LSH banding → candidate pairs → signature-overlap verification.
     Returns a small pandas DataFrame of verified pairs (a, b, est_jaccard).
+
+    mode="driver" (default): band rows (docs × bands, ~24 B each)
+    stream to the driver and bucket in one pandas groupby — the Ray
+    groupby's sort shuffle costs seconds of fixed overhead that never
+    pays off below ~10M docs.  mode="shuffle": groupby per band with
+    pandas bucketing inside, for corpora whose band table exceeds the
+    driver.
     """
     rows_per_band = num_perm // bands
 
@@ -144,25 +151,29 @@ def minhash_lsh_pairs(
 
     banded = sig_ds.map_batches(band_rows, batch_format="pandas")
 
-    # group per BAND (a handful of groups), pandas-groupby the buckets
-    # inside — thousands of tiny per-bucket map_groups calls are the
-    # slow path in Ray Data (one Python/pandas round-trip per group)
+    # pandas bucketing inside a handful of groups — thousands of tiny
+    # per-bucket map_groups calls are the slow path in Ray Data (one
+    # Python/pandas round-trip per group)
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        pa_, pb_ = [], []
-        for _bh, sub in g.groupby("bh", sort=False):
-            members = sorted(sub[id_col].unique())
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    pa_.append(members[x])
-                    pb_.append(members[y])
-        return pd.DataFrame({"a": pa_, "b": pb_})
+        # vectorized within-bucket pairing: self-merge on the bucket key
+        # (python double loops over a hot bucket are O(n²) interpreter
+        # time; the merge is the same O(n²) rows at C speed)
+        m = g[["band", "bh", id_col]].drop_duplicates()
+        j = m.merge(m, on=["band", "bh"], suffixes=("_a", "_b"))
+        j = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]]
+        return j.rename(
+            columns={f"{id_col}_a": "a", f"{id_col}_b": "b"}
+        )[["a", "b"]]
 
-    pairs = (
-        banded.groupby("band")
-        .map_groups(band_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    if mode == "shuffle":
+        pairs = (
+            banded.groupby("band")
+            .map_groups(band_pairs, batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates()
+        )
+    else:
+        pairs = band_pairs(banded.to_pandas()).drop_duplicates()
     if pairs.empty:
         return pd.DataFrame(columns=["a", "b", "est_jaccard"])
 
@@ -242,18 +253,17 @@ def simhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
         out_sig = np.zeros(len(batch), dtype=np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for row, t in enumerate(batch[text_col]):
             hs = word_shingles_weighted(t, 2)
-            # int64 BEFORE the vote arithmetic: uint64 would wrap on
-            # negative votes and saturate every signature to ~all-ones
-            bits = (
-                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            ).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(hs)  # (+1/-1 votes)
-            sig = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit)
-            out_sig[row] = sig
+            # unpackbits runs at C speed; int64 votes (uint would wrap
+            # on negative votes and saturate every signature)
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            ones = bits.sum(axis=0, dtype=np.int64)  # per-bit 1-counts
+            votes = ones * 2 - len(hs)
+            out_sig[row] = np.uint64((weights[votes > 0]).sum())
         df = pd.DataFrame({id_col: batch[id_col].values, "simhash": out_sig})
         for bnd in range(4):
             df[f"band{bnd}"] = ((out_sig >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(
@@ -264,9 +274,17 @@ def simhash_signatures(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(sig_batch, batch_format="pandas")
 
 
-def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
+def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int = 1000) -> pd.DataFrame:
     """Candidate pairs sharing any 16-bit band, verified by Hamming
-    distance on the full signature."""
+    distance on the full signature.
+
+    ``max_bucket``: band buckets larger than this are skipped — a hot
+    bucket is quadratic in candidates and nearly information-free (on a
+    clustered corpus one bucket can hold >30% of docs → millions of
+    pairs); a true near-dup pair that only met in a skipped bucket is
+    lost, so the skip volume is REPORTED in ``pairs.attrs``
+    ("skipped_buckets", "skipped_members") rather than silent."""
     # reshape to (band_id, bucket_value) rows, then ONE groupby over the
     # 4 band_ids with pandas bucketing inside (avoids per-bucket
     # map_groups overhead — same rationale as minhash_lsh_pairs)
@@ -287,32 +305,69 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3) -> pd
 
     exploded = sig_ds.map_batches(explode, batch_format="pandas")
 
+    skip_stats = {"skipped_buckets": 0, "skipped_members": 0}
+
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ra, rb, ha_, hb_ = [], [], [], []
-        for _bv, sub in g.groupby("bv", sort=False):
-            m = sub.sort_values(id_col).drop_duplicates(id_col)
-            ids = m[id_col].tolist()
-            hs = m["simhash"].tolist()
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    ra.append(ids[x]); rb.append(ids[y])
-                    ha_.append(hs[x]); hb_.append(hs[y])
-        return pd.DataFrame({"a": ra, "b": rb, "ha": ha_, "hb": hb_})
+        # vectorized self-merge per (band_id, bucket value) — python
+        # double loops melt on hot buckets (similar docs cluster into
+        # the same 16-bit band value)
+        m = g[["band_id", "bv", id_col, "simhash"]].drop_duplicates(
+            ["band_id", "bv", id_col]
+        )
+        sizes = m.groupby(["band_id", "bv"])[id_col].transform("size")
+        hot = sizes > max_bucket
+        if hot.any():
+            skipped = m[hot]
+            skip_stats["skipped_buckets"] += skipped.groupby(
+                ["band_id", "bv"]
+            ).ngroups
+            skip_stats["skipped_members"] += len(skipped)
+            m = m[~hot]
+        j = m.merge(m, on=["band_id", "bv"], suffixes=("_a", "_b"))
+        j = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]]
+        return j.rename(
+            columns={f"{id_col}_a": "a", f"{id_col}_b": "b",
+                     "simhash_a": "ha", "simhash_b": "hb"}
+        )[["a", "b", "ha", "hb"]]
+
+    # popcount LUT over the xor bytes: one vectorized pass per candidate
+    # block; hamming-filter BEFORE deduplicating pairs (candidates can be
+    # millions on clustered corpora, survivors are hundreds)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        cand = band_pairs(g)
+        if cand.empty:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        x = cand["ha"].values.astype(np.uint64) ^ cand["hb"].values.astype(
+            np.uint64
+        )
+        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        out = cand.assign(hamming=ham).drop(columns=["ha", "hb"])
+        return out[out.hamming <= max_hamming]
 
     pairs = (
         exploded.groupby("band_id")
-        .map_groups(band_pairs, batch_format="pandas")
+        .map_groups(verify, batch_format="pandas")
         .to_pandas()
         .drop_duplicates(["a", "b"])
+        .reset_index(drop=True)
     )
     if pairs.empty:
-        return pd.DataFrame(columns=["a", "b", "hamming"])
-    x = pairs["ha"].values.astype(np.uint64) ^ pairs["hb"].values.astype(np.uint64)
-    ham = np.zeros(len(pairs), dtype=np.int64)
-    for bit in range(64):
-        ham += ((x >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-    pairs = pairs.assign(hamming=ham).drop(columns=["ha", "hb"])
-    return pairs[pairs.hamming <= max_hamming].reset_index(drop=True)
+        pairs = pd.DataFrame(columns=["a", "b", "hamming"])
+    # NOTE: skip_stats is populated inside remote tasks; the local dict
+    # only reflects driver-side execution.  Recompute the report here
+    # from the signature table so it is always correct.
+    sp = sig_ds.to_pandas() if hasattr(sig_ds, "to_pandas") else sig_ds
+    skipped_buckets = skipped_members = 0
+    for bnd in range(4):
+        vc = sp[f"band{bnd}"].value_counts()
+        hot = vc[vc > max_bucket]
+        skipped_buckets += len(hot)
+        skipped_members += int(hot.sum())
+    pairs.attrs["skipped_buckets"] = skipped_buckets
+    pairs.attrs["skipped_members"] = skipped_members
+    return pairs
 
 
 # ---- n-gram Jaccard verify ------------------------------------------------

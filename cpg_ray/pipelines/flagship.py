@@ -53,6 +53,7 @@ def triples_dataset(
     extract_concurrency=(1, 8),
     link_concurrency=None,  # kept for API compat; link runs as tasks now
     extract_batch_size: int = 256,
+    infer_on_miss: bool = True,  # InferenceConfiguration analog (X8)
 ):
     """pages Dataset → canonicalized TRIPLES Dataset (+ entities table).
 
@@ -86,7 +87,9 @@ def triples_dataset(
         concurrency=extract_concurrency,
     )
     linked = raw.map_batches(
-        make_link_fn(norm_ref), batch_size=8192, batch_format="pyarrow"
+        make_link_fn(norm_ref, infer_on_miss=infer_on_miss),
+        batch_size=8192,
+        batch_format="pyarrow",
     ).materialize()
 
     vocab = collect_entity_vocab(linked)

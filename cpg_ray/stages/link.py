@@ -103,41 +103,44 @@ class LinkTriples:
         )
 
 
-def make_link_fn(index_ref):
+def make_link_fn(index_ref, *, infer_on_miss: bool = True):
     """Stateless-task variant of LinkTriples: the norm index is fetched
     at most once per worker process (bcast cache), so the stage runs as
     elastic tasks instead of a CPU-reserving actor pool — it fills
-    whatever cores the extract pool leaves free."""
+    whatever cores the extract pool leaves free.
+
+    ``infer_on_miss`` is the InferenceConfiguration analog
+    (InferenceConfiguration.kt:25-60, used VariableUsageResolver.java:416):
+    True fabricates an inferred entity (``inf:<norm>``) for unknown
+    surface forms; False drops triples with an unresolved side (the
+    resolver simply fails, no edge is created)."""
 
     def link_batch(batch: pa.Table) -> pa.Table:
         from ..functions.relational import bcast_get
 
         index = bcast_get(index_ref)
+        keep: list[int] = []
         subj, obj, s_inf, o_inf = [], [], [], []
-        for sn, on in zip(
-            batch["subj_norm"].to_pylist(), batch["obj_norm"].to_pylist()
+        for i, (sn, on) in enumerate(
+            zip(batch["subj_norm"].to_pylist(), batch["obj_norm"].to_pylist())
         ):
-            hit = index.get(sn)
-            if hit is None:
-                subj.append(f"inf:{sn}")
-                s_inf.append(True)
-            else:
-                subj.append(hit[0])
-                s_inf.append(False)
-            hit = index.get(on)
-            if hit is None:
-                obj.append(f"inf:{on}")
-                o_inf.append(True)
-            else:
-                obj.append(hit[0])
-                o_inf.append(False)
+            s_hit = index.get(sn)
+            o_hit = index.get(on)
+            if not infer_on_miss and (s_hit is None or o_hit is None):
+                continue
+            keep.append(i)
+            subj.append(f"inf:{sn}" if s_hit is None else s_hit[0])
+            s_inf.append(s_hit is None)
+            obj.append(f"inf:{on}" if o_hit is None else o_hit[0])
+            o_inf.append(o_hit is None)
+        kept = batch.take(keep) if len(keep) != batch.num_rows else batch
         return pa.Table.from_pydict(
             {
                 "subj": subj,
-                "pred": batch["pred"],
+                "pred": kept["pred"],
                 "obj": obj,
-                "url": batch["url"],
-                "span_start": batch["span_start"],
+                "url": kept["url"],
+                "span_start": kept["span_start"],
                 "subj_is_inferred": s_inf,
                 "obj_is_inferred": o_inf,
             },

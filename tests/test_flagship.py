@@ -72,6 +72,22 @@ def test_skew_hot_entity_still_exact():
     assert (edf.entity_id == "O00000").sum() == 1  # exactly one canonical row
 
 
+def test_infer_on_miss_toggle():
+    """InferenceConfiguration analog: inference off drops triples with
+    an unresolved side instead of fabricating inferred entities."""
+    cfg = cfg_for_variant("unresolved")
+    pages = generate_pages_dataset(150, cfg, "unresolved")
+    on_df = triples_dataset(pages, cfg)[0].to_pandas()
+    off_df = triples_dataset(pages, cfg, infer_on_miss=False)[0].to_pandas()
+    assert on_df.obj_is_inferred.any()
+    assert not off_df.obj_is_inferred.any()
+    assert not off_df.subj_is_inferred.any()
+    assert not off_df.obj.str.startswith("inf:").any()
+    dropped = len(on_df) - len(off_df)
+    assert dropped == int(on_df.obj_is_inferred.sum() + on_df.subj_is_inferred.sum()
+                          - (on_df.obj_is_inferred & on_df.subj_is_inferred).sum())
+
+
 def test_run_flagship_resume(tmp_path):
     cfg = cfg_for_variant("basic")
     pages_dir = str(tmp_path / "pages")
