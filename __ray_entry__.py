@@ -182,6 +182,29 @@ def _kg_eog_chains(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _kg_problems(sf_dir: str):
+    """Problem rows routed to their own partition (ProblemNode analog,
+    Handler.java:129-138): truncated pages appear here, never as
+    exceptions."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    _nodes, _edges = _graph_tables(sf_dir)  # ensures the cache exists
+    n = _n_pages_for(sf_dir)
+    files = sorted(
+        glob.glob(
+            f"/tmp/cpg_ray_graph/mixed_{n}_42/graph/shard=*/kind=problem/*.parquet"
+        )
+    )
+    if not files:
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "name": pd.Series(dtype="object")})
+    df = rd.read_parquet(files, columns=["url", "name"]).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _kg_typestate(sf_dir: str):
     """DFA order evaluation per (url, subject) — DFAOrderEvaluator
     analog (cpg-analysis/fsm/DFAOrderEvaluator.kt:56-144)."""
@@ -277,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dangling_edges": _kg_dangling_edges,
         "kg_eog_chains": _kg_eog_chains,
         "kg_typestate": _kg_typestate,
+        "kg_problems": _kg_problems,
     }
     return out
 

@@ -1,0 +1,90 @@
+"""Graph-query layer over a small extracted graph."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from cpg_ray.pagegen import cfg_for_variant, render_page
+from cpg_ray.schemas import PAGES
+from cpg_ray.stages.extract import ExtractGraph
+
+
+def _graph(n=40, variant="basic"):
+    w = cfg_for_variant(variant).build()
+    eg = ExtractGraph(aliases=[r["alias"] for r in w.alias_rows()])
+    rows = [render_page(w, i, variant) for i in range(n)]
+    batch = pa.Table.from_pydict(
+        {c: [r[c] for r in rows] for c in PAGES.names}, schema=PAGES
+    )
+    out = eg(batch).to_pandas()
+    nodes = out[out.kind == "node"][
+        ["node_id", "label", "name", "norm_name", "url",
+         "span_start", "span_end", "is_inferred"]
+    ]
+    edges = out[out.kind == "edge"][
+        ["src_id", "dst_id", "etype", "index", "name", "url"]
+    ]
+    return rd.from_pandas(nodes.reset_index(drop=True)), rd.from_pandas(
+        edges.reset_index(drop=True)
+    ), nodes, edges
+
+
+def test_rel_chain_matches_pandas_join():
+    nodes_ds, edges_ds, nodes, edges = _graph()
+    from cpg_ray.functions.graphquery import rel_chain
+
+    got = rel_chain(
+        nodes_ds, edges_ds, etype="AST", src_label="Section",
+        dst_label="Mention",
+    ).to_pandas()
+
+    sec = nodes[nodes.label == "Section"][["node_id"]]
+    men = nodes[nodes.label == "Mention"][["node_id"]]
+    want = (
+        edges[edges.etype == "AST"]
+        .merge(sec, left_on="src_id", right_on="node_id")
+        .merge(men, left_on="dst_id", right_on="node_id")
+    )
+    assert len(got) == len(want) > 0
+    assert set(zip(got.src_id, got.dst_id)) == set(
+        zip(want.src_id, want.dst_id)
+    )
+
+
+def test_label_and_prop_filter():
+    nodes_ds, _e, nodes, _ = _graph()
+    from cpg_ray.functions.graphquery import label_filter, prop_filter
+
+    m = label_filter(nodes_ds, "Mention").to_pandas()
+    assert set(m.label) == {"Mention"}
+    assert len(m) == (nodes.label == "Mention").sum()
+
+    late = prop_filter(nodes_ds, "span_start", ">", 100).to_pandas()
+    assert (late.span_start > 100).all()
+
+
+def test_dangling_edges_empty_on_wellformed_and_detects_breakage():
+    nodes_ds, edges_ds, nodes, edges = _graph()
+    from cpg_ray.functions.graphquery import dangling_edges
+
+    assert dangling_edges(nodes_ds, edges_ds).count() == 0
+
+    broken = pd.concat(
+        [edges, pd.DataFrame([{"src_id": "nope", "dst_id": edges.dst_id.iloc[0],
+                               "etype": "AST", "index": 0, "name": None,
+                               "url": "u"}])],
+        ignore_index=True,
+    )
+    bad = dangling_edges(nodes_ds, rd.from_pandas(broken)).to_pandas()
+    assert len(bad) == 1 and bad.src_id.iloc[0] == "nope"
+
+
+def test_follow_eog_chain_lengths():
+    _n, edges_ds, _nodes, edges = _graph(20)
+    from cpg_ray.functions.graphquery import follow_eog
+
+    out = follow_eog(edges_ds).to_pandas()
+    assert out.dense_index.all()
+    by_url = edges[edges.etype == "EOG"].groupby("url").size()
+    for r in out.itertuples():
+        assert r.chain_len == by_url.get(r.url, 0)
