@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_simhash": q.q_dedup_simhash,
         "q_embedding_near_dup": q.q_embedding_near_dup,
         "q_knn_lsh": q.q_knn_lsh,
+        "q_knn_ivf": q.q_knn_ivf,
         "q_multimodal_decode": q.q_multimodal_decode,
         "q_events_sliding": q.q_events_sliding,
         "q_events_asof": q.q_events_asof,

@@ -59,6 +59,73 @@ def knn_bruteforce(ds, query_vecs: np.ndarray, k: int = 10,
     return top
 
 
+def build_ivf_centroids(ds, n_clusters: int = 16, *, vec_col: str = "embedding",
+                        sample_n: int = 2048, iters: int = 8, seed: int = 31
+                        ) -> np.ndarray:
+    """Deterministic mini k-means over a driver-side sample → (C, D)
+    centroid matrix.  The sample bounds driver memory; at corpus scale
+    the assignment step stays fully distributed (centroids broadcast)."""
+    sample = ds.limit(sample_n).to_pandas()
+    v = _as_matrix(sample[vec_col])
+    v = v / np.linalg.norm(v, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.RandomState(seed)
+    cent = v[rng.choice(len(v), size=min(n_clusters, len(v)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(v @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / np.linalg.norm(m).clip(min=1e-12)
+    return cent
+
+
+def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_clusters: int = 16, nprobe: int = 4, seed: int = 31):
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (one matmul per batch against the broadcast centroid
+    matrix); each query probes only its ``nprobe`` nearest clusters and
+    exact-reranks the members.  Returns (result_df, n_candidates)."""
+    import ray
+
+    cent = build_ivf_centroids(ds, n_clusters, vec_col=vec_col, seed=seed)
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
+    # per query: the set of probed cluster ids
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((cent, q_probe, qn))
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        cent_l, q_probe_l, qm = bcast_get(ref)
+        v = _as_matrix(batch[vec_col])
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True).clip(min=1e-12)
+        assign = np.argmax(vn @ cent_l.T, axis=1)  # (B,)
+        ids = batch[id_col].values
+        out = []
+        for qi in range(qm.shape[0]):
+            sel = np.isin(assign, q_probe_l[qi])
+            if not sel.any():
+                continue
+            sim = vn[sel] @ qm[qi]
+            out.append(
+                pd.DataFrame({"query_id": qi, id_col: ids[sel], "cosine": sim})
+            )
+        if not out:
+            return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+        return pd.concat(out, ignore_index=True)
+
+    cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
+    n_candidates = len(cand)
+    cand = cand.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount()
+    return top, n_candidates
+
+
 def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_planes: int = 8, reps: int = 4, seed: int = 23):

@@ -445,6 +445,19 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-10 (the scale path) — rows-only;
+    tests measure recall vs brute force."""
+    from ..functions.similarity import knn_ivf
+
+    emb = _pq(sf_dir, "embeddings")
+    q = np.stack(emb[emb.vec_id.isin([0, 1, 2])].sort_values("vec_id").embedding)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df, _n = knn_ivf(ds, q, k=10)
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
 def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate (LSH-bucketed) top-10 — rows-only; tests measure
     recall vs brute force."""

@@ -135,6 +135,26 @@ def test_knn_lsh_recall():
     assert n_cand < 0.9 * 3 * len(emb)  # actually pruned vs brute force
 
 
+def test_knn_ivf_recall():
+    from cpg_ray.functions.similarity import knn_bruteforce, knn_ivf
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.stack(emb.head(3).embedding)
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]])
+    exact = knn_bruteforce(ds, q, k=10)
+    approx, n_cand = knn_ivf(ds, q, k=10, n_clusters=8, nprobe=3)
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5
+    assert n_cand < 0.9 * 3 * len(emb)  # probes prune the corpus
+    # self vector always found (its cluster is the nearest probe)
+    for qi in range(3):
+        assert emb.vec_id.iloc[qi] in set(approx[approx.query_id == qi].vec_id)
+
+
 # ---- text -----------------------------------------------------------------
 
 
