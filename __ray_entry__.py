@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_token_stats": q.q_doc_token_stats,
         "q_doc_quality": q.q_doc_quality,
         "q_events_sessions": q.q_events_sessions,
+        "q_events_sessions_streaming": q.q_events_sessions_streaming,
         "q_knn_cosine": q.q_knn_cosine,
         # rows-only (non-SQL-expressible)
         "q_doc_langid": q.q_doc_langid,

@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="lineage/metrics of a translate run")
     s.add_argument("--out", required=True)
 
+    x = sub.add_parser("export", help="export triples to csv/jsonl "
+                                      "(Neo4jPlugin :export analog)")
+    x.add_argument("--out", required=True, help="translate output dir")
+    x.add_argument("--dest", required=True)
+    x.add_argument("--fmt", choices=["csv", "json"], default="csv")
+
     args = p.parse_args(argv)
     ray = _session(args.num_cpus)
     try:
@@ -95,6 +101,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in rows:
                 print(json.dumps(r))
+        elif args.cmd == "export":
+            import glob
+
+            import ray.data as rd
+
+            files = sorted(
+                glob.glob(f"{args.out}/triples/shard=*/*.parquet")
+            )
+            ds = rd.read_parquet(files)
+            if args.fmt == "csv":
+                ds.write_csv(args.dest)
+            else:
+                ds.write_json(args.dest)
+            print(json.dumps({"exported_rows": ds.count(),
+                              "dest": args.dest, "fmt": args.fmt}))
     finally:
         ray.shutdown()
     return 0

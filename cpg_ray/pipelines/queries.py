@@ -569,6 +569,24 @@ def q_sample_events(sf_dir: str) -> pd.DataFrame:
     return samp.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
+    """Same sessionization answered by the STATEFUL streaming operator
+    (actor-held open sessions across ordered batches) — must agree with
+    the batch/SQL result."""
+    from ..functions.streaming import sessionize_streaming
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    sessions = sessionize_streaming(ds, gap_seconds=1800)
+    agg = (
+        sessions.groupby("user_id")
+        .agg(n_sessions=("session_start", "size"), n_events=("n_events", "sum"))
+        .reset_index()
+    )
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; codec stubbed)
 # ---------------------------------------------------------------------------
@@ -732,6 +750,20 @@ ORACLE_SQL: dict[str, str] = {
                                                               AS upper_ratio
         FROM documents
         ORDER BY doc_id
+    """,
+    "q_events_sessions_streaming": """
+        SELECT user_id,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+               count(*)                            AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        )
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "q_events_sessions": """
         SELECT user_id,
