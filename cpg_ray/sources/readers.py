@@ -57,6 +57,13 @@ def read_text(path, columns=None, **kw):
     return rd.read_text(path, **kw)
 
 
+@_register(".warc", ".gz")
+def read_warc_files(path, columns=None, **kw):
+    from .warc import read_warc
+
+    return read_warc(path, **kw)
+
+
 def read_any(path: str, columns=None, **kw):
     """Suffix-dispatched read (S2 analog).  Directories dispatch on the
     suffix of their first file."""
