@@ -47,7 +47,12 @@ BENCH_QUERIES = [
     "q_grouped_topk_parts",
     "q_doc_token_stats",
     "q_knn_cosine",
+    "q_knn_ivf",
     "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_events_sliding",
+    "q_events_asof",
+    "q_events_sessions_streaming",
 ]
 
 

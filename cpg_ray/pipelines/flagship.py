@@ -108,6 +108,7 @@ def run_flagship(
     *,
     n_shards: int = 8,
     resume: bool = False,
+    extract_concurrency=(1, 8),
 ) -> dict:
     """On-disk sharded run. Returns summary stats (incl. lineage)."""
     import glob
@@ -139,7 +140,7 @@ def run_flagship(
             fn_constructor_kwargs={"index_ref": det_ref},
             batch_size=256,
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=extract_concurrency,
         )
         lineage.append(
             write_shard(
