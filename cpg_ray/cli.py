@@ -75,13 +75,18 @@ def main(argv: list[str] | None = None) -> int:
             path = materialize_pages(args.out, args.n, cfg, args.variant)
             print(json.dumps({"pages": args.n, "path": path, "scale": scale}))
         elif args.cmd == "translate":
-            from cpg_ray.pagegen import cfg_for_variant
+            from cpg_ray.pagegen import cfg_for_variant, cfg_from_manifest
             from cpg_ray.pipelines.flagship import run_flagship
 
-            cfg = cfg_for_variant("mixed", scale=args.scale)
+            # prefer the corpus's own manifest (dictionary scale MUST
+            # match generation or linking silently degrades)
+            cfg = cfg_from_manifest(args.pages) or cfg_for_variant(
+                "mixed", scale=args.scale
+            )
             summary = run_flagship(
                 args.pages, args.out, cfg, n_shards=args.shards,
                 resume=args.resume,
+                extract_concurrency=(1, max(2, args.num_cpus - 2)),
             )
             print(json.dumps(summary))
         elif args.cmd == "query":

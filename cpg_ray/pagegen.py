@@ -263,11 +263,40 @@ def materialize_pages(path: str, n_pages: int, cfg: WorldCfg,
     resume has input shards to key on."""
     import os
 
+    import json
+
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     ds = generate_pages_dataset(n_pages, cfg, variant)
     ds.write_parquet(path, min_rows_per_file=max(1, n_pages // num_files))
     with open(done, "w") as f:
-        f.write(f"n_pages={n_pages} variant={variant} seed={cfg.seed}\n")
+        json.dump(
+            {
+                "n_pages": n_pages,
+                "variant": variant,
+                "seed": cfg.seed,
+                "n_persons": cfg.n_persons,
+                "n_orgs": cfg.n_orgs,
+                "n_cities": cfg.n_cities,
+                "hot_frac": cfg.hot_frac,
+            },
+            f,
+        )
     return path
+
+
+def cfg_from_manifest(path: str) -> "WorldCfg | None":
+    """Reconstruct the WorldCfg a cached corpus was generated with (from
+    its _DONE manifest); None if absent/legacy."""
+    import json
+    import os
+
+    done = os.path.join(path, "_DONE")
+    try:
+        with open(done) as f:
+            m = json.load(f)
+        return WorldCfg(m["seed"], m["n_persons"], m["n_orgs"], m["n_cities"],
+                        m["hot_frac"])
+    except (OSError, ValueError, KeyError):
+        return None
