@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": q.q_events_sliding,
         "q_events_asof": q.q_events_asof,
         "q_sample_events": q.q_sample_events,
+        "q_approx_stats": q.q_approx_stats,
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,

@@ -587,6 +587,25 @@ def q_events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("user_id").reset_index(drop=True)
 
 
+def q_approx_stats(sf_dir: str) -> pd.DataFrame:
+    """Sketch-based approximate aggregates (rows-only): HLL distinct
+    users + sample quantiles of event value, with the mergeable
+    per-batch-sketch shape."""
+    from ..functions.sketches import approx_distinct, approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+    est_users = approx_distinct(ds, "user_id", p=12)
+    q10, q50, q90 = approx_quantiles(ds, "value", [0.1, 0.5, 0.9])
+    return pd.DataFrame(
+        {
+            "approx_distinct_users": [round(est_users, 1)],
+            "value_p10": [round(q10, 4)],
+            "value_p50": [round(q50, 4)],
+            "value_p90": [round(q90, 4)],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; codec stubbed)
 # ---------------------------------------------------------------------------
