@@ -205,6 +205,15 @@ def _kg_problems(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _kg_eog_reach(sf_dir: str):
+    """Variable-length path traversal (*1..3 analog) over EOG edges."""
+    from cpg_ray.functions.graphquery import var_length_reach
+
+    _nodes, edges = _graph_tables(sf_dir)
+    df = var_length_reach(edges, etype="EOG", max_hops=3).to_pandas()
+    return df.sort_values(["url", "src_id", "hops"]).reset_index(drop=True)
+
+
 def _kg_typestate(sf_dir: str):
     """DFA order evaluation per (url, subject) — DFAOrderEvaluator
     analog (cpg-analysis/fsm/DFAOrderEvaluator.kt:56-144)."""
@@ -302,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_filter": _kg_label_filter,
         "kg_dangling_edges": _kg_dangling_edges,
         "kg_eog_chains": _kg_eog_chains,
+        "kg_eog_reach": _kg_eog_reach,
         "kg_typestate": _kg_typestate,
         "kg_problems": _kg_problems,
     }

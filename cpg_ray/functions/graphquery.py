@@ -120,6 +120,54 @@ def follow_eog(edges_ds, *, max_hops: int = 10):
     return edges_ds.groupby("url").map_groups(walk, batch_format="pandas")
 
 
+def var_length_reach(edges_ds, *, etype: str = "EOG", max_hops: int = 3,
+                     n_buckets: int = 16):
+    """Variable-length path traversal — openCypher ``*1..k`` analog
+    (Graph.kt:121-167 extended): per-document BFS from chain roots over
+    ``etype`` edges, emitting (url, src_id, dst_id, hops) for every
+    path of length ≤ max_hops.
+
+    Partitioning: EOG/AST/DFG edges never cross documents, so rows are
+    bucketed by hash(url) and each document's BFS runs group-local —
+    the same assumption as follow_eog, never a distributed fixpoint."""
+    import zlib
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.etype == etype].copy()
+        b["__bucket"] = [zlib.crc32(u.encode()) % n_buckets for u in b["url"]]
+        return b
+
+    def bfs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, sub in g.groupby("url", sort=False):
+            adj: dict[str, list[str]] = {}
+            for s, d in zip(sub.src_id, sub.dst_id):
+                adj.setdefault(s, []).append(d)
+            roots = set(adj) - set(sub.dst_id)
+            for root in sorted(roots):
+                frontier = [root]
+                seen = {root}
+                for hop in range(1, max_hops + 1):
+                    nxt = []
+                    for n in frontier:
+                        for d in adj.get(n, []):
+                            if d not in seen:
+                                seen.add(d)
+                                nxt.append(d)
+                                rows.append(
+                                    {"url": url, "src_id": root,
+                                     "dst_id": d, "hops": hop}
+                                )
+                    frontier = nxt
+        return pd.DataFrame(rows, columns=["url", "src_id", "dst_id", "hops"])
+
+    return (
+        edges_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(bfs, batch_format="pandas")
+    )
+
+
 def degree_stats(edges_ds):
     """Per-etype edge counts + distinct sources — A1 statistics analog."""
     from .relational import groupby_agg

@@ -79,6 +79,21 @@ def test_dangling_edges_empty_on_wellformed_and_detects_breakage():
     assert len(bad) == 1 and bad.src_id.iloc[0] == "nope"
 
 
+def test_var_length_reach():
+    _n, edges_ds, _nodes, edges = _graph(15)
+    from cpg_ray.functions.graphquery import var_length_reach
+
+    out = var_length_reach(edges_ds, etype="EOG", max_hops=3).to_pandas()
+    assert (out.hops <= 3).all() and (out.hops >= 1).all()
+    # per url: EOG is a single chain, so reach-from-root = min(len, 3)
+    eog = edges[edges.etype == "EOG"]
+    for url, sub in eog.groupby("url"):
+        expect = min(len(sub), 3)
+        got = out[out.url == url]
+        assert len(got) == expect, url
+        assert sorted(got.hops) == list(range(1, expect + 1))
+
+
 def test_follow_eog_chain_lengths():
     _n, edges_ds, _nodes, edges = _graph(20)
     from cpg_ray.functions.graphquery import follow_eog
