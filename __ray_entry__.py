@@ -205,6 +205,18 @@ def _kg_problems(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _kg_scope_resolution(sf_dir: str):
+    """Flagship over the 'scoped' variant: last-name anaphora resolved
+    via within-document scope (ScopeManager.kt:375-602 analog)."""
+    pages, cfg = _pages_ds(sf_dir, "scoped")
+    from cpg_ray.pipelines.flagship import triples_dataset
+
+    triples, _ = triples_dataset(pages, cfg)
+    df = triples.to_pandas()
+    df = df[df.pred == "visited"]
+    return df.sort_values(["url", "span_start"]).reset_index(drop=True)
+
+
 def _kg_eog_reach(sf_dir: str):
     """Variable-length path traversal (*1..3 analog) over EOG edges."""
     from cpg_ray.functions.graphquery import var_length_reach
@@ -312,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dangling_edges": _kg_dangling_edges,
         "kg_eog_chains": _kg_eog_chains,
         "kg_eog_reach": _kg_eog_reach,
+        "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
         "kg_problems": _kg_problems,
     }

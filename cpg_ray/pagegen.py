@@ -132,6 +132,18 @@ def page_plan(world: World, i: int, variant: str):
         sentences.append(("fact", sid, "works_for", ("inf", surface),
                           alias_of(sid, 7), surface))
 
+    # "scoped" variant: a sentence referring to the (person) subject by
+    # LAST NAME ONLY — resolvable solely via within-document scope
+    # (ScopeManager analog, ScopeManager.kt:375-602: a bare reference
+    # resolved against earlier in-scope declarations)
+    if variant == "scoped" and sid.startswith("P"):
+        # last alphabetic token (large worlds add numeric suffixes)
+        last_name = [t for t in ents[sid].canonical_name.split() if t.isalpha()][-1]
+        city = f"C{(i * 19) % world.n_cities:05d}"
+        sentences.append(
+            ("fact", sid, "visited", city, last_name, alias_of(city, 9))
+        )
+
     f1, f2 = FILLERS[lang]
     sentences.insert(1, ("filler", f1))
     sentences.append(("filler", f2))

@@ -158,6 +158,7 @@ class MentionDetector:
         low = [t[2].lower() for t in toks]
         n_tok = len(toks)
         mentions: list[Mention] = []
+        anaphors: list[tuple[int, int, str]] = []  # (start, end, low_token)
         i = 0
         while i < n_tok:
             hit_n = 0
@@ -191,7 +192,34 @@ class MentionDetector:
                         )
                         i = j
                         continue
+                    # single unmatched capitalized token: candidate
+                    # anaphor for within-document scope resolution
+                    anaphors.append((toks[i][0], toks[i][1], low[i]))
                 i += 1
+
+        # within-document scope resolution (ScopeManager analog,
+        # ScopeManager.kt:375-602): a bare capitalized token whose
+        # lowercase equals the FINAL token of an earlier mention's norm
+        # resolves to that mention's entity (nearest antecedent wins,
+        # deterministically)
+        if anaphors and mentions:
+            resolved: list[Mention] = []
+            for start, end, tok in anaphors:
+                antecedent = None
+                for m in mentions:
+                    if m.start >= start:
+                        break
+                    if not m.inferred and m.norm.split()[-1:] == [tok]:
+                        antecedent = m  # keep scanning: nearest prior wins
+                if antecedent is not None:
+                    resolved.append(
+                        Mention(start, end, text[start:end], antecedent.norm,
+                                antecedent.inferred)
+                    )
+            if resolved:
+                mentions = sorted(
+                    mentions + resolved, key=lambda m: (m.start, m.end)
+                )
         return mentions
 
 

@@ -101,6 +101,11 @@ PRED_TEMPLATES: dict[str, dict[str, tuple[str, str]]] = {
         "de": (" übernahm ", ""),
         "fr": (" a acquis ", ""),
     },
+    "visited": {
+        "en": (" visited ", ""),
+        "de": (" besuchte ", ""),
+        "fr": (" a visité ", ""),
+    },
 }
 
 # Reverse map used by the extract stage: lang → {connector.strip(): pred}.

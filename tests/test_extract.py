@@ -86,6 +86,49 @@ def test_mention_detection_longest_match():
     assert len(tr) == 1 and tr[0][1] == "based_in"
 
 
+def test_scope_resolution_last_name_anaphor():
+    """Within-document scope resolution (ScopeManager analog): a bare
+    last-name token resolves to the nearest prior mention whose norm
+    ends with it."""
+    det = MentionDetector(["Ada May Verne", "Bo Verne", "Port Alden"])
+    t = "Ada May Verne works for X. Bo Verne sat. Verne visited Port Alden."
+    ms = det.detect(t)
+    anaphor = [m for m in ms if m.surface == "Verne"]
+    assert len(anaphor) == 1
+    # nearest prior antecedent is "Bo Verne", not "Ada May Verne"
+    assert anaphor[0].norm == "bo verne"
+    tr = triples_from_mentions(t, ms, "en")
+    assert ("bo verne", "visited") in {(s.norm, p) for s, p, _o in tr}
+
+    # no antecedent → no mention fabricated
+    ms2 = det.detect("Verne visited Port Alden.")
+    assert [m.surface for m in ms2] == ["Port Alden"]
+
+
+def test_scoped_variant_pr():
+    from cpg_ray.normalize import norm_name  # noqa: F401  (import check)
+    from cpg_ray.pagegen import gold_triples
+    from cpg_ray.stages.link import build_norm_index
+
+    w = cfg_for_variant("scoped").build()
+    det = MentionDetector([r["alias"] for r in w.alias_rows()])
+    idx = build_norm_index(w.alias_rows())
+    cmap = w.canonical_map()
+    got, want = set(), set()
+    for i in range(150):
+        p = render_page(w, i, "scoped")
+        text, _ = extract_text(p["html"])
+        ms = det.detect(text)
+        for m1, pred, m2 in triples_from_mentions(text, ms, p["lang"]):
+            def link(m):
+                h = idx.get(m.norm)
+                return f"inf:{m.norm}" if h is None else cmap.get(h[0], h[0])
+            got.add((link(m1), pred, link(m2)))
+        want |= gold_triples(w, i, "scoped")
+    assert got == want
+    assert any(pred == "visited" for _s, pred, _o in want)
+
+
 def test_unknown_capitalized_run_is_inferred():
     det = MentionDetector(["Ada Verne"])
     ms = det.detect("Ada Verne works for Zorblax Unit 7.")
