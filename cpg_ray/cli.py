@@ -80,9 +80,15 @@ def main(argv: list[str] | None = None) -> int:
 
             # prefer the corpus's own manifest (dictionary scale MUST
             # match generation or linking silently degrades)
-            cfg = cfg_from_manifest(args.pages) or cfg_for_variant(
-                "mixed", scale=args.scale
-            )
+            cfg = cfg_from_manifest(args.pages)
+            if cfg is None:
+                print(
+                    "WARNING: no world manifest in the pages dir (legacy "
+                    f"cache?) — falling back to --scale {args.scale}; a "
+                    "mismatched dictionary silently degrades linking",
+                    file=sys.stderr,
+                )
+                cfg = cfg_for_variant("mixed", scale=args.scale)
             summary = run_flagship(
                 args.pages, args.out, cfg, n_shards=args.shards,
                 resume=args.resume,
