@@ -46,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--pages", required=True)
     t.add_argument("--out", required=True)
     t.add_argument("--shards", type=int, default=8)
+    t.add_argument("--shard-parallelism", type=int, default=2)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--scale", type=int, default=1,
                    help="world scale used when the corpus was generated")
@@ -93,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.pages, args.out, cfg, n_shards=args.shards,
                 resume=args.resume,
                 extract_concurrency=(1, max(2, args.num_cpus - 2)),
+                shard_parallelism=args.shard_parallelism,
             )
             print(json.dumps(summary))
         elif args.cmd == "query":

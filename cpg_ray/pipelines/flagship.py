@@ -46,6 +46,36 @@ def _put(obj):
     return ray.put(obj)
 
 
+def _preimport_fs_modules() -> None:
+    """Make lazily-imported filesystem modules thread-stable before
+    running Ray Data pipelines from multiple threads.
+
+    Ray's path resolution probes ``from fsspec.implementations.http
+    import HTTPFileSystem`` and catches ModuleNotFoundError (aiohttp
+    absent here).  Under CONCURRENT first-import the failed module can
+    be observed half-initialized by another thread, surfacing as
+    ImportError("cannot import name ...") — which Ray does NOT catch.
+    Seeding a benign stub (module with a never-instantiated
+    HTTPFileSystem sentinel) makes the probe deterministic: the import
+    succeeds, the isinstance check is False, no race window exists."""
+    import sys
+    import types
+
+    import fsspec  # noqa: F401
+    import pyarrow.fs  # noqa: F401
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:  # sentinel: nothing is an instance
+            pass
+
+        stub.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
 def triples_dataset(
     pages_ds,
     cfg: WorldCfg,
@@ -109,9 +139,19 @@ def run_flagship(
     n_shards: int = 8,
     resume: bool = False,
     extract_concurrency=(1, 8),
+    shard_parallelism: int = 2,
 ) -> dict:
-    """On-disk sharded run. Returns summary stats (incl. lineage)."""
+    """On-disk sharded run. Returns summary stats (incl. lineage).
+
+    ``shard_parallelism`` runs that many shard sub-pipelines
+    concurrently (threads; Ray releases the GIL while waiting) — shards
+    stay independent commit units, so resume semantics are unchanged
+    while the sequential-shard wall-clock gap closes.  Pools are
+    autoscaling ``(1, k)`` so concurrent pipelines share CPUs without
+    reserving the machine (fixed pools that sum to every CPU deadlock
+    the read stages)."""
     import glob
+    from concurrent.futures import ThreadPoolExecutor
 
     import ray.data as rd
 
@@ -128,10 +168,8 @@ def run_flagship(
     skipped = 0
 
     # ---- phase A: one pass over pages → kind-partitioned graph shards
-    for sid, shard_files in enumerate(shards):
-        if resume and shard_done(out_dir, "graph", sid):
-            skipped += 1
-            continue
+    def run_shard(sid_files):
+        sid, shard_files = sid_files
         t0 = time.monotonic()
         rows_in = sum(pq.read_metadata(f).num_rows for f in shard_files)
         pages = rd.read_parquet(shard_files)
@@ -142,12 +180,21 @@ def run_flagship(
             batch_format="pyarrow",
             concurrency=extract_concurrency,
         )
-        lineage.append(
-            write_shard(
-                graph, out_dir, "graph", sid, "extract", rows_in,
-                shard_files, t0, partition_cols=["kind"],
-            )
+        return write_shard(
+            graph, out_dir, "graph", sid, "extract", rows_in,
+            shard_files, t0, partition_cols=["kind"],
         )
+
+    todo = []
+    for sid, shard_files in enumerate(shards):
+        if resume and shard_done(out_dir, "graph", sid):
+            skipped += 1
+        else:
+            todo.append((sid, shard_files))
+    if todo:
+        _preimport_fs_modules()
+        with ThreadPoolExecutor(max_workers=max(1, shard_parallelism)) as ex:
+            lineage.extend(ex.map(run_shard, todo))
 
     # ---- phase B: link + canonicalize the (small) triples
     if not (resume and shard_done(out_dir, "triples", 0)):
