@@ -210,12 +210,55 @@ def clusters_from_pairs(pairs: pd.DataFrame) -> dict:
     return uf.canonical_map()
 
 
+def jaccard_verify_pairs(
+    ds, pairs: pd.DataFrame, *, id_col: str = "doc_id",
+    text_col: str = "text", threshold: float = 0.6, shingle_n: int = 3,
+) -> pd.DataFrame:
+    """Exact n-gram-Jaccard re-verification of candidate pairs: gather
+    only the candidate ids' texts (broadcast semi-filter — candidates
+    are bounded by near-dup density, not corpus size) and recompute the
+    true Jaccard.  The precision knob on top of the signature
+    estimate."""
+    if pairs.empty:
+        return pairs.assign(jaccard=pd.Series(dtype="float64"))
+    import ray
+
+    cand_ids = set(pairs["a"]) | set(pairs["b"])
+    ref = ray.put(frozenset(cand_ids))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        from .relational import bcast_get
+
+        return b[b[id_col].isin(bcast_get(ref))][[id_col, text_col]]
+
+    texts_df = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    texts = dict(zip(texts_df[id_col], texts_df[text_col]))
+    shingles = {i: word_shingles(t, shingle_n) for i, t in texts.items()}
+
+    def jac(a, b):
+        sa, sb = shingles[a], shingles[b]
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        return inter / union if union else 1.0
+
+    vals = [jac(a, b) for a, b in zip(pairs["a"], pairs["b"])]
+    out = pairs.assign(jaccard=vals)
+    return out[out.jaccard >= threshold].reset_index(drop=True)
+
+
 def near_dedup_minhash(
     ds, *, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 64, bands: int = 16, verify_threshold: float = 0.6,
+    verify: str = "signature",
 ):
     """Full near-dedup: returns (survivors_ds, pairs_df, cluster_map).
     Survivors = rows whose id is the min of its cluster (or unclustered).
+
+    verify="signature" (default): pairs pass on estimated Jaccard
+    (fraction of equal minhash components — free, ±1/√num_perm).
+    verify="jaccard": additionally recompute EXACT word-shingle Jaccard
+    over the candidates' texts (the precision knob; costs one
+    semi-filter pass over the corpus).
     """
     import ray
 
@@ -224,8 +267,14 @@ def near_dedup_minhash(
     ).materialize()
     pairs = minhash_lsh_pairs(
         sig_ds, id_col=id_col, num_perm=num_perm, bands=bands,
-        verify_threshold=verify_threshold,
+        verify_threshold=verify_threshold if verify == "signature" else
+        max(0.0, verify_threshold - 0.2),  # loose pre-filter, exact decides
     )
+    if verify == "jaccard":
+        pairs = jaccard_verify_pairs(
+            ds, pairs, id_col=id_col, text_col=text_col,
+            threshold=verify_threshold,
+        )
     cmap = clusters_from_pairs(pairs)
     drop = {k for k, v in cmap.items() if k != v}
     ref = ray.put(drop)

@@ -116,14 +116,27 @@ def page_plan(world: World, i: int, variant: str):
             facts.append((g.subj, g.pred, g.obj))
     facts = facts[:5]
 
+    # 'ambiguous' variant: when the page subject owns the HIGH-prior
+    # side of an ambiguous alias, refer to it by that shared surface
+    # form — the linker must pick this entity by prior
+    amb_alias = None
+    if variant == "ambiguous":
+        for alias, eid, _canon, prior in world.ambiguous_aliases:
+            if eid == sid and prior > 0.5:
+                amb_alias = alias
+                break
+
     sentences: list[tuple] = []
     for k, (s, pred, o) in enumerate(facts):
         o_render = o
         twin = o + "D" if o.startswith("O") and not o.endswith("D") else None
         if twin and twin in ents and (i + k) % 3 == 2:
             o_render = twin
+        s_alias = alias_of(s, k)
+        if amb_alias is not None and s == sid and k == 0:
+            s_alias = amb_alias
         sentences.append(
-            ("fact", s, pred, o_render, alias_of(s, k), alias_of(o_render, k + 1))
+            ("fact", s, pred, o_render, s_alias, alias_of(o_render, k + 1))
         )
 
     unresolved = variant == "unresolved" or (variant == "mixed" and i % 23 == 5)

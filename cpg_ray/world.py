@@ -189,6 +189,14 @@ class World:
                 ents[twin] = Entity(twin, tname, (tname,), "org")
                 self.equivalences.append((eid, twin))
 
+        # ambiguous aliases: one surface form registered for TWO person
+        # entities with different priors — the linker must resolve by
+        # prior, deterministically (CallResolver candidate-scoring
+        # analog, CallResolver.java:242-301).  Kept out of page text
+        # except in the 'ambiguous' variant, so other fixtures are
+        # byte-stable.
+        self.ambiguous_aliases: list[tuple[str, str, str, float]] = []
+
         n_hot = int(self.n_persons * self.hot_frac)
         for p in range(self.n_persons):
             a = (p + s) % len(FIRST)
@@ -202,6 +210,13 @@ class World:
             org = 0 if p < n_hot else (p * 11 + s) % self.n_orgs
             self._add_fact(eid, "works_for", f"O{org:05d}")
             self._add_fact(eid, "born_in", f"C{(p * 17 + s) % self.n_cities:05d}")
+            if p % 97 == 3 and p + 1 < self.n_persons:
+                last = [t for t in full.split() if t.isalpha()][-1]
+                amb = f"Famous {last}"
+                self.ambiguous_aliases.append((amb, eid, full, 0.9))
+                self.ambiguous_aliases.append(
+                    (amb, f"P{p + 1:06d}", "", 0.45)
+                )
 
     def _add_fact(self, subj: str, pred: str, obj: str) -> None:
         self.facts_by_subj.setdefault(subj, []).append(Fact(subj, pred, obj))
@@ -222,6 +237,15 @@ class World:
                         "prior": 1.0 / (1 + r),
                     }
                 )
+        for alias, eid, canon, prior in self.ambiguous_aliases:
+            rows.append(
+                {
+                    "alias": alias,
+                    "entity_id": eid,
+                    "canonical_name": canon or self.entities[eid].canonical_name,
+                    "prior": prior,
+                }
+            )
         return rows
 
     def canonical_map(self) -> dict[str, str]:

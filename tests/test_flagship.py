@@ -27,7 +27,8 @@ def _pr(got: set, want: set):
     return p, r
 
 
-@pytest.mark.parametrize("variant", ["basic", "unresolved", "skew", "mixed"])
+@pytest.mark.parametrize("variant", ["basic", "unresolved", "skew", "mixed",
+                                     "ambiguous", "scoped"])
 def test_flagship_pr(variant):
     cfg = cfg_for_variant(variant)
     pages = generate_pages_dataset(N, cfg, variant)
@@ -70,6 +71,22 @@ def test_skew_hot_entity_still_exact():
     assert hot_share >= 0.5
     edf = ents.to_pandas()
     assert (edf.entity_id == "O00000").sum() == 1  # exactly one canonical row
+
+
+def test_ambiguous_alias_resolved_by_prior():
+    """One surface form registered for two entities: the linker must
+    pick the higher-prior candidate deterministically (CallResolver
+    scoring analog)."""
+    from cpg_ray.stages.link import build_norm_index
+
+    w = cfg_for_variant("ambiguous").build()
+    assert w.ambiguous_aliases, "fixture lost its ambiguous aliases"
+    idx = build_norm_index(w.alias_rows())
+    from cpg_ray.normalize import norm_name
+
+    for alias, eid, _canon, prior in w.ambiguous_aliases:
+        if prior > 0.5:
+            assert idx[norm_name(alias)][0] == eid
 
 
 def test_infer_on_miss_toggle():

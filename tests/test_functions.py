@@ -58,6 +58,26 @@ def test_minhash_near_dedup_recall_precision():
         assert jaccard(texts[int(a)], texts[int(b)]) > 0.4
 
 
+def test_minhash_jaccard_verify_mode():
+    """Exact-Jaccard verification kills borderline pairs the signature
+    estimate lets through, and keeps true near-dups."""
+    from cpg_ray.functions.dedup import near_dedup_minhash
+
+    base = _docs()[["doc_id", "text"]].head(150)
+    dup = base[base.doc_id % 10 == 0].copy()
+    dup["doc_id"] += 1_000_000
+    dup["text"] += " tail"
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    _s, pairs, _c = near_dedup_minhash(ds, verify_threshold=0.8,
+                                       verify="jaccard")
+    assert "jaccard" in pairs.columns
+    assert (pairs.jaccard >= 0.8).all()
+    injected = {(int(i), int(i) + 1_000_000) for i in dup.doc_id - 1_000_000}
+    got = {(min(int(a), int(b)), max(int(a), int(b)))
+           for a, b in zip(pairs.a, pairs.b)}
+    assert injected <= got
+
+
 def test_simhash_separates_near_dups_from_random():
     from cpg_ray.functions.dedup import simhash_pairs, simhash_signatures
 

@@ -6,10 +6,19 @@ from cpg_ray.world import World
 
 
 def test_alias_uniqueness_small_and_large():
+    """Alias surfaces are unique except the DELIBERATELY ambiguous ones
+    (each registered for exactly two entities, resolved by prior)."""
+    from collections import Counter
+
     for scale in (1, 8):
         w = World(42, 400 * scale, 120 * scale, 60 * scale)
-        aliases = [r["alias"] for r in w.alias_rows()]
-        assert len(aliases) == len(set(aliases))
+        counts = Counter(r["alias"] for r in w.alias_rows())
+        ambiguous = {a for a, _e, _c, _p in w.ambiguous_aliases}
+        for alias, n in counts.items():
+            if alias in ambiguous:
+                assert n == 2, alias
+            else:
+                assert n == 1, alias
 
 
 def test_world_deterministic():
