@@ -123,7 +123,18 @@ def page_plan(world: World, i: int, variant: str):
     if variant == "ambiguous":
         for alias, eid, _canon, prior in world.ambiguous_aliases:
             if eid == sid and prior > 0.5:
-                amb_alias = alias
+                # only when sid actually WINS the alias (max prior, then
+                # min id — at scale two persons can share a last name
+                # and both hold a 0.9 entry)
+                cands = [
+                    (pr, e)
+                    for a2, e, _c, pr in world.ambiguous_aliases
+                    if a2 == alias
+                ]
+                best_pr = max(pr for pr, _e in cands)
+                winner = min(e for pr, e in cands if pr == best_pr)
+                if winner == sid:  # same rule as build_norm_index
+                    amb_alias = alias
                 break
 
     sentences: list[tuple] = []

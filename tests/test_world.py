@@ -16,7 +16,7 @@ def test_alias_uniqueness_small_and_large():
         ambiguous = {a for a, _e, _c, _p in w.ambiguous_aliases}
         for alias, n in counts.items():
             if alias in ambiguous:
-                assert n == 2, alias
+                assert n % 2 == 0, alias  # pairs; shared last names stack
             else:
                 assert n == 1, alias
 
