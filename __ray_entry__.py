@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_decode": q.q_multimodal_decode,
         "q_events_sliding": q.q_events_sliding,
         "q_events_asof": q.q_events_asof,
+        "q_events_interval": q.q_events_interval,
         "q_sample_events": q.q_sample_events,
         "q_approx_stats": q.q_approx_stats,
         "kg_triples": _kg_triples,

@@ -153,6 +153,70 @@ def asof_join(left, right, *, by: str, on: str, right_value_cols: list[str],
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def interval_join(left, right, *, by: str, on: str,
+                  lower: "pd.Timedelta", upper: "pd.Timedelta",
+                  right_value_cols: list[str], n_buckets: int = 16,
+                  how: str = "inner"):
+    """Stream-stream interval join: pair each left row with the right
+    rows of the same ``by`` key whose ``on`` lies in
+    [left.on + lower, left.on + upper).  Same bucketed shape as
+    :func:`asof_join`; within a bucket the pairing is a pandas
+    key-equi-merge followed by a vectorized window filter (quadratic
+    only within one key's rows, bounded by per-key event volume)."""
+    left_cols = left.schema().names
+    rvals = [f"{c}_r" for c in right_value_cols]
+    ron = f"{on}_r"
+    common = list(dict.fromkeys(left_cols + rvals + [ron]))
+
+    def bucketize_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in rvals + [ron]:
+            b[c] = pd.NA
+        b["__bucket"] = (b[by].astype("int64") % n_buckets).astype("int32")
+        b["__side"] = 0
+        return b[common + ["__bucket", "__side"]]
+
+    def bucketize_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[by]].copy()
+        out[ron] = b[on].values
+        for c, rc in zip(right_value_cols, rvals):
+            out[rc] = b[c].values
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__bucket"] = (out[by].astype("int64") % n_buckets).astype("int32")
+        out["__side"] = 1
+        return out[common + ["__bucket", "__side"]]
+
+    lt = left.map_batches(bucketize_left, batch_format="pandas")
+    rt = right.map_batches(bucketize_right, batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g.__side == 0][left_cols]
+        rhs = g[g.__side == 1][[by, ron] + rvals]
+        if lhs.empty:
+            return lhs.assign(**{c: pd.Series(dtype="object")
+                                 for c in rvals + [ron]})
+        m = lhs.merge(rhs, on=by, how="left")
+        ts = pd.to_datetime(m[ron])
+        in_win = (ts >= m[on] + lower) & (ts < m[on] + upper)
+        if how == "inner":
+            return m[in_win.fillna(False)]
+        # left: keep non-matching left rows once with NA right values
+        m.loc[~in_win.fillna(False), rvals + [ron]] = pd.NA
+        matched = m[in_win.fillna(False)]
+        keys_matched = set(map(tuple, matched[left_cols].values.tolist()))
+        unmatched = m[~in_win.fillna(False)].drop_duplicates(left_cols)
+        unmatched = unmatched[
+            [tuple(r) not in keys_matched
+             for r in unmatched[left_cols].values.tolist()]
+        ]
+        return pd.concat([matched, unmatched], ignore_index=True)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 # ---- aggregation with pre-combine -----------------------------------------
 
 _PARTIALS = {

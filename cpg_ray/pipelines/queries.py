@@ -561,6 +561,42 @@ def q_events_asof(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_events_interval(sf_dir: str) -> pd.DataFrame:
+    """Interval join: for each purchase, the user's click count in the
+    preceding hour (stream-stream window join over the events log)."""
+    from ..functions.relational import interval_join
+
+    purchases = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b.event_type == "purchase"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    clicks = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b.event_type == "click"][["user_id", "ts"]].assign(
+            click_ts=lambda x: x.ts
+        ),
+        batch_format="pandas",
+    )
+    joined = interval_join(
+        purchases, clicks, by="user_id", on="ts",
+        lower=pd.Timedelta(hours=-1), upper=pd.Timedelta(0),
+        right_value_cols=["click_ts"], how="left",
+    )
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["event_id", "user_id"], sort=False)["click_ts_r"]
+        out = g.count().rename("n_recent_clicks").reset_index()
+        out["n_recent_clicks"] = out["n_recent_clicks"].astype("int64")
+        return out
+
+    df = joined.map_batches(count, batch_format="pandas").to_pandas()
+    # counts are per-bucket-complete (a purchase lives in one bucket)
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
     """Seeded random sample + shuffle (O-family; rows-only — sampling
     is seed-stable within a Ray version, not SQL-reproducible)."""
@@ -819,6 +855,18 @@ ORACLE_SQL: dict[str, str] = {
         )
         WHERE event_type = 'purchase'
         ORDER BY event_id
+    """,
+    "q_events_interval": """
+        SELECT p.event_id, p.user_id, count(c.ts)::BIGINT AS n_recent_clicks
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+        ORDER BY p.event_id
     """,
     "q_knn_cosine": """
         SELECT vec_id,
