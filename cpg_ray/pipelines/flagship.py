@@ -187,7 +187,7 @@ def run_flagship(
 
     todo = []
     for sid, shard_files in enumerate(shards):
-        if resume and shard_done(out_dir, "graph", sid):
+        if resume and shard_done(out_dir, "graph", sid, shard_files):
             skipped += 1
         else:
             todo.append((sid, shard_files))

@@ -44,8 +44,24 @@ def shard_dir(out_dir: str, table: str, shard_id: int) -> str:
     return os.path.join(out_dir, table, f"shard={shard_id}")
 
 
-def shard_done(out_dir: str, table: str, shard_id: int) -> bool:
-    return os.path.exists(os.path.join(shard_dir(out_dir, table, shard_id), "_SUCCESS"))
+def shard_done(out_dir: str, table: str, shard_id: int,
+               input_files: list[str] | None = None) -> bool:
+    """A shard counts as done when its _SUCCESS marker exists AND (when
+    ``input_files`` is given) the lineage's recorded inputs match the
+    current assignment — incremental recompute: a shard whose input
+    file set changed is stale and reruns (lineage as the commit log,
+    SURVEY.md §7.4.7)."""
+    marker = os.path.join(shard_dir(out_dir, table, shard_id), "_SUCCESS")
+    if not os.path.exists(marker):
+        return False
+    if input_files is None:
+        return True
+    try:
+        with open(marker) as f:
+            lineage = json.load(f)
+        return sorted(lineage.get("input_files", [])) == sorted(input_files)
+    except (OSError, ValueError):
+        return False
 
 
 def write_shard(

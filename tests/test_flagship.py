@@ -125,6 +125,17 @@ def test_run_flagship_resume(tmp_path):
     assert s3["shards_skipped"] == s3["shards"] - 1
     assert s3["triples_out"] == s1["triples_out"]
 
+    # incremental recompute: a shard whose INPUT FILES changed is stale
+    # even though its marker exists
+    extra = os.path.join(pages_dir, "zz_extra.parquet")
+    import pyarrow.parquet as pq2
+
+    src = glob.glob(os.path.join(pages_dir, "*.parquet"))[0]
+    pq2.write_table(pq2.read_table(src).slice(0, 5), extra)
+    s4 = run_flagship(pages_dir, out_dir, cfg, n_shards=2, resume=True)
+    assert s4["shards_skipped"] < s4["shards"]  # at least one stale shard reran
+    os.remove(extra)
+
     # lineage/metrics written
     mfiles = glob.glob(os.path.join(out_dir, "metrics", "*.parquet"))
     assert mfiles
