@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -98,6 +99,70 @@ def semi_anti_filter(ds, key_col: str, keys, *, anti: bool = False):
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         ks = bcast_get(ref)
         mask = batch[key_col].isin(ks)
+        return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+class BloomFilter:
+    """Vectorized Bloom filter for semi joins whose key set is too big
+    to broadcast exactly (guide: 'broadcast the key set or a Bloom
+    filter of it').  blake2b-seeded double hashing, k derived from the
+    target false-positive rate; numpy bit array broadcasts as one
+    zero-copy buffer."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        m = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, int(round(self.m / max(1, capacity) * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
+        from hashlib import blake2b
+
+        h1 = np.empty(len(values), dtype=np.uint64)
+        h2 = np.empty(len(values), dtype=np.uint64)
+        for i, v in enumerate(values):
+            d = blake2b(str(v).encode("utf-8"), digest_size=16).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little") | 1  # odd → full cycle
+        return h1, h2
+
+    def add_batch(self, values) -> "BloomFilter":
+        h1, h2 = self._hashes(values)
+        for j in range(self.k):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(
+                self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return self
+
+    def contains_batch(self, values) -> np.ndarray:
+        h1, h2 = self._hashes(values)
+        out = np.ones(len(h1), dtype=bool)
+        for j in range(self.k):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(self.m)
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= (word & (np.uint64(1) << (idx & np.uint64(63)))) != 0
+        return out
+
+
+def bloom_semi_filter(ds, key_col: str, keys, *, fp_rate: float = 0.01,
+                      anti: bool = False):
+    """Semi join via broadcast Bloom filter: exact for the semi side up
+    to fp_rate false KEEPS (never false drops); the anti side can
+    false-DROP at fp_rate — callers needing exact anti must re-verify
+    survivors against the true set."""
+    import ray
+
+    keys = list(keys)
+    bf = BloomFilter(len(keys), fp_rate).add_batch(keys)
+    ref = ray.put(bf)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        b = bcast_get(ref)
+        mask = b.contains_batch(batch[key_col].values)
         return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(f, batch_format="pandas")

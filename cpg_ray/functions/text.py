@@ -76,6 +76,26 @@ def langid(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def hashing_vectorizer(batch: pd.DataFrame, *, text_col: str = "text",
+                       dim: int = 64, out_col: str = "embedding") -> pd.DataFrame:
+    """Feature-hashing bag-of-words vectors (list<float>, L2-normalized)
+    — a deterministic, dependency-free text 'embedding' that feeds the
+    similarity/near-dup operators (the batched model-inference shape
+    without a model in the container; swap the body for a real encoder).
+    Signed hashing kills bias: sign = bit 31 of the token hash."""
+    out = batch.copy()
+    vecs = []
+    for t in batch[text_col]:
+        v = np.zeros(dim, dtype=np.float64)
+        for tok in re.findall(TOKEN_RE, t.lower()):
+            h = zlib.crc32(tok.encode("utf-8"))
+            v[h % dim] += 1.0 if (h >> 31) & 1 else -1.0
+        n = np.linalg.norm(v)
+        vecs.append((v / n if n else v).astype(np.float32).tolist())
+    out[out_col] = vecs
+    return out
+
+
 _FP_WINDOW = 8
 
 
