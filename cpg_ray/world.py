@@ -108,6 +108,19 @@ PRED_TEMPLATES: dict[str, dict[str, tuple[str, str]]] = {
     },
 }
 
+# Spanish connector support for the extractor's language dispatch (the
+# generator does not emit es pages — fixture bytes stay frozen — but a
+# user's es corpus parses through the same tables).
+for _pred, _conn in {
+    "works_for": " trabaja para ",
+    "born_in": " nació en ",
+    "based_in": " tiene su sede en ",
+    "located_in": " está situada en ",
+    "acquired": " adquirió ",
+    "visited": " visitó ",
+}.items():
+    PRED_TEMPLATES[_pred]["es"] = (_conn, "")
+
 # Reverse map used by the extract stage: lang → {connector.strip(): pred}.
 CONNECTOR_TO_PRED: dict[str, dict[str, str]] = {}
 for _pred, _by_lang in PRED_TEMPLATES.items():
