@@ -113,8 +113,14 @@ def write_metrics(out_dir: str, lineage_rows: list[dict]) -> None:
         {name: [r[name] for r in lineage_rows] for name in METRICS.names},
         schema=METRICS,
     )
-    # hash-named file per flush → idempotent overwrite on resume
-    key = abs(hash(tuple(sorted(r["partition_id"] for r in lineage_rows)))) % 10**9
+    # content-named file per flush → idempotent overwrite on resume
+    # (crc32, NOT builtin hash(): PYTHONHASHSEED randomizes the latter
+    # per process, which would leak duplicate metric files across reruns)
+    import zlib
+
+    key = zlib.crc32(
+        "|".join(sorted(r["partition_id"] for r in lineage_rows)).encode()
+    )
     pq.write_table(tbl, os.path.join(d, f"metrics-{key}.parquet"))
 
 
