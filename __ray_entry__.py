@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_expressions": q.q_lineitem_expressions,
         "q_grouped_topk_parts": q.q_grouped_topk_parts,
         "q_dedup_groups": q.q_dedup_groups,
+        "q_part_type_stats": q.q_part_type_stats,
+        "q_region_nation_union": q.q_region_nation_union,
         "q_doc_token_stats": q.q_doc_token_stats,
         "q_doc_quality": q.q_doc_quality,
         "q_events_sessions": q.q_events_sessions,

@@ -304,6 +304,41 @@ def q_grouped_topk_parts(sf_dir: str) -> pd.DataFrame:
                           ascending=[True, False, True]).reset_index(drop=True)
 
 
+def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """String-predicate filter (F3: LIKE / contains) + grouped stats."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_type", "p_brand", "p_retailprice", "p_size"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b.p_type.str.contains("ARD", regex=False)]
+
+    agg = groupby_agg(
+        ds.map_batches(f, batch_format="pandas"), ["p_brand"],
+        [("p_retailprice", "mean", "avg_price"),
+         ("p_size", "max", "max_size"),
+         ("p_type", "count", "n_parts")],
+    )
+    df = agg.to_pandas()
+    df["avg_price"] = df["avg_price"].round(2)
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_region_nation_union(sf_dir: str) -> pd.DataFrame:
+    """Dataset union (D2 analog: merging per-source node sets)."""
+    import ray.data as rd
+
+    r = read_table(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda b: pd.DataFrame({"name": b.r_name, "kind": "region"}),
+        batch_format="pandas",
+    )
+    n = read_table(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda b: pd.DataFrame({"name": b.n_name, "kind": "nation"}),
+        batch_format="pandas",
+    )
+    df = r.union(n).to_pandas()
+    return df.sort_values(["kind", "name"]).reset_index(drop=True)
+
+
 def q_dedup_groups(sf_dir: str) -> pd.DataFrame:
     """Exact keep-first dedup shape (D1/A3): min doc per (lang, source)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
@@ -778,6 +813,22 @@ ORACLE_SQL: dict[str, str] = {
         )
         WHERE rn <= 3
         ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """,
+    "q_part_type_stats": """
+        SELECT p_brand,
+               round(avg(p_retailprice), 2) AS avg_price,
+               max(p_size)                  AS max_size,
+               count(*)                     AS n_parts
+        FROM part
+        WHERE p_type LIKE '%ARD%'
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "q_region_nation_union": """
+        SELECT r_name AS name, 'region' AS kind FROM region
+        UNION ALL
+        SELECT n_name AS name, 'nation' AS kind FROM nation
+        ORDER BY kind, name
     """,
     "q_dedup_groups": """
         SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n_copies
