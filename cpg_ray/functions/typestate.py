@@ -17,7 +17,7 @@ reference's per-function evaluation).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
 
