@@ -106,9 +106,10 @@ def _batch_sample(values: np.ndarray, k: int, seed: int) -> np.ndarray:
     same rows are picked regardless of batch boundaries)."""
     if len(values) <= k:
         return values
-    keys = np.array(
-        [zlib.crc32(f"{seed}:{v}:{i}".encode()) for i, v in enumerate(values)]
-    )
+    # key on the VALUE only — a within-batch row index would make the
+    # selected sample depend on upstream batch boundaries (duplicate
+    # values share a key; the stable argsort keeps them deterministic)
+    keys = np.array([zlib.crc32(f"{seed}:{v}".encode()) for v in values])
     return values[np.argsort(keys, kind="stable")[:k]]
 
 

@@ -301,24 +301,33 @@ def materialize_pages(path: str, n_pages: int, cfg: WorldCfg,
 
     import json
 
+    manifest = {
+        "n_pages": n_pages,
+        "variant": variant,
+        "seed": cfg.seed,
+        "n_persons": cfg.n_persons,
+        "n_orgs": cfg.n_orgs,
+        "n_cities": cfg.n_cities,
+        "hot_frac": cfg.hot_frac,
+    }
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
-        return path
+        # only skip when the cached corpus matches THIS request — a
+        # stale cache generated with different parameters regenerates
+        try:
+            with open(done) as f:
+                cached = json.load(f)
+        except (OSError, ValueError):
+            cached = None
+        if cached == manifest:
+            return path
+        import shutil
+
+        shutil.rmtree(path)
     ds = generate_pages_dataset(n_pages, cfg, variant)
     ds.write_parquet(path, min_rows_per_file=max(1, n_pages // num_files))
     with open(done, "w") as f:
-        json.dump(
-            {
-                "n_pages": n_pages,
-                "variant": variant,
-                "seed": cfg.seed,
-                "n_persons": cfg.n_persons,
-                "n_orgs": cfg.n_orgs,
-                "n_cities": cfg.n_cities,
-                "hot_frac": cfg.hot_frac,
-            },
-            f,
-        )
+        json.dump(manifest, f)
     return path
 
 

@@ -621,14 +621,14 @@ def q_events_interval(sf_dir: str) -> pd.DataFrame:
         right_value_cols=["click_ts"], how="left",
     )
 
-    def count(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(["event_id", "user_id"], sort=False)["click_ts_r"]
-        out = g.count().rename("n_recent_clicks").reset_index()
-        out["n_recent_clicks"] = out["n_recent_clicks"].astype("int64")
-        return out
-
-    df = joined.map_batches(count, batch_format="pandas").to_pandas()
-    # counts are per-bucket-complete (a purchase lives in one bucket)
+    # count of non-null click_ts_r per purchase via the pre-combined
+    # groupby — NOT a per-batch count: Ray may split a bucket's rows
+    # across batches at its default batch_size, and a per-batch count
+    # would then emit duplicate event_id rows with partial counts.
+    agg = groupby_agg(joined, ["event_id", "user_id"],
+                      [("click_ts_r", "count", "n_recent_clicks")])
+    df = agg.to_pandas()
+    df["n_recent_clicks"] = df["n_recent_clicks"].astype("int64")
     return df.sort_values("event_id").reset_index(drop=True)
 
 
@@ -838,7 +838,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_doc_token_stats": """
         SELECT lang,
-               sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS total_tokens,
+               sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))::BIGINT AS total_tokens,
                round(avg(length(text)), 2)                         AS avg_chars,
                count(*)                                            AS n_docs
         FROM documents

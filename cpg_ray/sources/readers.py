@@ -57,11 +57,22 @@ def read_text(path, columns=None, **kw):
     return rd.read_text(path, **kw)
 
 
-@_register(".warc", ".gz")
+@_register(".warc", ".warc.gz")
 def read_warc_files(path, columns=None, **kw):
     from .warc import read_warc
 
     return read_warc(path, **kw)
+
+
+def _dispatch_suffix(name: str) -> str:
+    """Compound-aware suffix: '.gz' dispatches on the inner suffix
+    (data.warc.gz → '.warc.gz', data.csv.gz → '.csv.gz' → explicit
+    'no reader' error rather than silently parsing gzip bytes as WARC)."""
+    name = name.lower()
+    if name.endswith(".gz"):
+        inner = os.path.splitext(name[: -len(".gz")])[1]
+        return f"{inner}.gz" if inner else ".gz"
+    return os.path.splitext(name)[1]
 
 
 def read_any(path: str, columns=None, **kw):
@@ -75,7 +86,7 @@ def read_any(path: str, columns=None, **kw):
         if not entries:
             raise FileNotFoundError(f"no data files under {path}")
         probe = entries[0]
-    suffix = os.path.splitext(probe)[1].lower()
+    suffix = _dispatch_suffix(probe)
     reader = _READERS.get(suffix)
     if reader is None:
         raise ValueError(
