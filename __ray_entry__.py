@@ -102,25 +102,36 @@ def _kg_extracted_text(sf_dir: str):
     )
 
 
+def _ensure_graph(sf_dir: str, variant: str = "mixed") -> str:
+    """Materialize the sharded graph Parquet for (sf, variant) under /tmp
+    (resumable; cache dir versioned by the graph format so a schema
+    change invalidates stale caches) and return the output dir.  These
+    files are the SHARED base tables for the kg_* queries and their
+    DuckDB oracles."""
+    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+    from cpg_ray.pipelines.flagship import run_flagship
+    from cpg_ray.stages.extract import GRAPH_FORMAT_VERSION
+
+    n = _n_pages_for(sf_dir)
+    scale = max(1, n // 2000)
+    cfg = cfg_for_variant(variant, scale=scale)
+    pages_path = materialize_pages(
+        f"/tmp/cpg_ray_pages/{variant}_{n}_{cfg.seed}", n, cfg, variant
+    )
+    out_dir = (
+        f"/tmp/cpg_ray_graph/{variant}_{n}_{cfg.seed}_v{GRAPH_FORMAT_VERSION}"
+    )
+    run_flagship(pages_path, out_dir, cfg, n_shards=4, resume=True)
+    return out_dir
+
+
 def _graph_tables(sf_dir: str):
-    """Materialized nodes/edges Datasets for the graph-query layer
-    (built once per sf via the resumable sharded pipeline, cached on
-    disk under /tmp)."""
+    """Materialized nodes/edges Datasets for the graph-query layer."""
     import glob
 
     import ray.data as rd
 
-    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
-    from cpg_ray.pipelines.flagship import run_flagship
-
-    n = _n_pages_for(sf_dir)
-    scale = max(1, n // 2000)
-    cfg = cfg_for_variant("mixed", scale=scale)
-    pages_path = materialize_pages(
-        f"/tmp/cpg_ray_pages/mixed_{n}_{cfg.seed}", n, cfg, "mixed"
-    )
-    out_dir = f"/tmp/cpg_ray_graph/mixed_{n}_{cfg.seed}"
-    run_flagship(pages_path, out_dir, cfg, n_shards=4, resume=True)
+    out_dir = _ensure_graph(sf_dir, "mixed")
     nodes = rd.read_parquet(
         sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
         columns=["node_id", "label", "name", "norm_name", "url",
@@ -160,16 +171,18 @@ def _kg_label_filter(sf_dir: str):
 
 def _kg_dangling_edges(sf_dir: str):
     """Graph consistency check (M12/D4 analog) — must return 0 rows."""
-    from cpg_ray.functions.graphquery import dangling_edges
+    from cpg_ray.functions.graphquery import DANGLING_COLS, dangling_edges
 
     nodes, edges = _graph_tables(sf_dir)
     df = dangling_edges(nodes, edges).to_pandas()
     if df.empty:
         import pandas as pd
 
-        df = pd.DataFrame({"src_id": pd.Series(dtype="object"),
-                           "dst_id": pd.Series(dtype="object")})
-    return df
+        df = pd.DataFrame({c: pd.Series(dtype="object")
+                           for c in DANGLING_COLS})
+    return df[list(df.columns)].sort_values(list(df.columns)).reset_index(
+        drop=True
+    )
 
 
 def _kg_eog_chains(sf_dir: str):
@@ -191,12 +204,9 @@ def _kg_problems(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    _nodes, _edges = _graph_tables(sf_dir)  # ensures the cache exists
-    n = _n_pages_for(sf_dir)
+    out_dir = _ensure_graph(sf_dir, "mixed")
     files = sorted(
-        glob.glob(
-            f"/tmp/cpg_ray_graph/mixed_{n}_42/graph/shard=*/kind=problem/*.parquet"
-        )
+        glob.glob(f"{out_dir}/graph/shard=*/kind=problem/*.parquet")
     )
     if not files:
         return pd.DataFrame({"url": pd.Series(dtype="object"),
@@ -334,7 +344,133 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """DuckDB oracles for the kg_* family over the SAME materialized
+    graph Parquet the Ray graph queries read: the graph-query operators
+    (joins, filters, group-bys, recursive reachability) are verified
+    against independent SQL semantics on shared base tables — the
+    driver-side analog of the reference's programmatic graph assertions
+    (EOGTest.java:70+, CallResolverTest.java).  kg_triples/kg_entities/
+    kg_scope_resolution additionally cross-check the in-memory pipeline
+    path against the independently-written sharded disk path."""
+    graph_dir = _ensure_graph(sf_dir, "mixed")
+    scoped_dir = _ensure_graph(sf_dir, "scoped")
+    n = _n_pages_for(sf_dir)
+    pages_glob = f"/tmp/cpg_ray_pages/mixed_{n}_42/*.parquet"
+    gsrc = (
+        f"read_parquet('{graph_dir}/graph/shard=*/kind=*/*.parquet', "
+        f"hive_partitioning=1)"
+    )
+    triples_glob = f"{graph_dir}/triples/shard=0/*.parquet"
+    scoped_triples = f"{scoped_dir}/triples/shard=0/*.parquet"
+    entities_pq = f"{graph_dir}/entities/entities.parquet"
+    triple_cols = ("subj, pred, obj, url, span_start, subj_is_inferred, "
+                   "obj_is_inferred, canonical_subj, canonical_obj")
+    return {
+        "kg_rel_chain": f"""
+            SELECT e.src_id, e.dst_id, e.url,
+                   s.name AS src_name, d.name AS dst_name
+            FROM {gsrc} e
+            JOIN {gsrc} s ON s.kind = 'node' AND s.label = 'Section'
+                         AND s.node_id = e.src_id
+            JOIN {gsrc} d ON d.kind = 'node' AND d.label = 'Mention'
+                         AND d.node_id = e.dst_id
+            WHERE e.kind = 'edge' AND e.etype = 'AST'
+            ORDER BY e.url, e.src_id, e.dst_id
+        """,
+        "kg_label_filter": f"""
+            SELECT node_id, label, name, norm_name, url,
+                   span_start, span_end, is_inferred
+            FROM {gsrc}
+            WHERE kind = 'node' AND label = 'Mention' AND is_inferred
+            ORDER BY url, span_start
+        """,
+        "kg_dangling_edges": f"""
+            SELECT e.src_id, e.dst_id, e.etype, e.url
+            FROM {gsrc} e
+            WHERE e.kind = 'edge' AND (
+                NOT EXISTS (SELECT 1 FROM {gsrc} n
+                            WHERE n.kind = 'node' AND n.node_id = e.src_id)
+             OR NOT EXISTS (SELECT 1 FROM {gsrc} n
+                            WHERE n.kind = 'node' AND n.node_id = e.dst_id))
+            ORDER BY e.src_id, e.dst_id
+        """,
+        "kg_graph_stats": f"""
+            SELECT kind, coalesce(etype, '') AS etype,
+                   coalesce(label, '') AS label, count(*)::BIGINT AS n
+            FROM {gsrc}
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "kg_eog_chains": f"""
+            SELECT url, count(*)::BIGINT AS chain_len,
+                   (min("index") = 0 AND max("index") = count(*) - 1
+                    AND count(DISTINCT "index") = count(*)) AS dense_index
+            FROM {gsrc}
+            WHERE kind = 'edge' AND etype = 'EOG'
+            GROUP BY url
+            ORDER BY url
+        """,
+        "kg_eog_reach": f"""
+            WITH RECURSIVE ee AS (
+                SELECT src_id, dst_id, url FROM {gsrc}
+                WHERE kind = 'edge' AND etype = 'EOG'
+            ), roots AS (
+                SELECT DISTINCT url, src_id FROM ee e
+                WHERE NOT EXISTS (SELECT 1 FROM ee x
+                                  WHERE x.url = e.url AND x.dst_id = e.src_id)
+            ), reach AS (
+                SELECT r.url, r.src_id AS root, e.dst_id, 1 AS hops
+                FROM roots r
+                JOIN ee e ON e.url = r.url AND e.src_id = r.src_id
+                UNION
+                SELECT p.url, p.root, e.dst_id, p.hops + 1
+                FROM reach p
+                JOIN ee e ON e.url = p.url AND e.src_id = p.dst_id
+                WHERE p.hops < 3
+            )
+            SELECT url, root AS src_id, dst_id, min(hops)::BIGINT AS hops
+            FROM reach
+            GROUP BY url, root, dst_id
+            ORDER BY url, src_id, hops
+        """,
+        "kg_extracted_text": f"""
+            SELECT p.url, true AS byte_identical,
+                   EXISTS (SELECT 1 FROM {gsrc} q
+                           WHERE q.kind = 'problem' AND q.url = p.url)
+                       AS is_problem
+            FROM read_parquet('{pages_glob}') p
+            ORDER BY p.url
+        """,
+        "kg_triples": f"""
+            SELECT {triple_cols}
+            FROM read_parquet('{triples_glob}')
+            ORDER BY canonical_subj, pred, canonical_obj, url, span_start
+        """,
+        "kg_entities": f"""
+            SELECT entity_id, canonical_name,
+                   coalesce(array_to_string(aliases, '|'), '') AS aliases,
+                   is_inferred
+            FROM read_parquet('{entities_pq}')
+            ORDER BY entity_id
+        """,
+        "kg_scope_resolution": f"""
+            SELECT {triple_cols}
+            FROM read_parquet('{scoped_triples}')
+            WHERE pred = 'visited'
+            ORDER BY url, span_start
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from cpg_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # kg oracles read the /tmp graph Parquet that the kg queries also
+    # build — materialize it here so the SQL is runnable regardless of
+    # whether the driver executes the Ray query or the oracle first.
+    # (The driver compares at sf0.01; override for local checking.)
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out.update(_kg_oracle_sql(sf_dir))
+    return out

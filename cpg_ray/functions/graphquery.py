@@ -71,23 +71,38 @@ def rel_chain(nodes_ds, edges_ds, *, etype: str, src_label: str,
     return j2
 
 
-def dangling_edges(nodes_ds, edges_ds):
+DANGLING_COLS = ["src_id", "dst_id", "etype", "url"]
+
+
+def dangling_edges(nodes_ds, edges_ds, *, num_partitions: int = 16):
     """Edges whose src or dst id is missing from the node table — the
     graph-consistency check; MUST be empty for a well-formed graph.
-    Broadcast anti-join (node-id set is the small side per corpus)."""
-    import ray
 
-    ids = set()
-    for b in nodes_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        ids.update(b["node_id"].to_pylist())
-    ref = ray.put(frozenset(ids))
+    Scale shape: ONE hash-partitioned ``left_anti`` join — edges are
+    exploded to (edge attrs, endpoint) rows (2 rows per edge) and
+    anti-joined against the node-id column, so no node-id set is ever
+    collected on the driver (the previous broadcast-set version held
+    every node id in one Python set — tens of GB at corpus scale).
+    An edge with both endpoints missing surfaces twice; the final
+    distinct collapses it (the dangling set is tiny by definition)."""
+    from .relational import distinct_on
 
-    def check(batch: pd.DataFrame) -> pd.DataFrame:
-        known = bcast_get(ref)
-        bad = ~(batch["src_id"].isin(known) & batch["dst_id"].isin(known))
-        return batch[bad]
+    nid = nodes_ds.map_batches(
+        lambda t: t.select(["node_id"]), batch_format="pyarrow"
+    )
 
-    return edges_ds.map_batches(check, batch_format="pandas")
+    def explode(t: pa.Table) -> pa.Table:
+        base = t.select(DANGLING_COLS)
+        a = base.append_column("endpoint", t["src_id"])
+        b = base.append_column("endpoint", t["dst_id"])
+        return pa.concat_tables([a, b])
+
+    ep = edges_ds.map_batches(explode, batch_format="pyarrow")
+    miss = ep.join(
+        nid, "left_anti", num_partitions=num_partitions,
+        on=("endpoint",), right_on=("node_id",),
+    ).map_batches(lambda t: t.select(DANGLING_COLS), batch_format="pyarrow")
+    return distinct_on(miss, DANGLING_COLS)
 
 
 def follow_eog(edges_ds, *, max_hops: int = 10):

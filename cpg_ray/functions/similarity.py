@@ -104,20 +104,31 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, *,
         ids = batch[id_col].values
         out = []
         for qi in range(qm.shape[0]):
-            sel = np.isin(assign, q_probe_l[qi])
-            if not sel.any():
+            sel = np.flatnonzero(np.isin(assign, q_probe_l[qi]))
+            if not len(sel):
                 continue
             sim = vn[sel] @ qm[qi]
-            out.append(
-                pd.DataFrame({"query_id": qi, id_col: ids[sel], "cosine": sim})
+            # local top-k INSIDE the batch: rows reaching the driver are
+            # bounded by Q×k×num_batches, never a corpus fraction
+            # (nprobe/n_clusters of the whole corpus otherwise — the
+            # knn_bruteforce argpartition pattern)
+            kk = min(k, len(sel))
+            loc = np.argpartition(-sim, kk - 1)[:kk]
+            df = pd.DataFrame(
+                {"query_id": qi, id_col: ids[sel[loc]], "cosine": sim[loc]}
             )
+            df["n_seen"] = np.nan
+            df.iloc[0, df.columns.get_loc("n_seen")] = float(len(sel))
+            out.append(df)
         if not out:
-            return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "cosine": [], "n_seen": []}
+            )
         return pd.concat(out, ignore_index=True)
 
     cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
-    n_candidates = len(cand)
-    cand = cand.sort_values(
+    n_candidates = int(cand["n_seen"].dropna().sum()) if len(cand) else 0
+    cand = cand.drop(columns="n_seen").sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],
         kind="mergesort",
     )
@@ -156,22 +167,28 @@ def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *,
             hit |= vb[:, None] == qb[None, :]
         out = []
         for qi in range(qm.shape[0]):
-            sel = hit[:, qi]
-            if not sel.any():
+            sel = np.flatnonzero(hit[:, qi])
+            if not len(sel):
                 continue
             sim = vn[sel] @ qm[qi]
-            out.append(
-                pd.DataFrame(
-                    {"query_id": qi, id_col: ids[sel], "cosine": sim}
-                )
+            # local top-k per batch — same driver-bound as knn_ivf
+            kk = min(k, len(sel))
+            loc = np.argpartition(-sim, kk - 1)[:kk]
+            df = pd.DataFrame(
+                {"query_id": qi, id_col: ids[sel[loc]], "cosine": sim[loc]}
             )
+            df["n_seen"] = np.nan
+            df.iloc[0, df.columns.get_loc("n_seen")] = float(len(sel))
+            out.append(df)
         if not out:
-            return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "cosine": [], "n_seen": []}
+            )
         return pd.concat(out, ignore_index=True)
 
     cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
-    n_candidates = len(cand)
-    cand = cand.sort_values(
+    n_candidates = int(cand["n_seen"].dropna().sum()) if len(cand) else 0
+    cand = cand.drop(columns="n_seen").sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],
         kind="mergesort",
     )

@@ -293,6 +293,11 @@ class ExtractTriples:
         return pa.Table.from_pydict(cols, schema=TRIPLES_RAW)
 
 
+# Bump whenever the extracted graph's schema or edge semantics change —
+# on-disk /tmp caches are keyed on it, so stale graphs from an older
+# extractor version are never compared against fresh in-memory results.
+GRAPH_FORMAT_VERSION = 2
+
 # Superset schema for the single-pass full-graph extract: one output row
 # stream with a `kind` discriminator, written with
 # write_parquet(partition_cols=["kind"]) so ONE pass over the pages
