@@ -262,6 +262,65 @@ def _kg_typestate(sf_dir: str):
     return df.sort_values(["url", "subject"]).reset_index(drop=True)
 
 
+def _branchy_tables(sf_dir: str):
+    """Materialized nodes/edges of the 'branchy' corpus (A/B variant
+    forks with declared constant conditions) — the G2/G3 fixture."""
+    import glob
+
+    import ray.data as rd
+
+    out_dir = _ensure_graph(sf_dir, "branchy")
+    nodes = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
+        columns=["node_id", "label", "name", "norm_name", "url",
+                 "span_start", "span_end", "is_inferred"],
+    )
+    edges = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
+        columns=["src_id", "dst_id", "etype", "index", "branch",
+                 "unreachable", "url"],
+    )
+    return nodes, edges
+
+
+def _kg_dfg_chains(sf_dir: str):
+    """Flow-sensitive DFG edges (G2, ControlFlowSensitiveDFGPass analog)
+    joined with their mention names — over the branchy corpus where the
+    fixpoint's strong-update/join semantics actually differ from naive
+    consecutive-norm chaining (pytest pins the disagreement)."""
+    from cpg_ray.functions.graphquery import rel_chain
+
+    nodes, edges = _branchy_tables(sf_dir)
+    df = rel_chain(
+        nodes, edges, etype="DFG2", src_label="Mention", dst_label="Mention"
+    ).to_pandas()
+    return df.sort_values(["url", "src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _kg_dead_edges(sf_dir: str):
+    """Edges killed by a declared constant condition (G3,
+    UnreachableEOGPass analog): flagged unreachable=true, never dropped."""
+    _nodes, edges = _branchy_tables(sf_dir)
+    from cpg_ray.functions.graphquery import dead_edges
+
+    df = dead_edges(edges).to_pandas()[
+        ["src_id", "dst_id", "etype", "branch", "url"]
+    ]
+    df["branch"] = df["branch"].fillna(False).astype(bool)
+    return df.sort_values(["url", "src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _kg_value_eval(sf_dir: str):
+    """ValueEvaluator analog (G4): every data-flow use resolved backward
+    to its root definition names; n_values > 1 = a live A/B join."""
+    from cpg_ray.functions.graphquery import value_eval
+
+    nodes, edges = _branchy_tables(sf_dir)
+    df = value_eval(nodes, edges).to_pandas()
+    df["n_values"] = df["n_values"].astype("int64")
+    return df.sort_values(["url", "node_id"]).reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -336,6 +395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_filter": _kg_label_filter,
         "kg_dangling_edges": _kg_dangling_edges,
         "kg_eog_chains": _kg_eog_chains,
+        "kg_dfg_chains": _kg_dfg_chains,
+        "kg_dead_edges": _kg_dead_edges,
+        "kg_value_eval": _kg_value_eval,
         "kg_eog_reach": _kg_eog_reach,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
@@ -355,6 +417,11 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     path against the independently-written sharded disk path."""
     graph_dir = _ensure_graph(sf_dir, "mixed")
     scoped_dir = _ensure_graph(sf_dir, "scoped")
+    branchy_dir = _ensure_graph(sf_dir, "branchy")
+    bsrc = (
+        f"read_parquet('{branchy_dir}/graph/shard=*/kind=*/*.parquet', "
+        f"hive_partitioning=1)"
+    )
     n = _n_pages_for(sf_dir)
     pages_glob = f"/tmp/cpg_ray_pages/mixed_{n}_42/*.parquet"
     gsrc = (
@@ -433,6 +500,47 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM reach
             GROUP BY url, root, dst_id
             ORDER BY url, src_id, hops
+        """,
+        "kg_dfg_chains": f"""
+            SELECT e.src_id, e.dst_id, e.url,
+                   s.name AS src_name, d.name AS dst_name
+            FROM {bsrc} e
+            JOIN {bsrc} s ON s.kind = 'node' AND s.label = 'Mention'
+                         AND s.node_id = e.src_id
+            JOIN {bsrc} d ON d.kind = 'node' AND d.label = 'Mention'
+                         AND d.node_id = e.dst_id
+            WHERE e.kind = 'edge' AND e.etype = 'DFG2'
+            ORDER BY e.url, e.src_id, e.dst_id
+        """,
+        "kg_dead_edges": f"""
+            SELECT src_id, dst_id, etype,
+                   coalesce(branch, false) AS branch, url
+            FROM {bsrc}
+            WHERE kind = 'edge' AND unreachable
+            ORDER BY url, src_id, dst_id
+        """,
+        "kg_value_eval": f"""
+            WITH RECURSIVE d AS (
+                SELECT url, src_id, dst_id FROM {bsrc}
+                WHERE kind = 'edge' AND etype = 'DFG2'
+            ), up AS (
+                SELECT url, dst_id AS use_id, src_id AS cur FROM d
+                UNION
+                SELECT u.url, u.use_id, d.src_id
+                FROM up u JOIN d ON d.url = u.url AND d.dst_id = u.cur
+            ), roots AS (
+                SELECT u.url, u.use_id, u.cur AS root FROM up u
+                WHERE NOT EXISTS (SELECT 1 FROM d
+                                  WHERE d.url = u.url AND d.dst_id = u.cur)
+            )
+            SELECT r.url AS url, r.use_id AS node_id,
+                   array_to_string(list_sort(list(DISTINCT n.name)), '|')
+                       AS resolved,
+                   count(DISTINCT n.name)::BIGINT AS n_values
+            FROM roots r
+            JOIN {bsrc} n ON n.kind = 'node' AND n.node_id = r.root
+            GROUP BY r.url, r.use_id
+            ORDER BY 1, 2
         """,
         "kg_extracted_text": f"""
             SELECT p.url, true AS byte_identical,

@@ -183,6 +183,95 @@ def var_length_reach(edges_ds, *, etype: str = "EOG", max_hops: int = 3,
     )
 
 
+def dead_edges(edges_ds):
+    """Edges killed by a constant condition (``unreachable=true`` —
+    UnreachableEOGPass semantics, UnreachableEOGPass.kt:41-97): flagged
+    at extraction, surfaced here so dead content is auditable, never
+    silently dropped (Properties.java:43-49 UNREACHABLE)."""
+    return edges_ds.map_batches(
+        lambda b: b[b["unreachable"].fillna(False).astype(bool)],
+        batch_format="pandas",
+    )
+
+
+def live_edges(edges_ds):
+    """The D4 anti-set removal: drop edges flagged unreachable (the
+    query-time analog of disconnectFromGraph, Node.kt:204-228)."""
+    return edges_ds.map_batches(
+        lambda b: b[~b["unreachable"].fillna(False).astype(bool)],
+        batch_format="pandas",
+    )
+
+
+def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
+               n_buckets: int = 16):
+    """ValueEvaluator analog (ValueEvaluator.kt:71-294): for every use
+    mention with incoming data-flow, follow the DFG backward to its
+    root definitions (the "literals": defs with no incoming edge) and
+    fold — the fold is the sorted distinct set of root names joined
+    with '|'; ``n_values > 1`` is the multi-path case the reference
+    reports via value sets / cannotEvaluate.
+
+    Partitioning: the DFG never crosses documents, so nodes and edges
+    are co-bucketed by hash(url) and each document's backward walk runs
+    group-local (the follow_eog/var_length_reach assumption)."""
+    import zlib
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[b["etype"] == etype][["url", "src_id", "dst_id"]].copy()
+        e["name"] = None
+        e["side"] = 0
+        return e
+
+    def tag_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[["url", "node_id", "name"]].copy()
+        n = n.rename(columns={"node_id": "src_id"})
+        n["dst_id"] = None
+        n["side"] = 1
+        return n[["url", "src_id", "dst_id", "name", "side"]]
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = [zlib.crc32(u.encode()) % n_buckets for u in b["url"]]
+        return b
+
+    e = edges_ds.map_batches(tag_edges, batch_format="pandas")
+    n = nodes_ds.map_batches(tag_nodes, batch_format="pandas")
+    both = e.union(n).map_batches(add_bucket, batch_format="pandas")
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        names = dict(zip(g[g.side == 1].src_id, g[g.side == 1]["name"]))
+        rows = []
+        for url, sub in g[g.side == 0].groupby("url", sort=False):
+            preds: dict[str, list[str]] = {}
+            for s, d in zip(sub.src_id, sub.dst_id):
+                preds.setdefault(d, []).append(s)
+            for use, ps in preds.items():
+                stack = list(ps)
+                seen = set(ps)
+                roots: set[str] = set()
+                while stack:
+                    cur = stack.pop()
+                    cps = preds.get(cur)
+                    if not cps:
+                        roots.add(cur)
+                        continue
+                    for p in cps:
+                        if p not in seen:
+                            seen.add(p)
+                            stack.append(p)
+                vals = sorted({str(names.get(r, "")) for r in roots})
+                rows.append(
+                    {"url": url, "node_id": use,
+                     "resolved": "|".join(vals), "n_values": len(vals)}
+                )
+        return pd.DataFrame(
+            rows, columns=["url", "node_id", "resolved", "n_values"]
+        )
+
+    return both.groupby("__bucket").map_groups(walk, batch_format="pandas")
+
+
 def degree_stats(edges_ds):
     """Per-etype edge counts + distinct sources — A1 statistics analog."""
     from .relational import groupby_agg

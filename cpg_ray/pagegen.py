@@ -168,6 +168,31 @@ def page_plan(world: World, i: int, variant: str):
             ("fact", sid, "visited", city, last_name, alias_of(city, 9))
         )
 
+    # "branchy" variant: an A/B content fork (two `div.variant` arms —
+    # the if/else analog) where the subject visits one of two cities
+    # sharing their base name token, followed by a bare-token anaphor
+    # that is the post-join use.  Some pages declare the served arm
+    # (data-chosen — the constant condition UnreachableEOGPass kills
+    # against); the rest leave both arms live (value-set join).
+    if variant == "branchy":
+        j = (i * 2) % max(1, min(world.n_cities - 1, 239))
+        if j % 6 == 5:  # cities j, j+1 must share their CITY_B token
+            j -= 1
+        city_a, city_b = f"C{j:05d}", f"C{j + 1:05d}"
+        chosen = None if i % 3 == 0 else ("a" if i % 2 else "b")
+        token = [
+            t for t in ents[city_b].canonical_name.split() if t.isalpha()
+        ][-1]
+        sentences.append(
+            ("branch", "a", chosen, sid, "visited", city_a,
+             alias_of(sid, 3), alias_of(city_a, 4))
+        )
+        sentences.append(
+            ("branch", "b", chosen, sid, "visited", city_b,
+             alias_of(sid, 5), alias_of(city_b, 6))
+        )
+        sentences.append(("anaphor", f"{token} remains popular."))
+
     f1, f2 = FILLERS[lang]
     sentences.insert(1, ("filler", f1))
     sentences.append(("filler", f2))
@@ -191,12 +216,33 @@ def render_page(world: World, i: int, variant: str) -> dict:
     h1 = subj.canonical_name
     h2a, h2b = HEADINGS[lang]
 
-    rendered = [_render_sentence(s, lang) for s in sentences]
+    # pull the A/B fork sentences out of the normal paragraph flow —
+    # they render as their own div.variant-wrapped <p> blocks
+    plain = [s for s in sentences if s[0] in ("fact", "filler")]
+    arms = [s for s in sentences if s[0] == "branch"]
+    anaphors = [s[1] for s in sentences if s[0] == "anaphor"]
+
+    rendered = [_render_sentence(s, lang) for s in plain]
     para1 = " ".join(rendered[:2])
     para2 = " ".join(rendered[2:4]) or rendered[-1]
     para3 = " ".join(rendered[4:]) or rendered[-1]
 
     esc = html_mod.escape
+    branch_html = ""
+    branch_texts: list[str] = []
+    if arms:
+        for _k, label, chosen, s, pred, o, s_alias, o_alias in arms:
+            sent = _render_sentence(("fact", s, pred, o, s_alias, o_alias), lang)
+            chosen_attr = f' data-chosen="{chosen}"' if chosen else ""
+            branch_html += (
+                f'<div class="variant" data-branch="{label}"{chosen_attr}>'
+                f"<p>{esc(sent)}</p></div>\n"
+            )
+            branch_texts.append(sent)
+        for a in anaphors:
+            branch_html += f"<p>{esc(a)}</p>\n"
+            branch_texts.append(a)
+
     site = i % 97
     html_doc = (
         "<!DOCTYPE html>\n"
@@ -208,6 +254,7 @@ def render_page(world: World, i: int, variant: str) -> dict:
         '<div id="main">\n'
         f"<h1>{esc(h1)}</h1>\n"
         f"<p>{esc(para1)}</p>\n"
+        f"{branch_html}"
         f"<h2>{esc(h2a)}</h2>\n"
         f"<p>{esc(para2)}</p>\n"
         f"<h2>{esc(h2b)}</h2>\n"
@@ -223,7 +270,9 @@ def render_page(world: World, i: int, variant: str) -> dict:
         html_doc = html_doc[: int(len(html_doc) * 0.6)]
         text, _ = extract_text(html_doc)  # best-effort, still deterministic
     else:
-        text = "\n".join([title, h1, para1, h2a, para2, h2b, para3])
+        text = "\n".join(
+            [title, h1, para1, *branch_texts, h2a, para2, h2b, para3]
+        )
 
     return {
         "url": f"https://site{site}.example/p/{i}",
@@ -248,9 +297,12 @@ def gold_triples(world: World, i: int, variant: str) -> set[tuple[str, str, str]
     _, _, sentences = page_plan(world, i, variant)
     out = set()
     for s in sentences:
-        if s[0] != "fact":
+        if s[0] == "branch":  # both arms' text is extracted (structural)
+            _, _label, _chosen, subj, pred, obj, _sa, _oa = s
+        elif s[0] == "fact":
+            _, subj, pred, obj, _sa, _oa = s
+        else:
             continue
-        _, subj, pred, obj, _sa, _oa = s
         obj_id = f"inf:{norm_name(obj[1])}" if isinstance(obj, tuple) else cmap[obj]
         out.add((cmap[subj], pred, obj_id))
     return out

@@ -49,22 +49,56 @@ _CAP = re.compile(r"^[A-ZÀ-Þ][\wÀ-ÿ]*$")
 _SENT_BREAK = re.compile(r"\n|[.!?](?=\s+[A-ZÀ-Þ0-9])")
 
 
+class Block:
+    """One extracted text block.  ``branch``/``chosen`` carry A/B-variant
+    containment (``<div class="variant" data-branch=... data-chosen=...>``)
+    — the web analog of an if/else arm: ``branch`` is the arm label,
+    ``chosen`` is True/False when the page declares a constant condition
+    (which arm was actually served), None when undeclared."""
+
+    __slots__ = ("tag", "text", "branch", "chosen")
+
+    def __init__(self, tag: str, text: str, branch: str | None = None,
+                 chosen: bool | None = None):
+        self.tag = tag
+        self.text = text
+        self.branch = branch
+        self.chosen = chosen
+
+    def __iter__(self):  # (tag, text) unpacking compatibility
+        return iter((self.tag, self.text))
+
+
 class _BlockParser(HTMLParser):
     """Forgiving block extractor: collects the whitespace-normalized text
     of every title/h1-h6/p element that is not inside
     nav/footer/aside/script/style.  Blocks join with "\\n" to form the
-    canonical extracted text."""
+    canonical extracted text.  ``div.variant`` wrappers stamp their
+    branch metadata onto contained blocks (EOG branch analog)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.blocks: list[tuple[str, str]] = []  # (tag, text)
+        self.blocks: list[Block] = []
         self._skip = 0
         self._cur_tag: str | None = None
         self._buf: list[str] = []
+        # one entry per OPEN <div>: None or (branch, chosen)
+        self._divs: list[tuple[str, bool | None] | None] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in SKIP_TAGS:
             self._skip += 1
+        elif tag == "div":
+            ad = dict(attrs)
+            if ad.get("class") == "variant" and ad.get("data-branch"):
+                chosen_attr = ad.get("data-chosen")
+                chosen = (
+                    None if chosen_attr is None
+                    else chosen_attr == ad["data-branch"]
+                )
+                self._divs.append((ad["data-branch"], chosen))
+            else:
+                self._divs.append(None)
         elif self._skip == 0 and tag in BLOCK_TAGS:
             self._flush()
             self._cur_tag = tag
@@ -72,6 +106,9 @@ class _BlockParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
+        elif tag == "div":
+            if self._divs:
+                self._divs.pop()
         elif tag in BLOCK_TAGS and self._cur_tag == tag:
             self._flush()
 
@@ -79,11 +116,19 @@ class _BlockParser(HTMLParser):
         if self._skip == 0 and self._cur_tag is not None:
             self._buf.append(data)
 
+    def _variant_ctx(self) -> tuple[str, bool | None] | None:
+        for entry in reversed(self._divs):
+            if entry is not None:
+                return entry
+        return None
+
     def _flush(self) -> None:
         if self._cur_tag is not None:
             text = collapse_ws("".join(self._buf))
             if text:
-                self.blocks.append((self._cur_tag, text))
+                ctx = self._variant_ctx()
+                branch, chosen = ctx if ctx else (None, None)
+                self.blocks.append(Block(self._cur_tag, text, branch, chosen))
             self._buf.clear()
             self._cur_tag = None
 
@@ -92,7 +137,7 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def extract_blocks(html: bytes) -> tuple[list[tuple[str, str]], bool]:
+def extract_blocks(html: bytes) -> tuple[list[Block], bool]:
     """(blocks, is_problem).  Never raises — the analog of best-effort
     frontends with failOnError=false (TranslationManager.kt:353-369)."""
     is_problem = b"</html>" not in html
@@ -296,7 +341,7 @@ class ExtractTriples:
 # Bump whenever the extracted graph's schema or edge semantics change —
 # on-disk /tmp caches are keyed on it, so stale graphs from an older
 # extractor version are never compared against fresh in-memory results.
-GRAPH_FORMAT_VERSION = 2
+GRAPH_FORMAT_VERSION = 3
 
 # Superset schema for the single-pass full-graph extract: one output row
 # stream with a `kind` discriminator, written with
@@ -317,6 +362,12 @@ GRAPH_SCHEMA = pa.schema(
         ("dst_id", pa.string()),
         ("etype", pa.string()),
         ("index", pa.int32()),
+        # PropertyEdge property-map columns (Properties.java:43-49):
+        # BRANCH marks the true/false arm of a fork edge; UNREACHABLE
+        # marks edges killed by a constant condition (UnreachableEOGPass
+        # semantics: flagged, never silently dropped).  Null elsewhere.
+        ("branch", pa.bool_()),
+        ("unreachable", pa.bool_()),
         ("subj_surface", pa.string()),
         ("subj_norm", pa.string()),
         ("pred", pa.string()),
@@ -389,9 +440,25 @@ class ExtractGraph:
         # Section nodes from heading blocks + AST doc→section edges.
         # Block k starts at cumulative offset (sum of lens + k separators).
         sections: list[tuple[int, str]] = []  # (char_start, node_id)
+        # (char_start, char_end, group_id, arm_label, chosen) per variant
+        # block — a maximal run of variant blocks forms one fork group
+        variant_spans: list[tuple[int, int, int, str, bool | None]] = []
+        in_variant_run = False
+        n_groups = 0
         pos = 0
         sec_idx = 0
-        for tag, btext in blocks:
+        for blk in blocks:
+            tag, btext = blk.tag, blk.text
+            if blk.branch is not None:
+                if not in_variant_run:
+                    n_groups += 1
+                    in_variant_run = True
+                variant_spans.append(
+                    (pos, pos + len(btext), n_groups - 1, blk.branch,
+                     blk.chosen)
+                )
+            else:
+                in_variant_run = False
             if tag in HEADING_TAGS:
                 sid = content_id(url, "sec", pos)
                 sections.append((pos, sid))
@@ -463,17 +530,54 @@ class ExtractGraph:
                     }
                 )
 
-        # EOG: mention order chain (INDEX-carrying, order is data not
-        # stream position — SURVEY.md §2.11)
-        for i in range(len(mentions) - 1):
+        # EOG: branch-aware evaluation order (INDEX-carrying, order is
+        # data not stream position — SURVEY.md §2.11).  Plain documents
+        # degenerate to the linear mention chain; A/B variant blocks
+        # fork/join with branch + unreachable edge properties
+        # (EvaluationOrderGraphPass.java:87-130, UnreachableEOGPass.kt:41-97).
+        from .dfg import build_eog, flow_sensitive_dfg
+
+        def _variant_tag(m: Mention):
+            for v_start, v_end, gid, label, chosen in variant_spans:
+                if v_start <= m.start < v_end:
+                    return (gid, label, chosen)
+            return None
+
+        tags = [_variant_tag(m) for m in mentions] if variant_spans else [
+            None
+        ] * len(mentions)
+        eog_edges = build_eog(tags)
+        for seq, (si, di, bprop, unr) in enumerate(eog_edges):
             out.append(
                 {
                     "kind": "edge",
                     "url": url,
-                    "src_id": ment_ids[i],
-                    "dst_id": ment_ids[i + 1],
+                    "src_id": ment_ids[si],
+                    "dst_id": ment_ids[di],
                     "etype": "EOG",
-                    "index": i,
+                    "index": seq,
+                    "branch": bprop,
+                    "unreachable": unr,
+                    "is_inferred": False,
+                }
+            )
+
+        # DFG2: flow-sensitive refinement (ControlFlowSensitiveDFGPass
+        # analog) — strong updates kill stale defs, joins union value
+        # sets, unreachable arms never reach a live use
+        norms = [m.norm for m in mentions]
+        bare = [
+            len(m.surface.split()) == 1 and len(m.norm.split()) > 1
+            for m in mentions
+        ]
+        for di_def, di_use in flow_sensitive_dfg(norms, bare, eog_edges):
+            out.append(
+                {
+                    "kind": "edge",
+                    "url": url,
+                    "src_id": ment_ids[di_def],
+                    "dst_id": ment_ids[di_use],
+                    "etype": "DFG2",
                     "is_inferred": False,
                 }
             )

@@ -1,0 +1,146 @@
+"""G2/G3/G4 semantics: branch-aware EOG, flow-sensitive DFG fixpoint,
+unreachable-edge kill, backward value evaluation.
+
+Reference analogs pinned here: ControlFlowSensitiveDFGPass.java:96-310
+(strong update + value-set join), UnreachableEOGPass.kt:41-97 (constant
+condition kills edges, flagged not dropped), ValueEvaluator.kt:71-294
+(follow DFG back to the defining literal and fold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cpg_ray.pagegen import _cached_world, cfg_for_variant, render_page
+from cpg_ray.stages.dfg import build_eog, flow_sensitive_dfg
+from cpg_ray.stages.extract import ExtractGraph
+
+
+def test_build_eog_linear_parity():
+    # all-plain documents degenerate to the exact pre-branch chain
+    edges = build_eog([None] * 4)
+    assert edges == [(0, 1, None, None), (1, 2, None, None),
+                     (2, 3, None, None)]
+
+
+def test_build_eog_fork_join_and_kill():
+    # m0, then arm a = [m1], arm b = [m2, m3], then join m4; chosen=a
+    tags = [None, (0, "a", True), (0, "b", False), (0, "b", False), None]
+    edges = build_eog(tags)
+    # fork: m0→m1 (branch True, live), m0→m2 (branch False, dead)
+    assert (0, 1, True, None) in edges
+    assert (0, 2, False, True) in edges
+    # within dead arm: dead chain edge
+    assert (2, 3, None, True) in edges
+    # join: live tail m1→m4, dead tail m3→m4
+    assert (1, 4, None, None) in edges
+    assert (3, 4, None, True) in edges
+    assert len(edges) == 5
+
+
+def test_fixpoint_strong_update_kills_stale_def():
+    # "Alric Wickham … Brona Wickham … Alric Wickham": the third mention
+    # re-mentions the FIRST norm, but the second redefined the variable
+    # `wickham` — naive consecutive-norm chaining links 0→2; the
+    # flow-sensitive pass does not (the binding was killed)
+    norms = ["alric wickham", "brona wickham", "alric wickham"]
+    bare = [False, False, False]
+    out = flow_sensitive_dfg(norms, bare, build_eog([None] * 3))
+    assert (0, 2) not in out and out == []
+
+
+def test_fixpoint_value_set_join_and_unreachable():
+    # fork: arm a defines "port alden" (m1), arm b defines "new alden"
+    # (m2); the post-join bare anaphor (m3) uses variable `alden`
+    norms = ["hester caldwell", "port alden", "new alden", "new alden"]
+    bare = [False, False, False, True]
+    # both arms live → the use sees BOTH defs (value-set join)
+    tags = [None, (0, "a", None), (0, "b", None), None]
+    out = flow_sensitive_dfg(norms, bare, build_eog(tags))
+    assert (1, 3) in out and (2, 3) in out
+    # constant condition chosen=a → the dead arm's def never reaches it
+    tags = [None, (0, "a", True), (0, "b", False), None]
+    out = flow_sensitive_dfg(norms, bare, build_eog(tags))
+    assert (1, 3) in out and (2, 3) not in out
+
+
+@pytest.fixture(scope="module")
+def branchy_graph():
+    cfg = cfg_for_variant("branchy")
+    world = _cached_world(cfg)
+    rows = [render_page(world, i, "branchy") for i in range(1, 7)]
+    batch = pa.Table.from_pydict({k: [r[k] for r in rows] for k in rows[0]})
+    ex = ExtractGraph(aliases=[a["alias"] for a in world.alias_rows()])
+    return ex(batch).to_pandas(), rows
+
+
+def _anaphor_defs(out: pd.DataFrame, url: str) -> tuple[list, str]:
+    """(sorted DFG2 def names reaching the page's bare anaphor, the
+    anaphor's naive norm)."""
+    page = out[out.url == url]
+    nodes = page[page.kind == "node"].set_index("node_id")
+    m = page[(page.kind == "node") & (page.label == "Mention")]
+    bare = m[m.apply(
+        lambda r: len(str(r["name"]).split()) == 1
+        and len(str(r["norm_name"]).split()) > 1, axis=1)]
+    assert len(bare) == 1
+    aid = bare.node_id.iloc[0]
+    e = page[(page.kind == "edge") & (page.etype == "DFG2")
+             & (page.dst_id == aid)]
+    return sorted(nodes.loc[s, "name"] for s in e.src_id), bare.norm_name.iloc[0]
+
+
+def test_extract_fixpoint_disagrees_with_naive_on_chosen_page(branchy_graph):
+    out, rows = branchy_graph
+    # page 1: chosen="a" — naive anaphora resolved to the NEAREST prior
+    # (arm b's city), the fixpoint keeps only the live arm a def
+    defs, naive_norm = _anaphor_defs(out, rows[0]["url"])
+    assert len(defs) == 1
+    import cpg_ray.normalize as nz
+
+    assert nz.norm_name(defs[0]) != naive_norm  # the disagreement
+
+
+def test_extract_value_set_join_on_undeclared_page(branchy_graph):
+    out, rows = branchy_graph
+    # page 3: no data-chosen — both arms live, anaphor sees both defs
+    defs, _ = _anaphor_defs(out, rows[2]["url"])
+    assert len(defs) == 2
+
+
+def test_unreachable_only_on_dead_arm(branchy_graph):
+    out, rows = branchy_graph
+    e = out[out.kind == "edge"]
+    # undeclared page: nothing unreachable
+    p3 = e[e.url == rows[2]["url"]]
+    assert not p3.unreachable.fillna(False).astype(bool).any()
+    # chosen page: some EOG edges dead, and every dead edge is EOG
+    p1 = e[e.url == rows[0]["url"]]
+    dead = p1[p1.unreachable.fillna(False).astype(bool)]
+    assert len(dead) > 0 and set(dead.etype) == {"EOG"}
+    # branch property appears exactly on fork edges (2 per page)
+    assert p1.branch.notna().sum() == 2
+
+
+def test_value_eval_folds_to_root_defs(branchy_graph):
+    import ray.data as rd
+
+    from cpg_ray.functions.graphquery import value_eval
+
+    out, rows = branchy_graph
+    nodes = out[out.kind == "node"][["node_id", "label", "name", "url"]]
+    edges = out[out.kind == "edge"][["src_id", "dst_id", "etype", "url"]]
+    ev = value_eval(
+        rd.from_pandas(nodes), rd.from_pandas(edges)
+    ).to_pandas()
+    # undeclared page's anaphor resolves to BOTH cities (n_values=2)
+    defs3, _ = _anaphor_defs(out, rows[2]["url"])
+    page3 = ev[ev.url == rows[2]["url"]]
+    assert (page3.n_values == 2).any()
+    joined = page3[page3.n_values == 2].resolved.iloc[0]
+    assert joined == "|".join(sorted(defs3))
+    # chosen page: every use resolves to exactly one value
+    page1 = ev[ev.url == rows[0]["url"]]
+    assert (page1.n_values == 1).all()
