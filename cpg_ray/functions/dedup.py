@@ -118,20 +118,30 @@ def minhash_signatures(
     return ds.map_batches(sig_batch, batch_format="pandas")
 
 
+AUTO_SHUFFLE_BAND_ROWS = 10_000_000  # ≈ the band-table size where the
+# shuffle's fixed barrier cost starts paying for itself (and the driver
+# merge stops being memory-safe)
+
+
 def minhash_lsh_pairs(
     sig_ds, *, id_col: str = "doc_id", num_perm: int = 64, bands: int = 16,
-    verify_threshold: float = 0.6, mode: str = "driver",
+    verify_threshold: float = 0.6, mode: str = "auto",
 ) -> pd.DataFrame:
     """LSH banding → candidate pairs → signature-overlap verification.
     Returns a small pandas DataFrame of verified pairs (a, b, est_jaccard).
 
-    mode="driver" (default): band rows (docs × bands, ~24 B each)
-    stream to the driver and bucket in one pandas groupby — the Ray
+    mode="auto" (default): pick by band-table size — below
+    ``AUTO_SHUFFLE_BAND_ROWS`` band rows (docs × bands, ~24 B each) they
+    stream to the driver and bucket in one pandas groupby (the Ray
     groupby's sort shuffle costs seconds of fixed overhead that never
-    pays off below ~10M docs.  mode="shuffle": groupby per band with
-    pandas bucketing inside, for corpora whose band table exceeds the
-    driver.
+    pays off at that size); above it, "shuffle" is the scale default —
+    groupby per band with pandas bucketing inside, so the band table
+    never lands on one machine.  Both paths are tested to agree
+    (tests/test_modes_equivalence.py).
     """
+    if mode == "auto":
+        n_docs = sig_ds.count()
+        mode = "shuffle" if n_docs * bands > AUTO_SHUFFLE_BAND_ROWS else "driver"
     rows_per_band = num_perm // bands
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -191,12 +201,20 @@ def minhash_lsh_pairs(
 
 
 def _collect_sigs(sig_ds, id_col: str, wanted: set):
-    ids, sigs = [], []
-    for batch in sig_ds.iter_batches(batch_format="pandas"):
-        m = batch[batch[id_col].isin(wanted)]
-        ids.extend(m[id_col].tolist())
-        sigs.extend(m["sig"].tolist())
-    return ids, sigs
+    """Gather candidate signatures via a DISTRIBUTED broadcast
+    semi-filter — only the (near-dup-density-bounded) candidate rows
+    ever reach the driver, not the full signature stream."""
+    import ray
+
+    ref = ray.put(frozenset(wanted))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        from .relational import bcast_get
+
+        return b[b[id_col].isin(bcast_get(ref))][[id_col, "sig"]]
+
+    df = sig_ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return df[id_col].tolist(), df["sig"].tolist()
 
 
 def clusters_from_pairs(pairs: pd.DataFrame) -> dict:
@@ -404,18 +422,25 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     )
     if pairs.empty:
         pairs = pd.DataFrame(columns=["a", "b", "hamming"])
-    # NOTE: skip_stats is populated inside remote tasks; the local dict
-    # only reflects driver-side execution.  Recompute the report here
-    # from the signature table so it is always correct.
-    sp = sig_ds.to_pandas() if hasattr(sig_ds, "to_pandas") else sig_ds
-    skipped_buckets = skipped_members = 0
-    for bnd in range(4):
-        vc = sp[f"band{bnd}"].value_counts()
-        hot = vc[vc > max_bucket]
-        skipped_buckets += len(hot)
-        skipped_members += int(hot.sum())
-    pairs.attrs["skipped_buckets"] = skipped_buckets
-    pairs.attrs["skipped_members"] = skipped_members
+    # skip_stats is populated inside remote tasks, so the local dict only
+    # reflects driver-side execution.  Compute the report DISTRIBUTED —
+    # a pre-combined groupby over the (band_id, bucket value) keys whose
+    # result is bounded by 4×2^16 rows, never a full-signature-table
+    # pull to the driver.
+    from .relational import groupby_agg
+
+    if hasattr(sig_ds, "map_batches"):
+        sizes = groupby_agg(
+            exploded, ["band_id", "bv"], [(id_col, "count", "n")]
+        ).to_pandas()
+    else:  # pandas fallback (tests call with a local frame)
+        sizes = (
+            explode(sig_ds).groupby(["band_id", "bv"])[id_col]
+            .count().rename("n").reset_index()
+        )
+    hot = sizes[sizes.n > max_bucket]
+    pairs.attrs["skipped_buckets"] = int(len(hot))
+    pairs.attrs["skipped_members"] = int(hot.n.sum())
     return pairs
 
 
@@ -435,9 +460,15 @@ def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 def embedding_near_dup_pairs(
     ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_planes: int = 12, seed: int = 11,
+    max_bucket: int = 5000,
 ) -> pd.DataFrame:
     """LSH hyperplane bucketing → within-bucket exact cosine pairs ≥
-    threshold.  Buckets via random-hyperplane signs (deterministic seed)."""
+    threshold.  Buckets via random-hyperplane signs (deterministic seed).
+
+    ``max_bucket`` caps the quadratic within-bucket work: a hot bucket
+    (clustered embeddings) is O(n²) memory in one map_groups call; its
+    members are skipped and REPORTED in ``pairs.attrs`` ("skipped_buckets",
+    "skipped_members") — the same contract as simhash_pairs."""
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         v = np.stack(batch[vec_col].values).astype(np.float64)
         # same seed in every task → identical hyperplanes everywhere
@@ -454,6 +485,8 @@ def embedding_near_dup_pairs(
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) > max_bucket:  # hot bucket: reported, not exploded
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
         v = np.stack(g["vec"].values)
         nrm = g["norm"].values
         sim = (v @ v.T) / np.outer(nrm, nrm).clip(min=1e-12)
@@ -465,10 +498,24 @@ def embedding_near_dup_pairs(
              "cosine": sim[iu, ju][keep]}
         )
 
-    return (
+    bucketed = bucketed.materialize()  # consumed twice: pairs + stats
+    pairs = (
         bucketed.groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
         .drop_duplicates(["a", "b"])
         .reset_index(drop=True)
     )
+    from .relational import groupby_agg
+
+    sizes = groupby_agg(
+        bucketed.map_batches(
+            lambda b: b[[id_col, "bucket"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["bucket"], [(id_col, "count", "n")],
+    ).to_pandas()
+    hot = sizes[sizes.n > max_bucket]
+    pairs.attrs["skipped_buckets"] = int(len(hot))
+    pairs.attrs["skipped_members"] = int(hot.n.sum())
+    return pairs

@@ -10,11 +10,11 @@ per key-hash bucket, fed batches in ts order").  The batch path
 operator is the online shape: sessions stream out with bounded state =
 O(open sessions), not O(history).
 
-Scale-out story: hash users into B buckets; each bucket is an
-independent time-ordered stream with its own sessionizer actor.  The
-local-mode demonstration runs the buckets sequentially against one
-actor pool of size 1 per bucket (ordering within a bucket is the
-correctness requirement; across buckets there is none).
+Scale-out: hash users into B buckets; each bucket is an independent
+time-ordered stream with its own sessionizer, run remotely inside
+``groupby(bucket).map_groups`` (ordering within a bucket is the
+correctness requirement; across buckets there is none).  No event ever
+iterates through the driver.
 """
 
 from __future__ import annotations
@@ -71,37 +71,51 @@ class Sessionizer:
 
 
 def sessionize_streaming(events_ds, *, gap_seconds: float = 1800.0,
-                         n_buckets: int = 8) -> pd.DataFrame:
-    """Run the stateful sessionizer over an events Dataset: bucket by
-    user hash, iterate each bucket's events in ts order through its own
-    Sessionizer, concatenate closed + flushed sessions.
+                         n_buckets: int = 8,
+                         batch_rows: int = 8192) -> pd.DataFrame:
+    """Run the stateful sessionizer over an events Dataset,
+    DISTRIBUTED: users hash into ``n_buckets`` independent time-ordered
+    streams; each bucket's events run through their own
+    :class:`Sessionizer` inside a ``groupby(bucket).map_groups`` task —
+    one stateful consumer per bucket, executing in parallel across the
+    cluster, state bounded by that bucket's OPEN sessions.
 
-    One global ts-sort, then a single ordered iteration routes each
-    event to its bucket's Sessionizer — the local-mode stand-in for one
-    actor per bucket on a cluster (state and per-bucket ordering
-    semantics identical; the materialize pins the sorted block order so
-    iteration is deterministic)."""
-    sorted_ds = events_ds.sort("ts").materialize()
-    szs = [Sessionizer(gap_seconds) for _ in range(n_buckets)]
-    frames = []
-    for batch in sorted_ds.iter_batches(batch_format="pandas",
-                                        batch_size=8192):
-        batch = batch.copy()
-        batch["__b"] = batch.user_id % n_buckets
-        for b, sub in batch.groupby("__b", sort=True):
-            out = szs[int(b)].feed(sub.drop(columns="__b"))
-            if len(out):
-                frames.append(out)
-    for sz in szs:
-        tail = sz.flush()
-        if len(tail):
-            frames.append(tail)
-    if not frames:
-        return pd.DataFrame(
-            columns=["user_id", "session_start", "session_end", "n_events"]
-        )
+    No driver-side iteration: the only cross-bucket work is the hash
+    shuffle.  Within a bucket the group is sorted by ts and fed in
+    ``batch_rows`` chunks, preserving the incremental feed/flush
+    semantics (closed sessions stream out of ``feed`` as the watermark
+    advances — the same state machine a long-lived per-bucket actor
+    would run on an unbounded stream)."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__b"] = (b.user_id % n_buckets).astype("int32")
+        return b
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sz = Sessionizer(gap_seconds)
+        g = g.sort_values("ts", kind="mergesort").drop(columns="__b")
+        frames = [
+            sz.feed(g.iloc[i : i + batch_rows])
+            for i in range(0, len(g), batch_rows)
+        ]
+        frames.append(sz.flush())
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
+    out = (
+        events_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(run_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(columns=cols)
     return (
-        pd.concat(frames, ignore_index=True)
-        .sort_values(["user_id", "session_start"], kind="mergesort")
+        out.sort_values(["user_id", "session_start"], kind="mergesort")
         .reset_index(drop=True)
     )

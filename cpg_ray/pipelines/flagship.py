@@ -196,14 +196,19 @@ def run_flagship(
         with ThreadPoolExecutor(max_workers=max(1, shard_parallelism)) as ex:
             lineage.extend(ex.map(run_shard, todo))
 
-    # ---- phase B: link + canonicalize the (small) triples
-    if not (resume and shard_done(out_dir, "triples", 0)):
-        t0 = time.monotonic()
-        triple_dirs = sorted(
-            glob.glob(
-                os.path.join(out_dir, "graph", "shard=*", "kind=triple", "*.parquet")
-            )
+    # ---- phase B: link + canonicalize the (small) triples.
+    # Staleness: phase B's inputs are the triple parquet files phase A
+    # wrote; a rerun shard writes NEW (uuid-named) files, so passing the
+    # current file list to shard_done makes any phase-A recompute (or a
+    # changed input set) invalidate the triples marker — resume never
+    # leaves triples/entities stale after inputs change.
+    triple_dirs = sorted(
+        glob.glob(
+            os.path.join(out_dir, "graph", "shard=*", "kind=triple", "*.parquet")
         )
+    )
+    if todo or not (resume and shard_done(out_dir, "triples", 0, triple_dirs)):
+        t0 = time.monotonic()
         raw = rd.read_parquet(
             triple_dirs,
             columns=["url", "span_start", "subj_surface", "subj_norm",

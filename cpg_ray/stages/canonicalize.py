@@ -58,7 +58,8 @@ def _vocab_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def collect_entity_vocab(linked_ds, *, mode: str = "driver") -> "pa.Table":
+def collect_entity_vocab(linked_ds, *, mode: str = "driver",
+                         driver_key_limit: int = 5_000_000) -> "pa.Table":
     """Distinct entities (+ mention counts) present in the linked
     triples.
 
@@ -113,6 +114,14 @@ def collect_entity_vocab(linked_ds, *, mode: str = "driver") -> "pa.Table":
             vc.field("values").to_pylist(), vc.field("counts").to_pylist()
         ):
             counts[eid] = counts.get(eid, 0) + n
+        if len(counts) > driver_key_limit:
+            # the vocabulary (incl. inferred entities, which grow with
+            # the corpus) no longer fits the driver-merge assumption
+            raise RuntimeError(
+                f"collect_entity_vocab(mode='driver'): {len(counts)} "
+                f"entities exceeds driver_key_limit={driver_key_limit}; "
+                "use mode='shuffle' (salted two-phase groupby)"
+            )
     ids = sorted(counts)
     return pa.table(
         {
@@ -125,13 +134,22 @@ def collect_entity_vocab(linked_ds, *, mode: str = "driver") -> "pa.Table":
 def build_canonical_map(
     vocab: pa.Table, equivalences: list[tuple[str, str]]
 ) -> dict[str, str]:
-    """Union-find over vocab ids + equivalence edges → member → min(id)."""
+    """Union-find over the equivalence edges → member → min(id), keeping
+    ONLY canon ≠ member entries.
+
+    The broadcast map is bounded by the equivalence-edge set (dictionary
+    twins), NOT by the observed vocabulary: with ``infer_on_miss`` the
+    inferred-entity space grows with the corpus, and a map holding every
+    vocab id would broadcast unbounded state at 10^12 pages.  Every
+    consumer (make_canonical_fn/AddCanonical/entities_table) already
+    falls back to identity via ``cmap.get(e, e)``, so dropping identity
+    entries is semantics-free.  ``vocab`` stays a parameter for the
+    signature's sake (callers may pass richer equivalence sources later)."""
+    del vocab  # identity entries are implicit — see docstring
     uf = UnionFind()
-    for eid in vocab["entity_id"].to_pylist():
-        uf.add(eid)
     for a, b in equivalences:
         uf.union(a, b)
-    return uf.canonical_map()
+    return {k: v for k, v in uf.canonical_map().items() if k != v}
 
 
 def entities_table(

@@ -134,6 +134,10 @@ def test_run_flagship_resume(tmp_path):
     pq2.write_table(pq2.read_table(src).slice(0, 5), extra)
     s4 = run_flagship(pages_dir, out_dir, cfg, n_shards=2, resume=True)
     assert s4["shards_skipped"] < s4["shards"]  # at least one stale shard reran
+    # phase B staleness: the added pages must refresh the TRIPLES too —
+    # resume must not leave triples/entities stale after a graph shard
+    # recompute (phase B reruns whenever its input file set changed)
+    assert s4["triples_out"] > s1["triples_out"]
     os.remove(extra)
 
     # lineage/metrics written
