@@ -379,10 +379,26 @@ GRAPH_SCHEMA = pa.schema(
 
 class ExtractGraph:
     """Full extract: pages batch → graph rows (nodes + AST/EOG/DFG/TRIPLE
-    edges + raw triples + problem rows) under GRAPH_SCHEMA."""
+    edges + raw triples + problem rows) under GRAPH_SCHEMA.
+
+    ``config_ref`` is the compilation-database sidecar analog
+    (CompilationDatabase.kt:1-208, used Application.kt:347-353): a
+    broadcast per-url config table overriding extraction parameters —
+    ``lang`` forces the connector dispatch (per-file compiler-flags
+    analog), ``skip`` excludes the url with an auditable problem row
+    (the compdb's file-list restriction).  Absent urls use defaults."""
 
     def __init__(self, dict_ref=None, aliases: list[str] | None = None,
-                 index_ref=None):
+                 index_ref=None, config_ref=None,
+                 config: dict[str, dict] | None = None):
+        if config is not None:
+            self.config = config
+        elif config_ref is not None:
+            import ray
+
+            self.config = ray.get(config_ref)
+        else:
+            self.config = {}
         if index_ref is not None:
             import ray
 
@@ -406,6 +422,18 @@ class ExtractGraph:
         return pa.Table.from_pydict(cols, schema=GRAPH_SCHEMA)
 
     def _one(self, url: str, lang: str, html: bytes) -> list[dict]:
+        cfg = self.config.get(url)
+        if cfg:
+            if cfg.get("skip"):
+                # compdb exclusion: auditable, never a silent drop
+                return [{
+                    "kind": "problem", "url": url,
+                    "node_id": content_id(url, "problem"),
+                    "label": "Problem", "name": "excluded-by-config",
+                    "is_inferred": False,
+                }]
+            lang = cfg.get("lang") or lang
+        lang_problem = lang not in CONNECTOR_TO_PRED
         blocks, is_problem = extract_blocks(html)
         text = "\n".join(t for _, t in blocks)
         b_off = _byte_offsets(text)
@@ -433,6 +461,21 @@ class ExtractGraph:
                     "node_id": content_id(url, "problem"),
                     "label": "Problem",
                     "name": "truncated-html",
+                    "is_inferred": False,
+                }
+            )
+        if lang_problem:
+            # dispatch-with-problem-row, not a silent fallback: the
+            # analog of the reference's "unsupported extension" error
+            # (TranslationManager.kt:373-405) — extraction still runs
+            # best-effort with the default (en) connector table
+            out.append(
+                {
+                    "kind": "problem",
+                    "url": url,
+                    "node_id": content_id(url, "problem-lang"),
+                    "label": "Problem",
+                    "name": f"unsupported-lang:{lang}",
                     "is_inferred": False,
                 }
             )
