@@ -321,6 +321,100 @@ def _kg_value_eval(sf_dir: str):
     return df.sort_values(["url", "node_id"]).reset_index(drop=True)
 
 
+def _ensure_kb(sf_dir: str) -> str:
+    """External-KB snapshot parquet for the mixed world (J9 analog):
+    built once under /tmp, loaded per actor from disk."""
+    import os
+
+    from cpg_ray.pagegen import _cached_world, cfg_for_variant
+    from cpg_ray.stages.enrich import build_kb_snapshot
+
+    n = _n_pages_for(sf_dir)
+    scale = max(1, n // 2000)
+    cfg = cfg_for_variant("mixed", scale=scale)
+    path = f"/tmp/cpg_ray_kb/mixed_{n}_{cfg.seed}.parquet"
+    if not os.path.exists(path):
+        build_kb_snapshot(_cached_world(cfg), path)
+    return path
+
+
+def _kg_entity_enrich(sf_dir: str):
+    """External-KB lookup (J9, JavaExternalTypeHierarchyResolver analog):
+    observed entities enriched from a KB snapshot loaded once per actor;
+    inferred entities miss (null), exactly the unresolved-symbol case."""
+    import ray.data as rd
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    kb_path = _ensure_kb(sf_dir)
+    from cpg_ray.stages.enrich import EnrichEntities
+
+    ents = rd.read_parquet(
+        f"{out_dir}/entities/entities.parquet",
+        columns=["entity_id", "canonical_name", "is_inferred"],
+    )
+    df = ents.map_batches(
+        EnrichEntities,
+        fn_constructor_kwargs={"kb_path": kb_path},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    ).to_pandas()
+    for c in ("kind", "country"):  # KB misses: NaN → None (SQL NULL)
+        df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df.sort_values("entity_id").reset_index(drop=True)
+
+
+def _kg_pred_signatures(sf_dir: str):
+    """getCommonType lattice meet (A5, TypeManager.java:458-596): per
+    predicate, the lowest common ancestor of observed subject/object
+    kinds over the kind hierarchy — distributed partial distinct, tiny
+    driver-side lattice fold."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import groupby_agg
+    from cpg_ray.state.lattice import common_kind
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=0/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj"],
+    )
+    kind = {"P": "person", "O": "org", "C": "city", "K": "country"}
+
+    def kinds(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pred": b.pred,
+                "skind": b.canonical_subj.str[0].map(kind).fillna("inferred"),
+                "okind": b.canonical_obj.str[0].map(kind).fillna("inferred"),
+            }
+        )
+
+    agg = groupby_agg(
+        tri.map_batches(kinds, batch_format="pandas"),
+        ["pred", "skind", "okind"], [("pred", "count", "n")],
+    ).to_pandas()
+    rows = []
+    for pred, sub in agg.groupby("pred"):
+        rows.append(
+            {
+                "pred": pred,
+                "subj_kind": common_kind(set(sub.skind)),
+                "obj_kind": common_kind(set(sub.okind)),
+                "n_triples": int(sub.n.sum()),
+            }
+        )
+    import pandas as pd2  # noqa: F401
+
+    return (
+        pd.DataFrame(rows, columns=["pred", "subj_kind", "obj_kind",
+                                    "n_triples"])
+        .sort_values("pred").reset_index(drop=True)
+    )
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -398,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dfg_chains": _kg_dfg_chains,
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,
+        "kg_entity_enrich": _kg_entity_enrich,
+        "kg_pred_signatures": _kg_pred_signatures,
         "kg_eog_reach": _kg_eog_reach,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
@@ -431,6 +527,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     triples_glob = f"{graph_dir}/triples/shard=0/*.parquet"
     scoped_triples = f"{scoped_dir}/triples/shard=0/*.parquet"
     entities_pq = f"{graph_dir}/entities/entities.parquet"
+    kb_pq = _ensure_kb(sf_dir)
     triple_cols = ("subj, pred, obj, url, span_start, subj_is_inferred, "
                    "obj_is_inferred, canonical_subj, canonical_obj")
     return {
@@ -541,6 +638,44 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             JOIN {bsrc} n ON n.kind = 'node' AND n.node_id = r.root
             GROUP BY r.url, r.use_id
             ORDER BY 1, 2
+        """,
+        "kg_entity_enrich": f"""
+            SELECT e.entity_id, e.canonical_name, e.is_inferred,
+                   k.kind, k.country
+            FROM read_parquet('{entities_pq}') e
+            LEFT JOIN read_parquet('{kb_pq}') k USING (entity_id)
+            ORDER BY e.entity_id
+        """,
+        "kg_pred_signatures": f"""
+            WITH t AS (
+                SELECT pred,
+                       CASE substr(canonical_subj, 1, 1)
+                            WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                            WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS skind,
+                       CASE substr(canonical_obj, 1, 1)
+                            WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                            WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS okind
+                FROM read_parquet('{triples_glob}')
+            )
+            SELECT pred,
+                   CASE WHEN count(DISTINCT skind) = 1 THEN min(skind)
+                        WHEN bool_and(skind IN ('person', 'org'))
+                             THEN 'agent'
+                        WHEN bool_and(skind IN ('city', 'country'))
+                             THEN 'place'
+                        ELSE 'entity' END AS subj_kind,
+                   CASE WHEN count(DISTINCT okind) = 1 THEN min(okind)
+                        WHEN bool_and(okind IN ('person', 'org'))
+                             THEN 'agent'
+                        WHEN bool_and(okind IN ('city', 'country'))
+                             THEN 'place'
+                        ELSE 'entity' END AS obj_kind,
+                   count(*)::BIGINT AS n_triples
+            FROM t
+            GROUP BY pred
+            ORDER BY pred
         """,
         "kg_extracted_text": f"""
             SELECT p.url, true AS byte_identical,
