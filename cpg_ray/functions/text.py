@@ -97,26 +97,35 @@ def hashing_vectorizer(batch: pd.DataFrame, *, text_col: str = "text",
 
 
 _FP_WINDOW = 8
+# polynomial window weights + a murmur-style finalizer: the whole
+# window sweep is ONE numpy pass (the previous per-window crc32 loop
+# was the one remaining row-loop hot path in the text family)
+_FP_WEIGHTS = np.power(
+    np.uint64(257), np.arange(_FP_WINDOW, dtype=np.uint64)
+)
+_FP_MIX = np.uint64(0xFF51AFD7ED558CCD)
 
 
 def _doc_fingerprint(text: str) -> int:
-    """Deterministic 64-bit document fingerprint: min of crc32-hashed
-    rolling byte windows (winnowing-style rolling hash)."""
-    data = text.encode("utf-8")
+    """Deterministic 64-bit document fingerprint: min over mixed
+    polynomial hashes of all rolling byte windows (winnowing-style),
+    fully vectorized — no Python loop over windows."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(data) < _FP_WINDOW:
-        return zlib.crc32(data)
-    best = 0xFFFFFFFF
-    for i in range(len(data) - _FP_WINDOW + 1):
-        h = zlib.crc32(data[i : i + _FP_WINDOW])
-        if h < best:
-            best = h
-    return best
+        return zlib.crc32(data.tobytes())
+    w = np.lib.stride_tricks.sliding_window_view(data, _FP_WINDOW)
+    h = (w.astype(np.uint64) * _FP_WEIGHTS).sum(axis=1)  # uint64 wrap ok
+    h ^= h >> np.uint64(33)
+    h *= _FP_MIX
+    h ^= h >> np.uint64(33)
+    return int(h.min())
 
 
 def fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out = batch.copy()
-    out["fingerprint"] = [ _doc_fingerprint(t) for t in batch[text_col] ]
-    out["fingerprint"] = out["fingerprint"].astype("int64")
+    out["fingerprint"] = np.array(
+        [_doc_fingerprint(t) for t in batch[text_col]], dtype=np.uint64
+    ).astype(np.int64)
     return out
 
 

@@ -103,11 +103,34 @@ class LinkTriples:
         )
 
 
+# Per-process vectorized view of the broadcast norm index: the dict is
+# flattened ONCE per worker into (keys: pa.Array, ids: np.ndarray) so
+# every batch resolves with one pc.index_in kernel instead of two dict
+# probes per row (the one row-loop the round-1 review flagged in link).
+_VEC_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _vec_index(index_ref):
+    key = index_ref.hex() if hasattr(index_ref, "hex") else str(index_ref)
+    v = _VEC_INDEX_CACHE.get(key)
+    if v is None:
+        import numpy as np
+
+        from ..functions.relational import bcast_get
+
+        index = bcast_get(index_ref)
+        keys = pa.array(list(index.keys()), pa.string())
+        ids = np.array([hit[0] for hit in index.values()], dtype=object)
+        v = _VEC_INDEX_CACHE[key] = (keys, ids)
+    return v
+
+
 def make_link_fn(index_ref, *, infer_on_miss: bool = True):
     """Stateless-task variant of LinkTriples: the norm index is fetched
     at most once per worker process (bcast cache), so the stage runs as
     elastic tasks instead of a CPU-reserving actor pool — it fills
-    whatever cores the extract pool leaves free.
+    whatever cores the extract pool leaves free.  Resolution is one
+    vectorized ``pc.index_in`` per side (no Python row loop).
 
     ``infer_on_miss`` is the InferenceConfiguration analog
     (InferenceConfiguration.kt:25-60, used VariableUsageResolver.java:416):
@@ -116,33 +139,42 @@ def make_link_fn(index_ref, *, infer_on_miss: bool = True):
     resolver simply fails, no edge is created)."""
 
     def link_batch(batch: pa.Table) -> pa.Table:
-        from ..functions.relational import bcast_get
+        import numpy as np
+        import pyarrow.compute as pc
 
-        index = bcast_get(index_ref)
-        keep: list[int] = []
-        subj, obj, s_inf, o_inf = [], [], [], []
-        for i, (sn, on) in enumerate(
-            zip(batch["subj_norm"].to_pylist(), batch["obj_norm"].to_pylist())
-        ):
-            s_hit = index.get(sn)
-            o_hit = index.get(on)
-            if not infer_on_miss and (s_hit is None or o_hit is None):
-                continue
-            keep.append(i)
-            subj.append(f"inf:{sn}" if s_hit is None else s_hit[0])
-            s_inf.append(s_hit is None)
-            obj.append(f"inf:{on}" if o_hit is None else o_hit[0])
-            o_inf.append(o_hit is None)
-        kept = batch.take(keep) if len(keep) != batch.num_rows else batch
+        keys, ids = _vec_index(index_ref)
+        sides = {}
+        for side in ("subj", "obj"):
+            col = batch[f"{side}_norm"]
+            idx = pc.fill_null(
+                pc.index_in(col, value_set=keys), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            found = idx >= 0
+            norms = np.asarray(col.to_pylist(), dtype=object)
+            linked = np.where(
+                found,
+                ids[np.where(found, idx, 0)],
+                np.char.add("inf:", norms.astype(str)),
+            )
+            sides[side] = (linked, found)
+        kept = batch
+        if not infer_on_miss:
+            mask = sides["subj"][1] & sides["obj"][1]
+            if not mask.all():
+                kept = batch.take(pa.array(np.flatnonzero(mask)))
+                sides = {
+                    s: (arr[mask], fnd[mask])
+                    for s, (arr, fnd) in sides.items()
+                }
         return pa.Table.from_pydict(
             {
-                "subj": subj,
+                "subj": sides["subj"][0],
                 "pred": kept["pred"],
-                "obj": obj,
+                "obj": sides["obj"][0],
                 "url": kept["url"],
                 "span_start": kept["span_start"],
-                "subj_is_inferred": s_inf,
-                "obj_is_inferred": o_inf,
+                "subj_is_inferred": ~sides["subj"][1],
+                "obj_is_inferred": ~sides["obj"][1],
             },
             schema=LINKED_SCHEMA,
         )
