@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_nation_union": q.q_region_nation_union,
         "q_doc_token_stats": q.q_doc_token_stats,
         "q_doc_quality": q.q_doc_quality,
+        "q_doc_top_tokens": q.q_doc_top_tokens,
+        "q_orders_priority_leftjoin": q.q_orders_priority_leftjoin,
+        "q_doc_bpe_tokens": q.q_doc_bpe_tokens,
         "q_events_sessions": q.q_events_sessions,
         "q_events_sessions_streaming": q.q_events_sessions_streaming,
         "q_knn_cosine": q.q_knn_cosine,

@@ -401,6 +401,70 @@ def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """flat_map fan-out (J7 asterisk-import expansion analog) with a
+    per-batch COMBINER: documents explode to token rows, but each batch
+    pre-counts its tokens so the shuffle moves one row per (token,
+    batch), never one per token occurrence."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall("[a-z0-9_]+").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"tok": vc.index, "n": vc.values})
+
+    agg = groupby_agg(
+        ds.map_batches(explode_counts, batch_format="pandas"),
+        ["tok"], [("n", "sum", "n")],
+    )
+    df = topk(agg, ["n", "tok"], 20, descending=[True, False]).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_orders_priority_leftjoin(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER broadcast join (the fabricate-nothing miss case —
+    unmatched left rows survive with nulls) + grouped match counting."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]]
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_custkey"])
+    joined = broadcast_join(
+        orders, building, left_on="o_custkey", right_on="c_custkey",
+        how="left",
+    )
+    agg = groupby_agg(joined, ["o_orderpriority"],
+                      [("c_custkey", "count", "n_building"),
+                       ("o_custkey", "count", "n_orders")])
+    df = agg.to_pandas()
+    df["n_building"] = df["n_building"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# GPT-2-style pretokenizer classes, restricted to the regex dialect both
+# Python `re` and DuckDB's RE2 share (letter runs incl. Latin-1
+# accents, digit runs, symbol runs) — kept in exact sync with the
+# oracle SQL of q_doc_bpe_tokens.
+BPE_TOKEN_RE = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]+"
+
+
+def q_doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish pretokenizer counting per document (training-data token
+    accounting: letter runs / digit runs / symbol runs)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b.doc_id,
+                "bpe_tokens": b.text.str.count(BPE_TOKEN_RE).astype("int64"),
+            }
+        )
+
+    df = ds.map_batches(count, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (rows-only: deterministic dup injection + near-dedup)
 # ---------------------------------------------------------------------------
@@ -918,6 +982,35 @@ ORACLE_SQL: dict[str, str] = {
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id, p.user_id
         ORDER BY p.event_id
+    """,
+    "q_doc_top_tokens": """
+        SELECT tok, count(*)::BIGINT AS n
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    "q_orders_priority_leftjoin": """
+        SELECT o_orderpriority,
+               count(c.c_custkey)::BIGINT AS n_building,
+               count(*)::BIGINT           AS n_orders
+        FROM orders o
+        LEFT JOIN (SELECT c_custkey FROM customer
+                   WHERE c_mktsegment = 'BUILDING') c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q_doc_bpe_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(
+                   text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\\s]+'
+               ))::BIGINT AS bpe_tokens
+        FROM documents
+        ORDER BY doc_id
     """,
     "q_knn_cosine": """
         SELECT vec_id,
