@@ -378,7 +378,7 @@ def _kg_pred_signatures(sf_dir: str):
 
     out_dir = _ensure_graph(sf_dir, "mixed")
     tri = rd.read_parquet(
-        sorted(glob.glob(f"{out_dir}/triples/shard=0/*.parquet")),
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
         columns=["pred", "canonical_subj", "canonical_obj"],
     )
     kind = {"P": "person", "O": "org", "C": "city", "K": "country"}
@@ -527,8 +527,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         f"read_parquet('{graph_dir}/graph/shard=*/kind=*/*.parquet', "
         f"hive_partitioning=1)"
     )
-    triples_glob = f"{graph_dir}/triples/shard=0/*.parquet"
-    scoped_triples = f"{scoped_dir}/triples/shard=0/*.parquet"
+    triples_glob = f"{graph_dir}/triples/shard=*/*.parquet"
+    scoped_triples = f"{scoped_dir}/triples/shard=*/*.parquet"
     entities_pq = f"{graph_dir}/entities/entities.parquet"
     kb_pq = _ensure_kb(sf_dir)
     triple_cols = ("subj, pred, obj, url, span_start, subj_is_inferred, "

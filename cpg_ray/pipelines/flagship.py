@@ -196,43 +196,74 @@ def run_flagship(
         with ThreadPoolExecutor(max_workers=max(1, shard_parallelism)) as ex:
             lineage.extend(ex.map(run_shard, todo))
 
-    # ---- phase B: link + canonicalize the (small) triples.
+    # ---- phase B: link + canonicalize, PER SHARD (parallel, resumable).
+    # The canonical map is bounded by the dictionary's equivalence edges
+    # (build_canonical_map ignores the observed vocabulary), so the
+    # rewrite needs no global vocab barrier: each graph shard's triples
+    # link + canonicalize + sort independently — the serial phase-B tail
+    # of round 1 becomes one resumable commit unit per shard.
     # Staleness: phase B's inputs are the triple parquet files phase A
     # wrote; a rerun shard writes NEW (uuid-named) files, so passing the
     # current file list to shard_done makes any phase-A recompute (or a
-    # changed input set) invalidate the triples marker — resume never
-    # leaves triples/entities stale after inputs change.
-    triple_dirs = sorted(
-        glob.glob(
-            os.path.join(out_dir, "graph", "shard=*", "kind=triple", "*.parquet")
-        )
-    )
-    if todo or not (resume and shard_done(out_dir, "triples", 0, triple_dirs)):
+    # changed input set) invalidate that shard's triples marker — resume
+    # never leaves triples/entities stale after inputs change.
+    cmap = build_canonical_map(None, world.equivalences)
+    cmap_ref = _put(cmap)
+    triple_cols = ["url", "span_start", "subj_surface", "subj_norm",
+                   "pred", "obj_surface", "obj_norm"]
+
+    def run_triple_shard(sid_files):
+        sid, files = sid_files
         t0 = time.monotonic()
-        raw = rd.read_parquet(
-            triple_dirs,
-            columns=["url", "span_start", "subj_surface", "subj_norm",
-                     "pred", "obj_surface", "obj_norm"],
+        rows_in = sum(pq.read_metadata(f).num_rows for f in files)
+        raw = rd.read_parquet(files, columns=triple_cols)
+        triples = (
+            raw.map_batches(make_link_fn(norm_ref), batch_size=8192,
+                            batch_format="pyarrow")
+            .map_batches(make_canonical_fn(cmap_ref), batch_size=16384,
+                         batch_format="pyarrow")
+            # O1 analog: per-shard sort (global order is per-commit-unit
+            # at scale; a cross-shard total sort would be one more
+            # all-to-all over the full triple set)
+            .sort(["canonical_subj", "pred", "canonical_obj"])
         )
-        linked = raw.map_batches(
-            make_link_fn(norm_ref), batch_size=8192, batch_format="pyarrow"
-        ).materialize()
-        vocab = collect_entity_vocab(linked)
-        cmap = build_canonical_map(vocab, world.equivalences)
-        triples = linked.map_batches(
-            make_canonical_fn(_put(cmap)), batch_size=16384,
-            batch_format="pyarrow",
-        ).sort(["canonical_subj", "pred", "canonical_obj"])  # O1 analog
-        lineage.append(
-            write_shard(
-                triples, out_dir, "triples", 0, "link+canonicalize",
-                linked.count(), triple_dirs, t0,
+        return write_shard(
+            triples, out_dir, "triples", sid, "link+canonicalize",
+            rows_in, files, t0,
+        )
+
+    b_todo = []
+    for sid in range(len(shards)):
+        files = sorted(
+            glob.glob(
+                os.path.join(out_dir, "graph", f"shard={sid}",
+                             "kind=triple", "*.parquet")
             )
         )
+        if not files:
+            continue
+        if resume and shard_done(out_dir, "triples", sid, files):
+            continue
+        b_todo.append((sid, files))
+    if b_todo:
+        _preimport_fs_modules()
+        with ThreadPoolExecutor(max_workers=max(1, shard_parallelism)) as ex:
+            lineage.extend(ex.map(run_triple_shard, b_todo))
+
+    # ---- entities table: global vocab over the final triples (one
+    # column-pruned pass over the small triple set), rebuilt whenever
+    # any triples shard changed
+    ents_path = os.path.join(out_dir, "entities", "entities.parquet")
+    if b_todo or not os.path.exists(ents_path):
+        final_triples = sorted(
+            glob.glob(os.path.join(out_dir, "triples", "shard=*", "*.parquet"))
+        )
+        vocab = collect_entity_vocab(
+            rd.read_parquet(final_triples, columns=["subj", "obj"])
+        )
         ents = entities_table(vocab, cmap, world.alias_rows())
-        ents_dir = os.path.join(out_dir, "entities")
-        os.makedirs(ents_dir, exist_ok=True)
-        pq.write_table(ents, os.path.join(ents_dir, "entities.parquet"))
+        os.makedirs(os.path.dirname(ents_path), exist_ok=True)
+        pq.write_table(ents, ents_path)
 
     write_metrics(out_dir, lineage)
     done = read_lineage(out_dir, "graph") + read_lineage(out_dir, "triples")
