@@ -415,6 +415,53 @@ def _kg_pred_signatures(sf_dir: str):
     )
 
 
+def _kg_triples_ctx(sf_dir: str):
+    """Context-sensitive linking (J4 scoring cascade tier 2,
+    CallResolver.java:242-301): ambiguous surface forms resolved by
+    document-context overlap with each candidate's related entities —
+    prior-only linking picks the wrong entity on this corpus (pytest
+    pins the disagreement; rows-only here: the per-document scoring
+    fold is not SQL-expressible)."""
+    import ray
+
+    from cpg_ray.pagegen import _cached_world
+    from cpg_ray.stages.canonicalize import build_canonical_map
+    from cpg_ray.stages.extract import ExtractTriples, build_detector_index
+    from cpg_ray.stages.link import (
+        build_ambiguity_index,
+        build_norm_index,
+        build_related_index,
+        link_with_context,
+        make_canonical_fn,
+    )
+
+    pages, cfg = _pages_ds(sf_dir, "ambiguous_ctx")
+    world = _cached_world(cfg)
+    alias_rows = world.alias_rows()
+    det_ref = ray.put(build_detector_index([a["alias"] for a in alias_rows]))
+    raw = pages.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={"index_ref": det_ref},
+        batch_size=256,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    linked = link_with_context(
+        raw,
+        ray.put(build_norm_index(alias_rows)),
+        ray.put(build_ambiguity_index(alias_rows)),
+        ray.put(build_related_index(world.facts_by_subj)),
+    )
+    cmap = build_canonical_map(None, world.equivalences)
+    triples = linked.map_batches(
+        make_canonical_fn(ray.put(cmap)), batch_size=16384,
+        batch_format="pyarrow",
+    )
+    return triples.to_pandas().sort_values(
+        ["canonical_subj", "pred", "canonical_obj", "url", "span_start"]
+    ).reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -485,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_events": q.q_sample_events,
         "q_approx_stats": q.q_approx_stats,
         "kg_triples": _kg_triples,
+        "kg_triples_ctx": _kg_triples_ctx,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
         "kg_graph_stats": _kg_graph_stats,

@@ -120,6 +120,17 @@ def page_plan(world: World, i: int, variant: str):
     # side of an ambiguous alias, refer to it by that shared surface
     # form — the linker must pick this entity by prior
     amb_alias = None
+    # 'ambiguous_ctx' variant: the page subject is the LOW-prior holder
+    # of a shared alias and refers to itself by that alias — prior-only
+    # linking picks the wrong (high-prior) entity; only document-context
+    # scoring (the page mentions the subject's own org/city facts)
+    # resolves it correctly.  The fixture where the context tier and the
+    # prior tier disagree.
+    if variant == "ambiguous_ctx":
+        for alias, eid, _canon, prior in world.ambiguous_aliases:
+            if eid == sid and prior < 0.5:
+                amb_alias = alias
+                break
     if variant == "ambiguous":
         for alias, eid, _canon, prior in world.ambiguous_aliases:
             if eid == sid and prior > 0.5:

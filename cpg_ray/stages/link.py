@@ -182,6 +182,133 @@ def make_link_fn(index_ref, *, infer_on_miss: bool = True):
     return link_batch
 
 
+def build_ambiguity_index(alias_rows: list[dict]) -> dict[str, list[tuple]]:
+    """norm(alias) → [(entity_id, prior), …] for surface forms registered
+    to MORE THAN ONE entity (the candidate sets of the J4 scoring
+    cascade, CallResolver.java:242-301)."""
+    from ..normalize import norm_name
+
+    by_norm: dict[str, dict[str, float]] = {}
+    for row in alias_rows:
+        key = norm_name(row["alias"])
+        cur = by_norm.setdefault(key, {})
+        eid = row["entity_id"]
+        cur[eid] = max(cur.get(eid, 0.0), row["prior"])
+    return {
+        k: sorted(v.items())
+        for k, v in by_norm.items()
+        if len(v) > 1
+    }
+
+
+def build_related_index(facts_by_subj: dict) -> dict[str, frozenset]:
+    """entity_id → the entity ids it is factually related to (the
+    'argument signature' of a candidate: what should co-occur in a
+    document genuinely about it)."""
+    return {
+        eid: frozenset(f.obj for f in facts)
+        for eid, facts in facts_by_subj.items()
+    }
+
+
+def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
+                      infer_on_miss: bool = True, n_buckets: int = 32):
+    """Context-sensitive linking — the full J4 candidate-scoring cascade
+    (CallResolver.java:242-301, 1017-1133):
+
+    - tier 1: unambiguous exact norm match (broadcast index, as
+      :func:`make_link_fn`);
+    - tier 2 (ambiguous surface forms only): candidates scored by
+      DOCUMENT CONTEXT — the number of the candidate's related entities
+      (its fact objects) resolved unambiguously elsewhere in the same
+      document — then prior, then min entity id.  The analog of
+      signature matching choosing among same-name overloads by the
+      arguments actually present at the call site; prior-only linking
+      is the 'widening' fallback when context is silent.
+
+    Resolution is document-local, so triples bucket by hash(url) and
+    each url's rows resolve within one group (the same partitioning
+    assumption as every per-document operator here — no global state)."""
+    import zlib
+
+    import pandas as pd
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__b"] = [zlib.crc32(u.encode()) % n_buckets for u in b["url"]]
+        return b
+
+    out_cols = ["subj", "pred", "obj", "url", "span_start",
+                "subj_is_inferred", "obj_is_inferred"]
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.relational import bcast_get
+
+        index = bcast_get(index_ref)
+        amb = bcast_get(amb_ref)
+        related = bcast_get(related_ref)
+        frames = []
+        for _url, sub in g.groupby("url", sort=False):
+            norms = pd.concat([sub.subj_norm, sub.obj_norm]).unique()
+            context = {
+                index[n][0] for n in norms if n in index and n not in amb
+            }
+
+            def link_one(n: str) -> tuple[str, bool]:
+                cands = amb.get(n)
+                if cands is not None:
+                    best = max(
+                        cands,
+                        key=lambda c: (
+                            len(related.get(c[0], frozenset()) & context),
+                            c[1],
+                            # min id wins ties → negate lexicographic via
+                            # sorted() order: handled below
+                        ),
+                    )
+                    # deterministic: among equal (context, prior) scores,
+                    # the min entity id (cands is id-sorted; max() keeps
+                    # the FIRST of equal keys)
+                    return best[0], False
+                hit = index.get(n)
+                if hit is not None:
+                    return hit[0], False
+                return f"inf:{n}", True
+
+            cache = {n: link_one(n) for n in norms}
+            keep = pd.Series(True, index=sub.index)
+            if not infer_on_miss:
+                keep = sub.subj_norm.map(lambda n: not cache[n][1]) & \
+                    sub.obj_norm.map(lambda n: not cache[n][1])
+            sub = sub[keep]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "subj": sub.subj_norm.map(lambda n: cache[n][0]),
+                        "pred": sub.pred,
+                        "obj": sub.obj_norm.map(lambda n: cache[n][0]),
+                        "url": sub.url,
+                        "span_start": sub.span_start,
+                        "subj_is_inferred": sub.subj_norm.map(
+                            lambda n: cache[n][1]
+                        ),
+                        "obj_is_inferred": sub.obj_norm.map(
+                            lambda n: cache[n][1]
+                        ),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        raw_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def make_canonical_fn(cmap_ref):
     """Stateless-task variant of AddCanonical (broadcast canonical map,
     per-process cached)."""
