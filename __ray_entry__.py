@@ -526,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_lsh": q.q_knn_lsh,
         "q_knn_ivf": q.q_knn_ivf,
         "q_multimodal_decode": q.q_multimodal_decode,
+        "q_multimodal_frames": q.q_multimodal_frames,
+        "q_multimodal_audio": q.q_multimodal_audio,
         "q_events_sliding": q.q_events_sliding,
         "q_events_asof": q.q_events_asof,
         "q_events_interval": q.q_events_interval,

@@ -116,3 +116,167 @@ def frame_sample_plan(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling plan (video analog; the decode of
     each frame is behind the same codec boundary)."""
     return list(range(0, n_frames, max(1, every)))
+
+
+class ResizeImage:
+    """Actor-pool resize stage: decode (stub) → nearest-neighbor resize
+    to (target, target) → re-emit as a raw-bytes thumbnail column.
+    The decoded intermediate never crosses the stage boundary — only
+    the (small, fixed-size) thumbnail does (SURVEY.md §7.4.6: wide
+    binaries stay inside one stage)."""
+
+    def __init__(self, target: int = 4, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real image codec not available; use fake=True"
+            )
+        self.codec = _decode_stub
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out_id, thumbs, ok = [], [], []
+        for i, p, w, h in zip(ids, batch["media"].to_pylist(),
+                              batch["width"].to_pylist(),
+                              batch["height"].to_pylist()):
+            out_id.append(i)
+            try:
+                img = self.codec(p, w, h)
+                idx = np.linspace(0, img.shape[0] - 1, self.target).astype(int)
+                small = img[idx][:, idx]  # nearest-neighbor
+                thumbs.append(small.tobytes())
+                ok.append(True)
+            except NotImplementedError:
+                thumbs.append(None)
+                ok.append(False)
+        return pa.table(
+            {
+                "media_id": out_id,
+                "thumb": pa.array(thumbs, pa.binary()),
+                "thumb_w": pa.array([self.target] * len(out_id), pa.int32()),
+                "thumb_h": pa.array([self.target] * len(out_id), pa.int32()),
+                "ok": ok,
+            }
+        )
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media", pa.large_binary()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+    ]
+)
+
+
+def synthesize_video(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic fake video table (payload pseudo-bytes + frame
+    counts) for the frame-sampling plumbing."""
+    ids, blobs, frames, fps = [], [], [], []
+    for i in range(n):
+        h = hashlib.sha256(f"v{seed}:{i}".encode()).digest()
+        size = 2000 + (i * 53) % 6000
+        blobs.append((h * (size // len(h) + 1))[:size])
+        ids.append(f"vid{i:06d}")
+        frames.append(24 + (i * 7) % 240)
+        fps.append(24.0)
+    return pa.Table.from_pydict(
+        {"media_id": ids, "media": blobs, "n_frames": frames, "fps": fps},
+        schema=VIDEO_SCHEMA,
+    )
+
+
+class SampleVideoFrames:
+    """Actor-pool frame-sample stage: one video row fans OUT to one row
+    per sampled frame (flat-map shape), each with stub-decoded frame
+    features.  The frame decode is seeded by (payload, frame_idx) so
+    re-runs are deterministic; a real ffmpeg seek-and-decode replaces
+    ``_decode_stub`` only."""
+
+    def __init__(self, every: int = 10, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real video codec not available; use fake=True"
+            )
+        self.every = every
+        self.codec = _decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, f_idx, f_mean, ok = [], [], [], []
+        for i, p, n in zip(batch["media_id"].to_pylist(),
+                           batch["media"].to_pylist(),
+                           batch["n_frames"].to_pylist()):
+            for fi in frame_sample_plan(n, self.every):
+                out_id.append(i)
+                f_idx.append(fi)
+                try:
+                    frame = self.codec(p + fi.to_bytes(4, "little"), 8, 8)
+                    f_mean.append(float(frame.mean()))
+                    ok.append(True)
+                except NotImplementedError:
+                    f_mean.append(None)
+                    ok.append(False)
+        return pa.table(
+            {
+                "media_id": out_id,
+                "frame_idx": pa.array(f_idx, pa.int32()),
+                "frame_mean": f_mean,
+                "ok": ok,
+            }
+        )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media", pa.large_binary()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+
+def synthesize_audio(n: int, seed: int = 13) -> pa.Table:
+    ids, blobs, rates = [], [], []
+    for i in range(n):
+        h = hashlib.sha256(f"a{seed}:{i}".encode()).digest()
+        size = 800 + (i * 41) % 5000
+        blobs.append((h * (size // len(h) + 1))[:size])
+        ids.append(f"aud{i:06d}")
+        rates.append(16000 if i % 2 else 44100)
+    return pa.Table.from_pydict(
+        {"media_id": ids, "media": blobs, "sample_rate": rates},
+        schema=AUDIO_SCHEMA,
+    )
+
+
+class DecodeAudio:
+    """Actor-pool audio feature stage: binary → (duration, rms) via the
+    stub PCM interpretation (bytes as int8 samples — a real torchaudio/
+    soundfile decode replaces the two marked lines)."""
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real audio codec not available; use fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, dur, rms, ok = [], [], [], []
+        for i, p, sr in zip(batch["media_id"].to_pylist(),
+                            batch["media"].to_pylist(),
+                            batch["sample_rate"].to_pylist()):
+            out_id.append(i)
+            if not p:
+                dur.append(None)
+                rms.append(None)
+                ok.append(False)
+                continue
+            # REAL-CODEC BOUNDARY: the next two lines
+            samples = np.frombuffer(p, dtype=np.int8).astype(np.float64)
+            dur.append(len(samples) / sr)
+            rms.append(float(np.sqrt((samples ** 2).mean())))
+            ok.append(True)
+        return pa.table(
+            {"media_id": out_id, "duration_s": dur, "rms": rms, "ok": ok}
+        )

@@ -756,6 +756,38 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling fan-out (flat-map shape, actor pool, codec
+    stubbed; rows-only)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import SampleVideoFrames, synthesize_video
+
+    vids = rd.from_arrow(synthesize_video(100))
+    df = vids.map_batches(
+        SampleVideoFrames, fn_constructor_kwargs={"every": 10, "fake": True},
+        batch_size=16, batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    df["frame_mean"] = df["frame_mean"].round(4)
+    return df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
+    """Audio feature extraction (duration/RMS, codec stubbed; rows-only)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import DecodeAudio, synthesize_audio
+
+    aud = rd.from_arrow(synthesize_audio(150))
+    df = aud.map_batches(
+        DecodeAudio, fn_constructor_kwargs={"fake": True},
+        batch_size=16, batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    df["duration_s"] = df["duration_s"].round(6)
+    df["rms"] = df["rms"].round(4)
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB, same parquet views)
 # ---------------------------------------------------------------------------
