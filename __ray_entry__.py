@@ -511,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_nation_union": q.q_region_nation_union,
         "q_doc_token_stats": q.q_doc_token_stats,
         "q_doc_quality": q.q_doc_quality,
+        "q_doc_gopher": q.q_doc_gopher,
         "q_doc_top_tokens": q.q_doc_top_tokens,
         "q_orders_priority_leftjoin": q.q_orders_priority_leftjoin,
         "q_doc_bpe_tokens": q.q_doc_bpe_tokens,

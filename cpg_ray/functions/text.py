@@ -96,6 +96,41 @@ def hashing_vectorizer(batch: pd.DataFrame, *, text_col: str = "text",
     return out
 
 
+def gopher_quality(batch: pd.DataFrame, text_col: str = "text",
+                   *, min_words: int = 50, max_words: int = 100_000,
+                   min_mwl: float = 3.0, max_mwl: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_dup_line_frac: float = 0.3) -> pd.DataFrame:
+    """Gopher-rules document quality filter (Rae et al. 2021 §A1.1
+    heuristics, public): word-count bounds, mean word length, symbol
+    ratio, bullet-line fraction, duplicate-line fraction → per-doc
+    features + a ``gopher_pass`` verdict.  All but dup_line_frac are
+    single vectorized str kernels; dup lines need a per-doc set (the
+    langid-style exception)."""
+    s = batch[text_col]
+    out = batch.copy()
+    n_words = s.str.count(r"\S+").astype("int64")
+    nw = n_words.clip(lower=1)
+    out["n_words"] = n_words
+    out["mean_word_len"] = s.str.count(r"\S") / nw
+    out["symbol_ratio"] = s.str.count(r"[#…]") / nw
+    n_lines = (s.str.count("\n") + 1).clip(lower=1)
+    out["bullet_frac"] = s.str.count(r"(?m)^[-*•]") / n_lines
+    out["dup_line_frac"] = [
+        1.0 - len(set(lines)) / len(lines) if (lines := t.split("\n")) else 0.0
+        for t in s
+    ]
+    out["gopher_pass"] = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (out.mean_word_len >= min_mwl) & (out.mean_word_len <= max_mwl)
+        & (out.symbol_ratio <= max_symbol_ratio)
+        & (out.bullet_frac <= max_bullet_frac)
+        & (out.dup_line_frac <= max_dup_line_frac)
+    )
+    return out
+
+
 _FP_WINDOW = 8
 # polynomial window weights + a murmur-style finalizer: the whole
 # window sweep is ONE numpy pass (the previous per-window crc32 loop

@@ -381,6 +381,21 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_gopher(sf_dir: str) -> pd.DataFrame:
+    """Gopher-rules quality features + verdict per document."""
+    from ..functions.text import gopher_quality
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ds.map_batches(gopher_quality, batch_format="pandas").to_pandas()
+    for c in ("mean_word_len", "symbol_ratio", "bullet_frac",
+              "dup_line_frac"):
+        df[c] = hround(df[c], 4)
+    return df[["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+               "bullet_frac", "dup_line_frac", "gopher_pass"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def q_doc_langid(sf_dir: str) -> pd.DataFrame:
     """Language-ID heuristic (rows-only check: no SQL equivalent)."""
     from ..functions.text import langid
@@ -1014,6 +1029,36 @@ ORACLE_SQL: dict[str, str] = {
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id, p.user_id
         ORDER BY p.event_id
+    """,
+    "q_doc_gopher": """
+        WITH f AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+                   greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                       AS nw,
+                   len(regexp_extract_all(text, '\\S'))::DOUBLE AS n_chars,
+                   len(regexp_extract_all(text, '[#…]'))::DOUBLE AS n_sym,
+                   len(regexp_extract_all(text, '(?m)^[-*•]'))::DOUBLE
+                       AS n_bullets,
+                   greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+                   len(list_distinct(string_split(text, chr(10))))::DOUBLE
+                       AS n_uniq_lines
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               floor(n_chars / nw * 10000 + 0.5) / 10000 AS mean_word_len,
+               floor(n_sym / nw * 10000 + 0.5) / 10000   AS symbol_ratio,
+               floor(n_bullets / n_lines * 10000 + 0.5) / 10000
+                                                          AS bullet_frac,
+               floor((1.0 - n_uniq_lines / n_lines) * 10000 + 0.5) / 10000
+                                                          AS dup_line_frac,
+               (n_words BETWEEN 50 AND 100000
+                AND n_chars / nw BETWEEN 3.0 AND 10.0
+                AND n_sym / nw <= 0.1
+                AND n_bullets / n_lines <= 0.9
+                AND (1.0 - n_uniq_lines / n_lines) <= 0.3) AS gopher_pass
+        FROM f
+        ORDER BY doc_id
     """,
     "q_doc_top_tokens": """
         SELECT tok, count(*)::BIGINT AS n
