@@ -70,6 +70,58 @@ class Sessionizer:
         )
 
 
+def sessionize_with_actors(events_ds, *, gap_seconds: float = 1800.0,
+                           n_buckets: int = 4,
+                           batch_rows: int = 8192) -> pd.DataFrame:
+    """The ONLINE shape: long-lived per-bucket Ray ACTORS each holding a
+    :class:`Sessionizer`, fed time-ordered micro-batches; state
+    (open sessions + watermark) persists ACROSS feed calls — the raw
+    @ray.remote escape hatch for semantics ``map_groups`` can't express
+    (an unbounded stream has no "whole group" to hand to a task).
+
+    The driver here only ROUTES batches (no per-event work — the state
+    machine runs remotely); in production the router is whatever ordered
+    ingest feeds the stream.  Per-actor ordering is guaranteed by Ray's
+    per-actor task queue (submission order = execution order), so closed
+    sessions stream out of each feed as the bucket's watermark advances.
+    For bounded datasets prefer :func:`sessionize_streaming` (one hash
+    shuffle, no routing hop)."""
+    import ray
+
+    @ray.remote
+    class BucketSessionizer:
+        def __init__(self, gap: float):
+            self.sz = Sessionizer(gap)
+
+        def feed(self, df: pd.DataFrame) -> pd.DataFrame:
+            return self.sz.feed(df)
+
+        def flush(self) -> pd.DataFrame:
+            return self.sz.flush()
+
+    actors = [BucketSessionizer.remote(gap_seconds) for _ in range(n_buckets)]
+    sorted_ds = events_ds.sort("ts")
+    futures = []
+    for batch in sorted_ds.iter_batches(batch_format="pandas",
+                                        batch_size=batch_rows):
+        batch = batch.copy()
+        batch["__b"] = (batch.user_id % n_buckets).astype("int32")
+        for b, sub in batch.groupby("__b", sort=True):
+            futures.append(actors[int(b)].feed.remote(sub.drop(columns="__b")))
+    futures.extend(a.flush.remote() for a in actors)
+    frames = [f for f in ray.get(futures) if len(f)]
+    for a in actors:
+        ray.kill(a)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["user_id", "session_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def sessionize_streaming(events_ds, *, gap_seconds: float = 1800.0,
                          n_buckets: int = 8,
                          batch_rows: int = 8192) -> pd.DataFrame:

@@ -44,3 +44,23 @@ def test_streaming_matches_batch_sessionization():
     assert (merged.n_sessions_s == merged.n_sessions_b).all()
     # session event counts cover every event exactly once
     assert got.n_events.sum() == ev.num_rows
+
+
+def test_actor_sessionizer_matches_and_persists_state():
+    """The online actor variant agrees with the distributed batch
+    variant, and its per-bucket state genuinely spans feed calls
+    (sessions crossing a micro-batch boundary close correctly)."""
+    from cpg_ray.functions.streaming import sessionize_with_actors
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    batch = sessionize_streaming(rd.from_arrow(ev), gap_seconds=1800)
+    # tiny batch_rows forces most sessions to span many feed calls
+    online = sessionize_with_actors(
+        rd.from_arrow(ev), gap_seconds=1800, n_buckets=3, batch_rows=64
+    )
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True), online.reset_index(drop=True)
+    )
