@@ -462,6 +462,30 @@ def _kg_triples_ctx(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _kg_domain_cap(sf_dir: str):
+    """Web-corpus hygiene (crawl pre-filter): broadcast domain blocklist
+    + deterministic per-domain cap (anti-monoculture sampling), over the
+    shared pages parquet so the row_number() SQL oracle sees the same
+    base table."""
+    import ray.data as rd
+
+    from cpg_ray.functions.webfilter import cap_per_domain, filter_urls
+    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+
+    n = _n_pages_for(sf_dir)
+    scale = max(1, n // 2000)
+    cfg = cfg_for_variant("mixed", scale=scale)
+    path = materialize_pages(
+        f"/tmp/cpg_ray_pages/mixed_{n}_{cfg.seed}", n, cfg, "mixed"
+    )
+    pages = rd.read_parquet(path, columns=["url", "lang"])
+    kept = cap_per_domain(
+        filter_urls(pages, blocked_domains=["site0.example", "site13.example"]),
+        max_per_domain=10,
+    )
+    return kept.to_pandas().sort_values("url").reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -548,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_value_eval": _kg_value_eval,
         "kg_entity_enrich": _kg_entity_enrich,
         "kg_pred_signatures": _kg_pred_signatures,
+        "kg_domain_cap": _kg_domain_cap,
         "kg_eog_reach": _kg_eog_reach,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
@@ -730,6 +755,23 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        "kg_domain_cap": f"""
+            SELECT url, lang FROM (
+                SELECT url, lang,
+                       row_number() OVER (
+                           PARTITION BY lower(regexp_extract(
+                               url, '^[a-z]+://([^/]+)', 1))
+                           ORDER BY url
+                       ) AS rn
+                FROM read_parquet('{pages_glob}')
+                WHERE lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                      NOT IN ('site0.example', 'site13.example')
+                  AND regexp_extract(url, '^([a-z]+)://', 1)
+                      IN ('http', 'https')
+            )
+            WHERE rn <= 10
+            ORDER BY url
         """,
         "kg_extracted_text": f"""
             SELECT p.url, true AS byte_identical,
