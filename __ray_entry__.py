@@ -773,6 +773,39 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             WHERE rn <= 10
             ORDER BY url
         """,
+        "kg_typestate": f"""
+            WITH t AS (
+                SELECT url, subj_norm AS subject, pred,
+                       CASE WHEN pred IN ('works_for', 'born_in')
+                                THEN 'bio'
+                            WHEN pred IN ('based_in', 'acquired',
+                                          'located_in') THEN 'corp'
+                            ELSE 'bad' END AS phase,
+                       row_number() OVER (
+                           PARTITION BY url, subj_norm
+                           ORDER BY span_start
+                       ) - 1 AS idx
+                FROM {gsrc}
+                WHERE kind = 'triple'
+            ), v AS (
+                SELECT url, subject, idx,
+                       (phase = 'bad' OR (phase = 'bio'
+                        AND coalesce(max(CASE WHEN phase = 'corp'
+                                              THEN 1 ELSE 0 END) OVER (
+                                PARTITION BY url, subject ORDER BY idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) = 1))
+                           AS viol
+                FROM t
+            )
+            SELECT url, subject,
+                   (count(CASE WHEN viol THEN 1 END) = 0) AS accepted,
+                   coalesce(min(CASE WHEN viol THEN idx END), -1)::BIGINT
+                       AS violation_at
+            FROM v
+            GROUP BY url, subject
+            ORDER BY url, subject
+        """,
         "kg_extracted_text": f"""
             SELECT p.url, true AS byte_identical,
                    EXISTS (SELECT 1 FROM {gsrc} q

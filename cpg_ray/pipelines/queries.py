@@ -1030,6 +1030,40 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.event_id, p.user_id
         ORDER BY p.event_id
     """,
+    "q_doc_langid": """
+        WITH f AS (
+            -- per-language stopword-hit counts; the per-row ntok
+            -- normalisation the Ray side applies cancels out of both
+            -- the argmax and the >0 check, so raw counts suffice here
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(der|die|das|und|ist|nicht|mit|ein|eine|für)\\b'
+                   ))::DOUBLE AS n_de,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|in|is|that|with|for|was)\\b'
+                   ))::DOUBLE AS n_en,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(el|la|los|las|es|en|que|una|por|para)\\b'
+                   ))::DOUBLE AS n_es,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(le|la|les|et|est|dans|pour|que|une|des)\\b'
+                   ))::DOUBLE AS n_fr,
+                   len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE
+                       / greatest(length(text), 1) AS cjk
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN cjk > 0.05 THEN 'zh'
+                    WHEN greatest(n_de, n_en, n_es, n_fr) <= 0.0
+                        THEN 'unknown'
+                    WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr
+                        THEN 'de'
+                    WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                    WHEN n_es >= n_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM f
+        ORDER BY doc_id
+    """,
     "q_doc_gopher": """
         WITH f AS (
             SELECT doc_id,
