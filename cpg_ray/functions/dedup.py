@@ -39,16 +39,23 @@ def _text_md5(batch: pd.DataFrame, text_col: str) -> pd.Series:
     )
 
 
+AUTO_SHUFFLE_DEDUP_ROWS = 5_000_000
+
+
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                mode: str = "driver"):
+                mode: str = "auto"):
     """Keep the min-id row per identical text (D1 analog: hash-partition
     + deterministic per-group first).  Returns a Dataset with the
     surviving rows plus an ``n_copies`` column.
 
-    Default path: per-batch combiner (keep-min + local count per hash)
-    then a driver merge over one-candidate-per-(hash, batch) rows —
-    memory O(distinct texts).  mode="shuffle": hash groupby +
-    map_groups, for corpora whose distinct-set exceeds the driver."""
+    mode="auto" (default): the driver-merge path (per-batch combiner →
+    one candidate per (hash, batch) on the driver) is only safe while
+    the candidate volume — bounded below by the DISTINCT count, which
+    for a mostly-unique corpus is ~the corpus — fits one machine, so
+    past ``AUTO_SHUFFLE_DEDUP_ROWS`` input rows the hash-groupby
+    shuffle path is selected instead."""
+    if mode == "auto":
+        mode = "shuffle" if ds.count() > AUTO_SHUFFLE_DEDUP_ROWS else "driver"
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()

@@ -405,7 +405,7 @@ def topk(ds, sort_cols: list[str], k: int, *, descending=True):
 
 def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
                  *, descending: bool = True, tie_break: str | None = None,
-                 mode: str = "driver"):
+                 mode: str = "driver", driver_row_limit: int = 20_000_000):
     """Top-k per group (O3 analog with explicit deterministic tie-break).
 
     Grouped top-k is algebraic: per-batch local top-k-per-group is a
@@ -433,6 +433,14 @@ def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
     import ray.data as rd
 
     cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if len(cand) > driver_row_limit:
+        # k × groups × batches no longer fits the driver-finish
+        # assumption; the caller should pass mode="shuffle"
+        raise RuntimeError(
+            f"grouped_topk(mode='driver'): {len(cand)} candidate rows "
+            f"exceeds driver_row_limit={driver_row_limit}; use "
+            "mode='shuffle'"
+        )
     fin = (
         cand.sort_values(cols, ascending=asc, kind="mergesort")
         .groupby(group_keys, sort=False)
@@ -443,7 +451,7 @@ def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
 
 
 def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
-                mode: str = "driver"):
+                mode: str = "driver", driver_row_limit: int = 20_000_000):
     """Exact dedup: keep one row per key group — deterministically the
     min(order_col) row when given (D1/A3 keep-first with an explicit
     tie-break; plain first() is nondeterministic under parallelism).
@@ -466,4 +474,10 @@ def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
     import ray.data as rd
 
     cand = ds.map_batches(first_local, batch_format="pandas").to_pandas()
+    if len(cand) > driver_row_limit:
+        raise RuntimeError(
+            f"distinct_on(mode='driver'): {len(cand)} candidate rows "
+            f"exceeds driver_row_limit={driver_row_limit}; use "
+            "mode='shuffle'"
+        )
     return rd.from_pandas(first_local(cand).reset_index(drop=True))

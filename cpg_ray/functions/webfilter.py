@@ -57,25 +57,29 @@ def filter_urls(ds, *, blocked_domains=(), allowed_schemes=("http", "https"),
 
 
 def cap_per_domain(ds, *, max_per_domain: int, url_col: str = "url",
-                   order_col: str | None = None):
+                   order_col: str | None = None, mode: str = "driver"):
     """Keep at most N rows per domain (deterministic: min order_col
-    rows win) — anti-monoculture sampling for training corpora.  The
-    one shuffle in this module (groupby domain)."""
+    rows win) — anti-monoculture sampling for training corpora.
+
+    Grouped head is ALGEBRAIC, so this is the grouped_topk combiner
+    shape: each batch keeps its local per-domain head (the data shrinks
+    distributed, ≤ N rows per (domain, batch)), then a final head over
+    the survivors — never one map_groups task per domain (millions of
+    tiny tasks at web scale).  mode="shuffle" finishes with a grouped
+    shuffle instead of the driver merge when N × domains exceeds one
+    machine."""
+    from .relational import grouped_topk
 
     def add_domain(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__domain"] = [domain_of(u) for u in b[url_col]]
         return b
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        if order_col:
-            g = g.sort_values(order_col, kind="mergesort")
-        else:
-            g = g.sort_values(url_col, kind="mergesort")
-        return g.head(max_per_domain).drop(columns="__domain")
-
-    return (
-        ds.map_batches(add_domain, batch_format="pandas")
-        .groupby("__domain")
-        .map_groups(head, batch_format="pandas")
+    capped = grouped_topk(
+        ds.map_batches(add_domain, batch_format="pandas"),
+        ["__domain"], order_col or url_col, max_per_domain,
+        descending=False, mode=mode,
+    )
+    return capped.map_batches(
+        lambda b: b.drop(columns="__domain"), batch_format="pandas"
     )
