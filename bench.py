@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_events_sliding",
     "q_events_asof",
     "q_events_sessions_streaming",
+    "q_doc_gopher",
+    "q_doc_top_tokens",
+    "q_orders_priority_leftjoin",
 ]
 
 
