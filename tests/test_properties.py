@@ -64,3 +64,98 @@ def test_mention_detection_spans_valid(text):
     ms = det.detect(text)
     for a, b in zip(ms, ms[1:]):
         assert a.end <= b.start
+
+
+# ---- branch-aware EOG + flow-sensitive DFG (stages/dfg) -------------------
+
+_segment = st.one_of(
+    st.integers(min_value=1, max_value=4).map(lambda n: ("plain", n)),
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from([None, "a", "b"]),
+    ).map(lambda t: ("fork", t[0], t[1], t[2])),
+)
+
+
+def _tags_from_segments(segs):
+    """Segment specs → the tags list build_eog consumes."""
+    tags, gid = [], 0
+    for s in segs:
+        if s[0] == "plain":
+            tags.extend([None] * s[1])
+        else:
+            _k, na, nb, chosen = s
+            for _ in range(na):
+                tags.append((gid, "a", None if chosen is None else chosen == "a"))
+            for _ in range(nb):
+                tags.append((gid, "b", None if chosen is None else chosen == "b"))
+            gid += 1
+    return tags
+
+
+@given(st.lists(_segment, min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_build_eog_structural_invariants(segs):
+    from cpg_ray.stages.dfg import build_eog
+
+    tags = _tags_from_segments(segs)
+    edges = build_eog(tags)
+    n = len(tags)
+    # all edges point forward in mention order (the DAG invariant the
+    # one-pass fixpoint relies on)
+    assert all(0 <= s < d < n for s, d, _b, _u in edges)
+    # no duplicate edges
+    assert len({(s, d) for s, d, _b, _u in edges}) == len(edges)
+    # arms of one group never connect to each other directly
+    for s, d, _b, _u in edges:
+        ts, td = tags[s], tags[d]
+        if ts is not None and td is not None and ts[0] == td[0]:
+            assert ts[1] == td[1]
+    # unreachable only ever appears when some arm is declared not-chosen
+    any_dead = any(t is not None and t[2] is False for t in tags)
+    if not any_dead:
+        assert all(u is None for _s, _d, _b, u in edges)
+    # linear documents degenerate to the exact chain
+    if all(t is None for t in tags):
+        assert edges == [(i, i + 1, None, None) for i in range(n - 1)]
+
+
+@given(
+    st.lists(_segment, min_size=1, max_size=5),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=150, deadline=None)
+def test_flow_sensitive_dfg_invariants(segs, rnd):
+    from cpg_ray.stages.dfg import build_eog, flow_sensitive_dfg
+
+    tags = _tags_from_segments(segs)
+    n = len(tags)
+    keys = ["wickham", "alden"]
+    firsts = ["alric", "brona", "cyra"]
+    norms = [f"{rnd.choice(firsts)} {rnd.choice(keys)}" for _ in range(n)]
+    bare = [rnd.random() < 0.3 for _ in range(n)]
+    edges = build_eog(tags)
+    out = flow_sensitive_dfg(norms, bare, edges)
+    dead_idx = {i for i in range(n)
+                if tags[i] is not None and tags[i][2] is False}
+    for d, u in out:
+        assert d < u  # defs strictly precede uses
+        # def and use share the variable (last token)
+        assert norms[d].split()[-1] == norms[u].split()[-1]
+        # every edge into/within/out of a declared-dead arm is flagged
+        # unreachable, so a dead-arm def can never reach ANY use
+        assert d not in dead_idx
+    # bare mentions never serve as defs
+    for d, _u in out:
+        assert not bare[d]
+
+
+@given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=200),
+       st.lists(st.text(min_size=1, max_size=20), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_bloom_no_false_negatives(keys, probes):
+    from cpg_ray.functions.relational import BloomFilter
+
+    bf = BloomFilter(len(keys), 0.01).add_batch(keys)
+    assert bf.contains_batch(keys).all()  # NEVER a false negative
