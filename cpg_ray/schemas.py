@@ -44,10 +44,11 @@ EDGES = pa.schema(
     [
         ("src_id", pa.string()),
         ("dst_id", pa.string()),
-        ("etype", pa.string()),  # AST | EOG | DFG | TRIPLE | REFERS_TO
+        ("etype", pa.string()),  # AST | EOG | DFG | DFG2 | TRIPLE | REFERS_TO
         ("index", pa.int32()),
         ("name", pa.string()),
-        ("unreachable", pa.bool_()),
+        ("branch", pa.bool_()),  # Properties.BRANCH: true/false fork arm
+        ("unreachable", pa.bool_()),  # Properties.UNREACHABLE: dead edge
         ("url", pa.string()),
     ]
 )
