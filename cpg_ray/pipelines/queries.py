@@ -496,6 +496,43 @@ def _docs_with_dupes(sf_dir: str):
     return rd.from_pandas(pd.concat([base, dup], ignore_index=True))
 
 
+def q_doc_dup_sentences(sf_dir: str) -> pd.DataFrame:
+    """Cross-document EXACT substring dedup at word-8-gram granularity
+    (Lee et al. 2021 'Deduplicating Training Data' shape): explode docs
+    to overlapping 8-grams with a per-batch (doc, gram) distinct
+    combiner, one pre-combined groupby counts distinct docs per gram,
+    keep grams shared by >1 document (top 100, deterministic order).
+    Runs over documents ∪ injected near-copies so true positives exist."""
+    ds = _docs_with_dupes(sf_dir)
+    N = 8
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, text in zip(b.doc_id, b.text):
+            toks = text.split(" ")
+            if len(toks) < N:
+                continue
+            # per-doc set(): exact distinct — a doc is one input row, so
+            # its grams never straddle batches
+            for g in {" ".join(toks[i : i + N])
+                      for i in range(len(toks) - N + 1)}:
+                doc_ids.append(did)
+                grams.append(g)
+        return pd.DataFrame({"doc_id": doc_ids, "gram": grams})
+
+    agg = groupby_agg(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["gram"], [("doc_id", "count", "n_docs")],
+    )
+    df = agg.to_pandas()
+    df = df[df.n_docs > 1]
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values(["n_docs", "gram"],
+                          ascending=[False, True]).head(100).reset_index(
+        drop=True
+    )
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import near_dedup_minhash
 
@@ -1093,6 +1130,27 @@ ORACLE_SQL: dict[str, str] = {
                 AND (1.0 - n_uniq_lines / n_lines) <= 0.3) AS gopher_pass
         FROM f
         ORDER BY doc_id
+    """,
+    "q_doc_dup_sentences": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text || ' tail'
+            FROM documents WHERE doc_id % 10 = 0
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+            WHERE len(words) >= 8
+        )
+        SELECT gram, count(*)::BIGINT AS n_docs
+        FROM g
+        GROUP BY gram
+        HAVING count(*) > 1
+        ORDER BY n_docs DESC, gram
+        LIMIT 100
     """,
     "q_doc_top_tokens": """
         SELECT tok, count(*)::BIGINT AS n
