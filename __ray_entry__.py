@@ -537,7 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_quality": q.q_doc_quality,
         "q_doc_gopher": q.q_doc_gopher,
         "q_doc_top_tokens": q.q_doc_top_tokens,
-        "q_doc_dup_sentences": q.q_doc_dup_sentences,
+        "q_doc_dup_ngrams": q.q_doc_dup_ngrams,
         "q_orders_priority_leftjoin": q.q_orders_priority_leftjoin,
         "q_doc_bpe_tokens": q.q_doc_bpe_tokens,
         "q_events_sessions": q.q_events_sessions,

@@ -496,7 +496,7 @@ def _docs_with_dupes(sf_dir: str):
     return rd.from_pandas(pd.concat([base, dup], ignore_index=True))
 
 
-def q_doc_dup_sentences(sf_dir: str) -> pd.DataFrame:
+def q_doc_dup_ngrams(sf_dir: str) -> pd.DataFrame:
     """Cross-document EXACT substring dedup at word-8-gram granularity
     (Lee et al. 2021 'Deduplicating Training Data' shape): explode docs
     to overlapping 8-grams with a per-batch (doc, gram) distinct
@@ -1131,7 +1131,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM f
         ORDER BY doc_id
     """,
-    "q_doc_dup_sentences": """
+    "q_doc_dup_ngrams": """
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
