@@ -45,21 +45,21 @@ def content_id(*parts: object) -> str:
     return h.hexdigest()[:16]
 
 
-def char_to_byte_offsets(text: str) -> list[int]:
+def char_to_byte_offsets(text: str):
     """Prefix-sum of UTF-8 byte lengths: ``out[i]`` is the byte offset of
     character ``i``; ``out[len(text)]`` is the total byte length.
 
     Spans in the node/edge/triple tables are UTF-8 byte offsets into the
-    extracted text (SARIF Region analog, PhysicalLocation.java:51)."""
-    out = [0] * (len(text) + 1)
-    pos = 0
-    for i, ch in enumerate(text):
-        pos += len(ch.encode("utf-8"))
-        out[i + 1] = pos
-    return out
+    extracted text (SARIF Region analog, PhysicalLocation.java:51).
 
+    Vectorized: every UTF-8 character starts at a non-continuation byte
+    (top bits != 10), so the char→byte map is one numpy mask over the
+    encoded bytes — no per-character Python loop (this was 11% of the
+    full-graph extract profile)."""
+    import numpy as np
 
-def byte_offsets_ascii_fast(text: str) -> list[int] | None:
-    """Return None if text is not pure ASCII (caller falls back to
-    :func:`char_to_byte_offsets`); identity offsets otherwise."""
-    return None if not text.isascii() else list(range(len(text) + 1))
+    b = text.encode("utf-8")
+    arr = np.frombuffer(b, dtype=np.uint8)
+    starts = np.flatnonzero((arr & 0xC0) != 0x80)
+    return np.append(starts, len(b)).astype(np.int64)
+

@@ -28,7 +28,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..normalize import (
-    byte_offsets_ascii_fast,
     char_to_byte_offsets,
     collapse_ws,
     content_id,
@@ -286,9 +285,9 @@ def triples_from_mentions(
     return out
 
 
-def _byte_offsets(text: str) -> list[int]:
-    fast = byte_offsets_ascii_fast(text)
-    return fast if fast is not None else char_to_byte_offsets(text)
+def _byte_offsets(text: str):
+    # the numpy continuation-byte mask is ASCII-fast too — one path
+    return char_to_byte_offsets(text)
 
 
 class ExtractTriples:
