@@ -486,6 +486,34 @@ def _kg_domain_cap(sf_dir: str):
     return kept.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def _kg_hot_entities(sf_dir: str):
+    """Top entities by mention count computed through the SALTED
+    TWO-PHASE shuffle vocab path (A2/G7 analog — the skew-safe
+    aggregation the north rule requires), driver-verified against a
+    plain SQL GROUP BY over the same materialized triples."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.stages.canonicalize import collect_entity_vocab
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "canonical_obj"],
+    ).map_batches(
+        lambda t: t.rename_columns(["subj", "obj"]), batch_format="pyarrow"
+    )
+    vocab = collect_entity_vocab(tri, mode="shuffle")
+    df = vocab.to_pandas()
+    df = df.rename(columns={"entity_id": "eid"})
+    return (
+        df.sort_values(["n_mentions", "eid"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -574,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_enrich": _kg_entity_enrich,
         "kg_pred_signatures": _kg_pred_signatures,
         "kg_domain_cap": _kg_domain_cap,
+        "kg_hot_entities": _kg_hot_entities,
         "kg_eog_reach": _kg_eog_reach,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
@@ -756,6 +785,19 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        "kg_hot_entities": f"""
+            WITH m AS (
+                SELECT canonical_subj AS eid
+                FROM read_parquet('{triples_glob}')
+                UNION ALL
+                SELECT canonical_obj FROM read_parquet('{triples_glob}')
+            )
+            SELECT eid, count(*)::BIGINT AS n_mentions
+            FROM m
+            GROUP BY eid
+            ORDER BY n_mentions DESC, eid
+            LIMIT 20
         """,
         "kg_domain_cap": f"""
             SELECT url, lang FROM (
