@@ -19,6 +19,7 @@ embarrassingly parallel with no cross-file state.
 from __future__ import annotations
 
 import gzip
+import re
 import io
 
 import pyarrow as pa
@@ -120,6 +121,38 @@ def read_warc(paths):
         return pa.concat_tables(tables) if tables else PAGES.empty_table()
 
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+_HTML_LANG = re.compile(rb'<html[^>]*\blang="([A-Za-z-]+)"')
+
+
+def fill_lang(pages_ds):
+    """Stamp the ``lang`` column on WARC-ingested pages: the html
+    ``lang`` attribute wins when present (the declared language —
+    crawls trust it first), else the stopword-profile langid over the
+    extracted text.  One pass, before the extract stage's per-language
+    connector dispatch."""
+    import pandas as pd
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import langid
+        from ..stages.extract import extract_text
+
+        langs, texts = [], []
+        for h in b["html"]:
+            m = _HTML_LANG.search(bytes(h)[:2048])
+            langs.append(
+                m.group(1).decode("ascii").split("-")[0].lower() if m else None
+            )
+            texts.append(extract_text(h)[0] if m is None else "")
+        pred = langid(pd.DataFrame({"text": texts})).pred_lang
+        b = b.copy()
+        b["lang"] = [
+            d if d is not None else p for d, p in zip(langs, pred)
+        ]
+        return b
+
+    return pages_ds.map_batches(fill, batch_format="pandas")
 
 
 def write_warc(path: str, pages: list[dict]) -> str:

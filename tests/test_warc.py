@@ -49,3 +49,33 @@ def test_warc_non_response_records_ignored(tmp_path):
     )
     tbl, skipped = warc_to_pages(extra + raw)
     assert tbl.num_rows == 3 and skipped == 0
+
+
+def test_warc_to_flagship_end_to_end(tmp_path):
+    """The Common-Crawl-shaped path: pages → WARC bytes on disk →
+    read_warc → flagship triples, P/R = 1.0 vs the golden oracle (the
+    source format must be transparent to the engine)."""
+    from cpg_ray.pagegen import _cached_world, cfg_for_variant, gold_triples, render_page
+    from cpg_ray.pipelines.flagship import triples_dataset
+    from cpg_ray.sources.warc import read_warc, write_warc
+
+    cfg = cfg_for_variant("basic")
+    world = _cached_world(cfg)
+    rows = [render_page(world, i, "basic") for i in range(80)]
+    p1 = write_warc(str(tmp_path / "a.warc.gz"), rows[:40])
+    p2 = write_warc(str(tmp_path / "b.warc.gz"), rows[40:])
+
+    from cpg_ray.sources.warc import fill_lang
+
+    # WARC records carry no lang column: the html lang attribute (or
+    # langid fallback) fills it so per-language connector dispatch works
+    pages = fill_lang(read_warc([p1, p2]))
+    triples, _ = triples_dataset(pages, cfg)
+    got = {
+        (r["canonical_subj"], r["pred"], r["canonical_obj"])
+        for r in triples.to_pandas().to_dict("records")
+    }
+    want = set()
+    for i in range(80):
+        want |= gold_triples(world, i, "basic")
+    assert got == want
