@@ -37,10 +37,16 @@ def _parse_warc_ts(value: str) -> int:
 
 def iter_warc_records(data: bytes):
     """Yield (headers: dict, payload: bytes) per record; skips garbage
-    between records."""
+    between records.
+
+    Gzip is STREAMED (GzipFile over the compressed buffer), so a task
+    holds the compressed blob plus one record's payload — never the
+    whole decompressed archive (CC WARCs decompress ~4×; the full-blob
+    decompress was the memory spike at real archive sizes)."""
     if data[:2] == b"\x1f\x8b":  # gzip magic
-        data = gzip.decompress(data)
-    stream = io.BytesIO(data)
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
     while True:
         line = stream.readline()
         if not line:
