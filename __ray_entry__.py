@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+_KG_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
 def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracles for the kg_* family over the SAME materialized
     graph Parquet the Ray graph queries read: the graph-query operators
@@ -620,6 +623,9 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     (EOGTest.java:70+, CallResolverTest.java).  kg_triples/kg_entities/
     kg_scope_resolution additionally cross-check the in-memory pipeline
     path against the independently-written sharded disk path."""
+    cached = _KG_ORACLE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     graph_dir = _ensure_graph(sf_dir, "mixed")
     scoped_dir = _ensure_graph(sf_dir, "scoped")
     branchy_dir = _ensure_graph(sf_dir, "branchy")
@@ -639,7 +645,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     kb_pq = _ensure_kb(sf_dir)
     triple_cols = ("subj, pred, obj, url, span_start, subj_is_inferred, "
                    "obj_is_inferred, canonical_subj, canonical_obj")
-    return {
+    _KG_ORACLE_CACHE[sf_dir] = out = {
         "kg_rel_chain": f"""
             SELECT e.src_id, e.dst_id, e.url,
                    s.name AS src_name, d.name AS dst_name
@@ -659,7 +665,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             ORDER BY url, span_start
         """,
         "kg_dangling_edges": f"""
-            SELECT e.src_id, e.dst_id, e.etype, e.url
+            SELECT DISTINCT e.src_id, e.dst_id, e.etype, e.url
             FROM {gsrc} e
             WHERE e.kind = 'edge' AND (
                 NOT EXISTS (SELECT 1 FROM {gsrc} n
@@ -876,6 +882,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             ORDER BY url, span_start
         """,
     }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -55,6 +55,11 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     past ``AUTO_SHUFFLE_DEDUP_ROWS`` input rows the hash-groupby
     shuffle path is selected instead."""
     if mode == "auto":
+        # materialize BEFORE counting: count() on a lazy chain executes
+        # the whole upstream DAG, and the dedup pass would then execute
+        # it again — the materialize makes the count metadata-cheap and
+        # the second pass a block read
+        ds = ds.materialize()
         mode = "shuffle" if ds.count() > AUTO_SHUFFLE_DEDUP_ROWS else "driver"
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
@@ -147,6 +152,7 @@ def minhash_lsh_pairs(
     (tests/test_modes_equivalence.py).
     """
     if mode == "auto":
+        sig_ds = sig_ds.materialize()  # count + two downstream passes
         n_docs = sig_ds.count()
         mode = "shuffle" if n_docs * bands > AUTO_SHUFFLE_BAND_ROWS else "driver"
     rows_per_band = num_perm // bands
@@ -436,15 +442,9 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     # pull to the driver.
     from .relational import groupby_agg
 
-    if hasattr(sig_ds, "map_batches"):
-        sizes = groupby_agg(
-            exploded, ["band_id", "bv"], [(id_col, "count", "n")]
-        ).to_pandas()
-    else:  # pandas fallback (tests call with a local frame)
-        sizes = (
-            explode(sig_ds).groupby(["band_id", "bv"])[id_col]
-            .count().rename("n").reset_index()
-        )
+    sizes = groupby_agg(
+        exploded, ["band_id", "bv"], [(id_col, "count", "n")]
+    ).to_pandas()
     hot = sizes[sizes.n > max_bucket]
     pairs.attrs["skipped_buckets"] = int(len(hot))
     pairs.attrs["skipped_members"] = int(hot.n.sum())
@@ -515,13 +515,13 @@ def embedding_near_dup_pairs(
     )
     from .relational import groupby_agg
 
-    sizes = groupby_agg(
-        bucketed.map_batches(
-            lambda b: b[[id_col, "bucket"]].drop_duplicates(),
-            batch_format="pandas",
-        ),
-        ["bucket"], [(id_col, "count", "n")],
+    # distinct (bucket, id) FIRST — the same basis pairs_in_bucket uses
+    # for its hot decision (a per-batch-only dedup would over-count ids
+    # duplicated across batches and report skips that never happened)
+    per_id = groupby_agg(
+        bucketed, ["bucket", id_col], [(id_col, "count", "k")]
     ).to_pandas()
+    sizes = per_id.groupby("bucket").size().rename("n").reset_index()
     hot = sizes[sizes.n > max_bucket]
     pairs.attrs["skipped_buckets"] = int(len(hot))
     pairs.attrs["skipped_members"] = int(hot.n.sum())

@@ -74,9 +74,12 @@ def rel_chain(nodes_ds, edges_ds, *, etype: str, src_label: str,
 DANGLING_COLS = ["src_id", "dst_id", "etype", "url"]
 
 
-def dangling_edges(nodes_ds, edges_ds, *, num_partitions: int = 16):
-    """Edges whose src or dst id is missing from the node table — the
-    graph-consistency check; MUST be empty for a well-formed graph.
+def dangling_edges(nodes_ds, edges_ds, *, num_partitions: int | None = None):
+    """DISTINCT edges whose src or dst id is missing from the node table
+    — the graph-consistency check; MUST be empty for a well-formed
+    graph.  (Set semantics by contract — the paired SQL oracle also
+    selects DISTINCT; per-row multiplicity of corrupt edges is not
+    preserved.)
 
     Scale shape: ONE hash-partitioned ``left_anti`` join — edges are
     exploded to (edge attrs, endpoint) rows (2 rows per edge) and
@@ -84,8 +87,18 @@ def dangling_edges(nodes_ds, edges_ds, *, num_partitions: int = 16):
     collected on the driver (the previous broadcast-set version held
     every node id in one Python set — tens of GB at corpus scale).
     An edge with both endpoints missing surfaces twice; the final
-    distinct collapses it (the dangling set is tiny by definition)."""
+    distinct collapses it (the dangling set is tiny by definition).
+
+    ``num_partitions`` defaults to the cluster CPU count (capped at 16):
+    Ray's join aggregator actors need a slot each, and a fixed 16 on a
+    2-CPU cluster starves the pipeline into a permanent hang (measured)."""
     from .relational import distinct_on
+
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 2))
+        num_partitions = max(2, min(16, cpus))
 
     nid = nodes_ds.map_batches(
         lambda t: t.select(["node_id"]), batch_format="pyarrow"

@@ -142,8 +142,12 @@ class ResizeImage:
             out_id.append(i)
             try:
                 img = self.codec(p, w, h)
-                idx = np.linspace(0, img.shape[0] - 1, self.target).astype(int)
-                small = img[idx][:, idx]  # nearest-neighbor
+                # per-axis indices: real decodes are (h, w, 3) and
+                # rarely square — a single shape[0] index would IndexError
+                # on wide images and crop tall ones
+                yi = np.linspace(0, img.shape[0] - 1, self.target).astype(int)
+                xi = np.linspace(0, img.shape[1] - 1, self.target).astype(int)
+                small = img[yi][:, xi]  # nearest-neighbor
                 thumbs.append(small.tobytes())
                 ok.append(True)
             except NotImplementedError:

@@ -383,6 +383,28 @@ def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     return rd.from_pandas(finalize(acc))
 
 
+def _collect_limited(ds, row_limit: int, op_name: str) -> pd.DataFrame:
+    """Stream a (pre-combined) Dataset to one pandas frame, raising as
+    soon as the cumulative row count crosses ``row_limit`` — BEFORE the
+    driver has swallowed the whole result (a post-hoc check after
+    to_pandas() can only fire if the driver already survived the exact
+    allocation the limit exists to prevent)."""
+    frames: list[pd.DataFrame] = []
+    total = 0
+    for b in ds.iter_batches(batch_format="pandas"):
+        total += len(b)
+        if total > row_limit:
+            raise RuntimeError(
+                f"{op_name}(mode='driver'): candidate rows exceed "
+                f"driver_row_limit={row_limit}; use mode='shuffle'"
+            )
+        frames.append(b)
+    if not frames:
+        cols = ds.columns() or []  # schema is cached after iteration
+        return pd.DataFrame(columns=cols)
+    return pd.concat(frames, ignore_index=True)
+
+
 # ---- order / limit --------------------------------------------------------
 
 
@@ -432,15 +454,12 @@ def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
 
     import ray.data as rd
 
-    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
-    if len(cand) > driver_row_limit:
-        # k × groups × batches no longer fits the driver-finish
-        # assumption; the caller should pass mode="shuffle"
-        raise RuntimeError(
-            f"grouped_topk(mode='driver'): {len(cand)} candidate rows "
-            f"exceeds driver_row_limit={driver_row_limit}; use "
-            "mode='shuffle'"
-        )
+    cand = _collect_limited(
+        ds.map_batches(local, batch_format="pandas"), driver_row_limit,
+        "grouped_topk",
+    )
+    if cand.empty:
+        return rd.from_pandas(cand)
     fin = (
         cand.sort_values(cols, ascending=asc, kind="mergesort")
         .groupby(group_keys, sort=False)
@@ -473,11 +492,10 @@ def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
 
     import ray.data as rd
 
-    cand = ds.map_batches(first_local, batch_format="pandas").to_pandas()
-    if len(cand) > driver_row_limit:
-        raise RuntimeError(
-            f"distinct_on(mode='driver'): {len(cand)} candidate rows "
-            f"exceeds driver_row_limit={driver_row_limit}; use "
-            "mode='shuffle'"
-        )
+    cand = _collect_limited(
+        ds.map_batches(first_local, batch_format="pandas"),
+        driver_row_limit, "distinct_on",
+    )
+    if cand.empty:
+        return rd.from_pandas(cand)
     return rd.from_pandas(first_local(cand).reset_index(drop=True))

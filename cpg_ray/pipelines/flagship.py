@@ -167,6 +167,27 @@ def run_flagship(
     lineage: list[dict] = []
     skipped = 0
 
+    # prune shard dirs left by an earlier run with MORE shards — the
+    # shard=* globs (entities rebuild, downstream readers) would union
+    # their stale rows silently, markers never consulted
+    import shutil
+
+    pruned = False
+    for table in ("graph", "triples"):
+        base = os.path.join(out_dir, table)
+        if not os.path.isdir(base):
+            continue
+        for entry in os.listdir(base):
+            if not entry.startswith("shard="):
+                continue
+            try:
+                k = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k >= len(shards):
+                shutil.rmtree(os.path.join(base, entry))
+                pruned = True
+
     # ---- phase A: one pass over pages → kind-partitioned graph shards
     def run_shard(sid_files):
         sid, shard_files = sid_files
@@ -254,7 +275,7 @@ def run_flagship(
     # column-pruned pass over the small triple set), rebuilt whenever
     # any triples shard changed
     ents_path = os.path.join(out_dir, "entities", "entities.parquet")
-    if b_todo or not os.path.exists(ents_path):
+    if b_todo or pruned or not os.path.exists(ents_path):
         final_triples = sorted(
             glob.glob(os.path.join(out_dir, "triples", "shard=*", "*.parquet"))
         )

@@ -151,11 +151,13 @@ def make_link_fn(index_ref, *, infer_on_miss: bool = True):
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             found = idx >= 0
             norms = np.asarray(col.to_pylist(), dtype=object)
-            linked = np.where(
-                found,
-                ids[np.where(found, idx, 0)],
-                np.char.add("inf:", norms.astype(str)),
-            )
+            inferred = np.char.add("inf:", norms.astype(str))
+            if len(ids):
+                linked = np.where(found, ids[np.where(found, idx, 0)],
+                                  inferred)
+            else:  # empty dictionary: everything is inferred (np.where
+                # would eagerly index the zero-length ids array)
+                linked = inferred.astype(object)
             sides[side] = (linked, found)
         kept = batch
         if not infer_on_miss:

@@ -152,3 +152,35 @@ def test_run_flagship_resume(tmp_path):
     tri = pq.read_table(glob.glob(os.path.join(out_dir, "triples", "shard=0", "*.parquet"))[0])
     subj = tri["canonical_subj"].to_pylist()
     assert subj == sorted(subj)
+
+
+def test_run_flagship_prunes_stale_shards(tmp_path):
+    """Re-running the same out_dir with FEWER shards must remove the
+    orphaned shard dirs (the shard=* globs would silently union their
+    stale rows) and rebuild entities."""
+    cfg = cfg_for_variant("basic")
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    materialize_pages(pages_dir, 120, cfg, "basic", num_files=4)
+    # force 4 physical input files (Ray may have written one block)
+    parts = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    import pyarrow.parquet as pq2
+
+    all_t = pq2.read_table(parts[0]) if len(parts) == 1 else None
+    if all_t is not None:
+        os.remove(parts[0])
+        n = all_t.num_rows
+        step = n // 4
+        for i in range(4):
+            sl = all_t.slice(i * step, step if i < 3 else n - 3 * step)
+            pq2.write_table(sl, os.path.join(pages_dir, f"p{i}.parquet"))
+
+    s1 = run_flagship(pages_dir, out_dir, cfg, n_shards=4)
+    n1 = len(glob.glob(os.path.join(out_dir, "graph", "shard=*")))
+    assert n1 >= 3  # enough shards that shrinking leaves orphans
+    s2 = run_flagship(pages_dir, out_dir, cfg, n_shards=2, resume=True)
+    for k in range(2, n1):
+        assert not os.path.isdir(os.path.join(out_dir, "graph", f"shard={k}"))
+        assert not os.path.isdir(out_dir + f"/triples/shard={k}")
+    # same corpus, different sharding → identical triple volume
+    assert s2["triples_out"] == s1["triples_out"]

@@ -268,3 +268,37 @@ def test_asof_join_matches_pandas():
     for lid in want.lid:
         a, b = lw[lid], lg[lid]
         assert (pd.isna(a) and pd.isna(b)) or a == b, lid
+
+
+def test_link_with_empty_dictionary_infers_everything():
+    import pyarrow as pa
+    import ray
+
+    from cpg_ray.stages.link import build_norm_index, make_link_fn
+
+    ref = ray.put(build_norm_index([]))
+    batch = pa.table(
+        {
+            "subj_norm": ["ada verne"], "obj_norm": ["acme labs"],
+            "pred": ["works_for"], "url": ["u"], "span_start": [0],
+            "subj_surface": ["x"], "obj_surface": ["y"],
+        }
+    )
+    out = make_link_fn(ref)(batch).to_pandas()
+    assert list(out.subj) == ["inf:ada verne"]
+    assert list(out.obj) == ["inf:acme labs"]
+    assert out.subj_is_inferred.all() and out.obj_is_inferred.all()
+
+
+def test_driver_row_limit_raises_before_collecting():
+    import pytest
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import distinct_on, grouped_topk
+
+    df = pd.DataFrame({"g": np.arange(5000) % 500, "v": np.arange(5000)})
+    ds = rd.from_pandas(df)
+    with pytest.raises(RuntimeError, match="driver_row_limit"):
+        grouped_topk(ds, ["g"], "v", 3, driver_row_limit=100).to_pandas()
+    with pytest.raises(RuntimeError, match="driver_row_limit"):
+        distinct_on(ds, ["g"], driver_row_limit=100).to_pandas()
