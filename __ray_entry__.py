@@ -25,17 +25,24 @@ def _n_pages_for(sf_dir: str) -> int:
     return _SF_PAGES.get(os.path.basename(os.path.normpath(sf_dir)), 1000)
 
 
-def _pages_ds(sf_dir: str, variant: str = "mixed"):
+def _pages_path(sf_dir: str, variant: str = "mixed"):
+    """Materialize (once) and return the cached synthetic pages corpus
+    path + its WorldCfg for (sf, variant) — the single source of the
+    /tmp path formula every pages consumer shares."""
     from cpg_ray.pagegen import cfg_for_variant, materialize_pages
 
-    import ray.data as rd
-
     n = _n_pages_for(sf_dir)
-    scale = max(1, n // 2000)
-    cfg = cfg_for_variant(variant, scale=scale)
+    cfg = cfg_for_variant(variant, scale=max(1, n // 2000))
     path = materialize_pages(
         f"/tmp/cpg_ray_pages/{variant}_{n}_{cfg.seed}", n, cfg, variant
     )
+    return path, cfg
+
+
+def _pages_ds(sf_dir: str, variant: str = "mixed"):
+    import ray.data as rd
+
+    path, cfg = _pages_path(sf_dir, variant)
     return rd.read_parquet(path), cfg
 
 
@@ -108,16 +115,11 @@ def _ensure_graph(sf_dir: str, variant: str = "mixed") -> str:
     change invalidates stale caches) and return the output dir.  These
     files are the SHARED base tables for the kg_* queries and their
     DuckDB oracles."""
-    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
     from cpg_ray.pipelines.flagship import run_flagship
     from cpg_ray.stages.extract import GRAPH_FORMAT_VERSION
 
+    pages_path, cfg = _pages_path(sf_dir, variant)
     n = _n_pages_for(sf_dir)
-    scale = max(1, n // 2000)
-    cfg = cfg_for_variant(variant, scale=scale)
-    pages_path = materialize_pages(
-        f"/tmp/cpg_ray_pages/{variant}_{n}_{cfg.seed}", n, cfg, variant
-    )
     out_dir = (
         f"/tmp/cpg_ray_graph/{variant}_{n}_{cfg.seed}_v{GRAPH_FORMAT_VERSION}"
     )
@@ -125,21 +127,26 @@ def _ensure_graph(sf_dir: str, variant: str = "mixed") -> str:
     return out_dir
 
 
-def _graph_tables(sf_dir: str):
+_NODE_COLS = ["node_id", "label", "name", "norm_name", "url",
+              "span_start", "span_end", "is_inferred"]
+
+
+def _graph_tables(sf_dir: str, variant: str = "mixed",
+                  edge_cols: tuple = ("src_id", "dst_id", "etype", "index",
+                                      "name", "url")):
     """Materialized nodes/edges Datasets for the graph-query layer."""
     import glob
 
     import ray.data as rd
 
-    out_dir = _ensure_graph(sf_dir, "mixed")
+    out_dir = _ensure_graph(sf_dir, variant)
     nodes = rd.read_parquet(
         sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
-        columns=["node_id", "label", "name", "norm_name", "url",
-                 "span_start", "span_end", "is_inferred"],
+        columns=_NODE_COLS,
     )
     edges = rd.read_parquet(
         sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
-        columns=["src_id", "dst_id", "etype", "index", "name", "url"],
+        columns=list(edge_cols),
     )
     return nodes, edges
 
@@ -265,22 +272,11 @@ def _kg_typestate(sf_dir: str):
 def _branchy_tables(sf_dir: str):
     """Materialized nodes/edges of the 'branchy' corpus (A/B variant
     forks with declared constant conditions) — the G2/G3 fixture."""
-    import glob
-
-    import ray.data as rd
-
-    out_dir = _ensure_graph(sf_dir, "branchy")
-    nodes = rd.read_parquet(
-        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
-        columns=["node_id", "label", "name", "norm_name", "url",
-                 "span_start", "span_end", "is_inferred"],
+    return _graph_tables(
+        sf_dir, "branchy",
+        ("src_id", "dst_id", "etype", "index", "branch", "unreachable",
+         "url"),
     )
-    edges = rd.read_parquet(
-        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
-        columns=["src_id", "dst_id", "etype", "index", "branch",
-                 "unreachable", "url"],
-    )
-    return nodes, edges
 
 
 def _kg_dfg_chains(sf_dir: str):
@@ -326,12 +322,11 @@ def _ensure_kb(sf_dir: str) -> str:
     built once under /tmp, loaded per actor from disk."""
     import os
 
-    from cpg_ray.pagegen import _cached_world, cfg_for_variant
+    from cpg_ray.pagegen import _cached_world
     from cpg_ray.stages.enrich import build_kb_snapshot
 
     n = _n_pages_for(sf_dir)
-    scale = max(1, n // 2000)
-    cfg = cfg_for_variant("mixed", scale=scale)
+    _path, cfg = _pages_path(sf_dir, "mixed")
     path = f"/tmp/cpg_ray_kb/mixed_{n}_{cfg.seed}.parquet"
     if not os.path.exists(path):
         build_kb_snapshot(_cached_world(cfg), path)
@@ -406,8 +401,6 @@ def _kg_pred_signatures(sf_dir: str):
                 "n_triples": int(sub.n.sum()),
             }
         )
-    import pandas as pd2  # noqa: F401
-
     return (
         pd.DataFrame(rows, columns=["pred", "subj_kind", "obj_kind",
                                     "n_triples"])
@@ -470,14 +463,8 @@ def _kg_domain_cap(sf_dir: str):
     import ray.data as rd
 
     from cpg_ray.functions.webfilter import cap_per_domain, filter_urls
-    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
 
-    n = _n_pages_for(sf_dir)
-    scale = max(1, n // 2000)
-    cfg = cfg_for_variant("mixed", scale=scale)
-    path = materialize_pages(
-        f"/tmp/cpg_ray_pages/mixed_{n}_{cfg.seed}", n, cfg, "mixed"
-    )
+    path, _cfg = _pages_path(sf_dir, "mixed")
     pages = rd.read_parquet(path, columns=["url", "lang"])
     kept = cap_per_domain(
         filter_urls(pages, blocked_domains=["site0.example", "site13.example"]),
@@ -633,8 +620,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         f"read_parquet('{branchy_dir}/graph/shard=*/kind=*/*.parquet', "
         f"hive_partitioning=1)"
     )
-    n = _n_pages_for(sf_dir)
-    pages_glob = f"/tmp/cpg_ray_pages/mixed_{n}_42/*.parquet"
+    pages_glob = _pages_path(sf_dir, "mixed")[0] + "/*.parquet"
     gsrc = (
         f"read_parquet('{graph_dir}/graph/shard=*/kind=*/*.parquet', "
         f"hive_partitioning=1)"

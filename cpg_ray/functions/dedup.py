@@ -385,8 +385,6 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
 
     exploded = sig_ds.map_batches(explode, batch_format="pandas")
 
-    skip_stats = {"skipped_buckets": 0, "skipped_members": 0}
-
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized self-merge per (band_id, bucket value) — python
         # double loops melt on hot buckets (similar docs cluster into
@@ -396,12 +394,7 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
         )
         sizes = m.groupby(["band_id", "bv"])[id_col].transform("size")
         hot = sizes > max_bucket
-        if hot.any():
-            skipped = m[hot]
-            skip_stats["skipped_buckets"] += skipped.groupby(
-                ["band_id", "bv"]
-            ).ngroups
-            skip_stats["skipped_members"] += len(skipped)
+        if hot.any():  # skip volume reported via the distributed stats below
             m = m[~hot]
         j = m.merge(m, on=["band_id", "bv"], suffixes=("_a", "_b"))
         j = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]]
@@ -435,11 +428,10 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     )
     if pairs.empty:
         pairs = pd.DataFrame(columns=["a", "b", "hamming"])
-    # skip_stats is populated inside remote tasks, so the local dict only
-    # reflects driver-side execution.  Compute the report DISTRIBUTED —
-    # a pre-combined groupby over the (band_id, bucket value) keys whose
-    # result is bounded by 4×2^16 rows, never a full-signature-table
-    # pull to the driver.
+    # Skip volume is computed DISTRIBUTED — a pre-combined groupby over
+    # the (band_id, bucket value) keys whose result is bounded by
+    # 4×2^16 rows, never a full-signature-table pull to the driver
+    # (and never a driver-local counter that remote tasks can't see).
     from .relational import groupby_agg
 
     sizes = groupby_agg(
@@ -449,6 +441,37 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     pairs.attrs["skipped_buckets"] = int(len(hot))
     pairs.attrs["skipped_members"] = int(hot.n.sum())
     return pairs
+
+
+def exact_ngram_dup_counts(ds, *, n: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Cross-document EXACT substring duplication at word-n-gram
+    granularity (Lee et al. 2021 'Deduplicating Training Data' shape):
+    per-document distinct n-grams (a doc is one input row, so its gram
+    set never straddles batches) → pre-combined groupby counts distinct
+    docs per gram → grams shared by >1 document.  Returns a Dataset of
+    (gram, n_docs)."""
+    from .relational import groupby_agg
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            for g in {" ".join(toks[i : i + n])
+                      for i in range(len(toks) - n + 1)}:
+                doc_ids.append(did)
+                grams.append(g)
+        return pd.DataFrame({id_col: doc_ids, "gram": grams})
+
+    agg = groupby_agg(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["gram"], [(id_col, "count", "n_docs")],
+    )
+    return agg.map_batches(
+        lambda b: b[b.n_docs > 1], batch_format="pandas"
+    )
 
 
 # ---- n-gram Jaccard verify ------------------------------------------------

@@ -25,6 +25,17 @@ import pyarrow.compute as pc
 from .relational import bcast_get, hash_join
 
 
+def _add_url_bucket(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+    """Stamp the deterministic per-document bucket column (crc32, not
+    builtin hash — PYTHONHASHSEED differs across workers) shared by
+    every group-local per-url traversal here."""
+    import zlib
+
+    df = df.copy()
+    df["__bucket"] = [zlib.crc32(u.encode()) % n_buckets for u in df["url"]]
+    return df
+
+
 def label_filter(nodes_ds, label: str):
     """nodes with a given label (pushdown-friendly vectorized filter)."""
     return nodes_ds.map_batches(
@@ -158,12 +169,9 @@ def var_length_reach(edges_ds, *, etype: str = "EOG", max_hops: int = 3,
     Partitioning: EOG/AST/DFG edges never cross documents, so rows are
     bucketed by hash(url) and each document's BFS runs group-local —
     the same assumption as follow_eog, never a distributed fixpoint."""
-    import zlib
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b.etype == etype].copy()
-        b["__bucket"] = [zlib.crc32(u.encode()) % n_buckets for u in b["url"]]
-        return b
+        return _add_url_bucket(b[b.etype == etype], n_buckets)
 
     def bfs(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -228,7 +236,6 @@ def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
     Partitioning: the DFG never crosses documents, so nodes and edges
     are co-bucketed by hash(url) and each document's backward walk runs
     group-local (the follow_eog/var_length_reach assumption)."""
-    import zlib
 
     def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
         e = b[b["etype"] == etype][["url", "src_id", "dst_id"]].copy()
@@ -243,14 +250,11 @@ def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
         n["side"] = 1
         return n[["url", "src_id", "dst_id", "name", "side"]]
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__bucket"] = [zlib.crc32(u.encode()) % n_buckets for u in b["url"]]
-        return b
-
     e = edges_ds.map_batches(tag_edges, batch_format="pandas")
     n = nodes_ds.map_batches(tag_nodes, batch_format="pandas")
-    both = e.union(n).map_batches(add_bucket, batch_format="pandas")
+    both = e.union(n).map_batches(
+        lambda b: _add_url_bucket(b, n_buckets), batch_format="pandas"
+    )
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         names = dict(zip(g[g.side == 1].src_id, g[g.side == 1]["name"]))

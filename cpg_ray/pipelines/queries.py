@@ -497,35 +497,12 @@ def _docs_with_dupes(sf_dir: str):
 
 
 def q_doc_dup_ngrams(sf_dir: str) -> pd.DataFrame:
-    """Cross-document EXACT substring dedup at word-8-gram granularity
-    (Lee et al. 2021 'Deduplicating Training Data' shape): explode docs
-    to overlapping 8-grams with a per-batch (doc, gram) distinct
-    combiner, one pre-combined groupby counts distinct docs per gram,
-    keep grams shared by >1 document (top 100, deterministic order).
-    Runs over documents ∪ injected near-copies so true positives exist."""
-    ds = _docs_with_dupes(sf_dir)
-    N = 8
+    """Cross-document exact word-8-gram duplication (top 100,
+    deterministic order) over documents ∪ injected near-copies so true
+    positives exist — the operator lives in functions/dedup."""
+    from ..functions.dedup import exact_ngram_dup_counts
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, grams = [], []
-        for did, text in zip(b.doc_id, b.text):
-            toks = text.split(" ")
-            if len(toks) < N:
-                continue
-            # per-doc set(): exact distinct — a doc is one input row, so
-            # its grams never straddle batches
-            for g in {" ".join(toks[i : i + N])
-                      for i in range(len(toks) - N + 1)}:
-                doc_ids.append(did)
-                grams.append(g)
-        return pd.DataFrame({"doc_id": doc_ids, "gram": grams})
-
-    agg = groupby_agg(
-        ds.map_batches(explode, batch_format="pandas"),
-        ["gram"], [("doc_id", "count", "n_docs")],
-    )
-    df = agg.to_pandas()
-    df = df[df.n_docs > 1]
+    df = exact_ngram_dup_counts(_docs_with_dupes(sf_dir), n=8).to_pandas()
     df["n_docs"] = df["n_docs"].astype("int64")
     return df.sort_values(["n_docs", "gram"],
                           ascending=[False, True]).head(100).reset_index(

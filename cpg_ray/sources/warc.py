@@ -151,11 +151,14 @@ def fill_lang(pages_ds):
                 m.group(1).decode("ascii").split("-")[0].lower() if m else None
             )
             texts.append(extract_text(h)[0] if m is None else "")
-        pred = langid(pd.DataFrame({"text": texts})).pred_lang
         b = b.copy()
-        b["lang"] = [
-            d if d is not None else p for d, p in zip(langs, pred)
-        ]
+        if any(d is None for d in langs):
+            pred = langid(pd.DataFrame({"text": texts})).pred_lang
+            b["lang"] = [
+                d if d is not None else p for d, p in zip(langs, pred)
+            ]
+        else:  # every page declared its language — skip the langid pass
+            b["lang"] = langs
         return b
 
     return pages_ds.map_batches(fill, batch_format="pandas")

@@ -150,14 +150,17 @@ def make_link_fn(index_ref, *, infer_on_miss: bool = True):
                 pc.index_in(col, value_set=keys), -1
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             found = idx >= 0
-            norms = np.asarray(col.to_pylist(), dtype=object)
-            inferred = np.char.add("inf:", norms.astype(str))
             if len(ids):
-                linked = np.where(found, ids[np.where(found, idx, 0)],
-                                  inferred)
-            else:  # empty dictionary: everything is inferred (np.where
-                # would eagerly index the zero-length ids array)
-                linked = inferred.astype(object)
+                linked = ids[idx.clip(min=0)].copy()
+            else:  # empty dictionary: everything will be inferred
+                linked = np.empty(len(idx), dtype=object)
+            miss = np.flatnonzero(~found)
+            if len(miss):
+                # build inf:<norm> ids for the MISSES only — the common
+                # case is a near-complete dictionary, so materializing
+                # every norm as a Python string would be wasted work
+                miss_norms = pc.take(col, pa.array(miss)).to_pylist()
+                linked[miss] = [f"inf:{s}" for s in miss_norms]
             sides[side] = (linked, found)
         kept = batch
         if not infer_on_miss:
@@ -259,18 +262,16 @@ def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
             def link_one(n: str) -> tuple[str, bool]:
                 cands = amb.get(n)
                 if cands is not None:
+                    # score by (context overlap, prior); cands is sorted
+                    # by entity id and max() keeps the FIRST of equal
+                    # keys, so ties deterministically fall to the min id
                     best = max(
                         cands,
                         key=lambda c: (
                             len(related.get(c[0], frozenset()) & context),
                             c[1],
-                            # min id wins ties → negate lexicographic via
-                            # sorted() order: handled below
                         ),
                     )
-                    # deterministic: among equal (context, prior) scores,
-                    # the min entity id (cands is id-sorted; max() keeps
-                    # the FIRST of equal keys)
                     return best[0], False
                 hit = index.get(n)
                 if hit is not None:
