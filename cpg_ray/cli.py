@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--scale", type=int, default=1,
                    help="world scale used when the corpus was generated")
 
+    i = sub.add_parser(
+        "ingest", help="WARC archives → pages parquet (lang-filled), "
+                       "ready for translate"
+    )
+    i.add_argument("--warc", required=True,
+                   help="WARC file, directory, or glob (.warc / .warc.gz)")
+    i.add_argument("--out", required=True)
+
     q = sub.add_parser("query", help="run a queries() entry")
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -97,6 +105,25 @@ def main(argv: list[str] | None = None) -> int:
                 shard_parallelism=args.shard_parallelism,
             )
             print(json.dumps(summary))
+        elif args.cmd == "ingest":
+            import glob as globmod
+            import os
+
+            import pyarrow.parquet as pq
+
+            from cpg_ray.sources.warc import fill_lang, read_warc
+
+            src = (
+                sorted(globmod.glob(args.warc))
+                if any(c in args.warc for c in "*?[")
+                else args.warc
+            )
+            fill_lang(read_warc(src)).write_parquet(args.out)
+            rows = sum(
+                pq.read_metadata(f).num_rows
+                for f in globmod.glob(os.path.join(args.out, "*.parquet"))
+            )
+            print(json.dumps({"pages": rows, "out": args.out}))
         elif args.cmd == "query":
             sys.path.insert(0, ".")
             import __ray_entry__ as entry

@@ -114,3 +114,32 @@ def test_cli_gen_translate_stats(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     lines = [json.loads(line) for line in r3.stdout.strip().splitlines()]
     assert any(l["partition_id"].startswith("triples") for l in lines)
+
+
+def test_cli_ingest_warc(tmp_path):
+    from cpg_ray.pagegen import _cached_world, cfg_for_variant, render_page
+    from cpg_ray.sources.warc import write_warc
+
+    world = _cached_world(cfg_for_variant("basic"))
+    rows = [render_page(world, i, "basic") for i in range(30)]
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    write_warc(str(warc_dir / "a.warc.gz"), rows[:15])
+    write_warc(str(warc_dir / "b.warc.gz"), rows[15:])
+    out = str(tmp_path / "pages")
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "cpg_ray.cli", "--num-cpus", "4",
+         "ingest", "--warc", str(warc_dir), "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["pages"] == 30
+
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(out)
+    assert set(t.column_names) == {"url", "warc_ts", "html", "text", "lang"}
+    assert set(t["lang"].to_pylist()) <= {"en", "de", "fr"}
