@@ -25,16 +25,23 @@ def _n_pages_for(sf_dir: str) -> int:
     return _SF_PAGES.get(os.path.basename(os.path.normpath(sf_dir)), 1000)
 
 
+def _cfg_for(sf_dir: str, variant: str = "mixed"):
+    """WorldCfg for (sf, variant) — no I/O."""
+    from cpg_ray.pagegen import cfg_for_variant
+
+    return cfg_for_variant(variant, scale=max(1, _n_pages_for(sf_dir) // 2000))
+
+
 def _pages_path(sf_dir: str, variant: str = "mixed"):
     """Materialize (once) and return the cached synthetic pages corpus
-    path + its WorldCfg for (sf, variant) — the single source of the
-    /tmp path formula every pages consumer shares."""
-    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+    path + its WorldCfg for (sf, variant).  Path formula lives in
+    pagegen.pages_cache_dir (shared with bench.py)."""
+    from cpg_ray.pagegen import materialize_pages, pages_cache_dir
 
     n = _n_pages_for(sf_dir)
-    cfg = cfg_for_variant(variant, scale=max(1, n // 2000))
+    cfg = _cfg_for(sf_dir, variant)
     path = materialize_pages(
-        f"/tmp/cpg_ray_pages/{variant}_{n}_{cfg.seed}", n, cfg, variant
+        pages_cache_dir(variant, n, cfg.seed), n, cfg, variant
     )
     return path, cfg
 
@@ -326,7 +333,7 @@ def _ensure_kb(sf_dir: str) -> str:
     from cpg_ray.stages.enrich import build_kb_snapshot
 
     n = _n_pages_for(sf_dir)
-    _path, cfg = _pages_path(sf_dir, "mixed")
+    cfg = _cfg_for(sf_dir, "mixed")  # no pages I/O — the KB never reads them
     path = f"/tmp/cpg_ray_kb/mixed_{n}_{cfg.seed}.parquet"
     if not os.path.exists(path):
         build_kb_snapshot(_cached_world(cfg), path)

@@ -68,15 +68,18 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _pages_path() -> tuple[str, int, object]:
-    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+    from cpg_ray.pagegen import (
+        cfg_for_variant,
+        materialize_pages,
+        pages_cache_dir,
+    )
 
     base = os.path.basename(os.path.normpath(SF_DIR))
     n = int(BENCH_PAGES) if BENCH_PAGES else _PAGES_BY_SF.get(base, 10000)
     scale = max(1, n // 2000)
     cfg = cfg_for_variant("mixed", scale=scale)
-    path = materialize_pages(
-        f"/tmp/cpg_ray_pages/mixed_{n}_{cfg.seed}", n, cfg, "mixed"
-    )
+    path = materialize_pages(pages_cache_dir("mixed", n, cfg.seed), n, cfg,
+                             "mixed")
     return path, n, cfg
 
 

@@ -108,16 +108,25 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "ingest":
             import glob as globmod
             import os
+            import shutil
 
             import pyarrow.parquet as pq
 
             from cpg_ray.sources.warc import fill_lang, read_warc
 
-            src = (
-                sorted(globmod.glob(args.warc))
-                if any(c in args.warc for c in "*?[")
-                else args.warc
-            )
+            if any(c in args.warc for c in "*?["):
+                src = sorted(globmod.glob(args.warc))
+                if not src:
+                    print(f"error: no WARC files match {args.warc!r}",
+                          file=sys.stderr)
+                    return 2
+            else:
+                src = args.warc
+            # idempotent overwrite (same contract as translate's shard
+            # writer): a retry must not append a second copy of every
+            # page into the corpus
+            if os.path.isdir(args.out):
+                shutil.rmtree(args.out)
             fill_lang(read_warc(src)).write_parquet(args.out)
             rows = sum(
                 pq.read_metadata(f).num_rows

@@ -355,6 +355,12 @@ def generate_pages_dataset(n_pages: int, cfg: WorldCfg, variant: str = "basic"):
     )
 
 
+def pages_cache_dir(variant: str, n_pages: int, seed: int) -> str:
+    """THE /tmp cache-path formula for synthetic pages corpora — the
+    single source shared by the driver entry module and bench.py."""
+    return f"/tmp/cpg_ray_pages/{variant}_{n_pages}_{seed}"
+
+
 def materialize_pages(path: str, n_pages: int, cfg: WorldCfg,
                       variant: str = "basic", num_files: int = 16) -> str:
     """Generate-and-cache pages parquet under `path` (idempotent: skips

@@ -151,7 +151,7 @@ def make_link_fn(index_ref, *, infer_on_miss: bool = True):
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             found = idx >= 0
             if len(ids):
-                linked = ids[idx.clip(min=0)].copy()
+                linked = ids[idx.clip(min=0)]  # fancy indexing: fresh array
             else:  # empty dictionary: everything will be inferred
                 linked = np.empty(len(idx), dtype=object)
             miss = np.flatnonzero(~found)
