@@ -159,3 +159,57 @@ def test_bloom_no_false_negatives(keys, probes):
 
     bf = BloomFilter(len(keys), 0.01).add_batch(keys)
     assert bf.contains_batch(keys).all()  # NEVER a false negative
+
+
+@given(
+    st.lists(st.sampled_from(["ada verne", "acme labs", "port alden",
+                              "zorblax unit 1", "unknown thing", ""]),
+             min_size=1, max_size=40),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_vectorized_link_matches_dict_probe(norms, infer):
+    """The pc.index_in vectorized linker must agree with the obvious
+    per-row dict probe on every input, including all-miss batches."""
+    import pyarrow as pa
+    import ray
+
+    from cpg_ray.stages.link import build_norm_index, make_link_fn
+
+    index = build_norm_index(
+        [
+            {"alias": "Ada Verne", "entity_id": "P1",
+             "canonical_name": "Ada Verne", "prior": 1.0},
+            {"alias": "Acme Labs", "entity_id": "O1",
+             "canonical_name": "Acme Labs", "prior": 1.0},
+            {"alias": "Port Alden", "entity_id": "C1",
+             "canonical_name": "Port Alden", "prior": 1.0},
+        ]
+    )
+    n = len(norms)
+    batch = pa.table(
+        {
+            "subj_norm": norms, "obj_norm": list(reversed(norms)),
+            "pred": ["p"] * n, "url": ["u"] * n,
+            "span_start": list(range(n)),
+            "subj_surface": norms, "obj_surface": norms,
+        }
+    )
+    got = make_link_fn(ray.put(index), infer_on_miss=infer)(batch).to_pandas()
+
+    # reference: per-row dict probe
+    def probe(seq):
+        out = []
+        for s in seq:
+            hit = index.get(s)
+            out.append((hit[0], False) if hit else (f"inf:{s}", True))
+        return out
+
+    subj = probe(norms)
+    obj = probe(list(reversed(norms)))
+    keep = [i for i in range(n)
+            if infer or (not subj[i][1] and not obj[i][1])]
+    assert list(got.subj) == [subj[i][0] for i in keep]
+    assert list(got.obj) == [obj[i][0] for i in keep]
+    assert list(got.subj_is_inferred) == [subj[i][1] for i in keep]
+    assert list(got.span_start) == keep
