@@ -480,6 +480,29 @@ def _kg_domain_cap(sf_dir: str):
     return kept.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def _kg_triple_diff(sf_dir: str):
+    """Snapshot delta (incremental-recompute story): distinct canonical
+    facts added/removed between the mixed crawl and the scoped recrawl
+    of the same world — two hash left_anti joins vs a SQL EXCEPT oracle."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphquery import triple_diff
+
+    mixed = _ensure_graph(sf_dir, "mixed")
+    scoped = _ensure_graph(sf_dir, "scoped")
+    cols = ["canonical_subj", "pred", "canonical_obj"]
+    a = rd.read_parquet(
+        sorted(glob.glob(f"{mixed}/triples/shard=*/*.parquet")), columns=cols
+    )
+    b = rd.read_parquet(
+        sorted(glob.glob(f"{scoped}/triples/shard=*/*.parquet")), columns=cols
+    )
+    df = triple_diff(a, b).to_pandas()
+    return df.sort_values(["side"] + cols).reset_index(drop=True)
+
+
 def _kg_hot_entities(sf_dir: str):
     """Top entities by mention count computed through the SALTED
     TWO-PHASE shuffle vocab path (A2/G7 analog — the skew-safe
@@ -597,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_signatures": _kg_pred_signatures,
         "kg_domain_cap": _kg_domain_cap,
         "kg_hot_entities": _kg_hot_entities,
+        "kg_triple_diff": _kg_triple_diff,
         "kg_eog_reach": _kg_eog_reach,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
@@ -784,6 +808,21 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        "kg_triple_diff": f"""
+            WITH a AS (
+                SELECT DISTINCT canonical_subj, pred, canonical_obj
+                FROM read_parquet('{triples_glob}')
+            ), b AS (
+                SELECT DISTINCT canonical_subj, pred, canonical_obj
+                FROM read_parquet('{scoped_triples}')
+            )
+            SELECT canonical_subj, pred, canonical_obj, 'added' AS side
+            FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+            UNION ALL
+            SELECT canonical_subj, pred, canonical_obj, 'removed' AS side
+            FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+            ORDER BY side, canonical_subj, pred, canonical_obj
         """,
         "kg_hot_entities": f"""
             WITH m AS (

@@ -289,6 +289,49 @@ def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
     return both.groupby("__bucket").map_groups(walk, batch_format="pandas")
 
 
+def triple_diff(a_ds, b_ds, *, keys=("canonical_subj", "pred",
+                                     "canonical_obj"),
+                num_partitions: int | None = None):
+    """Snapshot delta between two triple sets (incremental-crawl story:
+    what did the new crawl add/remove?).  Two hash-partitioned
+    ``left_anti`` joins over the DISTINCT key projections — additions =
+    B∖A, removals = A∖B — unioned with a ``side`` column.  Set
+    semantics over ``keys`` (the canonical fact identity), matching a
+    SQL EXCEPT oracle."""
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 2))
+        num_partitions = max(2, min(16, cpus))
+    from .relational import distinct_on
+
+    keys = list(keys)
+
+    def proj(ds):
+        return distinct_on(
+            ds.map_batches(lambda t: t.select(keys), batch_format="pyarrow"),
+            keys,
+        )
+
+    a, b = proj(a_ds), proj(b_ds)
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array([side] * t.num_rows, pa.string())
+            )
+
+        return f
+
+    added = b.join(a, "left_anti", num_partitions=num_partitions,
+                   on=tuple(keys)).map_batches(tag("added"),
+                                               batch_format="pyarrow")
+    removed = a.join(b, "left_anti", num_partitions=num_partitions,
+                     on=tuple(keys)).map_batches(tag("removed"),
+                                                 batch_format="pyarrow")
+    return added.union(removed)
+
+
 def degree_stats(edges_ds):
     """Per-etype edge counts + distinct sources — A1 statistics analog."""
     from .relational import groupby_agg

@@ -103,3 +103,29 @@ def test_follow_eog_chain_lengths():
     by_url = edges[edges.etype == "EOG"].groupby("url").size()
     for r in out.itertuples():
         assert r.chain_len == by_url.get(r.url, 0)
+
+
+def test_triple_diff_set_semantics():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphquery import triple_diff
+
+    a = rd.from_pandas(pd.DataFrame({
+        "canonical_subj": ["s1", "s1", "s2", "s3"],
+        "pred": ["p", "p", "p", "p"],
+        "canonical_obj": ["o1", "o1", "o2", "o3"],  # s1 duplicated
+    }))
+    b = rd.from_pandas(pd.DataFrame({
+        "canonical_subj": ["s1", "s4"],
+        "pred": ["p", "p"],
+        "canonical_obj": ["o1", "o4"],
+    }))
+    df = triple_diff(a, b).to_pandas()
+    added = df[df.side == "added"]
+    removed = df[df.side == "removed"]
+    assert set(added.canonical_subj) == {"s4"}
+    assert set(removed.canonical_subj) == {"s2", "s3"}
+    # shared fact (s1) never appears, and duplicates collapse
+    assert "s1" not in set(df.canonical_subj)
+    assert len(df) == 3
