@@ -480,6 +480,21 @@ def _kg_domain_cap(sf_dir: str):
     return kept.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def _kg_empty_sections(sf_dir: str):
+    """Compressible structure (M8, CompressLLVMPass analog): sections
+    owning no mention, via one left_anti join vs a NOT EXISTS oracle."""
+    from cpg_ray.functions.graphquery import empty_sections
+
+    nodes, edges = _graph_tables(sf_dir)
+    df = empty_sections(nodes, edges).to_pandas()
+    if df.empty:
+        import pandas as pd
+
+        df = pd.DataFrame({c: pd.Series(dtype="object")
+                           for c in ("node_id", "name", "url")})
+    return df.sort_values(["url", "node_id"]).reset_index(drop=True)
+
+
 def _kg_triple_diff(sf_dir: str):
     """Snapshot delta (incremental-recompute story): distinct canonical
     facts added/removed between the mixed crawl and the scoped recrawl
@@ -621,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_cap": _kg_domain_cap,
         "kg_hot_entities": _kg_hot_entities,
         "kg_triple_diff": _kg_triple_diff,
+        "kg_empty_sections": _kg_empty_sections,
         "kg_eog_reach": _kg_eog_reach,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_typestate": _kg_typestate,
@@ -808,6 +824,15 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        "kg_empty_sections": f"""
+            SELECT s.node_id, s.name, s.url
+            FROM {gsrc} s
+            WHERE s.kind = 'node' AND s.label = 'Section'
+              AND NOT EXISTS (SELECT 1 FROM {gsrc} e
+                              WHERE e.kind = 'edge' AND e.etype = 'AST'
+                                AND e.src_id = s.node_id)
+            ORDER BY s.url, s.node_id
         """,
         "kg_triple_diff": f"""
             WITH a AS (

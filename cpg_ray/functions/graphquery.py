@@ -289,6 +289,35 @@ def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
     return both.groupby("__bucket").map_groups(walk, batch_format="pandas")
 
 
+def empty_sections(nodes_ds, edges_ds, *, num_partitions: int | None = None):
+    """Structure-simplification candidates (CompressLLVMPass analog,
+    cpg-language-llvm/passes/CompressLLVMPass.kt:38-120: inline/remove
+    graph structure that carries no content): Section nodes that OWN no
+    mention — no outgoing AST edge — e.g. a trailing heading on a
+    truncated page.  Found with one hash left_anti join of sections
+    against AST-edge sources; a compact pass would drop these nodes and
+    their incoming doc→section edges."""
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 2))
+        num_partitions = max(2, min(16, cpus))
+    sections = label_filter(nodes_ds, "Section").map_batches(
+        lambda t: t.select(["node_id", "name", "url"]),
+        batch_format="pyarrow",
+    )
+    ast_src = edges_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["etype"], pa.scalar("AST"))).select(
+            ["src_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return sections.join(
+        ast_src, "left_anti", num_partitions=num_partitions,
+        on=("node_id",), right_on=("src_id",),
+    )
+
+
 def triple_diff(a_ds, b_ds, *, keys=("canonical_subj", "pred",
                                      "canonical_obj"),
                 num_partitions: int | None = None):
