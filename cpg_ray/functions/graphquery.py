@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .relational import bcast_get, hash_join
+from .relational import hash_join
 
 
 def _add_url_bucket(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
