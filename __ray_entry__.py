@@ -912,6 +912,17 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             GROUP BY url, subject
             ORDER BY url, subject
         """,
+        "kg_problems": f"""
+            -- truncation derived INDEPENDENTLY from the raw page bytes:
+            -- a page is truncated iff its html lacks the closing tag
+            -- ('</html>' searched as hex over the BLOB — DuckDB has no
+            -- blob contains; nibble-misaligned hex matches are
+            -- astronomically unlikely and would only under-report)
+            SELECT url, 'truncated-html' AS name
+            FROM read_parquet('{pages_glob}')
+            WHERE NOT contains(to_hex(html), '3C2F68746D6C3E')
+            ORDER BY url
+        """,
         "kg_extracted_text": f"""
             SELECT p.url, true AS byte_identical,
                    EXISTS (SELECT 1 FROM {gsrc} q
