@@ -324,6 +324,65 @@ def _kg_value_eval(sf_dir: str):
     return df.sort_values(["url", "node_id"]).reset_index(drop=True)
 
 
+def _kg_value_fold(sf_dir: str):
+    """ValueEvaluator ARITHMETIC folding (G4 full parity,
+    ValueEvaluator.kt:100-262): every use resolved backward through the
+    flow-sensitive DFG, SUMMING the numeric literals along each path
+    with int→float promotion; an undeclared A/B fork yields a value SET
+    (one row per distinct folded value).  Verified against a
+    recursive-CTE accumulator oracle."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphquery import value_fold
+
+    out_dir = _ensure_graph(sf_dir, "branchy")
+    nodes = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
+        columns=["node_id", "url", "literal"],
+    )
+    edges = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
+        columns=["src_id", "dst_id", "etype", "url"],
+    )
+    df = value_fold(nodes, edges).to_pandas()
+    df["value"] = df["value"].astype("float64")
+    return df.sort_values(["url", "node_id", "value"]).reset_index(drop=True)
+
+
+def _kg_typestate_branchy(sf_dir: str):
+    """PER-PATH typestate over the branchy EOG (DFAOrderEvaluator
+    per-path state cloning, DFAOrderEvaluator.kt:56-144): the
+    visit-once DFA runs once per live execution path — a declared-dead
+    arm is never evaluated, an undeclared fork's arms are evaluated
+    separately (where naive linear span order reports phantom
+    violations; the fixture also plants REAL per-path violations via a
+    double visit inside one arm)."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.typestate import evaluate_order_paths
+
+    out_dir = _ensure_graph(sf_dir, "branchy")
+    nodes = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
+        columns=["node_id", "label", "url", "span_start"],
+    )
+    edges = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
+        columns=["src_id", "dst_id", "etype", "branch", "unreachable", "url"],
+    )
+    triples = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=triple/*.parquet")),
+        columns=["url", "subj_norm", "pred", "span_start"],
+    )
+    df = evaluate_order_paths(nodes, edges, triples).to_pandas()
+    df["n_paths"] = df["n_paths"].astype("int64")
+    return df.sort_values(["url", "subject"]).reset_index(drop=True)
+
+
 def _ensure_kb(sf_dir: str) -> str:
     """External-KB snapshot parquet for the mixed world (J9 analog):
     built once under /tmp, loaded per actor from disk."""
@@ -577,7 +636,37 @@ def _kg_graph_stats(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from cpg_ray.pipelines import queries as q
 
+    # ORDER MATTERS: the driver snapshots the first 50 entries in dict
+    # order into CORRECTNESS_r{N}.json.  All oracle-paired entries come
+    # first — leading with the 12 that fell outside round 2's window —
+    # and the rows-only (non-SQL-expressible) ones come last.
     out: dict[str, Callable[[str], Any]] = {
+        # -- oracle-paired, driver-unchecked in round 2 (highest priority)
+        "kg_dead_edges": _kg_dead_edges,
+        "kg_value_eval": _kg_value_eval,
+        "kg_entity_enrich": _kg_entity_enrich,
+        "kg_pred_signatures": _kg_pred_signatures,
+        "kg_domain_cap": _kg_domain_cap,
+        "kg_hot_entities": _kg_hot_entities,
+        "kg_triple_diff": _kg_triple_diff,
+        "kg_empty_sections": _kg_empty_sections,
+        "kg_eog_reach": _kg_eog_reach,
+        "kg_scope_resolution": _kg_scope_resolution,
+        "kg_typestate": _kg_typestate,
+        "kg_problems": _kg_problems,
+        # -- oracle-paired, new this round
+        "kg_value_fold": _kg_value_fold,
+        "kg_typestate_branchy": _kg_typestate_branchy,
+        # -- oracle-paired, driver-green in round 2
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+        "kg_extracted_text": _kg_extracted_text,
+        "kg_graph_stats": _kg_graph_stats,
+        "kg_rel_chain": _kg_rel_chain,
+        "kg_label_filter": _kg_label_filter,
+        "kg_dangling_edges": _kg_dangling_edges,
+        "kg_eog_chains": _kg_eog_chains,
+        "kg_dfg_chains": _kg_dfg_chains,
         "q1_pricing_summary": q.q1_pricing_summary,
         "q6_forecast_revenue": q.q6_forecast_revenue,
         "q_events_hourly": q.q_events_hourly,
@@ -603,8 +692,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": q.q_events_sessions,
         "q_events_sessions_streaming": q.q_events_sessions_streaming,
         "q_knn_cosine": q.q_knn_cosine,
-        # rows-only (non-SQL-expressible)
         "q_doc_langid": q.q_doc_langid,
+        "q_events_sliding": q.q_events_sliding,
+        "q_events_asof": q.q_events_asof,
+        "q_events_interval": q.q_events_interval,
+        # -- rows-only (non-SQL-expressible by design)
         "q_doc_fingerprint": q.q_doc_fingerprint,
         "q_dedup_minhash": q.q_dedup_minhash,
         "q_dedup_simhash": q.q_dedup_simhash,
@@ -614,33 +706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_decode": q.q_multimodal_decode,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
-        "q_events_sliding": q.q_events_sliding,
-        "q_events_asof": q.q_events_asof,
-        "q_events_interval": q.q_events_interval,
         "q_sample_events": q.q_sample_events,
         "q_approx_stats": q.q_approx_stats,
-        "kg_triples": _kg_triples,
         "kg_triples_ctx": _kg_triples_ctx,
-        "kg_entities": _kg_entities,
-        "kg_extracted_text": _kg_extracted_text,
-        "kg_graph_stats": _kg_graph_stats,
-        "kg_rel_chain": _kg_rel_chain,
-        "kg_label_filter": _kg_label_filter,
-        "kg_dangling_edges": _kg_dangling_edges,
-        "kg_eog_chains": _kg_eog_chains,
-        "kg_dfg_chains": _kg_dfg_chains,
-        "kg_dead_edges": _kg_dead_edges,
-        "kg_value_eval": _kg_value_eval,
-        "kg_entity_enrich": _kg_entity_enrich,
-        "kg_pred_signatures": _kg_pred_signatures,
-        "kg_domain_cap": _kg_domain_cap,
-        "kg_hot_entities": _kg_hot_entities,
-        "kg_triple_diff": _kg_triple_diff,
-        "kg_empty_sections": _kg_empty_sections,
-        "kg_eog_reach": _kg_eog_reach,
-        "kg_scope_resolution": _kg_scope_resolution,
-        "kg_typestate": _kg_typestate,
-        "kg_problems": _kg_problems,
     }
     return out
 
@@ -786,6 +854,97 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             JOIN {bsrc} n ON n.kind = 'node' AND n.node_id = r.root
             GROUP BY r.url, r.use_id
             ORDER BY 1, 2
+        """,
+        "kg_value_fold": f"""
+            WITH RECURSIVE d AS (
+                SELECT url, src_id, dst_id FROM {bsrc}
+                WHERE kind = 'edge' AND etype = 'DFG2'
+            ), lit AS (
+                SELECT url, node_id,
+                       coalesce(TRY_CAST(literal AS DOUBLE), 0) AS v,
+                       coalesce(contains(literal, '.'), false) AS f
+                FROM {bsrc} WHERE kind = 'node'
+            ), up AS (
+                SELECT d.url, d.dst_id AS use_id, d.src_id AS cur,
+                       lu.v + lc.v AS acc, (lu.f OR lc.f) AS isf
+                FROM d
+                JOIN lit lu ON lu.url = d.url AND lu.node_id = d.dst_id
+                JOIN lit lc ON lc.url = d.url AND lc.node_id = d.src_id
+                UNION
+                SELECT u.url, u.use_id, d.src_id,
+                       u.acc + lc.v, u.isf OR lc.f
+                FROM up u
+                JOIN d ON d.url = u.url AND d.dst_id = u.cur
+                JOIN lit lc ON lc.url = d.url AND lc.node_id = d.src_id
+            ), roots AS (
+                SELECT u.url, u.use_id, u.acc, u.isf FROM up u
+                WHERE NOT EXISTS (SELECT 1 FROM d
+                                  WHERE d.url = u.url AND d.dst_id = u.cur)
+            )
+            SELECT DISTINCT url, use_id AS node_id, acc AS value,
+                   CASE WHEN isf THEN 'float' ELSE 'int' END AS vtype
+            FROM roots
+            ORDER BY url, node_id, value
+        """,
+        "kg_typestate_branchy": f"""
+            WITH RECURSIVE ee AS (
+                SELECT url, src_id, dst_id, branch,
+                       coalesce(unreachable, false) AS dead
+                FROM {bsrc} WHERE kind = 'edge' AND etype = 'EOG'
+            ), indeg AS (
+                SELECT url, dst_id, count(*) AS n FROM ee GROUP BY 1, 2
+            ), fork AS (
+                SELECT url, src_id AS fsrc, dst_id, branch, dead
+                FROM ee WHERE branch IS NOT NULL
+            ), arm AS (
+                SELECT url, fsrc, branch, dead, dst_id AS node FROM fork
+                UNION
+                SELECT a.url, a.fsrc, a.branch, a.dead, e.dst_id
+                FROM arm a
+                JOIN ee e ON e.url = a.url AND e.src_id = a.node
+                         AND e.branch IS NULL
+                JOIN indeg i ON i.url = e.url AND i.dst_id = e.dst_id
+                WHERE i.n = 1
+            ), mention AS (
+                SELECT url, node_id, span_start FROM {bsrc}
+                WHERE kind = 'node' AND label = 'Mention'
+            ), tri AS (
+                SELECT t.url, t.subj_norm, t.pred, t.span_start,
+                       a.branch AS arm, coalesce(a.dead, false) AS dead
+                FROM (SELECT url, subj_norm, pred, span_start FROM {bsrc}
+                      WHERE kind = 'triple') t
+                JOIN mention m ON m.url = t.url
+                              AND m.span_start = t.span_start
+                LEFT JOIN arm a ON a.url = t.url AND a.node = m.node_id
+            ), live AS (
+                SELECT DISTINCT url, fsrc, branch FROM fork WHERE NOT dead
+            ), npaths AS (
+                SELECT url, count(*)::BIGINT AS n FROM live GROUP BY url
+            ), paths AS (
+                SELECT url, branch AS path_arm FROM live
+                UNION ALL
+                SELECT u.url, NULL FROM (SELECT DISTINCT url FROM tri) u
+                WHERE NOT EXISTS (SELECT 1 FROM live l WHERE l.url = u.url)
+            ), viol AS (
+                SELECT p.url, p.path_arm, t.subj_norm,
+                       (count(CASE WHEN t.pred = 'visited' THEN 1 END)
+                        >= 2) AS bad
+                FROM paths p JOIN tri t ON t.url = p.url
+                WHERE t.arm IS NULL
+                   OR (t.arm = p.path_arm AND NOT t.dead)
+                GROUP BY 1, 2, 3
+            ), verdicts AS (
+                SELECT url, subj_norm, bool_or(bad) AS anybad
+                FROM viol GROUP BY 1, 2
+            )
+            SELECT s.url, s.subj_norm AS subject,
+                   coalesce(NOT v.anybad, true) AS accepted,
+                   coalesce(np.n, 1)::BIGINT AS n_paths
+            FROM (SELECT DISTINCT url, subj_norm FROM tri) s
+            LEFT JOIN verdicts v ON v.url = s.url
+                                AND v.subj_norm = s.subj_norm
+            LEFT JOIN npaths np ON np.url = s.url
+            ORDER BY s.url, subject
         """,
         "kg_entity_enrich": f"""
             SELECT e.entity_id, e.canonical_name, e.is_inferred,

@@ -289,6 +289,83 @@ def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
     return both.groupby("__bucket").map_groups(walk, batch_format="pandas")
 
 
+def value_fold(nodes_ds, edges_ds, *, etype: str = "DFG2",
+               n_buckets: int = 16):
+    """ValueEvaluator ARITHMETIC folding (ValueEvaluator.kt:100-262:
+    the reference folds +/- along the DFG path with the full JVM
+    numeric-promotion matrix): every data-flow use is resolved backward
+    to its root definitions, summing the numeric ``literal`` of every
+    node on the path; int+int stays int, any float literal on the path
+    promotes the folded value to float (handlePlus promotion,
+    ValueEvaluator.kt:120-139).  A use below an undeclared A/B fork
+    folds to a value SET — one row per distinct (value, vtype).
+
+    Literals use only binary-exact fractions in the fixture corpus, so
+    the folded doubles compare exactly against the SQL oracle's
+    recursive-CTE accumulation.
+
+    Partitioning: same group-local per-url walk as :func:`value_eval`
+    (the DFG never crosses documents); the per-document walk is a
+    set-valued DP over the DAG, memoized per node."""
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[b["etype"] == etype][["url", "src_id", "dst_id"]].copy()
+        e["literal"] = None
+        e["side"] = 0
+        return e
+
+    def tag_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[["url", "node_id", "literal"]].copy()
+        n = n.rename(columns={"node_id": "src_id"})
+        n["dst_id"] = None
+        n["side"] = 1
+        return n[["url", "src_id", "dst_id", "literal", "side"]]
+
+    e = edges_ds.map_batches(tag_edges, batch_format="pandas")
+    n = nodes_ds.map_batches(tag_nodes, batch_format="pandas")
+    both = e.union(n).map_batches(
+        lambda b: _add_url_bucket(b, n_buckets), batch_format="pandas"
+    )
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        lits = dict(zip(g[g.side == 1].src_id, g[g.side == 1]["literal"]))
+        rows = []
+        for url, sub in g[g.side == 0].groupby("url", sort=False):
+            preds: dict[str, list[str]] = {}
+            for s, d in zip(sub.src_id, sub.dst_id):
+                preds.setdefault(d, []).append(s)
+            memo: dict[str, frozenset] = {}
+
+            def fold(node: str) -> frozenset:
+                got = memo.get(node)
+                if got is not None:
+                    return got
+                lit = lits.get(node)
+                v0 = float(lit) if lit is not None and not pd.isna(lit) else 0.0
+                f0 = bool(lit) and not pd.isna(lit) and "." in str(lit)
+                ps = preds.get(node)
+                if not ps:
+                    vals = frozenset({(v0, f0)})
+                else:
+                    vals = frozenset(
+                        (v0 + v, f0 or f) for p in ps for v, f in fold(p)
+                    )
+                memo[node] = vals
+                return vals
+
+            for use in sorted(preds):
+                for v, f in sorted(fold(use)):
+                    rows.append(
+                        {"url": url, "node_id": use, "value": v,
+                         "vtype": "float" if f else "int"}
+                    )
+        return pd.DataFrame(
+            rows, columns=["url", "node_id", "value", "vtype"]
+        )
+
+    return both.groupby("__bucket").map_groups(walk, batch_format="pandas")
+
+
 def empty_sections(nodes_ds, edges_ds, *, num_partitions: int | None = None):
     """Structure-simplification candidates (CompressLLVMPass analog,
     cpg-language-llvm/passes/CompressLLVMPass.kt:38-120: inline/remove

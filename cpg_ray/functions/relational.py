@@ -294,7 +294,7 @@ _PARTIALS = {
 
 
 def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
-                *, mode: str = "driver", driver_key_limit: int = 5_000_000):
+                *, mode: str = "auto", driver_key_limit: int = 5_000_000):
     """Pre-aggregated groupby.
 
     specs: (column, fn, alias) with fn in sum/count/min/max/mean.
@@ -302,8 +302,8 @@ def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     ONE ROW PER (key, batch) — this is where the data shrinks, fully
     distributed.  Phase 2 merges the partials:
 
-    - mode="driver" (default): stream partial batches to the driver and
-      merge incrementally in pandas.  Memory is O(distinct keys), NOT
+    - mode="driver": stream partial batches to the driver and merge
+      incrementally in pandas.  Memory is O(distinct keys), NOT
       O(rows) — the combiner did the heavy lifting.  This beats Ray's
       sort-based Aggregate by ~10× on small/medium key counts (measured:
       100k rows / 1.5k keys → 15.5 s shuffle vs <1 s driver merge)
@@ -311,6 +311,12 @@ def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
       ``driver_key_limit`` guards the assumption; crossing it raises.
     - mode="shuffle": Ray groupby over the partials — the path for
       billion-key aggregates where O(keys) driver memory won't hold.
+    - mode="auto" (default): optimistic guarded driver merge that
+      DEGRADES to the shuffle path when the key guard trips, instead of
+      aborting a long pipeline mid-run.  The happy path is byte-for-byte
+      the driver path (streaming, no extra barrier); the fallback
+      re-executes the partials DAG once — the documented cost of a
+      mispredicted key count, paid only past ``driver_key_limit`` keys.
 
     Returns a Dataset with columns keys + aliases.
     """
@@ -342,45 +348,55 @@ def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
                 out[alias] = batch[f"__{alias}"]
         return out
 
-    if mode == "shuffle":
+    def shuffle_merge(parts):
         from ray.data.aggregate import Max, Min, Sum
 
         cls = {"sum": Sum, "min": Min, "max": Max}
         aggs = [cls[merge_map[p]](p, alias_name=p) for p, _s, _f in partial_cols]
-        merged = partials.groupby(keys).aggregate(*aggs)
+        merged = parts.groupby(keys).aggregate(*aggs)
         return merged.map_batches(finalize, batch_format="pandas")
 
-    # driver merge: incremental concat+groupby keeps memory at O(keys)
-    import ray.data as rd
+    def driver_merge(parts):
+        # incremental concat+groupby keeps memory at O(keys)
+        import ray.data as rd
 
-    acc: pd.DataFrame | None = None
-    buf: list[pd.DataFrame] = []
-    buffered = 0
+        acc: pd.DataFrame | None = None
+        buf: list[pd.DataFrame] = []
+        buffered = 0
 
-    def flush(acc, buf):
-        frames = ([acc] if acc is not None else []) + buf
-        if not frames:
-            return pd.DataFrame(columns=keys + list(merge_map))
-        cat = pd.concat(frames, ignore_index=True)
-        g = cat.groupby(keys, sort=False, dropna=False)
-        merged = pd.DataFrame(
-            {p: g[p].agg(merge_map[p]) for p in merge_map}
-        ).reset_index()
-        if len(merged) > driver_key_limit:
-            raise RuntimeError(
-                f"groupby_agg(mode='driver'): {len(merged)} keys exceeds "
-                f"driver_key_limit={driver_key_limit}; use mode='shuffle'"
-            )
-        return merged
+        def flush(acc, buf):
+            frames = ([acc] if acc is not None else []) + buf
+            if not frames:
+                return pd.DataFrame(columns=keys + list(merge_map))
+            cat = pd.concat(frames, ignore_index=True)
+            g = cat.groupby(keys, sort=False, dropna=False)
+            merged = pd.DataFrame(
+                {p: g[p].agg(merge_map[p]) for p in merge_map}
+            ).reset_index()
+            if len(merged) > driver_key_limit:
+                raise RuntimeError(
+                    f"groupby_agg(mode='driver'): {len(merged)} keys exceeds "
+                    f"driver_key_limit={driver_key_limit}; use mode='shuffle'"
+                )
+            return merged
 
-    for b in partials.iter_batches(batch_format="pandas"):
-        buf.append(b)
-        buffered += len(b)
-        if buffered >= 1_000_000:
-            acc = flush(acc, buf)
-            buf, buffered = [], 0
-    acc = flush(acc, buf) if (buf or acc is None) else acc
-    return rd.from_pandas(finalize(acc))
+        for b in parts.iter_batches(batch_format="pandas"):
+            buf.append(b)
+            buffered += len(b)
+            if buffered >= 1_000_000:
+                acc = flush(acc, buf)
+                buf, buffered = [], 0
+        acc = flush(acc, buf) if (buf or acc is None) else acc
+        return rd.from_pandas(finalize(acc))
+
+    if mode == "shuffle":
+        return shuffle_merge(partials)
+    if mode == "driver":
+        return driver_merge(partials)
+    try:  # auto
+        return driver_merge(partials)
+    except RuntimeError:
+        return shuffle_merge(partials)
 
 
 def _collect_limited(ds, row_limit: int, op_name: str) -> pd.DataFrame:
@@ -427,23 +443,20 @@ def topk(ds, sort_cols: list[str], k: int, *, descending=True):
 
 def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
                  *, descending: bool = True, tie_break: str | None = None,
-                 mode: str = "driver", driver_row_limit: int = 20_000_000):
+                 mode: str = "auto", driver_row_limit: int = 20_000_000):
     """Top-k per group (O3 analog with explicit deterministic tie-break).
 
     Grouped top-k is algebraic: per-batch local top-k-per-group is a
-    valid combiner, so the default path avoids groupby().map_groups —
+    valid combiner, so the driver path avoids groupby().map_groups —
     Ray pays a sort shuffle plus one Python round-trip PER GROUP there
     (measured 3.5× slower even on a 2k-row table).  mode="shuffle"
-    keeps the map_groups path for group counts too large for a driver
-    finish (result size is k × groups)."""
+    keeps the map_groups finish (over the combined candidates — the
+    combiner is idempotent) for group counts too large for a driver
+    finish (result size is k × groups); mode="auto" (default) runs the
+    guarded driver finish and DEGRADES to the shuffle finish when the
+    row guard trips instead of aborting."""
     cols = [sort_col] + ([tie_break] if tie_break else [])
     asc = [not descending] + ([True] if tie_break else [])
-
-    if mode == "shuffle":
-        def head(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
-
-        return ds.groupby(group_keys).map_groups(head, batch_format="pandas")
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -452,50 +465,79 @@ def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
             .head(k)
         )
 
-    import ray.data as rd
+    cand_ds = ds.map_batches(local, batch_format="pandas")
 
-    cand = _collect_limited(
-        ds.map_batches(local, batch_format="pandas"), driver_row_limit,
-        "grouped_topk",
-    )
-    if cand.empty:
-        return rd.from_pandas(cand)
-    fin = (
-        cand.sort_values(cols, ascending=asc, kind="mergesort")
-        .groupby(group_keys, sort=False)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return rd.from_pandas(fin)
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    def shuffle_finish(c):
+        return c.groupby(group_keys).map_groups(head, batch_format="pandas")
+
+    if mode == "shuffle":
+        return shuffle_finish(cand_ds)
+
+    def driver_finish(c):
+        import ray.data as rd
+
+        cand = _collect_limited(c, driver_row_limit, "grouped_topk")
+        if cand.empty:
+            return rd.from_pandas(cand)
+        fin = (
+            cand.sort_values(cols, ascending=asc, kind="mergesort")
+            .groupby(group_keys, sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return rd.from_pandas(fin)
+
+    if mode == "driver":
+        return driver_finish(cand_ds)
+    try:  # auto: guarded driver finish, shuffle fallback on breach
+        return driver_finish(cand_ds)
+    except RuntimeError:
+        return shuffle_finish(cand_ds)
 
 
 def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
-                mode: str = "driver", driver_row_limit: int = 20_000_000):
+                mode: str = "auto", driver_row_limit: int = 20_000_000):
     """Exact dedup: keep one row per key group — deterministically the
     min(order_col) row when given (D1/A3 keep-first with an explicit
     tie-break; plain first() is nondeterministic under parallelism).
-    Default path = per-batch keep-first combiner + driver finish
-    (memory O(distinct keys)); mode="shuffle" for huge key spaces."""
+    Driver path = per-batch keep-first combiner + driver finish
+    (memory O(distinct keys)); mode="shuffle" = the same combiner + a
+    hash-partitioned per-key finish (the combiner is idempotent) for
+    huge key spaces; mode="auto" (default) = guarded driver finish
+    degrading to the shuffle finish when the row guard trips."""
 
     def first_local(b: pd.DataFrame) -> pd.DataFrame:
         if order_col:
             b = b.sort_values(order_col, kind="mergesort")
         return b.drop_duplicates(keys, keep="first")
 
-    if mode == "shuffle":
+    cand_ds = ds.map_batches(first_local, batch_format="pandas")
+
+    def shuffle_finish(c):
         def first(g: pd.DataFrame) -> pd.DataFrame:
             if order_col:
                 g = g.sort_values(order_col, kind="mergesort")
             return g.head(1)
 
-        return ds.groupby(keys).map_groups(first, batch_format="pandas")
+        return c.groupby(keys).map_groups(first, batch_format="pandas")
 
-    import ray.data as rd
+    if mode == "shuffle":
+        return shuffle_finish(cand_ds)
 
-    cand = _collect_limited(
-        ds.map_batches(first_local, batch_format="pandas"),
-        driver_row_limit, "distinct_on",
-    )
-    if cand.empty:
-        return rd.from_pandas(cand)
-    return rd.from_pandas(first_local(cand).reset_index(drop=True))
+    def driver_finish(c):
+        import ray.data as rd
+
+        cand = _collect_limited(c, driver_row_limit, "distinct_on")
+        if cand.empty:
+            return rd.from_pandas(cand)
+        return rd.from_pandas(first_local(cand).reset_index(drop=True))
+
+    if mode == "driver":
+        return driver_finish(cand_ds)
+    try:  # auto
+        return driver_finish(cand_ds)
+    except RuntimeError:
+        return shuffle_finish(cand_ds)

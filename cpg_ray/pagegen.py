@@ -38,6 +38,12 @@ from .world import PRED_TEMPLATES, World
 
 BASE_TS_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in µs
 
+# Bump whenever render_page/page_plan output changes for ANY variant —
+# the /tmp pages cache is keyed (variant, n, seed) and validated against
+# the _DONE manifest, so without a generator version a code change would
+# silently reuse stale page bytes.
+PAGEGEN_VERSION = 2
+
 HEADINGS = {
     "en": ("Biography", "Career"),
     "de": ("Biografie", "Karriere"),
@@ -185,6 +191,19 @@ def page_plan(world: World, i: int, variant: str):
     # that is the post-join use.  Some pages declare the served arm
     # (data-chosen — the constant condition UnreachableEOGPass kills
     # against); the rest leave both arms live (value-set join).
+    #
+    # Numeric literals (the ValueEvaluator folding fixture,
+    # ValueEvaluator.kt:100-262): each arm's city carries a literal —
+    # arm a an int, arm b a float with an exactly-representable .5
+    # fraction (so folded sums are binary-exact on both the Python and
+    # the SQL side) — and the anaphor use carries its own int literal;
+    # folding along the def-use path exercises int+int → int and
+    # int+float → float promotion, with an undeclared fork folding to a
+    # two-element value SET.  Every 5th page repeats `visited` with the
+    # SAME subject alias inside arm a — a genuine per-path typestate
+    # violation (DFAOrderEvaluator.kt:56-144), while an undeclared
+    # fork's one-visit-per-arm is a violation ONLY under naive linear
+    # span order (the per-path vs linear disagreement fixture).
     if variant == "branchy":
         j = (i * 2) % max(1, min(world.n_cities - 1, 239))
         if j % 6 == 5:  # cities j, j+1 must share their CITY_B token
@@ -194,15 +213,28 @@ def page_plan(world: World, i: int, variant: str):
         token = [
             t for t in ents[city_b].canonical_name.split() if t.isalpha()
         ][-1]
+        lit_a = (i * 7) % 900 + 100
+        lit_b = ((i * 11) % 900 + 100) + 0.5
+        lit_use = (i % 9) + 3
+        subj_alias = alias_of(sid, 3)  # SAME alias in both arms → one
+        # subj_norm across the fork (the typestate subject identity)
         sentences.append(
             ("branch", "a", chosen, sid, "visited", city_a,
-             alias_of(sid, 3), alias_of(city_a, 4))
+             subj_alias, alias_of(city_a, 4), lit_a)
         )
+        if i % 5 == 0:  # second visit inside arm a → per-path violation
+            city_c = f"C{(j + 7) % world.n_cities:05d}"
+            sentences.append(
+                ("branch", "a", chosen, sid, "visited", city_c,
+                 subj_alias, alias_of(city_c, 2), (i * 3) % 50 + 1)
+            )
         sentences.append(
             ("branch", "b", chosen, sid, "visited", city_b,
-             alias_of(sid, 5), alias_of(city_b, 6))
+             subj_alias, alias_of(city_b, 6), lit_b)
         )
-        sentences.append(("anaphor", f"{token} remains popular."))
+        sentences.append(
+            ("anaphor", f"{token} drew {lit_use} million visitors.")
+        )
 
     f1, f2 = FILLERS[lang]
     sentences.insert(1, ("filler", f1))
@@ -242,8 +274,11 @@ def render_page(world: World, i: int, variant: str) -> dict:
     branch_html = ""
     branch_texts: list[str] = []
     if arms:
-        for _k, label, chosen, s, pred, o, s_alias, o_alias in arms:
+        for _k, label, chosen, s, pred, o, s_alias, o_alias, lit in arms:
             sent = _render_sentence(("fact", s, pred, o, s_alias, o_alias), lang)
+            # literal rides INSIDE the sentence, after the object mention
+            # (the nearest-following-number rule the extractor applies)
+            sent = f"{sent[:-1]} near milepost {lit}."
             chosen_attr = f' data-chosen="{chosen}"' if chosen else ""
             branch_html += (
                 f'<div class="variant" data-branch="{label}"{chosen_attr}>'
@@ -309,7 +344,7 @@ def gold_triples(world: World, i: int, variant: str) -> set[tuple[str, str, str]
     out = set()
     for s in sentences:
         if s[0] == "branch":  # both arms' text is extracted (structural)
-            _, _label, _chosen, subj, pred, obj, _sa, _oa = s
+            _, _label, _chosen, subj, pred, obj, _sa, _oa, _lit = s
         elif s[0] == "fact":
             _, subj, pred, obj, _sa, _oa = s
         else:
@@ -378,6 +413,7 @@ def materialize_pages(path: str, n_pages: int, cfg: WorldCfg,
         "n_orgs": cfg.n_orgs,
         "n_cities": cfg.n_cities,
         "hot_frac": cfg.hot_frac,
+        "gen_version": PAGEGEN_VERSION,
     }
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):

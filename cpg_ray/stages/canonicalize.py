@@ -58,12 +58,12 @@ def _vocab_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def collect_entity_vocab(linked_ds, *, mode: str = "driver",
+def collect_entity_vocab(linked_ds, *, mode: str = "auto",
                          driver_key_limit: int = 5_000_000) -> "pa.Table":
     """Distinct entities (+ mention counts) present in the linked
     triples.
 
-    mode="driver" (default): combiner (per-batch distinct) → stream the
+    mode="driver": combiner (per-batch distinct) → stream the
     partials to the driver and merge incrementally in pandas.  The
     combiner bounds each batch's contribution to O(distinct entities),
     so driver memory is O(vocabulary), never O(triples) — and it skips
@@ -74,7 +74,21 @@ def collect_entity_vocab(linked_ds, *, mode: str = "driver",
     a Zipf-hot entity's partials spread across SALT_K reducers) → final
     groupby.  The path for vocabularies too big for one driver.  Tests
     assert both modes agree (incl. on the hot-entity skew fixture).
+
+    mode="auto" (default): the guarded driver path, DEGRADING to the
+    salted shuffle when the vocabulary guard trips instead of aborting
+    the pipeline (the guard fires incrementally, so driver memory never
+    exceeds ~driver_key_limit entries before the switch).  Flagship
+    callers pass a materialized linked dataset, so the fallback re-reads
+    blocks rather than re-running extract/link.
     """
+    if mode == "auto":
+        try:
+            return collect_entity_vocab(
+                linked_ds, mode="driver", driver_key_limit=driver_key_limit
+            )
+        except RuntimeError:
+            return collect_entity_vocab(linked_ds, mode="shuffle")
     if mode == "shuffle":
         from ray.data.aggregate import Sum
 

@@ -41,6 +41,8 @@ HEADING_TAGS = frozenset({"title", "h1", "h2", "h3", "h4", "h5", "h6"})
 
 _TOKEN = re.compile(r"\w+", re.UNICODE)
 _CAP = re.compile(r"^[A-ZÀ-Þ][\wÀ-ÿ]*$")
+# numeric literal token (int or decimal) — the Literal-node analog
+_NUM = re.compile(r"\d+(?:\.\d+)?")
 # A sentence break is a newline, or terminal punctuation followed by
 # whitespace and a capital/digit (so "Acme Labs Inc. is based in ..."
 # does NOT break mid-sentence on the corporate-suffix period).  Callers
@@ -337,10 +339,28 @@ class ExtractTriples:
         return pa.Table.from_pydict(cols, schema=TRIPLES_RAW)
 
 
+def mention_literals(text: str, mentions: list[Mention]) -> list[str | None]:
+    """Per-mention numeric literal: the first standalone number between
+    the mention's end and the NEXT mention's start, within the same
+    sentence — the web analog of a ``Literal`` node adjacent to a
+    reference in the AST (ValueEvaluator.kt:269-294 looks up literal
+    operands the same way: nearest in evaluation order).  Kept as the
+    source string ("123" / "456.5") so int-vs-float promotion stays
+    decidable downstream."""
+    out: list[str | None] = []
+    for k, m in enumerate(mentions):
+        nxt = mentions[k + 1].start if k + 1 < len(mentions) else len(text)
+        sb = _SENT_BREAK.search(text, m.end)
+        limit = min(nxt, sb.start() if sb else len(text))
+        num = _NUM.search(text, m.end, limit)
+        out.append(num.group() if num else None)
+    return out
+
+
 # Bump whenever the extracted graph's schema or edge semantics change —
 # on-disk /tmp caches are keyed on it, so stale graphs from an older
 # extractor version are never compared against fresh in-memory results.
-GRAPH_FORMAT_VERSION = 3
+GRAPH_FORMAT_VERSION = 4
 
 # Superset schema for the single-pass full-graph extract: one output row
 # stream with a `kind` discriminator, written with
@@ -357,6 +377,10 @@ GRAPH_SCHEMA = pa.schema(
         ("span_start", pa.int64()),
         ("span_end", pa.int64()),
         ("is_inferred", pa.bool_()),
+        # adjacent numeric literal on Mention nodes (Literal-node analog,
+        # source string so int/float promotion stays decidable); null on
+        # every other kind
+        ("literal", pa.string()),
         ("src_id", pa.string()),
         ("dst_id", pa.string()),
         ("etype", pa.string()),
@@ -532,9 +556,10 @@ class ExtractGraph:
             pos += len(btext) + 1  # +1 for the "\n" joiner
 
         mentions = self.detector.detect(text)
+        literals = mention_literals(text, mentions)
         ment_ids: list[str] = []
         sec_child_count: dict[str, int] = {}
-        for m in mentions:
+        for m, lit in zip(mentions, literals):
             mid = content_id(url, "m", m.start, m.end)
             ment_ids.append(mid)
             out.append(
@@ -548,6 +573,7 @@ class ExtractGraph:
                     "span_start": b_off[m.start],
                     "span_end": b_off[m.end],
                     "is_inferred": m.inferred,
+                    "literal": lit,
                 }
             )
             # AST: owning section = last section starting at/before mention

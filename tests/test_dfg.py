@@ -124,6 +124,109 @@ def test_unreachable_only_on_dead_arm(branchy_graph):
     assert p1.branch.notna().sum() == 2
 
 
+def test_value_fold_arithmetic_promotion(branchy_graph):
+    """G4 arithmetic folding (ValueEvaluator.kt:100-262): on the
+    undeclared page the anaphor use folds to TWO different numbers —
+    use_lit + arm_a's int literal (int+int → int) and use_lit + arm_b's
+    float literal (int+float → float promotion)."""
+    import ray.data as rd
+
+    from cpg_ray.functions.graphquery import value_fold
+
+    out, rows = branchy_graph
+    nodes = out[out.kind == "node"][["node_id", "url", "literal"]]
+    edges = out[out.kind == "edge"][["src_id", "dst_id", "etype", "url"]]
+    vf = value_fold(
+        rd.from_pandas(nodes), rd.from_pandas(edges)
+    ).to_pandas()
+
+    # page i=3 (rows[2], undeclared): lit_a=121, lit_b=133.5, lit_use=6
+    page = out[out.url == rows[2]["url"]]
+    m = page[(page.kind == "node") & (page.label == "Mention")]
+    bare = m[m.apply(
+        lambda r: len(str(r["name"]).split()) == 1
+        and len(str(r["norm_name"]).split()) > 1, axis=1)]
+    aid = bare.node_id.iloc[0]
+    got = vf[(vf.url == rows[2]["url"]) & (vf.node_id == aid)]
+    assert set(zip(got.value, got.vtype)) == {
+        (127.0, "int"), (139.5, "float")
+    }
+    # page i=1 (chosen='a'): single live path → exactly one folded value,
+    # via the int arm → int
+    page1 = out[out.url == rows[0]["url"]]
+    m1 = page1[(page1.kind == "node") & (page1.label == "Mention")]
+    bare1 = m1[m1.apply(
+        lambda r: len(str(r["name"]).split()) == 1
+        and len(str(r["norm_name"]).split()) > 1, axis=1)]
+    got1 = vf[(vf.url == rows[0]["url"])
+              & (vf.node_id == bare1.node_id.iloc[0])]
+    assert len(got1) == 1 and got1.vtype.iloc[0] == "int"
+
+
+def test_typestate_per_path_vs_linear(branchy_graph):
+    """Per-path DFA cloning (DFAOrderEvaluator.kt:56-144) vs naive
+    linear span order, pinned on three corpus shapes:
+    - undeclared fork, one visit per arm → linear sees visited,visited
+      (violation); NO real path does (accepted per-path);
+    - declared fork → linear still concatenates the dead arm (phantom
+      violation); per-path never evaluates it;
+    - double visit INSIDE one live arm → a REAL violation both report."""
+    import ray.data as rd
+
+    from cpg_ray.functions.typestate import (
+        VISIT_ONCE,
+        evaluate_order,
+        evaluate_order_paths,
+    )
+
+    out, rows = branchy_graph
+    nodes = out[out.kind == "node"][
+        ["node_id", "label", "url", "span_start"]
+    ]
+    edges = out[out.kind == "edge"][
+        ["src_id", "dst_id", "etype", "branch", "unreachable", "url"]
+    ]
+    triples = out[out.kind == "triple"][
+        ["url", "subj_norm", "pred", "span_start"]
+    ]
+    per_path = evaluate_order_paths(
+        rd.from_pandas(nodes), rd.from_pandas(edges),
+        rd.from_pandas(triples),
+    ).to_pandas()
+    linear = evaluate_order(
+        rd.from_pandas(triples), VISIT_ONCE
+    ).to_pandas()
+
+    def verdicts(df, url, subj):
+        r = df[(df.url == url) & (df.subject == subj)]
+        assert len(r) == 1
+        return bool(r.accepted.iloc[0])
+
+    def visited_subj(url):
+        v = triples[(triples.url == url) & (triples.pred == "visited")]
+        assert v.subj_norm.nunique() == 1
+        return v.subj_norm.iloc[0]
+
+    # rows[2] = page 3: undeclared fork — THE disagreement
+    u3, s3 = rows[2]["url"], visited_subj(rows[2]["url"])
+    assert verdicts(per_path, u3, s3) is True
+    assert verdicts(linear, u3, s3) is False
+    assert per_path[(per_path.url == u3)
+                    & (per_path.subject == s3)].n_paths.iloc[0] == 2
+
+    # rows[0] = page 1: chosen='a' — dead arm never evaluated per-path
+    u1, s1 = rows[0]["url"], visited_subj(rows[0]["url"])
+    assert verdicts(per_path, u1, s1) is True
+    assert verdicts(linear, u1, s1) is False
+    assert per_path[(per_path.url == u1)
+                    & (per_path.subject == s1)].n_paths.iloc[0] == 1
+
+    # rows[4] = page 5: chosen='a' with a double visit inside arm a —
+    # a REAL violation on the live path
+    u5, s5 = rows[4]["url"], visited_subj(rows[4]["url"])
+    assert verdicts(per_path, u5, s5) is False
+
+
 def test_value_eval_folds_to_root_defs(branchy_graph):
     import ray.data as rd
 

@@ -298,7 +298,11 @@ def test_driver_row_limit_raises_before_collecting():
 
     df = pd.DataFrame({"g": np.arange(5000) % 500, "v": np.arange(5000)})
     ds = rd.from_pandas(df)
+    # explicit mode="driver" still raises at the guard (the default
+    # mode="auto" degrades to shuffle instead — test_modes_equivalence)
     with pytest.raises(RuntimeError, match="driver_row_limit"):
-        grouped_topk(ds, ["g"], "v", 3, driver_row_limit=100).to_pandas()
+        grouped_topk(ds, ["g"], "v", 3, mode="driver",
+                     driver_row_limit=100).to_pandas()
     with pytest.raises(RuntimeError, match="driver_row_limit"):
-        distinct_on(ds, ["g"], driver_row_limit=100).to_pandas()
+        distinct_on(ds, ["g"], mode="driver",
+                    driver_row_limit=100).to_pandas()

@@ -95,3 +95,68 @@ def test_grouped_topk_and_distinct_modes_agree():
     d = distinct_on(ds2, ["o_custkey"], order_col="o_orderkey",
                     mode="shuffle").to_pandas()
     pd.testing.assert_frame_equal(_norm(c), _norm(d), check_dtype=False)
+
+
+def test_auto_mode_degrades_at_switch_boundary():
+    """mode='auto' (the universal default) must cross the driver-limit
+    boundary by SWITCHING to the shuffle path, not raising — while
+    mode='driver' at the same limit still raises (the guard itself is
+    intact)."""
+    import pytest
+
+    from cpg_ray.functions.relational import (
+        distinct_on,
+        groupby_agg,
+        grouped_topk,
+        read_table,
+    )
+
+    ds = read_table(SF, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    # groupby_agg: >2 distinct o_custkey keys trips a limit of 2
+    specs = [("o_totalprice", "sum", "rev")]
+    with pytest.raises(RuntimeError):
+        groupby_agg(ds, ["o_custkey"], specs, mode="driver",
+                    driver_key_limit=2).to_pandas()
+    auto = groupby_agg(ds, ["o_custkey"], specs, mode="auto",
+                       driver_key_limit=2).to_pandas()
+    ref = groupby_agg(ds, ["o_custkey"], specs, mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(_norm(auto), _norm(ref), check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+    # distinct_on / grouped_topk: candidate rows exceed a limit of 5
+    with pytest.raises(RuntimeError):
+        distinct_on(ds, ["o_custkey"], order_col="o_orderkey",
+                    mode="driver", driver_row_limit=5).to_pandas()
+    auto2 = distinct_on(ds, ["o_custkey"], order_col="o_orderkey",
+                        mode="auto", driver_row_limit=5).to_pandas()
+    ref2 = distinct_on(ds, ["o_custkey"], order_col="o_orderkey",
+                       mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(_norm(auto2), _norm(ref2),
+                                  check_dtype=False)
+
+    auto3 = grouped_topk(ds, ["o_custkey"], "o_totalprice", 2,
+                         tie_break="o_orderkey", mode="auto",
+                         driver_row_limit=5).to_pandas()
+    ref3 = grouped_topk(ds, ["o_custkey"], "o_totalprice", 2,
+                        tie_break="o_orderkey", mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(_norm(auto3), _norm(ref3),
+                                  check_dtype=False)
+
+
+def test_entity_vocab_auto_degrades():
+    """collect_entity_vocab(mode='auto') with a tiny guard returns the
+    shuffle-path result instead of raising."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cpg_ray.stages.canonicalize import collect_entity_vocab
+
+    tri = rd.from_arrow(pa.table({
+        "subj": [f"P{i:03d}" for i in range(40)],
+        "obj": [f"O{i % 7:03d}" for i in range(40)],
+    })).materialize()
+    auto = collect_entity_vocab(tri, driver_key_limit=3).to_pandas()
+    ref = collect_entity_vocab(tri, mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(_norm(auto), _norm(ref), check_dtype=False)
