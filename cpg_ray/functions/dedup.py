@@ -364,7 +364,10 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     clustered corpus one bucket can hold >30% of docs → millions of
     pairs); a true near-dup pair that only met in a skipped bucket is
     lost, so the skip volume is REPORTED in ``pairs.attrs``
-    ("skipped_buckets", "skipped_members") rather than silent."""
+    ("skipped_buckets", "skipped_members") rather than silent.  Skip
+    stats are counted INSIDE the same per-band pass that makes the skip
+    decision (one summary row per band group) — same basis, no second
+    scan of the signature table."""
     # reshape to (band_id, bucket_value) rows, then ONE groupby over the
     # 4 band_ids with pandas bucketing inside (avoids per-bucket
     # map_groups overhead — same rationale as minhash_lsh_pairs)
@@ -385,7 +388,7 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
 
     exploded = sig_ds.map_batches(explode, batch_format="pandas")
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> tuple[pd.DataFrame, int, int]:
         # vectorized self-merge per (band_id, bucket value) — python
         # double loops melt on hot buckets (similar docs cluster into
         # the same 16-bit band value)
@@ -394,14 +397,19 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
         )
         sizes = m.groupby(["band_id", "bv"])[id_col].transform("size")
         hot = sizes > max_bucket
-        if hot.any():  # skip volume reported via the distributed stats below
+        n_hot_buckets, n_hot_members = 0, 0
+        if hot.any():
+            n_hot_buckets = int(
+                m.loc[hot, ["band_id", "bv"]].drop_duplicates().shape[0]
+            )
+            n_hot_members = int(hot.sum())
             m = m[~hot]
         j = m.merge(m, on=["band_id", "bv"], suffixes=("_a", "_b"))
         j = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]]
         return j.rename(
             columns={f"{id_col}_a": "a", f"{id_col}_b": "b",
                      "simhash_a": "ha", "simhash_b": "hb"}
-        )[["a", "b", "ha", "hb"]]
+        )[["a", "b", "ha", "hb"]], n_hot_buckets, n_hot_members
 
     # popcount LUT over the xor bytes: one vectorized pass per candidate
     # block; hamming-filter BEFORE deduplicating pairs (candidates can be
@@ -409,48 +417,69 @@ def simhash_pairs(sig_ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        cand = band_pairs(g)
+        cand, n_hot_buckets, n_hot_members = band_pairs(g)
         if cand.empty:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        x = cand["ha"].values.astype(np.uint64) ^ cand["hb"].values.astype(
-            np.uint64
-        )
-        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
-        out = cand.assign(hamming=ham).drop(columns=["ha", "hb"])
-        return out[out.hamming <= max_hamming]
+            out = pd.DataFrame({"a": [], "b": [], "hamming": []})
+        else:
+            x = cand["ha"].values.astype(np.uint64) ^ cand["hb"].values.astype(
+                np.uint64
+            )
+            ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(
+                np.int64
+            )
+            out = cand.assign(hamming=ham).drop(columns=["ha", "hb"])
+            out = out[out.hamming <= max_hamming]
+        # one skip-stat summary row per band group, folded into the SAME
+        # pass (hamming=-1 sentinel; a/b carry the two counters) — the
+        # driver separates them, so the signature table is scanned once
+        out = out.astype({"a": object, "b": object})
+        stats = pd.DataFrame(
+            {"a": [n_hot_buckets], "b": [n_hot_members], "hamming": [-1]}
+        ).astype({"a": object, "b": object})
+        return pd.concat([out, stats], ignore_index=True)
 
-    pairs = (
+    mixed = (
         exploded.groupby("band_id")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
+    )
+    stats = mixed[mixed.hamming < 0]
+    pairs = (
+        mixed[mixed.hamming >= 0]
         .drop_duplicates(["a", "b"])
         .reset_index(drop=True)
+        .infer_objects()
     )
     if pairs.empty:
         pairs = pd.DataFrame(columns=["a", "b", "hamming"])
-    # Skip volume is computed DISTRIBUTED — a pre-combined groupby over
-    # the (band_id, bucket value) keys whose result is bounded by
-    # 4×2^16 rows, never a full-signature-table pull to the driver
-    # (and never a driver-local counter that remote tasks can't see).
-    from .relational import groupby_agg
-
-    sizes = groupby_agg(
-        exploded, ["band_id", "bv"], [(id_col, "count", "n")]
-    ).to_pandas()
-    hot = sizes[sizes.n > max_bucket]
-    pairs.attrs["skipped_buckets"] = int(len(hot))
-    pairs.attrs["skipped_members"] = int(hot.n.sum())
+    pairs.attrs["skipped_buckets"] = int(stats.a.astype(int).sum())
+    pairs.attrs["skipped_members"] = int(stats.b.astype(int).sum())
     return pairs
 
 
 def exact_ngram_dup_counts(ds, *, n: int = 8, id_col: str = "doc_id",
-                           text_col: str = "text"):
+                           text_col: str = "text", sample_mod: int = 1,
+                           mode: str = "auto",
+                           driver_key_limit: int = 5_000_000):
     """Cross-document EXACT substring duplication at word-n-gram
     granularity (Lee et al. 2021 'Deduplicating Training Data' shape):
     per-document distinct n-grams (a doc is one input row, so its gram
     set never straddles batches) → pre-combined groupby counts distinct
     docs per gram → grams shared by >1 document.  Returns a Dataset of
-    (gram, n_docs)."""
+    (gram, n_docs).
+
+    Scale levers (the gram table is ~tokens-per-corpus rows, ≫ the
+    corpus row count, and its key space is ~10× the corpus bytes):
+    - the gram groupby runs through ``groupby_agg(mode='auto')`` — the
+      driver merge degrades to the hash-partitioned shuffle when the
+      key guard trips, so a big corpus completes instead of raising;
+    - ``sample_mod=K`` keeps only grams with crc32(gram) % K == 0 — a
+      DETERMINISTIC 1/K sample of the gram KEY SPACE (every occurrence
+      of a surviving gram is kept, so its n_docs count stays exact;
+      duplication-rate estimates scale by K).  The rate is declared in
+      the output via the ``gram_sample_mod`` column when K > 1, never a
+      silent cap.  K=1 (default) is exhaustive — the oracle-paired
+      query shape."""
     from .relational import groupby_agg
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -461,6 +490,8 @@ def exact_ngram_dup_counts(ds, *, n: int = 8, id_col: str = "doc_id",
                 continue
             for g in {" ".join(toks[i : i + n])
                       for i in range(len(toks) - n + 1)}:
+                if sample_mod > 1 and zlib.crc32(g.encode()) % sample_mod:
+                    continue
                 doc_ids.append(did)
                 grams.append(g)
         return pd.DataFrame({id_col: doc_ids, "gram": grams})
@@ -468,7 +499,13 @@ def exact_ngram_dup_counts(ds, *, n: int = 8, id_col: str = "doc_id",
     agg = groupby_agg(
         ds.map_batches(explode, batch_format="pandas"),
         ["gram"], [(id_col, "count", "n_docs")],
+        mode=mode, driver_key_limit=driver_key_limit,
     )
+    if sample_mod > 1:
+        return agg.map_batches(
+            lambda b: b[b.n_docs > 1].assign(gram_sample_mod=sample_mod),
+            batch_format="pandas",
+        )
     return agg.map_batches(
         lambda b: b[b.n_docs > 1], batch_format="pandas"
     )
@@ -498,7 +535,10 @@ def embedding_near_dup_pairs(
     ``max_bucket`` caps the quadratic within-bucket work: a hot bucket
     (clustered embeddings) is O(n²) memory in one map_groups call; its
     members are skipped and REPORTED in ``pairs.attrs`` ("skipped_buckets",
-    "skipped_members") — the same contract as simhash_pairs."""
+    "skipped_members") — the same contract as simhash_pairs.  A hot
+    bucket's group emits one summary row from the SAME map_groups call
+    that decided to skip it (same deduped-member basis), so the
+    bucketed table is built and scanned exactly once."""
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         v = np.stack(batch[vec_col].values).astype(np.float64)
         # same seed in every task → identical hyperplanes everywhere
@@ -515,8 +555,11 @@ def embedding_near_dup_pairs(
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).drop_duplicates(id_col)
-        if len(g) > max_bucket:  # hot bucket: reported, not exploded
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if len(g) > max_bucket:  # hot bucket: summary row, not pairs
+            return pd.DataFrame(
+                {"a": [None], "b": [None], "cosine": [-2.0],
+                 "skipped_n": [len(g)]}
+            )
         v = np.stack(g["vec"].values)
         nrm = g["norm"].values
         sim = (v @ v.T) / np.outer(nrm, nrm).clip(min=1e-12)
@@ -525,27 +568,22 @@ def embedding_near_dup_pairs(
         keep = sim[iu, ju] >= threshold
         return pd.DataFrame(
             {"a": ids[iu][keep], "b": ids[ju][keep],
-             "cosine": sim[iu, ju][keep]}
+             "cosine": sim[iu, ju][keep], "skipped_n": 0}
         )
 
-    bucketed = bucketed.materialize()  # consumed twice: pairs + stats
-    pairs = (
+    mixed = (
         bucketed.groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
+    )
+    stats = mixed[mixed.cosine < -1]
+    pairs = (
+        mixed[mixed.cosine >= -1]
+        .drop(columns="skipped_n")
         .drop_duplicates(["a", "b"])
         .reset_index(drop=True)
+        .infer_objects()
     )
-    from .relational import groupby_agg
-
-    # distinct (bucket, id) FIRST — the same basis pairs_in_bucket uses
-    # for its hot decision (a per-batch-only dedup would over-count ids
-    # duplicated across batches and report skips that never happened)
-    per_id = groupby_agg(
-        bucketed, ["bucket", id_col], [(id_col, "count", "k")]
-    ).to_pandas()
-    sizes = per_id.groupby("bucket").size().rename("n").reset_index()
-    hot = sizes[sizes.n > max_bucket]
-    pairs.attrs["skipped_buckets"] = int(len(hot))
-    pairs.attrs["skipped_members"] = int(hot.n.sum())
+    pairs.attrs["skipped_buckets"] = int(len(stats))
+    pairs.attrs["skipped_members"] = int(stats.skipped_n.sum())
     return pairs

@@ -290,6 +290,80 @@ def test_link_with_empty_dictionary_infers_everything():
     assert out.subj_is_inferred.all() and out.obj_is_inferred.all()
 
 
+def test_simhash_skip_stats_folded_single_pass():
+    """Hot band buckets are skipped AND counted inside the same per-band
+    pass (no second scan); the skip volume surfaces in pairs.attrs."""
+    from cpg_ray.functions.dedup import simhash_pairs, simhash_signatures
+
+    base = _docs()[["doc_id", "text"]].head(60)
+    clones = []
+    for r in range(20):  # 20 identical texts → identical signatures →
+        c = base.head(1).copy()  # one bucket of 21 members per band
+        c["doc_id"] += 2_000_000 + r
+        clones.append(c)
+    ds = rd.from_pandas(pd.concat([base] + clones, ignore_index=True))
+    sigs = simhash_signatures(ds).materialize()
+    pairs = simhash_pairs(sigs, max_hamming=3, max_bucket=10)
+    assert pairs.attrs["skipped_buckets"] >= 4  # all 4 bands hot
+    assert pairs.attrs["skipped_members"] >= 4 * 21
+    # the clone pairs only met in skipped buckets → not reported as pairs
+    clone_ids = {2_000_000 + r for r in range(20)}
+    assert not any(int(a) in clone_ids and int(b) in clone_ids
+                   for a, b in zip(pairs.a, pairs.b))
+
+
+def test_embedding_skip_stats_folded_single_pass():
+    from cpg_ray.functions.dedup import embedding_near_dup_pairs
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()[
+        ["vec_id", "embedding"]
+    ].head(40)
+    clones = []
+    for r in range(12):  # 12 clones of vec 0 → one hot bucket (13 > 8)
+        c = emb.head(1).copy()
+        c["vec_id"] += 2_000_000 + r
+        clones.append(c)
+    ds = rd.from_pandas(pd.concat([emb] + clones, ignore_index=True))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.999, max_bucket=8)
+    assert pairs.attrs["skipped_buckets"] >= 1
+    assert pairs.attrs["skipped_members"] >= 13
+    clone_ids = {2_000_000 + r for r in range(12)}
+    assert not any(int(a) in clone_ids and int(b) in clone_ids
+                   for a, b in zip(pairs.a, pairs.b))
+
+
+def test_exact_ngram_auto_degrades_and_sampling_is_exact():
+    """The gram groupby must complete past a tiny driver limit (auto →
+    shuffle) with identical results, and hash-mod gram sampling keeps a
+    deterministic key subset with EXACT per-gram counts."""
+    import zlib
+
+    from cpg_ray.functions.dedup import exact_ngram_dup_counts
+
+    docs = _docs()[["doc_id", "text"]].head(80)
+    dup = docs.head(10).copy()
+    dup["doc_id"] += 1_000_000
+    ds = rd.from_pandas(pd.concat([docs, dup], ignore_index=True))
+    full = exact_ngram_dup_counts(ds, n=8).to_pandas()
+    tiny = exact_ngram_dup_counts(
+        ds, n=8, driver_key_limit=50
+    ).to_pandas()  # guard trips → shuffle fallback, same result
+    a = full.sort_values(["gram"]).reset_index(drop=True)
+    b = tiny.sort_values(["gram"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    k = 4
+    sampled = exact_ngram_dup_counts(ds, n=8, sample_mod=k).to_pandas()
+    assert (sampled.gram_sample_mod == k).all()
+    expect = full[[zlib.crc32(g.encode()) % k == 0 for g in full.gram]]
+    got = sampled.drop(columns="gram_sample_mod")
+    pd.testing.assert_frame_equal(
+        expect.sort_values("gram").reset_index(drop=True),
+        got.sort_values("gram").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_driver_row_limit_raises_before_collecting():
     import pytest
     import ray.data as rd
