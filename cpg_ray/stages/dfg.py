@@ -83,6 +83,34 @@ def build_eog(tags: list[tuple[int, str, bool | None] | None]) -> list[EogEdge]:
     return edges
 
 
+def flow_sensitive_dfg_linear(
+    norms: list[str], bare: list[bool]
+) -> list[tuple[int, int]]:
+    """Fast path of :func:`flow_sensitive_dfg` for FORK-FREE documents
+    (the common case — most web pages carry no A/B variant blocks): on
+    a linear EOG every step strongly updates, so the per-variable value
+    sets are always singletons and the environment-copy machinery
+    collapses to last-def tracking.  Equivalence with the general
+    fixpoint over ``build_eog([None]*n)`` is property-pinned
+    (tests/test_properties.py)."""
+    last: dict[str, int] = {}
+    out: list[tuple[int, int]] = []
+    for i, norm in enumerate(norms):
+        toks = norm.split()
+        if not toks:
+            continue
+        key = toks[-1]
+        j = last.get(key)
+        if bare[i]:
+            if j is not None:
+                out.append((j, i))
+        else:
+            if j is not None and norms[j] == norm:
+                out.append((j, i))
+            last[key] = i
+    return out
+
+
 def flow_sensitive_dfg(
     norms: list[str], bare: list[bool], eog_edges: list[EogEdge]
 ) -> list[tuple[int, int]]:

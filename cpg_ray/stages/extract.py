@@ -347,6 +347,8 @@ def mention_literals(text: str, mentions: list[Mention]) -> list[str | None]:
     operands the same way: nearest in evaluation order).  Kept as the
     source string ("123" / "456.5") so int-vs-float promotion stays
     decidable downstream."""
+    if not mentions or _NUM.search(text) is None:
+        return [None] * len(mentions)  # no digits anywhere — common case
     out: list[str | None] = []
     for k, m in enumerate(mentions):
         nxt = mentions[k + 1].start if k + 1 < len(mentions) else len(text)
@@ -360,7 +362,7 @@ def mention_literals(text: str, mentions: list[Mention]) -> list[str | None]:
 # Bump whenever the extracted graph's schema or edge semantics change —
 # on-disk /tmp caches are keyed on it, so stale graphs from an older
 # extractor version are never compared against fresh in-memory results.
-GRAPH_FORMAT_VERSION = 4
+GRAPH_FORMAT_VERSION = 5
 
 # Superset schema for the single-pass full-graph extract: one output row
 # stream with a `kind` discriminator, written with
@@ -400,6 +402,59 @@ GRAPH_SCHEMA = pa.schema(
 )
 
 
+class _ColumnRows:
+    """Columnar accumulator for GRAPH_SCHEMA rows.
+
+    Each emission records only the columns it actually sets, as
+    (row_offset, count, values-or-scalar) segments; adjacent segments
+    with the same scalar coalesce (one segment per page for ``url``,
+    per run for ``kind``).  At table build, absent stretches become
+    ``pa.nulls`` (O(1) per gap — a null array is a bitmap, not cells)
+    and scalar runs become ``pa.repeat`` — so the sparse majority of
+    the 22-column × ~100-rows-per-page grid never touches a Python
+    list.  (The previous list-of-dicts assembly was a measured 12% of
+    full-graph per-page cost; per-column list padding still ~13%.)"""
+
+    __slots__ = ("segs", "total")
+
+    def __init__(self) -> None:
+        # per column: list of (offset, count, values_list | scalar)
+        self.segs: dict[str, list] = {n: [] for n in GRAPH_SCHEMA.names}
+        self.total = 0
+
+    def emit(self, count: int, **columns) -> None:
+        if not count:
+            return
+        off = self.total
+        for name, v in columns.items():
+            segs = self.segs[name]
+            if (segs and not isinstance(v, list)
+                    and segs[-1][0] + segs[-1][1] == off
+                    and segs[-1][2] is v):
+                segs[-1] = (segs[-1][0], segs[-1][1] + count, v)
+            else:
+                segs.append((off, count, v))
+        self.total += count
+
+    def table(self) -> pa.Table:
+        from itertools import repeat
+
+        arrays = []
+        for field in GRAPH_SCHEMA:
+            segs = self.segs[field.name]
+            if not segs:  # fully-absent column: a null bitmap, no cells
+                arrays.append(pa.nulls(self.total, field.type))
+                continue
+            col: list = [None] * self.total  # one C-level alloc
+            for off, count, v in segs:
+                if isinstance(v, list):
+                    col[off:off + count] = v
+                else:  # scalar run via slice-assign from an iterator —
+                    col[off:off + count] = repeat(v, count)  # no temp list
+            arrays.append(pa.array(col, field.type))
+        return pa.Table.from_arrays(arrays, schema=GRAPH_SCHEMA)
+
+
 class ExtractGraph:
     """Full extract: pages batch → graph rows (nodes + AST/EOG/DFG/TRIPLE
     edges + raw triples + problem rows) under GRAPH_SCHEMA.
@@ -435,84 +490,65 @@ class ExtractGraph:
         self.detector = MentionDetector(aliases)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
+        out = _ColumnRows()
         urls = batch["url"].to_pylist()
         langs = batch["lang"].to_pylist()
         htmls = batch["html"].to_pylist()
         for url, lang, html in zip(urls, langs, htmls):
-            rows.extend(self._one(url, lang, html))
-        cols = {name: [r.get(name) for r in rows] for name in GRAPH_SCHEMA.names}
-        return pa.Table.from_pydict(cols, schema=GRAPH_SCHEMA)
+            self._one(url, lang, html, out)
+        return out.table()
 
-    def _one(self, url: str, lang: str, html: bytes) -> list[dict]:
+    def _one(self, url: str, lang: str, html: bytes,
+             out: _ColumnRows) -> None:
         cfg = self.config.get(url)
         if cfg:
             if cfg.get("skip"):
                 # compdb exclusion: auditable, never a silent drop
-                return [{
-                    "kind": "problem", "url": url,
-                    "node_id": content_id(url, "problem"),
-                    "label": "Problem", "name": "excluded-by-config",
-                    "is_inferred": False,
-                }]
+                out.emit(
+                    1, kind="problem", url=url,
+                    node_id=content_id(url, "problem"), label="Problem",
+                    name="excluded-by-config", is_inferred=False,
+                )
+                return
             lang = cfg.get("lang") or lang
         lang_problem = lang not in CONNECTOR_TO_PRED
         blocks, is_problem = extract_blocks(html)
         text = "\n".join(t for _, t in blocks)
         b_off = _byte_offsets(text)
-        out: list[dict] = []
 
         doc_id = content_id(url, "doc")
-        out.append(
-            {
-                "kind": "node",
-                "url": url,
-                "node_id": doc_id,
-                "label": "Document",
-                "name": url,
-                "norm_name": url,
-                "span_start": 0,
-                "span_end": b_off[-1],
-                "is_inferred": False,
-            }
+        out.emit(
+            1, kind="node", url=url, node_id=doc_id, label="Document",
+            name=url, norm_name=url, span_start=0, span_end=b_off[-1],
+            is_inferred=False,
         )
         if is_problem:
-            out.append(
-                {
-                    "kind": "problem",
-                    "url": url,
-                    "node_id": content_id(url, "problem"),
-                    "label": "Problem",
-                    "name": "truncated-html",
-                    "is_inferred": False,
-                }
+            out.emit(
+                1, kind="problem", url=url,
+                node_id=content_id(url, "problem"), label="Problem",
+                name="truncated-html", is_inferred=False,
             )
         if lang_problem:
             # dispatch-with-problem-row, not a silent fallback: the
             # analog of the reference's "unsupported extension" error
             # (TranslationManager.kt:373-405) — extraction still runs
             # best-effort with the default (en) connector table
-            out.append(
-                {
-                    "kind": "problem",
-                    "url": url,
-                    "node_id": content_id(url, "problem-lang"),
-                    "label": "Problem",
-                    "name": f"unsupported-lang:{lang}",
-                    "is_inferred": False,
-                }
+            out.emit(
+                1, kind="problem", url=url,
+                node_id=content_id(url, "problem-lang"), label="Problem",
+                name=f"unsupported-lang:{lang}", is_inferred=False,
             )
 
         # Section nodes from heading blocks + AST doc→section edges.
         # Block k starts at cumulative offset (sum of lens + k separators).
         sections: list[tuple[int, str]] = []  # (char_start, node_id)
+        sec_names: list[str] = []
         # (char_start, char_end, group_id, arm_label, chosen) per variant
         # block — a maximal run of variant blocks forms one fork group
         variant_spans: list[tuple[int, int, int, str, bool | None]] = []
         in_variant_run = False
         n_groups = 0
         pos = 0
-        sec_idx = 0
         for blk in blocks:
             tag, btext = blk.tag, blk.text
             if blk.branch is not None:
@@ -526,57 +562,47 @@ class ExtractGraph:
             else:
                 in_variant_run = False
             if tag in HEADING_TAGS:
-                sid = content_id(url, "sec", pos)
-                sections.append((pos, sid))
-                out.append(
-                    {
-                        "kind": "node",
-                        "url": url,
-                        "node_id": sid,
-                        "label": "Section",
-                        "name": btext,
-                        "norm_name": norm_name(btext),
-                        "span_start": b_off[pos],
-                        "span_end": b_off[pos + len(btext)],
-                        "is_inferred": False,
-                    }
-                )
-                out.append(
-                    {
-                        "kind": "edge",
-                        "url": url,
-                        "src_id": doc_id,
-                        "dst_id": sid,
-                        "etype": "AST",
-                        "index": sec_idx,
-                        "is_inferred": False,
-                    }
-                )
-                sec_idx += 1
+                # doc-hash prefix + span: content-derived (M4 IdentifierPass
+                # analog — no counters), unique (one section per offset),
+                # and ONE hash per document instead of one per node
+                sections.append((pos, f"{doc_id}s{pos}"))
+                sec_names.append(btext)
             pos += len(btext) + 1  # +1 for the "\n" joiner
+
+        n_sec = len(sections)
+        out.emit(
+            n_sec, kind="node", url=url,
+            node_id=[sid for _p, sid in sections], label="Section",
+            name=sec_names, norm_name=[norm_name(t) for t in sec_names],
+            span_start=[b_off[p] for p, _sid in sections],
+            span_end=[b_off[p + len(t)]
+                      for (p, _sid), t in zip(sections, sec_names)],
+            is_inferred=False,
+        )
+        out.emit(
+            n_sec, kind="edge", url=url, src_id=doc_id,
+            dst_id=[sid for _p, sid in sections], etype="AST",
+            index=list(range(n_sec)), is_inferred=False,
+        )
 
         mentions = self.detector.detect(text)
         literals = mention_literals(text, mentions)
-        ment_ids: list[str] = []
+        ment_ids = [f"{doc_id}m{m.start}-{m.end}" for m in mentions]
+        out.emit(
+            len(mentions), kind="node", url=url, node_id=ment_ids,
+            label="Mention", name=[m.surface for m in mentions],
+            norm_name=[m.norm for m in mentions],
+            span_start=[b_off[m.start] for m in mentions],
+            span_end=[b_off[m.end] for m in mentions],
+            is_inferred=[m.inferred for m in mentions], literal=literals,
+        )
+
+        # AST: owning section = last section starting at/before mention
+        ast_src: list[str] = []
+        ast_dst: list[str] = []
+        ast_idx: list[int] = []
         sec_child_count: dict[str, int] = {}
-        for m, lit in zip(mentions, literals):
-            mid = content_id(url, "m", m.start, m.end)
-            ment_ids.append(mid)
-            out.append(
-                {
-                    "kind": "node",
-                    "url": url,
-                    "node_id": mid,
-                    "label": "Mention",
-                    "name": m.surface,
-                    "norm_name": m.norm,
-                    "span_start": b_off[m.start],
-                    "span_end": b_off[m.end],
-                    "is_inferred": m.inferred,
-                    "literal": lit,
-                }
-            )
-            # AST: owning section = last section starting at/before mention
+        for m, mid in zip(mentions, ment_ids):
             owner = None
             for s_start, sid in sections:
                 if s_start <= m.start:
@@ -586,24 +612,20 @@ class ExtractGraph:
             if owner is not None:
                 k = sec_child_count.get(owner, 0)
                 sec_child_count[owner] = k + 1
-                out.append(
-                    {
-                        "kind": "edge",
-                        "url": url,
-                        "src_id": owner,
-                        "dst_id": mid,
-                        "etype": "AST",
-                        "index": k,
-                        "is_inferred": False,
-                    }
-                )
+                ast_src.append(owner)
+                ast_dst.append(mid)
+                ast_idx.append(k)
+        out.emit(
+            len(ast_src), kind="edge", url=url, src_id=ast_src,
+            dst_id=ast_dst, etype="AST", index=ast_idx, is_inferred=False,
+        )
 
         # EOG: branch-aware evaluation order (INDEX-carrying, order is
         # data not stream position — SURVEY.md §2.11).  Plain documents
         # degenerate to the linear mention chain; A/B variant blocks
         # fork/join with branch + unreachable edge properties
         # (EvaluationOrderGraphPass.java:87-130, UnreachableEOGPass.kt:41-97).
-        from .dfg import build_eog, flow_sensitive_dfg
+        from .dfg import build_eog, flow_sensitive_dfg, flow_sensitive_dfg_linear
 
         def _variant_tag(m: Mention):
             for v_start, v_end, gid, label, chosen in variant_spans:
@@ -615,20 +637,15 @@ class ExtractGraph:
             None
         ] * len(mentions)
         eog_edges = build_eog(tags)
-        for seq, (si, di, bprop, unr) in enumerate(eog_edges):
-            out.append(
-                {
-                    "kind": "edge",
-                    "url": url,
-                    "src_id": ment_ids[si],
-                    "dst_id": ment_ids[di],
-                    "etype": "EOG",
-                    "index": seq,
-                    "branch": bprop,
-                    "unreachable": unr,
-                    "is_inferred": False,
-                }
-            )
+        out.emit(
+            len(eog_edges), kind="edge", url=url,
+            src_id=[ment_ids[si] for si, _d, _b, _u in eog_edges],
+            dst_id=[ment_ids[di] for _s, di, _b, _u in eog_edges],
+            etype="EOG", index=list(range(len(eog_edges))),
+            branch=[b for _s, _d, b, _u in eog_edges],
+            unreachable=[u for _s, _d, _b, u in eog_edges],
+            is_inferred=False,
+        )
 
         # DFG2: flow-sensitive refinement (ControlFlowSensitiveDFGPass
         # analog) — strong updates kill stale defs, joins union value
@@ -638,62 +655,53 @@ class ExtractGraph:
             len(m.surface.split()) == 1 and len(m.norm.split()) > 1
             for m in mentions
         ]
-        for di_def, di_use in flow_sensitive_dfg(norms, bare, eog_edges):
-            out.append(
-                {
-                    "kind": "edge",
-                    "url": url,
-                    "src_id": ment_ids[di_def],
-                    "dst_id": ment_ids[di_use],
-                    "etype": "DFG2",
-                    "is_inferred": False,
-                }
-            )
+        # fork-free documents take the singleton-environment fast path
+        # (equivalence with the general fixpoint is property-pinned)
+        dfg2 = (
+            flow_sensitive_dfg(norms, bare, eog_edges) if variant_spans
+            else flow_sensitive_dfg_linear(norms, bare)
+        )
+        out.emit(
+            len(dfg2), kind="edge", url=url,
+            src_id=[ment_ids[d] for d, _u in dfg2],
+            dst_id=[ment_ids[u] for _d, u in dfg2],
+            etype="DFG2", is_inferred=False,
+        )
 
         # DFG: within-document coreference — consecutive mentions of the
         # same norm form a chain (prevDFG/nextDFG analog)
+        dfg_src: list[str] = []
+        dfg_dst: list[str] = []
         last_by_norm: dict[str, int] = {}
         for i, m in enumerate(mentions):
             j = last_by_norm.get(m.norm)
             if j is not None:
-                out.append(
-                    {
-                        "kind": "edge",
-                        "url": url,
-                        "src_id": ment_ids[j],
-                        "dst_id": ment_ids[i],
-                        "etype": "DFG",
-                        "index": None,
-                        "is_inferred": False,
-                    }
-                )
+                dfg_src.append(ment_ids[j])
+                dfg_dst.append(ment_ids[i])
             last_by_norm[m.norm] = i
+        out.emit(
+            len(dfg_src), kind="edge", url=url, src_id=dfg_src,
+            dst_id=dfg_dst, etype="DFG", is_inferred=False,
+        )
 
         # TRIPLE edges + raw triple rows
         midx = {id(m): i for i, m in enumerate(mentions)}
-        for m1, pred, m2 in triples_from_mentions(text, mentions, lang):
-            out.append(
-                {
-                    "kind": "edge",
-                    "url": url,
-                    "src_id": ment_ids[midx[id(m1)]],
-                    "dst_id": ment_ids[midx[id(m2)]],
-                    "etype": "TRIPLE",
-                    "name": pred,
-                    "is_inferred": m1.inferred or m2.inferred,
-                }
-            )
-            out.append(
-                {
-                    "kind": "triple",
-                    "url": url,
-                    "subj_surface": m1.surface,
-                    "subj_norm": m1.norm,
-                    "pred": pred,
-                    "obj_surface": m2.surface,
-                    "obj_norm": m2.norm,
-                    "span_start": b_off[m1.start],
-                    "is_inferred": m1.inferred or m2.inferred,
-                }
-            )
-        return out
+        trips = triples_from_mentions(text, mentions, lang)
+        t_inf = [m1.inferred or m2.inferred for m1, _p, m2 in trips]
+        out.emit(
+            len(trips), kind="edge", url=url,
+            src_id=[ment_ids[midx[id(m1)]] for m1, _p, _m2 in trips],
+            dst_id=[ment_ids[midx[id(m2)]] for _m1, _p, m2 in trips],
+            etype="TRIPLE", name=[p for _m1, p, _m2 in trips],
+            is_inferred=t_inf,
+        )
+        out.emit(
+            len(trips), kind="triple", url=url,
+            subj_surface=[m1.surface for m1, _p, _m2 in trips],
+            subj_norm=[m1.norm for m1, _p, _m2 in trips],
+            pred=[p for _m1, p, _m2 in trips],
+            obj_surface=[m2.surface for _m1, _p, m2 in trips],
+            obj_norm=[m2.norm for _m1, _p, m2 in trips],
+            span_start=[b_off[m1.start] for m1, _p, _m2 in trips],
+            is_inferred=t_inf,
+        )

@@ -151,6 +151,33 @@ def test_flow_sensitive_dfg_invariants(segs, rnd):
         assert not bare[d]
 
 
+@given(
+    st.lists(st.integers(0, 5), min_size=0, max_size=40),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=150, deadline=None)
+def test_flow_sensitive_dfg_linear_fast_path_equivalent(picks, rnd):
+    """The fork-free fast path must be edge-for-edge identical to the
+    general fixpoint over the linear EOG chain — the extract stage
+    dispatches on exactly this equivalence."""
+    from cpg_ray.stages.dfg import (
+        build_eog,
+        flow_sensitive_dfg,
+        flow_sensitive_dfg_linear,
+    )
+
+    keys = ["wickham", "alden", "voss"]
+    firsts = ["alric", "brona", ""]
+    norms = [
+        (f"{firsts[p % 3]} {keys[p % len(keys)]}").strip() if p < 5 else ""
+        for p in picks
+    ]
+    bare = [rnd.random() < 0.4 for _ in picks]
+    general = flow_sensitive_dfg(norms, bare, build_eog([None] * len(picks)))
+    fast = flow_sensitive_dfg_linear(norms, bare)
+    assert sorted(general) == sorted(fast)
+
+
 @given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=200),
        st.lists(st.text(min_size=1, max_size=20), max_size=50))
 @settings(max_examples=100, deadline=None)
