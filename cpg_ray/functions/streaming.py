@@ -33,30 +33,77 @@ class Sessionizer:
         self.open: dict = {}
         self._watermark = None
 
+    _COLS = ["user_id", "session_start", "session_end", "n_events"]
+
     def feed(self, batch: pd.DataFrame) -> pd.DataFrame:
-        closed = []
-        for row in batch.sort_values("ts", kind="mergesort").itertuples():
-            if self._watermark is not None and row.ts < self._watermark:
-                raise ValueError(
-                    f"out-of-order event at {row.ts} < watermark "
-                    f"{self._watermark}: feed batches in ts order"
-                )
-            self._watermark = row.ts
-            cur = self.open.get(row.user_id)
-            if cur is None:
-                self.open[row.user_id] = (row.ts, row.ts, 1)
-            elif row.ts - cur[1] > self.gap:
-                closed.append(
-                    {"user_id": row.user_id, "session_start": cur[0],
-                     "session_end": cur[1], "n_events": cur[2]}
-                )
-                self.open[row.user_id] = (row.ts, row.ts, 1)
-            else:
-                self.open[row.user_id] = (cur[0], row.ts, cur[2] + 1)
-        return pd.DataFrame(
-            closed,
-            columns=["user_id", "session_start", "session_end", "n_events"],
+        """Vectorized: session breaks come from one grouped shift/gap
+        compare + a per-(user, session) aggregate — O(events) pandas
+        kernels; the only Python loop is per USER-IN-BATCH (stitching
+        each user's first/last session into the carried open state),
+        which is orders of magnitude smaller than the event count."""
+        if not len(batch):
+            return pd.DataFrame(columns=self._COLS)
+        df = batch.sort_values("ts", kind="mergesort")
+        if self._watermark is not None and df["ts"].iloc[0] < self._watermark:
+            raise ValueError(
+                f"out-of-order event at {df['ts'].iloc[0]} < watermark "
+                f"{self._watermark}: feed batches in ts order"
+            )
+        self._watermark = df["ts"].iloc[-1]
+
+        uid = df["user_id"]
+        prev = df.groupby(uid, sort=False)["ts"].shift()
+        if self.open:  # first row of each user continues its open session
+            last_by_user = {u: v[1] for u, v in self.open.items()}
+            prev = prev.fillna(uid.map(last_by_user))
+        new_sess = prev.isna() | ((df["ts"] - prev) > self.gap)
+        # per-user session ordinal: 0 = continuation of the open session
+        sid = new_sess.groupby(uid.values, sort=False).cumsum()
+        agg = (
+            df.assign(__sid=sid.values)
+            .groupby(["user_id", "__sid"], sort=True)  # user rows contiguous
+            .agg(start=("ts", "min"), end=("ts", "max"), n=("ts", "size"))
+            .reset_index()
+            .rename(columns={"__sid": "sid"})
         )
+
+        # stitch against carried state — all masks, no per-user loop
+        frames: list[pd.DataFrame] = []
+        first_m = ~agg["user_id"].duplicated(keep="first")
+        last_m = ~agg["user_id"].duplicated(keep="last")
+        if self.open:
+            o = self.open
+            cont = agg["sid"].eq(0)  # first group merges into open session
+            if cont.any():
+                cu = agg.loc[cont, "user_id"].tolist()
+                agg.loc[cont, "start"] = [o[u][0] for u in cu]
+                agg.loc[cont, "n"] = (
+                    agg.loc[cont, "n"].to_numpy() + [o[u][2] for u in cu]
+                )
+            # open sessions severed by a brand-new first session
+            sever = first_m & ~cont & agg["user_id"].isin(o.keys())
+            if sever.any():
+                su = agg.loc[sever, "user_id"].tolist()
+                frames.append(pd.DataFrame({
+                    "user_id": su,
+                    "session_start": [o[u][0] for u in su],
+                    "session_end": [o[u][1] for u in su],
+                    "n_events": [o[u][2] for u in su],
+                }))
+        done = agg[~last_m]
+        frames.append(pd.DataFrame({
+            "user_id": done["user_id"].to_numpy(),
+            "session_start": done["start"].to_numpy(),
+            "session_end": done["end"].to_numpy(),
+            "n_events": done["n"].to_numpy(),
+        }))
+        tail = agg[last_m]  # each user's final group stays open
+        self.open.update(
+            zip(tail["user_id"].tolist(),
+                zip(tail["start"], tail["end"], tail["n"].tolist()))
+        )
+        out = pd.concat(frames, ignore_index=True)
+        return out if len(out) else pd.DataFrame(columns=self._COLS)
 
     def flush(self) -> pd.DataFrame:
         out = [

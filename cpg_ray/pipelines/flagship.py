@@ -173,7 +173,7 @@ def run_flagship(
     import shutil
 
     pruned = False
-    for table in ("graph", "triples"):
+    for table in ("graph", "triples", "vocab"):
         base = os.path.join(out_dir, table)
         if not os.path.isdir(base):
             continue
@@ -248,10 +248,28 @@ def run_flagship(
             # all-to-all over the full triple set)
             .sort(["canonical_subj", "pred", "canonical_obj"])
         )
-        return write_shard(
+        row = write_shard(
             triples, out_dir, "triples", sid, "link+canonicalize",
             rows_in, files, t0,
         )
+        # per-shard vocab PARTIAL, committed alongside the triples shard
+        # (A2 mergeFrom as shard-local partial + global merge — no later
+        # pass ever scans the full triple set again): distinct entities
+        # + mention counts of THIS shard's final triples, lineage-keyed
+        # on the same input files so staleness tracks the triples shard
+        t1 = time.monotonic()
+        written = sorted(
+            glob.glob(os.path.join(out_dir, "triples", f"shard={sid}",
+                                   "*.parquet"))
+        )
+        partial = collect_entity_vocab(
+            rd.read_parquet(written, columns=["subj", "obj"])
+        )
+        vrow = write_shard(
+            rd.from_arrow(partial), out_dir, "vocab", sid, "vocab-partial",
+            row["rows_out"], files, t1,
+        )
+        return [row, vrow]
 
     b_todo = []
     for sid in range(len(shards)):
@@ -263,24 +281,37 @@ def run_flagship(
         )
         if not files:
             continue
-        if resume and shard_done(out_dir, "triples", sid, files):
+        if resume and shard_done(out_dir, "triples", sid, files) \
+                and shard_done(out_dir, "vocab", sid, files):
             continue
         b_todo.append((sid, files))
     if b_todo:
         _preimport_fs_modules()
         with ThreadPoolExecutor(max_workers=max(1, shard_parallelism)) as ex:
-            lineage.extend(ex.map(run_triple_shard, b_todo))
+            for rows in ex.map(run_triple_shard, b_todo):
+                lineage.extend(rows)
 
-    # ---- entities table: global vocab over the final triples (one
-    # column-pruned pass over the small triple set), rebuilt whenever
-    # any triples shard changed
+    # ---- entities table: merge the per-shard vocab partials (rows
+    # bounded by shards × per-shard vocabulary — never a scan of the
+    # triples themselves) whenever any shard changed
     ents_path = os.path.join(out_dir, "entities", "entities.parquet")
     if b_todo or pruned or not os.path.exists(ents_path):
-        final_triples = sorted(
-            glob.glob(os.path.join(out_dir, "triples", "shard=*", "*.parquet"))
+        from ..functions.relational import groupby_agg
+
+        vocab_files = sorted(
+            glob.glob(os.path.join(out_dir, "vocab", "shard=*", "*.parquet"))
         )
-        vocab = collect_entity_vocab(
-            rd.read_parquet(final_triples, columns=["subj", "obj"])
+        merged = groupby_agg(
+            rd.read_parquet(vocab_files),
+            ["entity_id"], [("n_mentions", "sum", "n_mentions")],
+        ).to_pandas().sort_values("entity_id")
+        vocab = pa.table(
+            {
+                "entity_id": pa.array(merged["entity_id"], pa.string()),
+                "n_mentions": pa.array(
+                    merged["n_mentions"].astype("int64"), pa.int64()
+                ),
+            }
         )
         ents = entities_table(vocab, cmap, world.alias_rows())
         os.makedirs(os.path.dirname(ents_path), exist_ok=True)

@@ -153,6 +153,35 @@ def test_run_flagship_resume(tmp_path):
     subj = tri["canonical_subj"].to_pylist()
     assert subj == sorted(subj)
 
+    # per-shard vocab partials committed with lineage (A2 mergeFrom as
+    # shard-local partial + global merge), and their merged counts equal
+    # a direct count over the final triples
+    vmarkers = glob.glob(os.path.join(out_dir, "vocab", "shard=*", "_SUCCESS"))
+    tmarkers = glob.glob(os.path.join(out_dir, "triples", "shard=*",
+                                      "_SUCCESS"))
+    assert vmarkers and len(vmarkers) == len(tmarkers)
+    import json as _json
+
+    stages = {_json.load(open(mk))["stage"] for mk in vmarkers}
+    assert stages == {"vocab-partial"}
+    import pandas as _pd
+
+    vparts = _pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(out_dir, "vocab", "shard=*",
+                                        "*.parquet"))
+    ])
+    merged = vparts.groupby("entity_id").n_mentions.sum()
+    tri_all = _pd.concat([
+        pq.read_table(f, columns=["subj", "obj"]).to_pandas()
+        for f in glob.glob(os.path.join(out_dir, "triples", "shard=*",
+                                        "*.parquet"))
+    ])
+    direct = _pd.concat([tri_all.subj, tri_all.obj]).value_counts()
+    assert merged.sort_index().equals(
+        direct.sort_index().rename_axis("entity_id").rename("n_mentions")
+    )
+
 
 def test_run_flagship_prunes_stale_shards(tmp_path):
     """Re-running the same out_dir with FEWER shards must remove the
