@@ -624,10 +624,51 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
 
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding 1-hour window per user: for each event, count of that
-    user's events in (ts-1h, ts].  Grouped pandas rolling inside
-    bucketed map_groups (guide 'streaming-shaped workloads'); oracle =
-    RANGE window frame."""
+    user's events in [ts-1h, ts].  Oracle = RANGE window frame.
+
+    Two paths on the usual measured-threshold pattern:
+    - broadcast (small table): the per-user sorted timestamp index is
+      built once and broadcast; each batch answers its windows with two
+      vectorized searchsorteds per user — NO shuffle (the 16-bucket
+      groupby's sort shuffle dominated this query's wall time at sf0.1);
+    - bucketed (scale path): users hash into buckets, grouped pandas
+      rolling inside map_groups — all of a user's history co-located."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    if ds.count() <= 5_000_000:  # parquet-metadata count, no read
+        import numpy as np
+        import ray
+
+        ev = pd.concat(
+            list(ds.iter_batches(batch_format="pandas")), ignore_index=True
+        ).sort_values(["user_id", "ts"], kind="mergesort")
+        ts_ns = ev["ts"].values.astype("datetime64[ns]").astype("int64")
+        # contiguous per-user segments of the (user, ts)-sorted array
+        index = {}
+        uvals = ev["user_id"].values
+        bounds = np.flatnonzero(np.r_[True, uvals[1:] != uvals[:-1], True])
+        for i in range(len(bounds) - 1):
+            index[uvals[bounds[i]]] = ts_ns[bounds[i]:bounds[i + 1]]
+        ref = ray.put(index)
+        from ..functions.relational import bcast_get
+
+        def win(b: pd.DataFrame) -> pd.DataFrame:
+            idx = bcast_get(ref)
+            b = b.reset_index(drop=True)
+            out = np.empty(len(b), dtype=np.int64)
+            for u, grp in b.groupby("user_id", sort=False):
+                arr = idx[u]
+                t = grp["ts"].values.astype("datetime64[ns]").astype("int64")
+                hi = np.searchsorted(arr, t, side="right")
+                lo = np.searchsorted(arr, t - 3_600_000_000_000, side="left")
+                out[grp.index.values] = hi - lo
+            return pd.DataFrame(
+                {"event_id": b.event_id, "user_id": b.user_id, "n_1h": out}
+            )
+
+        df = ds.map_batches(
+            win, batch_format="pandas", batch_size=32768
+        ).to_pandas()
+        return df.sort_values("event_id").reset_index(drop=True)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -679,9 +720,12 @@ def q_events_asof(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pandas",
     )
+    n_events = read_table(sf_dir, "events", columns=["event_id"]).count()
     out = asof_join(
         purchases, clicks, by="user_id", on="ts",
         right_value_cols=["click_ts"],
+        # size known from parquet metadata — skip auto's count barrier
+        mode="broadcast" if n_events <= 5_000_000 else "shuffle",
     ).to_pandas()
     out = out.rename(columns={"click_ts_asof": "last_click_ts"})
     return out[["event_id", "user_id", "last_click_ts"]].sort_values(
@@ -708,10 +752,12 @@ def q_events_interval(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pandas",
     )
+    n_events = read_table(sf_dir, "events", columns=["event_id"]).count()
     joined = interval_join(
         purchases, clicks, by="user_id", on="ts",
         lower=pd.Timedelta(hours=-1), upper=pd.Timedelta(0),
         right_value_cols=["click_ts"], how="left",
+        mode="broadcast" if n_events <= 5_000_000 else "shuffle",
     )
 
     # count of non-null click_ts_r per purchase via the pre-combined

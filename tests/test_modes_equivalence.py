@@ -145,6 +145,43 @@ def test_auto_mode_degrades_at_switch_boundary():
                                   check_dtype=False)
 
 
+def test_asof_and_interval_join_modes_agree():
+    """Broadcast (no-shuffle) and bucketed-shuffle paths of the as-of
+    and interval joins must agree row-for-row."""
+    from cpg_ray.functions.relational import asof_join, interval_join
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type"]
+                       ).to_pandas()
+    left = rd.from_pandas(
+        ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]
+    )
+    right_df = ev[ev.event_type == "click"][["user_id", "ts"]].assign(
+        click_ts=lambda x: x.ts
+    )
+    for mode in ("broadcast", "shuffle"):
+        out = asof_join(
+            left, rd.from_pandas(right_df), by="user_id", on="ts",
+            right_value_cols=["click_ts"], mode=mode,
+        ).to_pandas()[["event_id", "user_id", "click_ts_asof"]]
+        if mode == "broadcast":
+            base = _norm(out)
+        else:
+            pd.testing.assert_frame_equal(base, _norm(out),
+                                          check_dtype=False)
+    for mode in ("broadcast", "shuffle"):
+        out = interval_join(
+            left, rd.from_pandas(right_df), by="user_id", on="ts",
+            lower=pd.Timedelta(hours=-1), upper=pd.Timedelta(0),
+            right_value_cols=["click_ts"], how="left", mode=mode,
+        ).to_pandas()[["event_id", "user_id", "click_ts_r"]]
+        if mode == "broadcast":
+            base_i = _norm(out)
+        else:
+            pd.testing.assert_frame_equal(base_i, _norm(out),
+                                          check_dtype=False)
+
+
 def test_entity_vocab_auto_degrades():
     """collect_entity_vocab(mode='auto') with a tiny guard returns the
     shuffle-path result instead of raising."""
