@@ -383,6 +383,26 @@ def _kg_typestate_branchy(sf_dir: str):
     return df.sort_values(["url", "subject"]).reset_index(drop=True)
 
 
+def _kg_cypher(sf_dir: str):
+    """Textual openCypher surface (Graph.kt:86-167 executeQuery analog):
+    a MATCH/WHERE/RETURN/ORDER BY/LIMIT string compiled onto the tested
+    graph-query operators (label_filter + rel_chain + vectorized
+    filters) — verified against the equivalent SQL."""
+    from cpg_ray.functions.cypher import run_cypher
+
+    nodes, edges = _graph_tables(sf_dir)
+    df = run_cypher(
+        "MATCH (s:Section)-[:AST]->(m:Mention) "
+        "WHERE s.url < 'https://site5' "
+        "RETURN s.id AS section_id, m.id AS mention_id, "
+        "m.name AS mention, s.url AS url",
+        nodes, edges,
+    )
+    return df.sort_values(
+        ["url", "section_id", "mention_id"]
+    ).reset_index(drop=True)
+
+
 def _ensure_kb(sf_dir: str) -> str:
     """External-KB snapshot parquet for the mixed world (J9 analog):
     built once under /tmp, loaded per actor from disk."""
@@ -657,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, new this round
         "kg_value_fold": _kg_value_fold,
         "kg_typestate_branchy": _kg_typestate_branchy,
+        "kg_cypher": _kg_cypher,
         # -- oracle-paired, driver-green in round 2
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -945,6 +966,18 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                                 AND v.subj_norm = s.subj_norm
             LEFT JOIN npaths np ON np.url = s.url
             ORDER BY s.url, subject
+        """,
+        "kg_cypher": f"""
+            SELECT e.src_id AS section_id, e.dst_id AS mention_id,
+                   d.name AS mention, e.url
+            FROM {gsrc} e
+            JOIN {gsrc} s ON s.kind = 'node' AND s.label = 'Section'
+                         AND s.node_id = e.src_id
+            JOIN {gsrc} d ON d.kind = 'node' AND d.label = 'Mention'
+                         AND d.node_id = e.dst_id
+            WHERE e.kind = 'edge' AND e.etype = 'AST'
+              AND e.url < 'https://site5'
+            ORDER BY e.url, section_id, mention_id
         """,
         "kg_entity_enrich": f"""
             SELECT e.entity_id, e.canonical_name, e.is_inferred,

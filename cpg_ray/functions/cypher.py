@@ -1,0 +1,260 @@
+"""Textual openCypher-subset front end over the graph query layer —
+the reference parses real query strings against its in-memory graph
+(cpg-core graph/Graph.kt:86-167 ``executeQuery``: MATCH node/relation
+chains, WHERE comparisons on reflective properties, RETURN ... LIMIT);
+this module gives the same string surface over the materialized
+nodes/edges tables, compiling to the ALREADY-TESTED library operators
+(label_filter / prop_filter / rel_chain / topk) instead of a bespoke
+executor — the query text is a thin veneer, the distributed semantics
+live in one place.
+
+Grammar (case-insensitive keywords)::
+
+    MATCH (a[:Label] [{prop: lit, ...}]) [-[:ETYPE]-> (b[:Label])]
+    [WHERE a.prop OP literal [AND ...]]
+    RETURN a.prop [AS alias] [, ...] | a | count(a)
+    [ORDER BY expr [DESC]] [LIMIT k]
+
+OP ∈ ``= <> < <= > >=``.  Literals: single-quoted strings, ints,
+floats, true/false.  One relationship hop (the reference's own chain
+matcher is likewise one hop per pattern element, Graph.kt:121-167).
+
+Variables bind node columns: after a relationship match, ``a`` exposes
+``src_*`` columns and ``b`` the ``dst_*`` columns of
+:func:`~cpg_ray.functions.graphquery.rel_chain`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+_NODE = re.compile(
+    r"\(\s*(?P<var>\w+)\s*(?::\s*(?P<label>\w+))?\s*"
+    r"(?P<props>\{[^}]*\})?\s*\)"
+)
+_REL = re.compile(r"-\s*\[\s*:\s*(?P<etype>\w+)\s*\]\s*->")
+_COND = re.compile(
+    r"(?P<var>\w+)\.(?P<prop>\w+)\s*(?P<op>=|<>|<=|>=|<|>)\s*"
+    r"(?P<lit>'[^']*'|true|false|-?\d+\.\d+|-?\d+)",
+    re.IGNORECASE,
+)
+_RET_ITEM = re.compile(
+    r"(?:(?P<cnt>count)\s*\(\s*(?P<cvar>\w+)\s*\)|"
+    r"(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _literal(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    return float(tok) if "." in tok else int(tok)
+
+
+@dataclass
+class _Query:
+    nodes: list  # [(var, label, props_dict)]
+    etype: str | None
+    conds: list = field(default_factory=list)  # [(var, prop, op, lit)]
+    returns: list = field(default_factory=list)  # [(kind, var, prop, alias)]
+    order_by: list = field(default_factory=list)  # [(colname, desc)]
+    limit: int | None = None
+
+
+def _parse_props(txt: str | None) -> dict:
+    if not txt:
+        return {}
+    out = {}
+    for m in _COND.finditer(
+        " AND ".join(
+            f"x.{p.strip()} = {v.strip()}"
+            for p, v in (kv.split(":", 1) for kv in txt[1:-1].split(",") if kv.strip())
+        )
+    ):
+        out[m.group("prop")] = _literal(m.group("lit"))
+    return out
+
+
+def parse(query: str) -> _Query:
+    """Parse the supported openCypher subset; raises ValueError with the
+    offending clause on anything outside it (never a silent guess)."""
+    q = re.sub(r"\s+", " ", query.strip())
+    m = re.match(r"MATCH (?P<pat>.+?)"
+                 r"(?: WHERE (?P<where>.+?))?"
+                 r" RETURN (?P<ret>.+?)"
+                 r"(?: ORDER BY (?P<order>.+?))?"
+                 r"(?: LIMIT (?P<limit>\d+))?$", q, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported query shape: {query!r}")
+
+    pat = m.group("pat").strip()
+    nodes, etype = [], None
+    nm = _NODE.match(pat)
+    if not nm:
+        raise ValueError(f"unsupported MATCH pattern: {pat!r}")
+    nodes.append((nm.group("var"), nm.group("label"),
+                  _parse_props(nm.group("props"))))
+    rest = pat[nm.end():].strip()
+    if rest:
+        rm = _REL.match(rest)
+        if not rm:
+            raise ValueError(f"unsupported relationship pattern: {rest!r}")
+        etype = rm.group("etype")
+        rest2 = rest[rm.end():].strip()
+        nm2 = _NODE.match(rest2)
+        if not nm2 or rest2[nm2.end():].strip():
+            raise ValueError(f"unsupported MATCH tail: {rest2!r}")
+        nodes.append((nm2.group("var"), nm2.group("label"),
+                      _parse_props(nm2.group("props"))))
+
+    out = _Query(nodes=nodes, etype=etype)
+
+    if m.group("where"):
+        for clause in re.split(r"\s+AND\s+", m.group("where"),
+                               flags=re.IGNORECASE):
+            cm = _COND.fullmatch(clause.strip())
+            if not cm:
+                raise ValueError(f"unsupported WHERE clause: {clause!r}")
+            out.conds.append((cm.group("var"), cm.group("prop"),
+                              cm.group("op"), _literal(cm.group("lit"))))
+
+    for item in m.group("ret").split(","):
+        rm = _RET_ITEM.match(item.strip())
+        if not rm:
+            raise ValueError(f"unsupported RETURN item: {item!r}")
+        if rm.group("cnt"):
+            out.returns.append(("count", rm.group("cvar"), None,
+                                rm.group("alias") or "count"))
+        else:
+            out.returns.append(("col", rm.group("var"), rm.group("prop"),
+                                rm.group("alias")))
+
+    if m.group("order"):
+        for item in m.group("order").split(","):
+            toks = item.strip().split()
+            desc = len(toks) > 1 and toks[-1].upper() == "DESC"
+            out.order_by.append((toks[0], desc))
+    if m.group("limit"):
+        out.limit = int(m.group("limit"))
+    return out
+
+
+_OPS = {
+    "=": lambda s, v: s == v,
+    "<>": lambda s, v: s != v,
+    "<": lambda s, v: s < v,
+    "<=": lambda s, v: s <= v,
+    ">": lambda s, v: s > v,
+    ">=": lambda s, v: s >= v,
+}
+
+# node-table column for each queryable property (the reference resolves
+# properties reflectively, Graph.kt:400-451 — our schema is explicit)
+_NODE_PROPS = ("node_id", "label", "name", "norm_name", "url",
+               "span_start", "span_end", "is_inferred", "literal")
+
+
+def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
+    """Execute a textual query against the graph tables.  Single-node
+    patterns need only ``nodes_ds``; relationship patterns also need
+    ``edges_ds``.  Compiles to label_filter / rel_chain /vectorized
+    filters + the top-k/limit operators; returns pandas."""
+    from .graphquery import label_filter, rel_chain
+
+    plan = parse(query)
+
+    if plan.etype is None:
+        (var, label, props), = plan.nodes
+        ds = label_filter(nodes_ds, label) if label else nodes_ds
+
+        def col(v, p):
+            if v != var:
+                raise ValueError(f"unknown variable {v!r}")
+            return p
+    else:
+        if edges_ds is None:
+            raise ValueError("relationship pattern needs edges_ds")
+        (v1, l1, p1), (v2, l2, p2) = plan.nodes
+        if not (l1 and l2):
+            raise ValueError("relationship patterns need labels on both ends")
+        ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
+                       src_label=l1, dst_label=l2)
+        props = {}
+        for p, v in p1.items():
+            plan.conds.append((v1, p, "=", v))
+        for p, v in p2.items():
+            plan.conds.append((v2, p, "=", v))
+
+        def col(v, p):
+            # rel_chain exposes src_id/src_name/dst_id/dst_name/url
+            side = {v1: "src", v2: "dst"}.get(v)
+            if side is None:
+                raise ValueError(f"unknown variable {v!r}")
+            if p in ("id", "node_id"):
+                return f"{side}_id"
+            if p == "name":
+                return f"{side}_name"
+            if p == "url":
+                return "url"
+            raise ValueError(
+                f"property {p!r} not projected by relationship match "
+                "(available: id, name, url)"
+            )
+
+    if plan.etype is None and props:
+        for p, v in props.items():
+            plan.conds.append((plan.nodes[0][0], p, "=", v))
+
+    # resolve every referenced column EAGERLY (unknown props fail fast,
+    # not inside a remote task)
+    conds = [(col(v, p), op, lit) for v, p, op, lit in plan.conds]
+    if plan.etype is None:
+        for c, _op, _lit in conds:
+            if c not in _NODE_PROPS:
+                raise ValueError(f"unknown property {c!r}")
+
+    # WHERE: vectorized per-batch filters on the Dataset — rows are
+    # pruned distributed, the driver only ever sees the result set
+    if conds:
+        def keep(b: pd.DataFrame) -> pd.DataFrame:
+            for c, op, lit in conds:
+                b = b[_OPS[op](b[c], lit)]
+            return b
+
+        ds = ds.map_batches(keep, batch_format="pandas")
+
+    if len(plan.returns) == 1 and plan.returns[0][0] == "count":
+        return pd.DataFrame({plan.returns[0][3]: [ds.count()]})
+
+    # RETURN: distributed projection, collect only the projected rows
+    proj: list[tuple[str, str]] = []  # (src_col, out_name)
+    for kind, v, p, alias in plan.returns:
+        if kind == "count":
+            raise ValueError("count() cannot mix with column returns")
+        c = col(v, p) if p is not None else (
+            col(v, "node_id") if plan.etype else "node_id"
+        )
+        if plan.etype is None and c not in _NODE_PROPS:
+            raise ValueError(f"unknown property {v}.{p}")
+        proj.append((c, alias or (f"{v}.{p}" if p else v)))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({name: b[c].values for c, name in proj})
+
+    res = ds.map_batches(project, batch_format="pandas").to_pandas()
+    if plan.order_by:
+        cols, asc = [], []
+        for name, desc in plan.order_by:
+            cols.append(name)
+            asc.append(not desc)
+        res = res.sort_values(cols, ascending=asc, kind="mergesort")
+    if plan.limit is not None:
+        res = res.head(plan.limit)
+    return res.reset_index(drop=True)

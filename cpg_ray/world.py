@@ -108,18 +108,51 @@ PRED_TEMPLATES: dict[str, dict[str, tuple[str, str]]] = {
     },
 }
 
-# Spanish connector support for the extractor's language dispatch (the
-# generator does not emit es pages — fixture bytes stay frozen — but a
-# user's es corpus parses through the same tables).
-for _pred, _conn in {
-    "works_for": " trabaja para ",
-    "born_in": " nació en ",
-    "based_in": " tiene su sede en ",
-    "located_in": " está situada en ",
-    "acquired": " adquirió ",
-    "visited": " visitó ",
+# Additional frontend languages for the extractor's dispatch — the
+# breadth analog of the reference's 8 language frontends (each lang row
+# = one "frontend": connector tables drive the per-language parse,
+# TranslationManager.kt:373-405).  The fixture generator emits only
+# en/de/fr (corpus bytes stay frozen); these tables make es/it/pt/nl
+# corpora parse through the same stages, covered by unit fixtures in
+# tests/test_world.py rather than corpus variants.
+for _lang, _conns in {
+    "es": {
+        "works_for": " trabaja para ",
+        "born_in": " nació en ",
+        "based_in": " tiene su sede en ",
+        "located_in": " está situada en ",
+        "acquired": " adquirió ",
+        "visited": " visitó ",
+    },
+    "it": {
+        "works_for": " lavora per ",
+        "born_in": " è nata a ",
+        "based_in": " ha sede a ",
+        "located_in": " si trova in ",
+        "acquired": " ha acquisito ",
+        "visited": " ha visitato ",
+    },
+    "pt": {
+        "works_for": " trabalha para ",
+        "born_in": " nasceu em ",
+        "based_in": " está sediada em ",
+        "located_in": " fica em ",
+        "acquired": " adquiriu ",
+        "visited": " visitou ",
+    },
+    "nl": {
+        "works_for": " werkt voor ",
+        "born_in": " is geboren in ",
+        "based_in": " is gevestigd in ",
+        "located_in": " ligt in ",
+        "acquired": " nam ",
+        "visited": " bezocht ",
+    },
 }.items():
-    PRED_TEMPLATES[_pred]["es"] = (_conn, "")
+    for _pred, _conn in _conns.items():
+        PRED_TEMPLATES[_pred][_lang] = (_conn, "")
+# Dutch 'acquired' is verb-final: "X nam Y over."
+PRED_TEMPLATES["acquired"]["nl"] = (" nam ", " over")
 
 # Reverse map used by the extract stage: lang → {connector.strip(): pred}.
 CONNECTOR_TO_PRED: dict[str, dict[str, str]] = {}

@@ -1,0 +1,97 @@
+"""Textual openCypher-subset surface: parses query strings and compiles
+them onto the tested graph-query operators (Graph.kt:86-167 analog)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cpg_ray.functions.cypher import parse, run_cypher
+from cpg_ray.pagegen import _cached_world, cfg_for_variant, render_page
+from cpg_ray.stages.extract import ExtractGraph
+
+
+@pytest.fixture(scope="module")
+def graph_tables():
+    cfg = cfg_for_variant("basic")
+    world = _cached_world(cfg)
+    rows = [render_page(world, i, "basic") for i in range(40)]
+    batch = pa.Table.from_pydict({k: [r[k] for r in rows] for k in rows[0]})
+    out = ExtractGraph(aliases=[a["alias"] for a in world.alias_rows()])(
+        batch
+    ).to_pandas()
+    nodes = out[out.kind == "node"][
+        ["node_id", "label", "name", "norm_name", "url", "span_start",
+         "span_end", "is_inferred", "literal"]
+    ]
+    edges = out[out.kind == "edge"][["src_id", "dst_id", "etype", "url"]]
+    return rd.from_pandas(nodes), rd.from_pandas(edges), nodes, edges
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(ValueError):
+        parse("CREATE (n)")
+    with pytest.raises(ValueError):
+        parse("MATCH (a)-[:X]->(b)-[:Y]->(c) RETURN a")
+    with pytest.raises(ValueError):
+        parse("MATCH (a) WHERE a.x IN [1,2] RETURN a")
+
+
+def test_single_node_filter_matches_pandas(graph_tables):
+    nodes_ds, _e, nodes, _edges = graph_tables
+    got = run_cypher(
+        "MATCH (m:Mention) WHERE m.is_inferred = false "
+        "AND m.span_start >= 100 "
+        "RETURN m.node_id AS node_id, m.name AS name",
+        nodes_ds,
+    ).sort_values("node_id").reset_index(drop=True)
+    want = nodes[(nodes.label == "Mention") & (~nodes.is_inferred)
+                 & (nodes.span_start >= 100)][["node_id", "name"]]
+    want = want.sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_property_map_in_pattern(graph_tables):
+    nodes_ds, _e, nodes, _edges = graph_tables
+    url = nodes.url.iloc[0]
+    got = run_cypher(
+        f"MATCH (m:Mention {{url: '{url}'}}) RETURN count(m) AS n",
+        nodes_ds,
+    )
+    want = len(nodes[(nodes.label == "Mention") & (nodes.url == url)])
+    assert got.n.iloc[0] == want > 0
+
+
+def test_relationship_chain_matches_rel_chain(graph_tables):
+    nodes_ds, edges_ds, nodes, edges = graph_tables
+    got = run_cypher(
+        "MATCH (s:Section)-[:AST]->(m:Mention) "
+        "RETURN s.id AS sid, m.id AS mid, m.name AS mname, s.url AS url",
+        nodes_ds, edges_ds,
+    ).sort_values(["sid", "mid"]).reset_index(drop=True)
+    sec = nodes[nodes.label == "Section"][["node_id"]]
+    men = nodes[nodes.label == "Mention"][["node_id", "name"]]
+    want = (
+        edges[edges.etype == "AST"]
+        .merge(sec, left_on="src_id", right_on="node_id")
+        .merge(men, left_on="dst_id", right_on="node_id",
+               suffixes=("", "_m"))
+    )
+    want = pd.DataFrame(
+        {"sid": want.src_id, "mid": want.dst_id, "mname": want.name,
+         "url": want.url}
+    ).sort_values(["sid", "mid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_order_by_and_limit(graph_tables):
+    nodes_ds, _e, nodes, _edges = graph_tables
+    got = run_cypher(
+        "MATCH (m:Mention) RETURN m.name AS name, m.span_start AS s "
+        "ORDER BY s DESC, name LIMIT 5",
+        nodes_ds,
+    )
+    assert len(got) == 5
+    assert list(got.s) == sorted(got.s, reverse=True)

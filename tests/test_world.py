@@ -44,3 +44,23 @@ def test_equivalence_twins_exist():
     for a, b in w.equivalences:
         assert a in w.entities and b in w.entities
         assert min(a, b) == a  # canonical pick is the primary id
+
+
+def test_language_frontend_breadth():
+    """Every registered connector language parses a synthetic sentence
+    through the SAME detect→connector pipeline (the per-language
+    frontend analog, TranslationManager.kt:373-405) — es/it/pt/nl have
+    no corpus variant, so this pins their tables directly."""
+    from cpg_ray.stages.extract import MentionDetector, triples_from_mentions
+    from cpg_ray.world import CONNECTOR_TO_PRED, PRED_TEMPLATES
+
+    assert {"en", "de", "fr", "es", "it", "pt", "nl"} <= set(CONNECTOR_TO_PRED)
+    det = MentionDetector(["Kara Voss", "Acme Labs"])
+    for lang, conns in CONNECTOR_TO_PRED.items():
+        for pred in ("works_for", "visited", "acquired"):
+            conn, suffix = PRED_TEMPLATES[pred][lang]
+            text = f"Kara Voss{conn}Acme Labs{suffix}."
+            mentions = det.detect(text)
+            assert len(mentions) == 2, (lang, pred, text)
+            triples = triples_from_mentions(text, mentions, lang)
+            assert [(t[1]) for t in triples] == [pred], (lang, pred, text)
