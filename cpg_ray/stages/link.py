@@ -279,25 +279,22 @@ def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
                 return f"inf:{n}", True
 
             cache = {n: link_one(n) for n in norms}
-            keep = pd.Series(True, index=sub.index)
+            # dict-backed Series.map (C-level lookup) — per-row lambdas
+            # on the tier-2 path would run on every ambiguous mention
+            ids = {n: v[0] for n, v in cache.items()}
+            inf = {n: v[1] for n, v in cache.items()}
             if not infer_on_miss:
-                keep = sub.subj_norm.map(lambda n: not cache[n][1]) & \
-                    sub.obj_norm.map(lambda n: not cache[n][1])
-            sub = sub[keep]
+                sub = sub[~(sub.subj_norm.map(inf) | sub.obj_norm.map(inf))]
             frames.append(
                 pd.DataFrame(
                     {
-                        "subj": sub.subj_norm.map(lambda n: cache[n][0]),
+                        "subj": sub.subj_norm.map(ids),
                         "pred": sub.pred,
-                        "obj": sub.obj_norm.map(lambda n: cache[n][0]),
+                        "obj": sub.obj_norm.map(ids),
                         "url": sub.url,
                         "span_start": sub.span_start,
-                        "subj_is_inferred": sub.subj_norm.map(
-                            lambda n: cache[n][1]
-                        ),
-                        "obj_is_inferred": sub.obj_norm.map(
-                            lambda n: cache[n][1]
-                        ),
+                        "subj_is_inferred": sub.subj_norm.map(inf),
+                        "obj_is_inferred": sub.obj_norm.map(inf),
                     }
                 )
             )

@@ -227,6 +227,72 @@ def test_typestate_per_path_vs_linear(branchy_graph):
     assert verdicts(per_path, u5, s5) is False
 
 
+def test_typestate_multi_fork_cross_product():
+    """Two fork groups in one document: paths are the CROSS PRODUCT of
+    per-group live-arm choices (DFAOrderEvaluator clones state at every
+    branch).  A violation that only exists when one arm of EACH group
+    is taken must be found — evaluating groups independently would miss
+    it; declared-dead arms never contribute."""
+    import ray.data as rd
+
+    from cpg_ray.functions.typestate import evaluate_order_paths
+    from cpg_ray.stages.dfg import build_eog
+
+    # mentions 0..6: plain, G0(a=1, b=2), plain, G1(a=4, b=5), plain
+    tags = [None, (0, "a", None), (0, "b", None), None,
+            (1, "a", None), (1, "b", None), None]
+    url = "u1"
+    spans = [10 * (i + 1) for i in range(7)]
+    nodes = pd.DataFrame({
+        "node_id": [f"m{i}" for i in range(7)],
+        "label": "Mention", "url": url, "span_start": spans,
+    })
+    edges = pd.DataFrame(
+        [(f"m{s}", f"m{d}", "EOG", b, u, url)
+         for s, d, b, u in build_eog(tags)],
+        columns=["src_id", "dst_id", "etype", "branch", "unreachable",
+                 "url"],
+    )
+    # subject s: visited in G0-arm-a (m1) AND G1-arm-a (m4) — only the
+    # (a, a) path sees both; s2: single visited in G0-arm-a
+    triples = pd.DataFrame({
+        "url": url,
+        "subj_norm": ["s", "s", "s2"],
+        "pred": ["visited", "visited", "visited"],
+        "span_start": [spans[1], spans[4], spans[1]],
+    })
+    out = evaluate_order_paths(
+        rd.from_pandas(nodes), rd.from_pandas(edges),
+        rd.from_pandas(triples),
+    ).to_pandas().set_index("subject")
+    assert out.loc["s", "n_paths"] == 4  # 2 live arms × 2 live arms
+    assert not out.loc["s", "accepted"]  # the (a,a) path violates
+    assert out.loc["s2", "accepted"]  # ≤1 visited on every path
+
+    # declared G0 (chosen=a): arm b dead → 2 paths; a visited recorded
+    # in the DEAD arm never reaches any path
+    tags_d = [None, (0, "a", True), (0, "b", False), None,
+              (1, "a", None), (1, "b", None), None]
+    edges_d = pd.DataFrame(
+        [(f"m{s}", f"m{d}", "EOG", b, u, url)
+         for s, d, b, u in build_eog(tags_d)],
+        columns=["src_id", "dst_id", "etype", "branch", "unreachable",
+                 "url"],
+    )
+    triples_d = pd.DataFrame({
+        "url": url,
+        "subj_norm": ["s3", "s3"],
+        "pred": ["visited", "visited"],
+        "span_start": [spans[2], spans[4]],  # dead-arm visit + live visit
+    })
+    out_d = evaluate_order_paths(
+        rd.from_pandas(nodes), rd.from_pandas(edges_d),
+        rd.from_pandas(triples_d),
+    ).to_pandas().set_index("subject")
+    assert out_d.loc["s3", "n_paths"] == 2
+    assert out_d.loc["s3", "accepted"]  # dead-arm visit excluded
+
+
 def test_value_eval_folds_to_root_defs(branchy_graph):
     import ray.data as rd
 
