@@ -10,14 +10,16 @@ live in one place.
 
 Grammar (case-insensitive keywords)::
 
-    MATCH (a[:Label] [{prop: lit, ...}]) [-[:ETYPE]-> (b[:Label])]
+    MATCH (a[:Label] [{prop: lit, ...}]) [-[:ETYPE[*lo..hi]]-> (b[:Label])]
     [WHERE a.prop OP literal [AND ...]]
     RETURN a.prop [AS alias] [, ...] | a | count(a)
     [ORDER BY expr [DESC]] [LIMIT k]
 
 OP ∈ ``= <> < <= > >=``.  Literals: single-quoted strings, ints,
-floats, true/false.  One relationship hop (the reference's own chain
-matcher is likewise one hop per pattern element, Graph.kt:121-167).
+floats, true/false.  One relationship hop per pattern (the reference's
+own chain matcher is likewise one hop per pattern element,
+Graph.kt:121-167); ``*lo..hi`` variable-length hops compile onto the
+per-document BFS (`graphquery.var_length_reach`), exposing ``hops``.
 
 Variables bind node columns: after a relationship match, ``a`` exposes
 ``src_*`` columns and ``b`` the ``dst_*`` columns of
@@ -35,7 +37,10 @@ _NODE = re.compile(
     r"\(\s*(?P<var>\w+)\s*(?::\s*(?P<label>\w+))?\s*"
     r"(?P<props>\{[^}]*\})?\s*\)"
 )
-_REL = re.compile(r"-\s*\[\s*:\s*(?P<etype>\w+)\s*\]\s*->")
+_REL = re.compile(
+    r"-\s*\[\s*:\s*(?P<etype>\w+)\s*"
+    r"(?:\*\s*(?P<lo>\d+)\s*\.\.\s*(?P<hi>\d+))?\s*\]\s*->"
+)
 _COND = re.compile(
     r"(?P<var>\w+)\.(?P<prop>\w+)\s*(?P<op>=|<>|<=|>=|<|>)\s*"
     r"(?P<lit>'[^']*'|true|false|-?\d+\.\d+|-?\d+)",
@@ -62,6 +67,7 @@ def _literal(tok: str):
 class _Query:
     nodes: list  # [(var, label, props_dict)]
     etype: str | None
+    hops: tuple | None = None  # (lo, hi) for *lo..hi variable length
     conds: list = field(default_factory=list)  # [(var, prop, op, lit)]
     returns: list = field(default_factory=list)  # [(kind, var, prop, alias)]
     order_by: list = field(default_factory=list)  # [(colname, desc)]
@@ -95,7 +101,7 @@ def parse(query: str) -> _Query:
         raise ValueError(f"unsupported query shape: {query!r}")
 
     pat = m.group("pat").strip()
-    nodes, etype = [], None
+    nodes, etype, hops = [], None, None
     nm = _NODE.match(pat)
     if not nm:
         raise ValueError(f"unsupported MATCH pattern: {pat!r}")
@@ -107,6 +113,10 @@ def parse(query: str) -> _Query:
         if not rm:
             raise ValueError(f"unsupported relationship pattern: {rest!r}")
         etype = rm.group("etype")
+        if rm.group("lo") is not None:
+            hops = (int(rm.group("lo")), int(rm.group("hi")))
+            if hops[0] < 1 or hops[1] < hops[0]:
+                raise ValueError(f"bad hop range *{hops[0]}..{hops[1]}")
         rest2 = rest[rm.end():].strip()
         nm2 = _NODE.match(rest2)
         if not nm2 or rest2[nm2.end():].strip():
@@ -114,7 +124,7 @@ def parse(query: str) -> _Query:
         nodes.append((nm2.group("var"), nm2.group("label"),
                       _parse_props(nm2.group("props"))))
 
-    out = _Query(nodes=nodes, etype=etype)
+    out = _Query(nodes=nodes, etype=etype, hops=hops)
 
     if m.group("where"):
         for clause in re.split(r"\s+AND\s+", m.group("where"),
@@ -184,8 +194,43 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
         (v1, l1, p1), (v2, l2, p2) = plan.nodes
         if not (l1 and l2):
             raise ValueError("relationship patterns need labels on both ends")
-        ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
-                       src_label=l1, dst_label=l2)
+        if plan.hops is None:
+            ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
+                           src_label=l1, dst_label=l2)
+        else:
+            # variable-length *lo..hi → per-document BFS reach
+            # (Graph.kt:121-167's var-length matcher analog), then the
+            # same two label joins as rel_chain
+            from .graphquery import label_filter, var_length_reach
+            from .relational import hash_join
+
+            lo, hi = plan.hops
+            reach = var_length_reach(edges_ds, etype=plan.etype,
+                                     max_hops=hi)
+            if lo > 1:
+                reach = reach.map_batches(
+                    lambda b: b[b.hops >= lo], batch_format="pandas"
+                )
+            src = label_filter(nodes_ds, l1).map_batches(
+                lambda t: t.select(["node_id", "name"]).rename_columns(
+                    ["src_id", "src_name"]
+                ),
+                batch_format="pyarrow",
+            )
+            dst = label_filter(nodes_ds, l2).map_batches(
+                lambda t: t.select(["node_id", "name"]).rename_columns(
+                    ["dst_id", "dst_name"]
+                ),
+                batch_format="pyarrow",
+            )
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 2))
+            nparts = max(2, min(16, cpus))
+            ds = hash_join(
+                hash_join(reach, src, on="src_id", num_partitions=nparts),
+                dst, on="dst_id", num_partitions=nparts,
+            )
         props = {}
         for p, v in p1.items():
             plan.conds.append((v1, p, "=", v))
@@ -194,6 +239,9 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
 
         def col(v, p):
             # rel_chain exposes src_id/src_name/dst_id/dst_name/url
+            # (+ hops for variable-length matches)
+            if p == "hops" and plan.hops is not None:
+                return "hops"
             side = {v1: "src", v2: "dst"}.get(v)
             if side is None:
                 raise ValueError(f"unknown variable {v!r}")
@@ -205,7 +253,8 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                 return "url"
             raise ValueError(
                 f"property {p!r} not projected by relationship match "
-                "(available: id, name, url)"
+                "(available: id, name, url"
+                + (", hops" if plan.hops is not None else "") + ")"
             )
 
     if plan.etype is None and props:

@@ -247,6 +247,11 @@ def run_flagship(
             # at scale; a cross-shard total sort would be one more
             # all-to-all over the full triple set)
             .sort(["canonical_subj", "pred", "canonical_obj"])
+            # materialized so the vocab partial below reuses the sorted
+            # blocks instead of re-reading the just-written parquet in a
+            # second Ray execution (measured seconds per shard of fixed
+            # per-execution overhead); a shard's triples are small
+            .materialize()
         )
         row = write_shard(
             triples, out_dir, "triples", sid, "link+canonicalize",
@@ -258,12 +263,8 @@ def run_flagship(
         # + mention counts of THIS shard's final triples, lineage-keyed
         # on the same input files so staleness tracks the triples shard
         t1 = time.monotonic()
-        written = sorted(
-            glob.glob(os.path.join(out_dir, "triples", f"shard={sid}",
-                                   "*.parquet"))
-        )
         partial = collect_entity_vocab(
-            rd.read_parquet(written, columns=["subj", "obj"])
+            triples.select_columns(["subj", "obj"])
         )
         vrow = write_shard(
             rd.from_arrow(partial), out_dir, "vocab", sid, "vocab-partial",

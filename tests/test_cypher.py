@@ -95,3 +95,34 @@ def test_order_by_and_limit(graph_tables):
     )
     assert len(got) == 5
     assert list(got.s) == sorted(got.s, reverse=True)
+
+
+def test_variable_length_path(graph_tables):
+    """`-[:EOG*1..3]->` compiles onto var_length_reach + label joins
+    and agrees with calling the operator directly."""
+    from cpg_ray.functions.graphquery import var_length_reach
+
+    nodes_ds, edges_ds, nodes, _edges = graph_tables
+    got = run_cypher(
+        "MATCH (a:Mention)-[:EOG*1..3]->(b:Mention) "
+        "RETURN a.id AS src_id, b.id AS dst_id, a.hops AS hops",
+        nodes_ds, edges_ds,
+    ).sort_values(["src_id", "dst_id", "hops"]).reset_index(drop=True)
+    want = var_length_reach(edges_ds, etype="EOG", max_hops=3).to_pandas()[
+        ["src_id", "dst_id", "hops"]
+    ].sort_values(["src_id", "dst_id", "hops"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"hops": "int64"}), want.astype({"hops": "int64"})
+    )
+    assert len(got) > 0 and got.hops.max() == 3
+
+    # lower bound filters short paths
+    got2 = run_cypher(
+        "MATCH (a:Mention)-[:EOG*2..3]->(b:Mention) "
+        "RETURN count(a) AS n",
+        nodes_ds, edges_ds,
+    )
+    assert got2.n.iloc[0] == int((want.hops >= 2).sum())
+
+    with pytest.raises(ValueError):
+        parse("MATCH (a:X)-[:E*3..2]->(b:Y) RETURN a")
