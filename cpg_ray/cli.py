@@ -67,6 +67,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="lineage/metrics of a translate run")
     s.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "cypher", help="run an openCypher-subset string against a "
+                       "translate output (console query analog)"
+    )
+    c.add_argument("--out", required=True, help="translate output dir")
+    c.add_argument("--query", required=True)
+    c.add_argument("--limit", type=int, default=20)
+
     x = sub.add_parser("export", help="export triples to csv/jsonl "
                                       "(Neo4jPlugin :export analog)")
     x.add_argument("--out", required=True, help="translate output dir")
@@ -142,6 +150,21 @@ def main(argv: list[str] | None = None) -> int:
             if hasattr(res, "to_pandas"):
                 res = res.to_pandas()
             print(res.head(args.limit).to_string())
+        elif args.cmd == "cypher":
+            import glob
+
+            import ray.data as rd
+
+            from cpg_ray.functions.cypher import run_cypher
+
+            nodes = rd.read_parquet(sorted(glob.glob(
+                f"{args.out}/graph/shard=*/kind=node/*.parquet"
+            )))
+            edges = rd.read_parquet(sorted(glob.glob(
+                f"{args.out}/graph/shard=*/kind=edge/*.parquet"
+            )))
+            df = run_cypher(args.query, nodes, edges)
+            print(df.head(args.limit).to_string())
         elif args.cmd == "stats":
             from cpg_ray.stages.materialize import read_lineage
 

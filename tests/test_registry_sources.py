@@ -115,6 +115,15 @@ def test_cli_gen_translate_stats(tmp_path):
     lines = [json.loads(line) for line in r3.stdout.strip().splitlines()]
     assert any(l["partition_id"].startswith("triples") for l in lines)
 
+    r4 = subprocess.run(
+        [sys.executable, "-m", "cpg_ray.cli", "--num-cpus", "4",
+         "cypher", "--out", out, "--query",
+         "MATCH (m:Mention) RETURN count(m) AS n"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=180,
+    )
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert int(r4.stdout.strip().splitlines()[-1].split()[-1]) > 0
+
 
 def test_cli_ingest_warc(tmp_path):
     from cpg_ray.pagegen import _cached_world, cfg_for_variant, render_page
