@@ -334,27 +334,8 @@ def value_fold(nodes_ds, edges_ds, *, etype: str = "DFG2",
             preds: dict[str, list[str]] = {}
             for s, d in zip(sub.src_id, sub.dst_id):
                 preds.setdefault(d, []).append(s)
-            memo: dict[str, frozenset] = {}
-
-            def fold(node: str) -> frozenset:
-                got = memo.get(node)
-                if got is not None:
-                    return got
-                lit = lits.get(node)
-                v0 = float(lit) if lit is not None and not pd.isna(lit) else 0.0
-                f0 = bool(lit) and not pd.isna(lit) and "." in str(lit)
-                ps = preds.get(node)
-                if not ps:
-                    vals = frozenset({(v0, f0)})
-                else:
-                    vals = frozenset(
-                        (v0 + v, f0 or f) for p in ps for v, f in fold(p)
-                    )
-                memo[node] = vals
-                return vals
-
             for use in sorted(preds):
-                for v, f in sorted(fold(use)):
+                for v, f in sorted(fold_literal_paths(use, preds, lits)):
                     rows.append(
                         {"url": url, "node_id": use, "value": v,
                          "vtype": "float" if f else "int"}
@@ -364,6 +345,51 @@ def value_fold(nodes_ds, edges_ds, *, etype: str = "DFG2",
         )
 
     return both.groupby("__bucket").map_groups(walk, batch_format="pandas")
+
+
+def fold_literal_paths(use, preds: dict, lits: dict,
+                       _memo: dict | None = None) -> frozenset:
+    """The per-document fold of :func:`value_fold` as a pure function:
+    the set of (sum of literals along a backward path from ``use`` to a
+    root, any-float-on-path) pairs — a memoized set-valued DP over the
+    DAG, ITERATIVE so a 10^5-mention linear chain cannot blow the
+    recursion limit (found by the property test below), with gray-set
+    cycle detection as a defensive guard (extraction emits forward-only
+    edges, but a corrupted table must fail loudly, not hang).
+    Property-pinned against brute-force path enumeration
+    (tests/test_properties.py)."""
+    memo = _memo if _memo is not None else {}
+
+    def lit_of(node) -> tuple[float, bool]:
+        lit = lits.get(node)
+        missing = lit is None or (isinstance(lit, float) and pd.isna(lit))
+        return (0.0 if missing else float(lit),
+                not missing and "." in str(lit))
+
+    gray: set = set()
+    stack = [(use, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if node in memo:
+            continue
+        ps = preds.get(node)
+        if not ps:
+            v0, f0 = lit_of(node)
+            memo[node] = frozenset({(v0, f0)})
+            continue
+        if expanded:
+            gray.discard(node)
+            v0, f0 = lit_of(node)
+            memo[node] = frozenset(
+                (v0 + v, f0 or f) for p in ps for v, f in memo[p]
+            )
+        else:
+            if node in gray:  # pred edge back onto the current path
+                raise ValueError(f"cycle in data-flow edges at {node!r}")
+            gray.add(node)
+            stack.append((node, True))
+            stack.extend((p, False) for p in ps if p not in memo)
+    return memo[use]
 
 
 def empty_sections(nodes_ds, edges_ds, *, num_partitions: int | None = None):

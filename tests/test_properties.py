@@ -178,6 +178,54 @@ def test_flow_sensitive_dfg_linear_fast_path_equivalent(picks, rnd):
     assert sorted(general) == sorted(fast)
 
 
+@given(
+    st.integers(2, 10),
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=25),
+    st.lists(st.sampled_from([None, "3", "7", "2.5", "10.5", "0"]),
+             min_size=10, max_size=10),
+)
+@settings(max_examples=150, deadline=None)
+def test_value_fold_dp_matches_bruteforce(n, raw_edges, lit_picks):
+    """The memoized set-valued DP behind value_fold must equal
+    brute-force enumeration of every backward path on random DAGs
+    (edges forced forward by construction → acyclic)."""
+    from cpg_ray.functions.graphquery import fold_literal_paths
+
+    edges = {(min(a % n, b % n), max(a % n, b % n)) for a, b in raw_edges
+             if a % n != b % n}  # forward-only → acyclic by construction
+    preds: dict[int, list[int]] = {}
+    for s, d in sorted(edges):
+        preds.setdefault(d, []).append(s)
+    lits = {i: lit_picks[i] for i in range(n)}
+
+    def lit_of(i):
+        lit = lits.get(i)
+        if lit is None:
+            return 0.0, False
+        return float(lit), "." in lit
+
+    def brute(use):
+        out = set()
+
+        def rec(node, acc, isf):
+            v, f = lit_of(node)
+            acc, isf = acc + v, isf or f
+            ps = preds.get(node)
+            if not ps:
+                out.add((acc, isf))
+                return
+            for p in ps:
+                rec(p, acc, isf)
+
+        rec(use, 0.0, False)
+        return frozenset(out)
+
+    for use in preds:
+        assert fold_literal_paths(use, preds, lits) == brute(use), (
+            use, preds, lits
+        )
+
+
 @given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=200),
        st.lists(st.text(min_size=1, max_size=20), max_size=50))
 @settings(max_examples=100, deadline=None)
