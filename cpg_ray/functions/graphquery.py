@@ -36,8 +36,28 @@ def _add_url_bucket(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
     return df
 
 
+# Label hierarchy — the reference's "a node's label set is its class
+# ancestry" (Graph.kt:387-398: result.all<T>() matches SUBTYPES too).
+# Our node taxonomy is shallow by design, but the ancestry-match
+# semantics are part of the query surface: filtering on an abstract
+# label matches every concrete subtype.
+LABEL_SUBTYPES: dict[str, frozenset] = {
+    "Node": frozenset({"Document", "Section", "Mention", "Problem"}),
+    "Container": frozenset({"Document", "Section"}),  # scope-bearing
+}
+
+
 def label_filter(nodes_ds, label: str):
-    """nodes with a given label (pushdown-friendly vectorized filter)."""
+    """nodes with a given label (pushdown-friendly vectorized filter);
+    abstract labels (LABEL_SUBTYPES) match their whole subtype set —
+    the class-ancestry semantics of the reference's ``all<T>()``."""
+    subtypes = LABEL_SUBTYPES.get(label)
+    if subtypes is not None:
+        wanted = pa.array(sorted(subtypes), pa.string())
+        return nodes_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["label"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
     return nodes_ds.map_batches(
         lambda t: t.filter(pc.equal(t["label"], pa.scalar(label))),
         batch_format="pyarrow",

@@ -129,3 +129,24 @@ def test_triple_diff_set_semantics():
     # shared fact (s1) never appears, and duplicates collapse
     assert "s1" not in set(df.canonical_subj)
     assert len(df) == 3
+
+
+def test_label_ancestry_filter():
+    """Abstract labels match their subtype set — the reference's
+    all<T>() class-ancestry semantics (Graph.kt:387-398)."""
+    import ray.data as rd
+
+    from cpg_ray.functions.graphquery import label_filter
+
+    nodes = pd.DataFrame({
+        "node_id": ["a", "b", "c", "d"],
+        "label": ["Document", "Section", "Mention", "Problem"],
+    })
+    ds = rd.from_pandas(nodes)
+    assert set(label_filter(ds, "Node").to_pandas().node_id) == {
+        "a", "b", "c", "d"
+    }
+    assert set(label_filter(ds, "Container").to_pandas().node_id) == {
+        "a", "b"
+    }
+    assert set(label_filter(ds, "Mention").to_pandas().node_id) == {"c"}
