@@ -151,3 +151,29 @@ def test_ast_edges_contain_sections():
     node_ids = {r["node_id"] for r in out if r["kind"] == "node"}
     for e in ast:
         assert e["src_id"] in node_ids and e["dst_id"] in node_ids
+
+
+def test_mention_literals_rules():
+    """Literal attachment rules: first standalone number after the
+    mention, clipped at the next mention and at the sentence break;
+    decimals survive intact; digit-free docs short-circuit."""
+    from cpg_ray.stages.extract import MentionDetector, mention_literals
+
+    det = MentionDetector(["Kara Voss", "Ashford Vale", "Acme Labs"])
+    text = ("Kara Voss visited Ashford Vale near milepost 123.5. "
+            "Acme Labs counted 42 visitors. The year had 365 days.")
+    mentions = det.detect(text)
+    assert [m.surface for m in mentions] == [
+        "Kara Voss", "Ashford Vale", "Acme Labs"
+    ]
+    lits = mention_literals(text, mentions)
+    # Kara Voss: next mention (Ashford Vale) starts before any number
+    # Ashford Vale: 123.5 within its sentence (decimal point kept, the
+    #   sentence-final period excluded)
+    # Acme Labs: 42 within its sentence; 365 is past the break
+    assert lits == [None, "123.5", "42"]
+
+    # digit-free document: the short-circuit returns all None
+    text2 = "Kara Voss visited Ashford Vale."
+    m2 = det.detect(text2)
+    assert mention_literals(text2, m2) == [None] * len(m2)
