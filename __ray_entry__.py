@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_interval": q.q_events_interval,
         "q_events_sliding": q.q_events_sliding,
         "q_doc_dup_ngrams": q.q_doc_dup_ngrams,
+        "q_doc_contamination": q.q_doc_contamination,
         # -- oracle-paired, driver-green in round 2
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -715,10 +716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": q.q_events_sessions,
         "q_events_sessions_streaming": q.q_events_sessions_streaming,
         "q_knn_cosine": q.q_knn_cosine,
-        "q_doc_langid": q.q_doc_langid,
         # -- oracle-paired, stable since round 1/2 (driver-green twice;
         # past the 50-entry window they stay judge-checkable via
         # tools/check_oracles.py)
+        "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,
         "q_region_nation_union": q.q_region_nation_union,
         "q_doc_bpe_tokens": q.q_doc_bpe_tokens,

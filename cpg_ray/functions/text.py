@@ -224,3 +224,40 @@ def word_shingles_weighted(text: str, n: int = 2) -> np.ndarray:
     the frequency-weighted variant SimHash needs on small-vocabulary
     corpora."""
     return _ngram_hashes(text, n)
+
+
+# ---- benchmark-contamination check ----------------------------------------
+
+
+def word_ngram_set(text: str, n: int = 8) -> set:
+    """Distinct space-delimited word n-grams of one document (the exact
+    surface strings — decontamination compares verbatim spans, not
+    hashes, so a flagged overlap is directly auditable)."""
+    toks = text.split(" ")
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def contamination_counts(ds, bench_grams_ref, *, n: int = 8,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark-contamination check — the decontamination step of an
+    LLM training-data pipeline (flag/drop training documents sharing
+    long verbatim n-grams with an evaluation set, the Lee et al. /
+    GPT-3 appendix shape): the benchmark's distinct n-grams are
+    broadcast ONCE (eval sets are tiny relative to a training corpus)
+    and every document counts its distinct grams that appear in the
+    set.  One stateless ``map_batches`` pass over the corpus — no
+    shuffle, no driver iteration; output is (id, n_contaminated).
+
+    ``bench_grams_ref``: ``ray.put(frozenset_of_grams)``."""
+    from .relational import bcast_get
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        grams = bcast_get(bench_grams_ref)
+        counts = [
+            sum(1 for g in word_ngram_set(t, n) if g in grams)
+            for t in b[text_col]
+        ]
+        return pd.DataFrame({id_col: b[id_col].values,
+                             "n_contaminated": counts})
+
+    return ds.map_batches(count, batch_format="pandas")

@@ -437,6 +437,29 @@ def q_doc_top_tokens(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: every 50th document plays the held-out
+    evaluation set; the remaining corpus counts, per document, its
+    distinct 8-grams that appear verbatim in the benchmark (broadcast
+    gram set + one stateless map pass — no shuffle)."""
+    import ray
+
+    from ..functions.text import contamination_counts, word_ngram_set
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b[b.doc_id % 50 == 0], batch_format="pandas"
+    ).to_pandas()  # the eval set is tiny by definition (2% of docs)
+    grams = frozenset().union(*(word_ngram_set(t, 8) for t in bench.text)) \
+        if len(bench) else frozenset()
+    train = docs.map_batches(
+        lambda b: b[b.doc_id % 50 != 0], batch_format="pandas"
+    )
+    df = contamination_counts(train, ray.put(grams), n=8).to_pandas()
+    df["n_contaminated"] = df["n_contaminated"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_orders_priority_leftjoin(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER broadcast join (the fabricate-nothing miss case —
     unmatched left rows survive with nulls) + grouped match counting."""
@@ -1152,6 +1175,29 @@ ORACLE_SQL: dict[str, str] = {
                 AND n_bullets / n_lines <= 0.9
                 AND (1.0 - n_uniq_lines / n_lines) <= 0.3) AS gopher_pass
         FROM f
+        ORDER BY doc_id
+    """,
+    "q_doc_contamination": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), bgrams AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+            WHERE doc_id % 50 = 0 AND len(words) >= 8
+        ), dgrams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+            WHERE doc_id % 50 <> 0 AND len(words) >= 8
+        ), hits AS (
+            SELECT g.doc_id, count(*) AS n
+            FROM dgrams g JOIN bgrams b USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        LEFT JOIN hits h USING (doc_id)
         ORDER BY doc_id
     """,
     "q_doc_dup_ngrams": """

@@ -380,3 +380,31 @@ def test_driver_row_limit_raises_before_collecting():
     with pytest.raises(RuntimeError, match="driver_row_limit"):
         distinct_on(ds, ["g"], mode="driver",
                     driver_row_limit=100).to_pandas()
+
+
+def test_contamination_counts_flags_injected_overlap():
+    """A train doc sharing a long verbatim span with a benchmark doc is
+    flagged with the exact distinct-gram overlap count; clean docs = 0."""
+    import ray
+
+    from cpg_ray.functions.text import contamination_counts, word_ngram_set
+
+    docs = _docs()[["doc_id", "text"]].head(40)
+    bench = docs.head(5)
+    grams = frozenset().union(*(word_ngram_set(t, 8) for t in bench.text))
+    # train: 30 clean docs + one that embeds bench doc 0's text verbatim
+    train = docs.iloc[10:40].copy()
+    leak = pd.DataFrame({"doc_id": [999_000],
+                         "text": ["prefix words " + bench.text.iloc[0]]})
+    ds = rd.from_pandas(pd.concat([train, leak], ignore_index=True))
+    out = contamination_counts(ds, ray.put(grams), n=8).to_pandas()
+    got = out.set_index("doc_id").n_contaminated
+    expected_leak = len(
+        word_ngram_set("prefix words " + bench.text.iloc[0], 8) & grams
+    )
+    assert got.loc[999_000] == expected_leak > 0
+    # the corpus plants near-dups ('dup' marker) — clean docs are those
+    # sharing no 8-gram with the bench slice
+    clean = [d for d, t in zip(train.doc_id, train.text)
+             if not (word_ngram_set(t, 8) & grams)]
+    assert clean and (got.loc[clean] == 0).all()
