@@ -148,6 +148,14 @@ for _lang, _conns in {
         "acquired": " nam ",
         "visited": " bezocht ",
     },
+    "sv": {
+        "works_for": " arbetar för ",
+        "born_in": " föddes i ",
+        "based_in": " har sitt säte i ",
+        "located_in": " ligger i ",
+        "acquired": " förvärvade ",
+        "visited": " besökte ",
+    },
 }.items():
     for _pred, _conn in _conns.items():
         PRED_TEMPLATES[_pred][_lang] = (_conn, "")

@@ -54,7 +54,9 @@ def test_language_frontend_breadth():
     from cpg_ray.stages.extract import MentionDetector, triples_from_mentions
     from cpg_ray.world import CONNECTOR_TO_PRED, PRED_TEMPLATES
 
-    assert {"en", "de", "fr", "es", "it", "pt", "nl"} <= set(CONNECTOR_TO_PRED)
+    assert {"en", "de", "fr", "es", "it", "pt", "nl", "sv"} <= set(
+        CONNECTOR_TO_PRED
+    )  # 8 frontends — reference parity
     det = MentionDetector(["Kara Voss", "Acme Labs"])
     for lang, conns in CONNECTOR_TO_PRED.items():
         for pred in ("works_for", "visited", "acquired"):
