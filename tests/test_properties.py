@@ -288,3 +288,19 @@ def test_vectorized_link_matches_dict_probe(norms, infer):
     assert list(got.obj) == [obj[i][0] for i in keep]
     assert list(got.subj_is_inferred) == [subj[i][1] for i in keep]
     assert list(got.span_start) == keep
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_cypher_parse_total(junk):
+    """The query parser is TOTAL over arbitrary strings: every input
+    either parses to a plan or raises ValueError — never a crash of
+    another type, never a silent partial parse."""
+    from cpg_ray.functions.cypher import parse
+
+    try:
+        plan = parse(junk)
+    except ValueError:
+        return
+    # a successful parse must have produced a coherent plan
+    assert plan.nodes and plan.returns
