@@ -59,6 +59,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_times() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(a, b) -> float | None:
+    """Hypervisor steal % over the window [a, b] of /proc/stat deltas —
+    this host's steal varies 0-22.6% minute-to-minute (BASELINE.md), so
+    every bench line carries its own load context."""
+    if not a or not b:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total and len(d) > 7 else None
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -159,8 +178,10 @@ def main() -> None:
     )
     DataContext.get_current().enable_progress_bars = False
 
+    cpu0 = _cpu_times()
     head = run_headline()
     queries = {} if HEADLINE_ONLY else run_queries()
+    steal = _steal_pct(cpu0, _cpu_times())
     ray.shutdown()
 
     print(
@@ -177,6 +198,7 @@ def main() -> None:
                 "pages_per_sec": round(head["pages_per_sec"], 1),
                 "triples_per_sec": round(head["triples_per_sec"], 1),
                 "best_of": head["headline_runs"],
+                "cpu_steal_pct": steal,
             }
         )
     )
