@@ -10,7 +10,8 @@ live in one place.
 
 Grammar (case-insensitive keywords)::
 
-    MATCH (a[:Label] [{prop: lit, ...}]) [-[:ETYPE[*lo..hi]]-> (b[:Label])]
+    MATCH (a[:Label] [{prop: lit, ...}]) [-[:ETYPE[*lo..hi]]-> (b[:Label])]...
+      (chains of fixed-length hops compile to chained hash joins)
     [WHERE a.prop OP literal [AND ...]]
     RETURN a.prop [AS alias] [, ...] | a | count(a)
     [ORDER BY expr [DESC]] [LIMIT k]
@@ -66,12 +67,19 @@ def _literal(tok: str):
 @dataclass
 class _Query:
     nodes: list  # [(var, label, props_dict)]
-    etype: str | None
-    hops: tuple | None = None  # (lo, hi) for *lo..hi variable length
+    rels: list  # [(etype, (lo, hi) | None)] — one entry per hop
     conds: list = field(default_factory=list)  # [(var, prop, op, lit)]
     returns: list = field(default_factory=list)  # [(kind, var, prop, alias)]
     order_by: list = field(default_factory=list)  # [(colname, desc)]
     limit: int | None = None
+
+    @property
+    def etype(self):  # single-hop convenience
+        return self.rels[0][0] if self.rels else None
+
+    @property
+    def hops(self):
+        return self.rels[0][1] if self.rels else None
 
 
 def _parse_props(txt: str | None) -> dict:
@@ -101,30 +109,34 @@ def parse(query: str) -> _Query:
         raise ValueError(f"unsupported query shape: {query!r}")
 
     pat = m.group("pat").strip()
-    nodes, etype, hops = [], None, None
+    nodes, rels = [], []
     nm = _NODE.match(pat)
     if not nm:
         raise ValueError(f"unsupported MATCH pattern: {pat!r}")
     nodes.append((nm.group("var"), nm.group("label"),
                   _parse_props(nm.group("props"))))
     rest = pat[nm.end():].strip()
-    if rest:
+    while rest:  # (a)-[:X]->(b)-[:Y]->(c)… — arbitrary chain length
         rm = _REL.match(rest)
         if not rm:
             raise ValueError(f"unsupported relationship pattern: {rest!r}")
-        etype = rm.group("etype")
+        hops = None
         if rm.group("lo") is not None:
             hops = (int(rm.group("lo")), int(rm.group("hi")))
             if hops[0] < 1 or hops[1] < hops[0]:
                 raise ValueError(f"bad hop range *{hops[0]}..{hops[1]}")
-        rest2 = rest[rm.end():].strip()
-        nm2 = _NODE.match(rest2)
-        if not nm2 or rest2[nm2.end():].strip():
-            raise ValueError(f"unsupported MATCH tail: {rest2!r}")
+        rels.append((rm.group("etype"), hops))
+        rest = rest[rm.end():].strip()
+        nm2 = _NODE.match(rest)
+        if not nm2:
+            raise ValueError(f"unsupported MATCH tail: {rest!r}")
         nodes.append((nm2.group("var"), nm2.group("label"),
                       _parse_props(nm2.group("props"))))
+        rest = rest[nm2.end():].strip()
+    if len({v for v, _l, _p in nodes}) != len(nodes):
+        raise ValueError("pattern variables must be distinct")
 
-    out = _Query(nodes=nodes, etype=etype, hops=hops)
+    out = _Query(nodes=nodes, rels=rels)
 
     if m.group("where"):
         for clause in re.split(r"\s+AND\s+", m.group("where"),
@@ -191,13 +203,79 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
     else:
         if edges_ds is None:
             raise ValueError("relationship pattern needs edges_ds")
-        (v1, l1, p1), (v2, l2, p2) = plan.nodes
-        if not (l1 and l2):
-            raise ValueError("relationship patterns need labels on both ends")
-        if plan.hops is None:
+        vars_ = [v for v, _l, _p in plan.nodes]
+        labels = [l for _v, l, _p in plan.nodes]
+        if not all(labels):
+            raise ValueError("relationship patterns need labels on all ends")
+        if any(h is not None for _e, h in plan.rels) and len(plan.rels) > 1:
+            raise ValueError(
+                "variable-length hops only supported in single-hop patterns"
+            )
+        for _v, _l, pmap in plan.nodes:
+            for p, v in pmap.items():
+                plan.conds.append((_v, p, "=", v))
+        if len(plan.rels) > 1:
+            # multi-hop chain: one rel_chain segment per hop, renamed to
+            # variable-scoped columns, then chained hash joins on the
+            # shared variable's node id (ids are globally unique, so the
+            # join key alone co-locates; url is kept from segment 0)
+            import pyarrow as _pa
+
+            import ray as _ray
+
+            from .relational import hash_join as _hash_join
+
+            cpus = int(_ray.cluster_resources().get("CPU", 2))
+            nparts = max(2, min(16, cpus))
+            ds = None
+            for i, (etype, _h) in enumerate(plan.rels):
+                seg = rel_chain(nodes_ds, edges_ds, etype=etype,
+                                src_label=labels[i], dst_label=labels[i + 1])
+                va, vb = vars_[i], vars_[i + 1]
+                first = i == 0
+
+                def ren(t, va=va, vb=vb, first=first):
+                    cols = {f"{vb}__id": t["dst_id"],
+                            f"{vb}__name": t["dst_name"]}
+                    cols[f"{va}__id"] = t["src_id"]
+                    if first:  # later segments drop duplicate columns
+                        cols[f"{va}__name"] = t["src_name"]
+                        cols["url"] = t["url"]
+                    return _pa.table(cols)
+
+                seg = seg.map_batches(ren, batch_format="pyarrow")
+                if ds is None:
+                    ds = seg
+                else:
+                    # materialize between hops: two live join stages
+                    # need 2×num_partitions aggregator actors at once,
+                    # which starves small clusters into the measured
+                    # join hang — completing hop k releases its actors
+                    # before hop k+1 schedules
+                    ds = _hash_join(
+                        ds.materialize(), seg, on=f"{va}__id",
+                        num_partitions=nparts,
+                    )
+
+            def col(v, p):
+                if v not in vars_:
+                    raise ValueError(f"unknown variable {v!r}")
+                if p in ("id", "node_id"):
+                    return f"{v}__id"
+                if p == "name":
+                    return f"{v}__name"
+                if p == "url":
+                    return "url"
+                raise ValueError(
+                    f"property {p!r} not projected by chain match "
+                    "(available: id, name, url)"
+                )
+        elif plan.hops is None:
+            (v1, l1, _p1), (v2, l2, _p2) = plan.nodes
             ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
                            src_label=l1, dst_label=l2)
         else:
+            (v1, l1, _p1), (v2, l2, _p2) = plan.nodes
             # variable-length *lo..hi → per-document BFS reach
             # (Graph.kt:121-167's var-length matcher analog), then the
             # same two label joins as rel_chain
@@ -231,31 +309,26 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                 hash_join(reach, src, on="src_id", num_partitions=nparts),
                 dst, on="dst_id", num_partitions=nparts,
             )
-        props = {}
-        for p, v in p1.items():
-            plan.conds.append((v1, p, "=", v))
-        for p, v in p2.items():
-            plan.conds.append((v2, p, "=", v))
-
-        def col(v, p):
-            # rel_chain exposes src_id/src_name/dst_id/dst_name/url
-            # (+ hops for variable-length matches)
-            if p == "hops" and plan.hops is not None:
-                return "hops"
-            side = {v1: "src", v2: "dst"}.get(v)
-            if side is None:
-                raise ValueError(f"unknown variable {v!r}")
-            if p in ("id", "node_id"):
-                return f"{side}_id"
-            if p == "name":
-                return f"{side}_name"
-            if p == "url":
-                return "url"
-            raise ValueError(
-                f"property {p!r} not projected by relationship match "
-                "(available: id, name, url"
-                + (", hops" if plan.hops is not None else "") + ")"
-            )
+        if len(plan.rels) == 1:
+            def col(v, p):
+                # rel_chain exposes src_id/src_name/dst_id/dst_name/url
+                # (+ hops for variable-length matches)
+                if p == "hops" and plan.hops is not None:
+                    return "hops"
+                side = {v1: "src", v2: "dst"}.get(v)
+                if side is None:
+                    raise ValueError(f"unknown variable {v!r}")
+                if p in ("id", "node_id"):
+                    return f"{side}_id"
+                if p == "name":
+                    return f"{side}_name"
+                if p == "url":
+                    return "url"
+                raise ValueError(
+                    f"property {p!r} not projected by relationship match "
+                    "(available: id, name, url"
+                    + (", hops" if plan.hops is not None else "") + ")"
+                )
 
     if plan.etype is None and props:
         for p, v in props.items():

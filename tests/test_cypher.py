@@ -31,10 +31,42 @@ def graph_tables():
 def test_parse_rejects_unsupported():
     with pytest.raises(ValueError):
         parse("CREATE (n)")
-    with pytest.raises(ValueError):
-        parse("MATCH (a)-[:X]->(b)-[:Y]->(c) RETURN a")
+    with pytest.raises(ValueError):  # undirected edges unsupported
+        parse("MATCH (a:X)-[:E]-(b:Y) RETURN a")
     with pytest.raises(ValueError):
         parse("MATCH (a) WHERE a.x IN [1,2] RETURN a")
+    with pytest.raises(ValueError):  # repeated pattern variables
+        parse("MATCH (a:X)-[:E]->(a:Y) RETURN a")
+    # multi-hop chains parse (one rel entry per hop)
+    plan = parse("MATCH (a:X)-[:E]->(b:Y)-[:F]->(c:Z) RETURN c.name")
+    assert [e for e, _h in plan.rels] == ["E", "F"]
+
+
+def test_multi_hop_chain_matches_pandas(graph_tables):
+    """(d:Document)-[:AST]->(s:Section)-[:AST]->(m:Mention) compiles to
+    chained hash joins and agrees with two pandas merges."""
+    nodes_ds, edges_ds, nodes, edges = graph_tables
+    got = run_cypher(
+        "MATCH (d:Document)-[:AST]->(s:Section)-[:AST]->(m:Mention) "
+        "RETURN d.id AS doc, s.name AS section, m.name AS mention",
+        nodes_ds, edges_ds,
+    ).sort_values(["doc", "section", "mention"]).reset_index(drop=True)
+    lab = {r.node_id: r.label for r in nodes.itertuples()}
+    name = {r.node_id: r.name for r in nodes.itertuples()}
+    ast = edges[edges.etype == "AST"]
+    hop1 = ast[[lab.get(s) == "Document" and lab.get(d) == "Section"
+                for s, d in zip(ast.src_id, ast.dst_id)]]
+    hop2 = ast[[lab.get(s) == "Section" and lab.get(d) == "Mention"
+                for s, d in zip(ast.src_id, ast.dst_id)]]
+    want = hop1.merge(hop2, left_on="dst_id", right_on="src_id",
+                      suffixes=("_1", "_2"))
+    want = pd.DataFrame({
+        "doc": want.src_id_1,
+        "section": want.dst_id_1.map(name),
+        "mention": want.dst_id_2.map(name),
+    }).sort_values(["doc", "section", "mention"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
 
 
 def test_single_node_filter_matches_pandas(graph_tables):
