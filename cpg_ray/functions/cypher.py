@@ -17,14 +17,16 @@ Grammar (case-insensitive keywords)::
     [ORDER BY expr [DESC]] [LIMIT k]
 
 OP ∈ ``= <> < <= > >=``.  Literals: single-quoted strings, ints,
-floats, true/false.  One relationship hop per pattern (the reference's
-own chain matcher is likewise one hop per pattern element,
-Graph.kt:121-167); ``*lo..hi`` variable-length hops compile onto the
-per-document BFS (`graphquery.var_length_reach`), exposing ``hops``.
+floats, true/false.  ``*lo..hi`` variable-length hops compile onto the
+per-document BFS (`graphquery.var_length_reach`), exposing ``hops``
+(single-hop patterns only); fixed-length chains of any length compile
+to one `rel_chain` segment per hop joined on the shared variable's
+node id (hops materialize between joins so two live join stages never
+double the aggregator-actor demand — the measured small-cluster hang).
 
-Variables bind node columns: after a relationship match, ``a`` exposes
-``src_*`` columns and ``b`` the ``dst_*`` columns of
-:func:`~cpg_ray.functions.graphquery.rel_chain`.
+Each pattern variable exposes ``id``, ``name`` and ``url`` column
+properties in WHERE/RETURN; single-node patterns expose the full node
+schema (``_NODE_PROPS``).
 """
 
 from __future__ import annotations
