@@ -50,7 +50,8 @@ _COND = re.compile(
     re.IGNORECASE,
 )
 _RET_ITEM = re.compile(
-    r"(?:(?P<cnt>count)\s*\(\s*(?P<cvar>\w+)\s*\)|"
+    r"(?:(?P<fn>count|sum|min|max|avg)\s*\(\s*"
+    r"(?P<avar>\w+)(?:\.(?P<aprop>\w+))?\s*\)|"
     r"(?P<var>\w+)(?:\.(?P<prop>\w+))?)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
@@ -153,12 +154,15 @@ def parse(query: str) -> _Query:
         rm = _RET_ITEM.match(item.strip())
         if not rm:
             raise ValueError(f"unsupported RETURN item: {item!r}")
-        if rm.group("cnt"):
-            out.returns.append(("count", rm.group("cvar"), None,
-                                rm.group("alias") or "count"))
+        if rm.group("fn"):
+            fn = rm.group("fn").lower()
+            out.returns.append(
+                ("agg", fn, rm.group("avar"), rm.group("aprop"),
+                 rm.group("alias") or fn)
+            )
         else:
-            out.returns.append(("col", rm.group("var"), rm.group("prop"),
-                                rm.group("alias")))
+            out.returns.append(("col", None, rm.group("var"),
+                                rm.group("prop"), rm.group("alias")))
 
     if m.group("order"):
         for item in m.group("order").split(","):
@@ -354,25 +358,56 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
 
         ds = ds.map_batches(keep, batch_format="pandas")
 
-    if len(plan.returns) == 1 and plan.returns[0][0] == "count":
-        return pd.DataFrame({plan.returns[0][3]: [ds.count()]})
-
-    # RETURN: distributed projection, collect only the projected rows
-    proj: list[tuple[str, str]] = []  # (src_col, out_name)
-    for kind, v, p, alias in plan.returns:
-        if kind == "count":
-            raise ValueError("count() cannot mix with column returns")
+    def resolve(v, p):
         c = col(v, p) if p is not None else (
             col(v, "node_id") if plan.etype else "node_id"
         )
         if plan.etype is None and c not in _NODE_PROPS:
             raise ValueError(f"unknown property {v}.{p}")
-        proj.append((c, alias or (f"{v}.{p}" if p else v)))
+        return c
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({name: b[c].values for c, name in proj})
+    col_items = [(resolve(v, p), alias or (f"{v}.{p}" if p else v))
+                 for kind, _fn, v, p, alias in plan.returns
+                 if kind == "col"]
+    agg_items = [(fn, resolve(v, p), alias)
+                 for kind, fn, v, p, alias in plan.returns if kind == "agg"]
 
-    res = ds.map_batches(project, batch_format="pandas").to_pandas()
+    if agg_items and not col_items and len(agg_items) == 1 \
+            and agg_items[0][0] == "count":
+        # bare count(x): the Dataset row count, no aggregation stage
+        return pd.DataFrame({agg_items[0][2]: [ds.count()]})
+
+    if agg_items:
+        # Cypher's implicit grouping: plain RETURN terms are the group
+        # keys (RETURN a.name, count(b) groups by a.name); aggregates
+        # compile onto groupby_agg — pre-combined, auto driver/shuffle
+        from .relational import groupby_agg
+
+        needed = list(dict.fromkeys(
+            [c for c, _n in col_items] + [c for _f, c, _a in agg_items]
+        ))
+        proj_ds = ds.map_batches(
+            lambda b: b[needed], batch_format="pandas"
+        )
+        specs = [(c, {"avg": "mean"}.get(f, f), a) for f, c, a in agg_items]
+        keys = list(dict.fromkeys(c for c, _n in col_items))
+        if keys:
+            res = groupby_agg(proj_ds, keys, specs).to_pandas()
+        else:  # global aggregates: one row via a constant group key
+            res = groupby_agg(
+                proj_ds.map_batches(lambda b: b.assign(__g=0),
+                                    batch_format="pandas"),
+                ["__g"], specs,
+            ).to_pandas().drop(columns="__g")
+        res = res.rename(columns=dict(col_items))
+    else:
+        # RETURN: distributed projection, collect only projected rows
+        def project(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {name: b[c].values for c, name in col_items}
+            )
+
+        res = ds.map_batches(project, batch_format="pandas").to_pandas()
     if plan.order_by:
         cols, asc = [], []
         for name, desc in plan.order_by:

@@ -158,3 +158,41 @@ def test_variable_length_path(graph_tables):
 
     with pytest.raises(ValueError):
         parse("MATCH (a:X)-[:E*3..2]->(b:Y) RETURN a")
+
+
+def test_aggregations_with_implicit_grouping(graph_tables):
+    """Cypher's implicit grouping: plain RETURN terms group the
+    aggregates (RETURN s.name, count(m)); bare aggregates are global."""
+    nodes_ds, edges_ds, nodes, edges = graph_tables
+
+    got = run_cypher(
+        "MATCH (s:Section)-[:AST]->(m:Mention) "
+        "RETURN s.name AS section, count(m) AS n "
+        "ORDER BY section",
+        nodes_ds, edges_ds,
+    )
+    name = {r.node_id: r.name for r in nodes.itertuples()}
+    lab = {r.node_id: r.label for r in nodes.itertuples()}
+    ast = edges[edges.etype == "AST"]
+    pairs = ast[[lab.get(s) == "Section" and lab.get(d) == "Mention"
+                 for s, d in zip(ast.src_id, ast.dst_id)]]
+    want = (
+        pairs.assign(section=pairs.src_id.map(name))
+        .groupby("section").size().rename("n").reset_index()
+        .sort_values("section").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), want.astype({"n": "int64"})
+    )
+    assert len(got) > 1
+
+    # global numeric aggregates over the node schema
+    g = run_cypher(
+        "MATCH (m:Mention) RETURN sum(m.span_start) AS s, "
+        "max(m.span_end) AS mx, avg(m.span_start) AS a",
+        nodes_ds,
+    )
+    men = nodes[nodes.label == "Mention"]
+    assert int(g.s.iloc[0]) == int(men.span_start.sum())
+    assert int(g.mx.iloc[0]) == int(men.span_end.max())
+    assert abs(float(g.a.iloc[0]) - float(men.span_start.mean())) < 1e-9
