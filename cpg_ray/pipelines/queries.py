@@ -214,17 +214,36 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
-    """Big×big hash-partitioned shuffle join (Dataset.join)."""
+    """Join + aggregate with AGGREGATE PUSHDOWN below the join: orders
+    pre-aggregate to one partial (sum, count) per customer key BEFORE
+    the hash-partitioned Dataset.join, so the exchange moves one row
+    per customer instead of one per order — at 100 TB the difference
+    between shuffling the fact table and shuffling its key space.  The
+    final per-segment merge re-aggregates the joined partials (sums of
+    sums — algebraic, exact)."""
     orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+                        columns=["o_custkey", "o_totalprice"])
+
+    # combiner-ONLY partials: the join doesn't need fully-merged keys
+    # (several partial rows per customer join identically and the final
+    # per-segment aggregate re-merges them), so no exchange happens
+    # before the join at all — one row per (customer, batch) moves
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", sort=False)["o_totalprice"]
+        return pd.DataFrame(
+            {"rev": g.sum(), "n": g.size()}
+        ).reset_index()
+
+    per_cust = orders.map_batches(partial, batch_format="pandas")
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+    joined = hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey",
                        num_partitions=8)
     agg = groupby_agg(joined, ["c_mktsegment"],
-                      [("o_totalprice", "sum", "total_revenue"),
-                       ("o_totalprice", "count", "n_orders")])
+                      [("rev", "sum", "total_revenue"),
+                       ("n", "sum", "n_orders")])
     df = agg.to_pandas()
     df["total_revenue"] = df["total_revenue"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
