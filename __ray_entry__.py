@@ -430,7 +430,7 @@ def _kg_entity_enrich(sf_dir: str):
     from cpg_ray.stages.enrich import EnrichEntities
 
     ents = rd.read_parquet(
-        f"{out_dir}/entities/entities.parquet",
+        f"{out_dir}/entities",
         columns=["entity_id", "canonical_name", "is_inferred"],
     )
     df = ents.map_batches(
@@ -769,7 +769,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     triples_glob = f"{graph_dir}/triples/shard=*/*.parquet"
     scoped_triples = f"{scoped_dir}/triples/shard=*/*.parquet"
-    entities_pq = f"{graph_dir}/entities/entities.parquet"
+    entities_pq = f"{graph_dir}/entities/*.parquet"
     kb_pq = _ensure_kb(sf_dir)
     triple_cols = ("subj, pred, obj, url, span_start, subj_is_inferred, "
                    "obj_is_inferred, canonical_subj, canonical_obj")

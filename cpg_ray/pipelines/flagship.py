@@ -294,10 +294,17 @@ def run_flagship(
 
     # ---- entities table: merge the per-shard vocab partials (rows
     # bounded by shards × per-shard vocabulary — never a scan of the
-    # triples themselves) whenever any shard changed
-    ents_path = os.path.join(out_dir, "entities", "entities.parquet")
-    if b_todo or pruned or not os.path.exists(ents_path):
+    # triples themselves) whenever any shard changed.  The build is a
+    # DISTRIBUTED pass (vocab Dataset ⋈ broadcast alias/canon pack in
+    # map_batches, written via Ray) — the observed vocabulary grows with
+    # the corpus via ``inf:`` entities, so a driver-side fold over it
+    # would be the one stage whose memory scales with corpus size.
+    ents_dir = os.path.join(out_dir, "entities")
+    if b_todo or pruned or not glob.glob(os.path.join(ents_dir, "*.parquet")):
+        import shutil as _sh
+
         from ..functions.relational import groupby_agg
+        from ..stages.canonicalize import build_alias_pack, entities_dataset
 
         vocab_files = sorted(
             glob.glob(os.path.join(out_dir, "vocab", "shard=*", "*.parquet"))
@@ -305,18 +312,12 @@ def run_flagship(
         merged = groupby_agg(
             rd.read_parquet(vocab_files),
             ["entity_id"], [("n_mentions", "sum", "n_mentions")],
-        ).to_pandas().sort_values("entity_id")
-        vocab = pa.table(
-            {
-                "entity_id": pa.array(merged["entity_id"], pa.string()),
-                "n_mentions": pa.array(
-                    merged["n_mentions"].astype("int64"), pa.int64()
-                ),
-            }
         )
-        ents = entities_table(vocab, cmap, world.alias_rows())
-        os.makedirs(os.path.dirname(ents_path), exist_ok=True)
-        pq.write_table(ents, ents_path)
+        pack_ref = _put(build_alias_pack(cmap, world.alias_rows()))
+        ents_ds = entities_dataset(merged, cmap_ref, pack_ref)
+        _sh.rmtree(ents_dir, ignore_errors=True)
+        os.makedirs(ents_dir, exist_ok=True)
+        ents_ds.write_parquet(ents_dir)
 
     write_metrics(out_dir, lineage)
     done = read_lineage(out_dir, "graph") + read_lineage(out_dir, "triples")

@@ -155,7 +155,7 @@ def build_canonical_map(
     twins), NOT by the observed vocabulary: with ``infer_on_miss`` the
     inferred-entity space grows with the corpus, and a map holding every
     vocab id would broadcast unbounded state at 10^12 pages.  Every
-    consumer (make_canonical_fn/AddCanonical/entities_table) already
+    consumer (make_canonical_fn/entities_table) already
     falls back to identity via ``cmap.get(e, e)``, so dropping identity
     entries is semantics-free.  ``vocab`` stays a parameter for the
     signature's sake (callers may pass richer equivalence sources later)."""
@@ -166,17 +166,16 @@ def build_canonical_map(
     return {k: v for k, v in uf.canonical_map().items() if k != v}
 
 
-def entities_table(
-    vocab: pa.Table,
-    cmap: dict[str, str],
-    alias_rows: list[dict],
-) -> pa.Table:
-    """Canonical entities table (ENTITIES schema): one row per canonical
-    id observed in the corpus, aliases aggregated from the dictionary."""
-    observed = set(vocab["entity_id"].to_pylist())
-    canon_of = lambda e: cmap.get(e, e)  # noqa: E731
-    observed_canon = {canon_of(e) for e in observed}
+def build_alias_pack(cmap: dict[str, str], alias_rows: list[dict]) -> dict:
+    """DICTIONARY-bounded Arrow pack for the entities assembly: canonical
+    id → (canonical_name, sorted distinct aliases), pre-flattened into
+    parallel arrays so :func:`_assemble_entities` is pure kernels.
 
+    Built once on the driver (the loop is over the alias dictionary,
+    which is broadcast-sized by construction — NOT over the observed
+    vocabulary, which grows with the corpus via ``inf:`` ids) and
+    ``ray.put`` once for the distributed path."""
+    canon_of = lambda e: cmap.get(e, e)  # noqa: E731
     aliases_by_canon: dict[str, list[str]] = {}
     name_by_canon: dict[str, str] = {}
     for row in alias_rows:
@@ -186,26 +185,131 @@ def entities_table(
         # canonical member itself wins, else first seen
         if row["entity_id"] == c or c not in name_by_canon:
             name_by_canon[c] = row["canonical_name"]
+    keys = sorted(name_by_canon)
+    return {
+        "keys": pa.array(keys, pa.string()),
+        "names": pa.array([name_by_canon[k] for k in keys], pa.string()),
+        "aliases": pa.array(
+            [sorted(set(aliases_by_canon.get(k, []))) for k in keys],
+            pa.list_(pa.string()),
+        ),
+    }
 
-    ids, names, aliases, inferred = [], [], [], []
-    for c in sorted(observed_canon):
-        ids.append(c)
-        if c.startswith("inf:"):
-            names.append(c[4:])
-            aliases.append([])
-            inferred.append(True)
-        else:
-            names.append(name_by_canon.get(c, c))
-            aliases.append(sorted(set(aliases_by_canon.get(c, []))))
-            inferred.append(False)
+
+def _assemble_entities(ids: pa.Array, pack: dict) -> pa.Table:
+    """Distinct canonical ids → ENTITIES rows, fully vectorized: one
+    ``pc.index_in`` against the dictionary pack + takes/coalesces — no
+    Python loop over the vocabulary (it runs per batch in the
+    distributed path)."""
+    import pyarrow.compute as pc
+
     from ..schemas import ENTITIES
 
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    keys, names, aliases = pack["keys"], pack["names"], pack["aliases"]
+    n = len(keys)
+    inferred = pc.starts_with(ids, "inf:")
+    idx = pc.fill_null(pc.index_in(ids, value_set=keys), n)
+    # inferred ids never take dictionary entries — route them (and
+    # misses) to the sentinel slot n, which holds null name / [] aliases
+    idx = pc.if_else(inferred, pa.scalar(n, idx.type), idx)
+    names_ext = pa.concat_arrays([names, pa.array([None], pa.string())])
+    alias_ext = pa.concat_arrays(
+        [aliases, pa.array([[]], pa.list_(pa.string()))]
+    )
+    # name: dictionary name, else the id itself; inferred → strip "inf:"
+    name = pc.if_else(
+        inferred,
+        pc.utf8_slice_codeunits(ids, 4),
+        pc.coalesce(pc.take(names_ext, idx), ids),
+    )
     return pa.Table.from_pydict(
         {
             "entity_id": ids,
-            "canonical_name": names,
-            "aliases": aliases,
+            "canonical_name": name,
+            "aliases": pc.take(alias_ext, idx),
             "is_inferred": inferred,
         },
         schema=ENTITIES,
+    )
+
+
+def _canon_rewrite(col, cmap_arrays) -> pa.Array:
+    """entity_id column → canonical ids (identity on miss), vectorized."""
+    import pyarrow.compute as pc
+
+    keys, vals = cmap_arrays
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not len(keys):
+        return col
+    return pc.coalesce(pc.take(vals, pc.index_in(col, value_set=keys)), col)
+
+
+def entities_table(
+    vocab: pa.Table,
+    cmap: dict[str, str],
+    alias_rows: list[dict],
+) -> pa.Table:
+    """Canonical entities table (ENTITIES schema): one row per canonical
+    id observed in the corpus, aliases aggregated from the dictionary.
+    Driver-side variant for in-memory vocab tables (triples_dataset
+    path); the same Arrow kernels as the distributed
+    :func:`entities_dataset`, no Python loop over the vocabulary."""
+    import pyarrow.compute as pc
+
+    cmap_arrays = (
+        pa.array(list(cmap.keys()), pa.string()),
+        pa.array(list(cmap.values()), pa.string()),
+    )
+    canon = pc.unique(_canon_rewrite(vocab["entity_id"], cmap_arrays))
+    canon = pc.take(canon, pc.array_sort_indices(canon))
+    return _assemble_entities(canon, build_alias_pack(cmap, alias_rows))
+
+
+# per-process cache of broadcast packs (same shape as link._VEC_INDEX_CACHE)
+_PACK_CACHE: dict[str, dict] = {}
+
+
+def _cached_pack(pack_ref) -> dict:
+    key = pack_ref.hex() if hasattr(pack_ref, "hex") else str(pack_ref)
+    v = _PACK_CACHE.get(key)
+    if v is None:
+        from ..functions.relational import bcast_get
+
+        v = _PACK_CACHE[key] = bcast_get(pack_ref)
+    return v
+
+
+def entities_dataset(vocab_ds, cmap_ref, pack_ref):
+    """Distributed entities build: vocab Dataset ⋈ broadcast canonical
+    map + alias pack, assembled inside ``map_batches`` — driver memory
+    is O(batch), never O(vocabulary).  The 100-TB path: the observed
+    vocabulary (incl. corpus-growing ``inf:`` entities) is never folded
+    in a driver Python loop.
+
+    vocab_ds needs an ``entity_id`` column; cmap_ref/pack_ref are
+    ``ray.put`` handles to the canonical map and
+    :func:`build_alias_pack` output.  Returns a sorted ENTITIES
+    Dataset."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import distinct_on
+    from .link import _vec_cmap
+
+    def to_canon(batch: pa.Table) -> pa.Table:
+        canon = _canon_rewrite(batch["entity_id"], _vec_cmap(cmap_ref))
+        # per-batch distinct combiner: a hot entity contributes ≤1 row
+        # per batch into the global distinct
+        return pa.table({"entity_id": pc.unique(canon)})
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        return _assemble_entities(batch["entity_id"], _cached_pack(pack_ref))
+
+    distinct = distinct_on(
+        vocab_ds.map_batches(to_canon, batch_format="pyarrow"), ["entity_id"]
+    )
+    return distinct.map_batches(assemble, batch_format="pyarrow").sort(
+        "entity_id"
     )

@@ -51,58 +51,6 @@ def build_norm_index(alias_rows: list[dict]) -> dict[str, tuple[str, str, float]
     return out
 
 
-class LinkTriples:
-    """TRIPLES_RAW batch → linked batch (entity ids, inferred flags).
-
-    Prefer ``index_ref`` (a norm index prebuilt once on the driver via
-    :func:`build_norm_index` + ``ray.put``): rebuilding the index per
-    actor costs ~1 s × actors on a 50k-alias dictionary."""
-
-    def __init__(self, dict_ref=None, alias_rows: list[dict] | None = None,
-                 index_ref=None):
-        if index_ref is not None:
-            import ray
-
-            self.index = ray.get(index_ref)
-            return
-        if alias_rows is None:
-            import ray
-
-            alias_rows = ray.get(dict_ref)
-        self.index = build_norm_index(alias_rows)
-
-    def _link(self, norm: str) -> tuple[str, bool]:
-        hit = self.index.get(norm)
-        if hit is not None:
-            return hit[0], False
-        return f"inf:{norm}", True
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        subj, obj = [], []
-        s_inf, o_inf = [], []
-        for sn, on in zip(
-            batch["subj_norm"].to_pylist(), batch["obj_norm"].to_pylist()
-        ):
-            sid, si = self._link(sn)
-            oid, oi = self._link(on)
-            subj.append(sid)
-            obj.append(oid)
-            s_inf.append(si)
-            o_inf.append(oi)
-        return pa.Table.from_pydict(
-            {
-                "subj": subj,
-                "pred": batch["pred"],
-                "obj": obj,
-                "url": batch["url"],
-                "span_start": batch["span_start"],
-                "subj_is_inferred": s_inf,
-                "obj_is_inferred": o_inf,
-            },
-            schema=LINKED_SCHEMA,
-        )
-
-
 # Per-process vectorized view of the broadcast norm index: the dict is
 # flattened ONCE per worker into (keys: pa.Array, ids: np.ndarray) so
 # every batch resolves with one pc.index_in kernel instead of two dict
@@ -309,38 +257,50 @@ def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
     )
 
 
-def make_canonical_fn(cmap_ref):
-    """Stateless-task variant of AddCanonical (broadcast canonical map,
-    per-process cached)."""
+# Per-process vectorized view of the broadcast canonical map, same shape
+# as _VEC_INDEX_CACHE: the (tiny — canon≠member twins only) dict is
+# flattened once per worker into (keys: pa.Array, values: pa.Array) so
+# every batch rewrites with one pc.index_in + pc.take per side instead of
+# a Python loop over every triple (it runs twice per triple in the
+# hottest post-link stage of both flagship paths).
+_VEC_CMAP_CACHE: dict[str, tuple] = {}
 
-    def add_canonical(batch: pa.Table) -> pa.Table:
+
+def _vec_cmap(cmap_ref):
+    key = cmap_ref.hex() if hasattr(cmap_ref, "hex") else str(cmap_ref)
+    v = _VEC_CMAP_CACHE.get(key)
+    if v is None:
         from ..functions.relational import bcast_get
 
-        g = bcast_get(cmap_ref).get
+        cmap = bcast_get(cmap_ref)
+        keys = pa.array(list(cmap.keys()), pa.string())
+        vals = pa.array(list(cmap.values()), pa.string())
+        v = _VEC_CMAP_CACHE[key] = (keys, vals)
+    return v
+
+
+def make_canonical_fn(cmap_ref):
+    """Linked batch → TRIPLES batch: stamp canonical_subj/canonical_obj
+    from a broadcast canonical map (entity_id → canonical id), identity
+    on miss.  One ``pc.index_in`` + take per side — no Python row loop
+    (the same vectorization as :func:`make_link_fn`)."""
+
+    def add_canonical(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys, vals = _vec_cmap(cmap_ref)
         out = {name: batch[name] for name in batch.column_names}
-        out["canonical_subj"] = [g(e, e) for e in batch["subj"].to_pylist()]
-        out["canonical_obj"] = [g(e, e) for e in batch["obj"].to_pylist()]
+        for side in ("subj", "obj"):
+            col = batch[side]
+            if len(keys):
+                idx = pc.index_in(col, value_set=keys)
+                # take() maps null idx (miss) → null, then identity-fill
+                mapped = pc.take(vals, idx)
+                out[f"canonical_{side}"] = pc.coalesce(
+                    mapped, col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+            else:
+                out[f"canonical_{side}"] = col
         return pa.Table.from_pydict(out, schema=TRIPLES)
 
     return add_canonical
-
-
-class AddCanonical:
-    """Linked batch → TRIPLES batch: stamp canonical_subj/canonical_obj
-    from a broadcast canonical map (entity_id → canonical id)."""
-
-    def __init__(self, cmap_ref=None, cmap: dict[str, str] | None = None):
-        if cmap is None:
-            import ray
-
-            cmap = ray.get(cmap_ref)
-        self.cmap = cmap
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        g = self.cmap.get
-        canon_s = [g(e, e) for e in batch["subj"].to_pylist()]
-        canon_o = [g(e, e) for e in batch["obj"].to_pylist()]
-        out = {name: batch[name] for name in batch.column_names}
-        out["canonical_subj"] = canon_s
-        out["canonical_obj"] = canon_o
-        return pa.Table.from_pydict(out, schema=TRIPLES)
