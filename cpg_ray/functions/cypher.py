@@ -232,7 +232,7 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
             from .relational import hash_join as _hash_join
 
             cpus = int(_ray.cluster_resources().get("CPU", 2))
-            nparts = max(2, min(16, cpus))
+            nparts = max(2, cpus)
             ds = None
             for i, (etype, _h) in enumerate(plan.rels):
                 seg = rel_chain(nodes_ds, edges_ds, etype=etype,
@@ -310,7 +310,7 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
             import ray
 
             cpus = int(ray.cluster_resources().get("CPU", 2))
-            nparts = max(2, min(16, cpus))
+            nparts = max(2, cpus)
             ds = hash_join(
                 hash_join(reach, src, on="src_id", num_partitions=nparts),
                 dst, on="dst_id", num_partitions=nparts,

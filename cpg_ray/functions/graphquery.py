@@ -25,12 +25,17 @@ import pyarrow.compute as pc
 from .relational import hash_join
 
 
-def _add_url_bucket(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+def _add_url_bucket(df: pd.DataFrame, n_buckets: int | None) -> pd.DataFrame:
     """Stamp the deterministic per-document bucket column (crc32, not
     builtin hash — PYTHONHASHSEED differs across workers) shared by
-    every group-local per-url traversal here."""
+    every group-local per-url traversal here.  ``None`` derives the
+    width from the cluster's CPUs (relational.default_n_buckets)."""
     import zlib
 
+    if n_buckets is None:
+        from .relational import default_n_buckets
+
+        n_buckets = default_n_buckets()
     df = df.copy()
     df["__bucket"] = [zlib.crc32(u.encode()) % n_buckets for u in df["url"]]
     return df
@@ -120,7 +125,7 @@ def dangling_edges(nodes_ds, edges_ds, *, num_partitions: int | None = None):
     An edge with both endpoints missing surfaces twice; the final
     distinct collapses it (the dangling set is tiny by definition).
 
-    ``num_partitions`` defaults to the cluster CPU count (capped at 16):
+    ``num_partitions`` defaults to the cluster CPU count:
     Ray's join aggregator actors need a slot each, and a fixed 16 on a
     2-CPU cluster starves the pipeline into a permanent hang (measured)."""
     from .relational import distinct_on
@@ -129,7 +134,7 @@ def dangling_edges(nodes_ds, edges_ds, *, num_partitions: int | None = None):
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 2))
-        num_partitions = max(2, min(16, cpus))
+        num_partitions = max(2, cpus)
 
     nid = nodes_ds.map_batches(
         lambda t: t.select(["node_id"]), batch_format="pyarrow"
@@ -180,7 +185,7 @@ def follow_eog(edges_ds, *, max_hops: int = 10):
 
 
 def var_length_reach(edges_ds, *, etype: str = "EOG", max_hops: int = 3,
-                     n_buckets: int = 16):
+                     n_buckets: int | None = None):
     """Variable-length path traversal — openCypher ``*1..k`` analog
     (Graph.kt:121-167 extended): per-document BFS from chain roots over
     ``etype`` edges, emitting (url, src_id, dst_id, hops) for every
@@ -245,7 +250,7 @@ def live_edges(edges_ds):
 
 
 def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
-               n_buckets: int = 16):
+               n_buckets: int | None = None):
     """ValueEvaluator analog (ValueEvaluator.kt:71-294): for every use
     mention with incoming data-flow, follow the DFG backward to its
     root definitions (the "literals": defs with no incoming edge) and
@@ -310,7 +315,7 @@ def value_eval(nodes_ds, edges_ds, *, etype: str = "DFG2",
 
 
 def value_fold(nodes_ds, edges_ds, *, etype: str = "DFG2",
-               n_buckets: int = 16):
+               n_buckets: int | None = None):
     """ValueEvaluator ARITHMETIC folding (ValueEvaluator.kt:100-262:
     the reference folds +/- along the DFG path with the full JVM
     numeric-promotion matrix): every data-flow use is resolved backward
@@ -424,7 +429,7 @@ def empty_sections(nodes_ds, edges_ds, *, num_partitions: int | None = None):
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 2))
-        num_partitions = max(2, min(16, cpus))
+        num_partitions = max(2, cpus)
     sections = label_filter(nodes_ds, "Section").map_batches(
         lambda t: t.select(["node_id", "name", "url"]),
         batch_format="pyarrow",
@@ -454,7 +459,7 @@ def triple_diff(a_ds, b_ds, *, keys=("canonical_subj", "pred",
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 2))
-        num_partitions = max(2, min(16, cpus))
+        num_partitions = max(2, cpus)
     from .relational import distinct_on
 
     keys = list(keys)

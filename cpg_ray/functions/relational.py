@@ -22,6 +22,32 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+class GuardExceeded(RuntimeError):
+    """A driver-path size guard tripped (key/row limit).  The mode="auto"
+    operators catch EXACTLY this to degrade to their shuffle path — a
+    bare ``except RuntimeError`` would also swallow genuine task
+    failures (Ray's RayTaskError dual-inherits the original exception
+    class) and silently re-execute the whole DAG."""
+
+
+def default_n_buckets(floor: int = 16) -> int:
+    """Reducer width for bucketed exchanges (as-of/interval shuffle
+    paths, context-link groupby): 2× the cluster's CPUs, floored at the
+    single-node default — a fixed constant would cap the shuffle at
+    ``floor`` reducers no matter how many nodes the cluster has
+    (reference analog: the per-file parallelism knob,
+    TranslationManager.kt:247-299)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            return max(floor, cpus * 2)
+    except Exception:
+        pass
+    return floor
+
+
 # ---- broadcast small-side cache (per worker process) ----------------------
 
 _BCAST_CACHE: dict[str, object] = {}
@@ -74,8 +100,22 @@ def broadcast_join(
 
 
 def hash_join(left, right, *, on, right_on=None, how: str = "inner",
-              num_partitions: int = 16):
-    """Big×big hash-partitioned shuffle join (Ray-native Dataset.join)."""
+              num_partitions: int | None = None):
+    """Big×big hash-partitioned shuffle join (Ray-native Dataset.join).
+
+    num_partitions=None tracks the cluster's CPU count — Ray's join
+    spawns that many aggregator actors, so a count ABOVE the cluster's
+    CPUs starves them into a hang while a fixed constant caps reducer
+    parallelism on large clusters."""
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 16))
+            )
+        except Exception:
+            num_partitions = 16
     return left.join(
         right,
         join_type=how,
@@ -107,9 +147,12 @@ def semi_anti_filter(ds, key_col: str, keys, *, anti: bool = False):
 class BloomFilter:
     """Vectorized Bloom filter for semi joins whose key set is too big
     to broadcast exactly (guide: 'broadcast the key set or a Bloom
-    filter of it').  blake2b-seeded double hashing, k derived from the
-    target false-positive rate; numpy bit array broadcasts as one
-    zero-copy buffer."""
+    filter of it').  Double hashing from two independently-keyed
+    ``pd.util.hash_array`` passes (C-speed SipHash — the Bloom path
+    exists precisely for huge key sets, so a per-value Python hash loop
+    would defeat its purpose), k derived from the target
+    false-positive rate; numpy bit array broadcasts as one zero-copy
+    buffer."""
 
     def __init__(self, capacity: int, fp_rate: float = 0.01):
         m = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
@@ -117,15 +160,29 @@ class BloomFilter:
         self.k = max(1, int(round(self.m / max(1, capacity) * np.log(2))))
         self.bits = np.zeros(self.m // 64, dtype=np.uint64)
 
-    def _hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
-        from hashlib import blake2b
+    @staticmethod
+    def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+        """splitmix64 finalizer — independent avalanche per seed.
+        (``pd.util.hash_array``'s hash_key only applies to OBJECT
+        dtypes; numeric arrays would hash identically under different
+        keys, degenerating the double hashing.)"""
+        x = x ^ np.uint64(seed)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
-        h1 = np.empty(len(values), dtype=np.uint64)
-        h2 = np.empty(len(values), dtype=np.uint64)
-        for i, v in enumerate(values):
-            d = blake2b(str(v).encode("utf-8"), digest_size=16).digest()
-            h1[i] = int.from_bytes(d[:8], "little")
-            h2[i] = int.from_bytes(d[8:], "little") | 1  # odd → full cycle
+    def _hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
+        arr = np.asarray(values)
+        if not np.issubdtype(arr.dtype, np.number) and arr.dtype != object:
+            # non-numeric, non-object (e.g. unicode) values hash by
+            # their string form as object dtype so a key list built
+            # from Python strings and a probe column of object strings
+            # hash identically; object arrays hash directly (same
+            # result, no copy)
+            arr = arr.astype(str).astype(object)
+        base = pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+        h1 = self._mix64(base, 0x9E3779B97F4A7C15)
+        h2 = self._mix64(base, 0xD1B54A32D192ED03) | np.uint64(1)
         return h1, h2
 
     def add_batch(self, values) -> "BloomFilter":
@@ -169,7 +226,7 @@ def bloom_semi_filter(ds, key_col: str, keys, *, fp_rate: float = 0.01,
 
 
 def asof_join(left, right, *, by: str, on: str, right_value_cols: list[str],
-              n_buckets: int = 16, direction: str = "backward",
+              n_buckets: int | None = None, direction: str = "backward",
               mode: str = "auto", broadcast_limit: int = 5_000_000):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` within the same ``by`` key (guide pattern:
@@ -191,7 +248,13 @@ def asof_join(left, right, *, by: str, on: str, right_value_cols: list[str],
     ``broadcast_limit`` rows, else shuffle.  Both paths are
     oracle-verified to agree.  Callers that already know the right
     side's size (e.g. from parquet metadata) should pass the mode
-    explicitly — auto pays one extra materialize barrier to count."""
+    explicitly — auto pays one extra materialize barrier to count.
+
+    n_buckets=None derives the shuffle width from the cluster's CPUs
+    (:func:`default_n_buckets`) so the exchange scales with the
+    cluster instead of capping at a constant."""
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
     if mode == "auto":
         right = right.materialize()
         mode = ("broadcast" if right.count() <= broadcast_limit
@@ -207,20 +270,24 @@ def asof_join(left, right, *, by: str, on: str, right_value_cols: list[str],
                 out[rc] = b[c].values
             return out
 
+        rbatches = list(right.map_batches(prep, batch_format="pandas")
+                        .iter_batches(batch_format="pandas"))
+        # mode="auto" selects broadcast precisely when the right side is
+        # small — INCLUDING empty, where pd.concat([]) would raise
         rdf = (
-            pd.concat(
-                list(right.map_batches(prep, batch_format="pandas")
-                     .iter_batches(batch_format="pandas")),
-                ignore_index=True,
-            )
+            pd.concat(rbatches, ignore_index=True)
             .sort_values(on, kind="mergesort")
             .reset_index(drop=True)
+            if rbatches
+            else pd.DataFrame(columns=[by, on] + rvals)
         )
         ref = ray.put(rdf)
 
         def merge(b: pd.DataFrame) -> pd.DataFrame:
             r = bcast_get(ref)
             b = b.sort_values(on, kind="mergesort")
+            if r.empty:  # trivial no-match: every asof value is NA
+                return b.assign(**{c: pd.NA for c in rvals})
             return pd.merge_asof(b, r, on=on, by=by, direction=direction)
 
         return left.map_batches(merge, batch_format="pandas")
@@ -267,7 +334,7 @@ def asof_join(left, right, *, by: str, on: str, right_value_cols: list[str],
 
 def interval_join(left, right, *, by: str, on: str,
                   lower: "pd.Timedelta", upper: "pd.Timedelta",
-                  right_value_cols: list[str], n_buckets: int = 16,
+                  right_value_cols: list[str], n_buckets: int | None = None,
                   how: str = "inner", mode: str = "auto",
                   broadcast_limit: int = 5_000_000):
     """Stream-stream interval join: pair each left row with the right
@@ -280,7 +347,11 @@ def interval_join(left, right, *, by: str, on: str,
     Like :func:`asof_join`, mode="auto" (default) broadcasts a
     small-enough right side and pairs per LEFT batch with no shuffle
     (the pairing is self-contained for any left subset); past
-    ``broadcast_limit`` right rows it takes the bucketed exchange."""
+    ``broadcast_limit`` right rows it takes the bucketed exchange.
+    n_buckets=None derives the exchange width from the cluster's CPUs
+    (:func:`default_n_buckets`)."""
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
     left_cols = left.schema().names
     rvals = [f"{c}_r" for c in right_value_cols]
     ron = f"{on}_r"
@@ -319,10 +390,15 @@ def interval_join(left, right, *, by: str, on: str,
                 out[rc] = b[c].values
             return out
 
-        rdf = pd.concat(
-            list(right.map_batches(prep, batch_format="pandas")
-                 .iter_batches(batch_format="pandas")),
-            ignore_index=True,
+        rbatches = list(right.map_batches(prep, batch_format="pandas")
+                        .iter_batches(batch_format="pandas"))
+        # auto picks broadcast when the right side is small, incl. EMPTY
+        # — pd.concat([]) raises, so fall back to an empty frame (pair()
+        # handles an empty rhs as an all-NA left merge)
+        rdf = (
+            pd.concat(rbatches, ignore_index=True)
+            if rbatches
+            else pd.DataFrame(columns=[by, ron] + rvals)
         )
         ref = ray.put(rdf)
 
@@ -458,7 +534,7 @@ def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
                 {p: g[p].agg(merge_map[p]) for p in merge_map}
             ).reset_index()
             if len(merged) > driver_key_limit:
-                raise RuntimeError(
+                raise GuardExceeded(
                     f"groupby_agg(mode='driver'): {len(merged)} keys exceeds "
                     f"driver_key_limit={driver_key_limit}; use mode='shuffle'"
                 )
@@ -479,7 +555,7 @@ def groupby_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
         return driver_merge(partials)
     try:  # auto
         return driver_merge(partials)
-    except RuntimeError:
+    except GuardExceeded:
         return shuffle_merge(partials)
 
 
@@ -494,7 +570,7 @@ def _collect_limited(ds, row_limit: int, op_name: str) -> pd.DataFrame:
     for b in ds.iter_batches(batch_format="pandas"):
         total += len(b)
         if total > row_limit:
-            raise RuntimeError(
+            raise GuardExceeded(
                 f"{op_name}(mode='driver'): candidate rows exceed "
                 f"driver_row_limit={row_limit}; use mode='shuffle'"
             )
@@ -578,7 +654,7 @@ def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
         return driver_finish(cand_ds)
     try:  # auto: guarded driver finish, shuffle fallback on breach
         return driver_finish(cand_ds)
-    except RuntimeError:
+    except GuardExceeded:
         return shuffle_finish(cand_ds)
 
 
@@ -623,5 +699,5 @@ def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
         return driver_finish(cand_ds)
     try:  # auto
         return driver_finish(cand_ds)
-    except RuntimeError:
+    except GuardExceeded:
         return shuffle_finish(cand_ds)

@@ -84,7 +84,7 @@ VISIT_ONCE = DFA(
 
 def evaluate_order_paths(nodes_ds, edges_ds, triples_ds,
                          dfa: DFA = VISIT_ONCE, *, max_paths: int = 64,
-                         n_buckets: int = 16):
+                         n_buckets: int | None = None):
     """PER-PATH DFA evaluation over the branchy EOG — the reference
     clones DFA state at every branch and evaluates each path separately
     (DFAOrderEvaluator.kt:56-144 ``eogPathSet`` per-path cloning),
@@ -113,6 +113,10 @@ def evaluate_order_paths(nodes_ds, edges_ds, triples_ds,
     import ray
 
     dfa_ref = ray.put(dfa)
+    if n_buckets is None:
+        from .relational import default_n_buckets
+
+        n_buckets = default_n_buckets()
 
     def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
         e = b[b["etype"] == "EOG"][
@@ -240,17 +244,21 @@ def evaluate_order(triples_ds, dfa: DFA = BIO_BEFORE_CORP,
     Partitioning: rows are bucketed by hash(url) so every document's
     rows meet in one group regardless of upstream batching (a plain
     per-batch walk would split a url across batch boundaries); the
-    pandas groupby over (url, subject) runs inside each of the ~16
-    bucket groups (per-tiny-group map_groups is the Ray slow path)."""
+    pandas groupby over (url, subject) runs inside the bucket groups
+    (per-tiny-group map_groups is the Ray slow path); the bucket width
+    derives from the cluster's CPUs when not given."""
     import zlib
 
     import ray
 
+    from .relational import default_n_buckets
+
     dfa_ref = ray.put(dfa)
+    _nb = default_n_buckets()
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__bucket"] = [zlib.crc32(u.encode()) % 16 for u in b["url"]]
+        b["__bucket"] = [zlib.crc32(u.encode()) % _nb for u in b["url"]]
         return b
 
     def check(g: pd.DataFrame) -> pd.DataFrame:

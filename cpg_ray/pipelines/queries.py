@@ -712,9 +712,13 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
         ).to_pandas()
         return df.sort_values("event_id").reset_index(drop=True)
 
+    from ..functions.relational import default_n_buckets
+
+    n_buckets = default_n_buckets()
+
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__bucket"] = (b.user_id % 16).astype("int32")
+        b["__bucket"] = (b.user_id % n_buckets).astype("int32")
         return b
 
     def window(g: pd.DataFrame) -> pd.DataFrame:

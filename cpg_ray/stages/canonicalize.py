@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.relational import GuardExceeded
 from ..state.unionfind import UnionFind
 
 SALT_K = 16
@@ -87,7 +88,7 @@ def collect_entity_vocab(linked_ds, *, mode: str = "auto",
             return collect_entity_vocab(
                 linked_ds, mode="driver", driver_key_limit=driver_key_limit
             )
-        except RuntimeError:
+        except GuardExceeded:
             return collect_entity_vocab(linked_ds, mode="shuffle")
     if mode == "shuffle":
         from ray.data.aggregate import Sum
@@ -131,7 +132,7 @@ def collect_entity_vocab(linked_ds, *, mode: str = "auto",
         if len(counts) > driver_key_limit:
             # the vocabulary (incl. inferred entities, which grow with
             # the corpus) no longer fits the driver-merge assumption
-            raise RuntimeError(
+            raise GuardExceeded(
                 f"collect_entity_vocab(mode='driver'): {len(counts)} "
                 f"entities exceeds driver_key_limit={driver_key_limit}; "
                 "use mode='shuffle' (salted two-phase groupby)"

@@ -74,7 +74,7 @@ def _vec_index(index_ref):
 
 
 def make_link_fn(index_ref, *, infer_on_miss: bool = True):
-    """Stateless-task variant of LinkTriples: the norm index is fetched
+    """Vectorized link stage (stateless tasks): the norm index is fetched
     at most once per worker process (bcast cache), so the stage runs as
     elastic tasks instead of a CPU-reserving actor pool — it fills
     whatever cores the extract pool leaves free.  Resolution is one
@@ -165,7 +165,8 @@ def build_related_index(facts_by_subj: dict) -> dict[str, frozenset]:
 
 
 def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
-                      infer_on_miss: bool = True, n_buckets: int = 32):
+                      infer_on_miss: bool = True,
+                      n_buckets: int | None = None):
     """Context-sensitive linking — the full J4 candidate-scoring cascade
     (CallResolver.java:242-301, 1017-1133):
 
@@ -181,8 +182,15 @@ def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
 
     Resolution is document-local, so triples bucket by hash(url) and
     each url's rows resolve within one group (the same partitioning
-    assumption as every per-document operator here — no global state)."""
+    assumption as every per-document operator here — no global state).
+    n_buckets=None derives the exchange width from the cluster's CPUs
+    (relational.default_n_buckets, floor 32)."""
     import zlib
+
+    if n_buckets is None:
+        from ..functions.relational import default_n_buckets
+
+        n_buckets = default_n_buckets(32)
 
     import pandas as pd
 
