@@ -11,14 +11,21 @@ live in one place.
 Grammar (case-insensitive keywords)::
 
     MATCH (a[:Label] [{prop: lit, ...}]) [-[:ETYPE[*lo..hi]]-> (b[:Label])]...
-      (chains of fixed-length hops compile to chained hash joins)
+      (chains of fixed-length hops compile to chained hash joins;
+       each hop may also point LEFT: (a)<-[:ETYPE]-(b) matches edges
+       b→a — direction resolved at compile time by swapping the edge
+       ends, the Graph.kt:129-143 INCOMING analog.  Undirected and
+       double-headed arrows raise, matching the reference's own BOTH
+       TODO.)
     [WHERE a.prop OP literal [AND ...]]
     RETURN a.prop [AS alias] [, ...] | a | count(a)
     [ORDER BY expr [DESC]] [LIMIT k]
 
 OP ∈ ``= <> < <= > >=``.  Literals: single-quoted strings, ints,
 floats, true/false.  ``*lo..hi`` variable-length hops compile onto the
-per-document BFS (`graphquery.var_length_reach`), exposing ``hops``
+per-document BFS (`graphquery.var_length_reach`) in its FULL mode —
+BFS from every node, one row per distinct (src, dst, hops) walk length
+in [lo, hi], the recursive-CTE closure semantics — exposing ``hops``
 (single-hop patterns only); fixed-length chains of any length compile
 to one `rel_chain` segment per hop joined on the shared variable's
 node id (hops materialize between joins so two live join stages never
@@ -41,8 +48,8 @@ _NODE = re.compile(
     r"(?P<props>\{[^}]*\})?\s*\)"
 )
 _REL = re.compile(
-    r"-\s*\[\s*:\s*(?P<etype>\w+)\s*"
-    r"(?:\*\s*(?P<lo>\d+)\s*\.\.\s*(?P<hi>\d+))?\s*\]\s*->"
+    r"(?P<larr><)?\s*-\s*\[\s*:\s*(?P<etype>\w+)\s*"
+    r"(?:\*\s*(?P<lo>\d+)\s*\.\.\s*(?P<hi>\d+))?\s*\]\s*-\s*(?P<rarr>>)?"
 )
 _COND = re.compile(
     r"(?P<var>\w+)\.(?P<prop>\w+)\s*(?P<op>=|<>|<=|>=|<|>)\s*"
@@ -70,7 +77,8 @@ def _literal(tok: str):
 @dataclass
 class _Query:
     nodes: list  # [(var, label, props_dict)]
-    rels: list  # [(etype, (lo, hi) | None)] — one entry per hop
+    rels: list  # [(etype, (lo, hi) | None, rev)] — one entry per hop;
+    # rev=True is an INCOMING arrow (edge runs right-node → left-node)
     conds: list = field(default_factory=list)  # [(var, prop, op, lit)]
     returns: list = field(default_factory=list)  # [(kind, var, prop, alias)]
     order_by: list = field(default_factory=list)  # [(colname, desc)]
@@ -84,18 +92,36 @@ class _Query:
     def hops(self):
         return self.rels[0][1] if self.rels else None
 
+    @property
+    def rev(self):
+        return self.rels[0][2] if self.rels else False
+
+
+_PROP_PAIR = re.compile(
+    r"\s*(?P<key>\w+)\s*:\s*"
+    r"(?P<lit>'[^']*'|true|false|-?\d+\.\d+|-?\d+)\s*(?:,\s*|$)",
+    re.IGNORECASE,
+)
+
 
 def _parse_props(txt: str | None) -> dict:
+    """Inline property map ``{k: lit, ...}`` → dict.  Tokenized
+    positionally (key/literal pairs matched left-to-right, literal
+    first so a string containing ':' or ',' parses as its value, not
+    as separators) and TOTAL: any unconsumed residue raises — the
+    parser's 'never a silent guess' contract."""
     if not txt:
         return {}
-    out = {}
-    for m in _COND.finditer(
-        " AND ".join(
-            f"x.{p.strip()} = {v.strip()}"
-            for p, v in (kv.split(":", 1) for kv in txt[1:-1].split(",") if kv.strip())
-        )
-    ):
-        out[m.group("prop")] = _literal(m.group("lit"))
+    inner = txt[1:-1].strip()
+    out, pos = {}, 0
+    while pos < len(inner):
+        m = _PROP_PAIR.match(inner, pos)
+        if not m:
+            raise ValueError(
+                f"unsupported property map near {inner[pos:]!r} in {txt!r}"
+            )
+        out[m.group("key")] = _literal(m.group("lit"))
+        pos = m.end()
     return out
 
 
@@ -128,7 +154,15 @@ def parse(query: str) -> _Query:
             hops = (int(rm.group("lo")), int(rm.group("hi")))
             if hops[0] < 1 or hops[1] < hops[0]:
                 raise ValueError(f"bad hop range *{hops[0]}..{hops[1]}")
-        rels.append((rm.group("etype"), hops))
+        larr, rarr = rm.group("larr"), rm.group("rarr")
+        if larr and rarr:
+            # the reference leaves BOTH unresolved too (Graph.kt:139 TODO)
+            raise ValueError("double-headed relationship <-[..]-> "
+                             "(direction BOTH) is not supported")
+        if not larr and not rarr:
+            raise ValueError("undirected relationship -[..]- needs an "
+                             "arrow: use -[..]-> or <-[..]-")
+        rels.append((rm.group("etype"), hops, bool(larr)))
         rest = rest[rm.end():].strip()
         nm2 = _NODE.match(rest)
         if not nm2:
@@ -205,7 +239,9 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
         def col(v, p):
             if v != var:
                 raise ValueError(f"unknown variable {v!r}")
-            return p
+            # every pattern variable exposes `id` (docstring contract);
+            # the node table spells it node_id
+            return "node_id" if p == "id" else p
     else:
         if edges_ds is None:
             raise ValueError("relationship pattern needs edges_ds")
@@ -213,7 +249,7 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
         labels = [l for _v, l, _p in plan.nodes]
         if not all(labels):
             raise ValueError("relationship patterns need labels on all ends")
-        if any(h is not None for _e, h in plan.rels) and len(plan.rels) > 1:
+        if any(h is not None for _e, h, _r in plan.rels) and len(plan.rels) > 1:
             raise ValueError(
                 "variable-length hops only supported in single-hop patterns"
             )
@@ -234,18 +270,23 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
             cpus = int(_ray.cluster_resources().get("CPU", 2))
             nparts = max(2, cpus)
             ds = None
-            for i, (etype, _h) in enumerate(plan.rels):
+            for i, (etype, _h, rev) in enumerate(plan.rels):
+                # an INCOMING hop matches the physical edge right→left:
+                # swap which pattern variable sits on each edge end
+                sl, dl = ((labels[i + 1], labels[i]) if rev
+                          else (labels[i], labels[i + 1]))
                 seg = rel_chain(nodes_ds, edges_ds, etype=etype,
-                                src_label=labels[i], dst_label=labels[i + 1])
+                                src_label=sl, dst_label=dl)
                 va, vb = vars_[i], vars_[i + 1]
                 first = i == 0
 
-                def ren(t, va=va, vb=vb, first=first):
-                    cols = {f"{vb}__id": t["dst_id"],
-                            f"{vb}__name": t["dst_name"]}
-                    cols[f"{va}__id"] = t["src_id"]
+                def ren(t, va=va, vb=vb, first=first, rev=rev):
+                    sa, sb = ("dst", "src") if rev else ("src", "dst")
+                    cols = {f"{vb}__id": t[f"{sb}_id"],
+                            f"{vb}__name": t[f"{sb}_name"]}
+                    cols[f"{va}__id"] = t[f"{sa}_id"]
                     if first:  # later segments drop duplicate columns
-                        cols[f"{va}__name"] = t["src_name"]
+                        cols[f"{va}__name"] = t[f"{sa}_name"]
                         cols["url"] = t["url"]
                     return _pa.table(cols)
 
@@ -278,19 +319,27 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                 )
         elif plan.hops is None:
             (v1, l1, _p1), (v2, l2, _p2) = plan.nodes
+            if plan.rev:  # (a)<-[:X]-(b): physical edge is b → a
+                l1, l2 = l2, l1
             ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
                            src_label=l1, dst_label=l2)
         else:
             (v1, l1, _p1), (v2, l2, _p2) = plan.nodes
-            # variable-length *lo..hi → per-document BFS reach
-            # (Graph.kt:121-167's var-length matcher analog), then the
-            # same two label joins as rel_chain
+            if plan.rev:
+                l1, l2 = l2, l1
+            # variable-length *lo..hi → per-document BFS reach in FULL
+            # mode (every source node, every distinct (src,dst,hops)
+            # walk length — the faithful openCypher/recursive-CTE
+            # semantics; the roots-only default of var_length_reach is
+            # a different, provenance-flavored view), then the same two
+            # label joins as rel_chain
             from .graphquery import label_filter, var_length_reach
             from .relational import hash_join
 
             lo, hi = plan.hops
             reach = var_length_reach(edges_ds, etype=plan.etype,
-                                     max_hops=hi)
+                                     max_hops=hi, from_roots=False,
+                                     shortest_only=False)
             if lo > 1:
                 reach = reach.map_batches(
                     lambda b: b[b.hops >= lo], batch_format="pandas"
@@ -321,7 +370,8 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                 # (+ hops for variable-length matches)
                 if p == "hops" and plan.hops is not None:
                     return "hops"
-                side = {v1: "src", v2: "dst"}.get(v)
+                side = ({v1: "dst", v2: "src"} if plan.rev
+                        else {v1: "src", v2: "dst"}).get(v)
                 if side is None:
                     raise ValueError(f"unknown variable {v!r}")
                 if p in ("id", "node_id"):

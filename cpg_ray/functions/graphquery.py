@@ -185,11 +185,25 @@ def follow_eog(edges_ds, *, max_hops: int = 10):
 
 
 def var_length_reach(edges_ds, *, etype: str = "EOG", max_hops: int = 3,
-                     n_buckets: int | None = None):
+                     n_buckets: int | None = None,
+                     from_roots: bool = True, shortest_only: bool = True):
     """Variable-length path traversal — openCypher ``*1..k`` analog
-    (Graph.kt:121-167 extended): per-document BFS from chain roots over
-    ``etype`` edges, emitting (url, src_id, dst_id, hops) for every
-    path of length ≤ max_hops.
+    (Graph.kt:121-167 extended): per-document BFS over ``etype`` edges
+    emitting (url, src_id, dst_id, hops) rows.
+
+    Two semantics, chosen by the flags:
+
+    - **default (from_roots=True, shortest_only=True)** — the chain-
+      provenance view used by kg_eog_reach: BFS only from chain ROOTS
+      (nodes with no incoming etype edge), one row per (root, dst) at
+      the SHORTEST hop count.  Cheap and right for "how far from the
+      start of the chain" questions; NOT openCypher path semantics.
+    - **full (from_roots=False, shortest_only=False)** — the faithful
+      ``MATCH (a)-[:E*lo..hi]->(b)`` semantics the cypher compiler
+      uses: BFS from EVERY node, one row per distinct (src, dst, hops)
+      with a walk of exactly ``hops`` ≤ max_hops edges (a diamond
+      reachable at 2 and 3 hops yields both rows).  Matches the
+      recursive-CTE ``UNION`` closure exactly.
 
     Partitioning: EOG/AST/DFG edges never cross documents, so rows are
     bucketed by hash(url) and each document's BFS runs group-local —
@@ -204,22 +218,36 @@ def var_length_reach(edges_ds, *, etype: str = "EOG", max_hops: int = 3,
             adj: dict[str, list[str]] = {}
             for s, d in zip(sub.src_id, sub.dst_id):
                 adj.setdefault(s, []).append(d)
-            roots = set(adj) - set(sub.dst_id)
-            for root in sorted(roots):
+            # only nodes with OUTGOING edges can start a non-empty walk
+            starts = (sorted(set(adj) - set(sub.dst_id)) if from_roots
+                      else sorted(adj))
+            for root in starts:
                 frontier = [root]
                 seen = {root}
                 for hop in range(1, max_hops + 1):
-                    nxt = []
+                    nxt: set[str] = set()
                     for n in frontier:
                         for d in adj.get(n, []):
-                            if d not in seen:
-                                seen.add(d)
-                                nxt.append(d)
+                            if shortest_only:
+                                if d not in seen:
+                                    seen.add(d)
+                                    nxt.add(d)
+                                    rows.append(
+                                        {"url": url, "src_id": root,
+                                         "dst_id": d, "hops": hop}
+                                    )
+                            elif d not in nxt:
+                                # frontier-at-hop is a SET: one row per
+                                # distinct (src, dst, hops) even when
+                                # several walks of that length exist
+                                nxt.add(d)
                                 rows.append(
                                     {"url": url, "src_id": root,
                                      "dst_id": d, "hops": hop}
                                 )
-                    frontier = nxt
+                    if not nxt:
+                        break
+                    frontier = sorted(nxt)
         return pd.DataFrame(rows, columns=["url", "src_id", "dst_id", "hops"])
 
     return (

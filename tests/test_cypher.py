@@ -37,9 +37,22 @@ def test_parse_rejects_unsupported():
         parse("MATCH (a) WHERE a.x IN [1,2] RETURN a")
     with pytest.raises(ValueError):  # repeated pattern variables
         parse("MATCH (a:X)-[:E]->(a:Y) RETURN a")
-    # multi-hop chains parse (one rel entry per hop)
-    plan = parse("MATCH (a:X)-[:E]->(b:Y)-[:F]->(c:Z) RETURN c.name")
-    assert [e for e, _h in plan.rels] == ["E", "F"]
+    with pytest.raises(ValueError):  # BOTH direction: reference TODO too
+        parse("MATCH (a:X)<-[:E]->(b:Y) RETURN a")
+    # multi-hop chains parse (one rel entry per hop, with direction)
+    plan = parse("MATCH (a:X)-[:E]->(b:Y)<-[:F]-(c:Z) RETURN c.name")
+    assert [(e, r) for e, _h, r in plan.rels] == [("E", False), ("F", True)]
+
+
+def test_property_map_tokenizer():
+    """Inline props parse positionally: ':' and ',' INSIDE a string
+    literal are value bytes, not separators; residue raises."""
+    plan = parse("MATCH (a:X {name: 'a, b:c', n: 3}) RETURN a.name")
+    assert plan.nodes[0][2] == {"name": "a, b:c", "n": 3}
+    with pytest.raises(ValueError):
+        parse("MATCH (a:X {name 'oops'}) RETURN a")
+    with pytest.raises(ValueError):
+        parse("MATCH (a:X {name: bareword}) RETURN a")
 
 
 def test_multi_hop_chain_matches_pandas(graph_tables):
@@ -129,24 +142,59 @@ def test_order_by_and_limit(graph_tables):
     assert list(got.s) == sorted(got.s, reverse=True)
 
 
-def test_variable_length_path(graph_tables):
-    """`-[:EOG*1..3]->` compiles onto var_length_reach + label joins
-    and agrees with calling the operator directly."""
-    from cpg_ray.functions.graphquery import var_length_reach
+def _reach_closure(edges: pd.DataFrame, etype: str,
+                   max_hops: int) -> pd.DataFrame:
+    """Independent oracle for faithful *1..k semantics: the recursive-
+    CTE UNION closure — one row per distinct (src, dst, hops) with a
+    walk of exactly `hops` edges, from EVERY node."""
+    rows = []
+    for _url, sub in edges[edges.etype == etype].groupby("url"):
+        adj: dict = {}
+        for s, d in zip(sub.src_id, sub.dst_id):
+            adj.setdefault(s, set()).add(d)
+        triples = {(s, d, 1) for s, ds_ in adj.items() for d in ds_}
+        frontier = set(triples)
+        while frontier:
+            nxt = set()
+            for s, d, h in frontier:
+                if h < max_hops:
+                    for d2 in adj.get(d, ()):
+                        t = (s, d2, h + 1)
+                        if t not in triples:
+                            nxt.add(t)
+            triples |= nxt
+            frontier = nxt
+        rows.extend(triples)
+    return pd.DataFrame(rows, columns=["src_id", "dst_id", "hops"])
 
-    nodes_ds, edges_ds, nodes, _edges = graph_tables
+
+def test_variable_length_path(graph_tables):
+    """`-[:EOG*1..3]->` compiles onto var_length_reach's FULL mode
+    (every source, every reachable length) and agrees with an
+    independent recursive-closure oracle — NOT with the operator's
+    roots-only default, which answers a different (chain-provenance)
+    question."""
+    nodes_ds, edges_ds, nodes, edges = graph_tables
     got = run_cypher(
         "MATCH (a:Mention)-[:EOG*1..3]->(b:Mention) "
         "RETURN a.id AS src_id, b.id AS dst_id, a.hops AS hops",
         nodes_ds, edges_ds,
     ).sort_values(["src_id", "dst_id", "hops"]).reset_index(drop=True)
-    want = var_length_reach(edges_ds, etype="EOG", max_hops=3).to_pandas()[
+    lab = {r.node_id: r.label for r in nodes.itertuples()}
+    want = _reach_closure(edges, "EOG", 3)
+    want = want[[lab.get(s) == "Mention" and lab.get(d) == "Mention"
+                 for s, d in zip(want.src_id, want.dst_id)]]
+    want = want.sort_values(
         ["src_id", "dst_id", "hops"]
-    ].sort_values(["src_id", "dst_id", "hops"]).reset_index(drop=True)
+    ).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype({"hops": "int64"}), want.astype({"hops": "int64"})
     )
     assert len(got) > 0 and got.hops.max() == 3
+    # mid-chain sources match too (the roots-only default would miss
+    # them): some src is itself another edge's destination
+    dsts = set(edges[edges.etype == "EOG"].dst_id)
+    assert any(s in dsts for s in got.src_id)
 
     # lower bound filters short paths
     got2 = run_cypher(
@@ -158,6 +206,51 @@ def test_variable_length_path(graph_tables):
 
     with pytest.raises(ValueError):
         parse("MATCH (a:X)-[:E*3..2]->(b:Y) RETURN a")
+
+
+def test_incoming_direction(graph_tables):
+    """(m)<-[:AST]-(s) matches the physical edge s→m: same rows as the
+    forward pattern with the ends swapped (Graph.kt:129-143 INCOMING)."""
+    nodes_ds, edges_ds, _nodes, _edges = graph_tables
+    fwd = run_cypher(
+        "MATCH (s:Section)-[:AST]->(m:Mention) "
+        "RETURN s.id AS sid, m.id AS mid",
+        nodes_ds, edges_ds,
+    ).sort_values(["sid", "mid"]).reset_index(drop=True)
+    rev = run_cypher(
+        "MATCH (m:Mention)<-[:AST]-(s:Section) "
+        "RETURN s.id AS sid, m.id AS mid",
+        nodes_ds, edges_ds,
+    ).sort_values(["sid", "mid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fwd, rev)
+    assert len(fwd) > 0
+
+    # chain with a mixed-direction middle hop: (d)-[:AST]->(s) and
+    # (m)<-[:AST]-(s) meet at s — same result as the all-forward chain
+    fwd3 = run_cypher(
+        "MATCH (d:Document)-[:AST]->(s:Section)-[:AST]->(m:Mention) "
+        "RETURN d.id AS doc, m.id AS mid",
+        nodes_ds, edges_ds,
+    ).sort_values(["doc", "mid"]).reset_index(drop=True)
+    mix3 = run_cypher(
+        "MATCH (m:Mention)<-[:AST]-(s:Section)<-[:AST]-(d:Document) "
+        "RETURN d.id AS doc, m.id AS mid",
+        nodes_ds, edges_ds,
+    ).sort_values(["doc", "mid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fwd3, mix3)
+    assert len(fwd3) > 0
+
+
+def test_single_node_id_alias(graph_tables):
+    """Single-node patterns accept `a.id` like relationship patterns do
+    (docstring contract: every variable exposes id/name/url)."""
+    nodes_ds, _e, nodes, _edges = graph_tables
+    got = run_cypher(
+        "MATCH (m:Mention) RETURN m.id AS node_id ORDER BY node_id LIMIT 5",
+        nodes_ds,
+    )
+    want = sorted(nodes[nodes.label == "Mention"].node_id)[:5]
+    assert list(got.node_id) == want
 
 
 def test_aggregations_with_implicit_grouping(graph_tables):
