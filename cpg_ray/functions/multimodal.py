@@ -2,12 +2,16 @@
 typed metadata; decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the codec step is STUBBED: ``DecodeImage(fake=True)`` produces a
-deterministic fake decode (seeded by the payload hash) with the real
-Ray-side plumbing — schema, batch sizing for large binary rows, actor
-``__init__`` loading, output layout — in place and tested.  Swapping in
-a real codec means replacing ``_decode_stub`` only.
+The codec boundary is an IMPORT-PROBE SEAM: each stage's ``__init__``
+(once per actor, never per batch) probes for the real library —
+PIL for images, soundfile for audio, PyAV for video — and uses it when
+importable; otherwise the deterministic synthetic decoder (seeded by
+the payload hash) stands in, keeping the Ray-side plumbing — schema,
+batch sizing for large binary rows, actor ``__init__`` loading, output
+layout — real and tested everywhere.  ``fake=True`` forces the stub
+(what the deterministic tests pin), ``fake=False`` demands a real
+codec (raises NotImplementedError when the probe comes back empty),
+``fake=None`` (auto) takes whichever the environment offers.
 
 Scale notes: binary payloads are wide — callers should keep
 ``batch_size`` small (default 32) and never carry the binary column
@@ -20,6 +24,88 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+def probe_image_codec():
+    """Returns a PIL-backed ``decode(payload, w, h) -> (H,W,3) uint8``
+    when PIL imports, else None (caller falls back to the stub)."""
+    try:
+        import io
+
+        from PIL import Image
+    except Exception:
+        return None
+
+    def decode(payload: bytes, width: int, height: int) -> np.ndarray:
+        if not payload:
+            raise NotImplementedError("empty payload")
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+    return decode
+
+
+def probe_audio_codec():
+    """Returns a soundfile-backed ``decode(payload) -> (samples, rate)``
+    when soundfile imports, else None."""
+    try:
+        import io
+
+        import soundfile
+    except Exception:
+        return None
+
+    def decode(payload: bytes):
+        if not payload:
+            raise NotImplementedError("empty payload")
+        samples, rate = soundfile.read(io.BytesIO(payload),
+                                       dtype="float64", always_2d=False)
+        if samples.ndim > 1:  # downmix to mono for the feature stage
+            samples = samples.mean(axis=1)
+        return samples, int(rate)
+
+    return decode
+
+
+def probe_video_codec():
+    """Returns a PyAV-backed ``decode(payload, frame_idx) -> (H,W,3)``
+    when av imports, else None.  Decodes sequentially to the requested
+    frame — callers sample sparse frame plans, so a seek-per-frame
+    container walk is the right per-actor granularity."""
+    try:
+        import io
+
+        import av
+    except Exception:
+        return None
+
+    def decode(payload: bytes, frame_idx: int) -> np.ndarray:
+        if not payload:
+            raise NotImplementedError("empty payload")
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i == frame_idx:
+                    return frame.to_ndarray(format="rgb24")
+        raise NotImplementedError(f"frame {frame_idx} past end of stream")
+
+    return decode
+
+
+def _probe_or_raise(fake: bool | None, probe, what: str):
+    """The seam policy shared by every stage: returns the real codec
+    callable, or None meaning 'take the stub path'.  fake=True → stub
+    unconditionally; fake=False → real or raise; fake=None → real when
+    the probe finds one, stub otherwise."""
+    if fake is True:
+        return None
+    real = probe()
+    if real is None and fake is False:
+        raise NotImplementedError(
+            f"real {what} codec not importable in this environment; "
+            "construct with fake=True (deterministic stub) or fake=None "
+            "(auto fallback)"
+        )
+    return real
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -66,16 +152,12 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 class DecodeImage:
     """Actor-pool stage: binary media → per-image features.  Codec
-    'loaded' once in __init__ (ST5 analog: heavyweight parser runtimes,
-    GoLanguageFrontend.kt:40-105)."""
+    probed/'loaded' once in __init__ (ST5 analog: heavyweight parser
+    runtimes, GoLanguageFrontend.kt:40-105)."""
 
-    def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image codec not available in this container; "
-                "construct with fake=True for the deterministic stub"
-            )
-        self.codec = _decode_stub
+    def __init__(self, fake: bool | None = True):
+        self.codec = (_probe_or_raise(fake, probe_image_codec, "image")
+                      or _decode_stub)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -125,12 +207,9 @@ class ResizeImage:
     the (small, fixed-size) thumbnail does (SURVEY.md §7.4.6: wide
     binaries stay inside one stage)."""
 
-    def __init__(self, target: int = 4, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image codec not available; use fake=True"
-            )
-        self.codec = _decode_stub
+    def __init__(self, target: int = 4, fake: bool | None = True):
+        self.codec = (_probe_or_raise(fake, probe_image_codec, "image")
+                      or _decode_stub)
         self.target = target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -198,13 +277,14 @@ class SampleVideoFrames:
     re-runs are deterministic; a real ffmpeg seek-and-decode replaces
     ``_decode_stub`` only."""
 
-    def __init__(self, every: int = 10, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real video codec not available; use fake=True"
-            )
+    def __init__(self, every: int = 10, fake: bool | None = True):
         self.every = every
-        self.codec = _decode_stub
+        real = _probe_or_raise(fake, probe_video_codec, "video")
+        # unify signatures: codec(payload, frame_idx) -> (H, W, 3);
+        # the stub seeds the fake frame by (payload, frame_idx)
+        self.codec = real if real is not None else (
+            lambda p, fi: _decode_stub(p + fi.to_bytes(4, "little"), 8, 8)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_id, f_idx, f_mean, ok = [], [], [], []
@@ -215,7 +295,7 @@ class SampleVideoFrames:
                 out_id.append(i)
                 f_idx.append(fi)
                 try:
-                    frame = self.codec(p + fi.to_bytes(4, "little"), 8, 8)
+                    frame = self.codec(p, fi)
                     f_mean.append(float(frame.mean()))
                     ok.append(True)
                 except NotImplementedError:
@@ -255,15 +335,13 @@ def synthesize_audio(n: int, seed: int = 13) -> pa.Table:
 
 
 class DecodeAudio:
-    """Actor-pool audio feature stage: binary → (duration, rms) via the
-    stub PCM interpretation (bytes as int8 samples — a real torchaudio/
-    soundfile decode replaces the two marked lines)."""
+    """Actor-pool audio feature stage: binary → (duration, rms).  The
+    real path decodes via soundfile (probed once per actor) and trusts
+    the container's sample rate; the stub interprets the bytes as int8
+    PCM at the metadata rate."""
 
-    def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real audio codec not available; use fake=True"
-            )
+    def __init__(self, fake: bool | None = True):
+        self.real = _probe_or_raise(fake, probe_audio_codec, "audio")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_id, dur, rms, ok = [], [], [], []
@@ -276,8 +354,20 @@ class DecodeAudio:
                 rms.append(None)
                 ok.append(False)
                 continue
-            # REAL-CODEC BOUNDARY: the next two lines
-            samples = np.frombuffer(p, dtype=np.int8).astype(np.float64)
+            try:
+                if self.real is not None:
+                    samples, sr = self.real(p)
+                else:
+                    samples = np.frombuffer(p, dtype=np.int8).astype(
+                        np.float64
+                    )
+            except Exception:
+                # a real codec rejecting the container is a per-row
+                # problem, not a stage failure
+                dur.append(None)
+                rms.append(None)
+                ok.append(False)
+                continue
             dur.append(len(samples) / sr)
             rms.append(float(np.sqrt((samples ** 2).mean())))
             ok.append(True)
