@@ -140,8 +140,19 @@ def run_flagship(
     resume: bool = False,
     extract_concurrency=(1, 8),
     shard_parallelism: int = 2,
+    total_order: bool = False,
 ) -> dict:
     """On-disk sharded run. Returns summary stats (incl. lineage).
+
+    ``total_order=True`` additionally materializes ``triples_sorted/``:
+    ONE cross-shard ``Dataset.sort`` over the final triples — full O1
+    parity with the reference's global NodeComparator order
+    (Neo4jApplication sorts the whole graph before the push).  This is
+    an extra all-to-all exchange over the complete triple set, so it is
+    OFF by default (per-shard order is the scale-correct default); its
+    cost lands in lineage/metrics as the ``total-order sort`` stage.
+    Part filenames sort lexicographically in block order, so readers
+    recover the global order from the file listing.
 
     ``shard_parallelism`` runs that many shard sub-pipelines
     concurrently (threads; Ray releases the GIL while waiting) — shards
@@ -318,6 +329,31 @@ def run_flagship(
         _sh.rmtree(ents_dir, ignore_errors=True)
         os.makedirs(ents_dir, exist_ok=True)
         ents_ds.write_parquet(ents_dir)
+
+    # ---- optional O1 full parity: global total-order materialize
+    if total_order:
+        tri_files = sorted(
+            glob.glob(
+                os.path.join(out_dir, "triples", "shard=*", "*.parquet")
+            )
+        )
+        if tri_files and not (
+            resume and not b_todo
+            and shard_done(out_dir, "triples_sorted", 0, tri_files)
+        ):
+            t0 = time.monotonic()
+            rows_in = sum(pq.read_metadata(f).num_rows for f in tri_files)
+            sorted_ds = rd.read_parquet(tri_files).sort(
+                ["canonical_subj", "pred", "canonical_obj",
+                 "url", "span_start"]
+            )
+            lineage.append(
+                write_shard(
+                    sorted_ds, out_dir, "triples_sorted", 0,
+                    "total-order sort", rows_in, tri_files, t0,
+                    ordered_filenames=True,
+                )
+            )
 
     write_metrics(out_dir, lineage)
     done = read_lineage(out_dir, "graph") + read_lineage(out_dir, "triples")

@@ -64,6 +64,22 @@ def shard_done(out_dir: str, table: str, shard_id: int,
         return False
 
 
+class OrderedFilenames:
+    """Filenames whose lexicographic order equals dataset block order —
+    readers that sort paths recover a total-order write exactly."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index) -> str:
+        # uuid TRAILS the indices (Ray requires it in the name; order is
+        # decided by the zero-padded indices before it)
+        return f"part-{task_index:06d}-{block_index:06d}-{write_uuid}.parquet"
+
+    def get_filename_for_row(self, row, write_uuid, task_index,
+                             block_index, row_index) -> str:
+        return (f"part-{task_index:06d}-{block_index:06d}-"
+                f"{row_index:09d}-{write_uuid}.parquet")
+
+
 def write_shard(
     ds,
     out_dir: str,
@@ -74,14 +90,21 @@ def write_shard(
     input_files: list[str],
     t_start: float,
     partition_cols: list[str] | None = None,
+    ordered_filenames: bool = False,
 ) -> dict:
     """Write one shard's dataset + _SUCCESS lineage marker (idempotent:
-    an existing partial directory is clobbered first)."""
+    an existing partial directory is clobbered first).
+    ``ordered_filenames`` names parts so path sort order == block order
+    (the total-order materialize needs readers to recover the global
+    sort from the file listing)."""
     d = shard_dir(out_dir, table, shard_id)
     if os.path.exists(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    ds.write_parquet(d, partition_cols=partition_cols)
+    kwargs = {}
+    if ordered_filenames:
+        kwargs["filename_provider"] = OrderedFilenames()
+    ds.write_parquet(d, partition_cols=partition_cols, **kwargs)
     rows_out = sum(
         pq.read_metadata(os.path.join(root, f)).num_rows
         for root, _dirs, fs in os.walk(d)

@@ -183,6 +183,54 @@ def test_run_flagship_resume(tmp_path):
     )
 
 
+def test_run_flagship_total_order(tmp_path):
+    """total_order=True materializes triples_sorted/: one cross-shard
+    sort, globally ordered when files are read in path order (O1 FULL
+    parity — per-shard order stays the scale-correct default), same row
+    multiset as the per-shard triples, cost recorded in lineage."""
+    import json as _json
+
+    import pandas as _pd
+
+    cfg = cfg_for_variant("basic")
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    materialize_pages(pages_dir, 200, cfg, "basic", num_files=4)
+
+    run_flagship(pages_dir, out_dir, cfg, n_shards=3, total_order=True)
+    sfiles = sorted(
+        glob.glob(os.path.join(out_dir, "triples_sorted", "shard=0",
+                               "*.parquet"))
+    )
+    assert sfiles
+    keys = ["canonical_subj", "pred", "canonical_obj", "url", "span_start"]
+    df = _pd.concat(
+        [pq.read_table(f, columns=keys).to_pandas() for f in sfiles],
+        ignore_index=True,
+    )
+    assert df.equals(
+        df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    ), "path-ordered read must be globally sorted"
+    # same multiset as the per-shard output
+    per_shard = _pd.concat([
+        pq.read_table(f, columns=keys).to_pandas()
+        for f in glob.glob(os.path.join(out_dir, "triples", "shard=*",
+                                        "*.parquet"))
+    ], ignore_index=True).sort_values(keys, kind="mergesort")
+    assert len(per_shard) == len(df)
+    assert per_shard.reset_index(drop=True).equals(
+        df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    )
+    # lineage: the sort's cost is a recorded stage, and resume with
+    # unchanged inputs skips the re-sort (marker mtime unchanged)
+    marker = os.path.join(out_dir, "triples_sorted", "shard=0", "_SUCCESS")
+    assert _json.load(open(marker))["stage"] == "total-order sort"
+    mtime = os.path.getmtime(marker)
+    run_flagship(pages_dir, out_dir, cfg, n_shards=3, resume=True,
+                 total_order=True)
+    assert os.path.getmtime(marker) == mtime
+
+
 def test_run_flagship_prunes_stale_shards(tmp_path):
     """Re-running the same out_dir with FEWER shards must remove the
     orphaned shard dirs (the shard=* globs would silently union their
