@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bpe_tokens": q.q_doc_bpe_tokens,
         # -- oracle-paired, NEW in round 4
         "kg_cypher_varlen": _kg_cypher_varlen,
+        "q_doc_jaccard_pairs": q.q_doc_jaccard_pairs,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,

@@ -511,6 +511,119 @@ def exact_ngram_dup_counts(ds, *, n: int = 8, id_col: str = "doc_id",
     )
 
 
+def ngram_jaccard_pairs(ds, *, n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        max_doc_freq: int | None = None):
+    """Fully-distributed EXACT word-n-gram Jaccard near-dup pairs —
+    the fourth dedup family (exact / MinHash / SimHash / n-gram
+    Jaccard): returns a Dataset of ``(a, b, inter, union, jaccard)``
+    with ``a < b`` and ``jaccard >= threshold``.
+
+    Candidate generation is the gram SELF-JOIN: any pair with
+    Jaccard ≥ τ > 0 shares at least one gram, so recall is 1.0 by
+    construction — contrast the MinHash/SimHash paths, whose recall is
+    probabilistic and pinned by tests, with this operator as their
+    exact ground truth.  Shape: per-doc distinct-gram explode (one doc
+    is one row, so its gram set never straddles batches) → per-doc
+    gram counts → gram ⋈ gram (hash-partitioned, a < b) → pre-combined
+    (a, b) intersection counts → two size joins →
+    ``jaccard = inter / (|A| + |B| − inter)`` (a single IEEE division
+    of exact ints — bit-identical across engines, so the SQL oracle
+    hash-matches without rounding).
+
+    Scale levers:
+    - joins/groupbys ride hash_join + groupby_agg (cluster-sized
+      partitions, auto driver/shuffle modes);
+    - ``max_doc_freq=K`` drops grams appearing in more than K docs
+      BEFORE the self-join — a boilerplate gram in D docs costs D²
+      join rows while barely moving Jaccard.  The drop LOWERS inter
+      and union for affected pairs (declared approximation, like
+      exact_ngram_dup_counts' sample_mod — never a silent cap);
+      None (default) is exhaustive, the oracle-paired shape.
+    - each join materializes its inputs first: two live join stages
+      need 2× aggregator actors at once, the measured small-cluster
+      hang (see cypher multi-hop).
+    """
+    from .relational import groupby_agg, hash_join
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            for g in {" ".join(toks[i: i + n])
+                      for i in range(len(toks) - n + 1)}:
+                doc_ids.append(did)
+                grams.append(g)
+        return pd.DataFrame({id_col: doc_ids, "gram": grams})
+
+    grams = ds.map_batches(explode, batch_format="pandas")
+    if max_doc_freq is not None:
+        freq = groupby_agg(grams, ["gram"], [(id_col, "count", "__df")])
+        keep = freq.map_batches(
+            lambda b: b[b["__df"] <= max_doc_freq][["gram"]],
+            batch_format="pandas",
+        )
+        grams = hash_join(grams.materialize(), keep.materialize(),
+                          on="gram")
+    grams = grams.materialize()  # reused by sizes + both join sides
+    sizes = groupby_agg(grams, [id_col], [("gram", "count", "n_grams")])
+
+    left = grams.map_batches(
+        lambda b: b.rename(columns={id_col: "a"}), batch_format="pandas"
+    )
+    right = grams.map_batches(
+        lambda b: b.rename(columns={id_col: "b"}), batch_format="pandas"
+    )
+    inter = groupby_agg(
+        hash_join(left.materialize(), right.materialize(), on="gram")
+        .map_batches(lambda b: b[b.a < b.b][["a", "b"]],
+                     batch_format="pandas"),
+        ["a", "b"], [("a", "count", "inter")],
+    ).materialize()
+    if inter.count() == 0:
+        # no pair shares a gram (e.g. max_doc_freq dropped everything,
+        # or every doc < n tokens): the empty groupby loses its schema,
+        # so hand back a TYPED empty result instead of joining on it.
+        import pyarrow as pa
+        import ray.data as rd
+
+        id_type = (pa.int64() if grams.count() == 0
+                   else grams.schema().base_schema.field(id_col).type)
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], id_type), "b": pa.array([], id_type),
+            "inter": pa.array([], pa.int64()),
+            "union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+
+    sz_a = sizes.map_batches(
+        lambda b: b.rename(columns={id_col: "a", "n_grams": "na"}),
+        batch_format="pandas",
+    )
+    sz_b = sizes.map_batches(
+        lambda b: b.rename(columns={id_col: "b", "n_grams": "nb"}),
+        batch_format="pandas",
+    )
+    withs = hash_join(
+        hash_join(inter, sz_a.materialize(), on="a").materialize(),
+        sz_b.materialize(), on="b",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        union = (b.na + b.nb - b.inter).astype("int64")
+        jac = b.inter.astype("float64") / union
+        out = pd.DataFrame({
+            "a": b.a, "b": b.b,
+            "inter": b.inter.astype("int64"), "union": union,
+            "jaccard": jac,
+        })
+        return out[out.jaccard >= threshold]
+
+    return withs.map_batches(finish, batch_format="pandas")
+
+
 # ---- n-gram Jaccard verify ------------------------------------------------
 
 

@@ -552,6 +552,21 @@ def q_doc_dup_ngrams(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact word-8-gram Jaccard near-dup pairs (threshold 0.5) over
+    documents ∪ injected near-copies — the distributed gram-self-join
+    operator (recall 1.0 by construction), hash-verified against the
+    quadratic SQL semantics."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        _docs_with_dupes(sf_dir), n=8, threshold=0.5
+    ).to_pandas()
+    df = df.astype({"a": "int64", "b": "int64", "inter": "int64",
+                    "union": "int64"})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import near_dedup_minhash
 
@@ -1243,6 +1258,37 @@ ORACLE_SQL: dict[str, str] = {
         HAVING count(*) > 1
         ORDER BY n_docs DESC, gram
         LIMIT 100
+    """,
+    "q_doc_jaccard_pairs": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text || ' tail'
+            FROM documents WHERE doc_id % 10 = 0
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+            WHERE len(words) >= 8
+        ), sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n FROM g GROUP BY doc_id
+        ), inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b,
+                   count(*)::BIGINT AS inter
+            FROM g g1 JOIN g g2 ON g1.gram = g2.gram
+                              AND g1.doc_id < g2.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.a, i.b, i.inter,
+               (sa.n + sb.n - i.inter)::BIGINT AS "union",
+               i.inter::DOUBLE / (sa.n + sb.n - i.inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
+        ORDER BY a, b
     """,
     "q_doc_top_tokens": """
         SELECT tok, count(*)::BIGINT AS n

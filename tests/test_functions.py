@@ -408,3 +408,52 @@ def test_contamination_counts_flags_injected_overlap():
     clean = [d for d, t in zip(train.doc_id, train.text)
              if not (word_ngram_set(t, 8) & grams)]
     assert clean and (got.loc[clean] == 0).all()
+
+
+def test_ngram_jaccard_pairs_exact_vs_quadratic():
+    """The distributed gram-self-join operator reproduces the quadratic
+    per-pair Jaccard exactly (recall 1.0 by construction), and
+    max_doc_freq only ever removes grams — never invents pairs."""
+    from cpg_ray.functions.dedup import ngram_jaccard_pairs
+
+    base = _docs()[["doc_id", "text"]].head(120)
+    dup = base[base.doc_id % 10 == 0].copy()
+    dup["doc_id"] += 1_000_000
+    dup["text"] += " tail"
+    corpus = pd.concat([base, dup], ignore_index=True)
+    ds = rd.from_pandas(corpus)
+    got = ngram_jaccard_pairs(ds, n=8, threshold=0.5).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+
+    # quadratic reference on the driver (tiny corpus)
+    def grams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+    sets = {int(d): grams(t) for d, t in zip(corpus.doc_id, corpus.text)}
+    ids = sorted(sets)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            union = len(sets[a] | sets[b])
+            if inter / union >= 0.5:
+                want.append((a, b, inter, union))
+    want_df = pd.DataFrame(want, columns=["a", "b", "inter", "union"])
+    assert len(got) == len(want_df) > 0
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "inter", "union"]].astype("int64"),
+        want_df.astype("int64"),
+    )
+    # every injected near-copy is paired with its source
+    paired = set(zip(got.a, got.b))
+    for d in dup.doc_id:
+        assert (int(d - 1_000_000), int(d)) in paired
+
+    # max_doc_freq drops high-frequency grams: result is a subset with
+    # jaccard computed over the REDUCED gram sets (declared approx)
+    capped = ngram_jaccard_pairs(
+        ds, n=8, threshold=0.5, max_doc_freq=1
+    ).to_pandas()
+    assert len(capped) == 0  # freq=1 grams can never be shared
