@@ -5,13 +5,19 @@ actor-pool map_batches stages.
 The codec boundary is an IMPORT-PROBE SEAM: each stage's ``__init__``
 (once per actor, never per batch) probes for the real library —
 PIL for images, soundfile for audio, PyAV for video — and uses it when
-importable; otherwise the deterministic synthetic decoder (seeded by
-the payload hash) stands in, keeping the Ray-side plumbing — schema,
-batch sizing for large binary rows, actor ``__init__`` loading, output
-layout — real and tested everywhere.  ``fake=True`` forces the stub
-(what the deterministic tests pin), ``fake=False`` demands a real
-codec (raises NotImplementedError when the probe comes back empty),
-``fake=None`` (auto) takes whichever the environment offers.
+importable; otherwise a BUILT-IN pure-numpy/stdlib codec takes over
+for the container formats it genuinely parses (uncompressed BMP,
+netpbm P5/P6, RIFF/WAVE PCM via the stdlib ``wave`` module — all
+round-trip-tested against the matching ``encode_*`` helpers), and only
+payloads in formats neither path can parse (JPEG/PNG/MP3/MP4 without
+the library) fall through: ``fake=True`` forces the deterministic
+synthetic decoder (what the plumbing tests pin), ``fake=False``
+demands genuine decode (library or builtin; per-payload
+NotImplementedError for formats they reject routes to problem rows,
+exactly as a real codec rejecting a container), ``fake=None`` (auto)
+prefers library → builtin → stub.  Video has no stdlib container
+parser, so its builtin tier is absent — PyAV or stub, the one
+remaining declared boundary.
 
 Scale notes: binary payloads are wide — callers should keep
 ``batch_size`` small (default 32) and never carry the binary column
@@ -24,6 +30,153 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---- built-in codecs (pure numpy/stdlib — genuinely parse the format) -----
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → 24-bit uncompressed BI_RGB bottom-up BMP."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    # bottom-up scanlines, BGR order, each row padded to 4 bytes
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    body = padded.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP (bottom-up or top-down) →
+    (H, W, 3) uint8.  Raises NotImplementedError on compressed or
+    palette BMPs — the library tier handles those."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0 or bpp not in (24, 32) or hdr_size < 40:
+        raise NotImplementedError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise NotImplementedError("truncated BMP payload")
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off)
+    rows = rows.reshape(h, stride)[:, : w * nchan].reshape(h, w, nchan)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[..., 2::-1])  # BGR(A) → RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm → (H, W, 3) uint8: P6 (RGB) directly, P5 (gray)
+    replicated across channels.  ASCII variants (P1-P3) and maxval>255
+    raise — rare on the web, the library tier's job."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        raise NotImplementedError("not a binary netpbm payload")
+    gray = payload[1:2] == b"5"
+    # header tokens: magic, width, height, maxval — '#' comments legal
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":
+            while pos < len(payload) and payload[pos: pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos: pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise NotImplementedError("truncated netpbm header")
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm unsupported")
+    nchan = 1 if gray else 3
+    need = w * h * nchan
+    if len(payload) - pos < need:
+        raise NotImplementedError("truncated netpbm payload")
+    arr = np.frombuffer(payload, np.uint8, need, pos).reshape(h, w, nchan)
+    return np.ascontiguousarray(
+        np.repeat(arr, 3, axis=2) if gray else arr
+    )
+
+
+def builtin_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Magic-sniffing built-in image decode (BMP / netpbm); the
+    metadata width/height are advisory — the container wins."""
+    if not payload:
+        raise NotImplementedError("empty payload")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:1] == b"P":
+        return decode_netpbm(payload)
+    raise NotImplementedError("no built-in codec for this image format")
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """mono float in [-1, 1] → 16-bit PCM RIFF/WAVE via stdlib wave."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, np.float64), -1, 1)
+    pcm = (pcm * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def builtin_audio_decode(payload: bytes):
+    """RIFF/WAVE PCM (8/16/32-bit int) → (mono float64 in [-1, 1],
+    rate) via the stdlib wave module — a genuine container parse, no
+    third-party library."""
+    import io
+    import wave
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch, sw, rate = (wf.getnchannels(), wf.getsampwidth(),
+                             wf.getframerate())
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error as e:  # compressed WAVE etc.
+        raise NotImplementedError(f"wave module rejected payload: {e}")
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"sample width {sw} unsupported")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, int(rate)
 
 
 def probe_image_codec():
@@ -91,14 +244,18 @@ def probe_video_codec():
     return decode
 
 
-def _probe_or_raise(fake: bool | None, probe, what: str):
-    """The seam policy shared by every stage: returns the real codec
+def _probe_or_raise(fake: bool | None, probe, what: str, builtin=None):
+    """The seam policy shared by every stage: returns the genuine codec
     callable, or None meaning 'take the stub path'.  fake=True → stub
-    unconditionally; fake=False → real or raise; fake=None → real when
-    the probe finds one, stub otherwise."""
+    unconditionally; fake=False/None → the probed library when
+    importable, else the built-in pure-numpy codec when the modality
+    has one (its per-payload NotImplementedError on formats it cannot
+    parse routes to problem rows, as a real codec rejecting a container
+    does).  fake=False with NO genuine tier at all (video without
+    PyAV) raises; fake=None falls back to the stub."""
     if fake is True:
         return None
-    real = probe()
+    real = probe() or builtin
     if real is None and fake is False:
         raise NotImplementedError(
             f"real {what} codec not importable in this environment; "
@@ -156,7 +313,8 @@ class DecodeImage:
     runtimes, GoLanguageFrontend.kt:40-105)."""
 
     def __init__(self, fake: bool | None = True):
-        self.codec = (_probe_or_raise(fake, probe_image_codec, "image")
+        self.codec = (_probe_or_raise(fake, probe_image_codec, "image",
+                                      builtin=builtin_image_decode)
                       or _decode_stub)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -208,7 +366,8 @@ class ResizeImage:
     binaries stay inside one stage)."""
 
     def __init__(self, target: int = 4, fake: bool | None = True):
-        self.codec = (_probe_or_raise(fake, probe_image_codec, "image")
+        self.codec = (_probe_or_raise(fake, probe_image_codec, "image",
+                                      builtin=builtin_image_decode)
                       or _decode_stub)
         self.target = target
 
@@ -341,7 +500,8 @@ class DecodeAudio:
     PCM at the metadata rate."""
 
     def __init__(self, fake: bool | None = True):
-        self.real = _probe_or_raise(fake, probe_audio_codec, "audio")
+        self.real = _probe_or_raise(fake, probe_audio_codec, "audio",
+                                    builtin=builtin_audio_decode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_id, dur, rms, ok = [], [], [], []

@@ -908,6 +908,75 @@ def q_multimodal_frames(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
+    """GENUINE decode through the actor-pool stages with zero
+    third-party codecs: deterministic real BMP / PPM / WAV payloads
+    (plus per-modality junk rows) through DecodeImage + DecodeAudio in
+    fake=None (auto) mode — the builtin pure-numpy/stdlib tier parses
+    the containers, junk routes to problem rows (rows-only; the codec
+    outputs are pinned exactly by test_multimodal_stages)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        DecodeAudio,
+        DecodeImage,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    ids, blobs, mimes = [], [], []
+    for i in range(120):
+        img = rng.integers(0, 256, (8 + i % 5, 8 + i % 7, 3),
+                           dtype=np.uint8)
+        if i % 3 == 2:
+            ids.append(f"junk{i:04d}")
+            blobs.append(b"\x89PNG" + bytes(img[..., 0].ravel()[:64]))
+            mimes.append("image/png")
+        elif i % 2:
+            ids.append(f"bmp{i:04d}")
+            blobs.append(encode_bmp(img))
+            mimes.append("image/bmp")
+        else:
+            ids.append(f"ppm{i:04d}")
+            blobs.append(encode_ppm(img))
+            mimes.append("image/x-portable-pixmap")
+    media = rd.from_arrow(pa.table({
+        "media_id": ids, "media": pa.array(blobs, pa.large_binary()),
+        "mime": mimes,
+        "width": pa.array([0] * len(ids), pa.int32()),
+        "height": pa.array([0] * len(ids), pa.int32()),
+    }))
+    img_df = media.map_batches(
+        DecodeImage, fn_constructor_kwargs={"fake": None},
+        batch_size=32, batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    img_df["px_mean"] = img_df["px_mean"].round(4)
+    img_df["px_std"] = img_df["px_std"].round(4)
+
+    t = np.arange(400) / 8000.0
+    aud = rd.from_arrow(pa.table({
+        "media_id": [f"wav{i:03d}" for i in range(40)],
+        "media": pa.array(
+            [encode_wav(0.3 * np.sin(2 * np.pi * (100 + 10 * i) * t), 8000)
+             for i in range(40)], pa.large_binary()),
+        "sample_rate": pa.array([8000] * 40, pa.int32()),
+    }))
+    aud_df = aud.map_batches(
+        DecodeAudio, fn_constructor_kwargs={"fake": None},
+        batch_size=16, batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    aud_df = aud_df.rename(columns={"duration_s": "px_mean",
+                                    "rms": "px_std"})
+    out = pd.concat([img_df, aud_df], ignore_index=True)
+    out["px_mean"] = out["px_mean"].round(4)
+    out["px_std"] = out["px_std"].round(4)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
     """Audio feature extraction (duration/RMS, codec stubbed; rows-only)."""
     import ray.data as rd

@@ -222,9 +222,11 @@ def test_multimodal_decode_plumbing():
     assert feats.px_mean.between(0, 255).all()
     # binary column not carried forward
     assert "media" not in feats.columns
-    # real codec is explicitly a stub
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+    # fake=False takes the genuine tier (builtin pure-numpy codecs):
+    # the synthetic junk payloads are not parseable containers, so
+    # every row routes to a problem row instead of a fake decode
+    strict = DecodeImage(fake=False)(media).to_pandas()
+    assert not strict.ok.any()
 
 
 # ---- as-of join -----------------------------------------------------------

@@ -82,26 +82,26 @@ def test_audio_features_and_empty_payload_problem():
 
 
 def test_codec_probe_seam_policies():
-    """The import-probe seam: fake=False demands a real codec (raises
-    where none imports), fake=None falls back to the stub silently and
-    matches the fake=True output, fake=True always stubs."""
+    """The import-probe seam: image/audio always have a genuine tier
+    (library or builtin), so fake=False constructs everywhere and
+    routes unparseable payloads to problem rows; video has no builtin
+    tier, so fake=False raises without PyAV and fake=None matches the
+    forced stub. fake=True always stubs."""
     import pytest
 
     from cpg_ray.functions.multimodal import (
         DecodeImage,
-        probe_audio_codec,
-        probe_image_codec,
         probe_video_codec,
         synthesize_media,
     )
 
     media = synthesize_media(6)
-    if probe_image_codec() is None:
-        with pytest.raises(NotImplementedError):
-            DecodeImage(fake=False)
-    if probe_audio_codec() is None:
-        with pytest.raises(NotImplementedError):
-            DecodeAudio(fake=False)
+    # image/audio: genuine tier always constructible; the synthetic
+    # junk payloads are not BMP/netpbm/WAV, so every row is a problem
+    out = DecodeImage(fake=False)(media).to_pandas()
+    assert not out.ok.any()
+    aud = DecodeAudio(fake=False)(synthesize_audio(4)).to_pandas()
+    assert not aud.ok.any()
     if probe_video_codec() is None:
         with pytest.raises(NotImplementedError):
             SampleVideoFrames(fake=False)
@@ -109,10 +109,6 @@ def test_codec_probe_seam_policies():
         auto = SampleVideoFrames(every=10, fake=None)(synthesize_video(3))
         stub = SampleVideoFrames(every=10, fake=True)(synthesize_video(3))
         assert auto.equals(stub)
-    if probe_image_codec() is None:
-        assert DecodeImage(fake=None)(media).equals(
-            DecodeImage(fake=True)(media)
-        )
 
 
 def test_real_image_codec_path():
@@ -140,3 +136,138 @@ def test_real_image_codec_path():
     assert out.ok.all()
     # mean of a constant (10,200,30) image
     assert abs(out.px_mean.iloc[0] - (10 + 200 + 30) / 3) < 1e-6
+
+
+def test_builtin_bmp_roundtrip_and_variants():
+    """The pure-numpy BMP codec round-trips non-square images exactly,
+    honors top-down rows and 32-bit pixels, and rejects what it cannot
+    genuinely parse."""
+    import struct
+
+    import pytest
+
+    from cpg_ray.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # w%4 != 0
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+    # top-down: negative height in the info header
+    p = bytearray(encode_bmp(arr[::-1]))  # encode flipped, mark top-down
+    struct.pack_into("<i", p, 22, -5)
+    assert (decode_bmp(bytes(p)) == arr).all()
+
+    # 32-bit BGRA: alpha byte ignored
+    h, w = 3, 2
+    bgra = np.zeros((h, w, 4), np.uint8)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    bgra[..., :3] = rgb[::-1, :, ::-1]
+    header = struct.pack("<2sIHHI", b"BM", 54 + bgra.nbytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, bgra.nbytes,
+                       0, 0, 0, 0)
+    assert (decode_bmp(header + info + bgra.tobytes()) == rgb).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"BM" + b"\0" * 60)  # bpp=0
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"\x89PNG....")
+
+
+def test_builtin_netpbm_roundtrip():
+    import pytest
+
+    from cpg_ray.functions.multimodal import decode_netpbm, encode_ppm
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    assert (decode_netpbm(encode_ppm(arr)) == arr).all()
+    # P5 gray with a header comment → replicated channels
+    gray = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    p5 = b"P5\n# comment\n5 3\n255\n" + gray.tobytes()
+    out = decode_netpbm(p5)
+    assert out.shape == (3, 5, 3) and (out[..., 0] == gray).all() \
+        and (out[..., 1] == gray).all()
+    with pytest.raises(NotImplementedError):
+        decode_netpbm(b"P3\n1 1\n255\n0 0 0\n")  # ASCII variant
+
+
+def test_builtin_wav_roundtrip_and_stereo_downmix():
+    import io
+    import wave
+
+    from cpg_ray.functions.multimodal import (
+        builtin_audio_decode,
+        encode_wav,
+    )
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = builtin_audio_decode(encode_wav(sig, 16000))
+    assert rate == 16000 and len(samples) == 1600
+    assert np.abs(samples - sig).max() < 1 / 32000  # 16-bit quantization
+
+    # stereo int16 → mono mean
+    left = (sig * 32767).astype("<i2")
+    right = np.zeros_like(left)
+    inter = np.empty(2 * len(left), "<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(inter.tobytes())
+    mono, rate = builtin_audio_decode(buf.getvalue())
+    assert rate == 8000
+    assert np.abs(mono - sig / 2).max() < 1 / 16000
+
+
+def test_stages_decode_real_payloads_via_builtin_tier():
+    """End-to-end through the actor-pool stages with REAL container
+    bytes and no third-party codec: BMP images decode to exact pixel
+    stats, WAV audio to exact duration, junk rows become problems —
+    the declared round-3 stub boundary is now genuine for these
+    formats."""
+    import pyarrow as pa
+
+    from cpg_ray.functions.multimodal import (
+        DecodeImage,
+        ResizeImage,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    batch = pa.Table.from_pydict({
+        "media_id": ["bmp0", "ppm0", "junk"],
+        "media": [encode_bmp(img), encode_ppm(img), b"\xff\xd8junkjpeg"],
+        "mime": ["image/bmp", "image/x-portable-pixmap", "image/jpeg"],
+        "width": [9, 9, 9], "height": [6, 6, 6],
+    })
+    out = DecodeImage(fake=None)(batch).to_pandas().set_index("media_id")
+    assert bool(out.ok.bmp0) and bool(out.ok.ppm0) and not bool(out.ok.junk)
+    assert abs(out.px_mean.bmp0 - img.mean()) < 1e-9
+    assert abs(out.px_mean.ppm0 - img.mean()) < 1e-9
+    assert abs(out.px_std.bmp0 - img.std()) < 1e-9
+
+    thumbs = ResizeImage(target=4, fake=None)(batch).to_pandas()
+    trow = thumbs.set_index("media_id").loc["bmp0"]
+    got = np.frombuffer(trow.thumb, np.uint8).reshape(4, 4, 3)
+    yi = np.linspace(0, 5, 4).astype(int)
+    xi = np.linspace(0, 8, 4).astype(int)
+    assert (got == img[yi][:, xi]).all()
+
+    t = np.arange(800) / 8000.0
+    sig = 0.25 * np.sin(2 * np.pi * 220 * t)
+    abatch = pa.Table.from_pydict({
+        "media_id": ["wav0", "junk"],
+        "media": [encode_wav(sig, 8000), b"ID3mp3junk"],
+        "sample_rate": [8000, 44100],
+    })
+    aout = DecodeAudio(fake=None)(abatch).to_pandas().set_index("media_id")
+    assert bool(aout.ok.wav0) and not bool(aout.ok.junk)
+    assert abs(aout.duration_s.wav0 - 0.1) < 1e-9
+    want_rms = float(np.sqrt((sig ** 2).mean()))
+    assert abs(aout.rms.wav0 - want_rms) < 1e-3
