@@ -1,0 +1,324 @@
+"""Whole-graph algorithms over the canonical entity graph: PageRank
+and connected components (reference analog: the graph the Neo4j sink
+exports for exactly these downstream analyses — Neo4jSink plus the
+StatisticsCollectionPass degree views; our engine runs them in place).
+
+Both are defined with EXACT cross-engine semantics so a SQL engine
+running the identical unrolled iterations is bit-identical — no float
+drift, no rounding policy:
+
+- :func:`pagerank` is FIXED-POINT: scores are int64 in units of
+  ``1/scale`` of total mass, every update is integer multiply +
+  floor-divide (``(score * 85) // (100 * outdeg)``), and dangling-node
+  mass is (deterministically) retired rather than redistributed.  The
+  same iteration count on any engine gives the same bytes — a
+  reproducibility property worth more at 100 TB than the ~1e-12 mass
+  the floor drops, and the whole reason the oracle can hash-match.
+- :func:`label_components` is min-LABEL propagation in lexicographic
+  entity-id order for a FIXED number of rounds (the oracle-paired
+  contract; each round is one bounded shuffle, so cost is explicit and
+  the result is exact wherever the component diameter ≤ rounds — the
+  returned ``converged`` flag says whether another round would change
+  anything).  ``converge=True`` iterates until fixpoint instead
+  (pytest-pinned against the union-find ground truth).
+
+Scale shape: mode="driver" streams the DISTINCT edge list to the
+driver under a row guard and iterates vectorized numpy (int64 /
+int32-code kernels — the O(E) state is the deduped topology, never the
+corpus); mode="shuffle" keeps everything a Dataset and runs each
+iteration as hash_join + pre-combined groupby (the 100-TB path: K
+iterations = K bounded exchanges, materialized between joins per the
+chained-join aggregator rule); mode="auto" tries the driver and
+degrades on :class:`~cpg_ray.functions.relational.GuardExceeded`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .relational import GuardExceeded
+
+_DEF_EDGE_LIMIT = 5_000_000
+
+
+def _edges_to_driver(edges_ds, src: str, dst: str, limit: int) -> pd.DataFrame:
+    """Stream the distinct (src, dst) edge list to the driver, guarded.
+    Dedup is incremental per batch so driver memory is O(distinct
+    edges) with the guard as the ceiling, never O(input rows)."""
+    seen: pd.DataFrame | None = None
+    for b in edges_ds.iter_batches(batch_format="pandas"):
+        b = b[[src, dst]][b[src] != b[dst]].drop_duplicates()
+        seen = b if seen is None else (
+            pd.concat([seen, b], ignore_index=True).drop_duplicates()
+        )
+        if len(seen) > limit:
+            raise GuardExceeded(
+                f"graphalgo(mode='driver'): > {limit} distinct edges; "
+                "use mode='shuffle'"
+            )
+    if seen is None:
+        seen = pd.DataFrame({src: pd.Series([], dtype=object),
+                             dst: pd.Series([], dtype=object)})
+    return seen.reset_index(drop=True)
+
+
+def _index_graph(edges: pd.DataFrame, src: str, dst: str):
+    """Lexicographically-sorted node codes (== SQL VARCHAR order for
+    the ASCII entity ids) + edge index arrays."""
+    nodes = np.unique(np.concatenate([
+        edges[src].to_numpy(dtype=object), edges[dst].to_numpy(dtype=object)
+    ])) if len(edges) else np.array([], dtype=object)
+    src_idx = np.searchsorted(nodes, edges[src].to_numpy(dtype=object))
+    dst_idx = np.searchsorted(nodes, edges[dst].to_numpy(dtype=object))
+    return nodes, src_idx.astype(np.int64), dst_idx.astype(np.int64)
+
+
+# ---- PageRank --------------------------------------------------------------
+
+
+def _pagerank_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                     iters: int, scale: int) -> pd.DataFrame:
+    nodes, src_idx, dst_idx = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "score": pd.Series([], dtype="int64")})
+    outdeg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    base = (scale * 15) // (100 * n)
+    score = np.full(n, scale // n, dtype=np.int64)
+    denom = 100 * outdeg[src_idx]  # per-edge, outdeg ≥ 1 by construction
+    for _ in range(iters):
+        contrib = (score[src_idx] * 85) // denom
+        acc = np.full(n, base, dtype=np.int64)
+        np.add.at(acc, dst_idx, contrib)
+        score = acc
+    out = pd.DataFrame({"entity": nodes, "score": score})
+    return out.sort_values(["score", "entity"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
+                      scale: int):
+    """Dataset-native iteration: K bounded exchanges.  Scores live as a
+    (node, score) Dataset; each round is edges ⋈ scores (hash join on
+    src) → per-batch contrib → pre-combined sum by dst → left-join
+    onto the node set with the teleport base."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    pairs = edges_ds.map_batches(
+        lambda b: b[b[src] != b[dst]].rename(
+            columns={src: "__src", dst: "__dst"})[["__src", "__dst"]],
+        batch_format="pandas",
+    )
+    pairs = distinct_on(pairs, ["__src", "__dst"]).materialize()
+    outdeg = groupby_agg(pairs, ["__src"], [("__dst", "count", "__deg")])
+    ew = hash_join(pairs, outdeg.materialize(), on="__src").materialize()
+    nodes = distinct_on(
+        pairs.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["__src"], b["__dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "score": pd.Series([], dtype="int64")}))
+    base = (scale * 15) // (100 * n)
+    scores = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"],
+                                "score": np.int64(scale // n)}),
+        batch_format="pandas",
+    ).materialize()
+    for _ in range(iters):
+        contrib = hash_join(ew, scores, on="__src",
+                            right_on="node").map_batches(
+            lambda b: pd.DataFrame({
+                "__dst": b["__dst"],
+                "c": (b["score"].to_numpy(np.int64) * 85)
+                // (100 * b["__deg"].to_numpy(np.int64)),
+            }),
+            batch_format="pandas",
+        )
+        sums = groupby_agg(contrib, ["__dst"], [("c", "sum", "s")])
+        scores = hash_join(
+            nodes, sums.materialize(), on="node", right_on="__dst",
+            how="left_outer",
+        ).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"],
+                "score": base + b["s"].fillna(0).astype(np.int64),
+            }),
+            batch_format="pandas",
+        ).materialize()
+    return scores.map_batches(
+        lambda b: b.rename(columns={"node": "entity"})[["entity", "score"]],
+        batch_format="pandas",
+    ).sort(["score", "entity"], descending=[True, False])
+
+
+def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
+             iters: int = 10, scale: int = 10 ** 12, mode: str = "auto",
+             driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Fixed-point PageRank (damping 0.85 as the exact fraction 85/100)
+    over the distinct directed (src, dst) edges, self-loops dropped.
+    Returns a Dataset of (entity, score int64) sorted by score desc,
+    entity asc; sum of scores ≤ ``scale`` (floor truncation retires
+    sub-unit mass — deterministically, identically on every engine)."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _pagerank_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, iters=iters, scale=scale)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _pagerank_shuffle(edges_ds, src, dst, iters=iters, scale=scale)
+
+
+# ---- connected components --------------------------------------------------
+
+
+def _components_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                       rounds: int, converge: bool) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "component": pd.Series([], dtype=object),
+                             "converged": pd.Series([], dtype=bool)})
+    # undirected: propagate both ways each round
+    u_s = np.concatenate([s_i, d_i])
+    u_d = np.concatenate([d_i, s_i])
+    lbl = np.arange(n, dtype=np.int64)  # codes ARE lexicographic rank
+    done = False
+    r = 0
+    while True:
+        acc = lbl.copy()
+        np.minimum.at(acc, u_d, lbl[u_s])
+        changed = bool((acc != lbl).any())
+        lbl = acc
+        r += 1
+        if converge:
+            if not changed:
+                done = True
+                break
+        else:
+            if r >= rounds:
+                # one lookahead to report convergence truthfully
+                probe = lbl.copy()
+                np.minimum.at(probe, u_d, lbl[u_s])
+                done = not bool((probe != lbl).any())
+                break
+    out = pd.DataFrame({"entity": nodes, "component": nodes[lbl],
+                        "converged": done})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _components_shuffle(edges_ds, src: str, dst: str, *, rounds: int):
+    """Dataset-native fixed-round propagation (converge=True is a
+    driver-mode feature; the distributed contract is the bounded-round
+    one).  Each round: labels ⋈ undirected edges → pre-combined min by
+    dst → least(own, neighborhood min)."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["__src"] != d["__dst"]],
+        batch_format="pandas",
+    )
+    und = distinct_on(und, ["__src", "__dst"]).materialize()
+    nodes = distinct_on(
+        und.map_batches(lambda b: pd.DataFrame({"node": b["__src"]}),
+                        batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    if nodes.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "component": pd.Series([], dtype=object),
+             "converged": pd.Series([], dtype=bool)}))
+    labels = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "lbl": b["node"]}),
+        batch_format="pandas",
+    ).materialize()
+    for _ in range(rounds):
+        neigh = hash_join(und, labels, on="__src",
+                          right_on="node").map_batches(
+            lambda b: b[["__dst", "lbl"]], batch_format="pandas")
+        mins = groupby_agg(neigh, ["__dst"], [("lbl", "min", "minl")])
+        labels = hash_join(
+            labels, mins.materialize(), on="node", right_on="__dst",
+            how="left_outer",
+        ).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"],
+                "lbl": b[["lbl", "minl"]].min(axis=1),
+            }),
+            batch_format="pandas",
+        ).materialize()
+    # distributed mode reports converged=False pessimistically only if a
+    # lookahead round would still change labels
+    ahead = hash_join(und, labels, on="__src", right_on="node").map_batches(
+        lambda b: b[["__dst", "lbl"]], batch_format="pandas")
+    amins = groupby_agg(ahead, ["__dst"], [("lbl", "min", "minl")])
+    final = hash_join(labels, amins.materialize(), on="node",
+                      right_on="__dst", how="left_outer")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        would = b[["lbl", "minl"]].min(axis=1)
+        return pd.DataFrame({"entity": b["node"], "component": b["lbl"],
+                             "__stable": (would == b["lbl"])})
+
+    final = final.map_batches(finish, batch_format="pandas").materialize()
+    conv = bool(final.map_batches(
+        lambda b: pd.DataFrame({"m": [bool(b["__stable"].all())]}),
+        batch_format="pandas",
+    ).to_pandas()["m"].all())
+    return final.map_batches(
+        lambda b: pd.DataFrame({"entity": b["entity"],
+                                "component": b["component"],
+                                "converged": conv}),
+        batch_format="pandas",
+    ).sort("entity")
+
+
+def label_components(edges_ds, *, src: str = "src", dst: str = "dst",
+                     rounds: int = 12, converge: bool = False,
+                     mode: str = "auto",
+                     driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Connected components by min-label propagation over the
+    undirected view of (src, dst), self-loops dropped.  Fixed-round by
+    default (exact wherever component diameter ≤ rounds; ``converged``
+    reports whether a further round would change labels); converge=True
+    runs to fixpoint (driver mode only — unbounded rounds are a
+    driver-scale loop, the distributed contract is bounded)."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if converge and mode == "shuffle":
+        raise ValueError("converge=True requires the driver path")
+    if mode in ("driver", "auto"):
+        try:
+            df = _components_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, rounds=rounds, converge=converge)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver" or converge:
+                raise
+    return _components_shuffle(edges_ds, src, dst, rounds=rounds)
