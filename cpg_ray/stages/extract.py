@@ -138,15 +138,158 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+class _FastMiss(Exception):
+    """Raised by _fast_blocks on ANY construct outside its strict
+    grammar; the caller falls back to the html.parser path."""
+
+
+# Strict "clean HTML" grammar for the fast path.  Anything outside it
+# (comments, PIs, CDATA sections, single-quoted / unquoted-value /
+# entity-bearing attributes, bare '<' in text, truncated trailing
+# markup) raises _FastMiss — equivalence with html.parser is
+# guaranteed by construction on the accepted language and pinned by
+# the differential fuzz test (test_extract).
+_FAST_START = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:=\"[^\"<>&]*\")?)*)\s*(/?)>"
+)
+_FAST_END = re.compile(r"/\s*([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_FAST_DOCTYPE = re.compile(r"![Dd][Oo][Cc][Tt][Yy][Pp][Ee][^>]*>")
+_FAST_ATTR = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:=\"([^\"]*)\")?")
+_CDATA_CLOSE = {t: re.compile(r"</\s*" + t, re.IGNORECASE)
+                for t in ("script", "style")}
+
+
+def _fast_blocks(s: str) -> list[Block]:
+    """Single-pass scanner for the strict grammar above, replicating
+    _BlockParser's state machine with plain locals (html.parser spends
+    most of its time in per-chunk regex bookkeeping, per-tag attribute
+    parsing and unconditional unescape; this path skips all three for
+    the common case).  Raises _FastMiss on anything irregular."""
+    from html import unescape
+
+    blocks: list[Block] = []
+    skip = 0
+    cur_tag: str | None = None
+    buf: list[str] = []
+    divs: list[tuple[str, bool | None] | None] = []
+
+    def flush() -> None:
+        nonlocal cur_tag
+        if cur_tag is not None:
+            text = collapse_ws("".join(buf))
+            if text:
+                ctx = None
+                for entry in reversed(divs):
+                    if entry is not None:
+                        ctx = entry
+                        break
+                branch, chosen = ctx if ctx else (None, None)
+                blocks.append(Block(cur_tag, text, branch, chosen))
+            buf.clear()
+            cur_tag = None
+
+    def start(tag: str, attrs_str: str) -> None:
+        nonlocal skip, cur_tag
+        if tag in SKIP_TAGS:
+            skip += 1
+        elif tag == "div":
+            entry: tuple[str, bool | None] | None = None
+            if attrs_str:
+                ad = {m.group(1).lower(): m.group(2)
+                      for m in _FAST_ATTR.finditer(attrs_str)}
+                if ad.get("class") == "variant" and ad.get("data-branch"):
+                    chosen_attr = ad.get("data-chosen")
+                    entry = (
+                        ad["data-branch"],
+                        None if chosen_attr is None
+                        else chosen_attr == ad["data-branch"],
+                    )
+            divs.append(entry)
+        elif skip == 0 and tag in BLOCK_TAGS:
+            flush()
+            cur_tag = tag
+
+    def end(tag: str) -> None:
+        nonlocal skip
+        if tag in SKIP_TAGS:
+            skip = max(0, skip - 1)
+        elif tag == "div":
+            if divs:
+                divs.pop()
+        elif tag in BLOCK_TAGS and cur_tag == tag:
+            flush()
+
+    pos = 0
+    n = len(s)
+    find = s.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt != pos:
+            data = s[pos:] if lt < 0 else s[pos:lt]
+            if skip == 0 and cur_tag is not None:
+                buf.append(unescape(data) if "&" in data else data)
+            if lt < 0:
+                break
+            pos = lt
+        nxt = s[lt + 1: lt + 2]
+        if nxt == "/":
+            m = _FAST_END.match(s, lt + 1)
+            if not m:
+                raise _FastMiss
+            end(m.group(1).lower())
+            pos = m.end()
+        elif nxt == "!":
+            m = _FAST_DOCTYPE.match(s, lt + 1)
+            if not m:
+                raise _FastMiss  # comment / CDATA section / other decl
+            pos = m.end()
+        else:
+            m = _FAST_START.match(s, lt + 1)
+            if not m:
+                raise _FastMiss  # '<?', bare '<', or irregular tag
+            tag = m.group(1).lower()
+            start(tag, m.group(2))
+            pos = m.end()
+            if m.group(3):  # self-closing: html.parser fires start+end
+                end(tag)
+            elif tag in _CDATA_CLOSE:
+                # raw-text element: content (possibly with '<') is data
+                # until the matching close tag; dropped here because
+                # script/style are SKIP_TAGS (skip >= 1 right now)
+                cm = _CDATA_CLOSE[tag].search(s, pos)
+                if cm is None:
+                    raise _FastMiss  # truncated inside raw text
+                em = _FAST_END.match(s, cm.start() + 1)
+                if not em or em.group(1).lower() != tag:
+                    raise _FastMiss  # e.g. '</scriptx>' inside cdata
+                end(tag)
+                pos = em.end()
+    flush()  # unterminated block (truncated html)
+    return blocks
+
+
+def _blocks_htmlparser(text: str) -> list[Block]:
+    p = _BlockParser()
+    p.feed(text)
+    p.close()
+    return p.blocks
+
+
 def extract_blocks(html: bytes) -> tuple[list[Block], bool]:
     """(blocks, is_problem).  Never raises — the analog of best-effort
-    frontends with failOnError=false (TranslationManager.kt:353-369)."""
+    frontends with failOnError=false (TranslationManager.kt:353-369).
+    Clean pages take the strict single-pass scanner; anything outside
+    its grammar falls back to html.parser (identical output either
+    way — differential-fuzz-pinned)."""
     is_problem = b"</html>" not in html
+    text = html.decode("utf-8", errors="replace")
     try:
-        p = _BlockParser()
-        p.feed(html.decode("utf-8", errors="replace"))
-        p.close()
-        return p.blocks, is_problem
+        return _fast_blocks(text), is_problem
+    except Exception:  # _FastMiss or any surprise: take the slow path
+        pass
+    try:
+        return _blocks_htmlparser(text), is_problem
     except Exception:  # html.parser is forgiving, but belt-and-braces
         return [], True
 

@@ -304,3 +304,49 @@ def test_cypher_parse_total(junk):
         return
     # a successful parse must have produced a coherent plan
     assert plan.nodes and plan.returns
+
+
+_fastpath_html = st.builds(
+    lambda parts: "".join(parts),
+    st.lists(
+        st.sampled_from(
+            ["<p>", "</p>", "<h1>", "</h1>", "<h2 >", "</h2 >",
+             "<title>", "</title>", "<nav>", "</nav>", "<footer>",
+             "</footer>", '<div class="variant" data-branch="A">',
+             '<div class="variant" data-branch="B" data-chosen="B">',
+             "<div>", "</div>", "<meta charset=\"utf-8\"/>", "<p/>",
+             "<!DOCTYPE html>", "<script>var x = 1 < 2;</script>",
+             "<style>b{x:1}</style>", "plain text ", "a &amp; b ",
+             "&copy; &#65; &unknown; ", "  spaced\t text\n", "ünïcödé ",
+             # constructs OUTSIDE the strict grammar -> must fall back,
+             # never diverge
+             "<!-- comment -->", "<p", ">", "< p>", "<?pi?>",
+             "<a href='single'>", "<a href=unquoted>", "<em>x</em>",
+             '<a title="a&amp;b">', "<![CDATA[x]]>", "</p",
+             ]
+        ),
+        max_size=40,
+    ),
+)
+
+
+@given(_fastpath_html)
+@settings(max_examples=300, deadline=None)
+def test_fast_blocks_differential_vs_htmlparser(text):
+    """Whenever the strict fast scanner ACCEPTS an input, its blocks
+    must be exactly html.parser's; on rejection extract_blocks falls
+    back, so equality holds globally (the byte-identical invariant)."""
+    from cpg_ray.stages.extract import (
+        _FastMiss,
+        _blocks_htmlparser,
+        _fast_blocks,
+    )
+
+    ref = _blocks_htmlparser(text)
+    try:
+        got = _fast_blocks(text)
+    except _FastMiss:
+        return  # fallback path: html.parser is the single source
+    assert [(b.tag, b.text, b.branch, b.chosen) for b in got] == [
+        (b.tag, b.text, b.branch, b.chosen) for b in ref
+    ]
