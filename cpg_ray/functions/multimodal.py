@@ -6,18 +6,21 @@ The codec boundary is an IMPORT-PROBE SEAM: each stage's ``__init__``
 (once per actor, never per batch) probes for the real library —
 PIL for images, soundfile for audio, PyAV for video — and uses it when
 importable; otherwise a BUILT-IN pure-numpy/stdlib codec takes over
-for the container formats it genuinely parses (uncompressed BMP,
-netpbm P5/P6, RIFF/WAVE PCM via the stdlib ``wave`` module — all
-round-trip-tested against the matching ``encode_*`` helpers), and only
-payloads in formats neither path can parse (JPEG/PNG/MP3/MP4 without
-the library) fall through: ``fake=True`` forces the deterministic
+for the container formats it genuinely parses (8-bit non-interlaced
+PNG via stdlib zlib + numpy unfiltering, uncompressed BMP, netpbm
+P5/P6, RIFF/WAVE PCM via the stdlib ``wave`` module, uncompressed
+RIFF AVI raw-DIB video — all round-trip-tested against the matching
+``encode_*`` helpers), and only payloads in formats neither path can
+parse (JPEG/16-bit-or-interlaced PNG/MP3/compressed video without the
+library) fall through: ``fake=True`` forces the deterministic
 synthetic decoder (what the plumbing tests pin), ``fake=False``
 demands genuine decode (library or builtin; per-payload
 NotImplementedError for formats they reject routes to problem rows,
 exactly as a real codec rejecting a container), ``fake=None`` (auto)
-prefers library → builtin → stub.  Video has no stdlib container
-parser, so its builtin tier is absent — PyAV or stub, the one
-remaining declared boundary.
+prefers library → builtin → stub.  The remaining declared boundary is
+COMPRESSED codecs only (JPEG/MP3/H.264 et al. need their library
+tier); every container above decodes genuinely with zero third-party
+imports.
 
 Scale notes: binary payloads are wide — callers should keep
 ``batch_size`` small (default 32) and never carry the binary column
@@ -122,11 +125,175 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit only): gray, RGB, palette,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 → 8-bit truecolor non-interlaced PNG, applying
+    the given scanline filter (0-4) to EVERY row — the non-zero types
+    exist to exercise all five decoder unfilter paths in tests."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    px = arr.astype(np.uint8)
+    prev = np.zeros((w, 3), np.uint8)
+    lines = []
+    for y in range(h):
+        row = px[y]
+        left = np.vstack([np.zeros((1, 3), np.uint8), row[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.uint8), prev[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - ((left.astype(np.uint16) + prev) >> 1).astype(np.uint8)
+        elif filter_type == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"filter_type {filter_type} out of range")
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over uint8 arrays."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / RGB / palette / gray+alpha /
+    RGBA) → (H, W, 3) uint8 via stdlib zlib + numpy unfiltering — a
+    genuine container parse with CRC verification, no third-party
+    library.  16-bit depth and Adam7 interlace raise — the library
+    tier's job.  Sub/Up rows unfilter fully vectorized (wrapping
+    ``np.add.accumulate`` / add); Average/Paeth rows need the
+    sequential left-neighbor recurrence, looped per pixel but
+    vectorized across channels."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    try:
+        pos, ihdr, plte, idat = 8, None, None, []
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4: pos + 8]
+            data = payload[pos + 8: pos + 8 + length]
+            if len(data) < length:
+                raise NotImplementedError("truncated PNG chunk")
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise NotImplementedError(f"PNG CRC mismatch in {tag!r}")
+            if tag == b"IHDR":
+                ihdr = data
+            elif tag == b"PLTE":
+                plte = data
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise NotImplementedError("PNG missing IHDR/IDAT")
+        w, h, depth, ct, comp, filt_m, interlace = struct.unpack(
+            ">IIBBBBB", ihdr)
+        if depth != 8 or ct not in _PNG_CHANNELS or comp or filt_m:
+            raise NotImplementedError(
+                f"unsupported PNG (depth={depth}, color_type={ct})")
+        if interlace:
+            raise NotImplementedError("Adam7 interlaced PNG unsupported")
+        bpp = _PNG_CHANNELS[ct]
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) < h * (1 + w * bpp):
+            raise NotImplementedError("PNG pixel data truncated")
+    except (struct.error, zlib.error) as e:
+        raise NotImplementedError(f"malformed PNG: {e}")
+    rows = np.frombuffer(raw, np.uint8, h * (1 + w * bpp)).reshape(
+        h, 1 + w * bpp)
+    ftypes, scans = rows[:, 0], rows[:, 1:]
+    out = np.empty((h, w * bpp), np.uint8)
+    prev = np.zeros(w * bpp, np.uint8)
+    for y in range(h):
+        f, line = ftypes[y], scans[y]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: wrapping cumsum per channel offset
+            rec = np.add.accumulate(
+                line.reshape(w, bpp), axis=0, dtype=np.uint8).ravel()
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f in (3, 4):  # Average / Paeth: sequential left recurrence
+            rec = np.empty(w * bpp, np.uint8)
+            up = prev.reshape(w, bpp)
+            upleft = np.vstack([np.zeros((1, bpp), np.uint8), up[:-1]])
+            lf = line.reshape(w, bpp)
+            left = np.zeros(bpp, np.uint8)
+            r2 = rec.reshape(w, bpp)
+            for x in range(w):
+                if f == 3:
+                    left = lf[x] + ((left.astype(np.uint16) + up[x]) >> 1
+                                    ).astype(np.uint8)
+                else:
+                    left = lf[x] + _paeth(left.reshape(1, -1),
+                                          up[x].reshape(1, -1),
+                                          upleft[x].reshape(1, -1)).ravel()
+                r2[x] = left
+        else:
+            raise NotImplementedError(f"PNG filter type {f} out of range")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, bpp)
+    if ct == 2:
+        return np.ascontiguousarray(img)
+    if ct == 0:
+        return np.ascontiguousarray(np.repeat(img, 3, axis=2))
+    if ct == 4:  # gray+alpha → drop alpha, replicate gray
+        return np.ascontiguousarray(np.repeat(img[..., :1], 3, axis=2))
+    if ct == 6:  # RGBA → drop alpha
+        return np.ascontiguousarray(img[..., :3])
+    # ct == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise NotImplementedError("palette PNG missing/odd PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = img[..., 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise NotImplementedError("palette index out of range")
+    return np.ascontiguousarray(pal[idx])
+
+
 def builtin_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Magic-sniffing built-in image decode (BMP / netpbm); the
+    """Magic-sniffing built-in image decode (PNG / BMP / netpbm); the
     metadata width/height are advisory — the container wins."""
     if not payload:
         raise NotImplementedError("empty payload")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P":
@@ -220,6 +387,105 @@ def probe_audio_codec():
     return decode
 
 
+def encode_avi(frames: np.ndarray, fps: float = 24.0) -> bytes:
+    """(N, H, W, 3) uint8 → uncompressed RIFF AVI ('DIB ' fourcc, raw
+    24-bit BGR bottom-up frames) — the video analog of encode_bmp."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in frames:
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        frame_bytes.append(padded.tobytes())
+    usec = int(round(1_000_000 / fps))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack("<14I", usec, stride * h * int(fps), 0, 0x10, n,
+                       0, 1, stride * h, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, int(fps), 0, n, stride * h, 0xFFFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Uncompressed RIFF AVI (raw 24/32-bit DIB frames, '00db'/'00dc'
+    chunks) → (H, W, 3) uint8 for the requested frame — a genuine
+    container walk via stdlib struct, no third-party library.
+    Compressed streams (any non-zero biCompression / non-DIB frames
+    that don't match the strf geometry) raise — PyAV's job."""
+    import struct
+
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "):
+        raise NotImplementedError("not a RIFF/AVI payload")
+
+    strf = None
+    frames = []
+
+    def walk(pos: int, end: int):
+        nonlocal strf
+        while pos + 8 <= end:
+            tag = payload[pos: pos + 4]
+            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if body + length > end:
+                raise NotImplementedError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body + 4, body + length)
+            elif tag == b"strf" and strf is None:
+                strf = payload[body: body + length]
+            elif tag in (b"00db", b"00dc"):
+                frames.append((body, length))
+            pos = body + length + (length & 1)
+
+    try:
+        walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    except struct.error as e:
+        raise NotImplementedError(f"malformed AVI: {e}")
+    if strf is None or len(strf) < 40:
+        raise NotImplementedError("AVI missing strf BITMAPINFOHEADER")
+    _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", strf)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"compressed AVI stream (bpp={bpp}, compression={compression})")
+    if not 0 <= frame_idx < len(frames):
+        raise NotImplementedError(
+            f"frame {frame_idx} past end of stream ({len(frames)} frames)")
+    off, length = frames[frame_idx]
+    top_down = h < 0
+    h = abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3
+    if length < stride * h:
+        raise NotImplementedError("AVI frame shorter than strf geometry")
+    rows = np.frombuffer(payload, np.uint8, stride * h, off)
+    rows = rows.reshape(h, stride)[:, : w * nchan].reshape(h, w, nchan)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[..., 2::-1])  # BGR(A) → RGB
+
+
+def builtin_video_decode(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Magic-sniffing built-in video frame decode (uncompressed AVI)."""
+    if not payload:
+        raise NotImplementedError("empty payload")
+    return decode_avi_frame(payload, frame_idx)
+
+
 def probe_video_codec():
     """Returns a PyAV-backed ``decode(payload, frame_idx) -> (H,W,3)``
     when av imports, else None.  Decodes sequentially to the requested
@@ -251,8 +517,9 @@ def _probe_or_raise(fake: bool | None, probe, what: str, builtin=None):
     importable, else the built-in pure-numpy codec when the modality
     has one (its per-payload NotImplementedError on formats it cannot
     parse routes to problem rows, as a real codec rejecting a container
-    does).  fake=False with NO genuine tier at all (video without
-    PyAV) raises; fake=None falls back to the stub."""
+    does).  fake=False with NO genuine tier at all raises (no modality
+    ships without one today — the branch guards callers that pass
+    builtin=None); fake=None falls back to the stub."""
     if fake is True:
         return None
     real = probe() or builtin
@@ -438,7 +705,8 @@ class SampleVideoFrames:
 
     def __init__(self, every: int = 10, fake: bool | None = True):
         self.every = every
-        real = _probe_or_raise(fake, probe_video_codec, "video")
+        real = _probe_or_raise(fake, probe_video_codec, "video",
+                               builtin=builtin_video_decode)
         # unify signatures: codec(payload, frame_idx) -> (H, W, 3);
         # the stub seeds the fake frame by (payload, frame_idx)
         self.codec = real if real is not None else (

@@ -910,11 +910,13 @@ def q_multimodal_frames(sf_dir: str) -> pd.DataFrame:
 
 def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
     """GENUINE decode through the actor-pool stages with zero
-    third-party codecs: deterministic real BMP / PPM / WAV payloads
-    (plus per-modality junk rows) through DecodeImage + DecodeAudio in
-    fake=None (auto) mode — the builtin pure-numpy/stdlib tier parses
-    the containers, junk routes to problem rows (rows-only; the codec
-    outputs are pinned exactly by test_multimodal_stages)."""
+    third-party codecs: deterministic real PNG (all five scanline
+    filters) / BMP / PPM / WAV / uncompressed-AVI payloads (plus
+    per-modality junk rows) through DecodeImage + DecodeAudio +
+    SampleVideoFrames in fake=None (auto) mode — the builtin
+    pure-numpy/stdlib tier parses the containers, junk routes to
+    problem rows (rows-only; the codec outputs are pinned exactly by
+    test_multimodal_stages)."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -922,7 +924,10 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
     from ..functions.multimodal import (
         DecodeAudio,
         DecodeImage,
+        SampleVideoFrames,
+        encode_avi,
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
     )
@@ -932,9 +937,13 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
     for i in range(120):
         img = rng.integers(0, 256, (8 + i % 5, 8 + i % 7, 3),
                            dtype=np.uint8)
-        if i % 3 == 2:
+        if i % 6 == 5:
             ids.append(f"junk{i:04d}")
-            blobs.append(b"\x89PNG" + bytes(img[..., 0].ravel()[:64]))
+            blobs.append(b"\xff\xd8\xff\xe0" + bytes(img[..., 0].ravel()[:64]))
+            mimes.append("image/jpeg")
+        elif i % 3 == 2:
+            ids.append(f"png{i:04d}")
+            blobs.append(encode_png(img, filter_type=i % 5))
             mimes.append("image/png")
         elif i % 2:
             ids.append(f"bmp{i:04d}")
@@ -971,7 +980,35 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     aud_df = aud_df.rename(columns={"duration_s": "px_mean",
                                     "rms": "px_std"})
-    out = pd.concat([img_df, aud_df], ignore_index=True)
+
+    vids, vblobs, nfr = [], [], []
+    for i in range(20):
+        n = 3 + i % 4
+        frames = rng.integers(0, 256, (n, 6 + i % 3, 8 + i % 5, 3),
+                              dtype=np.uint8)
+        vids.append(f"avi{i:03d}")
+        vblobs.append(encode_avi(frames, fps=12.0))
+        nfr.append(n)
+    vids.append("vjunk")
+    vblobs.append(b"\x00\x00\x01\xbampeg-junk")
+    nfr.append(3)
+    vid_ds = rd.from_arrow(pa.table({
+        "media_id": vids,
+        "media": pa.array(vblobs, pa.large_binary()),
+        "n_frames": pa.array(nfr, pa.int32()),
+        "fps": pa.array([12.0] * len(vids), pa.float32()),
+    }))
+    vid_df = vid_ds.map_batches(
+        SampleVideoFrames, fn_constructor_kwargs={"every": 2, "fake": None},
+        batch_size=8, batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    vid_df["media_id"] = (vid_df["media_id"] + "#f"
+                          + vid_df["frame_idx"].astype(str))
+    vid_df = vid_df.drop(columns=["frame_idx"]).rename(
+        columns={"frame_mean": "px_mean"})
+    vid_df["px_std"] = np.nan
+
+    out = pd.concat([img_df, aud_df, vid_df], ignore_index=True)
     out["px_mean"] = out["px_mean"].round(4)
     out["px_std"] = out["px_std"].round(4)
     return out.sort_values("media_id").reset_index(drop=True)

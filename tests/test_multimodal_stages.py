@@ -82,33 +82,27 @@ def test_audio_features_and_empty_payload_problem():
 
 
 def test_codec_probe_seam_policies():
-    """The import-probe seam: image/audio always have a genuine tier
-    (library or builtin), so fake=False constructs everywhere and
-    routes unparseable payloads to problem rows; video has no builtin
-    tier, so fake=False raises without PyAV and fake=None matches the
-    forced stub. fake=True always stubs."""
-    import pytest
-
+    """The import-probe seam: every modality now has a genuine tier
+    (library or builtin — video's builtin is the uncompressed-AVI
+    walk), so fake=False constructs everywhere and routes unparseable
+    payloads to problem rows. fake=True always stubs."""
     from cpg_ray.functions.multimodal import (
         DecodeImage,
-        probe_video_codec,
         synthesize_media,
     )
 
     media = synthesize_media(6)
-    # image/audio: genuine tier always constructible; the synthetic
-    # junk payloads are not BMP/netpbm/WAV, so every row is a problem
+    # the synthetic junk payloads are not PNG/BMP/netpbm/WAV/AVI, so
+    # every row is a problem under the genuine tiers
     out = DecodeImage(fake=False)(media).to_pandas()
     assert not out.ok.any()
     aud = DecodeAudio(fake=False)(synthesize_audio(4)).to_pandas()
     assert not aud.ok.any()
-    if probe_video_codec() is None:
-        with pytest.raises(NotImplementedError):
-            SampleVideoFrames(fake=False)
-        # auto mode degrades to the stub and matches forced-stub output
-        auto = SampleVideoFrames(every=10, fake=None)(synthesize_video(3))
-        stub = SampleVideoFrames(every=10, fake=True)(synthesize_video(3))
-        assert auto.equals(stub)
+    vid = SampleVideoFrames(every=10, fake=False)(synthesize_video(3))
+    assert not vid.to_pandas().ok.any()
+    # forced stub still decodes deterministically (plumbing contract)
+    stub = SampleVideoFrames(every=10, fake=True)(synthesize_video(3))
+    assert stub.to_pandas().ok.all()
 
 
 def test_real_image_codec_path():
@@ -271,3 +265,163 @@ def test_stages_decode_real_payloads_via_builtin_tier():
     assert abs(aout.duration_s.wav0 - 0.1) < 1e-9
     want_rms = float(np.sqrt((sig ** 2).mean()))
     assert abs(aout.rms.wav0 - want_rms) < 1e-3
+
+
+def _scalar_unfilter(ftypes, scans, w, bpp):
+    """Independent per-byte PNG unfilter straight from RFC 2083 §6 —
+    the differential oracle for the vectorized decoder (no PNG library
+    exists in this container)."""
+    h = len(ftypes)
+    out = [[0] * (w * bpp) for _ in range(h)]
+    for y in range(h):
+        f, line = ftypes[y], scans[y]
+        for x in range(w * bpp):
+            a = out[y][x - bpp] if x >= bpp else 0          # left
+            b = out[y - 1][x] if y else 0                   # up
+            c = out[y - 1][x - bpp] if (y and x >= bpp) else 0
+            if f == 0:
+                r = line[x]
+            elif f == 1:
+                r = line[x] + a
+            elif f == 2:
+                r = line[x] + b
+            elif f == 3:
+                r = line[x] + (a + b) // 2
+            else:  # Paeth, spec pseudocode verbatim
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c)
+                r = line[x] + pred
+            out[y][x] = r & 0xFF
+    return np.array(out, np.uint8)
+
+
+def test_builtin_png_roundtrip_all_filters_vs_scalar_spec():
+    """The zlib+numpy PNG decoder round-trips every scanline filter
+    type exactly AND agrees byte-for-byte with an independent scalar
+    RFC-2083 unfilter on random images (including gradient images
+    where Sub/Average/Paeth residuals are non-trivial)."""
+    import struct
+    import zlib
+
+    from cpg_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    grad = (np.arange(11)[:, None, None] * 13
+            + np.arange(19)[None, :, None] * 7
+            + np.arange(3)[None, None, :] * 29).astype(np.uint8)
+    for img in (rng.integers(0, 256, (11, 19, 3), dtype=np.uint8), grad):
+        for ft in range(5):
+            payload = encode_png(img, filter_type=ft)
+            assert (decode_png(payload) == img).all(), f"filter {ft}"
+            # differential: re-inflate the IDAT and unfilter per spec
+            pos, idat = 8, []
+            while pos + 8 <= len(payload):
+                (ln,) = struct.unpack_from(">I", payload, pos)
+                if payload[pos + 4: pos + 8] == b"IDAT":
+                    idat.append(payload[pos + 8: pos + 8 + ln])
+                pos += 12 + ln
+            raw = zlib.decompress(b"".join(idat))
+            h, w = img.shape[:2]
+            rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + w * 3)
+            want = _scalar_unfilter(rows[:, 0].tolist(),
+                                    rows[:, 1:].tolist(), w, 3)
+            assert (decode_png(payload).reshape(h, w * 3) == want).all()
+
+
+def test_builtin_png_color_types_and_failure_paths():
+    """Gray / palette / gray+alpha / RGBA PNGs decode through the
+    builtin tier; 16-bit, interlaced, truncated and CRC-corrupt
+    payloads raise NotImplementedError (→ problem rows)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from cpg_ray.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        builtin_image_decode,
+        decode_png,
+    )
+
+    def make(ct, w, h, scan_bytes, extra=b"", depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+        raw = b"".join(b"\x00" + s for s in scan_bytes)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    assert (decode_png(make(0, 7, 5, [g[y].tobytes() for y in range(5)]))
+            == np.repeat(g[..., None], 3, 2)).all()
+
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (5, 7), dtype=np.uint8)
+    p3 = make(3, 7, 5, [idx[y].tobytes() for y in range(5)],
+              extra=_png_chunk(b"PLTE", pal.tobytes()))
+    assert (builtin_image_decode(p3, 0, 0) == pal[idx]).all()
+
+    rgba = rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+    assert (decode_png(make(6, 7, 5, [rgba[y].tobytes() for y in range(5)]))
+            == rgba[..., :3]).all()
+    ga = rng.integers(0, 256, (5, 7, 2), dtype=np.uint8)
+    assert (decode_png(make(4, 7, 5, [ga[y].tobytes() for y in range(5)]))
+            == np.repeat(ga[..., :1], 3, 2)).all()
+
+    good = make(0, 7, 5, [g[y].tobytes() for y in range(5)])
+    for bad in (
+        b"\x89PNG\r\n\x1a\x00" + good[8:],                 # bad signature
+        good[:40] + bytes([good[40] ^ 1]) + good[41:],     # CRC corrupt
+        good[: len(good) // 2],                            # truncated
+        make(0, 7, 5, [g[y].tobytes() for y in range(5)], interlace=1),
+        make(0, 7, 5, [g[y].tobytes() * 2 for y in range(5)], depth=16),
+        make(3, 7, 5, [idx[y].tobytes() for y in range(5)]),  # no PLTE
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_png(bad)
+
+
+def test_builtin_avi_roundtrip_and_frame_sampling_e2e():
+    """Uncompressed-AVI round-trip is exact per frame; the
+    SampleVideoFrames actor stage in fake=None mode decodes REAL video
+    container bytes through the builtin tier (frame means exact) while
+    junk payloads route to problem rows — video's codec boundary is
+    now genuine for raw-DIB AVI with zero third-party libs."""
+    import pyarrow as pa
+    import pytest
+
+    from cpg_ray.functions.multimodal import (
+        builtin_video_decode,
+        decode_avi_frame,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, (7, 6, 9, 3), dtype=np.uint8)
+    avi = encode_avi(frames, fps=12.0)
+    for i in range(7):
+        assert (decode_avi_frame(avi, i) == frames[i]).all()
+    with pytest.raises(NotImplementedError):
+        decode_avi_frame(avi, 7)
+    with pytest.raises(NotImplementedError):
+        decode_avi_frame(b"RIFF\x10\x00\x00\x00AVI junkjunk", 0)
+    with pytest.raises(NotImplementedError):
+        builtin_video_decode(b"", 0)
+
+    batch = pa.Table.from_pydict({
+        "media_id": ["avi0", "junk"],
+        "media": pa.array([avi, b"\x00\x00\x01\xbampeg-junk"],
+                          pa.large_binary()),
+        "n_frames": pa.array([7, 5], pa.int32()),
+        "fps": pa.array([12.0, 24.0], pa.float32()),
+    })
+    out = SampleVideoFrames(every=3, fake=None)(batch).to_pandas()
+    real = out[out.media_id == "avi0"].set_index("frame_idx")
+    assert list(real.index) == [0, 3, 6] and real.ok.all()
+    for fi in (0, 3, 6):
+        assert abs(real.frame_mean[fi] - frames[fi].mean()) < 1e-9
+    junk = out[out.media_id == "junk"]
+    assert len(junk) == 2 and not junk.ok.any()
