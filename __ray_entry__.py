@@ -685,6 +685,72 @@ def _kg_components(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_triangles(sf_dir: str):
+    """Per-entity triangle participation over the undirected canonical
+    entity graph (degree-ordered orientation — each triangle closes
+    once from its lowest-(degree, id) corner; the skew defense keeps
+    wedge fan-out O(m^1.5) under Zipf hubs)."""
+    from cpg_ray.functions.graphalgo import triangle_count
+
+    df = triangle_count(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+    ).to_pandas()
+    df["triangles"] = df["triangles"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def _kg_triangles_mention(sf_dir: str):
+    """Triangles over the CO-MENTION graph (entities appearing on the
+    same page) — much denser than the subj→obj graph, so the closure
+    path is exercised for real.  Pair fan-out per url is bucketed
+    map_groups (pages mention a handful of entities, so per-url pairs
+    are tiny; the bucket groupby is one bounded exchange)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import _pair_ranges, triangle_count
+    from cpg_ray.functions.relational import default_n_buckets, distinct_on
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["url", "canonical_subj", "canonical_obj"],
+    )
+    men = distinct_on(
+        tri.map_batches(
+            lambda b: pd.DataFrame({
+                "url": pd.concat([b["url"], b["url"]], ignore_index=True),
+                "e": pd.concat([b["canonical_subj"], b["canonical_obj"]],
+                               ignore_index=True),
+            }),
+            batch_format="pandas"),
+        ["url", "e"],
+    )
+    nb = default_n_buckets()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "e"], kind="mergesort")
+        u = g["url"].to_numpy(dtype=object)
+        e = g["e"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(u)])
+        first, second = _pair_ranges(sizes)
+        return pd.DataFrame({"a": e[first], "b": e[second]})
+
+    edges = men.map_batches(
+        lambda b: b.assign(__bk=pd.util.hash_array(
+            b["url"].to_numpy(dtype=object)) % nb),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(pairs, batch_format="pandas")
+    df = triangle_count(edges, src="a", dst="b").to_pandas()
+    df["triangles"] = df["triangles"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -733,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_jaccard_pairs": q.q_doc_jaccard_pairs,
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
+        "kg_triangles": _kg_triangles,
+        "kg_triangles_mention": _kg_triangles_mention,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,
@@ -1278,6 +1346,44 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             SELECT node AS entity, score::BIGINT AS score
             FROM pr WHERE iter = 8
             ORDER BY score DESC, entity
+        """,
+        "kg_triangles": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS s,
+                                        canonical_obj AS d
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                    FROM e0),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS entity FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT entity, count(*)::BIGINT AS triangles
+            FROM corners GROUP BY entity ORDER BY entity
+        """,
+        "kg_triangles_mention": f"""
+            WITH men AS (
+                SELECT DISTINCT url, canonical_subj AS e
+                FROM read_parquet('{triples_glob}')
+                UNION
+                SELECT DISTINCT url, canonical_obj AS e
+                FROM read_parquet('{triples_glob}')
+            ),
+            und AS (SELECT DISTINCT m1.e AS a, m2.e AS b
+                    FROM men m1
+                    JOIN men m2 ON m1.url = m2.url AND m1.e < m2.e),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS entity FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT entity, count(*)::BIGINT AS triangles
+            FROM corners GROUP BY entity ORDER BY entity
         """,
         "kg_components": f"""
             WITH RECURSIVE

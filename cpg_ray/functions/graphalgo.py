@@ -322,3 +322,189 @@ def label_components(edges_ds, *, src: str = "src", dst: str = "dst",
             if mode == "driver" or converge:
                 raise
     return _components_shuffle(edges_ds, src, dst, rounds=rounds)
+
+
+# ---- triangle counting -------------------------------------------------
+
+
+def _pair_ranges(sizes: np.ndarray):
+    """Vectorized all-(i<j)-pairs index builder for contiguous groups:
+    given group sizes over a sorted array, returns (first_idx,
+    second_idx) into that array covering every within-group ordered
+    pair.  No Python loop — the wedge fan-out is the hot step."""
+    m = int(sizes.sum())
+    if m == 0:
+        z = np.array([], np.int64)
+        return z, z
+    starts = np.cumsum(sizes) - sizes
+    local = np.arange(m, dtype=np.int64) - np.repeat(starts, sizes)
+    rep = np.repeat(sizes, sizes) - 1 - local  # pairs each element opens
+    total = int(rep.sum())
+    first = np.repeat(np.arange(m, dtype=np.int64), rep)
+    run_starts = np.cumsum(rep) - rep
+    offs = np.arange(total, dtype=np.int64) - np.repeat(run_starts, rep) + 1
+    return first, first + offs
+
+
+def _triangles_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                      wedge_limit: int) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "triangles": pd.Series([], dtype="int64")})
+    keep = s_i != d_i  # defense in depth; _edges_to_driver also drops
+    lo = np.minimum(s_i[keep], d_i[keep])
+    hi = np.maximum(s_i[keep], d_i[keep])
+    ukey = np.unique(lo * n + hi)  # distinct undirected edges
+    lo, hi = ukey // n, ukey % n
+    deg = (np.bincount(lo, minlength=n)
+           + np.bincount(hi, minlength=n)).astype(np.int64)
+    # degree-ordered orientation (ties by id) bounds the wedge fan-out
+    # by O(m^1.5) regardless of hubs — the standard skew defense
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    fwd = rank[lo] < rank[hi]
+    u = np.where(fwd, lo, hi)
+    v = np.where(fwd, hi, lo)
+    o2 = np.lexsort((rank[v], u))
+    u, v = u[o2], v[o2]
+    m = len(u)
+    grp_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+        if m else np.array([], np.int64)
+    sizes = np.diff(np.r_[grp_start, m])
+    n_wedges = int((sizes * (sizes - 1) // 2).sum())
+    if n_wedges > wedge_limit:
+        raise GuardExceeded(
+            f"triangle_count(mode='driver'): {n_wedges} wedges > "
+            f"{wedge_limit}; use mode='shuffle'"
+        )
+    first, second = _pair_ranges(sizes)
+    wu, wv, ww = u[first], v[first], v[second]  # rank(wv) < rank(ww)
+    ekey = np.sort(u * n + v)
+    wkey = wv * n + ww
+    pos = np.searchsorted(ekey, wkey)
+    pos_c = np.minimum(pos, max(len(ekey) - 1, 0))
+    hit = (pos < len(ekey)) & (ekey[pos_c] == wkey) if len(ekey) else \
+        np.zeros(len(wkey), bool)
+    cnt = (np.bincount(wu[hit], minlength=n)
+           + np.bincount(wv[hit], minlength=n)
+           + np.bincount(ww[hit], minlength=n)).astype(np.int64)
+    nz = np.flatnonzero(cnt)
+    out = pd.DataFrame({"entity": nodes[nz], "triangles": cnt[nz]})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _triangles_shuffle(edges_ds, src: str, dst: str, *,
+                       n_buckets: int | None = None):
+    """Dataset-native plan: distinct undirected edges → degree join →
+    degree-ordered orientation → per-anchor wedge fan-out (hash-bucket
+    map_groups, the dedup band_pairs shape) → composite-key hash join
+    closing wedges against the oriented edge set → per-corner count.
+    Three bounded exchanges + the closure join; the wedge volume is
+    O(m^1.5) by the orientation, never hub-quadratic."""
+    import ray.data as rd
+
+    from .relational import (
+        default_n_buckets,
+        distinct_on,
+        groupby_agg,
+        hash_join,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        s = b[src].to_numpy(dtype=object)
+        d = b[dst].to_numpy(dtype=object)
+        fwd = s < d
+        return pd.DataFrame({"a": np.where(fwd, s, d),
+                             "b": np.where(fwd, d, s)})
+
+    und = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"), ["a", "b"]
+    ).materialize()
+    deg = groupby_agg(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["a"], b["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "deg")],
+    ).materialize()
+    ab = hash_join(und, deg, on="a", right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_a"}), batch_format="pandas")
+    abd = hash_join(ab.materialize(), deg, on="b",
+                    right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = (b["deg_a"] < b["deg_b"]) | (
+            (b["deg_a"] == b["deg_b"]) & (b["a"] < b["b"]))
+        f = fwd.to_numpy()
+        return pd.DataFrame({
+            "u": np.where(f, b["a"], b["b"]),
+            "v": np.where(f, b["b"], b["a"]),
+            "deg_v": np.where(f, b["deg_b"], b["deg_a"]),
+            "__bk": pd.util.hash_array(
+                np.where(f, b["a"], b["b"])) % n_buckets,
+        })
+
+    oriented = abd.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u_arr = g["u"].to_numpy(dtype=object)
+        v_arr = g["v"].to_numpy(dtype=object)
+        starts = np.flatnonzero(
+            np.r_[True, u_arr[1:] != u_arr[:-1]]) if len(u_arr) else \
+            np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(u_arr)])
+        first, second = _pair_ranges(sizes)
+        return pd.DataFrame({"wu": u_arr[first], "wv": v_arr[first],
+                             "ww": v_arr[second]})
+
+    wedge_ds = oriented.groupby("__bk").map_groups(
+        wedges, batch_format="pandas")
+    closed = hash_join(
+        wedge_ds,
+        oriented.map_batches(lambda b: b[["u", "v"]],
+                             batch_format="pandas"),
+        on=["wv", "ww"], right_on=["u", "v"],
+    )
+    corners = closed.map_batches(
+        lambda b: pd.DataFrame({"entity": pd.concat(
+            [b["wu"], b["wv"], b["ww"]], ignore_index=True)}),
+        batch_format="pandas")
+    out = groupby_agg(corners, ["entity"],
+                      [("entity", "count", "triangles")])
+    return out.sort("entity")
+
+
+def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
+                   mode: str = "auto",
+                   driver_edge_limit: int = _DEF_EDGE_LIMIT,
+                   wedge_limit: int = 100_000_000):
+    """Per-entity triangle participation counts over the undirected
+    distinct view of (src, dst), self-loops dropped; entities in no
+    triangle are omitted.  Degree-ordered orientation makes each
+    triangle close exactly once from its lowest-(degree, id) corner and
+    bounds the wedge fan-out at O(m^1.5) even under Zipf hubs — the
+    north-rule skew defense applied to the closure problem.  Returns a
+    Dataset of (entity, triangles int64) sorted by entity."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _triangles_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, wedge_limit=wedge_limit)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _triangles_shuffle(edges_ds, src, dst)

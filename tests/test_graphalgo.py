@@ -150,3 +150,96 @@ def test_self_loops_dropped():
         rd.from_pandas(edges), rounds=3, mode="driver"
     ).to_pandas()
     assert set(cc["component"]) == {"a"}
+
+
+# ---- triangle counting -------------------------------------------------
+
+
+def _brute_triangles(edges: pd.DataFrame) -> pd.DataFrame:
+    """Independent oracle: explicit adjacency-set closure over every
+    node triple."""
+    import itertools
+
+    und, adj = set(), {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt: dict[str, int] = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for q in (x, y, z):
+                cnt[q] = cnt.get(q, 0) + 1
+    return pd.DataFrame({
+        "entity": pd.Series(sorted(cnt), dtype=object),
+        "triangles": pd.Series([cnt[k] for k in sorted(cnt)],
+                               dtype="int64"),
+    })
+
+
+def test_triangles_driver_matches_brute_force():
+    from cpg_ray.functions.graphalgo import triangle_count
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(4, 50))
+        m = int(rng.integers(0, n * 4))
+        e = pd.DataFrame({
+            "src": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+            "dst": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+        })
+        got = triangle_count(
+            rd.from_pandas(e), mode="driver"
+        ).to_pandas().reset_index(drop=True)
+        want = _brute_triangles(e)
+        if want.empty:
+            assert got.empty, f"trial {trial}"
+        else:
+            assert got.equals(want), f"trial {trial}"
+
+
+def test_triangles_modes_agree_and_skew_hub():
+    """Shuffle plan (orientation + wedge fan-out + closure join) equals
+    the driver kernel — including on a Zipf-style hub graph where an
+    unoriented plan would blow up quadratically on the hub."""
+    from cpg_ray.functions.graphalgo import triangle_count
+
+    edges = _rand_edges(60, 500, seed=23)
+    # hub: one node connected to everyone, plus a ring closing triangles
+    hub = pd.DataFrame({
+        "src": ["hub"] * 40 + [f"r{i}" for i in range(40)],
+        "dst": [f"r{i}" for i in range(40)]
+        + [f"r{(i + 1) % 40}" for i in range(40)],
+    })
+    for e in (edges, hub):
+        ds = rd.from_pandas(e)
+        a = triangle_count(ds, mode="driver").to_pandas().reset_index(
+            drop=True)
+        b = triangle_count(ds, mode="shuffle").to_pandas().reset_index(
+            drop=True)
+        b["triangles"] = b["triangles"].astype("int64")
+        assert a.equals(b)
+    # the hub graph's closure: every ring edge forms one triangle with
+    # the hub → each ring node is in 2 triangles, hub in 40
+    got = triangle_count(rd.from_pandas(hub), mode="driver").to_pandas()
+    assert int(got.set_index("entity").loc["hub", "triangles"]) == 40
+    assert (got.set_index("entity").drop("hub")["triangles"] == 2).all()
+
+
+def test_triangles_guard_degrades_and_wedge_limit():
+    from cpg_ray.functions.graphalgo import triangle_count
+
+    edges = rd.from_pandas(_rand_edges(30, 200, seed=5))
+    with pytest.raises(GuardExceeded):
+        triangle_count(edges, mode="driver", driver_edge_limit=10)
+    auto = triangle_count(
+        edges, mode="auto", driver_edge_limit=10
+    ).to_pandas().reset_index(drop=True)
+    full = triangle_count(edges, mode="driver").to_pandas().reset_index(
+        drop=True)
+    auto["triangles"] = auto["triangles"].astype("int64")
+    assert auto.equals(full)
+    with pytest.raises(GuardExceeded):
+        triangle_count(edges, mode="driver", wedge_limit=1)
