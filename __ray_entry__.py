@@ -801,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_triangles_mention": _kg_triangles_mention,
+        "q_doc_tfidf": q.q_doc_tfidf,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,

@@ -261,3 +261,101 @@ def contamination_counts(ds, bench_grams_ref, *, n: int = 8,
                              "n_contaminated": counts})
 
     return ds.map_batches(count, batch_format="pandas")
+
+
+def _tf_frame(b: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """(doc, token) term frequencies for one batch — vectorized
+    explode + groupby, token contract identical to the q_doc_top_tokens
+    oracle (``regexp_extract_all(lower(text), '[a-z0-9_]+')``)."""
+    toks = b[text_col].str.lower().str.findall("[a-z0-9_]+")
+    e = toks.explode().dropna()
+    if e.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype=object),
+                             "tok": pd.Series([], dtype=object),
+                             "tf": pd.Series([], dtype="int64")})
+    d = pd.DataFrame({id_col: b[id_col].reindex(e.index).values,
+                      "tok": e.values})
+    return (d.groupby([id_col, "tok"], sort=False).size()
+            .reset_index(name="tf"))
+
+
+def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, mode: str = "auto", ndigits: int = 6,
+               driver_term_limit: int = 5_000_000):
+    """Corpus TF-IDF with per-document top-k terms — the feature-
+    weighting step of a training-data pipeline (topic tagging, quality
+    clustering, near-dup grouping by salient terms).
+
+    Two passes over the corpus, both combiner-shaped:
+      1. per-batch (doc, tok, tf) → tok document-frequency partials →
+         one small groupby (the vocabulary, not the corpus, shuffles);
+      2. broadcast the idf table once (``ray.put``), re-derive tf per
+         batch and take the per-doc top-k INSIDE the batch (a document
+         never straddles batches, so no second shuffle at all).
+    mode="join" (and the auto degradation past ``driver_term_limit``
+    vocabulary terms) swaps pass 2's broadcast for tf ⋈ idf hash join +
+    grouped_topk — the huge-vocabulary path.  score = tf · ln(N/df),
+    rounded to ``ndigits`` (matches the DuckDB oracle's round())."""
+    import ray
+
+    from .relational import (
+        GuardExceeded,
+        bcast_get,
+        groupby_agg,
+        grouped_topk,
+        hash_join,
+    )
+
+    if mode not in ("broadcast", "join", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    n_docs = docs_ds.count()
+    tf_rows = docs_ds.map_batches(
+        lambda b: _tf_frame(b, id_col, text_col), batch_format="pandas")
+    dfreq = groupby_agg(tf_rows, ["tok"], [("tok", "count", "dfreq")])
+
+    if mode in ("broadcast", "auto"):
+        try:
+            idf: pd.Series | None = None
+            total = 0
+            for b in dfreq.iter_batches(batch_format="pandas"):
+                total += len(b)
+                if total > driver_term_limit:
+                    raise GuardExceeded(
+                        f"tfidf_topk: vocabulary > {driver_term_limit} "
+                        "terms; use mode='join'")
+                part = pd.Series(
+                    np.log(n_docs / b["dfreq"].to_numpy(np.float64)),
+                    index=b["tok"])
+                idf = part if idf is None else pd.concat([idf, part])
+            if idf is None:
+                idf = pd.Series([], dtype="float64")
+            ref = ray.put(idf)
+
+            def score(b: pd.DataFrame) -> pd.DataFrame:
+                t = _tf_frame(b, id_col, text_col)
+                # rank on the RAW score (the oracle's row_number does),
+                # round only the output column
+                t["__s"] = t["tf"] * t["tok"].map(bcast_get(ref))
+                t = (t.sort_values(["__s", "tok"],
+                                   ascending=[False, True],
+                                   kind="mergesort")
+                     .groupby(id_col, sort=False).head(k))
+                t["tfidf"] = t.pop("__s").round(ndigits)
+                return t
+
+            return docs_ds.map_batches(score, batch_format="pandas")
+        except GuardExceeded:
+            if mode == "broadcast":
+                raise
+    scored = hash_join(tf_rows, dfreq.materialize(), on="tok").map_batches(
+        lambda b: b.assign(__s=(
+            b["tf"] * np.log(n_docs / b["dfreq"].to_numpy(np.float64))
+        ))[[id_col, "tok", "tf", "__s"]],
+        batch_format="pandas",
+    )
+    top = grouped_topk(scored, [id_col], "__s", k, descending=True,
+                       tie_break="tok")
+    return top.map_batches(
+        lambda b: b.assign(tfidf=b.pop("__s").round(ndigits)),
+        batch_format="pandas",
+    )

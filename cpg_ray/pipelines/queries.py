@@ -456,6 +456,20 @@ def q_doc_top_tokens(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_doc_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Corpus TF-IDF, top-3 salient terms per document (two combiner
+    passes + one broadcast idf table; the huge-vocab join path is
+    pinned equivalent in test_functions)."""
+    from ..functions.text import tfidf_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = tfidf_topk(docs, k=3).to_pandas()
+    df["tf"] = df["tf"].astype("int64")
+    return df.sort_values(
+        ["doc_id", "tfidf", "tok"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: every 50th document plays the held-out
     evaluation set; the remaining corpus counts, per document, its
@@ -1395,6 +1409,32 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
         ORDER BY a, b
+    """,
+    "q_doc_tfidf": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+               FROM toks GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS dfreq
+                  FROM toks GROUP BY tok),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf,
+                   tf.tf * ln((SELECT n FROM n)::DOUBLE / dfreq.dfreq) AS s
+            FROM tf JOIN dfreq USING (tok)
+        ),
+        ranked AS (
+            SELECT doc_id, tok, tf, s,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, tok) AS rk
+            FROM scored
+        )
+        SELECT doc_id, tok, tf, round(s, 6) AS tfidf
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, tfidf DESC, tok
     """,
     "q_doc_top_tokens": """
         SELECT tok, count(*)::BIGINT AS n

@@ -459,3 +459,52 @@ def test_ngram_jaccard_pairs_exact_vs_quadratic():
         ds, n=8, threshold=0.5, max_doc_freq=1
     ).to_pandas()
     assert len(capped) == 0  # freq=1 grams can never be shared
+
+
+def test_tfidf_topk_modes_agree_and_guard():
+    """Broadcast and join TF-IDF paths produce identical top-k rows;
+    mode='auto' degrades to the join past the vocabulary guard with the
+    same result; scores match a direct numpy computation."""
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import GuardExceeded
+    from cpg_ray.functions.text import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(8)],
+        "text": [
+            "apple banana apple cherry",
+            "banana banana cherry dog",
+            "dog emu dog emu fig",
+            "fig grape apple fig fig",
+            "grape grape banana emu",
+            "cherry dog apple grape",
+            "emu fig cherry banana dog",
+            "apple apple apple grape emu",
+        ],
+    })
+    ds = rd.from_pandas(docs)
+
+    def norm(df):
+        return (df.sort_values(["doc_id", "tfidf", "tok"],
+                               ascending=[True, False, True])
+                .reset_index(drop=True)[["doc_id", "tok", "tf", "tfidf"]]
+                .astype({"tf": "int64"}))
+
+    a = norm(tfidf_topk(ds, k=2, mode="broadcast").to_pandas())
+    b = norm(tfidf_topk(ds, k=2, mode="join").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    c = norm(tfidf_topk(ds, k=2, mode="auto",
+                        driver_term_limit=3).to_pandas())
+    pd.testing.assert_frame_equal(a, c)
+    with pytest.raises(GuardExceeded):
+        tfidf_topk(ds, k=2, mode="broadcast", driver_term_limit=3)
+
+    # direct check on one doc: d7 = apple x3, grape, emu (8 docs total)
+    tf = {"apple": 3, "grape": 1, "emu": 1}
+    dfreq = {"apple": 4, "grape": 4, "emu": 4}
+    want = {t: tf[t] * np.log(8 / dfreq[t]) for t in tf}
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    got = a[a.doc_id == "d7"]
+    assert list(got.tok) == [t for t, _ in top]
+    assert np.allclose(got.tfidf, [round(s, 6) for _, s in top])
