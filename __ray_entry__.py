@@ -699,19 +699,18 @@ def _kg_triangles(sf_dir: str):
     return df.reset_index(drop=True)
 
 
-def _kg_triangles_mention(sf_dir: str):
-    """Triangles over the CO-MENTION graph (entities appearing on the
-    same page) — much denser than the subj→obj graph, so the closure
-    path is exercised for real.  Pair fan-out per url is bucketed
-    map_groups (pages mention a handful of entities, so per-url pairs
-    are tiny; the bucket groupby is one bounded exchange)."""
+def _comention_edges(sf_dir: str):
+    """Co-mention edges (a < b): entities appearing on the same page.
+    Pair fan-out per url is bucketed map_groups (pages mention a
+    handful of entities, so per-url pairs are tiny; the bucket groupby
+    is one bounded exchange)."""
     import glob
 
     import numpy as np
     import pandas as pd
     import ray.data as rd
 
-    from cpg_ray.functions.graphalgo import _pair_ranges, triangle_count
+    from cpg_ray.functions.graphalgo import _pair_ranges
     from cpg_ray.functions.relational import default_n_buckets, distinct_on
 
     out_dir = _ensure_graph(sf_dir, "mixed")
@@ -741,13 +740,34 @@ def _kg_triangles_mention(sf_dir: str):
         first, second = _pair_ranges(sizes)
         return pd.DataFrame({"a": e[first], "b": e[second]})
 
-    edges = men.map_batches(
+    return men.map_batches(
         lambda b: b.assign(__bk=pd.util.hash_array(
             b["url"].to_numpy(dtype=object)) % nb),
         batch_format="pandas",
     ).groupby("__bk").map_groups(pairs, batch_format="pandas")
-    df = triangle_count(edges, src="a", dst="b").to_pandas()
+
+
+def _kg_triangles_mention(sf_dir: str):
+    """Triangles over the CO-MENTION graph (entities appearing on the
+    same page) — much denser than the subj→obj graph, so the closure
+    path is exercised for real."""
+    from cpg_ray.functions.graphalgo import triangle_count
+
+    df = triangle_count(
+        _comention_edges(sf_dir), src="a", dst="b").to_pandas()
     df["triangles"] = df["triangles"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def _kg_kcore(sf_dir: str):
+    """Bounded-round 3-core peel over the co-mention graph (survivors
+    + degree within the surviving subgraph + converged flag; the
+    oracle unrolls the identical peel rounds as literal CTEs)."""
+    from cpg_ray.functions.graphalgo import k_core
+
+    df = k_core(_comention_edges(sf_dir), src="a", dst="b", k=3,
+                rounds=6).to_pandas()
+    df["deg"] = df["deg"].astype("int64")
     return df.reset_index(drop=True)
 
 
@@ -801,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_triangles_mention": _kg_triangles_mention,
+        "kg_kcore": _kg_kcore,
         "q_doc_tfidf": q.q_doc_tfidf,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
@@ -879,6 +900,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _KG_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _kcore_oracle_sql(triples_glob: str, *, k: int, rounds: int) -> str:
+    """Generated-SQL oracle for the bounded-round k-core peel over the
+    co-mention graph: each peel round is a LITERAL CTE (r1..rN join the
+    previous survivor set on both edge endpoints and keep degree ≥ k),
+    so DuckDB executes the identical iteration count — no recursion,
+    no correlated subqueries (a recursive CTE may reference itself only
+    once per branch, which the two-endpoint join needs twice)."""
+    peel = []
+    for i in range(1, rounds + 2):  # one extra round for `converged`
+        peel.append(f"""
+            r{i} AS (SELECT u.src AS node FROM und u
+                     JOIN r{i - 1} x ON x.node = u.src
+                     JOIN r{i - 1} y ON y.node = u.dst
+                     GROUP BY u.src HAVING count(*) >= {k})""")
+    return f"""
+        WITH men AS (
+            SELECT DISTINCT url, canonical_subj AS e
+            FROM read_parquet('{triples_glob}')
+            UNION
+            SELECT DISTINCT url, canonical_obj AS e
+            FROM read_parquet('{triples_glob}')
+        ),
+        pairs AS (SELECT DISTINCT m1.e AS a, m2.e AS b
+                  FROM men m1
+                  JOIN men m2 ON m1.url = m2.url AND m1.e < m2.e),
+        und AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+        r0 AS (SELECT DISTINCT src AS node FROM und),
+        {",".join(peel)},
+        deg AS (SELECT u.src AS entity, count(*)::BIGINT AS deg
+                FROM und u
+                JOIN r{rounds} x ON x.node = u.src
+                JOIN r{rounds} y ON y.node = u.dst
+                GROUP BY u.src),
+        conv AS (SELECT (SELECT count(*) FROM r{rounds})
+                      = (SELECT count(*) FROM r{rounds + 1}) AS converged)
+        SELECT r.node AS entity, coalesce(d.deg, 0)::BIGINT AS deg,
+               (SELECT converged FROM conv) AS converged
+        FROM r{rounds} r LEFT JOIN deg d ON d.entity = r.node
+        ORDER BY entity
+    """
 
 
 def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
@@ -1365,6 +1429,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             SELECT entity, count(*)::BIGINT AS triangles
             FROM corners GROUP BY entity ORDER BY entity
         """,
+        "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
         "kg_triangles_mention": f"""
             WITH men AS (
                 SELECT DISTINCT url, canonical_subj AS e

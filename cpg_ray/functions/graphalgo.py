@@ -508,3 +508,132 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
             if mode == "driver":
                 raise
     return _triangles_shuffle(edges_ds, src, dst)
+
+
+# ---- k-core ------------------------------------------------------------
+
+
+def _kcore_driver(edges: pd.DataFrame, src: str, dst: str, *, k: int,
+                  rounds: int) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "deg": pd.Series([], dtype="int64"),
+                             "converged": pd.Series([], dtype=bool)})
+    keep = s_i != d_i
+    lo = np.minimum(s_i[keep], d_i[keep])
+    hi = np.maximum(s_i[keep], d_i[keep])
+    ukey = np.unique(lo * n + hi)
+    u_s = np.concatenate([ukey // n, ukey % n])  # symmetric halves
+    u_d = np.concatenate([ukey % n, ukey // n])
+    alive = np.ones(n, bool)
+
+    def degrees() -> np.ndarray:
+        live = alive[u_s] & alive[u_d]
+        return np.bincount(u_s[live], minlength=n).astype(np.int64)
+
+    for _ in range(rounds):
+        alive = degrees() >= k
+    deg = degrees()
+    converged = bool((deg[alive] >= k).all())
+    idx = np.flatnonzero(alive)
+    out = pd.DataFrame({"entity": nodes[idx], "deg": deg[idx],
+                        "converged": converged})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _kcore_shuffle(edges_ds, src: str, dst: str, *, k: int, rounds: int):
+    """Dataset-native peel: each round is alive ⋈ symmetric edges ⋈
+    alive → pre-combined degree groupby → filter ≥ k.  ``rounds``
+    bounded exchanges, alive only shrinks."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    und = distinct_on(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame({
+                "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+                "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+            }).loc[lambda d: d["__src"] != d["__dst"]],
+            batch_format="pandas"),
+        ["__src", "__dst"],
+    ).materialize()
+    alive = distinct_on(
+        und.map_batches(lambda b: pd.DataFrame({"node": b["__src"]}),
+                        batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    if alive.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "deg": pd.Series([], dtype="int64"),
+             "converged": pd.Series([], dtype=bool)}))
+
+    def live_degrees(alive_ds):
+        e1 = hash_join(und, alive_ds, on="__src", right_on="node")
+        e2 = hash_join(e1.materialize(), alive_ds, on="__dst",
+                       right_on="node")
+        return groupby_agg(
+            e2.map_batches(lambda b: b[["__src"]], batch_format="pandas"),
+            ["__src"], [("__src", "count", "deg")],
+        ).materialize()
+
+    for _ in range(rounds):
+        degs = live_degrees(alive)
+        alive = degs.map_batches(
+            lambda b: b[b["deg"] >= k][["__src"]].rename(
+                columns={"__src": "node"}),
+            batch_format="pandas",
+        ).materialize()
+        if alive.count() == 0:
+            return rd.from_pandas(pd.DataFrame(
+                {"entity": pd.Series([], dtype=object),
+                 "deg": pd.Series([], dtype="int64"),
+                 "converged": pd.Series([], dtype=bool)}))
+    degs = live_degrees(alive)
+    # nodes can drop to degree 0 among survivors — they are still
+    # alive this round; left join keeps them with deg 0
+    final = hash_join(alive, degs, on="node", right_on="__src",
+                      how="left_outer").map_batches(
+        lambda b: pd.DataFrame({
+            "entity": b["node"],
+            "deg": b["deg"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    conv = bool(final.map_batches(
+        lambda b: pd.DataFrame({"m": [bool((b["deg"] >= k).all())]}),
+        batch_format="pandas",
+    ).to_pandas()["m"].all())
+    return final.map_batches(
+        lambda b: b.assign(converged=conv), batch_format="pandas",
+    ).sort("entity")
+
+
+def k_core(edges_ds, *, src: str = "src", dst: str = "dst", k: int = 2,
+           rounds: int = 8, mode: str = "auto",
+           driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Bounded-round k-core peel over the undirected distinct view of
+    (src, dst), self-loops dropped: ``rounds`` times, drop every node
+    whose degree among surviving nodes is < k.  Returns survivors as
+    (entity, deg int64 — degree within the surviving subgraph,
+    converged bool — whether every survivor already meets the k bar,
+    i.e. a further round would change nothing).  Exact k-core wherever
+    the peel depth ≤ rounds — same bounded-exchange contract as
+    :func:`label_components`."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _kcore_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, k=k, rounds=rounds)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _kcore_shuffle(edges_ds, src, dst, k=k, rounds=rounds)

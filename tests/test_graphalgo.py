@@ -243,3 +243,74 @@ def test_triangles_guard_degrades_and_wedge_limit():
     assert auto.equals(full)
     with pytest.raises(GuardExceeded):
         triangle_count(edges, mode="driver", wedge_limit=1)
+
+
+# ---- k-core ------------------------------------------------------------
+
+
+def _brute_kcore(edges: pd.DataFrame, k: int, rounds: int) -> pd.DataFrame:
+    und = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    alive = {x for e in und for x in e}
+
+    def degs():
+        d: dict[str, int] = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                d[a] = d.get(a, 0) + 1
+                d[b] = d.get(b, 0) + 1
+        return d
+
+    for _ in range(rounds):
+        dd = degs()
+        alive = {x for x in alive if dd.get(x, 0) >= k}
+    dd = degs()
+    conv = all(dd.get(x, 0) >= k for x in alive)
+    rows = sorted(alive)
+    return pd.DataFrame({
+        "entity": pd.Series(rows, dtype=object),
+        "deg": pd.Series([dd.get(x, 0) for x in rows], dtype="int64"),
+        "converged": conv,
+    })
+
+
+def test_kcore_driver_matches_brute_force():
+    from cpg_ray.functions.graphalgo import k_core
+
+    rng = np.random.default_rng(3)
+    for t in range(8):
+        n = int(rng.integers(4, 40))
+        m = int(rng.integers(0, n * 3))
+        e = pd.DataFrame({
+            "src": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+            "dst": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+        })
+        for kk, r in ((2, 1), (2, 8), (3, 3)):
+            got = k_core(rd.from_pandas(e), k=kk, rounds=r,
+                         mode="driver").to_pandas().reset_index(drop=True)
+            want = _brute_kcore(e, kk, r)
+            if want.empty:
+                assert got.empty
+            else:
+                assert got.equals(want), f"trial {t} k={kk} r={r}"
+
+
+def test_kcore_modes_agree_and_guard():
+    from cpg_ray.functions.graphalgo import k_core
+
+    e = _rand_edges(50, 300, seed=5)
+    ds = rd.from_pandas(e)
+    a = k_core(ds, k=3, rounds=4, mode="driver").to_pandas().reset_index(
+        drop=True)
+    b = k_core(ds, k=3, rounds=4, mode="shuffle").to_pandas().reset_index(
+        drop=True)
+    b["deg"] = b["deg"].astype("int64")
+    assert a.equals(b)
+    with pytest.raises(GuardExceeded):
+        k_core(ds, mode="driver", driver_edge_limit=10)
+    auto = k_core(ds, k=3, rounds=4, mode="auto",
+                  driver_edge_limit=10).to_pandas().reset_index(drop=True)
+    auto["deg"] = auto["deg"].astype("int64")
+    assert auto.equals(a)
