@@ -701,3 +701,51 @@ def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
         return driver_finish(cand_ds)
     except GuardExceeded:
         return shuffle_finish(cand_ds)
+
+
+def hash_sample(ds, id_col: str, *, rate: float | None = None,
+                rates: dict | None = None, group_col: str | None = None,
+                digits: int = 4):
+    """Deterministic content-hash sampling: keep a row iff the first
+    ``digits`` hex chars of md5(str(id)) sort below the rate's cutoff.
+
+    This is the reproducible down-sampling step of a web-corpus
+    pipeline (per-language / per-domain rate schedules): the keep
+    decision is a pure function of the row id, so re-runs, resumed
+    shards and OTHER ENGINES select the identical rows — the DuckDB
+    oracle is ``substr(md5(id::VARCHAR), 1, 4) < '<cutoff>'`` (fixed-
+    width lowercase hex compares as the number).  Contrast
+    ``Dataset.random_sample``, which is seed-stable only within a Ray
+    version (q_sample_events stays rows-only for exactly that reason).
+
+    ``rates`` maps ``group_col`` values to per-group rates (missing
+    groups fall back to ``rate``; rate=None keeps nothing).  Rate r
+    maps to cutoff ``int(r * 16**digits)`` — granularity 1/16^digits.
+    md5 per row is a C-call loop (~1 µs/row); it is the price of the
+    cross-engine contract (pd.util.hash_array is not portable SQL).
+    One stateless map_batches pass, no shuffle, no RNG state."""
+    import hashlib
+
+    if rates is not None and group_col is None:
+        raise ValueError("rates= requires group_col=")
+    span = 16 ** digits
+
+    def cutoff(r: float | None) -> str:
+        return format(int((r or 0.0) * span), f"0{digits}x")
+
+    base_cut = cutoff(rate)
+    cuts = {k: cutoff(v) for k, v in (rates or {}).items()}
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([
+            hashlib.md5(s.encode()).hexdigest()[:digits]
+            for s in b[id_col].astype(str)
+        ], dtype=object)
+        if rates is None:
+            lim = np.full(len(b), base_cut, dtype=object)
+        else:
+            lim = b[group_col].map(cuts).fillna(base_cut).to_numpy(
+                dtype=object)
+        return b[h < lim]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -854,6 +854,20 @@ def q_sample_events(sf_dir: str) -> pd.DataFrame:
     return samp.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language hash sampling (en 50%, de 25%,
+    others 10%) — reproducible on any engine, unlike random_sample
+    (q_sample_events)."""
+    from ..functions.relational import hash_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    df = hash_sample(
+        docs, "doc_id", rate=0.1, group_col="lang",
+        rates={"en": 0.5, "de": 0.25},
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
     """Same sessionization answered by the STATEFUL streaming operator
     (actor-held open sessions across ordered batches) — must agree with
@@ -1409,6 +1423,15 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
         ORDER BY a, b
+    """,
+    "q_doc_sample_hash": """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000'
+                        WHEN 'de' THEN '4000'
+                        ELSE '1999' END
+        ORDER BY doc_id
     """,
     "q_doc_tfidf": """
         WITH toks AS (

@@ -508,3 +508,43 @@ def test_tfidf_topk_modes_agree_and_guard():
     got = a[a.doc_id == "d7"]
     assert list(got.tok) == [t for t, _ in top]
     assert np.allclose(got.tfidf, [round(s, 6) for _, s in top])
+
+
+def test_hash_sample_deterministic_and_rate_monotone():
+    """hash_sample keeps the exact md5-prefix rule rows (hand-checked),
+    is idempotent across runs, nests monotonically in the rate, and
+    applies per-group rates."""
+    import hashlib
+
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import hash_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "lang": ["en", "de", "fr", "sv"] * 500,
+    })
+    ds = rd.from_pandas(df)
+    a = hash_sample(ds, "doc_id", rate=0.2).to_pandas()
+    b = hash_sample(rd.from_pandas(df), "doc_id", rate=0.2).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    # exact rule
+    want = {i for i in range(2000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:4]
+            < format(int(0.2 * 65536), "04x")}
+    assert set(a.doc_id) == want
+    assert abs(len(a) / 2000 - 0.2) < 0.05
+    # monotone nesting: the 10% sample is a subset of the 20% one
+    small = hash_sample(rd.from_pandas(df), "doc_id", rate=0.1).to_pandas()
+    assert set(small.doc_id) <= set(a.doc_id)
+    # per-group rates
+    g = hash_sample(rd.from_pandas(df), "doc_id", rate=0.05,
+                    group_col="lang", rates={"en": 0.6}).to_pandas()
+    en = g[g.lang == "en"]
+    rest = g[g.lang != "en"]
+    assert len(en) > len(rest)
+    assert abs(len(en) / 500 - 0.6) < 0.1
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id", rates={"en": 0.5})
