@@ -359,3 +359,115 @@ def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         lambda b: b.assign(tfidf=b.pop("__s").round(ndigits)),
         batch_format="pandas",
     )
+
+
+def bm25_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+              k: int = 3, k1: float = 1.2, b: float = 0.75,
+              mode: str = "auto", ndigits: int = 6,
+              driver_term_limit: int = 5_000_000):
+    """Per-document top-k BM25 terms (Robertson idf with the Lucene +1
+    floor) — the ranking-grade salience sibling of :func:`tfidf_topk`,
+    same two combiner passes plus two exact scalars (N and
+    sum(dl)/count(dl); avgdl is derived from INTEGER sums so any SQL
+    engine computes the bit-identical double — an AVG() aggregate's
+    accumulation order would not be portable).
+
+      idf_t  = ln((N - df + 0.5) / (df + 0.5) + 1)
+      score  = idf_t * (tf*(k1+1)) / (tf + k1*(1 - b + (b*dl)/avgdl))
+
+    The expression is parenthesized IDENTICALLY in the DuckDB oracle —
+    IEEE doubles then agree exactly; ranking uses the raw score,
+    rounding only the output column."""
+    import ray
+
+    from .relational import (
+        GuardExceeded,
+        bcast_get,
+        groupby_agg,
+        grouped_topk,
+        hash_join,
+    )
+
+    if mode not in ("broadcast", "join", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    n_docs = docs_ds.count()
+
+    def tf_dl(batch: pd.DataFrame) -> pd.DataFrame:
+        t = _tf_frame(batch, id_col, text_col)
+        t["dl"] = t.groupby(id_col, sort=False)["tf"].transform("sum")
+        return t
+
+    tf_rows = docs_ds.map_batches(tf_dl, batch_format="pandas")
+    dfreq = groupby_agg(tf_rows, ["tok"], [("tok", "count", "dfreq")])
+    # exact scalars: one partial row per batch, integer-summed
+    parts = docs_ds.map_batches(
+        lambda batch: (lambda t: pd.DataFrame({
+            "s": [int(t["tf"].sum())],
+            "c": [t[id_col].nunique()],
+        }))(_tf_frame(batch, id_col, text_col)),
+        batch_format="pandas",
+    ).to_pandas()
+    dl_sum, dl_cnt = int(parts["s"].sum()), int(parts["c"].sum())
+    if dl_cnt == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {id_col: pd.Series([], dtype=object),
+             "tok": pd.Series([], dtype=object),
+             "tf": pd.Series([], dtype="int64"),
+             "bm25": pd.Series([], dtype="float64")}))
+    avgdl = dl_sum / dl_cnt
+
+    def score_of(tf, df_t, dl):
+        idf = np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        return idf * ((tf * (k1 + 1))
+                      / (tf + k1 * (1 - b + (b * dl) / avgdl)))
+
+    if mode in ("broadcast", "auto"):
+        try:
+            dfv: pd.Series | None = None
+            total = 0
+            for part in dfreq.iter_batches(batch_format="pandas"):
+                total += len(part)
+                if total > driver_term_limit:
+                    raise GuardExceeded(
+                        f"bm25_topk: vocabulary > {driver_term_limit} "
+                        "terms; use mode='join'")
+                s = pd.Series(part["dfreq"].to_numpy(np.float64),
+                              index=part["tok"])
+                dfv = s if dfv is None else pd.concat([dfv, s])
+            if dfv is None:
+                dfv = pd.Series([], dtype="float64")
+            ref = ray.put(dfv)
+
+            def score(batch: pd.DataFrame) -> pd.DataFrame:
+                t = tf_dl(batch)
+                t["__s"] = score_of(
+                    t["tf"].to_numpy(np.float64),
+                    t["tok"].map(bcast_get(ref)).to_numpy(np.float64),
+                    t["dl"].to_numpy(np.float64))
+                t = (t.sort_values(["__s", "tok"],
+                                   ascending=[False, True],
+                                   kind="mergesort")
+                     .groupby(id_col, sort=False).head(k))
+                t["bm25"] = t.pop("__s").round(ndigits)
+                return t.drop(columns=["dl"])
+
+            return docs_ds.map_batches(score, batch_format="pandas")
+        except GuardExceeded:
+            if mode == "broadcast":
+                raise
+    scored = hash_join(tf_rows, dfreq.materialize(), on="tok").map_batches(
+        lambda part: part.assign(__s=score_of(
+            part["tf"].to_numpy(np.float64),
+            part["dfreq"].to_numpy(np.float64),
+            part["dl"].to_numpy(np.float64),
+        ))[[id_col, "tok", "tf", "__s"]],
+        batch_format="pandas",
+    )
+    top = grouped_topk(scored, [id_col], "__s", k, descending=True,
+                       tie_break="tok")
+    return top.map_batches(
+        lambda part: part.assign(bm25=part.pop("__s").round(ndigits)),
+        batch_format="pandas",
+    )

@@ -470,6 +470,20 @@ def q_doc_tfidf(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_doc_bm25(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 BM25 terms (Robertson idf, Lucene +1 floor;
+    avgdl from exact integer sums so the oracle's doubles are
+    bit-identical)."""
+    from ..functions.text import bm25_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = bm25_topk(docs, k=3).to_pandas()
+    df["tf"] = df["tf"].astype("int64")
+    return df.sort_values(
+        ["doc_id", "bm25", "tok"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: every 50th document plays the held-out
     evaluation set; the remaining corpus counts, per document, its
@@ -1432,6 +1446,39 @@ ORACLE_SQL: dict[str, str] = {
                         WHEN 'de' THEN '4000'
                         ELSE '1999' END
         ORDER BY doc_id
+    """,
+    "q_doc_bm25": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+               FROM toks GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+               FROM toks GROUP BY doc_id),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS dfreq
+                  FROM toks GROUP BY tok),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf,
+                   ln(((SELECT n FROM n) - dfreq.dfreq + 0.5)
+                      / (dfreq.dfreq + 0.5) + 1)
+                   * ((tf.tf * (1.2 + 1))
+                      / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl)
+                                        / (SELECT avgdl FROM ad)))) AS s
+            FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        ),
+        ranked AS (
+            SELECT doc_id, tok, tf, s,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, tok) AS rk
+            FROM scored
+        )
+        SELECT doc_id, tok, tf, round(s, 6) AS bm25
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, bm25 DESC, tok
     """,
     "q_doc_tfidf": """
         WITH toks AS (

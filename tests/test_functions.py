@@ -548,3 +548,47 @@ def test_hash_sample_deterministic_and_rate_monotone():
     assert abs(len(en) / 500 - 0.6) < 0.1
     with pytest.raises(ValueError):
         hash_sample(ds, "doc_id", rates={"en": 0.5})
+
+
+def test_bm25_topk_modes_agree():
+    """Broadcast and join BM25 paths produce identical rows; auto
+    degrades past the vocabulary guard; a hand-computed score checks
+    the Robertson-idf formula."""
+    import ray.data as rd
+
+    from cpg_ray.functions.text import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(6)],
+        "text": [
+            "apple banana apple",
+            "banana cherry banana dog banana",
+            "dog emu dog",
+            "emu fig apple apple fig",
+            "grape cherry dog grape",
+            "fig grape emu cherry",
+        ],
+    })
+    ds = rd.from_pandas(docs)
+
+    def norm(df):
+        return (df.sort_values(["doc_id", "bm25", "tok"],
+                               ascending=[True, False, True])
+                .reset_index(drop=True)[["doc_id", "tok", "tf", "bm25"]]
+                .astype({"tf": "int64"}))
+
+    a = norm(bm25_topk(ds, k=2, mode="broadcast").to_pandas())
+    b = norm(bm25_topk(ds, k=2, mode="join").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    c = norm(bm25_topk(ds, k=2, mode="auto",
+                       driver_term_limit=2).to_pandas())
+    pd.testing.assert_frame_equal(a, c)
+
+    # hand check one cell: d0/apple — tf=2, df(apple)=2, N=6, dl=3,
+    # avgdl = (3+5+3+5+4+4)/6 = 24/6
+    n, df_t, tf, dl, avgdl, k1, bb = 6, 2, 2.0, 3.0, 24 / 6, 1.2, 0.75
+    idf = np.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+    want = idf * ((tf * (k1 + 1))
+                  / (tf + k1 * (1 - bb + (bb * dl) / avgdl)))
+    got = a[(a.doc_id == "d0") & (a.tok == "apple")].bm25.iloc[0]
+    assert abs(got - round(want, 6)) < 1e-12
