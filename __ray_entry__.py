@@ -824,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         "q_doc_tfidf": q.q_doc_tfidf,
         "q_doc_bm25": q.q_doc_bm25,
+        "q_doc_bm25_search": q.q_doc_bm25_search,
         "q_doc_sample_hash": q.q_doc_sample_hash,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,

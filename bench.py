@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q_doc_gopher",
     "q_doc_top_tokens",
     "q_orders_priority_leftjoin",
+    "q_doc_tfidf",
+    "q_doc_bm25",
+    "q_doc_sample_hash",
 ]
 
 

@@ -471,3 +471,86 @@ def bm25_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         lambda part: part.assign(bm25=part.pop("__s").round(ndigits)),
         batch_format="pandas",
     )
+
+
+def bm25_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
+                text_col: str = "text", top_n: int = 10, k1: float = 1.2,
+                b: float = 0.75, ndigits: int = 6):
+    """BM25 retrieval: score every document against a small set of
+    queries, return the top-n docs per query — text-side similarity
+    search beside the vector kNN family.  ``queries`` maps qid →
+    query text (tokenized with the corpus contract).
+
+    Query term sets are tiny by definition, so document frequencies
+    are computed for query terms only (semi-filtered combiner) and the
+    (term → queries) table rides in the task closure — one stateless
+    scoring pass over the corpus, then one grouped top-n.  Ranking is
+    on the ROUNDED score with a doc-id tie-break: per-(doc, term)
+    scores are order-independent doubles, but their per-query SUM is
+    not (associativity), so both engines round to ``ndigits`` BEFORE
+    ranking to keep the top-n sets identical."""
+    from .relational import groupby_agg, grouped_topk
+
+    qtok = pd.DataFrame(
+        [(qid, tok) for qid, qtext in sorted(queries.items())
+         for tok in dict.fromkeys(
+             re.findall("[a-z0-9_]+", qtext.lower()))],
+        columns=["qid", "tok"],
+    )
+    qterms = frozenset(qtok["tok"])
+    n_docs = docs_ds.count()
+
+    def tf_dl_q(batch: pd.DataFrame) -> pd.DataFrame:
+        t = _tf_frame(batch, id_col, text_col)
+        t["dl"] = t.groupby(id_col, sort=False)["tf"].transform("sum")
+        return t[t["tok"].isin(qterms)]
+
+    tfq = docs_ds.map_batches(tf_dl_q, batch_format="pandas").materialize()
+    dfreq = groupby_agg(
+        tfq.map_batches(lambda t: t[[id_col, "tok"]],
+                        batch_format="pandas"),
+        ["tok"], [("tok", "count", "dfreq")],
+    ).to_pandas()
+    df_map = ({} if dfreq.empty else
+              dict(zip(dfreq["tok"], dfreq["dfreq"].astype(float))))
+    parts = docs_ds.map_batches(
+        lambda batch: (lambda t: pd.DataFrame({
+            "s": [int(t["tf"].sum())], "c": [t[id_col].nunique()],
+        }))(_tf_frame(batch, id_col, text_col)),
+        batch_format="pandas",
+    ).to_pandas()
+    dl_sum, dl_cnt = int(parts["s"].sum()), int(parts["c"].sum())
+    if dl_cnt == 0 or not df_map:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"qid": pd.Series([], dtype=object),
+             id_col: pd.Series([], dtype=object),
+             "score": pd.Series([], dtype="float64")}))
+    avgdl = dl_sum / dl_cnt
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        if t.empty:
+            # empty Arrow blocks can round-trip without object columns
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype="float64")})
+        tf = t["tf"].to_numpy(np.float64)
+        df_t = t["tok"].map(df_map).to_numpy(np.float64)
+        dl = t["dl"].to_numpy(np.float64)
+        idf = np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+        t = t.assign(w=idf * ((tf * (k1 + 1))
+                              / (tf + k1 * (1 - b + (b * dl) / avgdl))))
+        m = t.merge(qtok, on="tok")
+        s = m.groupby(["qid", id_col], sort=False)["w"].sum()
+        out = s.reset_index(name="score")
+        out["score"] = out["score"].round(ndigits)
+        return out
+
+    scored = tfq.map_batches(score, batch_format="pandas")
+    # per-(qid, doc) partials may span batches only if a doc straddles
+    # blocks — tf rows are built in-batch so they never do; still, the
+    # grouped top-n combiner is correct either way because scores are
+    # per-(qid, doc) complete rows here.
+    return grouped_topk(scored, ["qid"], "score", top_n,
+                        descending=True, tie_break=id_col)

@@ -483,6 +483,26 @@ def q_doc_bm25(sf_dir: str) -> pd.DataFrame:
         ["doc_id", "bm25", "tok"], ascending=[True, False, True]
     ).reset_index(drop=True)
 
+BM25_SEARCH_QUERIES = {
+    "qa": "hash join order",
+    "qb": "window sort merge",
+    "qc": "spark stream batch",
+}
+
+
+def q_doc_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval: top-10 documents per query (text-side similarity
+    search; ranking on the rounded score keeps the top-n sets identical
+    across engines despite sum-order float noise)."""
+    from ..functions.text import bm25_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = bm25_search(docs, BM25_SEARCH_QUERIES, top_n=10).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)[["qid", "doc_id", "score"]]
+
 
 def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: every 50th document plays the held-out
@@ -1446,6 +1466,43 @@ ORACLE_SQL: dict[str, str] = {
                         WHEN 'de' THEN '4000'
                         ELSE '1999' END
         ORDER BY doc_id
+    """,
+    "q_doc_bm25_search": """
+        WITH qt(qid, tok) AS (VALUES ('qa', 'hash'), ('qa', 'join'), ('qa', 'order'), ('qb', 'window'), ('qb', 'sort'), ('qb', 'merge'), ('qc', 'spark'), ('qc', 'stream'), ('qc', 'batch')),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+               FROM toks GROUP BY doc_id),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+               FROM toks WHERE tok IN (SELECT tok FROM qt)
+               GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS dfreq
+                  FROM toks WHERE tok IN (SELECT tok FROM qt)
+                  GROUP BY tok),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        w AS (
+            SELECT tf.doc_id, tf.tok,
+                   ln(((SELECT n FROM n) - dfreq.dfreq + 0.5)
+                      / (dfreq.dfreq + 0.5) + 1)
+                   * ((tf.tf * (1.2 + 1))
+                      / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl)
+                                        / (SELECT avgdl FROM ad)))) AS w
+            FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+        ),
+        s AS (SELECT qt.qid, w.doc_id, round(sum(w.w), 6) AS score
+              FROM w JOIN qt USING (tok) GROUP BY qt.qid, w.doc_id),
+        ranked AS (
+            SELECT qid, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+            FROM s
+        )
+        SELECT qid, doc_id, score FROM ranked WHERE rk <= 10
+        ORDER BY qid, score DESC, doc_id
     """,
     "q_doc_bm25": """
         WITH toks AS (

@@ -592,3 +592,26 @@ def test_bm25_topk_modes_agree():
                   / (tf + k1 * (1 - bb + (bb * dl) / avgdl)))
     got = a[(a.doc_id == "d0") & (a.tok == "apple")].bm25.iloc[0]
     assert abs(got - round(want, 6)) < 1e-12
+
+
+def test_bm25_search_ranks_relevant_doc_first():
+    import ray.data as rd
+
+    from cpg_ray.functions.text import bm25_search
+
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(20)],
+        "text": (["filler words only nothing relevant here"] * 19
+                 + ["stream batch stream batch window stream"]),
+    })
+    out = bm25_search(
+        rd.from_pandas(docs), {"q0": "stream batch"}, top_n=3
+    ).to_pandas().sort_values("score", ascending=False)
+    assert out.iloc[0][["qid", "doc_id"]].tolist() == ["q0", "d19"]
+    # only d19 contains any query term
+    assert len(out) == 1
+    # no matching terms anywhere -> empty result with stable schema
+    empty = bm25_search(
+        rd.from_pandas(docs), {"qz": "zzz qqq"}, top_n=3
+    ).to_pandas()
+    assert len(empty) == 0
