@@ -286,16 +286,17 @@ def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
     weighting step of a training-data pipeline (topic tagging, quality
     clustering, near-dup grouping by salient terms).
 
-    Two passes over the corpus, both combiner-shaped:
-      1. per-batch (doc, tok, tf) → tok document-frequency partials →
-         one small groupby (the vocabulary, not the corpus, shuffles);
-      2. broadcast the idf table once (``ray.put``), re-derive tf per
-         batch and take the per-doc top-k INSIDE the batch (a document
-         never straddles batches, so no second shuffle at all).
-    mode="join" (and the auto degradation past ``driver_term_limit``
-    vocabulary terms) swaps pass 2's broadcast for tf ⋈ idf hash join +
-    grouped_topk — the huge-vocabulary path.  score = tf · ln(N/df),
-    rounded to ``ndigits`` (matches the DuckDB oracle's round())."""
+    ONE tokenize pass over the corpus: the (doc, tok, tf) rows are
+    materialized once and feed both the document-frequency groupby
+    (the vocabulary, not the corpus, shuffles) and the scoring step —
+    broadcast the idf table once (``ray.put``) and take the per-doc
+    top-k INSIDE each block (batch_size=None keeps blocks whole, and a
+    document's rows are contiguous within the block that produced
+    them, so no second shuffle at all).  mode="join" (and the auto
+    degradation past ``driver_term_limit`` vocabulary terms) swaps the
+    broadcast for tf ⋈ idf hash join + grouped_topk — the
+    huge-vocabulary path.  score = tf · ln(N/df), rounded to
+    ``ndigits`` (matches the DuckDB oracle's round())."""
     import ray
 
     from .relational import (
@@ -310,7 +311,8 @@ def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError(f"unknown mode {mode!r}")
     n_docs = docs_ds.count()
     tf_rows = docs_ds.map_batches(
-        lambda b: _tf_frame(b, id_col, text_col), batch_format="pandas")
+        lambda b: _tf_frame(b, id_col, text_col),
+        batch_format="pandas").materialize()
     dfreq = groupby_agg(tf_rows, ["tok"], [("tok", "count", "dfreq")])
 
     if mode in ("broadcast", "auto"):
@@ -331,11 +333,16 @@ def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                 idf = pd.Series([], dtype="float64")
             ref = ray.put(idf)
 
-            def score(b: pd.DataFrame) -> pd.DataFrame:
-                t = _tf_frame(b, id_col, text_col)
+            def score(t: pd.DataFrame) -> pd.DataFrame:
+                if t.empty:
+                    return pd.DataFrame(
+                        {id_col: pd.Series([], dtype=object),
+                         "tok": pd.Series([], dtype=object),
+                         "tf": pd.Series([], dtype="int64"),
+                         "tfidf": pd.Series([], dtype="float64")})
                 # rank on the RAW score (the oracle's row_number does),
                 # round only the output column
-                t["__s"] = t["tf"] * t["tok"].map(bcast_get(ref))
+                t = t.assign(__s=t["tf"] * t["tok"].map(bcast_get(ref)))
                 t = (t.sort_values(["__s", "tok"],
                                    ascending=[False, True],
                                    kind="mergesort")
@@ -343,7 +350,8 @@ def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                 t["tfidf"] = t.pop("__s").round(ndigits)
                 return t
 
-            return docs_ds.map_batches(score, batch_format="pandas")
+            return tf_rows.map_batches(score, batch_format="pandas",
+                                       batch_size=None)
         except GuardExceeded:
             if mode == "broadcast":
                 raise
@@ -397,15 +405,18 @@ def bm25_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         t["dl"] = t.groupby(id_col, sort=False)["tf"].transform("sum")
         return t
 
-    tf_rows = docs_ds.map_batches(tf_dl, batch_format="pandas")
+    # ONE tokenize pass: the materialized tf rows feed the df groupby,
+    # the avgdl scalars, and the scoring step
+    tf_rows = docs_ds.map_batches(tf_dl,
+                                  batch_format="pandas").materialize()
     dfreq = groupby_agg(tf_rows, ["tok"], [("tok", "count", "dfreq")])
     # exact scalars: one partial row per batch, integer-summed
-    parts = docs_ds.map_batches(
-        lambda batch: (lambda t: pd.DataFrame({
-            "s": [int(t["tf"].sum())],
-            "c": [t[id_col].nunique()],
-        }))(_tf_frame(batch, id_col, text_col)),
-        batch_format="pandas",
+    parts = tf_rows.map_batches(
+        lambda t: pd.DataFrame({
+            "s": [0 if t.empty else int(t["tf"].sum())],
+            "c": [0 if t.empty else t[id_col].nunique()],
+        }),
+        batch_format="pandas", batch_size=None,
     ).to_pandas()
     dl_sum, dl_cnt = int(parts["s"].sum()), int(parts["c"].sum())
     if dl_cnt == 0:
@@ -440,12 +451,17 @@ def bm25_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                 dfv = pd.Series([], dtype="float64")
             ref = ray.put(dfv)
 
-            def score(batch: pd.DataFrame) -> pd.DataFrame:
-                t = tf_dl(batch)
-                t["__s"] = score_of(
+            def score(t: pd.DataFrame) -> pd.DataFrame:
+                if t.empty:
+                    return pd.DataFrame(
+                        {id_col: pd.Series([], dtype=object),
+                         "tok": pd.Series([], dtype=object),
+                         "tf": pd.Series([], dtype="int64"),
+                         "bm25": pd.Series([], dtype="float64")})
+                t = t.assign(__s=score_of(
                     t["tf"].to_numpy(np.float64),
                     t["tok"].map(bcast_get(ref)).to_numpy(np.float64),
-                    t["dl"].to_numpy(np.float64))
+                    t["dl"].to_numpy(np.float64)))
                 t = (t.sort_values(["__s", "tok"],
                                    ascending=[False, True],
                                    kind="mergesort")
@@ -453,7 +469,8 @@ def bm25_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                 t["bm25"] = t.pop("__s").round(ndigits)
                 return t.drop(columns=["dl"])
 
-            return docs_ds.map_batches(score, batch_format="pandas")
+            return tf_rows.map_batches(score, batch_format="pandas",
+                                       batch_size=None)
         except GuardExceeded:
             if mode == "broadcast":
                 raise
@@ -501,11 +518,28 @@ def bm25_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
     n_docs = docs_ds.count()
 
     def tf_dl_q(batch: pd.DataFrame) -> pd.DataFrame:
+        # single scan: query-term tf rows PLUS one summary row per
+        # batch carrying the avgdl partials (the simhash skip-stat
+        # fold shape) — tok=None marks the summary
         t = _tf_frame(batch, id_col, text_col)
         t["dl"] = t.groupby(id_col, sort=False)["tf"].transform("sum")
-        return t[t["tok"].isin(qterms)]
+        f = t[t["tok"].isin(qterms)]
+        summary = pd.DataFrame({
+            id_col: pd.Series([None], dtype=object),
+            "tok": pd.Series([None], dtype=object),
+            "tf": pd.Series([0 if t.empty else int(t["tf"].sum())],
+                            dtype="int64"),
+            "dl": pd.Series([0 if t.empty else t[id_col].nunique()],
+                            dtype="int64"),
+        })
+        return pd.concat([f, summary], ignore_index=True)
 
-    tfq = docs_ds.map_batches(tf_dl_q, batch_format="pandas").materialize()
+    both = docs_ds.map_batches(tf_dl_q, batch_format="pandas").materialize()
+    tfq = both.map_batches(lambda t: t[t["tok"].notna()],
+                           batch_format="pandas")
+    summaries = both.map_batches(
+        lambda t: t[t["tok"].isna()][["tf", "dl"]],
+        batch_format="pandas").to_pandas()
     dfreq = groupby_agg(
         tfq.map_batches(lambda t: t[[id_col, "tok"]],
                         batch_format="pandas"),
@@ -513,13 +547,7 @@ def bm25_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
     ).to_pandas()
     df_map = ({} if dfreq.empty else
               dict(zip(dfreq["tok"], dfreq["dfreq"].astype(float))))
-    parts = docs_ds.map_batches(
-        lambda batch: (lambda t: pd.DataFrame({
-            "s": [int(t["tf"].sum())], "c": [t[id_col].nunique()],
-        }))(_tf_frame(batch, id_col, text_col)),
-        batch_format="pandas",
-    ).to_pandas()
-    dl_sum, dl_cnt = int(parts["s"].sum()), int(parts["c"].sum())
+    dl_sum, dl_cnt = int(summaries["tf"].sum()), int(summaries["dl"].sum())
     if dl_cnt == 0 or not df_map:
         import ray.data as rd
 
@@ -547,10 +575,11 @@ def bm25_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
         out["score"] = out["score"].round(ndigits)
         return out
 
-    scored = tfq.map_batches(score, batch_format="pandas")
-    # per-(qid, doc) partials may span batches only if a doc straddles
-    # blocks — tf rows are built in-batch so they never do; still, the
-    # grouped top-n combiner is correct either way because scores are
-    # per-(qid, doc) complete rows here.
+    # batch_size=None = whole blocks: a doc's rows are contiguous and
+    # complete within the block that produced them, so every per-(qid,
+    # doc) sum is total — a row-count batch size could split a doc and
+    # leak PARTIAL scores into the top-n
+    scored = tfq.map_batches(score, batch_format="pandas",
+                             batch_size=None)
     return grouped_topk(scored, ["qid"], "score", top_n,
                         descending=True, tie_break=id_col)
