@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_tfidf": q.q_doc_tfidf,
         "q_doc_bm25": q.q_doc_bm25,
         "q_doc_bm25_search": q.q_doc_bm25_search,
+        "q_doc_pii_scrub": q.q_doc_pii_scrub,
         "q_doc_sample_hash": q.q_doc_sample_hash,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,

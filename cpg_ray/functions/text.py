@@ -583,3 +583,32 @@ def bm25_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
                              batch_size=None)
     return grouped_topk(scored, ["qid"], "score", top_n,
                         descending=True, tie_break=id_col)
+
+
+# PII patterns kept RE2-compatible (no lookarounds, non-capturing
+# groups) so the DuckDB oracle runs the IDENTICAL expressions;
+# redaction applies in this exact order in both engines.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+]
+
+
+def pii_scrub(batch: pd.DataFrame, text_col: str = "text",
+              out_col: str = "redacted") -> pd.DataFrame:
+    """PII redaction — the scrubbing step of a web-corpus pipeline:
+    emails, dashed/dotted phone numbers and IPv4 literals are counted
+    (on the original text) and replaced by typed placeholder tokens,
+    sequentially in PII_PATTERNS order.  Vectorized pandas str kernels
+    (one compiled regex pass per pattern per batch); per-category
+    counts let a downstream filter drop PII-dense documents."""
+    out = batch.copy()
+    s = batch[text_col]
+    red = s
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = s.str.count(pat).astype("int64")
+        red = red.str.replace(pat, token, regex=True)
+    out[out_col] = red
+    return out

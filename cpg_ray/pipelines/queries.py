@@ -504,6 +504,32 @@ def q_doc_bm25_search(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)[["qid", "doc_id", "score"]]
 
 
+def q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over documents with deterministically injected
+    PII (every 7th doc gains an email, a phone and an IPv4 — the
+    synthetic corpus has none of its own, so the injection is what
+    makes the scrub observable); counts on the original text,
+    sequential typed-token replacement, byte-compared redacted text."""
+    from ..functions.text import pii_scrub
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        extra = (" contact u" + ids.astype(str)
+                 + "@example.com or 555-123-4567 at 192.168.1."
+                 + (ids % 256).astype(str))
+        b = b.copy()
+        b["text"] = b["text"].where(ids % 7 != 0, b["text"] + extra)
+        return b
+
+    df = docs.map_batches(inject, batch_format="pandas").map_batches(
+        pii_scrub, batch_format="pandas",
+    ).to_pandas()
+    return (df[["doc_id", "n_email", "n_phone", "n_ipv4", "redacted"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: every 50th document plays the held-out
     evaluation set; the remaining corpus counts, per document, its
@@ -1465,6 +1491,35 @@ ORACLE_SQL: dict[str, str] = {
               CASE lang WHEN 'en' THEN '8000'
                         WHEN 'de' THEN '4000'
                         ELSE '1999' END
+        ORDER BY doc_id
+    """,
+    "q_doc_pii_scrub": """
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact u' || doc_id::VARCHAR
+                             || '@example.com or 555-123-4567 at 192.168.1.'
+                             || (doc_id % 256)::VARCHAR
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_email,
+               len(regexp_extract_all(text,
+                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))::BIGINT AS n_phone,
+               len(regexp_extract_all(text,
+                   '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b'))::BIGINT AS n_ipv4,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b', '<IP>', 'g'
+               ) AS redacted
+        FROM aug
         ORDER BY doc_id
     """,
     "q_doc_bm25_search": """

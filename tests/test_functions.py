@@ -615,3 +615,25 @@ def test_bm25_search_ranks_relevant_doc_first():
         rd.from_pandas(docs), {"qz": "zzz qqq"}, top_n=3
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_pii_scrub_counts_and_redaction():
+    from cpg_ray.functions.text import pii_scrub
+
+    b = pd.DataFrame({"text": [
+        "mail a@b.co and x.y+z@ex.ample.org now",
+        "call 555-123-4567 or 555.987.6543 from 10.0.0.1",
+        "no pii here",
+        "edge: v1.2.3.4 has no word boundary before the first digit",
+    ]})
+    r = pii_scrub(b)
+    assert list(r.n_email) == [2, 0, 0, 0]
+    assert list(r.n_phone) == [0, 2, 0, 0]
+    # \b can't sit between 'v' and '1' (both word chars) — version-like
+    # strings do NOT match, identically in Python re and DuckDB RE2.
+    assert list(r.n_ipv4) == [0, 1, 0, 0]
+    assert r.redacted[0] == "mail <EMAIL> and <EMAIL> now"
+    assert r.redacted[1] == "call <PHONE> or <PHONE> from <IP>"
+    assert r.redacted[2] == "no pii here"
+    # original column untouched
+    assert (r.text == b.text).all()
