@@ -701,17 +701,17 @@ def _kg_triangles(sf_dir: str):
 
 def _comention_edges(sf_dir: str):
     """Co-mention edges (a < b): entities appearing on the same page.
-    Pair fan-out per url is bucketed map_groups (pages mention a
-    handful of entities, so per-url pairs are tiny; the bucket groupby
-    is one bounded exchange)."""
+    Pair fan-out per url via co_occurrence_pairs — capped mega-page
+    guard (skip-reported, never silent); the synthetic pages mention a
+    handful of entities each, so nothing is ever skipped here and the
+    oracle is exact."""
     import glob
 
-    import numpy as np
     import pandas as pd
     import ray.data as rd
 
-    from cpg_ray.functions.graphalgo import _pair_ranges
-    from cpg_ray.functions.relational import default_n_buckets, distinct_on
+    from cpg_ray.functions.graphalgo import co_occurrence_pairs
+    from cpg_ray.functions.relational import distinct_on
 
     out_dir = _ensure_graph(sf_dir, "mixed")
     tri = rd.read_parquet(
@@ -728,23 +728,9 @@ def _comention_edges(sf_dir: str):
             batch_format="pandas"),
         ["url", "e"],
     )
-    nb = default_n_buckets()
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["url", "e"], kind="mergesort")
-        u = g["url"].to_numpy(dtype=object)
-        e = g["e"].to_numpy(dtype=object)
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
-            if len(u) else np.array([], np.int64)
-        sizes = np.diff(np.r_[starts, len(u)])
-        first, second = _pair_ranges(sizes)
-        return pd.DataFrame({"a": e[first], "b": e[second]})
-
-    return men.map_batches(
-        lambda b: b.assign(__bk=pd.util.hash_array(
-            b["url"].to_numpy(dtype=object)) % nb),
-        batch_format="pandas",
-    ).groupby("__bk").map_groups(pairs, batch_format="pandas")
+    return co_occurrence_pairs(men, group_col="url", item_col="e") \
+        .map_batches(lambda b: b[b["skipped_n"] == 0][["a", "b"]],
+                     batch_format="pandas")
 
 
 def _kg_triangles_mention(sf_dir: str):

@@ -324,6 +324,57 @@ def label_components(edges_ds, *, src: str = "src", dst: str = "dst",
     return _components_shuffle(edges_ds, src, dst, rounds=rounds)
 
 
+# ---- co-occurrence pair fan-out ----------------------------------------
+
+
+def co_occurrence_pairs(ds, *, group_col: str = "url",
+                        item_col: str = "e", max_group: int = 5000,
+                        n_buckets: int | None = None):
+    """All unordered within-group pairs (``a < b``) of items per group
+    — the co-mention edge builder (entities on the same page → an
+    edge).  Input rows should already be distinct on (group, item).
+
+    A group with m members fans out m(m-1)/2 pairs, so a pathological
+    mega-page (100k mentions → 5e9 pairs) would OOM the wedge step.
+    Groups wider than ``max_group`` therefore emit ONE summary row
+    (``a`` = group key, ``b`` = "", ``skipped_n`` = member count)
+    instead of pairs — the same reported-skip contract as
+    ``simhash_pairs`` / ``embedding_near_dup_pairs``: never silent,
+    never unbounded.  Real pair rows carry ``skipped_n == 0``; callers
+    filter on it.  One bounded exchange (bucket groupby by group hash,
+    width from the cluster)."""
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    from .relational import default_n_buckets
+
+    nb = n_buckets or default_n_buckets()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, item_col], kind="mergesort")
+        u = g[group_col].to_numpy(dtype=object)
+        e = g[item_col].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(u)])
+        hot = sizes > max_group
+        keep = ~np.repeat(hot, sizes)
+        first, second = _pair_ranges(sizes[~hot])
+        ek = e[keep]
+        out = pd.DataFrame({"a": ek[first], "b": ek[second],
+                            "skipped_n": np.int64(0)})
+        if hot.any():
+            summ = pd.DataFrame({"a": u[starts[hot]], "b": "",
+                                 "skipped_n": sizes[hot].astype("int64")})
+            out = pd.concat([out, summ], ignore_index=True)
+        return out
+
+    return ds.map_batches(
+        lambda b: b.assign(__bk=pd.util.hash_array(
+            b[group_col].to_numpy(dtype=object)) % nb),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(pairs, batch_format="pandas")
+
+
 # ---- triangle counting -------------------------------------------------
 
 

@@ -314,3 +314,34 @@ def test_kcore_modes_agree_and_guard():
                   driver_edge_limit=10).to_pandas().reset_index(drop=True)
     auto["deg"] = auto["deg"].astype("int64")
     assert auto.equals(a)
+
+
+def test_co_occurrence_pairs_exact_and_mega_group_skip():
+    from itertools import combinations
+
+    from cpg_ray.functions.graphalgo import co_occurrence_pairs
+
+    # exact pairs over small groups, all group sizes 1..4
+    rows = []
+    for g, items in [("u1", "abcd"), ("u2", "xy"), ("u3", "q"),
+                     ("u4", "mnp")]:
+        rows += [{"url": g, "e": c} for c in items]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = co_occurrence_pairs(ds, max_group=100).to_pandas()
+    assert (got.skipped_n == 0).all()
+    want = sorted(
+        p for items in ["abcd", "xy", "mnp"]
+        for p in combinations(sorted(items), 2))
+    assert sorted(zip(got.a, got.b)) == want
+
+    # a mega group emits ONE summary row (reported skip), zero pairs;
+    # the small group beside it is still exact
+    rows = [{"url": "mega", "e": f"e{i}"} for i in range(50)]
+    rows += [{"url": "ok", "e": c} for c in "ab"]
+    got = co_occurrence_pairs(
+        rd.from_pandas(pd.DataFrame(rows)), max_group=10).to_pandas()
+    summ = got[got.skipped_n > 0]
+    assert len(summ) == 1 and summ.iloc[0].a == "mega" \
+        and summ.iloc[0].skipped_n == 50
+    real = got[got.skipped_n == 0]
+    assert list(zip(real.a, real.b)) == [("a", "b")]
