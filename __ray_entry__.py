@@ -812,6 +812,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25": q.q_doc_bm25,
         "q_doc_bm25_search": q.q_doc_bm25_search,
         "q_doc_pii_scrub": q.q_doc_pii_scrub,
+        "q_orders_rank_window": q.q_orders_rank_window,
+        "q_events_lag": q.q_events_lag,
+        "q_events_quantiles": q.q_events_quantiles,
+        "q_users_customers_fullouter": q.q_users_customers_fullouter,
+        "q_users_click_and_purchase": q.q_users_click_and_purchase,
+        "q_supplier_typo_pairs": q.q_supplier_typo_pairs,
         "q_doc_sample_hash": q.q_doc_sample_hash,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,

@@ -700,3 +700,108 @@ def embedding_near_dup_pairs(
     pairs.attrs["skipped_buckets"] = int(len(stats))
     pairs.attrs["skipped_members"] = int(stats.skipped_n.sum())
     return pairs
+
+
+# ---- edit-distance-1 near-dup (FastSS deletion neighborhoods) -----------
+
+
+def _ed1_verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized levenshtein(a,b) <= 1 for pairwise string arrays.
+    Groups pairs by (len(a), len(b)); within a group the strings view
+    as fixed-width char matrices:
+
+    - equal lengths: substitution — at most one mismatched position;
+    - lengths off by one: deletion — leading-equal + trailing-equal
+      spans of the shifted comparison must cover the short string
+      (the classic one-gap check, no per-char Python loop);
+    - |len diff| > 1: never within distance 1.
+    """
+    la = np.fromiter((len(x) for x in a), np.int64, len(a))
+    lb = np.fromiter((len(x) for x in b), np.int64, len(b))
+    ok = np.zeros(len(a), bool)
+    for (na, nb) in set(zip(la.tolist(), lb.tolist())):
+        m = (la == na) & (lb == nb)
+        if abs(na - nb) > 1:
+            continue
+        if na > nb:  # orient short/long
+            sa, sb, ns = b[m], a[m], nb
+        else:
+            sa, sb, ns = a[m], b[m], na
+        nl = max(na, nb)
+        if ns == 0:  # "" vs 1-char (or "" vs "")
+            ok[m] = True
+            continue
+        ca = np.array([list(x) for x in sa], dtype="U1")
+        cb = np.array([list(x) for x in sb], dtype="U1")
+        if na == nb:
+            ok[m] = (ca != cb).sum(axis=1) <= 1
+        else:
+            pre = ca == cb[:, :ns]           # unshifted prefix match
+            suf = ca == cb[:, nl - ns:]      # shifted-by-one suffix match
+            lead = np.where(pre.all(1), ns, pre.argmin(1))
+            trail = np.where(suf.all(1), ns, suf[:, ::-1].argmin(1))
+            ok[m] = lead + trail >= ns
+    return ok
+
+
+def ed1_pairs(ds, col: str, *, n_buckets: int | None = None):
+    """All pairs of DISTINCT values of ``col`` within edit distance 1
+    (a < b) — typo-dedup over names/tokens, the FastSS pattern:
+
+    1. dedup to the value vocabulary (the corpus never fans out);
+    2. each value of length L emits L+1 deletion-neighborhood
+       signatures (itself + every single-char deletion): two strings
+       within distance 1 ALWAYS share a signature (equal / deletion /
+       substitution all collide), so candidates come from a bucketed
+       signature groupby — O(total chars), never the V² cross product;
+    3. signature collision is not sufficient (e.g. 'ab'/'ba' share a
+       deletion but are distance 2), so survivors are verified by the
+       vectorized :func:`_ed1_verify` in a distributed map.
+
+    Returns a Dataset of (a, b).  SQL oracle shape: self-join with
+    ``levenshtein(a,b) <= 1`` — quadratic there, linear here."""
+    from .relational import default_n_buckets, distinct_on
+
+    nb = n_buckets or default_n_buckets()
+    vocab = distinct_on(ds.select_columns([col]), [col])
+
+    def sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        vs, ss = [], []
+        for v in batch[col]:
+            vs.append(v), ss.append(v)
+            for i in range(len(v)):
+                vs.append(v), ss.append(v[:i] + v[i + 1:])
+        return pd.DataFrame({"v": vs, "sig": ss})
+
+    exploded = vocab.map_batches(sigs, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["sig", "v"]).sort_values(
+            ["sig", "v"], kind="mergesort")
+        s = g["sig"].to_numpy(dtype=object)
+        v = g["v"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) \
+            if len(s) else np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(s)])
+        from .graphalgo import _pair_ranges
+
+        first, second = _pair_ranges(sizes)
+        return pd.DataFrame({"a": v[first], "b": v[second]})
+
+    cand = distinct_on(
+        exploded.map_batches(
+            lambda b: b.assign(__bk=pd.util.hash_array(
+                b["sig"].to_numpy(dtype=object)) % nb),
+            batch_format="pandas",
+        ).groupby("__bk").map_groups(pairs, batch_format="pandas"),
+        ["a", "b"],
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b[["a", "b"]]
+        m = _ed1_verify(b["a"].to_numpy(dtype=object),
+                        b["b"].to_numpy(dtype=object))
+        return b[m][["a", "b"]]
+
+    return cand.map_batches(verify, batch_format="pandas")

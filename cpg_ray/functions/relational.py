@@ -658,6 +658,46 @@ def grouped_topk(ds, group_keys: list[str], sort_col: str, k: int,
         return shuffle_finish(cand_ds)
 
 
+def partitioned_rank(ds, part_cols: list[str], order_col: str, *,
+                     descending: bool = False, out_col: str = "rnk",
+                     dense: bool = False,
+                     driver_key_limit: int = 5_000_000):
+    """SQL ``RANK() OVER (PARTITION BY part ORDER BY order_col)`` (or
+    DENSE_RANK with ``dense=True``) as a two-pass distributed plan that
+    never co-locates a partition's rows:
+
+    1. pre-combined (part, order-value) COUNTS — the exchange moves one
+       row per distinct (partition, value), not per input row;
+    2. rank of each distinct value = 1 + running count (RANK) or
+       running distinct count (DENSE_RANK) of strictly-earlier values,
+       computed on the driver over that small table (guarded) and
+       broadcast back over the input with a per-batch merge.
+
+    This is the scale shape for ranking inside LOW-DISTINCT-VALUE
+    orderings (dates, grades, sizes); when every value is distinct the
+    counts table is the data and a partition-local sort (bucket
+    groupby + map_groups) is the honest plan instead."""
+    import ray.data as rd  # noqa: F401
+
+    counts = groupby_agg(
+        ds, list(part_cols) + [order_col],
+        [(order_col, "count", "__n")], driver_key_limit=driver_key_limit)
+    small = _collect_limited(counts, driver_key_limit, "partitioned_rank")
+    small = small.sort_values(
+        list(part_cols) + [order_col],
+        ascending=[True] * len(part_cols) + [not descending],
+        kind="mergesort").reset_index(drop=True)
+    grp = small.groupby(list(part_cols), sort=False)
+    if dense:
+        small[out_col] = grp.cumcount().astype("int64") + 1
+    else:
+        small[out_col] = (grp["__n"].cumsum() - small["__n"] + 1) \
+            .astype("int64")
+    return broadcast_join(
+        ds, small.drop(columns="__n"),
+        left_on=list(part_cols) + [order_col])
+
+
 def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
                 mode: str = "auto", driver_row_limit: int = 20_000_000):
     """Exact dedup: keep one row per key group — deterministically the

@@ -906,6 +906,144 @@ def q_events_interval(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_orders_rank_window(sf_dir: str) -> pd.DataFrame:
+    """RANK() OVER (PARTITION BY priority ORDER BY orderdate) for every
+    order — the full ranked output, not top-k.  Two-pass distributed
+    rank (relational.partitioned_rank): distinct (priority, date)
+    counts move through the exchange (≈ priorities × dates rows, never
+    the orders), ranks computed once and broadcast back — a partition's
+    rows are never co-located."""
+    from ..functions.relational import partitioned_rank
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    ranked = partitioned_rank(
+        orders, ["o_orderpriority"], "o_orderdate", out_col="rnk")
+    df = ranked.to_pandas()[["o_orderkey", "o_orderpriority", "rnk"]]
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_events_lag(sf_dir: str) -> pd.DataFrame:
+    """LAG window: microseconds since the same user's previous event
+    (-1 for the user's first).  Bucketed by user hash; inside a bucket
+    the whole computation is ONE vectorized diff over the
+    (user, ts, event_id)-sorted frame with first-row-per-user masking —
+    no per-user Python loop."""
+    import numpy as np
+
+    from ..functions.relational import default_n_buckets
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = default_n_buckets()
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = g["ts"].values.astype("datetime64[us]").astype("int64")
+        u = g["user_id"].values
+        d = np.empty(len(g), np.int64)
+        if len(g):
+            d[1:] = t[1:] - t[:-1]
+            d[np.r_[True, u[1:] != u[:-1]]] = -1
+        return pd.DataFrame({"event_id": g.event_id, "user_id": g.user_id,
+                             "delta_us": d})
+
+    df = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(lag, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact interpolated per-group quantiles (percentile_cont
+    semantics: sorted-array lerp at h=(n-1)q, bit-identical to DuckDB's
+    formula).  Groups are event TYPES — a handful — so co-locating each
+    group (one groupby) is the query's own shape; for per-key quantiles
+    over millions of keys the mergeable-sketch path (q_approx_stats)
+    is the scale alternative."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["value"].dropna().to_numpy(float))
+
+        def pc(q: float) -> float:
+            h = (len(s) - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            return float(s[lo] + (s[hi] - s[lo]) * (h - lo))
+
+        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
+                             "p50": [pc(0.5)], "p95": [pc(0.95)],
+                             "n": [np.int64(len(s))]})
+
+    df = ds.groupby("event_type").map_groups(
+        quant, batch_format="pandas").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_users_customers_fullouter(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join: per-user event counts × the customer table on
+    user_id = c_custkey (Ray-native full_outer hash join; completes the
+    join family: inner/left/semi/anti/asof/interval already covered).
+    Both unmatched sides are real in this data — user 0 has no customer
+    row, customers past the user range have no events.  NULLs are
+    COALESCEd identically in both engines so the hash compare is
+    NULL-free."""
+    from ..functions.relational import groupby_agg, hash_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id"])
+    per_user = groupby_agg(ev, ["user_id"],
+                           [("event_id", "count", "n_events")])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    # Ray's join COALESCEs the key into the left `on` column — the
+    # output has one `user_id` column carrying both sides' keys
+    j = hash_join(per_user, cust, on="user_id", right_on="c_custkey",
+                  how="full_outer").to_pandas()
+    out = pd.DataFrame({
+        "key": j["user_id"].astype("int64"),
+        "n_events": j["n_events"].fillna(0).astype("int64"),
+        "c_mktsegment": j["c_mktsegment"].fillna(""),
+    })
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def q_users_click_and_purchase(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT: users who clicked AND purchased (set-op family
+    completion beside union/EXCEPT-diff).  Distinct per side first —
+    the exchange moves user IDs, not events — then an inner hash
+    join."""
+    from ..functions.relational import distinct_on, hash_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(t: str):
+        return distinct_on(
+            ev.map_batches(
+                lambda b, t=t: b[b.event_type == t][["user_id"]],
+                batch_format="pandas"),
+            ["user_id"])
+
+    j = hash_join(side("click"), side("purchase"), on="user_id")
+    df = j.to_pandas()[["user_id"]]
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_supplier_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance-1 name pairs via FastSS deletion neighborhoods
+    (dedup.ed1_pairs): signature-bucket candidates + vectorized verify
+    — linear in total chars where the SQL oracle pays the V² self-join
+    with levenshtein()."""
+    from ..functions.dedup import ed1_pairs
+
+    sup = read_table(sf_dir, "supplier", columns=["s_name"])
+    df = ed1_pairs(sup, "s_name").to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
     """Seeded random sample + shuffle (O-family; rows-only — sampling
     is seed-stable within a Ray version, not SQL-reproducible)."""
@@ -1123,6 +1261,54 @@ def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "q_orders_rank_window": """
+        SELECT o_orderkey, o_orderpriority,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate) AS rnk
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "q_events_lag": """
+        SELECT event_id, user_id,
+               COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), -1)
+                   AS delta_us
+        FROM events
+        ORDER BY event_id
+    """,
+    "q_events_quantiles": """
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+               count(value)::BIGINT AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_users_customers_fullouter": """
+        WITH pu AS (
+            SELECT user_id, count(event_id)::BIGINT AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT COALESCE(pu.user_id, c.c_custkey)::BIGINT AS key,
+               COALESCE(pu.n_events, 0)::BIGINT AS n_events,
+               COALESCE(c.c_mktsegment, '') AS c_mktsegment
+        FROM pu FULL OUTER JOIN customer c ON pu.user_id = c.c_custkey
+        ORDER BY key
+    """,
+    "q_users_click_and_purchase": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+    """,
+    "q_supplier_typo_pairs": """
+        SELECT a.s_name AS a, b.s_name AS b
+        FROM supplier a, supplier b
+        WHERE a.s_name < b.s_name
+          AND levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY a, b
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                 AS sum_qty,

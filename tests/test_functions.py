@@ -637,3 +637,51 @@ def test_pii_scrub_counts_and_redaction():
     assert r.redacted[2] == "no pii here"
     # original column untouched
     assert (r.text == b.text).all()
+
+
+def test_partitioned_rank_matches_pandas_rank():
+    from cpg_ray.functions.relational import partitioned_rank
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "part": rng.choice(list("abc"), 500),
+        "val": rng.integers(0, 20, 500),   # heavy ties → RANK gaps
+        "rid": np.arange(500),
+    })
+    for dense in (False, True):
+        for desc in (False, True):
+            got = partitioned_rank(
+                rd.from_pandas(df), ["part"], "val",
+                descending=desc, dense=dense,
+            ).to_pandas().sort_values("rid").reset_index(drop=True)
+            want = (df.groupby("part")["val"]
+                    .rank(method="dense" if dense else "min",
+                          ascending=not desc).astype("int64").values)
+            assert (got["rnk"].values == want).all(), (dense, desc)
+
+
+def test_ed1_pairs_matches_bruteforce_levenshtein():
+    from cpg_ray.functions.dedup import ed1_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(3)
+    alpha = list("ab1")  # tiny alphabet → dense distance-1 structure
+    vocab = {"".join(rng.choice(alpha, rng.integers(1, 6)))
+             for _ in range(120)}
+    vocab |= {"", "x", "xy", "yx", "ab", "ba", "aab", "abb"}
+    vs = sorted(vocab)
+    want = sorted((a, b) for i, a in enumerate(vs) for b in vs[i + 1:]
+                  if lev(a, b) <= 1)
+    got = ed1_pairs(
+        rd.from_pandas(pd.DataFrame({"s": vs * 2})), "s",  # dups collapse
+    ).to_pandas()
+    assert sorted(zip(got.a, got.b)) == want
