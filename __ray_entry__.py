@@ -818,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_users_customers_fullouter": q.q_users_customers_fullouter,
         "q_users_click_and_purchase": q.q_users_click_and_purchase,
         "q_supplier_typo_pairs": q.q_supplier_typo_pairs,
+        "q_rollup_revenue": q.q_rollup_revenue,
+        "q_orders_share": q.q_orders_share,
         "q_doc_sample_hash": q.q_doc_sample_hash,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,

@@ -1044,6 +1044,73 @@ def q_supplier_typo_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(priority, status): every aggregation level from
+    ONE exchange — the finest-level partials are computed once
+    (pre-combined groupby), and the coarser levels are sums-of-sums
+    over that small result on the driver.  DuckDB recomputes each
+    level over the rows; sums agree to well past the round(2)."""
+    from ..functions.relational import groupby_agg
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    fine = groupby_agg(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "sum", "total"),
+         ("o_totalprice", "count", "n")]).to_pandas()
+    lvl1 = (fine.groupby("o_orderpriority", as_index=False)
+            .agg(total=("total", "sum"), n=("n", "sum"))
+            .assign(o_orderstatus="ALL"))
+    lvl0 = pd.DataFrame({"o_orderpriority": ["ALL"],
+                         "o_orderstatus": ["ALL"],
+                         "total": [fine.total.sum()],
+                         "n": [fine.n.sum()]})
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True).rename(
+        columns={"o_orderpriority": "priority", "o_orderstatus": "status"})
+    out["total"] = out["total"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["priority", "status"]).reset_index(drop=True)
+
+
+def q_orders_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report: SUM() OVER (PARTITION BY priority) as a
+    two-pass distributed window aggregate — per-priority totals from
+    one pre-combined groupby, broadcast back, per-batch divide.  Prices
+    are dime-quantized, so both engines sum EXACT integer cents and
+    perform one int→double division — the share is bit-identical (the
+    BM25 exact-integer-sums trick)."""
+    import numpy as np
+    import ray
+
+    from ..functions.relational import bcast_get, groupby_agg
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b.o_orderkey,
+            "o_orderpriority": b.o_orderpriority,
+            "cents": np.round(b.o_totalprice.to_numpy() * 100)
+            .astype("int64")}),
+        batch_format="pandas")
+    tot = groupby_agg(cents, ["o_orderpriority"],
+                      [("cents", "sum", "tot")]).to_pandas()
+    ref = ray.put(dict(zip(tot.o_orderpriority, tot.tot.astype("int64"))))
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        t = b.o_orderpriority.map(bcast_get(ref)).to_numpy("int64")
+        return pd.DataFrame({
+            "o_orderkey": b.o_orderkey,
+            "o_orderpriority": b.o_orderpriority,
+            "share": b.cents.to_numpy("int64").astype("float64")
+            / t.astype("float64")})
+
+    df = cents.map_batches(share, batch_format="pandas").to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
     """Seeded random sample + shuffle (O-family; rows-only — sampling
     is seed-stable within a Ray version, not SQL-reproducible)."""
@@ -1308,6 +1375,29 @@ ORACLE_SQL: dict[str, str] = {
         WHERE a.s_name < b.s_name
           AND levenshtein(a.s_name, b.s_name) <= 1
         ORDER BY a, b
+    """,
+    "q_rollup_revenue": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               round(sum(o_totalprice), 2) AS total,
+               count(*)::BIGINT AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY priority, status
+    """,
+    "q_orders_share": """
+        WITH c AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), t AS (
+            SELECT o_orderpriority, sum(cents) AS tot
+            FROM c GROUP BY o_orderpriority
+        )
+        SELECT c.o_orderkey, c.o_orderpriority,
+               CAST(c.cents AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        FROM c JOIN t USING (o_orderpriority)
+        ORDER BY c.o_orderkey
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
