@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q_doc_tfidf",
     "q_doc_bm25",
     "q_doc_sample_hash",
+    "q_doc_pii_scrub",
+    "q_events_lag",
+    "q_orders_rank_window",
+    "q_orders_share",
+    "q_supplier_typo_pairs",
 ]
 
 
