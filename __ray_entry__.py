@@ -821,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_revenue": q.q_rollup_revenue,
         "q_orders_share": q.q_orders_share,
         "q_doc_sample_hash": q.q_doc_sample_hash,
+        "q_orders_cume_dist": q.q_orders_cume_dist,
+        "q_orders_ntile": q.q_orders_ntile,
+        "q_cube_revenue": q.q_cube_revenue,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,

@@ -698,6 +698,147 @@ def partitioned_rank(ds, part_cols: list[str], order_col: str, *,
         left_on=list(part_cols) + [order_col])
 
 
+def partitioned_cume(ds, part_cols: list[str], order_col: str, *,
+                     descending: bool = False,
+                     out_cume: str = "cume_dist",
+                     out_prank: str = "percent_rank",
+                     driver_key_limit: int = 5_000_000):
+    """``CUME_DIST()`` and ``PERCENT_RANK()`` OVER (PARTITION BY part
+    ORDER BY order_col) with the same two-pass shape as
+    `partitioned_rank` — both are VALUE-level window functions (every
+    row tied on the order value shares the result), so the exchange
+    moves one pre-combined count row per distinct (partition, value):
+
+    - cume_dist    = rows_with_value≤current / partition_total
+    - percent_rank = (rank − 1) / (partition_total − 1)  (0.0 when the
+      partition has a single row — the SQL-standard edge)
+
+    Both are a single int→double division of exact integer counts, so
+    the doubles are bit-identical to any engine computing the same
+    definition (the q_orders_share exact-integer trick)."""
+    import numpy as np
+
+    counts = groupby_agg(
+        ds, list(part_cols) + [order_col],
+        [(order_col, "count", "__n")], driver_key_limit=driver_key_limit)
+    small = _collect_limited(counts, driver_key_limit, "partitioned_cume")
+    small = small.sort_values(
+        list(part_cols) + [order_col],
+        ascending=[True] * len(part_cols) + [not descending],
+        kind="mergesort").reset_index(drop=True)
+    grp = small.groupby(list(part_cols), sort=False)
+    n = small["__n"].to_numpy("int64")
+    tot = grp["__n"].transform("sum").to_numpy("int64")
+    cum = grp["__n"].cumsum().to_numpy("int64")
+    rank = cum - n + 1
+    small[out_cume] = cum.astype("float64") / tot.astype("float64")
+    small[out_prank] = np.where(
+        tot > 1, (rank - 1).astype("float64")
+        / np.maximum(tot - 1, 1).astype("float64"), 0.0)
+    return broadcast_join(
+        ds, small.drop(columns="__n"),
+        left_on=list(part_cols) + [order_col])
+
+
+def partitioned_ntile(ds, part_cols: list[str], order_cols: list[str],
+                      k: int, *, out_rownum: str = "row_number",
+                      out_tile: str = "tile"):
+    """``ROW_NUMBER()`` and ``NTILE(k)`` OVER (PARTITION BY part ORDER
+    BY order_cols).  Unlike rank/cume_dist these are ROW-level — they
+    need a total order within each partition — so the honest
+    distributed shape is partition co-location (hash-shuffle groupby +
+    map_groups), one vectorized sort + arange per partition.  Callers
+    must pass `order_cols` that totally order the partition (e.g. end
+    with a unique key) or the result is nondeterministic; a partition
+    must fit in one worker (the inherent NTILE semantic — there is no
+    pre-combinable form).  NTILE sizing follows the SQL standard: the
+    first n mod k tiles get ceil(n/k) rows, the rest floor(n/k)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"NTILE k must be >= 1, got {k}")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True)
+        n = len(g)
+        rn = np.arange(1, n + 1, dtype="int64")
+        size_small = n // k
+        num_big = n % k
+        cut = num_big * (size_small + 1)
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // (size_small + 1),
+            num_big + (rn - 1 - cut) // max(size_small, 1),
+        ) + 1
+        g[out_rownum] = rn
+        g[out_tile] = tile.astype("int64")
+        return g
+
+    return ds.groupby(part_cols).map_groups(fn, batch_format="pandas")
+
+
+def grouping_sets(ds, cols: list[str], sets: list[tuple[str, ...]],
+                  aggs: list[tuple[str, str, str]], *, fill="ALL",
+                  driver_key_limit: int = 5_000_000):
+    """GROUPING SETS / ROLLUP / CUBE: every aggregation level from ONE
+    exchange.  The finest level (group by all of `cols`) is computed
+    once with the pre-combined `groupby_agg`; every requested set is
+    then a re-aggregation (sums-of-sums) of that small table on the
+    driver — coarser levels never touch the input again.  Grouped-away
+    columns are filled with `fill` (the ROLLUP 'ALL' convention).
+
+    Only DECOMPOSABLE aggregates are accepted: sum/count re-aggregate
+    with sum, min with min, max with max.  avg is not decomposable —
+    request (sum, count) and divide.  `rollup_sets`/`cube_sets` build
+    the standard set lists."""
+    _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _c, op, _o in aggs:
+        if op not in _REAGG:
+            raise ValueError(
+                f"non-decomposable aggregate {op!r} in grouping_sets "
+                "(use sum+count for avg)")
+    for s in sets:
+        unknown = set(s) - set(cols)
+        if unknown:
+            raise ValueError(f"grouping set {s} references unknown "
+                             f"columns {sorted(unknown)}")
+
+    fine = groupby_agg(ds, list(cols), aggs,
+                       driver_key_limit=driver_key_limit).to_pandas()
+    out_cols = [o for _c, _op, o in aggs]
+    frames = []
+    for s in sets:
+        keep = [c for c in cols if c in s]
+        if len(keep) == len(cols):
+            lvl = fine[cols + out_cols].copy()
+        elif keep:
+            lvl = (fine.groupby(keep, as_index=False)
+                   .agg({o: _REAGG[op] for _c, op, o in aggs}))
+        else:
+            lvl = pd.DataFrame(
+                {o: [getattr(fine[o], _REAGG[op])()]
+                 for _c, op, o in aggs})
+        for c in cols:
+            if c not in keep:
+                lvl[c] = fill
+        frames.append(lvl[cols + out_cols])
+    return pd.concat(frames, ignore_index=True)
+
+
+def rollup_sets(cols: list[str]) -> list[tuple[str, ...]]:
+    """ROLLUP(a, b, c) → [(a,b,c), (a,b), (a,), ()]."""
+    return [tuple(cols[:i]) for i in range(len(cols), -1, -1)]
+
+
+def cube_sets(cols: list[str]) -> list[tuple[str, ...]]:
+    """CUBE(a, b) → all 2^n subsets, finest first."""
+    from itertools import combinations
+
+    return [s for r in range(len(cols), -1, -1)
+            for s in combinations(cols, r)]
+
+
 def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
                 mode: str = "auto", driver_row_limit: int = 20_000_000):
     """Exact dedup: keep one row per key group — deterministically the

@@ -924,6 +924,63 @@ def q_orders_rank_window(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_orders_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """CUME_DIST() + PERCENT_RANK() OVER (PARTITION BY priority ORDER
+    BY orderdate) for every order — value-level window functions on the
+    same two-pass counts-table shape as q_orders_rank_window: the
+    exchange moves one row per distinct (priority, date); the divisions
+    are int→double on exact counts, so the doubles are bit-identical to
+    DuckDB's."""
+    from ..functions.relational import partitioned_cume
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    out = partitioned_cume(orders, ["o_orderpriority"], "o_orderdate")
+    df = out.to_pandas()[
+        ["o_orderkey", "o_orderpriority", "cume_dist", "percent_rank"]]
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orders_ntile(sf_dir: str) -> pd.DataFrame:
+    """ROW_NUMBER() + NTILE(4) OVER (PARTITION BY priority ORDER BY
+    orderkey) — row-level window functions, which genuinely need the
+    partition's total order: hash-shuffle co-location + one vectorized
+    sort/arange per partition (relational.partitioned_ntile).  The
+    order key is unique, so both engines are deterministic."""
+    from ..functions.relational import partitioned_ntile
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    out = partitioned_ntile(
+        orders, ["o_orderpriority"], ["o_orderkey"], 4)
+    df = out.to_pandas()[
+        ["o_orderkey", "o_orderpriority", "row_number", "tile"]]
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(priority, status): all 4 aggregation levels from
+    ONE exchange via the generic `relational.grouping_sets` — finest
+    partials once, coarser levels as sums-of-sums of that small table
+    (the q_rollup_revenue shape, generalized to arbitrary set lists)."""
+    from ..functions.relational import cube_sets, grouping_sets
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = grouping_sets(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        cube_sets(["o_orderpriority", "o_orderstatus"]),
+        [("o_totalprice", "sum", "total"),
+         ("o_totalprice", "count", "n")]).rename(
+        columns={"o_orderpriority": "priority",
+                 "o_orderstatus": "status"})
+    out["total"] = out["total"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["priority", "status"]).reset_index(drop=True)
+
+
 def q_events_lag(sf_dir: str) -> pd.DataFrame:
     """LAG window: microseconds since the same user's previous event
     (-1 for the user's first).  Bucketed by user hash; inside a bucket
@@ -1334,6 +1391,33 @@ ORACLE_SQL: dict[str, str] = {
                             ORDER BY o_orderdate) AS rnk
         FROM orders
         ORDER BY o_orderkey
+    """,
+    "q_orders_cume_dist": """
+        SELECT o_orderkey, o_orderpriority,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate) AS cume_dist,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_orderdate) AS percent_rank
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "q_orders_ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderkey) AS row_number,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_orderkey) AS tile
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "q_cube_revenue": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               round(sum(o_totalprice), 2) AS total,
+               count(*)::BIGINT AS n
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY priority, status
     """,
     "q_events_lag": """
         SELECT event_id, user_id,

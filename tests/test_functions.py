@@ -660,6 +660,87 @@ def test_partitioned_rank_matches_pandas_rank():
             assert (got["rnk"].values == want).all(), (dense, desc)
 
 
+def test_partitioned_cume_matches_pandas():
+    from cpg_ray.functions.relational import partitioned_cume
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "part": rng.choice(list("abc"), 400),
+        "val": rng.integers(0, 15, 400),   # heavy ties
+        "rid": np.arange(400),
+    })
+    # plus a single-row partition (the percent_rank 0.0 edge)
+    df = pd.concat([df, pd.DataFrame(
+        {"part": ["z"], "val": [3], "rid": [400]})], ignore_index=True)
+    got = partitioned_cume(
+        rd.from_pandas(df), ["part"], "val",
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    g = df.groupby("part")["val"]
+    want_cume = g.transform(
+        lambda s: s.rank(method="max") / len(s)).values
+    n = g.transform("size").values
+    rnk = g.transform(lambda s: s.rank(method="min")).values
+    want_pr = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+    assert np.array_equal(got["cume_dist"].values, want_cume)
+    assert np.array_equal(got["percent_rank"].values, want_pr)
+
+
+def test_partitioned_ntile_row_number_and_tile_sizes():
+    from cpg_ray.functions.relational import partitioned_ntile
+
+    rng = np.random.default_rng(5)
+    sizes = {"a": 10, "b": 7, "c": 3, "d": 1}   # 10%4=2, 7%4=3, n<k
+    rows = [(p, int(v)) for p, n in sizes.items()
+            for v in rng.permutation(n * 10)[:n]]
+    df = pd.DataFrame(rows, columns=["part", "key"])
+    got = partitioned_ntile(
+        rd.from_pandas(df), ["part"], ["key"], 4,
+    ).to_pandas().sort_values(["part", "key"]).reset_index(drop=True)
+    for p, n in sizes.items():
+        sub = got[got.part == p]
+        # row_number is 1..n in key order
+        assert list(sub.row_number) == list(range(1, n + 1))
+        # SQL NTILE sizing: first n%k tiles get ceil, rest floor
+        counts = sub.tile.value_counts().sort_index()
+        k = 4
+        want = [n // k + (1 if i < n % k else 0) for i in range(k)]
+        want = [w for w in want if w > 0]
+        assert list(counts.values) == want
+        # tiles are contiguous runs in order
+        assert (sub.tile.values == np.sort(sub.tile.values)).all()
+
+
+def test_grouping_sets_cube_matches_pandas():
+    from cpg_ray.functions.relational import (cube_sets, grouping_sets,
+                                              rollup_sets)
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "a": rng.choice(list("xy"), 300),
+        "b": rng.choice(list("pqr"), 300),
+        "v": rng.integers(0, 100, 300).astype("float64"),
+    })
+    assert rollup_sets(["a", "b"]) == [("a", "b"), ("a",), ()]
+    assert set(cube_sets(["a", "b"])) == {("a", "b"), ("a",), ("b",), ()}
+    got = grouping_sets(
+        rd.from_pandas(df), ["a", "b"], cube_sets(["a", "b"]),
+        [("v", "sum", "total"), ("v", "count", "n")])
+    fine = df.groupby(["a", "b"], as_index=False).agg(
+        total=("v", "sum"), n=("v", "count"))
+    assert len(got) == len(fine) + 2 + 3 + 1
+    grand = got[(got.a == "ALL") & (got.b == "ALL")]
+    assert float(grand.total.iloc[0]) == float(df.v.sum())
+    assert int(grand.n.iloc[0]) == 300
+    bya = got[(got.a != "ALL") & (got.b == "ALL")].set_index("a")
+    want_a = df.groupby("a")["v"].sum()
+    for k in want_a.index:
+        assert float(bya.loc[k, "total"]) == float(want_a[k])
+    import pytest
+    with pytest.raises(ValueError):
+        grouping_sets(rd.from_pandas(df), ["a"], [("a",)],
+                      [("v", "mean", "m")])
+
+
 def test_ed1_pairs_matches_bruteforce_levenshtein():
     from cpg_ray.functions.dedup import ed1_pairs
 
