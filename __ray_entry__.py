@@ -422,6 +422,23 @@ def _kg_cypher_varlen(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _kg_cypher_undirected(sf_dir: str):
+    """Undirected cypher hop ``(a:Mention)-[:EOG]-(b:Mention)`` — each
+    physical edge matched in BOTH orientations (one row per
+    orientation, self-loops once), compiled as the union of the two
+    oriented chains.  Exceeds the reference, whose BOTH direction is a
+    TODO (Graph.kt:139); verified against the UNION ALL SQL."""
+    from cpg_ray.functions.cypher import run_cypher
+
+    nodes, edges = _graph_tables(sf_dir)
+    df = run_cypher(
+        "MATCH (a:Mention)-[:EOG]-(b:Mention) "
+        "RETURN a.id AS a_id, b.id AS b_id, a.url AS url",
+        nodes, edges,
+    )
+    return df.sort_values(["url", "a_id", "b_id"]).reset_index(drop=True)
+
+
 def _ensure_kb(sf_dir: str) -> str:
     """External-KB snapshot parquet for the mixed world (J9 analog):
     built once under /tmp, loaded per actor from disk."""
@@ -824,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_cume_dist": q.q_orders_cume_dist,
         "q_orders_ntile": q.q_orders_ntile,
         "q_cube_revenue": q.q_cube_revenue,
+        "kg_cypher_undirected": _kg_cypher_undirected,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,
@@ -1187,6 +1205,22 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             WHERE e.kind = 'edge' AND e.etype = 'AST'
               AND e.url < 'https://site5'
             ORDER BY e.url, section_id, mention_id
+        """,
+        "kg_cypher_undirected": f"""
+            WITH ee AS (
+                SELECT e.src_id, e.dst_id, e.url
+                FROM {gsrc} e
+                JOIN {gsrc} s ON s.kind = 'node' AND s.label = 'Mention'
+                             AND s.node_id = e.src_id
+                JOIN {gsrc} d ON d.kind = 'node' AND d.label = 'Mention'
+                             AND d.node_id = e.dst_id
+                WHERE e.kind = 'edge' AND e.etype = 'EOG'
+            )
+            SELECT src_id AS a_id, dst_id AS b_id, url FROM ee
+            UNION ALL
+            SELECT dst_id AS a_id, src_id AS b_id, url FROM ee
+            WHERE src_id <> dst_id
+            ORDER BY url, a_id, b_id
         """,
         "kg_cypher_varlen": f"""
             WITH RECURSIVE ee AS (

@@ -14,9 +14,13 @@ Grammar (case-insensitive keywords)::
       (chains of fixed-length hops compile to chained hash joins;
        each hop may also point LEFT: (a)<-[:ETYPE]-(b) matches edges
        b→a — direction resolved at compile time by swapping the edge
-       ends, the Graph.kt:129-143 INCOMING analog.  Undirected and
-       double-headed arrows raise, matching the reference's own BOTH
-       TODO.)
+       ends, the Graph.kt:129-143 INCOMING analog.  An UNDIRECTED hop
+       (a)-[:ETYPE]-(b) matches each physical edge in either
+       orientation — one row per orientation, self-loops once —
+       compiled as the union of the two oriented chains; this EXCEEDS
+       the reference, whose BOTH resolution is a TODO (Graph.kt:139).
+       Double-headed arrows <-[..]-> and undirected variable-length
+       hops still raise.)
     [WHERE a.prop OP literal [AND ...]]
     RETURN a.prop [AS alias] [, ...] | a | count(a)
     [ORDER BY expr [DESC]] [LIMIT k]
@@ -160,9 +164,16 @@ def parse(query: str) -> _Query:
             raise ValueError("double-headed relationship <-[..]-> "
                              "(direction BOTH) is not supported")
         if not larr and not rarr:
-            raise ValueError("undirected relationship -[..]- needs an "
-                             "arrow: use -[..]-> or <-[..]-")
-        rels.append((rm.group("etype"), hops, bool(larr)))
+            # undirected -[..]-: matches the physical edge in EITHER
+            # orientation (one binding per orientation; a self-loop
+            # binds once) — this EXCEEDS the reference, whose BOTH
+            # resolution is a TODO (Graph.kt:139)
+            if hops is not None:
+                raise ValueError("undirected variable-length hops "
+                                 "-[:X*lo..hi]- are not supported")
+            rels.append((rm.group("etype"), hops, "both"))
+        else:
+            rels.append((rm.group("etype"), hops, bool(larr)))
         rest = rest[rm.end():].strip()
         nm2 = _NODE.match(rest)
         if not nm2:
@@ -271,16 +282,15 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
             nparts = max(2, cpus)
             ds = None
             for i, (etype, _h, rev) in enumerate(plan.rels):
-                # an INCOMING hop matches the physical edge right→left:
-                # swap which pattern variable sits on each edge end
-                sl, dl = ((labels[i + 1], labels[i]) if rev
-                          else (labels[i], labels[i + 1]))
-                seg = rel_chain(nodes_ds, edges_ds, etype=etype,
-                                src_label=sl, dst_label=dl)
                 va, vb = vars_[i], vars_[i + 1]
                 first = i == 0
 
-                def ren(t, va=va, vb=vb, first=first, rev=rev):
+                def ren(t, va=va, vb=vb, first=first, rev=rev,
+                        drop_loops=False):
+                    import pyarrow.compute as _pc
+                    if drop_loops:
+                        t = t.filter(
+                            _pc.not_equal(t["src_id"], t["dst_id"]))
                     sa, sb = ("dst", "src") if rev else ("src", "dst")
                     cols = {f"{vb}__id": t[f"{sb}_id"],
                             f"{vb}__name": t[f"{sb}_name"]}
@@ -290,7 +300,37 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                         cols["url"] = t["url"]
                     return _pa.table(cols)
 
-                seg = seg.map_batches(ren, batch_format="pyarrow")
+                if rev == "both":
+                    # undirected hop inside a chain: union of both
+                    # oriented segments (reverse branch drops
+                    # self-loops — same binding, appears once)
+                    import functools as _ft
+
+                    # materialize each branch before the union (same
+                    # live-join-stage budget as the single-hop case)
+                    f = rel_chain(
+                        nodes_ds, edges_ds, etype=etype,
+                        src_label=labels[i], dst_label=labels[i + 1],
+                    ).map_batches(
+                        _ft.partial(ren, rev=False),
+                        batch_format="pyarrow").materialize()
+                    b = rel_chain(
+                        nodes_ds, edges_ds, etype=etype,
+                        src_label=labels[i + 1], dst_label=labels[i],
+                    ).map_batches(
+                        _ft.partial(ren, rev=True, drop_loops=True),
+                        batch_format="pyarrow").materialize()
+                    seg = f.union(b)
+                else:
+                    # an INCOMING hop matches the physical edge
+                    # right→left: swap which pattern variable sits on
+                    # each edge end
+                    sl, dl = ((labels[i + 1], labels[i]) if rev
+                              else (labels[i], labels[i + 1]))
+                    seg = rel_chain(nodes_ds, edges_ds, etype=etype,
+                                    src_label=sl, dst_label=dl
+                                    ).map_batches(
+                        ren, batch_format="pyarrow")
                 if ds is None:
                     ds = seg
                 else:
@@ -301,7 +341,7 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                     # before hop k+1 schedules
                     ds = _hash_join(
                         ds.materialize(), seg, on=f"{va}__id",
-                        num_partitions=nparts,
+                        num_partitions=nparts, empty_safe=True,
                     )
 
             def col(v, p):
@@ -319,10 +359,53 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                 )
         elif plan.hops is None:
             (v1, l1, _p1), (v2, l2, _p2) = plan.nodes
-            if plan.rev:  # (a)<-[:X]-(b): physical edge is b → a
-                l1, l2 = l2, l1
-            ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
-                           src_label=l1, dst_label=l2)
+            if plan.rev == "both":
+                # undirected (a)-[:X]-(b): each physical edge matches
+                # in either orientation — union of the forward chain
+                # and the swapped reverse chain, normalized so src_* is
+                # always the LEFT variable.  The reverse branch drops
+                # self-loops: both orientations of u→u are the SAME
+                # binding and must appear once (openCypher semantics).
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                _COLS = ["src_id", "src_name", "dst_id", "dst_name",
+                         "url"]
+
+                def fwd_norm(t):
+                    return t.select(_COLS)
+
+                def swap_norm(t):
+                    keep = t.filter(
+                        _pc.not_equal(t["src_id"], t["dst_id"]))
+                    return _pa.table({
+                        "src_id": keep["dst_id"],
+                        "src_name": keep["dst_name"],
+                        "dst_id": keep["src_id"],
+                        "dst_name": keep["src_name"],
+                        "url": keep["url"]})
+
+                # materialize each oriented branch before the union:
+                # a lazy union would run BOTH branches' hash joins in
+                # one live topology — 4 concurrent join stages starve
+                # the aggregator actors on small clusters (the
+                # measured join hang; see the multi-hop chain note)
+                fwd = rel_chain(
+                    nodes_ds, edges_ds, etype=plan.etype,
+                    src_label=l1, dst_label=l2,
+                ).map_batches(fwd_norm,
+                              batch_format="pyarrow").materialize()
+                bwd = rel_chain(
+                    nodes_ds, edges_ds, etype=plan.etype,
+                    src_label=l2, dst_label=l1,
+                ).map_batches(swap_norm,
+                              batch_format="pyarrow").materialize()
+                ds = fwd.union(bwd)
+            else:
+                if plan.rev:  # (a)<-[:X]-(b): physical edge is b → a
+                    l1, l2 = l2, l1
+                ds = rel_chain(nodes_ds, edges_ds, etype=plan.etype,
+                               src_label=l1, dst_label=l2)
         else:
             (v1, l1, _p1), (v2, l2, _p2) = plan.nodes
             if plan.rev:
@@ -361,8 +444,9 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
             cpus = int(ray.cluster_resources().get("CPU", 2))
             nparts = max(2, cpus)
             ds = hash_join(
-                hash_join(reach, src, on="src_id", num_partitions=nparts),
-                dst, on="dst_id", num_partitions=nparts,
+                hash_join(reach, src, on="src_id",
+                          num_partitions=nparts, empty_safe=True),
+                dst, on="dst_id", num_partitions=nparts, empty_safe=True,
             )
         if len(plan.rels) == 1:
             def col(v, p):
@@ -370,7 +454,8 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
                 # (+ hops for variable-length matches)
                 if p == "hops" and plan.hops is not None:
                     return "hops"
-                side = ({v1: "dst", v2: "src"} if plan.rev
+                # "both" hops are normalized to forward orientation
+                side = ({v1: "dst", v2: "src"} if plan.rev is True
                         else {v1: "src", v2: "dst"}).get(v)
                 if side is None:
                     raise ValueError(f"unknown variable {v!r}")

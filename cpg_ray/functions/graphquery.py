@@ -102,8 +102,14 @@ def rel_chain(nodes_ds, edges_ds, *, etype: str, src_label: str,
         ),
         batch_format="pyarrow",
     )
-    j1 = hash_join(e, src, on="src_id", num_partitions=num_partitions)
-    j2 = hash_join(j1, dst, on="dst_id", num_partitions=num_partitions)
+    # empty_safe: a label/etype combination that matches nothing is a
+    # legitimate query result — Ray's Dataset.join crashes on an empty
+    # side (see relational.hash_join), and j1 is empty whenever the
+    # first hop matches nothing
+    j1 = hash_join(e, src, on="src_id", num_partitions=num_partitions,
+                   empty_safe=True)
+    j2 = hash_join(j1, dst, on="dst_id", num_partitions=num_partitions,
+                   empty_safe=True)
     return j2
 
 

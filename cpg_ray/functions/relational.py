@@ -99,14 +99,56 @@ def broadcast_join(
     return ds.map_batches(merge, batch_format="pandas")
 
 
+def _block_schema(ds):
+    """Arrow schema recovered from a MATERIALIZED dataset's first block
+    (Ray's Dataset.schema() reports an empty schema for all-empty join
+    outputs even though the blocks carry real columns)."""
+    import pyarrow as pa
+
+    import ray
+
+    for ref in ds.get_internal_block_refs():
+        blk = ray.get(ref)
+        if isinstance(blk, pa.Table):
+            if blk.num_columns:  # skip the schema-less empties
+                return blk.schema
+        elif hasattr(blk, "columns") and len(blk.columns):  # pandas
+            return pa.Schema.from_pandas(blk, preserve_index=False)
+    return None
+
+
+def _empty_table(schema):
+    import pyarrow as pa
+
+    return pa.table(
+        {f.name: pa.array([], type=f.type) for f in schema})
+
+
 def hash_join(left, right, *, on, right_on=None, how: str = "inner",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              empty_safe: bool = False):
     """Big×big hash-partitioned shuffle join (Ray-native Dataset.join).
 
     num_partitions=None tracks the cluster's CPU count — Ray's join
     spawns that many aggregator actors, so a count ABOVE the cluster's
     CPUs starves them into a hang while a fixed constant caps reducer
-    parallelism on large clusters."""
+    parallelism on large clusters.
+
+    empty_safe=True guards a Ray 2.49 defect: Dataset.join raises
+    ArrowInvalid ("No match ... for key field reference") whenever one
+    side is a COMPLETELY empty dataset — including a schema'd empty
+    from_pandas and, critically, the output of an upstream join that
+    matched nothing, so chained joins crash on legitimately-empty
+    intermediates.  The guard materializes both sides (the join holds
+    them whole in its aggregators anyway), short-circuits the empty
+    case with the correct join semantics (inner → empty with the
+    joined schema; outer → the surviving side null-extended), and
+    otherwise proceeds with the already-materialized inputs.  Enabled
+    on the graph-query paths where empty matches are an expected
+    outcome; default off to keep hot relational paths streaming."""
+    on_l = list(on) if isinstance(on, (list, tuple)) else [on]
+    on_r = (list(right_on) if isinstance(right_on, (list, tuple))
+            else [right_on]) if right_on is not None else on_l
     if num_partitions is None:
         try:
             import ray
@@ -116,16 +158,63 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner",
             )
         except Exception:
             num_partitions = 16
+
+    if empty_safe:
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        left = left.materialize()
+        right = right.materialize()
+        ln, rn = left.count(), right.count()
+        if ln == 0 or rn == 0:
+            ls, rs = _block_schema(left), _block_schema(right)
+            if ls is not None and rs is not None:
+                lnames = set(ls.names)
+                extra_r = [f for f in rs
+                           if f.name not in on_r and f.name not in lnames]
+                rnames = set(rs.names)
+                extra_l = [f for f in ls if f.name not in rnames]
+                joined = pa.schema(list(ls) + extra_r)
+                if how == "inner" or (ln == 0 and rn == 0):
+                    return rd.from_arrow(_empty_table(joined))
+                if how in ("left_outer", "full_outer") and rn == 0:
+                    def null_right(t, extra=extra_r):
+                        cols = {c: t[c] for c in t.column_names}
+                        for f in extra:
+                            cols[f.name] = pa.nulls(len(t), type=f.type)
+                        return pa.table(cols)
+
+                    return left.map_batches(
+                        null_right, batch_format="pyarrow")
+                if how in ("right_outer", "full_outer") and ln == 0:
+                    # right rows with left's non-key columns null; key
+                    # columns taken from the right-side keys
+                    def null_left(t):
+                        cols = {}
+                        for f in ls:
+                            if f.name in on_l:
+                                rk = on_r[on_l.index(f.name)]
+                                cols[f.name] = t[rk].cast(f.type)
+                            else:
+                                cols[f.name] = pa.nulls(
+                                    len(t), type=f.type)
+                        for f in extra_r:
+                            cols[f.name] = t[f.name]
+                        return pa.table(cols)
+
+                    return right.map_batches(
+                        null_left, batch_format="pyarrow")
+            # schema unrecoverable (no blocks at all): empty passthrough
+            return rd.from_arrow(
+                _empty_table(pa.schema([])))
+
     return left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
-        on=on if isinstance(on, (list, tuple)) else (on,),
-        right_on=(
-            None
-            if right_on is None
-            else right_on if isinstance(right_on, (list, tuple)) else (right_on,)
-        ),
+        on=tuple(on_l),
+        right_on=None if right_on is None else tuple(on_r),
     )
 
 

@@ -31,8 +31,12 @@ def graph_tables():
 def test_parse_rejects_unsupported():
     with pytest.raises(ValueError):
         parse("CREATE (n)")
-    with pytest.raises(ValueError):  # undirected edges unsupported
-        parse("MATCH (a:X)-[:E]-(b:Y) RETURN a")
+    # undirected single hops parse (direction "both"); undirected
+    # variable-length hops still raise
+    plan = parse("MATCH (a:X)-[:E]-(b:Y) RETURN a")
+    assert plan.rels == [("E", None, "both")]
+    with pytest.raises(ValueError):
+        parse("MATCH (a:X)-[:E*1..2]-(b:Y) RETURN a")
     with pytest.raises(ValueError):
         parse("MATCH (a) WHERE a.x IN [1,2] RETURN a")
     with pytest.raises(ValueError):  # repeated pattern variables
@@ -206,6 +210,45 @@ def test_variable_length_path(graph_tables):
 
     with pytest.raises(ValueError):
         parse("MATCH (a:X)-[:E*3..2]->(b:Y) RETURN a")
+
+
+def test_undirected_hop_is_union_of_orientations(graph_tables):
+    """(a:Mention)-[:EOG]-(b:Mention): every physical edge appears in
+    both orientations, self-loops once (openCypher BOTH semantics —
+    exceeds the reference's Graph.kt:139 TODO)."""
+    nodes_ds, edges_ds, nodes, edges = graph_tables
+    got = run_cypher(
+        "MATCH (a:Mention)-[:EOG]-(b:Mention) "
+        "RETURN a.id AS a_id, b.id AS b_id",
+        nodes_ds, edges_ds,
+    ).sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    lab = {r.node_id: r.label for r in nodes.itertuples()}
+    eog = edges[edges.etype == "EOG"]
+    eog = eog[[lab.get(s) == "Mention" and lab.get(d) == "Mention"
+               for s, d in zip(eog.src_id, eog.dst_id)]]
+    fwd = pd.DataFrame({"a_id": eog.src_id, "b_id": eog.dst_id})
+    rev = pd.DataFrame({"a_id": eog.dst_id, "b_id": eog.src_id})
+    rev = rev[rev.a_id != rev.b_id]
+    want = (pd.concat([fwd, rev], ignore_index=True)
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["a_id", "b_id"]], want)
+    assert len(got) > len(eog)  # reverse orientation really adds rows
+
+    # undirected hop inside a chain: (d)-[:AST]->(s)-[:AST]-(m) — the
+    # undirected middle picks up s→m AND m→s AST edges; with AST only
+    # running parent→child here, it must equal the directed chain
+    dir3 = run_cypher(
+        "MATCH (d:Document)-[:AST]->(s:Section)-[:AST]->(m:Mention) "
+        "RETURN d.id AS doc, m.id AS mid",
+        nodes_ds, edges_ds,
+    ).sort_values(["doc", "mid"]).reset_index(drop=True)
+    und3 = run_cypher(
+        "MATCH (d:Document)-[:AST]->(s:Section)-[:AST]-(m:Mention) "
+        "RETURN d.id AS doc, m.id AS mid",
+        nodes_ds, edges_ds,
+    ).sort_values(["doc", "mid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dir3, und3)
 
 
 def test_incoming_direction(graph_tables):

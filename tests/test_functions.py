@@ -660,6 +660,64 @@ def test_partitioned_rank_matches_pandas_rank():
             assert (got["rnk"].values == want).all(), (dense, desc)
 
 
+def test_hash_join_empty_safe_chains_and_outer():
+    """Ray 2.49 Dataset.join raises ArrowInvalid when one side is a
+    completely empty dataset — including the output of an upstream
+    join that matched nothing.  empty_safe=True short-circuits with
+    the correct join semantics."""
+    from cpg_ray.functions.relational import hash_join
+
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [1, 2, 3]})
+    b = pd.DataFrame({"k": [9], "y": [0]})
+    c = pd.DataFrame({"x": [1, 2], "z": [5, 6]})
+    # chained join over an empty intermediate (the crash case)
+    j1 = hash_join(rd.from_pandas(a), rd.from_pandas(b), on="k",
+                   empty_safe=True)
+    j2 = hash_join(j1, rd.from_pandas(c), on="x", empty_safe=True)
+    j2m = j2.materialize()
+    assert j2m.count() == 0
+    # (Ray's to_pandas drops columns on any all-empty dataset, so the
+    # joined schema is asserted at the block level)
+    from cpg_ray.functions.relational import _block_schema
+    assert set(_block_schema(j2m).names) == {"k", "x", "y", "z"}
+    # left_outer with an empty right: left rows null-extended
+    lo = hash_join(rd.from_pandas(c), j1, on="x", how="left_outer",
+                   empty_safe=True).to_pandas()
+    assert len(lo) == 2 and lo["k"].isna().all() and lo["y"].isna().all()
+    assert sorted(lo.z) == [5, 6]
+    # right_outer with an empty left: right rows null-extended
+    ro = hash_join(j1, rd.from_pandas(c), on="x", how="right_outer",
+                   empty_safe=True).to_pandas()
+    assert len(ro) == 2 and ro["k"].isna().all() and ro["y"].isna().all()
+    assert sorted(ro.x) == [1, 2]
+    # non-empty path unchanged
+    ok = hash_join(rd.from_pandas(a), rd.from_pandas(c), on="x",
+                   empty_safe=True).to_pandas()
+    assert len(ok) == 2
+
+
+def test_rel_chain_empty_match_returns_empty():
+    """A label/etype combination that matches nothing is a legitimate
+    empty result, not a crash (rel_chain's j1-empty chained join)."""
+    from cpg_ray.functions.graphquery import rel_chain
+
+    nodes = pd.DataFrame({
+        "node_id": [1, 2], "label": ["Mention", "Section"],
+        "name": ["a", "s"]})
+    edges = pd.DataFrame({
+        "src_id": [2], "dst_id": [1], "etype": ["AST"], "url": ["u"]})
+    # no such etype at all
+    out = rel_chain(rd.from_pandas(nodes), rd.from_pandas(edges),
+                    etype="NOPE", src_label="Section",
+                    dst_label="Mention").to_pandas()
+    assert len(out) == 0
+    # etype exists but the src label matches no edge sources
+    out2 = rel_chain(rd.from_pandas(nodes), rd.from_pandas(edges),
+                     etype="AST", src_label="Mention",
+                     dst_label="Section").to_pandas()
+    assert len(out2) == 0
+
+
 def test_partitioned_cume_matches_pandas():
     from cpg_ray.functions.relational import partitioned_cume
 
