@@ -913,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,
         "q_approx_stats": q.q_approx_stats,
+        "q_events_heavy_hitters": q.q_events_heavy_hitters,
         "kg_triples_ctx": _kg_triples_ctx,
     }
     return out

@@ -101,6 +101,88 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     return merged.estimate()
 
 
+class MisraGries:
+    """Misra-Gries heavy-hitters summary with k counters.  Mergeable
+    (Agarwal et al., "Mergeable Summaries", PODS'12): merge = counter
+    addition followed by one compress (subtract the (k+1)-th largest
+    count, drop ≤0), preserving the deterministic guarantee
+    ``true_count − n/(k+1) ≤ estimate ≤ true_count`` over the combined
+    stream of n items — no randomness, no failure probability."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.counters: dict = {}
+        self.n = 0  # total items summarized
+
+    def add_counts(self, counts: dict, n: int) -> "MisraGries":
+        for v, c in counts.items():
+            self.counters[v] = self.counters.get(v, 0) + int(c)
+        self.n += int(n)
+        self._compress()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        return self.add_counts(other.counters, other.n)
+
+    def _compress(self):
+        if len(self.counters) <= self.k:
+            return
+        vals = sorted(self.counters.values(), reverse=True)
+        cut = vals[self.k]  # (k+1)-th largest
+        self.counters = {v: c - cut for v, c in self.counters.items()
+                         if c > cut}
+
+    def items(self) -> list[tuple]:
+        return sorted(self.counters.items(),
+                      key=lambda kv: (-kv[1], str(kv[0])))
+
+    @property
+    def err_bound(self) -> float:
+        """Each estimate undercounts by at most n/(k+1)."""
+        return self.n / (self.k + 1)
+
+
+def heavy_hitters(ds, column: str, *, k: int = 64,
+                  min_share: float = 0.0) -> pd.DataFrame:
+    """Distributed heavy hitters: one EXACT per-batch value_counts
+    (itself a valid MG summary) compressed to k counters inside
+    ``map_batches``, merged on the driver — the shuffle moves ≤k
+    (value, count) pairs per batch, never the values.  Returns
+    (value, est_count, n_total, err_bound) rows; every value with true
+    frequency > n/(k+1) is guaranteed present, and
+    true − n/(k+1) ≤ est ≤ true.  ``min_share`` drops rows whose
+    LOWER-bound share (est/n) is below it."""
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[column].value_counts()
+        mg = MisraGries(k).add_counts(dict(vc), len(batch))
+        it = mg.items()
+        return pd.DataFrame({
+            "value": [v for v, _c in it],
+            "count": [c for _v, c in it],
+            "n": [mg.n] + [0] * (len(it) - 1) if it else [],
+        })
+
+    merged = MisraGries(k)
+    for b in ds.map_batches(summarize, batch_format="pandas") \
+               .iter_batches(batch_format="pandas"):
+        if len(b):
+            # iter_batches coalesces several per-batch summaries into
+            # one frame — the same value can repeat, so SUM duplicates
+            # before the dict (a plain dict(zip(...)) keeps only the
+            # last occurrence and silently undercounts)
+            g = b.groupby("value", sort=False)["count"].sum()
+            merged.add_counts(dict(g), int(b["n"].sum()))
+    rows = [(v, int(c)) for v, c in merged.items()
+            if merged.n == 0 or c / merged.n >= min_share]
+    return pd.DataFrame({
+        "value": [v for v, _c in rows],
+        "est_count": [c for _v, c in rows],
+        "n_total": merged.n,
+        "err_bound": merged.err_bound,
+    })
+
+
 def _batch_sample(values: np.ndarray, k: int, seed: int) -> np.ndarray:
     """Deterministic uniform subsample of size ≤ k (hash-ordered, so the
     same rows are picked regardless of batch boundaries)."""

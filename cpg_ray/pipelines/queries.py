@@ -1227,6 +1227,22 @@ def q_approx_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over the event users (rows-only: the
+    estimates carry a deterministic n/(k+1) error bound rather than SQL
+    equality) — one exact per-batch value_counts compressed to k
+    counters, merged on the driver; the shuffle moves ≤k pairs per
+    batch, never the values."""
+    from ..functions.sketches import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    df = heavy_hitters(ds, "user_id", k=64)
+    df["value"] = df["value"].astype("int64")
+    return df.sort_values(
+        ["est_count", "value"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; codec stubbed)
 # ---------------------------------------------------------------------------

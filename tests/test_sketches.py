@@ -49,3 +49,63 @@ def test_approx_quantiles_on_dataset():
             f"FROM '{SF}/lineitem.parquet'"
         ).fetchone()[0]
         assert abs(g - true) / true < 0.05, (q, g, true)
+
+
+def test_misra_gries_bounds_and_merge():
+    """Deterministic MG guarantee: true − n/(k+1) ≤ est ≤ true, and
+    every value with true count > n/(k+1) survives; merge of halves
+    obeys the same bound over the combined stream."""
+    from cpg_ray.functions.sketches import MisraGries
+
+    rng = np.random.RandomState(7)
+    # Zipf-ish: heavy head over a large tail
+    vals = np.concatenate([
+        np.repeat(np.arange(10), 3000),          # 10 hot values × 3000
+        rng.randint(100, 50_000, 70_000),        # long tail
+    ])
+    rng.shuffle(vals)
+    k = 64
+    n = len(vals)
+    import pandas as pd
+    true = pd.Series(vals).value_counts()
+
+    mg = MisraGries(k)
+    for chunk in np.array_split(vals, 37):       # uneven batch feed
+        mg.add_counts(dict(pd.Series(chunk).value_counts()), len(chunk))
+    bound = n / (k + 1)
+    assert len(mg.counters) <= k
+    for v, est in mg.counters.items():
+        assert est <= true[v] and true[v] - est <= bound, (v, est)
+    for v in range(10):                          # hot values must survive
+        assert true[v] > bound
+        assert v in mg.counters
+
+    # merge of halves: same guarantee over the combined stream
+    a, b = MisraGries(k), MisraGries(k)
+    a.add_counts(dict(pd.Series(vals[: n // 2]).value_counts()), n // 2)
+    b.add_counts(dict(pd.Series(vals[n // 2:]).value_counts()), n - n // 2)
+    a.merge(b)
+    assert a.n == n
+    for v, est in a.counters.items():
+        assert est <= true[v] and true[v] - est <= bound
+
+
+def test_heavy_hitters_on_dataset():
+    import duckdb
+
+    import ray.data as rd
+
+    ds = read_table(SF, "orders", columns=["o_orderpriority"])
+    from cpg_ray.functions.sketches import heavy_hitters
+
+    got = heavy_hitters(ds, "o_orderpriority", k=16)
+    true = duckdb.sql(
+        f"SELECT o_orderpriority, count(*) FROM '{SF}/orders.parquet' "
+        "GROUP BY 1"
+    ).df().set_index("o_orderpriority")["count_star()"]
+    n = int(true.sum())
+    assert int(got.n_total.iloc[0]) == n
+    # 5 priorities, k=16 ≫ 5: estimates are EXACT (no compression)
+    for _i, r in got.iterrows():
+        assert int(r.est_count) == int(true[r.value])
+    assert set(got.value) == set(true.index)
