@@ -1,0 +1,630 @@
+"""Pure stdlib+numpy baseline JPEG codec — the built-in tier for the
+single most common web image format (the multimodal import-probe seam
+prefers PIL when importable; this makes JPEG decode GENUINE without
+it, the same contract as the PNG/BMP/netpbm/WAV builtins).
+
+Scope (ITU-T T.81 baseline sequential DCT, JFIF):
+- decode: 8-bit baseline (SOF0), grayscale / YCbCr 4:4:4 / 4:2:0
+  (any Hi×Vi ≤ 2×2 sampling actually), restart markers (DRI/RSTn),
+  0xFF00 byte unstuffing.  Raises NotImplementedError on progressive
+  (SOF2), arithmetic coding, 12-bit, hierarchical — the declared
+  remaining boundary.
+- encode: baseline SOF0, quality-scaled Annex-K quantization tables,
+  the Annex-K "typical" Huffman tables, 4:4:4 or 4:2:0.
+
+Performance shape: the DCT/IDCT, dequant, color transform and chroma
+resample are vectorized numpy over all 8×8 blocks at once; only the
+entropy (Huffman) layer is a Python loop — inherent to JPEG's
+bit-serial entropy coding without a C library.  The actor-pool decode
+stages amortize table construction per actor; the library tier stays
+the fast path when present.
+
+Reference analog: the reference ships a real parser at every boundary
+it claims (e.g. TypeScriptLanguageFrontend.kt:1-282 bundles an actual
+NodeJS parser); this module is that posture for image bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex-K "typical" Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II matrix: dct = C @ block @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5)
+
+
+def _quality_tables(quality: int):
+    """libjpeg quality scaling of the Annex-K tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out
+
+
+def _build_huffman(bits, vals):
+    """Canonical Huffman code assignment → {symbol: (code, length)}."""
+    codes, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits, vals):
+    """Canonical decode tables: (mincode, maxcode, valptr) per length
+    (T.81 F.2.2.3 DECODE procedure)."""
+    mincode = np.zeros(17, dtype=np.int64)
+    maxcode = np.full(17, -1, dtype=np.int64)
+    valptr = np.zeros(17, dtype=np.int64)
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_blocks(w: _BitWriter, blocks: np.ndarray, dc_codes, ac_codes,
+                   dc_pred: int) -> int:
+    """Huffman-encode zigzagged quantized blocks (n, 64); returns the
+    final DC predictor."""
+    for blk in blocks:
+        diff = int(blk[0]) - dc_pred
+        dc_pred = int(blk[0])
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+    return dc_pred
+
+
+def _dct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) float, H/W multiples of 8 → ZIGZAG-ordered quantized
+    (n, 64) int blocks in raster order — fully vectorized.  `qtab` is
+    in natural (row-major) order."""
+    h, w = plane.shape
+    b = (plane - 128.0).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    b = b.reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,lk->nil", _C, b, _C)
+    q = np.round(coef.reshape(-1, 64) / qtab[None, :].astype(np.float64))
+    return q.astype(np.int64)[:, ZIGZAG]
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                subsample: str = "4:2:0",
+                restart_interval: int = 0) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → baseline JFIF JPEG bytes.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resynchronization)."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise ValueError("bad image dimensions")
+    qy, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "4:2:0":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ph = _pad_to(cb, 2, 2)
+            pr = _pad_to(cr, 2, 2)
+            cb = ph.reshape(ph.shape[0] // 2, 2,
+                            ph.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = pr.reshape(pr.shape[0] // 2, 2,
+                            pr.shape[1] // 2, 2).mean(axis=(1, 3))
+        elif subsample == "4:4:4":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsample!r}")
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad each plane so the MCU grid is complete
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    quanted = []
+    for ci, (p, (hi, vi)) in enumerate(zip(planes, samp)):
+        target_h = mcus_y * 8 * vi
+        target_w = mcus_x * 8 * hi
+        p = p[:target_h, :target_w]
+        p = np.pad(p, ((0, target_h - p.shape[0]),
+                       (0, target_w - p.shape[1])), mode="edge")
+        quanted.append((_dct_quant(p, qy if ci == 0 else qc),
+                        target_w // 8))
+
+    # entropy-code in MCU interleave order
+    dc_tabs = [_build_huffman(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_build_huffman(AC_LUMA_BITS, AC_LUMA_VALS),
+               _build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_i, rst_i = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                wtr.flush()
+                wtr.buf += bytes([0xFF, 0xD0 + rst_i % 8])
+                rst_i += 1
+                preds = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(samp):
+                blocks, bw = quanted[ci]
+                tab = 0 if ci == 0 else 1
+                for dv in range(vi):
+                    for dh in range(hi):
+                        by = my * vi + dv
+                        bx = mx * hi + dh
+                        blk = blocks[by * bw + bx][None, :]
+                        preds[ci] = _encode_blocks(
+                            wtr, blk, dc_tabs[tab], ac_tabs[tab],
+                            preds[ci])
+            mcu_i += 1
+    wtr.flush()
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, tab in ((0, qy), (1, qc)):
+        # DQT stores the table in zigzag scan order
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(x) for x in tab[ZIGZAG])
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                     ncomp)
+    for ci, (hi, vi) in enumerate(samp):
+        out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    for tc, tid, bits, vals in (
+            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)):
+        if ncomp == 1 and tid == 1:
+            continue
+        payload = bytes([tc << 4 | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        tab = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (tab << 4) | tab])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the unstuffed entropy stream."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                # spec: pad with 1-bits at the tail
+                self.acc = (self.acc << 8) | 0xFF
+            else:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_bit(self) -> int:
+        return self.read(1)
+
+
+def _decode_symbol(rd: _BitReader, dec) -> int:
+    mincode, maxcode, valptr, vals = dec
+    code = rd.read_bit()
+    for length in range(1, 17):
+        if maxcode[length] >= code:
+            return vals[valptr[length] + code - mincode[length]]
+        code = (code << 1) | rd.read_bit()
+    raise NotImplementedError("corrupt Huffman stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients → (n, 8, 8) uint8 samples."""
+    px = np.einsum("ji,njk,kl->nil", _C, coef, _C)
+    return np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG → (H, W, 3) uint8 (grayscale replicated).
+
+    Raises NotImplementedError on anything outside baseline sequential
+    8-bit Huffman with sampling factors ≤ 2 — the declared boundary;
+    the actor routes those to problem rows (or the PIL tier handles
+    them when the library is present)."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+
+    def seg_len(at):
+        if at + 2 > n:
+            raise NotImplementedError("truncated JPEG segment")
+        return struct.unpack(">H", payload[at:at + 2])[0]
+
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before scan
+            raise NotImplementedError("JPEG with no scan data")
+        ln = seg_len(pos)
+        body = payload[pos + 2: pos + ln]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                qtabs[tq] = np.frombuffer(
+                    body[off + 1: off + 65], np.uint8).astype(np.int64)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1: off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17: off + 17 + nv])
+                htabs[(tc, th)] = _build_decoder(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        f"sampling {hi}x{vi} unsupported")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise NotImplementedError("JPEG scan before frame")
+            ns = body[0]
+            scomp = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next((c for c in frame["comps"]
+                             if c["id"] == cs), None)
+                if comp is None:
+                    raise NotImplementedError("scan references unknown "
+                                              "component")
+                scomp.append((comp, tt >> 4, tt & 0xF))
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG unsupported")
+            pos += ln
+            return _decode_scan(payload, pos, frame, scomp, qtabs,
+                                htabs, restart_interval)
+        # APPn/COM/anything else: skip
+        pos += ln
+    raise NotImplementedError("JPEG ended without a scan")
+
+
+def _entropy_segments(payload: bytes, pos: int):
+    """Split the entropy-coded data at RST markers, unstuffing 0xFF00.
+    Returns list of byte segments (one per restart interval chunk)."""
+    segs, cur = [], bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = payload[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next marker — end of scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_scan(payload, pos, frame, scomp, qtabs, htabs,
+                 restart_interval):
+    fh, fw = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    for c, td, ta in scomp:
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise NotImplementedError("missing Huffman table")
+        if c["tq"] not in qtabs:
+            raise NotImplementedError("missing quantization table")
+
+    segs = _entropy_segments(payload, pos)
+    # per component: coefficient array in natural block raster order
+    blocks = {c["id"]: np.zeros(
+        (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps}
+
+    interval = restart_interval or n_mcus
+    mcu = 0
+    for seg in segs:
+        if mcu >= n_mcus:
+            break
+        rd = _BitReader(seg)
+        preds = {c["id"]: 0 for c in comps}
+        for _ in range(min(interval, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for c, td, ta in scomp:
+                dc_dec = htabs[(0, td)]
+                ac_dec = htabs[(1, ta)]
+                for dv in range(c["v"]):
+                    for dh in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        s = _decode_symbol(rd, dc_dec)
+                        if s > 11:
+                            raise NotImplementedError("bad DC category")
+                        diff = _extend(rd.read(s), s) if s else 0
+                        preds[c["id"]] += diff
+                        blk[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(rd, ac_dec)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "AC run past block end")
+                            blk[k] = _extend(rd.read(s), s)
+                            k += 1
+                        by = my * c["v"] + dv
+                        bx = mx * c["h"] + dh
+                        blocks[c["id"]][by, bx] = blk
+            mcu += 1
+    if mcu < n_mcus:
+        raise NotImplementedError("truncated JPEG entropy data")
+
+    # dequantize + IDCT + assemble planes (vectorized per component)
+    planes = []
+    for c in comps:
+        q = qtabs[c["tq"]]
+        zz = blocks[c["id"]].reshape(-1, 64)
+        coef = np.zeros_like(zz, dtype=np.float64)
+        coef[:, ZIGZAG] = zz * q[None, :]
+        px = _idct_blocks(coef.reshape(-1, 8, 8))
+        bh = mcus_y * c["v"]
+        bw = mcus_x * c["h"]
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
+        # upsample to full grid
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:fh, :fw].astype(np.float64))
+
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG "
+                                  "unsupported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)

@@ -6,21 +6,22 @@ The codec boundary is an IMPORT-PROBE SEAM: each stage's ``__init__``
 (once per actor, never per batch) probes for the real library —
 PIL for images, soundfile for audio, PyAV for video — and uses it when
 importable; otherwise a BUILT-IN pure-numpy/stdlib codec takes over
-for the container formats it genuinely parses (8-bit non-interlaced
-PNG via stdlib zlib + numpy unfiltering, uncompressed BMP, netpbm
-P5/P6, RIFF/WAVE PCM via the stdlib ``wave`` module, uncompressed
-RIFF AVI raw-DIB video — all round-trip-tested against the matching
-``encode_*`` helpers), and only payloads in formats neither path can
-parse (JPEG/16-bit-or-interlaced PNG/MP3/compressed video without the
-library) fall through: ``fake=True`` forces the deterministic
-synthetic decoder (what the plumbing tests pin), ``fake=False``
-demands genuine decode (library or builtin; per-payload
-NotImplementedError for formats they reject routes to problem rows,
-exactly as a real codec rejecting a container), ``fake=None`` (auto)
-prefers library → builtin → stub.  The remaining declared boundary is
-COMPRESSED codecs only (JPEG/MP3/H.264 et al. need their library
-tier); every container above decodes genuinely with zero third-party
-imports.
+for the formats it genuinely parses (BASELINE SEQUENTIAL JPEG —
+full Huffman entropy decode + vectorized IDCT, ``functions.jpeg`` —
+8-bit non-interlaced PNG via stdlib zlib + numpy unfiltering,
+uncompressed BMP, netpbm P5/P6, RIFF/WAVE PCM via the stdlib ``wave``
+module, uncompressed RIFF AVI raw-DIB video — all round-trip-tested
+against the matching ``encode_*`` helpers), and only payloads in
+formats neither path can parse (progressive JPEG/16-bit-or-interlaced
+PNG/MP3/compressed video without the library) fall through:
+``fake=True`` forces the deterministic synthetic decoder (what the
+plumbing tests pin), ``fake=False`` demands genuine decode (library
+or builtin; per-payload NotImplementedError for formats they reject
+routes to problem rows, exactly as a real codec rejecting a
+container), ``fake=None`` (auto) prefers library → builtin → stub.
+The remaining declared boundary is progressive/arithmetic JPEG, MP3
+and compressed video only (those need their library tier); every
+format above decodes genuinely with zero third-party imports.
 
 Scale notes: binary payloads are wide — callers should keep
 ``batch_size`` small (default 32) and never carry the binary column
@@ -298,6 +299,10 @@ def builtin_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:1] == b"P":
         return decode_netpbm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # baseline sequential JFIF
+
+        return decode_jpeg(payload)
     raise NotImplementedError("no built-in codec for this image format")
 
 

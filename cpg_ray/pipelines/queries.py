@@ -1307,6 +1307,14 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
             ids.append(f"junk{i:04d}")
             blobs.append(b"\xff\xd8\xff\xe0" + bytes(img[..., 0].ravel()[:64]))
             mimes.append("image/jpeg")
+        elif i % 6 == 4:
+            from ..functions.jpeg import encode_jpeg
+
+            ids.append(f"jpg{i:04d}")
+            blobs.append(encode_jpeg(
+                img, quality=90,
+                subsample="4:2:0" if i % 12 == 4 else "4:4:4"))
+            mimes.append("image/jpeg")
         elif i % 3 == 2:
             ids.append(f"png{i:04d}")
             blobs.append(encode_png(img, filter_type=i % 5))
