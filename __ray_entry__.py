@@ -842,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_ntile": q.q_orders_ntile,
         "q_cube_revenue": q.q_cube_revenue,
         "kg_cypher_undirected": _kg_cypher_undirected,
+        "q_nation_region_cross": q.q_nation_region_cross,
+        "q_doc_chunks": q.q_doc_chunks,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,

@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "q_orders_rank_window",
     "q_orders_share",
     "q_supplier_typo_pairs",
+    "q_orders_cume_dist",
+    "q_orders_ntile",
+    "q_cube_revenue",
+    "q_events_heavy_hitters",
 ]
 
 

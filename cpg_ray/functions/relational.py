@@ -218,6 +218,38 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner",
     )
 
 
+def cross_join(ds, small: pd.DataFrame, *, driver_row_limit: int = 100_000):
+    """CROSS JOIN against a SMALL side: the small frame is broadcast
+    once (``ray.put``), each batch emits the cartesian product via one
+    numpy repeat/tile — no shuffle, the big side streams.  Guarded: a
+    cartesian product against a big right side is a mistake at any
+    scale, so ``len(small)`` above the limit raises GuardExceeded
+    rather than silently exploding the output."""
+    import ray
+
+    if len(small) > driver_row_limit:
+        raise GuardExceeded(
+            f"cross_join small side has {len(small)} rows "
+            f"(limit {driver_row_limit}) — a cartesian product this "
+            "size is almost certainly not what you want")
+    overlap = set(small.columns)
+    ref = ray.put(small.reset_index(drop=True))
+
+    def cart(b: pd.DataFrame) -> pd.DataFrame:
+        s = bcast_get(ref)
+        if not len(b) or not len(s):
+            cols = {c: b[c].iloc[:0] for c in b.columns
+                    if c not in overlap}
+            cols.update({c: s[c].iloc[:0] for c in s.columns})
+            return pd.DataFrame(cols)
+        left = b.loc[b.index.repeat(len(s))].reset_index(drop=True)
+        right = pd.concat([s] * len(b), ignore_index=True)
+        left = left.drop(columns=[c for c in b.columns if c in overlap])
+        return pd.concat([left, right], axis=1)
+
+    return ds.map_batches(cart, batch_format="pandas")
+
+
 def semi_anti_filter(ds, key_col: str, keys, *, anti: bool = False):
     """Semi/anti join via broadcast key set (D4/J11 analog: existence
     check without moving the big side)."""

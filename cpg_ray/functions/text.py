@@ -612,3 +612,45 @@ def pii_scrub(batch: pd.DataFrame, text_col: str = "text",
         red = red.str.replace(pat, token, regex=True)
     out[out_col] = red
     return out
+
+
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    size: int = 200, overlap: int = 50):
+    """Context-window chunking — the sample-preparation step of a
+    training-data pipeline: each document becomes ⌈(len−overlap)/stride⌉
+    chunks of ``size`` characters starting every ``stride = size −
+    overlap`` characters (the final chunk may be shorter; a document
+    shorter than ``size`` yields one chunk).  Stateless flat-map shape:
+    chunks multiply rows, never cross documents, so the stage pipelines
+    with no shuffle.
+
+    Vectorized as one pandas str.slice per CHUNK INDEX (the loop is
+    over the ≤ maxlen/stride distinct offsets in the batch, not over
+    rows), matching SQL ``substr`` code-point semantics so the DuckDB
+    generate_series oracle compares byte-identically."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col]
+        ln = s.str.len().to_numpy("int64")
+        n_chunks = np.maximum(-(-(ln - overlap) // stride), 1)
+        out = []
+        for k in range(int(n_chunks.max(initial=0))):
+            m = n_chunks > k
+            if not m.any():
+                break
+            out.append(pd.DataFrame({
+                id_col: b.loc[m, id_col].to_numpy(),
+                "chunk_idx": np.int64(k),
+                "chunk": s[m].str.slice(k * stride, k * stride + size)
+                .to_numpy(),
+            }))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "chunk_idx": pd.Series([], dtype="int64"),
+                                 "chunk": pd.Series([], dtype="object")})
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(chunk, batch_format="pandas")

@@ -1227,6 +1227,33 @@ def q_approx_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_nation_region_cross(sf_dir: str) -> pd.DataFrame:
+    """CROSS JOIN (completes the join family): nation × region as a
+    broadcast nested loop — the small side ships once via ray.put,
+    each batch emits the cartesian product with one numpy repeat/tile,
+    no shuffle.  Guarded against big×big cartesian mistakes."""
+    from ..functions.relational import cross_join
+
+    nation = read_table(sf_dir, "nation", columns=["n_name"])
+    region = read_table(
+        sf_dir, "region", columns=["r_name"]).to_pandas()
+    df = cross_join(nation, region).to_pandas()
+    return df.sort_values(["n_name", "r_name"]).reset_index(drop=True)
+
+
+def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking (training-sample preparation): 200-char
+    chunks every 150 chars (50 overlap) per document — stateless
+    flat-map, chunks never cross documents, vectorized str.slice per
+    chunk offset.  Verified against the DuckDB generate_series +
+    substr oracle byte-for-byte."""
+    from ..functions.text import chunk_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = chunk_documents(docs, size=200, overlap=50).to_pandas()
+    return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy hitters over the event users (rows-only: the
     estimates carry a deterministic n/(k+1) error bound rather than SQL
@@ -1415,6 +1442,24 @@ ORACLE_SQL: dict[str, str] = {
                             ORDER BY o_orderdate) AS rnk
         FROM orders
         ORDER BY o_orderkey
+    """,
+    "q_nation_region_cross": """
+        SELECT n.n_name, r.r_name
+        FROM nation n CROSS JOIN region r
+        ORDER BY n_name, r_name
+    """,
+    "q_doc_chunks": """
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(
+                       ceil((length(text) - 50) / 150.0)::BIGINT, 1)))
+                       AS chunk_idx
+            FROM documents
+        )
+        SELECT doc_id, chunk_idx,
+               substr(text, (chunk_idx * 150 + 1)::INT, 200) AS chunk
+        FROM idx
+        ORDER BY doc_id, chunk_idx
     """,
     "q_orders_cume_dist": """
         SELECT o_orderkey, o_orderpriority,

@@ -718,6 +718,56 @@ def test_rel_chain_empty_match_returns_empty():
     assert len(out2) == 0
 
 
+def test_cross_join_cartesian_and_guard():
+    from cpg_ray.functions.relational import GuardExceeded, cross_join
+
+    big = pd.DataFrame({"a": [1, 2, 3], "x": ["p", "q", "r"]})
+    small = pd.DataFrame({"b": [10, 20], "x2": ["u", "v"]})
+    got = cross_join(rd.from_pandas(big), small).to_pandas()
+    assert len(got) == 6
+    assert set(zip(got.a, got.b)) == {(i, j) for i in (1, 2, 3)
+                                      for j in (10, 20)}
+    # overlapping column names: the small side wins (documented)
+    small2 = pd.DataFrame({"x": ["u"]})
+    got2 = cross_join(rd.from_pandas(big), small2).to_pandas()
+    assert list(got2.columns) == ["a", "x"] and (got2.x == "u").all()
+    import pytest
+    with pytest.raises(GuardExceeded):
+        cross_join(rd.from_pandas(big),
+                   pd.DataFrame({"b": range(10)}), driver_row_limit=5)
+
+
+def test_chunk_documents_boundaries():
+    """Chunk math at the edges: short doc → one chunk; exact-boundary
+    doc → no empty trailing chunk; one-past-boundary → short final
+    chunk carrying the overlap."""
+    from cpg_ray.functions.text import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["ab",                 # shorter than size
+                 "x" * 200,            # exactly one window
+                 "y" * 201,            # one char past: 2 chunks
+                 "".join(chr(97 + i % 26) for i in range(430))],
+    })
+    out = chunk_documents(rd.from_pandas(docs), size=200,
+                          overlap=50).to_pandas()
+    g = out.set_index(["doc_id", "chunk_idx"]).chunk
+    assert g[1, 0] == "ab" and (1,) not in {k[:1] for k in g.index
+                                            if k[1] > 0 and k[0] == 1}
+    assert len(out[out.doc_id == 2]) == 1 and g[2, 0] == "x" * 200
+    two = out[out.doc_id == 3]
+    assert len(two) == 2
+    assert g[3, 1] == "y" * 51          # 50 overlap + 1 new char
+    # stride reconstruction: concatenating non-overlap parts = text
+    chunks = out[out.doc_id == 4].sort_values("chunk_idx").chunk.tolist()
+    rebuilt = chunks[0] + "".join(c[50:] for c in chunks[1:])
+    assert rebuilt == docs.text[3]
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(docs), size=50, overlap=50)
+
+
 def test_partitioned_cume_matches_pandas():
     from cpg_ray.functions.relational import partitioned_cume
 
