@@ -847,9 +847,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,
-        "kg_entity_enrich": _kg_entity_enrich,
-        "kg_pred_signatures": _kg_pred_signatures,
-        "kg_domain_cap": _kg_domain_cap,
         "kg_hot_entities": _kg_hot_entities,
         "kg_triple_diff": _kg_triple_diff,
         "kg_empty_sections": _kg_empty_sections,
@@ -860,17 +857,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_value_fold": _kg_value_fold,
         "kg_typestate_branchy": _kg_typestate_branchy,
         "kg_cypher": _kg_cypher,
-        # -- oracle-paired, changed in round 4 (cluster-scaled bucket
-        # widths / empty-side guards) — keep inside the window
+        # -- oracle-paired, changed in round 4 — keep inside the window:
+        # the vectorized canonical rewrite + distributed entities build
+        # + fast HTML scanner all feed these three (VERDICT r3 done-
+        # criteria demand their CORRECTNESS_r04 rows), and the bucket
+        # widths / empty-side guards feed the join family below
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+        "kg_extracted_text": _kg_extracted_text,
         "q_events_asof": q.q_events_asof,
         "q_events_interval": q.q_events_interval,
         "q_events_sliding": q.q_events_sliding,
         "q_doc_dup_ngrams": q.q_doc_dup_ngrams,
         "q_doc_contamination": q.q_doc_contamination,
-        # -- oracle-paired, twice-green (r2+r3)
-        "kg_triples": _kg_triples,
-        "kg_entities": _kg_entities,
-        "kg_extracted_text": _kg_extracted_text,
+        # -- oracle-paired, twice-green (r2+r3; enrich/lattice/webfilter
+        # modules unchanged in round 4, rotated out for the changed
+        # flagship oracles above)
+        "kg_entity_enrich": _kg_entity_enrich,
+        "kg_pred_signatures": _kg_pred_signatures,
+        "kg_domain_cap": _kg_domain_cap,
         "kg_graph_stats": _kg_graph_stats,
         "kg_rel_chain": _kg_rel_chain,
         "kg_label_filter": _kg_label_filter,
