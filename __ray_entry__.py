@@ -921,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_events": q.q_sample_events,
         "q_approx_stats": q.q_approx_stats,
         "q_events_heavy_hitters": q.q_events_heavy_hitters,
+        "q_doc_packed": q.q_doc_packed,
         "kg_triples_ctx": _kg_triples_ctx,
     }
     return out

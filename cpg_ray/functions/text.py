@@ -654,3 +654,57 @@ def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pd.concat(out, ignore_index=True)
 
     return ds.map_batches(chunk, batch_format="pandas")
+
+
+def pack_sequences(ds, *, budget: int, token_col: str = "n_tokens",
+                   order_cols: list[str] | None = None,
+                   n_buckets: int | None = None):
+    """Greedy sequential sequence packing — the sample-packing step
+    after chunking: items are walked in ``order_cols`` order and
+    appended to the current bin until the next item would exceed
+    ``budget`` tokens, then a new bin opens.  An item alone larger
+    than the budget gets its own bin (flagged ``over_budget`` — the
+    caller truncates or drops).
+
+    Scale shape: items are hash-bucketed (`default_n_buckets()` wide),
+    each bucket packs independently inside ``groupby.map_groups`` with
+    bin ids prefixed by the bucket — packing is embarrassingly
+    parallel across buckets; within a bucket the greedy walk loops
+    over BINS (cumsum + searchsorted finds each bin boundary in one
+    step), not items, so the Python loop is O(total_tokens/budget).
+
+    Returns the input rows + (bucket, bin_id, over_budget)."""
+    from .relational import default_n_buckets
+
+    nb = n_buckets or default_n_buckets()
+    order_cols = order_cols or [token_col]
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True)
+        toks = np.minimum(g[token_col].to_numpy("int64"), budget)
+        # an over-budget item is capped to exactly one bin's worth so
+        # the boundary walk always advances; flag it for the caller
+        over = g[token_col].to_numpy("int64") > budget
+        cs = np.concatenate([[0], np.cumsum(toks)])
+        bins = np.empty(len(g), dtype="int64")
+        start, b = 0, 0
+        while start < len(g):
+            end = int(np.searchsorted(cs, cs[start] + budget,
+                                      side="right")) - 1
+            end = max(end, start + 1)  # always place ≥1 item
+            bins[start:end] = b
+            b += 1
+            start = end
+        out = g.copy()
+        bucket = int(g["__bk"].iloc[0]) if "__bk" in g else 0
+        out["bin_id"] = bucket * 1_000_000_000 + bins
+        out["over_budget"] = over
+        return out.drop(columns="__bk", errors="ignore")
+
+    keyed = ds.map_batches(
+        lambda b: b.assign(
+            __bk=(pd.util.hash_pandas_object(
+                b[order_cols[0]], index=False) % nb).astype("int32")),
+        batch_format="pandas")
+    return keyed.groupby("__bk").map_groups(pack, batch_format="pandas")

@@ -1254,6 +1254,33 @@ def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def q_doc_packed(sf_dir: str) -> pd.DataFrame:
+    """Chunk → count tokens → greedy-pack into 64-token training
+    sequences (rows-only: greedy reset packing is not SQL-expressible;
+    the invariants — no bin over budget, bins contiguous, reference
+    greedy agreement — are pytest-pinned).  The full training-sample
+    preparation path: chunk_documents feeds pack_sequences with no
+    shuffle between them except the packing buckets."""
+    from ..functions.text import chunk_documents, pack_sequences
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, size=200, overlap=50)
+    with_tokens = chunks.map_batches(
+        lambda b: b.assign(
+            n_tokens=b.chunk.str.count(r"\S+").astype("int64")),
+        batch_format="pandas")
+    packed = pack_sequences(
+        with_tokens, budget=64,
+        order_cols=["doc_id", "chunk_idx"]).to_pandas()
+    out = (packed.groupby("bin_id", as_index=False)
+           .agg(n_items=("chunk_idx", "size"),
+                n_tokens=("n_tokens", "sum"),
+                any_over=("over_budget", "any")))
+    out["n_items"] = out["n_items"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("bin_id").reset_index(drop=True)
+
+
 def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy hitters over the event users (rows-only: the
     estimates carry a deterministic n/(k+1) error bound rather than SQL

@@ -768,6 +768,42 @@ def test_chunk_documents_boundaries():
         chunk_documents(rd.from_pandas(docs), size=50, overlap=50)
 
 
+def test_pack_sequences_greedy_invariants():
+    """Greedy packing: no bin over budget (except flagged singleton
+    over-budget items), bins contiguous in walk order, and exact
+    agreement with a scalar reference greedy per bucket."""
+    from cpg_ray.functions.text import pack_sequences
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "item": np.arange(500),
+        "n_tokens": rng.integers(1, 40, 500),
+    })
+    df.loc[7, "n_tokens"] = 150  # over-budget singleton
+    budget = 64
+    got = pack_sequences(
+        rd.from_pandas(df), budget=budget, token_col="n_tokens",
+        order_cols=["item"], n_buckets=4,
+    ).to_pandas().sort_values("item").reset_index(drop=True)
+    assert len(got) == 500
+    assert bool(got.loc[got.item == 7, "over_budget"].iloc[0])
+    assert not got.loc[got.item != 7, "over_budget"].any()
+    sums = got[~got.over_budget].groupby("bin_id")["n_tokens"].sum()
+    assert (sums <= budget).all()
+    # scalar reference greedy per bucket
+    got["__bk"] = got.bin_id // 1_000_000_000
+    for bk, sub in got.groupby("__bk"):
+        sub = sub.sort_values("item")
+        ref_bins, cur, acc = [], 0, 0
+        for t in np.minimum(sub.n_tokens.to_numpy(), budget):
+            if acc + t > budget:
+                cur += 1
+                acc = 0
+            ref_bins.append(cur)
+            acc += t
+        assert list(sub.bin_id - bk * 1_000_000_000) == ref_bins, bk
+
+
 def test_partitioned_cume_matches_pandas():
     from cpg_ray.functions.relational import partitioned_cume
 
