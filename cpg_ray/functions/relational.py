@@ -176,7 +176,10 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner",
                 rnames = set(rs.names)
                 extra_l = [f for f in ls if f.name not in rnames]
                 joined = pa.schema(list(ls) + extra_r)
-                if how == "inner" or (ln == 0 and rn == 0):
+                if (how == "inner" or (ln == 0 and rn == 0)
+                        or (how == "left_outer" and ln == 0)
+                        or (how == "right_outer" and rn == 0)):
+                    # the surviving side is the empty one: no rows
                     return rd.from_arrow(_empty_table(joined))
                 if how in ("left_outer", "full_outer") and rn == 0:
                     def null_right(t, extra=extra_r):

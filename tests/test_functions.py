@@ -690,6 +690,14 @@ def test_hash_join_empty_safe_chains_and_outer():
                    empty_safe=True).to_pandas()
     assert len(ro) == 2 and ro["k"].isna().all() and ro["y"].isna().all()
     assert sorted(ro.x) == [1, 2]
+    # left_outer with the EMPTY side on the left: no rows survive
+    lo2 = hash_join(j1, rd.from_pandas(c), on="x", how="left_outer",
+                    empty_safe=True)
+    assert lo2.materialize().count() == 0
+    # right_outer with the empty side on the right: no rows survive
+    ro2 = hash_join(rd.from_pandas(c), j1, on="x", how="right_outer",
+                    empty_safe=True)
+    assert ro2.materialize().count() == 0
     # non-empty path unchanged
     ok = hash_join(rd.from_pandas(a), rd.from_pandas(c), on="x",
                    empty_safe=True).to_pandas()
