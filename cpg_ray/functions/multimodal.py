@@ -289,20 +289,30 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def builtin_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Magic-sniffing built-in image decode (PNG / BMP / netpbm); the
-    metadata width/height are advisory — the container wins."""
+    """Magic-sniffing built-in image decode (PNG / BMP / netpbm /
+    baseline JPEG); the metadata width/height are advisory — the
+    container wins.  ANY parse failure surfaces as NotImplementedError
+    (the stage contract routing to problem rows): a malformed
+    container that trips a numpy/struct/zlib error deep in a decoder
+    is still just an unparseable payload, not an actor-killing bug."""
     if not payload:
         raise NotImplementedError("empty payload")
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:1] == b"P":
-        return decode_netpbm(payload)
-    if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg  # baseline sequential JFIF
+    try:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:1] == b"P":
+            return decode_netpbm(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg  # baseline sequential JFIF
 
-        return decode_jpeg(payload)
+            return decode_jpeg(payload)
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(
+            f"malformed image payload ({type(e).__name__}: {e})")
     raise NotImplementedError("no built-in codec for this image format")
 
 
@@ -336,7 +346,9 @@ def builtin_audio_decode(payload: bytes):
             nch, sw, rate = (wf.getnchannels(), wf.getsampwidth(),
                              wf.getframerate())
             raw = wf.readframes(wf.getnframes())
-    except wave.Error as e:  # compressed WAVE etc.
+    except Exception as e:
+        # compressed/truncated WAVE etc. — unparseable, not a bug
+        # (stage contract: parse failures become problem rows)
         raise NotImplementedError(f"wave module rejected payload: {e}")
     if sw == 1:  # unsigned 8-bit
         x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -485,10 +497,18 @@ def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
 
 
 def builtin_video_decode(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Magic-sniffing built-in video frame decode (uncompressed AVI)."""
+    """Magic-sniffing built-in video frame decode (uncompressed AVI).
+    Any parse failure surfaces as NotImplementedError (stage
+    contract — see builtin_image_decode)."""
     if not payload:
         raise NotImplementedError("empty payload")
-    return decode_avi_frame(payload, frame_idx)
+    try:
+        return decode_avi_frame(payload, frame_idx)
+    except NotImplementedError:
+        raise
+    except Exception as e:
+        raise NotImplementedError(
+            f"malformed video payload ({type(e).__name__}: {e})")
 
 
 def probe_video_codec():

@@ -77,6 +77,37 @@ def test_jpeg_boundary_raises():
         decode_jpeg(whole[: len(whole) // 2])
 
 
+def test_builtin_decode_mutation_fuzz_never_escapes():
+    """Stage contract: for ANY corrupted payload the builtin decode
+    either returns an image or raises NotImplementedError — no
+    ValueError/IndexError/struct.error escapes to kill an actor
+    batch.  Byte-level mutations of valid JPEG/PNG/BMP payloads."""
+    from cpg_ray.functions.jpeg import encode_jpeg
+    from cpg_ray.functions.multimodal import (builtin_image_decode,
+                                              encode_bmp, encode_png)
+
+    rng = np.random.default_rng(3)
+    img = _grad(24, 24)
+    bases = [encode_jpeg(img, 80), encode_png(img), encode_bmp(img)]
+    for base in bases:
+        b = bytearray(base)
+        for _trial in range(60):
+            mut = bytearray(b)
+            for _ in range(rng.integers(1, 8)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            try:
+                out = builtin_image_decode(bytes(mut), 24, 24)
+                assert out.dtype == np.uint8 and out.ndim == 3
+            except NotImplementedError:
+                pass  # the only permitted failure mode
+        # truncations too
+        for cut in (1, 7, len(b) // 3, len(b) - 2):
+            try:
+                builtin_image_decode(bytes(b[:cut]), 24, 24)
+            except NotImplementedError:
+                pass
+
+
 @pytest.mark.skipif(
     not __import__("importlib").util.find_spec("PIL"),
     reason="PIL not installed — differential check needs a reference",
