@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cypher_undirected": _kg_cypher_undirected,
         "q_nation_region_cross": q.q_nation_region_cross,
         "q_doc_chunks": q.q_doc_chunks,
+        "q_orders_first_value": q.q_orders_first_value,
         # -- oracle-paired, once-green (r3)
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,

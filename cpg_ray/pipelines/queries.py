@@ -981,6 +981,39 @@ def q_cube_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["priority", "status"]).reset_index(drop=True)
 
 
+def q_orders_first_value(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE over the whole partition (the
+    unbounded-frame form): composition of existing operators —
+    distinct_on picks each partition's first/last row (one combiner
+    pass each, exact), the 5-row result broadcasts back over the
+    stream.  Order key is unique, so both engines are deterministic."""
+    import ray
+
+    from ..functions.relational import bcast_get, distinct_on
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    firsts = distinct_on(
+        orders, ["o_orderpriority"], order_col="o_orderkey").to_pandas()
+    neg = orders.map_batches(
+        lambda b: b.assign(__negk=-b.o_orderkey), batch_format="pandas")
+    lasts = distinct_on(
+        neg, ["o_orderpriority"], order_col="__negk").to_pandas()
+    fmap = ray.put(dict(zip(firsts.o_orderpriority, firsts.o_totalprice)))
+    lmap = ray.put(dict(zip(lasts.o_orderpriority, lasts.o_totalprice)))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.o_orderkey,
+            "o_orderpriority": b.o_orderpriority,
+            "first_price": b.o_orderpriority.map(bcast_get(fmap)),
+            "last_price": b.o_orderpriority.map(bcast_get(lmap))})
+
+    df = orders.map_batches(attach, batch_format="pandas").to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_events_lag(sf_dir: str) -> pd.DataFrame:
     """LAG window: microseconds since the same user's previous event
     (-1 for the user's first).  Bucketed by user hash; inside a bucket
@@ -1487,6 +1520,19 @@ ORACLE_SQL: dict[str, str] = {
                substr(text, (chunk_idx * 150 + 1)::INT, 200) AS chunk
         FROM idx
         ORDER BY doc_id, chunk_idx
+    """,
+    "q_orders_first_value": """
+        SELECT o_orderkey, o_orderpriority,
+               FIRST_VALUE(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS first_price,
+               LAST_VALUE(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_price
+        FROM orders
+        ORDER BY o_orderkey
     """,
     "q_orders_cume_dist": """
         SELECT o_orderkey, o_orderpriority,

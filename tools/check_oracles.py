@@ -50,6 +50,14 @@ def main() -> int:
              ignore_reinit_error=True, logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
 
+    import os
+
+    # kg_* oracles read the engine-materialized graph parquet for
+    # GRAFT_ORACLE_SF_DIR (default sf0.01) — pin it to the sweep's
+    # sf_dir so a sweep at another scale never compares against the
+    # wrong graph (a round-4 sweep without this flagged 29 phantom
+    # row-count failures at sf0.001)
+    os.environ.setdefault("GRAFT_ORACLE_SF_DIR", sf_dir)
     sys.path.insert(0, ".")
     import __ray_entry__ as entry
 
