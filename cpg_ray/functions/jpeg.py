@@ -40,7 +40,6 @@ ZIGZAG = np.array([
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int64)
-UNZIGZAG = np.argsort(ZIGZAG)
 
 QUANT_LUMA = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
