@@ -1054,3 +1054,69 @@ def hash_sample(ds, id_col: str, *, rate: float | None = None,
         return b[h < lim]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def ordered_concat(ds, keys: list[str], val_col: str, *, sep: str = "|",
+                   alias: str = "vals", mode: str = "auto",
+                   driver_row_limit: int = 5_000_000):
+    """Grouped ORDERED string concatenation — the distributed
+    ``string_agg(x, sep ORDER BY x)`` (value-sorted, deterministic).
+
+    Combiner: each batch emits ONE row per (key, batch) whose partial
+    is already sep-joined-sorted — only concatenated strings move, not
+    rows.  Driver finish splits the partials back apart and re-sorts
+    once per key (memory O(total concatenated chars of the RESULT —
+    the output's own size).  mode="shuffle" co-locates each group via
+    a hash groupby instead (the honest shape when single groups exceed
+    driver memory); mode="auto" degrades driver → shuffle at the
+    guard.  Values containing ``sep`` are rejected in the combiner —
+    a silent split-corruption otherwise.
+    """
+    import re as _re
+
+    sep_re = _re.compile(_re.escape(sep))
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[val_col].astype(str)
+        if vals.str.contains(sep_re).any():
+            raise ValueError(
+                f"ordered_concat: a {val_col!r} value contains the "
+                f"separator {sep!r}")
+        g = b.assign(**{val_col: vals}).groupby(
+            keys, sort=False, dropna=False)
+        out = g[val_col].agg(lambda s: sep.join(sorted(s)))
+        n = g.size()
+        return pd.DataFrame({alias: out, "n": n.astype("int64")}
+                            ).reset_index()
+
+    partials = ds.map_batches(combine, batch_format="pandas")
+
+    def finish(frame: pd.DataFrame) -> pd.DataFrame:
+        g = frame.groupby(keys, sort=False, dropna=False)
+        merged = g[alias].agg(
+            lambda s: sep.join(sorted(sep.join(s).split(sep))))
+        n = g["n"].sum()
+        return pd.DataFrame({alias: merged, "n": n.astype("int64")}
+                            ).reset_index()
+
+    def shuffle_finish(parts):
+        return parts.groupby(keys).map_groups(
+            finish, batch_format="pandas")
+
+    if mode == "shuffle":
+        return shuffle_finish(partials)
+
+    def driver_finish(parts):
+        import ray.data as rd
+
+        cand = _collect_limited(parts, driver_row_limit, "ordered_concat")
+        if cand.empty:
+            return rd.from_pandas(cand)
+        return rd.from_pandas(finish(cand).reset_index(drop=True))
+
+    if mode == "driver":
+        return driver_finish(partials)
+    try:  # auto
+        return driver_finish(partials)
+    except GuardExceeded:
+        return shuffle_finish(partials)

@@ -708,3 +708,196 @@ def pack_sequences(ds, *, budget: int, token_col: str = "n_tokens",
                 b[order_cols[0]], index=False) % nb).astype("int32")),
         batch_format="pandas")
     return keyed.groupby("__bk").map_groups(pack, batch_format="pandas")
+
+
+# ---- paragraph-level exact dedup (Dolma / CCNet boilerplate shape) ---------
+
+_ORD_SEP = "\x01"  # sorts below every printable char → url+sep+idx
+#                    concatenation compares exactly like the (url, idx) tuple
+
+
+def _explode_paragraphs(batch: pd.DataFrame, id_col: str, text_col: str,
+                        sep: str) -> pd.DataFrame:
+    """(id, text) → one row per paragraph with its 1-based index and a
+    string composite order key — all numpy/pandas, no row loop."""
+    lists = batch[text_col].str.split(sep)
+    n = lists.str.len().to_numpy("int64")
+    total = int(n.sum())
+    ids = batch[id_col].to_numpy().repeat(n)
+    paras = (np.concatenate([np.asarray(v, dtype=object) for v in lists])
+             if total else np.array([], dtype=object))
+    idx = np.arange(total, dtype="int64") - np.repeat(
+        np.cumsum(n) - n, n) + 1
+    out = pd.DataFrame({id_col: ids, "idx": idx, "para": paras})
+    out["__ord"] = (out[id_col].astype(str) + _ORD_SEP
+                    + out["idx"].astype(str).str.zfill(9))
+    return out
+
+
+def paragraph_dedup(ds, *, id_col: str = "url", text_col: str = "text",
+                    sep: str = "\n", mode: str = "auto"):
+    """Cross-document paragraph-level EXACT dedup (the Dolma / CCNet
+    boilerplate-removal shape: Soldaini et al. 2024 §2.2, public):
+    every paragraph keeps only its FIRST global occurrence ordered by
+    (document id, paragraph index); later copies — boilerplate nav
+    lines, repeated headings, within-doc repeats — are dropped and the
+    documents are reassembled.
+
+    Scale shape (100 TB): explode is a stateless per-batch flat-map;
+    the first-occurrence table is ONE pre-combined groupby over
+    paragraphs (combiner emits one row per (para, batch), mode="auto"
+    degrades to the salted shuffle past the key guard); the
+    keep-decision is a hash join back on the paragraph (big×big,
+    hash-partitioned — the dup table is NOT assumed small); reassembly
+    co-locates each document by id-hash bucket (a document's own
+    paragraphs are the only thing that must meet, never the corpus).
+    The exploded dataset is materialized once and reused for both the
+    groupby and the join.
+
+    Returns a Dataset (id_col, clean_text, n_paras, n_kept).
+    """
+    from .relational import (default_n_buckets, groupby_agg, hash_join)
+
+    exploded = ds.map_batches(
+        lambda b: _explode_paragraphs(b, id_col, text_col, sep),
+        batch_format="pandas",
+    ).materialize()
+
+    first = groupby_agg(exploded, ["para"],
+                        [("__ord", "min", "first_ord")], mode=mode)
+    joined = hash_join(exploded, first, on="para")
+
+    nb = default_n_buckets()
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="mergesort")
+        kept = g["__ord"].to_numpy() == g["first_ord"].to_numpy()
+        sizes = g.groupby(id_col, sort=True).size()
+        nkept = pd.Series(kept, index=g.index).groupby(g[id_col]).sum()
+        # per-document string join: the work is the size of the OUTPUT
+        clean = g[kept].groupby(id_col, sort=True)["para"].agg(sep.join)
+        return pd.DataFrame({
+            id_col: sizes.index.to_numpy(),
+            "clean_text": clean.reindex(
+                sizes.index, fill_value="").to_numpy(),
+            "n_paras": sizes.to_numpy("int64"),
+            "n_kept": nkept.reindex(
+                sizes.index, fill_value=0).to_numpy("int64"),
+        })
+
+    keyed = joined.map_batches(
+        lambda b: b.assign(
+            __bk=(pd.util.hash_pandas_object(b[id_col], index=False)
+                  % nb).astype("int32")),
+        batch_format="pandas")
+    return keyed.groupby("__bk").map_groups(
+        lambda g: reassemble(g.drop(columns="__bk")),
+        batch_format="pandas")
+
+
+# ---- unicode + whitespace normalization (fix-text shape) -------------------
+
+# Patterns kept RE2-compatible and IDENTICAL to the DuckDB oracle
+# (the pii_scrub contract): collapse space/tab runs, trim spaces
+# around newlines, trim the string's edge spaces.
+CLEAN_PATTERNS: list[tuple[str, str]] = [
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"^ | $", ""),
+]
+
+
+def clean_text(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Unicode NFC normalization + whitespace hygiene (the ftfy/Dolma
+    text-cleaning shape, public).  The text is canonically DECOMPOSED
+    (NFD) then RECOMPOSED (NFC) — by Unicode idempotency NFC(NFD(x)) ==
+    NFC(x), so the DuckDB oracle's ``nfc_normalize`` verifies that the
+    composition pass genuinely reassembles é/è/ü from combining marks.
+    Whitespace rules run the IDENTICAL RE2-compatible regexes in both
+    engines.  Stateless map pass, no shuffle; the unicodedata call is
+    per-row C (the langid-style exception to the no-row-loop rule)."""
+    import unicodedata
+
+    s = batch[text_col].map(
+        lambda t: unicodedata.normalize(
+            "NFC", unicodedata.normalize("NFD", t)))
+    for pat, rep in CLEAN_PATTERNS:
+        s = s.str.replace(pat, rep, regex=True)
+    out = batch.copy()
+    out["clean_text"] = s
+    out["changed"] = out["clean_text"] != batch[text_col]
+    out["n_chars"] = s.str.len().astype("int64")
+    return out
+
+
+# ---- unigram LM document scoring (corpus-frequency features) ---------------
+
+
+def unigram_features(docs_ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", mode: str = "auto"):
+    """Unigram language-model document scoring (the CCNet / KenLM
+    quality-signal shape, public — Wenzek et al. 2020 §4.3 score docs
+    by LM perplexity; here the LM is the corpus's own unigram model).
+
+    Two passes: (1) global token counts via a pre-combined groupby
+    (one row per (token, batch) moves; mode="auto" degrades to the
+    salted shuffle past the key guard); (2) the counts table is
+    broadcast once (``ray.put``) and every document is scored in one
+    stateless vectorized pass — a document's tokens never leave their
+    batch because the explode is within-row.
+
+    Integer-exact features (oracle-safe): n_tokens, sum_tok_freq (sum
+    over token OCCURRENCES of that token's corpus count), min_freq
+    (the rarest token's count), n_hapax (occurrences whose token
+    appears exactly once corpus-wide).  avg_neg_logprob is the float
+    LM score (mean over occurrences of -ln(count/total)) — pinned by
+    pytest, excluded from the hash-compared oracle columns.
+    """
+    import math
+
+    import ray
+
+    from .relational import bcast_get, groupby_agg
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b[text_col].str.split(" ")
+        n = lists.str.len().to_numpy("int64")
+        total = int(n.sum())
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy().repeat(n),
+            "tok": (np.concatenate(
+                [np.asarray(v, dtype=object) for v in lists])
+                if total else np.array([], dtype=object)),
+        })
+
+    exploded = docs_ds.map_batches(toks, batch_format="pandas")
+    counts = groupby_agg(exploded, ["tok"], [("tok", "count", "c")],
+                         mode=mode).to_pandas()
+    total_toks = int(counts["c"].sum())
+    lp = {t: -math.log(c / total_toks)
+          for t, c in zip(counts["tok"], counts["c"].astype("int64"))}
+    cnt_ref = ray.put(dict(zip(counts["tok"],
+                               counts["c"].astype("int64"))))
+    lp_ref = ray.put(lp)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cmap, lmap = bcast_get(cnt_ref), bcast_get(lp_ref)
+        t = toks(b)
+        c = t["tok"].map(cmap).to_numpy("int64")
+        logp = t["tok"].map(lmap).to_numpy("float64")
+        g = t.groupby(id_col, sort=True)
+        df = pd.DataFrame({
+            "n_tokens": g.size().astype("int64"),
+            "sum_tok_freq": pd.Series(c, index=t.index).groupby(
+                t[id_col]).sum().astype("int64"),
+            "min_freq": pd.Series(c, index=t.index).groupby(
+                t[id_col]).min().astype("int64"),
+            "n_hapax": pd.Series((c == 1).astype("int64"),
+                                 index=t.index).groupby(
+                t[id_col]).sum().astype("int64"),
+            "avg_neg_logprob": pd.Series(logp, index=t.index).groupby(
+                t[id_col]).mean(),
+        })
+        return df.reset_index()
+
+    return docs_ds.map_batches(score, batch_format="pandas")

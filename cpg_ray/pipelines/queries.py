@@ -1495,7 +1495,127 @@ def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
 # Oracle SQL (DuckDB, same parquet views)
 # ---------------------------------------------------------------------------
 
+
+
+def q_events_moving(sf_dir: str) -> pd.DataFrame:
+    """Bounded window FRAME (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    + LEAD, per user ordered by (ts, event_id): 3-event moving sum of
+    EXACT integer cents (the q_orders_share trick — int sums are
+    order-free, so the hash matches any engine) and the next event id
+    (-1 at the partition edge).  Bucketed by user hash; inside a bucket
+    the frame sum is THREE masked shifted adds over the sorted arrays
+    and LEAD is one shifted compare — no per-user loop, no per-row
+    loop (completes the window family: rank/dense_rank, cume_dist/
+    percent_rank, ntile/row_number, lag, first/last_value, ratio-to-
+    report are the other frames)."""
+    from ..functions.relational import default_n_buckets
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    nb = default_n_buckets()
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = np.round(g["value"].to_numpy("float64") * 100).astype("int64")
+        e = g["event_id"].to_numpy("int64")
+        w = c.copy()
+        if len(g) > 1:
+            m1 = u[1:] == u[:-1]
+            w[1:][m1] += c[:-1][m1]
+        if len(g) > 2:
+            m2 = u[2:] == u[:-2]
+            w[2:][m2] += c[:-2][m2]
+        nxt = np.full(len(g), -1, dtype="int64")
+        if len(g) > 1:
+            nxt[:-1][m1] = e[1:][m1]
+        return pd.DataFrame({"event_id": e, "user_id": g.user_id,
+                             "w3_cents": w, "lead_event": nxt})
+
+    df = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(
+        lambda g: win(g.drop(columns="__bk")), batch_format="pandas",
+    ).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_nation_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Grouped ORDERED string concatenation (string_agg ORDER BY):
+    supplier names per nation, value-sorted.  Nation is broadcast
+    (tiny side); the concat is combiner-shaped — one pre-joined
+    partial string per (nation, batch) moves, the finish re-sorts
+    each group's values once (relational.ordered_concat, mode=auto
+    degrading driver -> shuffle co-location at the guard)."""
+    from ..functions.relational import ordered_concat
+
+    sup = read_table(sf_dir, "supplier", columns=["s_name", "s_nationkey"])
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    joined = broadcast_join(sup, nation,
+                            left_on="s_nationkey", right_on="n_nationkey")
+    df = ordered_concat(joined, ["n_name"], "s_name",
+                        sep="|", alias="names").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["n_name", "names", "n"]].sort_values("n_name").reset_index(
+        drop=True)
+
+
+def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM document scoring (CCNet/KenLM quality-signal shape):
+    corpus token counts (pre-combined groupby) broadcast once, then
+    per-doc integer-exact features in one stateless pass.  The float
+    LM score (avg_neg_logprob) is computed too but pytest-pinned and
+    EXCLUDED here so the oracle hash stays integer-exact."""
+    from ..functions.text import unigram_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = unigram_features(docs, id_col="doc_id").to_pandas()
+    df = df.drop(columns=["avg_neg_logprob"])
+    for c in ["n_tokens", "sum_tok_freq", "min_freq", "n_hapax"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q_events_moving": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               )::BIGINT AS w3_cents,
+               COALESCE(lead(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), -1)::BIGINT AS lead_event
+        FROM events
+        ORDER BY event_id
+    """,
+    "q_nation_suppliers": """
+        SELECT n_name,
+               string_agg(s_name, '|' ORDER BY s_name) AS names,
+               count(*)::BIGINT AS n
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "q_doc_unigram": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), cnt AS (
+            SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(c)::BIGINT AS sum_tok_freq,
+               min(c)::BIGINT AS min_freq,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        FROM toks JOIN cnt USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "q_orders_rank_window": """
         SELECT o_orderkey, o_orderpriority,
                RANK() OVER (PARTITION BY o_orderpriority

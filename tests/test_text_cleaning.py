@@ -1,0 +1,162 @@
+"""Tests for the round-4 late text family: paragraph-level exact
+dedup, NFC/whitespace cleaning, unigram-LM scoring, ordered grouped
+concatenation, and the bounded moving-window frame."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+# ---- paragraph_dedup --------------------------------------------------------
+
+
+def _pd_docs():
+    return pd.DataFrame({
+        "url": ["b", "a", "c", "d"],
+        "text": [
+            "Home\nBio\nBob works here.",       # Home/Bio dup vs "a"
+            "Home\nBio\nAlice works here.\nBio",  # within-doc Bio repeat
+            "",                                   # empty doc survives
+            "Unique only\nHome",                  # trailing boilerplate
+        ],
+    })
+
+
+def test_paragraph_dedup_keeps_first_global_occurrence():
+    from cpg_ray.functions.text import paragraph_dedup
+
+    out = paragraph_dedup(
+        rd.from_pandas(_pd_docs()), id_col="url", text_col="text"
+    ).to_pandas().set_index("url").sort_index()
+
+    # first occurrence ordered by (url, idx): url "a" wins Home/Bio
+    assert out.loc["a", "clean_text"] == "Home\nBio\nAlice works here."
+    assert out.loc["a", "n_paras"] == 4 and out.loc["a", "n_kept"] == 3
+    # url "b" keeps only its unique paragraph
+    assert out.loc["b", "clean_text"] == "Bob works here."
+    # the empty doc's single empty paragraph is first → kept
+    assert out.loc["c", "clean_text"] == "" and out.loc["c", "n_paras"] == 1
+    # later boilerplate dropped even at end-of-doc
+    assert out.loc["d", "clean_text"] == "Unique only"
+
+
+def test_paragraph_dedup_modes_agree():
+    from cpg_ray.functions.text import paragraph_dedup
+
+    rng = np.random.default_rng(7)
+    paras = [f"para {i}" for i in range(30)]
+    docs = pd.DataFrame({
+        "url": [f"u{i:03d}" for i in range(60)],
+        "text": ["\n".join(rng.choice(paras, size=rng.integers(1, 8)))
+                 for _ in range(60)],
+    })
+    a = paragraph_dedup(rd.from_pandas(docs), id_col="url",
+                        text_col="text", mode="driver").to_pandas()
+    b = paragraph_dedup(rd.from_pandas(docs), id_col="url",
+                        text_col="text", mode="shuffle").to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # global invariant: every distinct paragraph kept exactly once
+    kept = [p for t in a.clean_text for p in (t.split("\n") if t else [])]
+    all_paras = {p for t in docs.text for p in t.split("\n")}
+    assert sorted(kept) == sorted(all_paras)
+
+
+# ---- clean_text -------------------------------------------------------------
+
+
+def test_clean_text_recomposes_nfd_and_collapses_whitespace():
+    import unicodedata
+
+    from cpg_ray.functions.text import clean_text
+
+    decomposed = unicodedata.normalize("NFD", "café è ü")
+    assert decomposed != "café è ü"  # really decomposed
+    b = pd.DataFrame({"text": [decomposed, "  x \t y  \n  z  ", "ok"]})
+    out = clean_text(b)
+    assert out.clean_text.iloc[0] == "café è ü"
+    assert out.changed.iloc[0]  # composition happened
+    assert out.clean_text.iloc[1] == "x y\nz"
+    assert out.clean_text.iloc[2] == "ok" and not out.changed.iloc[2]
+    assert out.n_chars.tolist() == [8, 5, 2]
+
+
+# ---- unigram_features -------------------------------------------------------
+
+
+def test_unigram_features_counts_and_logprob():
+    from cpg_ray.functions.text import unigram_features
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "b c", "a rare"],
+    })
+    out = unigram_features(
+        rd.from_pandas(docs), id_col="doc_id"
+    ).to_pandas().set_index("doc_id").sort_index()
+    # corpus counts: a=3, b=2, c=1, rare=1; total=7
+    assert out.loc[1, "n_tokens"] == 3
+    assert out.loc[1, "sum_tok_freq"] == 3 + 3 + 2
+    assert out.loc[1, "min_freq"] == 2 and out.loc[1, "n_hapax"] == 0
+    assert out.loc[2, "n_hapax"] == 1 and out.loc[2, "min_freq"] == 1
+    assert out.loc[3, "min_freq"] == 1 and out.loc[3, "n_hapax"] == 1
+    expect = -(math.log(3 / 7) + math.log(1 / 7)) / 2
+    assert out.loc[3, "avg_neg_logprob"] == pytest.approx(expect, abs=0)
+
+
+# ---- ordered_concat ---------------------------------------------------------
+
+
+def test_ordered_concat_matches_pandas_and_modes_agree():
+    from cpg_ray.functions.relational import ordered_concat
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, size=200),
+        "v": [f"v{rng.integers(0, 50):02d}_{i}" for i in range(200)],
+    })
+    expect = df.groupby("k")["v"].agg(
+        lambda s: "|".join(sorted(s))).rename("vals").reset_index()
+    expect["n"] = df.groupby("k").size().values.astype("int64")
+    for mode in ("driver", "shuffle"):
+        got = ordered_concat(rd.from_pandas(df), ["k"], "v",
+                             mode=mode).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        got["n"] = got["n"].astype("int64")
+        pd.testing.assert_frame_equal(
+            got[["k", "vals", "n"]], expect, check_dtype=False)
+
+
+def test_ordered_concat_rejects_separator_in_value():
+    from cpg_ray.functions.relational import ordered_concat
+
+    df = pd.DataFrame({"k": [1], "v": ["has|sep"]})
+    with pytest.raises(Exception, match="separator"):
+        ordered_concat(rd.from_pandas(df), ["k"], "v").to_pandas()
+
+
+# ---- q_events_moving window frame -------------------------------------------
+
+
+def test_moving_frame_matches_pandas_rolling():
+    from cpg_ray.pipelines.queries import q_events_moving
+
+    out = q_events_moving("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    cents = np.round(ev.value.to_numpy("float64") * 100).astype("int64")
+    ev["c"] = cents
+    expect_w3 = ev.groupby("user_id")["c"].rolling(
+        3, min_periods=1).sum().reset_index(level=0, drop=True)
+    ev["w3"] = expect_w3.astype("int64")
+    ev["lead"] = ev.groupby("user_id")["event_id"].shift(-1).fillna(
+        -1).astype("int64")
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    assert (out.w3_cents.to_numpy() == ev.w3.to_numpy()).all()
+    assert (out.lead_event.to_numpy() == ev["lead"].to_numpy()).all()
