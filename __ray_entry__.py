@@ -729,6 +729,33 @@ def _kg_components(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_bfs_dist(sf_dir: str):
+    """Multi-source BFS distance to the nearest ORGANIZATION (seeds =
+    works_for objects) over the undirected canonical entity graph —
+    bounded rounds, exact integer semantics vs the recursive-CTE
+    oracle; `converged` = a further round reaches nothing new."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import bfs_distances
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    files = sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet"))
+    seeds = rd.read_parquet(files, columns=["pred", "canonical_obj"]
+                            ).filter(lambda r: r["pred"] == "works_for"
+                                     ).map_batches(
+        lambda b: b[["canonical_obj"]].rename(
+            columns={"canonical_obj": "node"}),
+        batch_format="pandas")
+    df = bfs_distances(
+        _entity_edges(sf_dir), seeds, src="canonical_subj",
+        dst="canonical_obj", rounds=12,
+    ).to_pandas()
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values("entity").reset_index(drop=True)
+
+
 def _kg_triangles(sf_dir: str):
     """Per-entity triangle participation over the undirected canonical
     entity graph (degree-ordered orientation — each triangle closes
@@ -847,6 +874,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, NEW in round 4
         "kg_para_dedup": _kg_para_dedup,
         "kg_clean_text": _kg_clean_text,
+        "kg_bfs_dist": _kg_bfs_dist,
+        "q_events_distinct_users": q.q_events_distinct_users,
+        "q_events_pivot": q.q_events_pivot,
+        "q_url_canonical": q.q_url_canonical,
         "q_events_moving": q.q_events_moving,
         "q_nation_suppliers": q.q_nation_suppliers,
         "q_doc_unigram": q.q_doc_unigram,
@@ -883,10 +914,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-4-changed flagship oracles inside
         "kg_hot_entities": _kg_hot_entities,
         "kg_scope_resolution": _kg_scope_resolution,
-        "kg_typestate": _kg_typestate,
-        "kg_problems": _kg_problems,
-        "kg_value_fold": _kg_value_fold,
-        "kg_typestate_branchy": _kg_typestate_branchy,
         "kg_cypher": _kg_cypher,
         # -- oracle-paired, changed in round 4 — keep inside the window:
         # the vectorized canonical rewrite + distributed entities build
@@ -901,8 +928,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": q.q_events_sliding,
         "q_doc_dup_ngrams": q.q_doc_dup_ngrams,
         "q_doc_contamination": q.q_doc_contamination,
-        # -- oracle-paired, once-green r3 overflow (graphquery module
-        # unchanged in round 4; judge-checkable via check_oracles)
+        # -- oracle-paired, once-green r3 overflow (graphquery/typestate
+        # modules unchanged in round 4; judge-checkable via check_oracles)
+        "kg_typestate": _kg_typestate,
+        "kg_problems": _kg_problems,
+        "kg_value_fold": _kg_value_fold,
+        "kg_typestate_branchy": _kg_typestate_branchy,
         "kg_dead_edges": _kg_dead_edges,
         "kg_value_eval": _kg_value_eval,
         "kg_triple_diff": _kg_triple_diff,
@@ -1579,6 +1610,39 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT entity, count(*)::BIGINT AS triangles
             FROM corners GROUP BY entity ORDER BY entity
+        """,
+        # bounded multi-source BFS: seeds at 0, UNION-distinct frontier
+        # recursion ((node, d) pairs dedup, so work is O(E × rounds));
+        # BFS is monotone → converged = no NEW node at rounds+1
+        "kg_bfs_dist": f"""
+            WITH RECURSIVE
+            e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                   canonical_obj AS dst
+                   FROM read_parquet('{triples_glob}')
+                   WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            seeds AS (SELECT DISTINCT canonical_obj AS n
+                      FROM read_parquet('{triples_glob}')
+                      WHERE pred = 'works_for'),
+            walk AS (
+                SELECT n AS node, 0 AS d FROM seeds
+                UNION
+                SELECT a.dst, w.d + 1
+                FROM walk w JOIN und a ON a.src = w.node
+                WHERE w.d < 13
+            ),
+            fin AS (SELECT node, min(d)::BIGINT AS dist FROM walk
+                    WHERE d <= 12 GROUP BY node),
+            ahead AS (SELECT node, min(d)::BIGINT AS dist FROM walk
+                      GROUP BY node),
+            conv AS (SELECT (SELECT count(*) FROM fin)
+                            = (SELECT count(*) FROM ahead) AS converged)
+            SELECT f.node AS entity, f.dist,
+                   (SELECT converged FROM conv) AS converged
+            FROM fin f
+            ORDER BY entity
         """,
         "kg_components": f"""
             WITH RECURSIVE

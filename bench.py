@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "q_orders_ntile",
     "q_cube_revenue",
     "q_events_heavy_hitters",
+    "q_events_moving",
+    "q_nation_suppliers",
+    "q_doc_unigram",
+    "kg_para_dedup",
 ]
 
 

@@ -688,3 +688,130 @@ def k_core(edges_ds, *, src: str = "src", dst: str = "dst", k: int = 2,
             if mode == "driver":
                 raise
     return _kcore_shuffle(edges_ds, src, dst, k=k, rounds=rounds)
+
+
+# ---- multi-source BFS distances --------------------------------------------
+
+
+def _seeds_to_driver(seeds_ds, seed_col: str, limit: int) -> np.ndarray:
+    vals: set = set()
+    for b in seeds_ds.iter_batches(batch_format="pandas"):
+        vals.update(b[seed_col].dropna().tolist())
+        if len(vals) > limit:
+            raise GuardExceeded(
+                f"bfs_distances(mode='driver'): > {limit} seeds; "
+                "use mode='shuffle'")
+    return np.array(sorted(vals), dtype=object)
+
+
+def _bfs_driver(edges: pd.DataFrame, seeds: np.ndarray, src: str,
+                dst: str, *, rounds: int) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    extra = seeds[~np.isin(seeds, nodes)]  # isolated seeds still output
+    n = len(nodes)
+    INF = np.int64(2) ** 62
+    u_s = np.concatenate([s_i, d_i])
+    u_d = np.concatenate([d_i, s_i])
+    dist = np.full(n, INF, dtype=np.int64)
+    if n:
+        seed_idx = np.searchsorted(nodes, seeds[np.isin(seeds, nodes)])
+        dist[seed_idx] = 0
+    for _ in range(rounds):
+        acc = dist.copy()
+        if n:
+            np.minimum.at(acc, u_d, dist[u_s] + 1)
+        dist = acc
+    probe = dist.copy()
+    if n:
+        np.minimum.at(probe, u_d, dist[u_s] + 1)
+    done = not bool((probe != dist).any())
+    reached = dist < INF
+    out = pd.DataFrame({
+        "entity": np.concatenate([nodes[reached], extra]),
+        "dist": np.concatenate([dist[reached],
+                                np.zeros(len(extra), dtype=np.int64)]),
+        "converged": done,
+    })
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _bfs_shuffle(edges_ds, seeds_ds, src: str, dst: str, seed_col: str,
+                 *, rounds: int):
+    """Dataset-native bounded-round BFS: the frontier table (node,
+    dist) only ever holds REACHED nodes; each round is one hash join +
+    one pre-combined min groupby (dist can only shrink for new nodes —
+    BFS is monotone, so a round adds rows, never rewrites them)."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["__src"] != d["__dst"]],
+        batch_format="pandas",
+    )
+    und = distinct_on(und, ["__src", "__dst"]).materialize()
+
+    def advance(labels):
+        neigh = hash_join(und, labels, on="__src",
+                          right_on="node").map_batches(
+            lambda b: pd.DataFrame({"node": b["__dst"],
+                                    "dist": b["dist"] + 1}),
+            batch_format="pandas")
+        both = labels.union(neigh)
+        return groupby_agg(both, ["node"],
+                           [("dist", "min", "dist")]).materialize()
+
+    labels = distinct_on(
+        seeds_ds.map_batches(
+            lambda b: pd.DataFrame({"node": b[seed_col], "dist": 0}),
+            batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    for _ in range(rounds):
+        labels = advance(labels)
+    # BFS monotonicity: a further round can only ADD nodes, so the
+    # convergence probe is one row-count compare
+    conv = advance(labels).count() == labels.count()
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"entity": b["node"],
+                                "dist": b["dist"].astype("int64"),
+                                "converged": conv}),
+        batch_format="pandas",
+    ).sort("entity")
+
+
+def bfs_distances(edges_ds, seeds_ds, *, src: str = "src",
+                  dst: str = "dst", seed_col: str = "node",
+                  rounds: int = 12, mode: str = "auto",
+                  driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Multi-source BFS distances over the undirected entity graph for
+    a FIXED number of rounds (exact integer semantics — the SQL oracle
+    runs the identical bounded recursion and hash-matches).  Returns
+    (entity, dist, converged) for REACHED nodes only; ``converged``
+    says whether round rounds+1 would reach anything new (BFS is
+    monotone, so distances never improve — a probe round is one
+    row-count compare).
+
+    Scale shape: driver mode = guarded distinct edge list + vectorized
+    ``np.minimum.at`` rounds; shuffle mode = K bounded exchanges over
+    a frontier Dataset that holds only reached nodes (the 100-TB path:
+    frontier ⋈ edges → pre-combined min per dst per round).
+    """
+    if mode == "shuffle":
+        return _bfs_shuffle(edges_ds, seeds_ds, src, dst, seed_col,
+                            rounds=rounds)
+    try:
+        import ray.data as rd
+
+        edges = _edges_to_driver(edges_ds, src, dst, driver_edge_limit)
+        seeds = _seeds_to_driver(seeds_ds, seed_col, driver_edge_limit)
+        return rd.from_pandas(_bfs_driver(edges, seeds, src, dst,
+                                          rounds=rounds))
+    except GuardExceeded:
+        if mode == "driver":
+            raise
+        return _bfs_shuffle(edges_ds, seeds_ds, src, dst, seed_col,
+                            rounds=rounds)

@@ -83,3 +83,30 @@ def cap_per_domain(ds, *, max_per_domain: int, url_col: str = "url",
     return capped.map_batches(
         lambda b: b.drop(columns="__domain"), batch_format="pandas"
     )
+
+
+def canonical_url(s: pd.Series) -> pd.Series:
+    """URL canonicalization (the Common-Crawl / web-dedup prep step,
+    public shape): strip the fragment, lowercase scheme and host, drop
+    a leading ``www.``, drop default ports (``:80`` http / ``:443``
+    https), and remove ``utm_*`` tracking parameters — path case and
+    the remaining query string are preserved.  Fully vectorized pandas
+    str kernels; the DuckDB oracle implements the SAME SPEC with
+    independent SQL expressions (regexp_extract/lower/regexp_replace),
+    so the two canonicalizers verify each other rather than sharing
+    one regex chain."""
+    s = s.str.replace(r"#.*$", "", regex=True)
+    scheme = s.str.extract(
+        r"^([A-Za-z][A-Za-z0-9+.\-]*)://", expand=False).str.lower()
+    host = s.str.extract(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", expand=False).str.lower()
+    rest = s.str.replace(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "", regex=True)
+    host = host.str.replace(r"^www\.", "", regex=True)
+    host = host.where(scheme != "http",
+                      host.str.replace(r":80$", "", regex=True))
+    host = host.where(scheme != "https",
+                      host.str.replace(r":443$", "", regex=True))
+    rest = rest.str.replace(r"utm_[a-z]+=[^&#]*&", "", regex=True)
+    rest = rest.str.replace(r"[?&]utm_[a-z]+=[^&#]*$", "", regex=True)
+    return scheme + "://" + host + rest

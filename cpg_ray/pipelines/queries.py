@@ -1579,7 +1579,164 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+
+
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT ...) per group, two-phase: per-batch
+    (hour, user) distinct combiner -> global distinct (distinct_on,
+    mode=auto) -> pre-combined count per hour.  Only distinct pairs
+    cross the exchange, never events; the companion n_events rides the
+    ordinary pre-combined groupby.  (The approximate path for
+    billion-key cardinalities is the HLL sketch, q_approx_stats.)"""
+    from ..functions.relational import distinct_on
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    hours = ds.map_batches(
+        lambda b: pd.DataFrame({"hour": b.ts.dt.floor("h"),
+                                "user_id": b.user_id}),
+        batch_format="pandas").materialize()
+    pairs = distinct_on(hours, ["hour", "user_id"])
+    users = groupby_agg(pairs, ["hour"],
+                        [("user_id", "count", "n_users")]).to_pandas()
+    events = groupby_agg(hours, ["hour"],
+                         [("user_id", "count", "n_events")]).to_pandas()
+    df = users.merge(events, on="hour")
+    df["n_users"] = df["n_users"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df.sort_values("hour").reset_index(drop=True)
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT / conditional aggregation: per-user event-type counts as
+    COLUMNS (count(*) FILTER (WHERE type = ...)) plus exact total
+    cents — ONE pre-combined groupby exchange carries every pivoted
+    column (indicator ints are summed like any other partial)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def ind(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": b.user_id})
+        for t in types:
+            out[f"n_{t}"] = (b.event_type == t).astype("int64")
+        out["cents"] = np.round(
+            b.value.to_numpy("float64") * 100).astype("int64")
+        return out
+
+    specs = [(f"n_{t}", "sum", f"n_{t}") for t in types]
+    specs.append(("cents", "sum", "total_cents"))
+    df = groupby_agg(ds.map_batches(ind, batch_format="pandas"),
+                     ["user_id"], specs).to_pandas()
+    for c in df.columns.drop("user_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_url_canonical(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization (crawl-dedup prep): a deterministically
+    messy variant of each document URL (upper-cased scheme+host,
+    www. prefix, explicit :443, utm_ tracking param, fragment) is
+    canonicalized back by `webfilter.canonical_url`.  The messy
+    SYNTHESIS is the same tiny expression in both engines; the
+    CANONICALIZERS are written independently (pandas str kernels vs
+    SQL regexp_extract/lower/regexp_replace) against one spec, so
+    they verify each other.  Stateless map pass, no shuffle."""
+    from ..functions.webfilter import canonical_url
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        url = ("https://site" + (b.doc_id % 97).astype(str)
+               + ".example/Path/" + b.doc_id.astype(str))
+        host = url.str.extract(r"^https://([^/]+)", expand=False)
+        path = url.str.replace(r"^https://[^/]+", "", regex=True)
+        messy = ("HTTPS://WWW." + host.str.upper() + ":443" + path
+                 + "?utm_source=news&ref=" + b.lang + "#sec")
+        return pd.DataFrame({"doc_id": b.doc_id, "messy_url": messy,
+                             "canon_url": canonical_url(messy)})
+
+    df = docs.map_batches(canon, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q_events_distinct_users": """
+        SELECT date_trunc('hour', ts) AS hour,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               count(*)::BIGINT AS n_events
+        FROM events
+        GROUP BY 1
+        ORDER BY hour
+    """,
+    "q_events_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')::BIGINT
+                   AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')::BIGINT
+                   AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+                   AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')::BIGINT
+                   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')::BIGINT
+                   AS n_view,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                   AS total_cents
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q_url_canonical": """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://site' || (doc_id % 97)::VARCHAR
+                       || '.example/Path/' || doc_id::VARCHAR AS url,
+                   lang
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.'
+                       || upper(regexp_extract(url, '^https://([^/]+)', 1))
+                       || ':443'
+                       || regexp_replace(url, '^https://[^/]+', '')
+                       || '?utm_source=news&ref=' || lang || '#sec'
+                       AS messy_url
+            FROM u
+        ), s AS (
+            SELECT doc_id, messy_url,
+                   regexp_replace(messy_url, '#.*$', '') AS nofrag
+            FROM m
+        ), parts AS (
+            SELECT doc_id, messy_url,
+                   lower(regexp_extract(
+                       nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                       AS scheme,
+                   lower(regexp_extract(
+                       nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                       AS host0,
+                   regexp_replace(
+                       nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+                       AS rest0
+            FROM s
+        ), canon AS (
+            SELECT doc_id, messy_url, scheme,
+                   CASE
+                     WHEN scheme = 'https' THEN regexp_replace(
+                         regexp_replace(host0, '^www\.', ''), ':443$', '')
+                     WHEN scheme = 'http' THEN regexp_replace(
+                         regexp_replace(host0, '^www\.', ''), ':80$', '')
+                     ELSE regexp_replace(host0, '^www\.', '')
+                   END AS host,
+                   regexp_replace(regexp_replace(
+                       rest0, 'utm_[a-z]+=[^&#]*&', ''),
+                       '[?&]utm_[a-z]+=[^&#]*$', '') AS rest
+            FROM parts
+        )
+        SELECT doc_id, messy_url,
+               scheme || '://' || host || rest AS canon_url
+        FROM canon
+        ORDER BY doc_id
+    """,
     "q_events_moving": """
         SELECT event_id, user_id,
                sum(CAST(round(value * 100) AS BIGINT)) OVER (

@@ -345,3 +345,64 @@ def test_co_occurrence_pairs_exact_and_mega_group_skip():
         and summ.iloc[0].skipped_n == 50
     real = got[got.skipped_n == 0]
     assert list(zip(real.a, real.b)) == [("a", "b")]
+
+
+# ---- multi-source BFS distances ---------------------------------------------
+
+
+def _brute_bfs(edges: pd.DataFrame, seeds: list, rounds: int) -> dict:
+    adj: dict = {}
+    for a, b in zip(edges.src, edges.dst):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, rounds + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_driver_matches_brute_force_and_isolated_seed():
+    from cpg_ray.functions.graphalgo import bfs_distances
+
+    for seed in (1, 5, 17):
+        edges = _rand_edges(n_nodes=35, n_edges=50, seed=seed)
+        seeds = sorted(set(edges.src))[:3] + ["isolated_seed"]
+        out = bfs_distances(
+            rd.from_pandas(edges),
+            rd.from_pandas(pd.DataFrame({"node": seeds})),
+            rounds=6, mode="driver",
+        ).to_pandas()
+        expect = _brute_bfs(edges, seeds, rounds=6)
+        got = dict(zip(out.entity, out.dist))
+        assert got == expect
+        # the seed absent from every edge is still reported at dist 0
+        assert got["isolated_seed"] == 0
+
+
+def test_bfs_modes_agree_and_converged_flag():
+    from cpg_ray.functions.graphalgo import bfs_distances
+
+    edges = _rand_edges(n_nodes=40, n_edges=45, seed=11)
+    seeds = rd.from_pandas(pd.DataFrame({"node": [sorted(set(edges.src))[0]]}))
+    d = bfs_distances(rd.from_pandas(edges), seeds, rounds=5,
+                      mode="driver").to_pandas()
+    s = bfs_distances(rd.from_pandas(edges), seeds,
+                      rounds=5, mode="shuffle").to_pandas()
+    s["dist"] = s["dist"].astype(d.dist.dtype)
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    # rounds=0 on a connected frontier must report converged=False
+    # whenever one more round reaches something new
+    z = bfs_distances(rd.from_pandas(edges), seeds, rounds=0,
+                      mode="driver").to_pandas()
+    reaches_more = len(d) > len(z)
+    assert bool(z.converged.iloc[0]) != reaches_more

@@ -160,3 +160,33 @@ def test_moving_frame_matches_pandas_rolling():
     ev = ev.sort_values("event_id").reset_index(drop=True)
     assert (out.w3_cents.to_numpy() == ev.w3.to_numpy()).all()
     assert (out.lead_event.to_numpy() == ev["lead"].to_numpy()).all()
+
+
+# ---- distinct-count / pivot queries ------------------------------------------
+
+
+def test_distinct_users_and_pivot_match_pandas():
+    import pyarrow.parquet as pq
+
+    from cpg_ray.pipelines.queries import (q_events_distinct_users,
+                                           q_events_pivot)
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+
+    got = q_events_distinct_users(sf)
+    exp = ev.assign(hour=ev.ts.dt.floor("h")).groupby("hour").agg(
+        n_users=("user_id", "nunique"), n_events=("user_id", "size"),
+    ).reset_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_p = q_events_pivot(sf)
+    cents = np.round(ev.value.to_numpy("float64") * 100).astype("int64")
+    exp_p = ev.assign(cents=cents).pivot_table(
+        index="user_id", columns="event_type", values="cents",
+        aggfunc="count", fill_value=0)
+    for t in ["click", "error", "purchase", "signup", "view"]:
+        assert (got_p.set_index("user_id")[f"n_{t}"]
+                == exp_p[t]).all(), t
+    tot = ev.assign(cents=cents).groupby("user_id").cents.sum()
+    assert (got_p.set_index("user_id").total_cents == tot).all()

@@ -54,3 +54,23 @@ def test_es_connector_dispatch():
     t = "Ada Verne trabaja para Acme Labs."
     tr = triples_from_mentions(t, det.detect(t), "es")
     assert len(tr) == 1 and tr[0][1] == "works_for"
+
+
+def test_canonical_url_spec():
+    import pandas as pd
+
+    from cpg_ray.functions.webfilter import canonical_url
+
+    s = pd.Series([
+        "HTTPS://WWW.Site1.EXAMPLE:443/Path/9?utm_source=x&ref=en#frag",
+        "http://www.a.example:80/p?id=1&utm_campaign=z",
+        "https://b.example/CaseKept/Q?utm_medium=m",
+        "https://c.example:8443/keepport",
+        "ftp://D.example/file",
+    ])
+    out = canonical_url(s).tolist()
+    assert out[0] == "https://site1.example/Path/9?ref=en"
+    assert out[1] == "http://a.example/p?id=1"          # trailing utm drop
+    assert out[2] == "https://b.example/CaseKept/Q"     # utm-only query
+    assert out[3] == "https://c.example:8443/keepport"  # non-default port
+    assert out[4] == "ftp://d.example/file"             # scheme lowered
