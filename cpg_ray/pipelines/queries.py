@@ -1659,7 +1659,139 @@ def q_url_canonical(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+
+
+def q_lineitem_stats(sf_dir: str) -> pd.DataFrame:
+    """Statistical aggregates — STDDEV_SAMP and CORR — from EXACT
+    integer sums: one pre-combined groupby carries n, Σx, Σx², Σy,
+    Σy², Σxy (ints, order-free), then both engines evaluate the SAME
+    explicit double formula sqrt((nΣx²-ΣxΣx)/(n(n-1))) resp.
+    (nΣxy-ΣxΣy)/(√(nΣx²-Σx²)·√(nΣy²-Σy²)) — IEEE ops in identical
+    order, bit-identical on any engine (the oracle uses the literal
+    formula, NOT its own stddev()/corr(), which are Welford-streamed
+    and order-dependent).  x = quantity, y = discount in percent
+    (both small ints; the sums stay far from int64 overflow)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(b.l_quantity.to_numpy("float64")).astype("int64")
+        y = np.round(b.l_discount.to_numpy("float64") * 100).astype(
+            "int64")
+        return pd.DataFrame({"l_returnflag": b.l_returnflag, "one": 1,
+                             "x": x, "xx": x * x, "y": y, "yy": y * y,
+                             "xy": x * y})
+
+    agg = groupby_agg(
+        ds.map_batches(pre, batch_format="pandas"), ["l_returnflag"],
+        [("one", "sum", "n"), ("x", "sum", "sx"), ("xx", "sum", "sxx"),
+         ("y", "sum", "sy"), ("yy", "sum", "syy"),
+         ("xy", "sum", "sxy")]).to_pandas()
+    n = agg.n.to_numpy("int64").astype("float64")
+    sx = agg.sx.to_numpy("int64").astype("float64")
+    sxx = agg.sxx.to_numpy("int64").astype("float64")
+    sy = agg.sy.to_numpy("int64").astype("float64")
+    syy = agg.syy.to_numpy("int64").astype("float64")
+    sxy = agg.sxy.to_numpy("int64").astype("float64")
+    agg["stddev_qty"] = np.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    agg["corr_qty_disc"] = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    for c in ["n", "sx", "sxx", "sy", "syy", "sxy"]:
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_events_mode(sf_dir: str) -> pd.DataFrame:
+    """MODE aggregate (most frequent value per group, deterministic
+    min-value tie-break): distinct (group, value) counts through one
+    pre-combined groupby, then grouped_topk(k=1) with the explicit
+    tie_break — only counts cross the exchange, and the finish moves
+    one candidate per (group, batch)."""
+    from ..functions.relational import grouped_topk
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    counts = groupby_agg(ds, ["event_type", "user_id"],
+                         [("user_id", "count", "n")])
+    df = grouped_topk(counts, ["event_type"], "n", 1,
+                      descending=True, tie_break="user_id").to_pandas()
+    df = df.rename(columns={"user_id": "modal_user", "n": "n_events"})
+    df["n_events"] = df["n_events"].astype("int64")
+    df["modal_user"] = df["modal_user"].astype("int64")
+    return df[["event_type", "modal_user", "n_events"]].sort_values(
+        "event_type").reset_index(drop=True)
+
+
+def q_events_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width HISTOGRAM per group: bin = min(cents // 500, 9) —
+    exact integer floor division in both engines, counts through one
+    pre-combined groupby exchange (empty bins are absent rows, the
+    same sparse convention on both sides)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def binify(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b.value.to_numpy("float64") * 100).astype(
+            "int64")
+        return pd.DataFrame({"event_type": b.event_type,
+                             "bin": np.minimum(cents // 500, 9)})
+
+    df = groupby_agg(ds.map_batches(binify, batch_format="pandas"),
+                     ["event_type", "bin"],
+                     [("bin", "count", "n")]).to_pandas()
+    df["bin"] = df["bin"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q_lineitem_stats": """
+        WITH p AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem
+        ), s AS (
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+                   sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy,
+                   sum(x * y)::BIGINT AS sxy
+            FROM p GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n, sx, sxx, sy, syy, sxy,
+               sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    / (n::DOUBLE * (n::DOUBLE - 1))) AS stddev_qty,
+               (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (sqrt(n::DOUBLE * sxx::DOUBLE
+                           - sx::DOUBLE * sx::DOUBLE)
+                      * sqrt(n::DOUBLE * syy::DOUBLE
+                             - sy::DOUBLE * sy::DOUBLE))
+                   AS corr_qty_disc
+        FROM s
+        ORDER BY l_returnflag
+    """,
+    "q_events_mode": """
+        WITH c AS (
+            SELECT event_type, user_id, count(*)::BIGINT AS n
+            FROM events GROUP BY event_type, user_id
+        ), r AS (
+            SELECT event_type, user_id, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, user_id) AS rn
+            FROM c
+        )
+        SELECT event_type, user_id::BIGINT AS modal_user,
+               n AS n_events
+        FROM r WHERE rn = 1
+        ORDER BY event_type
+    """,
+    "q_events_histogram": """
+        SELECT event_type,
+               least(CAST(round(value * 100) AS BIGINT) // 500, 9)
+                   AS bin,
+               count(*)::BIGINT AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, bin
+    """,
     "q_events_distinct_users": """
         SELECT date_trunc('hour', ts) AS hour,
                count(DISTINCT user_id)::BIGINT AS n_users,

@@ -190,3 +190,55 @@ def test_distinct_users_and_pivot_match_pandas():
                 == exp_p[t]).all(), t
     tot = ev.assign(cents=cents).groupby("user_id").cents.sum()
     assert (got_p.set_index("user_id").total_cents == tot).all()
+
+
+# ---- statistics aggregates ----------------------------------------------------
+
+
+def test_lineitem_stats_formula_matches_numpy_reference():
+    import pyarrow.parquet as pq
+
+    from cpg_ray.pipelines.queries import q_lineitem_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = q_lineitem_stats(sf).set_index("l_returnflag")
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    x = np.round(li.l_quantity.to_numpy("float64")).astype("int64")
+    y = np.round(li.l_discount.to_numpy("float64") * 100).astype("int64")
+    for rf, g in li.assign(x=x, y=y).groupby("l_returnflag"):
+        assert out.loc[rf, "stddev_qty"] == pytest.approx(
+            g.x.std(ddof=1), rel=1e-12)
+        assert out.loc[rf, "corr_qty_disc"] == pytest.approx(
+            np.corrcoef(g.x, g.y)[0, 1], rel=1e-9)
+
+
+def test_mode_tie_break_is_min_value():
+    from cpg_ray.functions.relational import groupby_agg, grouped_topk
+
+    # two users tied at 2 events each: the min user id must win
+    df = pd.DataFrame({"event_type": ["a"] * 4,
+                       "user_id": [7, 7, 3, 3]})
+    counts = groupby_agg(rd.from_pandas(df), ["event_type", "user_id"],
+                         [("user_id", "count", "n")])
+    top = grouped_topk(counts, ["event_type"], "n", 1,
+                       descending=True, tie_break="user_id").to_pandas()
+    assert top.user_id.iloc[0] == 3 and top.n.iloc[0] == 2
+
+
+def test_histogram_bins_partition_all_rows():
+    import pyarrow.parquet as pq
+
+    from cpg_ray.pipelines.queries import q_events_histogram
+
+    sf = "/root/testdata/sf0.001"
+    out = q_events_histogram(sf)
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    assert out.n.sum() == len(ev)
+    assert out.bin.between(0, 9).all()
+    cents = np.round(ev.value.to_numpy("float64") * 100).astype("int64")
+    expect = pd.DataFrame({
+        "event_type": ev.event_type,
+        "bin": np.minimum(cents // 500, 9)}).value_counts().rename(
+        "n").reset_index().sort_values(["event_type", "bin"]).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
