@@ -878,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_distinct_users": q.q_events_distinct_users,
         "q_events_pivot": q.q_events_pivot,
         "q_url_canonical": q.q_url_canonical,
+        "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
         "q_events_mode": q.q_events_mode,
         "q_events_histogram": q.q_events_histogram,
@@ -924,13 +925,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
         "q_events_asof": q.q_events_asof,
-        "q_events_interval": q.q_events_interval,
         "q_events_sliding": q.q_events_sliding,
         "q_doc_dup_ngrams": q.q_doc_dup_ngrams,
         "q_doc_contamination": q.q_doc_contamination,
         # -- oracle-paired, once-green r3 overflow (graphquery/typestate
         # modules unchanged in round 4; judge-checkable via check_oracles)
         "kg_typestate": _kg_typestate,
+        "q_events_interval": q.q_events_interval,
         "kg_hot_entities": _kg_hot_entities,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_cypher": _kg_cypher,

@@ -901,3 +901,40 @@ def unigram_features(docs_ds, *, id_col: str = "doc_id",
         return df.reset_index()
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def rep_ngrams(batch: pd.DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 3) -> pd.DataFrame:
+    """WITHIN-document repetition stats (the Gopher duplicate-n-gram
+    rule, Rae et al. 2021 §A1.1: docs dominated by repeated n-grams
+    are low quality): per doc, the total n-gram occurrences, the
+    occurrences belonging to grams repeated within the SAME doc, and
+    the distinct repeated grams.  Integer-exact, fully within-row —
+    a stateless map pass, no shuffle (contrast the CROSS-doc family:
+    dedup.exact_ngram_dup_counts).  Docs shorter than n tokens emit
+    no row (the same sparse convention as the SQL oracle)."""
+    lists = batch[text_col].str.split(" ")
+    sizes = lists.str.len().to_numpy("int64")
+    total = int(sizes.sum())
+    toks = (np.concatenate([np.asarray(v, dtype=object) for v in lists])
+            if total else np.array([], dtype=object))
+    doc = batch[id_col].to_numpy().repeat(sizes)
+    if total < n:
+        return pd.DataFrame({id_col: [], "n_grams": [], "n_dup_occ": [],
+                             "n_dup_grams": []})
+    parts = [toks[i:total - (n - 1) + i] for i in range(n)]
+    same = doc[:total - (n - 1)] == doc[n - 1:]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = gram + " " + p  # numpy object-array string concat
+    frame = pd.DataFrame({id_col: doc[:total - (n - 1)][same],
+                          "gram": gram[same]})
+    c = frame.groupby([id_col, "gram"], sort=False).size()
+    per_doc = c.groupby(level=0).agg(
+        n_grams="sum",
+        n_dup_occ=lambda s: int(s[s > 1].sum()),
+        n_dup_grams=lambda s: int((s > 1).sum()),
+    ).reset_index()
+    for col in ["n_grams", "n_dup_occ", "n_dup_grams"]:
+        per_doc[col] = per_doc[col].astype("int64")
+    return per_doc

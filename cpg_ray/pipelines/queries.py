@@ -1742,7 +1742,49 @@ def q_events_histogram(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["event_type", "bin"]).reset_index(drop=True)
 
 
+
+
+def q_doc_rep_ngrams(sf_dir: str) -> pd.DataFrame:
+    """WITHIN-document repeated word-3-gram stats (the Gopher
+    duplicate-n-gram quality rule): integer-exact occurrences and
+    distinct repeated grams per doc, one stateless map pass — a doc's
+    grams never leave their batch (contrast q_doc_dup_ngrams, the
+    CROSS-document 8-gram family that needs the gram exchange)."""
+    from ..functions.text import rep_ngrams
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = docs.map_batches(
+        lambda b: rep_ngrams(b, n=3), batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q_doc_rep_ngrams": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(
+                       1, array_length(string_split(text, ' ')))) AS i
+            FROM documents
+        ), g AS (
+            SELECT a.doc_id,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ), cnt AS (
+            SELECT doc_id, gram, count(*)::BIGINT AS c
+            FROM g GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               sum(c)::BIGINT AS n_grams,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT
+                   AS n_dup_occ,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_grams
+        FROM cnt GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "q_lineitem_stats": """
         WITH p AS (
             SELECT l_returnflag,

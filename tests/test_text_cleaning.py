@@ -242,3 +242,24 @@ def test_histogram_bins_partition_all_rows():
         "n").reset_index().sort_values(["event_type", "bin"]).reset_index(
         drop=True)
     pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+
+# ---- within-document repeated n-grams -----------------------------------------
+
+
+def test_rep_ngrams_counts_within_doc_only():
+    from cpg_ray.functions.text import rep_ngrams
+
+    b = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c a b c x",   # 'a b c' twice (5 grams total)
+                 "a b c d",         # no repeats (2 grams)
+                 "x y"],            # too short: no row
+    })
+    out = rep_ngrams(b, n=3).set_index("doc_id")
+    assert out.loc[1, "n_grams"] == 5
+    assert out.loc[1, "n_dup_occ"] == 2 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_dup_occ"] == 0 and out.loc[2, "n_grams"] == 2
+    assert 3 not in out.index
+    # cross-doc repeats never count: doc 2 shares 'a b c' with doc 1
+    assert out.loc[2, "n_dup_grams"] == 0
