@@ -756,6 +756,20 @@ def _kg_bfs_dist(sf_dir: str):
     return df.sort_values("entity").reset_index(drop=True)
 
 
+def _kg_link_jaccard(sf_dir: str):
+    """Link-prediction scores for every edge of the undirected
+    canonical entity graph: common-neighbor count + neighborhood
+    Jaccard (exact ints; one int→double division both engines)."""
+    from cpg_ray.functions.graphalgo import link_jaccard
+
+    df = link_jaccard(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+    ).to_pandas()
+    for c in ["common", "deg_a", "deg_b"]:
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_triangles(sf_dir: str):
     """Per-entity triangle participation over the undirected canonical
     entity graph (degree-ordered orientation — each triangle closes
@@ -875,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_para_dedup": _kg_para_dedup,
         "kg_clean_text": _kg_clean_text,
         "kg_bfs_dist": _kg_bfs_dist,
+        "kg_link_jaccard": _kg_link_jaccard,
         "q_events_distinct_users": q.q_events_distinct_users,
         "q_events_pivot": q.q_events_pivot,
         "q_url_canonical": q.q_url_canonical,
@@ -925,13 +940,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
         "q_events_asof": q.q_events_asof,
-        "q_events_sliding": q.q_events_sliding,
         "q_doc_dup_ngrams": q.q_doc_dup_ngrams,
         "q_doc_contamination": q.q_doc_contamination,
         # -- oracle-paired, once-green r3 overflow (graphquery/typestate
         # modules unchanged in round 4; judge-checkable via check_oracles)
         "kg_typestate": _kg_typestate,
         "q_events_interval": q.q_events_interval,
+        "q_events_sliding": q.q_events_sliding,
         "kg_hot_entities": _kg_hot_entities,
         "kg_scope_resolution": _kg_scope_resolution,
         "kg_cypher": _kg_cypher,
@@ -1614,6 +1629,38 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT entity, count(*)::BIGINT AS triangles
             FROM corners GROUP BY entity ORDER BY entity
+        """,
+        # per-edge common neighbors / Jaccard: shared-neighbor
+        # self-join counts vs the engine's oriented wedge closure
+        "kg_link_jaccard": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            pairs AS (SELECT DISTINCT least(src, dst) AS a,
+                                      greatest(src, dst) AS b FROM e0),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                    FROM und GROUP BY src),
+            common AS (
+                SELECT l.src AS x, r.src AS y, count(*)::BIGINT AS c
+                FROM und l JOIN und r
+                    ON l.dst = r.dst AND l.src < r.src
+                GROUP BY 1, 2
+            )
+            SELECT p.a AS entity_a, p.b AS entity_b,
+                   coalesce(c.c, 0)::BIGINT AS common,
+                   da.d AS deg_a, db.d AS deg_b,
+                   coalesce(c.c, 0)::DOUBLE
+                       / (da.d::DOUBLE + db.d::DOUBLE
+                          - coalesce(c.c, 0)::DOUBLE) AS jaccard
+            FROM pairs p
+            LEFT JOIN common c ON c.x = p.a AND c.y = p.b
+            JOIN deg da ON da.node = p.a
+            JOIN deg db ON db.node = p.b
+            ORDER BY entity_a, entity_b
         """,
         # bounded multi-source BFS: seeds at 0, UNION-distinct frontier
         # recursion ((node, d) pairs dedup, so work is O(E × rounds));

@@ -815,3 +815,228 @@ def bfs_distances(edges_ds, seeds_ds, *, src: str = "src",
             raise
         return _bfs_shuffle(edges_ds, seeds_ds, src, dst, seed_col,
                             rounds=rounds)
+
+
+# ---- link prediction: per-edge common neighbors / Jaccard ------------------
+
+
+def _link_jaccard_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                         wedge_limit: int) -> pd.DataFrame:
+    """Per-EDGE common-neighbor counts are per-edge triangle counts:
+    each closed wedge {wu, wv, ww} contributes one shared neighbor to
+    each of its three edges — the same degree-ordered orientation +
+    vectorized wedge closure as the triangle kernel, with hits
+    attributed to edge keys instead of corners."""
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({
+            "entity_a": pd.Series([], dtype=object),
+            "entity_b": pd.Series([], dtype=object),
+            "common": pd.Series([], dtype="int64"),
+            "deg_a": pd.Series([], dtype="int64"),
+            "deg_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+    keep = s_i != d_i
+    lo = np.minimum(s_i[keep], d_i[keep])
+    hi = np.maximum(s_i[keep], d_i[keep])
+    ukey = np.unique(lo * n + hi)
+    lo, hi = ukey // n, ukey % n
+    deg = (np.bincount(lo, minlength=n)
+           + np.bincount(hi, minlength=n)).astype(np.int64)
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    fwd = rank[lo] < rank[hi]
+    u = np.where(fwd, lo, hi)
+    v = np.where(fwd, hi, lo)
+    o2 = np.lexsort((rank[v], u))
+    u, v = u[o2], v[o2]
+    m = len(u)
+    grp_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+        if m else np.array([], np.int64)
+    sizes = np.diff(np.r_[grp_start, m])
+    n_wedges = int((sizes * (sizes - 1) // 2).sum())
+    if n_wedges > wedge_limit:
+        raise GuardExceeded(
+            f"link_jaccard(mode='driver'): {n_wedges} wedges > "
+            f"{wedge_limit}; use mode='shuffle'")
+    first, second = _pair_ranges(sizes)
+    wu, wv, ww = u[first], v[first], v[second]
+    ekey = u * n + v  # already sorted by (u, rank(v)) but keys need sort
+    sort_pos = np.argsort(ekey, kind="stable")
+    ekey_sorted = ekey[sort_pos]
+    wkey = wv * n + ww
+    pos = np.searchsorted(ekey_sorted, wkey)
+    pos_c = np.minimum(pos, max(m - 1, 0))
+    hit = (pos < m) & (ekey_sorted[pos_c] == wkey) if m else \
+        np.zeros(len(wkey), bool)
+
+    def edge_pos(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return sort_pos[np.searchsorted(ekey_sorted, a * n + b)]
+
+    common = np.zeros(m, np.int64)
+    if hit.any():
+        np.add.at(common, edge_pos(wu[hit], wv[hit]), 1)
+        np.add.at(common, edge_pos(wu[hit], ww[hit]), 1)
+        np.add.at(common, edge_pos(wv[hit], ww[hit]), 1)
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    out = pd.DataFrame({
+        "entity_a": nodes[a], "entity_b": nodes[b],
+        "common": common,
+        "deg_a": deg[a], "deg_b": deg[b],
+    })
+    out["jaccard"] = out["common"].to_numpy("int64").astype("float64") / (
+        out["deg_a"].to_numpy("int64").astype("float64")
+        + out["deg_b"].to_numpy("int64").astype("float64")
+        - out["common"].to_numpy("int64").astype("float64"))
+    return out.sort_values(["entity_a", "entity_b"]).reset_index(drop=True)
+
+
+def _link_jaccard_shuffle(edges_ds, src: str, dst: str,
+                          n_buckets: int | None = None):
+    """Dataset plan: the _triangles_shuffle wedge/closure pipeline with
+    hits attributed to CANONICAL EDGE PAIRS (three per closed wedge)
+    instead of corners, then a left join back onto the undirected edge
+    set (zero-common edges survive) and a degree join for the exact
+    int→double Jaccard."""
+    from .relational import (
+        default_n_buckets,
+        distinct_on,
+        groupby_agg,
+        hash_join,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        s = b[src].to_numpy(dtype=object)
+        d = b[dst].to_numpy(dtype=object)
+        fwd = s < d
+        return pd.DataFrame({"a": np.where(fwd, s, d),
+                             "b": np.where(fwd, d, s)})
+
+    und = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"), ["a", "b"]
+    ).materialize()
+    deg = groupby_agg(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["a"], b["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "deg")],
+    ).materialize()
+    ab = hash_join(und, deg, on="a", right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_a"}),
+        batch_format="pandas")
+    abd = hash_join(ab.materialize(), deg, on="b",
+                    right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}),
+        batch_format="pandas")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = (b["deg_a"] < b["deg_b"]) | (
+            (b["deg_a"] == b["deg_b"]) & (b["a"] < b["b"]))
+        f = fwd.to_numpy()
+        return pd.DataFrame({
+            "u": np.where(f, b["a"], b["b"]),
+            "v": np.where(f, b["b"], b["a"]),
+            "deg_v": np.where(f, b["deg_b"], b["deg_a"]),
+            "__bk": pd.util.hash_array(
+                np.where(f, b["a"], b["b"])) % n_buckets,
+        })
+
+    oriented = abd.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u_arr = g["u"].to_numpy(dtype=object)
+        v_arr = g["v"].to_numpy(dtype=object)
+        starts = np.flatnonzero(
+            np.r_[True, u_arr[1:] != u_arr[:-1]]) if len(u_arr) else \
+            np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(u_arr)])
+        first, second = _pair_ranges(sizes)
+        return pd.DataFrame({"wu": u_arr[first], "wv": v_arr[first],
+                             "ww": v_arr[second]})
+
+    wedge_ds = oriented.groupby("__bk").map_groups(
+        wedges, batch_format="pandas")
+    closed = hash_join(
+        wedge_ds,
+        oriented.map_batches(lambda b: b[["u", "v"]],
+                             batch_format="pandas"),
+        on=["wv", "ww"], right_on=["u", "v"],
+    )
+
+    def edge_hits(b: pd.DataFrame) -> pd.DataFrame:
+        xs = pd.concat([b["wu"], b["wu"], b["wv"]], ignore_index=True)
+        ys = pd.concat([b["wv"], b["ww"], b["ww"]], ignore_index=True)
+        x = xs.to_numpy(dtype=object)
+        y = ys.to_numpy(dtype=object)
+        fwd = x < y
+        return pd.DataFrame({"a": np.where(fwd, x, y),
+                             "b": np.where(fwd, y, x)})
+
+    commons = groupby_agg(
+        closed.map_batches(edge_hits, batch_format="pandas"),
+        ["a", "b"], [("a", "count", "common")],
+    )
+    withc = hash_join(und, commons.materialize(), on=["a", "b"],
+                      how="left_outer")
+    withd = hash_join(
+        hash_join(withc.materialize(), deg, on="a",
+                  right_on="node").map_batches(
+            lambda b: b.rename(columns={"deg": "deg_a"}),
+            batch_format="pandas").materialize(),
+        deg, on="b", right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}),
+        batch_format="pandas")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["common"].fillna(0).astype("int64")
+        da = b["deg_a"].astype("int64")
+        db = b["deg_b"].astype("int64")
+        return pd.DataFrame({
+            "entity_a": b["a"], "entity_b": b["b"], "common": c,
+            "deg_a": da, "deg_b": db,
+            "jaccard": c.to_numpy("int64").astype("float64") / (
+                da.to_numpy("int64").astype("float64")
+                + db.to_numpy("int64").astype("float64")
+                - c.to_numpy("int64").astype("float64")),
+        })
+
+    return withd.map_batches(
+        finish, batch_format="pandas").sort(["entity_a", "entity_b"])
+
+
+def link_jaccard(edges_ds, *, src: str = "src", dst: str = "dst",
+                 mode: str = "auto",
+                 driver_edge_limit: int = _DEF_EDGE_LIMIT,
+                 wedge_limit: int = 100_000_000):
+    """Link-prediction scores for every EXISTING edge of the undirected
+    distinct graph: common-neighbor count and neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| (Liben-Nowell & Kleinberg 2003, public).
+    Exact integer counts; the division is one int→double op so any
+    engine reproduces the doubles bit-for-bit.  Scale shape mirrors
+    triangle_count: degree-ordered orientation bounds the wedge
+    fan-out at O(m^1.5) under Zipf hubs; mode="shuffle" is the
+    bounded-exchange Dataset plan, mode="auto" degrades driver →
+    shuffle at the guards."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _link_jaccard_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, wedge_limit=wedge_limit)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _link_jaccard_shuffle(edges_ds, src, dst)

@@ -406,3 +406,47 @@ def test_bfs_modes_agree_and_converged_flag():
                       mode="driver").to_pandas()
     reaches_more = len(d) > len(z)
     assert bool(z.converged.iloc[0]) != reaches_more
+
+
+# ---- per-edge common neighbors / Jaccard --------------------------------------
+
+
+def _brute_link_jaccard(edges: pd.DataFrame) -> pd.DataFrame:
+    adj: dict = {}
+    for a, b in zip(edges.src, edges.dst):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    seen = set()
+    for a, b in zip(edges.src, edges.dst):
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        x, y = key
+        common = len(adj[x] & adj[y])
+        rows.append({"entity_a": x, "entity_b": y, "common": common,
+                     "deg_a": len(adj[x]), "deg_b": len(adj[y]),
+                     "jaccard": common / (len(adj[x]) + len(adj[y])
+                                          - common)})
+    return pd.DataFrame(rows).sort_values(
+        ["entity_a", "entity_b"]).reset_index(drop=True)
+
+
+def test_link_jaccard_matches_brute_force_and_modes_agree():
+    from cpg_ray.functions.graphalgo import link_jaccard
+
+    for seed in (2, 9, 23):
+        edges = _rand_edges(n_nodes=30, n_edges=70, seed=seed)
+        expect = _brute_link_jaccard(edges)
+        d = link_jaccard(rd.from_pandas(edges), mode="driver").to_pandas()
+        pd.testing.assert_frame_equal(d, expect, check_dtype=False)
+        s = link_jaccard(rd.from_pandas(edges), mode="shuffle").to_pandas()
+        s = s.reset_index(drop=True)
+        for c in ["common", "deg_a", "deg_b"]:
+            s[c] = s[c].astype("int64")
+        pd.testing.assert_frame_equal(s, expect, check_dtype=False)
