@@ -263,3 +263,42 @@ def test_rep_ngrams_counts_within_doc_only():
     assert 3 not in out.index
     # cross-doc repeats never count: doc 2 shares 'a b c' with doc 1
     assert out.loc[2, "n_dup_grams"] == 0
+
+
+def _brute_para_dedup(docs: pd.DataFrame, sep: str = "\n") -> pd.DataFrame:
+    """Pure-Python reference: global first-occurrence by (url, idx)."""
+    seen: set = set()
+    rows = []
+    for url in sorted(docs.url):
+        text = docs.set_index("url").loc[url, "text"]
+        paras = text.split(sep)
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        rows.append({"url": url, "clean_text": sep.join(kept),
+                     "n_paras": len(paras), "n_kept": len(kept)})
+    return pd.DataFrame(rows)
+
+
+def test_paragraph_dedup_differential_random_corpora():
+    from cpg_ray.functions.text import paragraph_dedup
+
+    rng = np.random.default_rng(23)
+    pool = ([f"common {i}" for i in range(5)]
+            + [f"rare {i}" for i in range(200)]
+            + ["", " ", "x"])
+    for trial in range(8):
+        n_docs = int(rng.integers(2, 40))
+        docs = pd.DataFrame({
+            "url": [f"u{trial}_{i:03d}" for i in range(n_docs)],
+            "text": ["\n".join(rng.choice(pool,
+                                          size=rng.integers(1, 10)))
+                     for _ in range(n_docs)],
+        })
+        got = paragraph_dedup(
+            rd.from_pandas(docs), id_col="url", text_col="text"
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        expect = _brute_para_dedup(docs)
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
