@@ -729,6 +729,36 @@ def _kg_components(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_fact_timeline(sf_dir: str):
+    """Fact observation windows (temporal-KG construction step): per
+    canonical fact (subj, pred, obj) the first/last crawl timestamp it
+    was observed at and its observation count — triples ⋈ the pages'
+    warc_ts (broadcast url→ts map under a guard; the timestamp column
+    is tiny next to the corpus) then one pre-combined groupby."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import broadcast_join, groupby_agg
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    pages_path, _cfg = _pages_path(sf_dir, "mixed")
+    ts = rd.read_parquet(pages_path, columns=["url", "warc_ts"]
+                         ).to_pandas()
+    triples = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj", "url"])
+    keys = ["canonical_subj", "pred", "canonical_obj"]
+    joined = broadcast_join(triples, ts, left_on="url")
+    df = groupby_agg(joined, keys,
+                     [("warc_ts", "min", "first_seen"),
+                      ("warc_ts", "max", "last_seen"),
+                      ("url", "count", "n_obs")]).to_pandas()
+    df["n_obs"] = df["n_obs"].astype("int64")
+    return df.sort_values(keys).reset_index(drop=True)
+
+
 def _kg_bfs_dist(sf_dir: str):
     """Multi-source BFS distance to the nearest ORGANIZATION (seeds =
     works_for objects) over the undirected canonical entity graph —
@@ -890,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clean_text": _kg_clean_text,
         "kg_bfs_dist": _kg_bfs_dist,
         "kg_link_jaccard": _kg_link_jaccard,
+        "kg_fact_timeline": _kg_fact_timeline,
         "q_events_distinct_users": q.q_events_distinct_users,
         "q_events_pivot": q.q_events_pivot,
         "q_url_canonical": q.q_url_canonical,
@@ -905,7 +936,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
-        "kg_triangles_mention": _kg_triangles_mention,
         "kg_kcore": _kg_kcore,
         "q_doc_tfidf": q.q_doc_tfidf,
         "q_doc_bm25": q.q_doc_bm25,
@@ -945,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, once-green r3 overflow (graphquery/typestate
         # modules unchanged in round 4; judge-checkable via check_oracles)
         "kg_typestate": _kg_typestate,
+        "kg_triangles_mention": _kg_triangles_mention,
         "q_events_interval": q.q_events_interval,
         "q_events_sliding": q.q_events_sliding,
         "kg_hot_entities": _kg_hot_entities,
@@ -1629,6 +1660,17 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT entity, count(*)::BIGINT AS triangles
             FROM corners GROUP BY entity ORDER BY entity
+        """,
+        # temporal-KG fact observation windows
+        "kg_fact_timeline": f"""
+            SELECT t.canonical_subj, t.pred, t.canonical_obj,
+                   min(p.warc_ts) AS first_seen,
+                   max(p.warc_ts) AS last_seen,
+                   count(*)::BIGINT AS n_obs
+            FROM read_parquet('{triples_glob}') t
+            JOIN read_parquet('{pages_glob}') p USING (url)
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         # per-edge common neighbors / Jaccard: shared-neighbor
         # self-join counts vs the engine's oriented wedge closure
