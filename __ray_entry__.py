@@ -926,13 +926,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
+        "q_events_mad": q.q_events_mad,
         "q_events_mode": q.q_events_mode,
         "q_events_histogram": q.q_events_histogram,
         "q_events_moving": q.q_events_moving,
         "q_nation_suppliers": q.q_nation_suppliers,
         "q_doc_unigram": q.q_doc_unigram,
         "kg_cypher_varlen": _kg_cypher_varlen,
-        "q_doc_jaccard_pairs": q.q_doc_jaccard_pairs,
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
@@ -975,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, once-green r3 overflow (graphquery/typestate
         # modules unchanged in round 4; judge-checkable via check_oracles)
         "kg_typestate": _kg_typestate,
+        "q_doc_jaccard_pairs": q.q_doc_jaccard_pairs,
         "kg_triangles_mention": _kg_triangles_mention,
         "q_events_interval": q.q_events_interval,
         "q_events_sliding": q.q_events_sliding,

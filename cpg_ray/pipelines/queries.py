@@ -1758,7 +1758,54 @@ def q_doc_rep_ngrams(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+
+
+def q_events_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust statistics: per-group MEDIAN and MAD (median absolute
+    deviation) with percentile_cont lerp semantics — the
+    q_events_quantiles formula applied twice (the deviations are
+    exact IEEE |x - med| on identical doubles, so both engines lerp
+    identical sorted arrays).  Groups are event types (a handful) so
+    co-locating each group is the query's own shape; sketches are the
+    million-key path."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def pc(s: np.ndarray, q: float) -> float:
+        h = (len(s) - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        return float(s[lo] + (s[hi] - s[lo]) * (h - lo))
+
+    def robust(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].dropna().to_numpy("float64"))
+        med = pc(v, 0.5)
+        dev = np.sort(np.abs(g["value"].dropna().to_numpy("float64")
+                             - med))
+        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
+                             "med": [med], "mad": [pc(dev, 0.5)],
+                             "n": [np.int64(len(v))]})
+
+    df = ds.groupby("event_type").map_groups(
+        robust, batch_format="pandas").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q_events_mad": """
+        WITH med AS (
+            SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                       AS m
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, any_value(med.m) AS med,
+               percentile_cont(0.5) WITHIN GROUP (
+                   ORDER BY abs(e.value - med.m)) AS mad,
+               count(e.value)::BIGINT AS n
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
     "q_doc_rep_ngrams": """
         WITH toks AS (
             SELECT doc_id,
