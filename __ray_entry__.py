@@ -916,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_nation_union": q.q_region_nation_union,
         "q_doc_bpe_tokens": q.q_doc_bpe_tokens,
         # -- oracle-paired, NEW in round 4
+        "q_kmeans": q.q_kmeans,
         "kg_para_dedup": _kg_para_dedup,
         "kg_clean_text": _kg_clean_text,
         "kg_bfs_dist": _kg_bfs_dist,

@@ -730,6 +730,21 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed integer-exact Lloyd's k-means (k=8, 4 rounds) over
+    the embeddings table — centroids broadcast per round, one streaming
+    partial-sums pass each, assignment bit-identical to the generated
+    unrolled-round SQL oracle (see similarity.kmeans_quantized)."""
+    from ..functions.similarity import kmeans_quantized
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign, _hist = kmeans_quantized(ds, k=8, rounds=4)
+    df = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    df["cluster"] = df["cluster"].astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (window analog over the events log)
 # ---------------------------------------------------------------------------
@@ -2664,3 +2679,41 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 10
     """,
 }
+
+
+def _kmeans_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int) -> str:
+    """Generated unrolled-round oracle for q_kmeans: each Lloyd round is
+    a literal pair of CTEs (exact BIGINT centroid sums via GROUP BY,
+    then reassignment via CROSS JOIN + ROW_NUMBER over the identical
+    one-division distance expression) — bit-identical to
+    similarity.kmeans_quantized by construction."""
+    xs = ", ".join(
+        f"CAST(floor(embedding[{i + 1}] * {q_scale}.0) AS BIGINT) AS x{i}"
+        for i in range(dim))
+    cols = ", ".join(f"x{i}" for i in range(dim))
+    ctes = [
+        f"pts AS (SELECT vec_id, {xs} FROM embeddings)",
+        f"a0 AS (SELECT vec_id, {cols}, vec_id % {k} AS cluster FROM pts)",
+    ]
+    for r in range(1, rounds + 1):
+        sums = ", ".join(f"SUM(x{i})::BIGINT AS s{i}" for i in range(dim))
+        ctes.append(
+            f"c{r} AS (SELECT cluster, count(*)::BIGINT AS n, {sums} "
+            f"FROM a{r - 1} GROUP BY cluster)")
+        terms = " + ".join(
+            f"(c.n*p.x{i} - c.s{i})*(c.n*p.x{i} - c.s{i})"
+            for i in range(dim))
+        pcols = ", ".join(f"p.x{i}" for i in range(dim))
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, {cols}, cand AS cluster FROM ("
+            f"SELECT p.vec_id, {pcols}, c.cluster AS cand, "
+            f"ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY "
+            f"({terms})::DOUBLE / (c.n*c.n)::DOUBLE, c.cluster) AS rn "
+            f"FROM a{r - 1} p CROSS JOIN c{r} c) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT vec_id, cluster::BIGINT AS cluster "
+            f"FROM a{rounds} ORDER BY vec_id")
+
+
+ORACLE_SQL["q_kmeans"] = _kmeans_oracle_sql(k=8, rounds=4, dim=64,
+                                            q_scale=1024)
