@@ -917,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bpe_tokens": q.q_doc_bpe_tokens,
         # -- oracle-paired, NEW in round 4
         "q_kmeans": q.q_kmeans,
+        "q_events_user_join": q.q_events_user_join,
         "kg_para_dedup": _kg_para_dedup,
         "kg_clean_text": _kg_clean_text,
         "kg_bfs_dist": _kg_bfs_dist,

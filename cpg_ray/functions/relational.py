@@ -221,6 +221,80 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner",
     )
 
 
+def skew_join(left, right, *, on: str, right_on: str | None = None,
+              how: str = "inner", hot_k: int = 64,
+              hot_min_share: float = 0.005,
+              right_hot_row_limit: int = 5_000_000,
+              num_partitions: int | None = None):
+    """Skew-aware big×big join: hot keys broadcast, cold keys shuffled.
+
+    A hash-partitioned join routes every row of a key to ONE reducer —
+    under Zipf key skew the hottest reducer is the job's wall clock
+    (and, at 100 TB, its OOM).  This hybrid:
+
+    1. finds candidate hot LEFT keys with one Misra-Gries combiner pass
+       (:func:`~cpg_ray.functions.sketches.heavy_hitters` — a
+       deterministic superset of every key with share > 1/(hot_k+1);
+       only ≤hot_k (value, count) pairs per batch move, no shuffle),
+       keeping keys whose estimated share ≥ ``hot_min_share``;
+    2. splits both sides on membership in that broadcast key set
+       (frozenset probe per batch, no shuffle);
+    3. joins the hot slice by BROADCAST: the hot right rows are
+       collected under a streaming row-limit guard
+       (``right_hot_row_limit``, GuardExceeded past it — the
+       dimension-side assumption, explicit) and probed per left batch;
+    4. joins the cold remainder with the ordinary hash-partitioned
+       shuffle join — no reducer sees a hot key anymore;
+    5. unions the two result streams.
+
+    The hot-key set is a ROUTING heuristic: any partition of keys
+    yields the identical join result (tests pin skew_join ≡ hash_join
+    on random + Zipf inputs), only the balance depends on it.
+    ``how``: 'inner' or 'left_outer' — every left row lands in exactly
+    one slice, so the union preserves outer semantics.  Returns
+    ``(dataset, n_hot_keys)`` so callers can report the routing."""
+    from .sketches import heavy_hitters
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError("skew_join supports how='inner'|'left_outer'")
+    r_on = right_on or on
+
+    hh = heavy_hitters(left, on, k=hot_k, min_share=hot_min_share)
+    hot_keys = frozenset(hh["value"])
+    if not hot_keys:
+        return (hash_join(left, right, on=on, right_on=right_on, how=how,
+                          num_partitions=num_partitions), 0)
+
+    left = left.materialize()      # consumed by both slices
+    right = right.materialize()
+    left_hot = semi_anti_filter(left, on, hot_keys)
+    left_cold = semi_anti_filter(left, on, hot_keys, anti=True)
+    right_hot_df = _collect_limited(
+        semi_anti_filter(right, r_on, hot_keys),
+        right_hot_row_limit, "skew_join")
+    right_cold = semi_anti_filter(right, r_on, hot_keys, anti=True)
+
+    merge_how = "inner" if how == "inner" else "left"
+    hot = broadcast_join(left_hot, right_hot_df, left_on=on,
+                         right_on=r_on, how=merge_how)
+    if r_on != on:
+        # align with Dataset.join output: right key column dropped
+        hot = hot.map_batches(lambda b: b.drop(columns=[r_on]),
+                              batch_format="pandas")
+    # empty_safe: when EVERY key is hot (tiny inputs, extreme skew) the
+    # cold slices are legitimately empty and Ray 2.49's join would crash
+    cold = hash_join(left_cold, right_cold, on=on, right_on=right_on,
+                     how=how, num_partitions=num_partitions,
+                     empty_safe=True)
+    # align column ORDER across the two streams (union needs one schema)
+    lcols = [c for c in left.columns()]
+    rextra = [c for c in right.columns() if c != r_on and c not in lcols]
+    want = lcols + rextra
+    hot = hot.map_batches(lambda b: b[want], batch_format="pandas")
+    cold = cold.map_batches(lambda b: b[want], batch_format="pandas")
+    return hot.union(cold), len(hot_keys)
+
+
 def cross_join(ds, small: pd.DataFrame, *, driver_row_limit: int = 100_000):
     """CROSS JOIN against a SMALL side: the small frame is broadcast
     once (``ray.put``), each batch emits the cartesian product via one

@@ -745,6 +745,26 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+
+def q_events_user_join(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware hybrid join (relational.skew_join): hot user_ids —
+    found by one Misra-Gries combiner pass — take a broadcast no-shuffle
+    path while the cold remainder hash-joins; the union is exactly the
+    plain LEFT JOIN the oracle runs.  events.user_id 0 has no customer
+    row, so the outer path is exercised too."""
+    from ..functions.relational import skew_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "value"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ds, _n_hot = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                           how="left_outer", hot_min_share=0.005)
+    df = ds.to_pandas()
+    df["c_name"] = df["c_name"].fillna("")
+    return (df[["event_id", "user_id", "c_name", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (window analog over the events log)
 # ---------------------------------------------------------------------------
@@ -2717,3 +2737,12 @@ def _kmeans_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int) -> str:
 
 ORACLE_SQL["q_kmeans"] = _kmeans_oracle_sql(k=8, rounds=4, dim=64,
                                             q_scale=1024)
+
+
+ORACLE_SQL["q_events_user_join"] = """
+    SELECT e.event_id, e.user_id,
+           coalesce(c.c_name, '') AS c_name, e.value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+"""
