@@ -918,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, NEW in round 4
         "q_kmeans": q.q_kmeans,
         "q_events_user_join": q.q_events_user_join,
+        "q_doc_dedup_spans": q.q_doc_dedup_spans,
         "kg_para_dedup": _kg_para_dedup,
         "kg_clean_text": _kg_clean_text,
         "kg_bfs_dist": _kg_bfs_dist,

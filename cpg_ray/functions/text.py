@@ -961,3 +961,92 @@ def rep_ngrams(batch: pd.DataFrame, *, id_col: str = "doc_id",
     for col in ["n_grams", "n_dup_occ", "n_dup_grams"]:
         per_doc[col] = per_doc[col].astype("int64")
     return per_doc
+
+
+def mask_dup_spans(ds, *, n: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text", min_count: int = 2,
+                   mode: str = "auto", driver_key_limit: int = 5_000_000,
+                   dup_row_limit: int = 5_000_000):
+    """Exact duplicated-substring REMOVAL — the transform counterpart
+    of :func:`~cpg_ray.functions.dedup.exact_ngram_dup_counts` (which
+    only reports): every token covered by a word-``n``-gram occurring
+    ≥ ``min_count`` times in the corpus (all occurrences count,
+    including repeats inside one document — the Lee et al. 2021
+    'Deduplicating Training Data' semantics) is dropped from the
+    document.
+
+    Scale shape:
+    - pass A counts gram OCCURRENCES with a per-batch ``value_counts``
+      combiner feeding one pre-combined ``groupby_agg(mode='auto')``
+      exchange (degrades driver→shuffle at the key guard, never
+      raises), then keeps only grams at ≥ ``min_count``;
+    - the dup-gram table — the rare tail of the gram table on a real
+      corpus — is collected under ``dup_row_limit``
+      (:class:`~cpg_ray.functions.relational.GuardExceeded` past it,
+      never a silent driver blow-up) and broadcast ONCE via
+      ``ray.put``;
+    - pass B is one stateless ``map_batches`` over the corpus: the
+      doc's gram membership is a vectorized ``isin`` probe and the
+      n-token cover spread is ``n`` shifted ORs — tokens whose every
+      covering window is unique survive verbatim.
+
+    Returns a Dataset of (id, clean_text, n_masked, n_tokens).
+    Tokenization contract: ``text.split(' ')`` — identical to the
+    ``string_split(text, ' ')`` the SQL oracle runs.
+    """
+    import ray
+
+    from .relational import _collect_limited, bcast_get, groupby_agg
+
+    def explode_counts(b: pd.DataFrame) -> pd.DataFrame:
+        grams: list[str] = []
+        for t in b[text_col]:
+            toks = t.split(" ")
+            grams.extend(" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+        if not grams:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame({"gram": vc.index, "c": vc.values})
+
+    counts = groupby_agg(
+        ds.map_batches(explode_counts, batch_format="pandas"),
+        ["gram"], [("c", "sum", "cnt")],
+        mode=mode, driver_key_limit=driver_key_limit,
+    )
+    dup = counts.map_batches(
+        lambda b: b[b["cnt"] >= min_count][["gram"]],
+        batch_format="pandas")
+    dup_set = frozenset(
+        _collect_limited(dup, dup_row_limit, "mask_dup_spans")["gram"])
+    ref = ray.put(dup_set)
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        dups = bcast_get(ref)
+        ids, clean, n_masked, n_tok = [], [], [], []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = t.split(" ")
+            length = len(toks)
+            mask = np.zeros(length, dtype=bool)
+            if length >= n and dups:
+                flags = pd.Series(
+                    [" ".join(toks[i:i + n])
+                     for i in range(length - n + 1)]).isin(dups).values
+                idx = np.flatnonzero(flags)
+                if len(idx):
+                    for off in range(n):
+                        mask[idx + off] = True
+            ids.append(did)
+            clean.append(" ".join(tok for tok, m in zip(toks, mask)
+                                  if not m))
+            n_masked.append(int(mask.sum()))
+            n_tok.append(length)
+        return pd.DataFrame({
+            id_col: ids,
+            "clean_text": clean,
+            "n_masked": pd.array(n_masked, dtype="int64"),
+            "n_tokens": pd.array(n_tok, dtype="int64"),
+        })
+
+    return ds.map_batches(scrub, batch_format="pandas")

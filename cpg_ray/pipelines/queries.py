@@ -765,6 +765,21 @@ def q_events_user_join(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+
+def q_doc_dedup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. substring dedup as a
+    transform, functions/text.mask_dup_spans): tokens covered by any
+    corpus-duplicated word-8-gram are dropped — over documents ∪
+    injected near-copies so whole planted spans vanish while unique
+    text survives byte-identically."""
+    from ..functions.text import mask_dup_spans
+
+    df = mask_dup_spans(_docs_with_dupes(sf_dir), n=8).to_pandas()
+    df["n_masked"] = df["n_masked"].astype("int64")
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (window analog over the events log)
 # ---------------------------------------------------------------------------
@@ -2745,4 +2760,43 @@ ORACLE_SQL["q_events_user_join"] = """
     FROM events e
     LEFT JOIN customer c ON e.user_id = c.c_custkey
     ORDER BY e.event_id
+"""
+
+
+ORACLE_SQL["q_doc_dedup_spans"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text || ' tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ), w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+        FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ), gf AS (
+        SELECT g.doc_id, g.pos,
+               CASE WHEN d.gram IS NULL THEN 0 ELSE 1 END AS f
+        FROM g LEFT JOIN dup d USING (gram)
+    ), toks AS (
+        SELECT doc_id, i AS pos, words[i] AS tok
+        FROM w, LATERAL unnest(range(1, len(words) + 1)) AS t(i)
+    ), m AS (
+        SELECT t.doc_id, t.pos, t.tok,
+               max(coalesce(gf.f, 0)) OVER (
+                   PARTITION BY t.doc_id ORDER BY t.pos
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS masked
+        FROM toks t
+        LEFT JOIN gf ON gf.doc_id = t.doc_id AND gf.pos = t.pos
+    )
+    SELECT doc_id,
+           coalesce(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE masked = 0), '') AS clean_text,
+           sum(masked)::BIGINT AS n_masked,
+           count(*)::BIGINT AS n_tokens
+    FROM m GROUP BY doc_id ORDER BY doc_id
 """

@@ -302,3 +302,101 @@ def test_paragraph_dedup_differential_random_corpora():
         ).to_pandas().sort_values("url").reset_index(drop=True)
         expect = _brute_para_dedup(docs)
         pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def _brute_mask_dup_spans(docs: pd.DataFrame, n: int = 8) -> pd.DataFrame:
+    """Pure-Python reference for mask_dup_spans (Lee et al. semantics:
+    occurrence counts over the whole corpus, same-doc repeats count)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in docs.text:
+        toks = t.split(" ")
+        for i in range(len(toks) - n + 1):
+            counts[" ".join(toks[i:i + n])] += 1
+    rows = []
+    for did, t in zip(docs.doc_id, docs.text):
+        toks = t.split(" ")
+        mask = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if counts[" ".join(toks[i:i + n])] >= 2:
+                for off in range(n):
+                    mask[i + off] = True
+        rows.append({
+            "doc_id": did,
+            "clean_text": " ".join(
+                tok for tok, m in zip(toks, mask) if not m),
+            "n_masked": sum(mask),
+            "n_tokens": len(toks),
+        })
+    return pd.DataFrame(rows)
+
+
+def test_mask_dup_spans_planted_duplicate_vanishes():
+    """A span repeated verbatim across two docs is removed from BOTH;
+    the unique surroundings survive byte-identically."""
+    from cpg_ray.functions.text import mask_dup_spans
+
+    span = " ".join(f"dup{i}" for i in range(8))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"alpha beta {span} gamma delta",
+            f"one two three {span} four",
+            "totally unique words that appear exactly once here ok",
+        ],
+    })
+    out = mask_dup_spans(rd.from_pandas(docs), n=8).to_pandas() \
+        .set_index("doc_id")
+    assert "dup0" not in out.loc[1, "clean_text"]
+    assert "dup7" not in out.loc[2, "clean_text"]
+    assert out.loc[1, "clean_text"] == "alpha beta gamma delta"
+    assert out.loc[2, "clean_text"] == "one two three four"
+    assert out.loc[3, "n_masked"] == 0
+    assert out.loc[3, "clean_text"] == docs.set_index("doc_id") \
+        .loc[3, "text"]
+
+
+def test_mask_dup_spans_same_doc_repeat_counts():
+    """A gram occurring twice WITHIN one document is duplicated —
+    both occurrences masked (occurrence semantics, not doc-distinct)."""
+    from cpg_ray.functions.text import mask_dup_spans
+
+    span = " ".join(f"w{i}" for i in range(8))
+    docs = pd.DataFrame({
+        "doc_id": [1],
+        "text": [f"{span} middle {span}"],
+    })
+    out = mask_dup_spans(rd.from_pandas(docs), n=8).to_pandas()
+    assert out.loc[0, "clean_text"] == "middle"
+    assert out.loc[0, "n_masked"] == 16
+
+
+def test_mask_dup_spans_differential_random_corpora():
+    from cpg_ray.functions.text import mask_dup_spans
+
+    rng = np.random.default_rng(31)
+    vocab = [f"t{i}" for i in range(30)]
+    for trial in range(6):
+        n_docs = int(rng.integers(2, 25))
+        docs = pd.DataFrame({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab,
+                                         size=rng.integers(1, 40)))
+                     for _ in range(n_docs)],
+        })
+        got = mask_dup_spans(rd.from_pandas(docs), n=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        expect = _brute_mask_dup_spans(docs)
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_mask_dup_spans_dup_table_guard():
+    from cpg_ray.functions.relational import GuardExceeded
+    from cpg_ray.functions.text import mask_dup_spans
+
+    span = " ".join(f"g{i}" for i in range(20))
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": [span, span]})
+    with pytest.raises(GuardExceeded, match="mask_dup_spans"):
+        mask_dup_spans(rd.from_pandas(docs), n=8,
+                       dup_row_limit=2).to_pandas()
