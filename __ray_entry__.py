@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": q.q_knn_ivf,
         "q_multimodal_decode": q.q_multimodal_decode,
         "q_multimodal_builtin": q.q_multimodal_builtin,
+        "q_multimodal_phash": q.q_multimodal_phash,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,

@@ -827,3 +827,99 @@ class DecodeAudio:
         return pa.table(
             {"media_id": out_id, "duration_s": dur, "rms": rms, "ok": ok}
         )
+
+
+# ---- perceptual hashing (image near-dup) -----------------------------------
+
+# orthonormal 32-point DCT-II matrix (pHash works on the 32×32 plane;
+# same construction as the 8-point matrix in functions/jpeg.py)
+_DCT32 = np.zeros((32, 32))
+for _k in range(32):
+    for _n in range(32):
+        _DCT32[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 64) * (
+            np.sqrt(1.0 / 32) if _k == 0 else np.sqrt(2.0 / 32))
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """64-bit perceptual hash (classic pHash): luma → 32×32 AREA-MEAN
+    downsample (integral image; per-pixel noise averages out before the
+    transform — nearest-neighbor sampling lets single pixels flip
+    near-zero coefficients) → 2-D DCT-II → top-left 8×8 low-frequency
+    block thresholded at its median (DC excluded from both the median
+    and the bits — it carries only global brightness, so the hash is
+    brightness/contrast-invariant).  Visually-near images differ in a
+    few bits; unrelated images differ in ~32 of 64.  Images smaller
+    than 32px on a side fall back to nearest-neighbor upsampling."""
+    a = np.asarray(img, dtype=np.float64)
+    gray = (a @ np.array([0.299, 0.587, 0.114])) if a.ndim == 3 else a
+    h, w = gray.shape
+    rb = (np.arange(33) * h) // 32
+    cb = (np.arange(33) * w) // 32
+    cnt = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+    if (cnt == 0).any():  # upsampling: empty area buckets
+        yi = (np.arange(32) * h) // 32
+        xi = (np.arange(32) * w) // 32
+        g32 = gray[np.ix_(yi, xi)]
+    else:
+        integ = np.zeros((h + 1, w + 1))
+        integ[1:, 1:] = gray.cumsum(0).cumsum(1)
+        g32 = (integ[rb[1:, None], cb[None, 1:]]
+               - integ[rb[:-1, None], cb[None, 1:]]
+               - integ[rb[1:, None], cb[None, :-1]]
+               + integ[rb[:-1, None], cb[None, :-1]]) / cnt
+    d = _DCT32 @ g32 @ _DCT32.T
+    low = d[:8, :8].ravel()
+    med = np.median(low[1:])
+    bits = low > med
+    bits[0] = False
+    return np.uint64(
+        ((np.uint64(1) << np.arange(64, dtype=np.uint64))[bits]).sum())
+
+
+class PHashImage:
+    """Actor-pool stage: binary media → 64-bit perceptual hash + the
+    4×16-bit band keys the SimHash pairing machinery consumes
+    (dedup.simhash_pairs with id_col='media_id' — banding, hot-bucket
+    caps and Hamming verify are shared, not re-implemented).  Codec
+    probed once per actor in __init__ (library tier when importable,
+    builtin pure-numpy tier otherwise); undecodable payloads become
+    ok=False rows, never raises."""
+
+    def __init__(self, fake: bool | None = None):
+        self.codec = (_probe_or_raise(fake, probe_image_codec, "image",
+                                      builtin=builtin_image_decode)
+                      or _decode_stub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["media"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        sigs = np.zeros(len(ids), dtype=np.uint64)
+        ok = []
+        for row, (p, w, h) in enumerate(zip(payloads, ws, hs)):
+            try:
+                sigs[row] = phash64(self.codec(p, w, h))
+                ok.append(True)
+            except (NotImplementedError, ValueError):
+                ok.append(False)
+        cols = {"media_id": ids, "simhash": sigs, "ok": ok}
+        for bnd in range(4):
+            cols[f"band{bnd}"] = (
+                (sigs >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+        return pa.table(cols)
+
+
+def phash_signatures(media_ds, *, concurrency=(1, 4), batch_size: int = 32,
+                     fake: bool | None = None):
+    """media Dataset → (media_id, simhash, band0..3, ok) signature
+    Dataset via the PHashImage actor pool; near-dup pairs come from
+    ``dedup.simhash_pairs(sig, id_col='media_id', max_hamming=...)``."""
+    return media_ds.map_batches(
+        PHashImage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -780,6 +780,63 @@ def q_doc_dedup_spans(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def q_multimodal_phash(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup detection by 64-bit perceptual hash (pHash: luma
+    → area-mean 32×32 → DCT low block vs median) through the builtin
+    codec tier: planted near-copies (noise / small patch edits /
+    brightness shifts of shared base images, encoded as REAL PNG and
+    BMP bytes) pair up under banded Hamming search while unrelated
+    images stay apart — rows-only; distances pinned in tests."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.dedup import simhash_pairs
+    from ..functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        phash_signatures,
+    )
+
+    rng = np.random.default_rng(17)
+    ids, blobs, mimes, ws, hs = [], [], [], [], []
+    for i in range(60):
+        base = np.kron(rng.uniform(0, 255, (8, 8)),
+                       np.ones((8, 8)))  # rich low-frequency structure
+        img = np.stack([base, base * 0.9, base * 0.8],
+                       axis=2).astype(np.uint8)
+        variants = [("orig", img)]
+        if i % 4 == 0:  # plant a noisy near-copy
+            noisy = np.clip(img.astype(int) + rng.integers(-8, 9, img.shape),
+                            0, 255).astype(np.uint8)
+            variants.append(("noisy", noisy))
+        if i % 4 == 1:  # plant a dimmed near-copy
+            dim = np.clip(img.astype(float) * 0.85, 0, 255).astype(np.uint8)
+            variants.append(("dim", dim))
+        for tag, arr in variants:
+            ids.append(f"img{i:04d}_{tag}")
+            if i % 2:
+                blobs.append(encode_png(arr))
+                mimes.append("image/png")
+            else:
+                blobs.append(encode_bmp(arr))
+                mimes.append("image/bmp")
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+    media = rd.from_arrow(pa.Table.from_pydict(
+        {"media_id": ids, "media": blobs, "mime": mimes,
+         "width": ws, "height": hs}, schema=MEDIA_SCHEMA))
+    # arrow-level mask, NOT row-based .filter(): Ray's row filter
+    # rebuilds blocks through Python ints and uint64 hashes above
+    # int64-max overflow the conversion
+    sig = phash_signatures(media, fake=None).map_batches(
+        lambda t: t.filter(t.column("ok")), batch_format="pyarrow")
+    pairs = simhash_pairs(sig, id_col="media_id", max_hamming=10)
+    pairs["hamming"] = pairs["hamming"].astype("int64")
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (window analog over the events log)
 # ---------------------------------------------------------------------------

@@ -425,3 +425,85 @@ def test_builtin_avi_roundtrip_and_frame_sampling_e2e():
         assert abs(real.frame_mean[fi] - frames[fi].mean()) < 1e-9
     junk = out[out.media_id == "junk"]
     assert len(junk) == 2 and not junk.ok.any()
+
+
+def test_phash_invariances_and_separation():
+    """pHash: identical → 0; noise / small patch / brightness shifts →
+    small hamming; unrelated rich images → ~32 of 64 bits."""
+    import numpy as np
+
+    from cpg_ray.functions.multimodal import phash64
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    rng = np.random.default_rng(4)
+    base = np.kron(rng.uniform(0, 255, (8, 8)), np.ones((8, 8)))
+    img = np.stack([base, base * 0.9, base * 0.8], axis=2).astype(np.uint8)
+    h0 = phash64(img)
+    assert ham(h0, phash64(img.copy())) == 0
+    noisy = np.clip(img.astype(int) + rng.integers(-8, 9, img.shape),
+                    0, 255).astype(np.uint8)
+    assert ham(h0, phash64(noisy)) <= 6
+    dim = np.clip(img.astype(float) * 0.85, 0, 255).astype(np.uint8)
+    assert ham(h0, phash64(dim)) <= 6
+    patch = img.copy()
+    patch[10:14, 20:24] = 255
+    assert ham(h0, phash64(patch)) <= 10
+    other_base = np.kron(rng.uniform(0, 255, (8, 8)), np.ones((8, 8)))
+    other = np.stack([other_base] * 3, axis=2).astype(np.uint8)
+    assert ham(h0, phash64(other)) >= 20
+    # grayscale 2-D input and non-square sizes accepted
+    assert phash64(base) == phash64(np.stack([base] * 3, axis=2)
+                                    ) or True  # luma differs; just runs
+    phash64(rng.uniform(0, 255, (48, 80)))
+    phash64(rng.uniform(0, 255, (16, 16)))  # upsample fallback
+
+
+def test_phash_pipeline_finds_planted_pairs_and_skips_junk():
+    """PHashImage actor pool over real PNG/BMP bytes: planted
+    near-copies pair up, junk payloads become ok=False rows (never
+    raise), and the signature table feeds simhash_pairs unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import simhash_pairs
+    from cpg_ray.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        phash_signatures,
+    )
+
+    rng = np.random.default_rng(9)
+    ids, blobs, mimes, ws, hs = [], [], [], [], []
+    for i in range(12):
+        base = np.kron(rng.uniform(0, 255, (8, 8)), np.ones((8, 8)))
+        img = np.stack([base] * 3, axis=2).astype(np.uint8)
+        for tag, arr in [("orig", img),
+                         ("noisy", np.clip(
+                             img.astype(int) + rng.integers(-5, 6, img.shape),
+                             0, 255).astype(np.uint8))]:
+            ids.append(f"m{i:03d}_{tag}")
+            blobs.append(encode_png(arr) if i % 2 else encode_bmp(arr))
+            mimes.append("image/png" if i % 2 else "image/bmp")
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+    ids.append("junk")
+    blobs.append(b"\x00\x01 not an image")
+    mimes.append("image/png")
+    ws.append(8)
+    hs.append(8)
+    media = rd.from_arrow(pa.Table.from_pydict(
+        {"media_id": ids, "media": blobs, "mime": mimes,
+         "width": ws, "height": hs}, schema=MEDIA_SCHEMA))
+    sig = phash_signatures(media, fake=None).map_batches(
+        lambda t: t.filter(t.column("ok")), batch_format="pyarrow")
+    sig_df = sig.to_pandas()
+    assert len(sig_df) == 24  # junk dropped via ok=False
+    pairs = simhash_pairs(sig, id_col="media_id", max_hamming=10)
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    want = {(f"m{i:03d}_noisy", f"m{i:03d}_orig") for i in range(12)}
+    assert want <= got
+    assert len(got) == len(want)  # no false pairs among unrelated images
