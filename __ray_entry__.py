@@ -716,6 +716,31 @@ def _kg_pagerank(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_ppr(sf_dir: str):
+    """PERSONALIZED PageRank (random walk with restart): all teleport
+    mass lands on the ORGANIZATION seed set (works_for objects — the
+    kg_bfs_dist seeds) instead of the whole node set; same exact
+    integer semantics as kg_pagerank so the unrolled recursive-CTE
+    oracle is bit-identical."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import pagerank
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    files = sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet"))
+    seeds = set(
+        rd.read_parquet(files, columns=["pred", "canonical_obj"])
+        .filter(lambda r: r["pred"] == "works_for")
+        .to_pandas()["canonical_obj"])
+    df = pagerank(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        iters=8, seeds=seeds,
+    ).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_components(sf_dir: str):
     """Connected components by bounded min-label propagation over the
     undirected canonical entity graph; `converged` reports whether a
@@ -937,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_unigram": q.q_doc_unigram,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
+        "kg_ppr": _kg_ppr,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1616,6 +1642,51 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                 UNION ALL
                 SELECT MIN(p.iter) + 1, a.dst,
                        (1000000000000 * 15) // (100 * (SELECT c FROM cnt))
+                       + coalesce(SUM(CASE WHEN a.deg IS NOT NULL
+                                     THEN (p.score * 85) // (100 * a.deg)
+                                     END), 0)
+                FROM pr p JOIN adj a ON a.src = p.node
+                GROUP BY a.dst
+                HAVING MIN(p.iter) + 1 <= 8
+            )
+            SELECT node AS entity, score::BIGINT AS score
+            FROM pr WHERE iter = 8
+            ORDER BY score DESC, entity
+        """,
+        # personalized variant: teleport mass restricted to the
+        # ORGANIZATION seed set (works_for objects); seeds holds only
+        # nodes present in the edge set, matching the engine contract
+        "kg_ppr": f"""
+            WITH RECURSIVE
+            edges AS (SELECT DISTINCT canonical_subj AS src,
+                                      canonical_obj AS dst
+                      FROM read_parquet('{triples_glob}')
+                      WHERE canonical_subj <> canonical_obj),
+            nodes AS (SELECT DISTINCT n FROM (
+                          SELECT src AS n FROM edges
+                          UNION ALL SELECT dst AS n FROM edges)),
+            seeds AS (SELECT DISTINCT canonical_obj AS n
+                      FROM read_parquet('{triples_glob}')
+                      WHERE pred = 'works_for'
+                        AND canonical_obj IN (SELECT n FROM nodes)),
+            scnt AS (SELECT count(*)::BIGINT AS c FROM seeds),
+            deg AS (SELECT src, count(*)::BIGINT AS deg
+                    FROM edges GROUP BY src),
+            adj AS (SELECT e.src, e.dst, d.deg
+                    FROM edges e JOIN deg d USING (src)
+                    UNION ALL SELECT n, n, NULL FROM nodes),
+            pr AS (
+                SELECT 0 AS iter, n AS node,
+                       CASE WHEN n IN (SELECT n FROM seeds)
+                            THEN 1000000000000 // (SELECT c FROM scnt)
+                            ELSE 0 END AS score
+                FROM nodes
+                UNION ALL
+                SELECT MIN(p.iter) + 1, a.dst,
+                       CASE WHEN a.dst IN (SELECT n FROM seeds)
+                            THEN (1000000000000 * 15)
+                                 // (100 * (SELECT c FROM scnt))
+                            ELSE 0 END
                        + coalesce(SUM(CASE WHEN a.deg IS NOT NULL
                                      THEN (p.score * 85) // (100 * a.deg)
                                      END), 0)

@@ -78,19 +78,28 @@ def _index_graph(edges: pd.DataFrame, src: str, dst: str):
 
 
 def _pagerank_driver(edges: pd.DataFrame, src: str, dst: str, *,
-                     iters: int, scale: int) -> pd.DataFrame:
+                     iters: int, scale: int, seeds=None) -> pd.DataFrame:
     nodes, src_idx, dst_idx = _index_graph(edges, src, dst)
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"entity": pd.Series([], dtype=object),
                              "score": pd.Series([], dtype="int64")})
     outdeg = np.bincount(src_idx, minlength=n).astype(np.int64)
-    base = (scale * 15) // (100 * n)
-    score = np.full(n, scale // n, dtype=np.int64)
+    if seeds is None:
+        base_vec = np.full(n, (scale * 15) // (100 * n), dtype=np.int64)
+        score = np.full(n, scale // n, dtype=np.int64)
+    else:
+        m = np.isin(nodes, np.array(sorted(seeds), dtype=object))
+        ns = int(m.sum())
+        if ns == 0:
+            raise ValueError("personalized pagerank: no seed in graph")
+        base_vec = np.where(m, (scale * 15) // (100 * ns), 0) \
+            .astype(np.int64)
+        score = np.where(m, scale // ns, 0).astype(np.int64)
     denom = 100 * outdeg[src_idx]  # per-edge, outdeg ≥ 1 by construction
     for _ in range(iters):
         contrib = (score[src_idx] * 85) // denom
-        acc = np.full(n, base, dtype=np.int64)
+        acc = base_vec.copy()
         np.add.at(acc, dst_idx, contrib)
         score = acc
     out = pd.DataFrame({"entity": nodes, "score": score})
@@ -99,7 +108,7 @@ def _pagerank_driver(edges: pd.DataFrame, src: str, dst: str, *,
 
 
 def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
-                      scale: int):
+                      scale: int, seeds=None):
     """Dataset-native iteration: K bounded exchanges.  Scores live as a
     (node, score) Dataset; each round is edges ⋈ scores (hash join on
     src) → per-batch contrib → pre-combined sum by dst → left-join
@@ -128,10 +137,34 @@ def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
         return rd.from_pandas(pd.DataFrame(
             {"entity": pd.Series([], dtype=object),
              "score": pd.Series([], dtype="int64")}))
-    base = (scale * 15) // (100 * n)
+    if seeds is None:
+        def base_of(col):
+            return np.int64((scale * 15) // (100 * n))
+
+        def init_of(col):
+            return np.full(len(col), scale // n, dtype=np.int64)
+    else:
+        import ray
+
+        from .relational import bcast_get, semi_anti_filter
+
+        seed_ref = ray.put(frozenset(seeds))
+        ns = semi_anti_filter(nodes, "node", frozenset(seeds)).count()
+        if ns == 0:
+            raise ValueError("personalized pagerank: no seed in graph")
+
+        def base_of(col):
+            m = col.isin(bcast_get(seed_ref)).to_numpy()
+            return np.where(m, (scale * 15) // (100 * ns), 0) \
+                .astype(np.int64)
+
+        def init_of(col):
+            m = col.isin(bcast_get(seed_ref)).to_numpy()
+            return np.where(m, scale // ns, 0).astype(np.int64)
+
     scores = nodes.map_batches(
         lambda b: pd.DataFrame({"node": b["node"],
-                                "score": np.int64(scale // n)}),
+                                "score": init_of(b["node"])}),
         batch_format="pandas",
     ).materialize()
     for _ in range(iters):
@@ -151,7 +184,8 @@ def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
         ).map_batches(
             lambda b: pd.DataFrame({
                 "node": b["node"],
-                "score": base + b["s"].fillna(0).astype(np.int64),
+                "score": base_of(b["node"])
+                + b["s"].fillna(0).astype(np.int64),
             }),
             batch_format="pandas",
         ).materialize()
@@ -163,12 +197,19 @@ def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
 
 def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
              iters: int = 10, scale: int = 10 ** 12, mode: str = "auto",
-             driver_edge_limit: int = _DEF_EDGE_LIMIT):
+             driver_edge_limit: int = _DEF_EDGE_LIMIT, seeds=None):
     """Fixed-point PageRank (damping 0.85 as the exact fraction 85/100)
     over the distinct directed (src, dst) edges, self-loops dropped.
     Returns a Dataset of (entity, score int64) sorted by score desc,
     entity asc; sum of scores ≤ ``scale`` (floor truncation retires
-    sub-unit mass — deterministically, identically on every engine)."""
+    sub-unit mass — deterministically, identically on every engine).
+
+    ``seeds``: an iterable of node ids makes it PERSONALIZED PageRank —
+    all teleport mass (the 15% restart and the initial distribution)
+    lands uniformly on the seeds present in the graph instead of the
+    whole node set (random walk with restart from the seed set); in
+    shuffle mode the seed set is broadcast once and probed per batch.
+    Raises ValueError when no seed occurs in the graph."""
     import ray.data as rd
 
     if mode not in ("driver", "shuffle", "auto"):
@@ -177,12 +218,13 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
         try:
             df = _pagerank_driver(
                 _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
-                src, dst, iters=iters, scale=scale)
+                src, dst, iters=iters, scale=scale, seeds=seeds)
             return rd.from_pandas(df)
         except GuardExceeded:
             if mode == "driver":
                 raise
-    return _pagerank_shuffle(edges_ds, src, dst, iters=iters, scale=scale)
+    return _pagerank_shuffle(edges_ds, src, dst, iters=iters, scale=scale,
+                             seeds=seeds)
 
 
 # ---- connected components --------------------------------------------------

@@ -450,3 +450,31 @@ def test_link_jaccard_matches_brute_force_and_modes_agree():
         for c in ["common", "deg_a", "deg_b"]:
             s[c] = s[c].astype("int64")
         pd.testing.assert_frame_equal(s, expect, check_dtype=False)
+
+
+def test_personalized_pagerank_modes_agree_and_seeds_dominate():
+    edges = _rand_edges()
+    seeds = {"e1", "e2", "e3"}
+    d = pagerank(rd.from_pandas(edges), iters=6, mode="driver",
+                 seeds=seeds).to_pandas()
+    s = pagerank(rd.from_pandas(edges), iters=6, mode="shuffle",
+                 seeds=seeds).to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True))
+    # restart mass concentrates around the seed set: every seed ranks
+    # above the median node, and the global top node is a seed
+    ranks = {e: i for i, e in enumerate(d.entity)}
+    assert d.entity.iloc[0] in seeds
+    assert all(ranks[x] < len(d) / 2 for x in seeds)
+    # floor truncation only ever RETIRES mass: total stays ≤ scale
+    assert d.score.sum() <= 10 ** 12
+
+
+def test_personalized_pagerank_requires_seed_in_graph():
+    edges = _rand_edges()
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(rd.from_pandas(edges), iters=3, mode="driver",
+                 seeds={"not_a_node"})
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(rd.from_pandas(edges), iters=3, mode="shuffle",
+                 seeds={"not_a_node"})
