@@ -825,6 +825,21 @@ def _kg_link_jaccard(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_adamic_adar(sf_dir: str):
+    """Adamic-Adar + resource-allocation link scores for every edge of
+    the undirected canonical entity graph, integer-scaled (sums of
+    floor(1e12/ln(deg)) and 1e12//deg apex terms) so the SQL oracle
+    hash-matches — float sums would be order-dependent."""
+    from cpg_ray.functions.graphalgo import link_adamic_adar
+
+    df = link_adamic_adar(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+    ).to_pandas()
+    for c in ["common", "aa_scaled", "ra_scaled"]:
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_triangles(sf_dir: str):
     """Per-entity triangle participation over the undirected canonical
     entity graph (degree-ordered orientation — each triangle closes
@@ -963,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
+        "kg_adamic_adar": _kg_adamic_adar,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1783,6 +1799,45 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         # bounded multi-source BFS: seeds at 0, UNION-distinct frontier
         # recursion ((node, d) pairs dedup, so work is O(E × rounds));
         # BFS is monotone → converged = no NEW node at rounds+1
+        # apex terms are one IEEE-exact double op + floor each (ln and
+        # / are bit-identical numpy vs DuckDB on this target), so the
+        # per-edge SUMS are exact int64 — order-free, hashable
+        "kg_adamic_adar": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            pairs AS (SELECT DISTINCT least(src, dst) AS a,
+                                      greatest(src, dst) AS b FROM e0),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                    FROM und GROUP BY src),
+            shared AS (
+                SELECT l.src AS x, r.src AS y, l.dst AS w
+                FROM und l JOIN und r
+                    ON l.dst = r.dst AND l.src < r.src
+            ),
+            terms AS (
+                SELECT s.x, s.y,
+                       CAST(floor(1000000000000.0 / ln(d.d::DOUBLE))
+                            AS BIGINT) AS aa_t,
+                       1000000000000 // d.d AS ra_t
+                FROM shared s JOIN deg d ON d.node = s.w
+            ),
+            agg AS (SELECT x, y, count(*)::BIGINT AS c,
+                           sum(aa_t)::BIGINT AS aa,
+                           sum(ra_t)::BIGINT AS ra
+                    FROM terms GROUP BY x, y)
+            SELECT p.a AS entity_a, p.b AS entity_b,
+                   coalesce(g.c, 0)::BIGINT AS common,
+                   coalesce(g.aa, 0)::BIGINT AS aa_scaled,
+                   coalesce(g.ra, 0)::BIGINT AS ra_scaled
+            FROM pairs p
+            LEFT JOIN agg g ON g.x = p.a AND g.y = p.b
+            ORDER BY entity_a, entity_b
+        """,
         "kg_bfs_dist": f"""
             WITH RECURSIVE
             e0 AS (SELECT DISTINCT canonical_subj AS src,

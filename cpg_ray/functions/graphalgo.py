@@ -1055,6 +1055,248 @@ def _link_jaccard_shuffle(edges_ds, src: str, dst: str,
         finish, batch_format="pandas").sort(["entity_a", "entity_b"])
 
 
+# ---- link prediction: Adamic-Adar / resource allocation --------------------
+
+_AA_SCALE = 10 ** 12
+
+
+def _apex_terms(deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer-scaled per-apex link-score terms.  An apex (the shared
+    neighbor of an edge's endpoints) always sits in a triangle, so its
+    undirected degree is ≥ 2 and ln(deg) > 0.  Both terms are one
+    IEEE-exact double op + floor (ln and / are bit-identical between
+    numpy and DuckDB on this target), so SUMS of them are exact int64
+    — order-free, hashable cross-engine."""
+    aa = np.zeros(len(deg), np.int64)
+    ok = deg >= 2
+    aa[ok] = np.floor(
+        float(_AA_SCALE) / np.log(deg[ok].astype(np.float64))
+    ).astype(np.int64)
+    ra = (_AA_SCALE // np.maximum(deg, 1)).astype(np.int64)
+    return aa, ra
+
+
+def _link_aa_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                    wedge_limit: int) -> pd.DataFrame:
+    """The link_jaccard wedge kernel with hits carrying APEX identity:
+    each closed wedge {wu; wv, ww} contributes apex ww to edge (wu,wv),
+    apex wv to (wu,ww) and apex wu to (wv,ww); per-edge scores are the
+    integer sums of the apex terms."""
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    empty = pd.DataFrame({
+        "entity_a": pd.Series([], dtype=object),
+        "entity_b": pd.Series([], dtype=object),
+        "common": pd.Series([], dtype="int64"),
+        "aa_scaled": pd.Series([], dtype="int64"),
+        "ra_scaled": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    keep = s_i != d_i
+    lo = np.minimum(s_i[keep], d_i[keep])
+    hi = np.maximum(s_i[keep], d_i[keep])
+    ukey = np.unique(lo * n + hi)
+    lo, hi = ukey // n, ukey % n
+    deg = (np.bincount(lo, minlength=n)
+           + np.bincount(hi, minlength=n)).astype(np.int64)
+    aa_t, ra_t = _apex_terms(deg)
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    fwd = rank[lo] < rank[hi]
+    u = np.where(fwd, lo, hi)
+    v = np.where(fwd, hi, lo)
+    o2 = np.lexsort((rank[v], u))
+    u, v = u[o2], v[o2]
+    m = len(u)
+    grp_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+        if m else np.array([], np.int64)
+    sizes = np.diff(np.r_[grp_start, m])
+    n_wedges = int((sizes * (sizes - 1) // 2).sum())
+    if n_wedges > wedge_limit:
+        raise GuardExceeded(
+            f"link_adamic_adar(mode='driver'): {n_wedges} wedges > "
+            f"{wedge_limit}; use mode='shuffle'")
+    first, second = _pair_ranges(sizes)
+    wu, wv, ww = u[first], v[first], v[second]
+    ekey = u * n + v
+    sort_pos = np.argsort(ekey, kind="stable")
+    ekey_sorted = ekey[sort_pos]
+    wkey = wv * n + ww
+    pos = np.searchsorted(ekey_sorted, wkey)
+    pos_c = np.minimum(pos, max(m - 1, 0))
+    hit = (pos < m) & (ekey_sorted[pos_c] == wkey) if m else \
+        np.zeros(len(wkey), bool)
+
+    def edge_pos(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return sort_pos[np.searchsorted(ekey_sorted, a * n + b)]
+
+    common = np.zeros(m, np.int64)
+    aa = np.zeros(m, np.int64)
+    ra = np.zeros(m, np.int64)
+    if hit.any():
+        for ea, eb, apex in ((wu, wv, ww), (wu, ww, wv), (wv, ww, wu)):
+            p = edge_pos(ea[hit], eb[hit])
+            np.add.at(common, p, 1)
+            np.add.at(aa, p, aa_t[apex[hit]])
+            np.add.at(ra, p, ra_t[apex[hit]])
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    out = pd.DataFrame({
+        "entity_a": nodes[a], "entity_b": nodes[b],
+        "common": common, "aa_scaled": aa, "ra_scaled": ra,
+    })
+    return out.sort_values(["entity_a", "entity_b"]).reset_index(drop=True)
+
+
+def _link_aa_shuffle(edges_ds, src: str, dst: str,
+                     n_buckets: int | None = None):
+    """Dataset plan: the link_jaccard shuffle pipeline with edge_hits
+    emitting (edge, apex) rows; apex degree arrives by one hash join
+    against the degree table, the per-row term is computed in-batch
+    (vectorized), and one pre-combined groupby sums terms per edge."""
+    from .relational import (
+        default_n_buckets,
+        distinct_on,
+        groupby_agg,
+        hash_join,
+    )
+
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        s = b[src].to_numpy(dtype=object)
+        d = b[dst].to_numpy(dtype=object)
+        fwd = s < d
+        return pd.DataFrame({"a": np.where(fwd, s, d),
+                             "b": np.where(fwd, d, s)})
+
+    und = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"), ["a", "b"]
+    ).materialize()
+    deg = groupby_agg(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["a"], b["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "deg")],
+    ).materialize()
+    ab = hash_join(und, deg, on="a", right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_a"}),
+        batch_format="pandas")
+    abd = hash_join(ab.materialize(), deg, on="b",
+                    right_on="node").map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}),
+        batch_format="pandas")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = (b["deg_a"] < b["deg_b"]) | (
+            (b["deg_a"] == b["deg_b"]) & (b["a"] < b["b"]))
+        f = fwd.to_numpy()
+        return pd.DataFrame({
+            "u": np.where(f, b["a"], b["b"]),
+            "v": np.where(f, b["b"], b["a"]),
+            "deg_v": np.where(f, b["deg_b"], b["deg_a"]),
+            "__bk": pd.util.hash_array(
+                np.where(f, b["a"], b["b"])) % n_buckets,
+        })
+
+    oriented = abd.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u_arr = g["u"].to_numpy(dtype=object)
+        v_arr = g["v"].to_numpy(dtype=object)
+        starts = np.flatnonzero(
+            np.r_[True, u_arr[1:] != u_arr[:-1]]) if len(u_arr) else \
+            np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(u_arr)])
+        first, second = _pair_ranges(sizes)
+        return pd.DataFrame({"wu": u_arr[first], "wv": v_arr[first],
+                             "ww": v_arr[second]})
+
+    wedge_ds = oriented.groupby("__bk").map_groups(
+        wedges, batch_format="pandas")
+    closed = hash_join(
+        wedge_ds,
+        oriented.map_batches(lambda b: b[["u", "v"]],
+                             batch_format="pandas"),
+        on=["wv", "ww"], right_on=["u", "v"],
+    )
+
+    def edge_apex(b: pd.DataFrame) -> pd.DataFrame:
+        xs = pd.concat([b["wu"], b["wu"], b["wv"]], ignore_index=True)
+        ys = pd.concat([b["wv"], b["ww"], b["ww"]], ignore_index=True)
+        ap = pd.concat([b["ww"], b["wv"], b["wu"]], ignore_index=True)
+        x = xs.to_numpy(dtype=object)
+        y = ys.to_numpy(dtype=object)
+        fwd = x < y
+        return pd.DataFrame({"a": np.where(fwd, x, y),
+                             "b": np.where(fwd, y, x),
+                             "apex": ap.to_numpy(dtype=object)})
+
+    hits = closed.map_batches(edge_apex, batch_format="pandas")
+    withdeg = hash_join(hits.materialize(), deg, on="apex",
+                        right_on="node")
+
+    def terms(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy("int64")
+        aa_t, ra_t = _apex_terms(d)
+        return pd.DataFrame({"a": b["a"], "b": b["b"],
+                             "aa_t": aa_t, "ra_t": ra_t})
+
+    scores = groupby_agg(
+        withdeg.map_batches(terms, batch_format="pandas"),
+        ["a", "b"], [("a", "count", "common"),
+                     ("aa_t", "sum", "aa_scaled"),
+                     ("ra_t", "sum", "ra_scaled")],
+    )
+    withc = hash_join(und, scores.materialize(), on=["a", "b"],
+                      how="left_outer")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity_a": b["a"], "entity_b": b["b"],
+            "common": b["common"].fillna(0).astype("int64"),
+            "aa_scaled": b["aa_scaled"].fillna(0).astype("int64"),
+            "ra_scaled": b["ra_scaled"].fillna(0).astype("int64"),
+        })
+
+    return withc.map_batches(
+        finish, batch_format="pandas").sort(["entity_a", "entity_b"])
+
+
+def link_adamic_adar(edges_ds, *, src: str = "src", dst: str = "dst",
+                     mode: str = "auto",
+                     driver_edge_limit: int = _DEF_EDGE_LIMIT,
+                     wedge_limit: int = 100_000_000):
+    """Adamic-Adar and resource-allocation link-prediction scores for
+    every existing edge of the undirected distinct graph (Adamic &
+    Adar 2003; Zhou/Lü/Zhang 2009 — public formulas): over shared
+    neighbors w of the edge's endpoints, AA sums 1/ln(deg(w)) and RA
+    sums 1/deg(w).  Both are kept INTEGER-EXACT as sums of
+    floor(1e12/ln(deg)) / floor-div terms so any engine reproduces the
+    bytes (float sums would be order-dependent and unhashable).  Same
+    degree-ordered O(m^1.5) wedge kernel and guards as link_jaccard;
+    mode="auto" degrades driver → shuffle."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _link_aa_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, wedge_limit=wedge_limit)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _link_aa_shuffle(edges_ds, src, dst)
+
+
 def link_jaccard(edges_ds, *, src: str = "src", dst: str = "dst",
                  mode: str = "auto",
                  driver_edge_limit: int = _DEF_EDGE_LIMIT,

@@ -478,3 +478,53 @@ def test_personalized_pagerank_requires_seed_in_graph():
     with pytest.raises(ValueError, match="seed"):
         pagerank(rd.from_pandas(edges), iters=3, mode="shuffle",
                  seeds={"not_a_node"})
+
+
+# ---- per-edge Adamic-Adar / resource allocation -----------------------------
+
+
+def _brute_link_aa(edges: pd.DataFrame) -> pd.DataFrame:
+    import math
+
+    adj: dict = {}
+    for a, b in zip(edges.src, edges.dst):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    seen = set()
+    for a, b in zip(edges.src, edges.dst):
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        x, y = key
+        shared = adj[x] & adj[y]
+        rows.append({
+            "entity_a": x, "entity_b": y, "common": len(shared),
+            "aa_scaled": sum(
+                math.floor(1e12 / math.log(len(adj[w]))) for w in shared),
+            "ra_scaled": sum(10 ** 12 // len(adj[w]) for w in shared),
+        })
+    return pd.DataFrame(rows).sort_values(
+        ["entity_a", "entity_b"]).reset_index(drop=True)
+
+
+def test_link_adamic_adar_matches_brute_force_and_modes_agree():
+    from cpg_ray.functions.graphalgo import link_adamic_adar
+
+    for seed in (2, 9, 23):
+        edges = _rand_edges(n_nodes=30, n_edges=70, seed=seed)
+        expect = _brute_link_aa(edges)
+        d = link_adamic_adar(
+            rd.from_pandas(edges), mode="driver").to_pandas()
+        pd.testing.assert_frame_equal(d, expect, check_dtype=False)
+        s = link_adamic_adar(
+            rd.from_pandas(edges), mode="shuffle").to_pandas()
+        s = s.reset_index(drop=True)
+        for c in ["common", "aa_scaled", "ra_scaled"]:
+            s[c] = s[c].astype("int64")
+        pd.testing.assert_frame_equal(s, expect, check_dtype=False)
