@@ -888,6 +888,20 @@ def _comention_edges(sf_dir: str):
                      batch_format="pandas")
 
 
+def _kg_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per canonical entity: exact int
+    triangle/degree counts, one double expression (2.0·T then one
+    division) so the hash matches bit-for-bit."""
+    from cpg_ray.functions.graphalgo import clustering_coefficient
+
+    df = clustering_coefficient(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+    ).to_pandas()
+    for c in ["deg", "triangles"]:
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_triangles_mention(sf_dir: str):
     """Triangles over the CO-MENTION graph (entities appearing on the
     same page) — much denser than the subj→obj graph, so the closure
@@ -979,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
         "kg_adamic_adar": _kg_adamic_adar,
+        "kg_clustering_coef": _kg_clustering_coef,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1837,6 +1852,37 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM pairs p
             LEFT JOIN agg g ON g.x = p.a AND g.y = p.b
             ORDER BY entity_a, entity_b
+        """,
+        # cc = (2.0 * T) / (deg * (deg - 1)): 2.0*T exact, one IEEE
+        # division — same association as the numpy side
+        "kg_clustering_coef": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS s,
+                                        canonical_obj AS d
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                    FROM e0),
+            deg AS (SELECT entity, count(*)::BIGINT AS deg FROM (
+                        SELECT a AS entity FROM und
+                        UNION ALL SELECT b FROM und)
+                    GROUP BY entity),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            tcnt AS (SELECT entity, count(*)::BIGINT AS triangles FROM (
+                         SELECT x AS entity FROM tri
+                         UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+                     GROUP BY entity)
+            SELECT d.entity, d.deg,
+                   coalesce(t.triangles, 0)::BIGINT AS triangles,
+                   CASE WHEN d.deg >= 2 THEN
+                       (2.0 * coalesce(t.triangles, 0)::DOUBLE)
+                       / (d.deg * (d.deg - 1))::DOUBLE
+                   ELSE 0.0 END AS cc
+            FROM deg d LEFT JOIN tcnt t ON t.entity = d.entity
+            ORDER BY d.entity
         """,
         "kg_bfs_dist": f"""
             WITH RECURSIVE

@@ -603,6 +603,60 @@ def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",
     return _triangles_shuffle(edges_ds, src, dst)
 
 
+def clustering_coefficient(edges_ds, *, src: str = "src",
+                           dst: str = "dst", mode: str = "auto",
+                           driver_edge_limit: int = _DEF_EDGE_LIMIT,
+                           wedge_limit: int = 100_000_000):
+    """Local clustering coefficient per node of the undirected distinct
+    graph: cc = 2·T / (deg·(deg−1)) with T the node's triangle count
+    (Watts & Strogatz 1998, public); deg < 2 → 0.0.  Exact integer T
+    and deg feed ONE double expression — 2.0·T is exact, the division
+    is one IEEE op — so any engine reproduces the bytes.  Every node
+    of the graph gets a row (zero-triangle nodes included).  Scale
+    shape: triangle counts ride :func:`triangle_count` (mode passes
+    through); degrees are one pre-combined groupby; the stitch is a
+    broadcast-or-shuffle left join."""
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    tri = triangle_count(edges_ds, src=src, dst=dst, mode=mode,
+                         driver_edge_limit=driver_edge_limit,
+                         wedge_limit=wedge_limit)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        s = b[src].to_numpy(dtype=object)
+        d = b[dst].to_numpy(dtype=object)
+        fwd = s < d
+        return pd.DataFrame({"a": np.where(fwd, s, d),
+                             "b": np.where(fwd, d, s)})
+
+    und = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"), ["a", "b"])
+    deg = groupby_agg(
+        und.map_batches(
+            lambda b: pd.DataFrame({"entity": pd.concat(
+                [b["a"], b["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["entity"], [("entity", "count", "deg")],
+    )
+    joined = hash_join(deg.materialize(), tri.materialize(),
+                       on="entity", how="left_outer")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy("int64")
+        t = b["triangles"].fillna(0).to_numpy("int64")
+        denom = d * (d - 1)
+        cc = np.where(
+            d >= 2,
+            (2.0 * t.astype(np.float64))
+            / np.maximum(denom, 1).astype(np.float64),
+            0.0)
+        return pd.DataFrame({"entity": b["entity"], "deg": d,
+                             "triangles": t, "cc": cc})
+
+    return joined.map_batches(finish, batch_format="pandas").sort("entity")
+
+
 # ---- k-core ------------------------------------------------------------
 
 

@@ -528,3 +528,35 @@ def test_link_adamic_adar_matches_brute_force_and_modes_agree():
         for c in ["common", "aa_scaled", "ra_scaled"]:
             s[c] = s[c].astype("int64")
         pd.testing.assert_frame_equal(s, expect, check_dtype=False)
+
+
+def test_clustering_coefficient_matches_brute_force_and_modes_agree():
+    from cpg_ray.functions.graphalgo import clustering_coefficient
+
+    edges = _rand_edges(n_nodes=30, n_edges=70, seed=5)
+    adj: dict = {}
+    for a, b in zip(edges.src, edges.dst):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for v, nb in adj.items():
+        t = sum(1 for x in nb for y in nb
+                if x < y and y in adj.get(x, ()))
+        d = len(nb)
+        rows.append({"entity": v, "deg": d, "triangles": t,
+                     "cc": (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0})
+    expect = pd.DataFrame(rows).sort_values("entity").reset_index(drop=True)
+    d = clustering_coefficient(
+        rd.from_pandas(edges), mode="driver").to_pandas()
+    d = d.reset_index(drop=True)
+    for c in ["deg", "triangles"]:
+        d[c] = d[c].astype("int64")
+    pd.testing.assert_frame_equal(d, expect, check_dtype=False)
+    s = clustering_coefficient(
+        rd.from_pandas(edges), mode="shuffle").to_pandas()
+    s = s.reset_index(drop=True)
+    for c in ["deg", "triangles"]:
+        s[c] = s[c].astype("int64")
+    pd.testing.assert_frame_equal(s, expect, check_dtype=False)
