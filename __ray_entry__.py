@@ -888,6 +888,21 @@ def _comention_edges(sf_dir: str):
                      batch_format="pandas")
 
 
+def _kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the directed canonical entity
+    graph — floor-normalized integer semantics, 4 iterations, so the
+    generated unrolled-SQL oracle is bit-identical."""
+    from cpg_ray.functions.graphalgo import hits
+
+    df = hits(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        iters=4,
+    ).to_pandas()
+    for c in ["hub", "auth"]:
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_clustering_coef(sf_dir: str):
     """Local clustering coefficient per canonical entity: exact int
     triangle/degree counts, one double expression (2.0·T then one
@@ -994,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _kg_ppr,
         "kg_adamic_adar": _kg_adamic_adar,
         "kg_clustering_coef": _kg_clustering_coef,
+        "kg_hits": _kg_hits,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1152,6 +1168,52 @@ def _kcore_oracle_sql(triples_glob: str, *, k: int, rounds: int) -> str:
         FROM r{rounds} r LEFT JOIN deg d ON d.entity = r.node
         ORDER BY entity
     """
+
+
+def _hits_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
+    """Generated unrolled-iteration oracle for kg_hits: each half-step
+    is one join + GROUP BY sum and one scalar-subquery floor-divide —
+    integer throughout (DuckDB sums in HUGEINT, cast back per step),
+    mirroring graphalgo.hits by construction.  No WITH RECURSIVE, so
+    no UNION-distinct trap.  Every CTE is AS MATERIALIZED: DuckDB
+    inlines CTEs by default, and inlining an unrolled iteration chain
+    re-executes each level per reference — exponential blowup (measured
+    >240 s vs 0.5 s at sf0.01)."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (SELECT DISTINCT canonical_subj AS src,
+                                    canonical_obj AS dst
+                    FROM read_parquet('{triples_glob}')
+                    WHERE canonical_subj <> canonical_obj),
+        nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+                      SELECT src AS n FROM e0
+                      UNION ALL SELECT dst AS n FROM e0)),
+        h0 AS MATERIALIZED (SELECT n AS node,
+                      ({scale} // (SELECT count(*) FROM nodes))::BIGINT
+                          AS score
+               FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        , a{t}_raw AS MATERIALIZED (SELECT e.dst AS node, sum(h.score) AS raw
+                       FROM e0 e JOIN h{t - 1} h ON h.node = e.src
+                       GROUP BY e.dst)
+        , a{t} AS MATERIALIZED (SELECT n.n AS node,
+                          (coalesce(r.raw, 0)
+                           // greatest((SELECT sum(raw) FROM a{t}_raw)
+                                       // {scale}, 1))::BIGINT AS score
+                   FROM nodes n LEFT JOIN a{t}_raw r ON r.node = n.n)
+        , h{t}_raw AS MATERIALIZED (SELECT e.src AS node, sum(a.score) AS raw
+                       FROM e0 e JOIN a{t} a ON a.node = e.dst
+                       GROUP BY e.src)
+        , h{t} AS MATERIALIZED (SELECT n.n AS node,
+                          (coalesce(r.raw, 0)
+                           // greatest((SELECT sum(raw) FROM h{t}_raw)
+                                       // {scale}, 1))::BIGINT AS score
+                   FROM nodes n LEFT JOIN h{t}_raw r ON r.node = n.n)""")
+    parts.append(f"""
+        SELECT h.node AS entity, h.score AS hub, a.score AS auth
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+        ORDER BY entity""")
+    return "".join(parts)
 
 
 def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
@@ -1729,6 +1791,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM pr WHERE iter = 8
             ORDER BY score DESC, entity
         """,
+        "kg_hits": _hits_oracle_sql(triples_glob, iters=4,
+                                    scale=10 ** 12),
         "kg_triangles": f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS s,
                                         canonical_obj AS d

@@ -227,6 +227,141 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
                              seeds=seeds)
 
 
+# ---- HITS hubs & authorities ------------------------------------------------
+
+
+def _hits_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                 iters: int, scale: int) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "hub": pd.Series([], dtype="int64"),
+                             "auth": pd.Series([], dtype="int64")})
+    keep = s_i != d_i
+    key = np.unique(s_i[keep] * n + d_i[keep])
+    s_i, d_i = key // n, key % n
+    h = np.full(n, scale // n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a_raw = np.zeros(n, dtype=np.int64)
+        np.add.at(a_raw, d_i, h[s_i])
+        div = max(int(a_raw.sum()) // scale, 1)
+        a = a_raw // div
+        h_raw = np.zeros(n, dtype=np.int64)
+        np.add.at(h_raw, s_i, a[d_i])
+        div = max(int(h_raw.sum()) // scale, 1)
+        h = h_raw // div
+    out = pd.DataFrame({"entity": nodes, "hub": h, "auth": a})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _hits_shuffle(edges_ds, src: str, dst: str, *, iters: int,
+                  scale: int):
+    """Dataset-native HITS: per iteration, two (join on one endpoint →
+    pre-combined sum by the other) exchanges plus two SCALAR sum
+    aggregates for the floor-normalizers — 2 joins + 2 groupbys + 2
+    driver scalars per round, all bounded."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    edges = distinct_on(
+        edges_ds.map_batches(
+            lambda b: b[b[src] != b[dst]].rename(
+                columns={src: "e_src", dst: "e_dst"})[["e_src", "e_dst"]],
+            batch_format="pandas"),
+        ["e_src", "e_dst"],
+    ).materialize()
+    nodes = distinct_on(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["e_src"], b["e_dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "hub": pd.Series([], dtype="int64"),
+             "auth": pd.Series([], dtype="int64")}))
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"],
+                             "score": np.int64(scale // n)})
+
+    def one_side(state, from_col: str, to_col: str):
+        """state (node, score) → raw sums at the OTHER endpoint, then
+        floor-normalize by a scalar aggregate; zero-raw nodes kept."""
+        contrib = hash_join(edges, state, on=from_col,
+                            right_on="node").map_batches(
+            lambda b: pd.DataFrame({"node": b[to_col],
+                                    "part": b["score"]}),
+            batch_format="pandas")
+        raw = groupby_agg(contrib, ["node"],
+                          [("part", "sum", "raw")]).materialize()
+        total = int(raw.sum("raw") or 0)
+        div = max(total // scale, 1)
+        scored = hash_join(nodes, raw, on="node",
+                           how="left_outer").map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"],
+                "score": (b["raw"].fillna(0).astype("int64")
+                          // np.int64(div)),
+            }),
+            batch_format="pandas")
+        return scored.materialize()
+
+    h = nodes.map_batches(init, batch_format="pandas").materialize()
+    a = None
+    for _ in range(iters):
+        a = one_side(h, "e_src", "e_dst")
+        h = one_side(a, "e_dst", "e_src")
+    joined = hash_join(
+        h.map_batches(lambda b: b.rename(columns={"score": "hub"}),
+                      batch_format="pandas").materialize(),
+        a.map_batches(lambda b: b.rename(columns={"score": "auth"}),
+                      batch_format="pandas"),
+        on="node")
+    return joined.map_batches(
+        lambda b: pd.DataFrame({"entity": b["node"],
+                                "hub": b["hub"].astype("int64"),
+                                "auth": b["auth"].astype("int64")}),
+        batch_format="pandas").sort("entity")
+
+
+def hits(edges_ds, *, src: str = "src", dst: str = "dst",
+         iters: int = 4, scale: int = 10 ** 12, mode: str = "auto",
+         driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """HITS hubs & authorities (Kleinberg 1999, public) over the
+    distinct directed graph, self-loops dropped, with FLOOR-NORMALIZED
+    integer semantics: each half-step sums the opposite score over the
+    edges (exact int64) and divides every node by the scalar
+    ``max(total // scale, 1)`` — normalization only ever SHRINKS mass
+    (total stays ≤ ~scale), every op is integer, so the same iteration
+    count is bit-identical on any engine (the classic L2 norm would be
+    float-order-dependent and unhashable).  int64 bound: per-node raw
+    sums stay ≤ total mass ≈ scale × max fan-in share; with the 1e12
+    scale a node needs > ~9 × 10^6 × scale incoming mass to overflow —
+    unreachable since total mass is ≤ scale per side.  Returns
+    (entity, hub int64, auth int64) sorted by entity."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _hits_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, iters=iters, scale=scale)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _hits_shuffle(edges_ds, src, dst, iters=iters, scale=scale)
+
+
 # ---- connected components --------------------------------------------------
 
 

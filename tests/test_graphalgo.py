@@ -560,3 +560,49 @@ def test_clustering_coefficient_matches_brute_force_and_modes_agree():
     for c in ["deg", "triangles"]:
         s[c] = s[c].astype("int64")
     pd.testing.assert_frame_equal(s, expect, check_dtype=False)
+
+
+# ---- HITS ---------------------------------------------------------------
+
+
+def _brute_hits(edges: pd.DataFrame, iters: int, scale: int) -> pd.DataFrame:
+    e = {(a, b) for a, b in zip(edges.src, edges.dst) if a != b}
+    nodes = sorted({x for ab in e for x in ab})
+    h = {v: scale // len(nodes) for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for s, d in e:
+            raw[d] += h[s]
+        div = max(sum(raw.values()) // scale, 1)
+        a = {v: raw[v] // div for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for s, d in e:
+            raw[s] += a[d]
+        div = max(sum(raw.values()) // scale, 1)
+        h = {v: raw[v] // div for v in nodes}
+    return pd.DataFrame({"entity": nodes,
+                         "hub": [h[v] for v in nodes],
+                         "auth": [a[v] for v in nodes]})
+
+
+def test_hits_matches_brute_force_and_modes_agree():
+    from cpg_ray.functions.graphalgo import hits
+
+    edges = _rand_edges(n_nodes=25, n_edges=80, seed=7)
+    expect = _brute_hits(edges, iters=4, scale=10 ** 12)
+    d = hits(rd.from_pandas(edges), iters=4, mode="driver").to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), expect, check_dtype=False)
+    s = hits(rd.from_pandas(edges), iters=4, mode="shuffle").to_pandas()
+    s = s.reset_index(drop=True)
+    for c in ["hub", "auth"]:
+        s[c] = s[c].astype("int64")
+    pd.testing.assert_frame_equal(s, expect, check_dtype=False)
+    # a pure source has auth 0; a pure sink has hub 0
+    star = pd.DataFrame({"src": ["s", "s", "s"], "dst": ["a", "b", "c"]})
+    r = hits(rd.from_pandas(star), iters=3,
+             mode="driver").to_pandas().set_index("entity")
+    assert r.loc["s", "auth"] == 0
+    assert r.loc["a", "hub"] == 0 and r.loc["a", "auth"] > 0
+    assert r.loc["s", "hub"] > 0
