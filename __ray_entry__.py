@@ -888,6 +888,19 @@ def _comention_edges(sf_dir: str):
                      batch_format="pandas")
 
 
+def _kg_neighbor_sample(sf_dir: str):
+    """Deterministic k=3 out-neighbor sampling (GraphSAGE fan-out cap)
+    over the directed canonical entity graph; md5 hash order makes the
+    draw reproducible on any engine."""
+    from cpg_ray.functions.graphalgo import neighbor_sample
+
+    df = neighbor_sample(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        k=3,
+    ).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_hits(sf_dir: str):
     """HITS hubs & authorities over the directed canonical entity
     graph — floor-normalized integer semantics, 4 iterations, so the
@@ -1010,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": _kg_adamic_adar,
         "kg_clustering_coef": _kg_clustering_coef,
         "kg_hits": _kg_hits,
+        "kg_neighbor_sample": _kg_neighbor_sample,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1793,6 +1807,20 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         """,
         "kg_hits": _hits_oracle_sql(triples_glob, iters=4,
                                     scale=10 ** 12),
+        # DuckDB md5(VARCHAR) = lowercase hex = hashlib hexdigest
+        "kg_neighbor_sample": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            rn AS (SELECT src, dst,
+                          row_number() OVER (
+                              PARTITION BY src
+                              ORDER BY md5(src || '|' || dst), dst
+                          ) AS rn
+                   FROM e0)
+            SELECT src, dst FROM rn WHERE rn <= 3 ORDER BY src, dst
+        """,
         "kg_triangles": f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS s,
                                         canonical_obj AS d

@@ -227,6 +227,49 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
                              seeds=seeds)
 
 
+# ---- deterministic neighbor sampling ---------------------------------------
+
+
+def neighbor_sample(edges_ds, *, src: str = "src", dst: str = "dst",
+                    k: int = 3, mode: str = "auto"):
+    """Per-node out-neighbor sampling with a deterministic fan-out cap
+    (the GraphSAGE neighborhood-sampling step, Hamilton et al. 2017 —
+    public): for every src of the DISTINCT directed graph (self-loops
+    dropped), keep the k out-edges with the smallest
+    md5(src || '|' || dst) (ties by dst).  Hash order is a reproducible
+    uniform-without-replacement draw any engine replays bit-for-bit —
+    the same reproducibility contract as relational.hash_sample, per
+    node instead of per table.  Scale shape: the per-batch local
+    top-k-per-group combiner of grouped_topk (algebraic, no sort
+    shuffle below the guard; degrades to the map_groups finish past
+    it), so a 10^8-node graph never co-locates a node's full edge
+    list unless its fan-out survives the combiner."""
+    import hashlib
+
+    from .relational import distinct_on, grouped_topk
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]][[src, dst]]
+        return b.rename(columns={src: "src", dst: "dst"})
+
+    edges = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["src", "dst"])
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__h"] = (b["src"].astype(str) + "|" + b["dst"].astype(str)).map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return b
+
+    picked = grouped_topk(
+        edges.map_batches(add_hash, batch_format="pandas"),
+        ["src"], "__h", k, descending=False, tie_break="dst", mode=mode)
+    return picked.map_batches(
+        lambda b: b[["src", "dst"]], batch_format="pandas"
+    ).sort(["src", "dst"])
+
+
 # ---- HITS hubs & authorities ------------------------------------------------
 
 

@@ -606,3 +606,27 @@ def test_hits_matches_brute_force_and_modes_agree():
     assert r.loc["s", "auth"] == 0
     assert r.loc["a", "hub"] == 0 and r.loc["a", "auth"] > 0
     assert r.loc["s", "hub"] > 0
+
+
+def test_neighbor_sample_deterministic_capped_and_modes_agree():
+    import hashlib
+
+    from cpg_ray.functions.graphalgo import neighbor_sample
+
+    edges = _rand_edges(n_nodes=20, n_edges=120, seed=3)
+    got = neighbor_sample(rd.from_pandas(edges), k=3).to_pandas()
+    # brute force: per src, smallest-3 by (md5, dst) over distinct edges
+    ded = edges[edges.src != edges.dst].drop_duplicates()
+    ded = ded.assign(h=[
+        hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+        for a, b in zip(ded.src, ded.dst)])
+    expect = (ded.sort_values(["h", "dst"])
+              .groupby("src", sort=False).head(3)[["src", "dst"]]
+              .sort_values(["src", "dst"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expect, check_dtype=False)
+    assert got.groupby("src").size().max() <= 3
+    s = neighbor_sample(rd.from_pandas(edges), k=3,
+                        mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(
+        s.reset_index(drop=True), expect, check_dtype=False)
