@@ -1017,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_moving": q.q_events_moving,
         "q_nation_suppliers": q.q_nation_suppliers,
         "q_doc_unigram": q.q_doc_unigram,
+        "q_doc_sentences": q.q_doc_sentences,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

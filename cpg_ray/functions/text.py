@@ -1050,3 +1050,36 @@ def mask_dup_spans(ds, *, n: int = 8, id_col: str = "doc_id",
         })
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+_SENT_SPLIT = re.compile(r"[.!?]+[ \t\n\r\f]+")
+
+
+def sentence_stats(batch: pd.DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> pd.DataFrame:
+    """Per-document sentence segmentation stats: split on terminal
+    punctuation runs followed by whitespace (the explicit class
+    ``[ \\t\\n\\r\\f]`` — NOT ``\\s``, whose membership differs between
+    Python re (unicode) and RE2 (ascii), so the DuckDB oracle runs the
+    IDENTICAL pattern through regexp_split_to_array).  Counts/lengths
+    are codepoint-exact ints; avg is one int→double division.  Fully
+    within-row — a stateless map pass, no shuffle."""
+    parts = batch[text_col].str.split(_SENT_SPLIT, regex=True)
+    n = parts.map(
+        lambda xs: sum(1 for x in xs if x)).to_numpy("int64")
+    sum_chars = parts.map(
+        lambda xs: sum(len(x) for x in xs)).to_numpy("int64")
+    max_chars = parts.map(
+        lambda xs: max((len(x) for x in xs if x), default=0)
+    ).to_numpy("int64")
+    return pd.DataFrame({
+        id_col: batch[id_col],
+        "n_sentences": n,
+        "sum_chars": sum_chars,
+        "max_chars": max_chars,
+        "avg_chars": np.where(
+            n > 0,
+            sum_chars.astype(np.float64)
+            / np.maximum(n, 1).astype(np.float64),
+            0.0),
+    })

@@ -1867,6 +1867,18 @@ def q_doc_rep_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_doc_sentences(sf_dir: str) -> pd.DataFrame:
+    """Per-document sentence segmentation stats (text.sentence_stats):
+    split pattern chosen to be byte-identical between Python re and
+    DuckDB's RE2."""
+    from ..functions.text import sentence_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = docs.map_batches(sentence_stats,
+                          batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_mad(sf_dir: str) -> pd.DataFrame:
     """Robust statistics: per-group MEDIAN and MAD (median absolute
     deviation) with percentile_cont lerp semantics — the
@@ -1912,6 +1924,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_doc_sentences": """
+        WITH s AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(
+                       text, '[.!?]+[ \t\n\r\f]+')) AS sent
+            FROM documents
+        ), agg AS (
+            SELECT doc_id,
+                   (count(*) FILTER (WHERE sent <> ''))::BIGINT
+                       AS n_sentences,
+                   coalesce(sum(length(sent)), 0)::BIGINT AS sum_chars,
+                   coalesce(max(length(sent))
+                            FILTER (WHERE sent <> ''), 0)::BIGINT
+                       AS max_chars
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id, n_sentences, sum_chars, max_chars,
+               CASE WHEN n_sentences > 0
+                    THEN sum_chars::DOUBLE / n_sentences::DOUBLE
+                    ELSE 0.0 END AS avg_chars
+        FROM agg ORDER BY doc_id
     """,
     "q_doc_rep_ngrams": """
         WITH toks AS (

@@ -400,3 +400,29 @@ def test_mask_dup_spans_dup_table_guard():
     with pytest.raises(GuardExceeded, match="mask_dup_spans"):
         mask_dup_spans(rd.from_pandas(docs), n=8,
                        dup_row_limit=2).to_pandas()
+
+
+def test_sentence_stats_exact():
+    import pandas as pd
+
+    from cpg_ray.functions.text import sentence_stats
+
+    b = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "One two. Three four! Five?  Six",
+            "No terminal punctuation here",
+            "",
+            "Trailing. ",
+        ],
+    })
+    out = sentence_stats(b).set_index("doc_id")
+    assert out.loc[1, "n_sentences"] == 4
+    assert out.loc[1, "max_chars"] == len("Three four")
+    assert out.loc[2, "n_sentences"] == 1
+    assert out.loc[3, "n_sentences"] == 0
+    assert out.loc[3, "avg_chars"] == 0.0
+    # trailing split yields an empty tail fragment, filtered identically
+    # to the SQL side
+    assert out.loc[4, "n_sentences"] == 1
+    assert out.loc[4, "sum_chars"] == len("Trailing")
