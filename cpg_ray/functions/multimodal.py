@@ -308,6 +308,10 @@ def builtin_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
             from .jpeg import decode_jpeg  # baseline sequential JFIF
 
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            return decode_gif(payload)
     except NotImplementedError:
         raise
     except Exception as e:

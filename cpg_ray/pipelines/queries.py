@@ -1509,6 +1509,12 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
                 img, quality=90,
                 subsample="4:2:0" if i % 12 == 4 else "4:4:4"))
             mimes.append("image/jpeg")
+        elif i % 6 == 1:
+            from ..functions.gif import encode_gif
+
+            ids.append(f"gif{i:04d}")
+            blobs.append(encode_gif(img, interlace=bool(i % 12 == 1)))
+            mimes.append("image/gif")
         elif i % 3 == 2:
             ids.append(f"png{i:04d}")
             blobs.append(encode_png(img, filter_type=i % 5))
