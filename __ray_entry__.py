@@ -1018,6 +1018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nation_suppliers": q.q_nation_suppliers,
         "q_doc_unigram": q.q_doc_unigram,
         "q_doc_sentences": q.q_doc_sentences,
+        "q_doc_balanced": q.q_doc_balanced,
+        "q_events_unpivot": q.q_events_unpivot,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

@@ -1330,6 +1330,62 @@ def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_balanced(sf_dir: str) -> pd.DataFrame:
+    """Class-balanced downsampling: cap every language at the SAME
+    number of documents (k=50), chosen by md5 hash order — the
+    deterministic equivalent of per-class uniform sampling for
+    training-mix balancing.  Scale shape: the algebraic
+    top-k-per-group combiner (grouped_topk), so no language's full
+    document list ever co-locates."""
+    import hashlib
+
+    from ..functions.relational import grouped_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__h"] = b["doc_id"].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+        return b
+
+    picked = grouped_topk(
+        docs.map_batches(add_hash, batch_format="pandas"),
+        ["lang"], "__h", 50, descending=False, tie_break="doc_id")
+    df = picked.map_batches(
+        lambda b: b[["doc_id", "lang"]], batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_events_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT: the per-user pivoted event-type counts melted back to
+    (user_id, event_col, n) rows — explicit zeros kept, which is what
+    distinguishes a real unpivot from a sparse groupby.  The melt is
+    batch-local (pd.melt, vectorized); the only exchange is the
+    pivot's own pre-combined groupby."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def ind(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": b.user_id})
+        for t in types:
+            out[f"n_{t}"] = (b.event_type == t).astype("int64")
+        return out
+
+    pivoted = groupby_agg(
+        ds.map_batches(ind, batch_format="pandas"),
+        ["user_id"], [(f"n_{t}", "sum", f"n_{t}") for t in types])
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.melt(id_vars=["user_id"], var_name="event_col",
+                     value_name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    df = pivoted.map_batches(melt, batch_format="pandas").to_pandas()
+    return df.sort_values(["user_id", "event_col"]).reset_index(drop=True)
+
+
 def q_events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
     """Same sessionization answered by the STATEFUL streaming operator
     (actor-held open sessions across ordered batches) — must agree with
@@ -1930,6 +1986,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_doc_balanced": """
+        WITH r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang FROM r WHERE rn <= 50 ORDER BY doc_id
+    """,
+    "q_events_unpivot": """
+        WITH p AS (
+            SELECT user_id,
+                   (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+                       AS n_click,
+                   (count(*) FILTER (WHERE event_type = 'error'))::BIGINT
+                       AS n_error,
+                   (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT
+                       AS n_purchase,
+                   (count(*) FILTER (WHERE event_type = 'signup'))::BIGINT
+                       AS n_signup,
+                   (count(*) FILTER (WHERE event_type = 'view'))::BIGINT
+                       AS n_view
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, event_col, n::BIGINT AS n
+        FROM p UNPIVOT (n FOR event_col IN
+                        (n_click, n_error, n_purchase, n_signup, n_view))
+        ORDER BY user_id, event_col
     """,
     "q_doc_sentences": """
         WITH s AS (
