@@ -982,6 +982,19 @@ def _kg_graph_stats(sf_dir: str):
     )
 
 
+def _q_doc_bpe_merges(sf_dir: str):
+    """Distributed BPE merge training over the documents corpus: the
+    first 30 merge rules (rank, left, right, freq).  M argmax+rewrite
+    rounds over the word-TYPE table — not SQL-expressible, so
+    rows-only; pinned by the tests/test_bpe.py differential against
+    an independent reference implementation."""
+    from cpg_ray.functions.bpe import learn_bpe
+    from cpg_ray.pipelines.queries import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return learn_bpe(docs, n_merges=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from cpg_ray.pipelines import queries as q
 
@@ -1136,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_stats": q.q_approx_stats,
         "q_events_heavy_hitters": q.q_events_heavy_hitters,
         "q_doc_packed": q.q_doc_packed,
+        "q_doc_bpe_merges": _q_doc_bpe_merges,
         "kg_triples_ctx": _kg_triples_ctx,
     }
     return out
