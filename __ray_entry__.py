@@ -1033,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_sentences": q.q_doc_sentences,
         "q_doc_balanced": q.q_doc_balanced,
         "q_events_unpivot": q.q_events_unpivot,
+        "q_supplier_blocking": q.q_supplier_blocking,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

@@ -1330,6 +1330,20 @@ def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_supplier_blocking(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood ER blocking over supplier names: candidate
+    pairs within 4 positions of the global (s_name, s_suppkey) order —
+    range-bucketed, bucket-local windows, driver-stitched boundaries
+    (see dedup.sorted_neighborhood_pairs)."""
+    from ..functions.dedup import sorted_neighborhood_pairs
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    df = sorted_neighborhood_pairs(
+        sup, key_col="s_name", id_col="s_suppkey", window=4).to_pandas()
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_doc_balanced(sf_dir: str) -> pd.DataFrame:
     """Class-balanced downsampling: cap every language at the SAME
     number of documents (k=50), chosen by md5 hash order — the
@@ -1986,6 +2000,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_supplier_blocking": """
+        WITH r AS (
+            SELECT s_suppkey, s_name,
+                   row_number() OVER (ORDER BY s_name, s_suppkey) AS rn
+            FROM supplier
+        )
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               (b.rn - a.rn)::BIGINT AS dist
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        ORDER BY id_a, id_b
     """,
     "q_doc_balanced": """
         WITH r AS (

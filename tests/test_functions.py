@@ -918,3 +918,31 @@ def test_ed1_pairs_matches_bruteforce_levenshtein():
         rd.from_pandas(pd.DataFrame({"s": vs * 2})), "s",  # dups collapse
     ).to_pandas()
     assert sorted(zip(got.a, got.b)) == want
+
+
+def test_sorted_neighborhood_pairs_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(21)
+    # duplicated keys + unique ids; enough rows to span several buckets
+    keys = [f"name{int(x):03d}" for x in rng.integers(0, 120, 400)]
+    df = pd.DataFrame({"k": keys, "i": np.arange(400)})
+    for window in (1, 4):
+        got = sorted_neighborhood_pairs(
+            rd.from_pandas(df), key_col="k", id_col="i", window=window,
+        ).to_pandas().astype({"dist": "int64"})
+        ordered = df.sort_values(["k", "i"]).reset_index(drop=True)
+        rows = []
+        for d in range(1, window + 1):
+            rows.append(pd.DataFrame({
+                "id_a": ordered["i"][:len(ordered) - d].to_numpy(),
+                "id_b": ordered["i"][d:].to_numpy(),
+                "dist": np.int64(d)}))
+        expect = (pd.concat(rows, ignore_index=True)
+                  .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
