@@ -1034,6 +1034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_balanced": q.q_doc_balanced,
         "q_events_unpivot": q.q_events_unpivot,
         "q_supplier_blocking": q.q_supplier_blocking,
+        "q_embedding_centroid": q.q_embedding_centroid,
+        "q_promo_share": q.q_promo_share,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

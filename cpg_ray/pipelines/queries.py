@@ -1330,6 +1330,98 @@ def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_embedding_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid, integer-quantized for exactness:
+    q = floor(x·2^20) (float32→double and ×2^20 are IEEE-exact, floor
+    deterministic), per-(label, dim) sums pre-combined per batch via
+    one np.add.at — no per-row work, one small groupby exchange; the
+    centroid is one int→double division.  The vector analog of the
+    kmeans-quantized contract."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy())  # (B, D) float32
+        q = np.floor(mat.astype(np.float64) * (1 << 20)).astype(np.int64)
+        labels, codes = np.unique(b["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), q.shape[1]), np.int64)
+        np.add.at(sums, codes, q)
+        cnt = np.bincount(codes, minlength=len(labels)).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(labels, d).astype("int64"),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(labels)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt, d),
+        })
+
+    agg = groupby_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["label", "dim"], [("s", "sum", "sum_q"), ("n", "sum", "n")])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": b["label"].astype("int64"),
+            "dim": b["dim"].astype("int64"),
+            "sum_q": b["sum_q"].astype("int64"),
+            "n": b["n"].astype("int64"),
+            "centroid": b["sum_q"].to_numpy("int64").astype("float64")
+            / b["n"].to_numpy("int64").astype("float64"),
+        })
+
+    df = agg.map_batches(finish, batch_format="pandas").to_pandas()
+    return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def q_promo_share(sf_dir: str) -> pd.DataFrame:
+    """Promo revenue share per ship-month (the TPC-H Q14 shape on the
+    columns this corpus has): revenue kept as exact integer
+    cents × (100 − discount-%) so the per-month promo ratio is one
+    int→double division; the part-type flag arrives by broadcast join
+    (part is the small side)."""
+    from ..functions.relational import broadcast_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_type"]).to_pandas()
+    joined = broadcast_join(li, part, left_on="l_partkey",
+                            right_on="p_partkey")
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy("float64") * 100
+        ).astype("int64")
+        disc = np.round(
+            b["l_discount"].to_numpy("float64") * 100).astype("int64")
+        rev = cents * (100 - disc)
+        promo = b["p_type"].str.startswith("PROMO").to_numpy()
+        month = b["l_shipdate"].astype(str).str.slice(0, 7)
+        return pd.DataFrame({
+            "month": month,
+            "promo_rev": np.where(promo, rev, 0),
+            "total_rev": rev,
+        })
+
+    agg = groupby_agg(
+        joined.map_batches(partials, batch_format="pandas"),
+        ["month"], [("promo_rev", "sum", "promo_rev"),
+                    ("total_rev", "sum", "total_rev")])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": b["month"],
+            "promo_rev": b["promo_rev"].astype("int64"),
+            "total_rev": b["total_rev"].astype("int64"),
+            "promo_share": 100.0
+            * b["promo_rev"].to_numpy("int64").astype("float64")
+            / b["total_rev"].to_numpy("int64").astype("float64"),
+        })
+
+    df = agg.map_batches(finish, batch_format="pandas").to_pandas()
+    return df.sort_values("month").reset_index(drop=True)
+
+
 def q_supplier_blocking(sf_dir: str) -> pd.DataFrame:
     """Sorted-neighborhood ER blocking over supplier names: candidate
     pairs within 4 positions of the global (s_name, s_suppkey) order —
@@ -2000,6 +2092,41 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_embedding_centroid": """
+        WITH x AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(embedding)::DOUBLE AS e
+            FROM embeddings
+        ), agg AS (
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   sum(floor(e * 1048576))::BIGINT AS sum_q,
+                   count(*)::BIGINT AS n
+            FROM x GROUP BY 1, 2
+        )
+        SELECT label, dim, sum_q, n,
+               sum_q::DOUBLE / n::DOUBLE AS centroid
+        FROM agg ORDER BY label, dim
+    """,
+    "q_promo_share": """
+        WITH r AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT) AS rev,
+                   p_type LIKE 'PROMO%' AS promo
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+        ), agg AS (
+            SELECT month,
+                   sum(CASE WHEN promo THEN rev ELSE 0 END)::BIGINT
+                       AS promo_rev,
+                   sum(rev)::BIGINT AS total_rev
+            FROM r GROUP BY month
+        )
+        SELECT month, promo_rev, total_rev,
+               100.0 * promo_rev::DOUBLE / total_rev::DOUBLE
+                   AS promo_share
+        FROM agg ORDER BY month
     """,
     "q_supplier_blocking": """
         WITH r AS (
