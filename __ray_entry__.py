@@ -1036,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_blocking": q.q_supplier_blocking,
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_promo_share": q.q_promo_share,
+        "q_doc_bigram": q.q_doc_bigram,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

@@ -1083,3 +1083,75 @@ def sentence_stats(batch: pd.DataFrame, *, id_col: str = "doc_id",
             / np.maximum(n, 1).astype(np.float64),
             0.0),
     })
+
+
+def bigram_features(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", mode: str = "auto"):
+    """Bigram-LM document scoring — the unigram_features design one
+    order up: corpus counts of ADJACENT token pairs (pre-combined
+    groupby over (gram, batch) partials), broadcast once, then per-doc
+    integer-exact features in one stateless pass.  Docs with fewer
+    than two tokens emit no row (the same sparse convention as the SQL
+    oracle's group-by).  Integer columns: n_bigrams, sum_bigram_freq,
+    min_bigram_freq, n_hapax_bigrams; avg_neg_logprob (mean over
+    occurrences of -ln(corpus_count / total_bigrams)) is float and
+    pytest-pinned, excluded from the hashed oracle columns."""
+    import math
+
+    import ray
+
+    from .relational import bcast_get, groupby_agg
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b[text_col].str.split(" ")
+        n = lists.str.len().to_numpy("int64")
+        total = int(n.sum())
+        flat = (np.concatenate(
+            [np.asarray(v, dtype=object) for v in lists])
+            if total else np.array([], dtype=object))
+        doc = b[id_col].to_numpy().repeat(n)
+        if total < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=doc.dtype),
+                                 "gram": pd.Series([], dtype=object)})
+        same = doc[:-1] == doc[1:]
+        gram = flat[:-1] + " " + flat[1:]  # object-array concat
+        return pd.DataFrame({id_col: doc[:-1][same],
+                             "gram": gram[same]})
+
+    exploded = docs_ds.map_batches(grams, batch_format="pandas")
+    counts = groupby_agg(exploded, ["gram"], [("gram", "count", "c")],
+                         mode=mode).to_pandas()
+    total_grams = int(counts["c"].sum())
+    cnt_ref = ray.put(dict(zip(counts["gram"],
+                               counts["c"].astype("int64"))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = bcast_get(cnt_ref)
+        t = grams(b)
+        if not len(t):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=b[id_col].dtype),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "sum_bigram_freq": pd.Series([], dtype="int64"),
+                "min_bigram_freq": pd.Series([], dtype="int64"),
+                "n_hapax_bigrams": pd.Series([], dtype="int64"),
+                "avg_neg_logprob": pd.Series([], dtype="float64")})
+        c = t["gram"].map(cmap).to_numpy("int64")
+        logp = -np.log(c.astype("float64") / float(total_grams))
+        cs = pd.Series(c, index=t.index)
+        df = pd.DataFrame({
+            "n_bigrams": t.groupby(id_col, sort=True).size()
+            .astype("int64"),
+            "sum_bigram_freq": cs.groupby(t[id_col]).sum()
+            .astype("int64"),
+            "min_bigram_freq": cs.groupby(t[id_col]).min()
+            .astype("int64"),
+            "n_hapax_bigrams": pd.Series(
+                (c == 1).astype("int64"), index=t.index
+            ).groupby(t[id_col]).sum().astype("int64"),
+            "avg_neg_logprob": pd.Series(logp, index=t.index).groupby(
+                t[id_col]).mean(),
+        })
+        return df.reset_index()
+
+    return docs_ds.map_batches(score, batch_format="pandas")

@@ -1856,6 +1856,21 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_doc_bigram(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM document scoring (unigram design one order up):
+    integer-exact per-doc bigram stats against broadcast corpus
+    counts; the float LM score is pytest-pinned and excluded."""
+    from ..functions.text import bigram_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = bigram_features(docs, id_col="doc_id").to_pandas()
+    df = df.drop(columns=["avg_neg_logprob"])
+    for c in ["n_bigrams", "sum_bigram_freq", "min_bigram_freq",
+              "n_hapax_bigrams"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT ...) per group, two-phase: per-batch
     (hour, user) distinct combiner -> global distinct (distinct_on,
@@ -2092,6 +2107,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_doc_bigram": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(
+                       1, array_length(string_split(text, ' ')))) AS i
+            FROM documents
+        ), g AS (
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ), cnt AS (
+            SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram
+        )
+        SELECT g.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               sum(c.c)::BIGINT AS sum_bigram_freq,
+               min(c.c)::BIGINT AS min_bigram_freq,
+               sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_hapax_bigrams
+        FROM g JOIN cnt c USING (gram)
+        GROUP BY g.doc_id ORDER BY doc_id
     """,
     "q_embedding_centroid": """
         WITH x AS (

@@ -426,3 +426,27 @@ def test_sentence_stats_exact():
     # to the SQL side
     assert out.loc[4, "n_sentences"] == 1
     assert out.loc[4, "sum_chars"] == len("Trailing")
+
+
+def test_bigram_features_exact_and_logprob():
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import bigram_features
+
+    texts = ["a b a b", "a b c", "x"]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": texts}))
+    out = bigram_features(docs).to_pandas().set_index("doc_id")
+    # corpus bigrams: doc1: (a b),(b a),(a b); doc2: (a b),(b c)
+    # counts: 'a b'->3, 'b a'->1, 'b c'->1; total=5
+    assert 3 not in out.index  # single-token doc emits no row
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "sum_bigram_freq"] == 3 + 1 + 3
+    assert out.loc[1, "min_bigram_freq"] == 1
+    assert out.loc[1, "n_hapax_bigrams"] == 1
+    assert out.loc[2, "n_hapax_bigrams"] == 1
+    expect_lp = (-math.log(3 / 5) * 2 - math.log(1 / 5)) / 3
+    assert abs(out.loc[1, "avg_neg_logprob"] - expect_lp) < 1e-12
