@@ -1037,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_promo_share": q.q_promo_share,
         "q_doc_bigram": q.q_doc_bigram,
+        "q_doc_regex": q.q_doc_regex,
+        "q_supplier_er": q.q_supplier_er,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

@@ -1856,6 +1856,52 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_supplier_er(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution: FastSS edit-distance-1 candidate
+    pairs (linear in total chars) → bounded min-label propagation →
+    cluster id per DISTINCT supplier name, singletons keeping their
+    own name.  Both engines run the SAME 8 rounds, so the hashes match
+    even on a hypothetical >8-diameter typo chain."""
+    from ..functions.dedup import ed1_pairs
+    from ..functions.graphalgo import label_components
+
+    sup = read_table(sf_dir, "supplier", columns=["s_name"])
+    pairs = ed1_pairs(sup, "s_name").materialize()
+    comp = label_components(pairs, src="a", dst="b",
+                            rounds=8).to_pandas()
+    names = sup.to_pandas().drop_duplicates().rename(
+        columns={"s_name": "name"})
+    df = names.merge(comp.rename(columns={"entity": "name"}),
+                     on="name", how="left")
+    df["cluster"] = df["component"].where(
+        df["component"].notna(), df["name"])
+    return (df[["name", "cluster"]]
+            .sort_values("name").reset_index(drop=True))
+
+
+def q_doc_regex(sf_dir: str) -> pd.DataFrame:
+    """Vectorized regex field extraction (pandas .str kernels — one
+    compiled scan per column, no per-row Python): first match, match
+    count, and replace-derived counts, with RE2-compatible patterns so
+    DuckDB runs the IDENTICAL regexes."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ex(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "first_s_word": t.str.extract(
+                r"(s[a-z]+)", expand=False).fillna(""),
+            "n_b_words": t.str.count(r"b[a-z]+").astype("int64"),
+            "n_vowels": (t.str.len()
+                         - t.str.replace(r"[aeiou]", "", regex=True)
+                         .str.len()).astype("int64"),
+        })
+
+    df = docs.map_batches(ex, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_bigram(sf_dir: str) -> pd.DataFrame:
     """Bigram-LM document scoring (unigram design one order up):
     integer-exact per-doc bigram stats against broadcast corpus
@@ -2107,6 +2153,42 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_supplier_er": """
+        WITH RECURSIVE
+        names AS (SELECT DISTINCT s_name AS n FROM supplier),
+        p AS (SELECT a.n AS src, b.n AS dst
+              FROM names a JOIN names b
+                  ON a.n < b.n AND levenshtein(a.n, b.n) <= 1),
+        und AS (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM p
+                    UNION ALL SELECT dst AS src, src AS dst FROM p)),
+        pnodes AS (SELECT DISTINCT src AS n FROM und),
+        adj AS (SELECT src, dst FROM und
+                UNION ALL SELECT n, n FROM pnodes),
+        lp AS (
+            SELECT 0 AS iter, n AS node, n AS lbl FROM pnodes
+            UNION ALL
+            SELECT MIN(q.iter) + 1, a.dst, MIN(q.lbl)
+            FROM lp q JOIN adj a ON a.src = q.node
+            GROUP BY a.dst
+            HAVING MIN(q.iter) + 1 <= 8
+        ),
+        fin AS (SELECT node, lbl FROM lp WHERE iter = 8)
+        SELECT nm.n AS name, coalesce(f.lbl, nm.n) AS cluster
+        FROM names nm LEFT JOIN fin f ON f.node = nm.n
+        ORDER BY name
+    """,
+    "q_doc_regex": """
+        SELECT doc_id,
+               coalesce(regexp_extract(text, 's[a-z]+'), '')
+                   AS first_s_word,
+               len(regexp_extract_all(text, 'b[a-z]+'))::BIGINT
+                   AS n_b_words,
+               (length(text)
+                - length(regexp_replace(text, '[aeiou]', '', 'g'))
+               )::BIGINT AS n_vowels
+        FROM documents ORDER BY doc_id
     """,
     "q_doc_bigram": """
         WITH toks AS (
