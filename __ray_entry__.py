@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bigram": q.q_doc_bigram,
         "q_doc_regex": q.q_doc_regex,
         "q_supplier_er": q.q_supplier_er,
+        "q_events_winsor": q.q_events_winsor,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,

@@ -1856,6 +1856,53 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_events_winsor(sf_dir: str) -> pd.DataFrame:
+    """Winsorized per-type revenue: clip value-cents at the exact
+    interpolated [p10, p90] (the percentile_cont lerp, bit-identical
+    to DuckDB), keeping the middle mass as an EXACT integer sum and
+    the clipped tails as counts × boundary — one double expression
+    with fixed association, so the hash matches despite the float
+    boundaries.  Same co-locate-per-type shape as q_events_quantiles
+    (a handful of groups is the query's own cardinality)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def winsor(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            g["value"].dropna().to_numpy("float64") * 100
+        ).astype("int64")
+        s = np.sort(cents).astype("float64")
+
+        def pc(q: float) -> float:
+            h = (len(s) - 1) * q
+            lo_i, hi_i = int(np.floor(h)), int(np.ceil(h))
+            return float(s[lo_i] + (s[hi_i] - s[lo_i]) * (h - lo_i))
+
+        lo, hi = pc(0.10), pc(0.90)
+        f = cents.astype("float64")
+        below = f < lo
+        above = f > hi
+        n_below = int(below.sum())
+        n_above = int(above.sum())
+        sum_mid = int(cents[~below & ~above].sum())
+        return pd.DataFrame({
+            "event_type": [g.event_type.iloc[0]],
+            "n": [np.int64(len(cents))],
+            "n_below": [np.int64(n_below)],
+            "n_above": [np.int64(n_above)],
+            "lo": [lo], "hi": [hi],
+            "winsor_sum": [float(sum_mid) + n_below * lo
+                           + n_above * hi],
+        })
+
+    df = ds.groupby("event_type").map_groups(
+        winsor, batch_format="pandas").to_pandas()
+    for c in ["n", "n_below", "n_above"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def q_supplier_er(sf_dir: str) -> pd.DataFrame:
     """End-to-end entity resolution: FastSS edit-distance-1 candidate
     pairs (linear in total chars) → bounded min-label propagation →
@@ -2153,6 +2200,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_events_winsor": """
+        WITH c AS (
+            SELECT event_type, round(value * 100)::BIGINT AS cents
+            FROM events WHERE value IS NOT NULL
+        ), q AS (
+            SELECT event_type,
+                   percentile_cont(0.10)
+                       WITHIN GROUP (ORDER BY cents) AS lo,
+                   percentile_cont(0.90)
+                       WITHIN GROUP (ORDER BY cents) AS hi
+            FROM c GROUP BY event_type
+        )
+        SELECT c.event_type,
+               count(*)::BIGINT AS n,
+               (count(*) FILTER (WHERE cents::DOUBLE < q.lo))::BIGINT
+                   AS n_below,
+               (count(*) FILTER (WHERE cents::DOUBLE > q.hi))::BIGINT
+                   AS n_above,
+               any_value(q.lo) AS lo,
+               any_value(q.hi) AS hi,
+               coalesce(sum(cents) FILTER (
+                   WHERE cents::DOUBLE >= q.lo
+                     AND cents::DOUBLE <= q.hi), 0)::DOUBLE
+               + (count(*) FILTER (WHERE cents::DOUBLE < q.lo))::DOUBLE
+                 * any_value(q.lo)
+               + (count(*) FILTER (WHERE cents::DOUBLE > q.hi))::DOUBLE
+                 * any_value(q.hi) AS winsor_sum
+        FROM c JOIN q USING (event_type)
+        GROUP BY c.event_type
+        ORDER BY c.event_type
     """,
     "q_supplier_er": """
         WITH RECURSIVE
