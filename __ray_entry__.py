@@ -888,6 +888,21 @@ def _comention_edges(sf_dir: str):
                      batch_format="pandas")
 
 
+def _kg_random_walks(sf_dir: str):
+    """DeepWalk-style deterministic walk corpus (2 walks × 3 steps per
+    node) over the directed canonical entity graph; the md5 step draw
+    makes every engine emit the identical corpus."""
+    from cpg_ray.functions.graphalgo import random_walks
+
+    df = random_walks(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        walks_per_node=2, length=3,
+    ).to_pandas()
+    for c in ["w", "step"]:
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_neighbor_sample(sf_dir: str):
     """Deterministic k=3 out-neighbor sampling (GraphSAGE fan-out cap)
     over the directed canonical entity graph; md5 hash order makes the
@@ -1047,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coef": _kg_clustering_coef,
         "kg_hits": _kg_hits,
         "kg_neighbor_sample": _kg_neighbor_sample,
+        "kg_random_walks": _kg_random_walks,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1251,6 +1267,43 @@ def _hits_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
         SELECT h.node AS entity, h.score AS hub, a.score AS auth
         FROM h{iters} h JOIN a{iters} a ON a.node = h.node
         ORDER BY entity""")
+    return "".join(parts)
+
+
+def _walks_oracle_sql(triples_glob: str, *, walks_per_node: int,
+                      length: int) -> str:
+    """Generated unrolled-step oracle for kg_random_walks: each step is
+    one join + row_number()-over-(walk) argmin on the identical md5
+    draw.  AS MATERIALIZED everywhere (see _hits_oracle_sql)."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT canonical_subj AS src, canonical_obj AS dst
+            FROM read_parquet('{triples_glob}')
+            WHERE canonical_subj <> canonical_obj),
+        nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+            SELECT src AS n FROM e0 UNION ALL SELECT dst AS n FROM e0)),
+        s0 AS MATERIALIZED (
+            SELECT n AS start, w, n AS cur
+            FROM nodes CROSS JOIN (
+                SELECT unnest(range({walks_per_node})) AS w))"""]
+    for t in range(length):
+        parts.append(f"""
+        , c{t} AS MATERIALIZED (
+            SELECT s.start, s.w, e.dst,
+                   md5(s.start || '|' || s.w || '|{t}|' || s.cur
+                       || '|' || e.dst) AS h
+            FROM s{t} s JOIN e0 e ON e.src = s.cur)
+        , s{t + 1} AS MATERIALIZED (
+            SELECT start, w, dst AS cur FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY start, w ORDER BY h, dst) AS rn
+                FROM c{t} c) WHERE rn = 1)""")
+    selects = ["SELECT start, w::BIGINT AS w, 0::BIGINT AS step, "
+               "cur AS node FROM s0"]
+    selects += [f"SELECT start, w::BIGINT, {t + 1}::BIGINT, cur "
+                f"FROM s{t + 1}" for t in range(length)]
+    parts.append("\n        " + "\n        UNION ALL ".join(selects))
+    parts.append("\n        ORDER BY start, w, step")
     return "".join(parts)
 
 
@@ -1831,6 +1884,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         """,
         "kg_hits": _hits_oracle_sql(triples_glob, iters=4,
                                     scale=10 ** 12),
+        "kg_random_walks": _walks_oracle_sql(
+            triples_glob, walks_per_node=2, length=3),
         # DuckDB md5(VARCHAR) = lowercase hex = hashlib hexdigest
         "kg_neighbor_sample": f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,

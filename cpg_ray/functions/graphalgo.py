@@ -227,6 +227,134 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
                              seeds=seeds)
 
 
+# ---- deterministic random walks ---------------------------------------------
+
+
+def _walk_hash_frame(b: pd.DataFrame, step: int) -> pd.DataFrame:
+    import hashlib
+
+    b = b.copy()
+    key = (b["start"].astype(str) + "|" + b["w"].astype(str)
+           + f"|{step}|" + b["cur"].astype(str) + "|"
+           + b["dst"].astype(str))
+    b["__h"] = key.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return b
+
+
+def random_walks(edges_ds, *, src: str = "src", dst: str = "dst",
+                 walks_per_node: int = 2, length: int = 3,
+                 mode: str = "auto",
+                 driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """DeepWalk-style walk-corpus generation (Perozzi et al. 2014,
+    public) with DETERMINISTIC pseudo-random steps: from every node,
+    ``walks_per_node`` walks of up to ``length`` steps; at each step
+    the walker moves to the out-neighbor minimizing
+    md5(start|walk|step|cur|dst) (ties by dst) — a reproducible
+    uniform draw any engine replays, the per-walk analog of
+    neighbor_sample's hash order.  Walks STOP at sinks (no out-edge).
+    Returns (start, w, step, node) rows — step 0 is the start itself.
+
+    Scale shape: each step is one hash join (state ⋈ edges on cur)
+    plus the algebraic top-1-per-walk combiner (grouped_topk k=1), so
+    L steps = L bounded exchanges; the walk STATE is O(nodes × W),
+    never the corpus.  mode="driver" runs the identical kernel on one
+    frame under the edge guard."""
+    import ray.data as rd
+
+    from .relational import distinct_on, grouped_topk, hash_join
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]][[src, dst]]
+        return b.rename(columns={src: "e_src", dst: "dst"})
+
+    if mode in ("driver", "auto"):
+        try:
+            edges = _edges_to_driver(edges_ds, src, dst,
+                                     driver_edge_limit).rename(
+                columns={src: "e_src", dst: "dst"})
+            nodes = np.unique(np.concatenate(
+                [edges["e_src"].to_numpy(dtype=object),
+                 edges["dst"].to_numpy(dtype=object)]))
+            state = pd.DataFrame({
+                "start": np.repeat(nodes, walks_per_node),
+                "w": np.tile(np.arange(walks_per_node, dtype=np.int64),
+                             len(nodes)),
+            })
+            state["cur"] = state["start"]
+            out = [pd.DataFrame({"start": state["start"],
+                                 "w": state["w"],
+                                 "step": np.int64(0),
+                                 "node": state["cur"]})]
+            for t in range(length):
+                cand = state.merge(edges, left_on="cur",
+                                   right_on="e_src")
+                if not len(cand):
+                    break
+                cand = _walk_hash_frame(cand, t)
+                cand = cand.sort_values(["__h", "dst"],
+                                        kind="mergesort")
+                nxt = cand.groupby(["start", "w"],
+                                   sort=False).head(1)
+                state = pd.DataFrame({"start": nxt["start"],
+                                      "w": nxt["w"],
+                                      "cur": nxt["dst"]})
+                out.append(pd.DataFrame({"start": state["start"],
+                                         "w": state["w"],
+                                         "step": np.int64(t + 1),
+                                         "node": state["cur"]}))
+            df = pd.concat(out, ignore_index=True).sort_values(
+                ["start", "w", "step"]).reset_index(drop=True)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    edges = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["e_src", "dst"]).materialize()
+    nodes = distinct_on(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["e_src"], b["dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"]).materialize()
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "start": b["node"].to_numpy().repeat(walks_per_node),
+            "w": np.tile(np.arange(walks_per_node, dtype=np.int64), n),
+            "cur": b["node"].to_numpy().repeat(walks_per_node),
+        })
+
+    state = nodes.map_batches(init, batch_format="pandas").materialize()
+    out_ds = state.map_batches(
+        lambda b: pd.DataFrame({"start": b["start"], "w": b["w"],
+                                "step": np.int64(0),
+                                "node": b["cur"]}),
+        batch_format="pandas")
+    for t in range(length):
+        cand = hash_join(state, edges, on="cur", right_on="e_src")
+        picked = grouped_topk(
+            cand.map_batches(
+                lambda b, st=t: _walk_hash_frame(b, st),
+                batch_format="pandas"),
+            ["start", "w"], "__h", 1, descending=False,
+            tie_break="dst")
+        state = picked.map_batches(
+            lambda b: pd.DataFrame({"start": b["start"], "w": b["w"],
+                                    "cur": b["dst"]}),
+            batch_format="pandas").materialize()
+        out_ds = out_ds.union(state.map_batches(
+            lambda b, st=t: pd.DataFrame(
+                {"start": b["start"], "w": b["w"],
+                 "step": np.int64(st + 1), "node": b["cur"]}),
+            batch_format="pandas"))
+    return out_ds.sort(["start", "w", "step"])
+
+
 # ---- deterministic neighbor sampling ---------------------------------------
 
 

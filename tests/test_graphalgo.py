@@ -630,3 +630,43 @@ def test_neighbor_sample_deterministic_capped_and_modes_agree():
                         mode="shuffle").to_pandas()
     pd.testing.assert_frame_equal(
         s.reset_index(drop=True), expect, check_dtype=False)
+
+
+def test_random_walks_deterministic_modes_agree_and_stop_at_sinks():
+    import hashlib
+
+    from cpg_ray.functions.graphalgo import random_walks
+
+    edges = _rand_edges(n_nodes=15, n_edges=40, seed=13)
+    d = random_walks(rd.from_pandas(edges), walks_per_node=2,
+                     length=3, mode="driver").to_pandas()
+    s = random_walks(rd.from_pandas(edges), walks_per_node=2,
+                     length=3, mode="shuffle").to_pandas()
+    for c in ["w", "step"]:
+        d[c] = d[c].astype("int64")
+        s[c] = s[c].astype("int64")
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    # replay one walk by hand
+    adj: dict = {}
+    for a, b in zip(edges.src, edges.dst):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    start = d.start.iloc[0]
+    cur, path = start, [start]
+    for t in range(3):
+        nbrs = sorted(adj.get(cur, ()))
+        if not nbrs:
+            break
+        cur = min(nbrs, key=lambda x: (
+            hashlib.md5(f"{start}|0|{t}|{cur}|{x}".encode()).hexdigest(),
+            x))
+        path.append(cur)
+    got = d[(d.start == start) & (d.w == 0)].sort_values("step")
+    assert list(got.node) == path
+    # a pure-sink graph yields only step-0 rows for the sink
+    star = pd.DataFrame({"src": ["s", "s"], "dst": ["a", "b"]})
+    r = random_walks(rd.from_pandas(star), walks_per_node=1,
+                     length=4, mode="driver").to_pandas()
+    assert set(r[r.start == "a"].step) == {0}
+    assert r[(r.start == "s")].step.max() == 1  # one hop then sink
