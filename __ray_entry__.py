@@ -903,6 +903,35 @@ def _kg_random_walks(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_walk_skipgrams(sf_dir: str):
+    """Skip-gram training pairs from the deterministic walk corpus
+    (the word2vec-over-walks step of DeepWalk): (center, context)
+    counts for contexts within 2 steps on the SAME walk — one
+    self-join on the walk key plus one pre-combined groupby."""
+    from cpg_ray.functions.graphalgo import random_walks
+    from cpg_ray.functions.relational import groupby_agg, hash_join
+
+    walks = random_walks(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        walks_per_node=2, length=3,
+    ).materialize()
+    a = walks.map_batches(
+        lambda b: b.rename(columns={"step": "step_a", "node": "center"}),
+        batch_format="pandas").materialize()
+    b = walks.map_batches(
+        lambda b: b.rename(columns={"step": "step_b", "node": "context"}),
+        batch_format="pandas").materialize()
+    j = hash_join(a, b, on=["start", "w"])
+    pairs = j.map_batches(
+        lambda t: t[(t.step_a - t.step_b).abs().between(1, 2)]
+        [["center", "context"]],
+        batch_format="pandas")
+    df = groupby_agg(pairs, ["center", "context"],
+                     [("center", "count", "cnt")]).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.sort_values(["center", "context"]).reset_index(drop=True)
+
+
 def _kg_neighbor_sample(sf_dir: str):
     """Deterministic k=3 out-neighbor sampling (GraphSAGE fan-out cap)
     over the directed canonical entity graph; md5 hash order makes the
@@ -1055,6 +1084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_regex": q.q_doc_regex,
         "q_supplier_er": q.q_supplier_er,
         "q_events_winsor": q.q_events_winsor,
+        "q_events_kmv": q.q_events_kmv,
+        "q_events_gapfill": q.q_events_gapfill,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
@@ -1063,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _kg_hits,
         "kg_neighbor_sample": _kg_neighbor_sample,
         "kg_random_walks": _kg_random_walks,
+        "kg_walk_skipgrams": _kg_walk_skipgrams,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1886,6 +1918,21 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                                     scale=10 ** 12),
         "kg_random_walks": _walks_oracle_sql(
             triples_glob, walks_per_node=2, length=3),
+        # the walks oracle nests as a CTE body (WITH-in-WITH is legal);
+        # contexts within 2 steps on the same (start, w) walk
+        "kg_walk_skipgrams": f"""
+            WITH walks AS MATERIALIZED (
+                {_walks_oracle_sql(triples_glob, walks_per_node=2,
+                                   length=3)}
+            )
+            SELECT a.node AS center, b.node AS context,
+                   count(*)::BIGINT AS cnt
+            FROM walks a JOIN walks b
+                ON a.start = b.start AND a.w = b.w
+               AND abs(a.step - b.step) BETWEEN 1 AND 2
+            GROUP BY 1, 2
+            ORDER BY center, context
+        """,
         # DuckDB md5(VARCHAR) = lowercase hex = hashlib hexdigest
         "kg_neighbor_sample": f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,

@@ -213,3 +213,48 @@ def approx_quantiles(ds, column: str, qs: list[float], *,
     if not len(allv):
         return [float("nan")] * len(qs)
     return [float(np.quantile(allv, q)) for q in qs]
+
+
+def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 16):
+    """KMV (k-minimum-values) distinct-count sketch per group (Bar-
+    Yossef et al. 2002, public), DETERMINISTIC and therefore
+    oracle-pairable — unlike HLL above, whose register layout is an
+    implementation detail: hash every value with md5, keep the k
+    smallest DISTINCT hashes per group, estimate
+    (k-1) · 2^32 / uint32(prefix of the k-th smallest); groups with
+    fewer than k distinct values report their exact count.
+
+    Scale shape: per-batch (group, distinct-hash) partials keep only
+    their local k smallest — a valid combiner, so at most
+    k × groups × batches candidate rows ever move; the finish dedups
+    (same value hashes identically everywhere) and takes the global k
+    smallest per group on the driver.  Returns a pandas DataFrame
+    (group, n_used, kth_prefix, est_distinct)."""
+    import hashlib
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[group_col, value_col]].drop_duplicates()
+        h = d[value_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+        out = pd.DataFrame({group_col: d[group_col], "h": h})
+        return (out.sort_values("h", kind="mergesort")
+                .groupby(group_col, sort=False).head(k))
+
+    cand = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas().drop_duplicates())
+    rows = []
+    for g, sub in cand.groupby(group_col, sort=True):
+        hs = sub["h"].drop_duplicates().sort_values().head(k)
+        n = len(hs)
+        if n >= k:
+            prefix = int(hs.iloc[k - 1][:8], 16)
+            est = float((k - 1) * 4294967296) / float(prefix)
+        else:
+            prefix = 0
+            est = float(n)
+        rows.append({group_col: g, "n_used": n, "kth_prefix": prefix,
+                     "est_distinct": est})
+    return pd.DataFrame(
+        rows, columns=[group_col, "n_used", "kth_prefix",
+                       "est_distinct"]).astype(
+        {"n_used": "int64", "kth_prefix": "int64"})

@@ -1856,6 +1856,47 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_events_kmv(sf_dir: str) -> pd.DataFrame:
+    """KMV distinct-user sketch per event type — the DETERMINISTIC
+    sketch (md5 order), so unlike HLL (q_approx_stats) the estimate
+    itself is oracle-paired bit-for-bit."""
+    from ..functions.sketches import kmv_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    df = kmv_distinct(ds, group_col="event_type", value_col="user_id",
+                      k=16)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Time-series gap filling: hourly event counts per type with
+    MISSING hours materialized as zero rows over each type's own
+    [min, max] hour span — the resample/asfreq shape.  The dense hour
+    range is generated per type from its (min, max, counts) aggregate;
+    only the aggregate moves, never the events."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hours(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "hour": b["ts"].dt.floor("h"),
+        })
+
+    agg = groupby_agg(
+        ds.map_batches(hours, batch_format="pandas"),
+        ["event_type", "hour"], [("hour", "count", "n")]).to_pandas()
+    frames = []
+    for t, sub in agg.groupby("event_type", sort=True):
+        full = pd.DataFrame({"hour": pd.date_range(
+            sub["hour"].min(), sub["hour"].max(), freq="h")})
+        m = full.merge(sub[["hour", "n"]], on="hour", how="left")
+        m["n"] = m["n"].fillna(0).astype("int64")
+        m.insert(0, "event_type", t)
+        frames.append(m)
+    df = pd.concat(frames, ignore_index=True)
+    return df.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def q_events_winsor(sf_dir: str) -> pd.DataFrame:
     """Winsorized per-type revenue: clip value-cents at the exact
     interpolated [p10, p90] (the percentile_cont lerp, bit-identical
@@ -2200,6 +2241,47 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_events_kmv": """
+        WITH h AS (
+            SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS hh
+            FROM events
+        ), r AS (
+            SELECT event_type, hh,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY hh) AS rn
+            FROM h
+        )
+        SELECT event_type,
+               least(count(*), 16)::BIGINT AS n_used,
+               coalesce(max(CASE WHEN rn = 16 THEN
+                   ('0x' || substr(hh, 1, 8))::BIGINT END), 0)::BIGINT
+                   AS kth_prefix,
+               CASE WHEN count(*) >= 16
+                    THEN (15 * 4294967296)::DOUBLE
+                         / max(CASE WHEN rn = 16 THEN
+                             ('0x' || substr(hh, 1, 8))::BIGINT
+                           END)::DOUBLE
+                    ELSE count(*)::DOUBLE END AS est_distinct
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    "q_events_gapfill": """
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT event_type, min(hour) AS lo, max(hour) AS hi
+            FROM c GROUP BY 1
+        ), dense AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS hour
+            FROM span
+        )
+        SELECT d.event_type, d.hour, coalesce(c.n, 0)::BIGINT AS n
+        FROM dense d LEFT JOIN c USING (event_type, hour)
+        ORDER BY event_type, hour
     """,
     "q_events_winsor": """
         WITH c AS (
