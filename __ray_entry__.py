@@ -903,6 +903,42 @@ def _kg_random_walks(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_neg_samples(sf_dir: str):
+    """Deterministic tail-corruption negatives (k=2 per edge) for
+    link-prediction training over the canonical entity graph."""
+    from cpg_ray.functions.graphalgo import negative_samples
+
+    df = negative_samples(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        k=2,
+    ).to_pandas()
+    df["i"] = df["i"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def _kg_node_features(sf_dir: str):
+    """GNN-style node feature table: PageRank centrality joined with
+    degree / triangles / clustering coefficient per canonical entity
+    — one broadcast-or-shuffle join of two already-verified operator
+    outputs (the composition a training pipeline actually runs)."""
+    from cpg_ray.functions.graphalgo import (
+        clustering_coefficient,
+        pagerank,
+    )
+    from cpg_ray.functions.relational import hash_join
+
+    edges = _entity_edges(sf_dir).materialize()
+    pr = pagerank(edges, src="canonical_subj", dst="canonical_obj",
+                  iters=8).materialize()
+    cc = clustering_coefficient(
+        edges, src="canonical_subj", dst="canonical_obj").materialize()
+    df = hash_join(cc, pr, on="entity").to_pandas()
+    for c in ["deg", "triangles", "score"]:
+        df[c] = df[c].astype("int64")
+    df = df[["entity", "deg", "triangles", "cc", "score"]]
+    return df.sort_values("entity").reset_index(drop=True)
+
+
 def _kg_walk_skipgrams(sf_dir: str):
     """Skip-gram training pairs from the deterministic walk corpus
     (the word2vec-over-walks step of DeepWalk): (center, context)
@@ -1095,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_sample": _kg_neighbor_sample,
         "kg_random_walks": _kg_random_walks,
         "kg_walk_skipgrams": _kg_walk_skipgrams,
+        "kg_node_features": _kg_node_features,
+        "kg_neg_samples": _kg_neg_samples,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1933,6 +1971,29 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY center, context
         """,
+        # uint32(md5 prefix) mod |V| indexes the SORTED node list —
+        # both engines replay the identical draw
+        "kg_neg_samples": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            nodes AS (SELECT DISTINCT n FROM (
+                          SELECT src AS n FROM e0
+                          UNION ALL SELECT dst AS n FROM e0)),
+            idx AS (SELECT n AS node,
+                           row_number() OVER (ORDER BY n) - 1 AS rn
+                    FROM nodes),
+            s AS (SELECT e.src, e.dst, i.i,
+                         ('0x' || substr(md5(e.src || '|' || e.dst
+                                             || '|' || i.i), 1, 8)
+                         )::BIGINT % (SELECT count(*) FROM nodes)
+                             AS pick
+                  FROM e0 e CROSS JOIN (VALUES (0), (1)) i(i))
+            SELECT s.src, s.dst, s.i::BIGINT AS i, x.node AS neg
+            FROM s JOIN idx x ON x.rn = s.pick
+            ORDER BY src, dst, i
+        """,
         # DuckDB md5(VARCHAR) = lowercase hex = hashlib hexdigest
         "kg_neighbor_sample": f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
@@ -2163,6 +2224,15 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             ORDER BY entity
         """,
     }
+    # composition oracle: the verified pagerank + clustering bodies
+    # nested as CTEs (WITH RECURSIVE inside a CTE body is legal)
+    out["kg_node_features"] = f"""
+        WITH pr AS MATERIALIZED ({out["kg_pagerank"]}),
+             cc AS MATERIALIZED ({out["kg_clustering_coef"]})
+        SELECT c.entity, c.deg, c.triangles, c.cc, p.score
+        FROM cc c JOIN pr p ON p.entity = c.entity
+        ORDER BY c.entity
+    """
     return out
 
 

@@ -398,6 +398,56 @@ def neighbor_sample(edges_ds, *, src: str = "src", dst: str = "dst",
     ).sort(["src", "dst"])
 
 
+def negative_samples(edges_ds, *, src: str = "src", dst: str = "dst",
+                     k: int = 2):
+    """Deterministic negative sampling for link-prediction training
+    (the corrupt-the-tail scheme of TransE et al., public): for every
+    distinct directed edge and i ∈ [0, k), the negative tail is
+    ``nodes_sorted[uint32(md5(src|dst|i)) mod |V|]`` — a reproducible
+    uniform draw over the node set, uncorrected for accidental
+    positives (standard practice; the loss treats them as noise).
+    The sorted node array is broadcast ONCE (ray.put) and indexed per
+    batch; cost is one stateless pass over the edge list."""
+    import hashlib
+
+    import ray
+
+    from .relational import bcast_get, distinct_on
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]][[src, dst]]
+        return b.rename(columns={src: "src", dst: "dst"})
+
+    edges = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["src", "dst"]).materialize()
+    nodes = np.sort(distinct_on(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["src"], b["dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"]).to_pandas()["node"].to_numpy(dtype=object))
+    nodes_ref = ray.put(nodes)
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        arr = bcast_get(nodes_ref)
+        n = len(arr)
+        outs = []
+        for i in range(k):
+            key = (b["src"].astype(str) + "|" + b["dst"].astype(str)
+                   + f"|{i}")
+            pick = key.map(lambda s: int(
+                hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+            ).to_numpy("int64")
+            outs.append(pd.DataFrame({
+                "src": b["src"], "dst": b["dst"],
+                "i": np.int64(i), "neg": arr[pick]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return edges.map_batches(
+        sample, batch_format="pandas").sort(["src", "dst", "i"])
+
+
 # ---- HITS hubs & authorities ------------------------------------------------
 
 
