@@ -1856,6 +1856,40 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_events_scd2(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (type 2) intervals: each user's event
+    stream becomes (user_id, event_type, valid_from, valid_to) rows
+    where valid_to is the NEXT event's timestamp (NULL on the open
+    current row) — the LEAD shape of q_events_lag, same user-hash
+    bucketing, one vectorized shift per bucket."""
+    import numpy as np
+
+    from ..functions.relational import default_n_buckets
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nb = default_n_buckets()
+
+    def lead(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        nxt = g["ts"].shift(-1)
+        last = np.r_[g["user_id"].values[1:] != g["user_id"].values[:-1],
+                     True]
+        nxt[last] = pd.NaT
+        return pd.DataFrame({
+            "event_id": g.event_id, "user_id": g.user_id,
+            "event_type": g.event_type,
+            "valid_from": g.ts, "valid_to": nxt,
+        })
+
+    df = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(lead, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_kmv(sf_dir: str) -> pd.DataFrame:
     """KMV distinct-user sketch per event type — the DETERMINISTIC
     sketch (md5 order), so unlike HLL (q_approx_stats) the estimate
@@ -2241,6 +2275,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_events_scd2": """
+        SELECT event_id, user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events ORDER BY event_id
     """,
     "q_events_kmv": """
         WITH h AS (
