@@ -19,6 +19,7 @@ iterates through the driver.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -218,3 +219,93 @@ def sessionize_streaming(events_ds, *, gap_seconds: float = 1800.0,
         out.sort_values(["user_id", "session_start"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+class TumblingWindower:
+    """Tumbling-window counter with ALLOWED LATENESS and late-event
+    routing (the Beam/Flink watermark model, public): events arrive in
+    stream order; the watermark is the max event time seen so far minus
+    nothing (it IS the max — lateness is the allowance below it); an
+    event whose ts sits more than ``lateness_s`` behind the
+    pre-existing watermark is routed to the late side (flagged rows,
+    emitted immediately, aggregated per window); a window [w, w+W)
+    closes — its on-time count emitted exactly once — when the
+    watermark passes w + W + lateness.  State is O(open windows),
+    never the stream."""
+
+    def __init__(self, window_s: int = 600, lateness_s: int = 600):
+        self.window_us = int(window_s) * 1_000_000
+        self.lateness_us = int(lateness_s) * 1_000_000
+        self.window_s = int(window_s)
+        self._wm: int | None = None  # max event-time seen, µs
+        self._open: dict[int, int] = {}  # window start (epoch s) -> n
+
+    _COLS = ["window_start", "late", "n"]
+
+    def _emit_closed(self) -> list[tuple[int, bool, int]]:
+        if self._wm is None:
+            return []
+        rows = []
+        for w in sorted(self._open):
+            if (w * 1_000_000 + self.window_us + self.lateness_us
+                    <= self._wm):
+                rows.append((w, False, self._open.pop(w)))
+        return rows
+
+    def feed(self, df: pd.DataFrame) -> pd.DataFrame:
+        """``df`` in ARRIVAL order with a ``ts`` column; returns closed
+        windows (late=False) and this batch's late rows aggregated per
+        window (late=True)."""
+        t = df["ts"].values.astype("datetime64[us]").astype("int64")
+        prev = np.int64(self._wm if self._wm is not None
+                        else np.iinfo(np.int64).min)
+        run = np.maximum.accumulate(np.r_[prev, t])[:-1]  # wm BEFORE row
+        late = (run != np.iinfo(np.int64).min) & (
+            t < run - self.lateness_us)
+        win = (t // self.window_us * self.window_s).astype(np.int64)
+        for w, n in zip(*np.unique(win[~late], return_counts=True)):
+            self._open[int(w)] = self._open.get(int(w), 0) + int(n)
+        if len(t):
+            self._wm = int(max(t.max(),
+                               self._wm if self._wm is not None
+                               else t.max()))
+        rows = self._emit_closed()
+        lw, ln = np.unique(win[late], return_counts=True)
+        rows += [(int(w), True, int(n)) for w, n in zip(lw, ln)]
+        return pd.DataFrame(rows, columns=self._COLS)
+
+    def flush(self) -> pd.DataFrame:
+        rows = [(w, False, self._open.pop(w))
+                for w in sorted(self._open)]
+        return pd.DataFrame(rows, columns=self._COLS)
+
+
+def tumbling_window_counts(events_ds, *, key_col: str = "event_type",
+                           window_s: int = 600, lateness_s: int = 600,
+                           batch_rows: int = 8192) -> pd.DataFrame:
+    """Distributed watermarked tumbling windows: each key is its own
+    time-ordered stream (arrival order = event_id) running through its
+    own :class:`TumblingWindower` inside groupby(key).map_groups —
+    the sessionize_streaming shape with per-key watermarks, so the
+    result is deterministic AND SQL-expressible (running-max lateness
+    per key; the oracle replays it with one window function)."""
+
+    def run_key(g: pd.DataFrame) -> pd.DataFrame:
+        tw = TumblingWindower(window_s, lateness_s)
+        g = g.sort_values("event_id", kind="mergesort")
+        frames = [tw.feed(g.iloc[i:i + batch_rows])
+                  for i in range(0, len(g), batch_rows)]
+        frames.append(tw.flush())
+        out = pd.concat([f for f in frames if len(f)],
+                        ignore_index=True)
+        out = (out.groupby(["window_start", "late"], as_index=False)
+               ["n"].sum())
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    df = (events_ds.groupby(key_col)
+          .map_groups(run_key, batch_format="pandas").to_pandas())
+    df["window_start"] = df["window_start"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(
+        [key_col, "window_start", "late"]).reset_index(drop=True)

@@ -1856,6 +1856,21 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    """Watermarked tumbling-window counts with allowed lateness and
+    late-event routing (streaming.TumblingWindower, the Beam/Flink
+    model): per event type — its own ordered stream — 10-minute
+    windows, 10-minute lateness; rows more than the allowance behind
+    the running max arrive flagged late.  The oracle replays the
+    watermark with one running-max window function."""
+    from ..functions.streaming import tumbling_window_counts
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "ts"])
+    return tumbling_window_counts(ds, key_col="event_type",
+                                  window_s=600, lateness_s=600)
+
+
 def q_events_scd2(sf_dir: str) -> pd.DataFrame:
     """Slowly-changing-dimension (type 2) intervals: each user's event
     stream becomes (user_id, event_type, valid_from, valid_to) rows
@@ -2275,6 +2290,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_events_tumbling": """
+        WITH arr AS (
+            SELECT event_type, ts, event_id,
+                   max(ts) OVER (PARTITION BY event_type
+                                 ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm_prev
+            FROM events
+        ), f AS (
+            SELECT event_type,
+                   epoch_us(ts) // 600000000 * 600 AS window_start,
+                   (wm_prev IS NOT NULL
+                    AND epoch_us(ts) < epoch_us(wm_prev) - 600000000)
+                       AS late
+            FROM arr
+        )
+        SELECT event_type, window_start::BIGINT AS window_start, late,
+               count(*)::BIGINT AS n
+        FROM f GROUP BY 1, 2, 3
+        ORDER BY event_type, window_start, late
     """,
     "q_events_scd2": """
         SELECT event_id, user_id, event_type,

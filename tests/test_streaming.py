@@ -64,3 +64,78 @@ def test_actor_sessionizer_matches_and_persists_state():
     pd.testing.assert_frame_equal(
         batch.reset_index(drop=True), online.reset_index(drop=True)
     )
+
+
+def test_tumbling_windower_watermark_and_late_routing():
+    import numpy as np
+    import pandas as pd
+
+    from cpg_ray.functions.streaming import TumblingWindower
+
+    base = 1_700_000_000_000_000  # µs epoch, window = 600 s
+    rows = pd.DataFrame({"ts": pd.to_datetime(np.array([
+        base,                        # w0
+        base + 700_000_000,          # w1, wm -> here
+        base + 50_000_000,           # 650 s behind wm -> LATE (w0)
+        base + 200_000_000,          # 500 s behind wm -> on time (w0)
+        base + 2_500_000_000,        # w4: closes w0 and w1
+    ]), unit="us")})
+    tw = TumblingWindower(window_s=600, lateness_s=600)
+    out1 = tw.feed(rows.iloc[:3])
+    # the late row is emitted immediately, flagged
+    late = out1[out1.late]
+    assert len(late) == 1 and late.n.iloc[0] == 1
+    out2 = tw.feed(rows.iloc[3:])
+    fl = tw.flush()
+    allrows = pd.concat([out1, out2, fl], ignore_index=True)
+    # every event accounted for exactly once
+    assert allrows.n.sum() == len(rows)
+    w0 = base // 1_000_000 // 600 * 600
+    ontime = allrows[~allrows.late].set_index("window_start")
+    assert ontime.loc[w0, "n"] == 2  # first row + the 500s-behind row
+    # closed-once invariant: no duplicate (window, late=False) rows
+    assert not allrows[~allrows.late].window_start.duplicated().any()
+
+
+def test_tumbling_window_counts_matches_batch_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import tumbling_window_counts
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    ts = 1_700_000_000_000_000 + np.sort(
+        rng.integers(0, 3_600_000_000, n))
+    # shuffle a little so some events arrive out of order
+    idx = np.arange(n)
+    swaps = rng.integers(0, n - 1, 200)
+    for s in swaps:
+        idx[s], idx[s + 1] = idx[s + 1], idx[s]
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(ts[idx], unit="us"),
+    })
+    got = tumbling_window_counts(rd.from_pandas(df), window_s=600,
+                                 lateness_s=60, batch_rows=128)
+    # replay the watermark rule in pure pandas per type
+    rows = []
+    for t, sub in df.groupby("event_type"):
+        sub = sub.sort_values("event_id")
+        tt = sub.ts.values.astype("datetime64[us]").astype("int64")
+        wm = np.maximum.accumulate(
+            np.r_[np.int64(-2 ** 62), tt])[:-1]
+        late = tt < wm - 60_000_000
+        win = tt // 600_000_000 * 600
+        f = pd.DataFrame({"event_type": t, "window_start": win,
+                          "late": late})
+        rows.append(f)
+    expect = (pd.concat(rows).groupby(
+        ["event_type", "window_start", "late"], as_index=False)
+        .size().rename(columns={"size": "n"})
+        .sort_values(["event_type", "window_start", "late"])
+        .reset_index(drop=True))
+    expect["n"] = expect["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
