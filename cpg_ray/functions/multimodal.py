@@ -336,15 +336,87 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _ulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → int16 expansion (ITU-T G.711, public): the
+    256-entry table computed once from the closed form."""
+    u = ~np.arange(256, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = (u.astype(np.int32) >> 4) & 7
+    mant = u.astype(np.int32) & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+_ULAW = _ulaw_table()
+
+
+def encode_wav_ulaw(samples: np.ndarray, rate: int) -> bytes:
+    """mono float in [-1, 1] → G.711 µ-law RIFF/WAVE (format code 7)
+    — nearest-table-entry companding, container written by hand (the
+    stdlib wave module is PCM-only)."""
+    import struct
+
+    pcm = np.clip(np.round(samples * 32767), -32768, 32767).astype(np.int16)
+    order = np.argsort(_ULAW, kind="stable")
+    pos = np.searchsorted(_ULAW[order], pcm)
+    pos = np.clip(pos, 1, 255)
+    left = _ULAW[order][pos - 1]
+    take_left = (np.abs(pcm - left)
+                 <= np.abs(_ULAW[order][np.minimum(pos, 255)] - pcm))
+    idx = np.where(take_left, pos - 1, np.minimum(pos, 255))
+    data = order[idx].astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_ulaw(payload: bytes):
+    """Manual RIFF walk for format-7 (µ-law) WAVE payloads — the
+    stdlib wave module rejects non-PCM, so this is its sibling."""
+    import struct
+
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + length]
+        if len(body) != length:
+            raise NotImplementedError("truncated WAVE chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise NotImplementedError("WAVE missing fmt/data chunks")
+    code, nch, rate = struct.unpack_from("<HHI", fmt)
+    if code != 7:
+        raise NotImplementedError(f"WAVE format {code} not µ-law")
+    x = _ULAW[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, int(rate)
+
+
 def builtin_audio_decode(payload: bytes):
-    """RIFF/WAVE PCM (8/16/32-bit int) → (mono float64 in [-1, 1],
-    rate) via the stdlib wave module — a genuine container parse, no
-    third-party library."""
+    """RIFF/WAVE PCM (8/16/32-bit int, stdlib wave) or G.711 µ-law
+    (format 7, manual RIFF walk + the closed-form table) → (mono
+    float64 in [-1, 1], rate) — genuine parses, no third-party
+    library."""
     import io
+    import struct
     import wave
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
+    if b"fmt " in payload[:64]:
+        at = payload.index(b"fmt ")
+        if at + 10 <= len(payload):
+            (code,) = struct.unpack_from("<H", payload, at + 8)
+            if code == 7:
+                return _decode_wav_ulaw(payload)
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch, sw, rate = (wf.getnchannels(), wf.getsampwidth(),
@@ -408,18 +480,36 @@ def probe_audio_codec():
     return decode
 
 
-def encode_avi(frames: np.ndarray, fps: float = 24.0) -> bytes:
-    """(N, H, W, 3) uint8 → uncompressed RIFF AVI ('DIB ' fourcc, raw
-    24-bit BGR bottom-up frames) — the video analog of encode_bmp."""
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi(frames: np.ndarray, fps: float = 24.0,
+               codec: str = "DIB", quality: int = 90) -> bytes:
+    """(N, H, W, 3) uint8 → RIFF AVI.  codec="DIB" writes raw 24-bit
+    BGR bottom-up frames (lossless, the video analog of encode_bmp);
+    codec="MJPG" writes one baseline JPEG per frame through
+    functions/jpeg.py — a genuinely COMPRESSED video container with
+    zero third-party libs."""
     import struct
 
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
-    frame_bytes = []
-    for f in frames:
-        padded = np.zeros((h, stride), np.uint8)
-        padded[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
-        frame_bytes.append(padded.tobytes())
+    if codec == "MJPG":
+        from .jpeg import encode_jpeg
+
+        frame_bytes = [encode_jpeg(f, quality=quality) for f in frames]
+        fourcc, compression = b"MJPG", _MJPG_FOURCC
+        buf_size = max(len(fb) for fb in frame_bytes)
+    elif codec == "DIB":
+        frame_bytes = []
+        for f in frames:
+            padded = np.zeros((h, stride), np.uint8)
+            padded[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+            frame_bytes.append(padded.tobytes())
+        fourcc, compression = b"DIB ", 0
+        buf_size = stride * h
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r}")
     usec = int(round(1_000_000 / fps))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -429,25 +519,26 @@ def encode_avi(frames: np.ndarray, fps: float = 24.0) -> bytes:
     def lst(kind: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", kind + data)
 
-    avih = struct.pack("<14I", usec, stride * h * int(fps), 0, 0x10, n,
-                       0, 1, stride * h, w, h, 0, 0, 0, 0)
-    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0,
-                       0, 1, int(fps), 0, n, stride * h, 0xFFFFFFFF, 0,
+    avih = struct.pack("<14I", usec, buf_size * int(fps), 0, 0x10, n,
+                       0, 1, buf_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", fourcc, 0, 0, 0,
+                       0, 1, int(fps), 0, n, buf_size, 0xFFFFFFFF, 0,
                        0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
-                       2835, 2835, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       buf_size, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    tag = b"00dc" if codec == "MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(tag, fb) for fb in frame_bytes))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Uncompressed RIFF AVI (raw 24/32-bit DIB frames, '00db'/'00dc'
-    chunks) → (H, W, 3) uint8 for the requested frame — a genuine
-    container walk via stdlib struct, no third-party library.
-    Compressed streams (any non-zero biCompression / non-DIB frames
-    that don't match the strf geometry) raise — PyAV's job."""
+    """RIFF AVI → (H, W, 3) uint8 for the requested frame — a genuine
+    container walk via stdlib struct, no third-party library.  Raw
+    24/32-bit DIB frames decode directly; MJPG streams decode each
+    frame through the baseline-JPEG tier (functions/jpeg.py).  Other
+    compressed streams (H.264 et al.) raise — PyAV's job."""
     import struct
 
     if (len(payload) < 12 or payload[:4] != b"RIFF"
@@ -480,13 +571,19 @@ def decode_avi_frame(payload: bytes, frame_idx: int) -> np.ndarray:
     if strf is None or len(strf) < 40:
         raise NotImplementedError("AVI missing strf BITMAPINFOHEADER")
     _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", strf)
-    if compression != 0 or bpp not in (24, 32):
-        raise NotImplementedError(
-            f"compressed AVI stream (bpp={bpp}, compression={compression})")
     if not 0 <= frame_idx < len(frames):
         raise NotImplementedError(
             f"frame {frame_idx} past end of stream ({len(frames)} frames)")
     off, length = frames[frame_idx]
+    if compression == _MJPG_FOURCC:
+        # motion JPEG: each frame chunk is a standalone baseline JPEG —
+        # compose the genuine functions/jpeg.py tier
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload[off: off + length])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"compressed AVI stream (bpp={bpp}, compression={compression})")
     top_down = h < 0
     h = abs(h)
     nchan = bpp // 8

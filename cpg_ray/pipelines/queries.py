@@ -1702,11 +1702,14 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
     img_df["px_mean"] = img_df["px_mean"].round(4)
     img_df["px_std"] = img_df["px_std"].round(4)
 
+    from ..functions.multimodal import encode_wav_ulaw
+
     t = np.arange(400) / 8000.0
     aud = rd.from_arrow(pa.table({
         "media_id": [f"wav{i:03d}" for i in range(40)],
         "media": pa.array(
-            [encode_wav(0.3 * np.sin(2 * np.pi * (100 + 10 * i) * t), 8000)
+            [(encode_wav_ulaw if i % 4 == 3 else encode_wav)(
+                0.3 * np.sin(2 * np.pi * (100 + 10 * i) * t), 8000)
              for i in range(40)], pa.large_binary()),
         "sample_rate": pa.array([8000] * 40, pa.int32()),
     }))
@@ -1723,7 +1726,8 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
         frames = rng.integers(0, 256, (n, 6 + i % 3, 8 + i % 5, 3),
                               dtype=np.uint8)
         vids.append(f"avi{i:03d}")
-        vblobs.append(encode_avi(frames, fps=12.0))
+        vblobs.append(encode_avi(
+            frames, fps=12.0, codec="MJPG" if i % 5 == 4 else "DIB"))
         nfr.append(n)
     vids.append("vjunk")
     vblobs.append(b"\x00\x00\x01\xbampeg-junk")

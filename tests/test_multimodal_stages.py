@@ -507,3 +507,53 @@ def test_phash_pipeline_finds_planted_pairs_and_skips_junk():
     want = {(f"m{i:03d}_noisy", f"m{i:03d}_orig") for i in range(12)}
     assert want <= got
     assert len(got) == len(want)  # no false pairs among unrelated images
+
+
+def test_mjpeg_avi_roundtrip_and_frame_indexing():
+    import numpy as np
+
+    from cpg_ray.functions.multimodal import decode_avi_frame, encode_avi
+
+    rng = np.random.default_rng(8)
+    # smooth frames (JPEG is lossy; PSNR is the right contract)
+    base = rng.integers(40, 200, (3, 1, 1, 3), dtype=np.uint8)
+    grad = np.linspace(0, 40, 24 * 32).reshape(24, 32, 1)
+    frames = np.clip(base + grad[None], 0, 255).astype(np.uint8)
+    blob = encode_avi(frames, codec="MJPG", quality=92)
+    assert b"MJPG" in blob[:200]
+    for t in range(3):
+        out = decode_avi_frame(blob, t)
+        assert out.shape == (24, 32, 3)
+        err = (out.astype(float) - frames[t].astype(float))
+        psnr = 10 * np.log10(255 ** 2 / max((err ** 2).mean(), 1e-9))
+        assert psnr > 30, f"frame {t} psnr {psnr}"
+    # frames differ from each other -> indexing is real
+    assert not np.array_equal(decode_avi_frame(blob, 0),
+                              decode_avi_frame(blob, 2))
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_avi_frame(blob, 3)
+
+
+def test_ulaw_wav_roundtrip():
+    import numpy as np
+
+    from cpg_ray.functions.multimodal import (
+        builtin_audio_decode,
+        encode_wav_ulaw,
+    )
+
+    rng = np.random.default_rng(12)
+    t = np.linspace(0, 1, 8000)
+    sig = (0.6 * np.sin(2 * np.pi * 440 * t)
+           + 0.05 * rng.standard_normal(len(t))).clip(-1, 1)
+    blob = encode_wav_ulaw(sig, 8000)
+    out, rate = builtin_audio_decode(blob)
+    assert rate == 8000 and len(out) == len(sig)
+    # µ-law is 8-bit companded: ~35 dB SNR on speech-band signals
+    err = out - sig
+    snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-12))
+    assert snr > 25, snr
+    # the loud parts get finer treatment than a uniform 8-bit quantizer
+    assert np.abs(err[np.abs(sig) < 0.05]).max() < 0.002
