@@ -312,6 +312,10 @@ def builtin_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
             from .gif import decode_gif
 
             return decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import decode_tiff
+
+            return decode_tiff(payload)
     except NotImplementedError:
         raise
     except Exception as e:

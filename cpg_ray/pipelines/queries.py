@@ -1689,6 +1689,16 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
             ids.append(f"ppm{i:04d}")
             blobs.append(encode_ppm(img))
             mimes.append("image/x-portable-pixmap")
+    from ..functions.tiff import encode_tiff
+
+    for i in range(120, 140):
+        img = rng.integers(0, 256, (8 + i % 5, 8 + i % 7, 3),
+                           dtype=np.uint8)
+        ids.append(f"tif{i:04d}")
+        blobs.append(encode_tiff(
+            img, compression="packbits" if i % 2 else "none",
+            rows_per_strip=4 + i % 9))
+        mimes.append("image/tiff")
     media = rd.from_arrow(pa.table({
         "media_id": ids, "media": pa.array(blobs, pa.large_binary()),
         "mime": mimes,
