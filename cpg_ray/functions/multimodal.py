@@ -405,10 +405,10 @@ def _decode_wav_ulaw(payload: bytes):
 
 
 def builtin_audio_decode(payload: bytes):
-    """RIFF/WAVE PCM (8/16/32-bit int, stdlib wave) or G.711 µ-law
-    (format 7, manual RIFF walk + the closed-form table) → (mono
-    float64 in [-1, 1], rate) — genuine parses, no third-party
-    library."""
+    """RIFF/WAVE PCM (8/16/32-bit int, stdlib wave), G.711 µ-law
+    (format 7, closed-form table) or mono IMA-ADPCM (format 0x11,
+    per-block predictor recurrence) → (mono float64 in [-1, 1], rate)
+    — genuine parses, no third-party library."""
     import io
     import struct
     import wave
@@ -421,6 +421,8 @@ def builtin_audio_decode(payload: bytes):
             (code,) = struct.unpack_from("<H", payload, at + 8)
             if code == 7:
                 return _decode_wav_ulaw(payload)
+            if code == 0x11:
+                return _decode_wav_adpcm(payload)
     try:
         with wave.open(io.BytesIO(payload), "rb") as wf:
             nch, sw, rate = (wf.getnchannels(), wf.getsampwidth(),
@@ -1028,3 +1030,150 @@ def phash_signatures(media_ds, *, concurrency=(1, 4), batch_size: int = 32,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_decode_block(block: bytes, samples_per_block: int) -> np.ndarray:
+    """One mono IMA-ADPCM block: 4-byte header (predictor int16, step
+    index, reserved) then 4-bit nibbles, low nibble first.  The
+    predictor recurrence is inherently sequential (public IMA/DVI
+    algorithm) — a per-sample loop over the block, bounded by the
+    block size."""
+    import struct
+
+    pred, idx, _ = struct.unpack_from("<hBB", block)
+    if idx > 88:
+        raise NotImplementedError(f"IMA step index {idx} out of range")
+    out = np.empty(samples_per_block, np.int32)
+    out[0] = pred
+    nib = np.frombuffer(block, np.uint8, offset=4)
+    nibbles = np.empty(len(nib) * 2, np.uint8)
+    nibbles[0::2] = nib & 0xF
+    nibbles[1::2] = nib >> 4
+    for i in range(1, samples_per_block):
+        n = int(nibbles[i - 1])
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_block(samples: np.ndarray, idx: int) -> tuple[bytes, int]:
+    import struct
+
+    pred = int(samples[0])
+    out = bytearray(struct.pack("<hBB", pred, idx, 0))
+    nibbles = []
+    for s in samples[1:]:
+        step = int(_IMA_STEPS[idx])
+        delta = int(s) - pred
+        n = 8 if delta < 0 else 0
+        delta = abs(delta)
+        diff = step >> 3
+        if delta >= step:
+            n |= 4
+            delta -= step
+            diff += step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+            diff += step >> 1
+        if delta >= step >> 2:
+            n |= 1
+            delta -= step >> 2
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+        nibbles.append(n)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), idx
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int,
+                     samples_per_block: int = 505) -> bytes:
+    """mono float in [-1, 1] → IMA-ADPCM RIFF/WAVE (format 0x11),
+    4 bits per sample — the classic compressed-audio container,
+    written by hand (stdlib wave is PCM-only)."""
+    import struct
+
+    pcm = np.clip(np.round(samples * 32767), -32768,
+                  32767).astype(np.int16)
+    blocks = []
+    idx = 0
+    for i in range(0, len(pcm), samples_per_block):
+        chunk = pcm[i:i + samples_per_block]
+        if len(chunk) < samples_per_block:
+            chunk = np.pad(chunk, (0, samples_per_block - len(chunk)))
+        blk, idx = _ima_encode_block(chunk, idx)
+        blocks.append(blk)
+    data = b"".join(blocks)
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // samples_per_block,
+                      block_align, 4, 2, samples_per_block)
+    fact = struct.pack("<I", len(pcm))
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_adpcm(payload: bytes):
+    """Manual RIFF walk for format-0x11 (IMA-ADPCM) mono WAVE."""
+    import struct
+
+    pos = 12
+    fmt = data = fact = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + length]
+        if len(body) != length:
+            raise NotImplementedError("truncated WAVE chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        elif tag == b"fact":
+            fact = body
+        pos += 8 + length + (length & 1)
+    if fmt is None or data is None or len(fmt) < 20:
+        raise NotImplementedError("WAVE missing fmt/data chunks")
+    code, nch, rate, _, block_align, bits, _, spb = struct.unpack_from(
+        "<HHIIHHHH", fmt)
+    if code != 0x11 or nch != 1 or bits != 4:
+        raise NotImplementedError(
+            f"not mono 4-bit IMA-ADPCM (code={code}, ch={nch})")
+    outs = []
+    for i in range(0, len(data) - block_align + 1, block_align):
+        outs.append(_ima_decode_block(data[i:i + block_align], spb))
+    x = (np.concatenate(outs) if outs
+         else np.array([], np.int32)).astype(np.float64) / 32768.0
+    if fact is not None and len(fact) >= 4:
+        (n,) = struct.unpack_from("<I", fact)
+        x = x[:n]
+    return x, int(rate)

@@ -557,3 +557,22 @@ def test_ulaw_wav_roundtrip():
     assert snr > 25, snr
     # the loud parts get finer treatment than a uniform 8-bit quantizer
     assert np.abs(err[np.abs(sig) < 0.05]).max() < 0.002
+
+
+def test_ima_adpcm_wav_roundtrip():
+    import numpy as np
+
+    from cpg_ray.functions.multimodal import (
+        builtin_audio_decode,
+        encode_wav_adpcm,
+    )
+
+    t = np.linspace(0, 1, 4000)
+    sig = (0.5 * np.sin(2 * np.pi * 330 * t)).clip(-1, 1)
+    blob = encode_wav_adpcm(sig, 8000)
+    out, rate = builtin_audio_decode(blob)
+    assert rate == 8000 and len(out) == len(sig)
+    err = out - sig
+    snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-12))
+    # 4-bit ADPCM on a smooth tone: comfortably > 20 dB
+    assert snr > 20, snr
