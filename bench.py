@@ -72,6 +72,18 @@ BENCH_QUERIES = [
     "q_nation_suppliers",
     "q_doc_unigram",
     "kg_para_dedup",
+    # round-4 continuation session
+    "q_doc_bigram",
+    "q_doc_sentences",
+    "q_doc_bpe_merges",
+    "q_events_tumbling",
+    "q_events_scd2",
+    "q_supplier_blocking",
+    "q_embedding_centroid",
+    "q_promo_share",
+    "kg_random_walks",
+    "kg_adamic_adar",
+    "kg_hits",
 ]
 
 
