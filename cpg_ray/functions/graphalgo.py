@@ -168,7 +168,7 @@ def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
         batch_format="pandas",
     ).materialize()
     for _ in range(iters):
-        contrib = hash_join(ew, scores, on="__src",
+        contrib = hash_join(ew, scores, on="__src", empty_safe=True,
                             right_on="node").map_batches(
             lambda b: pd.DataFrame({
                 "__dst": b["__dst"],
@@ -336,7 +336,8 @@ def random_walks(edges_ds, *, src: str = "src", dst: str = "dst",
                                 "node": b["cur"]}),
         batch_format="pandas")
     for t in range(length):
-        cand = hash_join(state, edges, on="cur", right_on="e_src")
+        cand = hash_join(state, edges, on="cur", right_on="e_src",
+                         empty_safe=True)
         picked = grouped_topk(
             cand.map_batches(
                 lambda b, st=t: _walk_hash_frame(b, st),
@@ -516,6 +517,7 @@ def _hits_shuffle(edges_ds, src: str, dst: str, *, iters: int,
         """state (node, score) → raw sums at the OTHER endpoint, then
         floor-normalize by a scalar aggregate; zero-raw nodes kept."""
         contrib = hash_join(edges, state, on=from_col,
+                            empty_safe=True,
                             right_on="node").map_batches(
             lambda b: pd.DataFrame({"node": b[to_col],
                                     "part": b["score"]}),
@@ -524,7 +526,7 @@ def _hits_shuffle(edges_ds, src: str, dst: str, *, iters: int,
                           [("part", "sum", "raw")]).materialize()
         total = int(raw.sum("raw") or 0)
         div = max(total // scale, 1)
-        scored = hash_join(nodes, raw, on="node",
+        scored = hash_join(nodes, raw, on="node", empty_safe=True,
                            how="left_outer").map_batches(
             lambda b: pd.DataFrame({
                 "node": b["node"],
@@ -886,7 +888,7 @@ def _triangles_shuffle(edges_ds, src: str, dst: str, *,
     ab = hash_join(und, deg, on="a", right_on="node").map_batches(
         lambda b: b.rename(columns={"deg": "deg_a"}), batch_format="pandas")
     abd = hash_join(ab.materialize(), deg, on="b",
-                    right_on="node").map_batches(
+                    right_on="node", empty_safe=True).map_batches(
         lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas")
 
     def orient(b: pd.DataFrame) -> pd.DataFrame:
@@ -916,7 +918,16 @@ def _triangles_shuffle(edges_ds, src: str, dst: str, *,
                              "ww": v_arr[second]})
 
     wedge_ds = oriented.groupby("__bk").map_groups(
-        wedges, batch_format="pandas")
+        wedges, batch_format="pandas").materialize()
+    if wedge_ds.count() == 0:
+        # Ray drops zero-row blocks: an all-empty map_groups output is
+        # SCHEMALESS and crashes the closure join.  A wedge-free graph
+        # simply has no triangles.
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({
+            "entity": pa.array([], pa.large_string()),
+            "triangles": pa.array([], pa.int64())}))
     closed = hash_join(
         wedge_ds,
         oriented.map_batches(lambda b: b[["u", "v"]],
@@ -996,7 +1007,8 @@ def clustering_coefficient(edges_ds, *, src: str = "src",
         ["entity"], [("entity", "count", "deg")],
     )
     joined = hash_join(deg.materialize(), tri.materialize(),
-                       on="entity", how="left_outer")
+                       on="entity", how="left_outer",
+                       empty_safe=True)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         d = b["deg"].to_numpy("int64")
@@ -1385,7 +1397,7 @@ def _link_jaccard_shuffle(edges_ds, src: str, dst: str,
         lambda b: b.rename(columns={"deg": "deg_a"}),
         batch_format="pandas")
     abd = hash_join(ab.materialize(), deg, on="b",
-                    right_on="node").map_batches(
+                    right_on="node", empty_safe=True).map_batches(
         lambda b: b.rename(columns={"deg": "deg_b"}),
         batch_format="pandas")
 
@@ -1416,13 +1428,15 @@ def _link_jaccard_shuffle(edges_ds, src: str, dst: str,
                              "ww": v_arr[second]})
 
     wedge_ds = oriented.groupby("__bk").map_groups(
-        wedges, batch_format="pandas")
-    closed = hash_join(
-        wedge_ds,
-        oriented.map_batches(lambda b: b[["u", "v"]],
-                             batch_format="pandas"),
-        on=["wv", "ww"], right_on=["u", "v"],
-    )
+        wedges, batch_format="pandas").materialize()
+    closed = None
+    if wedge_ds.count():
+        closed = hash_join(
+            wedge_ds,
+            oriented.map_batches(lambda b: b[["u", "v"]],
+                                 batch_format="pandas"),
+            on=["wv", "ww"], right_on=["u", "v"],
+        )
 
     def edge_hits(b: pd.DataFrame) -> pd.DataFrame:
         xs = pd.concat([b["wu"], b["wu"], b["wv"]], ignore_index=True)
@@ -1433,18 +1447,30 @@ def _link_jaccard_shuffle(edges_ds, src: str, dst: str,
         return pd.DataFrame({"a": np.where(fwd, x, y),
                              "b": np.where(fwd, y, x)})
 
-    commons = groupby_agg(
-        closed.map_batches(edge_hits, batch_format="pandas"),
-        ["a", "b"], [("a", "count", "common")],
-    )
-    withc = hash_join(und, commons.materialize(), on=["a", "b"],
-                      how="left_outer")
+    if closed is not None:
+        commons = groupby_agg(
+            closed.map_batches(edge_hits, batch_format="pandas"),
+            ["a", "b"], [("a", "count", "common")],
+        ).materialize()
+    else:
+        # wedge-free graph: no edge has a shared neighbor (the empty
+        # side must carry a schema for the left join to null-extend)
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        commons = rd.from_arrow(pa.table({
+            "a": pa.array([], pa.large_string()),
+            "b": pa.array([], pa.large_string()),
+            "common": pa.array([], pa.int64())}))
+    withc = hash_join(und, commons, on=["a", "b"],
+                      how="left_outer", empty_safe=True)
     withd = hash_join(
         hash_join(withc.materialize(), deg, on="a",
-                  right_on="node").map_batches(
+                  right_on="node", empty_safe=True).map_batches(
             lambda b: b.rename(columns={"deg": "deg_a"}),
             batch_format="pandas").materialize(),
-        deg, on="b", right_on="node").map_batches(
+        deg, on="b", right_on="node", empty_safe=True).map_batches(
         lambda b: b.rename(columns={"deg": "deg_b"}),
         batch_format="pandas")
 
@@ -1597,7 +1623,7 @@ def _link_aa_shuffle(edges_ds, src: str, dst: str,
         lambda b: b.rename(columns={"deg": "deg_a"}),
         batch_format="pandas")
     abd = hash_join(ab.materialize(), deg, on="b",
-                    right_on="node").map_batches(
+                    right_on="node", empty_safe=True).map_batches(
         lambda b: b.rename(columns={"deg": "deg_b"}),
         batch_format="pandas")
 
@@ -1628,13 +1654,15 @@ def _link_aa_shuffle(edges_ds, src: str, dst: str,
                              "ww": v_arr[second]})
 
     wedge_ds = oriented.groupby("__bk").map_groups(
-        wedges, batch_format="pandas")
-    closed = hash_join(
-        wedge_ds,
-        oriented.map_batches(lambda b: b[["u", "v"]],
-                             batch_format="pandas"),
-        on=["wv", "ww"], right_on=["u", "v"],
-    )
+        wedges, batch_format="pandas").materialize()
+    closed = None
+    if wedge_ds.count():
+        closed = hash_join(
+            wedge_ds,
+            oriented.map_batches(lambda b: b[["u", "v"]],
+                                 batch_format="pandas"),
+            on=["wv", "ww"], right_on=["u", "v"],
+        )
 
     def edge_apex(b: pd.DataFrame) -> pd.DataFrame:
         xs = pd.concat([b["wu"], b["wu"], b["wv"]], ignore_index=True)
@@ -1647,24 +1675,35 @@ def _link_aa_shuffle(edges_ds, src: str, dst: str,
                              "b": np.where(fwd, y, x),
                              "apex": ap.to_numpy(dtype=object)})
 
-    hits = closed.map_batches(edge_apex, batch_format="pandas")
-    withdeg = hash_join(hits.materialize(), deg, on="apex",
-                        right_on="node")
-
     def terms(b: pd.DataFrame) -> pd.DataFrame:
         d = b["deg"].to_numpy("int64")
         aa_t, ra_t = _apex_terms(d)
         return pd.DataFrame({"a": b["a"], "b": b["b"],
                              "aa_t": aa_t, "ra_t": ra_t})
 
-    scores = groupby_agg(
-        withdeg.map_batches(terms, batch_format="pandas"),
-        ["a", "b"], [("a", "count", "common"),
-                     ("aa_t", "sum", "aa_scaled"),
-                     ("ra_t", "sum", "ra_scaled")],
-    )
-    withc = hash_join(und, scores.materialize(), on=["a", "b"],
-                      how="left_outer")
+    if closed is not None:
+        hits = closed.map_batches(edge_apex, batch_format="pandas")
+        withdeg = hash_join(hits.materialize(), deg, on="apex",
+                            right_on="node", empty_safe=True)
+        scores = groupby_agg(
+            withdeg.map_batches(terms, batch_format="pandas"),
+            ["a", "b"], [("a", "count", "common"),
+                         ("aa_t", "sum", "aa_scaled"),
+                         ("ra_t", "sum", "ra_scaled")],
+        ).materialize()
+    else:
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        scores = rd.from_arrow(pa.table({
+            "a": pa.array([], pa.large_string()),
+            "b": pa.array([], pa.large_string()),
+            "common": pa.array([], pa.int64()),
+            "aa_scaled": pa.array([], pa.int64()),
+            "ra_scaled": pa.array([], pa.int64())}))
+    withc = hash_join(und, scores, on=["a", "b"],
+                      how="left_outer", empty_safe=True)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

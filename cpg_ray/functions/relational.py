@@ -124,6 +124,34 @@ def _empty_table(schema):
         {f.name: pa.array([], type=f.type) for f in schema})
 
 
+def _compact_nonempty(ds):
+    """Strip zero-row blocks from a MATERIALIZED dataset.  Ray 2.49's
+    hash join emits one output block per partition and the empty ones
+    are SCHEMALESS; fed into a subsequent join they crash the
+    aggregator with ArrowInvalid ("No match or multiple matches for
+    key field ..."), which only surfaces on SPARSE data where some
+    partitions are empty — dense inputs mask it.  Rebuilding from the
+    non-empty block refs restores a uniformly-schema'd dataset."""
+    import ray.data as rd
+
+    refs, empties = [], 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+            else:
+                empties += 1
+    if empties == 0 or not refs:
+        return ds
+    import pyarrow as pa
+
+    import ray
+
+    if isinstance(ray.get(refs[0]), pa.Table):
+        return rd.from_arrow_refs(refs)
+    return rd.from_pandas_refs(refs)
+
+
 def hash_join(left, right, *, on, right_on=None, how: str = "inner",
               num_partitions: int | None = None,
               empty_safe: bool = False):
@@ -164,8 +192,8 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner",
 
         import ray.data as rd
 
-        left = left.materialize()
-        right = right.materialize()
+        left = _compact_nonempty(left.materialize())
+        right = _compact_nonempty(right.materialize())
         ln, rn = left.count(), right.count()
         if ln == 0 or rn == 0:
             ls, rs = _block_schema(left), _block_schema(right)

@@ -1870,6 +1870,75 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by first-activity day; for day
+    offsets 0-2, how many of each cohort were active.  Exact two-phase
+    distinct (user, day) + one hash join on user — the cohort table is
+    as big as the user set, so it is NOT broadcast."""
+    from ..functions.relational import distinct_on, hash_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b.user_id,
+                             "day": b.ts.dt.floor("D")})
+
+    act = distinct_on(ds.map_batches(days, batch_format="pandas"),
+                      ["user_id", "day"]).materialize()
+    cohort = groupby_agg(act, ["user_id"], [("day", "min", "cohort")])
+    joined = hash_join(act, cohort.materialize(), on="user_id")
+
+    def offsets(b: pd.DataFrame) -> pd.DataFrame:
+        d = ((b["day"] - b["cohort"]).dt.days).astype("int64")
+        out = pd.DataFrame({"cohort": b["cohort"], "d": d,
+                            "user_id": b["user_id"]})
+        return out[(out.d >= 0) & (out.d <= 2)]
+
+    per = joined.map_batches(offsets, batch_format="pandas")
+    df = groupby_agg(per, ["cohort", "d"],
+                     [("user_id", "count", "n_users")]).to_pandas()
+    for c in ["d", "n_users"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["cohort", "d"]).reset_index(drop=True)
+
+
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Funnel analysis: per user, the first 'click' and the first
+    'purchase' AFTER that click; converted = purchase within 1 h.
+    One pre-combined groupby gets each user's first click; the
+    after-click first purchase needs the pair co-located — one
+    user-bucketed exchange, the q_events_lag shape."""
+    import numpy as np
+
+    from ..functions.relational import default_n_buckets
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    nb = default_n_buckets()
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = (g[g.event_type == "click"]
+                  .groupby("user_id", as_index=False)["ts"].min()
+                  .rename(columns={"ts": "first_click"}))
+        pur = (g[g.event_type == "purchase"][["user_id", "ts"]]
+               .merge(clicks, on="user_id"))
+        pur = pur[pur.ts > pur.first_click]
+        fp = (pur.groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "first_purchase"}))
+        out = clicks.merge(fp, on="user_id", how="left")
+        out["converted_1h"] = (
+            out["first_purchase"].notna()
+            & ((out["first_purchase"] - out["first_click"])
+               <= pd.Timedelta(hours=1)))
+        return out
+
+    df = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(funnel, batch_format="pandas").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
     """Watermarked tumbling-window counts with allowed lateness and
     late-event routing (streaming.TumblingWindower, the Beam/Flink
@@ -2304,6 +2373,36 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_events_retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ), f AS (
+            SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id
+        )
+        SELECT f.cohort, date_diff('day', f.cohort, a.day)::BIGINT AS d,
+               count(*)::BIGINT AS n_users
+        FROM act a JOIN f USING (user_id)
+        WHERE date_diff('day', f.cohort, a.day) BETWEEN 0 AND 2
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_events_funnel": """
+        WITH c AS (
+            SELECT user_id, min(ts) AS first_click
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS first_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+            GROUP BY e.user_id
+        )
+        SELECT c.user_id, c.first_click, p.first_purchase,
+               CASE WHEN p.first_purchase IS NULL THEN false
+                    ELSE p.first_purchase - c.first_click
+                         <= INTERVAL 1 HOUR END AS converted_1h
+        FROM c LEFT JOIN p USING (user_id)
+        ORDER BY user_id
     """,
     "q_events_tumbling": """
         WITH arr AS (

@@ -670,3 +670,30 @@ def test_random_walks_deterministic_modes_agree_and_stop_at_sinks():
                      length=4, mode="driver").to_pandas()
     assert set(r[r.start == "a"].step) == {0}
     assert r[(r.start == "s")].step.max() == 1  # one hop then sink
+
+
+def test_triangle_free_graph_empty_sides_survive():
+    """Star graphs have no triangles: the AA/clustering shuffle plans
+    must survive their legitimately-EMPTY intermediate joins (the Ray
+    2.49 empty-side ArrowInvalid defect), and a walk state that drains
+    at sinks must not crash the per-step join."""
+    from cpg_ray.functions.graphalgo import (
+        clustering_coefficient,
+        link_adamic_adar,
+        random_walks,
+    )
+
+    star = pd.DataFrame({"src": ["h"] * 4,
+                         "dst": ["a", "b", "c", "d"]})
+    for mode in ("driver", "shuffle"):
+        aa = link_adamic_adar(rd.from_pandas(star), mode=mode).to_pandas()
+        assert len(aa) == 4 and (aa.common == 0).all() \
+            and (aa.aa_scaled == 0).all()
+        cc = clustering_coefficient(
+            rd.from_pandas(star), mode=mode).to_pandas()
+        assert (cc.cc == 0.0).all() and len(cc) == 5
+        w = random_walks(rd.from_pandas(star), walks_per_node=1,
+                         length=5, mode=mode).to_pandas()
+        # every walk reaches a sink after ≤1 hop; state drains long
+        # before length is exhausted
+        assert w.step.max() == 1
