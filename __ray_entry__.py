@@ -1124,6 +1124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_tumbling": q.q_events_tumbling,
         "q_events_funnel": q.q_events_funnel,
         "q_events_retention": q.q_events_retention,
+        "q_events_zscore": q.q_events_zscore,
+        "q_doc_class_weights": q.q_doc_class_weights,
         "q_events_gapfill": q.q_events_gapfill,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,

@@ -1870,6 +1870,66 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_events_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score normalization of value cents (the ML
+    feature-scaling step): mean and population std come from EXACT
+    integer sums (the q_lineitem_stats contract), then each row is one
+    double expression — broadcast the tiny moments table, one
+    stateless pass over the events."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["value"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "c": cents, "c2": cents * cents,
+                             "one": np.int64(1)})
+
+    mom = groupby_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["event_type"], [("c", "sum", "s1"), ("c2", "sum", "s2"),
+                         ("one", "sum", "n")]).to_pandas()
+    # population std from exact sums, the literal double formula
+    mom["mean"] = mom.s1.astype("float64") / mom.n.astype("float64")
+    mom["std"] = np.sqrt(
+        mom.s2.astype("float64") / mom.n.astype("float64")
+        - mom["mean"] * mom["mean"])
+    moments = {t: (m, s) for t, m, s in
+               zip(mom.event_type, mom["mean"], mom["std"])}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["value"].to_numpy("float64") * 100).astype("int64")
+        m = b["event_type"].map(lambda t: moments[t][0]).to_numpy()
+        s = b["event_type"].map(lambda t: moments[t][1]).to_numpy()
+        return pd.DataFrame({
+            "event_id": b["event_id"], "event_type": b["event_type"],
+            "z": (cents.astype("float64") - m) / s,
+        })
+
+    df = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_doc_class_weights(sf_dir: str) -> pd.DataFrame:
+    """Inverse-frequency class weights per language (the sklearn
+    'balanced' formula n_total / (n_classes · n_lang)): exact integer
+    counts, one double division."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    cnt = groupby_agg(docs, ["lang"],
+                      [("doc_id", "count", "n")]).to_pandas()
+    total = int(cnt.n.sum())
+    k = len(cnt)
+    cnt["n"] = cnt["n"].astype("int64")
+    cnt["weight"] = float(total) / (
+        float(k) * cnt["n"].to_numpy("int64").astype("float64"))
+    return (cnt[["lang", "n", "weight"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
 def q_events_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention: users grouped by first-activity day; for day
     offsets 0-2, how many of each cohort were active.  Exact two-phase
@@ -2373,6 +2433,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_events_zscore": """
+        WITH m AS (
+            SELECT event_type,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS s1,
+                   sum(round(value * 100)::BIGINT
+                       * round(value * 100)::BIGINT)::BIGINT AS s2,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
+        ), mm AS (
+            SELECT event_type,
+                   s1::DOUBLE / n::DOUBLE AS mean,
+                   sqrt(s2::DOUBLE / n::DOUBLE
+                        - (s1::DOUBLE / n::DOUBLE)
+                          * (s1::DOUBLE / n::DOUBLE)) AS std
+            FROM m
+        )
+        SELECT e.event_id, e.event_type,
+               (round(e.value * 100)::BIGINT::DOUBLE - mm.mean)
+                   / mm.std AS z
+        FROM events e JOIN mm USING (event_type)
+        ORDER BY event_id
+    """,
+    "q_doc_class_weights": """
+        WITH c AS (
+            SELECT lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n,
+               (SELECT sum(n) FROM c)::DOUBLE
+                   / ((SELECT count(*) FROM c)::DOUBLE * n::DOUBLE)
+                   AS weight
+        FROM c ORDER BY lang
     """,
     "q_events_retention": """
         WITH act AS (
