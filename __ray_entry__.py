@@ -716,6 +716,20 @@ def _kg_pagerank(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_pagerank_weighted(sf_dir: str):
+    """PageRank with triple-multiplicity edge weights: mass splits
+    proportionally to how many triples assert each (subj, obj) pair —
+    exact integer semantics, unrolled recursive-CTE oracle."""
+    from cpg_ray.functions.graphalgo import pagerank_weighted
+
+    df = pagerank_weighted(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        iters=8,
+    ).to_pandas()
+    df["score"] = df["score"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_ppr(sf_dir: str):
     """PERSONALIZED PageRank (random walk with restart): all teleport
     mass lands on the ORGANIZATION seed set (works_for objects — the
@@ -1130,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
+        "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_adamic_adar": _kg_adamic_adar,
         "kg_clustering_coef": _kg_clustering_coef,
         "kg_hits": _kg_hits,
@@ -1906,6 +1921,44 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                        (1000000000000 * 15) // (100 * (SELECT c FROM cnt))
                        + coalesce(SUM(CASE WHEN a.deg IS NOT NULL
                                      THEN (p.score * 85) // (100 * a.deg)
+                                     END), 0)
+                FROM pr p JOIN adj a ON a.src = p.node
+                GROUP BY a.dst
+                HAVING MIN(p.iter) + 1 <= 8
+            )
+            SELECT node AS entity, score::BIGINT AS score
+            FROM pr WHERE iter = 8
+            ORDER BY score DESC, entity
+        """,
+        # weighted variant: per-pair triple multiplicity as the edge
+        # weight; contrib = (score·85·w) // (100·wdeg), all integer
+        "kg_pagerank_weighted": f"""
+            WITH RECURSIVE
+            we AS (SELECT canonical_subj AS src, canonical_obj AS dst,
+                          count(*)::BIGINT AS w
+                   FROM read_parquet('{triples_glob}')
+                   WHERE canonical_subj <> canonical_obj
+                   GROUP BY 1, 2),
+            nodes AS (SELECT DISTINCT n FROM (
+                          SELECT src AS n FROM we
+                          UNION ALL SELECT dst AS n FROM we)),
+            ncnt AS (SELECT count(*)::BIGINT AS c FROM nodes),
+            wdeg AS (SELECT src, sum(w)::BIGINT AS wdeg
+                     FROM we GROUP BY src),
+            adj AS (SELECT e.src, e.dst, e.w, d.wdeg
+                    FROM we e JOIN wdeg d USING (src)
+                    UNION ALL SELECT n, n, NULL, NULL FROM nodes),
+            pr AS (
+                SELECT 0 AS iter, n AS node,
+                       1000000000000 // (SELECT c FROM ncnt) AS score
+                FROM nodes
+                UNION ALL
+                SELECT MIN(p.iter) + 1, a.dst,
+                       (1000000000000 * 15)
+                           // (100 * (SELECT c FROM ncnt))
+                       + coalesce(SUM(CASE WHEN a.wdeg IS NOT NULL
+                                     THEN (p.score * 85 * a.w)
+                                          // (100 * a.wdeg)
                                      END), 0)
                 FROM pr p JOIN adj a ON a.src = p.node
                 GROUP BY a.dst

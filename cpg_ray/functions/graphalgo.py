@@ -585,6 +585,122 @@ def hits(edges_ds, *, src: str = "src", dst: str = "dst",
     return _hits_shuffle(edges_ds, src, dst, iters=iters, scale=scale)
 
 
+# ---- weighted PageRank -------------------------------------------------------
+
+
+def _wpagerank_driver(edges: pd.DataFrame, *, iters: int,
+                      scale: int) -> pd.DataFrame:
+    """edges: (src, dst, w int64) already weight-aggregated per
+    distinct pair, self-loops dropped."""
+    nodes, s_i, d_i = _index_graph(edges, "src", "dst")
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "score": pd.Series([], dtype="int64")})
+    w = edges["w"].to_numpy("int64")
+    wdeg = np.zeros(n, np.int64)
+    np.add.at(wdeg, s_i, w)
+    base = (scale * 15) // (100 * n)
+    score = np.full(n, scale // n, dtype=np.int64)
+    denom = 100 * wdeg[s_i]
+    for _ in range(iters):
+        contrib = (score[s_i] * 85 * w) // denom
+        acc = np.full(n, base, dtype=np.int64)
+        np.add.at(acc, d_i, contrib)
+        score = acc
+    out = pd.DataFrame({"entity": nodes, "score": score})
+    return out.sort_values(["score", "entity"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def pagerank_weighted(edges_ds, *, src: str = "src", dst: str = "dst",
+                      iters: int = 8, scale: int = 10 ** 12,
+                      mode: str = "auto",
+                      driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """PageRank with INTEGER edge weights = the input's (src, dst)
+    multiplicity (for a KG: how many triples assert the pair — a
+    natural edge-confidence weight).  Mass splits proportionally:
+    contrib = (score · 85 · w) // (100 · wdeg) — exact integers, so
+    the unrolled SQL oracle is bit-identical.  int64 bound: score ≤
+    scale = 1e12, so per-edge w must stay < ~10^5; the multiplicity of
+    one (subj, obj) pair in a KG is far below that (guarded).  Scale
+    shape mirrors pagerank: the weighted edge list is ONE pre-combined
+    groupby over the raw pairs; mode='shuffle' runs the same K bounded
+    exchanges with w carried on the edge table."""
+    import ray.data as rd
+
+    from .relational import groupby_agg, hash_join
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        return pd.DataFrame({"src": b[src], "dst": b[dst],
+                             "one": np.int64(1)})
+
+    wedges_ds = groupby_agg(
+        edges_ds.map_batches(pairs, batch_format="pandas"),
+        ["src", "dst"], [("one", "sum", "w")]).materialize()
+    wmax = int(wedges_ds.max("w") or 0)
+    if wmax >= 100_000:
+        raise ValueError(
+            f"edge multiplicity {wmax} ≥ 1e5: score·85·w would "
+            "overflow int64 at scale=1e12")
+    if mode in ("driver", "auto"):
+        if wedges_ds.count() <= driver_edge_limit:
+            df = wedges_ds.to_pandas()
+            df["w"] = df["w"].astype("int64")
+            return rd.from_pandas(
+                _wpagerank_driver(df, iters=iters, scale=scale))
+        if mode == "driver":
+            raise GuardExceeded(
+                f"pagerank_weighted(mode='driver'): > "
+                f"{driver_edge_limit} distinct edges")
+    # Dataset path: the _pagerank_shuffle loop with weights carried
+    nodes = groupby_agg(
+        wedges_ds.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["src"], b["dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "__d")],
+    ).map_batches(lambda b: b[["node"]],
+                  batch_format="pandas").materialize()
+    n = nodes.count()
+    wdeg = groupby_agg(wedges_ds, ["src"], [("w", "sum", "wdeg")])
+    ew = hash_join(wedges_ds, wdeg.materialize(),
+                   on="src", empty_safe=True).materialize()
+    base = (scale * 15) // (100 * n)
+    scores = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"],
+                                "score": np.int64(scale // n)}),
+        batch_format="pandas").materialize()
+    for _ in range(iters):
+        contrib = hash_join(ew, scores, on="src", right_on="node",
+                            empty_safe=True).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["dst"],
+                "part": (b["score"].to_numpy("int64") * 85
+                         * b["w"].to_numpy("int64"))
+                // (100 * b["wdeg"].to_numpy("int64")),
+            }),
+            batch_format="pandas")
+        summed = groupby_agg(contrib, ["node"],
+                             [("part", "sum", "s")])
+        scores = hash_join(nodes, summed.materialize(), on="node",
+                           how="left_outer",
+                           empty_safe=True).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"],
+                "score": base + b["s"].fillna(0).astype(np.int64),
+            }),
+            batch_format="pandas").materialize()
+    return scores.map_batches(
+        lambda b: b.rename(columns={"node": "entity"}),
+        batch_format="pandas").sort(["score", "entity"],
+                                    descending=[True, False])
+
+
 # ---- connected components --------------------------------------------------
 
 

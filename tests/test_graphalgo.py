@@ -697,3 +697,42 @@ def test_triangle_free_graph_empty_sides_survive():
         # every walk reaches a sink after ≤1 hop; state drains long
         # before length is exhausted
         assert w.step.max() == 1
+
+
+def test_pagerank_weighted_matches_brute_force_and_modes_agree():
+    from cpg_ray.functions.graphalgo import pagerank_weighted
+
+    rng = np.random.default_rng(19)
+    # duplicated edges → real multiplicities
+    edges = pd.DataFrame({
+        "src": [f"n{i}" for i in rng.integers(0, 12, 200)],
+        "dst": [f"n{i}" for i in rng.integers(0, 12, 200)],
+    })
+    d = pagerank_weighted(rd.from_pandas(edges), iters=5,
+                          mode="driver").to_pandas()
+    s = pagerank_weighted(rd.from_pandas(edges), iters=5,
+                          mode="shuffle").to_pandas()
+    s["score"] = s["score"].astype("int64")
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    # brute force replay
+    ded = edges[edges.src != edges.dst]
+    w = ded.groupby(["src", "dst"]).size()
+    nodes = sorted({x for ab in w.index for x in ab})
+    wdeg = w.groupby(level=0).sum()
+    scale = 10 ** 12
+    score = {v: scale // len(nodes) for v in nodes}
+    for _ in range(5):
+        acc = {v: (scale * 15) // (100 * len(nodes)) for v in nodes}
+        for (a, b), ww in w.items():
+            acc[b] += (score[a] * 85 * ww) // (100 * wdeg[a])
+        score = acc
+    expect = (pd.DataFrame({"entity": nodes,
+                            "score": [score[v] for v in nodes]})
+              .sort_values(["score", "entity"],
+                           ascending=[False, True])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(d.reset_index(drop=True), expect,
+                                  check_dtype=False)
+    # mass only ever shrinks
+    assert d.score.sum() <= scale
