@@ -1140,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_retention": q.q_events_retention,
         "q_events_zscore": q.q_events_zscore,
         "q_doc_class_weights": q.q_doc_class_weights,
+        "q_profile_lineitem": q.q_profile_lineitem,
         "q_events_gapfill": q.q_events_gapfill,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,

@@ -1870,6 +1870,54 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Data-profiling / expectations pass over lineitem: per column,
+    null count, exact distinct count, and min/max (rendered as
+    strings so one long-format table carries mixed types).  Shape:
+    one stateless partial pass (per-batch null counts + min/max
+    combiners) plus one two-phase exact distinct per column — the
+    profile every ingestion pipeline runs before training."""
+    from ..functions.relational import distinct_on
+
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    ds = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # one WIDE row per batch: min/max stay TYPED across the merge
+        # (stringified only at the end — a lexicographic min over
+        # stringified numbers would be wrong: "10.0" < "2.0")
+        row: dict = {}
+        for c in cols:
+            s = b[c]
+            row[f"null__{c}"] = np.int64(s.isna().sum())
+            row[f"mn__{c}"] = (s.dropna().min()
+                               if s.notna().any() else None)
+            row[f"mx__{c}"] = (s.dropna().max()
+                               if s.notna().any() else None)
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def render(x) -> str:
+        if hasattr(x, "strftime"):
+            return x.strftime("%Y-%m-%d")
+        return str(x)
+
+    rows = []
+    for c in cols:
+        rows.append({
+            "column": c,
+            "n_null": int(parts[f"null__{c}"].sum()),
+            "n_distinct": distinct_on(ds.select_columns([c]),
+                                      [c]).count(),
+            "min_str": render(parts[f"mn__{c}"].dropna().min()),
+            "max_str": render(parts[f"mx__{c}"].dropna().max()),
+        })
+    agg = pd.DataFrame(rows).astype({"n_null": "int64",
+                                     "n_distinct": "int64"})
+    return agg.sort_values("column").reset_index(drop=True)
+
+
 def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     """Per-type z-score normalization of value cents (the ML
     feature-scaling step): mean and population std come from EXACT
@@ -2433,6 +2481,35 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_profile_lineitem": """
+        SELECT 'l_orderkey' AS "column",
+               count(*) FILTER (WHERE l_orderkey IS NULL)::BIGINT
+                   AS n_null,
+               count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+               min(l_orderkey)::VARCHAR AS min_str,
+               max(l_orderkey)::VARCHAR AS max_str
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity',
+               count(*) FILTER (WHERE l_quantity IS NULL)::BIGINT,
+               count(DISTINCT l_quantity)::BIGINT,
+               min(l_quantity)::VARCHAR, max(l_quantity)::VARCHAR
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag',
+               count(*) FILTER (WHERE l_returnflag IS NULL)::BIGINT,
+               count(DISTINCT l_returnflag)::BIGINT,
+               min(l_returnflag), max(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate',
+               count(*) FILTER (WHERE l_shipdate IS NULL)::BIGINT,
+               count(DISTINCT l_shipdate)::BIGINT,
+               strftime(min(l_shipdate), '%Y-%m-%d'),
+               strftime(max(l_shipdate), '%Y-%m-%d')
+        FROM lineitem
+        ORDER BY "column"
     """,
     "q_events_zscore": """
         WITH m AS (
