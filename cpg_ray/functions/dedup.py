@@ -810,9 +810,33 @@ def ed1_pairs(ds, col: str, *, n_buckets: int | None = None):
 # ---- sorted-neighborhood blocking -------------------------------------------
 
 
+def _sn_pairs_frame(df: pd.DataFrame, key_col: str, id_col: str,
+                    window: int) -> pd.DataFrame:
+    """Single-frame sorted-neighborhood kernel (shared by the driver
+    fast path and tests): sort once, shift ``window`` times."""
+    ordered = df.sort_values([key_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+    n = len(ordered)
+    rows = []
+    for d in range(1, window + 1):
+        if n > d:
+            rows.append(pd.DataFrame({
+                "id_a": ordered[id_col][:n - d].to_numpy(),
+                "id_b": ordered[id_col][d:].to_numpy(),
+                "dist": np.int64(d)}))
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype="int64")})
+    return (pd.concat(rows, ignore_index=True)
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def sorted_neighborhood_pairs(ds, *, key_col: str, id_col: str,
                               window: int = 3,
-                              n_buckets: int | None = None):
+                              n_buckets: int | None = None,
+                              mode: str = "auto",
+                              driver_row_limit: int = 2_000_000):
     """Sorted-neighborhood entity-resolution blocking (Hernández &
     Stolfo 1995, public): order all records by (key, id) and emit every
     candidate pair within ``window`` positions, with its exact rank
@@ -830,8 +854,30 @@ def sorted_neighborhood_pairs(ds, *, key_col: str, id_col: str,
 
     Returns a Dataset of (id_a, id_b, dist) with id_a the lower-rank
     side; dist ∈ [1, window].  Exact: equals the SQL self-join on
-    row_number() ranks."""
+    row_number() ranks.
+
+    mode="driver" (or "auto" below ``driver_row_limit`` rows) runs the
+    single-frame kernel — the bucketed plan costs 4-5 separate Ray
+    executions of fixed overhead, which dominates small inputs
+    (measured: 4.1 s for a 1k-row supplier table at sf0.1); "auto"
+    degrades to the distributed plan past the guard."""
     import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        small = ds.materialize()
+        if small.count() <= driver_row_limit:
+            return rd.from_pandas(_sn_pairs_frame(
+                small.select_columns([key_col, id_col]).to_pandas(),
+                key_col, id_col, window))
+        if mode == "driver":
+            from .relational import GuardExceeded
+
+            raise GuardExceeded(
+                f"sorted_neighborhood_pairs(mode='driver'): > "
+                f"{driver_row_limit} rows; use mode='shuffle'")
+        ds = small
 
     from .relational import default_n_buckets
 

@@ -934,7 +934,16 @@ def test_sorted_neighborhood_pairs_matches_brute_force():
     for window in (1, 4):
         got = sorted_neighborhood_pairs(
             rd.from_pandas(df), key_col="k", id_col="i", window=window,
+            mode="shuffle",
         ).to_pandas().astype({"dist": "int64"})
+        drv = sorted_neighborhood_pairs(
+            rd.from_pandas(df), key_col="k", id_col="i", window=window,
+            mode="driver",
+        ).to_pandas().astype({"dist": "int64"})
+        pd.testing.assert_frame_equal(
+            got.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+            drv.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+            check_dtype=False)
         ordered = df.sort_values(["k", "i"]).reset_index(drop=True)
         rows = []
         for d in range(1, window + 1):
