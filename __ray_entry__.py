@@ -930,6 +930,76 @@ def _kg_neg_samples(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_condensation(sf_dir: str):
+    """Graph summarization: cluster entities by the works_for
+    SUBGRAPH (bounded min-label components; entities outside it are
+    their own singleton cluster), then emit the distinct
+    (cluster(src), cluster(dst)) pairs the FULL edge set induces
+    between DIFFERENT clusters — the condensed supergraph.  Two
+    left joins of the verified label_components output onto the
+    edges, coalescing misses to the entity itself."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import label_components
+    from cpg_ray.functions.relational import distinct_on, hash_join
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    trip = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj"],
+    ).materialize()
+    wf = trip.map_batches(
+        lambda b: b[b["pred"] == "works_for"]
+        [["canonical_subj", "canonical_obj"]],
+        batch_format="pandas")
+    comp = label_components(
+        wf, src="canonical_subj", dst="canonical_obj",
+        rounds=12).map_batches(
+        lambda b: b[["entity", "component"]],
+        batch_format="pandas").materialize()
+    edges = trip.map_batches(
+        lambda b: b[["canonical_subj", "canonical_obj"]],
+        batch_format="pandas")
+
+    def fold(b: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+        b = b.copy()
+        b[out] = b["component"].where(b["component"].notna(), b[col])
+        # Ray's join drops the right key column when right_on differs;
+        # errors="ignore" tolerates either behavior
+        return b.drop(columns=["component", "entity", col],
+                      errors="ignore")
+
+    j1 = hash_join(edges, comp, on="canonical_subj",
+                   right_on="entity", how="left_outer",
+                   empty_safe=True).map_batches(
+        lambda b: fold(b, "canonical_subj", "comp_src"),
+        batch_format="pandas").materialize()
+    j2 = hash_join(j1, comp, on="canonical_obj",
+                   right_on="entity", how="left_outer",
+                   empty_safe=True).map_batches(
+        lambda b: fold(b, "canonical_obj", "comp_dst"),
+        batch_format="pandas")
+    df = distinct_on(j2, ["comp_src", "comp_dst"]).to_pandas()
+    df = df[df.comp_src != df.comp_dst]
+    return (df.sort_values(["comp_src", "comp_dst"])
+            .reset_index(drop=True))
+
+
+def _kg_two_hop(sf_dir: str):
+    """Exact 2-hop neighborhood sizes per node over the directed
+    graph: distinct (a, c) with a→b→c, a ≠ c — one self-join, one
+    distinct, one pre-combined count."""
+    from cpg_ray.functions.graphalgo import two_hop_counts
+
+    df = two_hop_counts(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj").to_pandas()
+    df["n_two_hop"] = df["n_two_hop"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_node_features(sf_dir: str):
     """GNN-style node feature table: PageRank centrality joined with
     degree / triangles / clustering coefficient per canonical entity
@@ -1158,6 +1228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
+        "kg_two_hop": _kg_two_hop,
+        "kg_condensation": _kg_condensation,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -2034,6 +2106,55 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                AND abs(a.step - b.step) BETWEEN 1 AND 2
             GROUP BY 1, 2
             ORDER BY center, context
+        """,
+        "kg_two_hop": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            two AS (SELECT DISTINCT e1.src AS a, e2.dst AS c
+                    FROM e0 e1 JOIN e0 e2 ON e2.src = e1.dst
+                    WHERE e1.src <> e2.dst)
+            SELECT a AS entity, count(*)::BIGINT AS n_two_hop
+            FROM two GROUP BY a ORDER BY entity
+        """,
+        # cluster by the works_for SUBGRAPH (bounded min-label, the
+        # kg_components recursion), singletons keep their own id;
+        # condensed edges from the FULL edge set
+        "kg_condensation": f"""
+            WITH RECURSIVE
+            wfe AS (SELECT DISTINCT canonical_subj AS src,
+                                    canonical_obj AS dst
+                    FROM read_parquet('{triples_glob}')
+                    WHERE pred = 'works_for'
+                      AND canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM wfe
+                        UNION ALL SELECT dst AS src, src AS dst
+                        FROM wfe)),
+            pnodes AS (SELECT DISTINCT src AS n FROM und),
+            adj AS (SELECT src, dst FROM und
+                    UNION ALL SELECT n, n FROM pnodes),
+            lp AS (
+                SELECT 0 AS iter, n AS node, n AS lbl FROM pnodes
+                UNION ALL
+                SELECT MIN(q.iter) + 1, a.dst, MIN(q.lbl)
+                FROM lp q JOIN adj a ON a.src = q.node
+                GROUP BY a.dst
+                HAVING MIN(q.iter) + 1 <= 12
+            ),
+            fin AS (SELECT node, lbl FROM lp WHERE iter = 12),
+            e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                   canonical_obj AS dst
+                   FROM read_parquet('{triples_glob}'))
+            SELECT DISTINCT coalesce(c1.lbl, e0.src) AS comp_src,
+                            coalesce(c2.lbl, e0.dst) AS comp_dst
+            FROM e0
+            LEFT JOIN fin c1 ON c1.node = e0.src
+            LEFT JOIN fin c2 ON c2.node = e0.dst
+            WHERE coalesce(c1.lbl, e0.src)
+                  <> coalesce(c2.lbl, e0.dst)
+            ORDER BY comp_src, comp_dst
         """,
         # uint32(md5 prefix) mod |V| indexes the SORTED node list —
         # both engines replay the identical draw

@@ -1889,3 +1889,53 @@ def link_jaccard(edges_ds, *, src: str = "src", dst: str = "dst",
             if mode == "driver":
                 raise
     return _link_jaccard_shuffle(edges_ds, src, dst)
+
+
+# ---- 2-hop neighborhoods ------------------------------------------------
+
+
+def two_hop_counts(edges_ds, *, src: str = "src", dst: str = "dst",
+                   mode: str = "auto",
+                   driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Exact DISTINCT 2-hop out-neighborhood size per node (a→b→c,
+    a ≠ c): the GNN receptive-field / friend-of-friend statistic.
+    One self-join on the middle node, one distinct, one pre-combined
+    count — the join fan-out is Σ outdeg(b)·indeg(b), the honest cost
+    of the exact statistic (sketched variants live in sketches.py)."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]][[src, dst]]
+        return b.rename(columns={src: "a", dst: "b"})
+
+    e1 = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"]).materialize()
+    if mode in ("driver", "auto") and e1.count() <= driver_edge_limit:
+        df = e1.to_pandas()
+        two = df.merge(df.rename(columns={"a": "b", "b": "c"}), on="b")
+        two = two[two.a != two.c][["a", "c"]].drop_duplicates()
+        out = (two.groupby("a", as_index=False).size()
+               .rename(columns={"a": "entity", "size": "n_two_hop"})
+               .astype({"n_two_hop": "int64"})
+               .sort_values("entity").reset_index(drop=True))
+        return rd.from_pandas(out)
+    if mode == "driver":
+        raise GuardExceeded(
+            f"two_hop_counts(mode='driver'): > {driver_edge_limit} "
+            "distinct edges; use mode='shuffle'")
+    e2 = e1.map_batches(
+        lambda t: t.rename(columns={"a": "b", "b": "c"}),
+        batch_format="pandas")
+    pairs = hash_join(e1, e2.materialize(), on="b",
+                      empty_safe=True).map_batches(
+        lambda t: t[t["a"] != t["c"]][["a", "c"]],
+        batch_format="pandas")
+    ded = distinct_on(pairs, ["a", "c"])
+    out = groupby_agg(ded.map_batches(
+        lambda t: t.rename(columns={"a": "entity"})[["entity"]],
+        batch_format="pandas"),
+        ["entity"], [("entity", "count", "n_two_hop")])
+    return out.sort("entity")
