@@ -1000,6 +1000,19 @@ def _kg_two_hop(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_scc(sf_dir: str):
+    """Strongly connected components (trim + 6 bounded FW-BW pivot
+    rounds, deterministic lexicographic pivots) over the directed
+    canonical entity graph."""
+    from cpg_ray.functions.graphalgo import scc
+
+    df = scc(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        pivots=6,
+    ).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_node_features(sf_dir: str):
     """GNN-style node feature table: PageRank centrality joined with
     degree / triangles / clustering coefficient per canonical entity
@@ -1230,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extracted_text": _kg_extracted_text,
         "kg_two_hop": _kg_two_hop,
         "kg_condensation": _kg_condensation,
+        "kg_scc": _kg_scc,
         "kg_components": _kg_components,
         "kg_triangles": _kg_triangles,
         "kg_kcore": _kg_kcore,
@@ -1472,6 +1486,56 @@ def _walks_oracle_sql(triples_glob: str, *, walks_per_node: int,
                 f"FROM s{t + 1}" for t in range(length)]
     parts.append("\n        " + "\n        UNION ALL ".join(selects))
     parts.append("\n        ORDER BY start, w, step")
+    return "".join(parts)
+
+
+def _scc_oracle_sql(triples_glob: str, *, pivots: int) -> str:
+    """Generated oracle for kg_scc: TRIM as one set expression, then
+    ``pivots`` unrolled rounds — each a pair of closure recursions
+    (forward/backward reach from that round's min-unassigned pivot,
+    UNION-dedup so the CTE is O(E)) intersected into s{r}.  CASE
+    order resolves membership earliest-round-first, mirroring the
+    engine exactly."""
+    parts = [f"""
+        WITH RECURSIVE
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT canonical_subj AS src, canonical_obj AS dst
+            FROM read_parquet('{triples_glob}')
+            WHERE canonical_subj <> canonical_obj),
+        nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+            SELECT src AS n FROM e0 UNION ALL SELECT dst AS n FROM e0)),
+        trimmed AS MATERIALIZED (
+            SELECT n FROM nodes
+            WHERE n NOT IN (SELECT src FROM e0)
+               OR n NOT IN (SELECT dst FROM e0))"""]
+    prev_excl = "SELECT n FROM trimmed"
+    for r in range(1, pivots + 1):
+        parts.append(f"""
+        , u{r} AS MATERIALIZED (
+            SELECT min(n) AS p FROM nodes
+            WHERE n NOT IN ({prev_excl}))
+        , f{r} AS (
+            SELECT p AS node FROM u{r} WHERE p IS NOT NULL
+            UNION
+            SELECT e.dst FROM f{r} x JOIN e0 e ON e.src = x.node)
+        , b{r} AS (
+            SELECT p AS node FROM u{r} WHERE p IS NOT NULL
+            UNION
+            SELECT e.src FROM b{r} x JOIN e0 e ON e.dst = x.node)
+        , s{r} AS MATERIALIZED (
+            SELECT f.node FROM f{r} f JOIN b{r} b USING (node))""")
+        prev_excl += f" UNION ALL SELECT node FROM s{r}"
+    whens = ["WHEN n IN (SELECT n FROM trimmed) THEN n"]
+    flags = ["n IN (SELECT n FROM trimmed)"]
+    for r in range(1, pivots + 1):
+        whens.append(f"WHEN n IN (SELECT node FROM s{r}) "
+                     f"THEN (SELECT p FROM u{r})")
+        flags.append(f"n IN (SELECT node FROM s{r})")
+    parts.append(f"""
+        SELECT n AS entity,
+               CASE {' '.join(whens)} ELSE n END AS scc_id,
+               ({' OR '.join(flags)}) AS assigned
+        FROM nodes ORDER BY entity""")
     return "".join(parts)
 
 
@@ -2107,6 +2171,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY center, context
         """,
+        "kg_scc": _scc_oracle_sql(triples_glob, pivots=6),
         "kg_two_hop": f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
                                         canonical_obj AS dst

@@ -1939,3 +1939,162 @@ def two_hop_counts(edges_ds, *, src: str = "src", dst: str = "dst",
         batch_format="pandas"),
         ["entity"], [("entity", "count", "n_two_hop")])
     return out.sort("entity")
+
+
+# ---- strongly connected components (bounded pivot FW-BW) -------------------
+
+
+def _reach(adj: dict, start) -> set:
+    seen = {start}
+    stack = [start]
+    while stack:
+        x = stack.pop()
+        for y in adj.get(x, ()):
+            if y not in seen:
+                seen.add(y)
+                stack.append(y)
+    return seen
+
+
+def _scc_driver(edges: pd.DataFrame, *, pivots: int) -> pd.DataFrame:
+    fwd: dict = {}
+    bwd: dict = {}
+    nodes = set()
+    for a, b in zip(edges["src"], edges["dst"]):
+        if a == b:
+            continue
+        fwd.setdefault(a, set()).add(b)
+        bwd.setdefault(b, set()).add(a)
+        nodes.add(a)
+        nodes.add(b)
+    scc: dict = {}
+    # trim: a node with no in-edges or no out-edges is its own SCC
+    for v in nodes:
+        if not fwd.get(v) or not bwd.get(v):
+            scc[v] = (v, True)
+    for _ in range(pivots):
+        rest = [v for v in nodes if v not in scc]
+        if not rest:
+            break
+        pivot = min(rest)
+        comp = _reach(fwd, pivot) & _reach(bwd, pivot)
+        for v in comp:
+            if v not in scc:
+                scc[v] = (pivot, True)
+    rows = [(v, scc[v][0] if v in scc else v, v in scc)
+            for v in sorted(nodes)]
+    return pd.DataFrame(rows, columns=["entity", "scc_id", "assigned"])
+
+
+def scc(edges_ds, *, src: str = "src", dst: str = "dst",
+        pivots: int = 6, mode: str = "auto",
+        driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Strongly connected components by TRIM + bounded pivot
+    forward-backward (Fleischer/Hendrickson/Pinar 2000, public), with
+    deterministic semantics any engine replays:
+
+    1. TRIM: a node with zero in-edges or zero out-edges (full graph)
+       is its own singleton SCC;
+    2. K pivot rounds: pivot = the lexicographically-smallest
+       still-unassigned node; its SCC is forward-reach ∩
+       backward-reach (closures over the FULL graph — SCC membership
+       is independent of earlier assignments since SCCs are disjoint);
+       unassigned members get scc_id = pivot;
+    3. nodes still unassigned after K pivots report
+       ``assigned=false`` with themselves as scc_id — the bounded
+       contract, same honesty as label_components' converged flag.
+
+    Scale shape: the trim is two pre-combined degree groupbys; each
+    pivot round is two frontier-Dataset BFS closures (the bfs_distances
+    machinery) plus one broadcast membership probe — K is explicit
+    cost.  mode="driver" runs the identical semantics via set walks
+    under the edge guard; mode="auto" degrades."""
+    import ray.data as rd
+
+    from .relational import bcast_get, distinct_on, groupby_agg
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _scc_driver(
+                _edges_to_driver(edges_ds, src, dst,
+                                 driver_edge_limit).rename(
+                    columns={src: "src", dst: "dst"}),
+                pivots=pivots)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    import ray
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]][[src, dst]]
+        return b.rename(columns={src: "src", dst: "dst"})
+
+    edges = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["src", "dst"]).materialize()
+    nodes_ds = distinct_on(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["src"], b["dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"]).materialize()
+    outs = groupby_agg(edges, ["src"], [("src", "count", "o")])
+    ins = groupby_agg(edges, ["dst"], [("dst", "count", "i")])
+    has_out = frozenset(outs.to_pandas()["src"])
+    has_in = frozenset(ins.to_pandas()["dst"])
+    # NOTE: the degree KEY SETS (distinct nodes with any in/out edge)
+    # are broadcast — O(nodes), the same budget as the scores/labels
+    # tables every other whole-graph op carries.
+    assigned: dict = {}
+    all_nodes = nodes_ds.to_pandas()["node"]
+    for v in all_nodes:
+        if v not in has_out or v not in has_in:
+            assigned[v] = v
+
+    def frontier_closure(start, col_from: str, col_to: str) -> frozenset:
+        """BFS to closure as bounded frontier joins: only NEW nodes
+        re-enter the frontier, so total work is O(E) per closure."""
+        seen = {start}
+        frontier = rd.from_pandas(pd.DataFrame({"node": [start]}))
+        while True:
+            seen_ref = ray.put(frozenset(seen))
+            step = frontier.map_batches(
+                lambda b: b.rename(columns={"node": col_from}),
+                batch_format="pandas")
+            from .relational import hash_join
+
+            nxt = hash_join(edges, step.materialize(), on=col_from,
+                            empty_safe=True).map_batches(
+                lambda b, sr=seen_ref: pd.DataFrame({
+                    "node": b[col_to][~b[col_to].isin(
+                        bcast_get(sr))].unique()}),
+                batch_format="pandas")
+            ndf = distinct_on(nxt, ["node"]).to_pandas()
+            # to_pandas() on an all-empty dataset drops columns
+            if "node" not in ndf.columns or not len(ndf):
+                return frozenset(seen)
+            new = ndf["node"]
+            seen.update(new)
+            frontier = rd.from_pandas(pd.DataFrame({"node": new}))
+
+    for _ in range(pivots):
+        rest = [v for v in all_nodes if v not in assigned]
+        if not rest:
+            break
+        pivot = min(rest)
+        comp = (frontier_closure(pivot, "src", "dst")
+                & frontier_closure(pivot, "dst", "src"))
+        for v in comp:
+            if v not in assigned:
+                assigned[v] = pivot
+    out = pd.DataFrame({
+        "entity": sorted(all_nodes),
+    })
+    out["scc_id"] = out["entity"].map(
+        lambda v: assigned.get(v, v))
+    out["assigned"] = out["entity"].map(
+        lambda v: v in assigned)
+    return rd.from_pandas(out)

@@ -736,3 +736,29 @@ def test_pagerank_weighted_matches_brute_force_and_modes_agree():
                                   check_dtype=False)
     # mass only ever shrinks
     assert d.score.sum() <= scale
+
+
+def test_scc_known_cycles_modes_agree_and_bounded_flag():
+    from cpg_ray.functions.graphalgo import scc
+
+    edges = pd.DataFrame({
+        # cycle A: a<->b<->c (one SCC), cycle B: x<->y, plus DAG tail
+        "src": ["a", "b", "c", "x", "y", "c", "t1"],
+        "dst": ["b", "c", "a", "y", "x", "t1", "t2"],
+    })
+    d = scc(rd.from_pandas(edges), pivots=6, mode="driver").to_pandas()
+    s = scc(rd.from_pandas(edges), pivots=6, mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    m = d.set_index("entity")
+    assert m.loc["a", "scc_id"] == m.loc["b", "scc_id"] \
+        == m.loc["c", "scc_id"] == "a"
+    assert m.loc["x", "scc_id"] == m.loc["y", "scc_id"] == "x"
+    # trim: t1/t2 are singletons (t2 has no out-edge, t1 feeds it)
+    assert m.loc["t2", "scc_id"] == "t2" and bool(m.loc["t2", "assigned"])
+    assert bool(m.assigned.all())
+    # pivots=0: only the trim assigns; cyclic nodes report unassigned
+    z = scc(rd.from_pandas(edges), pivots=0,
+            mode="driver").to_pandas().set_index("entity")
+    assert not bool(z.loc["a", "assigned"])
+    assert z.loc["a", "scc_id"] == "a"
