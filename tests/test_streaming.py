@@ -139,3 +139,43 @@ def test_tumbling_window_counts_matches_batch_semantics():
         .reset_index(drop=True))
     expect["n"] = expect["n"].astype("int64")
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_tumbling_windower_property_conservation_and_close_once():
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cpg_ray.functions.streaming import TumblingWindower
+
+    @given(ts=st.lists(st.integers(0, 5000), min_size=1, max_size=300),
+           chunk=st.integers(1, 50),
+           lateness=st.sampled_from([0, 30, 600]))
+    @settings(max_examples=60, deadline=None)
+    def prop(ts, chunk, lateness):
+        base = 1_700_000_000
+        rows = pd.DataFrame({"ts": pd.to_datetime(
+            [(base + t) * 1_000_000 for t in ts], unit="us")})
+        tw = TumblingWindower(window_s=60, lateness_s=lateness)
+        frames = [tw.feed(rows.iloc[i:i + chunk])
+                  for i in range(0, len(rows), chunk)]
+        frames.append(tw.flush())
+        out = pd.concat([f for f in frames if len(f)],
+                        ignore_index=True)
+        # every event accounted for exactly once
+        assert out.n.sum() == len(rows)
+        # each on-time window closes exactly once across all feeds
+        ontime = out[~out.late]
+        assert not ontime.window_start.duplicated().any()
+        # chunking must not change the final aggregate
+        tw2 = TumblingWindower(window_s=60, lateness_s=lateness)
+        whole = pd.concat([tw2.feed(rows), tw2.flush()],
+                          ignore_index=True)
+        a = (out.groupby(["window_start", "late"])["n"].sum()
+             .astype("int64").sort_index())
+        b = (whole.groupby(["window_start", "late"])["n"].sum()
+             .astype("int64").sort_index())
+        pd.testing.assert_series_equal(a, b)
+
+    prop()
