@@ -83,3 +83,26 @@ def test_builtin_image_decode_dispatches_tiff():
     img = np.full((4, 5, 3), 99, np.uint8)
     out = builtin_image_decode(encode_tiff(img), 0, 0)
     np.testing.assert_array_equal(out, img)
+
+
+# ---- property: decode totality under mutation --------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(junk=st.binary(max_size=200), seed=st.integers(0, 1000),
+       comp=st.sampled_from(["none", "packbits"]))
+@settings(max_examples=80, deadline=None)
+def test_tiff_decode_total_on_corrupted_payloads(junk, seed, comp):
+    rng = np.random.default_rng(seed)
+    base = bytearray(encode_tiff(
+        rng.integers(0, 256, (9, 7, 3), dtype=np.uint8),
+        compression=comp, rows_per_strip=4))
+    if junk:
+        at = seed % max(len(base) - len(junk), 1)
+        base[at:at + len(junk)] = junk
+    try:
+        decode_tiff(bytes(base))
+    except (ValueError, NotImplementedError):
+        pass
