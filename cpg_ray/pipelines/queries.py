@@ -1870,6 +1870,50 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_doc_dropout(sf_dir: str) -> pd.DataFrame:
+    """Deterministic word-dropout augmentation (the EDA/word-dropout
+    training-data trick, public): token i of a doc is dropped iff
+    uint32(md5(doc_id|i|token)) < floor(0.2·2^32) — a reproducible
+    20% draw any engine replays.  Fully batch-local (the explode is
+    within-row): no shuffle, one stateless pass."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    threshold = 858993459  # floor(0.2 * 2^32)
+
+    def aug(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b["text"].str.split(" ")
+        sizes = lists.str.len().to_numpy("int64")
+        total = int(sizes.sum())
+        flat = (np.concatenate(
+            [np.asarray(v, dtype=object) for v in lists])
+            if total else np.array([], dtype=object))
+        doc = b["doc_id"].to_numpy().repeat(sizes)
+        pos = np.concatenate(
+            [np.arange(1, s + 1) for s in sizes]) if total else \
+            np.array([], np.int64)
+        t = pd.DataFrame({"doc_id": doc, "i": pos, "tok": flat})
+        h = (t["doc_id"].astype(str) + "|" + t["i"].astype(str)
+             + "|" + t["tok"]).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+        kept = t[h.to_numpy() >= threshold]
+        base = pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens": sizes,
+        })
+        k = kept.sort_values(["doc_id", "i"]).groupby(
+            "doc_id", as_index=False).agg(
+            n_kept=("tok", "size"),
+            aug_text=("tok", " ".join))
+        out = base.merge(k, on="doc_id", how="left")
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        out["aug_text"] = out["aug_text"].fillna("")
+        return out
+
+    df = docs.map_batches(aug, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
     """Data-profiling / expectations pass over lineitem: per column,
     null count, exact distinct count, and min/max (rendered as
@@ -2481,6 +2525,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_doc_dropout": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(
+                       1, array_length(string_split(text, ' ')))) AS i
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, i, tok
+            FROM toks
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|'
+                                      || i::VARCHAR || '|' || tok),
+                                  1, 8))::BIGINT >= 858993459
+        ), base AS (
+            SELECT doc_id, count(*)::BIGINT AS n_tokens
+            FROM toks GROUP BY doc_id
+        ), agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   string_agg(tok, ' ' ORDER BY i) AS aug_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(a.aug_text, '') AS aug_text
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
     """,
     "q_profile_lineitem": """
         SELECT 'l_orderkey' AS "column",
