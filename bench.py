@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "kg_random_walks",
     "kg_adamic_adar",
     "kg_hits",
+    "q_events_zscore",
+    "q_events_funnel",
+    "q_doc_dropout",
+    "kg_scc",
+    "kg_two_hop",
 ]
 
 
