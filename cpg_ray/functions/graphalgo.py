@@ -124,7 +124,8 @@ def _pagerank_shuffle(edges_ds, src: str, dst: str, *, iters: int,
     )
     pairs = distinct_on(pairs, ["__src", "__dst"]).materialize()
     outdeg = groupby_agg(pairs, ["__src"], [("__dst", "count", "__deg")])
-    ew = hash_join(pairs, outdeg.materialize(), on="__src").materialize()
+    ew = hash_join(pairs, outdeg.materialize(), on="__src",
+                   empty_safe=True).materialize()
     nodes = distinct_on(
         pairs.map_batches(
             lambda b: pd.DataFrame({"node": pd.concat(
@@ -773,12 +774,12 @@ def _components_shuffle(edges_ds, src: str, dst: str, *, rounds: int):
     ).materialize()
     for _ in range(rounds):
         neigh = hash_join(und, labels, on="__src",
-                          right_on="node").map_batches(
+                          right_on="node", empty_safe=True).map_batches(
             lambda b: b[["__dst", "lbl"]], batch_format="pandas")
         mins = groupby_agg(neigh, ["__dst"], [("lbl", "min", "minl")])
         labels = hash_join(
             labels, mins.materialize(), on="node", right_on="__dst",
-            how="left_outer",
+            how="left_outer", empty_safe=True,
         ).map_batches(
             lambda b: pd.DataFrame({
                 "node": b["node"],
@@ -788,11 +789,13 @@ def _components_shuffle(edges_ds, src: str, dst: str, *, rounds: int):
         ).materialize()
     # distributed mode reports converged=False pessimistically only if a
     # lookahead round would still change labels
-    ahead = hash_join(und, labels, on="__src", right_on="node").map_batches(
+    ahead = hash_join(und, labels, on="__src", right_on="node",
+                      empty_safe=True).map_batches(
         lambda b: b[["__dst", "lbl"]], batch_format="pandas")
     amins = groupby_agg(ahead, ["__dst"], [("lbl", "min", "minl")])
     final = hash_join(labels, amins.materialize(), on="node",
-                      right_on="__dst", how="left_outer")
+                      right_on="__dst", how="left_outer",
+                      empty_safe=True)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         would = b[["lbl", "minl"]].min(axis=1)
@@ -1203,9 +1206,10 @@ def _kcore_shuffle(edges_ds, src: str, dst: str, *, k: int, rounds: int):
              "converged": pd.Series([], dtype=bool)}))
 
     def live_degrees(alive_ds):
-        e1 = hash_join(und, alive_ds, on="__src", right_on="node")
+        e1 = hash_join(und, alive_ds, on="__src", right_on="node",
+                       empty_safe=True)
         e2 = hash_join(e1.materialize(), alive_ds, on="__dst",
-                       right_on="node")
+                       right_on="node", empty_safe=True)
         return groupby_agg(
             e2.map_batches(lambda b: b[["__src"]], batch_format="pandas"),
             ["__src"], [("__src", "count", "deg")],
@@ -1227,7 +1231,7 @@ def _kcore_shuffle(edges_ds, src: str, dst: str, *, k: int, rounds: int):
     # nodes can drop to degree 0 among survivors — they are still
     # alive this round; left join keeps them with deg 0
     final = hash_join(alive, degs, on="node", right_on="__src",
-                      how="left_outer").map_batches(
+                      how="left_outer", empty_safe=True).map_batches(
         lambda b: pd.DataFrame({
             "entity": b["node"],
             "deg": b["deg"].fillna(0).astype("int64"),
@@ -1336,7 +1340,7 @@ def _bfs_shuffle(edges_ds, seeds_ds, src: str, dst: str, seed_col: str,
 
     def advance(labels):
         neigh = hash_join(und, labels, on="__src",
-                          right_on="node").map_batches(
+                          right_on="node", empty_safe=True).map_batches(
             lambda b: pd.DataFrame({"node": b["__dst"],
                                     "dist": b["dist"] + 1}),
             batch_format="pandas")

@@ -697,6 +697,14 @@ def test_triangle_free_graph_empty_sides_survive():
         # every walk reaches a sink after ≤1 hop; state drains long
         # before length is exhausted
         assert w.step.max() == 1
+        # the peel drains everything: k-core must return EMPTY, not
+        # crash on the drained join (the same sparse-partition class)
+        from cpg_ray.functions.graphalgo import k_core, label_components
+        kc = k_core(rd.from_pandas(star), k=2, mode=mode).to_pandas()
+        assert len(kc) == 0
+        lc = label_components(rd.from_pandas(star), mode=mode,
+                              rounds=4).to_pandas()
+        assert len(lc) == 5 and set(lc.component) == {"a"}
 
 
 def test_pagerank_weighted_matches_brute_force_and_modes_agree():
