@@ -1212,12 +1212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_promo_share": q.q_promo_share,
         "q_doc_bigram": q.q_doc_bigram,
         "q_supplier_er": q.q_supplier_er,
-        "q_events_winsor": q.q_events_winsor,
         "q_events_tumbling": q.q_events_tumbling,
         "q_events_funnel": q.q_events_funnel,
         "q_events_zscore": q.q_events_zscore,
         "q_profile_lineitem": q.q_profile_lineitem,
         "q_doc_dropout": q.q_doc_dropout,
+        "q_orders_pareto": q.q_orders_pareto,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
@@ -1243,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extracted_text": _kg_extracted_text,
         "kg_two_hop": _kg_two_hop,
         "kg_condensation": _kg_condensation,
+        "q_events_winsor": q.q_events_winsor,
         "q_events_retention": q.q_events_retention,
         "kg_scc": _kg_scc,
         "kg_components": _kg_components,

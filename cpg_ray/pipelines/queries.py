@@ -1870,6 +1870,38 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_orders_pareto(sf_dir: str) -> pd.DataFrame:
+    """Pareto / cumulative-share analysis: customers ordered by exact
+    revenue cents desc, integer cumulative sums (order fixed by
+    (rev desc, custkey) so the cumsum is deterministic), share = one
+    int→double division per row, in_top80 = predecessor-cumulative
+    < 80% as a pure integer comparison (cum−rev)·5 < total·4.  The
+    per-customer aggregate is distributed (pre-combined groupby);
+    the ordered scan runs on that one-row-per-customer table."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"],
+            "c": np.round(b["o_totalprice"].to_numpy("float64")
+                          * 100).astype("int64"),
+        })
+
+    agg = groupby_agg(ds.map_batches(cents, batch_format="pandas"),
+                      ["o_custkey"], [("c", "sum", "rev_cents")]
+                      ).to_pandas()
+    agg["rev_cents"] = agg["rev_cents"].astype("int64")
+    agg = agg.sort_values(["rev_cents", "o_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    total = int(agg.rev_cents.sum())
+    agg["cum_cents"] = agg.rev_cents.cumsum().astype("int64")
+    agg["share"] = (agg.cum_cents.to_numpy("int64").astype("float64")
+                    / float(total))
+    prev = agg.cum_cents.to_numpy("int64") - agg.rev_cents.to_numpy("int64")
+    agg["in_top80"] = prev * 5 < total * 4
+    return agg.reset_index(drop=True)
+
+
 def q_doc_dropout(sf_dir: str) -> pd.DataFrame:
     """Deterministic word-dropout augmentation (the EDA/word-dropout
     training-data trick, public): token i of a doc is dropped iff
@@ -2525,6 +2557,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_orders_pareto": """
+        WITH agg AS (
+            SELECT o_custkey,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS rev_cents
+            FROM orders GROUP BY o_custkey
+        ), t AS (SELECT sum(rev_cents)::BIGINT AS total FROM agg),
+        w AS (
+            SELECT o_custkey, rev_cents,
+                   sum(rev_cents) OVER (
+                       ORDER BY rev_cents DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+            FROM agg
+        )
+        SELECT o_custkey, rev_cents, cum_cents,
+               cum_cents::DOUBLE / (SELECT total FROM t)::DOUBLE
+                   AS share,
+               (cum_cents - rev_cents) * 5
+                   < (SELECT total FROM t) * 4 AS in_top80
+        FROM w ORDER BY rev_cents DESC, o_custkey
     """,
     "q_doc_dropout": """
         WITH toks AS (
