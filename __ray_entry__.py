@@ -1200,7 +1200,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
-        "q_events_mad": q.q_events_mad,
         "q_events_mode": q.q_events_mode,
         "q_events_histogram": q.q_events_histogram,
         "q_events_moving": q.q_events_moving,
@@ -1218,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile_lineitem": q.q_profile_lineitem,
         "q_doc_dropout": q.q_doc_dropout,
         "q_orders_pareto": q.q_orders_pareto,
+        "q_doc_split": q.q_doc_split,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
@@ -1243,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extracted_text": _kg_extracted_text,
         "kg_two_hop": _kg_two_hop,
         "kg_condensation": _kg_condensation,
+        "q_events_mad": q.q_events_mad,
         "q_events_winsor": q.q_events_winsor,
         "q_events_retention": q.q_events_retention,
         "kg_scc": _kg_scc,

@@ -1870,6 +1870,32 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_doc_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by md5-prefix
+    range — the reproducible split every training pipeline needs; a
+    doc's split never changes as the corpus grows, unlike fractional
+    random_split) with a per-(lang, split) stratification report.
+    One stateless pass + one pre-combined groupby."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    # 8-hex-digit thresholds: 0.8·2^32 and 0.9·2^32, floored
+    t_train, t_val = 3435973836, 3865470566
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["doc_id"].astype(str).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+        split = np.where(h < t_train, "train",
+                         np.where(h < t_val, "val", "test"))
+        return pd.DataFrame({"lang": b["lang"], "split": split,
+                             "one": np.int64(1)})
+
+    df = groupby_agg(docs.map_batches(assign, batch_format="pandas"),
+                     ["lang", "split"], [("one", "sum", "n")]).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
 def q_orders_pareto(sf_dir: str) -> pd.DataFrame:
     """Pareto / cumulative-share analysis: customers ordered by exact
     revenue cents desc, integer cumulative sums (order fixed by
@@ -2557,6 +2583,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "q_doc_split": """
+        WITH a AS (
+            SELECT lang,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                             1, 8))::BIGINT
+                             < 3435973836 THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                             1, 8))::BIGINT
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, count(*)::BIGINT AS n
+        FROM a GROUP BY lang, split ORDER BY lang, split
     """,
     "q_orders_pareto": """
         WITH agg AS (
