@@ -1201,6 +1201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": dss.q19_disjunctive_revenue,
         "q21_sole_supplier": dss.q21_sole_supplier,
         "q22_idle_customers": dss.q22_idle_customers,
+        # -- oracle-paired, NEW in round 4 (third session): learned-
+        # sparse retrieval (SPLADE scoring shape, co-occurrence query
+        # expansion, md5 static weights as the model seam)
+        "q_doc_sparse_search": q.q_doc_sparse_search,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,
@@ -1235,7 +1239,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile_lineitem": q.q_profile_lineitem,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
-        "kg_ppr": _kg_ppr,
         # -- the DSS batch displaced 13 window slots: the stable four
         # and the round-4-changed flagship trio stay INSIDE (verdict-r3
         # done-criteria); the four single-table transforms just below
@@ -1250,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dropout": q.q_doc_dropout,
         "q_orders_pareto": q.q_orders_pareto,
         "q_doc_split": q.q_doc_split,
+        "kg_ppr": _kg_ppr,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_adamic_adar": _kg_adamic_adar,
         "kg_clustering_coef": _kg_clustering_coef,

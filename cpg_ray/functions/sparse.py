@@ -1,0 +1,161 @@
+"""Learned-sparse retrieval (SPLADE-style scoring shape): documents and
+queries are sparse term-weight vectors, the query side is EXPANDED with
+associated terms, and the score is the sparse dot product
+
+    score(q, d) = Σ_t  qw(q, t) · w(t) · ln(1 + tf(t, d))
+
+- ``w(t)`` is a static per-term weight table — the seam where a learned
+  model's term weights plug in.  No learned model ships in this
+  container, so the default is a deterministic md5-derived weight
+  (``1 + (md5_32(t) mod 1000)/1000``), chosen because any SQL engine
+  reproduces it bit-for-bit (the same rule the repo's hash-sampling
+  oracle uses).
+- query expansion is CORPUS-DERIVED (pseudo-relevance-feedback shape):
+  each query term pulls its top-m co-occurring terms (by distinct-doc
+  co-occurrence count, token-asc tie-break) at a discounted weight.
+  This is the association half of learned-sparse retrieval expressed
+  without a model.
+- ``ln(1+tf)`` is the document-side saturation (SPLADE's log-tf).
+
+Scale shape (the part that matters at 100 TB): one tokenize pass over
+the corpus produces tf rows (docs contiguous and complete per block);
+co-occurrence counts are per-batch DISTINCT partials — a doc lives in
+exactly one block, so per-block distinct (qterm, tok) pairs sum to the
+exact global distinct-doc count; the expanded-query × weight table is
+tiny and rides in the task closure; scoring is one stateless pass and
+the only exchange is the grouped top-n over (queries × docs) score
+rows.  Nothing materializes the corpus on the driver.
+
+Reference analog: reference retrieval is graph-query-shaped
+(Graph.kt); this operator is part of the LLM-data-pipeline family the
+task brief adds beside it (similarity-search group, with knn_*/bm25_*).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+
+def md5_term_weight(tok: str) -> float:
+    """Deterministic static term weight in [1, 2): the learned-model
+    placeholder.  SQL equivalent:
+    ``1 + (('0x' || substr(md5(tok),1,8))::BIGINT % 1000) / 1000.0``"""
+    h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+    return 1.0 + (h % 1000) / 1000.0
+
+
+def sparse_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
+                  text_col: str = "text", top_n: int = 10,
+                  expand_m: int = 2, expand_weight: float = 0.3,
+                  ndigits: int = 6, weights: dict | None = None):
+    """Top-n documents per query under the expanded sparse dot product.
+
+    ``queries`` maps qid → query text.  ``weights`` optionally supplies
+    learned term weights (tok → float); defaults to
+    :func:`md5_term_weight`.  Returns a Dataset of (qid, id_col,
+    score), score rounded to ``ndigits`` BEFORE ranking (per-(q,d) sums
+    of doubles are not associative across engines), doc-id tie-break.
+    """
+    from .relational import groupby_agg, grouped_topk
+    from .text import _tf_frame
+
+    qterms_by_qid = {
+        qid: list(dict.fromkeys(re.findall("[a-z0-9_]+", qtext.lower())))
+        for qid, qtext in sorted(queries.items())
+    }
+    qterms = frozenset(t for ts in qterms_by_qid.values() for t in ts)
+
+    # pass 1: tf rows, whole blocks so each doc's rows are complete
+    tf_rows = docs_ds.map_batches(
+        lambda b: _tf_frame(b, id_col, text_col),
+        batch_format="pandas", batch_size=None).materialize()
+
+    # co-occurrence partials: within a block, for every query term,
+    # count the DISTINCT docs each other token shares with it.  Docs
+    # are block-complete, so per-block distinct pairs sum exactly.
+    def cooc_partial(t: pd.DataFrame) -> pd.DataFrame:
+        if t.empty:
+            return pd.DataFrame({"qtok": pd.Series([], dtype=object),
+                                 "tok": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        hit = t[t["tok"].isin(qterms)][[id_col, "tok"]].rename(
+            columns={"tok": "qtok"})
+        pairs = hit.merge(t[[id_col, "tok"]], on=id_col)
+        pairs = pairs[pairs["tok"] != pairs["qtok"]]
+        g = (pairs.drop_duplicates([id_col, "qtok", "tok"])
+                  .groupby(["qtok", "tok"], sort=False).size())
+        return g.reset_index(name="c")
+
+    cooc = groupby_agg(
+        tf_rows.map_batches(cooc_partial, batch_format="pandas",
+                            batch_size=None),
+        ["qtok", "tok"], [("c", "sum", "c")]).to_pandas()
+
+    # expansion: per query TERM top-m co-occurring tokens
+    if not cooc.empty:
+        cooc = (cooc.sort_values(["qtok", "c", "tok"],
+                                 ascending=[True, False, True],
+                                 kind="mergesort")
+                    .groupby("qtok", sort=False).head(expand_m))
+        exp_by_term = cooc.groupby("qtok")["tok"].apply(list).to_dict()
+    else:
+        exp_by_term = {}
+
+    # expanded query table: exact terms at 1.0, expansions discounted,
+    # max on overlap (an expansion that is also an exact term keeps 1.0)
+    rows = []
+    for qid, terms in qterms_by_qid.items():
+        qw: dict[str, float] = {}
+        for t in terms:
+            qw[t] = 1.0
+        for t in terms:
+            for e in exp_by_term.get(t, []):
+                qw[e] = max(qw.get(e, 0.0), expand_weight)
+        for tok, wq in qw.items():
+            rows.append((qid, tok, wq))
+    qx = pd.DataFrame(rows, columns=["qid", "tok", "qw"])
+
+    if qx.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"qid": pd.Series([], dtype=object),
+             id_col: pd.Series([], dtype=object),
+             "score": pd.Series([], dtype="float64")}))
+
+    wfn = (weights or {}).get if weights else None
+    qx["f"] = qx["qw"] * np.array(
+        [wfn(t, md5_term_weight(t)) if wfn else md5_term_weight(t)
+         for t in qx["tok"]])
+    qxf = qx[["qid", "tok", "f"]]
+
+    # scoring pass: candidate tf rows × (qid, f) table, per-(qid, doc)
+    # sum — complete within the block because docs are block-complete
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        if t.empty:
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype="float64")})
+        m = t.merge(qxf, on="tok")
+        if m.empty:
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype="float64")})
+        # np.log(1.0 + tf), NOT log1p: the oracle's ln(1 + tf) is a
+        # plain log over the exactly-representable 1+tf, and log1p may
+        # differ in the last ulp
+        m = m.assign(part=m["f"].to_numpy(np.float64)
+                     * np.log(1.0 + m["tf"].to_numpy(np.float64)))
+        s = m.groupby(["qid", id_col], sort=False)["part"].sum()
+        out = s.reset_index(name="score")
+        out["score"] = out["score"].round(ndigits)
+        return out
+
+    scored = tf_rows.map_batches(score, batch_format="pandas",
+                                 batch_size=None)
+    return grouped_topk(scored, ["qid"], "score", top_n,
+                        descending=True, tie_break=id_col)

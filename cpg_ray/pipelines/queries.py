@@ -504,6 +504,26 @@ def q_doc_bm25_search(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)[["qid", "doc_id", "score"]]
 
 
+SPARSE_SEARCH_QUERIES = {"qa": "hash join", "qb": "window sort",
+                         "qc": "stream batch"}
+
+
+def q_doc_sparse_search(sf_dir: str) -> pd.DataFrame:
+    """Learned-sparse retrieval (SPLADE scoring shape): md5-derived
+    static term weights stand in for a learned model, query terms
+    expand with their top-2 co-occurring corpus terms at 0.3 weight,
+    score = Σ qw·w(t)·ln(1+tf) — top-10 docs per query, ranked on the
+    rounded score with a doc-id tie-break."""
+    from ..functions.sparse import sparse_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = sparse_search(docs, SPARSE_SEARCH_QUERIES, top_n=10).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)[["qid", "doc_id", "score"]]
+
+
 def q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII redaction over documents with deterministically injected
     PII (every 7th doc gains an email, a phone and an IPv4 — the
@@ -3712,6 +3732,56 @@ ORACLE_SQL: dict[str, str] = {
                ) AS redacted
         FROM aug
         ORDER BY doc_id
+    """,
+    "q_doc_sparse_search": """
+        WITH qt(qid, tok) AS (VALUES ('qa','hash'), ('qa','join'),
+                                     ('qb','window'), ('qb','sort'),
+                                     ('qc','stream'), ('qc','batch')),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+               FROM toks GROUP BY doc_id, tok),
+        cooc AS (
+            SELECT q.tok AS qtok, t2.tok,
+                   count(DISTINCT t2.doc_id)::BIGINT AS c
+            FROM (SELECT DISTINCT tok FROM qt) q
+            JOIN tf t1 ON t1.tok = q.tok
+            JOIN tf t2 ON t2.doc_id = t1.doc_id AND t2.tok <> q.tok
+            GROUP BY q.tok, t2.tok
+        ),
+        exp2 AS (
+            SELECT qtok, tok FROM (
+                SELECT qtok, tok,
+                       row_number() OVER (PARTITION BY qtok
+                                          ORDER BY c DESC, tok) AS rk
+                FROM cooc) WHERE rk <= 2
+        ),
+        qx AS (
+            SELECT qid, tok, max(qw) AS qw FROM (
+                SELECT qid, tok, 1.0 AS qw FROM qt
+                UNION ALL
+                SELECT qt.qid, exp2.tok, 0.3
+                FROM qt JOIN exp2 ON exp2.qtok = qt.tok
+            ) GROUP BY qid, tok
+        ),
+        w AS (SELECT tok,
+                     1 + (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000)
+                         / 1000.0 AS tw
+              FROM (SELECT DISTINCT tok FROM qx)),
+        s AS (SELECT qx.qid, tf.doc_id,
+                     round(sum(qx.qw * w.tw * ln(1 + tf.tf)), 6) AS score
+              FROM tf JOIN qx ON qx.tok = tf.tok JOIN w ON w.tok = tf.tok
+              GROUP BY qx.qid, tf.doc_id),
+        ranked AS (SELECT qid, doc_id, score,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score DESC, doc_id)
+                              AS rk
+                   FROM s)
+        SELECT qid, doc_id, score FROM ranked WHERE rk <= 10
+        ORDER BY qid, score DESC, doc_id
     """,
     "q_doc_bm25_search": """
         WITH qt(qid, tok) AS (VALUES ('qa', 'hash'), ('qa', 'join'), ('qa', 'order'), ('qb', 'window'), ('qb', 'sort'), ('qb', 'merge'), ('qc', 'spark'), ('qc', 'stream'), ('qc', 'batch')),

@@ -1,0 +1,60 @@
+"""Learned-sparse retrieval (functions/sparse.py) behavior pins — the
+properties the SQL oracle comparison can't express."""
+
+import pandas as pd
+import ray.data as rd
+
+from cpg_ray.functions.sparse import md5_term_weight, sparse_search
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_expansion_retrieves_docs_without_exact_terms():
+    """'cat' co-occurs with 'dog' in d1/d2, so querying 'cat' must also
+    retrieve d3 (dog-only, no exact term) through the expansion."""
+    docs = _docs([
+        {"doc_id": 1, "text": "cat dog"},
+        {"doc_id": 2, "text": "cat dog bird"},
+        {"doc_id": 3, "text": "dog dog dog"},
+        {"doc_id": 4, "text": "fish"},
+    ])
+    out = sparse_search(docs, {"q0": "cat"}, top_n=10).to_pandas()
+    got = set(out["doc_id"])
+    assert 3 in got, "expansion term must retrieve dog-only doc"
+    assert 4 not in got, "unrelated doc must not appear"
+    # exact-term docs outrank the expansion-only doc (qw 1.0 vs 0.3)
+    ranked = out.sort_values("score", ascending=False)["doc_id"].tolist()
+    assert ranked.index(3) > ranked.index(1)
+
+
+def test_weights_seam_changes_ranking():
+    """Supplying learned weights through the seam must reorder results:
+    crushing one term's weight demotes docs that rely on it."""
+    docs = _docs([
+        {"doc_id": 1, "text": "alpha alpha alpha"},
+        {"doc_id": 2, "text": "beta beta beta"},
+    ])
+    q = {"q0": "alpha beta"}
+    default = sparse_search(docs, q, top_n=2).to_pandas()
+    crushed = sparse_search(
+        docs, q, top_n=2,
+        weights={"alpha": 0.001, "beta": md5_term_weight("beta")},
+    ).to_pandas()
+    d0 = default.sort_values("score", ascending=False)["doc_id"].tolist()
+    c0 = crushed.sort_values("score", ascending=False)["doc_id"].tolist()
+    assert c0[0] == 2, "crushing alpha's weight must rank beta doc first"
+    # and the default md5 weights are deterministic
+    assert md5_term_weight("alpha") == md5_term_weight("alpha")
+    assert 1.0 <= md5_term_weight("alpha") < 2.0
+    assert d0  # both runs returned rankings
+
+
+def test_empty_query_and_empty_corpus():
+    docs = _docs([{"doc_id": 1, "text": "x y"}])
+    out = sparse_search(docs, {}, top_n=5).to_pandas()
+    assert len(out) == 0
+    empty = _docs([{"doc_id": 1, "text": ""}])
+    out2 = sparse_search(empty, {"q0": "x"}, top_n=5).to_pandas()
+    assert len(out2) == 0
