@@ -768,6 +768,44 @@ def _kg_components(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _fusion_triples(sf_dir: str):
+    import glob
+
+    import ray.data as rd
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    return rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj", "url"])
+
+
+def _kg_fact_conflicts(sf_dir: str):
+    """Knowledge-fusion conflict census: subjects asserting multiple
+    distinct objects under a functional predicate (extraction/linking
+    error surface; Knowledge-Vault-style validation)."""
+    from cpg_ray.functions.fusion import fact_conflicts
+
+    return fact_conflicts(_fusion_triples(sf_dir))
+
+
+def _kg_truth_vote(sf_dir: str):
+    """Truth discovery: per (subject, functional predicate) the object
+    chosen by source-weighted vote (one vote per distinct domain,
+    md5-derived reliability weights as the learned-credibility seam)."""
+    from cpg_ray.functions.fusion import truth_vote
+
+    return truth_vote(_fusion_triples(sf_dir))
+
+
+def _kg_sig_violations(sf_dir: str):
+    """Ontology constraint check: triples whose (subject-kind,
+    object-kind) differs from the predicate's majority signature —
+    the domain/range-violation census."""
+    from cpg_ray.functions.fusion import signature_violations
+
+    return signature_violations(_fusion_triples(sf_dir))
+
+
 def _kg_fact_timeline(sf_dir: str):
     """Fact observation windows (temporal-KG construction step): per
     canonical fact (subj, pred, obj) the first/last crawl timestamp it
@@ -1205,6 +1243,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sparse retrieval (SPLADE scoring shape, co-occurrence query
         # expansion, md5 static weights as the model seam)
         "q_doc_sparse_search": q.q_doc_sparse_search,
+        # -- oracle-paired, NEW in round 4 (third session): knowledge-
+        # fusion family (conflict census, source-weighted truth vote,
+        # signature-violation check)
+        "kg_fact_conflicts": _kg_fact_conflicts,
+        "kg_truth_vote": _kg_truth_vote,
+        "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,
@@ -1223,10 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
-        "q_events_mode": q.q_events_mode,
-        "q_events_histogram": q.q_events_histogram,
         "q_events_moving": q.q_events_moving,
-        "q_nation_suppliers": q.q_nation_suppliers,
         "q_doc_unigram": q.q_doc_unigram,
         "q_doc_sentences": q.q_doc_sentences,
         "q_supplier_blocking": q.q_supplier_blocking,
@@ -1253,6 +1294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dropout": q.q_doc_dropout,
         "q_orders_pareto": q.q_orders_pareto,
         "q_doc_split": q.q_doc_split,
+        "q_events_mode": q.q_events_mode,
+        "q_events_histogram": q.q_events_histogram,
+        "q_nation_suppliers": q.q_nation_suppliers,
         "kg_ppr": _kg_ppr,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_adamic_adar": _kg_adamic_adar,
@@ -1861,6 +1905,83 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM read_parquet('{entities_pq}') e
             LEFT JOIN read_parquet('{kb_pq}') k USING (entity_id)
             ORDER BY e.entity_id
+        """,
+        "kg_fact_conflicts": f"""
+            WITH a AS (
+                SELECT pred, canonical_subj, canonical_obj,
+                       count(*)::BIGINT AS n
+                FROM read_parquet('{triples_glob}')
+                WHERE pred IN ('born_in', 'located_in', 'based_in',
+                               'works_for')
+                GROUP BY pred, canonical_subj, canonical_obj
+            )
+            SELECT pred, canonical_subj,
+                   count(*)::BIGINT AS n_objects,
+                   sum(n)::BIGINT AS n_mentions
+            FROM a
+            GROUP BY pred, canonical_subj
+            HAVING count(*) > 1
+            ORDER BY pred, canonical_subj
+        """,
+        "kg_truth_vote": f"""
+            WITH p AS (
+                SELECT DISTINCT pred, canonical_subj, canonical_obj,
+                       regexp_extract(url, '//([^/]+)/', 1) AS dom
+                FROM read_parquet('{triples_glob}')
+                WHERE pred IN ('born_in', 'located_in', 'based_in',
+                               'works_for')
+            ),
+            v AS (
+                SELECT pred, canonical_subj, canonical_obj,
+                       round(sum(1 + (('0x' || substr(md5(dom), 1, 8))
+                                      ::BIGINT % 1000) / 1000.0), 6)
+                           AS vote_weight,
+                       count(DISTINCT dom)::BIGINT AS n_sources
+                FROM p GROUP BY pred, canonical_subj, canonical_obj
+            ),
+            r AS (
+                SELECT pred, canonical_subj, canonical_obj, vote_weight,
+                       n_sources,
+                       row_number() OVER (
+                           PARTITION BY pred, canonical_subj
+                           ORDER BY vote_weight DESC, canonical_obj)
+                           AS rk
+                FROM v
+            )
+            SELECT pred, canonical_subj, canonical_obj AS chosen_obj,
+                   vote_weight, n_sources
+            FROM r WHERE rk = 1
+            ORDER BY pred, canonical_subj
+        """,
+        "kg_sig_violations": f"""
+            WITH t AS (
+                SELECT pred,
+                       CASE substr(canonical_subj, 1, 1)
+                            WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                            WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS skind,
+                       CASE substr(canonical_obj, 1, 1)
+                            WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                            WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS okind
+                FROM read_parquet('{triples_glob}')
+            ),
+            c AS (SELECT pred, skind, okind, count(*)::BIGINT AS n
+                  FROM t GROUP BY pred, skind, okind),
+            m AS (
+                SELECT pred, skind, okind FROM (
+                    SELECT pred, skind, okind,
+                           row_number() OVER (
+                               PARTITION BY pred
+                               ORDER BY n DESC, skind, okind) AS rk
+                    FROM c)
+                WHERE rk = 1
+            )
+            SELECT c.pred, c.skind, c.okind, c.n
+            FROM c LEFT JOIN m ON m.pred = c.pred AND m.skind = c.skind
+                               AND m.okind = c.okind
+            WHERE m.pred IS NULL
+            ORDER BY c.pred, c.skind, c.okind
         """,
         "kg_pred_signatures": f"""
             WITH t AS (

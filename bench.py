@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "q_doc_dropout",
     "kg_scc",
     "kg_two_hop",
+    # round-4 third session: decision-support batch + sparse retrieval
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_sole_supplier",
+    "q_doc_sparse_search",
 ]
 
 

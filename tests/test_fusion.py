@@ -1,0 +1,80 @@
+"""Knowledge-fusion operators (functions/fusion.py) — behavior pins
+beyond the SQL oracle comparison (the three kg_* fusion queries are
+oracle-paired at three scale factors via tools/check_oracles.py)."""
+
+import pandas as pd
+import ray.data as rd
+
+from cpg_ray.functions.fusion import (
+    domain_weight,
+    fact_conflicts,
+    signature_violations,
+    truth_vote,
+)
+
+
+def _triples(rows):
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["pred", "canonical_subj", "canonical_obj", "url"]))
+
+
+def test_fact_conflicts_only_multi_object_subjects():
+    ds = _triples([
+        ("born_in", "P1", "C1", "https://a.example/p/1"),
+        ("born_in", "P1", "C1", "https://b.example/p/2"),   # repeat, same obj
+        ("born_in", "P2", "C1", "https://a.example/p/3"),
+        ("born_in", "P2", "C2", "https://b.example/p/4"),   # conflict
+        ("visited", "P3", "C1", "https://a.example/p/5"),   # non-functional
+        ("visited", "P3", "C2", "https://a.example/p/6"),
+    ])
+    out = fact_conflicts(ds)
+    assert out.to_dict("records") == [
+        {"pred": "born_in", "canonical_subj": "P2",
+         "n_objects": 2, "n_mentions": 2}]
+
+
+def test_truth_vote_one_vote_per_domain_and_weight_seam():
+    # dom a asserts C1 on THREE pages; doms b and c assert C2 once each.
+    # Page-level repetition must not buy votes: with equal weights the
+    # two-domain assertion wins.
+    rows = [
+        ("born_in", "P1", "C1", "https://a.example/p/1"),
+        ("born_in", "P1", "C1", "https://a.example/p/2"),
+        ("born_in", "P1", "C1", "https://a.example/p/3"),
+        ("born_in", "P1", "C2", "https://b.example/p/1"),
+        ("born_in", "P1", "C2", "https://c.example/p/1"),
+    ]
+    eq = {d: 1.0 for d in ("a.example", "b.example", "c.example")}
+    out = truth_vote(_triples(rows), weights=eq)
+    assert out.loc[0, "chosen_obj"] == "C2"
+    assert out.loc[0, "n_sources"] == 2
+    # the credibility seam flips the outcome: a super-reliable domain a
+    # outweighs two unit votes
+    heavy = dict(eq, **{"a.example": 5.0})
+    out2 = truth_vote(_triples(rows), weights=heavy)
+    assert out2.loc[0, "chosen_obj"] == "C1"
+    assert out2.loc[0, "n_sources"] == 1
+    # default md5 weights are deterministic and in [1, 2)
+    assert domain_weight("a.example") == domain_weight("a.example")
+    assert 1.0 <= domain_weight("a.example") < 2.0
+
+
+def test_truth_vote_tie_breaks_on_min_object():
+    rows = [
+        ("born_in", "P1", "C9", "https://a.example/p/1"),
+        ("born_in", "P1", "C2", "https://b.example/p/1"),
+    ]
+    eq = {"a.example": 1.0, "b.example": 1.0}
+    out = truth_vote(_triples(rows), weights=eq)
+    assert out.loc[0, "chosen_obj"] == "C2"
+
+
+def test_signature_violations_excludes_majority():
+    ds = _triples([
+        ("born_in", "P1", "C1", "https://a.example/p/1"),
+        ("born_in", "P2", "C2", "https://a.example/p/2"),
+        ("born_in", "inf:x", "C3", "https://a.example/p/3"),  # violator
+    ])
+    out = signature_violations(ds)
+    assert out.to_dict("records") == [
+        {"pred": "born_in", "skind": "inferred", "okind": "city", "n": 1}]
