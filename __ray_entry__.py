@@ -1249,6 +1249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_conflicts": _kg_fact_conflicts,
         "kg_truth_vote": _kg_truth_vote,
         "kg_sig_violations": _kg_sig_violations,
+        # -- oracle-paired, NEW in round 4 (third session): DSIR
+        # importance-resampling scores (data-mixing selection)
+        "q_doc_dsir": q.q_doc_dsir,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,
@@ -1276,7 +1279,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bigram": q.q_doc_bigram,
         "q_supplier_er": q.q_supplier_er,
         "q_events_tumbling": q.q_events_tumbling,
-        "q_events_funnel": q.q_events_funnel,
         "q_profile_lineitem": q.q_profile_lineitem,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
@@ -1294,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dropout": q.q_doc_dropout,
         "q_orders_pareto": q.q_orders_pareto,
         "q_doc_split": q.q_doc_split,
+        "q_events_funnel": q.q_events_funnel,
         "q_events_mode": q.q_events_mode,
         "q_events_histogram": q.q_events_histogram,
         "q_nation_suppliers": q.q_nation_suppliers,

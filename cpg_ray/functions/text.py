@@ -1155,3 +1155,106 @@ def bigram_features(docs_ds, *, id_col: str = "doc_id",
         return df.reset_index()
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def dsir_scores(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+                target_col: str = "is_tgt", ndigits: int = 6,
+                driver_term_limit: int = 5_000_000):
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    via Importance Resampling" — public arXiv:2302.03169): score each
+    document by the log importance ratio of a TARGET unigram LM over
+    the SOURCE (whole-corpus) unigram LM,
+
+        score(d) = Σ_t  tf(t, d) · ln( p_tgt(t) / p_src(t) )
+
+    with add-one smoothing, p(t) = (c(t)+1) / (C+V), V = corpus vocab
+    size.  High scores mark documents that look like the target
+    distribution — the data-mixing selection step of an LLM pipeline.
+
+    ``docs_ds`` must carry a boolean ``target_col`` marking the target
+    subset (e.g. lang == 'en').  Both LMs come from ONE tokenize pass:
+    per-batch (token, n_all, n_tgt) partials → a single token-keyed
+    exchange; the log-ratio table broadcasts (guarded) and scoring is a
+    second stateless pass over the SAME materialized tf rows — the
+    corpus is tokenized once and never driver-materialized.  Scores are
+    rounded to ``ndigits`` before output (per-doc sums of doubles are
+    associativity-sensitive across engines); the smoothed-probability
+    expression is parenthesized identically to the SQL oracle so the
+    per-token log ratio is bit-identical.
+
+    Returns a Dataset of (id_col, dsir_score) for documents with ≥1
+    token."""
+    from .relational import GuardExceeded, groupby_agg
+
+    def tf_part(b: pd.DataFrame) -> pd.DataFrame:
+        t = _tf_frame(b, id_col, text_col)
+        if t.empty:
+            t["is_tgt"] = pd.Series([], dtype=bool)
+            return t
+        flag = dict(zip(b[id_col], b[target_col].astype(bool)))
+        t["is_tgt"] = t[id_col].map(flag).astype(bool)
+        return t
+
+    tf_rows = docs_ds.map_batches(tf_part, batch_format="pandas",
+                                  batch_size=None).materialize()
+
+    def cnt_part(t: pd.DataFrame) -> pd.DataFrame:
+        if t.empty:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "cs": pd.Series([], dtype="int64"),
+                                 "ct": pd.Series([], dtype="int64")})
+        t = t.assign(ctv=t["tf"].where(t["is_tgt"], 0))
+        g = t.groupby("tok", sort=False)
+        return pd.DataFrame({
+            "cs": g["tf"].sum(),
+            "ct": g["ctv"].sum(),
+        }).reset_index()
+
+    cnt = groupby_agg(
+        tf_rows.map_batches(cnt_part, batch_format="pandas"),
+        ["tok"], [("cs", "sum", "cs"), ("ct", "sum", "ct")])
+
+    # guarded driver collect of the log-ratio table (vocab-sized)
+    parts = []
+    total = 0
+    for part in cnt.iter_batches(batch_format="pandas"):
+        total += len(part)
+        if total > driver_term_limit:
+            raise GuardExceeded(
+                f"dsir_scores: vocabulary > {driver_term_limit} terms")
+        parts.append(part)
+    cdf = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame({"tok": [], "cs": [], "ct": []}))
+    if cdf.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {id_col: pd.Series([], dtype=object),
+             "dsir_score": pd.Series([], dtype="float64")}))
+    c_src = float(cdf["cs"].sum())
+    c_tgt = float(cdf["ct"].sum())
+    v = float(len(cdf))
+    ct = cdf["ct"].to_numpy(np.float64)
+    cs = cdf["cs"].to_numpy(np.float64)
+    # identical parenthesization to the SQL oracle:
+    # ln(((ct+1.0)/(Ct+V)) / ((cs+1.0)/(Cs+V)))
+    lr = np.log(((ct + 1.0) / (c_tgt + v)) / ((cs + 1.0) / (c_src + v)))
+    lr_map = dict(zip(cdf["tok"], lr))
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        if t.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=object),
+                 "dsir_score": pd.Series([], dtype="float64")})
+        part = (t["tf"].to_numpy(np.float64)
+                * t["tok"].map(lr_map).to_numpy(np.float64))
+        s = pd.Series(part).groupby(t[id_col].values, sort=False).sum()
+        out = s.reset_index()
+        out.columns = [id_col, "dsir_score"]
+        out["dsir_score"] = out["dsir_score"].round(ndigits)
+        return out
+
+    # docs are block-complete (batch_size=None above), so per-block
+    # per-doc sums are total
+    return tf_rows.map_batches(score, batch_format="pandas",
+                               batch_size=None)

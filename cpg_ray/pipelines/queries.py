@@ -1890,6 +1890,22 @@ def q_doc_unigram(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_doc_dsir(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance scores: target = English docs, source = whole
+    corpus; score = Σ tf·ln(p_tgt/p_src) under add-one-smoothed unigram
+    LMs — the data-mixing selection signal, one tokenize pass."""
+    from ..functions.text import dsir_scores
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    flagged = docs.map_batches(
+        lambda b: b.assign(is_tgt=(b["lang"] == "en")).drop(columns="lang"),
+        batch_format="pandas")
+    df = dsir_scores(flagged, id_col="doc_id").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test assignment (80/10/10 by md5-prefix
     range — the reproducible split every training pipeline needs; a
@@ -3732,6 +3748,36 @@ ORACLE_SQL: dict[str, str] = {
                ) AS redacted
         FROM aug
         ORDER BY doc_id
+    """,
+    "q_doc_dsir": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+               FROM toks GROUP BY doc_id, tok),
+        cnt AS (
+            SELECT tok, sum(tf)::BIGINT AS cs,
+                   sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)::BIGINT
+                       AS ct
+            FROM tf JOIN documents USING (doc_id)
+            GROUP BY tok
+        ),
+        sc AS (SELECT sum(cs)::DOUBLE AS c_src, sum(ct)::DOUBLE AS c_tgt,
+                      count(*)::DOUBLE AS v
+               FROM cnt)
+        SELECT tf.doc_id,
+               round(sum(tf.tf * ln(((cnt.ct + 1.0)
+                                     / ((SELECT c_tgt FROM sc)
+                                        + (SELECT v FROM sc)))
+                                    / ((cnt.cs + 1.0)
+                                       / ((SELECT c_src FROM sc)
+                                          + (SELECT v FROM sc))))), 6)
+                   AS dsir_score
+        FROM tf JOIN cnt USING (tok)
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id
     """,
     "q_doc_sparse_search": """
         WITH qt(qid, tok) AS (VALUES ('qa','hash'), ('qa','join'),

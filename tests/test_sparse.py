@@ -58,3 +58,19 @@ def test_empty_query_and_empty_corpus():
     empty = _docs([{"doc_id": 1, "text": ""}])
     out2 = sparse_search(empty, {"q0": "x"}, top_n=5).to_pandas()
     assert len(out2) == 0
+
+
+def test_dsir_scores_favor_target_like_docs():
+    """Docs made of target-corpus tokens must outscore docs made of
+    source-only tokens (the selection property DSIR exists for)."""
+    from cpg_ray.functions.text import dsir_scores
+
+    docs = _docs([
+        {"doc_id": 1, "text": "alpha alpha beta", "is_tgt": True},
+        {"doc_id": 2, "text": "alpha beta", "is_tgt": False},
+        {"doc_id": 3, "text": "gamma gamma delta", "is_tgt": False},
+    ])
+    out = dsir_scores(docs).to_pandas().set_index("doc_id")["dsir_score"]
+    # doc 2 shares the target's vocabulary; doc 3 is pure source-only
+    assert out[2] > out[3]
+    assert out[1] > out[3]
