@@ -1252,6 +1252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
         "q_doc_dsir": q.q_doc_dsir,
+        # -- oracle-paired, NEW in round 4 (third session): RANGE-frame
+        # windows (peers-inclusive value-range frames)
+        "q_events_range_frame": q.q_events_range_frame,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,
@@ -1272,7 +1275,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_stats": q.q_lineitem_stats,
         "q_events_moving": q.q_events_moving,
         "q_doc_unigram": q.q_doc_unigram,
-        "q_doc_sentences": q.q_doc_sentences,
         "q_supplier_blocking": q.q_supplier_blocking,
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_promo_share": q.q_promo_share,
@@ -1296,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dropout": q.q_doc_dropout,
         "q_orders_pareto": q.q_orders_pareto,
         "q_doc_split": q.q_doc_split,
+        "q_doc_sentences": q.q_doc_sentences,
         "q_events_funnel": q.q_events_funnel,
         "q_events_mode": q.q_events_mode,
         "q_events_histogram": q.q_events_histogram,

@@ -1172,6 +1172,65 @@ def q_events_lag(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_range_frame(sf_dir: str) -> pd.DataFrame:
+    """RANGE-frame window (value-range frames, the window family's last
+    gap after ROWS frames / ranks / ntiles): per event, the count and
+    exact sum of the SAME USER's events in the preceding hour,
+    peers-inclusive (RANGE ... 1 HOUR PRECEDING AND CURRENT ROW).
+
+    Shape: user-hash buckets co-locate each partition; inside a bucket
+    the frame bounds for EVERY row come from two global searchsorted
+    calls over per-user-offset timestamp keys (each user's segment maps
+    to a disjoint key range, so one monotonic array answers all users —
+    no per-user Python loop), and the sums are exact int64 cent prefix
+    sums (csum[hi]-csum[lo] is exact for integers, unlike float prefix
+    differences)."""
+    import numpy as np
+
+    from ..functions.relational import default_n_buckets
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    nb = default_n_buckets()
+    hour_us = 3_600_000_000
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "w_cnt": pd.Series(dtype="int64"),
+                "w_sum": pd.Series(dtype="float64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = g["ts"].values.astype("datetime64[us]").astype("int64")
+        t = t - t.min()  # headroom so uidx*span never overflows int64
+        u = g["user_id"].values
+        uidx = np.cumsum(np.r_[0, u[1:] != u[:-1]])
+        span = np.int64(t.max()) + hour_us + 2
+        if int(uidx[-1] + 1) * int(span) >= 2**62:
+            # guard the composite-key headroom (would need per-user
+            # chunking past ~4e18 key space; unreachable at any bucket
+            # size this data model produces)
+            raise ValueError("range-frame composite key overflow")
+        key = uidx * span + t
+        lo = np.searchsorted(key, key - hour_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cents = np.floor(g["value"].values * 100 + 0.5).astype("int64")
+        csum = np.r_[0, np.cumsum(cents)]
+        return pd.DataFrame({
+            "event_id": g.event_id.values,
+            "user_id": g.user_id.values,
+            "w_cnt": (hi - lo).astype("int64"),
+            "w_sum": (csum[hi] - csum[lo]) / 100.0,
+        })
+
+    df = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(frame, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact interpolated per-group quantiles (percentile_cont
     semantics: sorted-array lerp at h=(n-1)q, bit-identical to DuckDB's
@@ -3748,6 +3807,17 @@ ORACLE_SQL: dict[str, str] = {
                ) AS redacted
         FROM aug
         ORDER BY doc_id
+    """,
+    "q_events_range_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS w_cnt,
+               sum((floor(value * 100 + 0.5))::BIGINT) OVER w / 100.0
+                   AS w_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "q_doc_dsir": """
         WITH toks AS (
