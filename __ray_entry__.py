@@ -1255,6 +1255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, NEW in round 4 (third session): RANGE-frame
         # windows (peers-inclusive value-range frames)
         "q_events_range_frame": q.q_events_range_frame,
+        # -- oracle-paired, NEW in round 4 (fourth session): SemDeDup
+        # (k-means clusters -> within-cluster rational-cosine dedup)
+        "q_sem_dedup": q.q_sem_dedup,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,

@@ -199,7 +199,7 @@ def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *,
 
 def kmeans_quantized(ds, k: int = 8, rounds: int = 4, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     q_scale: int = 1024):
+                     q_scale: int = 1024, emit_coords: bool = False):
     """Fully DISTRIBUTED Lloyd's k-means over an embedding column, with
     every arithmetic step chosen to be bit-identical to a SQL engine
     (the generated unrolled-round oracle in ``__ray_entry__``):
@@ -342,9 +342,104 @@ def kmeans_quantized(ds, k: int = 8, rounds: int = 4, *,
     def assign_rows(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
         c_l, n_l, s_l = bcast_get(_ref)
         ids, x = _quantize(batch)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: ids,
             "cluster": _assign(x, c_l, n_l, s_l).astype(np.int64),
         })
+        if emit_coords:
+            # downstream consumers (sem_dedup) need the SAME quantized
+            # coordinates the assignment saw — re-quantizing later from
+            # floats would be exact too, but carrying them through keeps
+            # the contract in one place
+            out["xq"] = [row for row in x]
+            out["nrm"] = np.einsum("bd,bd->b", x, x)
+        return out
 
     return ds.map_batches(assign_rows, batch_format="pandas"), history
+
+
+def sem_dedup(ds, *, k: int = 8, rounds: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              q_scale: int = 1024, tau: tuple[int, int] = (2, 5),
+              max_cluster_rows: int = 200_000, block_rows: int = 1024):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", public
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    flag semantic duplicates ONLY within each cluster — a row is a
+    duplicate iff an earlier row (smaller ``id_col``) in the SAME
+    cluster has cosine similarity ≥ τ, so keep = ¬is_dup retains
+    exactly one representative (the min id) per duplicate set.
+
+    Exactness: clustering is :func:`kmeans_quantized` (integer-exact,
+    SQL-oracle-paired); the cosine test runs on the SAME quantized
+    int64 coordinates with τ = num/den held as a rational, so
+
+        cos(a, b) ≥ τ   ⇔   dot > 0  ∧  den²·dot² ≥ num²·‖a‖²·‖b‖²
+
+    is pure int64 arithmetic — bit-identical to the generated SQL
+    oracle, no float hash risk.  Bound: den²·(D·mx²)² and
+    num²·nrm_max² must stay below 2^63 (checked per cluster, raises
+    :class:`~cpg_ray.functions.relational.GuardExceeded`).
+
+    Scale shape: one extra exchange beyond k-means — assignments are
+    hash-partitioned by cluster and each cluster is flagged
+    group-locally with CHUNKED int64 matmuls (``block_rows`` × m per
+    step, never m × m materialized).  The per-cluster work is O(m²·D),
+    which is the SemDeDup design point: k must grow with the corpus
+    (the paper uses k ≈ n / 10⁴) so m stays bounded;
+    ``max_cluster_rows`` raises GuardExceeded past the declared cap
+    rather than silently thrashing.
+
+    Reference seam: the reference dedups structurally-equal nodes per
+    translation unit then across units (canonicalization); this is the
+    embedding-space analog an LLM-data pipeline runs before training.
+
+    Returns a Dataset of ``(id_col, cluster, is_dup)``.
+    """
+    from .relational import GuardExceeded
+
+    num, den = tau
+    if not (0 < num <= den):
+        raise ValueError("tau must be a rational in (0, 1] as (num, den)")
+    num2, den2 = num * num, den * den
+
+    assign, _hist = kmeans_quantized(
+        ds, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col,
+        q_scale=q_scale, emit_coords=True)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+                "is_dup": pd.Series(dtype=bool)})
+        m = len(g)
+        if m > max_cluster_rows:
+            raise GuardExceeded(
+                f"sem_dedup cluster of {m} rows exceeds max_cluster_rows="
+                f"{max_cluster_rows} — raise k (SemDeDup scales k with the"
+                " corpus) or the cap")
+        g = g.sort_values(id_col, kind="mergesort")
+        x = np.stack(g["xq"].to_numpy()).astype(np.int64)
+        nrm = g["nrm"].to_numpy().astype(np.int64)
+        mx = int(np.max(np.abs(x))) if m else 0
+        dot_max = float(x.shape[1]) * float(mx) ** 2
+        if (den2 * dot_max ** 2 >= 2.0 ** 63
+                or num2 * float(nrm.max()) ** 2 >= 2.0 ** 63):
+            raise GuardExceeded(
+                "sem_dedup exactness bound exceeded: den²·dot² or "
+                "num²·nrm² overflows int64 — lower q_scale")
+        is_dup = np.zeros(m, dtype=bool)
+        cols = np.arange(m, dtype=np.int64)
+        for a in range(0, m, block_rows):
+            b = min(a + block_rows, m)
+            d = x[a:b] @ x.T                            # int64, exact
+            cond = (d > 0) & (den2 * d * d >= num2 * nrm[a:b, None] * nrm)
+            cond &= cols[None, :] < np.arange(a, b, dtype=np.int64)[:, None]
+            is_dup[a:b] = cond.any(axis=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy().astype(np.int64),
+            "is_dup": is_dup})
+
+    return assign.groupby("cluster").map_groups(flag, batch_format="pandas")

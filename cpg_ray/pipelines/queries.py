@@ -765,6 +765,24 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_sem_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup over the embeddings table (similarity.sem_dedup,
+    arXiv:2303.09540 shape): k-means clusters (k=8, 4 rounds,
+    integer-exact) then within-cluster cosine ≥ 2/5 flags semantic
+    duplicates, min-id representative kept.  τ is calibrated to the
+    synthetic corpus (unit-norm Gaussian-ish vectors top out near
+    cos 0.6) so both branches are exercised; a production corpus uses
+    the paper's ~0.95 with the same rational-arithmetic path."""
+    from ..functions.similarity import sem_dedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = sem_dedup(ds, k=8, rounds=4, tau=(2, 5)).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["cluster"] = df["cluster"].astype("int64")
+    df["is_dup"] = df["is_dup"].astype(bool)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 
 def q_events_user_join(sf_dir: str) -> pd.DataFrame:
     """Skew-aware hybrid join (relational.skew_join): hot user_ids —
@@ -4043,12 +4061,15 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
-def _kmeans_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int) -> str:
-    """Generated unrolled-round oracle for q_kmeans: each Lloyd round is
-    a literal pair of CTEs (exact BIGINT centroid sums via GROUP BY,
-    then reassignment via CROSS JOIN + ROW_NUMBER over the identical
-    one-division distance expression) — bit-identical to
-    similarity.kmeans_quantized by construction."""
+def _kmeans_ctes(*, k: int, rounds: int, dim: int,
+                 q_scale: int) -> tuple[list[str], str]:
+    """Shared CTE chain for the generated k-means oracles: each Lloyd
+    round is a literal pair of CTEs (exact BIGINT centroid sums via
+    GROUP BY, then reassignment via CROSS JOIN + ROW_NUMBER over the
+    identical one-division distance expression) — bit-identical to
+    similarity.kmeans_quantized by construction.  Returns (ctes,
+    final_cte_name); the final CTE carries vec_id, x0..x{dim-1},
+    cluster."""
     xs = ", ".join(
         f"CAST(floor(embedding[{i + 1}] * {q_scale}.0) AS BIGINT) AS x{i}"
         for i in range(dim))
@@ -4072,13 +4093,54 @@ def _kmeans_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int) -> str:
             f"ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY "
             f"({terms})::DOUBLE / (c.n*c.n)::DOUBLE, c.cluster) AS rn "
             f"FROM a{r - 1} p CROSS JOIN c{r} c) WHERE rn = 1)")
+    return ctes, f"a{rounds}"
+
+
+def _kmeans_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int) -> str:
+    ctes, fin = _kmeans_ctes(k=k, rounds=rounds, dim=dim, q_scale=q_scale)
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT vec_id, cluster::BIGINT AS cluster "
-            f"FROM a{rounds} ORDER BY vec_id")
+            f"FROM {fin} ORDER BY vec_id")
+
+
+def _sem_dedup_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int,
+                          tau_num: int, tau_den: int) -> str:
+    """Generated oracle for q_sem_dedup: the k-means CTE chain, then a
+    within-cluster lower-id self-join with the SAME rational cosine
+    test similarity.sem_dedup runs — den²·dot² ≥ num²·‖a‖²·‖b‖² in
+    pure BIGINT arithmetic (the dot over quantized int coordinates, so
+    the comparison is exact in both engines)."""
+    ctes, fin = _kmeans_ctes(k=k, rounds=rounds, dim=dim, q_scale=q_scale)
+    cols = ", ".join(f"x{i}" for i in range(dim))
+    nrm = " + ".join(f"x{i}*x{i}" for i in range(dim))
+    dot = " + ".join(f"a.x{i}*b.x{i}" for i in range(dim))
+    # pn MUST be MATERIALIZED: DuckDB inlines CTEs per reference, and
+    # pn is referenced three times — inlining replays the whole
+    # unrolled k-means chain per reference (observed OOM); the dot is
+    # computed ONCE per pair in prs, never re-evaluated inside the
+    # aggregate
+    ctes.append(
+        f"pn AS MATERIALIZED (SELECT vec_id, cluster, {cols}, "
+        f"({nrm})::BIGINT AS nrm FROM {fin})")
+    ctes.append(
+        f"prs AS (SELECT a.vec_id AS vid, ({dot})::BIGINT AS dot, "
+        f"a.nrm AS na, b.nrm AS nb FROM pn a JOIN pn b "
+        f"ON b.cluster = a.cluster AND b.vec_id < a.vec_id)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT p.vec_id, p.cluster::BIGINT AS cluster,
+               coalesce(bool_or(r.dot > 0 AND
+                   {tau_den * tau_den}*r.dot*r.dot >=
+                   {tau_num * tau_num}*r.na*r.nb), false) AS is_dup
+        FROM pn p LEFT JOIN prs r ON r.vid = p.vec_id
+        GROUP BY p.vec_id, p.cluster
+        ORDER BY p.vec_id""")
 
 
 ORACLE_SQL["q_kmeans"] = _kmeans_oracle_sql(k=8, rounds=4, dim=64,
                                             q_scale=1024)
+
+ORACLE_SQL["q_sem_dedup"] = _sem_dedup_oracle_sql(
+    k=8, rounds=4, dim=64, q_scale=1024, tau_num=2, tau_den=5)
 
 
 ORACLE_SQL["q_events_user_join"] = """

@@ -126,3 +126,54 @@ def test_kmeans_validates_params():
         kmeans_quantized(_embeddings_ds(), k=0)
     with pytest.raises(ValueError):
         kmeans_quantized(_embeddings_ds(), k=2, rounds=0)
+
+
+def test_sem_dedup_matches_local_bruteforce():
+    """SemDeDup flags exactly the rows with an earlier same-cluster
+    neighbor at cosine >= tau — verified against a local quantized
+    brute-force recomputation (independent of the SQL oracle)."""
+    from cpg_ray.functions.similarity import kmeans_quantized, sem_dedup
+
+    got = (sem_dedup(_embeddings_ds(), k=5, rounds=2, q_scale=256,
+                     tau=(2, 5), block_rows=7)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    assign, _ = kmeans_quantized(_embeddings_ds(), k=5, rounds=2,
+                                 q_scale=256)
+    amap = dict(zip(*assign.to_pandas()[["vec_id", "cluster"]]
+                    .T.values.tolist()))
+    raw = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas()
+    raw = raw.sort_values("vec_id").reset_index(drop=True)
+    x = np.floor(np.stack(raw["embedding"].values).astype(np.float64)
+                 * 256.0).astype(np.int64)
+    nrm = np.einsum("bd,bd->b", x, x)
+    ids = raw["vec_id"].values
+    cl = np.array([amap[i] for i in ids])
+    want = np.zeros(len(ids), dtype=bool)
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[j] < ids[i] and cl[j] == cl[i]:
+                d = int(x[i] @ x[j])
+                if d > 0 and 25 * d * d >= 4 * int(nrm[i]) * int(nrm[j]):
+                    want[i] = True
+                    break
+    assert got["vec_id"].tolist() == ids.tolist()
+    assert got["is_dup"].tolist() == want.tolist()
+    assert 0 < int(want.sum()) < len(ids)  # both branches exercised
+
+
+def test_sem_dedup_cluster_cap_guard():
+    from cpg_ray.functions.relational import GuardExceeded
+    from cpg_ray.functions.similarity import sem_dedup
+
+    with pytest.raises((GuardExceeded, Exception)) as ei:
+        sem_dedup(_embeddings_ds(), k=1, rounds=1,
+                  max_cluster_rows=10).to_pandas()
+    assert "max_cluster_rows" in str(ei.value)
+
+
+def test_sem_dedup_validates_tau():
+    from cpg_ray.functions.similarity import sem_dedup
+
+    with pytest.raises(ValueError):
+        sem_dedup(_embeddings_ds(), tau=(7, 5))
