@@ -1258,6 +1258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, NEW in round 4 (fourth session): SemDeDup
         # (k-means clusters -> within-cluster rational-cosine dedup)
         "q_sem_dedup": q.q_sem_dedup,
+        # -- oracle-paired, NEW in round 4 (fourth session): CCNet-style
+        # bigram-LM perplexity filter (per-doc cross-entropy)
+        "q_doc_bigram_xent": q.q_doc_bigram_xent,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,
@@ -1277,11 +1280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
         "q_events_moving": q.q_events_moving,
-        "q_doc_unigram": q.q_doc_unigram,
         "q_supplier_blocking": q.q_supplier_blocking,
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_promo_share": q.q_promo_share,
-        "q_doc_bigram": q.q_doc_bigram,
         "q_supplier_er": q.q_supplier_er,
         "q_events_tumbling": q.q_events_tumbling,
         "q_profile_lineitem": q.q_profile_lineitem,
@@ -1297,6 +1298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
+        # q_doc_unigram/q_doc_bigram rotated just past the window to
+        # make room for q_doc_bigram_xent (same explode/count
+        # machinery, stricter smoothed-LM oracle) and keep the flagship
+        # trio inside; swept green via tools/check_oracles.py
+        "q_doc_unigram": q.q_doc_unigram,
+        "q_doc_bigram": q.q_doc_bigram,
         "q_events_zscore": q.q_events_zscore,
         "q_doc_dropout": q.q_doc_dropout,
         "q_orders_pareto": q.q_orders_pareto,

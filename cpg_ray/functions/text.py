@@ -1085,6 +1085,26 @@ def sentence_stats(batch: pd.DataFrame, *, id_col: str = "doc_id",
     })
 
 
+def _bigram_frame(b: pd.DataFrame, id_col: str, text_col: str
+                  ) -> pd.DataFrame:
+    """Explode a docs batch into adjacent-token-pair rows
+    (id_col, gram) — space-split tokens, gram = 'w1 w2'."""
+    lists = b[text_col].str.split(" ")
+    n = lists.str.len().to_numpy("int64")
+    total = int(n.sum())
+    flat = (np.concatenate(
+        [np.asarray(v, dtype=object) for v in lists])
+        if total else np.array([], dtype=object))
+    doc = b[id_col].to_numpy().repeat(n)
+    if total < 2:
+        return pd.DataFrame({id_col: pd.Series([], dtype=doc.dtype),
+                             "gram": pd.Series([], dtype=object)})
+    same = doc[:-1] == doc[1:]
+    gram = flat[:-1] + " " + flat[1:]  # object-array concat
+    return pd.DataFrame({id_col: doc[:-1][same],
+                         "gram": gram[same]})
+
+
 def bigram_features(docs_ds, *, id_col: str = "doc_id",
                     text_col: str = "text", mode: str = "auto"):
     """Bigram-LM document scoring — the unigram_features design one
@@ -1103,20 +1123,7 @@ def bigram_features(docs_ds, *, id_col: str = "doc_id",
     from .relational import bcast_get, groupby_agg
 
     def grams(b: pd.DataFrame) -> pd.DataFrame:
-        lists = b[text_col].str.split(" ")
-        n = lists.str.len().to_numpy("int64")
-        total = int(n.sum())
-        flat = (np.concatenate(
-            [np.asarray(v, dtype=object) for v in lists])
-            if total else np.array([], dtype=object))
-        doc = b[id_col].to_numpy().repeat(n)
-        if total < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype=doc.dtype),
-                                 "gram": pd.Series([], dtype=object)})
-        same = doc[:-1] == doc[1:]
-        gram = flat[:-1] + " " + flat[1:]  # object-array concat
-        return pd.DataFrame({id_col: doc[:-1][same],
-                             "gram": gram[same]})
+        return _bigram_frame(b, id_col, text_col)
 
     exploded = docs_ds.map_batches(grams, batch_format="pandas")
     counts = groupby_agg(exploded, ["gram"], [("gram", "count", "c")],
@@ -1153,6 +1160,103 @@ def bigram_features(docs_ds, *, id_col: str = "doc_id",
                 t[id_col]).mean(),
         })
         return df.reset_index()
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def bigram_xent(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+                ndigits: int = 6, mode: str = "auto",
+                driver_term_limit: int = 5_000_000):
+    """CCNet-style LM quality filter (Wenzek et al. 2020, "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    public arXiv:1911.00359, §4.3 "LM filtering"): score each document
+    by its conditional cross-entropy under the corpus's OWN add-one-
+    smoothed bigram LM,
+
+        xent(d) = (1/n_d) · Σ_{(w1,w2) ∈ d}  −ln( (c(w1,w2)+1)
+                                                  / (c1(w1)+V) )
+
+    where c(w1,w2) is the corpus bigram count, c1(w1) = Σ_w2 c(w1,w2)
+    the bigram-first count, V the corpus unigram vocabulary size and
+    n_d the document's bigram-occurrence count.  Low xent = fluent /
+    redundant text, high xent = rare constructions or noise — the
+    perplexity-bucket signal CCNet uses to split a crawl into
+    head/middle/tail quality tiers (here against the corpus's own LM;
+    in production the LM table is simply a different broadcast).
+
+    Shape: ONE exploded pass emits both unigram and bigram keys, one
+    pre-combined exchange counts them, the vocabulary-sized log-prob
+    table is built driver-side (guarded by ``driver_term_limit``,
+    raises GuardExceeded) and broadcast once; scoring is one stateless
+    pass over the docs.  Scores are rounded to ``ndigits`` (per-doc
+    double sums are associativity-sensitive across engines); the
+    smoothed-probability expression is parenthesized identically to
+    the SQL oracle.  Docs with <2 tokens emit no row.
+
+    Returns a Dataset of ``(id_col, n_bigrams, xent)``.
+    """
+    import ray
+
+    from .relational import GuardExceeded, bcast_get, groupby_agg
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        """Unified (key, kind) rows: kind 'u' = unigram token,
+        'b' = adjacent pair — one explode, one exchange for both."""
+        lists = b[text_col].str.split(" ")
+        n = lists.str.len().to_numpy("int64")
+        total = int(n.sum())
+        flat = (np.concatenate(
+            [np.asarray(v, dtype=object) for v in lists])
+            if total else np.array([], dtype=object))
+        doc = b[id_col].to_numpy().repeat(n)
+        frames = [pd.DataFrame({"key": flat,
+                                "kind": np.repeat("u", total)})]
+        if total >= 2:
+            same = doc[:-1] == doc[1:]
+            gram = flat[:-1] + " " + flat[1:]
+            frames.append(pd.DataFrame({
+                "key": gram[same],
+                "kind": np.repeat("b", int(same.sum()))}))
+        return pd.concat(frames, ignore_index=True)
+
+    cnt = groupby_agg(
+        docs_ds.map_batches(keys, batch_format="pandas"),
+        ["kind", "key"], [("key", "count", "c")], mode=mode)
+
+    parts, total = [], 0
+    for part in cnt.iter_batches(batch_format="pandas", batch_size=None):
+        total += len(part)
+        if total > driver_term_limit:
+            raise GuardExceeded(
+                f"bigram_xent: term table > {driver_term_limit} entries")
+        parts.append(part)
+    cdf = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame({"kind": [], "key": [], "c": []}))
+    v = float((cdf["kind"] == "u").sum())
+    bg = cdf[cdf["kind"] == "b"]
+    c12 = bg["c"].to_numpy(np.float64)
+    w1 = bg["key"].str.split(" ", n=1).str[0]
+    c1 = bg.groupby(w1, sort=False)["c"].transform("sum")\
+        .to_numpy(np.float64)
+    # identical parenthesization to the SQL oracle:
+    # -ln((c12 + 1.0) / (c1 + V))
+    lp = -np.log((c12 + 1.0) / (c1 + v))
+    lp_ref = ray.put(dict(zip(bg["key"], lp)))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lmap = bcast_get(lp_ref)
+        t = _bigram_frame(b, id_col, text_col)
+        if not len(t):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=b[id_col].dtype),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "xent": pd.Series([], dtype="float64")})
+        s = t["gram"].map(lmap).astype(np.float64)
+        g = s.groupby(t[id_col])
+        out = pd.DataFrame({
+            "n_bigrams": g.size().astype("int64"),
+            "xent": (g.sum() / g.size()).round(ndigits)})
+        return out.reset_index()
 
     return docs_ds.map_batches(score, batch_format="pandas")
 

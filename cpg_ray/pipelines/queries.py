@@ -2460,6 +2460,21 @@ def q_doc_bigram(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_bigram_xent(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity/LM quality filter (text.bigram_xent,
+    arXiv:1911.00359 §4.3 shape): per-doc conditional cross-entropy
+    under the corpus's own add-one-smoothed bigram LM — one exploded
+    pass counts unigrams+bigrams together, the vocab-sized log-prob
+    table broadcasts once, scoring is one stateless pass."""
+    from ..functions.text import bigram_xent
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = bigram_xent(docs, id_col="doc_id").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_bigrams"] = df["n_bigrams"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT ...) per group, two-phase: per-batch
     (hour, user) distinct combiner -> global distinct (distinct_on,
@@ -3009,6 +3024,31 @@ ORACLE_SQL: dict[str, str] = {
                sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)::BIGINT
                    AS n_hapax_bigrams
         FROM g JOIN cnt c USING (gram)
+        GROUP BY g.doc_id ORDER BY doc_id
+    """,
+    "q_doc_bigram_xent": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(
+                       1, array_length(string_split(text, ' ')))) AS i
+            FROM documents
+        ), g AS (
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS gram, a.tok AS w1
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ), cnt AS (
+            SELECT gram, count(*)::BIGINT AS c12 FROM g GROUP BY gram
+        ), c1 AS (
+            SELECT split_part(gram, ' ', 1) AS w1, sum(c12)::BIGINT AS s
+            FROM cnt GROUP BY 1
+        ), v AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM toks)
+        SELECT g.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(sum(-ln((c.c12 + 1.0)
+                             / (c1.s + (SELECT v FROM v))))
+                     / count(*), 6) AS xent
+        FROM g JOIN cnt c USING (gram) JOIN c1 ON c1.w1 = g.w1
         GROUP BY g.doc_id ORDER BY doc_id
     """,
     "q_embedding_centroid": """

@@ -450,3 +450,33 @@ def test_bigram_features_exact_and_logprob():
     assert out.loc[2, "n_hapax_bigrams"] == 1
     expect_lp = (-math.log(3 / 5) * 2 - math.log(1 / 5)) / 3
     assert abs(out.loc[1, "avg_neg_logprob"] - expect_lp) < 1e-12
+
+
+def test_bigram_xent_hand_computed_smoothed_lm():
+    """CCNet-shape LM filter: hand-check the add-one-smoothed
+    conditional cross-entropy on a 3-doc corpus (text.bigram_xent)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import bigram_xent
+
+    texts = ["a b a b", "a b c", "x"]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": texts}))
+    out = bigram_xent(docs).to_pandas().set_index("doc_id")
+    # vocab V = |{a,b,c,x}| = 4; bigram counts: 'a b'->3,'b a'->1,'b c'->1
+    # first-token sums: c1(a)=3, c1(b)=2
+    assert 3 not in out.index  # <2-token doc emits no row
+    lp_ab = -math.log((3 + 1.0) / (3 + 4.0))
+    lp_ba = -math.log((1 + 1.0) / (2 + 4.0))
+    lp_bc = -math.log((1 + 1.0) / (2 + 4.0))
+    assert out.loc[1, "n_bigrams"] == 3
+    assert abs(out.loc[1, "xent"]
+               - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out.loc[2, "n_bigrams"] == 2
+    assert abs(out.loc[2, "xent"]
+               - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
+    # fluent/redundant doc 1 scores LOWER xent than the rarer doc 2
+    assert out.loc[1, "xent"] < out.loc[2, "xent"]
