@@ -914,16 +914,25 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
         import numpy as np
         import ray
 
-        ev = pd.concat(
-            list(ds.iter_batches(batch_format="pandas")), ignore_index=True
+        batches = list(ds.iter_batches(batch_format="pandas"))
+        # count()==0 still selects this branch; pd.concat([]) raises
+        ev = (
+            pd.concat(batches, ignore_index=True)
+            if batches
+            else pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="datetime64[ns]")})
         ).sort_values(["user_id", "ts"], kind="mergesort")
         ts_ns = ev["ts"].values.astype("datetime64[ns]").astype("int64")
         # contiguous per-user segments of the (user, ts)-sorted array
         index = {}
         uvals = ev["user_id"].values
-        bounds = np.flatnonzero(np.r_[True, uvals[1:] != uvals[:-1], True])
-        for i in range(len(bounds) - 1):
-            index[uvals[bounds[i]]] = ts_ns[bounds[i]:bounds[i + 1]]
+        if len(uvals):
+            bounds = np.flatnonzero(
+                np.r_[True, uvals[1:] != uvals[:-1], True])
+            for i in range(len(bounds) - 1):
+                index[uvals[bounds[i]]] = ts_ns[bounds[i]:bounds[i + 1]]
         ref = ray.put(index)
         from ..functions.relational import bcast_get
 
@@ -944,6 +953,11 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
         df = ds.map_batches(
             win, batch_format="pandas", batch_size=32768
         ).to_pandas()
+        if not len(df):  # zero blocks reach win() on an empty input
+            df = pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "n_1h": pd.Series([], dtype="int64")})
         return df.sort_values("event_id").reset_index(drop=True)
 
     from ..functions.relational import default_n_buckets
