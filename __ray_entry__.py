@@ -940,6 +940,43 @@ def _comention_edges(sf_dir: str):
                      batch_format="pandas")
 
 
+def _kg_cooccur_pmi(sf_dir: str):
+    """PMI-scored co-mention pairs (Church & Hanks 1990 association
+    strength — the classic relation-proposal signal in KG
+    construction): for every entity pair sharing a page, the pair's
+    page count, each entity's page frequency, and
+    floor(1e6·ln(c_ab·N/(c_a·c_b))) — one exact-int product, one IEEE
+    divide and one libm log per row, so the oracle hash-matches."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import cooccur_pmi
+    from cpg_ray.functions.relational import distinct_on
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["url", "canonical_subj", "canonical_obj"])
+    men = distinct_on(
+        tri.map_batches(
+            lambda b: pd.DataFrame({
+                "url": pd.concat([b["url"], b["url"]],
+                                 ignore_index=True),
+                "e": pd.concat([b["canonical_subj"],
+                                b["canonical_obj"]],
+                               ignore_index=True)}),
+            batch_format="pandas"),
+        ["url", "e"])
+    df = cooccur_pmi(men).to_pandas().rename(
+        columns={"a": "entity_a", "b": "entity_b"})
+    for c in ["c_ab", "c_a", "c_b", "pmi_scaled"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["entity_a", "entity_b"]
+                          ).reset_index(drop=True)
+
+
 def _kg_random_walks(sf_dir: str):
     """DeepWalk-style deterministic walk corpus (2 walks × 3 steps per
     node) over the directed canonical entity graph; the md5 step draw
@@ -1222,6 +1259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from cpg_ray.pipelines import dss
 
     out: dict[str, Callable[[str], Any]] = {
+        # -- oracle-paired, NEW in round 4 (fourth session): PMI
+        # co-mention association and event-type Markov transitions
+        "kg_cooccur_pmi": _kg_cooccur_pmi,
+        "q_events_transitions": q.q_events_transitions,
         # -- oracle-paired, NEW in round 4 (third session): the
         # decision-support batch — correlated EXISTS folding, star
         # joins, global-scalar HAVING, two-level aggregates,
@@ -2465,6 +2506,37 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                         UNION ALL SELECT z FROM tri)
             SELECT entity, count(*)::BIGINT AS triangles
             FROM corners GROUP BY entity ORDER BY entity
+        """,
+        # PMI association strength over the co-mention graph: the
+        # single per-row ln keeps the adamic-adar float discipline
+        # (int64 products -> one IEEE divide -> one libm log -> floor)
+        "kg_cooccur_pmi": f"""
+            WITH men AS (
+                SELECT DISTINCT url, canonical_subj AS e
+                FROM read_parquet('{triples_glob}')
+                UNION
+                SELECT DISTINCT url, canonical_obj AS e
+                FROM read_parquet('{triples_glob}')
+            ),
+            n AS (SELECT count(DISTINCT url)::BIGINT AS n_docs
+                  FROM men),
+            dfreq AS (SELECT e, count(*)::BIGINT AS df
+                      FROM men GROUP BY e),
+            pairs AS (SELECT m1.e AS a, m2.e AS b,
+                             count(*)::BIGINT AS c_ab
+                      FROM men m1
+                      JOIN men m2 ON m1.url = m2.url AND m1.e < m2.e
+                      GROUP BY 1, 2)
+            SELECT p.a AS entity_a, p.b AS entity_b, p.c_ab,
+                   da.df AS c_a, db.df AS c_b,
+                   CAST(floor(1000000.0 * ln(
+                        (p.c_ab * n.n_docs) / (da.df * db.df)))
+                        AS BIGINT) AS pmi_scaled
+            FROM pairs p
+            CROSS JOIN n
+            JOIN dfreq da ON da.e = p.a
+            JOIN dfreq db ON db.e = p.b
+            ORDER BY entity_a, entity_b
         """,
         # temporal-KG fact observation windows
         "kg_fact_timeline": f"""

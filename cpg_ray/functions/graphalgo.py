@@ -894,6 +894,73 @@ def co_occurrence_pairs(ds, *, group_col: str = "url",
     ).groupby("__bk").map_groups(pairs, batch_format="pandas")
 
 
+def cooccur_pmi(mentions, *, group_col: str = "url", item_col: str = "e",
+                scale: int = 1_000_000, max_group: int = 5000,
+                df_row_limit: int = 5_000_000):
+    """Pointwise-mutual-information co-occurrence scoring (Church &
+    Hanks 1990, the classic relation-strength signal in KG
+    construction): for every unordered item pair (a < b) sharing a
+    group, the pair's group count ``c_ab``, each item's group
+    frequency ``c_a``/``c_b``, and
+    ``pmi_scaled = floor(scale * ln(c_ab * N / (c_a * c_b)))`` with
+    N = number of distinct groups.  The single per-row ``ln`` keeps
+    the float discipline of :func:`link_adamic_adar` (no
+    order-dependent float SUM — every arithmetic step is one exact
+    int64 product, one IEEE divide, one libm log), so a SQL oracle
+    reproduces the bytes.
+
+    Input rows must already be distinct on (group, item) — the same
+    contract as :func:`co_occurrence_pairs`, which provides the pair
+    fan-out (capped mega-group guard, skip rows filtered here after a
+    zero-skip assertion is NOT made: skipped groups simply contribute
+    no pairs, the declared lossy contract of the pair builder).
+
+    Scale shape: pair fan-out is one bounded exchange
+    (co_occurrence_pairs), pair counts and item frequencies are
+    combiner-fed groupbys; the item-frequency table is vocabulary-
+    sized and collected under ``df_row_limit``
+    (:class:`~cpg_ray.functions.relational.GuardExceeded` past it)
+    then broadcast onto the pair counts — no shuffle join of the
+    big side."""
+    from .relational import (_collect_limited, broadcast_join,
+                             distinct_on, groupby_agg)
+
+    n_docs = distinct_on(
+        mentions.map_batches(lambda b: b[[group_col]],
+                             batch_format="pandas"),
+        [group_col]).count()
+
+    dfreq = _collect_limited(
+        groupby_agg(mentions, [item_col], [(group_col, "count", "df")]),
+        df_row_limit, "cooccur_pmi")
+
+    pair_counts = groupby_agg(
+        co_occurrence_pairs(mentions, group_col=group_col,
+                            item_col=item_col, max_group=max_group)
+        .map_batches(lambda b: b[b["skipped_n"] == 0][["a", "b"]],
+                     batch_format="pandas"),
+        ["a", "b"], [("a", "count", "c_ab")])
+
+    j = broadcast_join(
+        pair_counts,
+        dfreq.rename(columns={item_col: "a", "df": "c_a"}), left_on="a")
+    j = broadcast_join(
+        j, dfreq.rename(columns={item_col: "b", "df": "c_b"}),
+        left_on="b")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        c_ab = b["c_ab"].to_numpy("int64")
+        c_a = b["c_a"].to_numpy("int64")
+        c_b = b["c_b"].to_numpy("int64")
+        ratio = (c_ab * n_docs).astype("float64") \
+            / (c_a * c_b).astype("float64")
+        b = b[["a", "b", "c_ab", "c_a", "c_b"]].copy()
+        b["pmi_scaled"] = np.floor(scale * np.log(ratio)).astype("int64")
+        return b
+
+    return j.map_batches(score, batch_format="pandas")
+
+
 # ---- triangle counting -------------------------------------------------
 
 

@@ -1204,6 +1204,50 @@ def q_events_lag(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition census (per-user Markov bigram counts —
+    the first-order behavior model a clickstream pipeline trains on):
+    count consecutive (event_type → next event_type) pairs within each
+    user's ts-ordered stream, summed across users.
+
+    Shape: user-hash buckets co-locate each user's stream; inside a
+    bucket ONE vectorized shift over the (user, ts, event_id)-sorted
+    frame yields every transition (user-boundary rows masked) and the
+    per-bucket pandas groupby is the combiner — only the tiny
+    (type, type) partial counts leave each bucket for the final
+    merge."""
+    from ..functions.relational import default_n_buckets, groupby_agg
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    nb = default_n_buckets()
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy(dtype=object)
+        keep = u[:-1] == u[1:]
+        out = pd.DataFrame({"from_type": t[:-1][keep],
+                            "to_type": t[1:][keep]})
+        out = out.groupby(["from_type", "to_type"], sort=False
+                          ).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(trans, batch_format="pandas")
+    df = groupby_agg(parts, ["from_type", "to_type"],
+                     [("n", "sum", "n")]).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
 def q_events_range_frame(sf_dir: str) -> pd.DataFrame:
     """RANGE-frame window (value-range frames, the window family's last
     gap after ROWS frames / ranks / ntiles): per event, the count and
@@ -3424,6 +3468,19 @@ ORACLE_SQL: dict[str, str] = {
                    AS delta_us
         FROM events
         ORDER BY event_id
+    """,
+    "q_events_transitions": """
+        WITH nxt AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS next_type
+            FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*)::BIGINT AS n
+        FROM nxt WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "q_events_quantiles": """
         SELECT event_type,

@@ -955,3 +955,22 @@ def test_sorted_neighborhood_pairs_matches_brute_force():
                   .sort_values(["id_a", "id_b"]).reset_index(drop=True))
         got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_events_transitions_matches_pandas_bruteforce():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cpg_ray.pipelines.queries import q_events_transitions
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_transitions(sf)
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    nxt = ev.groupby("user_id")["event_type"].shift(-1)
+    exp = (pd.DataFrame({"from_type": ev["event_type"], "to_type": nxt})
+           .dropna()
+           .groupby(["from_type", "to_type"]).size().reset_index(name="n"))
+    exp["n"] = exp["n"].astype("int64")
+    exp = exp.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)

@@ -770,3 +770,33 @@ def test_scc_known_cycles_modes_agree_and_bounded_flag():
             mode="driver").to_pandas().set_index("entity")
     assert not bool(z.loc["a", "assigned"])
     assert z.loc["a", "scc_id"] == "a"
+
+
+def test_cooccur_pmi_matches_hand_computation():
+    import math
+
+    from cpg_ray.functions.graphalgo import cooccur_pmi
+
+    men = pd.DataFrame({
+        "url": ["u1", "u1", "u1", "u2", "u2", "u3"],
+        "e":   ["A",  "B",  "C",  "A",  "B",  "A"],
+    })
+    df = cooccur_pmi(rd.from_pandas(men)).to_pandas()
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    # N=3 docs; df(A)=3 df(B)=2 df(C)=1; pairs (A,B)=2 (A,C)=1 (B,C)=1
+    assert df[["a", "b"]].values.tolist() == [
+        ["A", "B"], ["A", "C"], ["B", "C"]]
+    assert df["c_ab"].tolist() == [2, 1, 1]
+    assert df["c_a"].tolist() == [3, 3, 2]
+    assert df["c_b"].tolist() == [2, 1, 1]
+    exp = [math.floor(1e6 * math.log((c_ab * 3) / (ca * cb)))
+           for c_ab, ca, cb in [(2, 3, 2), (1, 3, 1), (1, 2, 1)]]
+    assert df["pmi_scaled"].tolist() == exp  # [0, 0, 405465]
+
+
+def test_cooccur_pmi_single_item_groups_emit_nothing():
+    from cpg_ray.functions.graphalgo import cooccur_pmi
+
+    men = pd.DataFrame({"url": ["u1", "u2"], "e": ["A", "B"]})
+    df = cooccur_pmi(rd.from_pandas(men)).to_pandas()
+    assert len(df) == 0
