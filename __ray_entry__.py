@@ -1320,13 +1320,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
-        "q_events_moving": q.q_events_moving,
         "q_supplier_blocking": q.q_supplier_blocking,
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_promo_share": q.q_promo_share,
         "q_supplier_er": q.q_supplier_er,
         "q_events_tumbling": q.q_events_tumbling,
-        "q_profile_lineitem": q.q_profile_lineitem,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         # -- the DSS batch displaced 13 window slots: the stable four
@@ -1342,7 +1340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_doc_unigram/q_doc_bigram rotated just past the window to
         # make room for q_doc_bigram_xent (same explode/count
         # machinery, stricter smoothed-LM oracle) and keep the flagship
-        # trio inside; swept green via tools/check_oracles.py
+        # trio inside; q_events_moving/q_profile_lineitem rotated out
+        # for kg_cooccur_pmi/q_events_transitions the same way; all
+        # swept green via tools/check_oracles.py
+        "q_events_moving": q.q_events_moving,
+        "q_profile_lineitem": q.q_profile_lineitem,
         "q_doc_unigram": q.q_doc_unigram,
         "q_doc_bigram": q.q_doc_bigram,
         "q_events_zscore": q.q_events_zscore,
