@@ -940,6 +940,34 @@ def _comention_edges(sf_dir: str):
                      batch_format="pandas")
 
 
+def _kg_entity_salience(sf_dir: str):
+    """Entity salience per page (position + frequency heuristic, the
+    Dunietz & Gillick 2014 feature shape): per (url, norm entity) the
+    mention count, first-mention byte offset, and
+    floor(1e6·n/(1+first_pos)) — earlier and more frequent mentions
+    score higher; exact int64 counts, one IEEE divide + floor per row
+    so the oracle hash-matches."""
+    from cpg_ray.functions.graphquery import label_filter
+    from cpg_ray.functions.relational import groupby_agg
+
+    nodes, _edges = _graph_tables(sf_dir)
+    m = label_filter(nodes, "Mention").map_batches(
+        lambda b: b[["url", "norm_name", "span_start"]],
+        batch_format="pandas")
+    agg = groupby_agg(m, ["url", "norm_name"],
+                      [("span_start", "count", "n_mentions"),
+                       ("span_start", "min", "first_pos")])
+    df = agg.to_pandas()
+    n = df["n_mentions"].to_numpy("int64")
+    fp = df["first_pos"].to_numpy("int64")
+    import numpy as np
+    df["n_mentions"] = n
+    df["first_pos"] = fp
+    df["salience_scaled"] = np.floor(
+        1_000_000.0 * (n / (1 + fp))).astype("int64")
+    return df.sort_values(["url", "norm_name"]).reset_index(drop=True)
+
+
 def _kg_cooccur_pmi(sf_dir: str):
     """PMI-scored co-mention pairs (Church & Hanks 1990 association
     strength — the classic relation-proposal signal in KG
@@ -1259,6 +1287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from cpg_ray.pipelines import dss
 
     out: dict[str, Callable[[str], Any]] = {
+        # -- oracle-paired, NEW in round 4 (fifth session): per-user
+        # event-type Shannon entropy (integer-scaled term sum) and
+        # position+frequency entity salience over Mention nodes
+        "q_events_entropy": q.q_events_entropy,
+        "kg_entity_salience": _kg_entity_salience,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1321,10 +1354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_lineitem_stats": q.q_lineitem_stats,
         "q_supplier_blocking": q.q_supplier_blocking,
-        "q_embedding_centroid": q.q_embedding_centroid,
         "q_promo_share": q.q_promo_share,
         "q_supplier_er": q.q_supplier_er,
-        "q_events_tumbling": q.q_events_tumbling,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         # -- the DSS batch displaced 13 window slots: the stable four
@@ -1337,6 +1368,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
+        # q_embedding_centroid/q_events_tumbling rotated just past the
+        # window for the fifth-session pair (entropy/salience): their
+        # machinery (embedding mean-agg, bucketed time groupby) is
+        # covered in-window by q_kmeans/q_sem_dedup and
+        # q_events_range_frame; swept green via tools/check_oracles.py
+        "q_embedding_centroid": q.q_embedding_centroid,
+        "q_events_tumbling": q.q_events_tumbling,
         # q_doc_unigram/q_doc_bigram rotated just past the window to
         # make room for q_doc_bigram_xent (same explode/count
         # machinery, stricter smoothed-LM oracle) and keep the flagship
@@ -2109,6 +2147,18 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             GROUP BY eid
             ORDER BY n_mentions DESC, eid
             LIMIT 20
+        """,
+        "kg_entity_salience": f"""
+            SELECT url, norm_name,
+                   count(*)::BIGINT AS n_mentions,
+                   min(span_start)::BIGINT AS first_pos,
+                   CAST(floor(1000000.0 * (count(*) /
+                        (1 + min(span_start)))) AS BIGINT)
+                       AS salience_scaled
+            FROM {gsrc}
+            WHERE kind = 'node' AND label = 'Mention'
+            GROUP BY url, norm_name
+            ORDER BY url, norm_name
         """,
         "kg_domain_cap": f"""
             SELECT url, lang FROM (

@@ -2653,6 +2653,51 @@ def q_lineitem_stats(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_events_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type Shannon entropy (behavioral-diversity
+    feature): H = Σ_type (c/n)·ln(n/c), kept INTEGER-EXACT as a sum of
+    per-type floor(1e9·(c/n)·ln(n/c)) terms — each term is one IEEE
+    divide, one libm log, one multiply, one floor on exact int64
+    counts, so the int sum is order-free and the SQL oracle
+    hash-matches (the adamic-adar float discipline).
+
+    Shape: one pre-combined (user, type) count exchange; the entropy
+    finish runs on the tiny counts table, user-segments resolved with
+    ONE reduceat pass per bucket — no per-user Python loop."""
+    from ..functions.relational import default_n_buckets, groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    cnts = groupby_agg(ds, ["user_id", "event_type"],
+                       [("event_type", "count", "c")])
+    nb = default_n_buckets()
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "h_scaled": pd.Series(dtype="int64")})
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        u = g["user_id"].to_numpy("int64")
+        c = g["c"].to_numpy("int64")
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n_seg = np.add.reduceat(c, starts)
+        sizes = np.diff(np.r_[starts, len(u)])
+        n_rep = np.repeat(n_seg, sizes)
+        term = np.floor(1_000_000_000.0 * ((c / n_rep)
+                        * np.log(n_rep / c))).astype("int64")
+        return pd.DataFrame({"user_id": u[starts],
+                             "n_events": n_seg,
+                             "h_scaled": np.add.reduceat(term, starts)})
+
+    df = cnts.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(ent, batch_format="pandas").to_pandas()
+    for col in ["user_id", "n_events", "h_scaled"]:
+        df[col] = df[col].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_mode(sf_dir: str) -> pd.DataFrame:
     """MODE aggregate (most frequent value per group, deterministic
     min-value tie-break): distinct (group, value) counts through one
@@ -3309,7 +3354,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         ORDER BY user_id
     """,
-    "q_url_canonical": """
+    "q_url_canonical": r"""
         WITH u AS (
             SELECT doc_id,
                    'https://site' || (doc_id % 97)::VARCHAR
@@ -3468,6 +3513,17 @@ ORACLE_SQL: dict[str, str] = {
                    AS delta_us
         FROM events
         ORDER BY event_id
+    """,
+    "q_events_entropy": """
+        WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+                   FROM events GROUP BY 1, 2),
+        n AS (SELECT user_id, sum(c)::BIGINT AS n FROM c GROUP BY 1)
+        SELECT c.user_id, n.n AS n_events,
+               SUM(CAST(floor(1000000000.0 * ((c.c / n.n)
+                   * ln(n.n / c.c))) AS BIGINT))::BIGINT AS h_scaled
+        FROM c JOIN n USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY user_id
     """,
     "q_events_transitions": """
         WITH nxt AS (

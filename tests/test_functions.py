@@ -974,3 +974,69 @@ def test_events_transitions_matches_pandas_bruteforce():
     exp["n"] = exp["n"].astype("int64")
     exp = exp.sort_values(["from_type", "to_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_events_entropy_matches_pandas_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cpg_ray.pipelines.queries import q_events_entropy
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_entropy(sf)
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    c = (ev.groupby(["user_id", "event_type"]).size()
+           .reset_index(name="c"))
+    n = c.groupby("user_id")["c"].transform("sum")
+    term = np.floor(1_000_000_000.0
+                    * ((c["c"] / n) * np.log(n / c["c"]))).astype("int64")
+    exp = (pd.DataFrame({"user_id": c["user_id"], "n_events": n,
+                         "h_scaled": term})
+           .groupby("user_id", as_index=False)
+           .agg(n_events=("n_events", "first"), h_scaled=("h_scaled", "sum"))
+           .sort_values("user_id").reset_index(drop=True))
+    for col in ["user_id", "n_events", "h_scaled"]:
+        exp[col] = exp[col].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    # entropy of a single-type user is exactly 0; all H >= 0
+    assert (got["h_scaled"] >= 0).all()
+
+
+def test_entity_salience_matches_pandas_bruteforce():
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import glob
+
+    import pyarrow.dataset as pads
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry._kg_entity_salience(sf)
+    gdir = entry._ensure_graph(sf, "mixed")
+    nodes = pads.dataset(
+        sorted(glob.glob(f"{gdir}/graph/shard=*/kind=node/*.parquet"))
+    ).to_table(columns=["label", "url", "norm_name", "span_start"]).to_pandas()
+    m = nodes[nodes["label"] == "Mention"]
+    exp = (m.groupby(["url", "norm_name"], as_index=False)
+            .agg(n_mentions=("span_start", "size"),
+                 first_pos=("span_start", "min")))
+    exp["n_mentions"] = exp["n_mentions"].astype("int64")
+    exp["first_pos"] = exp["first_pos"].astype("int64")
+    exp["salience_scaled"] = np.floor(
+        1_000_000.0 * (exp["n_mentions"].to_numpy("int64")
+                       / (1 + exp["first_pos"].to_numpy("int64")))
+    ).astype("int64")
+    exp = exp.sort_values(["url", "norm_name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # earlier-and-more-frequent dominance: for equal first_pos within a
+    # page, salience is monotone in mention count
+    s = got.sort_values(["url", "first_pos", "n_mentions"])
+    grp = s.groupby(["url", "first_pos"])["salience_scaled"]
+    assert (grp.apply(lambda v: v.is_monotonic_increasing)).all()
