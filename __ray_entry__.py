@@ -703,6 +703,44 @@ def _entity_edges(sf_dir: str):
     )
 
 
+def _kg_transe(sf_dir: str):
+    """TransE L1 triple-plausibility energy over the distinct canonical
+    triples (md5-derived integer embeddings as the KGE model seam) —
+    the triple-ranking signal of KG-completion pipelines."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import transe_scores
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj"],
+    )
+    df = transe_scores(
+        tri, subj="canonical_subj", pred="pred", obj="canonical_obj",
+    ).to_pandas()
+    df["transe_score"] = df["transe_score"].astype("int64")
+    return df.sort_values(
+        ["canonical_subj", "pred", "canonical_obj"]
+    ).reset_index(drop=True)
+
+
+def _kg_lpa(sf_dir: str):
+    """Frequency label-propagation communities (Raghavan et al. 2007,
+    synchronous, 4 fixed rounds, min-label tie-break) over the
+    canonical entity graph — sub-component community structure beside
+    kg_components' connected components; unrolled SQL oracle."""
+    from cpg_ray.functions.graphalgo import label_propagation
+
+    df = label_propagation(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        rounds=4,
+    ).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_pagerank(sf_dir: str):
     """Fixed-point PageRank over the canonical entity graph (exact
     integer semantics so the unrolled recursive-CTE oracle is
@@ -1292,6 +1330,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # position+frequency entity salience over Mention nodes
         "q_events_entropy": q.q_events_entropy,
         "kg_entity_salience": _kg_entity_salience,
+        # hashed-n-gram linear quality classifier (fastText shape)
+        "q_doc_fasttext": q.q_doc_fasttext,
+        # frequency label-propagation communities (4 rounds, unrolled
+        # SQL oracle)
+        "kg_lpa": _kg_lpa,
+        # TransE triple-plausibility energy (md5 KGE model seam)
+        "kg_transe": _kg_transe,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1352,10 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_pivot": q.q_events_pivot,
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
-        "q_lineitem_stats": q.q_lineitem_stats,
         "q_supplier_blocking": q.q_supplier_blocking,
-        "q_promo_share": q.q_promo_share,
-        "q_supplier_er": q.q_supplier_er,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
         # -- the DSS batch displaced 13 window slots: the stable four
@@ -1368,13 +1410,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
-        # q_embedding_centroid/q_events_tumbling rotated just past the
-        # window for the fifth-session pair (entropy/salience): their
-        # machinery (embedding mean-agg, bucketed time groupby) is
-        # covered in-window by q_kmeans/q_sem_dedup and
-        # q_events_range_frame; swept green via tools/check_oracles.py
+        # Rotated just past the window for the fifth-session additions
+        # (entropy/salience/fasttext/lpa/transe): their machinery is
+        # covered in-window by siblings — embedding mean-agg by
+        # q_kmeans/q_sem_dedup, bucketed time groupby by
+        # q_events_range_frame, conditional share aggregates by
+        # q8_market_share, stats aggregates by the DSS batch, and the
+        # ER match step by q_supplier_blocking (its blocking half).
+        # All swept green via tools/check_oracles.py at sf0.001+0.01.
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_events_tumbling": q.q_events_tumbling,
+        "q_lineitem_stats": q.q_lineitem_stats,
+        "q_promo_share": q.q_promo_share,
+        "q_supplier_er": q.q_supplier_er,
         # q_doc_unigram/q_doc_bigram rotated just past the window to
         # make room for q_doc_bigram_xent (same explode/count
         # machinery, stricter smoothed-LM oracle) and keep the flagship
@@ -2767,6 +2815,51 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             ORDER BY entity
         """,
     }
+    # TransE: integer md5-seam embeddings (4 dims), exact L1 energy
+    out["kg_transe"] = f"""
+            WITH t AS (SELECT DISTINCT canonical_subj AS s, pred AS p,
+                                       canonical_obj AS o
+                       FROM read_parquet('{triples_glob}')),
+            d AS (SELECT unnest(range(0, 4)) AS i)
+            SELECT s AS canonical_subj, p AS pred, o AS canonical_obj,
+                   SUM(ABS(
+                       (('0x' || substr(md5(s || '|' || i::VARCHAR),
+                                        1, 8))::BIGINT % 2001 - 1000)
+                     + (('0x' || substr(md5(p || '|' || i::VARCHAR),
+                                        1, 8))::BIGINT % 2001 - 1000)
+                     - (('0x' || substr(md5(o || '|' || i::VARCHAR),
+                                        1, 8))::BIGINT % 2001 - 1000)
+                   ))::BIGINT AS transe_score
+            FROM t CROSS JOIN d
+            GROUP BY s, p, o
+            ORDER BY canonical_subj, pred, canonical_obj
+        """
+    # frequency-LPA oracle: 4 synchronous rounds unrolled (argmax per
+    # round needs a window function, so no recursive-CTE form)
+    lpa_rounds = "".join(
+        f""",
+            c{r} AS (SELECT u.dst AS node, l.lbl, count(*)::BIGINT AS c
+                   FROM und u JOIN l{r - 1} l ON l.node = u.src
+                   GROUP BY 1, 2),
+            l{r} AS (SELECT node, lbl FROM (
+                       SELECT node, lbl, row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                       FROM c{r})
+                   WHERE rn = 1)"""
+        for r in range(1, 5))
+    out["kg_lpa"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)
+            {lpa_rounds}
+            SELECT node AS entity, lbl AS community FROM l4
+            ORDER BY entity
+        """
     # composition oracle: the verified pagerank + clustering bodies
     # nested as CTEs (WITH RECURSIVE inside a CTE body is legal)
     out["kg_node_features"] = f"""

@@ -2169,3 +2169,176 @@ def scc(edges_ds, *, src: str = "src", dst: str = "dst",
     out["assigned"] = out["entity"].map(
         lambda v: v in assigned)
     return rd.from_pandas(out)
+
+
+# ---- label-propagation communities -----------------------------------------
+
+
+def _lpa_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                rounds: int) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "community": pd.Series([], dtype=object)})
+    u_s = np.concatenate([s_i, d_i])
+    u_d = np.concatenate([d_i, s_i])
+    # distinct undirected neighbor pairs (edge multiplicity must not
+    # weight the vote — same contract as the SQL UNION)
+    pair = np.unique(u_d * np.int64(n) + u_s)
+    u_d, u_s = pair // n, pair % n
+    lbl = np.arange(n, dtype=np.int64)  # codes ARE lexicographic rank
+    for _ in range(rounds):
+        key = u_d * np.int64(n) + lbl[u_s]
+        uk, cnt = np.unique(key, return_counts=True)
+        v, lab = uk // n, uk % n
+        # argmax count per v, tie-break min label: sort (v, -cnt, lab)
+        order = np.lexsort((lab, -cnt, v))
+        v, lab = v[order], lab[order]
+        first = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        nxt = lbl.copy()
+        nxt[v[first]] = lab[first]
+        lbl = nxt
+    out = pd.DataFrame({"entity": nodes, "community": nodes[lbl]})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _lpa_shuffle(edges_ds, src: str, dst: str, *, rounds: int):
+    """Dataset-native synchronous LPA: each round is labels ⋈ distinct
+    undirected edges → pre-combined (node, label) vote counts →
+    grouped_topk argmax (count desc, label asc)."""
+    import ray.data as rd
+
+    from .relational import (distinct_on, groupby_agg, grouped_topk,
+                             hash_join)
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["__src"] != d["__dst"]],
+        batch_format="pandas",
+    )
+    und = distinct_on(und, ["__src", "__dst"]).materialize()
+    nodes = distinct_on(
+        und.map_batches(lambda b: pd.DataFrame({"node": b["__src"]}),
+                        batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    if nodes.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "community": pd.Series([], dtype=object)}))
+    labels = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "lbl": b["node"]}),
+        batch_format="pandas",
+    ).materialize()
+    for _ in range(rounds):
+        votes = hash_join(und, labels, on="__src", right_on="node",
+                          empty_safe=True).map_batches(
+            lambda b: b[["__dst", "lbl"]], batch_format="pandas")
+        cnt = groupby_agg(votes, ["__dst", "lbl"],
+                          [("lbl", "count", "c")])
+        win = grouped_topk(cnt, ["__dst"], "c", 1, descending=True,
+                           tie_break="lbl")
+        labels = win.map_batches(
+            lambda b: pd.DataFrame({"node": b["__dst"], "lbl": b["lbl"]}),
+            batch_format="pandas",
+        ).materialize()
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"entity": b["node"],
+                                "community": b["lbl"]}),
+        batch_format="pandas",
+    ).sort("entity")
+
+
+def label_propagation(edges_ds, *, src: str = "src", dst: str = "dst",
+                      rounds: int = 4, mode: str = "auto",
+                      driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Community detection by SYNCHRONOUS frequency label propagation
+    (Raghavan et al. 2007) over the distinct undirected view of
+    (src, dst), self-loops dropped: every node starts as its own
+    community; each round it adopts the most frequent label among its
+    neighbors' previous-round labels, ties broken by lexicographic min
+    label.  FIXED rounds is the contract (synchronous LPA can
+    oscillate on bipartite structures; a bounded round count makes the
+    result deterministic, cross-engine exact, and the distributed cost
+    explicit: K rounds = K bounded exchanges).  Unlike
+    :func:`label_components` (min-label → connected components) the
+    frequency vote yields sub-component communities.
+
+    Reference analog: the Neo4j sink's exported graph is what the
+    reference runs community analyses on (Neo4jSink); our engine runs
+    them in place."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _lpa_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, rounds=rounds)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _lpa_shuffle(edges_ds, src, dst, rounds=rounds)
+
+
+# ---- KG-embedding triple scoring -------------------------------------------
+
+
+def transe_scores(triples_ds, *, subj: str = "subj", pred: str = "pred",
+                  obj: str = "obj", dims: int = 4):
+    """TransE triple-plausibility scores (Bordes et al. 2013): the
+    energy ``score(h, r, t) = Σ_i |E(h,i) + R(r,i) - E(t,i)|`` under
+    L1, over the DISTINCT (subj, pred, obj) triples.  Embeddings are
+    the model seam: a trained KGE model's vectors plug in here; none
+    ships in this container, so components derive per (string, dim)
+    from ``md5_32(x || '|' || i) % 2001 - 1000`` — integer, so the
+    energy is EXACT and the SQL oracle hash-matches (the repo's
+    standard model-seam rule, sparse.py:43).  Low score = the relation
+    geometrically "fits" — the triple-ranking signal KG-completion
+    pipelines compute at scale.
+
+    Scale shape: embeddings are DERIVED per batch (md5 once per unique
+    string per block, numpy gather + abs-sum over dims) — no embedding
+    table is joined or broadcast, so the only exchange is the upstream
+    distinct."""
+    import hashlib
+
+    from .relational import distinct_on
+
+    def emb_matrix(keys: np.ndarray) -> np.ndarray:
+        out = np.empty((len(keys), dims), dtype=np.int64)
+        for j, k in enumerate(keys):
+            for i in range(dims):
+                h = hashlib.md5(f"{k}|{i}".encode()).hexdigest()[:8]
+                out[j, i] = int(h, 16) % 2001 - 1000
+        return out
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({
+                subj: pd.Series([], dtype=object),
+                pred: pd.Series([], dtype=object),
+                obj: pd.Series([], dtype=object),
+                "transe_score": pd.Series([], dtype="int64")})
+        ents = pd.unique(np.concatenate(
+            [b[subj].to_numpy(object), b[obj].to_numpy(object)]))
+        preds = pd.unique(b[pred].to_numpy(object))
+        e_tab = emb_matrix(ents)
+        p_tab = emb_matrix(preds)
+        e_idx = {k: j for j, k in enumerate(ents)}
+        p_idx = {k: j for j, k in enumerate(preds)}
+        h = e_tab[b[subj].map(e_idx).to_numpy(np.int64)]
+        r = p_tab[b[pred].map(p_idx).to_numpy(np.int64)]
+        t = e_tab[b[obj].map(e_idx).to_numpy(np.int64)]
+        return pd.DataFrame({
+            subj: b[subj].values, pred: b[pred].values,
+            obj: b[obj].values,
+            "transe_score": np.abs(h + r - t).sum(axis=1)})
+
+    tri = distinct_on(triples_ds, [subj, pred, obj])
+    return tri.map_batches(score, batch_format="pandas")

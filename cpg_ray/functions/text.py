@@ -1362,3 +1362,78 @@ def dsir_scores(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
     # per-doc sums are total
     return tf_rows.map_batches(score, batch_format="pandas",
                                batch_size=None)
+
+
+def fasttext_scores(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 1024):
+    """Hashed-n-gram linear quality classifier (the fastText shape used
+    by the CCNet / GPT-3 quality filters): features are unigrams plus
+    adjacent bigrams over the ``[a-z0-9_]+`` token contract, hashed
+    into ``n_buckets`` buckets (the hashing trick — collisions are the
+    semantics, not a bug), each bucket carrying a static integer weight
+    in [-1000, 1000].  The per-document score is the mean bucket weight
+    over all features (with multiplicity), scaled:
+
+        score_scaled = floor(1e6 * w_sum / (1000.0 * n_feats))
+
+    - the weight table is the seam where a TRAINED linear model plugs
+      in; no model ships in this container, so weights derive from
+      ``md5_32(bucket) % 2001 - 1000`` — bit-reproducible in any SQL
+      engine (the repo's standard model-seam rule, sparse.py:43).
+    - integer w_sum keeps the aggregate order-free and exact; the one
+      float divide happens per document at the end, so the DuckDB
+      oracle hash-matches.
+
+    Scale shape: the 1024-entry weight table rides in the task closure;
+    bucket hashing runs once per DISTINCT feature per batch (vocab per
+    block, not tokens); per-doc sums finish inside the block (documents
+    are block-complete under batch_size=None) — ONE stateless pass, no
+    shuffle.  Docs with no tokens score 0 with label 'neg'.
+    """
+    import hashlib
+
+    wtab = np.array([int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16)
+                     % 2001 - 1000 for b in range(n_buckets)],
+                    dtype=np.int64)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_feats": pd.Series([], dtype="int64"),
+            "w_sum": pd.Series([], dtype="int64"),
+            "score_scaled": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype=object)})
+        if b.empty:
+            return empty
+        toks = b[text_col].str.lower().str.findall("[a-z0-9_]+")
+        uni = toks.explode().dropna()
+        big = toks.map(
+            lambda ts: [ts[i] + " " + ts[i + 1]
+                        for i in range(len(ts) - 1)]).explode().dropna()
+        feats = pd.concat([uni, big])
+        if feats.empty:
+            ids = b[id_col].astype("int64")
+            return pd.DataFrame({
+                id_col: ids, "n_feats": np.int64(0),
+                "w_sum": np.int64(0), "score_scaled": np.int64(0),
+                "label": "neg"})
+        vocab = pd.unique(feats.values)
+        bucket = {f: int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+                  % n_buckets for f in vocab}
+        w = wtab[feats.map(bucket).to_numpy(np.int64)]
+        doc = feats.index
+        g = pd.DataFrame({"i": doc, "w": w}).groupby("i", sort=False)["w"]
+        agg = pd.DataFrame({"w_sum": g.sum(), "n_feats": g.size()})
+        agg = agg.reindex(b.index, fill_value=0)
+        n = agg["n_feats"].to_numpy(np.int64)
+        ws = agg["w_sum"].to_numpy(np.int64)
+        sc = np.where(n > 0,
+                      np.floor(1_000_000.0 * (ws / (1000.0 * np.maximum(n, 1)))),
+                      0.0).astype(np.int64)
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64").values,
+            "n_feats": n, "w_sum": ws, "score_scaled": sc,
+            "label": np.where(sc > 0, "pos", "neg")})
+
+    return docs_ds.map_batches(score, batch_format="pandas",
+                               batch_size=None)

@@ -2518,6 +2518,23 @@ def q_doc_bigram(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_fasttext(sf_dir: str) -> pd.DataFrame:
+    """Hashed-n-gram linear quality classifier (fastText shape — the
+    CCNet/GPT-3 quality-filter architecture): unigram+bigram features
+    hashed into 1024 buckets (the hashing trick), static md5-derived
+    integer bucket weights standing in for the trained model (the
+    standard model seam, sparse.py:43), per-doc mean weight scaled to
+    an exact integer score with a pos/neg label.  One stateless pass,
+    weight table in the closure, no shuffle."""
+    from ..functions.text import fasttext_scores
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = fasttext_scores(docs, id_col="doc_id").to_pandas()
+    for c in ["doc_id", "n_feats", "w_sum", "score_scaled"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_bigram_xent(sf_dir: str) -> pd.DataFrame:
     """CCNet-style perplexity/LM quality filter (text.bigram_xent,
     arXiv:1911.00359 §4.3 shape): per-doc conditional cross-entropy
@@ -3513,6 +3530,43 @@ ORACLE_SQL: dict[str, str] = {
                    AS delta_us
         FROM events
         ORDER BY event_id
+    """,
+    "q_doc_fasttext": """
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+            FROM documents
+        ), uni AS (
+            SELECT doc_id, unnest(l) AS f FROM d
+        ), big AS (
+            SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+            FROM (SELECT doc_id, l,
+                         unnest(range(1, greatest(len(l), 1)::BIGINT))
+                             AS i
+                  FROM d)
+        ), feats AS (
+            SELECT doc_id, f FROM uni
+            UNION ALL SELECT doc_id, f FROM big
+        ), ws AS (
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_feats,
+                   SUM(('0x' || substr(md5(
+                           ((('0x' || substr(md5(f), 1, 8))::BIGINT
+                             % 1024))::VARCHAR), 1, 8))::BIGINT
+                       % 2001 - 1000)::BIGINT AS w_sum
+            FROM feats GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(ws.n_feats, 0)::BIGINT AS n_feats,
+               COALESCE(ws.w_sum, 0)::BIGINT AS w_sum,
+               COALESCE(CAST(floor(1000000.0 * (ws.w_sum
+                   / (1000.0 * ws.n_feats))) AS BIGINT), 0)::BIGINT
+                   AS score_scaled,
+               CASE WHEN COALESCE(CAST(floor(1000000.0 * (ws.w_sum
+                   / (1000.0 * ws.n_feats))) AS BIGINT), 0) > 0
+                    THEN 'pos' ELSE 'neg' END AS label
+        FROM d LEFT JOIN ws USING (doc_id)
+        ORDER BY doc_id
     """,
     "q_events_entropy": """
         WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c

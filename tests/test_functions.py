@@ -1040,3 +1040,48 @@ def test_entity_salience_matches_pandas_bruteforce():
     s = got.sort_values(["url", "first_pos", "n_mentions"])
     grp = s.groupby(["url", "first_pos"])["salience_scaled"]
     assert (grp.apply(lambda v: v.is_monotonic_increasing)).all()
+
+
+def test_fasttext_scores_match_hand_computation():
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import fasttext_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox", "THE the the", "", "!!! ???"],
+    })
+    got = fasttext_scores(rd.from_pandas(docs)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    import re
+
+    def hand(text):
+        toks = re.findall("[a-z0-9_]+", text.lower())
+        feats = toks + [toks[i] + " " + toks[i + 1]
+                        for i in range(len(toks) - 1)]
+        if not feats:
+            return 0, 0, 0, "neg"
+        ws = 0
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 1024
+            ws += int(hashlib.md5(str(b).encode()).hexdigest()[:8],
+                      16) % 2001 - 1000
+        n = len(feats)
+        sc = int(np.floor(1_000_000.0 * (ws / (1000.0 * n))))
+        return n, ws, sc, ("pos" if sc > 0 else "neg")
+
+    exp = pd.DataFrame(
+        [(d, *hand(t)) for d, t in docs[["doc_id", "text"]].values],
+        columns=["doc_id", "n_feats", "w_sum", "score_scaled", "label"])
+    for c in ["doc_id", "n_feats", "w_sum", "score_scaled"]:
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+    # doc 2: unigram multiplicity counts (3 unigrams + 2 bigrams)
+    assert int(got.loc[got.doc_id == 2, "n_feats"].iloc[0]) == 5
+    # empty/no-token docs score 0 neg
+    assert (got.loc[got.doc_id.isin([3, 4]), "score_scaled"] == 0).all()

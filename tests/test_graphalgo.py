@@ -800,3 +800,88 @@ def test_cooccur_pmi_single_item_groups_emit_nothing():
     men = pd.DataFrame({"url": ["u1", "u2"], "e": ["A", "B"]})
     df = cooccur_pmi(rd.from_pandas(men)).to_pandas()
     assert len(df) == 0
+
+
+def test_lpa_modes_agree_and_hand_graph():
+    from cpg_ray.functions.graphalgo import label_propagation
+
+    edges = _rand_edges(n_nodes=40, n_edges=120, seed=21)
+    d = label_propagation(
+        rd.from_pandas(edges), rounds=4, mode="driver"
+    ).to_pandas()
+    s = label_propagation(
+        rd.from_pandas(edges), rounds=4, mode="shuffle"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True)
+    )
+
+    # hand graph: a triangle {a,b,c} with a pendant d-c; after round 1
+    # every triangle node sees two triangle labels and adopts the min
+    # neighbor label; the pendant adopts c's label.  Frequency LPA
+    # with min tie-break on this graph converges to everyone at 'a'.
+    hand = pd.DataFrame({
+        "src": ["a", "b", "c", "c"],
+        "dst": ["b", "c", "a", "d"],
+    })
+    out = label_propagation(rd.from_pandas(hand), rounds=4,
+                            mode="driver").to_pandas()
+    assert set(out["community"]) == {"a"}
+
+    # brute-force differential: synchronous frequency vote, 4 rounds
+    und = set()
+    for s_, d_ in _rand_edges(25, 80, seed=5)[["src", "dst"]].values:
+        if s_ != d_:
+            und.add((s_, d_))
+            und.add((d_, s_))
+    nodes = sorted({x for e in und for x in e})
+    lbl = {v: v for v in nodes}
+    for _ in range(4):
+        nxt = {}
+        for v in nodes:
+            votes = {}
+            for (x, y) in und:
+                if y == v:
+                    votes[lbl[x]] = votes.get(lbl[x], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        lbl = nxt
+    exp = pd.DataFrame(sorted(lbl.items()), columns=["entity", "community"])
+    got = label_propagation(
+        rd.from_pandas(_rand_edges(25, 80, seed=5)), rounds=4,
+        mode="driver").to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_transe_matches_hand_md5_and_triangle_inequality_zero():
+    import hashlib
+
+    from cpg_ray.functions.graphalgo import transe_scores
+
+    tri = pd.DataFrame({
+        "subj": ["alice", "bob", "alice"],
+        "pred": ["works_for", "works_for", "born_in"],
+        "obj": ["acme", "acme", "paris"],
+    })
+    got = transe_scores(rd.from_pandas(tri)).to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+
+    def emb(x):
+        return np.array([
+            int(hashlib.md5(f"{x}|{i}".encode()).hexdigest()[:8], 16)
+            % 2001 - 1000 for i in range(4)], dtype=np.int64)
+
+    rows = []
+    for s, p, o in tri.drop_duplicates().values:
+        rows.append((s, p, o,
+                     int(np.abs(emb(s) + emb(p) - emb(o)).sum())))
+    exp = (pd.DataFrame(rows, columns=["subj", "pred", "obj",
+                                       "transe_score"])
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # identity fit: h + r - t == 0 when r's embedding equals t - h;
+    # can't happen with md5 seams, but duplicate triples must dedup
+    dup = pd.concat([tri, tri], ignore_index=True)
+    got2 = transe_scores(rd.from_pandas(dup)).to_pandas()
+    assert len(got2) == 3
