@@ -703,6 +703,43 @@ def _entity_edges(sf_dir: str):
     )
 
 
+def _kg_sssp(sf_dir: str):
+    """Weighted shortest distance to the nearest ORGANIZATION (the
+    kg_bfs_dist seeds) under md5-seam edge weights in [1, 9] derived
+    on the unordered entity pair — bounded Bellman-Ford rounds, exact
+    integer semantics vs the recursive-CTE oracle."""
+    import glob
+    import hashlib
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import sssp
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    files = sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet"))
+    seeds = rd.read_parquet(files, columns=["pred", "canonical_obj"]
+                            ).filter(lambda r: r["pred"] == "works_for"
+                                     ).map_batches(
+        lambda b: b[["canonical_obj"]].rename(
+            columns={"canonical_obj": "node"}),
+        batch_format="pandas")
+
+    def weigh(b):
+        lo = b[["canonical_subj", "canonical_obj"]].min(axis=1)
+        hi = b[["canonical_subj", "canonical_obj"]].max(axis=1)
+        key = lo + "|" + hi
+        b = b.copy()
+        b["w"] = key.map(lambda k: 1 + int(
+            hashlib.md5(k.encode()).hexdigest()[:8], 16) % 9)
+        return b
+
+    edges = _entity_edges(sf_dir).map_batches(weigh, batch_format="pandas")
+    df = sssp(edges, seeds, src="canonical_subj", dst="canonical_obj",
+              weight="w", rounds=8).to_pandas()
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values("entity").reset_index(drop=True)
+
+
 def _kg_transe(sf_dir: str):
     """TransE L1 triple-plausibility energy over the distinct canonical
     triples (md5-derived integer embeddings as the KGE model seam) —
@@ -1337,6 +1374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lpa": _kg_lpa,
         # TransE triple-plausibility energy (md5 KGE model seam)
         "kg_transe": _kg_transe,
+        # weighted Bellman-Ford shortest distances (md5-seam weights)
+        "kg_sssp": _kg_sssp,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1393,7 +1432,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_dist": _kg_bfs_dist,
         "kg_link_jaccard": _kg_link_jaccard,
         "kg_fact_timeline": _kg_fact_timeline,
-        "q_events_distinct_users": q.q_events_distinct_users,
         "q_events_pivot": q.q_events_pivot,
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
@@ -1421,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_centroid": q.q_embedding_centroid,
         "q_events_tumbling": q.q_events_tumbling,
         "q_lineitem_stats": q.q_lineitem_stats,
+        "q_events_distinct_users": q.q_events_distinct_users,
         "q_promo_share": q.q_promo_share,
         "q_supplier_er": q.q_supplier_er,
         # q_doc_unigram/q_doc_bigram rotated just past the window to
@@ -2815,6 +2854,48 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             ORDER BY entity
         """,
     }
+    # weighted SSSP: 8 Bellman-Ford rounds; (node, d, hops) recursion
+    # states are bounded (d ≤ 9·hops, hops ≤ 9), so UNION dedup keeps
+    # the walk table ≤ n·82·10 rows
+    out["kg_sssp"] = f"""
+            WITH RECURSIVE
+            e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                   canonical_obj AS dst
+                   FROM read_parquet('{triples_glob}')
+                   WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            undw AS (SELECT src, dst,
+                            1 + (('0x' || substr(md5(
+                                least(src, dst) || '|'
+                                || greatest(src, dst)), 1, 8))::BIGINT
+                                % 9) AS w
+                     FROM und),
+            seeds AS (SELECT DISTINCT canonical_obj AS n
+                      FROM read_parquet('{triples_glob}')
+                      WHERE pred = 'works_for'),
+            walk AS (
+                SELECT n AS node, 0::BIGINT AS d, 0 AS hops FROM seeds
+                UNION
+                SELECT a.dst, wk.d + a.w, wk.hops + 1
+                FROM walk wk JOIN undw a ON a.src = wk.node
+                WHERE wk.hops < 9
+            ),
+            fin AS (SELECT node, min(d)::BIGINT AS dist FROM walk
+                    WHERE hops <= 8 GROUP BY node),
+            ahead AS (SELECT node, min(d)::BIGINT AS dist FROM walk
+                      GROUP BY node),
+            conv AS (SELECT NOT EXISTS (
+                         SELECT 1 FROM ahead a LEFT JOIN fin f
+                             USING (node)
+                         WHERE f.dist IS NULL OR f.dist <> a.dist)
+                         AS converged)
+            SELECT f.node AS entity, f.dist,
+                   (SELECT converged FROM conv) AS converged
+            FROM fin f
+            ORDER BY entity
+        """
     # TransE: integer md5-seam embeddings (4 dims), exact L1 energy
     out["kg_transe"] = f"""
             WITH t AS (SELECT DISTINCT canonical_subj AS s, pred AS p,

@@ -885,3 +885,57 @@ def test_transe_matches_hand_md5_and_triangle_inequality_zero():
     dup = pd.concat([tri, tri], ignore_index=True)
     got2 = transe_scores(rd.from_pandas(dup)).to_pandas()
     assert len(got2) == 3
+
+
+def test_sssp_modes_agree_matches_dijkstra_and_bfs_degenerate():
+    import heapq
+
+    from cpg_ray.functions.graphalgo import bfs_distances, sssp
+
+    rng = np.random.default_rng(17)
+    e = _rand_edges(n_nodes=30, n_edges=90, seed=13)
+    e["w"] = rng.integers(1, 10, len(e))
+    seeds = pd.DataFrame({"node": ["e1", "e7"]})
+
+    d = sssp(rd.from_pandas(e), rd.from_pandas(seeds), rounds=10,
+             mode="driver").to_pandas()
+    s = sssp(rd.from_pandas(e), rd.from_pandas(seeds), rounds=10,
+             mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True))
+
+    # Dijkstra ground truth over the same undirected min-weight view
+    adj = {}
+    for s_, d_, w_ in e[["src", "dst", "w"]].values:
+        if s_ == d_:
+            continue
+        w_ = int(w_)
+        for a, b in ((s_, d_), (d_, s_)):
+            cur = adj.setdefault(a, {})
+            cur[b] = min(cur.get(b, 1 << 30), w_)
+    dist = {n: 0 for n in seeds["node"]}
+    pq = [(0, n) for n in seeds["node"]]
+    heapq.heapify(pq)
+    while pq:
+        dd, v = heapq.heappop(pq)
+        if dd > dist.get(v, 1 << 30):
+            continue
+        for u, w_ in adj.get(v, {}).items():
+            nd = dd + w_
+            if nd < dist.get(u, 1 << 30):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    if bool(d["converged"].all()):
+        exp = pd.DataFrame(sorted(dist.items()),
+                           columns=["entity", "dist"])
+        exp["dist"] = exp["dist"].astype("int64")
+        pd.testing.assert_frame_equal(d[["entity", "dist"]], exp)
+
+    # unit weights degenerate to BFS distances
+    e1 = e.assign(w=1)
+    got = sssp(rd.from_pandas(e1), rd.from_pandas(seeds), rounds=12,
+               mode="driver").to_pandas()
+    bfs = bfs_distances(rd.from_pandas(e1), rd.from_pandas(seeds),
+                        rounds=12, mode="driver").to_pandas()
+    pd.testing.assert_frame_equal(got[["entity", "dist"]],
+                                  bfs[["entity", "dist"]])
