@@ -1605,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dup": q.q_embedding_near_dup,
         "q_knn_lsh": q.q_knn_lsh,
         "q_knn_ivf": q.q_knn_ivf,
+        "q_knn_pq": q.q_knn_pq,
         "q_multimodal_decode": q.q_multimodal_decode,
         "q_multimodal_builtin": q.q_multimodal_builtin,
         "q_multimodal_phash": q.q_multimodal_phash,

@@ -443,3 +443,118 @@ def sem_dedup(ds, *, k: int = 8, rounds: int = 4,
             "is_dup": is_dup})
 
     return assign.groupby("cluster").map_groups(flag, batch_format="pandas")
+
+
+def train_pq_codebooks(ds, *, m: int = 4, ks: int = 16, rounds: int = 5,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       sample_mod: int = 7, sample_cap: int = 100_000):
+    """Product-quantization codebooks (Jégou et al. 2011): split D dims
+    into ``m`` subspaces and train an independent ``ks``-centroid
+    Lloyd's codebook per subspace on a DETERMINISTIC id-hash sample
+    (``vec_id % sample_mod == 0``, capped — training needs a sketch of
+    the distribution, not the corpus).  Vectors are L2-normalized
+    before training so PQ inner products approximate cosine.  Returns
+    an (m, ks, D/m) float64 array; init is the first ``ks`` sample
+    rows by vec_id (deterministic), empty clusters keep their previous
+    centroid."""
+    sample = []
+    n = 0
+    for b in ds.iter_batches(batch_format="pandas"):
+        sel = b[b[id_col] % sample_mod == 0]
+        if len(sel):
+            sample.append(sel[[id_col, vec_col]])
+            n += len(sel)
+        if n >= sample_cap:
+            break
+    if not sample:
+        raise ValueError("train_pq_codebooks: empty sample")
+    sdf = (pd.concat(sample, ignore_index=True)
+           .sort_values(id_col).head(sample_cap))
+    x = _as_matrix(sdf[vec_col])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, ks, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        c = xs[:ks].copy()
+        if len(xs) < ks:
+            c = np.resize(c, (ks, sub))
+        for _ in range(rounds):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for cid in range(ks):
+                pts = xs[a == cid]
+                if len(pts):
+                    c[cid] = pts.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def knn_pq(ds, query_vecs: np.ndarray, k: int = 10, *,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           m: int = 4, ks: int = 16, refine: int = 4,
+           codebooks: np.ndarray | None = None):
+    """Product-quantization ADC search — the MEMORY-compression scale
+    path beside knn_ivf (routing) and knn_lsh (bucketing): each
+    normalized corpus vector is encoded as ``m`` uint8 centroid codes
+    (D floats → m bytes, e.g. 64×8B → 4B, 128× smaller resident
+    index), and each query scores a vector as the sum of ``m``
+    query-subvector · centroid dot products read from a per-query
+    lookup table (asymmetric distance computation — the query side
+    stays exact).
+
+    Per batch: encode, ADC-score against the broadcast codebooks, keep
+    the top ``refine·k`` candidates per query, then re-rank those few
+    EXACTLY with the batch's own still-resident vectors; a tiny global
+    top-k merge finishes.  At 100 TB the codes table is what you'd
+    materialize and scan (the encode pass writes it once); nothing
+    here holds more than a batch of raw vectors at a time.
+
+    Returns ``(df, n_candidates)`` like knn_ivf: exact-cosine-ranked
+    (query_id, vec_id, cosine, rank) plus the candidate volume the ADC
+    prune admitted (the recall/efficiency dial: higher ``refine`` =
+    more exact work = higher recall)."""
+    import ray
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(ds, m=m, ks=ks,
+                                       vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
+    d = qn.shape[1]
+    sub = d // m
+    # per-query ADC tables: (Q, m, ks)
+    tables = np.einsum(
+        "qjs,jks->qjk", qn.reshape(len(qn), m, sub), codebooks)
+    ref = ray.put((codebooks, tables, qn))
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        books, tabs, qm = bcast_get(ref)
+        v = _as_matrix(batch[vec_col])
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True).clip(min=1e-12)
+        bsz = len(vn)
+        codes = np.empty((bsz, m), dtype=np.int64)
+        for j in range(m):
+            xs = vn[:, j * sub:(j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        ids = batch[id_col].values
+        cand = min(refine * k, bsz)
+        out = []
+        for qi in range(tabs.shape[0]):
+            adc = tabs[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            idx = np.argpartition(-adc, cand - 1)[:cand]
+            out.append(pd.DataFrame({"query_id": qi, id_col: ids[idx],
+                                     "cosine": vn[idx] @ qm[qi]}))
+        return pd.concat(out, ignore_index=True)
+
+    cands = ds.map_batches(local, batch_format="pandas").to_pandas()
+    n_candidates = len(cands)
+    cands = cands.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True])
+    topk = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = topk.groupby("query_id").cumcount()
+    return topk, n_candidates

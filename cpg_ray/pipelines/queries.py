@@ -751,6 +751,21 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_knn_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-10 (the MEMORY-compression scale
+    path: D floats → m uint8 codes per vector, exact re-rank of the
+    refined candidates) — rows-only; tests measure recall vs brute
+    force and pin codebook determinism."""
+    from ..functions.similarity import knn_pq
+
+    emb = _pq(sf_dir, "embeddings")
+    q = np.stack(emb[emb.vec_id.isin([0, 1, 2])].sort_values("vec_id").embedding)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df, _n = knn_pq(ds, q, k=10)
+    df["cosine"] = df["cosine"].round(4)
+    return df.reset_index(drop=True)
+
+
 def q_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed integer-exact Lloyd's k-means (k=8, 4 rounds) over
     the embeddings table — centroids broadcast per round, one streaming

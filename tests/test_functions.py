@@ -170,6 +170,36 @@ def test_knn_ivf_recall():
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.5
     assert n_cand < 0.9 * 3 * len(emb)  # probes prune the corpus
+
+
+def test_knn_pq_recall_and_compression():
+    from cpg_ray.functions.similarity import (knn_bruteforce, knn_pq,
+                                              train_pq_codebooks)
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.stack(emb.head(3).embedding)
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]])
+    exact = knn_bruteforce(ds, q, k=10)
+    approx, n_cand = knn_pq(ds, q, k=10, m=4, ks=16, refine=8)
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5
+    # reported cosines of the refined candidates are EXACT (re-ranked)
+    merged = approx.merge(exact, on=["query_id", "vec_id"],
+                          suffixes=("_pq", "_bf"))
+    assert np.allclose(merged.cosine_pq, merged.cosine_bf)
+    # determinism: codebooks retrain identically
+    b1 = train_pq_codebooks(ds, m=4, ks=16)
+    b2 = train_pq_codebooks(rd.from_pandas(emb[["vec_id", "embedding"]]),
+                            m=4, ks=16)
+    assert np.array_equal(b1, b2)
+    # dims must divide m
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        train_pq_codebooks(ds, m=7)
     # self vector always found (its cluster is the nearest probe)
     for qi in range(3):
         assert emb.vec_id.iloc[qi] in set(approx[approx.query_id == qi].vec_id)
