@@ -1376,6 +1376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe": _kg_transe,
         # weighted Bellman-Ford shortest distances (md5-seam weights)
         "kg_sssp": _kg_sssp,
+        # hash-verified MinHash/SimHash signature kernels (md5-variant
+        # twins of the production crc32 paths)
+        "q_doc_minhash_sig": q.q_doc_minhash_sig,
+        "q_doc_simhash_sig": q.q_doc_simhash_sig,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1429,10 +1433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dedup_spans": q.q_doc_dedup_spans,
         "kg_para_dedup": _kg_para_dedup,
         "kg_clean_text": _kg_clean_text,
-        "kg_bfs_dist": _kg_bfs_dist,
         "kg_link_jaccard": _kg_link_jaccard,
         "kg_fact_timeline": _kg_fact_timeline,
-        "q_events_pivot": q.q_events_pivot,
         "q_url_canonical": q.q_url_canonical,
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_supplier_blocking": q.q_supplier_blocking,
@@ -1460,6 +1462,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_tumbling": q.q_events_tumbling,
         "q_lineitem_stats": q.q_lineitem_stats,
         "q_events_distinct_users": q.q_events_distinct_users,
+        # kg_bfs_dist's round machinery is pinned in-window by kg_sssp
+        # (unit-weight degenerate test ties them); q_events_pivot's
+        # conditional-sum groupby by the DSS batch (q8/q13)
+        "kg_bfs_dist": _kg_bfs_dist,
+        "q_events_pivot": q.q_events_pivot,
         "q_promo_share": q.q_promo_share,
         "q_supplier_er": q.q_supplier_er,
         # q_doc_unigram/q_doc_bigram rotated just past the window to

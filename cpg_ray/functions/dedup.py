@@ -968,3 +968,97 @@ def sorted_neighborhood_pairs(ds, *, key_col: str, id_col: str,
             inner = inner.union(rd.from_pandas(
                 cross_df.astype({"dist": "int64"})))
     return inner.sort(["id_a", "id_b"])
+
+
+# ---- cross-engine-verifiable signature variants ----------------------------
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def minhash_signatures_md5(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 8,
+                           shingle_n: int = 3):
+    """MinHash signatures with every step chosen to be reproducible in
+    ANY SQL engine — the hash-verified twin of the production
+    :func:`minhash_signatures` (whose crc32+rolling-poly shingle hash
+    no SQL engine ships): distinct word-``shingle_n``-gram SURFACE
+    strings over the ``[a-z0-9_]+`` token contract, shingle hash
+    ``x = md5_32(shingle)``, permutation params derived from the same
+    rule (``a_j = md5_32('a|j') % (2^31-1) + 1``, ``b_j = md5_32('b|j')
+    % 2^31``), signature ``sig_j = min((a_j·x + b_j) mod (2^61-1))`` —
+    all int64, no wrap (a < 2^31, x < 2^32 → a·x + b < 2^63).  Docs
+    with fewer than ``shingle_n`` tokens are excluded (both engines
+    agree).  Same math as production; only the base hash differs, so a
+    green oracle here verifies the exact min-over-permutations kernel
+    the LSH path runs.  One stateless pass, no shuffle."""
+    import re as _re
+
+    a = np.array([_md5_32(f"a|{j}") % ((1 << 31) - 1) + 1
+                  for j in range(num_perm)], dtype=np.int64)
+    b = np.array([_md5_32(f"b|{j}") % (1 << 31)
+                  for j in range(num_perm)], dtype=np.int64)
+    M = np.int64(MERSENNE)
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        ids, sigs = [], []
+        for i, t in zip(batch[id_col].values, batch[text_col].values):
+            toks = _re.findall("[a-z0-9_]+", t.lower())
+            if len(toks) < shingle_n:
+                continue
+            sh = {" ".join(toks[k:k + shingle_n])
+                  for k in range(len(toks) - shingle_n + 1)}
+            x = np.fromiter(
+                (memo.setdefault(s, _md5_32(s)) for s in sh),
+                dtype=np.int64, count=len(sh))
+            ids.append(i)
+            sigs.append(((a[:, None] * x[None, :] + b[:, None]) % M)
+                        .min(axis=1))
+        cols = {id_col: pd.Series(ids, dtype="int64")}
+        m = (np.stack(sigs) if sigs
+             else np.empty((0, num_perm), dtype=np.int64))
+        for j in range(num_perm):
+            cols[f"sig{j}"] = m[:, j]
+        return pd.DataFrame(cols)
+
+    return ds.map_batches(sig_batch, batch_format="pandas")
+
+
+def simhash_signatures_md5(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 16,
+                           shingle_n: int = 2):
+    """16-bit frequency-weighted SimHash, cross-engine-verifiable twin
+    of :func:`simhash_signatures` (same bit-vote math, md5 shingle
+    hash instead of crc32+poly so a SQL engine reproduces it): word
+    bigrams WITH multiplicity, ``x = md5_32(shingle)``, bit b of the
+    signature set iff ``Σ_sh ((x>>b)&1)·2 - 1 > 0``.  Docs with fewer
+    than ``shingle_n`` tokens are excluded.  Emits ``n_shingles`` too
+    (the vote denominator both engines must agree on)."""
+    import re as _re
+
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        ids, ns, sigs = [], [], []
+        for i, t in zip(batch[id_col].values, batch[text_col].values):
+            toks = _re.findall("[a-z0-9_]+", t.lower())
+            if len(toks) < shingle_n:
+                continue
+            sh = [" ".join(toks[k:k + shingle_n])
+                  for k in range(len(toks) - shingle_n + 1)]
+            x = np.fromiter(
+                (memo.setdefault(s, _md5_32(s)) for s in sh),
+                dtype=np.int64, count=len(sh))
+            bitm = (x[:, None] >> np.arange(bits)) & 1
+            votes = bitm.sum(axis=0, dtype=np.int64) * 2 - len(sh)
+            ids.append(i)
+            ns.append(len(sh))
+            sigs.append(int(weights[votes > 0].sum()))
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                             "n_shingles": pd.Series(ns, dtype="int64"),
+                             "simhash16": pd.Series(sigs, dtype="int64")})
+
+    return ds.map_batches(sig_batch, batch_format="pandas")

@@ -4425,3 +4425,76 @@ ORACLE_SQL["q_doc_dedup_spans"] = """
            count(*)::BIGINT AS n_tokens
     FROM m GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_doc_minhash_sig(sf_dir: str) -> pd.DataFrame:
+    """Hash-verified MinHash signature kernel (md5-variant twin of the
+    production crc32 path — same min-over-permutations math, see
+    dedup.minhash_signatures_md5): 8 permutations over distinct 3-word
+    shingles, exact int64 universal hashing mod 2^61-1."""
+    from ..functions.dedup import minhash_signatures_md5
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = minhash_signatures_md5(docs).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_simhash_sig(sf_dir: str) -> pd.DataFrame:
+    """Hash-verified SimHash bit-vote kernel (md5-variant twin of the
+    production path): 16-bit frequency-weighted signature over word
+    bigrams with multiplicity."""
+    from ..functions.dedup import simhash_signatures_md5
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = simhash_signatures_md5(docs).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_MINHASH_SIGS = ",\n           ".join(
+    f"min(((('0x' || substr(md5('a|{j}'), 1, 8))::BIGINT"
+    f" % 2147483647 + 1) * x"
+    f" + ('0x' || substr(md5('b|{j}'), 1, 8))::BIGINT % 2147483648)"
+    f" % 2305843009213693951)::BIGINT AS sig{j}"
+    for j in range(8))
+ORACLE_SQL["q_doc_minhash_sig"] = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS s
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, len(l) - 1)) AS i
+              FROM d WHERE len(l) >= 3)
+    ), x AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+        FROM sh
+    )
+    SELECT doc_id,
+           {_MINHASH_SIGS}
+    FROM x GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["q_doc_simhash_sig"] = """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, l[i] || ' ' || l[i + 1] AS s
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+              FROM d WHERE len(l) >= 2)
+    ), x AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+        FROM sh
+    ), votes AS (
+        SELECT doc_id, b.i AS bit,
+               SUM(((x >> b.i) & 1) * 2 - 1)::BIGINT AS v,
+               count(*)::BIGINT AS n
+        FROM x CROSS JOIN (SELECT unnest(range(0, 16)) AS i) b
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, min(n)::BIGINT AS n_shingles,
+           SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                    ELSE 0 END)::BIGINT AS simhash16
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+"""

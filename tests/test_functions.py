@@ -1115,3 +1115,45 @@ def test_fasttext_scores_match_hand_computation():
     assert int(got.loc[got.doc_id == 2, "n_feats"].iloc[0]) == 5
     # empty/no-token docs score 0 neg
     assert (got.loc[got.doc_id.isin([3, 4]), "score_scaled"] == 0).all()
+
+
+def test_md5_signature_variants_detect_near_dups():
+    """The md5-variant signature kernels (oracle-paired twins of the
+    crc32 production paths) must behave like minhash/simhash: near-dup
+    docs agree on most permutations / bits, unrelated docs don't."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import (minhash_signatures_md5,
+                                         simhash_signatures_md5)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight again")
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different words about ships sailing across "
+             "oceans carrying cargo between distant harbor cities")
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [base, near, other]})
+
+    mh = (minhash_signatures_md5(rd.from_pandas(docs)).to_pandas()
+          .set_index("doc_id"))
+    sig_cols = [c for c in mh.columns if c.startswith("sig")]
+    agree_near = sum(mh.loc[1, c] == mh.loc[2, c] for c in sig_cols)
+    agree_far = sum(mh.loc[1, c] == mh.loc[3, c] for c in sig_cols)
+    assert agree_near >= 4          # one-word edit keeps most minima
+    assert agree_far == 0           # disjoint shingle sets
+
+    sh = (simhash_signatures_md5(rd.from_pandas(docs)).to_pandas()
+          .set_index("doc_id"))
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(sh.loc[1, "simhash16"], sh.loc[2, "simhash16"]) <= 4
+    assert ham(sh.loc[1, "simhash16"], sh.loc[3, "simhash16"]) >= 5
+    # too-short docs are excluded, not zero-filled
+    tiny = pd.DataFrame({"doc_id": [9], "text": ["one two"]})
+    assert len(minhash_signatures_md5(rd.from_pandas(tiny)).to_pandas()) == 0
+    assert len(simhash_signatures_md5(
+        rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": ["one"]}))
+    ).to_pandas()) == 0
