@@ -96,6 +96,17 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q21_sole_supplier",
     "q_doc_sparse_search",
+    # round-4 fifth session: quality classifier, communities, KGE
+    # scoring, weighted SSSP, PQ-ANN, signature kernels, entropy
+    "q_doc_fasttext",
+    "kg_lpa",
+    "kg_transe",
+    "kg_sssp",
+    "q_knn_pq",
+    "q_doc_minhash_sig",
+    "q_doc_simhash_sig",
+    "q_events_entropy",
+    "kg_entity_salience",
 ]
 
 
