@@ -1380,6 +1380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twins of the production crc32 paths)
         "q_doc_minhash_sig": q.q_doc_minhash_sig,
         "q_doc_simhash_sig": q.q_doc_simhash_sig,
+        # hash-verified exact kNN (quantized ints, one-IEEE-op score)
+        "q_knn_exact": q.q_knn_exact,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1436,7 +1438,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_jaccard": _kg_link_jaccard,
         "kg_fact_timeline": _kg_fact_timeline,
         "q_url_canonical": q.q_url_canonical,
-        "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_supplier_blocking": q.q_supplier_blocking,
         "kg_cypher_varlen": _kg_cypher_varlen,
         "kg_pagerank": _kg_pagerank,
@@ -1467,6 +1468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conditional-sum groupby by the DSS batch (q8/q13)
         "kg_bfs_dist": _kg_bfs_dist,
         "q_events_pivot": q.q_events_pivot,
+        # q_doc_rep_ngrams' n-gram explode/count machinery is pinned
+        # in-window by q_doc_bigram_xent and q_doc_contamination
+        "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
         "q_promo_share": q.q_promo_share,
         "q_supplier_er": q.q_supplier_er,
         # q_doc_unigram/q_doc_bigram rotated just past the window to

@@ -558,3 +558,65 @@ def knn_pq(ds, query_vecs: np.ndarray, k: int = 10, *,
     topk = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     topk["rank"] = topk.groupby("query_id").cumcount()
     return topk, n_candidates
+
+
+def knn_exact_quantized(ds, query_ids: list, k: int = 10, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        q_scale: int = 1024):
+    """EXACT cosine top-k with cross-engine bit-identical scores — the
+    oracle-paired member of the kNN family (knn_bruteforce keeps the
+    float-BLAS fast path; this one trades a few % of speed for
+    hash-verifiability): coordinates quantize ``floor(x·1024)`` to
+    int64 (exact), dot products and squared norms are exact integer
+    sums (order-free), and the score is computed with exactly ONE
+    IEEE multiply, ONE sqrt and ONE divide —
+    ``dot / sqrt(double(na)·double(nb))`` — so numpy and any SQL
+    engine agree to the last bit (the kmeans/adamic-adar float
+    discipline).  Queries are corpus rows named by id (broadcast after
+    one small filtered read); zero-norm rows are excluded on both
+    sides.  Per batch: integer matmul + per-query top-k candidates;
+    tiny global merge, ties broken by ascending id."""
+    import ray
+
+    qdf = (ds.filter(lambda r: r[id_col] in set(query_ids))
+           .to_pandas().sort_values(id_col))
+    if len(qdf) != len(query_ids):
+        raise ValueError("some query ids missing from the corpus")
+    qm = np.floor(_as_matrix(qdf[vec_col]) * float(q_scale)).astype(np.int64)
+    qids = qdf[id_col].to_numpy(np.int64)
+    qn = (qm * qm).sum(axis=1)  # exact int squared norms
+    if (qn == 0).any():
+        raise ValueError("zero-norm query vector")
+    ref = ray.put((qids, qm, qn))
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_, qmat, qnorm = bcast_get(ref)
+        v = np.floor(
+            _as_matrix(batch[vec_col]) * float(q_scale)).astype(np.int64)
+        nb = (v * v).sum(axis=1)
+        keep = nb > 0
+        v, nb = v[keep], nb[keep]
+        ids = batch[id_col].values[keep]
+        if not len(ids):
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        dot = v @ qmat.T  # (B, Q) exact int64
+        out = []
+        for qi in range(len(ids_)):
+            score = dot[:, qi].astype(np.float64) / np.sqrt(
+                np.float64(qnorm[qi]) * nb.astype(np.float64))
+            kk = min(k, len(ids))
+            idx = np.argpartition(-score, kk - 1)[:kk]
+            out.append(pd.DataFrame({"qid": np.int64(ids_[qi]),
+                                     id_col: ids[idx],
+                                     "score": score[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    cands = ds.map_batches(local, batch_format="pandas").to_pandas()
+    cands = cands.sort_values(["qid", "score", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    topk = cands.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    topk["rank"] = topk.groupby("qid").cumcount() + 1
+    return topk

@@ -751,6 +751,20 @@ def q_knn_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_knn_exact(sf_dir: str) -> pd.DataFrame:
+    """ORACLE-PAIRED exact cosine top-10 (the hash-verified member of
+    the kNN family): quantized int64 coordinates, exact integer dot
+    products and norms, score = one IEEE multiply + sqrt + divide —
+    bit-identical in numpy and DuckDB (similarity.knn_exact_quantized)."""
+    from ..functions.similarity import knn_exact_quantized
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_exact_quantized(ds, [0, 1, 2], k=10)
+    for c in ["qid", "vec_id", "rank"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def q_knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product-quantization ADC top-10 (the MEMORY-compression scale
     path: D floats → m uint8 codes per vector, exact re-rank of the
@@ -4497,4 +4511,39 @@ ORACLE_SQL["q_doc_simhash_sig"] = """
            SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit)
                     ELSE 0 END)::BIGINT AS simhash16
     FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["q_knn_exact"] = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(x * 1024) AS BIGINT)) AS l
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS qid, l AS ql FROM e WHERE vec_id IN (0, 1, 2)
+    ), flat AS (
+        SELECT q.qid, e.vec_id, unnest(q.ql) AS a, unnest(e.l) AS b
+        FROM q CROSS JOIN e
+    ), dots AS (
+        SELECT qid, vec_id,
+               SUM(a * b)::BIGINT AS dot,
+               SUM(a * a)::BIGINT AS na,
+               SUM(b * b)::BIGINT AS nb
+        FROM flat GROUP BY qid, vec_id
+    ), scored AS (
+        SELECT qid, vec_id,
+               CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY CAST(dot AS DOUBLE)
+                       / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                       DESC, vec_id) AS rank
+        FROM dots WHERE nb > 0
+    )
+    SELECT qid, vec_id, score, rank::BIGINT AS rank
+    FROM scored WHERE rank <= 10
+    ORDER BY qid, rank
 """

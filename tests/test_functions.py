@@ -1157,3 +1157,30 @@ def test_md5_signature_variants_detect_near_dups():
     assert len(simhash_signatures_md5(
         rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": ["one"]}))
     ).to_pandas()) == 0
+
+
+def test_knn_exact_quantized_matches_bruteforce_ranking():
+    from cpg_ray.functions.similarity import (knn_bruteforce,
+                                              knn_exact_quantized)
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]])
+    got = knn_exact_quantized(ds, [0, 1, 2], k=10)
+    # self is nearest with score exactly 1.0 (dot == na == nb)
+    firsts = got[got["rank"] == 1]
+    assert list(firsts["vec_id"]) == [0, 1, 2]
+    assert (firsts["score"] == 1.0).all()
+    # quantized ranking agrees with the float-BLAS path except where
+    # 1/1024 quantization actually reorders near-ties
+    q = np.stack(emb[emb.vec_id.isin([0, 1, 2])]
+                 .sort_values("vec_id").embedding)
+    bf = knn_bruteforce(rd.from_pandas(emb[["vec_id", "embedding"]]), q,
+                        k=10)
+    for qi in range(3):
+        a = set(got[got.qid == [0, 1, 2][qi]].vec_id)
+        b = set(bf[bf.query_id == qi].vec_id)
+        assert len(a & b) >= 8
+    # missing query id raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        knn_exact_quantized(ds, [0, 10**9], k=5)
