@@ -740,6 +740,17 @@ def _kg_sssp(sf_dir: str):
     return df.sort_values("entity").reset_index(drop=True)
 
 
+def _kg_mixing(sf_dir: str):
+    """Graph-level mixing statistics of the canonical entity graph:
+    edge reciprocity and Newman degree assortativity from exact
+    integer sums (numerator/denominator emitted beside the
+    one-IEEE-divide doubles)."""
+    from cpg_ray.functions.graphalgo import graph_mixing_stats
+
+    return graph_mixing_stats(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj")
+
+
 def _kg_transe(sf_dir: str):
     """TransE L1 triple-plausibility energy over the distinct canonical
     triples (md5-derived integer embeddings as the KGE model seam) —
@@ -1382,6 +1393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_simhash_sig": q.q_doc_simhash_sig,
         # hash-verified exact kNN (quantized ints, one-IEEE-op score)
         "q_knn_exact": q.q_knn_exact,
+        # RAKE keyphrases and graph mixing stats
+        "q_doc_keyphrases": q.q_doc_keyphrases,
+        "kg_mixing": _kg_mixing,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1437,10 +1451,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clean_text": _kg_clean_text,
         "kg_link_jaccard": _kg_link_jaccard,
         "kg_fact_timeline": _kg_fact_timeline,
-        "q_url_canonical": q.q_url_canonical,
         "q_supplier_blocking": q.q_supplier_blocking,
         "kg_cypher_varlen": _kg_cypher_varlen,
-        "kg_pagerank": _kg_pagerank,
         # -- the DSS batch displaced 13 window slots: the stable four
         # and the round-4-changed flagship trio stay INSIDE (verdict-r3
         # done-criteria); the four single-table transforms just below
@@ -1471,6 +1483,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_doc_rep_ngrams' n-gram explode/count machinery is pinned
         # in-window by q_doc_bigram_xent and q_doc_contamination
         "q_doc_rep_ngrams": q.q_doc_rep_ngrams,
+        # kg_pagerank's exact-integer round machinery is repped
+        # in-window by kg_lpa/kg_sssp; q_url_canonical is a stateless
+        # single-table regex map (lowest-risk class)
+        "kg_pagerank": _kg_pagerank,
+        "q_url_canonical": q.q_url_canonical,
         "q_promo_share": q.q_promo_share,
         "q_supplier_er": q.q_supplier_er,
         # q_doc_unigram/q_doc_bigram rotated just past the window to
@@ -2907,6 +2924,45 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    (SELECT converged FROM conv) AS converged
             FROM fin f
             ORDER BY entity
+        """
+    # mixing stats: reciprocity + Newman assortativity, exact int sums
+    out["kg_mixing"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS a,
+                                        canonical_obj AS b
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            rec AS (SELECT count(*)::BIGINT AS m_dir,
+                           count(r.a)::BIGINT AS n_recip
+                    FROM e0 LEFT JOIN e0 r
+                        ON r.a = e0.b AND r.b = e0.a),
+            und AS (SELECT DISTINCT least(a, b) AS lo,
+                                    greatest(a, b) AS hi FROM e0),
+            deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+                        SELECT lo AS v FROM und
+                        UNION ALL SELECT hi FROM und) GROUP BY v),
+            s AS (SELECT count(*)::BIGINT AS m,
+                         SUM(dj.d * dk.d)::BIGINT AS s_jk,
+                         SUM(dj.d + dk.d)::BIGINT AS s_sum,
+                         SUM(dj.d * dj.d + dk.d * dk.d)::BIGINT AS s_sq
+                  FROM und
+                  JOIN deg dj ON dj.v = und.lo
+                  JOIN deg dk ON dk.v = und.hi)
+            SELECT rec.m_dir, rec.n_recip,
+                   CASE WHEN rec.m_dir = 0 THEN 0.0
+                        ELSE CAST(rec.n_recip AS DOUBLE) / rec.m_dir
+                        END AS reciprocity,
+                   s.m AS m_und,
+                   (4 * s.m * s.s_jk - s.s_sum * s.s_sum)::BIGINT
+                       AS assort_num,
+                   (2 * s.m * s.s_sq - s.s_sum * s.s_sum)::BIGINT
+                       AS assort_den,
+                   CASE WHEN (2 * s.m * s.s_sq - s.s_sum * s.s_sum) = 0
+                        THEN 0.0
+                        ELSE CAST(4 * s.m * s.s_jk - s.s_sum * s.s_sum
+                                  AS DOUBLE)
+                             / (2 * s.m * s.s_sq - s.s_sum * s.s_sum)
+                        END AS assortativity
+            FROM rec, s
         """
     # TransE: integer md5-seam embeddings (4 dims), exact L1 energy
     out["kg_transe"] = f"""

@@ -2492,3 +2492,89 @@ def sssp(edges_ds, seeds_ds, *, src: str = "src", dst: str = "dst",
             raise
         return _sssp_shuffle(edges_ds, seeds_ds, src, dst, weight,
                              seed_col, rounds=rounds)
+
+
+# ---- graph-level mixing statistics ------------------------------------------
+
+
+def graph_mixing_stats(edges_ds, *, src: str = "src", dst: str = "dst"):
+    """One-row graph-level mixing statistics over the distinct directed
+    edge view (self-loops dropped): edge RECIPROCITY (share of directed
+    edges whose reverse also exists — Garlaschelli & Loffredo 2004) and
+    Newman DEGREE ASSORTATIVITY (2002) over the undirected view,
+    computed from exact integer sums —
+
+        r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) − (Σ(j+k))²)
+
+    with j,k the endpoint degrees of each undirected edge and M the
+    undirected edge count; numerator and denominator are emitted as
+    exact int64 beside the one-IEEE-divide double (0.0 when the
+    denominator is 0 — a regular graph has no degree variance), so the
+    SQL oracle hash-matches.
+
+    Scale shape: one distinct_on + one degree groupby + two hash joins
+    (degree onto each endpoint) + single-row integer aggregation —
+    every exchange is bounded by the distinct edge list."""
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    dirred = edges_ds.map_batches(
+        lambda b: pd.DataFrame({"a": b[src], "b": b[dst]})
+        .loc[lambda d: d["a"] != d["b"]],
+        batch_format="pandas")
+    dirred = distinct_on(dirred, ["a", "b"]).materialize()
+
+    # reciprocity: key-match against the reversed view
+    rev = dirred.map_batches(
+        lambda b: pd.DataFrame({"a": b["b"], "b": b["a"],
+                                "__r": np.int64(1)}),
+        batch_format="pandas")
+    both = hash_join(dirred, rev, on=["a", "b"], right_on=["a", "b"],
+                     how="left_outer", empty_safe=True)
+    rec = both.map_batches(
+        lambda b: pd.DataFrame({
+            "m_dir": [np.int64(len(b))],
+            "n_recip": [np.int64(b["__r"].notna().sum())]}),
+        batch_format="pandas").to_pandas().sum()
+    m_dir, n_recip = int(rec["m_dir"]), int(rec["n_recip"])
+
+    und = dirred.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": b[["a", "b"]].min(axis=1),
+            "hi": b[["a", "b"]].max(axis=1)}),
+        batch_format="pandas")
+    und = distinct_on(und, ["lo", "hi"]).materialize()
+    deg_rows = und.map_batches(
+        lambda b: pd.DataFrame({
+            "v": pd.concat([b["lo"], b["hi"]], ignore_index=True)}),
+        batch_format="pandas")
+    deg = groupby_agg(deg_rows, ["v"], [("v", "count", "d")])
+    j1 = hash_join(und, deg.materialize(), on="lo", right_on="v",
+                   empty_safe=True).map_batches(
+        lambda b: b.rename(columns={"d": "j"})[["lo", "hi", "j"]],
+        batch_format="pandas")
+    j2 = hash_join(j1, deg.materialize(), on="hi", right_on="v",
+                   empty_safe=True).map_batches(
+        lambda b: b.rename(columns={"d": "k"})[["j", "k"]],
+        batch_format="pandas")
+    sums = j2.map_batches(
+        lambda b: pd.DataFrame({
+            "m": [np.int64(len(b))],
+            "s_jk": [np.int64((b["j"].to_numpy("int64")
+                               * b["k"].to_numpy("int64")).sum())],
+            "s_sum": [np.int64((b["j"] + b["k"]).sum())],
+            "s_sq": [np.int64((b["j"].to_numpy("int64") ** 2
+                               + b["k"].to_numpy("int64") ** 2).sum())],
+        }), batch_format="pandas").to_pandas().sum()
+    m = int(sums["m"])
+    s_jk, s_sum, s_sq = int(sums["s_jk"]), int(sums["s_sum"]), int(sums["s_sq"])
+    num = 4 * m * s_jk - s_sum * s_sum
+    den = 2 * m * s_sq - s_sum * s_sum
+    return pd.DataFrame({
+        "m_dir": [np.int64(m_dir)], "n_recip": [np.int64(n_recip)],
+        "reciprocity": [np.float64(n_recip) / np.float64(m_dir)
+                        if m_dir else 0.0],
+        "m_und": [np.int64(m)],
+        "assort_num": [np.int64(num)], "assort_den": [np.int64(den)],
+        "assortativity": [np.float64(num) / np.float64(den)
+                          if den else 0.0],
+    })

@@ -1437,3 +1437,79 @@ def fasttext_scores(docs_ds, *, id_col: str = "doc_id",
 
     return docs_ds.map_batches(score, batch_format="pandas",
                                batch_size=None)
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "were", "be", "as", "at", "by", "it",
+    "its", "this", "that", "from", "but", "not", "had", "has", "have")
+
+
+def rake_keyphrases(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", top_n: int = 3):
+    """RAKE keyphrase extraction (Rose et al. 2010 — the classic
+    unsupervised keyword signal for topic tagging / KG relation
+    proposal): candidate phrases are maximal runs of non-stopword
+    tokens (``[a-z0-9_]+`` contract, RAKE_STOPWORDS as delimiters);
+    word degree = Σ over phrase occurrences containing w of the phrase
+    length, word frequency = occurrence count inside candidates;
+    phrase score = Σ_w floor(1e6·deg(w)/freq(w)) — per-word integer
+    scaling keeps the sum order-free so the SQL oracle hash-matches
+    (one IEEE divide + floor per word, the adamic-adar discipline).
+    Emits the top ``top_n`` DISTINCT phrases per document (score desc,
+    phrase asc).  One stateless pass: a document's phrases, word stats
+    and ranking all resolve inside its own block — no shuffle."""
+    stop = frozenset(RAKE_STOPWORDS)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "phrase": pd.Series([], dtype=object),
+            "rake_scaled": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64")})
+        if b.empty:
+            return empty
+        toks = b[text_col].str.lower().str.findall("[a-z0-9_]+")
+        rows = []
+        for doc, ts in zip(b[id_col].astype("int64").values, toks.values):
+            phrases = []
+            cur = []
+            for t in ts:
+                if t in stop:
+                    if cur:
+                        phrases.append(cur)
+                        cur = []
+                else:
+                    cur.append(t)
+            if cur:
+                phrases.append(cur)
+            if not phrases:
+                continue
+            freq: dict = {}
+            deg: dict = {}
+            for p in phrases:
+                ln = len(p)
+                for w in p:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + ln
+            seen = {}
+            for p in phrases:
+                s = " ".join(p)
+                if s in seen:
+                    continue
+                seen[s] = int(sum(
+                    np.floor(1_000_000.0 * (deg[w] / freq[w]))
+                    for w in p))
+            ranked = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))
+            for r, (s, sc) in enumerate(ranked[:top_n], start=1):
+                rows.append((doc, s, sc, r))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=[id_col, "phrase",
+                                          "rake_scaled", "rank"])
+        for c in [id_col, "rake_scaled", "rank"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return docs_ds.map_batches(extract, batch_format="pandas",
+                               batch_size=None)

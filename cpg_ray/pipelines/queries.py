@@ -4547,3 +4547,67 @@ ORACLE_SQL["q_knn_exact"] = """
     FROM scored WHERE rank <= 10
     ORDER BY qid, rank
 """
+
+
+def q_doc_keyphrases(sf_dir: str) -> pd.DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): top-3 candidate
+    phrases per doc by integer-scaled degree/frequency score — see
+    text.rake_keyphrases for the exactness contract."""
+    from ..functions.text import rake_keyphrases
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = rake_keyphrases(docs).to_pandas()
+    return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def _rake_oracle_sql() -> str:
+    from ..functions.text import RAKE_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), t AS (
+        SELECT doc_id, i AS pos, l[i] AS tok,
+               CASE WHEN l[i] IN ({stop_list}) THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)
+    ), g AS (
+        SELECT doc_id, pos, tok, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM t
+    ), w AS (
+        SELECT doc_id, grp, pos, tok FROM g WHERE stop = 0
+    ), plen AS (
+        SELECT doc_id, grp, count(*)::BIGINT AS ln,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM w GROUP BY doc_id, grp
+    ), stats AS (
+        SELECT w.doc_id, w.tok,
+               count(*)::BIGINT AS freq,
+               SUM(p.ln)::BIGINT AS deg
+        FROM w JOIN plen p USING (doc_id, grp)
+        GROUP BY 1, 2
+    ), score AS (
+        SELECT w.doc_id, w.grp,
+               SUM(CAST(floor(1000000.0 * (s.deg / s.freq))
+                   AS BIGINT))::BIGINT AS sc
+        FROM w JOIN stats s ON s.doc_id = w.doc_id AND s.tok = w.tok
+        GROUP BY 1, 2
+    ), ph AS (
+        SELECT DISTINCT p.doc_id, p.phrase, s.sc
+        FROM plen p JOIN score s
+            ON s.doc_id = p.doc_id AND s.grp = p.grp
+    ), ranked AS (
+        SELECT doc_id, phrase, sc AS rake_scaled,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY sc DESC, phrase) AS rnk
+        FROM ph
+    )
+    SELECT doc_id, phrase, rake_scaled, rnk::BIGINT AS rank
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rank
+"""
+
+
+ORACLE_SQL["q_doc_keyphrases"] = _rake_oracle_sql()

@@ -1184,3 +1184,57 @@ def test_knn_exact_quantized_matches_bruteforce_ranking():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         knn_exact_quantized(ds, [0, 10**9], k=5)
+
+
+def test_rake_keyphrases_hand_computation():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import rake_keyphrases
+
+    # phrases: [deep learning], [best], [learning helps]
+    # deg(deep)=2 freq=1 -> 2e6; deg(learning)=2+2=4 freq=2 -> 2e6;
+    # deg(helps)=2 freq=1 -> 2e6; deg(best)=1 freq=1 -> 1e6
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": [
+        "deep learning is the best and learning helps",
+        "the of and",  # stopwords only -> no phrases
+    ]})
+    got = rake_keyphrases(rd.from_pandas(docs)).to_pandas()
+    assert set(got["doc_id"]) == {1}
+    d1 = got.set_index("phrase")
+    assert d1.loc["deep learning", "rake_scaled"] == 4_000_000
+    assert d1.loc["best", "rake_scaled"] == 1_000_000
+    assert d1.loc["learning helps", "rake_scaled"] == 4_000_000
+    # rank order: score desc then phrase asc — tie broken alphabetically
+    ranked = got.sort_values("rank")["phrase"].tolist()
+    assert ranked == ["deep learning", "learning helps", "best"]
+    assert (got["rank"] <= 3).all()
+    # duplicate phrase occurrences count into freq/deg but emit once
+    dup = pd.DataFrame({"doc_id": [7], "text": ["alpha beta the alpha beta"]})
+    g2 = rake_keyphrases(rd.from_pandas(dup)).to_pandas()
+    assert len(g2) == 1
+    # freq(alpha)=2, deg=4 -> 2e6; same for beta -> score 4e6
+    assert g2["rake_scaled"].iloc[0] == 4_000_000
+
+
+def test_graph_mixing_stats_hand_graph():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import graph_mixing_stats
+
+    # directed: a->b, b->a (reciprocal pair), a->c
+    edges = pd.DataFrame({"src": ["a", "b", "a", "a"],
+                          "dst": ["b", "a", "c", "a"]})  # self-loop dropped
+    df = graph_mixing_stats(rd.from_pandas(edges))
+    assert int(df["m_dir"].iloc[0]) == 3
+    assert int(df["n_recip"].iloc[0]) == 2
+    assert abs(float(df["reciprocity"].iloc[0]) - 2 / 3) < 1e-12
+    # undirected: path b-a-c; degrees a=2, b=1, c=1
+    # edges (a,b): j,k=(2,1); (a,c): (2,1)
+    # M=2, s_jk=4, s_sum=6, s_sq=10 -> num=4*2*4-36=-4, den=2*2*10-36=4
+    assert int(df["m_und"].iloc[0]) == 2
+    assert int(df["assort_num"].iloc[0]) == -4
+    assert int(df["assort_den"].iloc[0]) == 4
+    assert float(df["assortativity"].iloc[0]) == -1.0  # star = disassortative
+    # star S3: perfectly disassortative -> exactly -1
