@@ -1106,6 +1106,23 @@ def _kg_random_walks(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_node2vec(sf_dir: str):
+    """node2vec second-order biased walk corpus (p_inv=4, q_inv=2 —
+    exploration-leaning) over the directed canonical entity graph;
+    the weighted 60-bit md5 draw makes every engine emit the
+    identical corpus (unrolled-step SQL oracle with a per-step
+    prev-neighbor probe)."""
+    from cpg_ray.functions.graphalgo import node2vec_walks
+
+    df = node2vec_walks(
+        _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
+        walks_per_node=2, length=3, p_inv=4, q_inv=2,
+    ).to_pandas()
+    for c in ["w", "step"]:
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_neg_samples(sf_dir: str):
     """Deterministic tail-corruption negatives (k=2 per edge) for
     link-prediction training over the canonical entity graph."""
@@ -1396,6 +1413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RAKE keyphrases and graph mixing stats
         "q_doc_keyphrases": q.q_doc_keyphrases,
         "kg_mixing": _kg_mixing,
+        # node2vec second-order biased walk corpus
+        "kg_node2vec": _kg_node2vec,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1738,6 +1757,50 @@ def _hits_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
         SELECT h.node AS entity, h.score AS hub, a.score AS auth
         FROM h{iters} h JOIN a{iters} a ON a.node = h.node
         ORDER BY entity""")
+    return "".join(parts)
+
+
+def _node2vec_oracle_sql(triples_glob: str, *, walks_per_node: int,
+                         length: int, p_inv: int, q_inv: int) -> str:
+    """Generated unrolled-step oracle for kg_node2vec: each step joins
+    the frontier with the edge list, LEFT-probes the edge list again
+    for the prev-neighbor (BFS-1) test, scales the 60-bit md5 draw by
+    the integer inverse bias, and takes the per-walk argmin.  Step 0
+    uses prev = '' — every candidate scales by the same q_inv, a
+    common factor argmin ignores (uniform first hop)."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT canonical_subj AS src, canonical_obj AS dst
+            FROM read_parquet('{triples_glob}')
+            WHERE canonical_subj <> canonical_obj),
+        nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+            SELECT src AS n FROM e0 UNION ALL SELECT dst AS n FROM e0)),
+        s0 AS MATERIALIZED (
+            SELECT n AS start, w, '' AS prev, n AS cur
+            FROM nodes CROSS JOIN (
+                SELECT unnest(range({walks_per_node})) AS w))"""]
+    for t in range(length):
+        parts.append(f"""
+        , c{t} AS MATERIALIZED (
+            SELECT s.start, s.w, s.cur, e.dst,
+                   ('0x' || substr(md5(s.start || '|' || s.w || '|{t}|'
+                        || s.cur || '|' || e.dst), 1, 15))::BIGINT
+                   * (CASE WHEN e.dst = s.prev THEN {p_inv}
+                           WHEN x.src IS NOT NULL THEN 1
+                           ELSE {q_inv} END) AS key
+            FROM s{t} s JOIN e0 e ON e.src = s.cur
+            LEFT JOIN e0 x ON x.src = s.prev AND x.dst = e.dst)
+        , s{t + 1} AS MATERIALIZED (
+            SELECT start, w, cur AS prev, dst AS cur FROM (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY start, w ORDER BY key, dst) AS rn
+                FROM c{t} c) WHERE rn = 1)""")
+    selects = ["SELECT start, w::BIGINT AS w, 0::BIGINT AS step, "
+               "cur AS node FROM s0"]
+    selects += [f"SELECT start, w::BIGINT, {t + 1}::BIGINT, cur "
+                f"FROM s{t + 1}" for t in range(length)]
+    parts.append("\n        " + "\n        UNION ALL ".join(selects))
+    parts.append("\n        ORDER BY start, w, step")
     return "".join(parts)
 
 
@@ -2534,6 +2597,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                                     scale=10 ** 12),
         "kg_random_walks": _walks_oracle_sql(
             triples_glob, walks_per_node=2, length=3),
+        "kg_node2vec": _node2vec_oracle_sql(
+            triples_glob, walks_per_node=2, length=3, p_inv=4, q_inv=2),
         # the walks oracle nests as a CTE body (WITH-in-WITH is legal);
         # contexts within 2 steps on the same (start, w) walk
         "kg_walk_skipgrams": f"""

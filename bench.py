@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q_doc_simhash_sig",
     "q_events_entropy",
     "kg_entity_salience",
+    "q_knn_exact",
+    "q_doc_keyphrases",
+    "kg_mixing",
 ]
 
 

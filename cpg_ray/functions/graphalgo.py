@@ -2578,3 +2578,122 @@ def graph_mixing_stats(edges_ds, *, src: str = "src", dst: str = "dst"):
         "assortativity": [np.float64(num) / np.float64(den)
                           if den else 0.0],
     })
+
+
+# ---- node2vec biased walks --------------------------------------------------
+
+
+def _walk_hash60(b: pd.DataFrame, step: int) -> pd.Series:
+    """60-bit integer md5 draw per candidate (numeric so the node2vec
+    bias can scale it; ('0x' || substr(md5(k),1,15))::BIGINT in SQL)."""
+    import hashlib
+
+    key = (b["start"].astype(str) + "|" + b["w"].astype(str)
+           + f"|{step}|" + b["cur"].astype(str) + "|"
+           + b["dst"].astype(str))
+    return key.map(
+        lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+
+
+def node2vec_walks(edges_ds, *, src: str = "src", dst: str = "dst",
+                   walks_per_node: int = 2, length: int = 3,
+                   p_inv: int = 4, q_inv: int = 2, mode: str = "auto"):
+    """node2vec-style SECOND-ORDER biased walks (Grover & Leskovec
+    2016) with deterministic pseudo-random steps: like
+    :func:`random_walks` but each candidate's 60-bit md5 draw is
+    SCALED by the integer inverse bias before the argmin —
+
+        weight = p_inv  if dst == prev        (return,  α = 1/p)
+               = 1      if edge(prev → dst)    (BFS-1,   α = 1)
+               = q_inv  otherwise              (explore, α = 1/q)
+
+    so returning / exploring candidates win the draw proportionally
+    less often (p_inv, q_inv > 1 ≈ DFS-ish exploration; the
+    deterministic analog of the walk-bias sampling).  Step 0 has no
+    prev (sentinel ''): every candidate scales by the same q_inv, a
+    common factor that argmin ignores — the first hop stays a uniform
+    draw, exactly as in the paper.  Ties break on dst.  Walks stop at
+    sinks.  Returns (start, w, step, node) rows.
+
+    Scale shape: identical to random_walks (L bounded exchanges, state
+    O(nodes × W)) plus one LEFT probe of the edge list per step for
+    the BFS-1 test — the distributed second-order trick: the walker
+    carries ``prev`` in its state row instead of materializing
+    neighbor sets."""
+    import ray.data as rd
+
+    from .relational import distinct_on, grouped_topk, hash_join
+
+    if mode not in ("shuffle", "auto"):
+        raise ValueError("node2vec_walks runs the Dataset kernel only "
+                         "(mode='shuffle'/'auto'); the per-step edge "
+                         "probe makes a separate driver kernel "
+                         "redundant")
+    if p_inv < 1 or q_inv < 1:
+        raise ValueError("p_inv and q_inv must be >= 1")
+
+    def weight(cand: pd.DataFrame) -> np.ndarray:
+        w = np.full(len(cand), q_inv, dtype=np.int64)
+        w[cand["__bfs1"].values] = 1
+        # return-bias beats BFS-1 when both hold (dst==prev is also a
+        # prev-neighbor iff the graph repeats the edge both ways)
+        w[cand["dst"].values == cand["prev"].values] = p_inv
+        return w
+
+    canon = edges_ds.map_batches(
+        lambda b: pd.DataFrame({"e_src": b[src], "dst": b[dst]})
+        .loc[lambda d: d["e_src"] != d["dst"]],
+        batch_format="pandas")
+    edges = distinct_on(canon, ["e_src", "dst"]).materialize()
+    probe = edges.map_batches(
+        lambda b: pd.DataFrame({"p_src": b["e_src"], "p_dst": b["dst"],
+                                "__hit": np.int64(1)}),
+        batch_format="pandas").materialize()
+    nodes = distinct_on(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["e_src"], b["dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"]).materialize()
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "start": b["node"].to_numpy().repeat(walks_per_node),
+            "w": np.tile(np.arange(walks_per_node, dtype=np.int64), n),
+            "prev": "",
+            "cur": b["node"].to_numpy().repeat(walks_per_node),
+        })
+
+    state = nodes.map_batches(init, batch_format="pandas").materialize()
+    out_ds = state.map_batches(
+        lambda b: pd.DataFrame({"start": b["start"], "w": b["w"],
+                                "step": np.int64(0), "node": b["cur"]}),
+        batch_format="pandas")
+    for t in range(length):
+        cand = hash_join(state, edges, on="cur", right_on="e_src",
+                         empty_safe=True)
+        cand = hash_join(cand, probe, on=["prev", "dst"],
+                         right_on=["p_src", "p_dst"], how="left_outer",
+                         empty_safe=True)
+
+        def keyed(b: pd.DataFrame, st=t) -> pd.DataFrame:
+            b = b.copy()
+            b["__bfs1"] = b["__hit"].notna().values
+            b["__key"] = _walk_hash60(b, st).to_numpy(np.int64) * weight(b)
+            return b[["start", "w", "prev", "cur", "dst", "__key"]]
+
+        picked = grouped_topk(
+            cand.map_batches(keyed, batch_format="pandas"),
+            ["start", "w"], "__key", 1, descending=False,
+            tie_break="dst")
+        state = picked.map_batches(
+            lambda b: pd.DataFrame({"start": b["start"], "w": b["w"],
+                                    "prev": b["cur"], "cur": b["dst"]}),
+            batch_format="pandas").materialize()
+        out_ds = out_ds.union(state.map_batches(
+            lambda b, st=t: pd.DataFrame(
+                {"start": b["start"], "w": b["w"],
+                 "step": np.int64(st + 1), "node": b["cur"]}),
+            batch_format="pandas"))
+    return out_ds.sort(["start", "w", "step"])

@@ -939,3 +939,78 @@ def test_sssp_modes_agree_matches_dijkstra_and_bfs_degenerate():
                         rounds=12, mode="driver").to_pandas()
     pd.testing.assert_frame_equal(got[["entity", "dist"]],
                                   bfs[["entity", "dist"]])
+
+
+def test_node2vec_walks_bias_replay_and_uniform_first_hop():
+    """Replay the second-order bias rule by hand: the md5 draw scaled
+    by p_inv (return) / 1 (prev-neighbor) / q_inv (explore), argmin
+    with dst tie-break; step 0 must equal the UNBIASED first hop (the
+    common q_inv factor cancels)."""
+    import hashlib
+
+    from cpg_ray.functions.graphalgo import node2vec_walks, random_walks
+
+    edges = _rand_edges(n_nodes=12, n_edges=36, seed=7)
+    got = node2vec_walks(rd.from_pandas(edges), walks_per_node=2,
+                         length=3, p_inv=4, q_inv=2).to_pandas()
+    for c in ["w", "step"]:
+        got[c] = got[c].astype("int64")
+
+    adj: dict = {}
+    for a, b in zip(edges.src, edges.dst):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+
+    def draw(start, w, t, cur, dst):
+        return int(hashlib.md5(
+            f"{start}|{w}|{t}|{cur}|{dst}".encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for start in sorted(set(edges.src) | set(edges.dst)):
+        for w in range(2):
+            prev, cur = None, start
+            rows.append((start, w, 0, cur))
+            for t in range(3):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                def key(x):
+                    if prev is None:
+                        bias = 2            # common factor, cancels
+                    elif x == prev:
+                        bias = 4
+                    elif x in adj.get(prev, ()):
+                        bias = 1
+                    else:
+                        bias = 2
+                    return (draw(start, w, t, cur, x) * bias, x)
+                prev, cur = cur, min(nbrs, key=key)
+                rows.append((start, w, t + 1, cur))
+    expect = pd.DataFrame(rows, columns=["start", "w", "step", "node"])
+    expect = expect.sort_values(["start", "w", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), expect)
+
+    # p_inv = q_inv = 1 degenerates to the unbiased first-order walk
+    flat = node2vec_walks(rd.from_pandas(edges), walks_per_node=2,
+                          length=3, p_inv=1, q_inv=1).to_pandas()
+    base = random_walks(rd.from_pandas(edges), walks_per_node=2,
+                        length=3, mode="driver").to_pandas()
+    for c in ["w", "step"]:
+        flat[c] = flat[c].astype("int64")
+        base[c] = base[c].astype("int64")
+    pd.testing.assert_frame_equal(flat.reset_index(drop=True),
+                                  base.reset_index(drop=True))
+
+    # sink drain: the two-edge path a->b->c stops at c; with a huge
+    # return penalty the b step still must go to c (only candidate)
+    path = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    r = node2vec_walks(rd.from_pandas(path), walks_per_node=1,
+                       length=5, p_inv=10, q_inv=1).to_pandas()
+    assert list(r[r.start == "a"].sort_values("step").node) == \
+        ["a", "b", "c"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        node2vec_walks(rd.from_pandas(path), p_inv=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(rd.from_pandas(path), mode="driver")
