@@ -1415,6 +1415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mixing": _kg_mixing,
         # node2vec second-order biased walk corpus
         "kg_node2vec": _kg_node2vec,
+        # ExactSubstr maximal duplicated-span cut list
+        "q_doc_dup_spans": q.q_doc_dup_spans,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,

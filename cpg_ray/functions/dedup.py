@@ -1062,3 +1062,97 @@ def simhash_signatures_md5(ds, *, id_col: str = "doc_id",
                              "simhash16": pd.Series(sigs, dtype="int64")})
 
     return ds.map_batches(sig_batch, batch_format="pandas")
+
+
+def duplicate_spans(ds, *, n: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", mode: str = "auto",
+                    dup_broadcast_limit: int = 5_000_000):
+    """Maximal duplicated token SPANS — the ExactSubstr shape (Lee et
+    al. 2022 'Deduplicating Training Data Makes Language Models
+    Better', public) at word-n-gram resolution: a starting position is
+    duplicated iff its n-gram occurs ≥ 2 times in the WHOLE corpus
+    counting multiplicity (within-doc repeats count — contrast
+    :func:`exact_ngram_dup_counts`, a distinct-docs census), and
+    overlapping/contiguous duplicated positions merge into maximal
+    spans.  Returns a Dataset of (id_col, span_start, span_end,
+    span_tokens) with 0-based inclusive token indices — the "cut
+    list" a remove-duplicated-substrings pass consumes.
+
+    Scale shape (100 TB): the occurrence explode is a stateless
+    flat-map (positions stay with their doc row, never straddle
+    batches); gram totals are ONE pre-combined groupby
+    (mode='auto' degrades to the salted shuffle past the key guard);
+    the probe side needs only the DUPLICATED grams — bounded by actual
+    repetition, so it is broadcast under a guard and degrades to the
+    big×big hash join past ``dup_broadcast_limit`` (the
+    paragraph_dedup contract); the interval merge co-locates each
+    document by id-hash bucket and runs a vectorized break/cumsum —
+    a document's own positions are the only thing that must meet.
+    """
+    import ray
+
+    from .relational import (GuardExceeded, _collect_limited,
+                             default_n_buckets, groupby_agg, hash_join)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, grams = [], [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                ids.append(did)
+                poss.append(i)
+                grams.append(" ".join(toks[i : i + n]))
+        return pd.DataFrame({id_col: ids,
+                             "pos": pd.Series(poss, dtype="int64"),
+                             "gram": grams})
+
+    occ = ds.map_batches(explode, batch_format="pandas").materialize()
+    totals = groupby_agg(occ, ["gram"], [("pos", "count", "n_occ")],
+                         mode=mode)
+    dups = totals.map_batches(
+        lambda b: b.loc[b["n_occ"] >= 2, ["gram"]],
+        batch_format="pandas")
+    try:
+        dup_df = _collect_limited(dups, dup_broadcast_limit,
+                                  "duplicate_spans")
+        dup_ref = ray.put(frozenset(dup_df["gram"]))
+
+        def probe(b: pd.DataFrame) -> pd.DataFrame:
+            dup_set = ray.get(dup_ref)
+            keep = b["gram"].map(dup_set.__contains__).to_numpy()
+            return b.loc[keep, [id_col, "pos"]]
+
+        starts = occ.map_batches(probe, batch_format="pandas")
+    except GuardExceeded:
+        starts = hash_join(occ, dups, on="gram").map_batches(
+            lambda b: b[[id_col, "pos"]], batch_format="pandas")
+
+    nb = default_n_buckets()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        # coverage gap: intervals [p, p+n-1]; contiguous while
+        # p_next <= p_prev + n
+        brk = np.r_[True, (ids[1:] != ids[:-1])
+                    | (pos[1:] > pos[:-1] + n)]
+        gid = np.cumsum(brk)
+        agg = (pd.DataFrame({id_col: ids, "__g": gid, "pos": pos})
+               .groupby([id_col, "__g"], sort=False)["pos"]
+               .agg(["min", "max"]).reset_index())
+        return pd.DataFrame({
+            id_col: agg[id_col],
+            "span_start": agg["min"].astype("int64"),
+            "span_end": (agg["max"] + n - 1).astype("int64"),
+            "span_tokens": (agg["max"] - agg["min"] + n).astype("int64"),
+        })
+
+    keyed = starts.map_batches(
+        lambda b: b.assign(
+            __bk=(pd.util.hash_pandas_object(b[id_col], index=False)
+                  % nb).astype("int32")),
+        batch_format="pandas")
+    return keyed.groupby("__bk").map_groups(
+        lambda g: merge(g.drop(columns="__bk")),
+        batch_format="pandas")

@@ -833,6 +833,18 @@ def q_events_user_join(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_doc_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Maximal duplicated token spans — the ExactSubstr CUT LIST
+    (functions/dedup.duplicate_spans): every span of tokens covered by
+    corpus-duplicated word-8-grams as one (start, end, length) row,
+    over documents ∪ injected near-copies so whole planted duplicates
+    surface as single long intervals."""
+    from ..functions.dedup import duplicate_spans
+
+    df = duplicate_spans(_docs_with_dupes(sf_dir), n=8).to_pandas()
+    return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def q_doc_dedup_spans(sf_dir: str) -> pd.DataFrame:
     """Exact duplicated-span REMOVAL (Lee et al. substring dedup as a
     transform, functions/text.mask_dup_spans): tokens covered by any
@@ -4399,6 +4411,42 @@ ORACLE_SQL["q_events_user_join"] = """
     FROM events e
     LEFT JOIN customer c ON e.user_id = c.c_custkey
     ORDER BY e.event_id
+"""
+
+
+ORACLE_SQL["q_doc_dup_spans"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text || ' tail'
+        FROM documents WHERE doc_id % 10 = 0
+    ), w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+    ), g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+        FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), dup AS (
+        SELECT doc_id, pos FROM g
+        WHERE gram IN (SELECT gram FROM g
+                       GROUP BY gram HAVING count(*) >= 2)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER win IS NULL
+                         OR pos > lag(pos) OVER win + 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 7)::BIGINT AS span_end,
+           (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+    FROM grp GROUP BY doc_id, gid
+    ORDER BY doc_id, span_start
 """
 
 

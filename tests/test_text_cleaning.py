@@ -480,3 +480,51 @@ def test_bigram_xent_hand_computed_smoothed_lm():
                - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
     # fluent/redundant doc 1 scores LOWER xent than the rarer doc 2
     assert out.loc[1, "xent"] < out.loc[2, "xent"]
+
+
+# ---- duplicate_spans (ExactSubstr cut list) ---------------------------------
+
+
+def test_duplicate_spans_merges_intervals_and_counts_multiplicity():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))     # 10-token dup run
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"u1 u2 {shared} u3 u4",                  # dup at pos 2..11
+            f"{shared} v1 v2 v3 v4 v5 v6 v7 v8",      # dup at pos 0..9
+            # within-doc repeat: the same 8 tokens twice in ONE doc
+            " ".join(f"w{i}" for i in range(8)) + " zzz "
+            + " ".join(f"w{i}" for i in range(8)),
+        ],
+    })
+    got = duplicate_spans(rd.from_pandas(docs), n=8).to_pandas()
+    got = got.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    # doc 1: starts 2,3,4 covered -> one maximal span [2, 11]
+    r1 = got[got.doc_id == 1]
+    assert [(r.span_start, r.span_end, r.span_tokens)
+            for r in r1.itertuples()] == [(2, 11, 10)]
+    r2 = got[got.doc_id == 2]
+    assert [(r.span_start, r.span_end, r.span_tokens)
+            for r in r2.itertuples()] == [(0, 9, 10)]
+    # doc 3: within-doc multiplicity counts; two spans [0,7] and [9,16]
+    r3 = got[got.doc_id == 3]
+    assert [(r.span_start, r.span_end, r.span_tokens)
+            for r in r3.itertuples()] == [(0, 7, 8), (9, 16, 8)]
+
+    # broadcast-probe path and the hash-join fallback agree
+    forced = duplicate_spans(rd.from_pandas(docs), n=8,
+                             dup_broadcast_limit=0).to_pandas()
+    forced = forced.sort_values(
+        ["doc_id", "span_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, forced, check_dtype=False)
+
+    # unique corpus -> no spans at all
+    uniq = pd.DataFrame({"doc_id": [7],
+                         "text": " ".join(f"q{i}" for i in range(20))})
+    assert len(duplicate_spans(
+        rd.from_pandas(uniq), n=8).to_pandas()) == 0
