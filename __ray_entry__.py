@@ -1417,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node2vec": _kg_node2vec,
         # ExactSubstr maximal duplicated-span cut list
         "q_doc_dup_spans": q.q_doc_dup_spans,
+        # hybrid retrieval: BM25 × learned-sparse reciprocal-rank fusion
+        "q_doc_hybrid_rrf": q.q_doc_hybrid_rrf,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,

@@ -159,3 +159,68 @@ def sparse_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
                                  batch_size=None)
     return grouped_topk(scored, ["qid"], "score", top_n,
                         descending=True, tie_break=id_col)
+
+
+def rrf_fuse(a_ds, b_ds, *, key: str = "qid", id_col: str = "doc_id",
+             score_col: str = "score", k0: int = 60, top_n: int = 10,
+             scale: int = 10 ** 9):
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) of two
+    ranked retrieval lists: each system's rank r contributes
+    ``scale // (k0 + r)`` — the INTEGER-floored analog of 1/(k0+r), so
+    the fused score is an exact int64 sum every engine reproduces
+    bit-for-bit — and items missing from one list contribute 0 from
+    it.  Ranks are recomputed from (score DESC, id) inside each input
+    (row_number semantics, deterministic on rounded scores).  Returns
+    a Dataset of (key, id_col, rrf) — the fused top_n per key, ranked
+    (rrf DESC, id).
+
+    Scale shape: inputs are already top-N-bounded per key (N × queries
+    rows, tiny relative to the corpus they were ranked over), so the
+    per-key rank is a bounded map_groups, the alignment is one
+    full-outer hash join on (key, id), and the finish is grouped_topk
+    — nothing rescans the corpus."""
+    import pandas as pd
+
+    from .relational import grouped_topk, hash_join
+
+    def rank(g: pd.DataFrame, side: str) -> pd.DataFrame:
+        g = g.sort_values([score_col, id_col],
+                          ascending=[False, True], kind="mergesort")
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            f"r_{side}": pd.RangeIndex(1, len(g) + 1).to_numpy("int64"),
+        })
+
+    ra = a_ds.groupby(key).map_groups(
+        lambda g: rank(g, "a"), batch_format="pandas").materialize()
+    rb = b_ds.groupby(key).map_groups(
+        lambda g: rank(g, "b"), batch_format="pandas").materialize()
+    # an EMPTY side loses its schema through map_groups, so the outer
+    # join cannot null-extend it — short-circuit to the present side
+    na, nb = ra.count(), rb.count()
+    if nb == 0:
+        both = ra.map_batches(lambda b: b.assign(r_b=float("nan")),
+                              batch_format="pandas")
+    elif na == 0:
+        both = rb.map_batches(lambda b: b.assign(r_a=float("nan")),
+                              batch_format="pandas")
+    else:
+        both = hash_join(ra, rb, on=[key, id_col], how="full_outer",
+                         empty_safe=True)
+
+    def fuse(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tot = np.zeros(len(b), dtype=np.int64)
+        for c in ("r_a", "r_b"):
+            r = pd.to_numeric(b[c], errors="coerce")
+            have = r.notna().to_numpy()
+            filled = r.fillna(1).to_numpy(np.int64)
+            tot += np.where(have, scale // (k0 + filled), 0)
+        return pd.DataFrame({key: b[key], id_col: b[id_col],
+                             "rrf": pd.Series(tot, dtype="int64")})
+
+    fused = both.map_batches(fuse, batch_format="pandas")
+    return grouped_topk(fused, [key], "rrf", top_n,
+                        descending=True, tie_break=id_col)

@@ -524,6 +524,26 @@ def q_doc_sparse_search(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)[["qid", "doc_id", "score"]]
 
 
+def q_doc_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (integer-scaled
+    1/(60+rank)) of the BM25 ranking and the learned-sparse (SPLADE
+    shape) ranking for the same three query intents — the standard
+    lexical × learned-sparse hybrid; fused score is an exact int64
+    sum, top-10 per query."""
+    from ..functions.sparse import rrf_fuse, sparse_search
+    from ..functions.text import bm25_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bm = bm25_search(docs, BM25_SEARCH_QUERIES, top_n=10)
+    sp = sparse_search(docs, SPARSE_SEARCH_QUERIES, top_n=10)
+    df = rrf_fuse(bm, sp, top_n=10).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["rrf"] = df["rrf"].astype("int64")
+    return df.sort_values(
+        ["qid", "rrf", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)[["qid", "doc_id", "rrf"]]
+
+
 def q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII redaction over documents with deterministically injected
     PII (every 7th doc gains an email, a phone and an IPv4 — the
@@ -4659,3 +4679,28 @@ def _rake_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_doc_keyphrases"] = _rake_oracle_sql()
+
+ORACLE_SQL["q_doc_hybrid_rrf"] = f"""
+    WITH bm AS (SELECT * FROM ({ORACLE_SQL['q_doc_bm25_search']})),
+    sp AS (SELECT * FROM ({ORACLE_SQL['q_doc_sparse_search']})),
+    ra AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS r
+           FROM bm),
+    rb AS (SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS r
+           FROM sp),
+    fused AS (
+        SELECT coalesce(ra.qid, rb.qid) AS qid,
+               coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+               coalesce(1000000000 // (60 + ra.r), 0)
+               + coalesce(1000000000 // (60 + rb.r), 0) AS rrf
+        FROM ra FULL OUTER JOIN rb
+          ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id)
+    SELECT qid, doc_id, rrf::BIGINT AS rrf FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused) WHERE rn <= 10
+    ORDER BY qid, rrf DESC, doc_id
+"""

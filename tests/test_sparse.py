@@ -74,3 +74,43 @@ def test_dsir_scores_favor_target_like_docs():
     # doc 2 shares the target's vocabulary; doc 3 is pure source-only
     assert out[2] > out[3]
     assert out[1] > out[3]
+
+
+def test_rrf_fuse_hand_computed_and_one_sided():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.sparse import rrf_fuse
+
+    a = pd.DataFrame({"qid": ["q"] * 3, "doc_id": [1, 2, 3],
+                      "score": [3.0, 2.0, 1.0]})      # ranks 1,2,3
+    b = pd.DataFrame({"qid": ["q"] * 3, "doc_id": [3, 4, 2],
+                      "score": [9.0, 5.0, 4.0]})      # ranks 1,2,3
+    got = rrf_fuse(rd.from_pandas(a), rd.from_pandas(b),
+                   top_n=10).to_pandas()
+    got = got.sort_values(["qid", "rrf", "doc_id"],
+                          ascending=[True, False, True]
+                          ).reset_index(drop=True)
+    S = 10 ** 9
+    expect = {
+        1: S // 61,             # only in a, rank 1
+        2: S // 62 + S // 63,   # a rank 2, b rank 3
+        3: S // 63 + S // 61,   # a rank 3, b rank 1
+        4: S // 62,             # only in b, rank 2
+    }
+    assert dict(zip(got.doc_id, got.rrf)) == expect
+    # doc 3 fuses highest (1st + 3rd beats 2nd + 3rd and singles)
+    assert got.doc_id.iloc[0] == 3
+    # ties on score break on doc_id when ranking (deterministic)
+    t = pd.DataFrame({"qid": ["q", "q"], "doc_id": [8, 7],
+                      "score": [1.0, 1.0]})
+    empty = pd.DataFrame({"qid": pd.Series([], dtype=object),
+                          "doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    one = rrf_fuse(rd.from_pandas(t), rd.from_pandas(empty),
+                   top_n=10).to_pandas()
+    assert dict(zip(one.doc_id, one.rrf)) == {7: S // 61, 8: S // 62}
+    # top_n truncates per query
+    top1 = rrf_fuse(rd.from_pandas(a), rd.from_pandas(b),
+                    top_n=1).to_pandas()
+    assert list(top1.doc_id) == [3]
