@@ -1,7 +1,8 @@
-"""Decision-support query batch (TPC-H Q4/Q7-Q11/Q13/Q15/Q17-Q19/Q21/
-Q22 shapes adapted to the driver's star schema — no partsupp table, no
-comment/shipmode columns, so each query keeps the PATTERN and swaps the
-missing column for an available analog).
+"""Decision-support query batch — with Q1/Q3/Q5/Q6/Q14-analogs living
+in pipelines/queries.py, this module completes all 22 TPC-H shapes
+(Q2/Q4/Q7-Q13/Q15-Q22) adapted to the driver's star schema — no
+partsupp table, no comment/shipmode columns, so each query keeps the
+PATTERN and swaps the missing column for an available analog.
 
 Why these matter beyond breadth: each one exercises a distinct
 distributed-plan shape the engine must get right at 100 TB —
@@ -21,7 +22,14 @@ distributed-plan shape the engine must get right at 100 TB —
 - disjunctive multi-predicate pushdown evaluated vectorized per batch
   (q19);
 - self-grouped anti semantics (q21: sole-supplier orders via min==max
-  per group — no self-join).
+  per group — no self-join);
+- correlated-min collapse (q2: ``cost = (SELECT min ...)`` becomes a
+  per-part min aggregate broadcast back over the price book);
+- COUNT(DISTINCT) as keep-first-then-count (q16: the distinct collapses
+  (descriptor, supplier) pairs ahead of the counting exchange);
+- nested-aggregate comparison in one pass (q20: the windowed and the
+  all-time quantity are two conditional columns of a single combiner
+  pass, never two fact scans).
 
 Scale notes use the repo conventions: dimension tables (region, nation,
 customer, supplier, part, orders at these SFs) ride driver-side /
@@ -578,7 +586,264 @@ def q22_idle_customers(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("c_nationkey").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Q2: min-cost supplier per part (correlated-min subquery shape)
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """For every STANDARD part, the supplier(s) quoting the minimum
+    observed price — the TPC-H Q2 correlated-min shape with lineitem
+    standing in for partsupp (supply cost := min l_extendedprice ever
+    charged by that supplier for that part; comparisons only, no float
+    arithmetic, so the Ray and SQL answers are bit-identical).
+
+    Plan: one combiner-shaped exchange builds the (part, supplier)
+    price book; the correlated ``cost = (SELECT min ...)`` collapses to
+    a per-part min broadcast back over the book (two tiny aggregates,
+    never a per-row probe).  The part filter rides as a broadcast
+    key set so only qualifying parts' pairs ever leave the fact scan."""
+    from ..functions.relational import distinct_on  # noqa: F401 (doc)
+
+    part = _pq(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+    std = part[part.p_type == "STANDARD"]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    pairs = semi_anti_filter(li, "l_partkey", set(std.p_partkey))
+    book = groupby_agg(pairs, ["l_partkey", "l_suppkey"],
+                       [("l_extendedprice", "min", "cost")])
+    pmin = groupby_agg(book, ["l_partkey"], [("cost", "min", "min_cost")])
+    best = broadcast_join(book, pmin.to_pandas(),
+                          left_on="l_partkey", right_on="l_partkey")
+    winners = best.map_batches(
+        lambda b: b[b.cost == b.min_cost][["l_partkey", "l_suppkey",
+                                           "min_cost"]],
+        batch_format="pandas").to_pandas()
+
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = (winners
+           .merge(std[["p_partkey", "p_name"]],
+                  left_on="l_partkey", right_on="p_partkey")
+           .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    out = out[["p_partkey", "p_name", "s_name", "min_cost"]]
+    return (out.sort_values(["min_cost", "p_partkey", "s_name"],
+                            ascending=[False, True, True])
+            .head(100).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Q12: lateness by line class (join + conditional counts per class)
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_lateness(sf_dir: str) -> pd.DataFrame:
+    """1996 lineitems shipped more than 90 days after their order date,
+    split per return flag into lines belonging to critical
+    (1-URGENT/2-HIGH) vs other orders — the TPC-H Q12 shape with
+    l_returnflag standing in for shipmode and ship-lag for the
+    commit/receipt comparison.  Counts only: hash-exact by
+    construction.
+
+    Plan: the orders side is three thin columns (broadcast; at true
+    100 TB swap for hash_join on l_orderkey), the lateness predicate
+    and the priority CASE both evaluate vectorized per batch, and the
+    per-flag counts are combiner partials into a 3-row exchange."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def in_1996(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b.l_shipdate >= pd.Timestamp("1996-01-01"))
+                 & (b.l_shipdate < pd.Timestamp("1997-01-01"))]
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = broadcast_join(li.map_batches(in_1996, batch_format="pandas"),
+                            orders, left_on="l_orderkey",
+                            right_on="o_orderkey")
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        late = b[b.l_shipdate > b.o_orderdate + pd.Timedelta(days=90)]
+        hi = late.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame({
+            "l_returnflag": late.l_returnflag,
+            "high_line": hi.astype("int64"),
+            "low_line": (~hi).astype("int64"),
+        })
+
+    agg = groupby_agg(joined.map_batches(classify, batch_format="pandas"),
+                      ["l_returnflag"],
+                      [("high_line", "sum", "high_line_count"),
+                       ("low_line", "sum", "low_line_count")])
+    df = agg.to_pandas()
+    df["high_line_count"] = df["high_line_count"].astype("int64")
+    df["low_line_count"] = df["low_line_count"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q16: supplier-count distribution with a NOT-IN blacklist
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """How many distinct suppliers ship each surviving part descriptor
+    (brand, type, size), excluding one brand, one type, an eight-value
+    size whitelist, and every supplier in arrears (s_acctbal < 0) —
+    the TPC-H Q16 NOT-IN + count(DISTINCT) shape with the negative
+    balance standing in for the complaints LIKE.
+
+    Plan: blacklist and part descriptors both broadcast; the distinct
+    collapses (descriptor, supplier) pairs with a hash-partition
+    keep-first BEFORE the count, so the wide exchange carries at most
+    one row per pair (the combiner shape for COUNT DISTINCT)."""
+    from ..functions.relational import distinct_on
+
+    part = _pq(sf_dir, "part",
+               ["p_partkey", "p_brand", "p_type", "p_size"])
+    keep = part[(part.p_brand != "Brand#4") & (part.p_type != "PROMO")
+                & part.p_size.isin([1, 5, 9, 13, 17, 21, 25, 29])]
+
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    blacklist = set(supp[supp.s_acctbal < 0.0].s_suppkey)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    ok = semi_anti_filter(li, "l_suppkey", blacklist, anti=True)
+    joined = broadcast_join(ok, keep, left_on="l_partkey",
+                            right_on="p_partkey")
+    pairs = distinct_on(
+        joined.map_batches(
+            lambda b: b[["p_brand", "p_type", "p_size", "l_suppkey"]],
+            batch_format="pandas"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"])
+    agg = groupby_agg(pairs, ["p_brand", "p_type", "p_size"],
+                      [("l_suppkey", "count", "supplier_cnt")])
+    df = agg.to_pandas()
+    df["supplier_cnt"] = df["supplier_cnt"].astype("int64")
+    return (df.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Q20: nested-aggregate comparison + semi join (excess-volume suppliers)
+# ---------------------------------------------------------------------------
+
+
+def q20_part_specialists(sf_dir: str) -> pd.DataFrame:
+    """Suppliers who shipped more than half — but not all — of their
+    all-time volume of some 'small …' part during 1996: the TPC-H Q20
+    correlated half-of-shipped-quantity comparison with the
+    per-(part, supplier) all-time total standing in for availqty (the
+    not-all leg keeps the predicate discriminating — 72 of 100
+    suppliers at sf0.01 — instead of trivially matching every
+    single-shipment pair).  The comparison runs as ``2*qty_1996 >
+    qty_total AND qty_1996 < qty_total`` on integer-valued quantity
+    sums, so both engines agree bit-exactly.
+
+    Plan: the 'small' part key set broadcasts into the fact scan; both
+    the windowed and the all-time quantity land in ONE combiner pass
+    (a conditional column, not a second scan); the qualifying supplier
+    key set is tiny and semi-joins the supplier dimension driver-side."""
+    part = _pq(sf_dir, "part", ["p_partkey", "p_name"])
+    small = set(part[part.p_name.str.startswith("small ")].p_partkey)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+    hits = semi_anti_filter(li, "l_partkey", small)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        in96 = ((b.l_shipdate >= pd.Timestamp("1996-01-01"))
+                & (b.l_shipdate < pd.Timestamp("1997-01-01")))
+        return pd.DataFrame({
+            "l_partkey": b.l_partkey,
+            "l_suppkey": b.l_suppkey,
+            "qty_1996": b.l_quantity.where(in96, 0.0),
+            "qty_total": b.l_quantity,
+        })
+
+    per = groupby_agg(hits.map_batches(prep, batch_format="pandas"),
+                      ["l_partkey", "l_suppkey"],
+                      [("qty_1996", "sum", "qty_1996"),
+                       ("qty_total", "sum", "qty_total")]).to_pandas()
+    winners = set(per[(2.0 * per.qty_1996 > per.qty_total)
+                      & (per.qty_1996 < per.qty_total)].l_suppkey)
+
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = (supp[supp.s_suppkey.isin(winners)]
+           .merge(nation, left_on="s_nationkey", right_on="n_nationkey"))
+    return (out[["s_name", "n_name"]]
+            .sort_values("s_name").reset_index(drop=True))
+
+
 DSS_ORACLE_SQL: dict[str, str] = {
+    "q2_min_cost_supplier": """
+        WITH book AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'STANDARD')
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, p_name, s_name, cost AS min_cost
+        FROM book
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE cost = (SELECT min(b2.cost) FROM book b2
+                      WHERE b2.l_partkey = book.l_partkey)
+        ORDER BY min_cost DESC, p_partkey, s_name
+        LIMIT 100
+    """,
+    "q12_priority_lateness": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q16_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_part_specialists": """
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small %')
+            GROUP BY l_partkey, l_suppkey
+            HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                                 AND l_shipdate < TIMESTAMP '1997-01-01'
+                                THEN l_quantity ELSE 0 END)
+                   > sum(l_quantity)
+               AND sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate < TIMESTAMP '1997-01-01'
+                            THEN l_quantity ELSE 0 END)
+                   < sum(l_quantity)
+        )
+        ORDER BY s_name
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

@@ -12,9 +12,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # one per distinct plan shape: EXISTS folding, two-level aggregate,
-# self-grouped anti, global-scalar HAVING
+# self-grouped anti, global-scalar HAVING, correlated-min collapse,
+# distinct-then-count, nested-aggregate comparison
 SMOKE = ["q4_order_priority", "q13_customer_distribution",
-         "q21_sole_supplier", "q11_supplier_concentration"]
+         "q21_sole_supplier", "q11_supplier_concentration",
+         "q2_min_cost_supplier", "q16_supplier_counts",
+         "q20_part_specialists"]
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +62,51 @@ def test_q4_exists_folding_is_exact(con):
     """).df()
     pd.testing.assert_frame_equal(
         ours, probe.astype({"order_count": "int64"}))
+
+
+def test_q20_majority_leg_is_discriminating():
+    """The not-all guard (qty_1996 < qty_total) must exclude at least
+    one supplier that the plain more-than-half predicate admits —
+    otherwise the query degenerates to 'every supplier with any 1996
+    shipment of a small part' and stops testing the nested-aggregate
+    comparison."""
+    from cpg_ray.pipelines.dss import q20_part_specialists
+
+    out = q20_part_specialists(SF)
+    con = duckdb.connect()
+    plain_n = con.sql(f"""
+        SELECT count(*) FROM '{SF}/supplier.parquet' WHERE s_suppkey IN (
+            SELECT l_suppkey FROM '{SF}/lineitem.parquet'
+            WHERE l_partkey IN (SELECT p_partkey FROM '{SF}/part.parquet'
+                                WHERE p_name LIKE 'small %')
+            GROUP BY l_partkey, l_suppkey
+            HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                                 AND l_shipdate < TIMESTAMP '1997-01-01'
+                                THEN l_quantity ELSE 0 END)
+                   > sum(l_quantity))
+    """).fetchone()[0]
+    assert len(out) < plain_n, (
+        "majority-not-all leg excluded nobody — predicate degenerate")
+    assert len(out) > 0
+
+
+def test_q2_winners_are_true_per_part_minima(con):
+    """Every emitted (part, supplier) must quote exactly the global
+    per-part minimum price, and every STANDARD part with any lineitem
+    must be representable (the LIMIT trims, never the plan)."""
+    from cpg_ray.pipelines.dss import q2_min_cost_supplier
+
+    out = q2_min_cost_supplier(SF)
+    assert len(out) > 0
+    truth = con.sql("""
+        SELECT l_partkey, min(l_extendedprice) AS m
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'STANDARD')
+        GROUP BY 1
+    """).df().set_index("l_partkey")["m"]
+    for _, r in out.iterrows():
+        assert r.min_cost == truth[r.p_partkey]
 
 
 def test_q21_sole_supplier_never_counts_single_line_orders():
