@@ -1413,6 +1413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dup_spans": q.q_doc_dup_spans,
         # hybrid retrieval: BM25 × learned-sparse reciprocal-rank fusion
         "q_doc_hybrid_rrf": q.q_doc_hybrid_rrf,
+        # -- oracle-paired, NEW in round 4 (sixth session): late-
+        # interaction MaxSim retrieval (ColBERT scoring shape, integer
+        # md5 token vectors as the encoder seam)
+        "q_doc_maxsim": q.q_doc_maxsim,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1477,7 +1481,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extracted_text": _kg_extracted_text,
         # -- oracle-paired, NEW in round 4
         "kg_clean_text": _kg_clean_text,
-        "kg_link_jaccard": _kg_link_jaccard,
         "kg_fact_timeline": _kg_fact_timeline,
         "q_supplier_blocking": q.q_supplier_blocking,
         "kg_cypher_varlen": _kg_cypher_varlen,
@@ -1503,6 +1506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_user_join": q.q_events_user_join,
         "q_doc_dedup_spans": q.q_doc_dedup_spans,
         "kg_para_dedup": _kg_para_dedup,
+        # kg_link_jaccard rotated out for q_doc_maxsim: its set-overlap
+        # scoring is repped by q_doc_jaccard_pairs and the in-window
+        # linker oracles (kg_triples/kg_entities)
+        "kg_link_jaccard": _kg_link_jaccard,
         # Rotated just past the window for the fifth-session additions
         # (entropy/salience/fasttext/lpa/transe): their machinery is
         # covered in-window by siblings — embedding mean-agg by

@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "q_knn_exact",
     "q_doc_keyphrases",
     "kg_mixing",
+    # round-4 sixth session: TPC-H completion batch + MaxSim retrieval
+    "q2_min_cost_supplier",
+    "q12_priority_lateness",
+    "q16_supplier_counts",
+    "q20_part_specialists",
+    "q_doc_maxsim",
 ]
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -223,4 +224,113 @@ def rrf_fuse(a_ds, b_ds, *, key: str = "qid", id_col: str = "doc_id",
 
     fused = both.map_batches(fuse, batch_format="pandas")
     return grouped_topk(fused, [key], "rrf", top_n,
+                        descending=True, tie_break=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
+# ---------------------------------------------------------------------------
+
+_VEC_DIM = 4
+_VEC_MOD = 2001  # components in [-1000, 1000]: dot products stay tiny int64
+
+
+def md5_token_vec(tok: str) -> "np.ndarray":
+    """Deterministic per-token integer embedding — the seam where a
+    learned token encoder plugs in.  Component i is
+    ``md5_32(tok + '#' + i) mod 2001 - 1000``; SQL equivalent per
+    component: ``(('0x' || substr(md5(tok || '#i'), 1, 8))::BIGINT
+    % 2001) - 1000`` — integer end to end, so every engine reproduces
+    scores bit-for-bit (same convention as :func:`md5_term_weight`)."""
+    return np.array(_vec_components(tok), dtype=np.int64)
+
+
+@lru_cache(maxsize=1 << 20)  # bounded: ~32 MB worst case, then recompute
+def _vec_components(tok: str) -> tuple:
+    return tuple(
+        int(hashlib.md5(f"{tok}#{i}".encode()).hexdigest()[:8], 16)
+        % _VEC_MOD - (_VEC_MOD - 1) // 2
+        for i in range(_VEC_DIM)
+    )
+
+
+def maxsim_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
+                  text_col: str = "text", top_n: int = 10,
+                  doc_prefix: int = 32):
+    """Late-interaction retrieval (Khattab & Zaharia 2020 ColBERT
+    scoring shape, public): every token carries its own vector and
+
+        score(q, d) = Σ_{t∈tokens(q)} max_{u∈tokens(d)} <v(t), v(u)>
+
+    — the query token finds its best-matching document token (MaxSim)
+    instead of the document collapsing to one vector.  Token vectors
+    come from :func:`md5_token_vec` (the learned-encoder seam); scores
+    are exact int64 sums of integer dot products, so the DuckDB oracle
+    matches bit-for-bit.
+
+    Documents are truncated to their first ``doc_prefix`` token
+    POSITIONS then deduplicated (max over a multiset equals max over
+    its support) — the ColBERT max-doc-length analog that also bounds
+    per-batch work.  Query tokens are deduplicated per qid.
+
+    Scale shape: the query token matrix is tiny and rides in the task
+    closure; scoring is ONE stateless pass over the corpus — per batch
+    an integer matmul (all doc-token vectors × all query-token
+    vectors) followed by a C-speed per-doc max — and each document
+    lives wholly in its row, so per-batch scores are final.  The only
+    exchange is the grouped top-n over (queries × docs) score rows.
+    Returns a Dataset of (qid, id_col, score), ranked (score DESC,
+    id)."""
+    from .relational import grouped_topk
+
+    qtoks_by_qid = {
+        qid: list(dict.fromkeys(re.findall("[a-z0-9_]+", qtext.lower())))
+        for qid, qtext in sorted(queries.items())
+    }
+    flat = [(qid, t) for qid, ts in qtoks_by_qid.items() for t in ts]
+    if not flat:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"qid": pd.Series([], dtype=object),
+             id_col: pd.Series([], dtype=object),
+             "score": pd.Series([], dtype="int64")}))
+    qmat = np.stack([md5_token_vec(t) for _, t in flat])  # (nq, DIM)
+    qcols_by_qid = {}
+    for j, (qid, _) in enumerate(flat):
+        qcols_by_qid.setdefault(qid, []).append(j)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series([], dtype=object),
+                              id_col: pd.Series([], dtype=object),
+                              "score": pd.Series([], dtype="int64")})
+        if b.empty:
+            return empty
+        doc_ids, toks = [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            seen = dict.fromkeys(
+                re.findall("[a-z0-9_]+", str(text).lower())[:doc_prefix])
+            for t in seen:
+                doc_ids.append(did)
+                toks.append(t)
+        if not toks:
+            return empty
+        uniq = list(dict.fromkeys(toks))
+        vmap = {t: i for i, t in enumerate(uniq)}
+        vmat = np.stack([md5_token_vec(t) for t in uniq])  # (nu, DIM)
+        sims = vmat[[vmap[t] for t in toks]] @ qmat.T  # (pairs, nq) int64
+        per_doc = (pd.DataFrame(sims)
+                   .groupby(pd.Series(doc_ids), sort=False).max())
+        out = []
+        for qid, cols in qcols_by_qid.items():
+            out.append(pd.DataFrame({
+                "qid": qid,
+                id_col: per_doc.index,
+                "score": per_doc.iloc[:, cols].sum(axis=1)
+                                .to_numpy(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    scored = docs_ds.map_batches(score, batch_format="pandas")
+    return grouped_topk(scored, ["qid"], "score", top_n,
                         descending=True, tie_break=id_col)

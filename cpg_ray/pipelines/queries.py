@@ -524,6 +524,24 @@ def q_doc_sparse_search(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)[["qid", "doc_id", "score"]]
 
 
+def q_doc_maxsim(sf_dir: str) -> pd.DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim scoring shape):
+    every token carries an md5-derived integer vector (the learned-
+    encoder seam), score(q, d) = Σ over query tokens of the best
+    document-token dot product within the doc's first 32 token
+    positions — exact int64 end to end, top-10 per query."""
+    from ..functions.sparse import maxsim_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = maxsim_search(docs, SPARSE_SEARCH_QUERIES,
+                       top_n=10, doc_prefix=32).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].astype("int64")
+    return df.sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)[["qid", "doc_id", "score"]]
+
+
 def q_doc_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (integer-scaled
     1/(60+rank)) of the BM25 ranking and the learned-sparse (SPLADE
@@ -4191,6 +4209,53 @@ ORACLE_SQL: dict[str, str] = {
                      round(sum(qx.qw * w.tw * ln(1 + tf.tf)), 6) AS score
               FROM tf JOIN qx ON qx.tok = tf.tok JOIN w ON w.tok = tf.tok
               GROUP BY qx.qid, tf.doc_id),
+        ranked AS (SELECT qid, doc_id, score,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score DESC, doc_id)
+                              AS rk
+                   FROM s)
+        SELECT qid, doc_id, score FROM ranked WHERE rk <= 10
+        ORDER BY qid, score DESC, doc_id
+    """,
+    "q_doc_maxsim": """
+        WITH qt(qid, tok) AS (VALUES ('qa','hash'), ('qa','join'),
+                                     ('qb','window'), ('qb','sort'),
+                                     ('qc','stream'), ('qc','batch')),
+        dtok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_slice(
+                           regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                           1, 32)) AS tok
+                FROM documents)
+        ),
+        dv AS (SELECT doc_id, tok,
+                   (('0x'||substr(md5(tok||'#0'),1,8))::BIGINT % 2001)
+                       - 1000 AS v0,
+                   (('0x'||substr(md5(tok||'#1'),1,8))::BIGINT % 2001)
+                       - 1000 AS v1,
+                   (('0x'||substr(md5(tok||'#2'),1,8))::BIGINT % 2001)
+                       - 1000 AS v2,
+                   (('0x'||substr(md5(tok||'#3'),1,8))::BIGINT % 2001)
+                       - 1000 AS v3
+               FROM dtok),
+        qv AS (SELECT qid, tok,
+                   (('0x'||substr(md5(tok||'#0'),1,8))::BIGINT % 2001)
+                       - 1000 AS q0,
+                   (('0x'||substr(md5(tok||'#1'),1,8))::BIGINT % 2001)
+                       - 1000 AS q1,
+                   (('0x'||substr(md5(tok||'#2'),1,8))::BIGINT % 2001)
+                       - 1000 AS q2,
+                   (('0x'||substr(md5(tok||'#3'),1,8))::BIGINT % 2001)
+                       - 1000 AS q3
+               FROM qt),
+        ms AS (SELECT qv.qid, dv.doc_id, qv.tok,
+                      max(dv.v0*qv.q0 + dv.v1*qv.q1
+                          + dv.v2*qv.q2 + dv.v3*qv.q3) AS m
+               FROM dv CROSS JOIN qv
+               GROUP BY qv.qid, dv.doc_id, qv.tok),
+        s AS (SELECT qid, doc_id, sum(m)::BIGINT AS score
+              FROM ms GROUP BY qid, doc_id),
         ranked AS (SELECT qid, doc_id, score,
                           row_number() OVER (PARTITION BY qid
                                              ORDER BY score DESC, doc_id)

@@ -114,3 +114,47 @@ def test_rrf_fuse_hand_computed_and_one_sided():
     top1 = rrf_fuse(rd.from_pandas(a), rd.from_pandas(b),
                     top_n=1).to_pandas()
     assert list(top1.doc_id) == [3]
+
+
+def test_maxsim_hand_computed_and_prefix_truncation():
+    """Score must equal the brute-force Σ-max of integer dot products,
+    and a token past the doc_prefix cutoff must not contribute."""
+    import numpy as np
+
+    from cpg_ray.functions.sparse import maxsim_search, md5_token_vec
+
+    docs = _docs([
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma delta epsilon"},
+        # doc 3 hides the query token past a prefix of 2
+        {"doc_id": 3, "text": "zeta eta alpha"},
+    ])
+    out = maxsim_search(docs, {"q": "alpha gamma"},
+                        top_n=10, doc_prefix=2).to_pandas()
+    out = out.set_index("doc_id")["score"]
+
+    def brute(tokens):
+        return sum(
+            max(int(md5_token_vec(qt) @ md5_token_vec(dt))
+                for dt in tokens)
+            for qt in ["alpha", "gamma"])
+
+    assert out[1] == brute(["alpha", "beta"])
+    assert out[2] == brute(["gamma", "delta"])        # epsilon truncated
+    assert out[3] == brute(["zeta", "eta"])           # alpha truncated
+    # exact self-match dominates doc 3's truncated view for q-token
+    # alpha: doc 1 must outrank doc 3
+    assert out[1] > out[3]
+
+
+def test_maxsim_duplicate_tokens_do_not_change_score():
+    """Max over a multiset equals max over its support: repeating a
+    document token must not alter the MaxSim score."""
+    from cpg_ray.functions.sparse import maxsim_search
+
+    once = maxsim_search(_docs([{"doc_id": 1, "text": "alpha beta"}]),
+                         {"q": "alpha"}).to_pandas()
+    thrice = maxsim_search(
+        _docs([{"doc_id": 1, "text": "alpha alpha alpha beta"}]),
+        {"q": "alpha"}).to_pandas()
+    assert once.score.iloc[0] == thrice.score.iloc[0]
