@@ -1417,6 +1417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interaction MaxSim retrieval (ColBERT scoring shape, integer
         # md5 token vectors as the encoder seam)
         "q_doc_maxsim": q.q_doc_maxsim,
+        # distributed two-phase prefix scan (global running sum/max in
+        # event-id order, exact integer cents)
+        "q_events_running_total": q.q_events_running_total,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1481,7 +1484,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extracted_text": _kg_extracted_text,
         # -- oracle-paired, NEW in round 4
         "kg_clean_text": _kg_clean_text,
-        "kg_fact_timeline": _kg_fact_timeline,
         "q_supplier_blocking": q.q_supplier_blocking,
         "kg_cypher_varlen": _kg_cypher_varlen,
         # -- the DSS batch displaced 13 window slots: the stable four
@@ -1506,10 +1508,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_user_join": q.q_events_user_join,
         "q_doc_dedup_spans": q.q_doc_dedup_spans,
         "kg_para_dedup": _kg_para_dedup,
-        # kg_link_jaccard rotated out for q_doc_maxsim: its set-overlap
-        # scoring is repped by q_doc_jaccard_pairs and the in-window
-        # linker oracles (kg_triples/kg_entities)
+        # kg_link_jaccard rotated out for q_doc_maxsim (set-overlap
+        # scoring repped by q_doc_jaccard_pairs and the in-window
+        # linker oracles); kg_fact_timeline out for
+        # q_events_running_total (its interval bucketing repped by
+        # q_events_range_frame + kg_sig_violations' fusion siblings)
         "kg_link_jaccard": _kg_link_jaccard,
+        "kg_fact_timeline": _kg_fact_timeline,
         # Rotated just past the window for the fifth-session additions
         # (entropy/salience/fasttext/lpa/transe): their machinery is
         # covered in-window by siblings — embedding mean-agg by

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q16_supplier_counts",
     "q20_part_specialists",
     "q_doc_maxsim",
+    "q_events_running_total",
 ]
 
 

@@ -309,3 +309,104 @@ def tumbling_window_counts(events_ds, *, key_col: str = "event_type",
     df["n"] = df["n"].astype("int64")
     return df.sort_values(
         [key_col, "window_start", "late"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix scan (running aggregates in one GLOBAL total order)
+# ---------------------------------------------------------------------------
+
+
+def ordered_scan(ds, order_col: str, specs: list, *,
+                 n_buckets: int | None = None):
+    """Running aggregate over a global total order — ``sum(v) OVER
+    (ORDER BY order_col ROWS UNBOUNDED PRECEDING)`` as a distributed
+    two-phase scan (the classic parallel-prefix shape: local scan per
+    range, tiny exclusive combine across ranges, broadcast back).
+
+    ``specs`` is a list of ``(value_col, op, out_col)`` with op in
+    {"sum", "max", "min"}; values must be numeric (int64 stays int64 —
+    exact in any association — and the per-range combine keeps the
+    float case sequential-equivalent: offsets apply in range order).
+    ``order_col`` values must be unique (ROW semantics; ties would make
+    the running value order-dependent).
+
+    Scale shape: ranges come from equal-width bucketing on the observed
+    [min, max] (one combiner pass), so the only exchange is the bucket
+    groupby; cross-range carry is a K-row driver table (K =
+    :func:`~cpg_ray.functions.relational.default_n_buckets`), never a
+    sequential pass over the data.  Skewed order keys unbalance range
+    SIZES, not correctness.
+
+    Reference analog: the reference's EOG `INDEX` property makes
+    evaluation order a COLUMN (Properties.java:43-49); this operator is
+    the same move for running state — order is data, so the scan
+    parallelizes."""
+    import ray.data as rd
+
+    from .relational import default_n_buckets, groupby_agg
+
+    ops = {"sum": ("cumsum", np.add), "max": ("cummax", np.maximum),
+           "min": ("cummin", np.minimum)}
+    for _, op, _ in specs:
+        if op not in ops:
+            raise ValueError(f"unsupported scan op {op!r}")
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    cols = [order_col] + sorted({c for c, _, _ in specs})
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({"mn": [], "mx": []})
+        return pd.DataFrame({"mn": [b[order_col].min()],
+                             "mx": [b[order_col].max()]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    if mm.empty:
+        return rd.from_pandas(pd.DataFrame(
+            {order_col: pd.Series([], dtype="int64"),
+             **{out: pd.Series([], dtype="int64")
+                for _, _, out in specs}}))
+    lo, hi = mm.mn.min(), mm.mx.max()
+    # interior boundaries of n_buckets equal-width ranges
+    bounds = np.linspace(float(lo), float(hi), n_buckets + 1)[1:-1]
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy()
+        b["__bucket"] = np.searchsorted(
+            bounds, b[order_col].to_numpy(np.float64), side="right"
+        ).astype("int32")
+        return b
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    # phase 1: per-range totals (combiner-shaped), then the exclusive
+    # cross-range combine on K driver rows
+    tot = groupby_agg(bucketed, ["__bucket"],
+                      [(c, op, f"__t_{i}")
+                       for i, (c, op, _) in enumerate(specs)]).to_pandas()
+    tot = tot.sort_values("__bucket").reset_index(drop=True)
+    offsets: dict[int, list] = {}
+    carry: list = [None] * len(specs)
+    for _, row in tot.iterrows():
+        offsets[int(row["__bucket"])] = list(carry)
+        for i, (_, op, _) in enumerate(specs):
+            v = row[f"__t_{i}"]
+            carry[i] = v if carry[i] is None else ops[op][1](carry[i], v)
+
+    # phase 2: per-range local scan + broadcast offset
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        off = offsets.get(int(g["__bucket"].iloc[0]), [None] * len(specs))
+        out = {order_col: g[order_col].to_numpy()}
+        for i, (c, op, name) in enumerate(specs):
+            local = getattr(g[c], ops[op][0])()
+            vals = local.to_numpy()
+            if off[i] is not None:
+                vals = (vals + off[i] if op == "sum"
+                        else ops[op][1](vals, off[i]))
+            out[name] = vals
+        return pd.DataFrame(out)
+
+    return bucketed.groupby("__bucket").map_groups(
+        scan, batch_format="pandas")

@@ -2270,6 +2270,34 @@ def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("column").reset_index(drop=True)
 
 
+def q_events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Global running sum + running max of event value in event-id
+    order — the distributed two-phase prefix scan
+    (:func:`~cpg_ray.functions.streaming.ordered_scan`): local scan per
+    range, K-row exclusive combine on the driver, offsets broadcast
+    back.  Values scale to integer cents (floor(v*100+0.5)) so the
+    running sums are exact int64 in any association."""
+    from ..functions.streaming import ordered_scan
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b.event_id.astype("int64"),
+            "v": np.floor(b.value.to_numpy(np.float64) * 100.0
+                          + 0.5).astype("int64"),
+        })
+
+    scanned = ordered_scan(
+        ev.map_batches(prep, batch_format="pandas"), "event_id",
+        [("v", "sum", "run_sum_cents"), ("v", "max", "run_max_cents")])
+    df = scanned.to_pandas()
+    df["run_sum_cents"] = df["run_sum_cents"].astype("int64")
+    df["run_max_cents"] = df["run_max_cents"].astype("int64")
+    return (df[["event_id", "run_sum_cents", "run_max_cents"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     """Per-type z-score normalization of value cents (the ML
     feature-scaling step): mean and population std come from EXACT
@@ -3002,6 +3030,18 @@ ORACLE_SQL: dict[str, str] = {
                strftime(max(l_shipdate), '%Y-%m-%d')
         FROM lineitem
         ORDER BY "column"
+    """,
+    "q_events_running_total": """
+        WITH t AS (SELECT event_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_id,
+               sum(v) OVER (ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_sum_cents,
+               max(v) OVER (ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_max_cents
+        FROM t
+        ORDER BY event_id
     """,
     "q_events_zscore": """
         WITH m AS (

@@ -179,3 +179,50 @@ def test_tumbling_windower_property_conservation_and_close_once():
         pd.testing.assert_series_equal(a, b)
 
     prop()
+
+
+def test_ordered_scan_matches_sequential_scan_under_skew():
+    """Range-partitioned two-phase scan must equal the sequential
+    cumsum/cummax even when the order keys are heavily skewed into one
+    range and arrive shuffled across blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import ordered_scan
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    # 90% of keys live in the bottom 1% of the key space (one hot range)
+    keys = np.where(rng.rand(n) < 0.9,
+                    rng.randint(0, 10_000, n),
+                    rng.randint(0, 1_000_000, n))
+    keys = np.unique(keys)  # order keys must be unique
+    vals = rng.randint(-500, 500, len(keys)).astype("int64")
+    perm = rng.permutation(len(keys))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"k": keys[perm], "v": vals[perm]})).repartition(13)
+
+    out = (ordered_scan(ds, "k", [("v", "sum", "rs"), ("v", "max", "rm"),
+                                  ("v", "min", "rn")], n_buckets=8)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    truth = pd.DataFrame({"k": keys, "v": vals}).sort_values("k")
+    assert (out.rs.to_numpy() == truth.v.cumsum().to_numpy()).all()
+    assert (out.rm.to_numpy() == truth.v.cummax().to_numpy()).all()
+    assert (out.rn.to_numpy() == truth.v.cummin().to_numpy()).all()
+
+
+def test_ordered_scan_single_bucket_and_empty():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import ordered_scan
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [3, 1, 2], "v": [10, 1, 100]}))
+    out = (ordered_scan(ds, "k", [("v", "sum", "rs")], n_buckets=1)
+           .to_pandas().sort_values("k"))
+    assert list(out.rs) == [1, 101, 111]
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                         "v": pd.Series([], dtype="int64")}))
+    assert ordered_scan(empty, "k", [("v", "sum", "rs")]).count() == 0
