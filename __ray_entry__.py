@@ -1337,6 +1337,19 @@ def _kg_kcore(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_ktruss(sf_dir: str):
+    """Bounded-round 4-truss edge peel over the co-mention graph
+    (surviving edges + triangle support within the surviving subgraph
+    + converged flag; the oracle unrolls the identical peel rounds as
+    literal materialized CTEs)."""
+    from cpg_ray.functions.graphalgo import k_truss
+
+    df = k_truss(_comention_edges(sf_dir), src="a", dst="b", k=4,
+                 rounds=4).to_pandas()
+    df["sup"] = df["sup"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -1420,6 +1433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed two-phase prefix scan (global running sum/max in
         # event-id order, exact integer cents)
         "q_events_running_total": q.q_events_running_total,
+        # bounded-round k-truss edge peel (kg_kcore one level up)
+        "kg_ktruss": _kg_ktruss,
         # -- oracle-paired, NEW in round 4 (fourth session): PMI
         # co-mention association and event-type Markov transitions
         "kg_cooccur_pmi": _kg_cooccur_pmi,
@@ -1483,7 +1498,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_extracted_text": _kg_extracted_text,
         # -- oracle-paired, NEW in round 4
-        "kg_clean_text": _kg_clean_text,
         "q_supplier_blocking": q.q_supplier_blocking,
         "kg_cypher_varlen": _kg_cypher_varlen,
         # -- the DSS batch displaced 13 window slots: the stable four
@@ -1512,9 +1526,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scoring repped by q_doc_jaccard_pairs and the in-window
         # linker oracles); kg_fact_timeline out for
         # q_events_running_total (its interval bucketing repped by
-        # q_events_range_frame + kg_sig_violations' fusion siblings)
+        # q_events_range_frame + kg_sig_violations' fusion siblings);
+        # kg_clean_text out for kg_ktruss (stateless single-table
+        # normalize — the lowest-risk class, like q_url_canonical)
         "kg_link_jaccard": _kg_link_jaccard,
         "kg_fact_timeline": _kg_fact_timeline,
+        "kg_clean_text": _kg_clean_text,
         # Rotated just past the window for the fifth-session additions
         # (entropy/salience/fasttext/lpa/transe): their machinery is
         # covered in-window by siblings — embedding mean-agg by
@@ -1744,6 +1761,60 @@ def _kcore_oracle_sql(triples_glob: str, *, k: int, rounds: int) -> str:
                (SELECT converged FROM conv) AS converged
         FROM r{rounds} r LEFT JOIN deg d ON d.entity = r.node
         ORDER BY entity
+    """
+
+
+def _ktruss_oracle_sql(triples_glob: str, *, k: int, rounds: int) -> str:
+    """Generated-SQL oracle for the bounded-round k-truss edge peel
+    over the co-mention graph: each round is a LITERAL CTE triple
+    (wedge join → per-edge triangle credit → support filter), all
+    MATERIALIZED (the kg_hits lesson: DuckDB inlines CTEs by default
+    and an inlined unrolled chain re-executes every level per
+    reference)."""
+    steps = []
+    for i in range(1, rounds + 2):  # one extra support pass for output
+        steps.append(f"""
+            tri{i} AS MATERIALIZED (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e{i - 1} e1
+                JOIN e{i - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e{i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+            sup{i} AS MATERIALIZED (
+                SELECT a, b, count(*)::BIGINT AS sup FROM (
+                    SELECT x AS a, y AS b FROM tri{i}
+                    UNION ALL SELECT x, z FROM tri{i}
+                    UNION ALL SELECT y, z FROM tri{i})
+                GROUP BY a, b)""")
+        if i <= rounds:
+            steps.append(f"""
+            e{i} AS MATERIALIZED (
+                SELECT e.a, e.b FROM e{i - 1} e
+                JOIN sup{i} s ON s.a = e.a AND s.b = e.b
+                WHERE s.sup >= {k - 2})""")
+    return f"""
+        WITH men AS (
+            SELECT DISTINCT url, canonical_subj AS e
+            FROM read_parquet('{triples_glob}')
+            UNION
+            SELECT DISTINCT url, canonical_obj AS e
+            FROM read_parquet('{triples_glob}')
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT m1.e AS a, m2.e AS b
+            FROM men m1
+            JOIN men m2 ON m1.url = m2.url AND m1.e < m2.e),
+        {",".join(steps)},
+        conv AS (SELECT coalesce(
+                     bool_and(coalesce(s.sup, 0) >= {k - 2}), TRUE)
+                     AS converged
+                 FROM e{rounds} e
+                 LEFT JOIN sup{rounds + 1} s
+                        ON s.a = e.a AND s.b = e.b)
+        SELECT e.a, e.b, coalesce(s.sup, 0)::BIGINT AS sup,
+               (SELECT converged FROM conv) AS converged
+        FROM e{rounds} e
+        LEFT JOIN sup{rounds + 1} s ON s.a = e.a AND s.b = e.b
+        ORDER BY e.a, e.b
     """
 
 
@@ -2752,6 +2823,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM corners GROUP BY entity ORDER BY entity
         """,
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
+        "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
         "kg_triangles_mention": f"""
             WITH men AS (
                 SELECT DISTINCT url, canonical_subj AS e

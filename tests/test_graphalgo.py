@@ -1014,3 +1014,56 @@ def test_node2vec_walks_bias_replay_and_uniform_first_hop():
         node2vec_walks(rd.from_pandas(path), p_inv=0)
     with _pytest.raises(ValueError):
         node2vec_walks(rd.from_pandas(path), mode="driver")
+
+
+def test_ktruss_hand_graph_cascade_and_modes_agree():
+    """4-truss of K5 with a pendant triangle: K5 survives (every edge
+    has support 3 inside), the triangle peels in round 1 (support 1 <
+    2), and the bridge edge cascades out once its triangle dies.
+    Driver and shuffle paths must agree row-for-row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import k_truss
+
+    k5 = [(a, b) for a in "ABCDE" for b in "ABCDE" if a < b]
+    # pendant triangle X-Y-Z hanging off A via A-X (A-X closes no
+    # triangle at all; X-Y-Z has support 1 per edge)
+    extra = [("A", "X"), ("X", "Y"), ("X", "Z"), ("Y", "Z")]
+    edges = pd.DataFrame(k5 + extra, columns=["src", "dst"])
+    # shuffle arrival order and duplicate/reverse some edges
+    noisy = pd.concat([edges, edges.iloc[:4].rename(
+        columns={"src": "dst", "dst": "src"})]).sample(
+        frac=1.0, random_state=3)
+    ds = rd.from_pandas(noisy.reset_index(drop=True))
+
+    out_d = k_truss(ds, k=4, rounds=4, mode="driver").to_pandas()
+    out_s = (k_truss(ds, k=4, rounds=4, mode="shuffle").to_pandas()
+             .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_d, out_s)
+
+    assert set(zip(out_d.a, out_d.b)) == set(k5)
+    assert (out_d.sup == 3).all()          # K5: every edge in 3 triangles
+    assert bool(out_d.converged.iloc[0])
+
+
+def test_ktruss_bounded_rounds_reports_unconverged():
+    """A peel chain longer than `rounds` must surface converged=False,
+    never a silently-wrong 'exact' truss."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import k_truss
+
+    # chain of triangles sharing edges: peeling the tail triangle
+    # lowers the next edge's support, one round per link
+    tri_chain = [("n0", "n1"), ("n0", "n2"), ("n1", "n2"),
+                 ("n1", "n3"), ("n2", "n3"),
+                 ("n2", "n4"), ("n3", "n4"),
+                 ("n3", "n5"), ("n4", "n5")]
+    ds = rd.from_pandas(pd.DataFrame(tri_chain, columns=["src", "dst"]))
+    full = k_truss(ds, k=4, rounds=8, mode="driver").to_pandas()
+    assert full.empty or bool(full.converged.iloc[0])
+    short = k_truss(ds, k=4, rounds=1, mode="driver").to_pandas()
+    if not short.empty:
+        assert not bool(short.converged.iloc[0])
