@@ -350,3 +350,43 @@ def test_fast_blocks_differential_vs_htmlparser(text):
     assert [(b.tag, b.text, b.branch, b.chosen) for b in got] == [
         (b.tag, b.text, b.branch, b.chosen) for b in ref
     ]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        max_size=40,
+    ),
+    st.integers(3, 5),
+)
+@settings(max_examples=150, deadline=None)
+def test_ktruss_driver_matches_bruteforce_fixpoint(raw_edges, k):
+    """The bounded-round vectorized peel (rounds ≥ graph size ⇒ exact)
+    must equal the naive set-based k-truss fixpoint on arbitrary small
+    graphs, and every surviving edge must meet the support bar."""
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import _ktruss_driver
+
+    edges = pd.DataFrame(raw_edges, columns=["src", "dst"]).astype(str)
+    out = _ktruss_driver(edges, "src", "dst", k=k, rounds=12)
+
+    # brute force: canonical undirected set, peel until stable
+    es = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    es = {(str(a), str(b)) for a, b in es}
+    while True:
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+        keep = {e for e in es if sup[e] >= k - 2}
+        if keep == es:
+            break
+        es = keep
+    assert set(zip(out.a, out.b)) == es
+    if len(out):
+        truth_sup = {e: sup[e] for e in es}
+        for _, r in out.iterrows():
+            assert r.sup == truth_sup[(r.a, r.b)]
+        assert bool(out.converged.iloc[0])
