@@ -1350,6 +1350,19 @@ def _kg_ktruss(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _kg_harmonic(sf_dir: str):
+    """Bounded-hop harmonic centrality over the co-mention graph:
+    Σ scale/d for d ≤ 3, scale = lcm(1,2,3)·10⁶ so every reciprocal is
+    an exact integer (level-set closure, one join per hop; oracle =
+    literal 3-level anti-joined closure)."""
+    from cpg_ray.functions.graphalgo import harmonic_centrality
+
+    df = harmonic_centrality(_comention_edges(sf_dir), src="a", dst="b",
+                             max_hops=3).to_pandas()
+    df["harmonic"] = df["harmonic"].astype("int64")
+    return df.sort_values("entity").reset_index(drop=True)
+
+
 def _kg_graph_stats(sf_dir: str):
     """Node/edge/problem counts per kind+label (StatisticsCollectionPass
     analog, StatisticsCollectionPass.kt:39-65)."""
@@ -1544,6 +1557,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_tumbling": q.q_events_tumbling,
         "q_lineitem_stats": q.q_lineitem_stats,
         "q_events_distinct_users": q.q_events_distinct_users,
+        # kg_harmonic sits just past the window by design: its
+        # level-set closure + anti-join machinery is repped in-window
+        # by kg_two_hop; swept green via tools/check_oracles.py
+        "kg_harmonic": _kg_harmonic,
         # kg_bfs_dist's round machinery is pinned in-window by kg_sssp
         # (unit-weight degenerate test ties them); q_events_pivot's
         # conditional-sum groupby by the DSS batch (q8/q13)
@@ -2824,6 +2841,50 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         """,
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
         "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
+        "kg_harmonic": f"""
+            WITH men AS (
+                SELECT DISTINCT url, canonical_subj AS e
+                FROM read_parquet('{triples_glob}')
+                UNION
+                SELECT DISTINCT url, canonical_obj AS e
+                FROM read_parquet('{triples_glob}')
+            ),
+            pairs AS (SELECT DISTINCT m1.e AS a, m2.e AS b
+                      FROM men m1
+                      JOIN men m2 ON m1.url = m2.url AND m1.e < m2.e),
+            und AS MATERIALIZED (
+                SELECT a AS s, b AS d FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+            d1 AS MATERIALIZED (SELECT DISTINCT s AS a, d AS c FROM und),
+            c2 AS MATERIALIZED (
+                SELECT DISTINCT d1.a, u.d AS c
+                FROM d1 JOIN und u ON u.s = d1.c WHERE u.d <> d1.a),
+            d2 AS MATERIALIZED (
+                SELECT c2.a, c2.c FROM c2
+                LEFT JOIN d1 ON d1.a = c2.a AND d1.c = c2.c
+                WHERE d1.a IS NULL),
+            c3 AS MATERIALIZED (
+                SELECT DISTINCT d2.a, u.d AS c
+                FROM d2 JOIN und u ON u.s = d2.c WHERE u.d <> d2.a),
+            d3a AS MATERIALIZED (
+                SELECT c3.a, c3.c FROM c3
+                LEFT JOIN d1 ON d1.a = c3.a AND d1.c = c3.c
+                WHERE d1.a IS NULL),
+            d3 AS MATERIALIZED (
+                SELECT d3a.a, d3a.c FROM d3a
+                LEFT JOIN d2 ON d2.a = d3a.a AND d2.c = d3a.c
+                WHERE d2.a IS NULL),
+            n1 AS (SELECT a, count(*)::BIGINT AS n FROM d1 GROUP BY a),
+            n2 AS (SELECT a, count(*)::BIGINT AS n FROM d2 GROUP BY a),
+            n3 AS (SELECT a, count(*)::BIGINT AS n FROM d3 GROUP BY a)
+            SELECT n1.a AS entity,
+                   (6000000 * n1.n + 3000000 * coalesce(n2.n, 0)
+                    + 2000000 * coalesce(n3.n, 0))::BIGINT AS harmonic
+            FROM n1
+            LEFT JOIN n2 ON n2.a = n1.a
+            LEFT JOIN n3 ON n3.a = n1.a
+            ORDER BY entity
+        """,
         "kg_triangles_mention": f"""
             WITH men AS (
                 SELECT DISTINCT url, canonical_subj AS e

@@ -2850,3 +2850,118 @@ def k_truss(edges_ds, *, src: str = "src", dst: str = "dst", k: int = 3,
             if mode == "driver":
                 raise
     return _ktruss_shuffle(edges_ds, src, dst, k=k, rounds=rounds)
+
+
+# ---- harmonic centrality (bounded hops) ---------------------------------
+
+
+def harmonic_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
+                        max_hops: int = 3, mode: str = "auto",
+                        driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Bounded-hop harmonic centrality (Marchiori & Latora 2000,
+    public) over the undirected distinct view of (src, dst):
+    H(v) = Σ_{u: 0 < d(u,v) ≤ max_hops} 1/d(u,v), reported as the
+    exact integer ``Σ scale/d`` with ``scale = lcm(1..max_hops)·10⁶``
+    (every term divides evenly — no float division anywhere, so the
+    SQL oracle hash-matches).  Returns (entity, harmonic int64) for
+    every non-isolated node.
+
+    Scale shape: level sets, not per-source BFS — hop-h pairs come from
+    ONE join of the hop-(h-1) level against the edge list, deduplicated
+    and anti-joined against all closer levels, so the exchange count is
+    max_hops·2 regardless of node count; the per-level pair volume is
+    the honest cost of the exact statistic (sketches.py holds the
+    approximate alternatives).
+
+    Reference analog: followNextEOG's bounded-depth reachability
+    (EdgeCachePass.kt:79-100) — the same closure, with 1/d credit."""
+    import math
+
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    scale = math.lcm(*range(1, max_hops + 1)) * 1_000_000
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        return pd.DataFrame({
+            "a": pd.concat([b[src], b[dst]], ignore_index=True),
+            "c": pd.concat([b[dst], b[src]], ignore_index=True),
+        })
+
+    sym = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "c"]).materialize()
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if mode in ("driver", "auto") and sym.count() <= driver_edge_limit:
+        e = sym.to_pandas()
+        levels = [e]
+        seen = e.copy()
+        for _ in range(2, max_hops + 1):
+            cand = (levels[-1].merge(
+                e.rename(columns={"a": "c", "c": "d"}), on="c")
+                [["a", "d"]].rename(columns={"d": "c"}))
+            cand = cand[cand.a != cand.c].drop_duplicates()
+            fresh = cand.merge(seen, on=["a", "c"], how="left",
+                               indicator=True)
+            fresh = fresh[fresh._merge == "left_only"][["a", "c"]]
+            levels.append(fresh.reset_index(drop=True))
+            seen = pd.concat([seen, fresh], ignore_index=True)
+        score: pd.Series | None = None
+        for h, lvl in enumerate(levels, start=1):
+            n = lvl.groupby("a").size() * (scale // h)
+            score = n if score is None else score.add(n, fill_value=0)
+        out = (score.astype("int64").rename("harmonic").reset_index()
+               .rename(columns={"a": "entity"})
+               .sort_values("entity").reset_index(drop=True))
+        return rd.from_pandas(out)
+    if mode == "driver":
+        raise GuardExceeded(
+            f"harmonic_centrality(mode='driver'): > {driver_edge_limit} "
+            "distinct edges; use mode='shuffle'")
+
+    def anti(cand_ds, prior_ds):
+        marked = prior_ds.map_batches(
+            lambda t: t.assign(__hit=np.int8(1)),
+            batch_format="pandas").materialize()
+        j = hash_join(cand_ds, marked, on=["a", "c"], how="left_outer",
+                      empty_safe=True)
+        return j.map_batches(
+            lambda t: t[t["__hit"].isna()][["a", "c"]],
+            batch_format="pandas").materialize()
+
+    levels = [sym]
+    seen = sym
+    for _ in range(2, max_hops + 1):
+        cand = hash_join(
+            levels[-1].map_batches(
+                lambda t: t.rename(columns={"a": "__o", "c": "a"}),
+                batch_format="pandas").materialize(),
+            sym, on="a", empty_safe=True)
+        cand = distinct_on(
+            cand.map_batches(
+                lambda t: t[t["__o"] != t["c"]][["__o", "c"]].rename(
+                    columns={"__o": "a"}),
+                batch_format="pandas"),
+            ["a", "c"])
+        fresh = anti(cand.materialize(), seen)
+        levels.append(fresh)
+        seen = seen.union(fresh).materialize()
+    parts = None
+    for h, lvl in enumerate(levels, start=1):
+        contrib = groupby_agg(
+            lvl.map_batches(
+                lambda t, w=scale // h: pd.DataFrame(
+                    {"entity": t["a"],
+                     "harmonic": np.full(len(t), w, dtype=np.int64)}),
+                batch_format="pandas"),
+            ["entity"], [("harmonic", "sum", "harmonic")])
+        parts = contrib if parts is None else parts.union(contrib)
+    out = groupby_agg(parts, ["entity"], [("harmonic", "sum", "harmonic")])
+    return out.map_batches(
+        lambda t: t.assign(harmonic=t["harmonic"].astype("int64")),
+        batch_format="pandas").sort("entity")

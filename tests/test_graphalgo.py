@@ -1067,3 +1067,43 @@ def test_ktruss_bounded_rounds_reports_unconverged():
     short = k_truss(ds, k=4, rounds=1, mode="driver").to_pandas()
     if not short.empty:
         assert not bool(short.converged.iloc[0])
+
+
+def test_harmonic_hand_path_and_modes_agree():
+    """Path a-b-c-d at max_hops=3: H(a) = scale(1/1 + 1/2 + 1/3) =
+    6e6 + 3e6 + 2e6; H(b) = 2·6e6 + 3e6.  Driver and shuffle paths
+    must agree row-for-row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import harmonic_centrality
+
+    edges = pd.DataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "a")],  # dup reverse
+        columns=["src", "dst"])
+    ds = rd.from_pandas(edges)
+    out = (harmonic_centrality(ds, max_hops=3, mode="driver").to_pandas()
+           .set_index("entity")["harmonic"])
+    assert out["a"] == 6_000_000 + 3_000_000 + 2_000_000
+    assert out["b"] == 2 * 6_000_000 + 3_000_000
+    assert out["c"] == out["b"] and out["d"] == out["a"]
+
+    out_s = (harmonic_centrality(ds, max_hops=3, mode="shuffle")
+             .to_pandas().sort_values("entity").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.reset_index().sort_values("entity").reset_index(drop=True),
+        out_s)
+
+
+def test_harmonic_hop_bound_excludes_far_nodes():
+    """max_hops=1 must credit direct neighbors only."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import harmonic_centrality
+
+    ds = rd.from_pandas(pd.DataFrame(
+        [("a", "b"), ("b", "c")], columns=["src", "dst"]))
+    out = (harmonic_centrality(ds, max_hops=1, mode="driver").to_pandas()
+           .set_index("entity")["harmonic"])
+    assert out["a"] == 1_000_000 and out["b"] == 2_000_000
