@@ -324,9 +324,12 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     range, tiny exclusive combine across ranges, broadcast back).
 
     ``specs`` is a list of ``(value_col, op, out_col)`` with op in
-    {"sum", "max", "min"}; values must be numeric (int64 stays int64 —
-    exact in any association — and the per-range combine keeps the
-    float case sequential-equivalent: offsets apply in range order).
+    {"sum", "max", "min"}; values must be numeric.  int64 stays int64
+    — exact in any association (the oracle-paired contract; scale
+    floats to integers first, as q_events_running_total does).  Float
+    SUMS associate as local-scan-plus-offset, which can differ from a
+    strict sequential fold in the last ulps; max/min are exact for any
+    dtype.
     ``order_col`` values must be unique (ROW semantics; ties would make
     the running value order-dependent).
 
