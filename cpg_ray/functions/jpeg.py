@@ -3,14 +3,19 @@ single most common web image format (the multimodal import-probe seam
 prefers PIL when importable; this makes JPEG decode GENUINE without
 it, the same contract as the PNG/BMP/netpbm/WAV builtins).
 
-Scope (ITU-T T.81 baseline sequential DCT, JFIF):
-- decode: 8-bit baseline (SOF0), grayscale / YCbCr 4:4:4 / 4:2:0
-  (any Hi×Vi ≤ 2×2 sampling actually), restart markers (DRI/RSTn),
-  0xFF00 byte unstuffing.  Raises NotImplementedError on progressive
-  (SOF2), arithmetic coding, 12-bit, hierarchical — the declared
-  remaining boundary.
-- encode: baseline SOF0, quality-scaled Annex-K quantization tables,
-  the Annex-K "typical" Huffman tables, 4:4:4 or 4:2:0.
+Scope (ITU-T T.81 baseline sequential + progressive DCT, JFIF):
+- decode: 8-bit baseline (SOF0) AND progressive (SOF2 — spectral
+  selection, successive approximation, EOB runs, AC refinement
+  correction bits, interleaved DC / non-interleaved AC scans),
+  grayscale / YCbCr 4:4:4 / 4:2:0 (any Hi×Vi ≤ 2×2 sampling
+  actually), restart markers (DRI/RSTn), 0xFF00 byte unstuffing.
+  Raises NotImplementedError on arithmetic coding, 12-bit,
+  hierarchical — the declared remaining boundary.
+- encode: baseline SOF0 (quality-scaled Annex-K quantization tables,
+  the Annex-K "typical" Huffman tables, 4:4:4 or 4:2:0) and
+  progressive SOF2 (DC Al=1→0, per-component AC Al=1→0 scan script);
+  both produce IDENTICAL quantized coefficients, so the two decode
+  paths are pinned bit-identical against each other.
 
 Performance shape: the DCT/IDCT, dequant, color transform and chroma
 resample are vectorized numpy over all 8×8 blocks at once; only the
@@ -414,12 +419,13 @@ def _idct_blocks(coef: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG → (H, W, 3) uint8 (grayscale replicated).
+    """JFIF JPEG (baseline SOF0 or progressive SOF2) → (H, W, 3)
+    uint8 (grayscale replicated).
 
-    Raises NotImplementedError on anything outside baseline sequential
-    8-bit Huffman with sampling factors ≤ 2 — the declared boundary;
-    the actor routes those to problem rows (or the PIL tier handles
-    them when the library is present)."""
+    Raises NotImplementedError on anything outside 8-bit Huffman with
+    sampling factors ≤ 2 (arithmetic coding, 12-bit, hierarchical) —
+    the declared boundary; the actor routes those to problem rows (or
+    the PIL tier handles them when the library is present)."""
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -427,6 +433,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], tuple] = {}
     frame = None
     restart_interval = 0
+    prog_coefs = None  # progressive: per-component coefficient arrays
     n = len(payload)
 
     def seg_len(at):
@@ -441,7 +448,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before scan
+        if marker == 0xD9:  # EOI
+            if prog_coefs is not None:  # progressive: assemble now
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                return _assemble(frame, prog_coefs, qtabs,
+                                 -(-frame["w"] // (8 * hmax)),
+                                 -(-frame["h"] // (8 * vmax)))
             raise NotImplementedError("JPEG with no scan data")
         ln = seg_len(pos)
         body = payload[pos + 2: pos + ln]
@@ -463,7 +476,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + nv])
                 htabs[(tc, th)] = _build_decoder(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -475,8 +488,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         f"sampling {hi}x{vi} unsupported")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
@@ -495,6 +509,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError("scan references unknown "
                                               "component")
                 scomp.append((comp, tt >> 4, tt & 0xF))
+            if frame.get("prog"):
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if prog_coefs is None:
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    mcx = -(-frame["w"] // (8 * hmax))
+                    mcy = -(-frame["h"] // (8 * vmax))
+                    prog_coefs = {c["id"]: np.zeros(
+                        (mcy * c["v"], mcx * c["h"], 64), dtype=np.int64)
+                        for c in frame["comps"]}
+                pos = _decode_prog_scan(
+                    payload, pos + ln, frame, scomp, htabs, prog_coefs,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0xF)
+                continue
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
                     "multi-scan baseline JPEG unsupported")
@@ -508,7 +537,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _entropy_segments(payload: bytes, pos: int):
     """Split the entropy-coded data at RST markers, unstuffing 0xFF00.
-    Returns list of byte segments (one per restart interval chunk)."""
+    Returns (list of byte segments — one per restart interval chunk —
+    and the position of the terminating marker)."""
     segs, cur = [], bytearray()
     n = len(payload)
     while pos < n:
@@ -528,7 +558,7 @@ def _entropy_segments(payload: bytes, pos: int):
         else:  # EOI or next marker — end of scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
 
 
 def _decode_scan(payload, pos, frame, scomp, qtabs, htabs,
@@ -547,7 +577,7 @@ def _decode_scan(payload, pos, frame, scomp, qtabs, htabs,
         if c["tq"] not in qtabs:
             raise NotImplementedError("missing quantization table")
 
-    segs = _entropy_segments(payload, pos)
+    segs, _ = _entropy_segments(payload, pos)
     # per component: coefficient array in natural block raster order
     blocks = {c["id"]: np.zeros(
         (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
@@ -595,10 +625,20 @@ def _decode_scan(payload, pos, frame, scomp, qtabs, htabs,
             mcu += 1
     if mcu < n_mcus:
         raise NotImplementedError("truncated JPEG entropy data")
+    return _assemble(frame, blocks, qtabs, mcus_x, mcus_y)
 
-    # dequantize + IDCT + assemble planes (vectorized per component)
+
+def _assemble(frame, blocks, qtabs, mcus_x, mcus_y):
+    """Dequantize + IDCT + upsample + color transform (vectorized per
+    component) — shared by the sequential and progressive paths."""
+    fh, fw = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
+        if c["tq"] not in qtabs:
+            raise NotImplementedError("missing quantization table")
         q = qtabs[c["tq"]]
         zz = blocks[c["id"]].reshape(-1, 64)
         coef = np.zeros_like(zz, dtype=np.float64)
@@ -627,3 +667,396 @@ def _decode_scan(payload, pos, frame, scomp, qtabs, htabs,
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
                    255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _scan_units(frame, scomp):
+    """Iteration plan for one progressive scan: (interleaved?, list of
+    (comp, by, bx) PER UNIT) — an MCU for interleaved scans, a single
+    block in component raster order for non-interleaved (T.81 A.2)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(scomp) > 1:  # interleaved MCU order
+        mcx = -(-frame["w"] // (8 * hmax))
+        mcy = -(-frame["h"] // (8 * vmax))
+        units = []
+        for my in range(mcy):
+            for mx in range(mcx):
+                blk = []
+                for c, td, ta in scomp:
+                    for dv in range(c["v"]):
+                        for dh in range(c["h"]):
+                            blk.append((c, td, ta, my * c["v"] + dv,
+                                        mx * c["h"] + dh))
+                units.append(blk)
+        return units
+    c, td, ta = scomp[0]
+    # non-interleaved: the component's TRUE block grid (not MCU-padded)
+    cw = -(-(frame["w"] * c["h"]) // (8 * hmax))
+    ch = -(-(frame["h"] * c["v"]) // (8 * vmax))
+    return [[(c, td, ta, by, bx)] for by in range(ch) for bx in range(cw)]
+
+
+def _decode_prog_scan(payload, pos, frame, scomp, htabs, coefs,
+                      restart_interval, ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first/refine, AC first with
+    EOB runs, AC refinement with correction bits — mutates ``coefs``
+    in place and returns the position of the terminating marker."""
+    if ss == 0 and se != 0:
+        raise NotImplementedError("bad DC spectral band")
+    if ss > 0 and len(scomp) != 1:
+        raise NotImplementedError("interleaved AC progressive scan")
+    units = _scan_units(frame, scomp)
+    segs, endpos = _entropy_segments(payload, pos)
+    interval = restart_interval or len(units)
+    p1 = 1 << al
+
+    def refine_nonzero(blk, k, rd):
+        v = int(blk[k])
+        if rd.read_bit() and (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else -p1)
+
+    ui = 0
+    for seg in segs:
+        if ui >= len(units):
+            break
+        rd = _BitReader(seg)
+        preds = {c["id"]: 0 for c, _, _ in scomp}
+        eobrun = 0
+        for unit in units[ui: ui + interval]:
+            for c, td, ta, by, bx in unit:
+                blk = coefs[c["id"]][by, bx]
+                if ss == 0 and ah == 0:  # DC first
+                    dec = htabs.get((0, td))
+                    if dec is None:
+                        raise NotImplementedError("missing DC table")
+                    s = _decode_symbol(rd, dec)
+                    if s > 11:
+                        raise NotImplementedError("bad DC category")
+                    diff = _extend(rd.read(s), s) if s else 0
+                    preds[c["id"]] += diff
+                    blk[0] = preds[c["id"]] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    if rd.read_bit():
+                        blk[0] = int(blk[0]) | p1
+                elif ah == 0:  # AC first
+                    dec = htabs.get((1, ta))
+                    if dec is None:
+                        raise NotImplementedError("missing AC table")
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_symbol(rd, dec)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise NotImplementedError(
+                                "AC run past band end")
+                        blk[k] = _extend(rd.read(s), s) << al
+                        k += 1
+                else:  # AC refinement (T.81 G.1.2.3 / jdphuff shape)
+                    dec = htabs.get((1, ta))
+                    if dec is None:
+                        raise NotImplementedError("missing AC table")
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_symbol(rd, dec)
+                            r, s = rs >> 4, rs & 0xF
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    raise NotImplementedError(
+                                        "bad refinement symbol")
+                                newval = p1 if rd.read_bit() else -p1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rd.read(r)
+                                break
+                            while k <= se:
+                                if int(coefs[c["id"]][by, bx, k]) != 0:
+                                    refine_nonzero(blk, k, rd)
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if int(blk[k]) != 0:
+                                refine_nonzero(blk, k, rd)
+                            k += 1
+                        eobrun -= 1
+        ui += min(interval, len(units) - ui)
+    if ui < len(units):
+        raise NotImplementedError("truncated progressive scan")
+    return endpos
+
+
+# progressive AC table: every symbol our scans can emit at one flat
+# 8-bit code length (176 codes — a valid, if unoptimized, prefix code):
+# EOB-run classes r<<4 (r 0..14), ZRL 0xF0, and (r<<4)|s for s 1..10
+_PROG_AC_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16)
+                    for s in range(1, 11)])
+_PROG_AC_BITS = [0] * 7 + [len(_PROG_AC_VALS)] + [0] * 8
+
+
+class _ProgACWriter:
+    """AC-scan entropy state: pending EOB run + buffered correction
+    bits, flushed together (jcphuff emit_eobrun discipline)."""
+
+    def __init__(self, w: _BitWriter, codes):
+        self.w = w
+        self.codes = codes
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def sym(self, s):
+        code, ln = self.codes[s]
+        self.w.write(code, ln)
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun, nbits)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+
+def _encode_ac_first(pw: _ProgACWriter, blk, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        pw.flush_eob()
+        while r > 15:
+            pw.sym(0xF0)
+            r -= 16
+        s = t.bit_length()
+        pw.sym((r << 4) | s)
+        pw.w.write(t if v > 0 else (~t) & ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+
+
+def _encode_ac_refine(pw: _ProgACWriter, blk, ss, se, al):
+    absv = [(abs(int(blk[k]))) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r, br = 0, []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            pw.flush_eob()
+            pw.sym(0xF0)
+            r -= 16
+            for b in br:
+                pw.w.write(b, 1)
+            br = []
+        if t > 1:  # already nonzero: buffer its correction bit
+            br.append(t & 1)
+            continue
+        pw.flush_eob()
+        pw.sym((r << 4) | 1)
+        pw.w.write(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            pw.w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        pw.eobrun += 1
+        pw.be.extend(br)
+        if pw.eobrun == 0x7FFF or len(pw.be) > 900:
+            pw.flush_eob()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 75,
+                            subsample: str = "4:2:0") -> bytes:
+    """(H, W, 3) or (H, W) uint8 → progressive (SOF2) JFIF bytes.
+
+    Scan script (exercises every progressive code path): interleaved
+    DC first at Al=1 → DC refinement → per-component AC first
+    (Ss=1..63, Al=1, EOB runs) → per-component AC refinement
+    (correction bits, newly-nonzero ±1, buffered-bit EOB runs).
+    Coefficients are identical to :func:`encode_jpeg` at the same
+    quality, so a progressive round-trip decodes bit-identically to
+    the baseline round-trip — the cross-codec equality the tests pin."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise ValueError("bad image dimensions")
+    qy, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "4:2:0":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ph = _pad_to(cb, 2, 2)
+            pr = _pad_to(cr, 2, 2)
+            cb = ph.reshape(ph.shape[0] // 2, 2,
+                            ph.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = pr.reshape(pr.shape[0] // 2, 2,
+                            pr.shape[1] // 2, 2).mean(axis=(1, 3))
+        elif subsample == "4:4:4":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsample!r}")
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    quanted = []
+    for ci, (p, (hi, vi)) in enumerate(zip(planes, samp)):
+        th, tw = mcus_y * 8 * vi, mcus_x * 8 * hi
+        p = p[:th, :tw]
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        quanted.append((_dct_quant(p, qy if ci == 0 else qc), tw // 8))
+
+    dc_tabs = [_build_huffman(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_prog = _build_huffman(_PROG_AC_BITS, _PROG_AC_VALS)
+    ncomp = len(planes)
+
+    # headers: SOI, JFIF, DQT, SOF2, DHTs
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, tab in ((0, qy), (1, qc)):
+        if ncomp == 1 and tid == 1:
+            continue
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(x) for x in tab[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                     ncomp)
+    for ci, (hi, vi) in enumerate(samp):
+        out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    for tc, tid, bits, vals in (
+            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 0, _PROG_AC_BITS, _PROG_AC_VALS)):
+        if ncomp == 1 and tc == 0 and tid == 1:
+            continue
+        payload = bytes([tc << 4 | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos(comp_ids, tds, tas, ss, se, ah, al):
+        ns = len(comp_ids)
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            hdr += bytes([cid, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC first (interleaved), Al=1
+    out += sos(list(range(1, ncomp + 1)),
+               [0 if i == 0 else 1 for i in range(ncomp)],
+               [0] * ncomp, 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(samp):
+                blocks, bw = quanted[ci]
+                codes = dc_tabs[0 if ci == 0 else 1]
+                for dv in range(vi):
+                    for dh in range(hi):
+                        dc = int(blocks[(my * vi + dv) * bw
+                                        + mx * hi + dh][0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _category(diff)
+                        code, ln = codes[s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(diff if diff > 0
+                                      else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.buf
+
+    # scan 2: DC refinement (raw bits), Al=0
+    out += sos(list(range(1, ncomp + 1)),
+               [0] * ncomp, [0] * ncomp, 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(samp):
+                blocks, bw = quanted[ci]
+                for dv in range(vi):
+                    for dh in range(hi):
+                        dc = int(blocks[(my * vi + dv) * bw
+                                        + mx * hi + dh][0])
+                        wtr.write(dc & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+
+    # per-component AC scans over the TRUE (non-MCU-padded) block grid
+    def comp_blocks(ci):
+        hi, vi = samp[ci]
+        blocks, bw = quanted[ci]
+        cw = -(-(w * hi) // (8 * hmax))
+        ch = -(-(h * vi) // (8 * vmax))
+        for by in range(ch):
+            for bx in range(cw):
+                yield blocks[by * bw + bx]
+
+    for al, refine in ((1, False), (0, True)):
+        for ci in range(ncomp):
+            out += sos([ci + 1], [0], [0], 1, 63, 1 if refine else 0, al)
+            wtr = _BitWriter()
+            pw = _ProgACWriter(wtr, ac_prog)
+            for blk in comp_blocks(ci):
+                if refine:
+                    _encode_ac_refine(pw, blk, 1, 63, al)
+                else:
+                    _encode_ac_first(pw, blk, 1, 63, al)
+            pw.flush_eob()
+            wtr.flush()
+            out += wtr.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)

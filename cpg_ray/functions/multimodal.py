@@ -12,16 +12,18 @@ full Huffman entropy decode + vectorized IDCT, ``functions.jpeg`` —
 uncompressed BMP, netpbm P5/P6, RIFF/WAVE PCM via the stdlib ``wave``
 module, uncompressed RIFF AVI raw-DIB video — all round-trip-tested
 against the matching ``encode_*`` helpers), and only payloads in
-formats neither path can parse (progressive JPEG/16-bit-or-interlaced
-PNG/MP3/compressed video without the library) fall through:
+formats neither path can parse (arithmetic-coded JPEG/
+16-bit-or-interlaced PNG/MP3/inter-frame video without the library)
+fall through:
 ``fake=True`` forces the deterministic synthetic decoder (what the
 plumbing tests pin), ``fake=False`` demands genuine decode (library
 or builtin; per-payload NotImplementedError for formats they reject
 routes to problem rows, exactly as a real codec rejecting a
 container), ``fake=None`` (auto) prefers library → builtin → stub.
-The remaining declared boundary is progressive/arithmetic JPEG, MP3
-and compressed video only (those need their library tier); every
-format above decodes genuinely with zero third-party imports.
+The remaining declared boundary is arithmetic-coded/12-bit JPEG, MP3
+and inter-frame video only (those need their library tier); every
+format above — including PROGRESSIVE (SOF2) JPEG — decodes genuinely
+with zero third-party imports.
 
 Scale notes: binary payloads are wide — callers should keep
 ``batch_size`` small (default 32) and never carry the binary column

@@ -1898,10 +1898,14 @@ def q_multimodal_builtin(sf_dir: str) -> pd.DataFrame:
             blobs.append(b"\xff\xd8\xff\xe0" + bytes(img[..., 0].ravel()[:64]))
             mimes.append("image/jpeg")
         elif i % 6 == 4:
-            from ..functions.jpeg import encode_jpeg
+            from ..functions.jpeg import encode_jpeg, \
+                encode_jpeg_progressive
 
+            # alternate baseline and PROGRESSIVE (SOF2) streams — both
+            # decode genuinely through the builtin tier
+            enc = encode_jpeg if i % 12 == 4 else encode_jpeg_progressive
             ids.append(f"jpg{i:04d}")
-            blobs.append(encode_jpeg(
+            blobs.append(enc(
                 img, quality=90,
                 subsample="4:2:0" if i % 12 == 4 else "4:4:4"))
             mimes.append("image/jpeg")

@@ -66,8 +66,14 @@ def test_jpeg_boundary_raises():
     with pytest.raises(NotImplementedError):
         decode_jpeg(b"\xff\xd8junk")  # marker desync
     data = bytearray(encode_jpeg(_grad(16, 16)))
-    # flip SOF0 → SOF2 (progressive): declared boundary
     sof = data.find(b"\xff\xc0")
+    # flip SOF0 → SOF9 (arithmetic coding): the declared boundary
+    data[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    # flip SOF0 → SOF2 with a BASELINE scan header: a corrupt
+    # progressive stream (Ss=0, Se=63 is an invalid DC band) — must
+    # raise, never misdecode
     data[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
@@ -130,26 +136,73 @@ def test_jpeg_differential_vs_pil():
 
 
 def test_jpeg_through_actor_stage_builtin_tier():
-    """JPEG payloads decode genuinely through DecodeImage's builtin
-    tier (fake=None, no PIL needed); a progressive JPEG routes to a
-    problem row."""
+    """JPEG payloads — baseline AND progressive — decode genuinely
+    through DecodeImage's builtin tier (fake=None, no PIL needed); a
+    corrupt stream routes to a problem row."""
     import pyarrow as pa
 
-    from cpg_ray.functions.jpeg import encode_jpeg
+    from cpg_ray.functions.jpeg import encode_jpeg, encode_jpeg_progressive
     from cpg_ray.functions.multimodal import DecodeImage
 
     img = _grad(24, 32)
-    prog = bytearray(encode_jpeg(img))
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    corrupt = bytearray(encode_jpeg(img))
+    corrupt[corrupt.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic coding
     batch = pa.Table.from_pydict({
-        "media_id": ["jpg444", "jpg420", "jpgprog"],
+        "media_id": ["jpg444", "jpg420", "jpgprog", "jpgbad"],
         "media": [encode_jpeg(img, 90, "4:4:4"),
-                  encode_jpeg(img, 90, "4:2:0"), bytes(prog)],
-        "mime": ["image/jpeg"] * 3,
-        "width": [32] * 3, "height": [24] * 3,
+                  encode_jpeg(img, 90, "4:2:0"),
+                  encode_jpeg_progressive(img, 90, "4:2:0"),
+                  bytes(corrupt)],
+        "mime": ["image/jpeg"] * 4,
+        "width": [32] * 4, "height": [24] * 4,
     })
     out = DecodeImage(fake=None)(batch).to_pandas().set_index("media_id")
     assert bool(out.ok.jpg444) and bool(out.ok.jpg420)
-    assert not bool(out.ok.jpgprog)
+    assert bool(out.ok.jpgprog)
+    assert not bool(out.ok.jpgbad)
     assert abs(out.px_mean.jpg444 - img.mean()) < 3.0
     assert abs(out.px_mean.jpg420 - img.mean()) < 3.0
+    assert abs(out.px_mean.jpgprog - img.mean()) < 3.0
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """The progressive scan script encodes the SAME quantized
+    coefficients as the baseline encoder, so the two decode paths must
+    reconstruct bit-identically — this pins DC first/refinement, AC
+    first EOB runs, and AC refinement correction bits in one equality.
+    Covers both subsamplings, grayscale, non-MCU-aligned dimensions,
+    a flat image (maximal EOB runs) and pure noise (dense refinement
+    traffic) across coarse and fine quantization."""
+    from cpg_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                        encode_jpeg_progressive)
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (_grad(64, 64), "4:2:0", 75),
+        (_grad(48, 56), "4:4:4", 75),
+        (_grad(17, 23), "4:2:0", 92),
+        (np.full((40, 40, 3), 130, np.uint8), "4:2:0", 75),  # flat
+        (rng.randint(0, 256, (33, 41, 3)).astype(np.uint8), "4:4:4", 25),
+        (rng.randint(0, 256, (30, 22)).astype(np.uint8), "4:4:4", 95),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, q, sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q, sub))
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_jpeg_progressive_differential_vs_pil():
+    """When PIL is present it must agree with our progressive decode
+    on our own progressive encodings within IDCT rounding slack."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from cpg_ray.functions.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    img = _grad(48, 64)
+    for sub in ("4:4:4", "4:2:0"):
+        data = encode_jpeg_progressive(img, 85, sub)
+        ours = decode_jpeg(data)
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
