@@ -2897,6 +2897,11 @@ def harmonic_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
     if mode not in ("driver", "shuffle", "auto"):
         raise ValueError(f"unknown mode {mode!r}")
 
+    if sym.count() == 0:  # empty graph: empty blocks lose their schema
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "harmonic": pd.Series([], dtype="int64")}))
+
     if mode in ("driver", "auto") and sym.count() <= driver_edge_limit:
         e = sym.to_pandas()
         levels = [e]

@@ -390,3 +390,57 @@ def test_ktruss_driver_matches_bruteforce_fixpoint(raw_edges, k):
         for _, r in out.iterrows():
             assert r.sup == truth_sup[(r.a, r.b)]
         assert bool(out.converged.iloc[0])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        max_size=30,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=100, deadline=None)
+def test_harmonic_driver_matches_per_source_bfs(raw_edges, max_hops):
+    """The level-set closure must equal a naive per-source BFS sum of
+    scale/d on arbitrary small graphs, for every hop bound."""
+    import math
+    from collections import deque
+
+    import pandas as pd
+
+    import ray.data as rd
+    from cpg_ray.functions.graphalgo import harmonic_centrality
+
+    edges = pd.DataFrame(raw_edges, columns=["src", "dst"]).astype(str)
+    out = harmonic_centrality(
+        rd.from_pandas(edges) if len(edges) else
+        rd.from_pandas(pd.DataFrame({"src": pd.Series([], dtype=object),
+                                     "dst": pd.Series([], dtype=object)})),
+        max_hops=max_hops, mode="driver").to_pandas()
+    # Ray 2.49 empty-dataset to_pandas drops the schema entirely
+    got = dict(zip(out.entity, out.harmonic)) if len(out) else {}
+
+    adj: dict = {}
+    for a, b in raw_edges:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scale = math.lcm(*range(1, max_hops + 1)) * 1_000_000
+    want = {}
+    for v in adj:
+        dist = {v: 0}
+        q = deque([v])
+        total = 0
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for nb in adj[u]:
+                if nb not in dist:
+                    dist[nb] = dist[u] + 1
+                    total += scale // dist[nb]
+                    q.append(nb)
+        want[v] = total
+    assert got == want
