@@ -331,7 +331,8 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     strict sequential fold in the last ulps; max/min are exact for any
     dtype.
     ``order_col`` values must be unique (ROW semantics; ties would make
-    the running value order-dependent).
+    the running value order-dependent) and numeric or datetime64
+    (datetimes range-bucket through their epoch ticks).
 
     Scale shape: ranges come from equal-width bucketing on the observed
     [min, max] (one combiner pass), so the only exchange is the bucket
@@ -358,11 +359,21 @@ def ordered_scan(ds, order_col: str, specs: list, *,
 
     cols = [order_col] + sorted({c for c, _, _ in specs})
 
+    def ordkey(s: pd.Series) -> np.ndarray:
+        """Order column → float64 range key.  Datetimes map through
+        int64 epoch ticks; float64 rounding is MONOTONE, and bucket
+        assignment only needs monotonicity (equal keys share a
+        bucket), so precision loss never reorders the scan."""
+        a = s.to_numpy()
+        if np.issubdtype(a.dtype, np.datetime64):
+            a = a.astype("int64")
+        return a.astype(np.float64)
+
     def minmax(b: pd.DataFrame) -> pd.DataFrame:
         if b.empty:
             return pd.DataFrame({"mn": [], "mx": []})
-        return pd.DataFrame({"mn": [b[order_col].min()],
-                             "mx": [b[order_col].max()]})
+        k = ordkey(b[order_col])
+        return pd.DataFrame({"mn": [k.min()], "mx": [k.max()]})
 
     mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
     if mm.empty:
@@ -377,7 +388,7 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         b = b[cols].copy()
         b["__bucket"] = np.searchsorted(
-            bounds, b[order_col].to_numpy(np.float64), side="right"
+            bounds, ordkey(b[order_col]), side="right"
         ).astype("int32")
         return b
 

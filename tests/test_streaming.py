@@ -226,3 +226,27 @@ def test_ordered_scan_single_bucket_and_empty():
     empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"),
                                          "v": pd.Series([], dtype="int64")}))
     assert ordered_scan(empty, "k", [("v", "sum", "rs")]).count() == 0
+
+
+def test_ordered_scan_datetime_order_column():
+    """Event-time is the natural scan order: a datetime64 order column
+    must range-bucket correctly (epoch-tick keys) and match the
+    sequential scan."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import ordered_scan
+
+    rng = np.random.RandomState(11)
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(10**6, size=400, replace=False)), unit="s")
+    vals = rng.randint(-100, 100, 400).astype("int64")
+    perm = rng.permutation(400)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"ts": ts[perm], "v": vals[perm]})).repartition(7)
+    out = (ordered_scan(ds, "ts", [("v", "sum", "rs"), ("v", "max", "rm")],
+                        n_buckets=5)
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    assert (out.rs.to_numpy() == vals.cumsum()).all()
+    assert (out.rm.to_numpy() == np.maximum.accumulate(vals)).all()
