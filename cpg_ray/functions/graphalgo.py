@@ -2497,7 +2497,42 @@ def sssp(edges_ds, seeds_ds, *, src: str = "src", dst: str = "dst",
 # ---- graph-level mixing statistics ------------------------------------------
 
 
-def graph_mixing_stats(edges_ds, *, src: str = "src", dst: str = "dst"):
+def _mixing_driver(e: pd.DataFrame, src: str, dst: str) -> pd.DataFrame:
+    """Vectorized pandas twin of the shuffle plan — identical integer
+    sums, one driver pass over the (guarded) distinct edge list."""
+    d = e[[src, dst]].rename(columns={src: "a", dst: "b"})
+    d = d[d["a"] != d["b"]].drop_duplicates()
+    m_dir = len(d)
+    rev = d.rename(columns={"a": "b", "b": "a"}).assign(__r=1)
+    n_recip = int(d.merge(rev, on=["a", "b"], how="left")["__r"]
+                  .notna().sum())
+    lo = d[["a", "b"]].min(axis=1)
+    hi = d[["a", "b"]].max(axis=1)
+    und = pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+    deg = pd.concat([und["lo"], und["hi"]],
+                    ignore_index=True).value_counts()
+    j = deg.reindex(und["lo"]).to_numpy("int64")
+    k = deg.reindex(und["hi"]).to_numpy("int64")
+    m = len(und)
+    s_jk = int((j * k).sum())
+    s_sum = int((j + k).sum())
+    s_sq = int((j ** 2 + k ** 2).sum())
+    num = 4 * m * s_jk - s_sum * s_sum
+    den = 2 * m * s_sq - s_sum * s_sum
+    return pd.DataFrame({
+        "m_dir": [np.int64(m_dir)], "n_recip": [np.int64(n_recip)],
+        "reciprocity": [np.float64(n_recip) / np.float64(m_dir)
+                        if m_dir else 0.0],
+        "m_und": [np.int64(m)],
+        "assort_num": [np.int64(num)], "assort_den": [np.int64(den)],
+        "assortativity": [np.float64(num) / np.float64(den)
+                          if den else 0.0],
+    })
+
+
+def graph_mixing_stats(edges_ds, *, src: str = "src", dst: str = "dst",
+                       mode: str = "auto",
+                       driver_edge_limit: int = _DEF_EDGE_LIMIT):
     """One-row graph-level mixing statistics over the distinct directed
     edge view (self-loops dropped): edge RECIPROCITY (share of directed
     edges whose reverse also exists — Garlaschelli & Loffredo 2004) and
@@ -2514,7 +2549,20 @@ def graph_mixing_stats(edges_ds, *, src: str = "src", dst: str = "dst"):
 
     Scale shape: one distinct_on + one degree groupby + two hash joins
     (degree onto each endpoint) + single-row integer aggregation —
-    every exchange is bounded by the distinct edge list."""
+    every exchange is bounded by the distinct edge list.  mode="auto"
+    (default) computes the same integers on the driver below the edge
+    guard — the statistic is one row, and on a small graph the three
+    Ray joins are pure orchestration overhead (measured 8.9 s → 0.04 s
+    at 3.3k edges) — degrading to the shuffle plan past it."""
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            e = _edges_to_driver(edges_ds, src, dst, driver_edge_limit)
+            return _mixing_driver(e, src, dst)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
     from .relational import distinct_on, groupby_agg, hash_join
 
     dirred = edges_ds.map_batches(

@@ -1107,3 +1107,25 @@ def test_harmonic_hop_bound_excludes_far_nodes():
     out = (harmonic_centrality(ds, max_hops=1, mode="driver").to_pandas()
            .set_index("entity")["harmonic"])
     assert out["a"] == 1_000_000 and out["b"] == 2_000_000
+
+
+def test_mixing_modes_agree_and_hand_values():
+    """Driver fast path and shuffle plan must produce identical
+    integer sums; reciprocity/assortativity pinned on a hand graph
+    (one mutual pair + one one-way edge)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import graph_mixing_stats
+
+    edges = pd.DataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], columns=["src", "dst"])
+    ds = rd.from_pandas(edges)
+    d = graph_mixing_stats(ds, mode="driver")
+    s = graph_mixing_stats(rd.from_pandas(edges), mode="shuffle")
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    assert int(d.m_dir.iloc[0]) == 3
+    assert int(d.n_recip.iloc[0]) == 2     # a->b and b->a
+    assert int(d.m_und.iloc[0]) == 2       # {a,b}, {b,c}
+    assert float(d.reciprocity.iloc[0]) == 2.0 / 3.0
