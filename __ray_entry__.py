@@ -1561,6 +1561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # level-set closure + anti-join machinery is repped in-window
         # by kg_two_hop; swept green via tools/check_oracles.py
         "kg_harmonic": _kg_harmonic,
+        # q_events_zorder likewise: a stateless single-table bit map
+        # (the lowest-risk class, like q_url_canonical); swept green
+        "q_events_zorder": q.q_events_zorder,
         # kg_bfs_dist's round machinery is pinned in-window by kg_sssp
         # (unit-weight degenerate test ties them); q_events_pivot's
         # conditional-sum groupby by the DSS batch (q8/q13)

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "q20_part_specialists",
     "q_doc_maxsim",
     "q_events_running_total",
+    "q_events_zorder",
+    "kg_ktruss",
+    "kg_harmonic",
 ]
 
 

@@ -2302,6 +2302,38 @@ def q_events_running_total(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+def q_events_zorder(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, event-time):
+    the data-layout primitive behind multi-dimensional file pruning —
+    interleave the low 16 bits of both dimensions so a zkey-sorted
+    file holds a small range of EACH (Delta/Iceberg OPTIMIZE ZORDER
+    shape).  Integer-only, so the unrolled shift/mask SQL oracle
+    matches bit-for-bit; the 16-way zbucket is the range partition a
+    Z-order writer would ship each row to."""
+    from ..functions.layout import add_zorder_key
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        secs = b.ts.to_numpy().astype("datetime64[us]").astype("int64") \
+            // 1_000_000
+        return pd.DataFrame({
+            "event_id": b.event_id.astype("int64"),
+            "xk": b.user_id.to_numpy("int64") & 0xFFFF,
+            "yk": secs & 0xFFFF,
+        })
+
+    keyed = add_zorder_key(
+        ev.map_batches(prep, batch_format="pandas"), "xk", "yk",
+        n_buckets=16)
+    df = keyed.to_pandas()
+    df["zkey"] = df["zkey"].astype("int64")
+    df["zbucket"] = df["zkey_bucket"].astype("int64")
+    return (df[["event_id", "zkey", "zbucket"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     """Per-type z-score normalization of value cents (the ML
     feature-scaling step): mean and population std come from EXACT
@@ -3035,6 +3067,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         ORDER BY "column"
     """,
+    # q_events_zorder's oracle is GENERATED (unrolled shift/mask
+    # spread) — assigned after the dict via _zorder_oracle_sql()
     "q_events_running_total": """
         WITH t AS (SELECT event_id,
                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
@@ -4813,3 +4847,22 @@ ORACLE_SQL["q_doc_hybrid_rrf"] = f"""
         FROM fused) WHERE rn <= 10
     ORDER BY qid, rrf DESC, doc_id
 """
+
+
+def _zorder_oracle_sql() -> str:
+    """Generated Z-order oracle: the same unrolled shift/mask spread
+    as layout.morton_key, integer end to end."""
+    from ..functions.layout import morton_sql
+
+    return f"""
+        SELECT event_id, zkey, zkey >> 28 AS zbucket FROM (
+            SELECT event_id, {morton_sql('xk', 'yk')} AS zkey FROM (
+                SELECT event_id,
+                       user_id & 65535 AS xk,
+                       (epoch_us(ts) // 1000000) & 65535 AS yk
+                FROM events))
+        ORDER BY event_id
+    """
+
+
+ORACLE_SQL["q_events_zorder"] = _zorder_oracle_sql()
