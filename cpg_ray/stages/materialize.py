@@ -158,3 +158,91 @@ def read_lineage(out_dir: str, table: str) -> list[dict]:
             with open(marker) as f:
                 rows.append(json.load(f))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Compaction (the small-files problem)
+# ---------------------------------------------------------------------------
+
+
+def plan_compaction(files: list[tuple[str, int]],
+                    target_bytes: int) -> list[list[str]]:
+    """First-fit-decreasing bin packing of (path, size) into bins of at
+    most ``target_bytes`` (a file larger than the target gets its own
+    bin).  Deterministic: sizes descending, path ascending."""
+    bins: list[tuple[int, list[str]]] = []
+    for path, size in sorted(files, key=lambda t: (-t[1], t[0])):
+        for i, (used, members) in enumerate(bins):
+            if used + size <= target_bytes:
+                bins[i] = (used + size, members + [path])
+                break
+        else:
+            bins.append((size, [path]))
+    return [members for _, members in bins]
+
+
+def compact_parquet(in_dir: str, out_dir: str, *,
+                    target_bytes: int = 128 << 20) -> dict:
+    """Compact a directory of small Parquet files into
+    ``target_bytes``-sized ones in a NEW directory — the operational
+    complement of the per-shard resumable layout (never ONE giant
+    file, but never a million tiny ones either: at 100 TB, file-open
+    overhead and footer reads dominate a read over fragmented output).
+
+    - planning is driver-side metadata only (paths + sizes);
+    - each bin rewrites in its OWN Ray task (bounded memory — a bin is
+      at most ``target_bytes``), pyarrow concat → one file.  This is a
+      deliberate raw-``ray.remote`` stage: "one output file per
+      explicit file group" is exactly the shape the Dataset API can't
+      express (SURVEY.md §2 guidance);
+    - side-by-side rewrite (the Iceberg-rewrite posture): inputs are
+      never touched, so a crash mid-run loses nothing; commit per bin
+      is ``<name>.tmp`` → ``os.replace`` (atomic on POSIX); bins whose
+      output exists are skipped, so a rerun resumes; the final
+      ``_SUCCESS`` marker carries the plan, and readers switch
+      directories only when it exists (the shard-marker idiom).
+
+    Returns {"bins": n, "compacted": n_rewritten, "skipped": n_resumed,
+    "files_before": n, "files_after": n}.
+
+    Reference analog: the unity-build consolidation the survey
+    deliberately rejects for INPUT (TranslationManager.kt:184-212,
+    SURVEY §2.1 S10) is the right move for OUTPUT metadata — merging
+    files, not work units.
+    """
+    import glob
+
+    import ray
+
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError("compaction is side-by-side: out_dir must "
+                         "differ from in_dir (crash safety)")
+    files = [(p, os.path.getsize(p))
+             for p in sorted(glob.glob(os.path.join(in_dir, "*.parquet")))]
+    os.makedirs(out_dir, exist_ok=True)
+    bins = plan_compaction(files, target_bytes)
+
+    @ray.remote
+    def rewrite(members: list[str], out_path: str) -> int:
+        tables = [pq.read_table(p) for p in sorted(members)]
+        merged = pa.concat_tables(tables, promote_options="default")
+        tmp = out_path + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, out_path)
+        return merged.num_rows
+
+    stats = {"bins": len(bins), "compacted": 0, "skipped": 0,
+             "files_before": len(files), "files_after": len(bins)}
+    pending = []
+    for i, members in enumerate(bins):
+        out_path = os.path.join(out_dir, f"compact-{i:05d}.parquet")
+        if os.path.exists(out_path):  # resumed run
+            stats["skipped"] += 1
+            continue
+        pending.append(rewrite.remote(members, out_path))
+        stats["compacted"] += 1
+    ray.get(pending)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        json.dump({"plan": [sorted(m) for m in bins],
+                   "target_bytes": target_bytes, **stats}, f)
+    return stats

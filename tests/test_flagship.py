@@ -261,3 +261,58 @@ def test_run_flagship_prunes_stale_shards(tmp_path):
         assert not os.path.isdir(out_dir + f"/triples/shard={k}")
     # same corpus, different sharding → identical triple volume
     assert s2["triples_out"] == s1["triples_out"]
+
+
+def test_compaction_side_by_side_resume_and_equality():
+    """Compacting many small parquet files must preserve every row,
+    respect the size target (FFD bins), resume by skipping existing
+    outputs, and never touch the inputs."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cpg_ray.stages.materialize import compact_parquet, plan_compaction
+
+    src = "/tmp/compact_test/in"
+    dst = "/tmp/compact_test/out"
+    import shutil
+    shutil.rmtree("/tmp/compact_test", ignore_errors=True)
+    os.makedirs(src)
+    for i in range(37):
+        pq.write_table(
+            pa.table({"k": list(range(i * 10, i * 10 + 10)),
+                      "v": [f"r{i}-{j}" for j in range(10)]}),
+            f"{src}/part-{i:04d}.parquet")
+    sizes = [(p, os.path.getsize(p))
+             for p in glob.glob(f"{src}/*.parquet")]
+    one = sizes[0][1]
+
+    stats = compact_parquet(src, dst, target_bytes=one * 8)
+    assert stats["files_before"] == 37
+    assert stats["files_after"] == stats["bins"] < 37
+    assert stats["compacted"] == stats["bins"] and stats["skipped"] == 0
+    # inputs untouched (side-by-side posture)
+    assert len(glob.glob(f"{src}/*.parquet")) == 37
+    # row-set equality
+    a = pd.read_parquet(src).sort_values("k").reset_index(drop=True)
+    b = pd.read_parquet(dst).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # every output within the target (all inputs are below it)
+    for p in glob.glob(f"{dst}/*.parquet"):
+        assert os.path.getsize(p) <= one * 8 * 1.25  # parquet overhead
+    assert os.path.exists(f"{dst}/_SUCCESS")
+
+    # rerun = pure resume
+    stats2 = compact_parquet(src, dst, target_bytes=one * 8)
+    assert stats2["compacted"] == 0
+    assert stats2["skipped"] == stats["bins"]
+
+    # oversized file gets its own bin; in-place refused
+    assert plan_compaction([("big", 100), ("s1", 10), ("s2", 10)], 50) \
+        == [["big"], ["s1", "s2"]]
+    with pytest.raises(ValueError):
+        compact_parquet(src, src)
