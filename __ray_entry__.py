@@ -430,6 +430,24 @@ def _kg_cypher(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _kg_cypher_optional(sf_dir: str):
+    """OPTIONAL MATCH surface (EXCEEDS the reference — executeQuery has
+    no OPTIONAL): every Mention with its EOG successor, null at chain
+    tails, compiled as one left-outer hash join of the base bindings
+    with the optional hop.  Nulls normalize to '' for the hash compare
+    (DuckDB side coalesces identically)."""
+    from cpg_ray.functions.cypher import run_cypher
+
+    nodes, edges = _graph_tables(sf_dir)
+    df = run_cypher(
+        "MATCH (m:Mention) OPTIONAL MATCH (m)-[:EOG]->(n:Mention) "
+        "RETURN m.id AS m_id, n.id AS next_id",
+        nodes, edges,
+    )
+    df["next_id"] = df["next_id"].fillna("")
+    return df.sort_values(["m_id", "next_id"]).reset_index(drop=True)
+
+
 def _kg_cypher_varlen(sf_dir: str):
     """Variable-length + INCOMING-direction cypher surface: the pattern
     ``(b)<-[:EOG*2..3]-(a)`` (Graph.kt:129-143 direction resolution;
@@ -1564,6 +1582,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_events_zorder likewise: a stateless single-table bit map
         # (the lowest-risk class, like q_url_canonical); swept green
         "q_events_zorder": q.q_events_zorder,
+        # kg_cypher_optional: the OPTIONAL MATCH surface — its
+        # left-outer machinery is repped in-window by
+        # q_orders_priority_leftjoin + the kg_cypher family; swept
+        "kg_cypher_optional": _kg_cypher_optional,
         # kg_bfs_dist's round machinery is pinned in-window by kg_sssp
         # (unit-weight degenerate test ties them); q_events_pivot's
         # conditional-sum groupby by the DSS batch (q8/q13)
@@ -2256,6 +2278,22 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             WHERE e.kind = 'edge' AND e.etype = 'AST'
               AND e.url < 'https://site5'
             ORDER BY e.url, section_id, mention_id
+        """,
+        "kg_cypher_optional": f"""
+            WITH hop AS (
+                SELECT e.src_id, e.dst_id
+                FROM {gsrc} e
+                JOIN {gsrc} s ON s.kind = 'node' AND s.label = 'Mention'
+                             AND s.node_id = e.src_id
+                JOIN {gsrc} d ON d.kind = 'node' AND d.label = 'Mention'
+                             AND d.node_id = e.dst_id
+                WHERE e.kind = 'edge' AND e.etype = 'EOG'
+            )
+            SELECT m.node_id AS m_id, coalesce(h.dst_id, '') AS next_id
+            FROM {gsrc} m
+            LEFT JOIN hop h ON h.src_id = m.node_id
+            WHERE m.kind = 'node' AND m.label = 'Mention'
+            ORDER BY m_id, next_id
         """,
         "kg_cypher_undirected": f"""
             WITH ee AS (

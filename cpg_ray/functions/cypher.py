@@ -21,6 +21,12 @@ Grammar (case-insensitive keywords)::
        the reference, whose BOTH resolution is a TODO (Graph.kt:139).
        Double-headed arrows <-[..]-> and undirected variable-length
        hops still raise.)
+    [OPTIONAL MATCH (x)-[:ETYPE]->(y:Label)]
+      (x must be bound by the base pattern, y is new and null on miss
+       — compiled as ONE left-outer hash join of the base bindings
+       with the optional hop; either direction; fixed single hop; this
+       EXCEEDS the reference, whose executeQuery has no OPTIONAL.
+       WHERE may reference base variables only.)
     [WHERE a.prop OP literal [AND ...]]
     RETURN a.prop [AS alias] [, ...] | a | count(a)
     [ORDER BY expr [DESC]] [LIMIT k]
@@ -87,6 +93,9 @@ class _Query:
     returns: list = field(default_factory=list)  # [(kind, var, prop, alias)]
     order_by: list = field(default_factory=list)  # [(colname, desc)]
     limit: int | None = None
+    # OPTIONAL MATCH (x)-[:E]->(y:Label): (x_var, etype, rev, y_var,
+    # y_label) — x already bound by the base pattern, y null on miss
+    opt: tuple | None = None
 
     @property
     def etype(self):  # single-hop convenience
@@ -134,6 +143,7 @@ def parse(query: str) -> _Query:
     offending clause on anything outside it (never a silent guess)."""
     q = re.sub(r"\s+", " ", query.strip())
     m = re.match(r"MATCH (?P<pat>.+?)"
+                 r"(?: OPTIONAL MATCH (?P<opt>.+?))?"
                  r"(?: WHERE (?P<where>.+?))?"
                  r" RETURN (?P<ret>.+?)"
                  r"(?: ORDER BY (?P<order>.+?))?"
@@ -185,6 +195,45 @@ def parse(query: str) -> _Query:
         raise ValueError("pattern variables must be distinct")
 
     out = _Query(nodes=nodes, rels=rels)
+
+    if m.group("opt"):
+        op = m.group("opt").strip()
+        onm = _NODE.match(op)
+        if not onm:
+            raise ValueError(f"unsupported OPTIONAL MATCH pattern: {op!r}")
+        xvar = onm.group("var")
+        if onm.group("label") or onm.group("props"):
+            raise ValueError("OPTIONAL MATCH anchor must be a bare "
+                             "re-reference, e.g. (a)")
+        if xvar not in {v for v, _l, _p in nodes}:
+            raise ValueError(f"OPTIONAL MATCH anchor {xvar!r} is not "
+                             "bound by the base pattern")
+        rest_o = op[onm.end():].strip()
+        orm = _REL.match(rest_o)
+        if not orm:
+            raise ValueError(f"unsupported OPTIONAL MATCH hop: {rest_o!r}")
+        if orm.group("lo") is not None:
+            raise ValueError("variable-length OPTIONAL MATCH hops are "
+                             "not supported")
+        olarr, orarr = orm.group("larr"), orm.group("rarr")
+        if bool(olarr) == bool(orarr):
+            raise ValueError("OPTIONAL MATCH hops must be directed "
+                             "(-[:X]-> or <-[:X]-)")
+        rest_o = rest_o[orm.end():].strip()
+        onm2 = _NODE.match(rest_o)
+        if not onm2 or rest_o[onm2.end():].strip():
+            raise ValueError(f"unsupported OPTIONAL MATCH tail: {rest_o!r}")
+        yvar = onm2.group("var")
+        if yvar in {v for v, _l, _p in nodes} or yvar == xvar:
+            raise ValueError(f"OPTIONAL MATCH variable {yvar!r} must be "
+                             "new")
+        if not onm2.group("label"):
+            raise ValueError("OPTIONAL MATCH target needs a label")
+        if onm2.group("props"):
+            raise ValueError("inline props on the OPTIONAL MATCH target "
+                             "are not supported")
+        out.opt = (xvar, orm.group("etype"), bool(olarr), yvar,
+                   onm2.group("label"))
 
     if m.group("where"):
         for clause in re.split(r"\s+AND\s+", m.group("where"),
@@ -475,8 +524,16 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
         for p, v in props.items():
             plan.conds.append((plan.nodes[0][0], p, "=", v))
 
+    opt_var = None
+    if plan.opt:
+        for v, _p, _op2, _lit in plan.conds:
+            if v == plan.opt[3]:  # the optional (y) variable
+                raise ValueError("WHERE may not reference OPTIONAL "
+                                 "MATCH variables")
+
     # resolve every referenced column EAGERLY (unknown props fail fast,
-    # not inside a remote task)
+    # not inside a remote task); WHERE references base variables only,
+    # so conds resolve with the BASE col mapping even under OPTIONAL
     conds = [(col(v, p), op, lit) for v, p, op, lit in plan.conds]
     if plan.etype is None:
         for c, _op, _lit in conds:
@@ -485,6 +542,8 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
 
     # WHERE: vectorized per-batch filters on the Dataset — rows are
     # pruned distributed, the driver only ever sees the result set
+    # (and under OPTIONAL MATCH the filter runs BEFORE the left join,
+    # so only surviving base bindings pay the join)
     if conds:
         def keep(b: pd.DataFrame) -> pd.DataFrame:
             for c, op, lit in conds:
@@ -493,11 +552,89 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
 
         ds = ds.map_batches(keep, batch_format="pandas")
 
+    if plan.opt:
+        # OPTIONAL MATCH (x)-[:E]->(y:L): left-outer join the filtered
+        # base bindings with the optional hop on x's node id — y
+        # columns null on miss (openCypher semantics)
+        from .graphquery import rel_chain as _rc
+        from .relational import hash_join as _hj
+
+        xv, oetype, orev, yv, ylabel = plan.opt
+        opt_var = yv
+        if edges_ds is None:
+            raise ValueError("OPTIONAL MATCH needs edges_ds")
+        xlabel = {v: l for v, l, _p in plan.nodes}[xv]
+        if xlabel is None:
+            raise ValueError("OPTIONAL MATCH anchor needs a labeled "
+                             "base node")
+        # project the base to the columns the query references — the
+        # join ships less, and untouched all-null columns (Arrow type
+        # `null`) would crash pyarrow's join as non-key fields
+        needed = {col(xv, "id")}
+        for v, p, _op2, _lit in plan.conds:
+            needed.add(col(v, p))
+        for kind, _fn, v, p, _alias in plan.returns:
+            if v != yv:
+                needed.add(col(v, p) if p is not None else (
+                    col(v, "node_id") if plan.etype else "node_id"))
+        base_cols = sorted(needed)
+        ds = ds.map_batches(lambda b: b[base_cols],
+                            batch_format="pandas")
+
+        sl, dl = (ylabel, xlabel) if orev else (xlabel, ylabel)
+        xs, ys = ("dst", "src") if orev else ("src", "dst")
+
+        def ren_opt(t, xs=xs, ys=ys, yv=yv):
+            import pyarrow as _pa
+
+            return _pa.table({
+                "__opt_key": t[f"{xs}_id"],
+                f"{yv}__id": t[f"{ys}_id"],
+                f"{yv}__name": t[f"{ys}_name"],
+            })
+
+        seg = _rc(nodes_ds, edges_ds, etype=oetype, src_label=sl,
+                  dst_label=dl).map_batches(
+            ren_opt, batch_format="pyarrow").materialize()
+        if seg.count() == 0:
+            # a completely-empty optional side loses its schema through
+            # Ray's empty blocks (hash_join can't null-extend it);
+            # OPTIONAL semantics are explicit here: every base binding
+            # survives with null y columns
+            def add_null_y(t, yv=yv):
+                import pyarrow as _pa
+
+                cols = {c: t[c] for c in t.column_names}
+                cols[f"{yv}__id"] = _pa.nulls(len(t), _pa.string())
+                cols[f"{yv}__name"] = _pa.nulls(len(t), _pa.string())
+                return _pa.table(cols)
+
+            ds = ds.map_batches(add_null_y, batch_format="pyarrow")
+        else:
+            ds = _hj(ds.materialize(), seg, on=col(xv, "id"),
+                     right_on="__opt_key", how="left_outer",
+                     empty_safe=True)
+
+        base_col = col
+
+        def col(v, p, _base=base_col, yv=yv):  # noqa: F811
+            if v == yv:
+                if p in ("id", "node_id"):
+                    return f"{yv}__id"
+                if p == "name":
+                    return f"{yv}__name"
+                raise ValueError(
+                    f"property {p!r} not projected by OPTIONAL MATCH "
+                    "(available: id, name)")
+            return _base(v, p)
+
     def resolve(v, p):
-        c = col(v, p) if p is not None else (
-            col(v, "node_id") if plan.etype else "node_id"
-        )
-        if plan.etype is None and c not in _NODE_PROPS:
+        if p is None:  # bare variable → its node id
+            c = (col(v, "node_id") if (plan.etype or v == opt_var)
+                 else "node_id")
+        else:
+            c = col(v, p)
+        if plan.etype is None and v != opt_var and c not in _NODE_PROPS:
             raise ValueError(f"unknown property {v}.{p}")
         return c
 

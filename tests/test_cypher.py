@@ -332,3 +332,52 @@ def test_aggregations_with_implicit_grouping(graph_tables):
     assert int(g.s.iloc[0]) == int(men.span_start.sum())
     assert int(g.mx.iloc[0]) == int(men.span_end.max())
     assert abs(float(g.a.iloc[0]) - float(men.span_start.mean())) < 1e-9
+
+
+def test_optional_match_null_extension_and_count(graph_tables):
+    """OPTIONAL MATCH: every base binding survives; chain tails get
+    null y columns; count(y) counts non-null bindings (openCypher)."""
+    import numpy as np
+
+    nds, eds, nodes, edges = graph_tables
+    base = run_cypher("MATCH (m:Mention) RETURN m.id AS m_id", nds, eds)
+    opt = run_cypher(
+        "MATCH (m:Mention) OPTIONAL MATCH (m)-[:EOG]->(n:Mention) "
+        "RETURN m.id AS m_id, n.id AS next_id", nds, eds)
+    # every mention appears (tails once with null, others per successor)
+    assert set(opt.m_id) == set(base.m_id)
+    assert opt.next_id.isna().any(), "fixture must have chain tails"
+    # non-null rows are exactly the Mention->Mention EOG edges
+    mset = set(nodes[nodes.label == "Mention"].node_id)
+    ee = edges[(edges.etype == "EOG") & edges.src_id.isin(mset)
+               & edges.dst_id.isin(mset)]
+    got = opt[opt.next_id.notna()]
+    assert set(zip(got.m_id, got.next_id)) == set(zip(ee.src_id,
+                                                      ee.dst_id))
+    # count(n) groups by the base var and skips nulls
+    cnt = run_cypher(
+        "MATCH (m:Mention) OPTIONAL MATCH (m)-[:EOG]->(n:Mention) "
+        "RETURN m.id AS m_id, count(n) AS nn", nds, eds)
+    tails = set(base.m_id) - set(ee.src_id)
+    z = cnt[cnt.m_id.isin(tails)]
+    assert (z.nn == 0).all() and len(z) == len(tails)
+    assert int(cnt.nn.sum()) == len(ee)
+
+
+def test_optional_match_rejections(graph_tables):
+    nds, eds, *_ = graph_tables
+    with pytest.raises(ValueError):  # unbound anchor
+        run_cypher("MATCH (a:Section) OPTIONAL MATCH (z)-[:AST]->"
+                   "(b:Mention) RETURN a", nds, eds)
+    with pytest.raises(ValueError):  # WHERE on optional var
+        run_cypher("MATCH (a:Section) OPTIONAL MATCH (a)-[:AST]->"
+                   "(b:Mention) WHERE b.name = 'x' RETURN a", nds, eds)
+    with pytest.raises(ValueError):  # undirected optional hop
+        run_cypher("MATCH (a:Section) OPTIONAL MATCH (a)-[:AST]-"
+                   "(b:Mention) RETURN a", nds, eds)
+    with pytest.raises(ValueError):  # var-length optional hop
+        run_cypher("MATCH (a:Section) OPTIONAL MATCH (a)-[:AST*1..2]->"
+                   "(b:Mention) RETURN a", nds, eds)
+    with pytest.raises(ValueError):  # re-bound optional variable
+        run_cypher("MATCH (a:Section)-[:AST]->(b:Mention) OPTIONAL "
+                   "MATCH (a)-[:AST]->(b:Mention) RETURN a", nds, eds)
