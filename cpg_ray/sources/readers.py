@@ -109,3 +109,79 @@ def write_metrics_json(ds_or_rows, out_dir: str) -> str:
         for row in ds_or_rows:
             f.write(json.dumps(row) + "\n")
     return path
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned reads (the payoff of clustered layout)
+# ---------------------------------------------------------------------------
+
+
+def read_parquet_pruned(path, predicates: dict, columns=None, **kw):
+    """``read_parquet`` that SKIPS whole files whose footer min/max
+    statistics prove no row can match — the zone-map read that
+    clustered layout (sorted shards, Z-order —
+    :mod:`cpg_ray.functions.layout`) exists to enable.  At 100 TB the
+    cheapest byte is the one never read: footers are a few KB per
+    file, so planning cost is O(files), not O(data).
+
+    ``predicates`` maps column → (lo, hi) — closed interval, either
+    end None for unbounded.  A file is kept when EVERY predicate
+    interval overlaps that column's [min, max] (files lacking stats
+    for a column are kept — pruning is an optimization, never a
+    filter).  Returns (Dataset of the kept files, stats dict); rows
+    must still be filtered exactly downstream — zone maps prove
+    absence, not presence.
+
+    Reference analog: include-path whitelisting in the C++ frontend
+    (CXXLanguageFrontend.kt:76-165 skips whole headers by path before
+    parsing a byte) — the same prune-before-parse posture at the
+    storage layer.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+    else:
+        files = [path]
+    kept, skipped = [], 0
+    for f in files:
+        meta = _pq.ParquetFile(f).metadata
+        schema_names = {meta.schema.column(i).name
+                        for i in range(meta.num_columns)}
+        overlap = True
+        for col_name, (lo, hi) in predicates.items():
+            if col_name not in schema_names:
+                continue  # unknown column: keep (never a filter)
+            cmin = cmax = None
+            have = True
+            for rg in range(meta.num_row_groups):
+                col_idx = next(
+                    i for i in range(meta.num_columns)
+                    if meta.schema.column(i).name == col_name)
+                st = meta.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    have = False
+                    break
+                cmin = st.min if cmin is None else min(cmin, st.min)
+                cmax = st.max if cmax is None else max(cmax, st.max)
+            if not have:
+                continue  # stats missing: keep
+            if (hi is not None and cmin > hi) or \
+                    (lo is not None and cmax < lo):
+                overlap = False
+                break
+        if overlap:
+            kept.append(f)
+        else:
+            skipped += 1
+    stats = {"files_total": len(files), "files_read": len(kept),
+             "files_skipped": skipped}
+    if not kept:
+        import pyarrow as _pa
+
+        return rd.from_arrow(_pa.table({})), stats
+    return rd.read_parquet(kept, columns=columns, **kw), stats

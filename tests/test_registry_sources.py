@@ -152,3 +152,59 @@ def test_cli_ingest_warc(tmp_path):
     t = pq2.read_table(out)
     assert set(t.column_names) == {"url", "warc_ts", "html", "text", "lang"}
     assert set(t["lang"].to_pylist()) <= {"en", "de", "fr"}
+
+
+def test_zone_map_pruned_read_clustered_vs_shuffled():
+    """Zone-map pruning must (a) never lose a matching row, and (b)
+    actually skip most files when the layout is clustered on the
+    predicate column — the Z-order/sorted-shard payoff."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cpg_ray.sources.readers import read_parquet_pruned
+
+    rng = np.random.RandomState(3)
+    n = 8000
+    df = pd.DataFrame({"k": rng.randint(0, 10_000, n).astype("int64"),
+                       "v": rng.rand(n)})
+    base = "/tmp/zonemap_test"
+    shutil.rmtree(base, ignore_errors=True)
+    for name, order in (("clustered", df.sort_values("k")),
+                        ("shuffled", df)):
+        d = f"{base}/{name}"
+        os.makedirs(d)
+        for i, chunk in enumerate(np.array_split(order, 20)):
+            pq.write_table(pa.Table.from_pandas(
+                chunk.reset_index(drop=True)), f"{d}/p{i:03d}.parquet")
+
+    want = df[(df.k >= 4000) & (df.k <= 4400)].sort_values(
+        ["k", "v"]).reset_index(drop=True)
+
+    ds_c, st_c = read_parquet_pruned(f"{base}/clustered",
+                                     {"k": (4000, 4400)})
+    got = (ds_c.to_pandas().query("4000 <= k <= 4400")
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert st_c["files_skipped"] >= 15, st_c  # clustered: most skipped
+
+    ds_s, st_s = read_parquet_pruned(f"{base}/shuffled",
+                                     {"k": (4000, 4400)})
+    got_s = (ds_s.to_pandas().query("4000 <= k <= 4400")
+             .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_s, want)
+    assert st_s["files_skipped"] == 0  # every shuffled file overlaps
+
+    # no-match predicate prunes everything and returns an empty Dataset
+    ds_e, st_e = read_parquet_pruned(f"{base}/clustered",
+                                     {"k": (50_000, None)})
+    assert st_e["files_read"] == 0 and ds_e.count() == 0
+    # unknown/stat-less columns are kept, never filtered
+    _, st_u = read_parquet_pruned(f"{base}/clustered",
+                                  {"nonexistent": (0, 1)})
+    assert st_u["files_skipped"] == 0
