@@ -75,11 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--query", required=True)
     c.add_argument("--limit", type=int, default=20)
 
-    x = sub.add_parser("export", help="export triples to csv/jsonl "
-                                      "(Neo4jPlugin :export analog)")
+    x = sub.add_parser("export", help="export triples to csv/jsonl/"
+                                      "N-Triples (Neo4jPlugin :export "
+                                      "analog)")
     x.add_argument("--out", required=True, help="translate output dir")
     x.add_argument("--dest", required=True)
-    x.add_argument("--fmt", choices=["csv", "json"], default="csv")
+    x.add_argument("--fmt", choices=["csv", "json", "nt"], default="csv")
 
     args = p.parse_args(argv)
     ray = _session(args.num_cpus)
@@ -184,9 +185,15 @@ def main(argv: list[str] | None = None) -> int:
             ds = rd.read_parquet(files)
             if args.fmt == "csv":
                 ds.write_csv(args.dest)
-            else:
+                n = ds.count()
+            elif args.fmt == "json":
                 ds.write_json(args.dest)
-            print(json.dumps({"exported_rows": ds.count(),
+                n = ds.count()
+            else:  # N-Triples (W3C interchange; sources/rdf.py)
+                from .sources.rdf import export_ntriples
+
+                n = export_ntriples(ds, args.dest)["lines"]
+            print(json.dumps({"exported_rows": n,
                               "dest": args.dest, "fmt": args.fmt}))
     finally:
         ray.shutdown()

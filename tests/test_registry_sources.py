@@ -124,6 +124,22 @@ def test_cli_gen_translate_stats(tmp_path):
     assert r4.returncode == 0, r4.stderr[-2000:]
     assert int(r4.stdout.strip().splitlines()[-1].split()[-1]) > 0
 
+    # N-Triples export round-trips through the rdf parser
+    nt_dest = str(tmp_path / "nt")
+    r5 = subprocess.run(
+        [sys.executable, "-m", "cpg_ray.cli", "--num-cpus", "4",
+         "export", "--out", out, "--dest", nt_dest, "--fmt", "nt"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=300,
+    )
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    n_exported = json.loads(
+        r5.stdout.strip().splitlines()[-1])["exported_rows"]
+    assert n_exported > 0
+    from cpg_ray.sources.rdf import parse_ntriples
+
+    assert len(parse_ntriples(nt_dest)) == n_exported
+
 
 def test_cli_ingest_warc(tmp_path):
     from cpg_ray.pagegen import _cached_world, cfg_for_variant, render_page
@@ -208,3 +224,39 @@ def test_zone_map_pruned_read_clustered_vs_shuffled():
     _, st_u = read_parquet_pruned(f"{base}/clustered",
                                   {"nonexistent": (0, 1)})
     assert st_u["files_skipped"] == 0
+
+
+def test_ntriples_roundtrip_and_escaping():
+    """Export → parse must be the identity on (subj, pred, obj) sets,
+    including ids carrying spaces, quotes, angle brackets and unicode
+    (percent-encoded into spec-valid IRIs)."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.sources.rdf import (export_ntriples, ntriples_lines,
+                                     parse_ntriples)
+
+    tri = pd.DataFrame({
+        "canonical_subj": ["ent:Q1", "inf:has space", 'inf:qu"ote',
+                           "ent:Q2", "inf:üñíçødé"],
+        "pred": ["works_for", "located in", "says", "born_in", "w<>p"],
+        "canonical_obj": ["ent:Q2", "ent:Q3", "inf:x\ty",
+                          "inf:new\nline", "ent:Q1"],
+    })
+    out = "/tmp/nt_export_test"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = export_ntriples(rd.from_pandas(tri).repartition(3), out)
+    assert stats["lines"] == 5
+
+    back = parse_ntriples(out)
+    assert set(zip(back.subj, back.pred, back.obj)) == set(
+        zip(tri.canonical_subj, tri.pred, tri.canonical_obj))
+
+    # every emitted line is single-line and spec-shaped (no raw
+    # whitespace beyond the three separators)
+    lines = ntriples_lines(tri)
+    for ln in lines:
+        assert "\n" not in ln and "\t" not in ln
+        assert ln.endswith(" .") and ln.count(" ") == 3
