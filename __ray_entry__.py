@@ -1586,6 +1586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # left-outer machinery is repped in-window by
         # q_orders_priority_leftjoin + the kg_cypher family; swept
         "kg_cypher_optional": _kg_cypher_optional,
+        # q_doc_mix_weights: one combiner groupby + per-row IEEE ops
+        # (machinery repped by the DSS aggregates); swept
+        "q_doc_mix_weights": q.q_doc_mix_weights,
         # kg_bfs_dist's round machinery is pinned in-window by kg_sssp
         # (unit-weight degenerate test ties them); q_events_pivot's
         # conditional-sum groupby by the DSS batch (q8/q13)

@@ -2378,6 +2378,39 @@ def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def q_doc_mix_weights(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled domain mixing weights (the multilingual /
+    multi-domain LM sampling formula, α = 0.5: sample probability
+    ∝ size^α so small domains up-weight): per source, the exact int64
+    character budget, w_scaled = floor(sqrt(chars)·10⁹) (one IEEE
+    sqrt per domain — deterministic), the exact integer w_total, and
+    share = w_scaled / w_total as the single int→double divide.  One
+    combiner-shaped exchange (per-batch partial sums per source)."""
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b.source,
+            "n_chars": b.n_chars.astype("int64"),
+            "one": np.ones(len(b), dtype=np.int64),
+        })
+
+    agg = groupby_agg(docs.map_batches(prep, batch_format="pandas"),
+                      ["source"], [("one", "sum", "n_docs"),
+                                   ("n_chars", "sum", "chars")])
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["chars"] = df["chars"].astype("int64")
+    df["w_scaled"] = np.floor(
+        np.sqrt(df["chars"].to_numpy(np.float64)) * 1e9).astype("int64")
+    total = int(df["w_scaled"].sum())
+    df["w_total"] = np.int64(total)
+    df["share"] = df["w_scaled"].to_numpy(np.float64) / np.float64(total)
+    return (df[["source", "n_docs", "chars", "w_scaled", "w_total",
+                "share"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def q_doc_class_weights(sf_dir: str) -> pd.DataFrame:
     """Inverse-frequency class weights per language (the sklearn
     'balanced' formula n_total / (n_classes · n_lang)): exact integer
@@ -3102,6 +3135,25 @@ ORACLE_SQL: dict[str, str] = {
                    / mm.std AS z
         FROM events e JOIN mm USING (event_type)
         ORDER BY event_id
+    """,
+    "q_doc_mix_weights": """
+        WITH per AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS chars
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs, chars,
+                   CAST(floor(sqrt(chars) * 1000000000) AS BIGINT)
+                       AS w_scaled
+            FROM per
+        )
+        SELECT source, n_docs, chars, w_scaled,
+               (SELECT sum(w_scaled) FROM w)::BIGINT AS w_total,
+               w_scaled / ((SELECT sum(w_scaled) FROM w) * 1.0)
+                   AS share
+        FROM w
+        ORDER BY source
     """,
     "q_doc_class_weights": """
         WITH c AS (
