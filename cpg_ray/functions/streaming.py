@@ -424,3 +424,68 @@ def ordered_scan(ds, order_col: str, specs: list, *,
 
     return bucketed.groupby("__bucket").map_groups(
         scan, batch_format="pandas")
+
+
+class ReorderBuffer:
+    """Bounded event-time reorder buffer in front of any ts-ordered
+    consumer (the Beam/Flink ALLOWED-LATENESS model for an input that
+    is not quite sorted): events buffer until the watermark —
+    ``max ts seen − allowed_lateness`` — passes them, then release
+    downstream in ts order, so any displacement within the allowance
+    is invisible to the consumer.  Events arriving at or below the
+    already-released watermark are COUNTED and dropped
+    (``.dropped_late``), never fed out of order and never silent.
+
+    State is O(events inside one lateness window) — bounded by the
+    stream's rate × allowance, not its history; the consumer keeps its
+    own strictly-ordered contract (Sessionizer.feed still raises on a
+    violation, which this buffer makes unreachable by construction)."""
+
+    def __init__(self, consumer, allowed_lateness_s: float = 300.0):
+        self.consumer = consumer
+        self.lateness = pd.Timedelta(seconds=allowed_lateness_s)
+        self._buf: list[pd.DataFrame] = []
+        self._max_ts = None
+        self._released_to = None
+        self.dropped_late = 0
+
+    def feed(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return self.consumer.feed(batch)
+        if self._released_to is not None:
+            late = batch["ts"] <= self._released_to
+            self.dropped_late += int(late.sum())
+            batch = batch[~late]
+        if len(batch):
+            self._buf.append(batch)
+            mx = batch["ts"].max()
+            self._max_ts = mx if self._max_ts is None \
+                else max(self._max_ts, mx)
+        empty = batch.iloc[0:0]
+        if self._max_ts is None:
+            return self.consumer.feed(empty)
+        wm = self._max_ts - self.lateness
+        if self._released_to is not None and wm <= self._released_to:
+            return self.consumer.feed(empty)
+        pend = pd.concat(self._buf, ignore_index=True)
+        ready = pend["ts"] <= wm
+        self._buf = [pend[~ready]] if (~ready).any() else []
+        self._released_to = wm
+        out = pend[ready]
+        if not len(out):
+            return out
+        return self.consumer.feed(out.sort_values("ts",
+                                                  kind="mergesort"))
+
+    def flush(self) -> pd.DataFrame:
+        frames = []
+        if self._buf:
+            pend = pd.concat(self._buf, ignore_index=True)
+            self._buf = []
+            if len(pend):
+                frames.append(self.consumer.feed(
+                    pend.sort_values("ts", kind="mergesort")))
+        frames.append(self.consumer.flush())
+        frames = [f for f in frames if len(f)]
+        return (pd.concat(frames, ignore_index=True) if frames
+                else self.consumer.flush())

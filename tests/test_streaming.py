@@ -250,3 +250,64 @@ def test_ordered_scan_datetime_order_column():
            .to_pandas().sort_values("ts").reset_index(drop=True))
     assert (out.rs.to_numpy() == vals.cumsum()).all()
     assert (out.rm.to_numpy() == np.maximum.accumulate(vals)).all()
+
+
+def test_reorder_buffer_hides_bounded_disorder_from_sessionizer():
+    """Events shuffled within the lateness allowance must produce
+    IDENTICAL sessions to a fully-sorted feed; displacement beyond the
+    allowance is counted and dropped, and the strict consumer never
+    raises."""
+    import numpy as np
+    import pandas as pd
+
+    from cpg_ray.functions.streaming import ReorderBuffer, Sessionizer
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    base = pd.Timestamp("2026-02-01")
+    ts = base + pd.to_timedelta(
+        np.sort(rng.randint(0, 200_000, n)), unit="s")
+    ev = pd.DataFrame({"user_id": rng.randint(0, 40, n), "ts": ts})
+
+    # ground truth: plain sessionizer over the sorted stream
+    truth_sz = Sessionizer(gap_seconds=1800)
+    srt = ev.sort_values("ts", kind="mergesort")
+    frames = [truth_sz.feed(srt.iloc[i:i + 500])
+              for i in range(0, n, 500)]
+    frames.append(truth_sz.flush())
+    truth = (pd.concat([f for f in frames if len(f)], ignore_index=True)
+             .sort_values(["user_id", "session_start"])
+             .reset_index(drop=True))
+
+    # arrival order: each event displaced by < lateness (300 s)
+    arrival = ev.assign(
+        __k=ev.ts + pd.to_timedelta(rng.randint(0, 250, n), unit="s")
+    ).sort_values("__k", kind="mergesort").drop(columns="__k")
+    rb = ReorderBuffer(Sessionizer(gap_seconds=1800),
+                       allowed_lateness_s=300)
+    frames = [rb.feed(arrival.iloc[i:i + 500]) for i in range(0, n, 500)]
+    frames.append(rb.flush())
+    got = (pd.concat([f for f in frames if len(f)], ignore_index=True)
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, truth)
+    assert rb.dropped_late == 0
+
+
+def test_reorder_buffer_drops_and_counts_beyond_lateness():
+    import pandas as pd
+
+    from cpg_ray.functions.streaming import ReorderBuffer, Sessionizer
+
+    base = pd.Timestamp("2026-02-01")
+    rb = ReorderBuffer(Sessionizer(gap_seconds=60),
+                       allowed_lateness_s=10)
+    rb.feed(pd.DataFrame({"user_id": [1, 1],
+                          "ts": [base, base + pd.Timedelta(seconds=100)]}))
+    # watermark is now 100-10=90s: an event at 5s is beyond lateness
+    out = rb.feed(pd.DataFrame({"user_id": [1],
+                                "ts": [base + pd.Timedelta(seconds=5)]}))
+    assert rb.dropped_late == 1 and len(out) == 0
+    final = rb.flush()
+    # the on-time events still sessionize (two sessions: 0s and 100s)
+    assert len(final) == 2 and int(final.n_events.sum()) == 2
