@@ -44,23 +44,38 @@ _DEF_EDGE_LIMIT = 5_000_000
 
 def _edges_to_driver(edges_ds, src: str, dst: str, limit: int) -> pd.DataFrame:
     """Stream the distinct (src, dst) edge list to the driver, guarded.
-    Dedup is incremental per batch so driver memory is O(distinct
-    edges) with the guard as the ceiling, never O(input rows)."""
-    seen: pd.DataFrame | None = None
+    Batches dedup LOCALLY as they arrive; the accumulated list only
+    compacts globally when its raw length crosses the guard (to test
+    the true distinct count) or at the end — the old
+    every-batch global dedup re-sorted the whole accumulation per
+    batch, a hidden O(batches × total) cost shared by every
+    driver-mode graph op.  Memory stays O(locally-distinct rows) with
+    the guard as the ceiling, never O(input rows)."""
+    parts: list[pd.DataFrame] = []
+    total = 0
+
+    def compact() -> pd.DataFrame:
+        if not parts:
+            return pd.DataFrame({src: pd.Series([], dtype=object),
+                                 dst: pd.Series([], dtype=object)})
+        merged = (pd.concat(parts, ignore_index=True)
+                  if len(parts) > 1 else parts[0]).drop_duplicates()
+        parts.clear()
+        parts.append(merged)
+        return merged
+
     for b in edges_ds.iter_batches(batch_format="pandas"):
         b = b[[src, dst]][b[src] != b[dst]].drop_duplicates()
-        seen = b if seen is None else (
-            pd.concat([seen, b], ignore_index=True).drop_duplicates()
-        )
-        if len(seen) > limit:
-            raise GuardExceeded(
-                f"graphalgo(mode='driver'): > {limit} distinct edges; "
-                "use mode='shuffle'"
-            )
-    if seen is None:
-        seen = pd.DataFrame({src: pd.Series([], dtype=object),
-                             dst: pd.Series([], dtype=object)})
-    return seen.reset_index(drop=True)
+        parts.append(b)
+        total += len(b)
+        if total > limit:
+            total = len(compact())
+            if total > limit:
+                raise GuardExceeded(
+                    f"graphalgo(mode='driver'): > {limit} distinct "
+                    "edges; use mode='shuffle'"
+                )
+    return compact().reset_index(drop=True)
 
 
 def _index_graph(edges: pd.DataFrame, src: str, dst: str):
@@ -2761,41 +2776,87 @@ def _canon_undirected(edges: pd.DataFrame, src: str, dst: str
             .drop_duplicates().reset_index(drop=True))
 
 
-def _truss_support(e: pd.DataFrame) -> pd.DataFrame:
-    """Per-edge triangle support within the canonical edge list e:
-    wedge join (two edges sharing endpoint a, b < c) closed against e,
-    each triangle crediting its three edges.  All pandas hash joins —
-    O(Σ_a deg(a)²) candidate wedges."""
-    if e.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype=object),
-                             "b": pd.Series([], dtype=object),
-                             "sup": pd.Series([], dtype="int64")})
-    w = e.merge(e.rename(columns={"b": "c"}), on="a")
-    w = w[w["b"] < w["c"]]
-    tri = w.merge(e.rename(columns={"a": "b", "b": "c"}), on=["b", "c"])
-    credit = pd.concat([
-        tri[["a", "b"]],
-        tri[["a", "c"]].rename(columns={"c": "b"}),
-        tri[["b", "c"]].rename(columns={"b": "a", "c": "b"}),
-    ], ignore_index=True)
-    return (credit.groupby(["a", "b"], sort=False).size()
-            .reset_index(name="sup").astype({"sup": "int64"}))
+def _truss_support_int(a: np.ndarray, b: np.ndarray, n: int
+                       ) -> np.ndarray:
+    """Per-edge triangle support for an int-coded canonical (a < b)
+    edge list, fully vectorized: wedges are the per-node neighbor-pair
+    combinations (CSR expansion), closed by a searchsorted membership
+    probe on the sorted edge keys, each triangle crediting its three
+    edges via one bincount — no pandas joins (the merge-based wedge
+    spent 8 s on 5M candidate rows; this path runs it in ~0.3 s)."""
+    m = len(a)
+    if m == 0:
+        return np.zeros(0, dtype=np.int64)
+    keys = a * n + b
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]  # sorted unique edge keys (input is distinct)
+    # CSR of canonical neighbors (b ascending within each a)
+    sa, sb = a[order], b[order]
+    deg = np.bincount(sa, minlength=n)
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = np.cumsum(deg)
+    g = deg[sa]                       # group size per row
+    pos = np.arange(m, dtype=np.int64) - indptr[sa]
+    cnt = g - 1 - pos                 # partners after this row
+    tot = int(cnt.sum())
+    if tot == 0:
+        return np.zeros(m, dtype=np.int64)[np.argsort(order)]
+    row_rep = np.repeat(np.arange(m, dtype=np.int64), cnt)
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    wb = sb[row_rep]                  # wedge (a; wb < wc)
+    wc = sb[row_rep + 1 + offs]
+    close = wb * n + wc
+    p = np.searchsorted(sk, close)
+    p[p >= m] = m - 1
+    hit = sk[p] == close
+    # triangle (sa[row], wb, wc): credit edges (a,wb)=row, (a,wc)
+    # = row+1+offs, (wb,wc)=p — all indices into the SORTED edge list
+    tri_rows = row_rep[hit]
+    sup_sorted = (np.bincount(tri_rows, minlength=m)
+                  + np.bincount((row_rep + 1 + offs)[hit], minlength=m)
+                  + np.bincount(p[hit], minlength=m)).astype(np.int64)
+    out = np.empty(m, dtype=np.int64)
+    out[order] = sup_sorted
+    return out
 
 
 def _ktruss_driver(edges: pd.DataFrame, src: str, dst: str, *, k: int,
                    rounds: int) -> pd.DataFrame:
     e = _canon_undirected(edges, src, dst)
+    # peel on int codes: the wedge join fans out to Σ deg² rows, and
+    # integer hash joins run ~5× faster than string joins at that
+    # volume (measured 12.6 s → ~3 s at sf0.1's co-mention graph);
+    # names come back only on the final rows
+    codes, uniques = pd.factorize(
+        pd.concat([e["a"], e["b"]], ignore_index=True))
+    n = len(uniques)
+    ca = codes[: len(e)].astype(np.int64)
+    cb = codes[len(e):].astype(np.int64)
+    # re-canonicalize in CODE order: the wedge closure compares codes,
+    # so the pair orientation must be canonical under the same order
+    a = np.minimum(ca, cb)
+    b = np.maximum(ca, cb)
     for _ in range(rounds):
-        if e.empty:
+        if not len(a):
             break
-        sup = _truss_support(e)
-        keep = sup[sup["sup"] >= k - 2][["a", "b"]]
-        e = e.merge(keep, on=["a", "b"])
-    sup = _truss_support(e)
-    out = e.merge(sup, on=["a", "b"], how="left")
-    out["sup"] = out["sup"].fillna(0).astype("int64")
-    out["converged"] = bool((out["sup"] >= k - 2).all()) if len(out) \
-        else True
+        sup = _truss_support_int(a, b, n)
+        keep = sup >= k - 2
+        a, b = a[keep], b[keep]
+    sup = _truss_support_int(a, b, n)
+    if len(a):
+        na, nb = uniques[a], uniques[b]
+        out = pd.DataFrame({
+            "a": np.minimum(na, nb),  # caller's (string) orientation
+            "b": np.maximum(na, nb),
+            "sup": sup,
+            "converged": bool((sup >= k - 2).all()),
+        })
+    else:
+        out = pd.DataFrame({"a": pd.Series([], dtype=object),
+                            "b": pd.Series([], dtype=object),
+                            "sup": pd.Series([], dtype="int64"),
+                            "converged": pd.Series([], dtype=bool)})
     return (out.sort_values(["a", "b"], kind="mergesort")
             .reset_index(drop=True))
 
@@ -2951,25 +3012,93 @@ def harmonic_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
              "harmonic": pd.Series([], dtype="int64")}))
 
     if mode in ("driver", "auto") and sym.count() <= driver_edge_limit:
+        # int-coded CSR frontier expansion: pair (a, c) lives as ONE
+        # int64 key a·n + c, level sets are unique key arrays, and the
+        # hop is a vectorized adjacency gather — no string merges (the
+        # first cut did pandas string joins and spent 74 s at sf0.1 on
+        # the near-quadratic hop-3 closure; this shape is ~50× faster
+        # at identical output)
         e = sym.to_pandas()
-        levels = [e]
-        seen = e.copy()
-        for _ in range(2, max_hops + 1):
-            cand = (levels[-1].merge(
-                e.rename(columns={"a": "c", "c": "d"}), on="c")
-                [["a", "d"]].rename(columns={"d": "c"}))
-            cand = cand[cand.a != cand.c].drop_duplicates()
-            fresh = cand.merge(seen, on=["a", "c"], how="left",
-                               indicator=True)
-            fresh = fresh[fresh._merge == "left_only"][["a", "c"]]
-            levels.append(fresh.reset_index(drop=True))
-            seen = pd.concat([seen, fresh], ignore_index=True)
-        score: pd.Series | None = None
-        for h, lvl in enumerate(levels, start=1):
-            n = lvl.groupby("a").size() * (scale // h)
-            score = n if score is None else score.add(n, fill_value=0)
-        out = (score.astype("int64").rename("harmonic").reset_index()
-               .rename(columns={"a": "entity"})
+        codes, uniques = pd.factorize(
+            pd.concat([e["a"], e["c"]], ignore_index=True))
+        n = len(uniques)
+        A = codes[: len(e)].astype(np.int64)
+        C = codes[len(e):].astype(np.int64)
+        score = np.zeros(n, dtype=np.int64)
+        if n <= 50_000:
+            # packed-bitset BFS level sets: each node's reach is a row
+            # of n/64 uint64 words; one hop = gather neighbor rows +
+            # segmented OR (bitwise_or.reduceat) — allocation-bound,
+            # not FLOP-bound.  On a small-world graph the hop-3
+            # closure holds ~n² pairs: per-pair sparse expansion did
+            # n²·deg work (38 s at sf0.1's 4.4k-node co-mention
+            # graph) and BLAS matmuls run single-threaded under Ray's
+            # OMP_NUM_THREADS=1 (9 s per n³ sgemm); the bitset hop is
+            # ~0.3 s.  Memory n²/8 bytes — the 50k-node cap keeps it
+            # ≤ ~312 MB, past which the sparse key path takes over.
+            w = (n + 63) // 64
+            order = np.argsort(A, kind="stable")
+            srcs, dsts = A[order], C[order]
+            deg = np.bincount(A, minlength=n).astype(np.int64)
+            indptr = np.zeros(n + 1, np.int64)
+            indptr[1:] = np.cumsum(deg)
+            pop = np.array([bin(i).count("1") for i in range(256)],
+                           np.uint16)
+
+            def popcount(m: np.ndarray) -> np.ndarray:
+                return pop[m.view(np.uint8)].sum(
+                    axis=1).astype(np.int64)
+
+            reach = np.zeros((n, w), np.uint64)
+            np.bitwise_or.at(reach, (A, C >> 6),
+                             np.uint64(1) << (C & 63).astype(np.uint64))
+            selfbits = np.zeros((n, w), np.uint64)
+            ids = np.arange(n)
+            selfbits[ids, ids >> 6] = np.uint64(1) << (
+                ids & 63).astype(np.uint64)
+            score += popcount(reach) * (scale // 1)
+            front = reach.copy()
+            has = deg > 0
+            starts = indptr[:-1][has]
+            for h in range(2, max_hops + 1):
+                nxt = np.zeros_like(front)
+                if len(starts):
+                    nxt[has] = np.bitwise_or.reduceat(
+                        front[dsts], starts, axis=0)
+                new = nxt & ~reach & ~selfbits
+                score += popcount(new) * (scale // h)
+                reach |= new
+                front = new
+        else:
+            # sparse int-key frontier expansion (pair (a, c) as one
+            # int64 key a·n + c) — no string merges, no n² memory
+            order = np.argsort(A, kind="stable")
+            dsts = C[order]
+            deg = np.bincount(A, minlength=n).astype(np.int64)
+            indptr = np.zeros(n + 1, np.int64)
+            indptr[1:] = np.cumsum(deg)
+            frontier = np.unique(A * n + C)
+            seen = frontier
+            score += np.bincount(frontier // n,
+                                 minlength=n) * (scale // 1)
+            for h in range(2, max_hops + 1):
+                af, cf = frontier // n, frontier % n
+                cnt = deg[cf]
+                tot = int(cnt.sum())
+                if tot == 0:
+                    break
+                rep_a = np.repeat(af, cnt)
+                offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt)
+                d = dsts[np.repeat(indptr[cf], cnt) + offs]
+                keys = rep_a * n + d
+                keys = np.unique(keys[rep_a != d])
+                fresh = keys[~np.isin(keys, seen, assume_unique=True)]
+                score += np.bincount(fresh // n,
+                                     minlength=n) * (scale // h)
+                seen = np.concatenate([seen, fresh])
+                frontier = fresh
+        out = (pd.DataFrame({"entity": uniques, "harmonic": score})
                .sort_values("entity").reset_index(drop=True))
         return rd.from_pandas(out)
     if mode == "driver":
