@@ -798,10 +798,14 @@ DSS_ORACLE_SQL: dict[str, str] = {
     """,
     "q12_priority_lateness": """
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               -- CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64
+               -- breaks the driver hash on identical values.
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'

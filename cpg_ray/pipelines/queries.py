@@ -3107,8 +3107,12 @@ ORACLE_SQL: dict[str, str] = {
                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
                    FROM events)
         SELECT event_id,
-               sum(v) OVER (ORDER BY event_id
-                            ROWS UNBOUNDED PRECEDING) AS run_sum_cents,
+               -- DuckDB sum(BIGINT) yields HUGEINT which pandas
+               -- receives as float64 and breaks the driver hash on
+               -- numerically-identical values; cast back to BIGINT.
+               CAST(sum(v) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS run_sum_cents,
                max(v) OVER (ORDER BY event_id
                             ROWS UNBOUNDED PRECEDING) AS run_max_cents
         FROM t
