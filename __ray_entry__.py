@@ -165,6 +165,16 @@ _NODE_COLS = ["node_id", "label", "name", "norm_name", "url",
               "span_start", "span_end", "is_inferred"]
 
 
+# Session-scoped cache of materialized graph Datasets: every kg_*
+# query shares the same nodes/edges tables, and re-reading the 64+64
+# parquet shards per query costs ~1.5 s of fixed pipeline spin-up each
+# time (3 executions inside one OPTIONAL MATCH).  Materialize ONCE
+# into the object store and reuse — the database posture: the graph
+# is the long-lived artifact, queries are cheap scans over it.  Lazy
+# transforms layered on a materialized Dataset never mutate it.
+_GRAPH_DS_CACHE: dict = {}
+
+
 def _graph_tables(sf_dir: str, variant: str = "mixed",
                   edge_cols: tuple = ("src_id", "dst_id", "etype", "index",
                                       "name", "url")):
@@ -173,15 +183,21 @@ def _graph_tables(sf_dir: str, variant: str = "mixed",
 
     import ray.data as rd
 
+    key = (sf_dir, variant, tuple(edge_cols))
+    hit = _GRAPH_DS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     out_dir = _ensure_graph(sf_dir, variant)
     nodes = rd.read_parquet(
         sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=node/*.parquet")),
         columns=_NODE_COLS,
-    )
+    ).materialize()
     edges = rd.read_parquet(
         sorted(glob.glob(f"{out_dir}/graph/shard=*/kind=edge/*.parquet")),
         columns=list(edge_cols),
-    )
+    ).materialize()
+    _GRAPH_DS_CACHE[key] = (nodes, edges)
     return nodes, edges
 
 

@@ -21,13 +21,20 @@ Grammar (case-insensitive keywords)::
        the reference, whose BOTH resolution is a TODO (Graph.kt:139).
        Double-headed arrows <-[..]-> and undirected variable-length
        hops still raise.)
+    [WHERE a.prop OP literal [AND ...]]
+      (filters the base bindings; placed BEFORE any OPTIONAL MATCH —
+       openCypher scopes a WHERE that follows OPTIONAL MATCH to the
+       optional clause, which we don't implement, so that position
+       raises rather than silently filtering base rows.)
     [OPTIONAL MATCH (x)-[:ETYPE]->(y:Label)]
       (x must be bound by the base pattern, y is new and null on miss
-       — compiled as ONE left-outer hash join of the base bindings
-       with the optional hop; either direction; fixed single hop; this
-       EXCEEDS the reference, whose executeQuery has no OPTIONAL.
-       WHERE may reference base variables only.)
-    [WHERE a.prop OP literal [AND ...]]
+       — a left-outer extension of the base bindings with the optional
+       hop; either direction; fixed single hop; this EXCEEDS the
+       reference, whose executeQuery has no OPTIONAL.  Intra-document
+       etypes (AST/EOG/DFG/DFG2/TRIPLE) co-locate by hash(url) and
+       merge group-locally — one exchange; cross-document etypes pay
+       the global left-outer hash join.  WHERE may reference base
+       variables only.)
     RETURN a.prop [AS alias] [, ...] | a | count(a)
     [ORDER BY expr [DESC]] [LIMIT k]
 
@@ -143,13 +150,30 @@ def parse(query: str) -> _Query:
     offending clause on anything outside it (never a silent guess)."""
     q = re.sub(r"\s+", " ", query.strip())
     m = re.match(r"MATCH (?P<pat>.+?)"
-                 r"(?: OPTIONAL MATCH (?P<opt>.+?))?"
                  r"(?: WHERE (?P<where>.+?))?"
+                 r"(?: OPTIONAL MATCH (?P<opt>.+?))?"
+                 r"(?: WHERE (?P<where2>.+?))?"
                  r" RETURN (?P<ret>.+?)"
                  r"(?: ORDER BY (?P<order>.+?))?"
                  r"(?: LIMIT (?P<limit>\d+))?$", q, re.IGNORECASE)
     if not m:
         raise ValueError(f"unsupported query shape: {query!r}")
+    if m.group("opt") and m.group("where2"):
+        # openCypher scopes a WHERE that FOLLOWS an OPTIONAL MATCH to
+        # the optional clause (a false predicate keeps the base row
+        # with null y) — we don't implement per-hop predicates, and
+        # silently applying it to the base would filter out rows a
+        # real Cypher engine keeps.  Fail loudly with the fix.
+        raise ValueError(
+            "WHERE after OPTIONAL MATCH scopes to the optional clause "
+            "in openCypher, which is not supported — place WHERE "
+            "between MATCH and OPTIONAL MATCH to filter the base "
+            "bindings")
+    if not m.group("opt") and m.group("where2"):
+        # without OPTIONAL the two positions are the same clause; the
+        # regex puts a sole WHERE in group 'where' already, so where2
+        # here means a double WHERE
+        raise ValueError("duplicate WHERE clause")
 
     pat = m.group("pat").strip()
     nodes, rels = [], []
@@ -283,11 +307,221 @@ _NODE_PROPS = ("node_id", "label", "name", "norm_name", "url",
                "span_start", "span_end", "is_inferred", "literal")
 
 
-def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
+def _arrow_type(t):
+    """Best-effort Arrow type for a Ray Schema entry (arrow DataType
+    for arrow blocks, numpy dtype for pandas blocks; object → string,
+    the only object columns in the query layer are strings)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    if isinstance(t, _pa.DataType):
+        return t
+    try:
+        return _pa.from_numpy_dtype(_np.dtype(t))
+    except (TypeError, ValueError, _pa.ArrowNotImplementedError):
+        return _pa.string()
+
+
+def _optional_hop_driver(base_ds, nodes_ds, edges_ds, *, base_cols,
+                         x_col, etype, ylabel, xs, ys, y_id, y_name,
+                         limit):
+    """Driver fast path for the intra-document optional hop: stream
+    the (already column-pruned, etype/label-filtered) sides to the
+    driver under a row guard and do the two merges in pandas.  Raises
+    GuardExceeded once any side exceeds ``limit`` streamed rows, at
+    which point the bucketed exchange takes over — the graphalgo
+    mode='auto' pattern."""
+    from .graphquery import label_filter
+    from .relational import GuardExceeded
+
+    def collect(ds, name) -> pd.DataFrame:
+        parts, total = [], 0
+        for b in ds.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            parts.append(b)
+            total += len(b)
+            if total > limit:
+                raise GuardExceeded(
+                    f"optional-hop driver path: > {limit} {name} rows; "
+                    "degrading to the bucketed exchange")
+        return (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame())
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    # edge and target-node projections share one (a, b, part) schema
+    # so ONE union + ONE Dataset execution collects both — each
+    # execution pays ~1 s of fixed streaming-executor spin-up even on
+    # materialized inputs, so executions, not rows, dominate here
+    def prj_e(t: _pa.Table) -> _pa.Table:
+        t = t.filter(_pc.equal(t["etype"], _pa.scalar(etype)))
+        return _pa.table({
+            "a": t[f"{xs}_id"], "b": t[f"{ys}_id"],
+            "part": _pa.array(["e"] * len(t), type=_pa.string())})
+
+    def prj_n(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "a": t["node_id"], "b": t["name"],
+            "part": _pa.array(["n"] * len(t), type=_pa.string())})
+
+    hop_side = edges_ds.map_batches(prj_e, batch_format="pyarrow").union(
+        label_filter(nodes_ds, ylabel).map_batches(
+            prj_n, batch_format="pyarrow"))
+
+    b = collect(base_ds, "base")
+    en = collect(hop_side, "edge/node")
+    if not len(b):
+        b = pd.DataFrame({c: pd.Series([], dtype=object)
+                          for c in base_cols})
+    if not len(en):
+        en = pd.DataFrame({c: pd.Series([], dtype=object)
+                           for c in ("a", "b", "part")})
+    e = en[en["part"] == "e"].rename(
+        columns={"a": "__e_x", "b": "__e_y"})
+    n = en[en["part"] == "n"].rename(
+        columns={"a": "__n_id", "b": "__n_name"})
+    hop = e[["__e_x", "__e_y"]].merge(
+        n[["__n_id", "__n_name"]], left_on="__e_y", right_on="__n_id")
+    out = b[list(base_cols)].merge(
+        hop[["__e_x", "__n_id", "__n_name"]],
+        left_on=x_col, right_on="__e_x", how="left",
+    ).drop(columns=["__e_x"]).rename(
+        columns={"__n_id": y_id, "__n_name": y_name})
+
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
+
+
+def _optional_hop_local(base_ds, nodes_ds, edges_ds, *, base_cols,
+                        x_col, etype, ylabel, xs, ys, yv,
+                        mode: str = "auto",
+                        driver_row_limit: int = 5_000_000):
+    """Left-extend base bindings with an INTRA-DOCUMENT optional hop,
+    group-locally: base rows, ``etype`` edges and ``ylabel`` target
+    nodes are stamped with hash(url) % n_buckets and co-grouped, then
+    each bucket merges edge→target and left-merges the base in plain
+    pandas — ONE all-to-all exchange instead of the general path's
+    three global hash joins (rel_chain's two + the left-outer join).
+    Correct ONLY for etypes in graphquery.INTRA_DOC_ETYPES: the hop's
+    edge and target node carry the anchor's url by construction
+    (SURVEY G1), so every potential match lands in the anchor's
+    bucket.  Node ids are globally unique, so the in-bucket merges
+    join on ids alone — the bucket is a co-location unit, not a key.
+
+    ``mode='auto'`` first tries a guarded driver merge (the graphalgo
+    small-graph idiom: Ray's sort exchange has a ~2 s fixed cost that
+    dwarfs a sub-guard pandas merge; GuardExceeded past
+    ``driver_row_limit`` streamed rows degrades to the bucketed
+    exchange); ``mode='bucketed'`` forces the distributed path.
+
+    Returns a Dataset with ``base_cols`` + ``{yv}__id``/``{yv}__name``
+    (null on miss), the same schema as the global left-outer path."""
+    import zlib
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from .graphquery import label_filter
+    from .relational import GuardExceeded, default_n_buckets
+
+    y_id, y_name = f"{yv}__id", f"{yv}__name"
+
+    if mode == "auto":
+        try:
+            return _optional_hop_driver(
+                base_ds, nodes_ds, edges_ds, base_cols=base_cols,
+                x_col=x_col, etype=etype, ylabel=ylabel, xs=xs, ys=ys,
+                y_id=y_id, y_name=y_name, limit=driver_row_limit)
+        except GuardExceeded:
+            pass
+    elif mode != "bucketed":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    nb = default_n_buckets()
+    sch = base_ds.schema()
+    if sch is None:  # empty base: nothing to extend
+        def null_y(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b[f"{yv}__id"] = None
+            b[f"{yv}__name"] = None
+            return b
+
+        return base_ds.map_batches(null_y, batch_format="pandas")
+    btypes = dict(zip(sch.names, [_arrow_type(t) for t in sch.types]))
+    extra = ("__e_x", "__e_y", "__n_id", "__n_name")
+    fields = [(c, btypes[c]) for c in base_cols]
+    fields += [(c, _pa.string()) for c in extra]
+
+    def _bucket(urls) -> _pa.Array:
+        return _pa.array(
+            [zlib.crc32(u.encode()) % nb for u in urls.to_pylist()],
+            type=_pa.int32(),
+        )
+
+    def pad(t: _pa.Table, part: str, mapping: dict) -> _pa.Table:
+        n = len(t)
+        cols = {}
+        for c, typ in fields:
+            src = mapping.get(c)
+            cols[c] = (t[c] if src == "=" else
+                       t[src] if src else _pa.nulls(n, typ))
+        cols["__part"] = _pa.array([part] * n, type=_pa.string())
+        usrc = mapping.get("url")
+        cols["__bucket"] = _bucket(t["url" if usrc in ("=", None)
+                                     else usrc])
+        return _pa.table(cols)
+
+    b_map = {c: "=" for c in base_cols}
+    base = base_ds.map_batches(
+        lambda t: pad(t, "b", b_map), batch_format="pyarrow")
+    e_map = {"url": "url", "__e_x": f"{xs}_id", "__e_y": f"{ys}_id"}
+    hop_e = edges_ds.map_batches(
+        lambda t: pad(
+            t.filter(_pc.equal(t["etype"], _pa.scalar(etype))),
+            "e", e_map),
+        batch_format="pyarrow")
+    n_map = {"url": "url", "__n_id": "node_id", "__n_name": "name"}
+    hop_n = label_filter(nodes_ds, ylabel).map_batches(
+        lambda t: pad(t, "n", n_map), batch_format="pyarrow")
+
+    def extend(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["__part"] == "b"]
+        e = g[g["__part"] == "e"]
+        n = g[g["__part"] == "n"]
+        hop = e[["__e_x", "__e_y"]].merge(
+            n[["__n_id", "__n_name"]],
+            left_on="__e_y", right_on="__n_id")
+        out = b[list(base_cols)].merge(
+            hop[["__e_x", "__n_id", "__n_name"]],
+            left_on=x_col, right_on="__e_x", how="left")
+        return out.drop(columns=["__e_x"]).rename(
+            columns={"__n_id": y_id, "__n_name": y_name})
+
+    return (base.union(hop_e, hop_n)
+            .groupby("__bucket")
+            .map_groups(extend, batch_format="pandas"))
+
+
+def run_cypher(query: str, nodes_ds, edges_ds=None, *,
+               colocate: str = "auto") -> pd.DataFrame:
     """Execute a textual query against the graph tables.  Single-node
     patterns need only ``nodes_ds``; relationship patterns also need
     ``edges_ds``.  Compiles to label_filter / rel_chain /vectorized
-    filters + the top-k/limit operators; returns pandas."""
+    filters + the top-k/limit operators; returns pandas.
+
+    ``colocate`` governs how an OPTIONAL MATCH hop is joined when its
+    etype is intra-document (graphquery.INTRA_DOC_ETYPES — AST/EOG/
+    DFG/DFG2/TRIPLE never cross url boundaries, SURVEY G1): ``auto``
+    co-locates base bindings + edges + target nodes by url — a
+    guarded driver merge under 5M streamed rows, past that ONE
+    hash(url)-bucketed all-to-all — instead of the three global hash
+    joins of the general path; ``never`` forces the global left-outer
+    hash join; ``always`` forces the co-located path for a custom
+    intra-doc etype; ``bucketed`` forces the distributed bucketed
+    exchange (no driver merge).  All paths are semantically identical
+    (pinned by a mode-equivalence test)."""
     from .graphquery import label_filter, rel_chain
 
     plan = parse(query)
@@ -567,10 +801,22 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
         if xlabel is None:
             raise ValueError("OPTIONAL MATCH anchor needs a labeled "
                              "base node")
+        from .graphquery import INTRA_DOC_ETYPES
+        if colocate not in ("auto", "always", "never", "bucketed"):
+            raise ValueError(f"unknown colocate mode {colocate!r}")
+        # the bucketed path routes the hop through the base row's url,
+        # which is the anchor's url only when every base hop is itself
+        # intra-document (segment 0's url == every variable's url)
+        base_intra = all(e in INTRA_DOC_ETYPES for e, _h, _r in plan.rels)
+        use_local = colocate in ("always", "bucketed") or (
+            colocate == "auto" and oetype in INTRA_DOC_ETYPES
+            and base_intra)
         # project the base to the columns the query references — the
         # join ships less, and untouched all-null columns (Arrow type
         # `null`) would crash pyarrow's join as non-key fields
         needed = {col(xv, "id")}
+        if use_local:
+            needed.add("url")
         for v, p, _op2, _lit in plan.conds:
             needed.add(col(v, p))
         for kind, _fn, v, p, _alias in plan.returns:
@@ -584,19 +830,29 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
         sl, dl = (ylabel, xlabel) if orev else (xlabel, ylabel)
         xs, ys = ("dst", "src") if orev else ("src", "dst")
 
-        def ren_opt(t, xs=xs, ys=ys, yv=yv):
-            import pyarrow as _pa
+        if use_local:
+            ds = _optional_hop_local(
+                ds, nodes_ds, edges_ds, base_cols=base_cols,
+                x_col=col(xv, "id"), etype=oetype, ylabel=ylabel,
+                xs=xs, ys=ys, yv=yv,
+                mode="bucketed" if colocate == "bucketed" else "auto")
+            seg = None
+        else:
+            def ren_opt(t, xs=xs, ys=ys, yv=yv):
+                import pyarrow as _pa
 
-            return _pa.table({
-                "__opt_key": t[f"{xs}_id"],
-                f"{yv}__id": t[f"{ys}_id"],
-                f"{yv}__name": t[f"{ys}_name"],
-            })
+                return _pa.table({
+                    "__opt_key": t[f"{xs}_id"],
+                    f"{yv}__id": t[f"{ys}_id"],
+                    f"{yv}__name": t[f"{ys}_name"],
+                })
 
-        seg = _rc(nodes_ds, edges_ds, etype=oetype, src_label=sl,
-                  dst_label=dl).map_batches(
-            ren_opt, batch_format="pyarrow").materialize()
-        if seg.count() == 0:
+            seg = _rc(nodes_ds, edges_ds, etype=oetype, src_label=sl,
+                      dst_label=dl).map_batches(
+                ren_opt, batch_format="pyarrow").materialize()
+        if seg is None:
+            pass  # bucketed path already null-extended per group
+        elif seg.count() == 0:
             # a completely-empty optional side loses its schema through
             # Ray's empty blocks (hash_join can't null-extend it);
             # OPTIONAL semantics are explicit here: every base binding
@@ -646,8 +902,19 @@ def run_cypher(query: str, nodes_ds, edges_ds=None) -> pd.DataFrame:
 
     if agg_items and not col_items and len(agg_items) == 1 \
             and agg_items[0][0] == "count":
-        # bare count(x): the Dataset row count, no aggregation stage
-        return pd.DataFrame({agg_items[0][2]: [ds.count()]})
+        # bare count(x): openCypher count() skips nulls — under
+        # OPTIONAL MATCH the counted column CAN be null (null-extended
+        # miss rows), and node properties may be null too, so count
+        # non-null values of the resolved column distributed (a
+        # per-batch partial sum; the row-count shortcut over-counted
+        # null-extended rows).  Matches the grouped-count path.
+        _cnt_col = agg_items[0][1]
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"__nn": [int(b[_cnt_col].notna().sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return pd.DataFrame({agg_items[0][2]: [int(parts["__nn"].sum())]})
 
     if agg_items:
         # Cypher's implicit grouping: plain RETURN terms are the group

@@ -40,6 +40,13 @@ import pandas as pd
 from .relational import GuardExceeded
 
 _DEF_EDGE_LIMIT = 5_000_000
+# Driver-mode chunk budgets: the edge-count guard bounds EDGES, not
+# derived fan-outs, so the wedge expansion (Σ deg²/2 rows; one 1e5-hub
+# → ~5e9) and the bitset-BFS gather (E × n/64 words) are chunked to a
+# fixed peak regardless of skew.  Module-level so tests can shrink
+# them to exercise the multi-chunk path on small fixtures.
+_WEDGE_CHUNK = 30_000_000
+_BITSET_GATHER_BYTES = 256 << 20
 
 
 def _edges_to_driver(edges_ds, src: str, dst: str, limit: int) -> pd.DataFrame:
@@ -64,7 +71,8 @@ def _edges_to_driver(edges_ds, src: str, dst: str, limit: int) -> pd.DataFrame:
         parts.append(merged)
         return merged
 
-    for b in edges_ds.iter_batches(batch_format="pandas"):
+    for b in edges_ds.iter_batches(batch_format="pandas",
+                                   batch_size=None):
         b = b[[src, dst]][b[src] != b[dst]].drop_duplicates()
         parts.append(b)
         total += len(b)
@@ -1361,7 +1369,8 @@ def k_core(edges_ds, *, src: str = "src", dst: str = "dst", k: int = 2,
 
 def _seeds_to_driver(seeds_ds, seed_col: str, limit: int) -> np.ndarray:
     vals: set = set()
-    for b in seeds_ds.iter_batches(batch_format="pandas"):
+    for b in seeds_ds.iter_batches(batch_format="pandas",
+                                   batch_size=None):
         vals.update(b[seed_col].dropna().tolist())
         if len(vals) > limit:
             raise GuardExceeded(
@@ -2368,7 +2377,8 @@ def _wedges_to_driver(edges_ds, src: str, dst: str, weight: str,
     both directions, self-loops dropped, min weight per directed pair
     (the tie rule a multi-weight input resolves to)."""
     seen: pd.DataFrame | None = None
-    for b in edges_ds.iter_batches(batch_format="pandas"):
+    for b in edges_ds.iter_batches(batch_format="pandas",
+                                   batch_size=None):
         b = b[[src, dst, weight]][b[src] != b[dst]]
         u = pd.DataFrame({
             "s": pd.concat([b[src], b[dst]], ignore_index=True),
@@ -2801,21 +2811,39 @@ def _truss_support_int(a: np.ndarray, b: np.ndarray, n: int
     tot = int(cnt.sum())
     if tot == 0:
         return np.zeros(m, dtype=np.int64)[np.argsort(order)]
-    row_rep = np.repeat(np.arange(m, dtype=np.int64), cnt)
-    offs = np.arange(tot, dtype=np.int64) - np.repeat(
-        np.cumsum(cnt) - cnt, cnt)
-    wb = sb[row_rep]                  # wedge (a; wb < wc)
-    wc = sb[row_rep + 1 + offs]
-    close = wb * n + wc
-    p = np.searchsorted(sk, close)
-    p[p >= m] = m - 1
-    hit = sk[p] == close
-    # triangle (sa[row], wb, wc): credit edges (a,wb)=row, (a,wc)
-    # = row+1+offs, (wb,wc)=p — all indices into the SORTED edge list
-    tri_rows = row_rep[hit]
-    sup_sorted = (np.bincount(tri_rows, minlength=m)
-                  + np.bincount((row_rep + 1 + offs)[hit], minlength=m)
-                  + np.bincount(p[hit], minlength=m)).astype(np.int64)
+    # Σ deg²/2 wedge rows in one shot is NOT bounded by the edge-count
+    # guard (one degree-1e5 hub alone yields ~5e9 rows): chunk the
+    # expansion over edge ranges with a fixed wedge budget and
+    # accumulate the three bincount credits incrementally — peak is
+    # ~_WEDGE_CHUNK rows × a few int64 arrays, plus at most one edge's
+    # own fan-out (< n), regardless of skew
+    sup_sorted = np.zeros(m, dtype=np.int64)
+    cumw = np.cumsum(cnt)
+    cuts = np.searchsorted(
+        cumw, np.arange(_WEDGE_CHUNK, tot, _WEDGE_CHUNK),
+        side="left") + 1
+    bounds = np.concatenate([[0], cuts, [m]])
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        if r0 >= r1:
+            continue
+        c = cnt[r0:r1]
+        t = int(c.sum())
+        if t == 0:
+            continue
+        rows = np.repeat(np.arange(r0, r1, dtype=np.int64), c)
+        offs = np.arange(t, dtype=np.int64) - np.repeat(
+            np.cumsum(c) - c, c)
+        wb = sb[rows]                 # wedge (a; wb < wc)
+        wc = sb[rows + 1 + offs]
+        close = wb * n + wc
+        p = np.searchsorted(sk, close)
+        p[p >= m] = m - 1
+        hit = sk[p] == close
+        # triangle (sa[row], wb, wc): credit edges (a,wb)=row, (a,wc)
+        # = row+1+offs, (wb,wc)=p — indices into the SORTED edge list
+        sup_sorted += np.bincount(rows[hit], minlength=m)
+        sup_sorted += np.bincount((rows + 1 + offs)[hit], minlength=m)
+        sup_sorted += np.bincount(p[hit], minlength=m)
     out = np.empty(m, dtype=np.int64)
     out[order] = sup_sorted
     return out
@@ -3058,13 +3086,31 @@ def harmonic_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
                 ids & 63).astype(np.uint64)
             score += popcount(reach) * (scale // 1)
             front = reach.copy()
-            has = deg > 0
-            starts = indptr[:-1][has]
+            has_idx = np.flatnonzero(deg > 0)
+            # the hop gathers front[dsts] — E×w×8 bytes if done in one
+            # shot (tens of GB for a few-million-edge 50k-node graph,
+            # well under driver_edge_limit) — so chunk the
+            # gather+reduceat over contiguous source-node ranges with
+            # a fixed edge budget; peak extra memory is the gather
+            # budget + one hub node's own row block, never O(E·n/64)
+            chunk_edges = max(1, _BITSET_GATHER_BYTES // (w * 8))
+            if len(has_idx):
+                ecum = np.cumsum(deg[has_idx])
+                cuts = np.searchsorted(
+                    ecum, np.arange(chunk_edges, int(ecum[-1]),
+                                    chunk_edges), side="left") + 1
+                node_chunks = np.split(has_idx, cuts)
+            else:
+                node_chunks = []
             for h in range(2, max_hops + 1):
                 nxt = np.zeros_like(front)
-                if len(starts):
-                    nxt[has] = np.bitwise_or.reduceat(
-                        front[dsts], starts, axis=0)
+                for ci in node_chunks:
+                    if not len(ci):
+                        continue
+                    s0 = indptr[ci[0]]
+                    span = dsts[s0:indptr[ci[-1] + 1]]
+                    nxt[ci] = np.bitwise_or.reduceat(
+                        front[span], indptr[ci] - s0, axis=0)
                 new = nxt & ~reach & ~selfbits
                 score += popcount(new) * (scale // h)
                 reach |= new

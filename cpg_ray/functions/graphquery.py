@@ -41,6 +41,16 @@ def _add_url_bucket(df: pd.DataFrame, n_buckets: int | None) -> pd.DataFrame:
     return df
 
 
+# Edge types that NEVER cross document boundaries by construction
+# (SURVEY G1; reference EvaluationOrderGraphPass.java:87-130 — the
+# EOG never crosses translation-unit boundaries; AST/DFG/TRIPLE edges
+# are emitted per-page by the extract stage with both endpoints in the
+# same page).  REFERS_TO links mentions to CANONICAL entities and may
+# cross documents — deliberately excluded.  Queries over these etypes
+# may bucket by url and run group-local instead of paying a global
+# all-to-all hash join.
+INTRA_DOC_ETYPES = frozenset({"AST", "EOG", "DFG", "DFG2", "TRIPLE"})
+
 # Label hierarchy — the reference's "a node's label set is its class
 # ancestry" (Graph.kt:387-398: result.all<T>() matches SUBTYPES too).
 # Our node taxonomy is shallow by design, but the ancestry-match

@@ -459,7 +459,7 @@ def train_pq_codebooks(ds, *, m: int = 4, ks: int = 16, rounds: int = 5,
     centroid."""
     sample = []
     n = 0
-    for b in ds.iter_batches(batch_format="pandas"):
+    for b in ds.iter_batches(batch_format="pandas", batch_size=None):
         sel = b[b[id_col] % sample_mod == 0]
         if len(sel):
             sample.append(sel[[id_col, vec_col]])

@@ -94,7 +94,7 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
 
     merged = HLL(p)
     for b in ds.map_batches(sketch, batch_format="pandas").iter_batches(
-        batch_format="pandas"
+        batch_format="pandas", batch_size=None
     ):
         for blob in b["sketch"]:
             merged.merge(HLL.deserialize(bytes(blob)))
@@ -165,7 +165,7 @@ def heavy_hitters(ds, column: str, *, k: int = 64,
 
     merged = MisraGries(k)
     for b in ds.map_batches(summarize, batch_format="pandas") \
-               .iter_batches(batch_format="pandas"):
+               .iter_batches(batch_format="pandas", batch_size=None):
         if len(b):
             # iter_batches coalesces several per-batch summaries into
             # one frame — the same value can repeat, so SUM duplicates
@@ -206,7 +206,7 @@ def approx_quantiles(ds, column: str, qs: list[float], *,
     parts = [
         b[column].values
         for b in ds.map_batches(sample, batch_format="pandas").iter_batches(
-            batch_format="pandas"
+            batch_format="pandas", batch_size=None
         )
     ]
     allv = np.concatenate(parts) if parts else np.array([])

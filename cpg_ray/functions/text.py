@@ -319,7 +319,8 @@ def tfidf_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         try:
             idf: pd.Series | None = None
             total = 0
-            for b in dfreq.iter_batches(batch_format="pandas"):
+            for b in dfreq.iter_batches(batch_format="pandas",
+                                        batch_size=None):
                 total += len(b)
                 if total > driver_term_limit:
                     raise GuardExceeded(
@@ -438,7 +439,8 @@ def bm25_topk(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         try:
             dfv: pd.Series | None = None
             total = 0
-            for part in dfreq.iter_batches(batch_format="pandas"):
+            for part in dfreq.iter_batches(batch_format="pandas",
+                                           batch_size=None):
                 total += len(part)
                 if total > driver_term_limit:
                     raise GuardExceeded(
@@ -1321,7 +1323,7 @@ def dsir_scores(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
     # guarded driver collect of the log-ratio table (vocab-sized)
     parts = []
     total = 0
-    for part in cnt.iter_batches(batch_format="pandas"):
+    for part in cnt.iter_batches(batch_format="pandas", batch_size=None):
         total += len(part)
         if total > driver_term_limit:
             raise GuardExceeded(

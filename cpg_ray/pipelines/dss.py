@@ -529,10 +529,16 @@ def q21_sole_supplier(sf_dir: str) -> pd.DataFrame:
         li, ["l_orderkey"],
         [("l_suppkey", "count", "n_lines"),
          ("l_suppkey", "min", "mn"),
-         ("l_suppkey", "max", "mx")]).to_pandas()
-    sole = per_order[(per_order.n_lines >= 2) & (per_order.mn == per_order.mx)]
-
-    counts = sole.groupby("mn").size().reset_index(name="numwait")
+         ("l_suppkey", "max", "mx")])
+    # the per-ORDER aggregate is fact-table-keyed (billions of rows at
+    # scale) — filter sole orders and recount per supplier DISTRIBUTED
+    # (per-batch filter + one more pre-combined groupby); the driver
+    # only ever sees the supplier-sized count table
+    sole = per_order.map_batches(
+        lambda b: b.loc[(b.n_lines >= 2) & (b.mn == b.mx), ["mn"]],
+        batch_format="pandas")
+    counts = groupby_agg(
+        sole, ["mn"], [("mn", "count", "numwait")]).to_pandas()
     sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
     out = counts.merge(sup, left_on="mn", right_on="s_suppkey")
     out["numwait"] = out["numwait"].astype("int64")

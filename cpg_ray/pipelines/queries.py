@@ -993,7 +993,8 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
         import numpy as np
         import ray
 
-        batches = list(ds.iter_batches(batch_format="pandas"))
+        batches = list(ds.iter_batches(batch_format="pandas",
+                                       batch_size=None))
         # count()==0 still selects this branch; pd.concat([]) raises
         ev = (
             pd.concat(batches, ignore_index=True)

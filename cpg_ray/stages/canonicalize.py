@@ -102,7 +102,8 @@ def collect_entity_vocab(linked_ds, *, mode: str = "auto",
             Sum("n_mentions", alias_name="n_mentions")
         )
         batches = [
-            b for b in phase2.iter_batches(batch_format="pyarrow") if b.num_rows
+            b for b in phase2.iter_batches(batch_format="pyarrow",
+                                           batch_size=None) if b.num_rows
         ]
         if not batches:
             return pa.table(

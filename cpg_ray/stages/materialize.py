@@ -197,10 +197,15 @@ def compact_parquet(in_dir: str, out_dir: str, *,
       express (SURVEY.md §2 guidance);
     - side-by-side rewrite (the Iceberg-rewrite posture): inputs are
       never touched, so a crash mid-run loses nothing; commit per bin
-      is ``<name>.tmp`` → ``os.replace`` (atomic on POSIX); bins whose
-      output exists are skipped, so a rerun resumes; the final
-      ``_SUCCESS`` marker carries the plan, and readers switch
-      directories only when it exists (the shard-marker idiom).
+      is ``<name>.tmp`` → ``os.replace`` (atomic on POSIX); each bin
+      also commits a ``.manifest.json`` sidecar naming its members,
+      and a rerun skips a bin ONLY when the sidecar matches the
+      CURRENT plan — existence alone is not enough, because a rerun
+      after ``target_bytes`` or the input file set changed would
+      otherwise silently mix stale bins into the new directory and
+      stamp ``_SUCCESS`` over them; the final ``_SUCCESS`` marker
+      carries the plan, and readers switch directories only when it
+      exists (the shard-marker idiom).
 
     Returns {"bins": n, "compacted": n_rewritten, "skipped": n_resumed,
     "files_before": n, "files_after": n}.
@@ -222,6 +227,13 @@ def compact_parquet(in_dir: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     bins = plan_compaction(files, target_bytes)
 
+    def _manifest_path(out_path: str) -> str:
+        # "_"-prefixed so pyarrow dataset discovery ignores it (the
+        # default ignore_prefixes are "." and "_") — readers glob the
+        # directory and must never try to parse the sidecar as parquet
+        d, b = os.path.split(out_path)
+        return os.path.join(d, "_" + b + ".manifest.json")
+
     @ray.remote
     def rewrite(members: list[str], out_path: str) -> int:
         tables = [pq.read_table(p) for p in sorted(members)]
@@ -229,14 +241,49 @@ def compact_parquet(in_dir: str, out_dir: str, *,
         tmp = out_path + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, out_path)
+        # manifest commits AFTER the data file: a crash between the two
+        # re-rewrites the bin on resume (idempotent), never skips a
+        # half-written one
+        mpath = _manifest_path(out_path)
+        mtmp = mpath + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"members": sorted(members)}, f)
+        os.replace(mtmp, mpath)
         return merged.num_rows
+
+    def bin_is_current(out_path: str, members: list[str]) -> bool:
+        mpath = _manifest_path(out_path)
+        if not (os.path.exists(out_path) and os.path.exists(mpath)):
+            return False
+        try:
+            with open(mpath) as f:
+                return json.load(f).get("members") == sorted(members)
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    # orphan cleanup: a replan with fewer bins leaves stale
+    # compact-NNNNN outputs past the new plan's end — readers glob the
+    # directory, so they must go (their manifests too), and any stale
+    # _SUCCESS stops vouching for the directory while we rewrite
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "compact-*.parquet")):
+        idx = os.path.basename(stale)[len("compact-"):-len(".parquet")]
+        if not idx.isdigit() or int(idx) >= len(bins):
+            os.remove(stale)
+            mpath = _manifest_path(stale)
+            if os.path.exists(mpath):
+                os.remove(mpath)
+    success = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
 
     stats = {"bins": len(bins), "compacted": 0, "skipped": 0,
              "files_before": len(files), "files_after": len(bins)}
     pending = []
     for i, members in enumerate(bins):
         out_path = os.path.join(out_dir, f"compact-{i:05d}.parquet")
-        if os.path.exists(out_path):  # resumed run
+        if bin_is_current(out_path, members):  # resumed, same plan
             stats["skipped"] += 1
             continue
         pending.append(rewrite.remote(members, out_path))

@@ -381,3 +381,47 @@ def test_optional_match_rejections(graph_tables):
     with pytest.raises(ValueError):  # re-bound optional variable
         run_cypher("MATCH (a:Section)-[:AST]->(b:Mention) OPTIONAL "
                    "MATCH (a)-[:AST]->(b:Mention) RETURN a", nds, eds)
+
+
+def test_optional_match_colocate_mode_equivalence(graph_tables):
+    """The three OPTIONAL MATCH execution paths are the same relation:
+    'always' (guarded driver merge — the auto pick for intra-doc
+    etypes under the row guard), 'bucketed' (forced hash(url)
+    distributed exchange — the past-guard degrade), and 'never' (the
+    general global left-outer hash join)."""
+    nds, eds, *_ = graph_tables
+    q = ("MATCH (m:Mention) OPTIONAL MATCH (m)-[:EOG]->(n:Mention) "
+         "RETURN m.id AS m_id, n.id AS next_id, n.name AS next_name")
+
+    def canon(df):
+        return (df.fillna("")
+                .sort_values(["m_id", "next_id", "next_name"])
+                .reset_index(drop=True))
+
+    driver = canon(run_cypher(q, nds, eds, colocate="always"))
+    bucketed = canon(run_cypher(q, nds, eds, colocate="bucketed"))
+    glob = canon(run_cypher(q, nds, eds, colocate="never"))
+    pd.testing.assert_frame_equal(driver, glob)
+    pd.testing.assert_frame_equal(bucketed, glob)
+    assert len(glob) > 0 and (glob.next_id == "").any()
+
+
+def test_where_before_optional_match_filters_base(graph_tables):
+    """WHERE between MATCH and OPTIONAL MATCH (the openCypher-correct
+    position for a base filter) prunes base bindings before the left
+    extension; WHERE after OPTIONAL MATCH raises (it would scope to
+    the optional clause in openCypher, which is unsupported)."""
+    nds, eds, nodes, _edges = graph_tables
+    some_url = sorted(nodes[nodes.label == "Mention"].url)[0]
+    got = run_cypher(
+        f"MATCH (m:Mention) WHERE m.url = '{some_url}' "
+        "OPTIONAL MATCH (m)-[:EOG]->(n:Mention) "
+        "RETURN m.id AS m_id, n.id AS next_id", nds, eds)
+    want = set(nodes[(nodes.label == "Mention")
+                     & (nodes.url == some_url)].node_id)
+    assert set(got.m_id) == want
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        run_cypher(
+            "MATCH (m:Mention) OPTIONAL MATCH (m)-[:EOG]->(n:Mention) "
+            f"WHERE m.url = '{some_url}' RETURN m.id AS m_id",
+            nds, eds)

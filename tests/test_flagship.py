@@ -316,3 +316,55 @@ def test_compaction_side_by_side_resume_and_equality():
         == [["big"], ["s1", "s2"]]
     with pytest.raises(ValueError):
         compact_parquet(src, src)
+
+
+def test_compact_parquet_replan_rewrites_stale_bins():
+    """A rerun with a DIFFERENT plan (changed target_bytes or input
+    set) must not skip-on-existence: mismatched bins rewrite, orphan
+    bins past the new plan's end are removed, and the directory's
+    row-set equals the inputs afterwards."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cpg_ray.stages.materialize import compact_parquet
+
+    src = "/tmp/compact_replan/in"
+    dst = "/tmp/compact_replan/out"
+    shutil.rmtree("/tmp/compact_replan", ignore_errors=True)
+    os.makedirs(src)
+    for i in range(12):
+        pq.write_table(
+            pa.table({"k": list(range(i * 10, i * 10 + 10)),
+                      "v": [f"r{i}-{j}" for j in range(10)]}),
+            f"{src}/part-{i:04d}.parquet")
+    one = os.path.getsize(f"{src}/part-0000.parquet")
+
+    s1 = compact_parquet(src, dst, target_bytes=one * 2)  # many bins
+    assert s1["compacted"] == s1["bins"] > 2
+
+    # replan with wider bins: fewer, DIFFERENT bins — everything must
+    # rewrite (no stale skip) and the extra old bins must be gone
+    s2 = compact_parquet(src, dst, target_bytes=one * 6)
+    assert s2["bins"] < s1["bins"]
+    assert s2["skipped"] == 0 and s2["compacted"] == s2["bins"]
+    assert len(glob.glob(f"{dst}/compact-*.parquet")) == s2["bins"]
+    a = pd.read_parquet(src).sort_values("k").reset_index(drop=True)
+    b = pd.read_parquet(dst).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # input-set change with same target: affected bins rewrite
+    os.remove(f"{src}/part-0011.parquet")
+    s3 = compact_parquet(src, dst, target_bytes=one * 6)
+    assert s3["compacted"] >= 1
+    a = pd.read_parquet(src).sort_values("k").reset_index(drop=True)
+    b = pd.read_parquet(dst).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # unchanged rerun is still a pure resume
+    s4 = compact_parquet(src, dst, target_bytes=one * 6)
+    assert s4["compacted"] == 0 and s4["skipped"] == s4["bins"]

@@ -1238,3 +1238,44 @@ def test_graph_mixing_stats_hand_graph():
     assert int(df["assort_den"].iloc[0]) == 4
     assert float(df["assortativity"].iloc[0]) == -1.0  # star = disassortative
     # star S3: perfectly disassortative -> exactly -1
+
+
+def test_minhash_near_dedup_scale_degrades_equivalent():
+    """The past-guard shapes of near_dedup_minhash agree with the
+    driver shapes on a high-dup corpus: clustering degrades from the
+    driver union-find to distributed min-label propagation
+    (cluster_pair_limit=0) and the keep-filter degrades from the
+    broadcast drop-set to a distributed left_anti join
+    (drop_broadcast_limit=0)."""
+    from cpg_ray.functions.dedup import near_dedup_minhash
+
+    base = _docs()[["doc_id", "text"]].head(120)
+    # 50% dup rate: every other doc gets a near-copy (web-scale shape)
+    dup = base[base.doc_id % 2 == 0].copy()
+    dup["doc_id"] += 1_000_000
+    dup["text"] += " tail"
+    src = pd.concat([base, dup], ignore_index=True)
+    ds = rd.from_pandas(src)
+
+    s_ref, p_ref, c_ref = near_dedup_minhash(ds, verify_threshold=0.6)
+    ref_ids = sorted(s_ref.to_pandas().doc_id)
+    assert isinstance(c_ref, dict)
+
+    # keep-filter degrade only (driver UF still decides the clusters)
+    s_anti, p_anti, c_anti = near_dedup_minhash(
+        ds, verify_threshold=0.6, drop_broadcast_limit=0)
+    assert sorted(s_anti.to_pandas().doc_id) == ref_ids
+    assert c_anti == c_ref
+
+    # clustering degrade too (distributed min-label components); the
+    # cluster map comes back as a Dataset of (entity, component)
+    s_dist, p_dist, c_dist = near_dedup_minhash(
+        ds, verify_threshold=0.6, cluster_pair_limit=0)
+    assert sorted(s_dist.to_pandas().doc_id) == ref_ids
+    cdf = c_dist.to_pandas()
+    got_map = dict(zip(cdf.entity, cdf.component))
+    # distributed labels agree on every non-trivial cluster member
+    want = {k: v for k, v in c_ref.items() if k != v}
+    assert {k: v for k, v in got_map.items() if k != v} == want
+    # survivors of the anti-join path carry the original schema
+    assert set(s_dist.to_pandas().columns) == set(src.columns)

@@ -1129,3 +1129,35 @@ def test_mixing_modes_agree_and_hand_values():
     assert int(d.n_recip.iloc[0]) == 2     # a->b and b->a
     assert int(d.m_und.iloc[0]) == 2       # {a,b}, {b,c}
     assert float(d.reciprocity.iloc[0]) == 2.0 / 3.0
+
+
+def test_chunked_expansions_match_single_chunk(monkeypatch):
+    """The skew-bounded chunked paths (wedge expansion in the k-truss
+    support count; bitset-BFS gather in harmonic) produce identical
+    results when the chunk budgets force many tiny chunks — the
+    budgets bound PEAK MEMORY only, never the answer.  Hub-heavy
+    fixture so deg² fan-out spans chunks."""
+    import cpg_ray.functions.graphalgo as ga
+
+    rng = np.random.default_rng(7)
+    # star hub + random clutter → wedge counts dominated by one node
+    hub = pd.DataFrame({"src": "hub",
+                        "dst": [f"n{i}" for i in range(40)]})
+    rnd = pd.DataFrame({
+        "src": [f"n{i}" for i in rng.integers(0, 40, 120)],
+        "dst": [f"n{i}" for i in rng.integers(0, 40, 120)],
+    })
+    edges = pd.concat([hub, rnd], ignore_index=True)
+    edges = edges[edges.src != edges.dst]
+    ds = rd.from_pandas(edges)
+
+    big_t = ga.k_truss(ds, k=3, mode="driver").to_pandas()
+    big_h = ga.harmonic_centrality(ds, max_hops=3,
+                                   mode="driver").to_pandas()
+    monkeypatch.setattr(ga, "_WEDGE_CHUNK", 7)
+    monkeypatch.setattr(ga, "_BITSET_GATHER_BYTES", 64)  # few words
+    small_t = ga.k_truss(ds, k=3, mode="driver").to_pandas()
+    small_h = ga.harmonic_centrality(ds, max_hops=3,
+                                     mode="driver").to_pandas()
+    pd.testing.assert_frame_equal(big_t, small_t)
+    pd.testing.assert_frame_equal(big_h, small_h)
