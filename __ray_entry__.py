@@ -1776,6 +1776,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bpe_merges": _q_doc_bpe_merges,
         "kg_triples_ctx": _kg_triples_ctx,
     }
+
+    # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
+    # The driver snapshots the FIRST 50 entries in dict order; rather
+    # than hand-shuffling the dict above (the r3 off-by-three lesson),
+    # the window is this single audited list and the dict is reordered
+    # around it.  92 oracle-paired entries had never had a driver row
+    # — this window is all never-checked entries plus every query
+    # whose machinery CHANGED this round.
+    #
+    # Evicted veterans and why their machinery stays covered:
+    # - kg_triples/kg_entities/kg_extracted_text (green r1–r4): the
+    #   flagship pipeline feeds _ensure_graph, so EVERY kg_* row in
+    #   this window re-exercises it end-to-end, and entry() smokes it.
+    # - DSS q2,q4,q7–q11,q13,q15–q20,q22 (green r3/r4): stable
+    #   relational machinery (groupby_agg/hash_join/topk) exercised
+    #   in-window by q21 + q12 (both CHANGED this round) and the
+    #   orders/cube/rollup/pareto/share rotations.
+    # - kg_lpa/kg_transe/kg_sssp/kg_node2vec/kg_cooccur_pmi (r4 green):
+    #   graphalgo driver/shuffle modes re-exercised by the 14 in-window
+    #   graph rotations over the same _edges_to_driver/guard plumbing
+    #   (CHANGED: batch_size=None collects) — kg_ktruss/kg_harmonic,
+    #   the two with algorithm-level changes (chunked expansions), are
+    #   IN the window.
+    # - q_doc_fasttext/q_doc_dsir/q_doc_keyphrases/q_doc_bigram_xent/
+    #   q_doc_langid/q_doc_bpe_tokens (r4 green): text.py corpus-stat
+    #   collects (CHANGED: batch_size=None) re-exercised in-window by
+    #   q_doc_tfidf/q_doc_bm25/q_doc_unigram/q_doc_bigram over the
+    #   same dfreq/cnt paths.
+    # - retrieval q_doc_sparse_search/q_doc_maxsim/q_doc_hybrid_rrf
+    #   (r4 green): sparse.py unchanged; q_doc_bm25_search in-window
+    #   covers the search surface.
+    # - q_sem_dedup/q_supplier_blocking/q_doc_dup_spans (r4 green):
+    #   dedup.py banding CHANGED (vectorized band_rows) — covered
+    #   in-window by q_doc_minhash_sig/q_doc_simhash_sig (signature
+    #   kernels) + the near-dedup pytest equivalence suite; the
+    #   rows-only q_dedup_minhash runs the full changed decision path
+    #   in bench.py every round.
+    # - kg_fact_conflicts/kg_truth_vote/kg_sig_violations/kg_mixing/
+    #   kg_entity_salience/q_events_entropy/q_events_transitions/
+    #   q_events_range_frame (r4 green): modules unchanged this round;
+    #   kg_fact_timeline (same fusion family, never-checked) rotates in.
+    _WINDOW_R5 = [
+        # changed-this-round machinery (oracle fixes, colocate path,
+        # distributed q21 finish, chunked graph expansions, paragraph
+        # dedup big-join path)
+        "q_events_running_total", "q12_priority_lateness",
+        "kg_cypher_optional", "q21_sole_supplier",
+        "kg_ktruss", "kg_harmonic", "kg_para_dedup",
+        # verdict-named never-driver-checked r4 additions
+        "q_events_zorder", "q_doc_mix_weights", "kg_link_jaccard",
+        "kg_fact_timeline", "kg_clean_text", "q_kmeans",
+        "q_doc_minhash_sig", "q_doc_simhash_sig",
+        # graph family — never driver-checked
+        "kg_pagerank", "kg_pagerank_weighted", "kg_ppr", "kg_hits",
+        "kg_components", "kg_scc", "kg_kcore", "kg_triangles",
+        "kg_two_hop", "kg_adamic_adar", "kg_clustering_coef",
+        "kg_bfs_dist", "kg_condensation", "kg_cypher_undirected",
+        # text/retrieval — never driver-checked
+        "q_doc_tfidf", "q_doc_bm25", "q_doc_bm25_search",
+        "q_doc_pii_scrub", "q_doc_regex", "q_doc_sentences",
+        "q_doc_unigram", "q_doc_bigram", "q_knn_exact",
+        "q_url_canonical", "q_doc_class_weights",
+        # events/orders — never driver-checked
+        "q_events_moving", "q_events_zscore", "q_events_winsor",
+        "q_events_quantiles", "q_events_lag", "q_orders_pareto",
+        "q_orders_share", "q_cube_revenue", "q_rollup_revenue",
+        "q_supplier_typo_pairs",
+    ]
+    # position-count contract (the r3 off-by-three lesson): exactly 50
+    # distinct names, all resolvable — fail HERE, not in the driver
+    assert len(_WINDOW_R5) == 50, len(_WINDOW_R5)
+    assert len(set(_WINDOW_R5)) == 50
+    _missing = [n for n in _WINDOW_R5 if n not in out]
+    assert not _missing, f"window names not in queries(): {_missing}"
+    _w = set(_WINDOW_R5)
+    out = {**{k: out[k] for k in _WINDOW_R5},
+           **{k: v for k, v in out.items() if k not in _w}}
     return out
 
 

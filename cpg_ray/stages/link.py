@@ -175,10 +175,19 @@ def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
     - tier 2 (ambiguous surface forms only): candidates scored by
       DOCUMENT CONTEXT — the number of the candidate's related entities
       (its fact objects) resolved unambiguously elsewhere in the same
-      document — then prior, then min entity id.  The analog of
-      signature matching choosing among same-name overloads by the
-      arguments actually present at the call site; prior-only linking
-      is the 'widening' fallback when context is silent.
+      document.  The analog of signature matching choosing among
+      same-name overloads by the arguments actually present at the
+      call site;
+    - tier 3 (only when tier 2 TIES at the top — the reference gates
+      each widening on the previous tier's miss the same way:
+      implicit-cast widening CallResolver.java:847-896, default-arg
+      widening 980-1016, Java supertype walk 1707-1749): each tied
+      candidate's signature is WIDENED by one fact hop — its related
+      set unioned with its related entities' own related sets — and
+      rescored against the same document context.  A page that never
+      names a candidate's direct fact objects but does name its
+      2-hop neighborhood resolves here instead of falling to prior;
+    - prior, then min entity id, when every tier is silent.
 
     Resolution is document-local, so triples bucket by hash(url) and
     each url's rows resolve within one group (the same partitioning
@@ -215,19 +224,36 @@ def link_with_context(raw_ds, index_ref, amb_ref, related_ref, *,
                 index[n][0] for n in norms if n in index and n not in amb
             }
 
+            def widened(eid: str) -> set:
+                # tier-3 signature widening: the candidate's fact
+                # objects plus THEIR fact objects (one extra hop —
+                # the supertype-walk analog, never transitive closure)
+                r = related.get(eid, frozenset())
+                w = set(r)
+                for o in r:
+                    w |= related.get(o, frozenset())
+                return w
+
             def link_one(n: str) -> tuple[str, bool]:
                 cands = amb.get(n)
                 if cands is not None:
-                    # score by (context overlap, prior); cands is sorted
+                    # tier 2: direct context overlap; cands is sorted
                     # by entity id and max() keeps the FIRST of equal
-                    # keys, so ties deterministically fall to the min id
-                    best = max(
-                        cands,
-                        key=lambda c: (
-                            len(related.get(c[0], frozenset()) & context),
-                            c[1],
-                        ),
-                    )
+                    # keys, so ties deterministically fall to min id
+                    direct = [
+                        (len(related.get(c[0], frozenset()) & context), c)
+                        for c in cands
+                    ]
+                    top = max(s for s, _c in direct)
+                    tied = [c for s, c in direct if s == top]
+                    if len(tied) > 1:
+                        # tier 3 (gated on a tier-2 tie): rescore the
+                        # TIED candidates on the widened signature
+                        wide = [(len(widened(c[0]) & context), c)
+                                for c in tied]
+                        top3 = max(s for s, _c in wide)
+                        tied = [c for s, c in wide if s == top3]
+                    best = max(tied, key=lambda c: c[1])
                     return best[0], False
                 hit = index.get(n)
                 if hit is not None:

@@ -103,3 +103,61 @@ def test_context_agrees_with_prior_when_unambiguous(ctx_fixture):
     mu = m.merge(unamb, on=key)
     assert (mu.subj_p == mu.subj_c).all()
     assert (mu.obj_p == mu.obj_c).all()
+
+
+def test_tier3_widened_context_overrides_prior_on_tier2_tie(ray_session):
+    """The 'ambiguous_ctx2' fixture: tier-2 direct overlap is PROVABLY
+    insufficient (the document names neither candidate's direct fact
+    objects, so both score 0) and prior-only widening would pick the
+    wrong entity; the tier-3 one-hop signature widening
+    (CallResolver.java:847-1016/1707-1749 analog, gated on the tier-2
+    tie) resolves to the document's actual subject."""
+    import pandas as pd
+
+    # A (prior .9) and B (prior .1) share the alias; the page names B
+    # only via the shared alias plus Z — an entity TWO fact hops from
+    # B (B→Y→Z) and unrelated to A (A→X→W)
+    alias_rows = [
+        {"alias": "Smith", "entity_id": "A", "canonical_name": "A",
+         "prior": 0.9},
+        {"alias": "Smith", "entity_id": "B", "canonical_name": "B",
+         "prior": 0.1},
+        {"alias": "Zeta", "entity_id": "Z", "canonical_name": "Z",
+         "prior": 1.0},
+    ]
+    from types import SimpleNamespace as F
+
+    facts_by_subj = {
+        "A": [F(obj="X")], "B": [F(obj="Y")],
+        "Y": [F(obj="Z")], "X": [F(obj="W")],
+    }
+    norm_ref = ray.put(build_norm_index(alias_rows))
+    amb_ref = ray.put(build_ambiguity_index(alias_rows))
+    rel_ref = ray.put(build_related_index(facts_by_subj))
+
+    raw = rd.from_pandas(pd.DataFrame({
+        "subj_norm": [norm_name("Smith")],
+        "pred": ["knows"],
+        "obj_norm": [norm_name("Zeta")],
+        "url": ["https://ctx2/p0"],
+        "span_start": [0],
+    }))
+    # tier-2 silence is part of the fixture's contract
+    rel = build_related_index(facts_by_subj)
+    ctx = {"Z"}
+    assert not (rel["A"] & ctx) and not (rel["B"] & ctx)
+
+    out = link_with_context(raw, norm_ref, amb_ref, rel_ref).to_pandas()
+    assert list(out.subj) == ["B"], out  # prior alone would say A
+    assert list(out.obj) == ["Z"]
+
+    # and when even the widened signatures tie, prior still decides
+    raw2 = rd.from_pandas(pd.DataFrame({
+        "subj_norm": [norm_name("Smith")],
+        "pred": ["knows"],
+        "obj_norm": [norm_name("Smith")],  # no unambiguous context
+        "url": ["https://ctx2/p1"],
+        "span_start": [0],
+    }))
+    out2 = link_with_context(raw2, norm_ref, amb_ref, rel_ref).to_pandas()
+    assert list(out2.subj) == ["A"]  # high prior, deterministic
