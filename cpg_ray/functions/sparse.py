@@ -52,7 +52,9 @@ def md5_term_weight(tok: str) -> float:
 def sparse_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
                   text_col: str = "text", top_n: int = 10,
                   expand_m: int = 2, expand_weight: float = 0.3,
-                  ndigits: int = 6, weights: dict | None = None):
+                  ndigits: int = 6, weights: dict | None = None,
+                  mode: str = "auto",
+                  materialize_doc_limit: int = 2_000_000):
     """Top-n documents per query under the expanded sparse dot product.
 
     ``queries`` maps qid → query text.  ``weights`` optionally supplies
@@ -60,9 +62,20 @@ def sparse_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
     :func:`md5_term_weight`.  Returns a Dataset of (qid, id_col,
     score), score rounded to ``ndigits`` BEFORE ranking (per-(q,d) sums
     of doubles are not associative across engines), doc-id tie-break.
-    """
+
+    Two passes need the tf-explode (co-occurrence expansion, then
+    scoring).  ``mode='auto'``: under ``materialize_doc_limit`` docs
+    the explode is materialized once and shared (saves a second
+    tokenize pass); past the guard — a corpus-sized token table must
+    never be PINNED in the object store at 100 TB — each pass
+    re-derives its tf rows from the doc batches and nothing
+    corpus-sized is retained ('stream').  ``mode='pin'``/``'stream'``
+    force either shape; both are pinned equivalent by test."""
     from .relational import groupby_agg, grouped_topk
     from .text import _tf_frame
+
+    if mode not in ("auto", "pin", "stream"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     qterms_by_qid = {
         qid: list(dict.fromkeys(re.findall("[a-z0-9_]+", qtext.lower())))
@@ -70,10 +83,14 @@ def sparse_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
     }
     qterms = frozenset(t for ts in qterms_by_qid.values() for t in ts)
 
-    # pass 1: tf rows, whole blocks so each doc's rows are complete
-    tf_rows = docs_ds.map_batches(
+    # tf rows, whole blocks so each doc's rows are complete (docs are
+    # one row each, so doc-batch-derived frames are doc-complete)
+    tf_lazy = docs_ds.map_batches(
         lambda b: _tf_frame(b, id_col, text_col),
-        batch_format="pandas", batch_size=None).materialize()
+        batch_format="pandas", batch_size=None)
+    pin = mode == "pin" or (
+        mode == "auto" and docs_ds.count() <= materialize_doc_limit)
+    tf_rows = tf_lazy.materialize() if pin else tf_lazy
 
     # co-occurrence partials: within a block, for every query term,
     # count the DISTINCT docs each other token shares with it.  Docs

@@ -158,3 +158,29 @@ def test_maxsim_duplicate_tokens_do_not_change_score():
         _docs([{"doc_id": 1, "text": "alpha alpha alpha beta"}]),
         {"q": "alpha"}).to_pandas()
     assert once.score.iloc[0] == thrice.score.iloc[0]
+
+
+def test_sparse_search_pin_and_stream_modes_agree(ray_session):
+    """mode='pin' (materialized tf-explode, the sub-guard fast path)
+    and mode='stream' (per-pass re-derivation, the 100-TB posture that
+    never pins a corpus-sized token table) rank identically."""
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [
+            "cat sits on the mat", "dog chases the cat",
+            "mat cleaning service", "cats and dogs живут",
+            "the dog sleeps", "cat cat cat", "nothing relevant",
+            "dog on a mat with a cat",
+        ],
+    }))
+    q = {"q0": "cat mat", "q1": "dog"}
+    a = (sparse_search(docs, q, top_n=5, mode="pin").to_pandas()
+         .sort_values(["qid", "score", "doc_id"],
+                      ascending=[True, False, True])
+         .reset_index(drop=True))
+    b = (sparse_search(docs, q, top_n=5, mode="stream").to_pandas()
+         .sort_values(["qid", "score", "doc_id"],
+                      ascending=[True, False, True])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
