@@ -1222,3 +1222,137 @@ def duplicate_spans(ds, *, n: int = 8, id_col: str = "doc_id",
     return keyed.groupby("__bk").map_groups(
         lambda g: merge(g.drop(columns="__bk")),
         batch_format="pandas")
+
+
+def setjoin_prefix(ds, *, n: int = 4, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   threshold_num: int = 3, threshold_den: int = 5,
+                   rank_row_limit: int = 5_000_000,
+                   cand_doc_limit: int = 5_000_000):
+    """AllPairs/PPJoin-style PREFIX-FILTERED exact set-similarity
+    self-join (public literature: Bayardo et al. WWW'07 "Scaling up
+    all pairs similarity search"; Xiao et al. WWW'08 PPJoin): the same
+    exact word-n-gram Jaccard answer as :func:`ngram_jaccard_pairs`,
+    but candidate generation joins only each document's PREFIX —
+    its ``s − ⌈t·s⌉ + 1`` rarest grams under one global frequency
+    order — instead of every gram.  Any pair with ``J ≥ t`` shares a
+    prefix gram under a common total order (if the smallest common
+    gram were outside either prefix, the overlap would be under
+    ``⌈t·s⌉`` — contradiction), so recall stays 1.0 while a
+    boilerplate gram in D documents costs D² join rows only if it is
+    RARE enough to sit inside prefixes.
+
+    Returns ``(pairs_ds, info)``: the same ``(a, b, inter, union,
+    jaccard)`` contract as :func:`ngram_jaccard_pairs` (threshold
+    ``num/den``, one IEEE division of exact ints — SQL-hash-safe), and
+    ``info`` with ``n_candidate_pairs`` / ``n_candidate_docs`` — the
+    pruning evidence tests pin against the unfiltered self-join.
+
+    Scale shape: the frequency order needs each gram's document
+    frequency — but only for grams with ``df ≥ 2`` (a df=1 gram can
+    never produce a pair and ranks RAREST by construction: its key is
+    ``(1, gram)``), so the broadcast rank map holds the SHARED
+    vocabulary only, guarded by ``rank_row_limit``.  Verification is
+    the exact gram join RESTRICTED to documents that survived prefix
+    candidate generation (the near-dup cohort, not the corpus);
+    pairs that join there without being prefix candidates are
+    provably sub-threshold, so the final threshold filter alone
+    reproduces the quadratic SQL semantics.
+    """
+    import ray
+
+    from .relational import (GuardExceeded, _collect_limited, bcast_get,
+                             groupby_agg, hash_join, semi_anti_filter)
+
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(f"threshold {num}/{den} must be in (0, 1]")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            for g in {" ".join(toks[i: i + n])
+                      for i in range(len(toks) - n + 1)}:
+                doc_ids.append(did)
+                grams.append(g)
+        return pd.DataFrame({id_col: doc_ids, "gram": grams})
+
+    gram_rows = ds.map_batches(explode, batch_format="pandas")
+    freq = groupby_agg(gram_rows, ["gram"], [(id_col, "count", "df")])
+    shared = freq.map_batches(lambda b: b[b["df"] >= 2],
+                              batch_format="pandas")
+    rank_df = _collect_limited(shared, rank_row_limit,
+                               "setjoin_prefix rank map")
+    rank_ref = ray.put(dict(zip(rank_df["gram"],
+                                rank_df["df"].astype(int))))
+
+    def emit_prefix(b: pd.DataFrame) -> pd.DataFrame:
+        dfm = bcast_get(rank_ref)
+        doc_ids, grams, sizes = [], [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            gset = sorted(
+                {" ".join(toks[i: i + n])
+                 for i in range(len(toks) - n + 1)},
+                key=lambda g: (dfm.get(g, 1), g))
+            s = len(gset)
+            p = s - (-(-num * s) // den) + 1
+            for g in gset[:p]:
+                doc_ids.append(did)
+                grams.append(g)
+                sizes.append(s)
+        return pd.DataFrame({id_col: doc_ids, "gram": grams,
+                             "sz": pd.array(sizes, dtype="int64")})
+
+    prefix = ds.map_batches(emit_prefix,
+                            batch_format="pandas").materialize()
+    left = prefix.map_batches(
+        lambda b: b.rename(columns={id_col: "a", "sz": "sa"}),
+        batch_format="pandas")
+    right = prefix.map_batches(
+        lambda b: b.rename(columns={id_col: "b", "sz": "sb"}),
+        batch_format="pandas")
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        # a < b plus the length filter: J ≥ t forces
+        # t·|A| ≤ |B| (and symmetrically) — den/num-scaled int compare
+        m = (b.a < b.b) & (den * b.sb >= num * b.sa) \
+            & (den * b.sa >= num * b.sb)
+        return b[m][["a", "b"]]
+
+    cand = groupby_agg(
+        hash_join(left.materialize(), right.materialize(), on="gram")
+        .map_batches(prune, batch_format="pandas"),
+        ["a", "b"], [("a", "count", "__n")],
+    ).materialize()
+    n_cand_pairs = cand.count()
+    if n_cand_pairs == 0:
+        import pyarrow as pa
+        import ray.data as rd
+
+        empty = rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "union": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+        return empty, {"n_candidate_pairs": 0, "n_candidate_docs": 0}
+
+    ids = _collect_limited(
+        cand.map_batches(
+            lambda b: pd.DataFrame(
+                {"id": pd.concat([b.a, b.b], ignore_index=True)}),
+            batch_format="pandas",
+        ), cand_doc_limit, "setjoin_prefix candidate docs")
+    cand_ids = frozenset(ids["id"])
+    cohort = semi_anti_filter(ds, id_col, cand_ids)
+    pairs = ngram_jaccard_pairs(cohort, n=n, id_col=id_col,
+                                text_col=text_col,
+                                threshold=num / den)
+    return pairs, {"n_candidate_pairs": int(n_cand_pairs),
+                   "n_candidate_docs": len(cand_ids)}

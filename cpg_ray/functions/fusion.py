@@ -194,3 +194,115 @@ def signature_violations(triples_ds):
     out = out[out["__major"].isna()].drop(columns="__major")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["pred", "skind", "okind"]).reset_index(drop=True)
+
+
+def snapshot_merge(old_ds, new_ds, *,
+                   keys=("canonical_subj", "pred", "canonical_obj"),
+                   functional=FUNCTIONAL_PREDS,
+                   num_partitions: int | None = None):
+    """SCD-style KG upsert of a re-crawl into an existing snapshot —
+    the incremental-maintenance step after :func:`~cpg_ray.functions.
+    graphquery.triple_diff`'s census (SURVEY §2 D2 union-of-node-sets
+    analog; fusion semantics from the same Knowledge-Vault lineage as
+    :func:`truth_vote`): the new crawl's facts land, facts seen by
+    both survive, and an old fact is RETIRED only when a functional
+    predicate (one true value — ``born_in`` etc.) got a fresh value
+    for the same subject; old facts outside that case carry over
+    (a page dropping out of the crawl frontier must not erase its
+    facts — absence of evidence).
+
+    Returns a Dataset of ``keys + (status,)`` over the DISTINCT fact
+    sets, status ∈ {kept, added, superseded, carried}; the merged KG
+    is every row with ``status != 'superseded'``.
+
+    Shape: four hash-partitioned semi/anti joins over the distinct
+    key projections — each fact moves at most twice, no driver-side
+    set ever materializes:
+    - kept       = A ⋉ B          (left_semi on the full fact key)
+    - added      = B ∖ A          (left_anti)
+    - old-only   = A ∖ B, split by (subject, pred) against the new
+      snapshot's functional (subject, pred) pairs: present →
+      superseded (the new value replaces it), absent → carried.
+    """
+    import pyarrow as pa
+
+    from .relational import _compact_nonempty, distinct_on
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 2)))
+    keys = list(keys)
+    fset = frozenset(functional)
+
+    def proj(ds):
+        return distinct_on(
+            ds.map_batches(lambda t: t.select(keys), batch_format="pyarrow"),
+            keys,
+        )
+
+    def tag(status):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "status", pa.array([status] * t.num_rows, pa.string()))
+
+        return f
+
+    # strip schema-less zero-row partition blocks before every join
+    # (Ray 2.49 emits them from groupbys/anti-joins on SPARSE inputs
+    # and a downstream join crashes with ArrowInvalid — the same
+    # latent defect hash_join's empty_safe guards; dense data masks it)
+    a = _compact_nonempty(proj(old_ds).materialize())
+    b = _compact_nonempty(proj(new_ds).materialize())
+    kept = a.join(b, "left_semi", num_partitions=num_partitions,
+                  on=tuple(keys)).map_batches(tag("kept"),
+                                              batch_format="pyarrow")
+    added = b.join(a, "left_anti", num_partitions=num_partitions,
+                   on=tuple(keys)).map_batches(tag("added"),
+                                               batch_format="pyarrow")
+    old_only = _compact_nonempty(
+        a.join(b, "left_anti", num_partitions=num_partitions,
+               on=tuple(keys)).materialize())
+
+    def fn_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["pred"], pa.array(sorted(fset))))
+
+    def nonfn_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(
+            pc.is_in(t["pred"], pa.array(sorted(fset)))))
+
+    sp_new = _compact_nonempty(distinct_on(
+        b.map_batches(fn_only, batch_format="pyarrow")
+         .map_batches(lambda t: t.select([keys[0], keys[1]]),
+                      batch_format="pyarrow"),
+        [keys[0], keys[1]],
+    ).materialize())
+    old_fn = _compact_nonempty(
+        old_only.map_batches(fn_only, batch_format="pyarrow")
+                .materialize())
+    # Ray 2.49 joins raise on a fully-empty side (see hash_join's
+    # empty_safe note); both splits are legitimately empty on e.g. a
+    # no-op recrawl, so guard with the already-paid counts.
+    if old_fn.count() == 0:
+        parts = [kept, added]
+    elif sp_new.count() == 0:
+        parts = [kept, added,
+                 old_fn.map_batches(tag("carried"), batch_format="pyarrow")]
+    else:
+        superseded = old_fn.join(
+            sp_new, "left_semi", num_partitions=num_partitions,
+            on=(keys[0], keys[1]),
+        ).map_batches(tag("superseded"), batch_format="pyarrow")
+        carried_fn = old_fn.join(
+            sp_new, "left_anti", num_partitions=num_partitions,
+            on=(keys[0], keys[1]),
+        ).map_batches(tag("carried"), batch_format="pyarrow")
+        parts = [kept, added, superseded, carried_fn]
+    carried_nonfn = old_only.map_batches(
+        nonfn_only, batch_format="pyarrow"
+    ).map_batches(tag("carried"), batch_format="pyarrow")
+    return parts[0].union(*parts[1:], carried_nonfn)

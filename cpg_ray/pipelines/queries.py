@@ -699,6 +699,25 @@ def q_doc_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_doc_setjoin_prefix(sf_dir: str) -> pd.DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT set-similarity self-join
+    (word 4-grams, Jaccard ≥ 3/5) over documents ∪ injected
+    near-copies: candidate generation joins only each doc's rarest
+    ``s − ⌈t·s⌉ + 1`` grams under a global document-frequency order
+    (recall 1.0 by the prefix-filter theorem), then exact verification
+    runs on the candidate cohort only.  Hash-verified against the
+    quadratic SQL semantics — same answer as the full gram self-join,
+    fraction-of-the-join-volume candidate stage (pinned in pytest)."""
+    from ..functions.dedup import setjoin_prefix
+
+    pairs, _info = setjoin_prefix(
+        _docs_with_dupes(sf_dir), n=4, threshold_num=3, threshold_den=5)
+    df = pairs.to_pandas()
+    df = df.astype({"a": "int64", "b": "int64", "inter": "int64",
+                    "union": "int64"})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import near_dedup_minhash
 
@@ -4221,6 +4240,37 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
+        ORDER BY a, b
+    """,
+    "q_doc_setjoin_prefix": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text || ' tail'
+            FROM documents WHERE doc_id % 10 = 0
+        ), w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(words, i, i + 3), ' ') AS gram
+            FROM w, LATERAL unnest(range(1, len(words) - 2)) AS t(i)
+            WHERE len(words) >= 4
+        ), sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n FROM g GROUP BY doc_id
+        ), inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b,
+                   count(*)::BIGINT AS inter
+            FROM g g1 JOIN g g2 ON g1.gram = g2.gram
+                              AND g1.doc_id < g2.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.a, i.b, i.inter,
+               (sa.n + sb.n - i.inter)::BIGINT AS "union",
+               i.inter::DOUBLE / (sa.n + sb.n - i.inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.6
         ORDER BY a, b
     """,
     "q_doc_sample_hash": """

@@ -1279,3 +1279,64 @@ def test_minhash_near_dedup_scale_degrades_equivalent():
     assert {k: v for k, v in got_map.items() if k != v} == want
     # survivors of the anti-join path carry the original schema
     assert set(s_dist.to_pandas().columns) == set(src.columns)
+
+
+def test_setjoin_prefix_matches_full_join_and_prunes():
+    """The AllPairs/PPJoin prefix-filtered path returns EXACTLY the
+    full gram-self-join's pairs (prefix-filter completeness: any pair
+    with J >= t shares a gram inside both prefixes under the global
+    frequency order), while its candidate stage touches a strict
+    subset of the join volume."""
+    from cpg_ray.functions.dedup import ngram_jaccard_pairs, setjoin_prefix
+
+    base = _docs()[["doc_id", "text"]].head(120)
+    dup = base[base.doc_id % 10 == 0].copy()
+    dup["doc_id"] += 1_000_000
+    dup["text"] += " tail"
+    corpus = pd.concat([base, dup], ignore_index=True)
+
+    full = ngram_jaccard_pairs(
+        rd.from_pandas(corpus), n=4, threshold=3 / 5).to_pandas()
+    full = full.sort_values(["a", "b"]).reset_index(drop=True)
+    got, info = setjoin_prefix(
+        rd.from_pandas(corpus), n=4, threshold_num=3, threshold_den=5)
+    got = got.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(full) > 0
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "inter", "union"]].astype("int64"),
+        full[["a", "b", "inter", "union"]].astype("int64"),
+    )
+    # pruning evidence: every result pair was a candidate, and the
+    # candidate stage is far below the all-sharing-pairs volume the
+    # unfiltered self-join enumerates
+    def grams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+
+    sets = {int(d): grams(t) for d, t in zip(corpus.doc_id, corpus.text)}
+    ids = sorted(sets)
+    sharing = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sets[a] & sets[b]
+    )
+    assert len(got) <= info["n_candidate_pairs"] < sharing
+
+
+def test_setjoin_prefix_no_pairs():
+    """Disjoint token sets: zero candidates short-circuits with the
+    typed empty contract instead of joining on an empty dataset."""
+    from cpg_ray.functions.dedup import setjoin_prefix
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aa bb cc dd ee", "ff gg hh ii jj"],
+    }))
+    pairs, info = setjoin_prefix(ds, n=4, threshold_num=1,
+                                 threshold_den=2)
+    assert pairs.count() == 0
+    assert info["n_candidate_pairs"] == 0
+    # Dataset keeps the typed schema (to_pandas on a 0-row Dataset
+    # drops columns — a Ray quirk, not the operator's contract)
+    assert pairs.schema().names == ["a", "b", "inter", "union", "jaccard"]

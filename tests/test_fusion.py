@@ -78,3 +78,57 @@ def test_signature_violations_excludes_majority():
     out = signature_violations(ds)
     assert out.to_dict("records") == [
         {"pred": "born_in", "skind": "inferred", "okind": "city", "n": 1}]
+
+
+def _facts(rows):
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["canonical_subj", "pred", "canonical_obj"]))
+
+
+def test_snapshot_merge_all_four_statuses():
+    from cpg_ray.functions.fusion import snapshot_merge
+
+    old = _facts([
+        ("P1", "born_in", "C1"),     # kept (in both)
+        ("P2", "born_in", "C1"),     # superseded (new says C2)
+        ("P3", "visited", "C1"),     # carried (non-functional, old-only)
+        ("P4", "born_in", "C3"),     # carried (functional, but new has
+                                     # no (P4, born_in) assertion)
+    ])
+    new = _facts([
+        ("P1", "born_in", "C1"),
+        ("P2", "born_in", "C2"),     # fresh value -> supersedes
+        ("P5", "visited", "C2"),     # added
+    ])
+    out = snapshot_merge(old, new).to_pandas()
+    got = {(r.canonical_subj, r.pred, r.canonical_obj): r.status
+           for r in out.itertuples()}
+    assert got == {
+        ("P1", "born_in", "C1"): "kept",
+        ("P2", "born_in", "C2"): "added",
+        ("P2", "born_in", "C1"): "superseded",
+        ("P3", "visited", "C1"): "carried",
+        ("P4", "born_in", "C3"): "carried",
+        ("P5", "visited", "C2"): "added",
+    }
+    # merged KG = everything but superseded; duplicates impossible
+    assert len(out) == len(got)
+
+
+def test_snapshot_merge_noop_recrawl_and_empty_splits():
+    """Identical snapshots -> everything 'kept' (exercises the
+    empty-old_fn guard); a new snapshot with NO functional facts
+    leaves old-only functional facts carried (empty-sp_new guard)."""
+    from cpg_ray.functions.fusion import snapshot_merge
+
+    snap = _facts([("P1", "born_in", "C1"), ("P2", "visited", "C2")])
+    out = snapshot_merge(snap, snap).to_pandas()
+    assert set(out.status) == {"kept"} and len(out) == 2
+
+    old = _facts([("P1", "born_in", "C1")])
+    new = _facts([("P9", "visited", "C9")])
+    out2 = snapshot_merge(old, new).to_pandas()
+    got = {(r.canonical_subj, r.pred, r.canonical_obj): r.status
+           for r in out2.itertuples()}
+    assert got == {("P1", "born_in", "C1"): "carried",
+                   ("P9", "visited", "C9"): "added"}
