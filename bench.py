@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "kg_harmonic",
     "kg_cypher_optional",
     "q_doc_mix_weights",
+    # round-5: prefix-filtered set-similarity join + KG snapshot upsert
+    "q_doc_setjoin_prefix",
+    "kg_snapshot_merge",
 ]
 
 
