@@ -1802,6 +1802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/check_oracles.py
         "q_doc_setjoin_prefix": q.q_doc_setjoin_prefix,
         "kg_snapshot_merge": _kg_snapshot_merge,
+        # -- oracle-paired, round-5 continuation (same past-window
+        # rationale as the two above)
+        "q_events_cms": q.q_events_cms,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,

@@ -215,6 +215,70 @@ def approx_quantiles(ds, column: str, qs: list[float], *,
     return [float(np.quantile(allv, q)) for q in qs]
 
 
+def cms_frequencies(ds, column: str, *, width: int = 256, depth: int = 4):
+    """Count-Min sketch point-frequency estimates (Cormode & Muthu-
+    krishnan 2005, public) — DETERMINISTIC (md5 row hashes) and
+    therefore oracle-pairable, unlike the textbook random-hash CMS.
+
+    Sketch build is the canonical mergeable-combiner shape: each batch
+    folds its value_counts into per-(row, bucket) partial counters —
+    at most ``depth × min(width, distinct)`` rows leave a batch, never
+    the values — then ONE small groupby-sum produces the depth×width
+    counter matrix (kilobytes on the driver regardless of corpus
+    size).  Estimates are ``min`` over the depth rows; the guarantee is
+    ``exact ≤ est ≤ exact + ε·n`` w.h.p. for random hashes, and the
+    deterministic variant keeps the one-sided ``est ≥ exact`` bound
+    unconditionally (collisions only ever ADD).
+
+    Returns (counters, estimate) where ``counters`` is the
+    depth×width int64 matrix and ``estimate(values) -> np.ndarray``
+    probes it.
+    """
+    import hashlib
+
+    def bucket(d: int, values) -> np.ndarray:
+        return np.array(
+            [int(hashlib.md5(f"{d}|{v}".encode()).hexdigest()[:8], 16)
+             % width for v in values],
+            dtype=np.int64,
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[column].value_counts()
+        vals, cnts = vc.index.to_numpy(), vc.to_numpy(np.int64)
+        rows, bks, cs = [], [], []
+        for d in range(depth):
+            b = bucket(d, vals)
+            # fold same-bucket collisions inside the batch
+            bb = np.bincount(b, weights=cnts, minlength=width)
+            nz = np.flatnonzero(bb)
+            rows.append(np.full(len(nz), d, dtype=np.int64))
+            bks.append(nz.astype(np.int64))
+            cs.append(bb[nz].astype(np.int64))
+        return pd.DataFrame({
+            "d": np.concatenate(rows) if rows else np.array([], np.int64),
+            "b": np.concatenate(bks) if bks else np.array([], np.int64),
+            "cnt": np.concatenate(cs) if cs else np.array([], np.int64),
+        })
+
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for frame in (ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None)):
+        if len(frame):
+            g = frame.groupby(["d", "b"], sort=False)["cnt"].sum()
+            idx = np.array([k for k in g.index], dtype=np.int64)
+            counters[idx[:, 0], idx[:, 1]] += g.to_numpy(np.int64)
+
+    def estimate(values) -> np.ndarray:
+        vals = np.asarray(values)
+        ests = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            np.minimum(ests, counters[d, bucket(d, vals)], out=ests)
+        return ests
+
+    return counters, estimate
+
+
 def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 16):
     """KMV (k-minimum-values) distinct-count sketch per group (Bar-
     Yossef et al. 2002, public), DETERMINISTIC and therefore

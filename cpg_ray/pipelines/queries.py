@@ -1853,6 +1853,30 @@ def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_events_cms(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch point-frequency estimates for every event user
+    (width 64 × depth 4, small enough that bucket collisions genuinely
+    over-count at sf0.01+) vs the exact counts — md5 bucket hashes make
+    the whole sketch DETERMINISTIC and hash-comparable against a SQL
+    oracle that rebuilds the identical counter matrix.  Build is one
+    combiner-fed groupby over ≤ depth×width partial rows per batch; the
+    one-sided CMS bound est ≥ exact is asserted in the output."""
+    from ..functions.relational import groupby_agg
+    from ..functions.sketches import cms_frequencies
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    _counters, estimate = cms_frequencies(ds, "user_id", width=64, depth=4)
+    exact = groupby_agg(
+        ds, ["user_id"], [("user_id", "count", "exact")]
+    ).to_pandas()
+    exact["est"] = estimate(exact["user_id"].to_numpy())
+    exact["overcount"] = exact["est"] - exact["exact"]
+    df = exact.astype({"user_id": "int64", "exact": "int64",
+                       "est": "int64", "overcount": "int64"})
+    assert (df["overcount"] >= 0).all()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; codec stubbed)
 # ---------------------------------------------------------------------------
@@ -4667,6 +4691,31 @@ def _sem_dedup_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int,
         GROUP BY p.vec_id, p.cluster
         ORDER BY p.vec_id""")
 
+
+ORACLE_SQL["q_events_cms"] = """
+    WITH cnt AS (
+        SELECT user_id, count(*)::BIGINT AS exact
+        FROM events GROUP BY user_id
+    ), bk AS (
+        SELECT user_id, r.d,
+               ('0x' || substr(md5(r.d::VARCHAR || '|'
+                                   || user_id::VARCHAR), 1, 8))::BIGINT
+                   % 64 AS b
+        FROM cnt, range(4) r(d)
+    ), counters AS (
+        SELECT bk.d, bk.b, sum(c.exact)::BIGINT AS counter
+        FROM bk JOIN cnt c USING (user_id)
+        GROUP BY bk.d, bk.b
+    ), est AS (
+        SELECT bk.user_id, min(co.counter)::BIGINT AS est
+        FROM bk JOIN counters co ON co.d = bk.d AND co.b = bk.b
+        GROUP BY bk.user_id
+    )
+    SELECT c.user_id, c.exact, e.est,
+           (e.est - c.exact)::BIGINT AS overcount
+    FROM cnt c JOIN est e USING (user_id)
+    ORDER BY c.user_id
+"""
 
 ORACLE_SQL["q_kmeans"] = _kmeans_oracle_sql(k=8, rounds=4, dim=64,
                                             q_scale=1024)

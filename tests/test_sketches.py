@@ -142,3 +142,40 @@ def test_kmv_distinct_matches_brute_force_formula():
         else:
             assert got.loc[g, "est_distinct"] == float(len(hs))
         assert got.loc[g, "n_used"] == min(16, len(hs))
+
+
+def test_cms_bounds_and_exactness():
+    """CMS estimates are one-sided (est >= exact always, for ANY input
+    — collisions only add) and EXACT when width exceeds the distinct
+    count (no collisions possible in any row).  Batch boundaries must
+    not matter: the sketch built from 7-row batches equals the one
+    built from one batch."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.sketches import cms_frequencies
+
+    rng = np.random.default_rng(41)
+    vals = rng.zipf(1.5, 5000) % 97  # skewed, 97 distinct max
+    df = pd.DataFrame({"v": vals})
+    exact = df.v.value_counts()
+
+    # narrow sketch: collisions -> overcounts, never undercounts
+    _c, est = cms_frequencies(rd.from_pandas(df), "v", width=16, depth=3)
+    got = est(exact.index.to_numpy())
+    assert (got >= exact.to_numpy()).all()
+
+    # wide sketch: width > distinct values in EVERY row -> min is exact
+    # only if some row is collision-free; with width 4096 and <=97
+    # values collisions are possible but vanishingly unlikely across
+    # 4 independent rows — assert exactness (deterministic hashes, so
+    # this is a stable property of THIS input, not a flaky bound)
+    _c2, est2 = cms_frequencies(rd.from_pandas(df), "v",
+                                width=4096, depth=4)
+    assert (est2(exact.index.to_numpy()) == exact.to_numpy()).all()
+
+    # batch-boundary invariance: many small blocks vs one block
+    ds_small = rd.from_pandas(df).repartition(40)
+    c3, _ = cms_frequencies(ds_small, "v", width=16, depth=3)
+    assert (c3 == _c).all()
