@@ -143,6 +143,20 @@ def _kg_clean_text(sf_dir: str):
         "url").reset_index(drop=True)
 
 
+def _kg_c4_filter(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020) over the pages corpus:
+    line-level terminal-punctuation + min-words retention, document
+    drop on <3 kept lines / 'lorem ipsum' / '{' — kept text
+    byte-compared against the SQL reassembly."""
+    from cpg_ray.functions.text import c4_rules
+
+    pages, _cfg = _pages_ds(sf_dir, "mixed")
+    df = pages.map_batches(
+        lambda b: c4_rules(b[["url", "text"]]), batch_format="pandas"
+    ).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _ensure_graph(sf_dir: str, variant: str = "mixed") -> str:
     """Materialize the sharded graph Parquet for (sf, variant) under /tmp
     (resumable; cache dir versioned by the graph format so a schema
@@ -1805,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, round-5 continuation (same past-window
         # rationale as the two above)
         "q_events_cms": q.q_events_cms,
+        "kg_c4_filter": _kg_c4_filter,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,
@@ -2781,6 +2796,38 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             SELECT url, clean_text, (clean_text <> text) AS changed,
                    length(clean_text)::BIGINT AS n_chars
             FROM c ORDER BY url
+        """,
+        # C4 rules: word split is single-space (count(' ')+1 in the
+        # engine == array_length(string_split(line,' ')) here); the
+        # terminal-punct regex is the identical RE2 pattern
+        "kg_c4_filter": f"""
+            WITH l AS (
+                SELECT url,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(generate_series(
+                           1, array_length(string_split(text, chr(10)))))
+                           AS i
+                FROM read_parquet('{pages_glob}')
+            ), k AS (
+                SELECT url, i, line FROM l
+                WHERE regexp_matches(line, '[.!?"]$')
+                  AND array_length(string_split(line, ' ')) >= 5
+            ), a AS (
+                SELECT p.url, p.text,
+                       coalesce(string_agg(k.line, chr(10) ORDER BY k.i),
+                                '') AS kept_text,
+                       array_length(string_split(p.text, chr(10)))::BIGINT
+                           AS n_lines,
+                       count(k.line)::BIGINT AS n_kept
+                FROM read_parquet('{pages_glob}') p
+                LEFT JOIN k USING (url)
+                GROUP BY p.url, p.text
+            )
+            SELECT url, kept_text, n_lines, n_kept,
+                   (n_kept >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{{')) AS keep
+            FROM a ORDER BY url
         """,
         "kg_triples": f"""
             SELECT {triple_cols}

@@ -855,6 +855,48 @@ def clean_text(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def c4_rules(batch: pd.DataFrame, *, text_col: str = "text",
+             min_words_per_line: int = 5,
+             min_kept_lines: int = 3) -> pd.DataFrame:
+    """The C4 line/document cleaning rules (Raffel et al. 2020 §2.2,
+    public): keep only lines that END IN TERMINAL PUNCTUATION
+    (``[.!?"]``) and have at least ``min_words_per_line`` words; drop
+    any document with fewer than ``min_kept_lines`` surviving lines,
+    or containing the literal ``lorem ipsum`` (case-insensitive) or a
+    ``{`` (code marker).
+
+    Fully batch-local (a document's lines live inside its own row —
+    explode, filter, reassemble within the batch; no shuffle).  Words
+    are single-space separated (``count(' ')+1``) so the SQL oracle's
+    split is byte-for-byte the same rule; the terminal-punctuation
+    regex is RE2-compatible and runs identically in DuckDB."""
+    lines = batch[text_col].str.split("\n")
+    ex = pd.DataFrame({
+        "url": batch["url"].to_numpy().repeat(lines.str.len()),
+        "line": np.concatenate(lines.to_numpy()) if len(batch)
+                else np.array([], dtype=object),
+    })
+    keep_line = (
+        ex["line"].str.contains(r'[.!?"]$', regex=True)
+        & (ex["line"].str.count(" ") + 1 >= min_words_per_line)
+    )
+    kept = (ex[keep_line].groupby("url", sort=False)["line"]
+            .agg(list).rename("kept"))
+    out = pd.DataFrame({"url": batch["url"]})
+    k = out["url"].map(kept)
+    out["kept_text"] = k.map(
+        lambda ls: "\n".join(ls) if isinstance(ls, list) else "")
+    out["n_lines"] = lines.str.len().astype("int64")
+    out["n_kept"] = k.map(
+        lambda ls: len(ls) if isinstance(ls, list) else 0).astype("int64")
+    has_lorem = batch[text_col].str.lower().str.contains(
+        "lorem ipsum", regex=False)
+    has_brace = batch[text_col].str.contains("{", regex=False)
+    out["keep"] = ((out["n_kept"] >= min_kept_lines)
+                   & ~has_lorem.to_numpy() & ~has_brace.to_numpy())
+    return out
+
+
 # ---- unigram LM document scoring (corpus-frequency features) ---------------
 
 

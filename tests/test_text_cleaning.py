@@ -528,3 +528,40 @@ def test_duplicate_spans_merges_intervals_and_counts_multiplicity():
                          "text": " ".join(f"q{i}" for i in range(20))})
     assert len(duplicate_spans(
         rd.from_pandas(uniq), n=8).to_pandas()) == 0
+
+
+def test_c4_rules_fixture():
+    """Hand-built fixture pins every C4 rule: terminal punctuation,
+    min words per line, min kept lines, lorem-ipsum and brace drops."""
+    import pandas as pd
+
+    from cpg_ray.functions.text import c4_rules
+
+    docs = pd.DataFrame({
+        "url": ["a", "b", "c", "d"],
+        "text": [
+            # 3 good lines -> kept
+            "one two three four five.\nsix seven eight nine ten!\n"
+            'eleven twelve thirteen fourteen "quote."',
+            # good lines but contains a brace -> doc dropped,
+            # kept_text still reports the surviving lines
+            "one two three four five.\nheader\n{ code }\n"
+            "six seven eight nine ten.\na b c d e f?",
+            # only 2 surviving lines -> dropped (min_kept_lines=3)
+            "one two three four five.\nshort line.\n"
+            "no terminal punctuation here at all\n"
+            "four words only here.",
+            # Lorem Ipsum (case-insensitive) -> dropped
+            "Lorem IPSUM dolor sit amet consectetur.\n"
+            "one two three four five.\nsix seven eight nine ten.\n"
+            "a b c d e f.",
+        ],
+    })
+    out = c4_rules(docs)
+    assert out.keep.tolist() == [True, False, False, False]
+    assert out.n_kept.tolist() == [3, 3, 1, 4]
+    # line order preserved; non-qualifying lines gone
+    assert out.kept_text[0].count("\n") == 2
+    assert "header" not in out.kept_text[1]
+    # "short line." has 2 words -> dropped; "four words only here." has 4
+    assert out.kept_text[2] == "one two three four five."
