@@ -1820,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rationale as the two above)
         "q_events_cms": q.q_events_cms,
         "kg_c4_filter": _kg_c4_filter,
+        "q_sample_priority": q.q_sample_priority,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,

@@ -1122,6 +1122,63 @@ def distinct_on(ds, keys: list[str], *, order_col: str | None = None,
         return shuffle_finish(cand_ds)
 
 
+def priority_sample(ds, id_col: str, weight_col: str, *, k: int,
+                    digits: int = 13) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (priority
+    sampling, Duffield/Lund/Thorup 2007, public): each row gets
+    priority ``h / w`` where ``h`` is the first ``digits`` hex chars of
+    md5(str(id)) (13 hex → < 2^52, exactly representable as a double)
+    and ``w`` its positive integer weight; the sample is the k rows
+    with the SMALLEST priorities.  The per-row estimator
+    ``est = max(w, τ)`` with τ the (k+1)-th smallest priority is
+    unbiased for every item's weight (and Σ est estimates the
+    population total).
+
+    Cross-engine contract: one IEEE double division of exactly-
+    representable integers — numpy and DuckDB produce identical bits,
+    so the whole sample INCLUDING the float priorities hash-matches an
+    ORDER BY h/w LIMIT k oracle.  Heavier rows sort earlier in
+    expectation (h uniform, larger w shrinks h/w) — the weighted
+    inclusion property.
+
+    Scale shape: per-batch local (k+1)-smallest (a valid combiner —
+    the global k+1 smallest survive any local k+1 cut), driver merge
+    over ≤ (k+1)×batches candidate rows.  No shuffle, no RNG state;
+    re-runs and other engines select identical rows."""
+    import hashlib
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([
+            int(hashlib.md5(s.encode()).hexdigest()[:digits], 16)
+            for s in b[id_col].astype(str)
+        ], dtype=np.int64)
+        w = b[weight_col].to_numpy(np.int64)
+        if (w <= 0).any():
+            raise ValueError("priority_sample weights must be positive")
+        prio = h.astype(np.float64) / w.astype(np.float64)
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                            weight_col: w, "priority": prio})
+        return out.nsmallest(k + 1, "priority", keep="all")
+
+    cand = pd.concat(
+        list(ds.map_batches(combine, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    ).sort_values(["priority", id_col], kind="mergesort")
+    top = cand.head(k).copy()
+    if len(cand) > k:
+        # DLT priorities are w/u (largest-k); ours are the inverted
+        # u·SCALE/w (smallest-k), so their threshold is SCALE/τ — the
+        # estimator ŵ = max(w, SCALE/τ) is unbiased per item
+        tau = float(cand["priority"].iloc[k])
+        top["est_weight"] = np.maximum(
+            top[weight_col].to_numpy(np.float64),
+            float(16 ** digits) / tau)
+    else:  # population ≤ k: census, estimator degenerates to the weight
+        top["est_weight"] = top[weight_col].astype(np.float64)
+    return top.reset_index(drop=True)
+
+
 def hash_sample(ds, id_col: str, *, rate: float | None = None,
                 rates: dict | None = None, group_col: str | None = None,
                 digits: int = 4):

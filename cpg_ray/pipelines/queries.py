@@ -1584,6 +1584,29 @@ def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sample_priority(sf_dir: str) -> pd.DataFrame:
+    """Priority sampling (Duffield/Lund/Thorup): deterministic weighted
+    sampling WITHOUT replacement of 50 events, weight = value cents + 1
+    — the reproducible weighted analog of q_doc_sample_hash.  The k
+    smallest md5-priorities h/w, their IEEE-exact double priorities AND
+    the unbiased max(w, 2^52/τ) estimator all hash-match the SQL
+    oracle."""
+    from ..functions.relational import priority_sample
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def addw(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.floor(np.abs(b["value"].to_numpy()) * 100 + 0.5)
+        return pd.DataFrame({"event_id": b["event_id"],
+                             "weight": w.astype("int64") + 1})
+
+    df = priority_sample(
+        ds.map_batches(addw, batch_format="pandas"),
+        "event_id", "weight", k=50,
+    )
+    return df.astype({"event_id": "int64", "weight": "int64"})
+
+
 def q_embedding_centroid(sf_dir: str) -> pd.DataFrame:
     """Per-label embedding centroid, integer-quantized for exactness:
     q = floor(x·2^20) (float32→double and ×2^20 are IEEE-exact, floor
@@ -4691,6 +4714,29 @@ def _sem_dedup_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int,
         GROUP BY p.vec_id, p.cluster
         ORDER BY p.vec_id""")
 
+
+ORACLE_SQL["q_sample_priority"] = """
+    WITH w AS (
+        SELECT event_id,
+               floor(abs(value) * 100 + 0.5)::BIGINT + 1 AS weight,
+               ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT
+                   AS h
+        FROM events
+    ), p AS (
+        SELECT event_id, weight,
+               h::DOUBLE / weight::DOUBLE AS priority
+        FROM w
+    ), tau AS (
+        SELECT priority AS t FROM p
+        ORDER BY priority, event_id
+        LIMIT 1 OFFSET 50
+    )
+    SELECT event_id, weight, priority,
+           greatest(weight::DOUBLE,
+                    4503599627370496.0 / (SELECT t FROM tau))
+               AS est_weight
+    FROM p ORDER BY priority, event_id LIMIT 50
+"""
 
 ORACLE_SQL["q_events_cms"] = """
     WITH cnt AS (

@@ -1340,3 +1340,42 @@ def test_setjoin_prefix_no_pairs():
     # Dataset keeps the typed schema (to_pandas on a 0-row Dataset
     # drops columns — a Ray quirk, not the operator's contract)
     assert pairs.schema().names == ["a", "b", "inter", "union", "jaccard"]
+
+
+def test_priority_sample_brute_force_and_batch_invariance():
+    """priority_sample == the k globally-smallest md5 h/w priorities
+    (pure-python brute force), with the DLT max(w, 2^52/tau) estimator;
+    batch boundaries must not change the sample."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import priority_sample
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": np.arange(500),
+                       "w": rng.integers(1, 1000, 500).astype("int64")})
+    got = priority_sample(rd.from_pandas(df), "id", "w", k=20)
+
+    prio = {
+        int(r.id): int(hashlib.md5(str(r.id).encode()).hexdigest()[:13],
+                       16) / r.w
+        for r in df.itertuples()
+    }
+    order = sorted(prio, key=lambda i: (prio[i], i))
+    assert got["id"].tolist() == order[:20]
+    tau = prio[order[20]]
+    want_est = np.maximum(got["w"].to_numpy(np.float64), (16.0**13) / tau)
+    assert (got["est_weight"].to_numpy() == want_est).all()
+
+    got2 = priority_sample(rd.from_pandas(df).repartition(17),
+                           "id", "w", k=20)
+    pd.testing.assert_frame_equal(got, got2)
+
+    # census case: k >= population -> everything, est == w
+    small = priority_sample(rd.from_pandas(df.head(5)), "id", "w", k=20)
+    assert len(small) == 5
+    assert (small["est_weight"].to_numpy()
+            == small["w"].to_numpy(np.float64)).all()
