@@ -1821,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_cms": q.q_events_cms,
         "kg_c4_filter": _kg_c4_filter,
         "q_sample_priority": q.q_sample_priority,
+        "q_doc_hearst": q.q_doc_hearst,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,

@@ -897,6 +897,66 @@ def c4_rules(batch: pd.DataFrame, *, text_col: str = "text",
     return out
 
 
+# Classic Hearst hyponymy patterns (Hearst 1992, public), RE2-
+# compatible and lowercase-word shaped so a SQL oracle can run the
+# IDENTICAL regexes: (name, regex, hypernym_group, hyponym_groups).
+# Groups are 1-based (pandas extract columns are group-1 at index 0).
+HEARST_PATTERNS: list[tuple[str, str, int, tuple[int, ...]]] = [
+    ("such_as",
+     r"([a-z]+) such as ([a-z]+), ([a-z]+) and ([a-z]+)", 1, (2, 3, 4)),
+    ("and_other", r"([a-z]+) and other ([a-z]+)", 2, (1,)),
+    ("including", r"([a-z]+), including ([a-z]+) and ([a-z]+)", 1, (2, 3)),
+    ("especially", r"([a-z]+), especially ([a-z]+)", 1, (2,)),
+]
+
+
+def hearst_triples(docs_ds, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   patterns=None):
+    """Hearst-pattern relation extraction: mine (hyponym, isa,
+    hypernym) triples from raw text via the classic lexico-syntactic
+    patterns — the textbook KG-construction bootstrap for taxonomy
+    edges (Hearst 1992; used at scale by e.g. WebIsA/KnowItAll).
+
+    Batch-local flat-map: each pattern runs ONE vectorized
+    ``str.extract`` over the batch (first match per document — the
+    generated corpora carry at most one instance), then matched rows
+    fan out one triple per hyponym group.  No shuffle, no state; the
+    pattern table is data, so domain-specific pattern sets drop in
+    without code changes.  Returns rows (id, pattern, subj, pred='isa',
+    obj, hypo_idx)."""
+    pats = HEARST_PATTERNS if patterns is None else patterns
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for name, rex, hyper_g, hypo_gs in pats:
+            ext = b[text_col].str.extract(rex)  # col i == group i+1
+            hit = ext[hyper_g - 1].notna()
+            if not hit.any():
+                continue
+            for idx, g in enumerate(hypo_gs, start=1):
+                frames.append(pd.DataFrame({
+                    id_col: b.loc[hit, id_col].to_numpy(),
+                    "pattern": name,
+                    "subj": ext.loc[hit, g - 1].to_numpy(),
+                    "pred": "isa",
+                    "obj": ext.loc[hit, hyper_g - 1].to_numpy(),
+                    "hypo_idx": np.int64(idx),
+                }))
+        if not frames:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "pattern": pd.Series(dtype="object"),
+                "subj": pd.Series(dtype="object"),
+                "pred": pd.Series(dtype="object"),
+                "obj": pd.Series(dtype="object"),
+                "hypo_idx": pd.Series(dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    return docs_ds.map_batches(extract, batch_format="pandas")
+
+
 # ---- unigram LM document scoring (corpus-frequency features) ---------------
 
 

@@ -1584,6 +1584,36 @@ def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_hearst(sf_dir: str) -> pd.DataFrame:
+    """Hearst-pattern (hyponym, isa, hypernym) extraction over
+    documents carrying deterministically appended pattern sentences
+    (doc_id % 7 selects the pattern, the doc's own first tokens are
+    the hyponyms — same injected-true-positives device as
+    _docs_with_dupes).  The SQL oracle rebuilds the identical
+    augmented text and runs the IDENTICAL RE2 regexes."""
+    import ray.data as rd
+
+    from ..functions.text import hearst_triples
+
+    base = _pq(sf_dir, "documents", ["doc_id", "text"])
+    toks = base.text.str.split(" ")
+    w1, w2, w3 = toks.str[0], toks.str[1], toks.str[2]
+    mod = base.doc_id % 7
+    t = base.text.copy()
+    t[mod == 0] = (base.text + " systems such as " + w1 + ", " + w2
+                   + " and " + w3 + ".")[mod == 0]
+    t[mod == 1] = (base.text + " " + w1 + " and other engines.")[mod == 1]
+    t[mod == 2] = (base.text + " operators, including " + w2 + " and "
+                   + w3 + ".")[mod == 2]
+    t[mod == 3] = (base.text + " frameworks, especially " + w1
+                   + ".")[mod == 3]
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": base.doc_id, "text": t}))
+    df = hearst_triples(docs).to_pandas()
+    df = df.astype({"doc_id": "int64", "hypo_idx": "int64"})
+    return df.sort_values(["doc_id", "pattern", "hypo_idx"]).reset_index(
+        drop=True)
+
+
 def q_sample_priority(sf_dir: str) -> pd.DataFrame:
     """Priority sampling (Duffield/Lund/Thorup): deterministic weighted
     sampling WITHOUT replacement of 50 events, weight = value cents + 1
@@ -4714,6 +4744,69 @@ def _sem_dedup_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int,
         GROUP BY p.vec_id, p.cluster
         ORDER BY p.vec_id""")
 
+
+ORACLE_SQL["q_doc_hearst"] = """
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents
+    ), aug AS (
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN text || ' systems such as ' || w[1] || ', '
+                             || w[2] || ' and ' || w[3] || '.'
+                 WHEN 1 THEN text || ' ' || w[1] || ' and other engines.'
+                 WHEN 2 THEN text || ' operators, including ' || w[2]
+                             || ' and ' || w[3] || '.'
+                 WHEN 3 THEN text || ' frameworks, especially ' || w[1]
+                             || '.'
+                 ELSE text END AS text
+        FROM t
+    ), m AS (
+        SELECT doc_id, 'such_as' AS pattern,
+               regexp_extract(text,
+                   '([a-z]+) such as ([a-z]+), ([a-z]+) and ([a-z]+)',
+                   1) AS obj,
+               [regexp_extract(text,
+                   '([a-z]+) such as ([a-z]+), ([a-z]+) and ([a-z]+)', 2),
+                regexp_extract(text,
+                   '([a-z]+) such as ([a-z]+), ([a-z]+) and ([a-z]+)', 3),
+                regexp_extract(text,
+                   '([a-z]+) such as ([a-z]+), ([a-z]+) and ([a-z]+)', 4)]
+                   AS subjs
+        FROM aug
+        WHERE regexp_matches(text,
+                  '([a-z]+) such as ([a-z]+), ([a-z]+) and ([a-z]+)')
+        UNION ALL
+        SELECT doc_id, 'and_other',
+               regexp_extract(text, '([a-z]+) and other ([a-z]+)', 2),
+               [regexp_extract(text, '([a-z]+) and other ([a-z]+)', 1)]
+        FROM aug
+        WHERE regexp_matches(text, '([a-z]+) and other ([a-z]+)')
+        UNION ALL
+        SELECT doc_id, 'including',
+               regexp_extract(text,
+                   '([a-z]+), including ([a-z]+) and ([a-z]+)', 1),
+               [regexp_extract(text,
+                   '([a-z]+), including ([a-z]+) and ([a-z]+)', 2),
+                regexp_extract(text,
+                   '([a-z]+), including ([a-z]+) and ([a-z]+)', 3)]
+        FROM aug
+        WHERE regexp_matches(text,
+                  '([a-z]+), including ([a-z]+) and ([a-z]+)')
+        UNION ALL
+        SELECT doc_id, 'especially',
+               regexp_extract(text, '([a-z]+), especially ([a-z]+)', 1),
+               [regexp_extract(text, '([a-z]+), especially ([a-z]+)', 2)]
+        FROM aug
+        WHERE regexp_matches(text, '([a-z]+), especially ([a-z]+)')
+    )
+    SELECT doc_id, pattern,
+           unnest(subjs) AS subj, 'isa' AS pred, obj,
+           unnest(generate_series(1, array_length(subjs)))::BIGINT
+               AS hypo_idx
+    FROM m
+    ORDER BY doc_id, pattern, hypo_idx
+"""
 
 ORACLE_SQL["q_sample_priority"] = """
     WITH w AS (

@@ -1379,3 +1379,39 @@ def test_priority_sample_brute_force_and_batch_invariance():
     assert len(small) == 5
     assert (small["est_weight"].to_numpy()
             == small["w"].to_numpy(np.float64)).all()
+
+
+def test_hearst_triples_fixture():
+    """Every Hearst pattern extracts the right (hyponym, isa,
+    hypernym) triples; a doc with two patterns yields both; unmatched
+    docs yield nothing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import hearst_triples
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "we ship databases such as duckdb, sqlite and postgres.",
+            "spark and other engines scale out.",
+            "filters, including bloom and cuckoo. joins, especially hash.",
+            "nothing to see here",
+            "frameworks, especially ray.",
+        ],
+    })
+    got = hearst_triples(rd.from_pandas(docs)).to_pandas()
+    got = got.sort_values(["doc_id", "pattern", "hypo_idx"]).reset_index(
+        drop=True)
+    assert got[got.doc_id == 1].subj.tolist() == ["duckdb", "sqlite",
+                                                  "postgres"]
+    assert (got[got.doc_id == 1].obj == "databases").all()
+    assert got[got.doc_id == 2].subj.tolist() == ["spark"]
+    assert got[got.doc_id == 2].obj.tolist() == ["engines"]
+    d3 = got[got.doc_id == 3]
+    assert set(d3.pattern) == {"including", "especially"}
+    assert d3[d3.pattern == "including"].subj.tolist() == ["bloom",
+                                                           "cuckoo"]
+    assert d3[d3.pattern == "especially"].subj.tolist() == ["hash"]
+    assert 4 not in set(got.doc_id)
+    assert (got.pred == "isa").all()
