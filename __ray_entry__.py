@@ -735,6 +735,27 @@ def _kg_snapshot_merge(sf_dir: str):
     return df.sort_values(["status"] + cols).reset_index(drop=True)
 
 
+def _kg_rdfs_closure(sf_dir: str):
+    """RDFS entailment materialization (rdfs2 domain / rdfs3 range /
+    rdfs9 subclass inheritance) over the extracted triples against the
+    static world ontology — every derivable type fact with min-
+    provenance, verified against a recursive-CTE subclass closure in
+    SQL."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import rdfs_closure
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj"],
+    )
+    df = rdfs_closure(tri).to_pandas()
+    return df.sort_values(["entity", "cls"]).reset_index(drop=True)
+
+
 def _kg_hot_entities(sf_dir: str):
     """Top entities by mention count computed through the SALTED
     TWO-PHASE shuffle vocab path (A2/G7 analog — the skew-safe
@@ -1822,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_c4_filter": _kg_c4_filter,
         "q_sample_priority": q.q_sample_priority,
         "q_doc_hearst": q.q_doc_hearst,
+        "kg_rdfs_closure": _kg_rdfs_closure,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,
@@ -2602,6 +2624,58 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        # RDFS closure: recursive-CTE reflexive-transitive subclass
+        # closure over the literal ontology, joined to base facts
+        # (prefix-asserted + rdfs2 domain + rdfs3 range), min-provenance
+        "kg_rdfs_closure": f"""
+            WITH RECURSIVE edges(sub, sup) AS (
+                SELECT * FROM (VALUES
+                    ('person', 'agent'), ('org', 'agent'),
+                    ('city', 'place'), ('country', 'place'),
+                    ('agent', 'entity'), ('place', 'entity')) v(sub, sup)
+            ), cls(c) AS (
+                SELECT sub FROM edges UNION SELECT sup FROM edges
+            ), up(c, d) AS (
+                SELECT c, c FROM cls
+                UNION
+                SELECT up.c, e.sup FROM up JOIN edges e ON e.sub = up.d
+            ), t AS (
+                SELECT canonical_subj AS s, pred AS p, canonical_obj AS o
+                FROM read_parquet('{triples_glob}')
+            ), base AS (
+                SELECT DISTINCT e, c, src FROM (
+                    SELECT s AS e,
+                           CASE substr(s, 1, 1) WHEN 'P' THEN 'person'
+                                WHEN 'O' THEN 'org' WHEN 'C' THEN 'city'
+                                WHEN 'K' THEN 'country' END AS c,
+                           'asserted' AS src
+                    FROM t
+                    UNION ALL
+                    SELECT o,
+                           CASE substr(o, 1, 1) WHEN 'P' THEN 'person'
+                                WHEN 'O' THEN 'org' WHEN 'C' THEN 'city'
+                                WHEN 'K' THEN 'country' END,
+                           'asserted'
+                    FROM t
+                    UNION ALL
+                    SELECT t.s, d.c, 'domain'
+                    FROM t JOIN (VALUES
+                        ('born_in', 'person'), ('works_for', 'person'),
+                        ('based_in', 'org'), ('located_in', 'city'))
+                        d(p, c) ON d.p = t.p
+                    UNION ALL
+                    SELECT t.o, r.c, 'range'
+                    FROM t JOIN (VALUES
+                        ('born_in', 'city'), ('works_for', 'org'),
+                        ('based_in', 'city'), ('located_in', 'country'))
+                        r(p, c) ON r.p = t.p
+                ) WHERE c IS NOT NULL
+            )
+            SELECT b.e AS entity, up.d AS cls, min(b.src) AS provenance
+            FROM base b JOIN up ON up.c = b.c
+            GROUP BY b.e, up.d
+            ORDER BY entity, cls
         """,
         "kg_empty_sections": f"""
             SELECT s.node_id, s.name, s.url

@@ -196,6 +196,99 @@ def signature_violations(triples_ds):
     return out.sort_values(["pred", "skind", "okind"]).reset_index(drop=True)
 
 
+# Static ontology for RDFS entailment over the world's four
+# predicates: the subclass DAG and per-predicate domain/range
+# declarations.  KB-sized by nature (an ontology is authored, not
+# mined), so broadcasting its transitive closure is the scale-correct
+# posture — the closure never grows with the corpus.
+RDFS_SUBCLASS = (("person", "agent"), ("org", "agent"),
+                 ("city", "place"), ("country", "place"),
+                 ("agent", "entity"), ("place", "entity"))
+RDFS_DOMAIN = {"born_in": "person", "works_for": "person",
+               "based_in": "org", "located_in": "city"}
+RDFS_RANGE = {"born_in": "city", "works_for": "org",
+              "based_in": "city", "located_in": "country"}
+
+
+def rdfs_closure(triples_ds, *, subclass=RDFS_SUBCLASS,
+                 domain=RDFS_DOMAIN, range_=RDFS_RANGE,
+                 mode: str = "auto"):
+    """RDFS entailment materialization over the triple set (W3C RDF
+    Schema semantics, public): every type fact derivable from
+
+    - asserted types (entity-id prefix → class, the world's contract),
+    - **rdfs2** domain(p, C) ∧ (s, p, o) ⇒ type(s, C),
+    - **rdfs3** range(p, C) ∧ (s, p, o) ⇒ type(o, C),
+    - **rdfs9** type(x, C) ∧ C ⊑* D ⇒ type(x, D) (reflexive-transitive
+      subclass closure),
+
+    with per-fact provenance = min('asserted' | 'domain' | 'range')
+    over all derivations (asserted wins; deterministic).
+
+    Scale shape: the subclass closure is computed on the driver (the
+    ontology is KB-sized) and applied inside ONE ``map_batches`` pass
+    that emits base + superclass facts per batch; the only exchange is
+    the final distinct (groupby min over (entity, class)) — mention
+    multiplicity collapses inside each batch first.  Returns a Dataset
+    (entity, cls, provenance)."""
+    from .relational import groupby_agg
+
+    # reflexive-transitive closure of the (tiny) subclass DAG
+    up: dict[str, set] = {}
+    for c in {c for e in subclass for c in e} | set(domain.values()) \
+            | set(range_.values()):
+        up[c] = {c}
+    changed = True
+    while changed:
+        changed = False
+        for sub, sup in subclass:
+            new = up[sub] | up.get(sup, {sup})
+            if new != up[sub]:
+                up[sub] = new
+                changed = True
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ent_col, cls_of, src in (
+            ("canonical_subj", None, "asserted"),
+            ("canonical_obj", None, "asserted"),
+            ("canonical_subj", domain, "domain"),
+            ("canonical_obj", range_, "range"),
+        ):
+            e = b[ent_col]
+            if cls_of is None:
+                c = e.str[0].map(_KIND)
+            else:
+                c = b["pred"].map(cls_of)
+            keep = c.notna()
+            rows.append(pd.DataFrame({
+                "entity": e[keep].to_numpy(),
+                "cls": c[keep].to_numpy(),
+                "provenance": src,
+            }))
+        base = pd.concat(rows, ignore_index=True).drop_duplicates()
+        # rdfs9: expand along the broadcast closure
+        out = []
+        for c, sups in up.items():
+            hit = base[base.cls == c]
+            if not len(hit):
+                continue
+            for d in sorted(sups):
+                out.append(pd.DataFrame({
+                    "entity": hit.entity.to_numpy(),
+                    "cls": d,
+                    "provenance": hit.provenance.to_numpy(),
+                }))
+        allf = pd.concat(out, ignore_index=True)
+        # batch-local distinct-min shrinks the exchange
+        return (allf.groupby(["entity", "cls"], sort=False)["provenance"]
+                .min().reset_index())
+
+    facts = triples_ds.map_batches(emit, batch_format="pandas")
+    return groupby_agg(facts, ["entity", "cls"],
+                       [("provenance", "min", "provenance")], mode=mode)
+
+
 def snapshot_merge(old_ds, new_ds, *,
                    keys=("canonical_subj", "pred", "canonical_obj"),
                    functional=FUNCTIONAL_PREDS,

@@ -132,3 +132,42 @@ def test_snapshot_merge_noop_recrawl_and_empty_splits():
            for r in out2.itertuples()}
     assert got == {("P1", "born_in", "C1"): "carried",
                    ("P9", "visited", "C9"): "added"}
+
+
+def test_rdfs_closure_rules_and_provenance():
+    """Pins rdfs2 (domain), rdfs3 (range), rdfs9 (subclass walk to
+    entity), min-provenance (asserted < domain < range), and that a
+    mis-kinded subject picks up BOTH its asserted and inferred types."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import rdfs_closure
+
+    tri = pd.DataFrame({
+        "canonical_subj": ["P1", "C9", "inf:x"],
+        "pred": ["born_in", "works_for", "located_in"],
+        "canonical_obj": ["C2", "O3", "K4"],
+    })
+    got = rdfs_closure(rd.from_pandas(tri)).to_pandas()
+    m = {(r.entity, r.cls): r.provenance for r in got.itertuples()}
+
+    # P1: asserted person, domain also says person -> asserted wins;
+    # rdfs9 walks person -> agent -> entity with the same provenance
+    assert m[("P1", "person")] == "asserted"
+    assert m[("P1", "agent")] == "asserted"
+    assert m[("P1", "entity")] == "asserted"
+    # C9 works_for: asserted city AND domain-inferred person coexist
+    assert m[("C9", "city")] == "asserted"
+    assert m[("C9", "person")] == "domain"
+    assert m[("C9", "place")] == "asserted"
+    assert m[("C9", "agent")] == "domain"
+    # inf:x has no asserted kind; rdfs2 types it city -> place -> entity
+    assert m[("inf:x", "city")] == "domain"
+    assert m[("inf:x", "place")] == "domain"
+    assert ("inf:x", "person") not in m
+    # rdfs3 range: O3 gets org via range, K4 country via range — but
+    # both are ALSO asserted by prefix, so asserted wins
+    assert m[("O3", "org")] == "asserted"
+    assert m[("K4", "country")] == "asserted"
+    # C2 (object of born_in): range says city, asserted city -> asserted
+    assert m[("C2", "city")] == "asserted"
