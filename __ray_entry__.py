@@ -799,6 +799,21 @@ def _entity_edges(sf_dir: str):
     )
 
 
+def _kg_modularity(sf_dir: str):
+    """Newman modularity of the entity-kind partition over the
+    canonical entity graph — exact integer numerators
+    (q_scaled = 4·m·L_c − D_c²) so the per-community table
+    hash-matches the SQL definition."""
+    from cpg_ray.functions.fusion import _KIND
+    from cpg_ray.functions.graphalgo import modularity
+
+    return modularity(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj",
+        label_of=lambda s: s.str[0].map(_KIND).fillna("inferred"),
+    )
+
+
 def _kg_sssp(sf_dir: str):
     """Weighted shortest distance to the nearest ORGANIZATION (the
     kg_bfs_dist seeds) under md5-seam edge weights in [1, 9] derived
@@ -1844,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_priority": q.q_sample_priority,
         "q_doc_hearst": q.q_doc_hearst,
         "kg_rdfs_closure": _kg_rdfs_closure,
+        "kg_modularity": _kg_modularity,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,
@@ -2624,6 +2640,50 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        # Newman modularity of the kind partition: exact integer
+        # numerators over the distinct undirected entity graph
+        "kg_modularity": f"""
+            WITH e0 AS (
+                SELECT DISTINCT
+                       least(canonical_subj, canonical_obj) AS a,
+                       greatest(canonical_subj, canonical_obj) AS b
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+            ), ke AS (
+                SELECT a, b,
+                       CASE substr(a, 1, 1) WHEN 'P' THEN 'person'
+                            WHEN 'O' THEN 'org' WHEN 'C' THEN 'city'
+                            WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS ka,
+                       CASE substr(b, 1, 1) WHEN 'P' THEN 'person'
+                            WHEN 'O' THEN 'org' WHEN 'C' THEN 'city'
+                            WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS kb
+                FROM e0
+            ), lab AS (
+                SELECT a AS v, ka AS cls FROM ke
+                UNION ALL
+                SELECT b, kb FROM ke
+            ), deg AS (
+                SELECT cls, count(*)::BIGINT AS degree_sum
+                FROM lab GROUP BY cls
+            ), intra AS (
+                SELECT ka AS cls, count(*)::BIGINT AS intra_edges
+                FROM ke WHERE ka = kb GROUP BY ka
+            ), nn AS (
+                SELECT cls, count(DISTINCT v)::BIGINT AS n_nodes
+                FROM lab GROUP BY cls
+            ), mm AS (SELECT count(*)::BIGINT AS m FROM e0)
+            SELECT d.cls, nn.n_nodes,
+                   coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+                   d.degree_sum,
+                   (4 * (SELECT m FROM mm) * coalesce(i.intra_edges, 0)
+                    - d.degree_sum * d.degree_sum)::BIGINT AS q_scaled,
+                   (SELECT m FROM mm) AS m_edges
+            FROM deg d JOIN nn USING (cls)
+            LEFT JOIN intra i USING (cls)
+            ORDER BY d.cls
         """,
         # RDFS closure: recursive-CTE reflexive-transitive subclass
         # closure over the literal ontology, joined to base facts

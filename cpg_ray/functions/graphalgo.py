@@ -3193,3 +3193,75 @@ def harmonic_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
     return out.map_batches(
         lambda t: t.assign(harmonic=t["harmonic"].astype("int64")),
         batch_format="pandas").sort("entity")
+
+
+def modularity(edges_ds, *, src: str = "src", dst: str = "dst",
+               label_of, mode: str = "auto") -> pd.DataFrame:
+    """Newman modularity of a node partition over the undirected
+    simple graph (Newman & Girvan 2004, public), in EXACT integer
+    semantics: per community c the table carries L_c (intra-community
+    edges), D_c (degree sum), n_nodes and the integer numerator
+    ``q_scaled = 4·m·L_c − D_c²`` with m the total edge count, so
+    ``Q = Σ_c q_scaled / (4·m²)`` — every reported value is an int64
+    and hash-matches any engine computing the same definition.
+
+    ``label_of`` is a VECTORIZED labeller (pd.Series ids →
+    pd.Series labels) for id-derivable partitions (entity kind,
+    hash buckets); a labels TABLE (e.g. LPA output) joins onto the
+    edge list via hash_join first and uses label columns directly.
+
+    Scale shape: canonical undirected dedup (distinct_on, auto mode)
+    → ONE stats pass whose per-batch combiner emits ≤ |communities|
+    rows (degree and intra partials) → tiny groupby; n_nodes adds a
+    (cls, node) distinct.  The per-community finish is driver-side
+    over a communities-sized table."""
+    from .relational import distinct_on, groupby_agg
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        return _canon_undirected(b, src, dst)
+
+    eu = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], mode=mode,
+    ).materialize()
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        la, lb = label_of(b["a"]), label_of(b["b"])
+        deg = pd.concat([la, lb]).value_counts()
+        intra = la[la.to_numpy() == lb.to_numpy()].value_counts()
+        return pd.DataFrame({
+            "cls": deg.index,
+            "degree_sum": deg.to_numpy(np.int64),
+            "intra_edges": pd.Series(deg.index.map(intra))
+                           .fillna(0).to_numpy(np.int64),
+        })
+
+    agg = groupby_agg(
+        eu.map_batches(stats, batch_format="pandas"),
+        ["cls"], [("degree_sum", "sum", "degree_sum"),
+                  ("intra_edges", "sum", "intra_edges")],
+    ).to_pandas()
+
+    def nodes(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat([
+            pd.DataFrame({"cls": label_of(b["a"]), "v": b["a"]}),
+            pd.DataFrame({"cls": label_of(b["b"]), "v": b["b"]}),
+        ]).drop_duplicates()
+        return out
+
+    nn = groupby_agg(
+        distinct_on(eu.map_batches(nodes, batch_format="pandas"),
+                    ["cls", "v"], mode=mode),
+        ["cls"], [("v", "count", "n_nodes")],
+    ).to_pandas()
+
+    out = agg.merge(nn, on="cls", how="left")
+    m = int(out["degree_sum"].sum()) // 2
+    out["q_scaled"] = 4 * m * out["intra_edges"] - out["degree_sum"] ** 2
+    out["m_edges"] = m
+    out = out.astype({c: "int64" for c in
+                      ("degree_sum", "intra_edges", "n_nodes",
+                       "q_scaled", "m_edges")})
+    return out[["cls", "n_nodes", "intra_edges", "degree_sum",
+                "q_scaled", "m_edges"]].sort_values("cls").reset_index(
+        drop=True)

@@ -1161,3 +1161,36 @@ def test_chunked_expansions_match_single_chunk(monkeypatch):
                                      mode="driver").to_pandas()
     pd.testing.assert_frame_equal(big_t, small_t)
     pd.testing.assert_frame_equal(big_h, small_h)
+
+
+def test_modularity_brute_force():
+    """modularity == the textbook Q computed by brute force on a small
+    labelled graph, q_scaled/(4m^2) identity included; label_of is a
+    plain dict map."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import modularity
+
+    # two triangles bridged by one edge + a duplicate/reversed edge +
+    # a self-loop (both must be ignored)
+    e = pd.DataFrame({
+        "src": ["a", "b", "c", "x", "y", "z", "c", "b", "a"],
+        "dst": ["b", "c", "a", "y", "z", "x", "x", "a", "a"],
+    })
+    lab = {"a": "L", "b": "L", "c": "L", "x": "R", "y": "R", "z": "R"}
+    got = modularity(rd.from_pandas(e), src="src", dst="dst",
+                     label_of=lambda s: s.map(lab))
+    m = 7  # 3 + 3 + bridge
+    assert (got.m_edges == m).all()
+    row = got.set_index("cls")
+    assert row.loc["L", "intra_edges"] == 3
+    assert row.loc["R", "intra_edges"] == 3
+    assert row.loc["L", "degree_sum"] == 7  # 6 + bridge endpoint c
+    assert row.loc["R", "degree_sum"] == 7
+    assert row.loc["L", "n_nodes"] == 3
+    # Q = sum(4mL - D^2)/(4m^2) must equal the textbook value
+    q = got.q_scaled.sum() / (4 * m * m)
+    want = sum((3 / m) - (7 / (2 * m)) ** 2 for _ in range(2))
+    assert abs(q - want) < 1e-12
