@@ -1860,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_hearst": q.q_doc_hearst,
         "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_modularity": _kg_modularity,
+        "q_doc_rerank": q.q_doc_rerank,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,

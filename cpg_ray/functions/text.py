@@ -587,6 +587,86 @@ def bm25_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
                         descending=True, tie_break=id_col)
 
 
+def rerank_search(docs_ds, queries: dict, *, id_col: str = "doc_id",
+                  text_col: str = "text", k_retrieve: int = 20,
+                  top_n: int = 5, ndigits: int = 6):
+    """Retrieve-then-rerank — the standard two-stage retrieval
+    architecture (BM25 recall stage → cross-encoder precision stage,
+    public: e.g. monoBERT, Nogueira & Cho 2019).  Stage 1 takes the
+    BM25 top-``k_retrieve`` per query; stage 2 scores each surviving
+    (query, doc) PAIR and re-ranks to ``top_n``.
+
+    The cross-encoder is a deterministic md5 seam shaped like the real
+    thing: per-pair score = Σ_t w(qid, t)·ln(1 + tf_t,d) + w(qid, d),
+    with both the per-(query, term) weights and the (query, doc)
+    interaction term md5-derived in [0, 1) — swap in a real model by
+    replacing the two weight functions (actor-pool batch inference
+    slot).  Rounded-score ranking with doc-id tie-break keeps top-n
+    sets identical across engines.
+
+    Scale shape: candidates are queries×k_retrieve rows (tiny — ride
+    the task closure); stage 2 is ONE filtered pass over the corpus
+    that computes pair features for candidate docs only, batch-local
+    because a doc's tokens live in its own row.  Driver merge is
+    candidates-sized."""
+    import hashlib
+
+    cand = bm25_search(docs_ds, queries, id_col=id_col,
+                       text_col=text_col, top_n=k_retrieve,
+                       ndigits=ndigits).to_pandas()
+    cand = cand.rename(columns={"score": "bm25_score"})
+    cand_ids = frozenset(cand[id_col])
+    qtok = pd.DataFrame(
+        [(qid, tok) for qid, qtext in sorted(queries.items())
+         for tok in dict.fromkeys(
+             re.findall("[a-z0-9_]+", qtext.lower()))],
+        columns=["qid", "tok"],
+    )
+    qterms = frozenset(qtok["tok"])
+
+    def unit(s: str) -> float:
+        return (int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                % 1000) / 1000.0
+
+    def pair_scores(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch[id_col].isin(cand_ids)]
+        empty = pd.DataFrame({"qid": pd.Series([], dtype=object),
+                              id_col: pd.Series([], dtype=object),
+                              "ce_raw": pd.Series([], dtype="float64")})
+        if b.empty:
+            return empty
+        t = _tf_frame(b, id_col, text_col)
+        t = t[t["tok"].isin(qterms)]
+        m = t.merge(qtok, on="tok")
+        if m.empty:
+            return empty
+        w = np.array([unit(f"{q}|{tok}")
+                      for q, tok in zip(m["qid"], m["tok"])])
+        m = m.assign(contrib=w * np.log(1.0 + m["tf"].to_numpy(
+            np.float64)))
+        return (m.groupby(["qid", id_col], sort=False)["contrib"]
+                .sum().reset_index(name="ce_raw"))
+
+    # batch_size=None: a doc's rows are contiguous within its block,
+    # so per-pair sums are total (the bm25_search invariant)
+    ce = pd.concat(
+        list(docs_ds.map_batches(pair_scores, batch_format="pandas",
+                                 batch_size=None)
+             .iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    )
+    out = cand.merge(ce, on=["qid", id_col], how="left")
+    inter = np.array([unit(f"{q}|{d}")
+                      for q, d in zip(out["qid"], out[id_col])])
+    out["ce_score"] = (out["ce_raw"].fillna(0.0) + inter).round(ndigits)
+    out = out.drop(columns=["ce_raw"])
+    out = out.sort_values(["qid", "ce_score", id_col],
+                          ascending=[True, False, True])
+    out["rank"] = (out.groupby("qid", sort=False).cumcount()
+                   + 1).astype("int64")
+    return out[out["rank"] <= top_n].reset_index(drop=True)
+
+
 # PII patterns kept RE2-compatible (no lookarounds, non-capturing
 # groups) so the DuckDB oracle runs the IDENTICAL expressions;
 # redaction applies in this exact order in both engines.

@@ -504,6 +504,19 @@ def q_doc_bm25_search(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)[["qid", "doc_id", "score"]]
 
 
+def q_doc_rerank(sf_dir: str) -> pd.DataFrame:
+    """Retrieve-then-rerank: BM25 top-20 recall stage, md5-seam
+    cross-encoder pair scoring (Σ_t w(q,t)·ln(1+tf) + w(q,d)), top-5
+    per query — the two-stage architecture every production retrieval
+    stack runs; the SQL oracle reproduces both stages bit-for-bit."""
+    from ..functions.text import rerank_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = rerank_search(docs, BM25_SEARCH_QUERIES, k_retrieve=20, top_n=5)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 SPARSE_SEARCH_QUERIES = {"qa": "hash join", "qb": "window sort",
                          "qc": "stream batch"}
 
@@ -4744,6 +4757,74 @@ def _sem_dedup_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int,
         GROUP BY p.vec_id, p.cluster
         ORDER BY p.vec_id""")
 
+
+ORACLE_SQL["q_doc_rerank"] = """
+    WITH qt(qid, tok) AS (VALUES ('qa', 'hash'), ('qa', 'join'),
+        ('qa', 'order'), ('qb', 'window'), ('qb', 'sort'),
+        ('qb', 'merge'), ('qc', 'spark'), ('qc', 'stream'),
+        ('qc', 'batch')),
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                   AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+           FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+           FROM toks WHERE tok IN (SELECT tok FROM qt)
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS dfreq
+              FROM toks WHERE tok IN (SELECT tok FROM qt)
+              GROUP BY tok),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               ln(((SELECT n FROM n) - dfreq.dfreq + 0.5)
+                  / (dfreq.dfreq + 0.5) + 1)
+               * ((tf.tf * (1.2 + 1))
+                  / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl)
+                                    / (SELECT avgdl FROM ad)))) AS w
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+    ),
+    s AS (SELECT qt.qid, w.doc_id, round(sum(w.w), 6) AS score
+          FROM w JOIN qt USING (tok) GROUP BY qt.qid, w.doc_id),
+    cand AS (
+        SELECT qid, doc_id, score AS bm25_score,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        FROM s
+    ),
+    ce AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(((('0x' || substr(md5(qt.qid || '|' || qt.tok),
+                                     1, 8))::BIGINT % 1000) / 1000.0)
+                   * ln(1 + tf.tf)) AS ce_raw
+        FROM tf JOIN qt USING (tok)
+        GROUP BY qt.qid, tf.doc_id
+    ),
+    fin AS (
+        SELECT c.qid, c.doc_id, c.bm25_score,
+               round(coalesce(ce.ce_raw, 0)
+                     + ((('0x' || substr(md5(c.qid || '|'
+                             || c.doc_id::VARCHAR), 1, 8))::BIGINT
+                         % 1000) / 1000.0), 6) AS ce_score
+        FROM cand c LEFT JOIN ce ON ce.qid = c.qid
+                                AND ce.doc_id = c.doc_id
+        WHERE c.rk <= 20
+    ),
+    rr AS (
+        SELECT qid, doc_id, bm25_score, ce_score,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY ce_score DESC, doc_id)::BIGINT AS "rank"
+        FROM fin
+    )
+    SELECT qid, doc_id, bm25_score, ce_score, "rank"
+    FROM rr WHERE "rank" <= 5
+    ORDER BY qid, "rank"
+"""
 
 ORACLE_SQL["q_doc_hearst"] = """
     WITH t AS (

@@ -1415,3 +1415,39 @@ def test_hearst_triples_fixture():
     assert d3[d3.pattern == "especially"].subj.tolist() == ["hash"]
     assert 4 not in set(got.doc_id)
     assert (got.pred == "isa").all()
+
+
+def test_rerank_search_two_stage_contract():
+    """Rerank output is a subset of the BM25 recall stage, exactly
+    top_n per query, deterministic under repartition, and the ce
+    ordering genuinely differs from bm25's when the seam says so."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import bm25_search, rerank_search
+
+    rng = np.random.default_rng(3)
+    vocab = ["hash", "join", "scan", "sort", "merge", "table", "row"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(80),
+        "text": [" ".join(rng.choice(vocab, 12)) for _ in range(80)],
+    })
+    queries = {"q1": "hash join", "q2": "sort merge"}
+    ds = rd.from_pandas(docs)
+    got = rerank_search(ds, queries, k_retrieve=10, top_n=4)
+    cand = bm25_search(ds, queries, top_n=10).to_pandas()
+
+    assert (got.groupby("qid").size() == 4).all()
+    for qid, sub in got.groupby("qid"):
+        pool = set(cand[cand.qid == qid].doc_id)
+        assert set(sub.doc_id) <= pool
+        assert sub["rank"].tolist() == [1, 2, 3, 4]
+        # ce ordering is by ce_score desc
+        assert (sub.sort_values("rank").ce_score.diff().dropna()
+                <= 0).all()
+
+    got2 = rerank_search(rd.from_pandas(docs).repartition(13),
+                         queries, k_retrieve=10, top_n=4)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got2.reset_index(drop=True))
