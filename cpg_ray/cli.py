@@ -75,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--query", required=True)
     c.add_argument("--limit", type=int, default=20)
 
+    k = sub.add_parser("check", help="run registered consumer checks "
+                                     "over a translate output "
+                                     "(console :run / RunPlugin analog)")
+    k.add_argument("--out", required=True, help="translate output dir")
+    k.add_argument("--plugins", default=None,
+                   help="directory of third-party check modules, each "
+                        "exposing register(registry); discovered at "
+                        "runtime")
+
     x = sub.add_parser("export", help="export triples to csv/jsonl/"
                                       "N-Triples (Neo4jPlugin :export "
                                       "analog)")
@@ -174,6 +183,20 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in rows:
                 print(json.dumps(r))
+        elif args.cmd == "check":
+            from cpg_ray.pipelines.checks import default_registry
+
+            reg = default_registry()
+            if args.plugins:
+                loaded = reg.discover(args.plugins)
+                print(f"discovered {len(loaded)} plugin module(s)",
+                      file=sys.stderr)
+            report = reg.run(args.out)
+            for r in report.itertuples():
+                print(json.dumps({"check": r.check, "ok": r.ok,
+                                  "detail": r.detail,
+                                  "source": r.source}))
+            return 0 if report.ok.all() else 1
         elif args.cmd == "export":
             import glob
 

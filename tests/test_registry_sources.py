@@ -260,3 +260,60 @@ def test_ntriples_roundtrip_and_escaping():
     for ln in lines:
         assert "\n" not in ln and "\t" not in ln
         assert ln.endswith(" .") and ln.count(" ") == 3
+
+
+def test_check_registry_runtime_plugins(tmp_path):
+    """Consumer-check registry (console :run analog): built-ins pass
+    on a well-formed graph; third-party modules dropped in a directory
+    register at RUNTIME; a crashing check and a broken plugin become
+    failed report rows, never exceptions."""
+    import json
+    import subprocess
+    import sys
+
+    from cpg_ray.pipelines.checks import default_registry
+
+    # a tiny translated graph (cached by the conftest-level helpers if
+    # present; build here from the pagegen world otherwise)
+    from cpg_ray.pagegen import cfg_for_variant, materialize_pages
+    from cpg_ray.pipelines.flagship import run_flagship
+
+    cfg = cfg_for_variant("basic")
+    pages = materialize_pages(str(tmp_path / "pages"), 200, cfg, "basic")
+    out = str(tmp_path / "graph")
+    run_flagship(pages, out, cfg, n_shards=2, resume=True)
+
+    plug = tmp_path / "plugins"
+    plug.mkdir()
+    (plug / "good.py").write_text(
+        "def register(registry):\n"
+        "    registry.add('plugin_node_count', lambda ctx: "
+        "(ctx.nodes().count() > 0, 'has nodes'), source='good.py')\n"
+    )
+    (plug / "crashy.py").write_text(
+        "def register(registry):\n"
+        "    def boom(ctx):\n"
+        "        raise RuntimeError('intentional')\n"
+        "    registry.add('plugin_boom', boom, source='crashy.py')\n"
+    )
+    (plug / "broken.py").write_text("this is not python ][\n")
+
+    reg = default_registry()
+    loaded = reg.discover(str(plug))
+    assert len(loaded) == 2  # broken.py fails to load, but is reported
+    report = reg.run(out)
+    rows = report.set_index("check")
+
+    assert rows.loc["triples_nonempty", "ok"]
+    assert rows.loc["no_dangling_edges", "ok"]
+    assert rows.loc["triple_schema", "ok"]
+    assert rows.loc["plugin_node_count", "ok"]
+    assert not rows.loc["plugin_boom", "ok"]
+    assert "intentional" in rows.loc["plugin_boom", "detail"]
+    assert not rows.loc["load:broken.py", "ok"]
+
+    # duplicate names are rejected at registration
+    import pytest
+
+    with pytest.raises(ValueError):
+        reg.add("plugin_boom", lambda ctx: (True, ""))
