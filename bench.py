@@ -125,6 +125,14 @@ BENCH_QUERIES = [
     # round-5: prefix-filtered set-similarity join + KG snapshot upsert
     "q_doc_setjoin_prefix",
     "kg_snapshot_merge",
+    # round-5 continuation additions
+    "q_events_cms",
+    "kg_c4_filter",
+    "q_sample_priority",
+    "q_doc_hearst",
+    "kg_rdfs_closure",
+    "kg_modularity",
+    "q_doc_rerank",
 ]
 
 
