@@ -799,6 +799,18 @@ def _entity_edges(sf_dir: str):
     )
 
 
+def _kg_betweenness(sf_dir: str):
+    """Brandes betweenness centrality over the canonical entity graph,
+    top 50 (rows-only by design: σ-ratio sums are float path
+    fractions, not cross-engine-exact — the kernel is brute-force
+    pinned in pytest; md5 source sampling is the scale path)."""
+    from cpg_ray.functions.graphalgo import betweenness
+
+    df = betweenness(_entity_edges(sf_dir), src="canonical_subj",
+                     dst="canonical_obj")
+    return df.head(50).reset_index(drop=True)
+
+
 def _kg_modularity(sf_dir: str):
     """Newman modularity of the entity-kind partition over the
     canonical entity graph — exact integer numerators
@@ -1869,6 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_packed": q.q_doc_packed,
         "q_doc_bpe_merges": _q_doc_bpe_merges,
         "kg_triples_ctx": _kg_triples_ctx,
+        "kg_betweenness": _kg_betweenness,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "kg_rdfs_closure",
     "kg_modularity",
     "q_doc_rerank",
+    "kg_betweenness",
 ]
 
 

@@ -3265,3 +3265,114 @@ def modularity(edges_ds, *, src: str = "src", dst: str = "dst",
     return out[["cls", "n_nodes", "intra_edges", "degree_sum",
                 "q_scaled", "m_edges"]].sort_values("cls").reset_index(
         drop=True)
+
+
+def _brandes_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                    sources: np.ndarray | None,
+                    ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized Brandes over the indexed undirected simple graph:
+    per source one numpy BFS (dist + path counts σ), then the backward
+    dependency pass grouped by BFS level over the shortest-path DAG
+    edges.  Returns (node codes, raw δ sums, n_nodes)."""
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return nodes, np.zeros(0, np.float64), 0
+    keep = s_i != d_i
+    lo = np.minimum(s_i[keep], d_i[keep])
+    hi = np.maximum(s_i[keep], d_i[keep])
+    ukey = np.unique(lo * n + hi)
+    lo, hi = ukey // n, ukey % n
+    # both directions for BFS and DAG selection
+    a = np.concatenate([lo, hi])
+    b = np.concatenate([hi, lo])
+    order = np.argsort(a, kind="stable")
+    a, b = a[order], b[order]
+    starts = np.searchsorted(a, np.arange(n + 1))
+    bc = np.zeros(n, np.float64)
+    srcs = np.arange(n) if sources is None else sources
+    for s in srcs:
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.float64)
+        dist[s] = 0
+        sigma[s] = 1.0
+        frontier = np.array([s], np.int64)
+        level = 0
+        while len(frontier):
+            # expand all frontier adjacencies at once
+            cnt = starts[frontier + 1] - starts[frontier]
+            u_rep = np.repeat(frontier, cnt)
+            idx = np.concatenate(
+                [np.arange(starts[f], starts[f + 1]) for f in frontier]
+            ) if len(frontier) else np.array([], np.int64)
+            tgt = b[idx]
+            fresh = dist[tgt] == -1
+            dist[tgt[fresh]] = level + 1
+            nxt_mask = dist[tgt] == level + 1
+            np.add.at(sigma, tgt[nxt_mask], sigma[u_rep[nxt_mask]])
+            frontier = np.unique(tgt[fresh])
+            level += 1
+        # backward pass over DAG edges grouped by level of the tail
+        da, db = dist[a], dist[b]
+        dag = (da >= 0) & (db == da + 1)
+        ea, eb, eda = a[dag], b[dag], da[dag]
+        delta = np.zeros(n, np.float64)
+        for lvl in range(level - 1, -1, -1):
+            sel = eda == lvl
+            if not sel.any():
+                continue
+            va, vb = ea[sel], eb[sel]
+            np.add.at(delta, va,
+                      sigma[va] / sigma[vb] * (1.0 + delta[vb]))
+        delta[s] = 0.0
+        bc += delta
+    return nodes, bc, n
+
+
+def betweenness(edges_ds, *, src: str = "src", dst: str = "dst",
+                mode: str = "driver",
+                sample_sources: int | None = None,
+                driver_edge_limit: int = _DEF_EDGE_LIMIT,
+                ndigits: int = 6) -> pd.DataFrame:
+    """Betweenness centrality (Brandes 2001, public) over the
+    undirected simple graph; undirected pair-counting, so raw δ sums
+    halve.  ``sample_sources=k`` runs the deterministic Brandes–Pich
+    2007 source sample (the k md5-smallest node ids — reproducible on
+    any engine) and scales by n/k, THE published path when all-sources
+    is too much; exact when ``None``.
+
+    Scale posture (declared): driver-only — the guarded distinct edge
+    list must fit the driver (raises :class:`GuardExceeded` past
+    ``driver_edge_limit``; no silent degrade).  Betweenness at corpus
+    scale = sampled sources over the entity graph, whose distinct
+    topology is vocabulary-sized, not corpus-sized; a
+    frontier-Dataset Brandes (per-source forward σ BFS + per-level
+    backward joins) is the documented follow-up if the topology ever
+    outgrows one node.  Rows-only by design: σ-ratio sums are float
+    path fractions, not cross-engine-exact."""
+    import hashlib
+
+    if mode not in ("driver", "auto"):
+        raise ValueError("betweenness supports mode='driver' "
+                         "(see docstring for the scale posture)")
+    edges = _edges_to_driver(edges_ds, src, dst, driver_edge_limit)
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    sources = None
+    scale = 1.0
+    if sample_sources is not None and sample_sources < n:
+        order = np.argsort(
+            np.array([hashlib.md5(str(v).encode()).hexdigest()
+                      for v in nodes]), kind="stable")
+        sources = np.sort(order[:sample_sources])
+        scale = n / sample_sources
+    nodes, raw, n = _brandes_driver(edges, src, dst, sources=sources)
+    out = pd.DataFrame({
+        "entity": nodes,
+        "betweenness": np.round(raw * scale / 2.0, ndigits),
+        "n_sources": np.int64(len(sources) if sources is not None
+                              else n),
+    })
+    return out.sort_values(
+        ["betweenness", "entity"], ascending=[False, True]
+    ).reset_index(drop=True)

@@ -1194,3 +1194,78 @@ def test_modularity_brute_force():
     q = got.q_scaled.sum() / (4 * m * m)
     want = sum((3 / m) - (7 / (2 * m)) ** 2 for _ in range(2))
     assert abs(q - want) < 1e-12
+
+
+def test_betweenness_brute_force_and_sampling():
+    """Exact Brandes == O(n^3) shortest-path enumeration on a random
+    graph (bridge structure included); md5 source sampling is
+    deterministic and exact when the sample covers all sources."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import betweenness
+
+    # two cliques joined by a bridge: the bridge endpoints dominate
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("c", "x"), ("c", "c"), ("b", "a")]  # self-loop + dup
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = betweenness(ds, mode="driver").set_index("entity")
+
+    # brute force: BFS per source, count shortest paths per pair
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def paths(s):
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nq.append(w)
+                        order.append(w)
+            q = nq
+        for u in order:
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[u]
+        return dist, sigma
+
+    info = {s: paths(s) for s in nodes}
+    want = dict.fromkeys(nodes, 0.0)
+    for s, t in itertools.combinations(nodes, 2):
+        dist_s, sig_s = info[s]
+        if t not in dist_s:
+            continue
+        dist_t, sig_t = info[t]
+        for v in nodes:
+            if v in (s, t) or v not in dist_s or v not in dist_t:
+                continue
+            if dist_s[v] + dist_t[v] == dist_s[t]:
+                want[v] += sig_s[v] * sig_t[v] / sig_s[t]
+    for v in nodes:
+        assert abs(got.loc[v, "betweenness"] - want[v]) < 1e-6, v
+    # c and x sit on every cross-clique path
+    assert got.loc["c", "betweenness"] == got.loc["x", "betweenness"]
+    assert got.loc["c", "betweenness"] > got.loc["a", "betweenness"]
+
+    # a sample covering all sources == exact; smaller is deterministic
+    full = betweenness(ds, sample_sources=7)
+    pd.testing.assert_frame_equal(
+        full, betweenness(ds, mode="driver"))
+    s1 = betweenness(ds, sample_sources=3)
+    s2 = betweenness(ds, sample_sources=3)
+    pd.testing.assert_frame_equal(s1, s2)
+    assert (s1.n_sources == 3).all()
