@@ -1873,6 +1873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_modularity": _kg_modularity,
         "q_doc_rerank": q.q_doc_rerank,
+        "q_hard_negatives": q.q_hard_negatives,
+        "q_events_dquantiles": q.q_events_dquantiles,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,

@@ -347,12 +347,23 @@ def snapshot_merge(old_ds, new_ds, *,
     # latent defect hash_join's empty_safe guards; dense data masks it)
     a = _compact_nonempty(proj(old_ds).materialize())
     b = _compact_nonempty(proj(new_ds).materialize())
-    kept = a.join(b, "left_semi", num_partitions=num_partitions,
-                  on=tuple(keys)).map_batches(tag("kept"),
-                                              batch_format="pyarrow")
-    added = b.join(a, "left_anti", num_partitions=num_partitions,
-                   on=tuple(keys)).map_batches(tag("added"),
-                                               batch_format="pyarrow")
+    # Every join below MATERIALIZES before the final union: a union of
+    # unmaterialized join pipelines executes all their aggregator
+    # fleets in ONE DAG, and 4-5 concurrent Join(num_partitions=CPUs)
+    # operators over-subscribe the CPU budget and deadlock under
+    # backpressure (observed: bench at sf0.1 / 32 CPUs hung 15+ min on
+    # the union DAG; sf0.01 masked it).  The chained-join rule
+    # (materialize between joins) applies to FAN-IN unions too.
+    kept = _compact_nonempty(
+        a.join(b, "left_semi", num_partitions=num_partitions,
+               on=tuple(keys)).map_batches(tag("kept"),
+                                           batch_format="pyarrow")
+        .materialize())
+    added = _compact_nonempty(
+        b.join(a, "left_anti", num_partitions=num_partitions,
+               on=tuple(keys)).map_batches(tag("added"),
+                                           batch_format="pyarrow")
+        .materialize())
     old_only = _compact_nonempty(
         a.join(b, "left_anti", num_partitions=num_partitions,
                on=tuple(keys)).materialize())
@@ -386,14 +397,16 @@ def snapshot_merge(old_ds, new_ds, *,
         parts = [kept, added,
                  old_fn.map_batches(tag("carried"), batch_format="pyarrow")]
     else:
-        superseded = old_fn.join(
+        superseded = _compact_nonempty(old_fn.join(
             sp_new, "left_semi", num_partitions=num_partitions,
             on=(keys[0], keys[1]),
         ).map_batches(tag("superseded"), batch_format="pyarrow")
-        carried_fn = old_fn.join(
+            .materialize())
+        carried_fn = _compact_nonempty(old_fn.join(
             sp_new, "left_anti", num_partitions=num_partitions,
             on=(keys[0], keys[1]),
         ).map_batches(tag("carried"), batch_format="pyarrow")
+            .materialize())
         parts = [kept, added, superseded, carried_fn]
     carried_nonfn = old_only.map_batches(
         nonfn_only, batch_format="pyarrow"

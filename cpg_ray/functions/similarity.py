@@ -620,3 +620,72 @@ def knn_exact_quantized(ds, query_ids: list, k: int = 10, *,
     topk = cands.groupby("qid", sort=True).head(k).reset_index(drop=True)
     topk["rank"] = topk.groupby("qid").cumcount() + 1
     return topk
+
+
+def hard_negatives(ds, anchor_ids: list, k: int = 10, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label", q_scale: int = 1024):
+    """Hard-negative mining for contrastive/embedding training
+    (public: e.g. DPR, Karpukhin et al. 2020 §4.2 — the negatives
+    that matter are the most-similar OTHER-CLASS examples): for each
+    anchor, the top-k highest-cosine vectors whose label DIFFERS from
+    the anchor's.  Same cross-engine exactness contract as
+    :func:`knn_exact_quantized` (int64 quantized dots/norms, one IEEE
+    multiply+sqrt+divide), so the mined negative sets hash-match SQL.
+
+    Scale shape: anchors broadcast once via ``ray.put``; one corpus
+    pass computes the (batch × anchors) integer matmul, masks
+    same-label/self rows, keeps the local top-k per anchor; driver
+    merge over k × anchors × batches candidate rows."""
+    import ray
+
+    qdf = (ds.filter(lambda r: r[id_col] in set(anchor_ids))
+           .to_pandas().sort_values(id_col))
+    if len(qdf) != len(anchor_ids):
+        raise ValueError("some anchor ids missing from the corpus")
+    qm = np.floor(_as_matrix(qdf[vec_col]) * float(q_scale)).astype(np.int64)
+    qids = qdf[id_col].to_numpy(np.int64)
+    qlabels = qdf[label_col].to_numpy(np.int64)
+    qn = (qm * qm).sum(axis=1)
+    if (qn == 0).any():
+        raise ValueError("zero-norm anchor vector")
+    ref = ray.put((qids, qlabels, qm, qn))
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_, labels_, qmat, qnorm = bcast_get(ref)
+        v = np.floor(
+            _as_matrix(batch[vec_col]) * float(q_scale)).astype(np.int64)
+        nb = (v * v).sum(axis=1)
+        keep = nb > 0
+        v, nb = v[keep], nb[keep]
+        ids = batch[id_col].values[keep]
+        labels = batch[label_col].values[keep]
+        empty = pd.DataFrame({"anchor_id": pd.Series([], dtype="int64"),
+                              id_col: pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if not len(ids):
+            return empty
+        dot = v @ qmat.T
+        out = []
+        for qi in range(len(ids_)):
+            neg = labels != labels_[qi]
+            if not neg.any():
+                continue
+            score = dot[neg, qi].astype(np.float64) / np.sqrt(
+                np.float64(qnorm[qi]) * nb[neg].astype(np.float64))
+            nids = ids[neg]
+            kk = min(k, len(nids))
+            idx = np.argpartition(-score, kk - 1)[:kk]
+            out.append(pd.DataFrame({"anchor_id": np.int64(ids_[qi]),
+                                     id_col: nids[idx],
+                                     "score": score[idx]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    cands = ds.map_batches(local, batch_format="pandas").to_pandas()
+    cands = cands.sort_values(["anchor_id", "score", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    topk = cands.groupby("anchor_id", sort=True).head(k).reset_index(
+        drop=True)
+    topk["rank"] = topk.groupby("anchor_id").cumcount() + 1
+    return topk

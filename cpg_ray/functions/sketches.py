@@ -279,6 +279,47 @@ def cms_frequencies(ds, column: str, *, width: int = 256, depth: int = 4):
     return counters, estimate
 
 
+def dsample_quantiles(ds, value_col: str, qs: list[float], *,
+                      key_col: str, k: int = 512) -> pd.DataFrame:
+    """Deterministic-sample quantiles, ORACLE-PAIRABLE (unlike
+    :func:`approx_quantiles`, whose per-batch reservoir depends on
+    batch boundaries): the sample is the k rows with the globally
+    smallest ``md5(str(key))`` — a valid combiner (any local k-cut
+    preserves the global k smallest), so the sample is independent of
+    batching, row order, and engine.  Quantiles are the
+    percentile_cont sorted-array lerp at ``h = (n−1)q`` over the
+    sample values — bit-identical to SQL's formula.  ``key_col`` must
+    be unique per row (duplicate VALUES stay correctly weighted; a
+    value-keyed hash would collapse them and bias the sample).
+
+    Scale shape: per-batch k-smallest partials (k rows leave a batch),
+    driver merge over k × batches candidates; the sample never grows
+    with the corpus."""
+    import hashlib
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([hashlib.md5(str(v).encode()).hexdigest()
+                      for v in b[key_col]], dtype=object)
+        out = pd.DataFrame({"h": h, key_col: b[key_col].to_numpy(),
+                            value_col: b[value_col].to_numpy()})
+        return out.sort_values(["h", key_col], kind="mergesort").head(k)
+
+    cand = pd.concat(
+        list(ds.map_batches(combine, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    ).sort_values(["h", key_col], kind="mergesort").head(k)
+    s = np.sort(cand[value_col].to_numpy(np.float64))
+    rows = []
+    for q in qs:
+        h = (len(s) - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        rows.append({"q": float(q),
+                     "value": float(s[lo] + (s[hi] - s[lo]) * (h - lo)),
+                     "n_sample": np.int64(len(s))})
+    return pd.DataFrame(rows).astype({"n_sample": "int64"})
+
+
 def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 16):
     """KMV (k-minimum-values) distinct-count sketch per group (Bar-
     Yossef et al. 2002, public), DETERMINISTIC and therefore

@@ -850,6 +850,33 @@ def q_knn_pq(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-10 highest-cosine OTHER-label vectors (the DPR in-batch
+    negatives upgrade) — integer-quantized exact cosine, so the mined
+    sets hash-match SQL."""
+    from ..functions.similarity import hard_negatives
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+    df = hard_negatives(ds, [0, 1, 2], k=10)
+    for c in ["anchor_id", "vec_id", "rank"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
+
+
+def q_events_dquantiles(sf_dir: str) -> pd.DataFrame:
+    """Deterministic-sample quantiles over event values: the 512 rows
+    with globally-smallest md5(event_id) form a batching-independent
+    sample (valid combiner), percentile_cont lerp over it —
+    oracle-paired, unlike the reservoir path in q_approx_stats."""
+    from ..functions.sketches import dsample_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return dsample_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99],
+                             key_col="event_id", k=512)
+
+
 def q_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed integer-exact Lloyd's k-means (k=8, 4 rounds) over
     the embeddings table — centroids broadcast per round, one streaming
@@ -4757,6 +4784,66 @@ def _sem_dedup_oracle_sql(*, k: int, rounds: int, dim: int, q_scale: int,
         GROUP BY p.vec_id, p.cluster
         ORDER BY p.vec_id""")
 
+
+ORACLE_SQL["q_hard_negatives"] = """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(x * 1024) AS BIGINT)) AS l
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS anchor_id, label AS alabel, l AS ql
+        FROM e WHERE vec_id IN (0, 1, 2)
+    ), flat AS (
+        SELECT q.anchor_id, q.alabel, e.vec_id, e.label,
+               unnest(q.ql) AS a, unnest(e.l) AS b
+        FROM q CROSS JOIN e
+    ), dots AS (
+        SELECT anchor_id, alabel, vec_id, label,
+               SUM(a * b)::BIGINT AS dot,
+               SUM(a * a)::BIGINT AS na,
+               SUM(b * b)::BIGINT AS nb
+        FROM flat GROUP BY anchor_id, alabel, vec_id, label
+    ), scored AS (
+        SELECT anchor_id, vec_id,
+               CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY CAST(dot AS DOUBLE)
+                       / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                       DESC, vec_id) AS rank
+        FROM dots WHERE nb > 0 AND label <> alabel
+    )
+    SELECT anchor_id, vec_id, score, rank::BIGINT AS rank
+    FROM scored WHERE rank <= 10
+    ORDER BY anchor_id, rank
+"""
+
+ORACLE_SQL["q_events_dquantiles"] = """
+    WITH samp AS (
+        SELECT value FROM events
+        ORDER BY md5(event_id::VARCHAR), event_id
+        LIMIT 512
+    )
+    SELECT 0.1::DOUBLE AS q,
+           percentile_cont(0.1) WITHIN GROUP (ORDER BY value) AS value,
+           count(*)::BIGINT AS n_sample FROM samp
+    UNION ALL
+    SELECT 0.5::DOUBLE,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY value),
+           count(*)::BIGINT FROM samp
+    UNION ALL
+    SELECT 0.9::DOUBLE,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY value),
+           count(*)::BIGINT FROM samp
+    UNION ALL
+    SELECT 0.99::DOUBLE,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY value),
+           count(*)::BIGINT FROM samp
+    ORDER BY q
+"""
 
 ORACLE_SQL["q_doc_rerank"] = """
     WITH qt(qid, tok) AS (VALUES ('qa', 'hash'), ('qa', 'join'),

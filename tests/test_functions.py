@@ -1451,3 +1451,39 @@ def test_rerank_search_two_stage_contract():
                          queries, k_retrieve=10, top_n=4)
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), got2.reset_index(drop=True))
+
+
+def test_hard_negatives_excludes_same_label_and_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.similarity import hard_negatives
+
+    rng = np.random.default_rng(5)
+    n = 120
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "embedding": [rng.normal(0, 1, 16).astype("float32").tolist()
+                      for _ in range(n)],
+        "label": (np.arange(n) % 3).astype("int32"),
+    })
+    got = hard_negatives(rd.from_pandas(emb), [0, 1], k=5)
+
+    q = np.floor(np.stack(emb.embedding.iloc[:2]).astype(np.float64)
+                 * 1024).astype(np.int64)
+    v = np.floor(np.stack(emb.embedding).astype(np.float64)
+                 * 1024).astype(np.int64)
+    for ai, anchor in enumerate([0, 1]):
+        dots = v @ q[ai]
+        score = dots.astype(np.float64) / np.sqrt(
+            np.float64((q[ai] ** 2).sum())
+            * (v ** 2).sum(axis=1).astype(np.float64))
+        neg = emb.label.to_numpy() != emb.label.iloc[anchor]
+        order = sorted(np.flatnonzero(neg),
+                       key=lambda i: (-score[i], i))[:5]
+        sub = got[got.anchor_id == anchor].sort_values("rank")
+        assert sub.vec_id.tolist() == [int(i) for i in order]
+        # no mined negative shares the anchor's label
+        assert (emb.label.iloc[sub.vec_id].to_numpy()
+                != emb.label.iloc[anchor]).all()

@@ -179,3 +179,45 @@ def test_cms_bounds_and_exactness():
     ds_small = rd.from_pandas(df).repartition(40)
     c3, _ = cms_frequencies(ds_small, "v", width=16, depth=3)
     assert (c3 == _c).all()
+
+
+def test_dsample_quantiles_deterministic_and_batch_invariant():
+    """The sample is the k md5-smallest-keyed rows GLOBALLY (pure-
+    python brute force), quantiles are the percentile_cont lerp over
+    it, and batching cannot change anything; n <= k degenerates to
+    exact population quantiles."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.sketches import dsample_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"id": np.arange(3000),
+                       "v": rng.normal(0, 10, 3000)})
+    got = dsample_quantiles(rd.from_pandas(df), "v", [0.25, 0.5, 0.75],
+                            key_col="id", k=200)
+
+    keyed = sorted(df.itertuples(),
+                   key=lambda r: (hashlib.md5(str(r.id).encode())
+                                  .hexdigest(), r.id))
+    s = np.sort(np.array([r.v for r in keyed[:200]]))
+
+    def pc(q):
+        h = (len(s) - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        return float(s[lo] + (s[hi] - s[lo]) * (h - lo))
+
+    assert got["value"].tolist() == [pc(0.25), pc(0.5), pc(0.75)]
+    assert (got["n_sample"] == 200).all()
+
+    got2 = dsample_quantiles(rd.from_pandas(df).repartition(23), "v",
+                             [0.25, 0.5, 0.75], key_col="id", k=200)
+    pd.testing.assert_frame_equal(got, got2)
+
+    small = dsample_quantiles(rd.from_pandas(df.head(50)), "v", [0.5],
+                              key_col="id", k=200)
+    assert small["n_sample"].iloc[0] == 50
+    assert small["value"].iloc[0] == float(np.median(df.head(50).v))
