@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "kg_modularity",
     "q_doc_rerank",
     "kg_betweenness",
+    "q_hard_negatives",
+    "q_events_dquantiles",
 ]
 
 
