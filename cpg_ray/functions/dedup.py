@@ -1228,7 +1228,9 @@ def setjoin_prefix(ds, *, n: int = 4, id_col: str = "doc_id",
                    text_col: str = "text",
                    threshold_num: int = 3, threshold_den: int = 5,
                    rank_row_limit: int = 5_000_000,
-                   cand_doc_limit: int = 5_000_000):
+                   cand_doc_limit: int = 5_000_000,
+                   mode: str = "auto",
+                   driver_row_limit: int = 2_000_000):
     """AllPairs/PPJoin-style PREFIX-FILTERED exact set-similarity
     self-join (public literature: Bayardo et al. WWW'07 "Scaling up
     all pairs similarity search"; Xiao et al. WWW'08 PPJoin): the same
@@ -1311,6 +1313,68 @@ def setjoin_prefix(ds, *, n: int = 4, id_col: str = "doc_id",
 
     prefix = ds.map_batches(emit_prefix,
                             batch_format="pandas").materialize()
+
+    # Guarded driver fast path (the kg_mixing precedent): the prefix
+    # table is docs × prefix-length rows — when it fits the guard, the
+    # candidate self-merge + exact cohort verification run in pandas,
+    # skipping FOUR aggregator-fleet exchanges whose ~2 s fixed costs
+    # dominated the 11 s sf0.1 bench reading.  Identical answer by
+    # construction (mode-equivalence pinned in pytest); mode="shuffle"
+    # keeps the distributed path, "auto" degrades to it past the guard.
+    if mode in ("auto", "driver"):
+        try:
+            pdf = _collect_limited(prefix, driver_row_limit,
+                                   "setjoin_prefix driver prefix")
+            g = pdf.merge(pdf, on="gram", suffixes=("_x", "_y"))
+            ax, bx = f"{id_col}_x", f"{id_col}_y"
+            keep = ((g[ax] < g[bx])
+                    & (den * g["sz_y"] >= num * g["sz_x"])
+                    & (den * g["sz_x"] >= num * g["sz_y"]))
+            cp = g[keep][[ax, bx]].drop_duplicates()
+            n_cand_pairs = len(cp)
+            info = {"n_candidate_pairs": int(n_cand_pairs),
+                    "n_candidate_docs": 0}
+            import pyarrow as pa
+            import ray.data as rd
+
+            if n_cand_pairs == 0:
+                empty = rd.from_arrow(pa.table({
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "union": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }))
+                return empty, info
+            cand_ids = frozenset(cp[ax]) | frozenset(cp[bx])
+            info["n_candidate_docs"] = len(cand_ids)
+            cg = _collect_limited(
+                gram_rows.map_batches(
+                    lambda b: b[b[id_col].isin(cand_ids)],
+                    batch_format="pandas"),
+                driver_row_limit, "setjoin_prefix cohort grams")
+            sz = cg.groupby(id_col).size()
+            mm = cg.merge(cg, on="gram", suffixes=("_x", "_y"))
+            mm = mm[mm[ax] < mm[bx]]
+            inter = (mm.groupby([ax, bx]).size()
+                     .reset_index(name="inter"))
+            inter["union"] = (inter[ax].map(sz).to_numpy(np.int64)
+                              + inter[bx].map(sz).to_numpy(np.int64)
+                              - inter["inter"].to_numpy(np.int64))
+            # the SAME one-IEEE-division + float threshold as the
+            # distributed ngram_jaccard_pairs path
+            inter["jaccard"] = (inter["inter"].to_numpy(np.float64)
+                                / inter["union"].to_numpy(np.float64))
+            inter = inter[inter["jaccard"] >= num / den]
+            out = inter.rename(columns={ax: "a", bx: "b"}).astype(
+                {"a": "int64", "b": "int64", "inter": "int64",
+                 "union": "int64"}).sort_values(["a", "b"]).reset_index(
+                drop=True)
+            return rd.from_pandas(out), info
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+
     left = prefix.map_batches(
         lambda b: b.rename(columns={id_col: "a", "sz": "sa"}),
         batch_format="pandas")

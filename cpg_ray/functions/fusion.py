@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 # kind from canonical-id prefix, the world's entity-id contract
@@ -291,8 +292,8 @@ def rdfs_closure(triples_ds, *, subclass=RDFS_SUBCLASS,
 
 def snapshot_merge(old_ds, new_ds, *,
                    keys=("canonical_subj", "pred", "canonical_obj"),
-                   functional=FUNCTIONAL_PREDS,
-                   num_partitions: int | None = None):
+                   functional=FUNCTIONAL_PREDS, mode: str = "auto",
+                   pair_guard: int = 5_000_000):
     """SCD-style KG upsert of a re-crawl into an existing snapshot —
     the incremental-maintenance step after :func:`~cpg_ray.functions.
     graphquery.triple_diff`'s census (SURVEY §2 D2 union-of-node-sets
@@ -308,107 +309,103 @@ def snapshot_merge(old_ds, new_ds, *,
     sets, status ∈ {kept, added, superseded, carried}; the merged KG
     is every row with ``status != 'superseded'``.
 
-    Shape: four hash-partitioned semi/anti joins over the distinct
-    key projections — each fact moves at most twice, no driver-side
-    set ever materializes:
-    - kept       = A ⋉ B          (left_semi on the full fact key)
-    - added      = B ∖ A          (left_anti)
-    - old-only   = A ∖ B, split by (subject, pred) against the new
-      snapshot's functional (subject, pred) pairs: present →
-      superseded (the new value replaces it), absent → carried.
-    """
-    import pyarrow as pa
+    Shape: TWO exchanges, ZERO joins — the tagged-union rewrite of
+    the original four-join formulation (whose concurrent
+    Join(num_partitions=CPUs) aggregator fleets deadlocked one DAG at
+    32 CPUs and cost ~13 s serialized at sf0.1; this shape runs the
+    same semantics in a fraction of that):
+    1. both sides project to distinct keys tagged (in_a, in_b);
+       ONE groupby-max over the fact key folds the sides together
+       (kept = both, added = new-only, old-only = candidates).
+    2. non-functional rows finalize batch-locally; functional rows
+       co-locate per (subject, pred) with ONE map_groups pass —
+       an old-only row is superseded iff its group contains any
+       new-side fact."""
+    from .relational import groupby_agg
 
-    from .relational import _compact_nonempty, distinct_on
-
-    if num_partitions is None:
-        import ray
-
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 2)))
     keys = list(keys)
     fset = frozenset(functional)
+    subj, pred = keys[0], keys[1]
 
-    def proj(ds):
-        return distinct_on(
-            ds.map_batches(lambda t: t.select(keys), batch_format="pyarrow"),
-            keys,
-        )
-
-    def tag(status):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "status", pa.array([status] * t.num_rows, pa.string()))
+    def tagged(in_a: int, in_b: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[keys].drop_duplicates().copy()
+            out["in_a"] = np.int64(in_a)
+            out["in_b"] = np.int64(in_b)
+            return out
 
         return f
 
-    # strip schema-less zero-row partition blocks before every join
-    # (Ray 2.49 emits them from groupbys/anti-joins on SPARSE inputs
-    # and a downstream join crashes with ArrowInvalid — the same
-    # latent defect hash_join's empty_safe guards; dense data masks it)
-    a = _compact_nonempty(proj(old_ds).materialize())
-    b = _compact_nonempty(proj(new_ds).materialize())
-    # Every join below MATERIALIZES before the final union: a union of
-    # unmaterialized join pipelines executes all their aggregator
-    # fleets in ONE DAG, and 4-5 concurrent Join(num_partitions=CPUs)
-    # operators over-subscribe the CPU budget and deadlock under
-    # backpressure (observed: bench at sf0.1 / 32 CPUs hung 15+ min on
-    # the union DAG; sf0.01 masked it).  The chained-join rule
-    # (materialize between joins) applies to FAN-IN unions too.
-    kept = _compact_nonempty(
-        a.join(b, "left_semi", num_partitions=num_partitions,
-               on=tuple(keys)).map_batches(tag("kept"),
-                                           batch_format="pyarrow")
-        .materialize())
-    added = _compact_nonempty(
-        b.join(a, "left_anti", num_partitions=num_partitions,
-               on=tuple(keys)).map_batches(tag("added"),
-                                           batch_format="pyarrow")
-        .materialize())
-    old_only = _compact_nonempty(
-        a.join(b, "left_anti", num_partitions=num_partitions,
-               on=tuple(keys)).materialize())
+    ta = old_ds.map_batches(tagged(1, 0), batch_format="pandas")
+    tb = new_ds.map_batches(tagged(0, 1), batch_format="pandas")
+    facts = groupby_agg(ta.union(tb), keys,
+                        [("in_a", "max", "in_a"),
+                         ("in_b", "max", "in_b")], mode=mode)
 
-    def fn_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def base_status(b: pd.DataFrame) -> pd.DataFrame:
+        st = np.where(b["in_a"].to_numpy() > 0,
+                      np.where(b["in_b"].to_numpy() > 0, "kept", "old"),
+                      "added")
+        return b.assign(status=st)
 
-        return t.filter(pc.is_in(t["pred"], pa.array(sorted(fset))))
+    staged = facts.map_batches(base_status, batch_format="pandas")
+    nonfn = staged.map_batches(
+        lambda b: b[~b[pred].isin(fset)].assign(
+            status=b.loc[~b[pred].isin(fset), "status"].replace(
+                {"old": "carried"}))[keys + ["status"]],
+        batch_format="pandas")
 
-    def nonfn_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # phase 2: an old-only functional fact is superseded iff the NEW
+    # side asserts that (subject, pred).  The new-pair set is bounded
+    # by distinct functional subjects (entity-vocabulary scale, not
+    # mention scale) — broadcast it under a guard; past the guard,
+    # degrade to the per-(subj, pred) map_groups co-location (one
+    # SORT exchange — measured 15+ s at sf0.1 vs ~1 s broadcast, which
+    # is why broadcast is the happy path).
+    import ray
 
-        return t.filter(pc.invert(
-            pc.is_in(t["pred"], pa.array(sorted(fset)))))
+    fn_rows = staged.map_batches(
+        lambda b: b[b[pred].isin(fset)], batch_format="pandas"
+    ).materialize()
+    new_pairs_ds = groupby_agg(
+        fn_rows.map_batches(
+            lambda b: b[b["in_b"] > 0][[subj, pred]].drop_duplicates(),
+            batch_format="pandas"),
+        [subj, pred], [(pred, "count", "one")], mode=mode)
+    pair_limit = pair_guard
+    pairs: set | None = set()
+    n = 0
+    for b in new_pairs_ds.iter_batches(batch_format="pandas",
+                                       batch_size=None):
+        n += len(b)
+        if n > pair_limit:
+            pairs = None
+            break
+        pairs.update(zip(b[subj], b[pred]))
 
-    sp_new = _compact_nonempty(distinct_on(
-        b.map_batches(fn_only, batch_format="pyarrow")
-         .map_batches(lambda t: t.select([keys[0], keys[1]]),
-                      batch_format="pyarrow"),
-        [keys[0], keys[1]],
-    ).materialize())
-    old_fn = _compact_nonempty(
-        old_only.map_batches(fn_only, batch_format="pyarrow")
-                .materialize())
-    # Ray 2.49 joins raise on a fully-empty side (see hash_join's
-    # empty_safe note); both splits are legitimately empty on e.g. a
-    # no-op recrawl, so guard with the already-paid counts.
-    if old_fn.count() == 0:
-        parts = [kept, added]
-    elif sp_new.count() == 0:
-        parts = [kept, added,
-                 old_fn.map_batches(tag("carried"), batch_format="pyarrow")]
-    else:
-        superseded = _compact_nonempty(old_fn.join(
-            sp_new, "left_semi", num_partitions=num_partitions,
-            on=(keys[0], keys[1]),
-        ).map_batches(tag("superseded"), batch_format="pyarrow")
-            .materialize())
-        carried_fn = _compact_nonempty(old_fn.join(
-            sp_new, "left_anti", num_partitions=num_partitions,
-            on=(keys[0], keys[1]),
-        ).map_batches(tag("carried"), batch_format="pyarrow")
-            .materialize())
-        parts = [kept, added, superseded, carried_fn]
-    carried_nonfn = old_only.map_batches(
-        nonfn_only, batch_format="pyarrow"
-    ).map_batches(tag("carried"), batch_format="pyarrow")
-    return parts[0].union(*parts[1:], carried_nonfn)
+    if pairs is not None:
+        ref = ray.put(pairs)
+        from .relational import bcast_get
+
+        def resolve(b: pd.DataFrame) -> pd.DataFrame:
+            pset = bcast_get(ref)
+            hit = pd.Series(
+                list(zip(b[subj], b[pred])), index=b.index
+            ).isin(pset) if len(b) else pd.Series([], dtype=bool)
+            st = np.where(b["status"].to_numpy() == "old",
+                          np.where(hit.to_numpy(), "superseded",
+                                   "carried"),
+                          b["status"].to_numpy())
+            return b.assign(status=st)[keys + ["status"]]
+
+        fn = fn_rows.map_batches(resolve, batch_format="pandas")
+    else:  # guard tripped: distributed per-(subj, pred) co-location
+        def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+            new_any = bool((g["in_b"] > 0).any())
+            st = g["status"].replace(
+                {"old": "superseded" if new_any else "carried"})
+            return g.assign(status=st)[keys + ["status"]]
+
+        fn = (fn_rows.groupby([subj, pred])
+              .map_groups(resolve_group, batch_format="pandas"))
+    return nonfn.union(fn)

@@ -3299,13 +3299,16 @@ def _brandes_driver(edges: pd.DataFrame, src: str, dst: str, *,
         frontier = np.array([s], np.int64)
         level = 0
         while len(frontier):
-            # expand all frontier adjacencies at once
+            # expand all frontier adjacencies at once (offset
+            # arithmetic, no per-node python concatenate: base+arange
+            # minus the per-node running start)
             cnt = starts[frontier + 1] - starts[frontier]
             u_rep = np.repeat(frontier, cnt)
-            idx = np.concatenate(
-                [np.arange(starts[f], starts[f + 1]) for f in frontier]
-            ) if len(frontier) else np.array([], np.int64)
-            tgt = b[idx]
+            tot = int(cnt.sum())
+            base = np.repeat(starts[frontier], cnt)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            tgt = b[base + offs]
             fresh = dist[tgt] == -1
             dist[tgt[fresh]] = level + 1
             nxt_mask = dist[tgt] == level + 1

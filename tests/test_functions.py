@@ -1487,3 +1487,32 @@ def test_hard_negatives_excludes_same_label_and_matches_brute_force():
         # no mined negative shares the anchor's label
         assert (emb.label.iloc[sub.vec_id].to_numpy()
                 != emb.label.iloc[anchor]).all()
+
+
+def test_setjoin_prefix_driver_and_shuffle_paths_agree():
+    """The guarded driver fast path and the distributed
+    hash-join path return identical pairs and equivalent pruning
+    evidence."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import setjoin_prefix
+
+    rng = np.random.default_rng(9)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    base = [" ".join(rng.choice(vocab, 12)) for _ in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(80),
+        "text": base + [t + " tail word here x" for t in base],
+    })
+    ds = rd.from_pandas(docs)
+    fast, fi = setjoin_prefix(ds, n=4, threshold_num=3,
+                              threshold_den=5)
+    slow, si = setjoin_prefix(ds, n=4, threshold_num=3,
+                              threshold_den=5, mode="shuffle")
+    f = fast.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    s = slow.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, s[f.columns])
+    assert fi["n_candidate_docs"] == si["n_candidate_docs"]
+    assert len(f) > 0

@@ -171,3 +171,40 @@ def test_rdfs_closure_rules_and_provenance():
     assert m[("K4", "country")] == "asserted"
     # C2 (object of born_in): range says city, asserted city -> asserted
     assert m[("C2", "city")] == "asserted"
+
+
+def test_snapshot_merge_broadcast_and_grouped_paths_agree():
+    """pair_guard=0 forces the distributed map_groups degrade; both
+    phase-2 paths must produce identical status tables."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import snapshot_merge
+
+    old = rd.from_pandas(pd.DataFrame({
+        "canonical_subj": ["P1", "P1", "P2", "O1", "P3"],
+        "pred": ["born_in", "likes", "born_in", "based_in", "born_in"],
+        "canonical_obj": ["C1", "C9", "C2", "C3", "C4"],
+    }))
+    new = rd.from_pandas(pd.DataFrame({
+        "canonical_subj": ["P1", "P2", "O2"],
+        "pred": ["born_in", "born_in", "based_in"],
+        "canonical_obj": ["C8", "C2", "C5"],
+    }))
+
+    def run(**kw):
+        df = snapshot_merge(old, new, **kw).to_pandas()
+        return df.sort_values(
+            ["canonical_subj", "pred", "canonical_obj"]
+        ).reset_index(drop=True)
+
+    fast, slow = run(), run(pair_guard=0)
+    pd.testing.assert_frame_equal(fast, slow)
+    m = {(r.canonical_subj, r.pred, r.canonical_obj): r.status
+         for r in fast.itertuples()}
+    assert m[("P1", "born_in", "C1")] == "superseded"  # new value landed
+    assert m[("P1", "likes", "C9")] == "carried"       # non-functional
+    assert m[("P2", "born_in", "C2")] == "kept"
+    assert m[("O1", "based_in", "C3")] == "carried"    # no new value
+    assert m[("P3", "born_in", "C4")] == "carried"
+    assert m[("O2", "based_in", "C5")] == "added"
