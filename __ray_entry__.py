@@ -799,6 +799,28 @@ def _entity_edges(sf_dir: str):
     )
 
 
+def _kg_owl_entail(sf_dir: str):
+    """OWL property entailment (inverseOf + propertyChainAxiom) over
+    the extracted triples: every derived inverse fact plus the
+    born_in/based_in ∘ located_in geo-lifting chains, distinct with
+    rule provenance — verified against the SQL joins."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import property_entailment
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj"],
+    )
+    df = property_entailment(tri).to_pandas()
+    return df.sort_values(
+        ["rule", "canonical_subj", "pred", "canonical_obj"]
+    ).reset_index(drop=True)
+
+
 def _kg_betweenness(sf_dir: str):
     """Brandes betweenness centrality over the canonical entity graph,
     top 50 (rows-only by design: σ-ratio sums are float path
@@ -1877,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_rerank": q.q_doc_rerank,
         "q_hard_negatives": q.q_hard_negatives,
         "q_events_dquantiles": q.q_events_dquantiles,
+        "kg_owl_entail": _kg_owl_entail,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
         "q_sample_events": q.q_sample_events,
@@ -2658,6 +2681,39 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t
             GROUP BY pred
             ORDER BY pred
+        """,
+        # OWL inverse + property-chain entailment: plain joins over
+        # the distinct fact set
+        "kg_owl_entail": f"""
+            WITH t AS (
+                SELECT DISTINCT canonical_subj AS s, pred AS p,
+                       canonical_obj AS o
+                FROM read_parquet('{triples_glob}')
+            ), inv AS (
+                SELECT t.o AS canonical_subj, m.ip AS pred,
+                       t.s AS canonical_obj, 'inverse' AS rule
+                FROM t JOIN (VALUES
+                    ('located_in', 'contains'),
+                    ('born_in', 'birthplace_of'),
+                    ('works_for', 'employs'),
+                    ('based_in', 'hosts')) m(p, ip) ON m.p = t.p
+            ), ch1 AS (
+                SELECT a.s AS canonical_subj,
+                       'born_in_country' AS pred,
+                       b.o AS canonical_obj,
+                       'chain:born_in_country' AS rule
+                FROM t a JOIN t b ON a.o = b.s
+                WHERE a.p = 'born_in' AND b.p = 'located_in'
+            ), ch2 AS (
+                SELECT a.s, 'based_in_country', b.o,
+                       'chain:based_in_country'
+                FROM t a JOIN t b ON a.o = b.s
+                WHERE a.p = 'based_in' AND b.p = 'located_in'
+            )
+            SELECT DISTINCT canonical_subj, pred, canonical_obj, rule
+            FROM (SELECT * FROM inv UNION ALL SELECT * FROM ch1
+                  UNION ALL SELECT * FROM ch2)
+            ORDER BY rule, canonical_subj, pred, canonical_obj
         """,
         # Newman modularity of the kind partition: exact integer
         # numerators over the distinct undirected entity graph

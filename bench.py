@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "kg_betweenness",
     "q_hard_negatives",
     "q_events_dquantiles",
+    "kg_owl_entail",
 ]
 
 

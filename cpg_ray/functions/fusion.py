@@ -290,6 +290,86 @@ def rdfs_closure(triples_ds, *, subclass=RDFS_SUBCLASS,
                        [("provenance", "min", "provenance")], mode=mode)
 
 
+# OWL-style property axioms over the world's predicates (authored,
+# KB-sized — same posture as the RDFS ontology above).
+OWL_INVERSE = {"located_in": "contains", "born_in": "birthplace_of",
+               "works_for": "employs", "based_in": "hosts"}
+# property chains (owl:propertyChainAxiom): p1 ∘ p2 ⇒ out
+OWL_CHAINS = (("born_in", "located_in", "born_in_country"),
+              ("based_in", "located_in", "based_in_country"))
+
+
+def property_entailment(triples_ds, *, inverse=OWL_INVERSE,
+                        chains=OWL_CHAINS, mode: str = "auto",
+                        chain_guard: int = 5_000_000):
+    """OWL-style property entailment over the extracted triples (W3C
+    OWL 2 RL rules, public): **inverseOf** — (s, p, o) ⇒ (o, p⁻, s)
+    for every declared inverse — and **propertyChainAxiom** —
+    (s, p1, x) ∧ (x, p2, o) ⇒ (s, out, o) for every declared chain
+    (e.g. born_in ∘ located_in ⇒ born_in_country, the classic
+    geo-lifting inference).  Returns the DISTINCT derived facts
+    (canonical_subj, pred, canonical_obj, rule).
+
+    Scale shape: inverses are batch-local rewrites (no exchange).
+    Each chain's p2 side (e.g. city → country) is bounded by the
+    entity vocabulary, not the corpus — collected under
+    ``chain_guard`` and broadcast into the p1 probe pass; the final
+    distinct is ONE groupby.  Past the guard the p2 side is joined
+    with the hash-partitioned exchange instead."""
+    from .relational import (broadcast_join, groupby_agg, hash_join,
+                             _collect_limited, GuardExceeded)
+
+    chains = list(chains)
+    inv = dict(inverse)
+
+    def inv_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["pred"].isin(inv)]
+        return pd.DataFrame({
+            "canonical_subj": m["canonical_obj"].to_numpy(),
+            "pred": m["pred"].map(inv).to_numpy(),
+            "canonical_obj": m["canonical_subj"].to_numpy(),
+            "rule": "inverse",
+        }).drop_duplicates()
+
+    parts = [triples_ds.map_batches(inv_rows, batch_format="pandas")]
+    for p1, p2, out_pred in chains:
+        right = triples_ds.map_batches(
+            lambda b, p2=p2: b[b["pred"] == p2][
+                ["canonical_subj", "canonical_obj"]
+            ].drop_duplicates().rename(columns={
+                "canonical_subj": "__mid", "canonical_obj": "__obj"}),
+            batch_format="pandas")
+        left = triples_ds.map_batches(
+            lambda b, p1=p1: b[b["pred"] == p1][
+                ["canonical_subj", "canonical_obj"]
+            ].drop_duplicates().rename(columns={
+                "canonical_obj": "__mid"}),
+            batch_format="pandas")
+        try:
+            small = _collect_limited(
+                right, chain_guard,
+                f"property_entailment chain {out_pred}"
+            ).drop_duplicates()
+            joined = broadcast_join(left, small, left_on="__mid")
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+            joined = hash_join(left.materialize(),
+                               right.materialize(), on="__mid")
+        parts.append(joined.map_batches(
+            lambda b, out_pred=out_pred: pd.DataFrame({
+                "canonical_subj": b["canonical_subj"].to_numpy(),
+                "pred": out_pred,
+                "canonical_obj": b["__obj"].to_numpy(),
+                "rule": f"chain:{out_pred}",
+            }).drop_duplicates(), batch_format="pandas"))
+    allp = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    keys = ["canonical_subj", "pred", "canonical_obj", "rule"]
+    return groupby_agg(allp, keys, [("rule", "count", "__n")],
+                       mode=mode).map_batches(
+        lambda b: b[keys], batch_format="pandas")
+
+
 def snapshot_merge(old_ds, new_ds, *,
                    keys=("canonical_subj", "pred", "canonical_obj"),
                    functional=FUNCTIONAL_PREDS, mode: str = "auto",

@@ -208,3 +208,45 @@ def test_snapshot_merge_broadcast_and_grouped_paths_agree():
     assert m[("O1", "based_in", "C3")] == "carried"    # no new value
     assert m[("P3", "born_in", "C4")] == "carried"
     assert m[("O2", "based_in", "C5")] == "added"
+
+
+def test_property_entailment_rules_and_paths_agree():
+    """inverseOf and propertyChainAxiom derivations on a fixture, with
+    the broadcast and hash-join chain paths pinned equal
+    (chain_guard=0 forces the join)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import property_entailment
+
+    tri = rd.from_pandas(pd.DataFrame({
+        "canonical_subj": ["P1", "C1", "O1", "P2", "P1"],
+        "pred": ["born_in", "located_in", "based_in", "likes",
+                 "born_in"],
+        "canonical_obj": ["C1", "K1", "C1", "C9", "C1"],
+    }))
+
+    def run(**kw):
+        df = property_entailment(tri, **kw).to_pandas()
+        return df.sort_values(
+            ["rule", "canonical_subj", "pred", "canonical_obj"]
+        ).reset_index(drop=True)
+
+    got = run()
+    m = set(map(tuple, got[["canonical_subj", "pred", "canonical_obj",
+                            "rule"]].to_numpy()))
+    assert ("C1", "birthplace_of", "P1", "inverse") in m
+    assert ("K1", "contains", "C1", "inverse") in m
+    assert ("C1", "hosts", "O1", "inverse") in m
+    # chain: P1 born_in C1, C1 located_in K1 => born_in_country
+    assert ("P1", "born_in_country", "K1",
+            "chain:born_in_country") in m
+    assert ("O1", "based_in_country", "K1",
+            "chain:based_in_country") in m
+    # non-declared pred derives nothing; duplicate base fact collapses
+    assert not any(p == "likes" or "P2" in (s, o)
+                   for s, p, o, _r in m)
+    assert len(got) == len(m)
+
+    slow = run(chain_guard=0)
+    pd.testing.assert_frame_equal(got, slow[got.columns])
