@@ -821,6 +821,28 @@ def _kg_owl_entail(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _kg_rule_mining(sf_dir: str):
+    """AMIE-shape horn-rule induction (Galárraga et al., WWW'13) over
+    the distinct fact set: same-pair p1(x,y)⇒p2(x,y), inverse
+    p1(y,x)⇒p2(x,y), and chain p1(x,z)∧p2(z,y)⇒p3(x,y) rules with
+    exact integer confidence (basis points, support·10⁴//n_body) —
+    the FULL candidate space from the predicate vocabulary so refuted
+    rules (support 0) are visible alongside confirmed ones.  Verified
+    against plain SQL self-joins over the same distinct facts."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import rule_mining
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj"],
+    )
+    return rule_mining(tri, min_support=0, emit_zero=True)
+
+
 def _kg_betweenness(sf_dir: str):
     """Brandes betweenness centrality over the canonical entity graph,
     top 50 (rows-only by design: σ-ratio sums are float path
@@ -1909,6 +1931,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bpe_merges": _q_doc_bpe_merges,
         "kg_triples_ctx": _kg_triples_ctx,
         "kg_betweenness": _kg_betweenness,
+        # -- oracle-paired, NEW in round 5 (this session): AMIE-shape
+        # horn-rule induction over the distinct fact set
+        "kg_rule_mining": _kg_rule_mining,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2745,6 +2770,75 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM (SELECT * FROM inv UNION ALL SELECT * FROM ch1
                   UNION ALL SELECT * FROM ch2)
             ORDER BY rule, canonical_subj, pred, canonical_obj
+        """,
+        # AMIE-shape rule mining: full candidate space over the
+        # predicate vocabulary, counts from distinct-fact self-joins,
+        # integer basis-point confidence
+        "kg_rule_mining": f"""
+            WITH d AS (
+                SELECT DISTINCT canonical_subj AS x, pred AS p,
+                       canonical_obj AS y
+                FROM read_parquet('{triples_glob}')
+            ), preds AS (SELECT DISTINCT p FROM d),
+            nbp AS (SELECT p, count(*)::BIGINT AS n_body
+                    FROM d GROUP BY p),
+            same_sup AS (
+                SELECT a.p AS body1, b.p AS head,
+                       count(*)::BIGINT AS support
+                FROM d a JOIN d b ON a.x = b.x AND a.y = b.y
+                                 AND a.p <> b.p
+                GROUP BY 1, 2
+            ),
+            inv_sup AS (
+                SELECT b.p AS body1, a.p AS head,
+                       count(*)::BIGINT AS support
+                FROM d a JOIN d b ON b.x = a.y AND b.y = a.x
+                GROUP BY 1, 2
+            ),
+            deg AS (SELECT z, count(*)::BIGINT AS zd FROM (
+                        SELECT y AS z FROM d
+                        UNION ALL SELECT x FROM d)
+                    GROUP BY z),
+            hot AS (SELECT z FROM deg WHERE zd > 100000),
+            body AS (
+                SELECT DISTINCT a.p AS p1, b.p AS p2, a.x, b.y
+                FROM d a JOIN d b ON a.y = b.x
+                WHERE a.y NOT IN (SELECT z FROM hot)
+            ),
+            nbc AS (SELECT p1, p2, count(*)::BIGINT AS n_body
+                    FROM body GROUP BY p1, p2),
+            chain_sup AS (
+                SELECT body.p1, body.p2, h.p AS p3,
+                       count(*)::BIGINT AS support
+                FROM body JOIN d h ON h.x = body.x AND h.y = body.y
+                GROUP BY 1, 2, 3
+            ),
+            cand AS (
+                SELECT 'same' AS shape, a.p AS body1, '' AS body2,
+                       b.p AS head, nbp.n_body,
+                       coalesce(s.support, 0)::BIGINT AS support
+                FROM preds a JOIN preds b ON a.p <> b.p
+                JOIN nbp ON nbp.p = a.p
+                LEFT JOIN same_sup s ON s.body1 = a.p
+                                    AND s.head = b.p
+                UNION ALL
+                SELECT 'inverse', a.p, '', b.p, nbp.n_body,
+                       coalesce(s.support, 0)::BIGINT
+                FROM preds a CROSS JOIN preds b
+                JOIN nbp ON nbp.p = a.p
+                LEFT JOIN inv_sup s ON s.body1 = a.p
+                                   AND s.head = b.p
+                UNION ALL
+                SELECT 'chain', nbc.p1, nbc.p2, h.p, nbc.n_body,
+                       coalesce(s.support, 0)::BIGINT
+                FROM nbc CROSS JOIN preds h
+                LEFT JOIN chain_sup s ON s.p1 = nbc.p1
+                                     AND s.p2 = nbc.p2 AND s.p3 = h.p
+            )
+            SELECT shape, body1, body2, head, n_body, support,
+                   ((support * 10000) // n_body)::BIGINT AS conf_bp
+            FROM cand
+            ORDER BY shape, body1, body2, head
         """,
         # Newman modularity of the kind partition: exact integer
         # numerators over the distinct undirected entity graph

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q_hard_negatives",
     "q_events_dquantiles",
     "kg_owl_entail",
+    "kg_rule_mining",
 ]
 
 

@@ -489,3 +489,187 @@ def snapshot_merge(old_ds, new_ds, *,
         fn = (fn_rows.groupby([subj, pred])
               .map_groups(resolve_group, batch_format="pandas"))
     return nonfn.union(fn)
+
+
+def rule_mining(triples_ds, *, min_support: int = 5,
+                conf_scale: int = 10_000, hub_cap: int = 100_000,
+                emit_zero: bool = False, mode: str = "auto"):
+    """AMIE-shape horn-rule mining over the distinct fact set
+    (Galárraga et al., WWW'13 — public).  Three closed rule shapes
+    over the predicate vocabulary:
+
+    - ``same``     p1(x, y) ⇒ p2(x, y)          (p1 ≠ p2)
+    - ``inverse``  p1(y, x) ⇒ p2(x, y)          (p1 = p2 detects
+      symmetric predicates, kept)
+    - ``chain``    p1(x, z) ∧ p2(z, y) ⇒ p3(x, y)
+
+    For each rule: ``n_body`` = |distinct (x, y) satisfying the
+    body|, ``support`` = |body pairs also asserted with the head
+    predicate|, ``conf_bp`` = support · conf_scale // n_body — an
+    exact integer (hash-stable cross-engine; the standard-confidence
+    ratio in basis points).  Rules with support < ``min_support``
+    drop.  Reference analog: the pass-over-graph statistics family
+    (StatisticsCollectionPass.kt) lifted to schema induction.
+
+    Scale shape: everything runs over D = DISTINCT (subj, pred, obj)
+    — ONE combiner-fed exchange (``distinct_on``), after which every
+    per-predicate pair count is a composite-key ``hash_join`` of D
+    with itself (keyed by the shared variables, never all-to-all on
+    predicates) followed by combiner-fed ``groupby_agg`` down to at
+    most |P|²/|P|³ driver rows.  The chain body joins on the shared
+    mid variable z; hub mids whose in×out fan-out would explode the
+    exchange (z-degree > ``hub_cap``) are EXCLUDED on both engine and
+    oracle sides (the documented skew posture — at web scale a hot z
+    contributes deg²(z) body rows; capping it bounds the join, and
+    the cap is part of the rule semantics, not a silent truncation).
+    """
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    cols = ["canonical_subj", "pred", "canonical_obj"]
+
+    def to_xy(b: pd.DataFrame) -> pd.DataFrame:
+        return (b[cols].drop_duplicates()
+                .rename(columns={"canonical_subj": "x", "pred": "p",
+                                 "canonical_obj": "y"}))
+
+    d = distinct_on(
+        triples_ds.map_batches(to_xy, batch_format="pandas"),
+        ["x", "p", "y"], mode=mode).materialize()
+
+    # per-predicate body sizes (distinct pairs per p — D is distinct)
+    nb = groupby_agg(
+        d.map_batches(lambda b: b.assign(__one=1)[["p", "__one"]],
+                      batch_format="pandas"),
+        ["p"], [("__one", "sum", "n_body")], mode=mode).to_pandas()
+    n_body_of = dict(zip(nb["p"], nb["n_body"].astype(np.int64)))
+
+    def pair_counts(joined, left_p: str, right_p: str) -> pd.DataFrame:
+        cnt = joined.map_batches(
+            lambda b: (b.groupby([left_p, right_p], sort=False)
+                       .size().rename("__n").reset_index()),
+            batch_format="pandas")
+        return groupby_agg(cnt, [left_p, right_p],
+                           [("__n", "sum", "support")],
+                           mode=mode).to_pandas()
+
+    # same-pair: join D with itself on the full (x, y) pair
+    d2 = d.map_batches(lambda b: b.rename(columns={"p": "p2"}),
+                       batch_format="pandas")
+    same = pair_counts(
+        hash_join(d, d2.materialize(), on=["x", "y"]), "p", "p2")
+    same = same[same["p"] != same["p2"]]
+
+    # inverse: join D with its reversal on (x, y)
+    drev = d.map_batches(
+        lambda b: b.rename(columns={"x": "y", "y": "x", "p": "p2"}),
+        batch_format="pandas")
+    inv = pair_counts(
+        hash_join(d, drev.materialize(), on=["x", "y"]), "p2", "p")
+
+    # chain body: p1(x, z) ∧ p2(z, y), hub mids excluded on BOTH sides
+    zdeg = groupby_agg(
+        d.map_batches(
+            lambda b: pd.concat([
+                b["y"].rename("z").to_frame().assign(__one=1),
+                b["x"].rename("z").to_frame().assign(__one=1),
+            ], ignore_index=True), batch_format="pandas"),
+        ["z"], [("__one", "sum", "zd")], mode=mode)
+    hot_df = zdeg.map_batches(
+        lambda b: b.loc[b["zd"] > hub_cap, ["z"]],
+        batch_format="pandas").to_pandas()
+    # an all-filtered Ray dataset loses its schema — empty ⇒ no hubs
+    hot = set(hot_df["z"]) if "z" in hot_df.columns else set()
+
+    left = d.map_batches(
+        lambda b: b[~b["y"].isin(hot)].rename(
+            columns={"p": "p1", "y": "z"}),
+        batch_format="pandas")
+    right = d.map_batches(
+        lambda b: b[~b["x"].isin(hot)].rename(
+            columns={"p": "p2", "x": "z"}),
+        batch_format="pandas")
+    body = distinct_on(
+        hash_join(left.materialize(), right.materialize(), on=["z"]
+                  ).map_batches(lambda b: b[["p1", "p2", "x", "y"]],
+                                batch_format="pandas"),
+        ["p1", "p2", "x", "y"], mode=mode).materialize()
+    nb_chain = groupby_agg(
+        body.map_batches(lambda b: b.assign(__one=1),
+                         batch_format="pandas"),
+        ["p1", "p2"], [("__one", "sum", "n_body")], mode=mode
+    ).to_pandas()
+    dhead = d.map_batches(lambda b: b.rename(columns={"p": "p3"}),
+                          batch_format="pandas")
+    chain = groupby_agg(
+        hash_join(body, dhead.materialize(), on=["x", "y"]).map_batches(
+            lambda b: (b.groupby(["p1", "p2", "p3"], sort=False)
+                       .size().rename("__n").reset_index()),
+            batch_format="pandas"),
+        ["p1", "p2", "p3"], [("__n", "sum", "support")],
+        mode=mode).to_pandas()
+
+    frames = []
+    if len(same):
+        frames.append(pd.DataFrame({
+            "shape": "same", "body1": same["p"].to_numpy(),
+            "body2": "", "head": same["p2"].to_numpy(),
+            "n_body": same["p"].map(n_body_of).astype(np.int64),
+            "support": same["support"].astype(np.int64)}))
+    if len(inv):
+        frames.append(pd.DataFrame({
+            "shape": "inverse", "body1": inv["p2"].to_numpy(),
+            "body2": "", "head": inv["p"].to_numpy(),
+            # |distinct (x, y) with p1(y, x)| = |distinct p1 pairs|
+            "n_body": inv["p2"].map(n_body_of).astype(np.int64),
+            "support": inv["support"].astype(np.int64)}))
+    if len(chain):
+        nbmap = {(r.p1, r.p2): int(r.n_body)
+                 for r in nb_chain.itertuples()}
+        frames.append(pd.DataFrame({
+            "shape": "chain", "body1": chain["p1"].to_numpy(),
+            "body2": chain["p2"].to_numpy(),
+            "head": chain["p3"].to_numpy(),
+            "n_body": [nbmap[(a, b)] for a, b in
+                       zip(chain["p1"], chain["p2"])],
+            "support": chain["support"].astype(np.int64)}))
+    if emit_zero:
+        # enumerate the FULL candidate space from the (tiny, driver-
+        # held) predicate vocabulary so zero-support rules appear —
+        # the schema-induction view: "which implications does the KG
+        # refute?"  n_body comes from the counted bodies; candidates
+        # whose body is empty stay out (confidence is undefined).
+        preds = sorted(n_body_of)
+        cands = [
+            pd.DataFrame([("same", a, "", b, n_body_of[a])
+                          for a in preds for b in preds if a != b],
+                         columns=["shape", "body1", "body2", "head",
+                                  "n_body"]),
+            pd.DataFrame([("inverse", a, "", b, n_body_of[a])
+                          for a in preds for b in preds],
+                         columns=["shape", "body1", "body2", "head",
+                                  "n_body"]),
+            pd.DataFrame([("chain", r.p1, r.p2, h, int(r.n_body))
+                          for r in nb_chain.itertuples()
+                          for h in preds],
+                         columns=["shape", "body1", "body2", "head",
+                                  "n_body"]),
+        ]
+        cand = pd.concat(cands, ignore_index=True)
+        counted = (pd.concat(frames, ignore_index=True)
+                   [["shape", "body1", "body2", "head", "support"]]
+                   if frames else None)
+        out = (cand.merge(counted, how="left",
+                          on=["shape", "body1", "body2", "head"])
+               if counted is not None else cand.assign(support=0))
+        out["support"] = out["support"].fillna(0)
+    else:
+        out = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(columns=["shape", "body1", "body2", "head",
+                                  "n_body", "support"])
+    out = out[out["support"] >= min_support].copy()
+    out["n_body"] = out["n_body"].astype(np.int64)
+    out["support"] = out["support"].astype(np.int64)
+    out["conf_bp"] = (out["support"] * conf_scale
+                      // out["n_body"]).astype(np.int64)
+    return (out.sort_values(["shape", "body1", "body2", "head"])
+            .reset_index(drop=True))

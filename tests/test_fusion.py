@@ -250,3 +250,60 @@ def test_property_entailment_rules_and_paths_agree():
 
     slow = run(chain_guard=0)
     pd.testing.assert_frame_equal(got, slow[got.columns])
+
+
+def test_rule_mining_counts_and_shapes():
+    """Hand-computable fixture: 3 preds over a 5-entity world.
+
+    facts: p(a,b) p(a,c) q(a,b)          → same p⇒q: n_body 2, sup 1
+           r(b,a)                         → inverse p⇒r: p(a,b) rev
+           p(a,b) ∧ p2-chain via q(b,d)   → chain p∘q: (a,d)
+    """
+    from cpg_ray.functions.fusion import rule_mining
+
+    rows = [
+        ("p", "a", "b", "u1"), ("p", "a", "c", "u1"),
+        ("q", "a", "b", "u2"),
+        ("r", "b", "a", "u2"),
+        ("q", "b", "d", "u3"),
+        # duplicate assertion across urls must NOT double-count
+        ("p", "a", "b", "u9"),
+    ]
+    df = rule_mining(_triples(rows), min_support=1)
+    by = {(t.shape, t.body1, t.body2, t.head): (t.n_body, t.support,
+                                                t.conf_bp)
+          for t in df.itertuples()}
+    # same-pair: p(x,y) ⇒ q(x,y): bodies {(a,b),(a,c)}, support (a,b)
+    assert by[("same", "p", "", "q")] == (2, 1, 5000)
+    assert by[("same", "q", "", "p")] == (2, 1, 5000)
+    # inverse: p(y,x) ⇒ r(x,y): r(b,a) with p(a,b) — support 1
+    assert by[("inverse", "p", "", "r")] == (2, 1, 5000)
+    # chain: p(x,z) ∧ q(z,y) ⇒ ? : body p∘q = {(a,d)} (via z=b);
+    # no head matches (a,d) so the chain appears only at support 0
+    assert ("chain", "p", "q", "q") not in by
+    zero = rule_mining(_triples(rows), min_support=0, emit_zero=True)
+    zby = {(t.shape, t.body1, t.body2, t.head): (t.n_body, t.support)
+           for t in zero.itertuples()}
+    assert zby[("chain", "p", "q", "q")] == (1, 0)
+    # emit_zero enumerates the full same/inverse candidate space
+    assert sum(1 for k in zby if k[0] == "same") == 6      # 3P2
+    assert sum(1 for k in zby if k[0] == "inverse") == 9   # 3²
+
+
+def test_rule_mining_hub_cap_excludes_hot_mid():
+    """A hub mid-entity past hub_cap is excluded from chain bodies on
+    both sides of the join — the documented skew posture."""
+    from cpg_ray.functions.fusion import rule_mining
+
+    rows = [("p", f"x{i}", "hub", "u") for i in range(8)]
+    rows += [("q", "hub", f"y{i}", "u") for i in range(8)]
+    rows += [("p", "solo", "mid", "u"), ("q", "mid", "out", "u")]
+    full = rule_mining(_triples(rows), min_support=0, emit_zero=True)
+    capped = rule_mining(_triples(rows), min_support=0,
+                         emit_zero=True, hub_cap=10)
+    nb = {(t.body1, t.body2): t.n_body for t in
+          full[full["shape"] == "chain"].itertuples()}
+    nbc = {(t.body1, t.body2): t.n_body for t in
+           capped[capped["shape"] == "chain"].itertuples()}
+    assert nb[("p", "q")] == 65          # 8×8 via hub + 1 via mid
+    assert nbc[("p", "q")] == 1          # hub (degree 16) excluded
