@@ -843,6 +843,26 @@ def _kg_rule_mining(sf_dir: str):
     return rule_mining(tri, min_support=0, emit_zero=True)
 
 
+def _kg_shacl(sf_dir: str):
+    """SHACL-lite shape validation (W3C SHACL class/domain/maxCount/
+    minCount semantics) over the distinct fact set against the
+    authored node shapes — every violation row with focus, constraint,
+    expected vs actual, and the offending value.  Verified against the
+    SQL joins + NOT EXISTS over the same shapes table."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import shacl_validate
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj"],
+    )
+    return shacl_validate(tri)
+
+
 def _kg_betweenness(sf_dir: str):
     """Brandes betweenness centrality over the canonical entity graph,
     top 50 (rows-only by design: σ-ratio sums are float path
@@ -1932,8 +1952,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_ctx": _kg_triples_ctx,
         "kg_betweenness": _kg_betweenness,
         # -- oracle-paired, NEW in round 5 (this session): AMIE-shape
-        # horn-rule induction over the distinct fact set
+        # horn-rule induction and SHACL-lite shape validation over the
+        # distinct fact set
         "kg_rule_mining": _kg_rule_mining,
+        "kg_shacl": _kg_shacl,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2839,6 +2861,78 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    ((support * 10000) // n_body)::BIGINT AS conf_bp
             FROM cand
             ORDER BY shape, body1, body2, head
+        """,
+        # SHACL-lite shape validation: class/domain checks are row
+        # filters over the distinct facts, maxCount a grouped count,
+        # minCount a NOT EXISTS over the entity universe
+        "kg_shacl": f"""
+            WITH d AS (
+                SELECT DISTINCT canonical_subj AS x, pred AS p,
+                       canonical_obj AS y
+                FROM read_parquet('{triples_glob}')
+            ), k AS (
+                SELECT x, p, y,
+                       CASE substr(x, 1, 1) WHEN 'P' THEN 'person'
+                            WHEN 'O' THEN 'org' WHEN 'C' THEN 'city'
+                            WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS skind,
+                       CASE substr(y, 1, 1) WHEN 'P' THEN 'person'
+                            WHEN 'O' THEN 'org' WHEN 'C' THEN 'city'
+                            WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS okind
+                FROM d
+            ), shp(kind, pred, min_count, max_count, range_kind) AS (
+                VALUES ('person', 'born_in', 0, 1, 'city'),
+                       ('person', 'works_for', 0, NULL, 'org'),
+                       ('person', 'visited', 0, NULL, 'city'),
+                       ('org', 'based_in', 0, 1, 'city'),
+                       ('city', 'located_in', 1, 1, 'country')
+            ), dm(pred, kind) AS (
+                VALUES ('born_in', 'person'), ('works_for', 'person'),
+                       ('visited', 'person'), ('based_in', 'org'),
+                       ('located_in', 'city')
+            ), cls AS (
+                SELECT k.x AS focus, k.skind AS kind, k.p AS pred,
+                       'class' AS "constraint",
+                       s.range_kind AS expected, k.okind AS actual,
+                       k.y AS value
+                FROM k JOIN shp s ON s.kind = k.skind AND s.pred = k.p
+                WHERE s.range_kind IS NOT NULL
+                  AND k.okind <> s.range_kind
+            ), domv AS (
+                SELECT k.x, k.skind, k.p, 'domain',
+                       m.kind, k.skind, k.y
+                FROM k JOIN dm m ON m.pred = k.p
+                WHERE k.skind <> m.kind
+            ), cnt AS (
+                SELECT x, skind, p, count(*)::BIGINT AS n
+                FROM k GROUP BY x, skind, p
+            ), maxv AS (
+                SELECT c.x, c.skind, c.p, 'maxCount',
+                       CAST(s.max_count AS VARCHAR),
+                       CAST(c.n AS VARCHAR), ''
+                FROM cnt c JOIN shp s ON s.kind = c.skind
+                                     AND s.pred = c.p
+                WHERE s.max_count IS NOT NULL AND c.n > s.max_count
+            ), uni AS (
+                SELECT DISTINCT e, CASE substr(e, 1, 1)
+                            WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                            WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                            ELSE 'inferred' END AS kind
+                FROM (SELECT x AS e FROM d UNION SELECT y FROM d)
+            ), minv AS (
+                SELECT u.e, u.kind, s.pred, 'minCount', '1', '0', ''
+                FROM uni u JOIN shp s ON s.kind = u.kind
+                WHERE s.min_count > 0
+                  AND NOT EXISTS (SELECT 1 FROM d
+                                  WHERE d.x = u.e AND d.p = s.pred)
+            )
+            SELECT * FROM (
+                SELECT * FROM cls
+                UNION ALL SELECT * FROM domv
+                UNION ALL SELECT * FROM maxv
+                UNION ALL SELECT * FROM minv)
+            ORDER BY "constraint", kind, pred, focus, value
         """,
         # Newman modularity of the kind partition: exact integer
         # numerators over the distinct undirected entity graph

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_events_dquantiles",
     "kg_owl_entail",
     "kg_rule_mining",
+    "kg_shacl",
 ]
 
 

@@ -673,3 +673,169 @@ def rule_mining(triples_ds, *, min_support: int = 5,
                       // out["n_body"]).astype(np.int64)
     return (out.sort_values(["shape", "body1", "body2", "head"])
             .reset_index(drop=True))
+
+
+# SHACL-lite node shapes over the world's kinds (W3C SHACL semantics,
+# public; authored and KB-sized — same posture as the RDFS ontology).
+# kind → pred → (min_count, max_count, range_kind); None = unbounded.
+SHACL_SHAPES = {
+    "person": {"born_in": (0, 1, "city"),
+               "works_for": (0, None, "org"),
+               "visited": (0, None, "city")},
+    "org": {"based_in": (0, 1, "city")},
+    "city": {"located_in": (1, 1, "country")},
+}
+# sh:targetSubjectsOf-style domain expectation per predicate
+SHACL_DOMAIN = {"born_in": "person", "works_for": "person",
+                "visited": "person", "based_in": "org",
+                "located_in": "city"}
+
+
+def shacl_validate(triples_ds, *, shapes=SHACL_SHAPES,
+                   domain_of=SHACL_DOMAIN, mode: str = "auto"):
+    """SHACL-lite shape validation over the distinct fact set: every
+    constraint violation as a row
+
+    ``(focus, kind, pred, constraint, expected, actual, value)``
+
+    with constraint ∈ {class, domain, maxCount, minCount} —
+
+    - **class** (sh:class): object of a shaped property must be of the
+      declared range kind; one row per offending (focus, pred, value).
+    - **domain**: a fact whose subject kind differs from the
+      predicate's declared subject kind.
+    - **maxCount** (sh:maxCount): distinct-object count per
+      (focus, pred) above the declared cap.
+    - **minCount** (sh:minCount): a focus node of the shaped kind with
+      NO fact for a required predicate (closed-world over the entity
+      universe = every id seen as subject or object).
+
+    Scale shape: class/domain checks are batch-local emissions over
+    the distinct facts (no exchange beyond the one distinct);
+    cardinality is a combiner-fed ``groupby_agg`` keyed by (focus,
+    pred); minCount is a distributed ``left_anti`` join of the
+    kind-filtered entity universe against the distinct subject set —
+    nothing vocabulary-sized lands on the driver.  The shapes table
+    itself is tiny and ships inside the batch closures."""
+    from .relational import (default_n_buckets, distinct_on,
+                             groupby_agg)
+
+    cols = ["canonical_subj", "pred", "canonical_obj"]
+
+    def to_xy(b: pd.DataFrame) -> pd.DataFrame:
+        return (b[cols].drop_duplicates()
+                .rename(columns={"canonical_subj": "x", "pred": "p",
+                                 "canonical_obj": "y"}))
+
+    d = distinct_on(
+        triples_ds.map_batches(to_xy, batch_format="pandas"),
+        ["x", "p", "y"], mode=mode).materialize()
+
+    out_cols = ["focus", "kind", "pred", "constraint", "expected",
+                "actual", "value"]
+    range_of = {(k, p): rng for k, props in shapes.items()
+                for p, (_, _, rng) in props.items() if rng}
+    max_of = {(k, p): mx for k, props in shapes.items()
+              for p, (_, mx, _) in props.items() if mx is not None}
+    min_preds = [(k, p) for k, props in shapes.items()
+                 for p, (mn, _, _) in props.items() if mn > 0]
+
+    def local_checks(b: pd.DataFrame) -> pd.DataFrame:
+        skind = b["x"].str[0].map(_KIND).fillna("inferred")
+        okind = b["y"].str[0].map(_KIND).fillna("inferred")
+        rows = []
+        exp_rng = pd.Series(
+            list(zip(skind, b["p"])), index=b.index).map(range_of)
+        bad = exp_rng.notna() & (okind != exp_rng)
+        if bad.any():
+            v = b[bad]
+            rows.append(pd.DataFrame({
+                "focus": v["x"].to_numpy(),
+                "kind": skind[bad].to_numpy(), "pred": v["p"].to_numpy(),
+                "constraint": "class",
+                "expected": exp_rng[bad].to_numpy(),
+                "actual": okind[bad].to_numpy(),
+                "value": v["y"].to_numpy()}))
+        exp_dom = b["p"].map(domain_of)
+        badd = exp_dom.notna() & (skind != exp_dom)
+        if badd.any():
+            v = b[badd]
+            rows.append(pd.DataFrame({
+                "focus": v["x"].to_numpy(),
+                "kind": skind[badd].to_numpy(),
+                "pred": v["p"].to_numpy(), "constraint": "domain",
+                "expected": exp_dom[badd].to_numpy(),
+                "actual": skind[badd].to_numpy(),
+                "value": v["y"].to_numpy()}))
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in out_cols})
+        return pd.concat(rows, ignore_index=True)[out_cols]
+
+    parts = [d.map_batches(local_checks, batch_format="pandas")]
+
+    # maxCount: combiner-fed distinct-object counts per (focus, pred)
+    nobj = groupby_agg(
+        d.map_batches(lambda b: b.assign(__one=1),
+                      batch_format="pandas"),
+        ["x", "p"], [("__one", "sum", "n")], mode=mode)
+
+    def over_max(b: pd.DataFrame) -> pd.DataFrame:
+        skind = b["x"].str[0].map(_KIND).fillna("inferred")
+        cap = pd.Series(
+            list(zip(skind, b["p"])), index=b.index).map(max_of)
+        bad = cap.notna() & (b["n"] > cap)
+        v = b[bad]
+        return pd.DataFrame({
+            "focus": v["x"].to_numpy(), "kind": skind[bad].to_numpy(),
+            "pred": v["p"].to_numpy(), "constraint": "maxCount",
+            "expected": cap[bad].astype("Int64").astype(str).to_numpy(),
+            "actual": v["n"].astype(np.int64).astype(str).to_numpy(),
+            "value": ""}) if bad.any() else pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in out_cols})
+
+    parts.append(nobj.map_batches(over_max, batch_format="pandas"))
+
+    # minCount: kind-filtered entity universe ANTI-JOIN subject set
+    universe = distinct_on(
+        d.map_batches(
+            lambda b: pd.concat([b["x"].rename("e").to_frame(),
+                                 b["y"].rename("e").to_frame()],
+                                ignore_index=True).drop_duplicates(),
+            batch_format="pandas"),
+        ["e"], mode=mode).materialize()
+    for k, p in min_preds:
+        uk = universe.map_batches(
+            lambda b, k=k: b[b["e"].str[0].map(_KIND) == k],
+            batch_format="pandas").materialize()
+        have = distinct_on(
+            d.map_batches(
+                lambda b, p=p: b.loc[b["p"] == p, ["x"]]
+                .rename(columns={"x": "__h"}).drop_duplicates(),
+                batch_format="pandas"),
+            ["__h"], mode=mode).materialize()
+        if have.count() == 0:
+            missing = uk  # Ray's join crashes on an empty side
+        elif uk.count() == 0:
+            continue
+        else:
+            missing = uk.join(have, "left_anti",
+                              num_partitions=default_n_buckets(),
+                              on=("e",), right_on=("__h",))
+        parts.append(missing.map_batches(
+            lambda b, k=k, p=p: pd.DataFrame({
+                "focus": b["e"].to_numpy(), "kind": k, "pred": p,
+                "constraint": "minCount", "expected": "1",
+                "actual": "0", "value": ""}) if len(b) else
+            pd.DataFrame({c: pd.Series([], dtype=object)
+                          for c in out_cols}),
+            batch_format="pandas"))
+
+    allv = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    df = allv.to_pandas()
+    if not len(df):
+        return pd.DataFrame(columns=out_cols)
+    return (df[out_cols]
+            .sort_values(["constraint", "kind", "pred", "focus",
+                          "value"])
+            .reset_index(drop=True))

@@ -307,3 +307,33 @@ def test_rule_mining_hub_cap_excludes_hot_mid():
            capped[capped["shape"] == "chain"].itertuples()}
     assert nb[("p", "q")] == 65          # 8×8 via hub + 1 via mid
     assert nbc[("p", "q")] == 1          # hub (degree 16) excluded
+
+
+def test_shacl_validate_all_four_constraint_kinds():
+    """Tiny world: every constraint class fires exactly once, and
+    duplicate assertions across urls never double-count cardinality."""
+    from cpg_ray.functions.fusion import shacl_validate
+
+    rows = [
+        # P1 born_in two distinct cities → maxCount (1 < 2)
+        ("born_in", "P1", "C1", "u1"), ("born_in", "P1", "C2", "u2"),
+        ("born_in", "P1", "C1", "u3"),   # dup assertion, same object
+        # P2 works_for a city → class violation (expects org)
+        ("works_for", "P2", "C1", "u1"),
+        # org subject on born_in → domain violation (expects person)
+        ("born_in", "O1", "C1", "u1"),
+        # C1 located_in K1 — satisfied; C2 has none → minCount
+        ("located_in", "C1", "K1", "u1"),
+    ]
+    df = shacl_validate(_triples(rows))
+    got = {(t.constraint, t.focus, t.pred): (t.expected, t.actual,
+                                             t.value)
+           for t in df.itertuples()}
+    assert got[("maxCount", "P1", "born_in")] == ("1", "2", "")
+    assert got[("class", "P2", "works_for")] == ("org", "city", "C1")
+    assert got[("domain", "O1", "born_in")] == ("person", "org", "C1")
+    assert got[("minCount", "C2", "located_in")] == ("1", "0", "")
+    # K1 is a country — no shape targets it; O1's missing based_in is
+    # min_count 0 so absent
+    assert all(t.focus != "K1" for t in df.itertuples())
+    assert ("minCount", "O1", "based_in") not in got
