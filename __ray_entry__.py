@@ -1956,6 +1956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct fact set
         "kg_rule_mining": _kg_rule_mining,
         "kg_shacl": _kg_shacl,
+        # TREC-style retrieval-quality eval of the BM25 run vs
+        # conjunctive-containment qrels, exact-integer metrics
+        "q_retrieval_eval": q.q_retrieval_eval,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "kg_owl_entail",
     "kg_rule_mining",
     "kg_shacl",
+    "q_retrieval_eval",
 ]
 
 

@@ -1697,3 +1697,93 @@ def rake_keyphrases(docs_ds, *, id_col: str = "doc_id",
 
     return docs_ds.map_batches(extract, batch_format="pandas",
                                batch_size=None)
+
+
+def retrieval_eval(docs_ds, queries: dict, *, id_col: str = "doc_id",
+                   text_col: str = "text", top_n: int = 10,
+                   mrr_lcm: int = 2520, bp: int = 10_000):
+    """TREC-style retrieval-quality evaluation of the BM25 run against
+    deterministic boolean-AND relevance judgments: a document is
+    relevant to a query iff it contains EVERY query token (the
+    conjunctive-containment oracle — ground truth any SQL engine
+    reproduces exactly, standing in for human qrels).  Per query, all
+    exact integers:
+
+    - ``n_rel``       corpus-wide relevant count (recall denominator)
+    - ``hits``        relevant docs inside the top-n run
+    - ``first_rank``  1-based rank of the first relevant hit (0 = none)
+    - ``mrr_x2520``   mrr_lcm // first_rank — reciprocal rank scaled
+      by lcm(1..10) = 2520, the kg_harmonic exact-reciprocal trick
+    - ``precision_bp`` / ``recall_bp`` — basis points via integer
+      division
+
+    Scale shape: the run comes from :func:`bm25_search` (combiner-fed,
+    corpus never leaves its batches).  Judgments cost ONE extra
+    stateless pass: per batch, a vectorized word-boundary ``contains``
+    per query token (the \\b semantics coincide with TOKEN_RE
+    tokenization — both split on non-[A-Za-z0-9_]), AND-folded per
+    query, emitting one count partial per (batch, query) plus qrel
+    flags ONLY for the broadcast retrieved id set (Q × top_n ids) —
+    nothing corpus-sized moves, and the driver folds Q × top_n rows."""
+    import ray
+
+    from .relational import bcast_get
+
+    run = bm25_search(docs_ds, queries, id_col=id_col,
+                      text_col=text_col, top_n=top_n).to_pandas()
+    if len(run):
+        run[id_col] = run[id_col].astype("int64")
+    run = run.sort_values(["qid", "score", id_col],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    run["rank"] = run.groupby("qid", sort=False).cumcount() + 1
+    retrieved_ref = ray.put(
+        frozenset(zip(run["qid"], run[id_col])) if len(run)
+        else frozenset())
+    qtoks = {qid: sorted(dict.fromkeys(
+                 re.findall("[a-z0-9_]+", qtext.lower())))
+             for qid, qtext in sorted(queries.items())}
+
+    def judge(b: pd.DataFrame) -> pd.DataFrame:
+        low = b[text_col].astype(str).str.lower()
+        ret = bcast_get(retrieved_ref)
+        ids = b[id_col].to_numpy()
+        parts = []
+        for qid, toks in qtoks.items():
+            m = np.ones(len(b), dtype=bool)
+            for tok in toks:
+                m &= low.str.contains(
+                    rf"\b{re.escape(tok)}\b", regex=True).to_numpy()
+            hit_ids = [int(i) for i in ids[m] if (qid, i) in ret]
+            parts.append(pd.DataFrame({
+                "qid": [qid] + [qid] * len(hit_ids),
+                "doc_id": [-1] + hit_ids,
+                "n": [int(m.sum())] + [0] * len(hit_ids),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    j = docs_ds.map_batches(judge, batch_format="pandas").to_pandas()
+    totals = (j.groupby("qid")["n"].sum().astype("int64")
+              if len(j) else pd.Series(dtype="int64"))
+    rel_pairs = (set(zip(j.loc[j["doc_id"] >= 0, "qid"],
+                         j.loc[j["doc_id"] >= 0, "doc_id"]))
+                 if len(j) else set())
+    rows = []
+    for qid in qtoks:
+        sub = run[run["qid"] == qid]
+        isrel = np.array([(qid, d) in rel_pairs
+                          for d in sub[id_col]], dtype=bool)
+        hits = int(isrel.sum())
+        first = int(sub["rank"].to_numpy()[isrel].min()) if hits else 0
+        n_rel = int(totals.get(qid, 0))
+        rows.append({
+            "qid": qid, "n_rel": n_rel, "hits": hits,
+            "first_rank": first,
+            "mrr_x2520": mrr_lcm // first if first else 0,
+            "precision_bp": hits * bp // top_n,
+            "recall_bp": hits * bp // n_rel if n_rel else 0,
+        })
+    out = pd.DataFrame(rows).sort_values("qid").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

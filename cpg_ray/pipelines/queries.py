@@ -517,6 +517,18 @@ def q_doc_rerank(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_retrieval_eval(sf_dir: str) -> pd.DataFrame:
+    """Retrieval-quality evaluation (TREC shape): MRR (lcm-scaled
+    exact reciprocal), hits/precision/recall at 10 of the BM25 run
+    against deterministic boolean-AND relevance judgments — the
+    eval harness every retrieval stack needs, with every metric an
+    exact integer so the SQL oracle hash-matches."""
+    from ..functions.text import retrieval_eval
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return retrieval_eval(docs, BM25_SEARCH_QUERIES, top_n=10)
+
+
 SPARSE_SEARCH_QUERIES = {"qa": "hash join", "qb": "window sort",
                          "qc": "stream batch"}
 
@@ -5329,3 +5341,79 @@ def _zorder_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_events_zorder"] = _zorder_oracle_sql()
+
+# Retrieval eval: the BM25 ranked run (identical CTE chain to
+# q_doc_bm25_search) scored against conjunctive-containment qrels —
+# every metric an exact integer (mrr scaled by lcm(1..10) = 2520,
+# precision/recall in basis points via integer division)
+ORACLE_SQL["q_retrieval_eval"] = """
+    WITH qt(qid, tok) AS (VALUES ('qa', 'hash'), ('qa', 'join'), ('qa', 'order'), ('qb', 'window'), ('qb', 'sort'), ('qb', 'merge'), ('qc', 'spark'), ('qc', 'stream'), ('qc', 'batch')),
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+           FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+           FROM toks WHERE tok IN (SELECT tok FROM qt)
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS dfreq
+              FROM toks WHERE tok IN (SELECT tok FROM qt)
+              GROUP BY tok),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               ln(((SELECT n FROM n) - dfreq.dfreq + 0.5)
+                  / (dfreq.dfreq + 0.5) + 1)
+               * ((tf.tf * (1.2 + 1))
+                  / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dl.dl)
+                                    / (SELECT avgdl FROM ad)))) AS w
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+    ),
+    s AS (SELECT qt.qid, w.doc_id, round(sum(w.w), 6) AS score
+          FROM w JOIN qt USING (tok) GROUP BY qt.qid, w.doc_id),
+    ranked AS (
+        SELECT qid, doc_id,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        FROM s
+    ),
+    dt AS (SELECT DISTINCT doc_id, tok FROM toks
+           WHERE tok IN (SELECT tok FROM qt)),
+    nq AS (SELECT qid, count(DISTINCT tok)::BIGINT AS k
+           FROM qt GROUP BY qid),
+    rel AS (
+        SELECT q.qid, d2.doc_id
+        FROM dt d2 JOIN qt q USING (tok) JOIN nq USING (qid)
+        GROUP BY q.qid, d2.doc_id, nq.k
+        HAVING count(DISTINCT d2.tok) = nq.k
+    ),
+    nrel AS (SELECT qid, count(*)::BIGINT AS n_rel
+             FROM rel GROUP BY qid),
+    j AS (
+        SELECT r.qid, r.rk,
+               CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS isrel
+        FROM ranked r LEFT JOIN rel ON rel.qid = r.qid
+                                   AND rel.doc_id = r.doc_id
+        WHERE r.rk <= 10
+    ),
+    m AS (
+        SELECT qid, sum(isrel)::BIGINT AS hits,
+               coalesce(min(rk) FILTER (WHERE isrel = 1), 0)::BIGINT
+                   AS first_rank
+        FROM j GROUP BY qid
+    )
+    SELECT m.qid, coalesce(nrel.n_rel, 0)::BIGINT AS n_rel, m.hits,
+           m.first_rank,
+           (CASE WHEN m.first_rank > 0 THEN 2520 // m.first_rank
+                 ELSE 0 END)::BIGINT AS mrr_x2520,
+           ((m.hits * 10000) // 10)::BIGINT AS precision_bp,
+           (CASE WHEN coalesce(nrel.n_rel, 0) > 0
+                 THEN (m.hits * 10000) // nrel.n_rel
+                 ELSE 0 END)::BIGINT AS recall_bp
+    FROM m LEFT JOIN nrel ON nrel.qid = m.qid
+    ORDER BY m.qid
+"""

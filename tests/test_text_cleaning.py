@@ -565,3 +565,44 @@ def test_c4_rules_fixture():
     assert "header" not in out.kept_text[1]
     # "short line." has 2 words -> dropped; "four words only here." has 4
     assert out.kept_text[2] == "one two three four five."
+
+
+def test_retrieval_eval_exact_integer_metrics():
+    """Hand-computable: 4 docs, one query 'cat dog'.  Relevant docs
+    contain BOTH tokens; 'catalog' must not count as 'cat' (word-
+    boundary semantics = TOKEN_RE tokenization)."""
+    from cpg_ray.functions.text import retrieval_eval
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "cat dog cat",            # relevant, high tf
+            "dog park catalog",       # NOT relevant (catalog != cat)
+            "the cat sat on the dog", # relevant
+            "nothing here",           # irrelevant
+        ]}))
+    out = retrieval_eval(docs, {"q1": "cat dog"}, top_n=2)
+    r = out.iloc[0]
+    assert r["qid"] == "q1"
+    assert r["n_rel"] == 2
+    # BM25 retrieves docs mentioning either token; top-2 must include
+    # at least one relevant doc at rank 1 (doc 1 has max tf)
+    assert r["hits"] == 2 and r["first_rank"] == 1
+    assert r["mrr_x2520"] == 2520
+    assert r["precision_bp"] == 10000
+    assert r["recall_bp"] == 10000
+    for c in ("n_rel", "hits", "first_rank", "mrr_x2520",
+              "precision_bp", "recall_bp"):
+        assert str(out[c].dtype) == "int64"
+
+
+def test_retrieval_eval_no_relevant_docs():
+    from cpg_ray.functions.text import retrieval_eval
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["cat only", "dog only"]}))
+    out = retrieval_eval(docs, {"q1": "cat dog"}, top_n=2)
+    r = out.iloc[0]
+    assert r["n_rel"] == 0 and r["hits"] == 0
+    assert r["first_rank"] == 0 and r["mrr_x2520"] == 0
+    assert r["recall_bp"] == 0
