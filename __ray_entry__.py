@@ -843,6 +843,29 @@ def _kg_rule_mining(sf_dir: str):
     return rule_mining(tri, min_support=0, emit_zero=True)
 
 
+def _kg_kge_eval(sf_dir: str):
+    """Filtered link-prediction evaluation of the TransE energies
+    (Bordes et al. protocol): rank each md5-sampled held-out triple's
+    true tail among its predicate's type-constrained candidate pool,
+    filtered of other true facts — per-predicate n_test / sum_rank /
+    hits@1 / hits@10, all exact integers.  Verified against the SQL
+    cross-join + NOT EXISTS rank count over the same md5-seam
+    embeddings."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import kge_eval
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "pred", "canonical_obj"],
+    )
+    return kge_eval(tri, subj="canonical_subj", pred="pred",
+                    obj="canonical_obj")
+
+
 def _kg_shacl(sf_dir: str):
     """SHACL-lite shape validation (W3C SHACL class/domain/maxCount/
     minCount semantics) over the distinct fact set against the
@@ -1959,6 +1982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TREC-style retrieval-quality eval of the BM25 run vs
         # conjunctive-containment qrels, exact-integer metrics
         "q_retrieval_eval": q.q_retrieval_eval,
+        # filtered link-prediction eval of the TransE energies
+        "kg_kge_eval": _kg_kge_eval,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -3898,6 +3923,61 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM t CROSS JOIN d
             GROUP BY s, p, o
             ORDER BY canonical_subj, pred, canonical_obj
+        """
+    # filtered link-prediction eval: md5-sampled test triples ranked
+    # against the per-predicate candidate pool by exact L1 energy,
+    # other true facts excluded (cross join + NOT EXISTS)
+    def _emb(x: str) -> str:
+        return (f"(('0x' || substr(md5({x} || '|' || i::VARCHAR), "
+                f"1, 8))::BIGINT % 2001 - 1000)")
+
+    out["kg_kge_eval"] = f"""
+            WITH t AS (SELECT DISTINCT canonical_subj AS s, pred AS p,
+                                       canonical_obj AS o
+                       FROM read_parquet('{triples_glob}')),
+            test AS (SELECT * FROM t
+                     WHERE ('0x' || substr(md5(s || '|' || p || '|'
+                                               || o), 1, 8))::BIGINT
+                           % 100 < 5),
+            pool AS (SELECT DISTINCT p, o AS e FROM t),
+            d4 AS (SELECT unnest(range(0, 4)) AS i),
+            cand AS (
+                SELECT te.s, te.p, te.o, po.e
+                FROM test te JOIN pool po ON po.p = te.p
+                WHERE po.e <> te.o
+                  AND NOT EXISTS (SELECT 1 FROM t
+                                  WHERE t.s = te.s AND t.p = te.p
+                                    AND t.o = po.e)
+            ),
+            sc AS (
+                SELECT s, p, o, e,
+                       SUM(ABS({_emb('s')} + {_emb('p')}
+                               - {_emb('e')}))::BIGINT AS sce
+                FROM cand CROSS JOIN d4 GROUP BY s, p, o, e
+            ),
+            st AS (
+                SELECT s, p, o,
+                       SUM(ABS({_emb('s')} + {_emb('p')}
+                               - {_emb('o')}))::BIGINT AS sct
+                FROM test CROSS JOIN d4 GROUP BY s, p, o
+            ),
+            rk AS (
+                SELECT st.s, st.p, st.o,
+                       1 + count(*) FILTER (
+                           WHERE sc.sce < st.sct
+                              OR (sc.sce = st.sct AND sc.e < st.o))
+                           AS rank
+                FROM st LEFT JOIN sc ON sc.s = st.s AND sc.p = st.p
+                                    AND sc.o = st.o
+                GROUP BY st.s, st.p, st.o
+            )
+            SELECT p AS pred, count(*)::BIGINT AS n_test,
+                   sum(rank)::BIGINT AS sum_rank,
+                   (count(*) FILTER (WHERE rank <= 1))::BIGINT
+                       AS hits1,
+                   (count(*) FILTER (WHERE rank <= 10))::BIGINT
+                       AS hits10
+            FROM rk GROUP BY p ORDER BY pred
         """
     # frequency-LPA oracle: 4 synchronous rounds unrolled (argmax per
     # round needs a window function, so no recursive-CTE form)

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "kg_rule_mining",
     "kg_shacl",
     "q_retrieval_eval",
+    "kg_kge_eval",
 ]
 
 

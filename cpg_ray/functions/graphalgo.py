@@ -3379,3 +3379,117 @@ def betweenness(edges_ds, *, src: str = "src", dst: str = "dst",
     return out.sort_values(
         ["betweenness", "entity"], ascending=[False, True]
     ).reset_index(drop=True)
+
+
+def kge_eval(triples_ds, *, subj: str = "subj", pred: str = "pred",
+             obj: str = "obj", dims: int = 4, sample_pct: int = 5,
+             pool_guard: int = 2_000_000):
+    """Filtered link-prediction evaluation of the TransE energies
+    (Bordes et al. 2013 protocol, public): for each held-out test
+    triple (h, r, t) — a deterministic md5 sample of the distinct
+    facts — rank the true tail t among the predicate's candidate pool
+    (type-constrained: the distinct objects of r) by L1 energy
+    ascending, EXCLUDING candidates that are themselves true facts
+    (the "filtered" setting), ties broken by entity id.  Per
+    predicate, all exact integers: ``n_test``, ``sum_rank`` (mean
+    rank = sum_rank / n_test left to the reader — ratios aren't
+    hash-stable), ``hits1``, ``hits10``.
+
+    Scale shape: the test set is a hash sample (small by
+    construction); candidate pools are vocabulary-bounded per
+    predicate and collected under ``pool_guard`` then broadcast; the
+    per-test filter sets come from ONE semi-filtered pass over the
+    distinct facts keyed by the broadcast test (h, r) set — bounded
+    by test-set fan-out, never corpus-sized.  Scoring is a
+    distributed map over the test triples: per batch, one
+    (n × pool × dims) numpy broadcast against the md5-derived
+    integer embeddings (the model seam — a trained KGE model's
+    vectors plug in here)."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    from .relational import _collect_limited, bcast_get, distinct_on
+
+    def emb_matrix(keys) -> np.ndarray:
+        out = np.empty((len(keys), dims), dtype=np.int64)
+        for j, k in enumerate(keys):
+            for i in range(dims):
+                h = hashlib.md5(f"{k}|{i}".encode()).hexdigest()[:8]
+                out[j, i] = int(h, 16) % 2001 - 1000
+        return out
+
+    d = distinct_on(triples_ds, [subj, pred, obj]).materialize()
+
+    def pick_test(b: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            int(hashlib.md5(f"{s}|{p}|{o}".encode()).hexdigest()[:8],
+                16) % 100 < sample_pct
+            for s, p, o in zip(b[subj], b[pred], b[obj])]
+        return b[np.asarray(keep, dtype=bool)]
+
+    test = d.map_batches(pick_test, batch_format="pandas").to_pandas()
+    if not len(test):
+        return pd.DataFrame(columns=["pred", "n_test", "sum_rank",
+                                     "hits1", "hits10"])
+
+    pools_df = _collect_limited(
+        d.map_batches(lambda b: b[[pred, obj]].drop_duplicates(),
+                      batch_format="pandas")
+        .map_batches(lambda b: b.drop_duplicates(),
+                     batch_format="pandas"),
+        pool_guard, "kge_eval candidate pools")
+    pools_df = pools_df.drop_duplicates()
+    pools = {p: np.sort(g[obj].to_numpy(object))
+             for p, g in pools_df.groupby(pred, sort=False)}
+    pool_embs = {p: emb_matrix(v) for p, v in pools.items()}
+
+    hr_keys = frozenset(zip(test[subj], test[pred]))
+    hr_ref = ray.put(hr_keys)
+
+    def hr_facts(b: pd.DataFrame) -> pd.DataFrame:
+        ks = bcast_get(hr_ref)
+        m = [(s, p) in ks for s, p in zip(b[subj], b[pred])]
+        return b[np.asarray(m, dtype=bool)]
+
+    filt_df = d.map_batches(hr_facts, batch_format="pandas").to_pandas()
+    filt: dict = {}
+    for s, p, o in zip(filt_df[subj], filt_df[pred], filt_df[obj]):
+        filt.setdefault((s, p), set()).add(o)
+    refs = ray.put((pools, pool_embs, filt))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        pls, pembs, flt = bcast_get(refs)
+        out = []
+        for p, g in b.groupby(pred, sort=False):
+            cand, emb_c = pls[p], pembs[p]
+            hs = emb_matrix(pd.unique(g[subj].to_numpy(object)))
+            h_idx = {k: j for j, k in
+                     enumerate(pd.unique(g[subj].to_numpy(object)))}
+            r_emb = emb_matrix([p])[0]
+            q = hs[[h_idx[s] for s in g[subj]]] + r_emb  # n × dims
+            sc = np.abs(q[:, None, :] - emb_c[None, :, :]).sum(
+                axis=2)  # n × pool
+            for row_i, (s, t) in enumerate(zip(g[subj], g[obj])):
+                ti = np.searchsorted(cand, t)
+                s_t = sc[row_i, ti]
+                drop = flt.get((s, p), set())
+                ok = np.array([e != t and e not in drop
+                               for e in cand], dtype=bool)
+                srow = sc[row_i]
+                better = ok & ((srow < s_t)
+                               | ((srow == s_t) & (cand < t)))
+                out.append((p, 1 + int(better.sum())))
+        return pd.DataFrame(out, columns=["pred_", "rank"])
+
+    ranks = rd.from_pandas(test).map_batches(
+        score, batch_format="pandas").to_pandas()
+    agg = ranks.groupby("pred_").agg(
+        n_test=("rank", "size"), sum_rank=("rank", "sum"),
+        hits1=("rank", lambda r: int((r <= 1).sum())),
+        hits10=("rank", lambda r: int((r <= 10).sum()))).reset_index()
+    agg = agg.rename(columns={"pred_": "pred"})
+    for c in ("n_test", "sum_rank", "hits1", "hits10"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("pred").reset_index(drop=True)

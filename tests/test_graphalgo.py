@@ -1269,3 +1269,52 @@ def test_betweenness_brute_force_and_sampling():
     s2 = betweenness(ds, sample_sources=3)
     pd.testing.assert_frame_equal(s1, s2)
     assert (s1.n_sources == 3).all()
+
+
+def test_kge_eval_filtered_rank_against_brute_force():
+    """Brute-force recomputation on a fixture big enough that the md5
+    5% sample catches some triples: ranks, filtered setting (other
+    true tails excluded) and the (score, entity) tie-break must all
+    match the distributed kernel."""
+    import hashlib
+
+    from cpg_ray.functions.graphalgo import kge_eval
+
+    rows = [(f"h{i % 23}", f"p{i % 3}", f"t{(i * 7) % 31}")
+            for i in range(400)]
+    tri = pd.DataFrame(rows, columns=["subj", "pred", "obj"]
+                       ).drop_duplicates()
+    got = kge_eval(rd.from_pandas(tri), sample_pct=40)
+
+    def emb(k, dims=4):
+        return np.array([
+            int(hashlib.md5(f"{k}|{i}".encode()).hexdigest()[:8], 16)
+            % 2001 - 1000 for i in range(dims)], dtype=np.int64)
+
+    facts = set(map(tuple, tri.to_numpy()))
+    pools = {p: sorted(g["obj"].unique())
+             for p, g in tri.groupby("pred")}
+    exp: dict = {}
+    for s, p, o in sorted(facts):
+        h = int(hashlib.md5(f"{s}|{p}|{o}".encode()).hexdigest()[:8],
+                16) % 100
+        if h >= 40:
+            continue
+        st = int(np.abs(emb(s) + emb(p) - emb(o)).sum())
+        rank = 1
+        for e in pools[p]:
+            if e == o or (s, p, e) in facts:
+                continue
+            se = int(np.abs(emb(s) + emb(p) - emb(e)).sum())
+            if se < st or (se == st and e < o):
+                rank += 1
+        d = exp.setdefault(p, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += rank
+        d[2] += rank <= 1
+        d[3] += rank <= 10
+    assert len(got)
+    for t in got.itertuples():
+        assert exp[t.pred] == [t.n_test, t.sum_rank, t.hits1,
+                               t.hits10], t.pred
+    assert set(got["pred"]) == set(exp)
