@@ -493,7 +493,8 @@ def snapshot_merge(old_ds, new_ds, *,
 
 def rule_mining(triples_ds, *, min_support: int = 5,
                 conf_scale: int = 10_000, hub_cap: int = 100_000,
-                emit_zero: bool = False, mode: str = "auto"):
+                emit_zero: bool = False, mode: str = "auto",
+                driver_limit: int = 2_000_000):
     """AMIE-shape horn-rule mining over the distinct fact set
     (Galárraga et al., WWW'13 — public).  Three closed rule shapes
     over the predicate vocabulary:
@@ -522,6 +523,15 @@ def rule_mining(triples_ds, *, min_support: int = 5,
     oracle sides (the documented skew posture — at web scale a hot z
     contributes deg²(z) body rows; capping it bounds the join, and
     the cap is part of the rule semantics, not a silent truncation).
+
+    The happy path is a guarded DRIVER finish: the distinct fact set
+    is entity-vocabulary × predicate bounded (far smaller than the
+    mention-level corpus), and each Ray ``hash_join`` spins up a fresh
+    aggregator fleet (~1-2 s fixed — BASELINE.md) that dwarfs the
+    pandas merges at that size (measured 13 s distributed vs ~1 s
+    driver at sf0.1's ~3k distinct facts).  Past ``driver_limit``
+    distinct facts (or with ``mode='shuffle'``) the exchange path
+    above runs instead; both are pinned equal in pytest.
     """
     from .relational import distinct_on, groupby_agg, hash_join
 
@@ -535,6 +545,41 @@ def rule_mining(triples_ds, *, min_support: int = 5,
     d = distinct_on(
         triples_ds.map_batches(to_xy, batch_format="pandas"),
         ["x", "p", "y"], mode=mode).materialize()
+
+    if mode != "shuffle" and d.count() <= driver_limit:
+        ddf = d.to_pandas()
+        nb = (ddf.groupby("p").size().rename("n_body")
+              .reset_index())
+        same = (ddf.merge(ddf.rename(columns={"p": "p2"}),
+                          on=["x", "y"])
+                .groupby(["p", "p2"]).size().rename("support")
+                .reset_index())
+        same = same[same["p"] != same["p2"]]
+        inv = (ddf.merge(ddf.rename(columns={"x": "y", "y": "x",
+                                             "p": "p2"}),
+                         on=["x", "y"])
+               .groupby(["p2", "p"]).size().rename("support")
+               .reset_index())
+        zdeg = pd.concat([ddf["y"], ddf["x"]],
+                         ignore_index=True).value_counts()
+        hot = set(zdeg[zdeg > hub_cap].index)
+        left = ddf[~ddf["y"].isin(hot)].rename(
+            columns={"p": "p1", "y": "z"})
+        right = ddf[~ddf["x"].isin(hot)].rename(
+            columns={"p": "p2", "x": "z"})
+        body_df = (left.merge(right, on="z")[["p1", "p2", "x", "y"]]
+                   .drop_duplicates())
+        nb_chain = (body_df.groupby(["p1", "p2"]).size()
+                    .rename("n_body").reset_index())
+        chain = (body_df.merge(ddf.rename(columns={"p": "p3"}),
+                               on=["x", "y"])
+                 .groupby(["p1", "p2", "p3"]).size()
+                 .rename("support").reset_index())
+        n_body_of = dict(zip(nb["p"], nb["n_body"].astype(np.int64)))
+        return _assemble_rules(same, inv, chain, nb_chain, n_body_of,
+                               min_support=min_support,
+                               conf_scale=conf_scale,
+                               emit_zero=emit_zero)
 
     # per-predicate body sizes (distinct pairs per p — D is distinct)
     nb = groupby_agg(
@@ -556,7 +601,8 @@ def rule_mining(triples_ds, *, min_support: int = 5,
     d2 = d.map_batches(lambda b: b.rename(columns={"p": "p2"}),
                        batch_format="pandas")
     same = pair_counts(
-        hash_join(d, d2.materialize(), on=["x", "y"]), "p", "p2")
+        hash_join(d, d2.materialize(), on=["x", "y"],
+                  empty_safe=True), "p", "p2")
     same = same[same["p"] != same["p2"]]
 
     # inverse: join D with its reversal on (x, y)
@@ -564,7 +610,8 @@ def rule_mining(triples_ds, *, min_support: int = 5,
         lambda b: b.rename(columns={"x": "y", "y": "x", "p": "p2"}),
         batch_format="pandas")
     inv = pair_counts(
-        hash_join(d, drev.materialize(), on=["x", "y"]), "p2", "p")
+        hash_join(d, drev.materialize(), on=["x", "y"],
+                  empty_safe=True), "p2", "p")
 
     # chain body: p1(x, z) ∧ p2(z, y), hub mids excluded on BOTH sides
     zdeg = groupby_agg(
@@ -589,8 +636,8 @@ def rule_mining(triples_ds, *, min_support: int = 5,
             columns={"p": "p2", "x": "z"}),
         batch_format="pandas")
     body = distinct_on(
-        hash_join(left.materialize(), right.materialize(), on=["z"]
-                  ).map_batches(lambda b: b[["p1", "p2", "x", "y"]],
+        hash_join(left.materialize(), right.materialize(), on=["z"],
+                  empty_safe=True).map_batches(lambda b: b[["p1", "p2", "x", "y"]],
                                 batch_format="pandas"),
         ["p1", "p2", "x", "y"], mode=mode).materialize()
     nb_chain = groupby_agg(
@@ -601,12 +648,21 @@ def rule_mining(triples_ds, *, min_support: int = 5,
     dhead = d.map_batches(lambda b: b.rename(columns={"p": "p3"}),
                           batch_format="pandas")
     chain = groupby_agg(
-        hash_join(body, dhead.materialize(), on=["x", "y"]).map_batches(
+        hash_join(body, dhead.materialize(), on=["x", "y"],
+                  empty_safe=True).map_batches(
             lambda b: (b.groupby(["p1", "p2", "p3"], sort=False)
                        .size().rename("__n").reset_index()),
             batch_format="pandas"),
         ["p1", "p2", "p3"], [("__n", "sum", "support")],
         mode=mode).to_pandas()
+    return _assemble_rules(same, inv, chain, nb_chain, n_body_of,
+                           min_support=min_support,
+                           conf_scale=conf_scale, emit_zero=emit_zero)
+
+
+def _assemble_rules(same, inv, chain, nb_chain, n_body_of, *,
+                    min_support, conf_scale, emit_zero):
+    """Shared rule-table assembly for both rule_mining finishes."""
 
     frames = []
     if len(same):
@@ -692,7 +748,8 @@ SHACL_DOMAIN = {"born_in": "person", "works_for": "person",
 
 
 def shacl_validate(triples_ds, *, shapes=SHACL_SHAPES,
-                   domain_of=SHACL_DOMAIN, mode: str = "auto"):
+                   domain_of=SHACL_DOMAIN, mode: str = "auto",
+                   driver_limit: int = 2_000_000):
     """SHACL-lite shape validation over the distinct fact set: every
     constraint violation as a row
 
@@ -772,13 +829,6 @@ def shacl_validate(triples_ds, *, shapes=SHACL_SHAPES,
                                  for c in out_cols})
         return pd.concat(rows, ignore_index=True)[out_cols]
 
-    parts = [d.map_batches(local_checks, batch_format="pandas")]
-
-    # maxCount: combiner-fed distinct-object counts per (focus, pred)
-    nobj = groupby_agg(
-        d.map_batches(lambda b: b.assign(__one=1),
-                      batch_format="pandas"),
-        ["x", "p"], [("__one", "sum", "n")], mode=mode)
 
     def over_max(b: pd.DataFrame) -> pd.DataFrame:
         skind = b["x"].str[0].map(_KIND).fillna("inferred")
@@ -793,6 +843,49 @@ def shacl_validate(triples_ds, *, shapes=SHACL_SHAPES,
             "actual": v["n"].astype(np.int64).astype(str).to_numpy(),
             "value": ""}) if bad.any() else pd.DataFrame(
                 {c: pd.Series([], dtype=object) for c in out_cols})
+
+    if mode != "shuffle" and d.count() <= driver_limit:
+        # guarded driver finish: the distinct fact set is vocabulary ×
+        # predicate bounded, and the distributed finish pays three
+        # extra exchanges (maxCount groupby, universe distinct, one
+        # anti-join per minCount shape) of ~1-2 s fixed aggregator
+        # spin-up each (measured 5.6 s distributed vs ~1 s driver at
+        # sf0.1).  Past driver_limit (or mode='shuffle') the exchange
+        # path below runs; pinned equal in pytest.
+        ddf = d.to_pandas()
+        frames = [local_checks(ddf)]
+        cnt = (ddf.groupby(["x", "p"]).size().rename("n")
+               .reset_index())
+        frames.append(over_max(cnt))
+        uni = pd.unique(np.concatenate(
+            [ddf["x"].to_numpy(object), ddf["y"].to_numpy(object)]))
+        ukind = pd.Series(uni).str[0].map(_KIND)
+        for k, p in min_preds:
+            uk = uni[(ukind == k).to_numpy()]
+            have = set(ddf.loc[ddf["p"] == p, "x"])
+            miss = np.sort(np.array(
+                [e for e in uk if e not in have], dtype=object))
+            if len(miss):
+                frames.append(pd.DataFrame({
+                    "focus": miss, "kind": k, "pred": p,
+                    "constraint": "minCount", "expected": "1",
+                    "actual": "0", "value": ""}))
+        df = pd.concat(frames, ignore_index=True)
+        if not len(df):
+            return pd.DataFrame(columns=out_cols)
+        return (df[out_cols]
+                .sort_values(["constraint", "kind", "pred", "focus",
+                              "value"])
+                .reset_index(drop=True))
+
+    parts = [d.map_batches(local_checks, batch_format="pandas")]
+
+    # maxCount: combiner-fed distinct-object counts per (focus, pred)
+    nobj = groupby_agg(
+        d.map_batches(lambda b: b.assign(__one=1),
+                      batch_format="pandas"),
+        ["x", "p"], [("__one", "sum", "n")], mode=mode)
+
 
     parts.append(nobj.map_batches(over_max, batch_format="pandas"))
 

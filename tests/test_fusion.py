@@ -337,3 +337,27 @@ def test_shacl_validate_all_four_constraint_kinds():
     # min_count 0 so absent
     assert all(t.focus != "K1" for t in df.itertuples())
     assert ("minCount", "O1", "based_in") not in got
+
+
+def test_rule_mining_driver_and_shuffle_paths_agree():
+    from cpg_ray.functions.fusion import rule_mining
+
+    rows = [(p, f"s{i % 9}", f"o{(i * 3) % 7}", "u")
+            for i, p in enumerate(["p", "q", "r"] * 30)]
+    ds = _triples(rows)
+    a = rule_mining(ds, min_support=0, emit_zero=True)
+    b = rule_mining(ds, min_support=0, emit_zero=True, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_shacl_driver_and_shuffle_paths_agree():
+    from cpg_ray.functions.fusion import shacl_validate
+
+    rows = [
+        ("born_in", "P1", "C1", "u1"), ("born_in", "P1", "C2", "u2"),
+        ("works_for", "P2", "C1", "u1"), ("born_in", "O1", "C1", "u1"),
+        ("located_in", "C1", "K1", "u1"), ("visited", "P3", "C2", "u"),
+    ]
+    a = shacl_validate(_triples(rows))
+    b = shacl_validate(_triples(rows), mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
