@@ -2051,6 +2051,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (ordered prefix scan) in-window.
     # All 13 evictions swept green via tools/check_oracles.py at
     # sf0.001+sf0.01 this round (c453b3a definitive sweep).
+    #
+    # Third rotation (this session): the 4 brand-new ops (rule
+    # mining, SHACL, retrieval eval, KGE eval — all new code) displace
+    # 4 more sibling-covered entries, each swept green at
+    # sf0.001+sf0.01:
+    # - q_events_zscore: corpus-stat + per-row normalize machinery
+    #   repped in-window by q_events_quantiles + q_events_moving.
+    # - q_orders_share: group-share-of-total repped by q_orders_pareto
+    #   (same share kernel plus the cumulative step).
+    # - q_doc_bm25: the incoming q_retrieval_eval embeds the FULL
+    #   BM25 CTE chain (scores + ranking), and q_doc_bm25_search
+    #   stays in-window.
+    # - kg_triangles: triangle counting is the inner kernel of
+    #   in-window kg_clustering_coef and kg_ktruss.
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2064,24 +2078,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rdfs_closure", "kg_modularity", "q_doc_rerank",
         "q_hard_negatives", "q_events_dquantiles", "kg_owl_entail",
         "kg_betweenness",
+        # this-session additions — new code, never driver-checked
+        "kg_rule_mining", "kg_shacl", "q_retrieval_eval",
+        "kg_kge_eval",
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
         "kg_fact_timeline", "kg_clean_text", "q_kmeans",
         "q_doc_minhash_sig", "q_doc_simhash_sig",
         # graph family — never driver-checked
         "kg_pagerank", "kg_hits",
-        "kg_components", "kg_scc", "kg_kcore", "kg_triangles",
+        "kg_components", "kg_scc", "kg_kcore",
         "kg_adamic_adar", "kg_clustering_coef",
         "kg_cypher_undirected",
         # text/retrieval — never driver-checked
-        "q_doc_bm25", "q_doc_bm25_search",
+        "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_sentences",
         "q_doc_bigram", "q_knn_exact",
         "q_url_canonical", "q_doc_class_weights",
         # events/orders — never driver-checked
-        "q_events_moving", "q_events_zscore",
+        "q_events_moving",
         "q_events_quantiles", "q_orders_pareto",
-        "q_orders_share", "q_cube_revenue",
+        "q_cube_revenue",
         "q_supplier_typo_pairs",
     ]
     # position-count contract (the r3 off-by-three lesson): exactly 50
