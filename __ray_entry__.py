@@ -866,6 +866,20 @@ def _kg_kge_eval(sf_dir: str):
                     obj="canonical_obj")
 
 
+def _kg_mis(sf_dir: str):
+    """Deterministic Luby maximal-independent-set rounds (the classic
+    parallel symmetry-breaking primitive) over the canonical entity
+    graph: 4 synchronous rounds, md5 priorities, bounded-round
+    contract with converged flag — verified against the generated
+    unrolled NOT EXISTS round CTEs."""
+    from cpg_ray.functions.graphalgo import maximal_independent_set
+
+    df = maximal_independent_set(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", rounds=4).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_shacl(sf_dir: str):
     """SHACL-lite shape validation (W3C SHACL class/domain/maxCount/
     minCount semantics) over the distinct fact set against the
@@ -1984,6 +1998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_retrieval_eval": q.q_retrieval_eval,
         # filtered link-prediction eval of the TransE energies
         "kg_kge_eval": _kg_kge_eval,
+        # deterministic Luby maximal-independent-set rounds
+        "kg_mis": _kg_mis,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2114,6 +2130,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _KG_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _mis_oracle_sql(triples_glob: str, *, rounds: int) -> str:
+    """Generated-SQL oracle for the bounded-round deterministic Luby
+    MIS: each synchronous round is a LITERAL CTE trio — m{r} (joiners:
+    no undecided neighbor with md5 priority ≥ theirs), o{r} (their
+    undecided neighbors), u{r} (the shrunken undecided set) — so
+    DuckDB executes the identical round count.  AS MATERIALIZED keeps
+    DuckDB from inlining (re-executing) each level."""
+    pri_v = "('0x' || substr(md5(v.node), 1, 15))::BIGINT"
+    pri_w = "('0x' || substr(md5(w.node), 1, 15))::BIGINT"
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            m{r} AS MATERIALIZED (
+                SELECT v.node FROM u{r - 1} v
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e JOIN u{r - 1} w ON w.node = e.b
+                    WHERE e.a = v.node AND {pri_w} >= {pri_v})),
+            o{r} AS MATERIALIZED (
+                SELECT DISTINCT e.b AS node FROM e
+                JOIN m{r} m ON m.node = e.a
+                JOIN u{r - 1} u ON u.node = e.b
+                WHERE e.b NOT IN (SELECT node FROM m{r})),
+            u{r} AS MATERIALIZED (
+                SELECT node FROM u{r - 1}
+                WHERE node NOT IN (SELECT node FROM m{r})
+                  AND node NOT IN (SELECT node FROM o{r}))""")
+    status_rows = "\n                UNION ALL ".join(
+        f"SELECT node, 'in' AS status, {r}::BIGINT AS round_decided "
+        f"FROM m{r}\n                UNION ALL "
+        f"SELECT node, 'out', {r}::BIGINT FROM o{r}"
+        for r in range(1, rounds + 1))
+    return f"""
+            WITH e0 AS (
+                SELECT DISTINCT canonical_subj AS a,
+                       canonical_obj AS b
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+            ), e AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT a, b FROM e0
+                    UNION ALL SELECT b AS a, a AS b FROM e0)
+            ), u0 AS (SELECT DISTINCT a AS node FROM e)
+            {''.join(parts)}
+            SELECT node AS entity, status, round_decided,
+                   (SELECT count(*) FROM u{rounds}) = 0 AS converged
+            FROM ({status_rows}
+                UNION ALL SELECT node, 'undecided', 0::BIGINT
+                FROM u{rounds})
+            ORDER BY entity
+        """
 
 
 def _kcore_oracle_sql(triples_glob: str, *, k: int, rounds: int) -> str:
@@ -3567,6 +3635,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM corners GROUP BY entity ORDER BY entity
         """,
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
+        # deterministic Luby MIS: generated unrolled round CTEs
+        "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
         "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
         "kg_harmonic": f"""
             WITH men AS (

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "kg_shacl",
     "q_retrieval_eval",
     "kg_kge_eval",
+    "kg_mis",
 ]
 
 

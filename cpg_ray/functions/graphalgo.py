@@ -3493,3 +3493,188 @@ def kge_eval(triples_ds, *, subj: str = "subj", pred: str = "pred",
     for c in ("n_test", "sum_rank", "hits1", "hits10"):
         agg[c] = agg[c].astype("int64")
     return agg.sort_values("pred").reset_index(drop=True)
+
+
+def _mis_pri(keys) -> np.ndarray:
+    """60-bit md5 priority per node id — SQL twin:
+    ``('0x' || substr(md5(e), 1, 15))::BIGINT``.  Priorities decide
+    Luby symmetry breaking; EQUAL priorities on adjacent nodes block
+    each other permanently (strict > on both sides) — deterministic
+    and engine-identical, and at 60 bits adjacent collisions are
+    effectively impossible."""
+    import hashlib
+
+    return np.array([
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        for k in keys], dtype=np.int64)
+
+
+def _mis_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                rounds: int) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    pri = _mis_pri(nodes)
+    u_s = np.concatenate([s_i, d_i])
+    u_d = np.concatenate([d_i, s_i])
+    status = np.zeros(n, dtype=np.int8)   # 0 undecided / 1 in / 2 out
+    rdec = np.zeros(n, dtype=np.int64)
+    for r in range(1, rounds + 1):
+        und = status == 0
+        if not und.any():
+            break
+        live = und[u_s] & und[u_d]
+        nbrmax = np.full(n, -1, dtype=np.int64)
+        if live.any():
+            np.maximum.at(nbrmax, u_d[live], pri[u_s[live]])
+        newin = und & (pri > nbrmax)
+        if not newin.any():
+            break  # only possible under an adjacent-priority collision
+        status[newin] = 1
+        rdec[newin] = r
+        und2 = status == 0
+        hit = newin[u_s] & und2[u_d]
+        outn = np.zeros(n, dtype=bool)
+        outn[u_d[hit]] = True
+        outn &= und2
+        status[outn] = 2
+        rdec[outn] = r
+    converged = not bool((status == 0).any())
+    smap = np.array(["undecided", "in", "out"], dtype=object)
+    return pd.DataFrame({
+        "entity": nodes, "status": smap[status],
+        "round_decided": rdec, "converged": converged,
+    }).sort_values("entity").reset_index(drop=True)
+
+
+def _mis_shuffle(edges_ds, src: str, dst: str, *, rounds: int):
+    """Dataset-native bounded-round Luby: priorities are md5-DERIVED
+    per batch (never joined or broadcast); each round is two
+    semi-joins (live edges), one max-groupby (strongest undecided
+    neighbor), one left join (the join decision), and two anti-joins
+    (shrink the undecided set) — all hash exchanges, nothing
+    driver-sized."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    sym = distinct_on(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame({
+                "__a": pd.concat([b[src], b[dst]], ignore_index=True),
+                "__b": pd.concat([b[dst], b[src]], ignore_index=True),
+            }).loc[lambda d: d["__a"] != d["__b"]],
+            batch_format="pandas"),
+        ["__a", "__b"],
+    ).materialize()
+    und = distinct_on(
+        sym.map_batches(lambda b: pd.DataFrame({"node": b["__a"]}),
+                        batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    empty = pd.DataFrame({
+        "entity": pd.Series([], dtype=object),
+        "status": pd.Series([], dtype=object),
+        "round_decided": pd.Series([], dtype="int64")})
+    decided = [empty]
+    for r in range(1, rounds + 1):
+        if und.count() == 0:
+            break
+        e1 = hash_join(sym, und, on="__a", right_on="node",
+                       empty_safe=True)
+        live = hash_join(e1.materialize(), und, on="__b",
+                         right_on="node", empty_safe=True).materialize()
+        nbrmax = groupby_agg(
+            live.map_batches(
+                lambda b: pd.DataFrame({
+                    "node": b["__b"].to_numpy(),
+                    "__k": _mis_pri(b["__a"].to_numpy(object))}),
+                batch_format="pandas"),
+            ["node"], [("__k", "max", "nbrmax")]).materialize()
+        cand = hash_join(und, nbrmax, on="node", how="left_outer",
+                         empty_safe=True)
+        newin = cand.map_batches(
+            lambda b: b.loc[
+                _mis_pri(b["node"].to_numpy(object))
+                > b["nbrmax"].fillna(-1).to_numpy(np.int64),
+                ["node"]],
+            batch_format="pandas").materialize()
+        if newin.count() == 0:
+            break
+        outs = distinct_on(
+            hash_join(live, newin, on="__a", right_on="node",
+                      empty_safe=True).map_batches(
+                lambda b: pd.DataFrame({"node": b["__b"]}),
+                batch_format="pandas"),
+            ["node"]).materialize()
+        decided.append(newin.map_batches(
+            lambda b, r=r: pd.DataFrame({
+                "entity": b["node"].to_numpy(), "status": "in",
+                "round_decided": np.int64(r)}) if len(b) else
+            empty.copy(), batch_format="pandas").to_pandas())
+        decided.append(outs.map_batches(
+            lambda b, r=r: pd.DataFrame({
+                "entity": b["node"].to_numpy(), "status": "out",
+                "round_decided": np.int64(r)}) if len(b) else
+            empty.copy(), batch_format="pandas").to_pandas())
+        # anti-join the decided sets out of the undecided set;
+        # _compact_nonempty strips the join's SCHEMALESS empty
+        # partition blocks (Ray 2.49 sparse-partition defect) before
+        # the next round's joins consume und
+        from .relational import _compact_nonempty, default_n_buckets
+
+        for gone in (newin, outs):
+            if gone.count() == 0:
+                continue
+            und = _compact_nonempty(und.join(
+                gone.map_batches(
+                    lambda b: b.rename(columns={"node": "__g"}),
+                    batch_format="pandas").materialize(),
+                "left_anti", num_partitions=default_n_buckets(),
+                on=("node",), right_on=("__g",)).materialize())
+    leftover = und.to_pandas() if und.count() else None
+    if leftover is not None and len(leftover):
+        decided.append(pd.DataFrame({
+            "entity": leftover["node"].to_numpy(),
+            "status": "undecided",
+            "round_decided": np.int64(0)}))
+        converged = False
+    else:
+        converged = True
+    out = pd.concat(decided, ignore_index=True)
+    out["round_decided"] = out["round_decided"].astype("int64")
+    out["converged"] = converged
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def maximal_independent_set(edges_ds, *, src: str = "src",
+                            dst: str = "dst", rounds: int = 4,
+                            mode: str = "auto",
+                            driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Deterministic Luby maximal-independent-set rounds (Luby 1986,
+    public) over the undirected distinct view of (src, dst), self-loops
+    dropped: each synchronous round, an undecided node ENTERS the set
+    iff its md5 priority strictly exceeds every undecided neighbor's;
+    its undecided neighbors leave as 'out'.  ``rounds`` bounded
+    exchanges (Luby needs O(log n) w.h.p.); leftovers report status
+    'undecided' with ``converged`` False — the same bounded-round
+    contract as k_core / label_propagation.  Returns (entity, status
+    in/out/undecided, round_decided int — 0 for undecided, converged
+    bool).  The fixed-priority variant equals the sequential greedy
+    MIS in decreasing-priority order once converged (pinned in
+    pytest) — the classic symmetry-breaking primitive behind parallel
+    coloring / scheduling passes."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _mis_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, rounds=rounds)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return rd.from_pandas(_mis_shuffle(edges_ds, src, dst,
+                                       rounds=rounds))

@@ -1318,3 +1318,60 @@ def test_kge_eval_filtered_rank_against_brute_force():
         assert exp[t.pred] == [t.n_test, t.sum_rank, t.hits1,
                                t.hits10], t.pred
     assert set(got["pred"]) == set(exp)
+
+
+def _greedy_mis(edges, pri_of):
+    """Sequential greedy MIS in decreasing-priority order — the
+    fixed-priority Luby limit."""
+    nodes = sorted({v for e in edges for v in e})
+    nbrs = {v: set() for v in nodes}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    chosen: set = set()
+    for v in sorted(nodes, key=lambda x: -pri_of(x)):
+        if not (nbrs[v] & chosen):
+            chosen.add(v)
+    return chosen
+
+
+def test_mis_converged_equals_greedy_and_is_maximal_independent():
+    import hashlib
+
+    from cpg_ray.functions.graphalgo import maximal_independent_set
+
+    edges = [(f"n{i}", f"n{(i * 5 + 1) % 40}") for i in range(80)]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = maximal_independent_set(ds, rounds=12).to_pandas()
+    assert got["converged"].all()
+
+    def pri(k):
+        return int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+
+    want = _greedy_mis(edges, pri)
+    inset = set(got.loc[got["status"] == "in", "entity"])
+    assert inset == want
+    # independence + maximality
+    nbr = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    assert not any((a, b) in nbr for a in inset for b in inset
+                   if a != b)
+    for v in got.loc[got["status"] == "out", "entity"]:
+        assert any((v, u) in nbr for u in inset)
+
+
+def test_mis_bounded_rounds_reports_undecided_and_modes_agree():
+    from cpg_ray.functions.graphalgo import maximal_independent_set
+
+    # a long path needs several rounds; with these labels round 1
+    # provably leaves p018/p031/p032/p036 undecided (no local-max
+    # neighbor under the md5 priorities)
+    edges = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(40)]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    one = maximal_independent_set(ds, rounds=1).to_pandas()
+    assert (one["status"] == "undecided").any()
+    assert not one["converged"].any()
+    a = maximal_independent_set(ds, rounds=3).to_pandas()
+    b = maximal_independent_set(ds, rounds=3,
+                                mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
