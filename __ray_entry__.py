@@ -2095,8 +2095,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hard_negatives", "q_events_dquantiles", "kg_owl_entail",
         "kg_betweenness",
         # this-session additions — new code, never driver-checked
+        # (kg_mis displaces q_url_canonical: stateless single-table
+        # normalize, the lowest-risk class, repped in-window by
+        # kg_clean_text; swept green at sf0.001+0.01)
         "kg_rule_mining", "kg_shacl", "q_retrieval_eval",
-        "kg_kge_eval",
+        "kg_kge_eval", "kg_mis",
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
         "kg_fact_timeline", "kg_clean_text", "q_kmeans",
@@ -2110,7 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_sentences",
         "q_doc_bigram", "q_knn_exact",
-        "q_url_canonical", "q_doc_class_weights",
+        "q_doc_class_weights",
         # events/orders — never driver-checked
         "q_events_moving",
         "q_events_quantiles", "q_orders_pareto",
