@@ -2000,6 +2000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kge_eval": _kg_kge_eval,
         # deterministic Luby maximal-independent-set rounds
         "kg_mis": _kg_mis,
+        # A-priori frequent brand itemsets over order baskets
+        "q_basket_itemsets": q.q_basket_itemsets,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2081,6 +2083,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   stays in-window.
     # - kg_triangles: triangle counting is the inner kernel of
     #   in-window kg_clustering_coef and kg_ktruss.
+    # Fourth rotation (third session): q_basket_itemsets (brand-new
+    # mining.py A-priori code, never driver-checked) displaces
+    # q_doc_class_weights — group-share-of-total weights repped by
+    # in-window q_orders_pareto (same share kernel + cumulation) and
+    # the judge-verified-green q_doc_mix_weights (same doc-corpus
+    # share machinery); swept green at sf0.001+sf0.01 this session.
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2113,7 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_sentences",
         "q_doc_bigram", "q_knn_exact",
-        "q_doc_class_weights",
+        "q_basket_itemsets",
         # events/orders — never driver-checked
         "q_events_moving",
         "q_events_quantiles", "q_orders_pareto",

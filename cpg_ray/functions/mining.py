@@ -1,0 +1,177 @@
+"""Frequent-itemset mining (A-priori / SON shape) over transactional
+Datasets.
+
+The classic market-basket operator family (Agrawal & Srikant, VLDB'94;
+the SON two-phase distributed variant is Savasere/Omiecinski/Navathe,
+VLDB'95): level-wise candidate generation with the anti-monotone
+support prune — L1 from one combiner-fed groupby, L2 from the bounded
+within-basket pair fan-out, C3 generated driver-side from the
+(support-bounded) L2 table and counted fully vectorized against a
+per-bucket basket×vocabulary boolean matrix.  Nothing corpus-sized
+ever reaches the driver: L1 is vocabulary-bounded, L2 is
+support-bounded (≥min_support baskets each), and the L3 count ships
+``|C3|`` partial counters per bucket.
+
+Reference analog: the statistics/aggregation passes
+(StatisticsCollectionPass.kt) count label/edge combinations per
+translation unit then merge — the same per-unit-combine →
+global-reduce shape this module applies to baskets.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .relational import (GuardExceeded, _collect_limited, distinct_on,
+                         default_n_buckets, groupby_agg)
+
+__all__ = ["frequent_itemsets"]
+
+
+def frequent_itemsets(ds, *, basket_col: str, item_col: str,
+                      min_support: int | None = None,
+                      rel_den: int = 20, floor_support: int = 2,
+                      max_size: int = 3, max_group: int = 5000,
+                      cand_limit: int = 5_000_000) -> pd.DataFrame:
+    """A-priori frequent itemsets up to ``max_size`` (1..3) over the
+    distinct (basket, item) view of ``ds``.
+
+    ``min_support`` defaults to ``max(floor_support,
+    n_baskets // rel_den)`` — the SQL twin is
+    ``greatest(2, count(DISTINCT bk)//20)`` so both engines derive the
+    identical threshold from the data.
+
+    Shape per level:
+
+    - **L1**: combiner-fed :func:`groupby_agg` over items; the
+      surviving vocabulary is collected under ``cand_limit`` (it is
+      support-bounded: ≤ n_baskets/min_support · avg_basket items) and
+      broadcast as the filter set for every later level.
+    - **L2**: baskets pruned to L1 items, then the
+      :func:`~cpg_ray.functions.graphalgo.co_occurrence_pairs`
+      within-basket fan-out (bucketed ``groupby.map_groups``, hot
+      baskets capped at ``max_group`` with reported skips) feeds one
+      combiner-fed count.  Pair counts over the PRUNED baskets equal
+      pair counts over the raw baskets for any L1×L1 pair — the
+      anti-monotone prune never changes a surviving support.
+    - **C3/L3**: candidate triples are generated from the L2 table
+      (join on the shared first item, prune on the third A-priori
+      subset) on the driver — L2 is support-bounded, the guard is
+      ``cand_limit`` — then counted in ONE distributed pass: each
+      basket bucket builds a boolean basket×|L1| membership matrix and
+      evaluates all candidates with three column ANDs, emitting
+      ``|C3|`` partial counters.  No triple fan-out ever materializes.
+
+    Returns a pandas frame (itemset: comma-joined sorted items, size,
+    support) sorted by (size, itemset) — driver-sized by the support
+    bound itself.
+    """
+    if max_size not in (1, 2, 3):
+        raise ValueError("max_size must be 1, 2 or 3")
+    bi = distinct_on(
+        ds.map_batches(lambda b: b[[basket_col, item_col]],
+                       batch_format="pandas"),
+        [basket_col, item_col]).materialize()
+    n_baskets = distinct_on(
+        bi.map_batches(lambda b: b[[basket_col]], batch_format="pandas"),
+        [basket_col]).count()
+    s = (int(min_support) if min_support is not None
+         else max(floor_support, n_baskets // rel_den))
+
+    l1 = _collect_limited(
+        groupby_agg(bi, [item_col], [(basket_col, "count", "support")]),
+        cand_limit, "frequent_itemsets")
+    l1 = l1[l1["support"] >= s].sort_values(item_col)
+    out = [pd.DataFrame({
+        "itemset": l1[item_col].astype(str).to_numpy(),
+        "size": np.int64(1),
+        "support": l1["support"].to_numpy("int64")})]
+    vocab = l1[item_col].to_numpy(dtype=object)
+    if max_size == 1 or not len(vocab):
+        return _finish(out)
+
+    vset = set(vocab)
+    pruned = bi.map_batches(
+        lambda b: b[b[item_col].isin(vset)], batch_format="pandas")
+    if max_size == 3:
+        pruned = pruned.materialize()  # feeds both L2 and L3 passes
+
+    from .graphalgo import co_occurrence_pairs
+
+    pair_counts = groupby_agg(
+        co_occurrence_pairs(pruned, group_col=basket_col,
+                            item_col=item_col, max_group=max_group)
+        .map_batches(lambda b: b[b["skipped_n"] == 0][["a", "b"]],
+                     batch_format="pandas"),
+        ["a", "b"], [("a", "count", "support")])
+    l2 = _collect_limited(pair_counts, cand_limit, "frequent_itemsets")
+    l2 = l2[l2["support"] >= s].sort_values(["a", "b"])
+    out.append(pd.DataFrame({
+        "itemset": (l2["a"].astype(str) + "," + l2["b"].astype(str)
+                    ).to_numpy(dtype=object),
+        "size": np.int64(2),
+        "support": l2["support"].to_numpy("int64")}))
+    if max_size == 2 or not len(l2):
+        return _finish(out)
+
+    # ---- C3: join L2 with itself on the shared first item, prune on
+    # the (b, c) subset — pure pandas on the support-bounded L2 table.
+    x = l2.rename(columns={"b": "c3_b"})
+    y = l2.rename(columns={"b": "c3_c"})
+    c3 = x.merge(y, on="a", sort=False, suffixes=("", "_y"))
+    c3 = c3[c3["c3_b"] < c3["c3_c"]][["a", "c3_b", "c3_c"]]
+    pairset = set(zip(l2["a"], l2["b"]))
+    keep = [
+        (b, c) in pairset
+        for b, c in zip(c3["c3_b"].to_numpy(), c3["c3_c"].to_numpy())]
+    c3 = c3[np.array(keep, dtype=bool)] if len(c3) else c3
+    if not len(c3):
+        return _finish(out)
+    if len(c3) > cand_limit:
+        raise GuardExceeded(
+            f"frequent_itemsets: |C3|={len(c3)} exceeds "
+            f"cand_limit={cand_limit}")
+
+    idx = {v: i for i, v in enumerate(vocab)}
+    ti = np.array([idx[v] for v in c3["a"]], dtype=np.int64)
+    tj = np.array([idx[v] for v in c3["c3_b"]], dtype=np.int64)
+    tk = np.array([idx[v] for v in c3["c3_c"]], dtype=np.int64)
+    nb = default_n_buckets()
+    nv = len(vocab)
+
+    def count_triples(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[basket_col], sort=False)
+        cols = g[item_col].map(idx).to_numpy(np.int64)
+        m = np.zeros((codes.max() + 1 if len(codes) else 0, nv),
+                     dtype=bool)
+        if len(codes):
+            m[codes, cols] = True
+        cnt = (m[:, ti] & m[:, tj] & m[:, tk]).sum(axis=0)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"__t": nz.astype(np.int64),
+                             "cnt": cnt[nz].astype(np.int64)})
+
+    partials = pruned.map_batches(
+        lambda b: b.assign(__bk=pd.util.hash_array(
+            b[basket_col].to_numpy()) % nb),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(count_triples, batch_format="pandas")
+    tc = _collect_limited(
+        groupby_agg(partials, ["__t"], [("cnt", "sum", "support")]),
+        cand_limit, "frequent_itemsets")
+    tc = tc[tc["support"] >= s]
+    t = tc["__t"].to_numpy(np.int64)
+    names = np.array([
+        f"{vocab[ti[i]]},{vocab[tj[i]]},{vocab[tk[i]]}" for i in t],
+        dtype=object)
+    l3 = pd.DataFrame({"itemset": names, "size": np.int64(3),
+                       "support": tc["support"].to_numpy("int64")})
+    out.append(l3.sort_values("itemset"))
+    return _finish(out)
+
+
+def _finish(parts: list[pd.DataFrame]) -> pd.DataFrame:
+    df = pd.concat(parts, ignore_index=True)
+    df["size"] = df["size"].astype("int64")
+    df["support"] = df["support"].astype("int64")
+    return df.sort_values(["size", "itemset"]).reset_index(drop=True)

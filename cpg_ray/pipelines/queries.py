@@ -5417,3 +5417,63 @@ ORACLE_SQL["q_retrieval_eval"] = """
     FROM m LEFT JOIN nrel ON nrel.qid = m.qid
     ORDER BY m.qid
 """
+
+
+def q_basket_itemsets(sf_dir: str) -> pd.DataFrame:
+    """A-priori frequent brand itemsets over order baskets (market-
+    basket mining, Agrawal & Srikant VLDB'94): each order is a basket
+    of the part BRANDS it touches (dimension-sized vocabulary joined in
+    via one broadcast), levels L1/L2/L3 with the anti-monotone prune —
+    L2 from the bounded within-basket pair fan-out, C3 generated from
+    the support-bounded L2 table and counted in one vectorized
+    boolean-matrix pass.  min_support derives from the data
+    (greatest(2, n_baskets//20)) so the SQL twin computes the identical
+    threshold."""
+    from ..functions.mining import frequent_itemsets
+    from ..functions.relational import broadcast_join, read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand"]).to_pandas()
+    baskets = broadcast_join(li, part, left_on="l_partkey",
+                             right_on="p_partkey")
+    return frequent_itemsets(baskets, basket_col="l_orderkey",
+                             item_col="p_brand")
+
+
+ORACLE_SQL["q_basket_itemsets"] = """
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), thr AS (
+        SELECT greatest(2, count(DISTINCT bk) // 20) AS s FROM bi
+    ), l1 AS (
+        SELECT it, count(*)::BIGINT AS sup FROM bi GROUP BY it
+        HAVING count(*) >= (SELECT s FROM thr)
+    ), f AS (
+        SELECT bk, it FROM bi WHERE it IN (SELECT it FROM l1)
+    ), l2 AS (
+        SELECT f1.it AS a, f2.it AS b, count(*)::BIGINT AS sup
+        FROM f f1 JOIN f f2 ON f1.bk = f2.bk AND f1.it < f2.it
+        GROUP BY a, b HAVING count(*) >= (SELECT s FROM thr)
+    ), c3 AS (
+        SELECT x.a, x.b, y.b AS c
+        FROM l2 x JOIN l2 y ON x.a = y.a AND x.b < y.b
+        WHERE EXISTS (SELECT 1 FROM l2 z WHERE z.a = x.b AND z.b = y.b)
+    ), l3 AS (
+        SELECT c3.a, c3.b, c3.c, count(*)::BIGINT AS sup
+        FROM c3
+        JOIN f fa ON fa.it = c3.a
+        JOIN f fb ON fb.bk = fa.bk AND fb.it = c3.b
+        JOIN f fc ON fc.bk = fa.bk AND fc.it = c3.c
+        GROUP BY c3.a, c3.b, c3.c
+        HAVING count(*) >= (SELECT s FROM thr)
+    )
+    SELECT itemset, size, support FROM (
+        SELECT it AS itemset, 1::BIGINT AS size, sup AS support FROM l1
+        UNION ALL
+        SELECT a || ',' || b, 2::BIGINT, sup FROM l2
+        UNION ALL
+        SELECT a || ',' || b || ',' || c, 3::BIGINT, sup FROM l3
+    ) ORDER BY size, itemset
+"""
