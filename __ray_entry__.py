@@ -2002,6 +2002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mis": _kg_mis,
         # A-priori frequent brand itemsets over order baskets
         "q_basket_itemsets": q.q_basket_itemsets,
+        # association rules (confidence/lift) from the itemset table
+        "q_basket_rules": q.q_basket_rules,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

@@ -19,13 +19,15 @@ global-reduce shape this module applies to baskets.
 """
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pandas as pd
 
 from .relational import (GuardExceeded, _collect_limited, distinct_on,
                          default_n_buckets, groupby_agg)
 
-__all__ = ["frequent_itemsets"]
+__all__ = ["frequent_itemsets", "association_rules"]
 
 
 def frequent_itemsets(ds, *, basket_col: str, item_col: str,
@@ -88,7 +90,7 @@ def frequent_itemsets(ds, *, basket_col: str, item_col: str,
         "support": l1["support"].to_numpy("int64")})]
     vocab = l1[item_col].to_numpy(dtype=object)
     if max_size == 1 or not len(vocab):
-        return _finish(out)
+        return _finish(out, n_baskets)
 
     vset = set(vocab)
     pruned = bi.map_batches(
@@ -112,7 +114,7 @@ def frequent_itemsets(ds, *, basket_col: str, item_col: str,
         "size": np.int64(2),
         "support": l2["support"].to_numpy("int64")}))
     if max_size == 2 or not len(l2):
-        return _finish(out)
+        return _finish(out, n_baskets)
 
     # ---- C3: join L2 with itself on the shared first item, prune on
     # the (b, c) subset — pure pandas on the support-bounded L2 table.
@@ -126,7 +128,7 @@ def frequent_itemsets(ds, *, basket_col: str, item_col: str,
         for b, c in zip(c3["c3_b"].to_numpy(), c3["c3_c"].to_numpy())]
     c3 = c3[np.array(keep, dtype=bool)] if len(c3) else c3
     if not len(c3):
-        return _finish(out)
+        return _finish(out, n_baskets)
     if len(c3) > cand_limit:
         raise GuardExceeded(
             f"frequent_itemsets: |C3|={len(c3)} exceeds "
@@ -167,11 +169,72 @@ def frequent_itemsets(ds, *, basket_col: str, item_col: str,
     l3 = pd.DataFrame({"itemset": names, "size": np.int64(3),
                        "support": tc["support"].to_numpy("int64")})
     out.append(l3.sort_values("itemset"))
-    return _finish(out)
+    return _finish(out, n_baskets)
 
 
-def _finish(parts: list[pd.DataFrame]) -> pd.DataFrame:
+def _finish(parts: list[pd.DataFrame],
+            n_baskets: int | None = None) -> pd.DataFrame:
     df = pd.concat(parts, ignore_index=True)
     df["size"] = df["size"].astype("int64")
     df["support"] = df["support"].astype("int64")
-    return df.sort_values(["size", "itemset"]).reset_index(drop=True)
+    df = df.sort_values(["size", "itemset"]).reset_index(drop=True)
+    if n_baskets is not None:
+        df.attrs["n_baskets"] = int(n_baskets)
+    return df
+
+
+def association_rules(ds, *, basket_col: str, item_col: str,
+                      min_support: int | None = None,
+                      min_conf_bp: int = 2500,
+                      rel_den: int = 20, floor_support: int = 2,
+                      max_size: int = 3,
+                      **fi_kwargs) -> pd.DataFrame:
+    """Association rules (Agrawal & Srikant, VLDB'94 §3) from the
+    frequent itemsets of ``ds``: every (antecedent → consequent)
+    split of each frequent 2/3-itemset, filtered on confidence.
+
+    Metrics are INTEGER-exact so the SQL twin hash-matches:
+
+    - ``conf_bp``  = ``support(Z) * 10000 // support(A)`` (basis
+      points, floor division),
+    - ``lift_ppm`` = ``support(Z) * n_baskets * 1_000_000 //
+      (support(A) * support(C))`` (parts per million).
+
+    Every proper subset of a frequent itemset is itself frequent (the
+    anti-monotone property), so all antecedent/consequent supports are
+    present in the itemset table — rule generation is pure driver-side
+    arithmetic over the support-bounded result of
+    :func:`frequent_itemsets` (one distributed mining pass, zero extra
+    exchanges).  Antecedent/consequent render as comma-joined sorted
+    item lists; output ordered by (antecedent, consequent).
+    """
+    fi = frequent_itemsets(ds, basket_col=basket_col, item_col=item_col,
+                           min_support=min_support, rel_den=rel_den,
+                           floor_support=floor_support,
+                           max_size=max_size, **fi_kwargs)
+    n = int(fi.attrs["n_baskets"])
+    sup = {frozenset(s.split(",")): int(v)
+           for s, v in zip(fi["itemset"], fi["support"])}
+    rows = []
+    for items, s_z in sup.items():
+        if len(items) < 2:
+            continue
+        members = sorted(items)
+        for r in range(1, len(members)):
+            for ante in itertools.combinations(members, r):
+                a, c = frozenset(ante), items - frozenset(ante)
+                s_a, s_c = sup.get(a), sup.get(c)
+                if s_a is None or s_c is None:  # pragma: no cover
+                    continue  # anti-monotone ⇒ unreachable
+                conf_bp = s_z * 10_000 // s_a
+                if conf_bp < min_conf_bp:
+                    continue
+                rows.append((",".join(sorted(a)), ",".join(sorted(c)),
+                             s_z, conf_bp,
+                             s_z * n * 1_000_000 // (s_a * s_c)))
+    out = pd.DataFrame(rows, columns=["antecedent", "consequent",
+                                      "support", "conf_bp", "lift_ppm"])
+    for col in ("support", "conf_bp", "lift_ppm"):
+        out[col] = out[col].astype("int64")
+    return (out.sort_values(["antecedent", "consequent"])
+            .reset_index(drop=True))

@@ -5427,7 +5427,7 @@ def q_basket_itemsets(sf_dir: str) -> pd.DataFrame:
     L2 from the bounded within-basket pair fan-out, C3 generated from
     the support-bounded L2 table and counted in one vectorized
     boolean-matrix pass.  min_support derives from the data
-    (greatest(2, n_baskets//20)) so the SQL twin computes the identical
+    (greatest(2, n_baskets//200)) so the SQL twin computes the identical
     threshold."""
     from ..functions.mining import frequent_itemsets
     from ..functions.relational import broadcast_join, read_table
@@ -5438,7 +5438,7 @@ def q_basket_itemsets(sf_dir: str) -> pd.DataFrame:
     baskets = broadcast_join(li, part, left_on="l_partkey",
                              right_on="p_partkey")
     return frequent_itemsets(baskets, basket_col="l_orderkey",
-                             item_col="p_brand")
+                             item_col="p_brand", rel_den=200)
 
 
 ORACLE_SQL["q_basket_itemsets"] = """
@@ -5446,7 +5446,7 @@ ORACLE_SQL["q_basket_itemsets"] = """
         SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     ), thr AS (
-        SELECT greatest(2, count(DISTINCT bk) // 20) AS s FROM bi
+        SELECT greatest(2, count(DISTINCT bk) // 200) AS s FROM bi
     ), l1 AS (
         SELECT it, count(*)::BIGINT AS sup FROM bi GROUP BY it
         HAVING count(*) >= (SELECT s FROM thr)
@@ -5476,4 +5476,99 @@ ORACLE_SQL["q_basket_itemsets"] = """
         UNION ALL
         SELECT a || ',' || b || ',' || c, 3::BIGINT, sup FROM l3
     ) ORDER BY size, itemset
+"""
+
+
+def q_basket_rules(sf_dir: str) -> pd.DataFrame:
+    """Association rules over the frequent brand itemsets (Agrawal &
+    Srikant VLDB'94 §3): every antecedent→consequent split of each
+    frequent 2/3-itemset, confidence ≥ 10%.  Metrics are integer-exact
+    — conf_bp = sup(Z)*10000 // sup(A) basis points, lift_ppm =
+    sup(Z)*n*1e6 // (sup(A)*sup(C)) parts-per-million — so the SQL
+    twin (identical floor divisions over the same L1/L2/L3 supports)
+    hash-matches.  Rule generation is driver-side arithmetic over the
+    support-bounded itemset table: one distributed mining pass total."""
+    from ..functions.mining import association_rules
+    from ..functions.relational import broadcast_join, read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand"]).to_pandas()
+    baskets = broadcast_join(li, part, left_on="l_partkey",
+                             right_on="p_partkey")
+    return association_rules(baskets, basket_col="l_orderkey",
+                             item_col="p_brand", rel_den=200,
+                             min_conf_bp=1000)
+
+
+ORACLE_SQL["q_basket_rules"] = """
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), thr AS (
+        SELECT greatest(2, count(DISTINCT bk) // 200) AS s,
+               count(DISTINCT bk)::BIGINT AS nb FROM bi
+    ), l1 AS (
+        SELECT it, count(*)::BIGINT AS sup FROM bi GROUP BY it
+        HAVING count(*) >= (SELECT s FROM thr)
+    ), f AS (
+        SELECT bk, it FROM bi WHERE it IN (SELECT it FROM l1)
+    ), l2 AS (
+        SELECT f1.it AS a, f2.it AS b, count(*)::BIGINT AS sup
+        FROM f f1 JOIN f f2 ON f1.bk = f2.bk AND f1.it < f2.it
+        GROUP BY a, b HAVING count(*) >= (SELECT s FROM thr)
+    ), c3 AS (
+        SELECT x.a, x.b, y.b AS c
+        FROM l2 x JOIN l2 y ON x.a = y.a AND x.b < y.b
+        WHERE EXISTS (SELECT 1 FROM l2 z WHERE z.a = x.b AND z.b = y.b)
+    ), l3 AS (
+        SELECT c3.a, c3.b, c3.c, count(*)::BIGINT AS sup
+        FROM c3
+        JOIN f fa ON fa.it = c3.a
+        JOIN f fb ON fb.bk = fa.bk AND fb.it = c3.b
+        JOIN f fc ON fc.bk = fa.bk AND fc.it = c3.c
+        GROUP BY c3.a, c3.b, c3.c
+        HAVING count(*) >= (SELECT s FROM thr)
+    ), rules AS (
+        -- pair rules: a→b and b→a
+        SELECT p.a AS antecedent, p.b AS consequent, p.sup AS support,
+               la.sup AS sa, lb.sup AS sc
+        FROM l2 p JOIN l1 la ON la.it = p.a JOIN l1 lb ON lb.it = p.b
+        UNION ALL
+        SELECT p.b, p.a, p.sup, lb.sup, la.sup
+        FROM l2 p JOIN l1 la ON la.it = p.a JOIN l1 lb ON lb.it = p.b
+        UNION ALL
+        -- triple rules, single antecedent: x → other two
+        SELECT t.a, t.b || ',' || t.c, t.sup, la.sup, pbc.sup
+        FROM l3 t JOIN l1 la ON la.it = t.a
+        JOIN l2 pbc ON pbc.a = t.b AND pbc.b = t.c
+        UNION ALL
+        SELECT t.b, t.a || ',' || t.c, t.sup, lb.sup, pac.sup
+        FROM l3 t JOIN l1 lb ON lb.it = t.b
+        JOIN l2 pac ON pac.a = t.a AND pac.b = t.c
+        UNION ALL
+        SELECT t.c, t.a || ',' || t.b, t.sup, lc.sup, pab.sup
+        FROM l3 t JOIN l1 lc ON lc.it = t.c
+        JOIN l2 pab ON pab.a = t.a AND pab.b = t.b
+        UNION ALL
+        -- triple rules, pair antecedent: two → remaining one
+        SELECT t.a || ',' || t.b, t.c, t.sup, pab.sup, lc.sup
+        FROM l3 t JOIN l2 pab ON pab.a = t.a AND pab.b = t.b
+        JOIN l1 lc ON lc.it = t.c
+        UNION ALL
+        SELECT t.a || ',' || t.c, t.b, t.sup, pac.sup, lb.sup
+        FROM l3 t JOIN l2 pac ON pac.a = t.a AND pac.b = t.c
+        JOIN l1 lb ON lb.it = t.b
+        UNION ALL
+        SELECT t.b || ',' || t.c, t.a, t.sup, pbc.sup, la.sup
+        FROM l3 t JOIN l2 pbc ON pbc.a = t.b AND pbc.b = t.c
+        JOIN l1 la ON la.it = t.a
+    )
+    SELECT antecedent, consequent, support,
+           (support * 10000 // sa)::BIGINT AS conf_bp,
+           (support * (SELECT nb FROM thr) * 1000000
+            // (sa * sc))::BIGINT AS lift_ppm
+    FROM rules
+    WHERE support * 10000 // sa >= 1000
+    ORDER BY antecedent, consequent
 """

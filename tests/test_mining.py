@@ -81,3 +81,46 @@ def test_frequent_itemsets_cand_limit_guard():
     with pytest.raises(GuardExceeded):
         frequent_itemsets(_baskets(rows), basket_col="bk", item_col="it",
                           min_support=2, cand_limit=1)
+
+
+def test_association_rules_match_bruteforce():
+    from cpg_ray.functions.mining import association_rules
+
+    rng = np.random.default_rng(11)
+    vocab = [f"i{j}" for j in range(8)]
+    rows = []
+    for bk in range(120):
+        items = list(rng.choice(vocab, size=int(rng.integers(1, 5)),
+                                replace=False))
+        if rng.random() < 0.4:
+            items += ["A", "B", "C"]
+        rows.append((bk, items))
+    got = association_rules(_baskets(rows), basket_col="bk", item_col="it",
+                            min_support=10, min_conf_bp=2000)
+
+    # brute force over the same itemset lattice
+    sets = [frozenset(items) for _, items in rows]
+    fi = _brute(rows, 10)
+    sup = {frozenset(s.split(",")): v
+           for s, v in zip(fi["itemset"], fi["support"])}
+    n = len(rows)
+    want = []
+    for z, s_z in sup.items():
+        if len(z) < 2:
+            continue
+        for r in range(1, len(z)):
+            for a in itertools.combinations(sorted(z), r):
+                a, c = frozenset(a), z - frozenset(a)
+                conf = s_z * 10_000 // sup[a]
+                if conf >= 2000:
+                    want.append((",".join(sorted(a)), ",".join(sorted(c)),
+                                 s_z, conf,
+                                 s_z * n * 1_000_000 // (sup[a] * sup[c])))
+    want = (pd.DataFrame(want, columns=list(got.columns))
+            .astype({c: "int64" for c in got.columns[2:]})
+            .sort_values(["antecedent", "consequent"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["conf_bp"] >= 2000).all()
+    # A→B,C style rules from the planted triple must be present
+    assert "A" in set(got["antecedent"])
