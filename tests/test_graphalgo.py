@@ -1375,3 +1375,71 @@ def test_mis_bounded_rounds_reports_undecided_and_modes_agree():
     b = maximal_independent_set(ds, rounds=3,
                                 mode="shuffle").to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- Katz centrality --------------------------------------------------------
+
+
+def test_katz_modes_agree():
+    from cpg_ray.functions.graphalgo import katz_centrality
+
+    edges = _rand_edges(seed=23)
+    d = katz_centrality(rd.from_pandas(edges), iters=4,
+                        mode="driver").to_pandas()
+    s = katz_centrality(rd.from_pandas(edges), iters=4,
+                        mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True))
+
+
+def test_katz_matches_bruteforce():
+    from cpg_ray.functions.graphalgo import katz_centrality
+
+    edges = _rand_edges(n_nodes=12, n_edges=40, seed=5)
+    got = katz_centrality(rd.from_pandas(edges), iters=3,
+                          mode="driver").to_pandas()
+    e = edges[edges.src != edges.dst].drop_duplicates()
+    nodes = sorted(set(e.src) | set(e.dst))
+    x = {n: 10**6 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 10**6 for n in nodes}
+        for s_, d_ in zip(e.src, e.dst):
+            nxt[d_] += x[s_] * 5 // 100
+        x = nxt
+    want = (pd.DataFrame({"entity": nodes,
+                          "score": [x[n] for n in nodes]})
+            .astype({"score": "int64"})
+            .sort_values(["score", "entity"], ascending=[False, True])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_katz_no_degree_normalization_hub_prestige():
+    from cpg_ray.functions.graphalgo import katz_centrality
+
+    # three endorsers point at 'hub'; hub endorses one spoke — with no
+    # out-degree split the hub's in-mass is 3× a spoke's
+    edges = pd.DataFrame({"src": ["a", "b", "c", "hub"],
+                          "dst": ["hub", "hub", "hub", "a"]})
+    df = katz_centrality(rd.from_pandas(edges), iters=4,
+                         mode="driver").to_pandas()
+    sc = dict(zip(df.entity, df.score))
+    assert sc["hub"] > sc["a"] > sc["b"] == sc["c"]
+
+
+def test_katz_overflow_guard():
+    from cpg_ray.functions.graphalgo import katz_centrality
+
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "a"]})
+    with pytest.raises(GuardExceeded):
+        katz_centrality(rd.from_pandas(edges), iters=8, base=10**15,
+                        alpha_num=99, alpha_den=1, mode="driver")
+
+
+def test_katz_empty_graph():
+    from cpg_ray.functions.graphalgo import katz_centrality
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object)})
+    assert katz_centrality(rd.from_pandas(empty),
+                           mode="driver").to_pandas().empty
