@@ -2021,6 +2021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_basket_itemsets": q.q_basket_itemsets,
         # association rules (confidence/lift) from the itemset table
         "q_basket_rules": q.q_basket_rules,
+        # TextRank keywords: per-doc integer damping-0.85 fixed point
+        "q_doc_textrank": q.q_doc_textrank,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

@@ -1787,3 +1787,72 @@ def retrieval_eval(docs_ds, queries: dict, *, id_col: str = "doc_id",
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def textrank_keywords(docs_ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", top_n: int = 5,
+                      iters: int = 4, base: int = 10 ** 6,
+                      teleport: int = 150_000):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    per document, an UNDIRECTED word graph over distinct adjacent
+    token pairs (window 2, ``[a-z0-9_]+`` contract, self-pairs
+    dropped), ranked by the bounded integer fixed point
+
+        x₀(w)     = base
+        x_{k+1}(w) = teleport + Σ_{u∈N(w)} (x_k(u) · 85) // (100·deg(u))
+
+    — the damping-0.85 recursion with a CONSTANT teleport so every
+    division is an integer floor and the unrolled recursive-CTE SQL
+    twin reproduces identical int64 scores (the kg_pagerank/kg_katz
+    discipline).  Tokens with no graph edge (single-token documents,
+    immediate repeats only) carry no rank, on both engines.
+
+    Emits the top ``top_n`` tokens per document (score desc, token
+    asc, rank 1-based).  One stateless pass: a document's graph,
+    iteration and ranking all resolve inside its own block — no
+    shuffle, embarrassingly parallel at any corpus size."""
+    import re as _re
+
+    pat = _re.compile(r"[a-z0-9_]+")
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "token": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64")})
+        if b.empty:
+            return empty
+        rows = []
+        for doc, text in zip(b[id_col].astype("int64").values,
+                             b[text_col].values):
+            toks = pat.findall(str(text).lower())
+            pairs = {(u, v) for u, v in zip(toks, toks[1:]) if u != v}
+            if not pairs:
+                continue
+            und = sorted(pairs | {(v, u) for u, v in pairs})
+            nodes = np.unique(np.array([u for u, _ in und], dtype=object))
+            src = np.searchsorted(nodes, np.array(
+                [u for u, _ in und], dtype=object))
+            dst = np.searchsorted(nodes, np.array(
+                [v for _, v in und], dtype=object))
+            n = len(nodes)
+            deg = np.bincount(src, minlength=n).astype(np.int64)
+            x = np.full(n, base, dtype=np.int64)
+            for _ in range(iters):
+                contrib = (x[src] * 85) // (100 * deg[src])
+                acc = np.full(n, teleport, dtype=np.int64)
+                np.add.at(acc, dst, contrib)
+                x = acc
+            order = np.lexsort((nodes, -x))[:top_n]
+            for r, i in enumerate(order, start=1):
+                rows.append((doc, nodes[i], int(x[i]), r))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=[id_col, "token", "score",
+                                          "rank"])
+        for c in (id_col, "score", "rank"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return docs_ds.map_batches(extract, batch_format="pandas")

@@ -5572,3 +5572,65 @@ ORACLE_SQL["q_basket_rules"] = """
     WHERE support * 10000 // sa >= 1000
     ORDER BY antecedent, consequent
 """
+
+
+def q_doc_textrank(sf_dir: str) -> pd.DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004): top-5 tokens per doc
+    by the bounded integer damping-0.85 fixed point over the
+    undirected adjacent-token graph — see text.textrank_keywords for
+    the exactness contract."""
+    from ..functions.text import textrank_keywords
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = textrank_keywords(docs).to_pandas()
+    return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+# per-doc unrolled TextRank: composite (doc_id, node) recursion keys;
+# self-loop adj rows (deg NULL) carry every node through each round
+ORACLE_SQL["q_doc_textrank"] = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), t AS (
+        SELECT doc_id, i AS pos, l[i] AS tok
+        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)
+    ), bg AS (
+        SELECT a.doc_id, a.tok AS u, b.tok AS v
+        FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok <> b.tok
+    ), e AS (
+        SELECT DISTINCT doc_id, u AS src, v AS dst FROM (
+            SELECT doc_id, u, v FROM bg
+            UNION ALL SELECT doc_id, v AS u, u AS v FROM bg)
+    ), deg AS (
+        SELECT doc_id, src, count(*)::BIGINT AS deg FROM e GROUP BY 1, 2
+    ), nodes AS (
+        SELECT DISTINCT doc_id, src AS tok FROM e
+    ), adj AS (
+        SELECT e.doc_id, e.src, e.dst, dg.deg
+        FROM e JOIN deg dg USING (doc_id, src)
+        UNION ALL SELECT doc_id, tok, tok, NULL FROM nodes
+    ), tr AS (
+        SELECT 0 AS iter, doc_id, tok AS node, 1000000::BIGINT AS score
+        FROM nodes
+        UNION ALL
+        SELECT MIN(p.iter) + 1, a.doc_id, a.dst,
+               150000 + coalesce(SUM(CASE WHEN a.deg IS NOT NULL
+                             THEN (p.score * 85) // (100 * a.deg)
+                             END), 0)
+        FROM tr p JOIN adj a ON a.doc_id = p.doc_id AND a.src = p.node
+        GROUP BY a.doc_id, a.dst
+        HAVING MIN(p.iter) + 1 <= 4
+    ), fin AS (
+        SELECT doc_id, node AS token, score FROM tr WHERE iter = 4
+    ), ranked AS (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rnk
+        FROM fin
+    )
+    SELECT doc_id, token, score::BIGINT AS score, rnk::BIGINT AS rank
+    FROM ranked WHERE rnk <= 5
+    ORDER BY doc_id, rank
+"""

@@ -1516,3 +1516,55 @@ def test_setjoin_prefix_driver_and_shuffle_paths_agree():
     pd.testing.assert_frame_equal(f, s[f.columns])
     assert fi["n_candidate_docs"] == si["n_candidate_docs"]
     assert len(f) > 0
+
+
+# ---- TextRank ---------------------------------------------------------------
+
+
+def test_textrank_matches_bruteforce():
+    from cpg_ray.functions.text import textrank_keywords
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "graph rank graph walk rank graph",
+            "alpha beta gamma alpha beta",
+            "solo",                      # no edges -> no rows
+            "same same same",            # only self-pairs -> no rows
+        ]})
+    got = (textrank_keywords(rd.from_pandas(docs), top_n=5, iters=4)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    assert set(got.doc_id) == {1, 2}
+
+    import re
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        pairs = {(u, v) for u, v in zip(toks, toks[1:]) if u != v}
+        und = pairs | {(v, u) for u, v in pairs}
+        if not und:
+            assert doc_id not in set(got.doc_id)
+            continue
+        nodes = sorted({u for u, _ in und})
+        deg = {u: sum(1 for a, _ in und if a == u) for u in nodes}
+        x = {u: 10**6 for u in nodes}
+        for _ in range(4):
+            nxt = {u: 150_000 for u in nodes}
+            for u, v in und:
+                nxt[v] += x[u] * 85 // (100 * deg[u])
+            x = nxt
+        want = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        sub = got[got.doc_id == doc_id]
+        assert list(sub.token) == [t for t, _ in want]
+        assert list(sub.score) == [s for _, s in want]
+        assert list(sub["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_textrank_hub_word_ranks_first():
+    from cpg_ray.functions.text import textrank_keywords
+
+    # 'core' is adjacent to every other word -> highest degree -> top
+    docs = pd.DataFrame({"doc_id": [7], "text": [
+        "core alpha core beta core gamma core delta"]})
+    got = textrank_keywords(rd.from_pandas(docs)).to_pandas()
+    assert got.sort_values("rank").iloc[0].token == "core"
