@@ -880,6 +880,21 @@ def _kg_mis(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_wl_colors(sf_dir: str):
+    """Weisfeiler-Lehman color refinement (1-WL, the WL-kernel /
+    GIN-expressiveness feature map): 3 rounds of
+    c' = md5(c || '|' || sorted neighbor colors) from degree colors
+    over the undirected canonical entity graph — string-exact md5 hex
+    on every engine, verified against the generated unrolled
+    string_agg CTEs."""
+    from cpg_ray.functions.graphalgo import wl_refinement
+
+    df = wl_refinement(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", rounds=3).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_shacl(sf_dir: str):
     """SHACL-lite shape validation (W3C SHACL class/domain/maxCount/
     minCount semantics) over the distinct fact set against the
@@ -2017,6 +2032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kge_eval": _kg_kge_eval,
         # deterministic Luby maximal-independent-set rounds
         "kg_mis": _kg_mis,
+        # 1-WL color refinement (md5 multiset hashing, 3 rounds)
+        "kg_wl_colors": _kg_wl_colors,
         # A-priori frequent brand itemsets over order baskets
         "q_basket_itemsets": q.q_basket_itemsets,
         # association rules (confidence/lift) from the itemset table
@@ -2162,6 +2179,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _KG_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _wl_oracle_sql(triples_glob: str, *, rounds: int) -> str:
+    """Generated-SQL oracle for 1-WL color refinement: one literal
+    CTE per round — c{r}(node) = md5(c{r-1}(node) || '|' ||
+    string_agg(neighbor c{r-1} ORDER BY it)) — over the undirected
+    distinct entity edges, starting from degree-string colors.
+    AS MATERIALIZED keeps DuckDB from inlining (re-executing) each
+    round's table into the next."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            c{r} AS MATERIALIZED (
+                SELECT p.node, md5(p.c || '|' || n.sig) AS c
+                FROM c{r - 1} p JOIN (
+                    SELECT u.src AS node,
+                           string_agg(q.c, ',' ORDER BY q.c) AS sig
+                    FROM und u JOIN c{r - 1} q ON q.node = u.dst
+                    GROUP BY u.src) n USING (node))""")
+    return f"""
+        WITH
+        e0 AS (SELECT DISTINCT canonical_subj AS src,
+                               canonical_obj AS dst
+               FROM read_parquet('{triples_glob}')
+               WHERE canonical_subj <> canonical_obj),
+        und AS (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        c0 AS MATERIALIZED (
+            SELECT src AS node, count(*)::VARCHAR AS c
+            FROM und GROUP BY src){''.join(parts)}
+        SELECT node AS entity, c AS wl_color FROM c{rounds}
+        ORDER BY entity
+    """
 
 
 def _mis_oracle_sql(triples_glob: str, *, rounds: int) -> str:
@@ -3698,6 +3749,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
         # deterministic Luby MIS: generated unrolled round CTEs
         "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
+        "kg_wl_colors": _wl_oracle_sql(triples_glob, rounds=3),
         "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
         "kg_harmonic": f"""
             WITH men AS (

@@ -3819,3 +3819,144 @@ def katz_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
                 raise
     return _katz_shuffle(edges_ds, src, dst, iters=iters, base=base,
                          alpha_num=alpha_num, alpha_den=alpha_den)
+
+
+# ---- Weisfeiler-Lehman color refinement -------------------------------------
+
+
+def _und_pairs_df(edges: pd.DataFrame, src: str, dst: str) -> pd.DataFrame:
+    e = edges[edges[src] != edges[dst]]
+    a = e[src].to_numpy(dtype=object)
+    b = e[dst].to_numpy(dtype=object)
+    und = pd.DataFrame({"src": np.concatenate([a, b]),
+                        "dst": np.concatenate([b, a])})
+    return und.drop_duplicates(ignore_index=True)
+
+
+def _wl_driver(edges: pd.DataFrame, src: str, dst: str, *,
+               rounds: int) -> pd.DataFrame:
+    import hashlib
+
+    und = _und_pairs_df(edges, src, dst)
+    if und.empty:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "wl_color": pd.Series([], dtype=object)})
+    nodes, src_idx, dst_idx = _index_graph(und, "src", "dst")
+    n = len(nodes)
+    deg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    color = deg.astype(str).astype(object)
+    for _ in range(rounds):
+        # neighbor multiset per node: sort edges by (dst, neighbor
+        # color) then join per contiguous run — one lexsort per round
+        ncol = color[src_idx]
+        order = np.lexsort((ncol.astype(str), dst_idx))
+        d_sorted, c_sorted = dst_idx[order], ncol[order]
+        starts = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+        ends = np.r_[starts[1:], len(d_sorted)]
+        nxt = color.copy()
+        for s0, e0 in zip(starts, ends):
+            v = d_sorted[s0]
+            sig = color[v] + "|" + ",".join(c_sorted[s0:e0])
+            nxt[v] = hashlib.md5(sig.encode()).hexdigest()
+        color = nxt
+    return (pd.DataFrame({"entity": nodes, "wl_color": color})
+            .sort_values("entity").reset_index(drop=True))
+
+
+def _wl_shuffle(edges_ds, src: str, dst: str, *, rounds: int):
+    """Dataset-native WL: each round one hash join (undirected edges ⋈
+    colors on the neighbor end), a per-group ordered concat via
+    groupby.map_groups, and a join back to the node's own color for
+    the hash — K bounded exchanges."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .relational import distinct_on, hash_join
+
+    from .relational import groupby_agg
+
+    und = distinct_on(
+        edges_ds.map_batches(
+            lambda b: (lambda e: pd.DataFrame({
+                "__src": np.concatenate([e[src].to_numpy(dtype=object),
+                                         e[dst].to_numpy(dtype=object)]),
+                "__dst": np.concatenate([e[dst].to_numpy(dtype=object),
+                                         e[src].to_numpy(dtype=object)]),
+            }))(b[b[src] != b[dst]]),
+            batch_format="pandas"),
+        ["__src", "__dst"]).materialize()
+    colors = groupby_agg(
+        und, ["__src"], [("__dst", "count", "__deg")]).map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["__src"],
+            "c": b["__deg"].astype("int64").astype(str)}),
+        batch_format="pandas",
+    ).materialize()
+    if colors.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "wl_color": pd.Series([], dtype=object)}))
+
+    def agg_group(g: pd.DataFrame) -> pd.DataFrame:
+        cs = np.sort(g["c"].to_numpy(dtype=object).astype(str))
+        return pd.DataFrame({"node": [g["__src"].iloc[0]],
+                             "sig": [",".join(cs)]})
+
+    for _ in range(rounds):
+        nb = hash_join(und, colors, on="__dst", right_on="node",
+                       empty_safe=True)
+        sigs = nb.groupby("__src").map_groups(agg_group,
+                                              batch_format="pandas")
+        colors = hash_join(colors, sigs.materialize(), on="node",
+                           empty_safe=True).map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"],
+                "c": [hashlib.md5(f"{c}|{s}".encode()).hexdigest()
+                      for c, s in zip(b["c"], b["sig"])]}),
+            batch_format="pandas",
+        ).materialize()
+    return colors.map_batches(
+        lambda b: b.rename(columns={"node": "entity", "c": "wl_color"})
+        [["entity", "wl_color"]],
+        batch_format="pandas",
+    ).sort("entity")
+
+
+def wl_refinement(edges_ds, *, src: str = "src", dst: str = "dst",
+                  rounds: int = 3, mode: str = "auto",
+                  driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Weisfeiler-Lehman color refinement (1-WL, Weisfeiler & Leman
+    1968; the graph-isomorphism feature map behind WL kernels and the
+    GIN expressiveness bound) over the undirected view of (src, dst),
+    self-loops dropped:
+
+        c₀(v)     = str(deg(v))
+        c_{k+1}(v) = md5(c_k(v) || '|' ||
+                       sorted-join(',', multiset{c_k(u) : u ∈ N(v)}))
+
+    Colors are md5 hex strings — string-exact on every engine, so the
+    generated unrolled SQL twin (string_agg ORDER BY inside one CTE
+    per round) hash-matches.  Two nodes share a round-k color iff 1-WL
+    cannot distinguish their k-hop neighborhoods — the stable
+    partition refines toward orbit classes.
+
+    Scale shape: each round is one hash join (edges ⋈ colors on the
+    neighbor end), one ordered-concat groupby, and one join back —
+    K bounded exchanges in mode='shuffle'; mode='auto' runs the driver
+    fast path under ``driver_edge_limit`` distinct edges.  Returns
+    (entity, wl_color) ordered by entity."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            df = _wl_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, rounds=rounds)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _wl_shuffle(edges_ds, src, dst, rounds=rounds)

@@ -1443,3 +1443,59 @@ def test_katz_empty_graph():
                           "dst": pd.Series([], dtype=object)})
     assert katz_centrality(rd.from_pandas(empty),
                            mode="driver").to_pandas().empty
+
+
+# ---- Weisfeiler-Lehman refinement -------------------------------------------
+
+
+def test_wl_modes_agree():
+    from cpg_ray.functions.graphalgo import wl_refinement
+
+    edges = _rand_edges(n_nodes=20, n_edges=60, seed=31)
+    d = wl_refinement(rd.from_pandas(edges), rounds=2,
+                      mode="driver").to_pandas()
+    s = wl_refinement(rd.from_pandas(edges), rounds=2,
+                      mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True))
+
+
+def test_wl_orbit_symmetry_and_separation():
+    from cpg_ray.functions.graphalgo import wl_refinement
+
+    # star: all leaves are in one orbit, the hub in another; a path's
+    # middle differs from its ends after one round
+    edges = pd.DataFrame({
+        "src": ["hub", "hub", "hub", "p1", "p2"],
+        "dst": ["l1", "l2", "l3", "p2", "p3"]})
+    df = wl_refinement(rd.from_pandas(edges), rounds=2,
+                       mode="driver").to_pandas()
+    c = dict(zip(df.entity, df.wl_color))
+    assert c["l1"] == c["l2"] == c["l3"] != c["hub"]
+    assert c["p1"] == c["p3"] != c["p2"]
+    # degree-1 leaves of the star vs path ends: distinguished by
+    # round 2 (their neighbors' colors differ)
+    assert c["l1"] != c["p1"]
+
+
+def test_wl_partition_refines_monotonically():
+    from cpg_ray.functions.graphalgo import wl_refinement
+
+    edges = _rand_edges(n_nodes=25, n_edges=80, seed=13)
+    prev = None
+    for r in range(4):
+        df = wl_refinement(rd.from_pandas(edges), rounds=r,
+                           mode="driver").to_pandas()
+        ncls = df.wl_color.nunique()
+        if prev is not None:
+            assert ncls >= prev  # colors split, never merge
+        prev = ncls
+
+
+def test_wl_empty_graph():
+    from cpg_ray.functions.graphalgo import wl_refinement
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object)})
+    assert wl_refinement(rd.from_pandas(empty),
+                         mode="driver").to_pandas().empty
