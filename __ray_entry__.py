@@ -2040,6 +2040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_basket_rules": q.q_basket_rules,
         # TextRank keywords: per-doc integer damping-0.85 fixed point
         "q_doc_textrank": q.q_doc_textrank,
+        # Allen interval-algebra census over per-user activity windows
+        "q_events_allen": q.q_events_allen,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

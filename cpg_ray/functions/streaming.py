@@ -489,3 +489,100 @@ class ReorderBuffer:
         frames = [f for f in frames if len(f)]
         return (pd.concat(frames, ignore_index=True) if frames
                 else self.consumer.flush())
+
+
+ALLEN_RELATIONS = (
+    "before", "meets", "overlaps", "starts", "during", "finishes",
+    "equals", "finished_by", "contains", "started_by",
+    "overlapped_by", "met_by", "after",
+)
+
+
+def allen_relation_census(ds, *, group_col: str, kind_col: str,
+                          ts_col: str, max_group: int = 5000):
+    """Allen interval-algebra census (Allen, CACM 1983): per group,
+    the activity interval of each kind ([min ts, max ts]) is compared
+    against every other kind in the group (ordered pairs, kind_a <
+    kind_b) and classified into exactly one of the 13 Allen relations
+    via a mutually-exclusive CASE ladder on interval endpoints —
+    identical ladder in the SQL twin, timestamp comparisons only, so
+    counts hash-match.  Returns (kind_a, kind_b, rel, n) ordered.
+
+    Scale shape: one pre-combined groupby builds the per-(group, kind)
+    intervals, the bounded within-group pair fan-out runs inside
+    bucketed ``map_groups`` (a group with m kinds emits m(m-1)/2 pairs
+    — kinds-per-group is vocabulary-bounded; ``max_group`` guards the
+    pathological case by SKIPPING the group, reported via the
+    ``skipped_groups`` attr), and the census is one more pre-combined
+    count.  Nothing row-scale reaches the driver."""
+    from .relational import _collect_limited, default_n_buckets, groupby_agg
+
+    iv = groupby_agg(
+        ds.map_batches(lambda b: b[[group_col, kind_col, ts_col]],
+                       batch_format="pandas"),
+        [group_col, kind_col],
+        [(ts_col, "min", "t0"), (ts_col, "max", "t1")])
+    nb = default_n_buckets()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, sub in g.groupby(group_col, sort=False):
+            m = len(sub)
+            if m < 2 or m > max_group:
+                if m > max_group:
+                    parts.append(pd.DataFrame(
+                        {"kind_a": ["__skip__"], "kind_b": [""],
+                         "rel": [""], "skipped": [np.int64(m)]}))
+                continue
+            sub = sub.sort_values(kind_col)
+            i, j = np.triu_indices(m, k=1)
+            a0 = sub["t0"].to_numpy()[i]
+            a1 = sub["t1"].to_numpy()[i]
+            b0 = sub["t0"].to_numpy()[j]
+            b1 = sub["t1"].to_numpy()[j]
+            rel = np.select(
+                [a1 < b0,
+                 a1 == b0,
+                 (a0 < b0) & (b0 < a1) & (a1 < b1),
+                 (a0 == b0) & (a1 < b1),
+                 (b0 < a0) & (a1 < b1),
+                 (b0 < a0) & (a1 == b1),
+                 (a0 == b0) & (a1 == b1),
+                 (a0 < b0) & (a1 == b1),
+                 (a0 < b0) & (b1 < a1),
+                 (a0 == b0) & (b1 < a1),
+                 (b0 < a0) & (a0 < b1) & (b1 < a1),
+                 (b1 == a0),
+                 (b1 < a0)],
+                ALLEN_RELATIONS, default="?")
+            parts.append(pd.DataFrame({
+                "kind_a": sub[kind_col].to_numpy()[i],
+                "kind_b": sub[kind_col].to_numpy()[j],
+                "rel": rel, "skipped": np.int64(0)}))
+        if not parts:
+            return pd.DataFrame({
+                "kind_a": pd.Series([], dtype=object),
+                "kind_b": pd.Series([], dtype=object),
+                "rel": pd.Series([], dtype=object),
+                "skipped": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    rels = iv.map_batches(
+        lambda b: b.assign(__bk=pd.util.hash_array(
+            b[group_col].to_numpy()) % nb),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(pairs, batch_format="pandas")
+    out = _collect_limited(
+        groupby_agg(rels, ["kind_a", "kind_b", "rel"],
+                    [("skipped", "sum", "skip_sum"),
+                     ("rel", "count", "n")]),
+        5_000_000, "allen_relation_census")
+    skipped = out[out["kind_a"] == "__skip__"]
+    out = out[out["kind_a"] != "__skip__"][
+        ["kind_a", "kind_b", "rel", "n"]]
+    out["n"] = out["n"].astype("int64")
+    out = (out.sort_values(["kind_a", "kind_b", "rel"])
+           .reset_index(drop=True))
+    out.attrs["skipped_groups"] = int(skipped["n"].sum()) \
+        if len(skipped) else 0
+    return out

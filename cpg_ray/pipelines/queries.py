@@ -5634,3 +5634,49 @@ ORACLE_SQL["q_doc_textrank"] = """
     FROM ranked WHERE rnk <= 5
     ORDER BY doc_id, rank
 """
+
+
+def q_events_allen(sf_dir: str) -> pd.DataFrame:
+    """Allen interval-algebra census (Allen CACM'83): per user, the
+    activity interval of each event type vs every other type,
+    classified into the 13 relations by the mutually-exclusive
+    endpoint CASE ladder — identical ladder in SQL, so the census
+    hash-matches.  See streaming.allen_relation_census."""
+    from ..functions.streaming import allen_relation_census
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    return allen_relation_census(ev, group_col="user_id",
+                                 kind_col="event_type", ts_col="ts")
+
+
+ORACLE_SQL["q_events_allen"] = """
+    WITH iv AS (
+        SELECT user_id, event_type, min(ts) AS t0, max(ts) AS t1
+        FROM events GROUP BY 1, 2
+    ), pr AS (
+        SELECT a.event_type AS kind_a, b.event_type AS kind_b,
+            CASE
+              WHEN a.t1 < b.t0 THEN 'before'
+              WHEN a.t1 = b.t0 THEN 'meets'
+              WHEN a.t0 < b.t0 AND b.t0 < a.t1 AND a.t1 < b.t1
+                  THEN 'overlaps'
+              WHEN a.t0 = b.t0 AND a.t1 < b.t1 THEN 'starts'
+              WHEN b.t0 < a.t0 AND a.t1 < b.t1 THEN 'during'
+              WHEN b.t0 < a.t0 AND a.t1 = b.t1 THEN 'finishes'
+              WHEN a.t0 = b.t0 AND a.t1 = b.t1 THEN 'equals'
+              WHEN a.t0 < b.t0 AND a.t1 = b.t1 THEN 'finished_by'
+              WHEN a.t0 < b.t0 AND b.t1 < a.t1 THEN 'contains'
+              WHEN a.t0 = b.t0 AND b.t1 < a.t1 THEN 'started_by'
+              WHEN b.t0 < a.t0 AND a.t0 < b.t1 AND b.t1 < a.t1
+                  THEN 'overlapped_by'
+              WHEN b.t1 = a.t0 THEN 'met_by'
+              ELSE 'after'
+            END AS rel
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT kind_a, kind_b, rel, count(*)::BIGINT AS n
+    FROM pr GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""

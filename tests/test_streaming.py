@@ -311,3 +311,64 @@ def test_reorder_buffer_drops_and_counts_beyond_lateness():
     final = rb.flush()
     # the on-time events still sessionize (two sessions: 0s and 100s)
     assert len(final) == 2 and int(final.n_events.sum()) == 2
+
+
+# ---- Allen interval algebra -------------------------------------------------
+
+
+def test_allen_census_all_13_relations():
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import (ALLEN_RELATIONS,
+                                             allen_relation_census)
+
+    # one synthetic group per relation, intervals crafted to hit each
+    # of the 13 classes exactly once: kind 'a' vs kind 'b'
+    spans = {
+        "before":        ((0, 2), (5, 8)),
+        "meets":         ((0, 5), (5, 8)),
+        "overlaps":      ((0, 6), (5, 8)),
+        "starts":        ((5, 6), (5, 8)),
+        "during":        ((6, 7), (5, 8)),
+        "finishes":      ((6, 8), (5, 8)),
+        "equals":        ((5, 8), (5, 8)),
+        "finished_by":   ((0, 8), (5, 8)),
+        "contains":      ((0, 9), (5, 8)),
+        "started_by":    ((5, 9), (5, 8)),
+        "overlapped_by": ((6, 9), (5, 8)),
+        "met_by":        ((8, 9), (5, 8)),
+        "after":         ((9, 12), (5, 8)),
+    }
+    rows = []
+    for gi, (rel, ((a0, a1), (b0, b1))) in enumerate(spans.items()):
+        rows += [(gi, "a", pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=a0)),
+                 (gi, "a", pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=a1)),
+                 (gi, "b", pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=b0)),
+                 (gi, "b", pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=b1))]
+    ev = pd.DataFrame(rows, columns=["g", "k", "ts"])
+    out = allen_relation_census(rd.from_pandas(ev), group_col="g",
+                                kind_col="k", ts_col="ts")
+    got = dict(zip(out["rel"], out["n"]))
+    assert got == {rel: 1 for rel in ALLEN_RELATIONS}
+    assert (out["kind_a"] == "a").all() and (out["kind_b"] == "b").all()
+    assert out.attrs["skipped_groups"] == 0
+
+
+def test_allen_census_skip_guard_and_point_intervals():
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import allen_relation_census
+
+    t = pd.Timestamp(2024, 1, 1)
+    ev = pd.DataFrame({
+        "g": [1] * 4 + [2, 2],
+        "k": ["a", "b", "c", "d", "x", "y"],
+        "ts": [t] * 4 + [t, t],
+    })
+    # group 1 exceeds max_group=3 -> skipped and reported; group 2's
+    # coincident point intervals classify as 'meets' (first ladder hit)
+    out = allen_relation_census(rd.from_pandas(ev), group_col="g",
+                                kind_col="k", ts_col="ts", max_group=3)
+    assert out.attrs["skipped_groups"] == 1
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("x", "y", "meets", 1)]
