@@ -880,6 +880,45 @@ def _kg_mis(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_sameas(sf_dir: str):
+    """owl:sameAs closure (the entity-resolution merge step of KG
+    construction): entities sharing a surface alias get a sameAs edge
+    (bounded within-alias pair fan-out), the equivalence classes close
+    under bounded min-label propagation, and each entity reports its
+    class representative (min entity_id) and class size.  Pure
+    composition of existing machinery — co_occurrence_pairs +
+    label_components — verified against the unnest self-join +
+    min-label CTE twin."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import (co_occurrence_pairs,
+                                             label_components)
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    ents = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/entities/*.parquet")),
+        columns=["entity_id", "aliases"])
+    exploded = ents.map_batches(
+        lambda b: b.explode("aliases").dropna().rename(
+            columns={"aliases": "al"})[["al", "entity_id"]],
+        batch_format="pandas")
+    pairs = co_occurrence_pairs(exploded, group_col="al",
+                                item_col="entity_id")
+    edges = pairs.map_batches(
+        lambda b: b[b["skipped_n"] == 0][["a", "b"]],
+        batch_format="pandas")
+    comp = label_components(edges, src="a", dst="b",
+                            rounds=6).to_pandas()
+    sizes = comp.groupby("component").size().rename("class_size")
+    df = comp.merge(sizes, left_on="component", right_index=True)
+    df = df.rename(columns={"component": "rep"})
+    df["class_size"] = df["class_size"].astype("int64")
+    return (df[["entity", "rep", "class_size", "converged"]]
+            .sort_values("entity").reset_index(drop=True))
+
+
 def _kg_wl_colors(sf_dir: str):
     """Weisfeiler-Lehman color refinement (1-WL, the WL-kernel /
     GIN-expressiveness feature map): 3 rounds of
@@ -2034,6 +2073,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mis": _kg_mis,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
+        # owl:sameAs closure over shared-alias entity pairs
+        "kg_sameas": _kg_sameas,
         # A-priori frequent brand itemsets over order baskets
         "q_basket_itemsets": q.q_basket_itemsets,
         # association rules (confidence/lift) from the itemset table
@@ -4045,6 +4086,42 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     # weighted SSSP: 8 Bellman-Ford rounds; (node, d, hops) recursion
     # states are bounded (d ≤ 9·hops, hops ≤ 9), so UNION dedup keeps
     # the walk table ≤ n·82·10 rows
+    # sameAs closure: shared-alias pairs, then the kg_components
+    # min-label recursion (6 rounds + lookahead) over the pair graph
+    out["kg_sameas"] = f"""
+            WITH RECURSIVE
+            al AS (SELECT entity_id, unnest(aliases) AS al
+                   FROM read_parquet('{entities_pq}')),
+            p AS (SELECT DISTINCT a1.entity_id AS src,
+                                  a2.entity_id AS dst
+                  FROM al a1 JOIN al a2 ON a1.al = a2.al
+                  WHERE a1.entity_id < a2.entity_id),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM p
+                        UNION ALL SELECT dst AS src, src AS dst FROM p)),
+            nodes AS (SELECT DISTINCT src AS n FROM und),
+            adj AS (SELECT src, dst FROM und
+                    UNION ALL SELECT n, n FROM nodes),
+            lp AS (
+                SELECT 0 AS iter, n AS node, n AS lbl FROM nodes
+                UNION ALL
+                SELECT MIN(q.iter) + 1, a.dst, MIN(q.lbl)
+                FROM lp q JOIN adj a ON a.src = q.node
+                GROUP BY a.dst
+                HAVING MIN(q.iter) + 1 <= 7
+            ),
+            fin AS (SELECT node, lbl FROM lp WHERE iter = 6),
+            ahead AS (SELECT node, lbl FROM lp WHERE iter = 7),
+            conv AS (SELECT NOT EXISTS (
+                         SELECT 1 FROM fin f JOIN ahead a USING (node)
+                         WHERE f.lbl <> a.lbl) AS converged),
+            sz AS (SELECT lbl, count(*)::BIGINT AS class_size
+                   FROM fin GROUP BY lbl)
+            SELECT f.node AS entity, f.lbl AS rep, s.class_size,
+                   (SELECT converged FROM conv) AS converged
+            FROM fin f JOIN sz s ON s.lbl = f.lbl
+            ORDER BY entity
+        """
     out["kg_sssp"] = f"""
             WITH RECURSIVE
             e0 AS (SELECT DISTINCT canonical_subj AS src,
