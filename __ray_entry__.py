@@ -2083,6 +2083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_textrank": q.q_doc_textrank,
         # Allen interval-algebra census over per-user activity windows
         "q_events_allen": q.q_events_allen,
+        # 2-D skyline / Pareto front (price down, size up) over part
+        "q_part_skyline": q.q_part_skyline,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

@@ -1291,3 +1291,63 @@ def ordered_concat(ds, keys: list[str], val_col: str, *, sep: str = "|",
         return driver_finish(partials)
     except GuardExceeded:
         return shuffle_finish(partials)
+
+
+# ---- skyline (Pareto front) -------------------------------------------------
+
+
+def _skyline2d_local(b: pd.DataFrame, x: str, y: str,
+                     x_dir: str, y_dir: str) -> pd.DataFrame:
+    """Exact 2-D skyline of one frame by sort + scan (O(n log n)).
+    Canonicalized to minimize-x / maximize-y via comparison-only sign
+    flips; input VALUES pass through untouched.  Ties: equal (x, y)
+    points never dominate each other, so all duplicates survive."""
+    if b.empty:
+        return b
+    xv = b[x].to_numpy()
+    yv = b[y].to_numpy()
+    cx = xv if x_dir == "min" else -xv
+    cy = yv if y_dir == "max" else -yv
+    order = np.lexsort((-cy, cx))          # x asc, y desc
+    cx_s, cy_s = cx[order], cy[order]
+    # per distinct-x group: gmax = best y in group; a point survives
+    # iff its y equals gmax AND gmax strictly beats every smaller-x
+    # group's best (prevmax) — equal-y-smaller-x still dominates
+    new_grp = np.r_[True, cx_s[1:] != cx_s[:-1]]
+    gid = np.cumsum(new_grp) - 1
+    gmax = cy_s[new_grp]                   # first in group = max (desc)
+    run = np.maximum.accumulate(gmax)
+    prevmax = np.r_[-np.inf, run[:-1]]
+    keep_s = (cy_s == gmax[gid]) & (gmax[gid] > prevmax[gid])
+    keep = np.zeros(len(b), dtype=bool)
+    keep[order] = keep_s
+    return b[keep]
+
+
+def skyline_2d(ds, *, x: str, y: str, x_dir: str = "min",
+               y_dir: str = "max", cand_limit: int = 5_000_000):
+    """Two-dimensional skyline / Pareto front (Börzsönyi et al., ICDE
+    2001): rows for which no other row is at-least-as-good in both
+    dimensions and strictly better in one (``x_dir``/``y_dir`` pick
+    min/max per axis; equal-point duplicates all survive, matching the
+    SQL NOT-EXISTS dominance twin).
+
+    Scale shape — the classic two-phase plan: every block computes its
+    LOCAL skyline inside ``map_batches`` (dominance is transitive, so
+    a globally non-dominated row is non-dominated in its own block:
+    local skylines are a sound candidate superset), candidates stream
+    to the driver under ``cand_limit`` (anti-correlated data has
+    large skylines — the guard raises honestly rather than OOM), and
+    one final local pass is exact.  Returns a pandas frame in input
+    column order, sorted by (x, y) ascending."""
+    for d in (x_dir, y_dir):
+        if d not in ("min", "max"):
+            raise ValueError(f"direction must be min/max, got {d!r}")
+    local = ds.map_batches(
+        lambda b: _skyline2d_local(b, x, y, x_dir, y_dir),
+        batch_format="pandas")
+    cand = _collect_limited(local, cand_limit, "skyline_2d")
+    if cand.empty:
+        return cand.reset_index(drop=True)
+    out = _skyline2d_local(cand, x, y, x_dir, y_dir)
+    return out.sort_values([x, y]).reset_index(drop=True)

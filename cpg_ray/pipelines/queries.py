@@ -5680,3 +5680,32 @@ ORACLE_SQL["q_events_allen"] = """
     FROM pr GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
 """
+
+
+def q_part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto front (Börzsönyi et al. ICDE'01): parts not
+    dominated in (retailprice ↓, size ↑) — no cheaper-or-equal part
+    with a larger-or-equal size that is strictly better in one
+    dimension.  Two-phase plan: block-local skylines (sound candidate
+    superset by dominance transitivity) then one exact driver pass —
+    see relational.skyline_2d."""
+    from ..functions.relational import skyline_2d
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline_2d(part, x="p_retailprice", y="p_size")
+    return (out.sort_values("p_partkey").reset_index(drop=True)
+            [["p_partkey", "p_retailprice", "p_size"]])
+
+
+ORACLE_SQL["q_part_skyline"] = """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+    ORDER BY p_partkey
+"""

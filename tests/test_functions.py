@@ -1568,3 +1568,57 @@ def test_textrank_hub_word_ranks_first():
         "core alpha core beta core gamma core delta"]})
     got = textrank_keywords(rd.from_pandas(docs)).to_pandas()
     assert got.sort_values("rank").iloc[0].token == "core"
+
+
+# ---- skyline ----------------------------------------------------------------
+
+
+def _brute_skyline(df, x, y, x_dir, y_dir):
+    import operator as op
+
+    bx = op.le if x_dir == "min" else op.ge
+    by = op.ge if y_dir == "max" else op.le
+    sx = op.lt if x_dir == "min" else op.gt
+    sy = op.gt if y_dir == "max" else op.lt
+    keep = []
+    for i, (xi, yi) in enumerate(zip(df[x], df[y])):
+        dom = any(
+            bx(xj, xi) and by(yj, yi) and (sx(xj, xi) or sy(yj, yi))
+            for j, (xj, yj) in enumerate(zip(df[x], df[y])) if j != i)
+        keep.append(not dom)
+    return df[np.array(keep)].sort_values([x, y]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("x_dir,y_dir", [("min", "max"), ("min", "min"),
+                                         ("max", "max"), ("max", "min")])
+def test_skyline_matches_bruteforce_all_directions(x_dir, y_dir):
+    from cpg_ray.functions.relational import skyline_2d
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype="int64"),
+        "x": rng.integers(0, 20, 300).astype("float64"),
+        "y": rng.integers(0, 20, 300).astype("int64"),
+    })
+    # multiple blocks force the two-phase path
+    ds = rd.from_pandas([df.iloc[i::7] for i in range(7)])
+    got = skyline_2d(ds, x="x", y="y", x_dir=x_dir, y_dir=y_dir)
+    want = _brute_skyline(df, "x", "y", x_dir, y_dir)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["x", "y", "id"]).reset_index(drop=True),
+        want.sort_values(["x", "y", "id"]).reset_index(drop=True))
+
+
+def test_skyline_duplicates_survive_and_guard():
+    from cpg_ray.functions.relational import GuardExceeded, skyline_2d
+
+    df = pd.DataFrame({"x": [1.0, 1.0, 2.0], "y": [5, 5, 9]})
+    got = skyline_2d(rd.from_pandas(df), x="x", y="y")
+    # (1,5) twice (not dominated by (2,9): worse x) and (2,9)
+    assert len(got) == 3
+    with pytest.raises(GuardExceeded):
+        # rising diagonal: larger x but larger y too — nothing
+        # dominates anything, every point is in the skyline
+        diag = pd.DataFrame({"x": np.arange(100.0),
+                             "y": np.arange(100)})
+        skyline_2d(rd.from_pandas(diag), x="x", y="y", cand_limit=10)
