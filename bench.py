@@ -142,6 +142,15 @@ BENCH_QUERIES = [
     "q_retrieval_eval",
     "kg_kge_eval",
     "kg_mis",
+    # round-5 third session: mining, graph features, text, intervals
+    "q_basket_itemsets",
+    "q_basket_rules",
+    "kg_katz",
+    "kg_wl_colors",
+    "q_doc_textrank",
+    "q_events_allen",
+    "kg_sameas",
+    "q_part_skyline",
 ]
 
 
