@@ -934,6 +934,44 @@ def _kg_wl_colors(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_rich_club(sf_dir: str):
+    """Rich-club connectivity curve (Colizza et al., Nat. Phys. 2006)
+    over the undirected canonical entity graph: for each degree
+    threshold k in 0..10, the node/edge counts of the deg>k induced
+    subgraph and its exact-integer density phi_ppm — the
+    hub-interconnection health signal for an extracted KG (a rising
+    curve means hub entities preferentially interlink, a flat one
+    means the linker scattered them).  Verified against the
+    degree-join SQL twin."""
+    from cpg_ray.functions.graphalgo import rich_club
+
+    df = rich_club(_entity_edges(sf_dir), src="canonical_subj",
+                   dst="canonical_obj", max_k=10).to_pandas()
+    return df.reset_index(drop=True)
+
+
+def _kg_reciprocity(sf_dir: str):
+    """Per-predicate directed reciprocity census (Garlaschelli &
+    Loffredo 2004) over the distinct (pred, subj, obj) fact set:
+    pairs whose exact reverse exists under the SAME predicate, with
+    recip_ppm = n_recip·10⁶ // n_pairs exact-integer — the
+    extraction-direction-confusion signal (a functional predicate
+    with high reciprocity usually marks swapped subject/object).
+    Verified against the self-left-join SQL twin."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import reciprocity
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj"])
+    return reciprocity(tri, src="canonical_subj",
+                       dst="canonical_obj", by="pred")
+
+
 def _kg_shacl(sf_dir: str):
     """SHACL-lite shape validation (W3C SHACL class/domain/maxCount/
     minCount semantics) over the distinct fact set against the
@@ -2085,6 +2123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_allen": q.q_events_allen,
         # 2-D skyline / Pareto front (price down, size up) over part
         "q_part_skyline": q.q_part_skyline,
+        # rich-club connectivity curve over the entity graph
+        "kg_rich_club": _kg_rich_club,
+        # per-predicate directed reciprocity census
+        "kg_reciprocity": _kg_reciprocity,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2188,6 +2230,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # - q_doc_sentences: stateless regex batch split repped by
     #   in-window q_doc_pii_scrub + kg_clean_text (same regex/batch
     #   machinery over the same corpus).
+    # Sixth rotation (fourth session): four more brand-new,
+    # never-driver-checked ops — kg_sameas (alias-pair sameAs closure),
+    # q_part_skyline (2-D Pareto front), kg_rich_club (rich-club
+    # curve), kg_reciprocity (per-predicate reciprocity) — displace
+    # four never-checked entries whose machinery stays repped
+    # in-window; each eviction swept green at sf0.01 this session:
+    # - kg_hits: dual-score power-iterate + unrolled-CTE oracle
+    #   machinery repped by in-window kg_katz (same driver/shuffle
+    #   iterate plumbing, same self-loop CTE trick).
+    # - kg_kcore: iterative-peel machinery repped by in-window
+    #   kg_ktruss (edge-support peeling — the strictly harder sibling
+    #   over the same CSR/guard plumbing).
+    # - q_knn_exact: broadcast-query matmul + per-batch local top-k
+    #   repped in-window by q_hard_negatives (same similarity.py
+    #   kernel plus an extra mining stage).
+    # - q_doc_simhash_sig: md5 signature kernel repped by in-window
+    #   q_doc_minhash_sig (same vectorized banding/md5 path in
+    #   dedup.py).
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2210,16 +2270,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
         "kg_fact_timeline", "kg_clean_text", "q_kmeans",
-        "q_doc_minhash_sig", "q_doc_simhash_sig",
+        "q_doc_minhash_sig", "q_part_skyline",
         # graph family — never driver-checked
-        "kg_katz", "kg_hits",
-        "kg_wl_colors", "kg_scc", "kg_kcore",
+        "kg_katz", "kg_sameas",
+        "kg_wl_colors", "kg_scc", "kg_rich_club",
         "kg_clustering_coef",
         "kg_cypher_undirected",
         # text/retrieval — never driver-checked
         "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_textrank",
-        "q_doc_bigram", "q_knn_exact",
+        "q_doc_bigram", "kg_reciprocity",
         "q_basket_itemsets",
         # events/orders — never driver-checked
         "q_events_allen", "q_events_moving",
@@ -4090,6 +4150,53 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     # the walk table ≤ n·82·10 rows
     # sameAs closure: shared-alias pairs, then the kg_components
     # min-label recursion (6 rounds + lookahead) over the pair graph
+    out["kg_rich_club"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                    FROM und GROUP BY src),
+            half AS (SELECT least(da.d, db.d) AS m
+                     FROM und u
+                     JOIN deg da ON da.node = u.src
+                     JOIN deg db ON db.node = u.dst
+                     WHERE u.src < u.dst),
+            ks AS (SELECT unnest(range(0, 11))::BIGINT AS k),
+            nn AS (SELECT k.k,
+                          count(d.node)::BIGINT AS n_nodes
+                   FROM ks k LEFT JOIN deg d ON d.d > k.k
+                   GROUP BY k.k),
+            ne AS (SELECT k.k,
+                          count(h.m)::BIGINT AS n_edges
+                   FROM ks k LEFT JOIN half h ON h.m > k.k
+                   GROUP BY k.k)
+            SELECT nn.k, nn.n_nodes, ne.n_edges,
+                   CASE WHEN nn.n_nodes > 1
+                        THEN (2 * ne.n_edges * 1000000)
+                             // (nn.n_nodes * (nn.n_nodes - 1))
+                        ELSE 0 END::BIGINT AS phi_ppm
+            FROM nn JOIN ne USING (k)
+            ORDER BY k
+        """
+    out["kg_reciprocity"] = f"""
+            WITH e AS (SELECT DISTINCT pred,
+                                       canonical_subj AS s,
+                                       canonical_obj AS o
+                       FROM read_parquet('{triples_glob}')
+                       WHERE canonical_subj <> canonical_obj)
+            SELECT e.pred AS grp, count(*)::BIGINT AS n_pairs,
+                   count(r.s)::BIGINT AS n_recip,
+                   ((count(r.s) * 1000000) // count(*))::BIGINT
+                       AS recip_ppm
+            FROM e LEFT JOIN e r
+              ON r.pred = e.pred AND r.s = e.o AND r.o = e.s
+            GROUP BY e.pred
+            ORDER BY grp
+        """
     out["kg_sameas"] = f"""
             WITH RECURSIVE
             al AS (SELECT entity_id, unnest(aliases) AS al

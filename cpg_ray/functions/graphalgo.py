@@ -3960,3 +3960,173 @@ def wl_refinement(edges_ds, *, src: str = "src", dst: str = "dst",
             if mode == "driver":
                 raise
     return _wl_shuffle(edges_ds, src, dst, rounds=rounds)
+
+
+# ---- graph census: rich-club and reciprocity --------------------------------
+
+
+def rich_club(edges_ds, *, src: str = "src", dst: str = "dst",
+              max_k: int = 10, mode: str = "auto",
+              driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Rich-club connectivity curve (Colizza et al., Nature Physics
+    2006) over the undirected view of (src, dst), self-loops dropped:
+    for each degree threshold k in 0..max_k, the subgraph induced on
+    nodes with deg > k has N_k nodes and E_k undirected edges;
+    φ(k) = 2·E_k / (N_k·(N_k−1)) reported as the exact integer
+    ``phi_ppm = (2·E_k·10⁶) // (N_k·(N_k−1))`` — a rising curve means
+    hubs preferentially interconnect.
+
+    Scale shape: degrees are one pre-combined groupby; each edge's
+    contribution to every k below min(deg_a, deg_b) is a (max_k+2)-bin
+    histogram — in shuffle mode two bounded hash joins tag the edge
+    ends with degrees and the histograms combine per batch, so the
+    driver only ever sees ≤ max_k+2 counters per side."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            edges = _edges_to_driver(edges_ds, src, dst,
+                                     driver_edge_limit)
+            und = _und_pairs_df(edges, src, dst)
+            return rd.from_pandas(_rich_club_finish(und, max_k))
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _rich_club_shuffle(edges_ds, src, dst, max_k=max_k)
+
+
+def _rich_club_finish(und: pd.DataFrame, max_k: int) -> pd.DataFrame:
+    ks = np.arange(max_k + 1, dtype=np.int64)
+    if und.empty:
+        return pd.DataFrame({"k": ks,
+                             "n_nodes": np.zeros_like(ks),
+                             "n_edges": np.zeros_like(ks),
+                             "phi_ppm": np.zeros_like(ks)})
+    nodes, src_idx, dst_idx = _index_graph(und, "src", "dst")
+    deg = np.bincount(src_idx, minlength=len(nodes)).astype(np.int64)
+    one = und["src"].to_numpy(dtype=object) < und["dst"].to_numpy(
+        dtype=object)
+    m = np.minimum(deg[src_idx], deg[dst_idx])[one]
+    # counts per threshold: survivors have deg/min strictly > k
+    n_nodes = np.array([(deg > k).sum() for k in ks], dtype=np.int64)
+    n_edges = np.array([(m > k).sum() for k in ks], dtype=np.int64)
+    denom = n_nodes * (n_nodes - 1)
+    phi = np.where(denom > 0, (2 * n_edges * 1_000_000) //
+                   np.maximum(denom, 1), 0).astype(np.int64)
+    return pd.DataFrame({"k": ks, "n_nodes": n_nodes,
+                         "n_edges": n_edges, "phi_ppm": phi})
+
+
+def _rich_club_shuffle(edges_ds, src: str, dst: str, *, max_k: int):
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    und = distinct_on(
+        edges_ds.map_batches(
+            lambda b: (lambda e: pd.DataFrame({
+                "__src": np.concatenate([e[src].to_numpy(dtype=object),
+                                         e[dst].to_numpy(dtype=object)]),
+                "__dst": np.concatenate([e[dst].to_numpy(dtype=object),
+                                         e[src].to_numpy(dtype=object)]),
+            }))(b[b[src] != b[dst]]),
+            batch_format="pandas"),
+        ["__src", "__dst"]).materialize()
+    deg = groupby_agg(und, ["__src"],
+                      [("__dst", "count", "__deg")]).materialize()
+    ks = np.arange(max_k + 1, dtype=np.int64)
+
+    def node_hist(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["__deg"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": ks, "n": [(d > k).sum() for k in ks]})
+
+    nn = groupby_agg(deg.map_batches(node_hist, batch_format="pandas"),
+                     ["k"], [("n", "sum", "n_nodes")]).to_pandas()
+    half = und.map_batches(
+        lambda b: b[b["__src"] < b["__dst"]], batch_format="pandas")
+    tagged = hash_join(
+        hash_join(half, deg, on="__src", empty_safe=True),
+        deg.map_batches(lambda b: b.rename(
+            columns={"__src": "__dst", "__deg": "__degb"}),
+            batch_format="pandas").materialize(),
+        on="__dst", empty_safe=True)
+
+    def edge_hist(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.minimum(b["__deg"].to_numpy(np.int64),
+                       b["__degb"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "k": ks, "n": [(m > k).sum() for k in ks]})
+
+    ne = groupby_agg(tagged.map_batches(edge_hist, batch_format="pandas"),
+                     ["k"], [("n", "sum", "n_edges")]).to_pandas()
+    out = pd.DataFrame({"k": ks}).merge(nn, on="k", how="left") \
+        .merge(ne, on="k", how="left").fillna(0)
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    out["n_edges"] = out["n_edges"].astype("int64")
+    denom = out["n_nodes"] * (out["n_nodes"] - 1)
+    out["phi_ppm"] = np.where(
+        denom > 0,
+        (2 * out["n_edges"].to_numpy(np.int64) * 1_000_000)
+        // np.maximum(denom.to_numpy(np.int64), 1), 0).astype("int64")
+    return rd.from_pandas(out.sort_values("k").reset_index(drop=True))
+
+
+def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
+                by: str | None = None):
+    """Edge reciprocity census: over the distinct directed (src, dst)
+    pairs (self-loops dropped), optionally per ``by`` class (e.g. the
+    predicate), the count of pairs whose exact reverse also exists —
+    ``recip_ppm = n_recip·10⁶ // n_pairs`` (exact integer).  The
+    directed-KG health signal: a functional predicate with high
+    reciprocity usually marks extraction-direction confusion.
+
+    Scale shape: one distinct pass, then ONE hash join of the pair set
+    against its own reversal on a composed key, then a pre-combined
+    census per class — no driver-side pair set."""
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    cols = ([by] if by else []) + [src, dst]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]][cols]
+        return b
+
+    pairs = distinct_on(
+        edges_ds.map_batches(prep, batch_format="pandas"),
+        cols).materialize()
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[by].astype(str) if by else ""
+        pre = (g + "\x1f") if by else ""
+        return pd.DataFrame({
+            "__grp": (b[by].astype(str) if by else "__all__"),
+            "__key": pre + b[src].astype(str) + "\x1f"
+            + b[dst].astype(str),
+            "__rev": pre + b[dst].astype(str) + "\x1f"
+            + b[src].astype(str),
+        })
+
+    kd = pairs.map_batches(keyed, batch_format="pandas").materialize()
+    rev = kd.map_batches(
+        lambda b: pd.DataFrame({"__key": b["__rev"],
+                                "__hit": np.int64(1)}),
+        batch_format="pandas")
+    joined = hash_join(kd, distinct_on(rev, ["__key"]).materialize(),
+                       on="__key", how="left_outer", empty_safe=True)
+    out = groupby_agg(
+        joined.map_batches(
+            lambda b: pd.DataFrame({
+                "grp": b["__grp"],
+                "one": np.int64(1),
+                "rec": b["__hit"].fillna(0).astype(np.int64)}),
+            batch_format="pandas"),
+        ["grp"], [("one", "sum", "n_pairs"), ("rec", "sum", "n_recip")],
+    ).to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["n_recip"] = out["n_recip"].astype("int64")
+    out["recip_ppm"] = (out["n_recip"] * 1_000_000
+                        // out["n_pairs"]).astype("int64")
+    return out.sort_values("grp").reset_index(drop=True)

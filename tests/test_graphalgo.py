@@ -1499,3 +1499,97 @@ def test_wl_empty_graph():
                           "dst": pd.Series([], dtype=object)})
     assert wl_refinement(rd.from_pandas(empty),
                          mode="driver").to_pandas().empty
+
+
+# ---- rich-club and reciprocity census ---------------------------------------
+
+
+def test_rich_club_modes_agree_and_brute_force():
+    from cpg_ray.functions.graphalgo import rich_club
+
+    edges = _rand_edges(n_nodes=18, n_edges=70, seed=47)
+    d = rich_club(rd.from_pandas(edges), max_k=8,
+                  mode="driver").to_pandas()
+    s = rich_club(rd.from_pandas(edges), max_k=8,
+                  mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True))
+
+    # brute force over the undirected simple graph
+    e = edges[edges.src != edges.dst]
+    und = set()
+    for a, b in zip(e.src, e.dst):
+        und.add((min(a, b), max(a, b)))
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for _, row in d.iterrows():
+        k = row["k"]
+        nodes = {v for v, dd in deg.items() if dd > k}
+        edges_k = [1 for a, b in und if a in nodes and b in nodes]
+        assert row["n_nodes"] == len(nodes)
+        assert row["n_edges"] == len(edges_k)
+        denom = len(nodes) * (len(nodes) - 1)
+        want = (2 * len(edges_k) * 1_000_000) // denom if denom else 0
+        assert row["phi_ppm"] == want
+
+
+def test_rich_club_clique_is_saturated():
+    from cpg_ray.functions.graphalgo import rich_club
+
+    # K5: every node has degree 4, so phi(k)=1e6 for k<4, empty after
+    nodes = [f"n{i}" for i in range(5)]
+    pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    edges = pd.DataFrame(pairs, columns=["src", "dst"])
+    df = rich_club(rd.from_pandas(edges), max_k=5,
+                   mode="driver").to_pandas()
+    by_k = df.set_index("k")
+    for k in range(4):
+        assert by_k.loc[k, "phi_ppm"] == 1_000_000
+        assert by_k.loc[k, "n_nodes"] == 5
+    assert by_k.loc[4, "n_nodes"] == 0 and by_k.loc[4, "phi_ppm"] == 0
+
+
+def test_rich_club_empty():
+    from cpg_ray.functions.graphalgo import rich_club
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object)})
+    df = rich_club(rd.from_pandas(empty), max_k=3,
+                   mode="driver").to_pandas()
+    assert list(df.k) == [0, 1, 2, 3]
+    assert (df.n_nodes == 0).all() and (df.phi_ppm == 0).all()
+
+
+def test_reciprocity_grouped_and_global():
+    from cpg_ray.functions.graphalgo import reciprocity
+
+    e = pd.DataFrame({
+        "src": ["a", "b", "a", "c", "c", "d", "a", "x"],
+        "dst": ["b", "a", "c", "a", "d", "c", "a", "y"],
+        "pred": ["p", "p", "p", "q", "q", "q", "p", "q"],
+    })
+    # per-pred: p has (a,b),(b,a),(a,c) -> 2/3 reciprocal; the (a,a)
+    # self-loop is dropped.  q has (c,a),(c,d),(d,c),(x,y) -> 2/4.
+    got = reciprocity(rd.from_pandas(e), by="pred")
+    by = got.set_index("grp")
+    assert by.loc["p", "n_pairs"] == 3 and by.loc["p", "n_recip"] == 2
+    assert by.loc["p", "recip_ppm"] == 2_000_000 // 3
+    assert by.loc["q", "n_pairs"] == 4 and by.loc["q", "n_recip"] == 2
+    assert by.loc["q", "recip_ppm"] == 500_000
+
+    # global (no class): (a,c)+(c,a) now reciprocate ACROSS preds
+    g = reciprocity(rd.from_pandas(e))
+    assert list(g.grp) == ["__all__"]
+    assert g.n_pairs[0] == 7 and g.n_recip[0] == 6
+
+
+def test_reciprocity_duplicate_rows_counted_once():
+    from cpg_ray.functions.graphalgo import reciprocity
+
+    e = pd.DataFrame({"src": ["a", "a", "b"], "dst": ["b", "b", "a"],
+                      "pred": ["p", "p", "p"]})
+    got = reciprocity(rd.from_pandas(e), by="pred")
+    assert got.n_pairs[0] == 2 and got.n_recip[0] == 2
+    assert got.recip_ppm[0] == 1_000_000
