@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "q_events_allen",
     "kg_sameas",
     "q_part_skyline",
+    # round-5 fourth session: graph census
+    "kg_rich_club",
+    "kg_reciprocity",
 ]
 
 
