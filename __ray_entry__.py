@@ -2127,6 +2127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rich_club": _kg_rich_club,
         # per-predicate directed reciprocity census
         "kg_reciprocity": _kg_reciprocity,
+        # CUSUM change detection as two composed prefix scans
+        "q_events_cusum": q.q_events_cusum,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

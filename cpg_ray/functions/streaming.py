@@ -317,7 +317,8 @@ def tumbling_window_counts(events_ds, *, key_col: str = "event_type",
 
 
 def ordered_scan(ds, order_col: str, specs: list, *,
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None,
+                 keep_cols: list | None = None):
     """Running aggregate over a global total order — ``sum(v) OVER
     (ORDER BY order_col ROWS UNBOUNDED PRECEDING)`` as a distributed
     two-phase scan (the classic parallel-prefix shape: local scan per
@@ -344,7 +345,13 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     Reference analog: the reference's EOG `INDEX` property makes
     evaluation order a COLUMN (Properties.java:43-49); this operator is
     the same move for running state — order is data, so the scan
-    parallelizes."""
+    parallelizes.
+
+    ``keep_cols`` names input columns carried through to the output
+    unchanged — what lets scans COMPOSE (a second scan over a first
+    scan's output needs the first's running column next to its own,
+    e.g. the CUSUM identity s_i = P_i − min(0, min_{j≤i} P_j) is
+    scan(sum) then scan(min) with the prefix sum kept)."""
     import ray.data as rd
 
     from .relational import default_n_buckets, groupby_agg
@@ -357,7 +364,9 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     if n_buckets is None:
         n_buckets = default_n_buckets()
 
-    cols = [order_col] + sorted({c for c, _, _ in specs})
+    keep_cols = list(keep_cols or [])
+    cols = [order_col] + sorted({c for c, _, _ in specs}
+                                | set(keep_cols))
 
     def ordkey(s: pd.Series) -> np.ndarray:
         """Order column → float64 range key.  Datetimes map through
@@ -379,6 +388,7 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     if mm.empty:
         return rd.from_pandas(pd.DataFrame(
             {order_col: pd.Series([], dtype="int64"),
+             **{c: pd.Series([], dtype="int64") for c in keep_cols},
              **{out: pd.Series([], dtype="int64")
                 for _, _, out in specs}}))
     lo, hi = mm.mn.min(), mm.mx.max()
@@ -413,6 +423,8 @@ def ordered_scan(ds, order_col: str, specs: list, *,
         g = g.sort_values(order_col, kind="mergesort")
         off = offsets.get(int(g["__bucket"].iloc[0]), [None] * len(specs))
         out = {order_col: g[order_col].to_numpy()}
+        for c in keep_cols:
+            out[c] = g[c].to_numpy()
         for i, (c, op, name) in enumerate(specs):
             local = getattr(g[c], ops[op][0])()
             vals = local.to_numpy()

@@ -2451,6 +2451,55 @@ def q_events_running_total(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_id").reset_index(drop=True))
 
 
+# CUSUM drift allowance / alarm threshold, in integer cents.  The
+# events value column averages ~49.6, so k=60.00 makes the one-sided
+# statistic reset on typical traffic and climb only on sustained
+# high-value bursts; h=500.00 fires on a genuine level shift.
+CUSUM_K_CENTS = 6_000
+CUSUM_H_CENTS = 50_000
+
+
+def q_events_cusum(sf_dir: str) -> pd.DataFrame:
+    """One-sided CUSUM change-point statistic (Page 1954) over the
+    global event stream: s_i = max(0, s_{i-1} + (v_i − k)) with alarm
+    at s_i ≥ h.  The recursion is non-associative, but the classic
+    prefix identity s_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sum
+    of centered values) turns it into TWO composable distributed
+    scans — :func:`~cpg_ray.functions.streaming.ordered_scan` (sum)
+    feeding ordered_scan (min) with the prefix column carried through
+    — so change detection over a 100-TB stream is two bucket
+    exchanges plus a K-row driver combine, never a sequential pass.
+    Values scale to integer cents so every intermediate is exact
+    int64.  Reference analog: the EOG INDEX property makes evaluation
+    order a column (Properties.java:43-49); here running *state* is
+    recovered from order-as-data."""
+    from ..functions.streaming import ordered_scan
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b.event_id.astype("int64"),
+            "dv": np.floor(b.value.to_numpy(np.float64) * 100.0
+                           + 0.5).astype("int64") - CUSUM_K_CENTS,
+        })
+
+    prefix = ordered_scan(
+        ev.map_batches(prep, batch_format="pandas"), "event_id",
+        [("dv", "sum", "p")])
+    scanned = ordered_scan(prefix, "event_id",
+                           [("p", "min", "pmin")], keep_cols=["p"])
+    df = scanned.to_pandas()
+    p = df["p"].to_numpy(np.int64)
+    cusum = p - np.minimum(df["pmin"].to_numpy(np.int64), 0)
+    out = pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "cusum_cents": cusum.astype("int64"),
+        "alarm": cusum >= CUSUM_H_CENTS,
+    })
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_zorder(sf_dir: str) -> pd.DataFrame:
     """Z-order (Morton) clustering keys over (user_id, event-time):
     the data-layout primitive behind multi-dimensional file pruning —
@@ -3265,6 +3314,27 @@ ORACLE_SQL: dict[str, str] = {
                max(v) OVER (ORDER BY event_id
                             ROWS UNBOUNDED PRECEDING) AS run_max_cents
         FROM t
+        ORDER BY event_id
+    """,
+    "q_events_cusum": """
+        WITH t AS (SELECT event_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              - 6000 AS dv
+                   FROM events),
+        p AS (SELECT event_id,
+                     -- sum(BIGINT) is HUGEINT; cast back (hash rule)
+                     CAST(sum(dv) OVER (ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS p
+              FROM t),
+        s AS (SELECT event_id,
+                     p - least(0, min(p) OVER (ORDER BY event_id
+                                               ROWS UNBOUNDED PRECEDING)
+                               ) AS cusum_cents
+              FROM p)
+        SELECT event_id, cusum_cents,
+               cusum_cents >= 50000 AS alarm
+        FROM s
         ORDER BY event_id
     """,
     "q_events_zscore": """

@@ -252,6 +252,42 @@ def test_ordered_scan_datetime_order_column():
     assert (out.rm.to_numpy() == np.maximum.accumulate(vals)).all()
 
 
+def test_cusum_two_scan_composition_matches_recursion():
+    """The CUSUM prefix identity s_i = P_i − min(0, min_{j≤i} P_j)
+    computed as ordered_scan(sum) → ordered_scan(min, keep_cols=[P])
+    must equal the sequential non-associative recursion
+    s_i = max(0, s_{i−1} + dv_i) on a shuffled multi-block stream,
+    including streams that never reset (all-positive drift) and
+    streams pinned at zero (all-negative drift)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import ordered_scan
+
+    rng = np.random.RandomState(23)
+    for dv in (rng.randint(-80, 60, 3000),          # mixed, resets
+               rng.randint(1, 50, 500),             # never resets
+               rng.randint(-50, -1, 500)):          # pinned at 0
+        dv = dv.astype("int64")
+        n = len(dv)
+        perm = rng.permutation(n)
+        ds = rd.from_pandas(pd.DataFrame(
+            {"k": np.arange(n)[perm], "dv": dv[perm]})).repartition(9)
+        prefix = ordered_scan(ds, "k", [("dv", "sum", "p")],
+                              n_buckets=6)
+        out = (ordered_scan(prefix, "k", [("p", "min", "pmin")],
+                            keep_cols=["p"], n_buckets=6)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        got = (out.p.to_numpy()
+               - np.minimum(out.pmin.to_numpy(), 0))
+        s, truth = 0, np.empty(n, dtype="int64")
+        for i, d in enumerate(dv):
+            s = max(0, s + d)
+            truth[i] = s
+        assert (got == truth).all()
+
+
 def test_reorder_buffer_hides_bounded_disorder_from_sessionizer():
     """Events shuffled within the lateness allowance must produce
     IDENTICAL sessions to a fully-sorted feed; displacement beyond the
