@@ -2129,6 +2129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _kg_reciprocity,
         # CUSUM change detection as two composed prefix scans
         "q_events_cusum": q.q_events_cusum,
+        # greedy max-coverage training-data subset selection
+        "q_doc_coverage": q.q_doc_coverage,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

@@ -1856,3 +1856,139 @@ def textrank_keywords(docs_ds, *, id_col: str = "doc_id",
         return out
 
     return docs_ds.map_batches(extract, batch_format="pandas")
+
+
+def coverage_select(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    mode: str = "auto",
+                    driver_pair_limit: int = 5_000_000):
+    """Greedy maximum-coverage subset selection over distinct word
+    bigrams — the submodular facility-location objective behind
+    coverage-based training-data selection (Nemhauser/Wolsey/Fisher
+    1978: the greedy sweep is a (1−1/e) approximation, and for plain
+    coverage no polynomial algorithm beats that bound): each of k
+    rounds picks the document adding the most not-yet-covered
+    bigrams (ties → smallest id), stopping early once no document
+    adds anything new.
+
+    Output: one row per selected document — ``sel_rank`` (1-based
+    pick order), ``doc_id``, ``gain`` (marginal new bigrams), and
+    ``covered_total`` (cumulative distinct bigrams covered) — all
+    int64, so the whole trajectory is integer-exact against the
+    unrolled-CTE SQL twin.
+
+    Scale shape: a document's bigram SET is row-local, so the
+    explode is one stateless ``map_batches`` with no exchange;
+    ``mode='driver'`` (under ``driver_pair_limit`` distinct pairs)
+    collects the factorized pair table once and runs all k rounds as
+    numpy bincounts; ``mode='shuffle'`` keeps the pair table in the
+    object store (materialized once) and each round is one
+    broadcast-filtered combiner groupby + a distributed top-1 + a
+    single-doc fetch — k small exchanges, never a driver-sized
+    corpus.  ``mode='auto'`` degrades driver→shuffle past the guard.
+
+    Reference analog: pass ordering in the reference picks the next
+    pass by what the previous passes produced
+    (TranslationManager.kt:100-104); here the selected-so-far SET is
+    the state each round conditions on."""
+    import ray
+
+    from .relational import bcast_get, groupby_agg, topk
+
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        toks: list = []
+        for doc, text in zip(b[id_col].to_numpy(),
+                             b[text_col].to_numpy()):
+            a = str(text).split(" ")
+            # row-local distinct: one doc lives in one row
+            grams = {f"{u} {v}" for u, v in zip(a, a[1:])}
+            ids.extend([doc] * len(grams))
+            toks.extend(grams)
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                             "tok": pd.Series(toks, dtype="object")})
+
+    pairs = docs_ds.map_batches(explode,
+                                batch_format="pandas").materialize()
+    n_pairs = pairs.count()
+    use_driver = mode == "driver" or (mode == "auto"
+                                      and n_pairs <= driver_pair_limit)
+
+    out_cols = ["sel_rank", id_col, "gain", "covered_total"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in out_cols})
+
+    if use_driver:
+        frames = [b for b in pairs.iter_batches(batch_size=None,
+                                                batch_format="pandas")]
+        if not frames:
+            return _empty()
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return _empty()
+        codes, _ = pd.factorize(df["tok"].to_numpy(), sort=True)
+        doc_ids = np.unique(df[id_col].to_numpy(np.int64))
+        didx = np.searchsorted(doc_ids, df[id_col].to_numpy(np.int64))
+        covered = np.zeros(codes.max() + 1, dtype=bool)
+        banned = np.zeros(len(doc_ids), dtype=bool)
+        rows = []
+        total = 0
+        for r in range(1, k + 1):
+            live = ~covered[codes]
+            gains = np.bincount(didx[live], minlength=len(doc_ids))
+            gains[banned] = 0
+            w = int(np.argmax(gains))  # first max → smallest doc_id
+            g = int(gains[w])
+            if g <= 0:
+                break
+            covered[codes[didx == w]] = True
+            banned[w] = True
+            total += g
+            rows.append((r, int(doc_ids[w]), g, total))
+        if not rows:
+            return _empty()
+        out = pd.DataFrame(rows, columns=out_cols)
+        return out.astype("int64")
+
+    covered: set = set()
+    selected: set = set()
+    rows = []
+    total = 0
+    for r in range(1, k + 1):
+        cov_ref = ray.put((frozenset(covered), frozenset(selected)))
+
+        def gains_partial(b: pd.DataFrame, ref=cov_ref) -> pd.DataFrame:
+            cov, sel = bcast_get(ref)
+            m = (~b["tok"].isin(cov)) & (~b[id_col].isin(sel))
+            if not m.any():
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "gain": pd.Series([], dtype="int64")})
+            g = b.loc[m].groupby(id_col, sort=False).size()
+            return pd.DataFrame({id_col: g.index.astype("int64"),
+                                 "gain": g.to_numpy("int64")})
+
+        gains = groupby_agg(
+            pairs.map_batches(gains_partial, batch_format="pandas"),
+            [id_col], [("gain", "sum", "gain")])
+        win = topk(gains, ["gain", id_col], 1,
+                   descending=[True, False]).to_pandas()
+        if win.empty or int(win["gain"].iloc[0]) <= 0:
+            break
+        doc = int(win[id_col].iloc[0])
+        g = int(win["gain"].iloc[0])
+        new_toks = set(
+            pairs.map_batches(lambda b, d=doc: b[b[id_col] == d],
+                              batch_format="pandas")
+            .to_pandas()["tok"]) - covered
+        covered |= new_toks
+        selected.add(doc)
+        total += len(new_toks)
+        rows.append((r, doc, g, total))
+    if not rows:
+        return _empty()
+    return pd.DataFrame(rows, columns=out_cols).astype("int64")

@@ -5779,3 +5779,62 @@ ORACLE_SQL["q_part_skyline"] = """
                OR q.p_size > p.p_size))
     ORDER BY p_partkey
 """
+
+
+def q_doc_coverage(sf_dir: str) -> pd.DataFrame:
+    """Greedy maximum-coverage data selection (k=8) over distinct
+    word bigrams of the documents corpus — the submodular (1−1/e)
+    greedy sweep used for coverage-based training-data subset
+    selection; every pick, marginal gain, and cumulative covered
+    count is integer-exact against the unrolled-CTE SQL twin."""
+    from ..functions.text import coverage_select
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = coverage_select(docs, k=8)
+    return df.sort_values("sel_rank").reset_index(drop=True)
+
+
+def _coverage_oracle_sql(*, k: int) -> str:
+    """Generated-SQL oracle for greedy max-coverage selection: one
+    MATERIALIZED CTE trio per round — winner r{i} (max gain, min
+    doc_id), selected-set sel{i}, covered-set c{i} — over the
+    distinct (doc_id, bigram) pair table.  AS MATERIALIZED keeps
+    DuckDB from inlining each round's covered set into the next
+    (re-execution blows up exponentially)."""
+    parts = []
+    for r in range(1, k + 1):
+        parts.append(f""",
+        g{r} AS (SELECT doc_id, count(*)::BIGINT AS gain
+                 FROM t
+                 WHERE tok NOT IN (SELECT tok FROM c{r - 1})
+                   AND doc_id NOT IN (SELECT doc_id FROM sel{r - 1})
+                 GROUP BY doc_id),
+        r{r} AS MATERIALIZED (SELECT doc_id, gain FROM g{r}
+                              ORDER BY gain DESC, doc_id LIMIT 1),
+        sel{r} AS MATERIALIZED (SELECT doc_id FROM sel{r - 1}
+                                UNION ALL
+                                SELECT doc_id FROM r{r}),
+        c{r} AS MATERIALIZED (SELECT tok FROM c{r - 1}
+                              UNION
+                              SELECT t.tok FROM t
+                              JOIN r{r} USING (doc_id))""")
+    finals = "\n        UNION ALL ".join(
+        f"""SELECT {r}::BIGINT AS sel_rank, doc_id, gain,
+               (SELECT count(*)::BIGINT FROM c{r}) AS covered_total
+            FROM r{r}"""
+        for r in range(1, k + 1))
+    return f"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS a
+                   FROM documents),
+        raw AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS tok
+                FROM s, unnest(range(1, array_length(a))) AS u(i)),
+        t AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM raw),
+        c0 AS (SELECT ''::VARCHAR AS tok WHERE false),
+        sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false)
+        {''.join(parts)}
+        SELECT * FROM ({finals})
+        ORDER BY sel_rank
+    """
+
+
+ORACLE_SQL["q_doc_coverage"] = _coverage_oracle_sql(k=8)

@@ -1622,3 +1622,58 @@ def test_skyline_duplicates_survive_and_guard():
         diag = pd.DataFrame({"x": np.arange(100.0),
                              "y": np.arange(100)})
         skyline_2d(rd.from_pandas(diag), x="x", y="y", cand_limit=10)
+
+
+def test_coverage_select_modes_match_bruteforce_greedy():
+    """Driver and shuffle modes of greedy max-coverage selection must
+    both equal the sequential set-based greedy (max marginal gain,
+    ties to the smallest id), including the early stop once nothing
+    new can be covered."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import coverage_select
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(60):
+        toks = rng.choice(vocab, size=rng.randint(3, 12))
+        docs.append((d, " ".join(toks)))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    # sequential reference greedy over bigram sets
+    sets = {d: {f"{u} {v}" for u, v in zip(t.split(" "),
+                                           t.split(" ")[1:])}
+            for d, t in docs}
+    covered: set = set()
+    banned: set = set()
+    truth = []
+    total = 0
+    for r in range(1, 9):
+        best = max(((len(s - covered), -d) for d, s in sets.items()
+                    if d not in banned), default=(0, 0))
+        g, d = best[0], -best[1]
+        if g <= 0:
+            break
+        covered |= sets[d]
+        banned.add(d)
+        total += g
+        truth.append((r, d, g, total))
+    truth_df = pd.DataFrame(
+        truth, columns=["sel_rank", "doc_id", "gain", "covered_total"])
+
+    ds = rd.from_pandas(df).repartition(7)
+    for mode in ("driver", "shuffle"):
+        got = coverage_select(ds, k=8, mode=mode)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), truth_df.astype("int64"))
+
+    # early stop: one doc covers everything → exactly one row
+    one = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b"]})
+    got = coverage_select(rd.from_pandas(one), k=5, mode="driver")
+    assert list(got.sel_rank) == [1] and list(got.doc_id) == [1]
+    got2 = coverage_select(rd.from_pandas(one), k=5, mode="shuffle")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
