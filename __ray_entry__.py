@@ -2131,6 +2131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_cusum": q.q_events_cusum,
         # greedy max-coverage training-data subset selection
         "q_doc_coverage": q.q_doc_coverage,
+        # md5-deterministic HyperLogLog distinct sketch, SQL twin
+        "q_events_hll": q.q_events_hll,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

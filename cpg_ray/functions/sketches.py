@@ -363,3 +363,66 @@ def kmv_distinct(ds, *, group_col: str, value_col: str, k: int = 16):
         rows, columns=[group_col, "n_used", "kth_prefix",
                        "est_distinct"]).astype(
         {"n_used": "int64", "kth_prefix": "int64"})
+
+
+def hll_distinct(ds, group_col: str, value_col: str, *, m: int = 64,
+                 alpha_num: int = 709, alpha_den: int = 1000):
+    """Per-group HyperLogLog distinct-count estimates (Flajolet et
+    al. 2007) — the DETERMINISTIC md5 twin of :class:`HLL`, and
+    therefore oracle-pairable: register j and the 32-bit rank word w
+    come from disjoint md5 hex windows, rho(w) = 33 − bit_length(w)
+    by exact integer comparison against a powers-of-two table (never
+    float log2, whose rounding at 2^k boundaries is libm-dependent),
+    and the raw estimator αm²/Z is carried as the exact integer
+    Z_scaled = Σ_j 2^(33−M_j) so est = (α_num·m²·2³³) //
+    (α_den·Z_scaled) reproduces bit-for-bit in SQL.
+
+    Combiner shape: each batch emits at most groups×m (grp, register,
+    max-rho) partial rows — values never leave their batch — then one
+    small groupby-max; the driver sees only register tables.  Default
+    α = 0.709 is the standard m=64 constant; pass the matching
+    rational for other m.
+
+    Returns a pandas DataFrame (grp, zero_registers, z_scaled,
+    hll_est), one row per group.  The raw estimator is reported
+    without the small-range linear-counting correction (ln is not
+    cross-engine exact); ``zero_registers`` carries the signal a
+    consumer needs to apply it."""
+    import hashlib
+
+    from .relational import groupby_agg
+
+    powers = (np.int64(1) << np.arange(1, 33, dtype=np.int64))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[group_col, value_col]].drop_duplicates()
+        if d.empty:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype=b[group_col].dtype),
+                "j": pd.Series([], dtype="int64"),
+                "rho": pd.Series([], dtype="int64")})
+        hexes = [hashlib.md5(str(v).encode()).hexdigest()
+                 for v in d[value_col].to_numpy()]
+        j = np.array([int(h[:8], 16) for h in hexes],
+                     dtype=np.int64) % m
+        w = np.array([int(h[8:16], 16) for h in hexes], dtype=np.int64)
+        bits = np.searchsorted(powers, w, side="right") + 1
+        rho = np.where(w >= 1, 33 - bits, 33).astype(np.int64)
+        out = pd.DataFrame({group_col: d[group_col].to_numpy(),
+                            "j": j, "rho": rho})
+        return (out.groupby([group_col, "j"], sort=False, as_index=False)
+                .max())
+
+    regs = groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "j"], [("rho", "max", "rho")]).to_pandas()
+    rows = []
+    for grp, g in regs.groupby(group_col, sort=True):
+        mj = g["rho"].to_numpy(np.int64)
+        z_scaled = int((np.int64(1) << (33 - mj)).sum()) \
+            + (m - len(mj)) * (1 << 33)
+        zeros = m - len(mj)
+        est = (alpha_num * m * m * (1 << 33)) // (alpha_den * z_scaled)
+        rows.append((grp, zeros, z_scaled, est))
+    return pd.DataFrame(rows, columns=[group_col, "zero_registers",
+                                       "z_scaled", "hll_est"])

@@ -5838,3 +5838,58 @@ def _coverage_oracle_sql(*, k: int) -> str:
 
 
 ORACLE_SQL["q_doc_coverage"] = _coverage_oracle_sql(k=8)
+
+
+def q_events_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimates — the
+    deterministic md5 twin of the HLL sketch (register from md5 hex
+    chars 1–8, 32-bit rank word from chars 9–16, rho by exact integer
+    bit-length), reported next to the exact distinct count so the
+    estimator error is visible; z_scaled/zero_registers make the whole
+    register state SQL-reproducible."""
+    from ..functions.relational import distinct_on, groupby_agg
+    from ..functions.sketches import hll_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    est = hll_distinct(ev, "event_type", "user_id", m=64)
+    uniq = distinct_on(ev, ["event_type", "user_id"])
+    exact = groupby_agg(uniq, ["event_type"],
+                        [("user_id", "count", "n_exact")]).to_pandas()
+    df = exact.merge(est, on="event_type")
+    for c in ("n_exact", "zero_registers", "z_scaled", "hll_est"):
+        df[c] = df[c].astype("int64")
+    return (df[["event_type", "n_exact", "zero_registers",
+                "z_scaled", "hll_est"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+ORACLE_SQL["q_events_hll"] = """
+    WITH v AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type,
+                 ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                     % 64 AS j,
+                 ('0x' || substr(md5(user_id::VARCHAR), 9, 8))::BIGINT
+                     AS w
+          FROM v),
+    -- rho = 33 - bit_length(w) by exact integer comparison
+    r AS (SELECT event_type, j,
+                 max(CASE WHEN w = 0 THEN 33
+                          ELSE 33 - (CASE WHEN w >= 2147483648 THEN 32
+                                          ELSE length(
+                                              ltrim(bin(w::INT64), '0')
+                                          ) END)
+                     END)::BIGINT AS mj
+          FROM h GROUP BY event_type, j),
+    z AS (SELECT event_type,
+                 sum(1::BIGINT << (33 - mj))::BIGINT
+                     + (64 - count(*)) * (1::BIGINT << 33) AS z_scaled,
+                 (64 - count(*))::BIGINT AS zero_registers
+          FROM r GROUP BY event_type),
+    ex AS (SELECT event_type, count(*)::BIGINT AS n_exact
+           FROM v GROUP BY event_type)
+    SELECT ex.event_type, ex.n_exact, z.zero_registers, z.z_scaled,
+           ((709::BIGINT * 64 * 64 * (1::BIGINT << 33))
+            // (1000 * z.z_scaled))::BIGINT AS hll_est
+    FROM ex JOIN z USING (event_type)
+    ORDER BY ex.event_type
+"""

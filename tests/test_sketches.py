@@ -221,3 +221,35 @@ def test_dsample_quantiles_deterministic_and_batch_invariant():
                               key_col="id", k=200)
     assert small["n_sample"].iloc[0] == 50
     assert small["value"].iloc[0] == float(np.median(df.head(50).v))
+
+
+def test_hll_distinct_block_invariant_and_accurate():
+    """The md5-HLL register state must be identical however rows are
+    split across blocks (mergeable-combiner contract), and the raw
+    estimator must land within ~3×1.04/√m relative error of the true
+    cardinality once past the small-range regime."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.sketches import hll_distinct
+
+    rng = np.random.RandomState(5)
+    n_true = {"a": 3000, "b": 800}
+    rows = []
+    for g, n in n_true.items():
+        vals = rng.choice(100_000, size=n, replace=False)
+        # duplicates must not move any register
+        rows.extend((g, int(v)) for v in np.concatenate([vals, vals[:200]]))
+    df = pd.DataFrame(rows, columns=["g", "v"])
+
+    one = hll_distinct(rd.from_pandas(df), "g", "v")
+    many = hll_distinct(rd.from_pandas(df).repartition(17), "g", "v")
+    pd.testing.assert_frame_equal(
+        one.sort_values("g").reset_index(drop=True),
+        many.sort_values("g").reset_index(drop=True))
+
+    tol = 3 * 1.04 / np.sqrt(64)
+    for _, r in one.iterrows():
+        err = abs(r.hll_est - n_true[r.g]) / n_true[r.g]
+        assert err < tol, (r.g, r.hll_est, n_true[r.g], err)
