@@ -950,6 +950,19 @@ def _kg_rich_club(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_eccentricity(sf_dir: str):
+    """Per-source eccentricity over the undirected canonical entity
+    graph from a deterministic 32-node md5 sample (Magnien et al.'s
+    diameter/radius bounding sweep: max sampled ecc lower-bounds the
+    diameter, 2·min upper-bounds it) — hop-bounded to 12 rounds with a
+    truthful per-source converged flag so the SQL twin can run the
+    identical bounded recursion."""
+    from cpg_ray.functions.graphalgo import eccentricity
+
+    return eccentricity(_entity_edges(sf_dir), src="canonical_subj",
+                        dst="canonical_obj", n_sources=32, rounds=12)
+
+
 def _kg_reciprocity(sf_dir: str):
     """Per-predicate directed reciprocity census (Garlaschelli &
     Loffredo 2004) over the distinct (pred, subj, obj) fact set:
@@ -2133,6 +2146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_coverage": q.q_doc_coverage,
         # md5-deterministic HyperLogLog distinct sketch, SQL twin
         "q_events_hll": q.q_events_hll,
+        # sampled-source eccentricity / diameter bounding sweep
+        "kg_eccentricity": _kg_eccentricity,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -4187,6 +4202,37 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                         ELSE 0 END::BIGINT AS phi_ppm
             FROM nn JOIN ne USING (k)
             ORDER BY k
+        """
+    out["kg_eccentricity"] = f"""
+            WITH RECURSIVE
+            e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                   canonical_obj AS dst
+                   FROM read_parquet('{triples_glob}')
+                   WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            nodes AS (SELECT DISTINCT src AS node FROM und),
+            srcs AS (SELECT node FROM nodes
+                     ORDER BY md5(node), node LIMIT 32),
+            walk AS (
+                SELECT node AS s, node, 0 AS h FROM srcs
+                UNION
+                SELECT w.s, a.dst, w.h + 1
+                FROM walk w JOIN und a ON a.src = w.node
+                WHERE w.h < 13
+            ),
+            fin AS (SELECT s, node, min(h)::BIGINT AS d FROM walk
+                    WHERE h <= 12 GROUP BY s, node),
+            per AS (SELECT s, max(d)::BIGINT AS ecc,
+                           count(*)::BIGINT AS n_reached
+                    FROM fin GROUP BY s),
+            pa AS (SELECT s, count(DISTINCT node)::BIGINT AS n2
+                   FROM walk GROUP BY s)
+            SELECT per.s AS source, per.ecc, per.n_reached,
+                   per.n_reached = pa.n2 AS converged
+            FROM per JOIN pa USING (s)
+            ORDER BY source
         """
     out["kg_reciprocity"] = f"""
             WITH e AS (SELECT DISTINCT pred,

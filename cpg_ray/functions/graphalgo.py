@@ -4130,3 +4130,164 @@ def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
     out["recip_ppm"] = (out["n_recip"] * 1_000_000
                         // out["n_pairs"]).astype("int64")
     return out.sort_values("grp").reset_index(drop=True)
+
+
+# ---- eccentricity from deterministically sampled sources -------------------
+
+
+def _ecc_sources(nodes: np.ndarray, n_sources: int) -> np.ndarray:
+    """The n_sources nodes with lexicographically smallest
+    (md5(node), node) — the same deterministic sample the SQL twin
+    takes with ORDER BY md5(node), node LIMIT n."""
+    import hashlib
+
+    keys = np.array([hashlib.md5(str(v).encode()).hexdigest()
+                     for v in nodes], dtype=object)
+    order = np.lexsort((nodes, keys))
+    return nodes[order[:n_sources]]
+
+
+def _ecc_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                n_sources: int, rounds: int) -> pd.DataFrame:
+    a = edges[src].to_numpy(object)
+    b = edges[dst].to_numpy(object)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "ecc": pd.Series([], dtype="int64"),
+            "n_reached": pd.Series([], dtype="int64"),
+            "converged": pd.Series([], dtype=bool)})
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    s2 = np.concatenate([ai, bi])
+    d2 = np.concatenate([bi, ai])
+    order = np.argsort(s2, kind="stable")
+    s2, d2 = s2[order], d2[order]
+    indptr = np.searchsorted(s2, np.arange(len(nodes) + 1))
+    srcs = _ecc_sources(nodes, n_sources)
+    rows = []
+    for sv in srcs:
+        si = int(np.searchsorted(nodes, sv))
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[si] = 0
+        frontier = np.array([si], dtype=np.int64)
+        h = 0
+        while len(frontier) and h < rounds:
+            nbr = np.concatenate(
+                [d2[indptr[f]:indptr[f + 1]] for f in frontier]) \
+                if len(frontier) else np.array([], np.int64)
+            nbr = np.unique(nbr)
+            frontier = nbr[dist[nbr] < 0]
+            h += 1
+            dist[frontier] = h
+        if len(frontier):  # probe round rounds+1
+            nbr = np.unique(np.concatenate(
+                [d2[indptr[f]:indptr[f + 1]] for f in frontier]))
+            conv = not (dist[nbr] < 0).any()
+        else:
+            conv = True
+        reached = dist >= 0
+        rows.append((sv, int(dist[reached].max()),
+                     int(reached.sum()), bool(conv)))
+    out = pd.DataFrame(rows,
+                       columns=["source", "ecc", "n_reached",
+                                "converged"])
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _ecc_shuffle(edges_ds, src: str, dst: str, *, n_sources: int,
+                 rounds: int):
+    """Dataset-native per-source bounded BFS: the frontier table
+    (s, node, dist) holds only reached pairs; each round is one hash
+    join + one pre-combined min groupby, shared by ALL sources (the
+    source tag rides along, so k sources cost one exchange per round,
+    not k)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join, topk
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["__src"] != d["__dst"]],
+        batch_format="pandas",
+    )
+    und = distinct_on(und, ["__src", "__dst"]).materialize()
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ns = b["__src"].to_numpy(object)
+        return pd.DataFrame({
+            "node": ns,
+            "__md5": [hashlib.md5(str(v).encode()).hexdigest()
+                      for v in ns]})
+
+    nodes = distinct_on(
+        und.map_batches(keyed, batch_format="pandas"), ["node"])
+    srcs = topk(nodes, ["__md5", "node"], n_sources,
+                descending=False).to_pandas()["node"].to_numpy(object)
+
+    labels = rd.from_pandas(pd.DataFrame(
+        {"s": srcs, "node": srcs,
+         "dist": np.zeros(len(srcs), dtype="int64")})).materialize()
+
+    def advance(lab):
+        neigh = hash_join(und, lab, on="__src", right_on="node",
+                          empty_safe=True).map_batches(
+            lambda b: pd.DataFrame({"s": b["s"], "node": b["__dst"],
+                                    "dist": b["dist"] + 1}),
+            batch_format="pandas")
+        both = lab.union(neigh)
+        return groupby_agg(both, ["s", "node"],
+                           [("dist", "min", "dist")]).materialize()
+
+    for _ in range(rounds):
+        labels = advance(labels)
+    probe = advance(labels)
+    per_s = groupby_agg(labels, ["s"],
+                        [("dist", "max", "ecc"),
+                         ("node", "count", "n_reached")]).to_pandas()
+    probe_s = groupby_agg(probe, ["s"],
+                          [("node", "count", "n2")]).to_pandas()
+    df = per_s.merge(probe_s, on="s")
+    df["converged"] = df["n_reached"] == df["n2"]
+    df = df.rename(columns={"s": "source"})
+    for c in ("ecc", "n_reached"):
+        df[c] = df[c].astype("int64")
+    return (df[["source", "ecc", "n_reached", "converged"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+def eccentricity(edges_ds, *, src: str = "src", dst: str = "dst",
+                 n_sources: int = 32, rounds: int = 12,
+                 mode: str = "auto",
+                 driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Per-source eccentricity over the undirected distinct entity
+    graph from a deterministic md5 sample of n_sources nodes — the
+    standard diameter/radius lower-bounding sweep (Magnien, Latapy &
+    Habib 2009: max sampled ecc ≤ diameter ≤ 2·min sampled ecc; exact
+    all-pairs is n BFS sweeps and off the table at web scale).  Rounds
+    are bounded so the SQL twin can run the identical hop-limited
+    recursion; each row carries a truthful per-source ``converged``
+    flag (would hop rounds+1 reach anything new).
+
+    Returns (source, ecc, n_reached, converged) sorted by source.
+    Driver mode = guarded edge collect + per-source CSR BFS; shuffle
+    mode = one source-tagged frontier Dataset shared by all sources
+    (k sources ride one hash-join + min-groupby exchange per round).
+    mode='auto' degrades driver→shuffle past the edge guard."""
+    if mode == "shuffle":
+        return _ecc_shuffle(edges_ds, src, dst,
+                            n_sources=n_sources, rounds=rounds)
+    try:
+        edges = _edges_to_driver(edges_ds, src, dst, driver_edge_limit)
+        return _ecc_driver(edges, src, dst, n_sources=n_sources,
+                           rounds=rounds)
+    except GuardExceeded:
+        if mode == "driver":
+            raise
+        return _ecc_shuffle(edges_ds, src, dst,
+                            n_sources=n_sources, rounds=rounds)

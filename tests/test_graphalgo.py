@@ -1593,3 +1593,65 @@ def test_reciprocity_duplicate_rows_counted_once():
     got = reciprocity(rd.from_pandas(e), by="pred")
     assert got.n_pairs[0] == 2 and got.n_recip[0] == 2
     assert got.recip_ppm[0] == 1_000_000
+
+
+def test_eccentricity_modes_agree_and_match_bruteforce():
+    """Driver and shuffle eccentricity must agree exactly and match a
+    per-source brute-force BFS, including disconnected components
+    (n_reached < n) and the converged flag under a tight hop bound."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import eccentricity
+
+    rng = np.random.RandomState(13)
+    # two components: a 40-node random graph + a 12-node path (the
+    # path forces large ecc, exercising the hop bound)
+    edges = set()
+    for _ in range(90):
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((f"n{a:02d}", f"n{b:02d}"))
+    for i in range(11):
+        edges.add((f"p{i:02d}", f"p{i + 1:02d}"))
+    df = pd.DataFrame(sorted(edges), columns=["src", "dst"])
+    ds = rd.from_pandas(df).repartition(5)
+
+    for rounds in (4, 12):
+        got_d = eccentricity(ds, n_sources=10, rounds=rounds,
+                             mode="driver")
+        got_s = eccentricity(ds, n_sources=10, rounds=rounds,
+                             mode="shuffle")
+        pd.testing.assert_frame_equal(got_d.reset_index(drop=True),
+                                      got_s.reset_index(drop=True))
+
+        # brute force: bounded BFS from the same md5 sample
+        import hashlib
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        srcs = sorted(nodes,
+                      key=lambda v: (hashlib.md5(v.encode()).hexdigest(),
+                                     v))[:10]
+        rows = []
+        for s in sorted(srcs):
+            dist = {s: 0}
+            frontier = {s}
+            for h in range(1, rounds + 1):
+                frontier = {v for f in frontier for v in adj[f]
+                            if v not in dist}
+                for v in frontier:
+                    dist[v] = h
+            probe = {v for f in frontier for v in adj[f]
+                     if v not in dist}
+            rows.append((s, max(dist.values()), len(dist),
+                         not probe))
+        truth = pd.DataFrame(rows, columns=["source", "ecc",
+                                            "n_reached", "converged"])
+        truth["ecc"] = truth["ecc"].astype("int64")
+        truth["n_reached"] = truth["n_reached"].astype("int64")
+        pd.testing.assert_frame_equal(got_d.reset_index(drop=True),
+                                      truth)
