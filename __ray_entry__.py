@@ -963,6 +963,59 @@ def _kg_eccentricity(sf_dir: str):
                         dst="canonical_obj", n_sources=32, rounds=12)
 
 
+def _kg_metapath(sf_dir: str):
+    """Typed 2-hop metapath census over the distinct fact set — the
+    heterogeneous-network schema profile behind metapath2vec-style
+    walk design (Dong et al. KDD'17): for every composable fact pair
+    a-p1→b-p2→c, the count of path instances per signature
+    (kind(a), p1, kind(b), p2, kind(c)).  One mid-node hash join of
+    the distinct facts + one pre-combined census groupby — the
+    exchange moves fact rows once and signature partials after, never
+    path tuples to the driver."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import _KIND
+    from cpg_ray.functions.relational import (distinct_on, groupby_agg,
+                                              hash_join)
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj"])
+    facts = distinct_on(
+        tri, ["pred", "canonical_subj", "canonical_obj"]).materialize()
+
+    left = facts.map_batches(
+        lambda b: pd.DataFrame({"a": b.canonical_subj, "p1": b.pred,
+                                "mid": b.canonical_obj}),
+        batch_format="pandas")
+    right = facts.map_batches(
+        lambda b: pd.DataFrame({"mid": b.canonical_subj, "p2": b.pred,
+                                "c": b.canonical_obj}),
+        batch_format="pandas")
+    paths = hash_join(left, right, on="mid", empty_safe=True)
+
+    def sig(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "skind": b.a.str[0].map(_KIND).fillna("inferred"),
+            "p1": b.p1,
+            "mkind": b.mid.str[0].map(_KIND).fillna("inferred"),
+            "p2": b.p2,
+            "okind": b.c.str[0].map(_KIND).fillna("inferred"),
+        })
+
+    df = groupby_agg(
+        paths.map_batches(sig, batch_format="pandas"),
+        ["skind", "p1", "mkind", "p2", "okind"],
+        [("p1", "count", "n_paths")]).to_pandas()
+    df["n_paths"] = df["n_paths"].astype("int64")
+    return (df.sort_values(["skind", "p1", "mkind", "p2", "okind"])
+            .reset_index(drop=True))
+
+
 def _kg_reciprocity(sf_dir: str):
     """Per-predicate directed reciprocity census (Garlaschelli &
     Loffredo 2004) over the distinct (pred, subj, obj) fact set:
@@ -2148,6 +2201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hll": q.q_events_hll,
         # sampled-source eccentricity / diameter bounding sweep
         "kg_eccentricity": _kg_eccentricity,
+        # typed 2-hop metapath census (HIN schema profile)
+        "kg_metapath": _kg_metapath,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -4233,6 +4288,28 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    per.n_reached = pa.n2 AS converged
             FROM per JOIN pa USING (s)
             ORDER BY source
+        """
+    out["kg_metapath"] = f"""
+            WITH e AS (SELECT DISTINCT pred,
+                                       canonical_subj AS s,
+                                       canonical_obj AS o
+                       FROM read_parquet('{triples_glob}')),
+            k AS (SELECT pred, s, o,
+                         CASE substr(s, 1, 1)
+                              WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                              WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                              ELSE 'inferred' END AS skind,
+                         CASE substr(o, 1, 1)
+                              WHEN 'P' THEN 'person' WHEN 'O' THEN 'org'
+                              WHEN 'C' THEN 'city' WHEN 'K' THEN 'country'
+                              ELSE 'inferred' END AS okind
+                  FROM e)
+            SELECT a.skind, a.pred AS p1, a.okind AS mkind,
+                   b.pred AS p2, b.okind,
+                   count(*)::BIGINT AS n_paths
+            FROM k a JOIN k b ON b.s = a.o
+            GROUP BY a.skind, a.pred, a.okind, b.pred, b.okind
+            ORDER BY a.skind, p1, mkind, p2, b.okind
         """
     out["kg_reciprocity"] = f"""
             WITH e AS (SELECT DISTINCT pred,
