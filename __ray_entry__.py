@@ -2324,6 +2324,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # - q_doc_simhash_sig: md5 signature kernel repped by in-window
     #   q_doc_minhash_sig (same vectorized banding/md5 path in
     #   dedup.py).
+    # Seventh rotation (final session): five brand-new,
+    # never-driver-checked ops — q_events_cusum (composed distributed
+    # prefix scans), q_events_hll (md5 HyperLogLog), q_doc_coverage
+    # (greedy max-coverage), kg_eccentricity (sampled BFS sweep),
+    # kg_metapath (typed 2-hop census) — displace five entries whose
+    # machinery stays repped in-window; every evictee AND every
+    # incomer swept green at sf0.01 this session:
+    # - q_events_quantiles: sort/quantile machinery repped by
+    #   in-window q_events_dquantiles (deterministic-sample quantiles
+    #   — the newer code over the same ordered-aggregate path).
+    # - q_events_moving: ordered rolling-frame machinery repped by
+    #   in-window q_events_running_total (ordered_scan prefix) and
+    #   incoming q_events_cusum (TWO composed ordered_scan passes —
+    #   the strictly harder sibling).
+    # - kg_reciprocity: distinct-fact census groupby repped by
+    #   incoming kg_metapath (same distinct-fact + census shape PLUS
+    #   a mid-node hash join).
+    # - kg_rich_club: degree-threshold census over the same distinct
+    #   entity edges; degree machinery repped in-window by
+    #   kg_clustering_coef (degree denominators) and kg_metapath.
+    # - q_supplier_typo_pairs: the scale-relevant blocking join is
+    #   repped by in-window kg_sameas (shared-key pair generation,
+    #   same equi-join blocking shape); the per-pair edit-distance
+    #   kernel is vectorized and pinned by pytest.
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2349,19 +2373,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_minhash_sig", "q_part_skyline",
         # graph family — never driver-checked
         "kg_katz", "kg_sameas",
-        "kg_wl_colors", "kg_scc", "kg_rich_club",
+        "kg_wl_colors", "kg_scc",
         "kg_clustering_coef",
         "kg_cypher_undirected",
         # text/retrieval — never driver-checked
         "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_textrank",
-        "q_doc_bigram", "kg_reciprocity",
+        "q_doc_bigram",
         "q_basket_itemsets",
         # events/orders — never driver-checked
-        "q_events_allen", "q_events_moving",
-        "q_events_quantiles", "q_orders_pareto",
+        "q_events_allen", "q_orders_pareto",
         "q_cube_revenue",
-        "q_supplier_typo_pairs",
+        # final-session additions — new code, never driver-checked
+        "q_events_cusum", "q_events_hll", "q_doc_coverage",
+        "kg_eccentricity", "kg_metapath",
     ]
     # position-count contract (the r3 off-by-three lesson): exactly 50
     # distinct names, all resolvable — fail HERE, not in the driver
