@@ -1282,6 +1282,18 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_truth_iter(sf_dir: str):
+    """Iterative truth discovery (the Sums fixed point of Pasternack
+    & Roth, COLING'10): two exact-int64 trust/claim-score rounds over
+    the distinct source-claim incidence, then per (subject, functional
+    predicate) the argmax-score object.  Distinguishes sources by the
+    corroboration of their OTHER claims, not a static weight —
+    kg_truth_vote's learned-credibility seam made endogenous."""
+    from cpg_ray.functions.fusion import truth_discovery
+
+    return truth_discovery(_fusion_triples(sf_dir), rounds=2)
+
+
 def _kg_sig_violations(sf_dir: str):
     """Ontology constraint check: triples whose (subject-kind,
     object-kind) differs from the predicate's majority signature —
@@ -1885,6 +1897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signature-violation check)
         "kg_fact_conflicts": _kg_fact_conflicts,
         "kg_truth_vote": _kg_truth_vote,
+        # iterative truth discovery (Sums trust/score fixed point)
+        "kg_truth_iter": _kg_truth_iter,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -3114,6 +3128,48 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             )
             SELECT pred, canonical_subj, canonical_obj AS chosen_obj,
                    vote_weight, n_sources
+            FROM r WHERE rk = 1
+            ORDER BY pred, canonical_subj
+        """,
+        "kg_truth_iter": f"""
+            WITH p AS MATERIALIZED (
+                SELECT DISTINCT pred, canonical_subj, canonical_obj,
+                       regexp_extract(url, '//([^/]+)/', 1) AS dom
+                FROM read_parquet('{triples_glob}')
+                WHERE pred IN ('born_in', 'located_in', 'based_in',
+                               'works_for')
+            ),
+            -- round 1: trust_0 = 1, so claim score = source count
+            c1 AS MATERIALIZED (
+                SELECT pred, canonical_subj, canonical_obj,
+                       count(*)::BIGINT AS c
+                FROM p GROUP BY 1, 2, 3
+            ),
+            t1 AS MATERIALIZED (
+                SELECT dom, sum(c)::BIGINT AS t
+                FROM p JOIN c1 USING (pred, canonical_subj,
+                                      canonical_obj)
+                GROUP BY dom
+            ),
+            -- round 2: re-score claims by accumulated source trust
+            c2 AS MATERIALIZED (
+                SELECT pred, canonical_subj, canonical_obj,
+                       sum(t)::BIGINT AS claim_score,
+                       count(*)::BIGINT AS n_sources
+                FROM p JOIN t1 USING (dom)
+                GROUP BY 1, 2, 3
+            ),
+            r AS (
+                SELECT pred, canonical_subj, canonical_obj,
+                       claim_score, n_sources,
+                       row_number() OVER (
+                           PARTITION BY pred, canonical_subj
+                           ORDER BY claim_score DESC, canonical_obj)
+                           AS rk
+                FROM c2
+            )
+            SELECT pred, canonical_subj, canonical_obj AS chosen_obj,
+                   claim_score, n_sources
             FROM r WHERE rk = 1
             ORDER BY pred, canonical_subj
         """,

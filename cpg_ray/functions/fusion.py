@@ -932,3 +932,153 @@ def shacl_validate(triples_ds, *, shapes=SHACL_SHAPES,
             .sort_values(["constraint", "kind", "pred", "focus",
                           "value"])
             .reset_index(drop=True))
+
+
+def truth_discovery(triples_ds, preds=FUNCTIONAL_PREDS, *, rounds: int = 2,
+                    mode: str = "auto", driver_limit: int = 2_000_000):
+    """Iterative truth discovery over the source-claim bipartite graph
+    (the Sums fixed point of Pasternack & Roth, COLING'10 — Kleinberg
+    hubs/authorities on sources x claims; public): alternate
+
+        claim_score_r(claim) = sum of trust_{r-1}(source) over the
+                               distinct domains asserting it
+        trust_r(source)      = sum of claim_score_r(claim) over the
+                               distinct claims the domain asserts
+
+    from trust_0 = 1, for a fixed ``rounds`` (default 2), all in exact
+    int64 (no normalization, so the SQL twin reproduces scores
+    bit-identically; bounded rounds bound the magnitude).  Unlike the
+    static ``truth_vote`` (one md5-weighted pass), a source earns
+    trust from asserting well-corroborated claims, and that trust then
+    re-weights its uncorroborated claims — the conflict-resolution
+    step of web-scale KG fusion.  Returns per (pred, canonical_subj)
+    the argmax-score object, min-object tie-break: columns
+    (pred, canonical_subj, chosen_obj, claim_score, n_sources).
+
+    Scale shape: ONE combiner-fed exchange builds the DISTINCT
+    (claim, domain) incidence (an assertion repeated across pages of
+    a domain collapses to one edge); each half-iteration is then one
+    pre-combined groupby over it.  trust is DOMAIN-vocabulary-bounded,
+    so the claim half-step ships it as a broadcast map (ray.put once,
+    read per actor) instead of a shuffle join; the trust half-step is
+    a hash_join of the incidence with the claim scores followed by a
+    domain-keyed rollup.  The happy path is a guarded DRIVER finish
+    (the incidence is distinct-facts x domains bounded, far smaller
+    than the mention-level corpus; each Ray join/groupby pays a fixed
+    ~1-2 s aggregator-fleet spin-up — BASELINE.md); past
+    ``driver_limit`` incidence rows (or mode='shuffle') the exchange
+    path runs instead, pinned equal in pytest.
+
+    Reference analog: the resolver cascade's disagreeing-evidence
+    arbitration (CallResolver.java's candidate scoring) lifted from
+    within-document candidates to cross-source fact conflicts."""
+    import ray
+
+    from .relational import bcast_get, distinct_on, groupby_agg, hash_join
+
+    pset = frozenset(preds)
+    keys = ["pred", "canonical_subj", "canonical_obj"]
+    out_cols = ["pred", "canonical_subj", "chosen_obj",
+                "claim_score", "n_sources"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.pred.isin(pset)]
+        if b.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object")
+                                 for c in keys + ["dom"]})
+        dom = b.url.str.extract(r"//([^/]+)/", expand=False)
+        return pd.DataFrame({"pred": b.pred,
+                             "canonical_subj": b.canonical_subj,
+                             "canonical_obj": b.canonical_obj,
+                             "dom": dom}).drop_duplicates()
+
+    pairs = distinct_on(
+        triples_ds.map_batches(partial, batch_format="pandas"),
+        keys + ["dom"], mode=mode).materialize()
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "pred": pd.Series(dtype="object"),
+            "canonical_subj": pd.Series(dtype="object"),
+            "chosen_obj": pd.Series(dtype="object"),
+            "claim_score": pd.Series(dtype="int64"),
+            "n_sources": pd.Series(dtype="int64")})
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _empty()
+
+    if mode != "shuffle" and n_pairs <= driver_limit:
+        df = pairs.to_pandas()
+        trust = pd.Series(1, index=pd.Index(df["dom"].unique()),
+                          dtype="int64")
+        claim = None
+        for _ in range(rounds):
+            df["t"] = df["dom"].map(trust).astype("int64")
+            claim = (df.groupby(keys, sort=False)["t"].sum()
+                     .rename("claim_score").reset_index())
+            df = df.drop(columns=["c"], errors="ignore").merge(
+                claim.rename(columns={"claim_score": "c"}), on=keys)
+            trust = df.groupby("dom", sort=False)["c"].sum()
+        ns = (df.groupby(keys, sort=False).size()
+              .rename("n_sources").reset_index())
+        sc = claim.merge(ns, on=keys)
+        win = (sc.sort_values(
+            ["pred", "canonical_subj", "claim_score", "canonical_obj"],
+            ascending=[True, True, False, True], kind="mergesort")
+            .groupby(["pred", "canonical_subj"], sort=False).head(1)
+            .rename(columns={"canonical_obj": "chosen_obj"}))
+        win["claim_score"] = win["claim_score"].astype("int64")
+        win["n_sources"] = win["n_sources"].astype("int64")
+        return (win[out_cols]
+                .sort_values(["pred", "canonical_subj"])
+                .reset_index(drop=True))
+
+    # shuffle path: trust stays a broadcast dict (domain-bounded);
+    # claim scores stay distributed end-to-end
+    trust = {d: 1 for d in
+             groupby_agg(pairs, ["dom"], [("dom", "count", "n")],
+                         mode="shuffle").to_pandas()["dom"]}
+    claims = None
+    for _ in range(rounds):
+        tref = ray.put(trust)
+
+        def add_t(b: pd.DataFrame, _tref=tref) -> pd.DataFrame:
+            t = bcast_get(_tref)
+            b = b.copy()
+            b["t"] = b["dom"].map(t).astype("int64")
+            return b
+
+        claims = groupby_agg(
+            pairs.map_batches(add_t, batch_format="pandas"),
+            keys, [("t", "sum", "c")], mode="shuffle").materialize()
+        tt = groupby_agg(
+            hash_join(pairs, claims, on=keys, empty_safe=True),
+            ["dom"], [("c", "sum", "t")], mode="shuffle").to_pandas()
+        trust = dict(zip(tt["dom"], tt["t"].astype("int64")))
+
+    ns = groupby_agg(pairs, keys, [("dom", "count", "n_sources")],
+                     mode="shuffle")
+    sc = hash_join(claims, ns, on=keys, empty_safe=True).materialize()
+    best = groupby_agg(sc, ["pred", "canonical_subj"],
+                       [("c", "max", "c")], mode="shuffle")
+    cand = hash_join(sc, best, on=["pred", "canonical_subj", "c"],
+                     empty_safe=True).materialize()
+    win = groupby_agg(cand, ["pred", "canonical_subj", "c"],
+                      [("canonical_obj", "min", "chosen_obj")],
+                      mode="shuffle").materialize()
+    out = hash_join(
+        win.map_batches(
+            lambda b: b.rename(columns={"chosen_obj": "canonical_obj"}),
+            batch_format="pandas"),
+        cand, on=["pred", "canonical_subj", "canonical_obj", "c"],
+        empty_safe=True).to_pandas()
+    if not len(out):
+        return _empty()
+    out = out.rename(columns={"canonical_obj": "chosen_obj",
+                              "c": "claim_score"})
+    out["claim_score"] = out["claim_score"].astype("int64")
+    out["n_sources"] = out["n_sources"].astype("int64")
+    return (out[out_cols]
+            .sort_values(["pred", "canonical_subj"])
+            .reset_index(drop=True))

@@ -361,3 +361,53 @@ def test_shacl_driver_and_shuffle_paths_agree():
     a = shacl_validate(_triples(rows))
     b = shacl_validate(_triples(rows), mode="shuffle")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_truth_discovery_trust_transfer_beats_raw_count():
+    # dom a/b/c each corroborate P1->C1 AND assert many other
+    # corroborated facts (high trust); dom x/y/z/w assert P1->C2 but
+    # nothing else (trust stays low).  Raw source count picks C2
+    # (4 > 3); after one trust round the corroborated sources' summed
+    # trust flips the choice to C1.
+    from cpg_ray.functions.fusion import truth_discovery
+
+    rows = []
+    for d in ("a", "b", "c"):
+        rows.append(("born_in", "P1", "C1", f"http://{d}/1"))
+        for k in range(5):
+            rows.append(("born_in", f"P{k + 2}", "C9", f"http://{d}/2"))
+    for d in ("x", "y", "z", "w"):
+        rows.append(("born_in", "P1", "C2", f"http://{d}/1"))
+    out = truth_discovery(_triples(rows), rounds=2)
+    got = out[out.canonical_subj == "P1"].iloc[0]
+    assert got.chosen_obj == "C1"
+    assert got.n_sources == 3
+    # round-1 scores (= source counts) would have chosen C2
+    r1 = truth_discovery(_triples(rows), rounds=1)
+    # rounds=1: claim score == n_sources, so C2 wins 4 > 3
+    assert r1[r1.canonical_subj == "P1"].iloc[0].chosen_obj == "C2"
+
+
+def test_truth_discovery_driver_and_shuffle_paths_agree():
+    from cpg_ray.functions.fusion import truth_discovery
+
+    rows = [("born_in", f"P{i % 7}", f"C{(i * 2) % 5}",
+             f"http://d{i % 4}.test/{i}")
+            for i in range(60)]
+    a = truth_discovery(_triples(rows), rounds=2)
+    b = truth_discovery(_triples(rows), rounds=2, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_truth_discovery_empty_and_tiebreak():
+    from cpg_ray.functions.fusion import truth_discovery
+
+    out = truth_discovery(_triples([("visited", "P1", "C1", "u")]))
+    assert out.empty and list(out.columns) == [
+        "pred", "canonical_subj", "chosen_obj", "claim_score",
+        "n_sources"]
+    # equal scores -> min object wins
+    rows = [("born_in", "P1", "C2", "http://a/1"),
+            ("born_in", "P1", "C1", "http://b/1")]
+    out = truth_discovery(_triples(rows), rounds=2)
+    assert out.iloc[0].chosen_obj == "C1"
