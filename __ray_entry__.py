@@ -1282,6 +1282,33 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_trans_reduce(sf_dir: str):
+    """Transitive reduction (Aho–Garey–Ullman) of the kind-stratified
+    entity DAG: edges pointing from a strictly lower kind stratum to a
+    higher one (person→org→city→country), minus every edge with an
+    alternative 2- or 3-hop path — e.g. a person→city edge made
+    redundant by person→org→city.  Strata bound paths at 3 edges, so
+    the closure is exact.  The minimal-equivalent-graph step of KG
+    compaction before export."""
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import dag_transitive_reduction
+
+    strat = {"P": 0, "O": 1, "C": 2, "K": 3}
+
+    def dag_view(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.canonical_subj.str[0].map(strat)
+        o = b.canonical_obj.str[0].map(strat)
+        keep = (s.notna() & o.notna() & (s < o)).to_numpy()
+        return pd.DataFrame({
+            "src": b.canonical_subj[keep].to_numpy(),
+            "dst": b.canonical_obj[keep].to_numpy()})
+
+    edges = _entity_edges(sf_dir).map_batches(
+        dag_view, batch_format="pandas")
+    return dag_transitive_reduction(edges, max_len=3)
+
+
 def _kg_truth_iter(sf_dir: str):
     """Iterative truth discovery (the Sums fixed point of Pasternack
     & Roth, COLING'10): two exact-int64 trust/claim-score rounds over
@@ -1899,6 +1926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truth_vote": _kg_truth_vote,
         # iterative truth discovery (Sums trust/score fixed point)
         "kg_truth_iter": _kg_truth_iter,
+        # transitive reduction of the kind-stratified DAG
+        "kg_trans_reduce": _kg_trans_reduce,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -3130,6 +3159,32 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    vote_weight, n_sources
             FROM r WHERE rk = 1
             ORDER BY pred, canonical_subj
+        """,
+        "kg_trans_reduce": f"""
+            WITH raw AS (
+                SELECT DISTINCT canonical_subj AS src,
+                                canonical_obj AS dst
+                FROM read_parquet('{triples_glob}')
+            ),
+            e AS (
+                SELECT src, dst FROM raw
+                WHERE CASE substr(src, 1, 1)
+                           WHEN 'P' THEN 0 WHEN 'O' THEN 1
+                           WHEN 'C' THEN 2 WHEN 'K' THEN 3 END
+                    < CASE substr(dst, 1, 1)
+                           WHEN 'P' THEN 0 WHEN 'O' THEN 1
+                           WHEN 'C' THEN 2 WHEN 'K' THEN 3 END
+            ),
+            p2 AS (SELECT DISTINCT a.src, b.dst
+                   FROM e a JOIN e b ON b.src = a.dst),
+            p3 AS (SELECT DISTINCT a.src, b.dst
+                   FROM p2 a JOIN e b ON b.src = a.dst),
+            red AS (SELECT src, dst FROM p2
+                    UNION SELECT src, dst FROM p3)
+            SELECT src, dst FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM red r
+                              WHERE r.src = e.src AND r.dst = e.dst)
+            ORDER BY src, dst
         """,
         "kg_truth_iter": f"""
             WITH p AS MATERIALIZED (

@@ -4291,3 +4291,73 @@ def eccentricity(edges_ds, *, src: str = "src", dst: str = "dst",
             raise
         return _ecc_shuffle(edges_ds, src, dst,
                             n_sources=n_sources, rounds=rounds)
+
+
+def dag_transitive_reduction(edges_ds, *, src: str = "src",
+                             dst: str = "dst", max_len: int = 3):
+    """Transitive reduction of a DAG whose longest path has at most
+    ``max_len`` edges (Aho, Garey & Ullman, SIAM J. Comput. 1972 —
+    public): drop every edge (u, v) that also has an alternative path
+    u→v of length in [2, max_len]; what remains is the unique minimal
+    edge set with the same reachability.  The caller guarantees the
+    bound — a kind-STRATIFIED edge view (edges only ever point from a
+    lower stratum to a strictly higher one, as in person→org→city→
+    country) bounds paths by #strata − 1 structurally, making the
+    reachability closure EXACT with no converged-flag caveat.
+
+    Scale shape: fully distributed, no driver state — ONE combiner-fed
+    distinct on the edge view, then per extra hop ONE mid-keyed
+    ``hash_join`` + distinct (pair sets stay pair-shaped; nothing is
+    ever collected), a union of the 2..max_len-hop pair sets, and one
+    ``left_anti`` exchange removing the redundant edges.  Each join
+    materializes before the next (the chained-join fleet rule,
+    BASELINE.md).
+
+    Returns a sorted pandas DataFrame (src, dst) of surviving edges."""
+    import pandas as pd
+
+    from .relational import (_compact_nonempty, default_n_buckets,
+                             distinct_on, hash_join)
+
+    e = _compact_nonempty(distinct_on(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame({"src": b[src], "dst": b[dst]}),
+            batch_format="pandas"),
+        ["src", "dst"]).materialize())
+    if e.count() == 0:
+        return pd.DataFrame({"src": pd.Series(dtype="object"),
+                             "dst": pd.Series(dtype="object")})
+
+    reach = None
+    cur = e
+    for _ in range(2, max_len + 1):
+        nxt = hash_join(
+            cur.map_batches(
+                lambda b: b.rename(columns={"dst": "mid"}),
+                batch_format="pandas"),
+            e.map_batches(
+                lambda b: b.rename(columns={"src": "mid"}),
+                batch_format="pandas"),
+            on="mid", empty_safe=True)
+        cur = _compact_nonempty(distinct_on(
+            nxt.map_batches(lambda b: b[["src", "dst"]],
+                            batch_format="pandas"),
+            ["src", "dst"]).materialize())
+        reach = cur if reach is None else _compact_nonempty(
+            reach.union(cur).materialize())
+
+    if reach.count() == 0:
+        df = e.to_pandas()
+        return (df[["src", "dst"]].sort_values(["src", "dst"])
+                .reset_index(drop=True))
+    redundant = _compact_nonempty(
+        distinct_on(reach, ["src", "dst"]).materialize())
+    kept = e.join(redundant, "left_anti",
+                  num_partitions=default_n_buckets(),
+                  on=("src", "dst"))
+    df = kept.to_pandas()
+    if not len(df):
+        return pd.DataFrame({"src": pd.Series(dtype="object"),
+                             "dst": pd.Series(dtype="object")})
+    return (df[["src", "dst"]].sort_values(["src", "dst"])
+            .reset_index(drop=True))

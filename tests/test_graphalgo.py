@@ -1655,3 +1655,35 @@ def test_eccentricity_modes_agree_and_match_bruteforce():
         truth["n_reached"] = truth["n_reached"].astype("int64")
         pd.testing.assert_frame_equal(got_d.reset_index(drop=True),
                                       truth)
+
+
+def _dag(pairs):
+    return rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+
+
+def test_transitive_reduction_diamond_and_three_hop():
+    from cpg_ray.functions.graphalgo import dag_transitive_reduction
+
+    # a->c redundant via a->b->c; a->d redundant via the 3-hop chain
+    out = dag_transitive_reduction(_dag([
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("a", "d"),
+    ]), max_len=3)
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", "b"), ("b", "c"), ("c", "d")]
+
+
+def test_transitive_reduction_keeps_unshortcut_edges():
+    from cpg_ray.functions.graphalgo import dag_transitive_reduction
+
+    # no alternative paths anywhere: reduction == input
+    pairs = [("a", "b"), ("c", "d"), ("e", "f")]
+    out = dag_transitive_reduction(_dag(pairs), max_len=3)
+    assert list(map(tuple, out.to_numpy())) == sorted(pairs)
+
+
+def test_transitive_reduction_empty():
+    from cpg_ray.functions.graphalgo import dag_transitive_reduction
+
+    out = dag_transitive_reduction(_dag([]), max_len=3)
+    assert out.empty and list(out.columns) == ["src", "dst"]
