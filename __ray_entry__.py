@@ -1282,6 +1282,45 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_msf(sf_dir: str):
+    """Maximum-evidence spanning forest via bounded-round
+    deterministic Borůvka over the canonical entity graph: edge
+    weight = number of DISTINCT (pred, url) assertions linking the
+    unordered entity pair, so the forest is the strongest-supported
+    backbone connecting each component (the graph-compaction /
+    visualization-export step; Borůvka 1926 — the classic distributed
+    MSF primitive).  6 rounds x 8 merge jumps, lockstep with the
+    generated unrolled-CTE oracle; truthful converged flag."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import boruvka_msf
+    from cpg_ray.functions.relational import distinct_on
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj", "url"])
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.canonical_subj.to_numpy(object)
+        o = b.canonical_obj.to_numpy(object)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pd.DataFrame({
+            "a": np.minimum(s, o), "b": np.maximum(s, o),
+            "pred": b.pred.to_numpy()[keep],
+            "url": b.url.to_numpy()[keep]})
+
+    pairs = distinct_on(
+        tri.map_batches(canon, batch_format="pandas"),
+        ["a", "b", "pred", "url"])
+    return boruvka_msf(pairs, src="a", dst="b", rounds=6, jumps=8)
+
+
 def _kg_trans_reduce(sf_dir: str):
     """Transitive reduction (Aho–Garey–Ullman) of the kind-stratified
     entity DAG: edges pointing from a strictly lower kind stratum to a
@@ -1928,6 +1967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truth_iter": _kg_truth_iter,
         # transitive reduction of the kind-stratified DAG
         "kg_trans_reduce": _kg_trans_reduce,
+        # Borůvka maximum-evidence spanning forest
+        "kg_msf": _kg_msf,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -2478,6 +2519,89 @@ def _wl_oracle_sql(triples_glob: str, *, rounds: int) -> str:
         SELECT node AS entity, c AS wl_color FROM c{rounds}
         ORDER BY entity
     """
+
+
+def _msf_oracle_sql(triples_glob: str, *, rounds: int,
+                    jumps: int) -> str:
+    """Generated-SQL oracle for bounded-round deterministic Borůvka:
+    per round a LITERAL CTE chain — cand{r} (cross-component edges
+    under the current labels), s{r} (each component's strongest edge
+    under the total order w DESC, a, b — deduped), lg{r} (the
+    symmetric selection graph on labels), m{r}_0..m{r}_J (``jumps``
+    min-label propagation steps), lab{r} (relabeled nodes) — so DuckDB
+    executes the identical rounds x jumps schedule and the forest
+    hash-matches bit-for-bit.  AS MATERIALIZED keeps DuckDB from
+    inlining (re-executing) each level."""
+    parts = []
+    for r in range(1, rounds + 1):
+        jump_ctes = []
+        for j in range(1, jumps + 1):
+            jump_ctes.append(f""",
+            m{r}_{j} AS MATERIALIZED (
+                SELECT p.l,
+                       least(min(p.m),
+                             coalesce(min(q.m), min(p.m))) AS m
+                FROM m{r}_{j - 1} p
+                LEFT JOIN lg{r} g ON g.x = p.l
+                LEFT JOIN m{r}_{j - 1} q ON q.l = g.y
+                GROUP BY p.l)""")
+        parts.append(f""",
+            cand{r} AS MATERIALIZED (
+                SELECT e.a, e.b, e.w, la.lbl AS la, lb.lbl AS lb
+                FROM e JOIN lab{r - 1} la ON la.node = e.a
+                       JOIN lab{r - 1} lb ON lb.node = e.b
+                WHERE la.lbl <> lb.lbl),
+            s{r} AS MATERIALIZED (
+                SELECT DISTINCT a, b, w FROM (
+                    SELECT grp, a, b, w, row_number() OVER (
+                        PARTITION BY grp
+                        ORDER BY w DESC, a, b) AS rk
+                    FROM (SELECT la AS grp, a, b, w FROM cand{r}
+                          UNION ALL
+                          SELECT lb, a, b, w FROM cand{r}))
+                WHERE rk = 1),
+            lg{r} AS MATERIALIZED (
+                SELECT DISTINCT x, y FROM (
+                    SELECT c.la AS x, c.lb AS y FROM cand{r} c
+                    JOIN s{r} s ON s.a = c.a AND s.b = c.b
+                    UNION ALL
+                    SELECT c.lb, c.la FROM cand{r} c
+                    JOIN s{r} s ON s.a = c.a AND s.b = c.b)),
+            m{r}_0 AS (SELECT DISTINCT x AS l, x AS m FROM lg{r})
+            {''.join(jump_ctes)},
+            lab{r} AS MATERIALIZED (
+                SELECT n.node, coalesce(mm.m, n.lbl) AS lbl
+                FROM lab{r - 1} n
+                LEFT JOIN m{r}_{jumps} mm ON mm.l = n.lbl)""")
+    forest = "\n                  UNION ALL ".join(
+        f"SELECT a, b, w, {r}::BIGINT AS round_added FROM s{r}"
+        for r in range(1, rounds + 1))
+    return f"""
+            WITH base AS (
+                SELECT DISTINCT
+                       least(canonical_subj, canonical_obj) AS a,
+                       greatest(canonical_subj, canonical_obj) AS b,
+                       pred, url
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+            ),
+            e AS MATERIALIZED (
+                SELECT a, b, count(*)::BIGINT AS w
+                FROM base GROUP BY a, b),
+            n0 AS (SELECT DISTINCT node FROM (
+                       SELECT a AS node FROM e
+                       UNION ALL SELECT b FROM e)),
+            lab0 AS MATERIALIZED (SELECT node, node AS lbl FROM n0)
+            {''.join(parts)},
+            conv AS (SELECT count(*) = 0 AS c FROM e
+                     JOIN lab{rounds} la ON la.node = e.a
+                     JOIN lab{rounds} lb ON lb.node = e.b
+                     WHERE la.lbl <> lb.lbl)
+            SELECT a AS src, b AS dst, w AS weight, round_added,
+                   (SELECT c FROM conv) AS converged
+            FROM ({forest})
+            ORDER BY src, dst, round_added
+        """
 
 
 def _mis_oracle_sql(triples_glob: str, *, rounds: int) -> str:
@@ -4082,6 +4206,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
         # deterministic Luby MIS: generated unrolled round CTEs
         "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
+        "kg_msf": _msf_oracle_sql(triples_glob, rounds=6, jumps=8),
         "kg_wl_colors": _wl_oracle_sql(triples_glob, rounds=3),
         "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
         "kg_harmonic": f"""

@@ -4361,3 +4361,154 @@ def dag_transitive_reduction(edges_ds, *, src: str = "src",
                              "dst": pd.Series(dtype="object")})
     return (df[["src", "dst"]].sort_values(["src", "dst"])
             .reset_index(drop=True))
+
+
+def boruvka_msf(edges_ds, *, src: str = "src", dst: str = "dst",
+                weight: str | None = None, rounds: int = 6,
+                jumps: int = 8):
+    """Bounded-round deterministic Borůvka MAXIMUM-weight spanning
+    forest (Borůvka 1926; the textbook distributed MSF primitive —
+    also the GHS algorithm's core step): each synchronous round every
+    current component selects its strongest incident cross-component
+    edge under the TOTAL order (weight DESC, a ASC, b ASC) — ties are
+    impossible, so the forest is unique and engine-independent — the
+    selected edges join the forest, and touching components merge via
+    ``jumps`` bounded min-label propagation steps over the selection
+    graph.  The SQL twin unrolls the identical ``rounds`` x ``jumps``
+    schedule, so results hash-match bit-for-bit; ``converged`` reports
+    truthfully whether cross-component edges remain after the final
+    round (Borůvka halves the component count per round, so
+    rounds=O(log n) suffices wherever the per-round merge completes
+    within ``jumps`` hops of the selection graph).
+
+    Scale shape: the weighted edge table is built by ONE combiner-fed
+    groupby and stays a Dataset end-to-end.  Per round: the label map
+    is component-VOCABULARY-bounded (entity vocab, never the corpus —
+    the canonicalize-vocab posture), shipped once via ray.put and read
+    per batch; candidate selection is a per-batch local argmax whose
+    partials are (component x block)-bounded before the driver picks
+    per-component winners; the merge itself runs over the selected
+    edges only (at most one per component).  Nothing corpus-sized is
+    ever collected.
+
+    Input: (src, dst[, weight]) rows; opposite orientations and
+    repeated rows of the same unordered pair SUM their weights
+    (weight=None counts rows).  Self-loops drop.  Returns a sorted
+    pandas DataFrame (src, dst, weight, round_added, converged)."""
+    import ray
+
+    from .relational import bcast_get, distinct_on, groupby_agg
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src].astype(object).to_numpy()
+        d = b[dst].astype(object).to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        z = np.maximum(s, d)
+        w = (b[weight].to_numpy(np.int64)[keep] if weight is not None
+             else np.ones(len(a), dtype=np.int64))
+        return pd.DataFrame({"a": a, "b": z, "w": w})
+
+    e = groupby_agg(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], [("w", "sum", "w")]).materialize()
+
+    out_empty = pd.DataFrame({
+        "src": pd.Series(dtype="object"),
+        "dst": pd.Series(dtype="object"),
+        "weight": pd.Series(dtype="int64"),
+        "round_added": pd.Series(dtype="int64"),
+        "converged": pd.Series(dtype="bool")})
+    if e.count() == 0:
+        return out_empty
+
+    nodes = distinct_on(
+        e.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["a"], b["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"]).to_pandas()["node"]
+    lbl = pd.Series(nodes.to_numpy(object), index=nodes.to_numpy(object))
+
+    pick_cols = ["grp", "a", "b", "w"]
+    forest_parts = []
+    converged = None
+    for r in range(1, rounds + 1):
+        lref = ray.put(dict(lbl))
+
+        def local_pick(b: pd.DataFrame, _lref=lref) -> pd.DataFrame:
+            m = bcast_get(_lref)
+            la = b["a"].map(m)
+            lb = b["b"].map(m)
+            d = b.assign(la=la, lb=lb)[la.to_numpy() != lb.to_numpy()]
+            if d.empty:
+                return pd.DataFrame({
+                    "grp": pd.Series(dtype="object"),
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                    "w": pd.Series(dtype="int64")})
+            two = pd.concat([
+                d.rename(columns={"la": "grp"})[pick_cols],
+                d.rename(columns={"lb": "grp"})[pick_cols],
+            ], ignore_index=True)
+            return (two.sort_values(
+                ["grp", "w", "a", "b"],
+                ascending=[True, False, True, True], kind="mergesort")
+                .groupby("grp", sort=False).head(1))
+
+        picks = e.map_batches(local_pick,
+                              batch_format="pandas").to_pandas()
+        if picks.empty:
+            converged = True
+            break
+        best = (picks.sort_values(
+            ["grp", "w", "a", "b"],
+            ascending=[True, False, True, True], kind="mergesort")
+            .groupby("grp", sort=False).head(1))
+        sel = best[["a", "b", "w"]].drop_duplicates().copy()
+        sel["round_added"] = np.int64(r)
+        forest_parts.append(sel)
+
+        # merge: bounded min-label propagation over the selection
+        # graph, on labels only (<= one selected edge per component)
+        la = sel["a"].map(lbl)
+        lb = sel["b"].map(lbl)
+        lg = pd.DataFrame({
+            "x": pd.concat([la, lb], ignore_index=True),
+            "y": pd.concat([lb, la], ignore_index=True),
+        }).drop_duplicates()
+        labels = pd.Index(lg["x"].unique())
+        m = pd.Series(labels.to_numpy(object), index=labels)
+        for _ in range(jumps):
+            nb = lg.assign(my=lg["y"].map(m)).groupby("x")["my"].min()
+            m2 = np.minimum(m, nb.reindex(m.index).fillna(m))
+            if m2.equals(m):
+                break  # fixpoint: remaining jumps are no-ops
+            m = m2
+        merged = lbl.map(m)
+        lbl = merged.where(merged.notna(), lbl)
+
+    if converged is None:
+        lref = ray.put(dict(lbl))
+
+        def cross_count(b: pd.DataFrame, _lref=lref) -> pd.DataFrame:
+            m = bcast_get(_lref)
+            return pd.DataFrame({"n": [int(
+                (b["a"].map(m).to_numpy()
+                 != b["b"].map(m).to_numpy()).sum())]})
+
+        converged = e.map_batches(
+            cross_count,
+            batch_format="pandas").to_pandas()["n"].sum() == 0
+
+    if not forest_parts:
+        return out_empty
+    out = pd.concat(forest_parts, ignore_index=True).rename(
+        columns={"a": "src", "b": "dst", "w": "weight"})
+    out["weight"] = out["weight"].astype("int64")
+    out["round_added"] = out["round_added"].astype("int64")
+    out["converged"] = bool(converged)
+    return (out[["src", "dst", "weight", "round_added", "converged"]]
+            .sort_values(["src", "dst", "round_added"])
+            .reset_index(drop=True))

@@ -1687,3 +1687,74 @@ def test_transitive_reduction_empty():
 
     out = dag_transitive_reduction(_dag([]), max_len=3)
     assert out.empty and list(out.columns) == ["src", "dst"]
+
+
+def _kruskal_max(pairs):
+    """Brute-force maximum spanning forest under (w DESC, a, b)."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    agg = {}
+    for a, b, w in pairs:
+        a, b = min(a, b), max(a, b)
+        if a != b:
+            agg[(a, b)] = agg.get((a, b), 0) + w
+    chosen = []
+    for (a, b), w in sorted(agg.items(),
+                            key=lambda kv: (-kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            chosen.append((a, b, w))
+    return sorted(chosen)
+
+
+def test_boruvka_msf_matches_kruskal_and_is_a_forest():
+    from cpg_ray.functions.graphalgo import boruvka_msf
+
+    pairs = [(f"n{i % 13}", f"n{(i * 5 + 2) % 13}", (i * 7) % 11 + 1)
+             for i in range(40)]
+    ds = rd.from_pandas(pd.DataFrame(pairs,
+                                     columns=["src", "dst", "w"]))
+    out = boruvka_msf(ds, weight="w", rounds=6, jumps=8)
+    assert out["converged"].all()
+    got = sorted(zip(out["src"], out["dst"], out["weight"]))
+    assert got == _kruskal_max(pairs)
+    # forest shape: |E| = |V| - #components
+    nodes = set(out["src"]) | set(out["dst"])
+    comp = {n: n for n in nodes}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for a, b, _ in got:
+        ra, rb = find(a), find(b)
+        assert ra != rb, "cycle in forest"
+        comp[rb] = ra
+
+
+def test_boruvka_msf_sums_orientations_and_handles_empty():
+    from cpg_ray.functions.graphalgo import boruvka_msf
+
+    # opposite orientations of the same unordered pair sum weights
+    ds = rd.from_pandas(pd.DataFrame(
+        [("a", "b", 2), ("b", "a", 3), ("b", "c", 4)],
+        columns=["src", "dst", "w"]))
+    out = boruvka_msf(ds, weight="w", rounds=3, jumps=4)
+    assert list(zip(out["src"], out["dst"], out["weight"])) == [
+        ("a", "b", 5), ("b", "c", 4)]
+    assert out["converged"].all()
+
+    empty = boruvka_msf(rd.from_pandas(pd.DataFrame(
+        {"src": ["x"], "dst": ["x"], "w": [1]})), weight="w")
+    assert empty.empty
+    assert list(empty.columns) == ["src", "dst", "weight",
+                                   "round_added", "converged"]
