@@ -1282,6 +1282,21 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_anf(sf_dir: str):
+    """ANF / HyperANF neighborhood function over the undirected
+    canonical entity graph: per hop h ≤ 4, the HLL-estimated number of
+    (node, node) pairs within distance ≤ h — the web-graph
+    reachability profile behind effective-diameter measurements,
+    computed by 4 register-propagation exchanges (never a BFS per
+    node).  md5-deterministic m=16 registers, integer-exact estimator,
+    unrolled SQL twin."""
+    from cpg_ray.functions.graphalgo import anf_neighborhood
+
+    return anf_neighborhood(_entity_edges(sf_dir),
+                            src="canonical_subj", dst="canonical_obj",
+                            hops=4, m=16)
+
+
 def _kg_msf(sf_dir: str):
     """Maximum-evidence spanning forest via bounded-round
     deterministic Borůvka over the canonical entity graph: edge
@@ -1969,6 +1984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_trans_reduce": _kg_trans_reduce,
         # Borůvka maximum-evidence spanning forest
         "kg_msf": _kg_msf,
+        # HyperANF neighborhood function (reachability profile)
+        "kg_anf": _kg_anf,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -2519,6 +2536,71 @@ def _wl_oracle_sql(triples_glob: str, *, rounds: int) -> str:
         SELECT node AS entity, c AS wl_color FROM c{rounds}
         ORDER BY entity
     """
+
+
+def _anf_oracle_sql(triples_glob: str, *, hops: int,
+                    m: int = 16, alpha_num: int = 673,
+                    alpha_den: int = 1000) -> str:
+    """Generated-SQL oracle for the HyperANF neighborhood function:
+    one LITERAL register-table CTE per hop — r{h}(node, j, rho) =
+    groupby-max over r{h-1} plus the neighbors' r{h-1} — then per hop
+    the exact-integer HLL rollup (same rho/Z_scaled/floor-div contract
+    as the q_events_hll oracle).  AS MATERIALIZED keeps DuckDB from
+    inlining (re-executing) each hop."""
+    parts, selects = [], []
+    for h in range(1, hops + 1):
+        parts.append(f""",
+            r{h} AS MATERIALIZED (
+                SELECT node, j, max(rho)::BIGINT AS rho FROM (
+                    SELECT node, j, rho FROM r{h - 1}
+                    UNION ALL
+                    SELECT e.a AS node, q.j, q.rho
+                    FROM e JOIN r{h - 1} q ON q.node = e.b)
+                GROUP BY node, j),
+            z{h} AS (
+                SELECT node,
+                       sum(1::BIGINT << (33 - rho))::BIGINT
+                       + ({m} - count(*)) * (1::BIGINT << 33) AS z,
+                       ({m} - count(*))::BIGINT AS zr
+                FROM r{h} GROUP BY node)""")
+        selects.append(
+            f"SELECT {h}::BIGINT AS hop, "
+            f"sum(({alpha_num}::BIGINT * {m} * {m} "
+            f"* (1::BIGINT << 33)) // ({alpha_den} * z))::BIGINT "
+            f"AS nf_est, sum(zr)::BIGINT AS zero_registers_total "
+            f"FROM z{h}")
+    union = "\n                  UNION ALL ".join(selects)
+    return f"""
+            WITH e0 AS (
+                SELECT DISTINCT canonical_subj AS a,
+                       canonical_obj AS b
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+            ),
+            e AS (SELECT DISTINCT a, b FROM (
+                      SELECT a, b FROM e0
+                      UNION ALL SELECT b AS a, a AS b FROM e0)),
+            n AS (SELECT DISTINCT a AS node FROM e),
+            h0 AS (SELECT node,
+                          ('0x' || substr(md5(node), 1, 8))::BIGINT
+                              % {m} AS j,
+                          ('0x' || substr(md5(node), 9, 8))::BIGINT
+                              AS w
+                   FROM n),
+            r0 AS MATERIALIZED (
+                SELECT node, j,
+                       CASE WHEN w = 0 THEN 33
+                            ELSE 33 - (CASE WHEN w >= 2147483648
+                                            THEN 32
+                                            ELSE length(ltrim(
+                                                bin(w::INT64), '0'))
+                                       END)
+                       END::BIGINT AS rho
+                FROM h0)
+            {''.join(parts)}
+            SELECT hop, nf_est, zero_registers_total FROM ({union})
+            ORDER BY hop
+        """
 
 
 def _msf_oracle_sql(triples_glob: str, *, rounds: int,
@@ -4207,6 +4289,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         # deterministic Luby MIS: generated unrolled round CTEs
         "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
         "kg_msf": _msf_oracle_sql(triples_glob, rounds=6, jumps=8),
+        "kg_anf": _anf_oracle_sql(triples_glob, hops=4, m=16),
         "kg_wl_colors": _wl_oracle_sql(triples_glob, rounds=3),
         "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
         "kg_harmonic": f"""

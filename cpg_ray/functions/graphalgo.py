@@ -4512,3 +4512,108 @@ def boruvka_msf(edges_ds, *, src: str = "src", dst: str = "dst",
     return (out[["src", "dst", "weight", "round_added", "converged"]]
             .sort_values(["src", "dst", "round_added"])
             .reset_index(drop=True))
+
+
+def anf_neighborhood(edges_ds, *, src: str = "src", dst: str = "dst",
+                     hops: int = 4, m: int = 16,
+                     alpha_num: int = 673, alpha_den: int = 1000):
+    """ANF / HyperANF neighborhood function (Palmer et al. KDD'02;
+    Boldi & Vigna WWW'11 — the method behind the four-degrees-of-
+    separation measurement; public): per hop h, the estimated number
+    of (node, reachable-node) pairs within distance ≤ h, i.e.
+    N(h) = Σ_v |B(v, h)|, computed by propagating per-node HyperLogLog
+    registers along edges — each round every node max-merges its
+    neighbors' registers, which is exactly a distance-h distinct-count
+    sketch.  Registers use the repo's DETERMINISTIC md5 twin
+    (sketches.hll_distinct): register j and rank word w from disjoint
+    md5 hex windows, rho by exact integer comparison, and the raw
+    estimator carried as exact integers (est = α_num·m²·2³³ //
+    (α_den·Z_scaled)) so the unrolled SQL twin reproduces every hop
+    bit-for-bit.  α = 673/1000 is the standard m=16 constant.
+
+    Scale shape: the register table is (node × ≤m) rows — sketch-
+    bounded, never corpus-bounded; each hop is ONE hash_join (edges ⋈
+    registers) + ONE combiner-fed groupby-max, the textbook HyperANF
+    exchange; the per-hop estimate is a per-node rollup + ONE global
+    sum, and the driver only ever sees ``hops`` rows.  Isolated nodes
+    (no edges) contribute nothing, matching the edge-derived node set.
+
+    Returns a pandas DataFrame (hop, nf_est), hop = 1..hops."""
+    import hashlib
+
+    from .relational import (_compact_nonempty, distinct_on,
+                             groupby_agg, hash_join)
+
+    powers = (np.int64(1) << np.arange(1, 33, dtype=np.int64))
+
+    sym = distinct_on(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame({
+                "a": pd.concat([b[src], b[dst]], ignore_index=True),
+                "b": pd.concat([b[dst], b[src]], ignore_index=True),
+            }).loc[lambda d: d["a"] != d["b"]],
+            batch_format="pandas"),
+        ["a", "b"]).materialize()
+    if sym.count() == 0:
+        return pd.DataFrame({"hop": pd.Series(dtype="int64"),
+                             "nf_est": pd.Series(dtype="int64")})
+
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = b["node"].to_numpy(object)
+        hexes = [hashlib.md5(str(v).encode()).hexdigest()
+                 for v in nodes]
+        j = np.array([int(h[:8], 16) for h in hexes],
+                     dtype=np.int64) % m
+        w = np.array([int(h[8:16], 16) for h in hexes],
+                     dtype=np.int64)
+        bits = np.searchsorted(powers, w, side="right") + 1
+        rho = np.where(w >= 1, 33 - bits, 33).astype(np.int64)
+        return pd.DataFrame({"node": nodes, "j": j, "rho": rho})
+
+    regs = distinct_on(
+        sym.map_batches(lambda b: pd.DataFrame({"node": b["a"]}),
+                        batch_format="pandas"),
+        ["node"]).map_batches(seed, batch_format="pandas").materialize()
+
+    def per_node_z(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pw"] = np.int64(1) << (33 - b["rho"].to_numpy(np.int64))
+        b["one"] = np.int64(1)
+        return b[["node", "pw", "one"]]
+
+    rows = []
+    for h in range(1, hops + 1):
+        contrib = hash_join(
+            sym, regs.map_batches(
+                lambda b: b.rename(columns={"node": "b"}),
+                batch_format="pandas"),
+            on="b", empty_safe=True).map_batches(
+            lambda b: pd.DataFrame({"node": b["a"], "j": b["j"],
+                                    "rho": b["rho"]}),
+            batch_format="pandas")
+        regs = _compact_nonempty(groupby_agg(
+            regs.union(contrib), ["node", "j"],
+            [("rho", "max", "rho")]).materialize())
+        z = groupby_agg(
+            regs.map_batches(per_node_z, batch_format="pandas"),
+            ["node"], [("pw", "sum", "zsum"), ("one", "sum", "nreg")])
+        est_parts = z.map_batches(
+            lambda b: pd.DataFrame({"nf": [int((
+                (alpha_num * m * m * (np.int64(1) << 33))
+                // (alpha_den * (
+                    b["zsum"].to_numpy(np.int64)
+                    + (m - b["nreg"].to_numpy(np.int64))
+                    * (np.int64(1) << 33)))).sum())],
+                "zr": [int((m - b["nreg"].to_numpy(np.int64)).sum())]}),
+            batch_format="pandas").to_pandas()
+        rows.append((h, int(est_parts["nf"].sum()),
+                     int(est_parts["zr"].sum())))
+    # nf_est is the RAW estimator sum (no linear-counting small-range
+    # correction — ln is not cross-engine exact; see hll_distinct);
+    # zero_registers_total carries the signal a consumer needs to
+    # know which hops sit in the biased small-range regime.
+    out = pd.DataFrame(rows, columns=["hop", "nf_est",
+                                      "zero_registers_total"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

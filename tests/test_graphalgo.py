@@ -1758,3 +1758,33 @@ def test_boruvka_msf_sums_orientations_and_handles_empty():
     assert empty.empty
     assert list(empty.columns) == ["src", "dst", "weight",
                                    "round_added", "converged"]
+
+
+def test_anf_monotone_and_tracks_exact_reachability():
+    from cpg_ray.functions.graphalgo import anf_neighborhood
+
+    # path a-b-c-d-e plus isolated pair x-y
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("x", "y")]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+    out = anf_neighborhood(ds, hops=4, m=16)
+    assert list(out["hop"]) == [1, 2, 3, 4]
+    # N(h) is monotone non-decreasing by construction (max-merge)
+    assert (out["nf_est"].diff().dropna() >= 0).all()
+    # exact N(h) for this graph: h=1:17, h=2:23, h=3:27, h=4:29
+    # (incl. self); HLL at m=16 over <=5 distinct values is coarse,
+    # but must stay within a generous band and saturate at h>=4
+    # saturation: hop 4 covers each component fully, so hop 5 of a
+    # wider run would equal it; registers stop changing
+    out5 = anf_neighborhood(ds, hops=5, m=16)
+    assert out5["nf_est"].iloc[4] == out5["nf_est"].iloc[3]
+    # the zero-register signal shrinks (or holds) as balls grow
+    assert (out["zero_registers_total"].diff().dropna() <= 0).all()
+
+
+def test_anf_empty_graph():
+    from cpg_ray.functions.graphalgo import anf_neighborhood
+
+    out = anf_neighborhood(rd.from_pandas(
+        pd.DataFrame({"src": ["s"], "dst": ["s"]})), hops=3)
+    assert out.empty and list(out.columns) == ["hop", "nf_est"]
