@@ -1282,6 +1282,57 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_dipre(sf_dir: str):
+    """DIPRE / Snowball bootstrapped relation-pattern induction over
+    the English pages: works_for seed pairs (canonical surfaces via
+    the entities table, broadcast) ground infix patterns in the
+    corpus; kept patterns extract NEW surface pairs; round 2 re-seeds
+    from the extracted pairs — the classic weak-supervision extraction
+    bootstrap (Brin WebDB'98), every string step strpos/substr/
+    anchored-regex arithmetic with an exact SQL twin."""
+    import glob
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import bcast_get, distinct_on
+    from cpg_ray.functions.text import dipre_bootstrap
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    pages, _cfg = _pages_ds(sf_dir, "mixed")
+    pages_en = pages.map_batches(
+        lambda b: b.loc[b["lang"] == "en", ["url", "text"]],
+        batch_format="pandas")
+
+    ents = rd.read_parquet(
+        f"{out_dir}/entities", columns=["entity_id", "canonical_name",
+                                        "is_inferred"]).to_pandas()
+    ents = ents[~ents["is_inferred"]]
+    name_ref = ray.put(dict(zip(ents["entity_id"],
+                                ents["canonical_name"])))
+
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj", "url"])
+
+    def to_seed(b: pd.DataFrame, _ref=name_ref) -> pd.DataFrame:
+        names = bcast_get(_ref)
+        d = b[b["pred"] == "works_for"]
+        a = d["canonical_subj"].map(names)
+        z = d["canonical_obj"].map(names)
+        keep = a.notna() & z.notna()
+        return pd.DataFrame({"url": d["url"][keep].to_numpy(),
+                             "a": a[keep].to_numpy(),
+                             "b": z[keep].to_numpy()})
+
+    facts = distinct_on(
+        tri.map_batches(to_seed, batch_format="pandas"),
+        ["url", "a", "b"])
+    return dipre_bootstrap(pages_en, facts, rounds=2, min_support=3,
+                           max_patterns=20, max_seeds=200)
+
+
 def _kg_anf(sf_dir: str):
     """ANF / HyperANF neighborhood function over the undirected
     canonical entity graph: per hop h ≤ 4, the HLL-estimated number of
@@ -1986,6 +2037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_msf": _kg_msf,
         # HyperANF neighborhood function (reachability profile)
         "kg_anf": _kg_anf,
+        # DIPRE bootstrapped pattern induction
+        "kg_dipre": _kg_dipre,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -3365,6 +3418,123 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    vote_weight, n_sources
             FROM r WHERE rk = 1
             ORDER BY pred, canonical_subj
+        """,
+        "kg_dipre": f"""
+            WITH pages AS MATERIALIZED (
+                SELECT url, text FROM read_parquet('{pages_glob}')
+                WHERE lang = 'en'),
+            ents AS (SELECT entity_id, canonical_name
+                     FROM read_parquet('{entities_pq}')
+                     WHERE NOT is_inferred),
+            facts AS (
+                SELECT DISTINCT t.url, ea.canonical_name AS a,
+                                eb.canonical_name AS b
+                FROM read_parquet('{triples_glob}') t
+                JOIN ents ea ON ea.entity_id = t.canonical_subj
+                JOIN ents eb ON eb.entity_id = t.canonical_obj
+                WHERE t.pred = 'works_for'),
+            occ1 AS (
+                -- LAST occurrence of a fully before b's first
+                -- occurrence, via reverse-strpos: with r =
+                -- strpos(reverse(prefix-before-b), reverse(a)), the
+                -- infix is exactly substr(text, pb - r + 1, r - 1)
+                SELECT DISTINCT a, b,
+                       substr(text, pb - r + 1, r - 1) AS infix
+                FROM (
+                    SELECT f.a, f.b, p.text,
+                           strpos(p.text, f.b) AS pb,
+                           strpos(reverse(substr(p.text, 1,
+                                      strpos(p.text, f.b) - 1)),
+                                  reverse(f.a)) AS r
+                    FROM facts f JOIN pages p USING (url)
+                    WHERE strpos(p.text, f.b) > 1)
+                WHERE r > 1),
+            v1 AS (SELECT * FROM occ1
+                   WHERE length(infix) BETWEEN 3 AND 30
+                     AND infix LIKE ' %' AND infix LIKE '% '
+                     AND strpos(infix, '.') = 0
+                     AND strpos(infix, chr(10)) = 0),
+            p1c AS (SELECT infix, count(*) AS support FROM v1
+                    GROUP BY infix HAVING count(*) >= 3),
+            patt1 AS MATERIALIZED (
+                SELECT infix AS pattern FROM (
+                    SELECT infix, row_number() OVER (
+                        ORDER BY support DESC, infix) AS rk
+                    FROM p1c)
+                WHERE rk <= 20),
+            ex1 AS (
+                SELECT DISTINCT t.pattern,
+                       regexp_extract(
+                           substr(p.text, 1,
+                                  strpos(p.text, t.pattern) - 1),
+                           '((?:[A-Z][A-Za-z0-9&-]* )*[A-Z][A-Za-z0-9&-]*)$',
+                           1) AS a,
+                       regexp_extract(
+                           substr(p.text, strpos(p.text, t.pattern)
+                                          + length(t.pattern)),
+                           '^((?:[A-Z][A-Za-z0-9&-]* )*[A-Z][A-Za-z0-9&-]*)',
+                           1) AS b
+                FROM pages p, patt1 t
+                WHERE strpos(p.text, t.pattern) > 0),
+            pairs1 AS MATERIALIZED (
+                SELECT DISTINCT pattern, a, b FROM ex1
+                WHERE a <> '' AND b <> '' AND a <> b),
+            seeds2 AS (SELECT a, b FROM (
+                    SELECT a, b, row_number() OVER (ORDER BY a, b)
+                        AS rk
+                    FROM (SELECT DISTINCT a, b FROM pairs1))
+                WHERE rk <= 200),
+            occ2 AS (
+                SELECT DISTINCT a, b,
+                       substr(text, pb - r + 1, r - 1) AS infix
+                FROM (
+                    SELECT s.a, s.b, p.text,
+                           strpos(p.text, s.b) AS pb,
+                           strpos(reverse(substr(p.text, 1,
+                                      strpos(p.text, s.b) - 1)),
+                                  reverse(s.a)) AS r
+                    FROM pages p, seeds2 s
+                    WHERE strpos(p.text, s.b) > 1)
+                WHERE r > 1),
+            v2 AS (SELECT * FROM occ2
+                   WHERE length(infix) BETWEEN 3 AND 30
+                     AND infix LIKE ' %' AND infix LIKE '% '
+                     AND strpos(infix, '.') = 0
+                     AND strpos(infix, chr(10)) = 0
+                     AND infix NOT IN (SELECT pattern FROM patt1)),
+            p2c AS (SELECT infix, count(*) AS support FROM v2
+                    GROUP BY infix HAVING count(*) >= 3),
+            patt2 AS MATERIALIZED (
+                SELECT infix AS pattern FROM (
+                    SELECT infix, row_number() OVER (
+                        ORDER BY support DESC, infix) AS rk
+                    FROM p2c)
+                WHERE rk <= 20),
+            ex2 AS (
+                SELECT DISTINCT t.pattern,
+                       regexp_extract(
+                           substr(p.text, 1,
+                                  strpos(p.text, t.pattern) - 1),
+                           '((?:[A-Z][A-Za-z0-9&-]* )*[A-Z][A-Za-z0-9&-]*)$',
+                           1) AS a,
+                       regexp_extract(
+                           substr(p.text, strpos(p.text, t.pattern)
+                                          + length(t.pattern)),
+                           '^((?:[A-Z][A-Za-z0-9&-]* )*[A-Z][A-Za-z0-9&-]*)',
+                           1) AS b
+                FROM pages p, patt2 t
+                WHERE strpos(p.text, t.pattern) > 0),
+            pairs2 AS (
+                SELECT DISTINCT pattern, a, b FROM ex2
+                WHERE a <> '' AND b <> '' AND a <> b),
+            fresh2 AS (SELECT pattern, a, b FROM pairs2 p2
+                       WHERE NOT EXISTS (
+                           SELECT 1 FROM pairs1 p1
+                           WHERE p1.a = p2.a AND p1.b = p2.b))
+            SELECT 1::BIGINT AS round, pattern, a, b FROM pairs1
+            UNION ALL
+            SELECT 2::BIGINT, pattern, a, b FROM fresh2
+            ORDER BY round, pattern, a, b
         """,
         "kg_trans_reduce": f"""
             WITH raw AS (

@@ -1992,3 +1992,187 @@ def coverage_select(docs_ds, *, id_col: str = "doc_id",
     if not rows:
         return _empty()
     return pd.DataFrame(rows, columns=out_cols).astype("int64")
+
+
+# DIPRE capitalized-chunk classes — kept in exact sync with the DuckDB
+# oracle's RE2 patterns (ASCII-only [A-Z]; no '.', so a trailing
+# sentence period never gloms onto the extracted surface)
+_DIPRE_CAP = r"[A-Z][A-Za-z0-9&-]*"
+_DIPRE_A_RE = re.compile(r"((?:%s )*%s)$" % (_DIPRE_CAP, _DIPRE_CAP))
+_DIPRE_B_RE = re.compile(r"^((?:%s )*%s)" % (_DIPRE_CAP, _DIPRE_CAP))
+
+
+def dipre_bootstrap(pages_ds, facts_ds, *, rounds: int = 2,
+                    min_support: int = 3, max_patterns: int = 20,
+                    max_seeds: int = 200, max_infix: int = 30):
+    """DIPRE / Snowball bootstrapped relation-pattern induction (Brin,
+    WebDB'98; Agichtein & Gravano, DL'00 — public): from url-grounded
+    seed surface pairs, harvest the INFIX strings between the pair's
+    first occurrences in the page text, keep infixes asserted by ≥
+    ``min_support`` distinct pairs (top ``max_patterns``, support
+    DESC / infix ASC), then EXTRACT new pairs wherever a kept pattern
+    occurs — the capitalized chunk ending at the pattern and the one
+    starting after it — and (round 2) re-seed from the extracted
+    pairs to induce second-generation patterns.  Every string step is
+    first-occurrence ``find`` / ``substr`` / anchored-regex arithmetic
+    with an exact SQL twin (strpos / substr / regexp_extract), so the
+    whole bootstrap hash-matches cross-engine.
+
+    Infix validity: 3..``max_infix`` chars, starts AND ends with a
+    space, crosses no sentence boundary ('.' / newline) — the junk
+    filter that makes support counting meaningful without NER.
+
+    Scale shape: seed occurrences are a url-keyed equi ``hash_join``
+    of the fact table with the corpus (never a cross join); the
+    pattern and round-2 seed tables are top-K-capped and travel as
+    BROADCAST lists into per-batch vectorized ``str.find`` scans —
+    each round is two linear passes over the corpus, no all-to-all.
+    The caps are deterministic (documented rank order), not silent
+    truncation.
+
+    Returns a pandas DataFrame (round, pattern, a, b), sorted."""
+    from .relational import distinct_on, hash_join
+
+    def _occ(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        # first occurrence of b, then the LAST occurrence of a fully
+        # before it (a page's lead mention is usually the title — the
+        # nearest prior mention is the one sharing b's sentence)
+        pos_b = np.array([s.find(x) for s, x in
+                          zip(t.to_numpy(object),
+                              batch["b"].to_numpy(object))])
+        pos_a = np.array([s.rfind(x, 0, pb) if pb > 0 else -1
+                          for s, x, pb in
+                          zip(t.to_numpy(object),
+                              batch["a"].to_numpy(object), pos_b)])
+        la = batch["a"].str.len().to_numpy()
+        keep = (pos_a >= 0) & (pos_b > pos_a + la)
+        d = batch[keep]
+        if not len(d):
+            return pd.DataFrame({"a": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="object"),
+                                 "infix": pd.Series(dtype="object")})
+        infix = [s[p + n:q] for s, p, n, q in zip(
+            d["text"].to_numpy(object), pos_a[keep], la[keep],
+            pos_b[keep])]
+        out = pd.DataFrame({"a": d["a"].to_numpy(object),
+                            "b": d["b"].to_numpy(object),
+                            "infix": infix})
+        ok = out["infix"].str.len().between(3, max_infix) \
+            & out["infix"].str.startswith(" ") \
+            & out["infix"].str.endswith(" ") \
+            & ~out["infix"].str.contains(".", regex=False) \
+            & ~out["infix"].str.contains("\n", regex=False)
+        return out[ok].drop_duplicates()
+
+    def _patterns(occ_ds, exclude: set) -> list[str]:
+        occ = distinct_on(occ_ds, ["a", "b", "infix"]).to_pandas()
+        if not len(occ):
+            return []
+        sup = (occ.groupby("infix").size().rename("support")
+               .reset_index())
+        sup = sup[(sup["support"] >= min_support)
+                  & ~sup["infix"].isin(exclude)]
+        sup = sup.sort_values(["support", "infix"],
+                              ascending=[False, True],
+                              kind="mergesort").head(max_patterns)
+        return list(sup["infix"])
+
+    def _extract(patterns: list[str]):
+        if not patterns:
+            return pd.DataFrame({"pattern": pd.Series(dtype="object"),
+                                 "a": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="object")})
+
+        def ex(batch: pd.DataFrame, _pats=tuple(patterns)):
+            rows = []
+            texts = batch["text"].to_numpy(object)
+            for p in _pats:
+                pos = batch["text"].str.find(p).to_numpy()
+                hit = pos >= 0
+                for s, q in zip(texts[hit], pos[hit]):
+                    ma = _DIPRE_A_RE.search(s[:q])
+                    mb = _DIPRE_B_RE.search(s[q + len(p):])
+                    a = ma.group(1) if ma else ""
+                    b = mb.group(1) if mb else ""
+                    if a and b and a != b:
+                        rows.append((p, a, b))
+            if not rows:
+                return pd.DataFrame({
+                    "pattern": pd.Series(dtype="object"),
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object")})
+            return pd.DataFrame(rows, columns=["pattern", "a", "b"]) \
+                .drop_duplicates()
+
+        return distinct_on(
+            pages_ds.map_batches(ex, batch_format="pandas"),
+            ["pattern", "a", "b"]).to_pandas()
+
+    out_cols = ["round", "pattern", "a", "b"]
+    out_frames = []
+    # round 1: seeds are the url-grounded fact pairs
+    occ1 = hash_join(facts_ds, pages_ds, on="url",
+                     empty_safe=True).map_batches(
+        _occ, batch_format="pandas")
+    patt1 = _patterns(occ1, exclude=set())
+    pairs1 = _extract(patt1)
+    p1 = pairs1.copy()
+    p1.insert(0, "round", np.int64(1))
+    out_frames.append(p1)
+
+    if rounds >= 2 and len(pairs1):
+        seeds2 = (pairs1[["a", "b"]].drop_duplicates()
+                  .sort_values(["a", "b"]).head(max_seeds))
+        seed_list = list(zip(seeds2["a"], seeds2["b"]))
+
+        def occ_bcast(batch: pd.DataFrame, _seeds=tuple(seed_list)):
+            frames = []
+            texts = batch["text"].to_numpy(object)
+            for a, b in _seeds:
+                pos_b = batch["text"].str.find(b).to_numpy()
+                pos_a = np.array([s.rfind(a, 0, pb) if pb > 0 else -1
+                                  for s, pb in zip(texts, pos_b)])
+                keep = (pos_a >= 0) & (pos_b > pos_a + len(a))
+                if not keep.any():
+                    continue
+                infix = [s[p + len(a):q] for s, p, q in zip(
+                    batch["text"].to_numpy(object)[keep],
+                    pos_a[keep], pos_b[keep])]
+                frames.append(pd.DataFrame({
+                    "a": a, "b": b, "infix": infix}))
+            if not frames:
+                return pd.DataFrame({
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                    "infix": pd.Series(dtype="object")})
+            out = pd.concat(frames, ignore_index=True)
+            ok = out["infix"].str.len().between(3, max_infix) \
+                & out["infix"].str.startswith(" ") \
+                & out["infix"].str.endswith(" ") \
+                & ~out["infix"].str.contains(".", regex=False) \
+                & ~out["infix"].str.contains("\n", regex=False)
+            return out[ok].drop_duplicates()
+
+        occ2 = pages_ds.map_batches(occ_bcast, batch_format="pandas")
+        patt2 = _patterns(occ2, exclude=set(patt1))
+        pairs2 = _extract(patt2)
+        known = set(zip(pairs1["a"], pairs1["b"]))
+        if len(pairs2):
+            fresh = pairs2[[(a, b) not in known for a, b in
+                            zip(pairs2["a"], pairs2["b"])]]
+            p2 = fresh.copy()
+            p2.insert(0, "round", np.int64(2))
+            out_frames.append(p2)
+
+    out = pd.concat(out_frames, ignore_index=True) if out_frames \
+        else pd.DataFrame(columns=out_cols)
+    if not len(out):
+        return pd.DataFrame({
+            "round": pd.Series(dtype="int64"),
+            "pattern": pd.Series(dtype="object"),
+            "a": pd.Series(dtype="object"),
+            "b": pd.Series(dtype="object")})
+    out["round"] = out["round"].astype("int64")
+    return (out[out_cols].sort_values(out_cols)
+            .reset_index(drop=True))

@@ -606,3 +606,89 @@ def test_retrieval_eval_no_relevant_docs():
     assert r["n_rel"] == 0 and r["hits"] == 0
     assert r["first_rank"] == 0 and r["mrr_x2520"] == 0
     assert r["recall_bp"] == 0
+
+
+# ---------------------------------------------------------------
+# DIPRE bootstrapped pattern induction (text.dipre_bootstrap)
+# ---------------------------------------------------------------
+
+def _dipre_corpus():
+    """Round 1 induces ' works for '; the extracted pairs co-occur in
+    fresh ' serves at ' sentences, so round 2 induces THAT pattern and
+    extracts a brand-new pair (bootstrap actually fires)."""
+    seeds = [("Ada One", "Acme Corp"), ("Bob Two", "Beta Inc"),
+             ("Cid Three", "Gamma Ltd")]
+    pages, facts = [], []
+    for i, (a, b) in enumerate(seeds):
+        url = f"http://s{i}/p"
+        pages.append((url, f"Intro text here. {a} works for {b}. End."))
+        facts.append((url, a, b))
+    # the extracted pairs reappear under a second relation phrase
+    for i, (a, b) in enumerate(seeds):
+        pages.append((f"http://t{i}/p",
+                      f"Filler line. {a} serves at {b}. More filler."))
+    # a pair NEVER seen as a seed, only reachable via round-2 pattern
+    pages.append(("http://u0/p",
+                  "Opening words. Dan Four serves at Delta LLC. Tail."))
+    return (
+        rd.from_pandas(pd.DataFrame(pages, columns=["url", "text"])),
+        rd.from_pandas(pd.DataFrame(facts, columns=["url", "a", "b"])),
+    )
+
+
+def test_dipre_two_round_bootstrap_extracts_new_pair():
+    from cpg_ray.functions.text import dipre_bootstrap
+
+    pages, facts = _dipre_corpus()
+    out = dipre_bootstrap(pages, facts, rounds=2, min_support=3,
+                          max_patterns=5)
+    r1 = out[out["round"] == 1]
+    assert set(r1["pattern"]) == {" works for "}
+    assert ("Ada One", "Acme Corp") in set(zip(r1["a"], r1["b"]))
+    r2 = out[out["round"] == 2]
+    assert set(r2["pattern"]) == {" serves at "}
+    # the genuinely new pair arrives only through the round-2 pattern
+    assert ("Dan Four", "Delta LLC") in set(zip(r2["a"], r2["b"]))
+    # round 2 reports only pairs round 1 did not already know
+    assert not (set(zip(r2["a"], r2["b"]))
+                & set(zip(r1["a"], r1["b"])))
+
+
+def test_dipre_support_threshold_and_sentence_boundary():
+    from cpg_ray.functions.text import dipre_bootstrap
+
+    # only 2 seed pairs share the infix -> below min_support=3 ->
+    # nothing induced; also an infix crossing '.' never qualifies
+    pages = rd.from_pandas(pd.DataFrame([
+        ("http://a/p", "Ada One works for Acme Corp."),
+        ("http://b/p", "Bob Two works for Beta Inc."),
+        ("http://c/p", "Cid Three is here. Gamma Ltd elsewhere."),
+    ], columns=["url", "text"]))
+    facts = rd.from_pandas(pd.DataFrame([
+        ("http://a/p", "Ada One", "Acme Corp"),
+        ("http://b/p", "Bob Two", "Beta Inc"),
+        ("http://c/p", "Cid Three", "Gamma Ltd"),
+    ], columns=["url", "a", "b"]))
+    out = dipre_bootstrap(pages, facts, rounds=2, min_support=3)
+    assert out.empty
+
+
+def test_dipre_uses_last_mention_before_object():
+    from cpg_ray.functions.text import dipre_bootstrap
+
+    # the lead mention (title style) must not stretch the infix: the
+    # nearest prior mention of a is the one grounding the pattern
+    pages = rd.from_pandas(pd.DataFrame([
+        (f"http://{i}/p",
+         f"{a} - Profile\nSome filler. {a} works for {b}. End.")
+        for i, (a, b) in enumerate([
+            ("Ada One", "Acme Corp"), ("Bob Two", "Beta Inc"),
+            ("Cid Three", "Gamma Ltd")])
+    ], columns=["url", "text"]))
+    facts = rd.from_pandas(pd.DataFrame([
+        ("http://0/p", "Ada One", "Acme Corp"),
+        ("http://1/p", "Bob Two", "Beta Inc"),
+        ("http://2/p", "Cid Three", "Gamma Ltd"),
+    ], columns=["url", "a", "b"]))
+    out = dipre_bootstrap(pages, facts, rounds=1, min_support=3)
+    assert set(out["pattern"]) == {" works for "}
