@@ -1282,6 +1282,21 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_corpus_overlap(sf_dir: str):
+    """Pairwise language-slice overlap of the crawl corpus via KMV
+    word-bigram sketches: exact-integer Jaccard basis points per lang
+    pair — the "is dump N+1 mostly dupes of dump N" dataset-curation
+    estimate at sketch cost, never a quadratic gram join."""
+    from cpg_ray.functions.sketches import kmv_overlap
+
+    pages, _cfg = _pages_ds(sf_dir, "mixed")
+    out = kmv_overlap(pages.map_batches(
+        lambda b: b[["lang", "text"]], batch_format="pandas"),
+        group_col="lang", text_col="text", n=2, k=256)
+    return out.rename(columns={"group_a": "lang_a",
+                               "group_b": "lang_b"})
+
+
 def _kg_dipre(sf_dir: str):
     """DIPRE / Snowball bootstrapped relation-pattern induction over
     the English pages: works_for seed pairs (canonical surfaces via
@@ -2039,6 +2054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_anf": _kg_anf,
         # DIPRE bootstrapped pattern induction
         "kg_dipre": _kg_dipre,
+        # KMV corpus-slice overlap (lang-pair Jaccard sketch)
+        "kg_corpus_overlap": _kg_corpus_overlap,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -3418,6 +3435,54 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    vote_weight, n_sources
             FROM r WHERE rk = 1
             ORDER BY pred, canonical_subj
+        """,
+        "kg_corpus_overlap": f"""
+            WITH pg AS (SELECT lang, text
+                        FROM read_parquet('{pages_glob}')),
+            w AS (SELECT lang, string_split(text, ' ') AS words
+                  FROM pg),
+            g AS (SELECT DISTINCT lang,
+                         array_to_string(list_slice(words, i, i + 1),
+                                         ' ') AS gram
+                  FROM w, LATERAL unnest(range(1, len(words)))
+                       AS t(i)
+                  WHERE len(words) >= 2),
+            h AS (SELECT DISTINCT lang,
+                         ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                             AS hv
+                  FROM g),
+            mins AS MATERIALIZED (
+                SELECT lang, hv FROM (
+                    SELECT lang, hv, row_number() OVER (
+                        PARTITION BY lang ORDER BY hv) AS rk
+                    FROM h)
+                WHERE rk <= 256),
+            langs AS (SELECT DISTINCT lang FROM mins),
+            prs AS (SELECT a.lang AS la, b.lang AS lb
+                    FROM langs a JOIN langs b ON a.lang < b.lang),
+            merged AS (
+                SELECT la, lb, hv FROM (
+                    SELECT la, lb, hv, row_number() OVER (
+                        PARTITION BY la, lb ORDER BY hv) AS rk
+                    FROM (SELECT DISTINCT p.la, p.lb, m.hv
+                          FROM prs p JOIN mins m
+                               ON m.lang IN (p.la, p.lb)))
+                WHERE rk <= 256),
+            km AS (SELECT la, lb, count(*)::BIGINT AS k_used
+                   FROM merged GROUP BY la, lb),
+            shared AS (
+                SELECT m.la, m.lb, count(*)::BIGINT AS n_shared
+                FROM merged m
+                JOIN mins x ON x.lang = m.la AND x.hv = m.hv
+                JOIN mins y ON y.lang = m.lb AND y.hv = m.hv
+                GROUP BY m.la, m.lb)
+            SELECT km.la AS lang_a, km.lb AS lang_b, km.k_used,
+                   coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+                   (10000 * coalesce(s.n_shared, 0)
+                    // km.k_used)::BIGINT AS jaccard_bp
+            FROM km LEFT JOIN shared s
+                 ON s.la = km.la AND s.lb = km.lb
+            ORDER BY lang_a, lang_b
         """,
         "kg_dipre": f"""
             WITH pages AS MATERIALIZED (

@@ -426,3 +426,75 @@ def hll_distinct(ds, group_col: str, value_col: str, *, m: int = 64,
         rows.append((grp, zeros, z_scaled, est))
     return pd.DataFrame(rows, columns=[group_col, "zero_registers",
                                        "z_scaled", "hll_est"])
+
+
+def kmv_overlap(ds, *, group_col: str, text_col: str, n: int = 3,
+                k: int = 256):
+    """Corpus-slice overlap estimation via KMV sketches (Beyer et al.
+    SIGMOD'07's distinct-value synopses applied to set resemblance —
+    the dataset-curation question "how much of slice B is already in
+    slice A" without a quadratic gram join): per group, the k smallest
+    DISTINCT 60-bit md5 hashes of word n-grams (split on single
+    spaces, in exact sync with the DuckDB ``string_split`` twin); per
+    group pair, the k smallest of the union and the fraction of them
+    present in BOTH sketches — an unbiased Jaccard estimate, reported
+    as exact-integer basis points (10000·shared // k_used).
+
+    Scale shape: per-batch partials keep only their local k smallest
+    hashes per group (a valid combiner — the same gram hashes
+    identically everywhere), so at most k × groups × batches rows
+    move and the driver sees only sketch-sized state; the pairwise
+    finish is groups²-bounded, never corpus-bounded.
+
+    Returns a pandas DataFrame (group_a, group_b, k_used, n_shared,
+    jaccard_bp), group_a < group_b, sorted."""
+    import hashlib
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        best: dict = {}
+        for g, t in zip(b[group_col].to_numpy(object),
+                        b[text_col].to_numpy(object)):
+            words = t.split(" ")
+            if len(words) < n:
+                continue
+            s = best.setdefault(g, set())
+            for i in range(len(words) - n + 1):
+                s.add(" ".join(words[i:i + n]))
+        if not best:
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "h": pd.Series(dtype="int64")})
+        frames = []
+        for g, grams in best.items():
+            hs = np.unique(np.array(
+                [int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                 for x in grams], dtype=np.int64))[:k]
+            frames.append(pd.DataFrame({group_col: g, "h": hs}))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas().drop_duplicates())
+    out_cols = ["group_a", "group_b", "k_used", "n_shared",
+                "jaccard_bp"]
+    if not len(cand):
+        return pd.DataFrame({c: pd.Series(
+            dtype="object" if c.startswith("group") else "int64")
+            for c in out_cols})
+    mins = {g: sub["h"].drop_duplicates().sort_values()
+            .head(k).to_numpy(np.int64)
+            for g, sub in cand.groupby(group_col, sort=True)}
+    groups = sorted(mins)
+    rows = []
+    for i, la in enumerate(groups):
+        sa = set(mins[la].tolist())
+        for lb in groups[i + 1:]:
+            sb = set(mins[lb].tolist())
+            merged = sorted(sa | sb)[:k]
+            k_used = len(merged)
+            shared = sum(1 for h in merged if h in sa and h in sb)
+            rows.append((la, lb, k_used, shared,
+                         10000 * shared // k_used if k_used else 0))
+    out = pd.DataFrame(rows, columns=out_cols)
+    for c in out_cols[2:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["group_a", "group_b"]).reset_index(
+        drop=True)

@@ -253,3 +253,43 @@ def test_hll_distinct_block_invariant_and_accurate():
     for _, r in one.iterrows():
         err = abs(r.hll_est - n_true[r.g]) / n_true[r.g]
         assert err < tol, (r.g, r.hll_est, n_true[r.g], err)
+
+
+def test_kmv_overlap_exact_when_union_fits_in_k():
+    # when |union| <= k the sketch IS the set: estimate = exact Jaccard
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.sketches import kmv_overlap
+
+    rows = [
+        ("a", "w1 w2 w3 w4"),          # bigrams: 3
+        ("b", "w2 w3 w4 w5"),          # shares 2 of them; union = 4
+        ("c", "z1 z2"),                # disjoint singleton slice
+    ]
+    out = kmv_overlap(
+        rd.from_pandas(pd.DataFrame(rows, columns=["g", "text"])),
+        group_col="g", text_col="text", n=2, k=64)
+    ab = out[(out.group_a == "a") & (out.group_b == "b")].iloc[0]
+    assert ab.k_used == 4 and ab.n_shared == 2
+    assert ab.jaccard_bp == 10000 * 2 // 4
+    ac = out[(out.group_a == "a") & (out.group_b == "c")].iloc[0]
+    assert ac.n_shared == 0 and ac.jaccard_bp == 0
+
+
+def test_kmv_overlap_combiner_caps_partials():
+    # many batches, tiny k: result identical to a single-batch run
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.sketches import kmv_overlap
+
+    df = pd.DataFrame({
+        "g": ["x" if i % 2 else "y" for i in range(200)],
+        "text": [f"tok{i} tok{i + 1} tok{i + 2}" for i in range(200)],
+    })
+    one = kmv_overlap(rd.from_pandas(df), group_col="g",
+                      text_col="text", n=2, k=16)
+    many = kmv_overlap(rd.from_pandas(df).repartition(20),
+                       group_col="g", text_col="text", n=2, k=16)
+    pd.testing.assert_frame_equal(one, many)
