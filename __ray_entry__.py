@@ -2519,6 +2519,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   repped by in-window kg_sameas (shared-key pair generation,
     #   same equi-join blocking shape); the per-pair edit-distance
     #   kernel is vectorized and pinned by pytest.
+    # Eighth rotation (final session): the six remaining brand-new
+    # ops — kg_truth_iter (Sums trust iteration), kg_trans_reduce
+    # (DAG transitive reduction), kg_msf (Borůvka forest), kg_anf
+    # (HyperANF), kg_dipre (bootstrapped pattern induction),
+    # kg_corpus_overlap (KMV slice Jaccard) — displace six entries
+    # whose machinery stays repped in-window; every evictee AND every
+    # incomer swept green at sf0.01 this session:
+    # - q_events_cms: sketch combiner/md5 posture repped in-window by
+    #   q_events_hll and incoming kg_anf/kg_corpus_overlap (three
+    #   sketch families stay in).
+    # - q_doc_rerank: two-stage retrieval repped by in-window
+    #   q_doc_bm25_search (recall stage) + q_hard_negatives (pair
+    #   scoring over the same similarity kernels).
+    # - q_doc_hearst: pattern EXTRACTION repped by incoming kg_dipre
+    #   (pattern INDUCTION + extraction over the same corpus scan)
+    #   and in-window q_doc_pii_scrub (compiled-regex batch path).
+    # - kg_rdfs_closure: rule-closure chain joins repped in-window by
+    #   kg_owl_entail (the harder entailment sibling over the same
+    #   guarded-broadcast / hash-join-degrade plumbing).
+    # - kg_katz: integer iterate + self-loop unrolled-CTE oracle
+    #   repped by in-window kg_wl_colors (same AS MATERIALIZED
+    #   iterate contract) and incoming kg_msf/kg_anf (bounded-round
+    #   generated oracles over the same edge plumbing).
+    # - kg_clean_text: stateless single-table normalize — the
+    #   lowest-risk class (the kg_mis/q_url_canonical precedent);
+    #   q_doc_pii_scrub stays in-window on the same regex/batch
+    #   machinery.
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2527,9 +2554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cypher_optional", "q21_sole_supplier",
         "kg_ktruss", "kg_harmonic", "kg_para_dedup",
         # round-5 continuation additions — new code this round
-        "q_doc_setjoin_prefix", "kg_snapshot_merge", "q_events_cms",
-        "kg_c4_filter", "q_sample_priority", "q_doc_hearst",
-        "kg_rdfs_closure", "kg_modularity", "q_doc_rerank",
+        "q_doc_setjoin_prefix", "kg_snapshot_merge",
+        "kg_c4_filter", "q_sample_priority",
+        "kg_modularity",
         "q_hard_negatives", "q_events_dquantiles", "kg_owl_entail",
         "kg_betweenness",
         # this-session additions — new code, never driver-checked
@@ -2540,10 +2567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kge_eval", "kg_mis",
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
-        "kg_fact_timeline", "kg_clean_text", "q_kmeans",
+        "kg_fact_timeline", "q_kmeans",
         "q_doc_minhash_sig", "q_part_skyline",
         # graph family — never driver-checked
-        "kg_katz", "kg_sameas",
+        "kg_sameas",
         "kg_wl_colors", "kg_scc",
         "kg_clustering_coef",
         "kg_cypher_undirected",
@@ -2558,6 +2585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # final-session additions — new code, never driver-checked
         "q_events_cusum", "q_events_hll", "q_doc_coverage",
         "kg_eccentricity", "kg_metapath",
+        "kg_truth_iter", "kg_trans_reduce", "kg_msf",
+        "kg_anf", "kg_dipre", "kg_corpus_overlap",
     ]
     # position-count contract (the r3 off-by-three lesson): exactly 50
     # distinct names, all resolvable — fail HERE, not in the driver
