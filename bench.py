@@ -154,6 +154,19 @@ BENCH_QUERIES = [
     # round-5 fourth session: graph census
     "kg_rich_club",
     "kg_reciprocity",
+    # round-5 final session: scans, sketches, subset selection, graph
+    # sweeps, fusion iteration, DAG/forest primitives, bootstrapping
+    "q_events_cusum",
+    "q_events_hll",
+    "q_doc_coverage",
+    "kg_eccentricity",
+    "kg_metapath",
+    "kg_truth_iter",
+    "kg_trans_reduce",
+    "kg_msf",
+    "kg_anf",
+    "kg_dipre",
+    "kg_corpus_overlap",
 ]
 
 
