@@ -1282,6 +1282,87 @@ def _kg_truth_vote(sf_dir: str):
     return truth_vote(_fusion_triples(sf_dir))
 
 
+def _kg_geo_infer(sf_dir: str):
+    """Graph-inferred geo-labeling vs the external KB (the
+    distant-supervision agreement census): each entity's inferred
+    country = the MIN-named country reachable within 3 hops of the
+    kind-stratified DAG (person→org→city→country — strata make the
+    3-hop closure exact), compared against the KB's country column.
+    Disagreements are the real signal: a person whose employer sits in
+    a different country than their birth city.  Reach is two mid-keyed
+    hash joins + distincts; the name map and KB are entity-vocabulary
+    bounded broadcasts."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import (bcast_get, distinct_on,
+                                              hash_join)
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    strat = {"P": 0, "O": 1, "C": 2, "K": 3}
+
+    def dag_view(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.canonical_subj.str[0].map(strat)
+        o = b.canonical_obj.str[0].map(strat)
+        keep = (s.notna() & o.notna() & (s < o)).to_numpy()
+        return pd.DataFrame({
+            "src": b.canonical_subj[keep].to_numpy(),
+            "dst": b.canonical_obj[keep].to_numpy()})
+
+    e = distinct_on(
+        _entity_edges(sf_dir).map_batches(dag_view,
+                                          batch_format="pandas"),
+        ["src", "dst"]).materialize()
+
+    reach = e
+    cur = e
+    for _ in range(2):
+        nxt = hash_join(
+            cur.map_batches(lambda b: b.rename(columns={"dst": "mid"}),
+                            batch_format="pandas"),
+            e.map_batches(lambda b: b.rename(columns={"src": "mid"}),
+                          batch_format="pandas"),
+            on="mid", empty_safe=True)
+        cur = distinct_on(
+            nxt.map_batches(lambda b: b[["src", "dst"]],
+                            batch_format="pandas"),
+            ["src", "dst"]).materialize()
+        reach = reach.union(cur).materialize()
+
+    ents = rd.read_parquet(
+        f"{out_dir}/entities",
+        columns=["entity_id", "canonical_name"]).to_pandas()
+    kb = rd.read_parquet(_ensure_kb(sf_dir),
+                         columns=["entity_id", "country"]).to_pandas()
+    maps_ref = ray.put((
+        dict(zip(ents["entity_id"], ents["canonical_name"])),
+        dict(zip(kb["entity_id"], kb["country"]))))
+
+    def finish(b: pd.DataFrame, _ref=maps_ref) -> pd.DataFrame:
+        names, _ = bcast_get(_ref)
+        d = b[b["dst"].str.startswith("K")]
+        return pd.DataFrame({
+            "entity_id": d["src"].to_numpy(),
+            "cname": d["dst"].map(names).to_numpy()})
+
+    inf = (distinct_on(reach, ["src", "dst"])
+           .map_batches(finish, batch_format="pandas").to_pandas())
+    if not len(inf):
+        return pd.DataFrame({
+            "entity_id": pd.Series(dtype="object"),
+            "inferred_country": pd.Series(dtype="object"),
+            "kb_country": pd.Series(dtype="object"),
+            "agrees": pd.Series(dtype="bool")})
+    agg = (inf.groupby("entity_id", sort=True)["cname"].min()
+           .rename("inferred_country").reset_index())
+    kbm = dict(zip(kb["entity_id"], kb["country"]))
+    agg["kb_country"] = agg["entity_id"].map(kbm)
+    agg = agg[agg["kb_country"].notna()]
+    agg["agrees"] = agg["inferred_country"] == agg["kb_country"]
+    return agg.sort_values("entity_id").reset_index(drop=True)
+
+
 def _kg_corpus_overlap(sf_dir: str):
     """Pairwise language-slice overlap of the crawl corpus via KMV
     word-bigram sketches: exact-integer Jaccard basis points per lang
@@ -2056,6 +2137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dipre": _kg_dipre,
         # KMV corpus-slice overlap (lang-pair Jaccard sketch)
         "kg_corpus_overlap": _kg_corpus_overlap,
+        # graph-inferred geo labels vs KB (distant-supervision census)
+        "kg_geo_infer": _kg_geo_infer,
         "kg_sig_violations": _kg_sig_violations,
         # -- oracle-paired, NEW in round 4 (third session): DSIR
         # importance-resampling scores (data-mixing selection)
@@ -3464,6 +3547,43 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    vote_weight, n_sources
             FROM r WHERE rk = 1
             ORDER BY pred, canonical_subj
+        """,
+        "kg_geo_infer": f"""
+            WITH raw AS (
+                SELECT DISTINCT canonical_subj AS src,
+                                canonical_obj AS dst
+                FROM read_parquet('{triples_glob}')
+            ),
+            e AS (
+                SELECT src, dst FROM raw
+                WHERE CASE substr(src, 1, 1)
+                           WHEN 'P' THEN 0 WHEN 'O' THEN 1
+                           WHEN 'C' THEN 2 WHEN 'K' THEN 3 END
+                    < CASE substr(dst, 1, 1)
+                           WHEN 'P' THEN 0 WHEN 'O' THEN 1
+                           WHEN 'C' THEN 2 WHEN 'K' THEN 3 END
+            ),
+            r2 AS (SELECT DISTINCT a.src, b.dst
+                   FROM e a JOIN e b ON b.src = a.dst),
+            r3 AS (SELECT DISTINCT a.src, b.dst
+                   FROM r2 a JOIN e b ON b.src = a.dst),
+            reach AS (SELECT src, dst FROM e
+                      UNION SELECT src, dst FROM r2
+                      UNION SELECT src, dst FROM r3),
+            inf AS (
+                SELECT r.src AS entity_id,
+                       min(en.canonical_name) AS inferred_country
+                FROM reach r
+                JOIN read_parquet('{entities_pq}') en
+                     ON en.entity_id = r.dst
+                WHERE r.dst LIKE 'K%'
+                GROUP BY r.src)
+            SELECT i.entity_id, i.inferred_country,
+                   k.country AS kb_country,
+                   i.inferred_country = k.country AS agrees
+            FROM inf i
+            JOIN read_parquet('{kb_pq}') k USING (entity_id)
+            ORDER BY entity_id
         """,
         "kg_corpus_overlap": f"""
             WITH pg AS (SELECT lang, text
