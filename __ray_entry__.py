@@ -2629,6 +2629,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   lowest-risk class (the kg_mis/q_url_canonical precedent);
     #   q_doc_pii_scrub stays in-window on the same regex/batch
     #   machinery.
+    # Ninth rotation (final session): kg_geo_infer (brand-new
+    # distant-supervision census) displaces kg_modularity — the
+    # community-quality census's label-join + census-groupby
+    # machinery is repped in-window by kg_clustering_coef (degree/
+    # census kernels) and kg_scc (label machinery); swept green at
+    # sf0.01 this session.
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2639,7 +2645,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation additions — new code this round
         "q_doc_setjoin_prefix", "kg_snapshot_merge",
         "kg_c4_filter", "q_sample_priority",
-        "kg_modularity",
         "q_hard_negatives", "q_events_dquantiles", "kg_owl_entail",
         "kg_betweenness",
         # this-session additions — new code, never driver-checked
@@ -2670,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eccentricity", "kg_metapath",
         "kg_truth_iter", "kg_trans_reduce", "kg_msf",
         "kg_anf", "kg_dipre", "kg_corpus_overlap",
+        "kg_geo_infer",
     ]
     # position-count contract (the r3 off-by-three lesson): exactly 50
     # distinct names, all resolvable — fail HERE, not in the driver

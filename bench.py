@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "kg_anf",
     "kg_dipre",
     "kg_corpus_overlap",
+    "kg_geo_infer",
 ]
 
 
