@@ -1289,15 +1289,20 @@ def _kg_geo_infer(sf_dir: str):
     kind-stratified DAG (person→org→city→country — strata make the
     3-hop closure exact), compared against the KB's country column.
     Disagreements are the real signal: a person whose employer sits in
-    a different country than their birth city.  Reach is two mid-keyed
-    hash joins + distincts; the name map and KB are entity-vocabulary
-    bounded broadcasts."""
+    a different country than their birth city.  The stratified DAG
+    view is distinct-fact bounded, so the happy path collects it under
+    the standard edge guard and runs the 3-hop closure in pandas
+    (measured 6.7 s distributed vs <1 s — the rule_mining posture);
+    past the guard the distributed path runs: two mid-keyed hash joins
+    + distincts, vocab-bounded broadcast finish."""
     import pandas as pd
     import ray
     import ray.data as rd
 
-    from cpg_ray.functions.relational import (bcast_get, distinct_on,
-                                              hash_join)
+    from cpg_ray.functions.graphalgo import (_DEF_EDGE_LIMIT,
+                                             _edges_to_driver)
+    from cpg_ray.functions.relational import (GuardExceeded, bcast_get,
+                                              distinct_on, hash_join)
 
     out_dir = _ensure_graph(sf_dir, "mixed")
     strat = {"P": 0, "O": 1, "C": 2, "K": 3}
@@ -1310,11 +1315,53 @@ def _kg_geo_infer(sf_dir: str):
             "src": b.canonical_subj[keep].to_numpy(),
             "dst": b.canonical_obj[keep].to_numpy()})
 
-    e = distinct_on(
-        _entity_edges(sf_dir).map_batches(dag_view,
-                                          batch_format="pandas"),
-        ["src", "dst"]).materialize()
+    edges_view = _entity_edges(sf_dir).map_batches(
+        dag_view, batch_format="pandas")
+    ents = rd.read_parquet(
+        f"{out_dir}/entities",
+        columns=["entity_id", "canonical_name"]).to_pandas()
+    kb = rd.read_parquet(_ensure_kb(sf_dir),
+                         columns=["entity_id", "country"]).to_pandas()
+    names = dict(zip(ents["entity_id"], ents["canonical_name"]))
+    kbm = dict(zip(kb["entity_id"], kb["country"]))
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity_id": pd.Series(dtype="object"),
+            "inferred_country": pd.Series(dtype="object"),
+            "kb_country": pd.Series(dtype="object"),
+            "agrees": pd.Series(dtype="bool")})
+
+    def _finish_frame(inf: pd.DataFrame) -> pd.DataFrame:
+        if not len(inf):
+            return _empty()
+        agg = (inf.groupby("entity_id", sort=True)["cname"].min()
+               .rename("inferred_country").reset_index())
+        agg["kb_country"] = agg["entity_id"].map(kbm)
+        agg = agg[agg["kb_country"].notna()]
+        agg["agrees"] = agg["inferred_country"] == agg["kb_country"]
+        return agg.sort_values("entity_id").reset_index(drop=True)
+
+    try:
+        edf = _edges_to_driver(edges_view, "src", "dst",
+                               _DEF_EDGE_LIMIT)
+        reach = edf
+        cur = edf
+        for _ in range(2):
+            cur = (cur.rename(columns={"dst": "mid"})
+                   .merge(edf.rename(columns={"src": "mid"}),
+                          on="mid")[["src", "dst"]]
+                   .drop_duplicates())
+            reach = pd.concat([reach, cur],
+                              ignore_index=True).drop_duplicates()
+        d = reach[reach["dst"].str.startswith("K")]
+        return _finish_frame(pd.DataFrame({
+            "entity_id": d["src"].to_numpy(),
+            "cname": d["dst"].map(names).to_numpy()}))
+    except GuardExceeded:
+        pass
+
+    e = distinct_on(edges_view, ["src", "dst"]).materialize()
     reach = e
     cur = e
     for _ in range(2):
@@ -1330,37 +1377,18 @@ def _kg_geo_infer(sf_dir: str):
             ["src", "dst"]).materialize()
         reach = reach.union(cur).materialize()
 
-    ents = rd.read_parquet(
-        f"{out_dir}/entities",
-        columns=["entity_id", "canonical_name"]).to_pandas()
-    kb = rd.read_parquet(_ensure_kb(sf_dir),
-                         columns=["entity_id", "country"]).to_pandas()
-    maps_ref = ray.put((
-        dict(zip(ents["entity_id"], ents["canonical_name"])),
-        dict(zip(kb["entity_id"], kb["country"]))))
+    maps_ref = ray.put(names)
 
     def finish(b: pd.DataFrame, _ref=maps_ref) -> pd.DataFrame:
-        names, _ = bcast_get(_ref)
+        nm = bcast_get(_ref)
         d = b[b["dst"].str.startswith("K")]
         return pd.DataFrame({
             "entity_id": d["src"].to_numpy(),
-            "cname": d["dst"].map(names).to_numpy()})
+            "cname": d["dst"].map(nm).to_numpy()})
 
     inf = (distinct_on(reach, ["src", "dst"])
            .map_batches(finish, batch_format="pandas").to_pandas())
-    if not len(inf):
-        return pd.DataFrame({
-            "entity_id": pd.Series(dtype="object"),
-            "inferred_country": pd.Series(dtype="object"),
-            "kb_country": pd.Series(dtype="object"),
-            "agrees": pd.Series(dtype="bool")})
-    agg = (inf.groupby("entity_id", sort=True)["cname"].min()
-           .rename("inferred_country").reset_index())
-    kbm = dict(zip(kb["entity_id"], kb["country"]))
-    agg["kb_country"] = agg["entity_id"].map(kbm)
-    agg = agg[agg["kb_country"].notna()]
-    agg["agrees"] = agg["inferred_country"] == agg["kb_country"]
-    return agg.sort_values("entity_id").reset_index(drop=True)
+    return _finish_frame(inf)
 
 
 def _kg_corpus_overlap(sf_dir: str):

@@ -4293,8 +4293,34 @@ def eccentricity(edges_ds, *, src: str = "src", dst: str = "dst",
                             n_sources=n_sources, rounds=rounds)
 
 
+def _tr_driver(e: pd.DataFrame, max_len: int) -> pd.DataFrame:
+    """Driver twin of the shuffle path below: the DAG view is
+    distinct-fact bounded (entity vocab × predicates, never the
+    corpus), and each Ray hash_join/left_anti pays a fixed ~1-2 s
+    aggregator-fleet spin-up (BASELINE.md) — measured 13.7 s
+    distributed vs <1 s in pandas at sf0.1's ~3k stratified edges."""
+    if e.empty:
+        return pd.DataFrame({"src": pd.Series(dtype="object"),
+                             "dst": pd.Series(dtype="object")})
+    reach = None
+    cur = e
+    for _ in range(2, max_len + 1):
+        cur = (cur.rename(columns={"dst": "mid"})
+               .merge(e.rename(columns={"src": "mid"}), on="mid")
+               [["src", "dst"]].drop_duplicates())
+        reach = cur if reach is None else (
+            pd.concat([reach, cur], ignore_index=True)
+            .drop_duplicates())
+    kept = e.merge(reach, on=["src", "dst"], how="left",
+                   indicator=True)
+    kept = kept[kept["_merge"] == "left_only"][["src", "dst"]]
+    return (kept.sort_values(["src", "dst"]).reset_index(drop=True))
+
+
 def dag_transitive_reduction(edges_ds, *, src: str = "src",
-                             dst: str = "dst", max_len: int = 3):
+                             dst: str = "dst", max_len: int = 3,
+                             mode: str = "auto",
+                             driver_edge_limit: int = _DEF_EDGE_LIMIT):
     """Transitive reduction of a DAG whose longest path has at most
     ``max_len`` edges (Aho, Garey & Ullman, SIAM J. Comput. 1972 —
     public): drop every edge (u, v) that also has an alternative path
@@ -4313,11 +4339,26 @@ def dag_transitive_reduction(edges_ds, *, src: str = "src",
     materializes before the next (the chained-join fleet rule,
     BASELINE.md).
 
-    Returns a sorted pandas DataFrame (src, dst) of surviving edges."""
+    Returns a sorted pandas DataFrame (src, dst) of surviving edges.
+
+    The happy path is a guarded DRIVER finish over the collected
+    distinct edge view (``_tr_driver``); past ``driver_edge_limit``
+    edges (or with mode='shuffle') the fully-distributed exchange path
+    below runs instead — both pinned equal in pytest."""
     import pandas as pd
 
     from .relational import (_compact_nonempty, default_n_buckets,
                              distinct_on, hash_join)
+
+    if mode != "shuffle":
+        try:
+            df = _edges_to_driver(edges_ds, src, dst,
+                                  driver_edge_limit)
+            df = df.rename(columns={src: "src", dst: "dst"})
+            return _tr_driver(df, max_len)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
 
     e = _compact_nonempty(distinct_on(
         edges_ds.map_batches(
@@ -4514,9 +4555,58 @@ def boruvka_msf(edges_ds, *, src: str = "src", dst: str = "dst",
             .reset_index(drop=True))
 
 
+def _anf_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                hops: int, m: int, alpha_num: int,
+                alpha_den: int) -> pd.DataFrame:
+    """Driver twin of the shuffle path: registers are a dense (n, m)
+    int64 matrix (rho=0 encodes the empty register — real ranks are
+    ≥ 1), one ``np.maximum.at`` gather per hop over the symmetric
+    edge index.  The entity graph's distinct edge list is
+    vocab-bounded (~5k rows at sf0.1) while each distributed hop pays
+    ~3 aggregator-fleet exchanges — measured 11.9 s distributed vs
+    <1 s here."""
+    import hashlib
+
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({
+            "hop": pd.Series(dtype="int64"),
+            "nf_est": pd.Series(dtype="int64"),
+            "zero_registers_total": pd.Series(dtype="int64")})
+    u_s = np.concatenate([s_i, d_i])
+    u_d = np.concatenate([d_i, s_i])
+    powers = (np.int64(1) << np.arange(1, 33, dtype=np.int64))
+    hexes = [hashlib.md5(str(v).encode()).hexdigest() for v in nodes]
+    j = np.array([int(h[:8], 16) for h in hexes], dtype=np.int64) % m
+    w = np.array([int(h[8:16], 16) for h in hexes], dtype=np.int64)
+    bits = np.searchsorted(powers, w, side="right") + 1
+    rho = np.where(w >= 1, 33 - bits, 33).astype(np.int64)
+    regs = np.zeros((n, m), dtype=np.int64)
+    regs[np.arange(n), j] = rho
+    rows = []
+    for h in range(1, hops + 1):
+        new = regs.copy()
+        np.maximum.at(new, u_d, regs[u_s])
+        regs = new
+        pw = np.where(regs == 0, np.int64(1) << 33,
+                      np.int64(1) << (33 - regs))
+        z = pw.sum(axis=1)
+        est = (alpha_num * m * m * (np.int64(1) << 33)) \
+            // (alpha_den * z)
+        rows.append((h, int(est.sum()), int((regs == 0).sum())))
+    out = pd.DataFrame(rows, columns=["hop", "nf_est",
+                                      "zero_registers_total"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def anf_neighborhood(edges_ds, *, src: str = "src", dst: str = "dst",
                      hops: int = 4, m: int = 16,
-                     alpha_num: int = 673, alpha_den: int = 1000):
+                     alpha_num: int = 673, alpha_den: int = 1000,
+                     mode: str = "auto",
+                     driver_edge_limit: int = _DEF_EDGE_LIMIT):
     """ANF / HyperANF neighborhood function (Palmer et al. KDD'02;
     Boldi & Vigna WWW'11 — the method behind the four-degrees-of-
     separation measurement; public): per hop h, the estimated number
@@ -4538,11 +4628,26 @@ def anf_neighborhood(edges_ds, *, src: str = "src", dst: str = "dst",
     sum, and the driver only ever sees ``hops`` rows.  Isolated nodes
     (no edges) contribute nothing, matching the edge-derived node set.
 
-    Returns a pandas DataFrame (hop, nf_est), hop = 1..hops."""
+    Returns a pandas DataFrame (hop, nf_est, zero_registers_total),
+    hop = 1..hops.  The happy path is a guarded DRIVER register
+    matrix (``_anf_driver``); past ``driver_edge_limit`` distinct
+    edges (or with mode='shuffle') the distributed register exchanges
+    below run instead — both pinned equal in pytest."""
     import hashlib
 
     from .relational import (_compact_nonempty, distinct_on,
                              groupby_agg, hash_join)
+
+    if mode != "shuffle":
+        try:
+            df = _edges_to_driver(edges_ds, src, dst,
+                                  driver_edge_limit)
+            return _anf_driver(df, src, dst, hops=hops, m=m,
+                               alpha_num=alpha_num,
+                               alpha_den=alpha_den)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
 
     powers = (np.int64(1) << np.arange(1, 33, dtype=np.int64))
 
@@ -4555,8 +4660,10 @@ def anf_neighborhood(edges_ds, *, src: str = "src", dst: str = "dst",
             batch_format="pandas"),
         ["a", "b"]).materialize()
     if sym.count() == 0:
-        return pd.DataFrame({"hop": pd.Series(dtype="int64"),
-                             "nf_est": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "hop": pd.Series(dtype="int64"),
+            "nf_est": pd.Series(dtype="int64"),
+            "zero_registers_total": pd.Series(dtype="int64")})
 
     def seed(b: pd.DataFrame) -> pd.DataFrame:
         nodes = b["node"].to_numpy(object)

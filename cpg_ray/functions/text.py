@@ -2130,15 +2130,22 @@ def dipre_bootstrap(pages_ds, facts_ds, *, rounds: int = 2,
             frames = []
             texts = batch["text"].to_numpy(object)
             for a, b in _seeds:
-                pos_b = batch["text"].str.find(b).to_numpy()
-                pos_a = np.array([s.rfind(a, 0, pb) if pb > 0 else -1
-                                  for s, pb in zip(texts, pos_b)])
+                # vectorized find of b first — b hits few pages, so
+                # the Python-level rfind loop runs on hits only
+                # (20M rfind calls/batch before this filter)
+                pos_b_all = batch["text"].str.find(b).to_numpy()
+                hit = pos_b_all > 0
+                if not hit.any():
+                    continue
+                t_hit = texts[hit]
+                pos_b = pos_b_all[hit]
+                pos_a = np.array([s.rfind(a, 0, pb)
+                                  for s, pb in zip(t_hit, pos_b)])
                 keep = (pos_a >= 0) & (pos_b > pos_a + len(a))
                 if not keep.any():
                     continue
                 infix = [s[p + len(a):q] for s, p, q in zip(
-                    batch["text"].to_numpy(object)[keep],
-                    pos_a[keep], pos_b[keep])]
+                    t_hit[keep], pos_a[keep], pos_b[keep])]
                 frames.append(pd.DataFrame({
                     "a": a, "b": b, "infix": infix}))
             if not frames:

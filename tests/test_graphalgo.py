@@ -1787,4 +1787,26 @@ def test_anf_empty_graph():
 
     out = anf_neighborhood(rd.from_pandas(
         pd.DataFrame({"src": ["s"], "dst": ["s"]})), hops=3)
-    assert out.empty and list(out.columns) == ["hop", "nf_est"]
+    assert out.empty and list(out.columns) == [
+        "hop", "nf_est", "zero_registers_total"]
+
+
+def test_transitive_reduction_modes_agree():
+    from cpg_ray.functions.graphalgo import dag_transitive_reduction
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+             ("a", "d"), ("b", "d"), ("x", "y")]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+    a = dag_transitive_reduction(ds, max_len=3, mode="driver")
+    b = dag_transitive_reduction(ds, max_len=3, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_anf_modes_agree():
+    from cpg_ray.functions.graphalgo import anf_neighborhood
+
+    pairs = [(f"n{i % 9}", f"n{(i * 4 + 1) % 9}") for i in range(30)]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+    a = anf_neighborhood(ds, hops=3, m=16, mode="driver")
+    b = anf_neighborhood(ds, hops=3, m=16, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
