@@ -30,11 +30,114 @@ from .relational import (GuardExceeded, _collect_limited, distinct_on,
 __all__ = ["frequent_itemsets", "association_rules"]
 
 
+def _gen_c3(l2: pd.DataFrame, cand_limit: int) -> pd.DataFrame:
+    """A-priori C3 from the support-bounded L2 table: join on the
+    shared first item, prune on the (b, c) subset — pure pandas."""
+    x = l2.rename(columns={"b": "c3_b"})
+    y = l2.rename(columns={"b": "c3_c"})
+    c3 = x.merge(y, on="a", sort=False, suffixes=("", "_y"))
+    c3 = c3[c3["c3_b"] < c3["c3_c"]][["a", "c3_b", "c3_c"]]
+    pairset = set(zip(l2["a"], l2["b"]))
+    keep = [
+        (b, c) in pairset
+        for b, c in zip(c3["c3_b"].to_numpy(), c3["c3_c"].to_numpy())]
+    c3 = c3[np.array(keep, dtype=bool)] if len(c3) else c3
+    if len(c3) > cand_limit:
+        raise GuardExceeded(
+            f"frequent_itemsets: |C3|={len(c3)} exceeds "
+            f"cand_limit={cand_limit}")
+    return c3
+
+
+def _itemsets_driver(df: pd.DataFrame, *, basket_col: str,
+                     item_col: str, min_support: int | None,
+                     rel_den: int, floor_support: int, max_size: int,
+                     max_group: int, cand_limit: int) -> pd.DataFrame:
+    """Driver twin of the distributed path over the collected DISTINCT
+    (basket, item) view — identical semantics including the L2
+    hot-basket skip (pruned baskets > max_group contribute no pairs)
+    and the uncapped L3 matrix count; each distributed level pays
+    1-2 aggregator-fleet exchanges (measured 7.2 s vs ~1 s at sf0.1's
+    ~550k distinct rows)."""
+    n_baskets = int(df[basket_col].nunique())
+    s = (int(min_support) if min_support is not None
+         else max(floor_support, n_baskets // rel_den))
+    l1 = (df.groupby(item_col, sort=True).size()
+          .rename("support").reset_index())
+    if len(l1) > cand_limit:
+        raise GuardExceeded(
+            f"frequent_itemsets: |L1|={len(l1)} exceeds "
+            f"cand_limit={cand_limit}")
+    l1 = l1[l1["support"] >= s]
+    out = [pd.DataFrame({
+        "itemset": l1[item_col].astype(str).to_numpy(),
+        "size": np.int64(1),
+        "support": l1["support"].to_numpy("int64")})]
+    vocab = l1[item_col].to_numpy(dtype=object)
+    if max_size == 1 or not len(vocab):
+        return _finish(out, n_baskets)
+    pruned = df[df[item_col].isin(set(vocab))]
+    sizes = pruned.groupby(basket_col)[item_col].transform("size")
+    small = pruned[sizes.to_numpy() <= max_group]
+    mm = small.merge(small, on=basket_col, suffixes=("", "_y"))
+    mm = mm[mm[item_col] < mm[item_col + "_y"]]
+    l2 = (mm.groupby([item_col, item_col + "_y"], sort=False)
+          .size().rename("support").reset_index()
+          .rename(columns={item_col: "a", item_col + "_y": "b"}))
+    if len(l2) > cand_limit:
+        raise GuardExceeded(
+            f"frequent_itemsets: |L2|={len(l2)} exceeds "
+            f"cand_limit={cand_limit}")
+    l2 = l2[l2["support"] >= s].sort_values(["a", "b"])
+    out.append(pd.DataFrame({
+        "itemset": (l2["a"].astype(str) + "," + l2["b"].astype(str)
+                    ).to_numpy(dtype=object),
+        "size": np.int64(2),
+        "support": l2["support"].to_numpy("int64")}))
+    if max_size == 2 or not len(l2):
+        return _finish(out, n_baskets)
+    c3 = _gen_c3(l2, cand_limit)
+    if not len(c3):
+        return _finish(out, n_baskets)
+    idx = {v: i for i, v in enumerate(vocab)}
+    ti = np.array([idx[v] for v in c3["a"]], dtype=np.int64)
+    tj = np.array([idx[v] for v in c3["c3_b"]], dtype=np.int64)
+    tk = np.array([idx[v] for v in c3["c3_c"]], dtype=np.int64)
+    codes, _ = pd.factorize(pruned[basket_col], sort=False)
+    cols = pruned[item_col].map(idx).to_numpy(np.int64)
+    mat = np.zeros((codes.max() + 1 if len(codes) else 0, len(vocab)),
+                   dtype=bool)
+    if len(codes):
+        mat[codes, cols] = True
+    # count grouped by the shared (a, b) prefix: ONE baskets-long AND
+    # per L2 pair, reused across its candidate thirds — the naive
+    # mat[:, ti] & mat[:, tj] & mat[:, tk] materializes a
+    # (baskets x |C3|) temporary three times over (measured 8.8 s vs
+    # ~0.2 s at sf0.1's 147k x 2300)
+    cnt = np.zeros(len(c3), dtype=np.int64)
+    pair_key = ti * len(vocab) + tj
+    order = np.argsort(pair_key, kind="stable")
+    bounds = np.flatnonzero(np.diff(pair_key[order])) + 1
+    for grp in np.split(order, bounds):
+        and_ab = mat[:, ti[grp[0]]] & mat[:, tj[grp[0]]]
+        cnt[grp] = (and_ab[:, None] & mat[:, tk[grp]]).sum(axis=0)
+    keep = np.flatnonzero(cnt >= s)
+    if len(keep):
+        names = np.array([
+            f"{c3['a'].iloc[i]},{c3['c3_b'].iloc[i]},"
+            f"{c3['c3_c'].iloc[i]}" for i in keep], dtype=object)
+        out.append(pd.DataFrame({
+            "itemset": names, "size": np.int64(3),
+            "support": cnt[keep].astype("int64")}))
+    return _finish(out, n_baskets)
+
+
 def frequent_itemsets(ds, *, basket_col: str, item_col: str,
                       min_support: int | None = None,
                       rel_den: int = 20, floor_support: int = 2,
                       max_size: int = 3, max_group: int = 5000,
-                      cand_limit: int = 5_000_000) -> pd.DataFrame:
+                      cand_limit: int = 5_000_000, mode: str = "auto",
+                      driver_limit: int = 2_000_000) -> pd.DataFrame:
     """A-priori frequent itemsets up to ``max_size`` (1..3) over the
     distinct (basket, item) view of ``ds``.
 
@@ -74,6 +177,12 @@ def frequent_itemsets(ds, *, basket_col: str, item_col: str,
         ds.map_batches(lambda b: b[[basket_col, item_col]],
                        batch_format="pandas"),
         [basket_col, item_col]).materialize()
+    if mode != "shuffle" and bi.count() <= driver_limit:
+        return _itemsets_driver(
+            bi.to_pandas(), basket_col=basket_col, item_col=item_col,
+            min_support=min_support, rel_den=rel_den,
+            floor_support=floor_support, max_size=max_size,
+            max_group=max_group, cand_limit=cand_limit)
     n_baskets = distinct_on(
         bi.map_batches(lambda b: b[[basket_col]], batch_format="pandas"),
         [basket_col]).count()
@@ -118,21 +227,9 @@ def frequent_itemsets(ds, *, basket_col: str, item_col: str,
 
     # ---- C3: join L2 with itself on the shared first item, prune on
     # the (b, c) subset — pure pandas on the support-bounded L2 table.
-    x = l2.rename(columns={"b": "c3_b"})
-    y = l2.rename(columns={"b": "c3_c"})
-    c3 = x.merge(y, on="a", sort=False, suffixes=("", "_y"))
-    c3 = c3[c3["c3_b"] < c3["c3_c"]][["a", "c3_b", "c3_c"]]
-    pairset = set(zip(l2["a"], l2["b"]))
-    keep = [
-        (b, c) in pairset
-        for b, c in zip(c3["c3_b"].to_numpy(), c3["c3_c"].to_numpy())]
-    c3 = c3[np.array(keep, dtype=bool)] if len(c3) else c3
+    c3 = _gen_c3(l2, cand_limit)
     if not len(c3):
         return _finish(out, n_baskets)
-    if len(c3) > cand_limit:
-        raise GuardExceeded(
-            f"frequent_itemsets: |C3|={len(c3)} exceeds "
-            f"cand_limit={cand_limit}")
 
     idx = {v: i for i, v in enumerate(vocab)}
     ti = np.array([idx[v] for v in c3["a"]], dtype=np.int64)

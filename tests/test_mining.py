@@ -124,3 +124,41 @@ def test_association_rules_match_bruteforce():
     assert (got["conf_bp"] >= 2000).all()
     # A→B,C style rules from the planted triple must be present
     assert "A" in set(got["antecedent"])
+
+
+def test_frequent_itemsets_driver_and_shuffle_paths_agree():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.mining import frequent_itemsets
+
+    rows = [(i % 17, f"it{(i * 3 + j) % 9}")
+            for i in range(120) for j in range(4)]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["bk", "it"]))
+    a = frequent_itemsets(ds, basket_col="bk", item_col="it",
+                          min_support=3)
+    b = frequent_itemsets(ds, basket_col="bk", item_col="it",
+                          min_support=3, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.attrs["n_baskets"] == b.attrs["n_baskets"]
+
+
+def test_frequent_itemsets_driver_honors_hot_basket_skip():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.mining import frequent_itemsets
+
+    # one hot basket above max_group contributes L1 but no pairs,
+    # identically in both modes
+    rows = [(0, f"hot{j}") for j in range(8)]
+    rows += [(i, "x") for i in range(1, 6)]
+    rows += [(i, "y") for i in range(1, 6)]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["bk", "it"]))
+    a = frequent_itemsets(ds, basket_col="bk", item_col="it",
+                          min_support=2, max_group=4)
+    b = frequent_itemsets(ds, basket_col="bk", item_col="it",
+                          min_support=2, max_group=4, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+    two = a[a["size"] == 2]
+    assert set(two["itemset"]) == {"x,y"}
