@@ -673,6 +673,21 @@ def test_dipre_support_threshold_and_sentence_boundary():
     assert out.empty
 
 
+def test_dipre_broadcast_and_hash_join_grounding_agree():
+    from cpg_ray.functions.text import dipre_bootstrap
+
+    # the guarded seed-grounding paths (broadcast url→pairs probe vs
+    # distributed hash_join) must induce identical bootstrap output
+    pages, facts = _dipre_corpus()
+    bcast = dipre_bootstrap(pages, facts, rounds=2, min_support=3,
+                            max_patterns=5)
+    pages, facts = _dipre_corpus()
+    joined = dipre_bootstrap(pages, facts, rounds=2, min_support=3,
+                             max_patterns=5, bcast_guard=0)
+    pd.testing.assert_frame_equal(bcast.reset_index(drop=True),
+                                  joined.reset_index(drop=True))
+
+
 def test_dipre_uses_last_mention_before_object():
     from cpg_ray.functions.text import dipre_bootstrap
 
