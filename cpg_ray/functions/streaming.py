@@ -347,20 +347,48 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     the same move for running state — order is data, so the scan
     parallelizes.
 
+    Two FUSED ops compose a scan of a scan without a second exchange:
+    ``summin`` / ``summax`` emit the running min / max OF the running
+    sum of ``value_col`` — per range the local min-of-prefix, combined
+    across ranges as ``min(local + sum_offset, carry_min)`` (the
+    segment-scan identity: a segment's contribution to the global
+    min-prefix is its sum offset plus its local min-prefix).  A
+    ``summin``/``summax`` spec REQUIRES a ``(value_col, "sum", …)``
+    spec in the same call (its offsets come from that sum's totals) —
+    the CUSUM identity s_i = P_i − min(0, min_{j≤i} P_j) is then ONE
+    scan call, one exchange.
+
     ``keep_cols`` names input columns carried through to the output
     unchanged — what lets scans COMPOSE (a second scan over a first
-    scan's output needs the first's running column next to its own,
-    e.g. the CUSUM identity s_i = P_i − min(0, min_{j≤i} P_j) is
-    scan(sum) then scan(min) with the prefix sum kept)."""
+    scan's output needs the first's running column next to its own).
+
+    Execution shape (one exchange total): bucketize (linear) →
+    ``groupby(__bucket).map_groups`` local sorted scan — the ONLY
+    exchange — materialized once, then per-range carries are recovered
+    from each range's LAST row by a linear per-batch combiner (≤ K
+    candidate rows per batch, combined on the driver), and a final
+    linear ``map_batches`` adds the K-row broadcast offsets.  The
+    materialize pins one output-sized copy in the object store (spill
+    handles overflow); the alternative — recomputing the sorted scan
+    for the carry pass — costs a second all-to-all, which is worse at
+    every scale."""
     import ray.data as rd
 
-    from .relational import default_n_buckets, groupby_agg
+    from .relational import default_n_buckets
 
     ops = {"sum": ("cumsum", np.add), "max": ("cummax", np.maximum),
-           "min": ("cummin", np.minimum)}
-    for _, op, _ in specs:
+           "min": ("cummin", np.minimum),
+           "summin": ("cummin", np.minimum),
+           "summax": ("cummax", np.maximum)}
+    for c, op, _ in specs:
         if op not in ops:
             raise ValueError(f"unsupported scan op {op!r}")
+        if op in ("summin", "summax") and not any(
+                c2 == c and op2 == "sum" for c2, op2, _ in specs):
+            raise ValueError(
+                f"{op!r} over {c!r} needs a ({c!r}, 'sum', …) spec in "
+                "the same call — its cross-range offsets come from "
+                "that sum's totals")
     if n_buckets is None:
         n_buckets = default_n_buckets()
 
@@ -404,38 +432,107 @@ def ordered_scan(ds, order_col: str, specs: list, *,
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
-    # phase 1: per-range totals (combiner-shaped), then the exclusive
-    # cross-range combine on K driver rows
-    tot = groupby_agg(bucketed, ["__bucket"],
-                      [(c, op, f"__t_{i}")
-                       for i, (c, op, _) in enumerate(specs)]).to_pandas()
-    tot = tot.sort_values("__bucket").reset_index(drop=True)
-    offsets: dict[int, list] = {}
-    carry: list = [None] * len(specs)
-    for _, row in tot.iterrows():
-        offsets[int(row["__bucket"])] = list(carry)
-        for i, (_, op, _) in enumerate(specs):
-            v = row[f"__t_{i}"]
-            carry[i] = v if carry[i] is None else ops[op][1](carry[i], v)
-
-    # phase 2: per-range local scan + broadcast offset
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
+    # phase 1 — the one exchange: per-range sorted LOCAL scan (no
+    # cross-range state yet); __bucket rides along for the carry pass
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort")
-        off = offsets.get(int(g["__bucket"].iloc[0]), [None] * len(specs))
-        out = {order_col: g[order_col].to_numpy()}
+        out = {order_col: g[order_col].to_numpy(),
+               "__bucket": g["__bucket"].to_numpy()}
         for c in keep_cols:
             out[c] = g[c].to_numpy()
+        for c, op, name in specs:
+            if op in ("summin", "summax"):
+                local = getattr(g[c].cumsum(), ops[op][0])()
+            else:
+                local = getattr(g[c], ops[op][0])()
+            out[name] = local.to_numpy()
+        return pd.DataFrame(out)
+
+    local = bucketed.groupby("__bucket").map_groups(
+        local_scan, batch_format="pandas").materialize()
+
+    # phase 2 — per-range totals from each range's LAST row: a linear
+    # per-batch combiner (≤ K candidate rows per batch; map_groups may
+    # split a range across downstream batches, so combine by max order
+    # key on the driver), then the exclusive cross-range carry fold
+    spec_cols = [name for _, _, name in specs]
+
+    def last_rows(b: pd.DataFrame) -> pd.DataFrame:
+        idx = b.groupby("__bucket")[order_col].idxmax()
+        return b.loc[idx, ["__bucket", order_col] + spec_cols]
+
+    summ = pd.concat(
+        [last_rows(b) for b in local.iter_batches(
+            batch_size=None, batch_format="pandas")] or
+        [pd.DataFrame(columns=["__bucket", order_col] + spec_cols)],
+        ignore_index=True)
+    summ = (summ.sort_values(["__bucket", order_col])
+            .groupby("__bucket", as_index=False).last()
+            .sort_values("__bucket").reset_index(drop=True))
+
+    sum_total = {c: {} for c, op, _ in specs if op == "sum"}
+    for c, op, name in specs:
+        if op == "sum":
+            for bk, t in zip(summ["__bucket"], summ[name]):
+                sum_total[c][int(bk)] = t
+    offsets: dict[int, list] = {}
+    carry: list = [None] * len(specs)
+    sum_carry: dict = {c: None for c in sum_total}
+    for _, row in summ.iterrows():
+        bk = int(row["__bucket"])
+        offsets[bk] = list(carry)
         for i, (c, op, name) in enumerate(specs):
-            local = getattr(g[c], ops[op][0])()
-            vals = local.to_numpy()
-            if off[i] is not None:
-                vals = (vals + off[i] if op == "sum"
-                        else ops[op][1](vals, off[i]))
+            if op == "sum":
+                t = row[name]  # local cumsum at range end == range sum
+                carry[i] = t if carry[i] is None else carry[i] + t
+            elif op in ("max", "min"):
+                m = row[name]
+                carry[i] = m if carry[i] is None else ops[op][1](
+                    carry[i], m)
+            else:  # summin / summax: carry = combine(prev, O_k + M_k)
+                o = sum_carry[c]
+                m = row[name] if o is None else row[name] + o
+                carry[i] = m if carry[i] is None else ops[op][1](
+                    carry[i], m)
+        for c in sum_carry:
+            t = sum_total[c].get(bk)
+            if t is not None:
+                sum_carry[c] = t if sum_carry[c] is None \
+                    else sum_carry[c] + t
+    # exclusive SUM offsets per range, for summin/summax finalize
+    sum_off: dict = {c: {} for c in sum_total}
+    for c, tot in sum_total.items():
+        run = None
+        for bk in sorted(tot):
+            sum_off[c][bk] = run
+            run = tot[bk] if run is None else run + tot[bk]
+
+    # phase 3 — linear finalize: broadcast K-row offsets onto each row
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = {order_col: b[order_col].to_numpy()}
+        for c in keep_cols:
+            out[c] = b[c].to_numpy()
+        bk = b["__bucket"].to_numpy()
+        for i, (c, op, name) in enumerate(specs):
+            vals = b[name].to_numpy().copy()
+            if op in ("summin", "summax"):
+                so = sum_off[c]
+                add = np.array([0 if so.get(int(k)) is None
+                                else so[int(k)] for k in bk])
+                vals = vals + add
+            off = np.array([offsets.get(int(k), [None] * len(specs))[i]
+                            for k in bk], dtype=object)
+            has = np.array([o is not None for o in off])
+            if has.any():
+                o = np.where(has, off, 0).astype(vals.dtype)
+                if op == "sum":
+                    vals = np.where(has, vals + o, vals)
+                else:
+                    vals = np.where(has, ops[op][1](vals, o), vals)
             out[name] = vals
         return pd.DataFrame(out)
 
-    return bucketed.groupby("__bucket").map_groups(
-        scan, batch_format="pandas")
+    return local.map_batches(finalize, batch_format="pandas")
 
 
 class ReorderBuffer:

@@ -2464,11 +2464,12 @@ def q_events_cusum(sf_dir: str) -> pd.DataFrame:
     global event stream: s_i = max(0, s_{i-1} + (v_i − k)) with alarm
     at s_i ≥ h.  The recursion is non-associative, but the classic
     prefix identity s_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sum
-    of centered values) turns it into TWO composable distributed
-    scans — :func:`~cpg_ray.functions.streaming.ordered_scan` (sum)
-    feeding ordered_scan (min) with the prefix column carried through
-    — so change detection over a 100-TB stream is two bucket
-    exchanges plus a K-row driver combine, never a sequential pass.
+    of centered values) turns it into ONE fused distributed scan —
+    :func:`~cpg_ray.functions.streaming.ordered_scan` with a ``sum``
+    spec and the fused ``summin`` spec (running min OF the running
+    sum; segment-scan combine min(local + sum_offset, carry)) — so
+    change detection over a 100-TB stream is a single bucket exchange
+    plus a K-row driver combine, never a sequential pass.
     Values scale to integer cents so every intermediate is exact
     int64.  Reference analog: the EOG INDEX property makes evaluation
     order a column (Properties.java:43-49); here running *state* is
@@ -2484,11 +2485,9 @@ def q_events_cusum(sf_dir: str) -> pd.DataFrame:
                            + 0.5).astype("int64") - CUSUM_K_CENTS,
         })
 
-    prefix = ordered_scan(
+    scanned = ordered_scan(
         ev.map_batches(prep, batch_format="pandas"), "event_id",
-        [("dv", "sum", "p")])
-    scanned = ordered_scan(prefix, "event_id",
-                           [("p", "min", "pmin")], keep_cols=["p"])
+        [("dv", "sum", "p"), ("dv", "summin", "pmin")])
     df = scanned.to_pandas()
     p = df["p"].to_numpy(np.int64)
     cusum = p - np.minimum(df["pmin"].to_numpy(np.int64), 0)

@@ -288,6 +288,60 @@ def test_cusum_two_scan_composition_matches_recursion():
         assert (got == truth).all()
 
 
+def test_fused_summin_matches_composition_and_recursion():
+    """The fused ``summin``/``summax`` specs (running min/max OF the
+    running sum, one exchange) must equal the two-scan composition AND
+    the sequential CUSUM recursion, across reset/no-reset drifts and
+    range-count extremes (1 bucket = all-local, 16 = carry-heavy)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import ordered_scan
+
+    rng = np.random.RandomState(31)
+    for dv in (rng.randint(-80, 60, 3000),
+               rng.randint(1, 50, 400),
+               rng.randint(-50, -1, 400)):
+        dv = dv.astype("int64")
+        n = len(dv)
+        perm = rng.permutation(n)
+        df = pd.DataFrame({"k": np.arange(n)[perm], "dv": dv[perm]})
+        for nb in (1, 6, 16):
+            ds = rd.from_pandas(df).repartition(7)
+            fused = (ordered_scan(
+                ds, "k", [("dv", "sum", "p"), ("dv", "summin", "pmin"),
+                          ("dv", "summax", "pmax")], n_buckets=nb)
+                .to_pandas().sort_values("k").reset_index(drop=True))
+            p = np.cumsum(dv)
+            assert (fused.p.to_numpy() == p).all()
+            assert (fused.pmin.to_numpy()
+                    == np.minimum.accumulate(p)).all()
+            assert (fused.pmax.to_numpy()
+                    == np.maximum.accumulate(p)).all()
+            got = fused.p.to_numpy() - np.minimum(
+                fused.pmin.to_numpy(), 0)
+            s, truth = 0, np.empty(n, dtype="int64")
+            for i, d in enumerate(dv):
+                s = max(0, s + d)
+                truth[i] = s
+            assert (got == truth).all()
+
+
+def test_summin_without_sum_spec_raises():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import ordered_scan
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(4), "dv": np.ones(4, dtype="int64")}))
+    with pytest.raises(ValueError, match="needs a"):
+        ordered_scan(ds, "k", [("dv", "summin", "pmin")])
+
+
 def test_reorder_buffer_hides_bounded_disorder_from_sessionizer():
     """Events shuffled within the lateness allowance must produce
     IDENTICAL sessions to a fully-sorted feed; displacement beyond the
