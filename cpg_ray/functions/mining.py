@@ -77,13 +77,42 @@ def _itemsets_driver(df: pd.DataFrame, *, basket_col: str,
     if max_size == 1 or not len(vocab):
         return _finish(out, n_baskets)
     pruned = df[df[item_col].isin(set(vocab))]
-    sizes = pruned.groupby(basket_col)[item_col].transform("size")
-    small = pruned[sizes.to_numpy() <= max_group]
-    mm = small.merge(small, on=basket_col, suffixes=("", "_y"))
-    mm = mm[mm[item_col] < mm[item_col + "_y"]]
-    l2 = (mm.groupby([item_col, item_col + "_y"], sort=False)
-          .size().rename("support").reset_index()
-          .rename(columns={item_col: "a", item_col + "_y": "b"}))
+    # L2 via CSR-style vectorized pair expansion — a pandas self-merge
+    # on the basket key is a high-multiplicity join (measured ~1.2 s
+    # for 554k rows x ~5.5 items/basket at sf0.1 vs ~60 ms here);
+    # items sort ascending inside each basket run, so a < b holds by
+    # construction and the pair key is exact integer arithmetic
+    idx = {v: i for i, v in enumerate(vocab)}
+    nv = len(vocab)
+    icodes = pruned[item_col].map(idx).to_numpy(np.int64)
+    bcodes, _ = pd.factorize(pruned[basket_col], sort=False)
+    order = np.lexsort((icodes, bcodes))
+    b_sorted = bcodes[order]
+    i_sorted = icodes[order]
+    starts = np.flatnonzero(
+        np.r_[True, b_sorted[1:] != b_sorted[:-1]]) \
+        if len(b_sorted) else np.array([], dtype=np.int64)
+    lens = np.diff(np.r_[starts, len(b_sorted)]) \
+        if len(starts) else np.array([], dtype=np.int64)
+    run_len = np.repeat(lens, lens)
+    keep_run = run_len <= max_group  # hot-basket skip, same as L2 pass
+    pos = np.arange(len(b_sorted)) - np.repeat(starts, lens)
+    reps = np.where(keep_run, run_len - pos - 1, 0)
+    if reps.sum() > 0:
+        left = np.repeat(np.arange(len(b_sorted)), reps)
+        cum = np.cumsum(reps)
+        seg0 = np.r_[0, cum[:-1]]
+        right = left + (np.arange(int(reps.sum()))
+                        - np.repeat(seg0, reps) + 1)
+        keys, counts = np.unique(i_sorted[left] * nv + i_sorted[right],
+                                 return_counts=True)
+        l2 = pd.DataFrame({"a": vocab[keys // nv],
+                           "b": vocab[keys % nv],
+                           "support": counts.astype("int64")})
+    else:
+        l2 = pd.DataFrame({"a": pd.Series(dtype="object"),
+                           "b": pd.Series(dtype="object"),
+                           "support": pd.Series(dtype="int64")})
     if len(l2) > cand_limit:
         raise GuardExceeded(
             f"frequent_itemsets: |L2|={len(l2)} exceeds "
@@ -99,12 +128,12 @@ def _itemsets_driver(df: pd.DataFrame, *, basket_col: str,
     c3 = _gen_c3(l2, cand_limit)
     if not len(c3):
         return _finish(out, n_baskets)
-    idx = {v: i for i, v in enumerate(vocab)}
     ti = np.array([idx[v] for v in c3["a"]], dtype=np.int64)
     tj = np.array([idx[v] for v in c3["c3_b"]], dtype=np.int64)
     tk = np.array([idx[v] for v in c3["c3_c"]], dtype=np.int64)
-    codes, _ = pd.factorize(pruned[basket_col], sort=False)
-    cols = pruned[item_col].map(idx).to_numpy(np.int64)
+    # reuse the basket/item codes from the L2 expansion (same frame)
+    codes = bcodes
+    cols = icodes
     mat = np.zeros((codes.max() + 1 if len(codes) else 0, len(vocab)),
                    dtype=bool)
     if len(codes):
