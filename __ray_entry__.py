@@ -963,6 +963,28 @@ def _kg_eccentricity(sf_dir: str):
                         dst="canonical_obj", n_sources=32, rounds=12)
 
 
+def _kg_rpq(sf_dir: str):
+    """Regular path query (SPARQL 1.1 property-path shape) over the
+    extracted fact graph: `(works_for/based_in | born_in) /
+    located_in*` from every person — employer-city or birthplace, then
+    up the geo-containment hierarchy — evaluated as the bounded
+    product-automaton BFS (Mendelzon & Wood; fusion.rpq_reach), min
+    hop count per reached (person, place).  The located_in star is
+    cycle-safe by the hop budget; the SQL twin unrolls one CTE per
+    (hop, NFA state)."""
+    import glob
+
+    import ray.data as rd
+
+    from cpg_ray.functions.fusion import rpq_reach
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["pred", "canonical_subj", "canonical_obj"])
+    return rpq_reach(tri, max_hops=4)
+
+
 def _kg_metapath(sf_dir: str):
     """Typed 2-hop metapath census over the distinct fact set — the
     heterogeneous-network schema profile behind metapath2vec-style
@@ -2485,6 +2507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eccentricity": _kg_eccentricity,
         # typed 2-hop metapath census (HIN schema profile)
         "kg_metapath": _kg_metapath,
+        # regular path query (property-path NFA product BFS)
+        "kg_rpq": _kg_rpq,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2663,13 +2687,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # machinery is repped in-window by kg_clustering_coef (degree/
     # census kernels) and kg_scc (label machinery); swept green at
     # sf0.01 this session.
+    # Tenth rotation (continuation): kg_rpq (brand-new NFA-product
+    # regular-path-query machinery, never driver-checked) displaces
+    # kg_ktruss — ktruss is r4 DRIVER-GREEN (the only window entry
+    # besides q21 with a prior green row), its bounded-round peel +
+    # chunked CSR wedge kernels are repped in-window by
+    # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
+    # guarded expansion), and it swept green at sf0.01 this round
+    # (window_sweep_s4).
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
         # dedup big-join path)
         "q_events_running_total", "q12_priority_lateness",
         "kg_cypher_optional", "q21_sole_supplier",
-        "kg_ktruss", "kg_harmonic", "kg_para_dedup",
+        "kg_rpq", "kg_harmonic", "kg_para_dedup",
         # round-5 continuation additions — new code this round
         "q_doc_setjoin_prefix", "kg_snapshot_merge",
         "kg_c4_filter", "q_sample_priority",
@@ -5050,6 +5082,44 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    per.n_reached = pa.n2 AS converged
             FROM per JOIN pa USING (s)
             ORDER BY source
+        """
+    # unrolled product-automaton BFS: one CTE per (hop, NFA state);
+    # DISTINCT per level == the engine's exact-hop level sets, and
+    # min-hop over exact-h levels == BFS first arrival
+    out["kg_rpq"] = f"""
+            WITH f AS MATERIALIZED (
+                SELECT DISTINCT pred AS p, canonical_subj AS s,
+                                canonical_obj AS o
+                FROM read_parquet('{triples_glob}')),
+            p0 AS (SELECT DISTINCT s AS src, s AS node FROM f
+                   WHERE substr(s, 1, 1) = 'P'),
+            h1_q1 AS MATERIALIZED (
+                SELECT DISTINCT p0.src, f.o AS node FROM p0
+                JOIN f ON f.s = p0.node AND f.p = 'works_for'),
+            h1_ac AS MATERIALIZED (
+                SELECT DISTINCT p0.src, f.o AS node FROM p0
+                JOIN f ON f.s = p0.node AND f.p = 'born_in'),
+            h2_ac AS MATERIALIZED (
+                SELECT DISTINCT src, node FROM (
+                    SELECT h1_q1.src, f.o AS node FROM h1_q1
+                    JOIN f ON f.s = h1_q1.node AND f.p = 'based_in'
+                    UNION ALL
+                    SELECT h1_ac.src, f.o AS node FROM h1_ac
+                    JOIN f ON f.s = h1_ac.node
+                          AND f.p = 'located_in')),
+            h3_ac AS MATERIALIZED (
+                SELECT DISTINCT h2_ac.src, f.o AS node FROM h2_ac
+                JOIN f ON f.s = h2_ac.node AND f.p = 'located_in'),
+            h4_ac AS MATERIALIZED (
+                SELECT DISTINCT h3_ac.src, f.o AS node FROM h3_ac
+                JOIN f ON f.s = h3_ac.node AND f.p = 'located_in')
+            SELECT src, node AS dst, min(h)::BIGINT AS min_hops
+            FROM (SELECT src, node, 1 AS h FROM h1_ac
+                  UNION ALL SELECT src, node, 2 FROM h2_ac
+                  UNION ALL SELECT src, node, 3 FROM h3_ac
+                  UNION ALL SELECT src, node, 4 FROM h4_ac)
+            GROUP BY src, node
+            ORDER BY src, dst
         """
     out["kg_metapath"] = f"""
             WITH e AS (SELECT DISTINCT pred,

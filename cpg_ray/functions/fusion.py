@@ -299,6 +299,141 @@ OWL_CHAINS = (("born_in", "located_in", "born_in_country"),
               ("based_in", "located_in", "based_in_country"))
 
 
+# RPQ automaton for the headline geo-reach query: a person reaches a
+# geo anchor via employer city (works_for · based_in) or birthplace
+# (born_in), then climbs the containment hierarchy (located_in*,
+# bounded by the hop budget) — the SPARQL 1.1 property-path shape
+# `(works_for/based_in | born_in) / located_in*`.
+RPQ_GEO_TRANSITIONS = (("q0", "works_for", "q1"),
+                       ("q0", "born_in", "acc"),
+                       ("q1", "based_in", "acc"),
+                       ("acc", "located_in", "acc"))
+
+
+def rpq_reach(triples_ds, *, transitions=RPQ_GEO_TRANSITIONS,
+              start_state: str = "q0", start_prefix: str = "P",
+              accept_states=("acc",), max_hops: int = 4,
+              mode: str = "auto", driver_limit: int = 2_000_000):
+    """Regular path query over the fact set via the product-automaton
+    BFS (Mendelzon & Wood, SIAM J. Comput. 1995; the evaluation model
+    behind SPARQL 1.1 property paths — public): ``transitions`` is an
+    NFA as (state, pred, next_state) triples; starting from every
+    distinct subject whose id starts with ``start_prefix`` in
+    ``start_state``, expand hop levels F_h = {(src, o, s') :
+    (src, n, st) ∈ F_{h-1}, (n, p, o) ∈ facts, (st, p, s') ∈ NFA}
+    up to ``max_hops``; report each (src, dst) first reached in an
+    accepting state with its min hop count.  Exact-hop level sets
+    (DISTINCT per level) make the engine a literal transcription of
+    the unrolled per-(hop, state) SQL twin — min-hop over exact-h
+    levels equals BFS first arrival, and the hop budget bounds any
+    Kleene-star cycle (a located_in loop terminates by construction,
+    pinned in pytest).
+
+    Scale shape: the NFA is a constant (broadcast in the transform
+    closure); each hop is ONE composite hash_join of the frontier with
+    the distinct fact set keyed on the frontier node — never an
+    all-to-all on predicates — followed by a combiner-fed per-level
+    DISTINCT, and the accept union finishes with one pre-combined
+    min groupby.  The guarded driver twin (facts ≤ ``driver_limit``)
+    runs the same levels as pandas merges — each Ray join spins a
+    fresh aggregator fleet (~1-2 s fixed) that dwarfs the merge cost
+    at entity-vocabulary scale; both paths are pinned equal in
+    pytest.
+
+    Reference analog: Graph.kt's MATCH chain evaluation generalized
+    from fixed-length chains (rel_chain) and single-etype stars
+    (var_length_reach) to arbitrary regular languages over etypes.
+
+    Returns a pandas frame (src, dst, min_hops int64) sorted."""
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    cols = ["canonical_subj", "pred", "canonical_obj"]
+    acc = set(accept_states)
+    tdf = pd.DataFrame(list(transitions),
+                       columns=["state", "p", "nstate"])
+
+    def to_spo(b: pd.DataFrame) -> pd.DataFrame:
+        return (b[cols].drop_duplicates()
+                .rename(columns={"canonical_subj": "s", "pred": "p",
+                                 "canonical_obj": "o"}))
+
+    d = distinct_on(
+        triples_ds.map_batches(to_spo, batch_format="pandas"),
+        ["s", "p", "o"], mode=mode).materialize()
+
+    def finish(levels: list[pd.DataFrame]) -> pd.DataFrame:
+        if not levels:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "dst": pd.Series(dtype="object"),
+                                 "min_hops": pd.Series(dtype="int64")})
+        allacc = pd.concat(levels, ignore_index=True)
+        out = (allacc.groupby(["src", "dst"], as_index=False)["h"]
+               .min().rename(columns={"h": "min_hops"}))
+        out["min_hops"] = out["min_hops"].astype("int64")
+        return (out.sort_values(["src", "dst"])
+                .reset_index(drop=True))
+
+    if mode != "shuffle" and d.count() <= driver_limit:
+        f = d.to_pandas()
+        starts = np.unique(f.loc[f["s"].str.startswith(start_prefix),
+                                 "s"].to_numpy(dtype=object))
+        cur = pd.DataFrame({"src": starts, "node": starts,
+                            "state": start_state})
+        levels = []
+        for h in range(1, max_hops + 1):
+            if not len(cur):
+                break
+            step = (cur.merge(f, left_on="node", right_on="s")
+                    .merge(tdf, on=["state", "p"]))
+            cur = (step[["src", "o", "nstate"]]
+                   .rename(columns={"o": "node", "nstate": "state"})
+                   .drop_duplicates())
+            hit = cur[cur["state"].isin(acc)]
+            if len(hit):
+                levels.append(pd.DataFrame(
+                    {"src": hit["src"].to_numpy(),
+                     "dst": hit["node"].to_numpy(), "h": h}))
+        return finish(levels)
+
+    # distributed: one frontier×facts join + per-level DISTINCT per hop
+    starts = distinct_on(
+        d.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": (v := b.loc[b["s"].str.startswith(start_prefix),
+                                    "s"].to_numpy(dtype=object)),
+                 "node": v,
+                 "state": start_state}),
+            batch_format="pandas"),
+        ["src", "node", "state"], mode=mode)
+    cur = starts.materialize()
+    levels = []
+    for h in range(1, max_hops + 1):
+        if cur.count() == 0:
+            break
+        step = hash_join(cur, d, on="node", right_on="s",
+                         empty_safe=True)
+
+        def apply_nfa(b: pd.DataFrame) -> pd.DataFrame:
+            m = b.merge(tdf, on=["state", "p"])
+            return pd.DataFrame(
+                {"src": m["src"].to_numpy(),
+                 "node": m["o"].to_numpy(),
+                 "state": m["nstate"].to_numpy()})
+
+        cur = distinct_on(
+            step.map_batches(apply_nfa, batch_format="pandas"),
+            ["src", "node", "state"], mode=mode).materialize()
+        hit = cur.map_batches(
+            lambda b, _h=h: (b.loc[b["state"].isin(acc),
+                                   ["src", "node"]]
+                             .rename(columns={"node": "dst"})
+                             .assign(h=np.int64(_h))),
+            batch_format="pandas").to_pandas()
+        if len(hit):
+            levels.append(hit)
+    return finish(levels)
+
+
 def property_entailment(triples_ds, *, inverse=OWL_INVERSE,
                         chains=OWL_CHAINS, mode: str = "auto",
                         chain_guard: int = 5_000_000):

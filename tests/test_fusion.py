@@ -411,3 +411,65 @@ def test_truth_discovery_empty_and_tiebreak():
             ("born_in", "P1", "C1", "http://b/1")]
     out = truth_discovery(_triples(rows), rounds=2)
     assert out.iloc[0].chosen_obj == "C1"
+
+
+# ---------------------------------------------------------------
+# Regular path query (fusion.rpq_reach)
+# ---------------------------------------------------------------
+
+def _rpq_graph():
+    """P1 reaches K1 two ways (born_in city C1 -> K1 at 2 hops, and
+    works_for O1 based_in C2 -> K1 at 3) — min_hops must pick 2; K1
+    and K2 sit on a located_in CYCLE, so the bounded star must
+    terminate and still reach both."""
+    return _triples([
+        ("born_in", "P1", "C1", "u1"),
+        ("works_for", "P1", "O1", "u2"),
+        ("based_in", "O1", "C2", "u3"),
+        ("located_in", "C1", "K1", "u4"),
+        ("located_in", "C2", "K1", "u5"),
+        ("located_in", "K1", "K2", "u6"),
+        ("located_in", "K2", "K1", "u7"),   # cycle
+        ("works_for", "P2", "O1", "u8"),    # employer-only person
+        ("born_in", "P3", "C9", "u9"),      # birth city with no country
+    ])
+
+
+def test_rpq_min_hops_cycle_and_branches():
+    from cpg_ray.functions.fusion import rpq_reach
+
+    out = rpq_reach(_rpq_graph(), max_hops=4)
+    got = {(r.src, r.dst): r.min_hops for r in out.itertuples()}
+    # P1: birth city at 1, its country at 2 (beats the 3-hop employer
+    # route), K2 via the cycle at 3
+    assert got[("P1", "C1")] == 1
+    assert got[("P1", "K1")] == 2
+    assert got[("P1", "K2")] == 3
+    # employer route exists too: C2 at hop 2
+    assert got[("P1", "C2")] == 2
+    # P2 only via employer: C2 at 2, K1 at 3, K2 at 4 (budget edge)
+    assert got[("P2", "C2")] == 2
+    assert got[("P2", "K1")] == 3
+    assert got[("P2", "K2")] == 4
+    # P3's birth city has no located_in — reachable at 1, nothing more
+    assert got[("P3", "C9")] == 1
+    assert not any(s == "P3" and d != "C9" for s, d in got)
+    # cycle never escapes the budget: every hop count <= 4
+    assert out.min_hops.max() <= 4
+
+
+def test_rpq_driver_and_shuffle_paths_agree():
+    from cpg_ray.functions.fusion import rpq_reach
+
+    a = rpq_reach(_rpq_graph(), max_hops=4)
+    b = rpq_reach(_rpq_graph(), max_hops=4, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rpq_empty_and_no_start_nodes():
+    from cpg_ray.functions.fusion import rpq_reach
+
+    # graph with no person subjects -> empty result, stable schema
+    out = rpq_reach(_triples([("located_in", "C1", "K1", "u")]))
+    assert out.empty
+    assert list(out.columns) == ["src", "dst", "min_hops"]
