@@ -985,6 +985,30 @@ def _kg_rpq(sf_dir: str):
     return rpq_reach(tri, max_hops=4)
 
 
+def _kg_simrank(sf_dir: str):
+    """SimRank structural similarity over the fact graph (Jeh & Widom
+    KDD'02): two entities are similar when their in-neighbors are —
+    orgs sharing employees, countries sharing cities — two unrolled
+    rounds in exact integer fixed point (graphalgo.simrank), so the
+    pair-join SQL twin hash-matches."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    tri = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "canonical_obj"])
+    from cpg_ray.functions.graphalgo import simrank
+
+    edges = tri.map_batches(
+        lambda b: pd.DataFrame({"src": b.canonical_subj,
+                                "dst": b.canonical_obj}),
+        batch_format="pandas")
+    return simrank(edges, rounds=2)
+
+
 def _kg_metapath(sf_dir: str):
     """Typed 2-hop metapath census over the distinct fact set — the
     heterogeneous-network schema profile behind metapath2vec-style
@@ -2509,6 +2533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_metapath": _kg_metapath,
         # regular path query (property-path NFA product BFS)
         "kg_rpq": _kg_rpq,
+        # SimRank pair-space similarity fixpoint (integer fixed point)
+        "kg_simrank": _kg_simrank,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2695,6 +2721,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Eleventh rotation: kg_simrank (brand-new pair-space similarity
+    # fixpoint, never driver-checked) displaces q_doc_minhash_sig —
+    # the md5 signature kernel it exercises is the substrate of
+    # q_dedup_minhash (driver-green r1-r3) and is pinned by the
+    # signature pytests; minhash family stays repped in-window by
+    # kg_para_dedup; swept green at sf0.001+0.01 this session.
     _WINDOW_R5 = [
         # changed-this-round machinery (oracle fixes, colocate path,
         # distributed q21 finish, chunked graph expansions, paragraph
@@ -2716,7 +2748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
         "kg_fact_timeline", "q_kmeans",
-        "q_doc_minhash_sig", "q_part_skyline",
+        "kg_simrank", "q_part_skyline",
         # graph family — never driver-checked
         "kg_sameas",
         "kg_wl_colors", "kg_scc",
@@ -5082,6 +5114,53 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    per.n_reached = pa.n2 AS converged
             FROM per JOIN pa USING (s)
             ORDER BY source
+        """
+    # unrolled SimRank pair joins: s1 from common in-neighbors, s2
+    # via the symmetric s1 ⋈ edges ⋈ edges T pass; every score an
+    # exact int64 floor division (non-negative, so // == floor)
+    out["kg_simrank"] = f"""
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT canonical_subj AS s,
+                                canonical_obj AS o
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj),
+            d AS (SELECT o AS v, count(*)::BIGINT AS din
+                  FROM e GROUP BY o),
+            com AS MATERIALIZED (
+                SELECT e1.o AS a, e2.o AS b, count(*)::BIGINT AS c
+                FROM e e1 JOIN e e2
+                  ON e2.s = e1.s AND e1.o < e2.o
+                GROUP BY 1, 2),
+            s1 AS MATERIALIZED (
+                SELECT com.a, com.b,
+                       (8 * 1000000 * com.c)
+                           // (10 * da.din * db.din) AS v
+                FROM com JOIN d da ON da.v = com.a
+                         JOIN d db ON db.v = com.b),
+            sym AS (SELECT a AS i, b AS j, v FROM s1 WHERE v > 0
+                    UNION ALL
+                    SELECT b AS i, a AS j, v FROM s1 WHERE v > 0),
+            toff AS MATERIALIZED (
+                SELECT x.o AS a, y.o AS b, sum(p.v)::BIGINT AS t
+                FROM sym p JOIN e x ON x.s = p.i
+                           JOIN e y ON y.s = p.j
+                WHERE x.o < y.o
+                GROUP BY 1, 2),
+            allp AS (
+                SELECT COALESCE(com.a, toff.a) AS a,
+                       COALESCE(com.b, toff.b) AS b,
+                       COALESCE(com.c, 0) AS c,
+                       COALESCE(toff.t, 0) AS t
+                FROM com FULL OUTER JOIN toff
+                  ON toff.a = com.a AND toff.b = com.b)
+            SELECT allp.a, allp.b,
+                   ((8 * (1000000 * allp.c + allp.t))
+                    // (10 * da.din * db.din))::BIGINT AS simrank
+            FROM allp JOIN d da ON da.v = allp.a
+                      JOIN d db ON db.v = allp.b
+            WHERE (8 * (1000000 * allp.c + allp.t))
+                      // (10 * da.din * db.din) > 0
+            ORDER BY simrank DESC, a, b
         """
     # unrolled product-automaton BFS: one CTE per (hop, NFA state);
     # DISTINCT per level == the engine's exact-hop level sets, and

@@ -4724,3 +4724,201 @@ def anf_neighborhood(edges_ds, *, src: str = "src", dst: str = "dst",
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def simrank(edges_ds, *, src: str = "src", dst: str = "dst",
+            rounds: int = 2, scale: int = 10 ** 6,
+            c_num: int = 8, c_den: int = 10, mode: str = "auto",
+            driver_edge_limit: int = _DEF_EDGE_LIMIT,
+            pair_limit: int = 2_000_000) -> pd.DataFrame:
+    """SimRank structural similarity (Jeh & Widom, KDD'02 — public):
+    two objects are similar when their IN-neighbors are similar,
+
+        s(a, a) = 1
+        s(a, b) = C / (|I(a)||I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i, j)
+
+    evaluated ``rounds`` times (default 2) from s₀ = identity in exact
+    integer fixed point — scores scaled by ``scale`` with FLOOR
+    division, C the exact fraction c_num/c_den — so both engines (and
+    the pair-join SQL twin) reproduce identical int64 scores:
+
+        s₁(a,b) = (c_num·scale·|I(a)∩I(b)|) // (c_den·d(a)·d(b))
+        s₂(a,b) = (c_num·(scale·|I(a)∩I(b)| + T(a,b)))
+                   // (c_den·d(a)·d(b)),
+        T(a,b)  = Σ_{i∈I(a), j∈I(b), i≠j} s₁(i, j)
+
+    over the distinct self-loop-free edge set.  SimRank is symmetric,
+    so pairs report once with a < b; only positive-score pairs return
+    (zero pairs are the implicit default, as in the paper's sparse
+    formulation).
+
+    Scale posture: the pair space is inherently quadratic in shared
+    in-neighbor fan-out — past ``pair_limit`` live pairs the operator
+    raises :class:`~cpg_ray.functions.relational.GuardExceeded`
+    (an honest refusal, never a silently-truncated answer; partial
+    SimRank is not SimRank).  Under the guard the per-round state is
+    driver-bounded, so mode='auto' runs the driver twin below
+    ``driver_edge_limit`` distinct edges; mode='shuffle' distributes
+    the two fan-out joins (common-source pair expansion; the T pass
+    broadcasts the pair-bounded s₁ table and joins the emitted
+    (a, j, v) partials back to the edge set) and is pinned equal in
+    pytest.
+
+    Returns a pandas frame (a, b, simrank int64), a < b, sorted by
+    simrank desc, a, b."""
+    if rounds not in (1, 2):
+        raise ValueError("rounds must be 1 or 2 (unrolled twin)")
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _finish(pairs: pd.DataFrame) -> pd.DataFrame:
+        pairs = pairs[pairs["simrank"] > 0]
+        out = pairs.sort_values(
+            ["simrank", "a", "b"], ascending=[False, True, True],
+            kind="mergesort").reset_index(drop=True)
+        out["simrank"] = out["simrank"].astype("int64")
+        return out[["a", "b", "simrank"]]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"a": pd.Series(dtype="object"),
+                             "b": pd.Series(dtype="object"),
+                             "simrank": pd.Series(dtype="int64")})
+
+    if mode in ("driver", "auto"):
+        try:
+            e = _edges_to_driver(edges_ds, src, dst, driver_edge_limit)
+            e = e[e[src] != e[dst]]
+            if not len(e):
+                return _empty()
+            din = e.groupby(dst).size().rename("din")
+            # common in-neighbors: all ordered out-pairs per source
+            m = e.merge(e, on=src, suffixes=("_a", "_b"))
+            m = m[m[f"{dst}_a"] < m[f"{dst}_b"]]
+            com = (m.groupby([f"{dst}_a", f"{dst}_b"]).size()
+                   .rename("c").reset_index()
+                   .rename(columns={f"{dst}_a": "a", f"{dst}_b": "b"}))
+            if len(com) > pair_limit:
+                raise GuardExceeded(
+                    f"simrank: {len(com)} live pairs exceed "
+                    f"pair_limit={pair_limit}")
+            da = com["a"].map(din).to_numpy("int64")
+            db = com["b"].map(din).to_numpy("int64")
+            s1 = (c_num * scale * com["c"].to_numpy("int64")) \
+                // (c_den * da * db)
+            s1df = com.assign(v=s1)
+            s1df = s1df[s1df["v"] > 0]
+            if rounds == 1:
+                return _finish(s1df.rename(columns={"v": "simrank"})
+                               [["a", "b", "simrank"]])
+            # T pass: symmetric s1 ⋈ edges twice, i ≠ j by a<b pairs
+            sym = pd.concat([
+                s1df.rename(columns={"a": "i", "b": "j"}),
+                s1df.rename(columns={"a": "j", "b": "i"}),
+            ], ignore_index=True)[["i", "j", "v"]]
+            t = (sym.merge(e.rename(columns={src: "i", dst: "a"}),
+                           on="i")
+                 .merge(e.rename(columns={src: "j", dst: "b"}),
+                        on="j"))
+            t = t[t["a"] < t["b"]]
+            toff = (t.groupby(["a", "b"])["v"].sum().rename("t")
+                    .reset_index())
+            allp = com.merge(toff, on=["a", "b"], how="outer")
+            if len(allp) > pair_limit:
+                raise GuardExceeded(
+                    f"simrank: {len(allp)} live pairs exceed "
+                    f"pair_limit={pair_limit}")
+            cc = allp["c"].fillna(0).to_numpy("int64")
+            tt = allp["t"].fillna(0).to_numpy("int64")
+            da = allp["a"].map(din).to_numpy("int64")
+            db = allp["b"].map(din).to_numpy("int64")
+            s2 = (c_num * (scale * cc + tt)) // (c_den * da * db)
+            return _finish(allp.assign(simrank=s2)
+                           [["a", "b", "simrank"]])
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+
+    # shuffle path: distribute the two fan-out joins; the per-round
+    # pair STATE stays pair_limit-bounded (guarded collect) because
+    # partial SimRank is refused, not truncated
+    import ray
+
+    from .relational import (_collect_limited, bcast_get, distinct_on,
+                             groupby_agg, hash_join)
+
+    e_ds = distinct_on(
+        edges_ds.map_batches(
+            lambda b: b.loc[b[src] != b[dst], [src, dst]],
+            batch_format="pandas"),
+        [src, dst], mode="shuffle").materialize()
+    din_df = _collect_limited(
+        groupby_agg(e_ds, [dst], [(src, "count", "din")]),
+        pair_limit, "simrank")
+    if not len(din_df):
+        return _empty()
+    din = dict(zip(din_df[dst], din_df["din"].astype("int64")))
+    com_ds = groupby_agg(
+        hash_join(
+            e_ds.map_batches(lambda b: b.rename(
+                columns={dst: "a"}), batch_format="pandas"),
+            e_ds.map_batches(lambda b: b.rename(
+                columns={dst: "b"}), batch_format="pandas"),
+            on=src, empty_safe=True).map_batches(
+                lambda b: b.loc[b["a"] < b["b"], ["a", "b"]]
+                .assign(one=np.int64(1)), batch_format="pandas"),
+        ["a", "b"], [("one", "sum", "c")])
+    com = _collect_limited(com_ds, pair_limit, "simrank")
+    if not len(com):
+        return _empty()
+    da = com["a"].map(din).to_numpy("int64")
+    db = com["b"].map(din).to_numpy("int64")
+    com["v"] = (c_num * scale * com["c"].to_numpy("int64")) \
+        // (c_den * da * db)
+    s1df = com[com["v"] > 0]
+    if rounds == 1:
+        return _finish(s1df.rename(columns={"v": "simrank"})
+                       [["a", "b", "simrank"]])
+    # broadcast symmetric s1 keyed by i; one linear emit pass over the
+    # edges + one hash join back to the edge set + combiner sum
+    sym: dict = {}
+    for i, j, v in zip(com["a"], com["b"], com["v"]):
+        if v > 0:
+            sym.setdefault(i, []).append((j, int(v)))
+            sym.setdefault(j, []).append((i, int(v)))
+    sym_ref = ray.put(sym)
+
+    def emit(b: pd.DataFrame, _ref=sym_ref) -> pd.DataFrame:
+        mm = bcast_get(_ref)
+        rows_a, rows_j, rows_v = [], [], []
+        for i, a in zip(b[src].to_numpy(object),
+                        b[dst].to_numpy(object)):
+            for j, v in mm.get(i, ()):
+                rows_a.append(a)
+                rows_j.append(j)
+                rows_v.append(v)
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype="object"),
+                             "j": pd.Series(rows_j, dtype="object"),
+                             "v": pd.Series(rows_v, dtype="int64")})
+
+    part = e_ds.map_batches(emit, batch_format="pandas")
+    tj = hash_join(part, e_ds.map_batches(
+        lambda b: b.rename(columns={src: "j", dst: "b"}),
+        batch_format="pandas"), on="j", empty_safe=True)
+    toff = _collect_limited(
+        groupby_agg(
+            tj.map_batches(lambda b: b.loc[b["a"] < b["b"],
+                                           ["a", "b", "v"]],
+                           batch_format="pandas"),
+            ["a", "b"], [("v", "sum", "t")]),
+        pair_limit, "simrank")
+    allp = com[["a", "b", "c"]].merge(toff, on=["a", "b"], how="outer")
+    if len(allp) > pair_limit:
+        raise GuardExceeded(
+            f"simrank: {len(allp)} live pairs exceed "
+            f"pair_limit={pair_limit}")
+    cc = allp["c"].fillna(0).to_numpy("int64")
+    tt = allp["t"].fillna(0).to_numpy("int64")
+    da = allp["a"].map(din).to_numpy("int64")
+    db = allp["b"].map(din).to_numpy("int64")
+    allp["simrank"] = (c_num * (scale * cc + tt)) // (c_den * da * db)
+    return _finish(allp[["a", "b", "simrank"]])

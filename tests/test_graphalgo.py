@@ -1810,3 +1810,60 @@ def test_anf_modes_agree():
     a = anf_neighborhood(ds, hops=3, m=16, mode="driver")
     b = anf_neighborhood(ds, hops=3, m=16, mode="shuffle")
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------
+# SimRank (graphalgo.simrank)
+# ---------------------------------------------------------------
+
+def _simrank_edges():
+    import pandas as pd
+    import ray.data as rd
+
+    # P1,P2 -> O1; P2,P3 -> O2; O1,O2 -> C1 ; P9 -> O9 (isolated-ish)
+    rows = [("P1", "O1"), ("P2", "O1"), ("P2", "O2"), ("P3", "O2"),
+            ("O1", "C1"), ("O2", "C1"), ("P9", "O9"),
+            ("X", "X")]  # self-loop must drop
+    return rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+
+
+def test_simrank_two_rounds_hand_computed():
+    from cpg_ray.functions.graphalgo import simrank
+
+    out = simrank(_simrank_edges(), rounds=2, scale=10 ** 6,
+                  c_num=8, c_den=10)
+    got = {(r.a, r.b): r.simrank for r in out.itertuples()}
+    # round 1: s1(O1,O2) = (8e5 * |{P2}|) // (d(O1)=2 * d(O2)=2 * ...)
+    # s1 = (8*1e6*1) // (10*2*2) = 200_000
+    # round 2: T(O1,O2) = 0 (no s1>0 pair feeds them: in-neighbors are
+    # persons, and no person pair has common in-neighbors)
+    # s2(O1,O2) = (8*(1e6*1 + 0)) // (10*2*2) = 200_000
+    assert got[("O1", "O2")] == 200_000
+    # O9/C1 never pair (no common in-neighbors, no T contribution)
+    assert ("O9", "C1") not in got and ("C1", "O9") not in got
+    # self-loop node X never appears
+    assert not any("X" in p for p in got)
+
+
+def test_simrank_driver_and_shuffle_paths_agree():
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import simrank
+
+    a = simrank(_simrank_edges(), rounds=2)
+    b = simrank(_simrank_edges(), rounds=2, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+    a1 = simrank(_simrank_edges(), rounds=1)
+    b1 = simrank(_simrank_edges(), rounds=1, mode="shuffle")
+    pd.testing.assert_frame_equal(a1, b1)
+
+
+def test_simrank_pair_guard_refuses_not_truncates():
+    import pytest
+
+    from cpg_ray.functions.graphalgo import simrank
+    from cpg_ray.functions.relational import GuardExceeded
+
+    with pytest.raises(GuardExceeded):
+        simrank(_simrank_edges(), rounds=2, pair_limit=0,
+                mode="driver")
