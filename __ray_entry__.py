@@ -2535,6 +2535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rpq": _kg_rpq,
         # SimRank pair-space similarity fixpoint (integer fixed point)
         "kg_simrank": _kg_simrank,
+        # incremental-ingestion dedup: new shard vs accumulated corpus
+        "q_doc_delta_dedup": q.q_doc_delta_dedup,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2721,6 +2723,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Twelfth rotation: q_doc_delta_dedup (brand-new incremental-
+    # ingestion dedup — new shard vs accumulated corpus, the daily-
+    # update curation shape) displaces q_cube_revenue — CUBE is the
+    # same pre-combined groupby_agg kernel run once per grouping set
+    # and unioned, machinery repped in-window by every aggregate
+    # query (q_orders_pareto, q21, kg_metapath's census) and pinned
+    # by the rollup/cube pytests; swept green at sf0.001+0.01.
     # Eleventh rotation: kg_simrank (brand-new pair-space similarity
     # fixpoint, never driver-checked) displaces q_doc_minhash_sig —
     # the md5 signature kernel it exercises is the substrate of
@@ -2761,7 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_basket_itemsets",
         # events/orders — never driver-checked
         "q_events_allen", "q_orders_pareto",
-        "q_cube_revenue",
+        "q_doc_delta_dedup",
         # final-session additions — new code, never driver-checked
         "q_events_cusum", "q_events_hll", "q_doc_coverage",
         "kg_eccentricity", "kg_metapath",

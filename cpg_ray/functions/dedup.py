@@ -1420,3 +1420,149 @@ def setjoin_prefix(ds, *, n: int = 4, id_col: str = "doc_id",
                                 threshold=num / den)
     return pairs, {"n_candidate_pairs": int(n_cand_pairs),
                    "n_candidate_docs": len(cand_ids)}
+
+
+def delta_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                mod: int = 5, new_slot: int = 0, num_perm: int = 8,
+                band_size: int = 2):
+    """Incremental-ingestion dedup: classify each NEW-shard document
+    against the EXISTING corpus — the daily-crawl-update shape of a
+    production curation pipeline (a new shard must dedup against the
+    accumulated corpus, not just itself).  The shard split is
+    deterministic (``md5_32(str(doc_id)) % mod == new_slot``) so the
+    SQL twin derives the identical partition.
+
+    Tiers, in precedence order:
+
+    - ``exact_dup``  — full-text md5 equality with ≥ 1 base doc;
+      match_id = min such base doc_id.
+    - ``near_dup``   — any banded MinHash bucket collision with a base
+      doc (signatures via :func:`minhash_signatures_md5`, bands of
+      ``band_size`` consecutive permutations); match_id = min
+      colliding base doc_id.  Docs under the shingle minimum can only
+      be exact or fresh (both engines agree).
+    - ``fresh``      — neither; match_id = −1 (int64, hash-stable).
+
+    Scale shape: the exact tier is ONE content-hash equi join (the
+    base side is never broadcast); the near tier is the banded-LSH
+    probe — new-shard band rows join base band rows on (band, sig…),
+    candidate generation stays bucketed, never all-pairs; both
+    matches reduce by a pre-combined per-doc min and the status CASE
+    is a linear finish.  Nothing corpus-sized reaches the driver
+    except the new-shard-sized result itself.
+
+    Returns a pandas frame (doc_id int64, status, match_id int64)
+    sorted by doc_id."""
+    from .relational import groupby_agg, hash_join
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        ids = b[id_col].to_numpy()
+        is_new = np.array(
+            [int(_h.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             % mod == new_slot for i in ids], dtype=bool)
+        return pd.DataFrame({id_col: ids, text_col: b[text_col],
+                             "is_new": is_new})
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    def hx(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "is_new": b["is_new"].to_numpy(),
+            "h": [_h.md5(t.encode()).hexdigest()
+                  for t in b[text_col].to_numpy(object)]})
+
+    hashes = tagged.map_batches(hx, batch_format="pandas")
+    new_h = hashes.map_batches(
+        lambda b: b.loc[b["is_new"], [id_col, "h"]],
+        batch_format="pandas")
+    base_h = hashes.map_batches(
+        lambda b: (b.loc[~b["is_new"], [id_col, "h"]]
+                   .rename(columns={id_col: "bid"})),
+        batch_format="pandas")
+    exact = groupby_agg(
+        hash_join(new_h, base_h, on="h", empty_safe=True),
+        [id_col], [("bid", "min", "exact_m")])
+
+    sigs = minhash_signatures_md5(
+        tagged, id_col=id_col, text_col=text_col,
+        num_perm=num_perm).materialize()
+    n_bands = num_perm // band_size
+
+    def to_bands(new_side: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for k in range(n_bands):
+                cols = {id_col: b[id_col].to_numpy(),
+                        "k": np.int64(k)}
+                for t in range(band_size):
+                    cols[f"s{t}"] = b[
+                        f"sig{k * band_size + t}"].to_numpy("int64")
+                frames.append(pd.DataFrame(cols))
+            return pd.concat(frames, ignore_index=True)
+        return f
+
+    # the is_new flag is not in the signature frame — join it back by
+    # splitting on the deterministic id rule again (stateless, exact)
+    def split_sigs(new_side: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            import hashlib as _h
+            ids = b[id_col].to_numpy()
+            is_new = np.array(
+                [int(_h.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+                 % mod == new_slot for i in ids], dtype=bool)
+            return b[is_new] if new_side else b[~is_new]
+        return f
+
+    new_bands = sigs.map_batches(
+        split_sigs(True), batch_format="pandas").map_batches(
+        to_bands(True), batch_format="pandas")
+    base_bands = sigs.map_batches(
+        split_sigs(False), batch_format="pandas").map_batches(
+        to_bands(False), batch_format="pandas").map_batches(
+        lambda b: b.rename(columns={id_col: "bid"}),
+        batch_format="pandas")
+    on_cols = ["k"] + [f"s{t}" for t in range(band_size)]
+    near = groupby_agg(
+        hash_join(new_bands, base_bands, on=on_cols, empty_safe=True),
+        [id_col], [("bid", "min", "near_m")])
+
+    new_ids = tagged.map_batches(
+        lambda b: b.loc[b["is_new"], [id_col]], batch_format="pandas")
+
+    # a no-match tier must NOT leave an all-null match column — Ray's
+    # pandas block builder types it Arrow `null` and pyarrow's join
+    # rejects null non-key fields (Ray 2.49).  Pin misses to an int64
+    # −1 sentinel instead (doc ids are ≥ 0, so −1 is free) both when
+    # the right side is empty (skip the join entirely) and after a
+    # real left join (fillna before the next join consumes the column)
+    def _left_or_miss(left, right, col):
+        right = right.materialize()
+        if right.count() == 0:
+            return left.map_batches(
+                lambda b: b.assign(**{col: np.full(
+                    len(b), -1, dtype="int64")}),
+                batch_format="pandas")
+        return hash_join(left, right, on=id_col, how="left_outer",
+                         empty_safe=True).map_batches(
+            lambda b: b.assign(**{col: b[col].fillna(-1)
+                                  .astype("int64")}),
+            batch_format="pandas")
+
+    out = _left_or_miss(new_ids, exact, "exact_m")
+    out = _left_or_miss(out, near, "near_m")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        em = b["exact_m"].to_numpy("int64")
+        nm = b["near_m"].to_numpy("int64")
+        status = np.where(em >= 0, "exact_dup",
+                          np.where(nm >= 0, "near_dup", "fresh"))
+        match = np.where(em >= 0, em, np.where(nm >= 0, nm, -1))
+        return pd.DataFrame({id_col: b[id_col].astype("int64"),
+                             "status": status,
+                             "match_id": match.astype("int64")})
+
+    df = out.map_batches(finish, batch_format="pandas").to_pandas()
+    return df.sort_values(id_col).reset_index(drop=True)

@@ -903,6 +903,21 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_doc_delta_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingestion dedup (dedup.delta_dedup): a
+    deterministic 20% doc slice plays the NEW crawl shard, the rest
+    the accumulated corpus; each new doc classifies exact_dup (content
+    md5 join) / near_dup (banded-MinHash bucket collision vs base) /
+    fresh — the daily-update shape where a shard dedups against the
+    corpus, not just itself.  All tiers are md5-deterministic so the
+    SQL twin reproduces the identical partition, signatures and
+    statuses."""
+    from ..functions.dedup import delta_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return delta_dedup(ds, mod=5, new_slot=0)
+
+
 def q_sem_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup over the embeddings table (similarity.sem_dedup,
     arXiv:2303.09540 shape): k-means clusters (k=8, 4 rounds,
@@ -5242,6 +5257,59 @@ ORACLE_SQL["q_doc_minhash_sig"] = f"""
     SELECT doc_id,
            {_MINHASH_SIGS}
     FROM x GROUP BY doc_id ORDER BY doc_id
+"""
+
+_DD_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, is_new, {k} AS k, sig{2 * k} AS s1, "
+    f"sig{2 * k + 1} AS s2 FROM sg"
+    for k in range(4))
+ORACLE_SQL["q_doc_delta_dedup"] = f"""
+    WITH dd AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 5 = 0 AS is_new
+        FROM documents
+    ), hx AS (
+        SELECT doc_id, is_new, md5(text) AS h FROM dd
+    ), exact AS (
+        SELECT n.doc_id, min(b.doc_id)::BIGINT AS m
+        FROM hx n JOIN hx b ON b.h = n.h AND NOT b.is_new
+        WHERE n.is_new GROUP BY n.doc_id
+    ), toks AS (
+        SELECT doc_id, is_new,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM dd
+    ), sh AS (
+        SELECT DISTINCT doc_id, is_new,
+               l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS s
+        FROM (SELECT doc_id, is_new, l,
+                     unnest(range(1, len(l) - 1)) AS i
+              FROM toks WHERE len(l) >= 3)
+    ), x AS (
+        SELECT doc_id, is_new,
+               ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+        FROM sh
+    ), sg AS (
+        SELECT doc_id, is_new,
+               {_MINHASH_SIGS}
+        FROM x GROUP BY doc_id, is_new
+    ), bands AS ({_DD_BANDS}
+    ), near AS (
+        SELECT n.doc_id, min(b.doc_id)::BIGINT AS m
+        FROM bands n JOIN bands b
+          ON b.k = n.k AND b.s1 = n.s1 AND b.s2 = n.s2
+         AND NOT b.is_new
+        WHERE n.is_new GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+                WHEN nr.m IS NOT NULL THEN 'near_dup'
+                ELSE 'fresh' END AS status,
+           COALESCE(e.m, nr.m, -1)::BIGINT AS match_id
+    FROM dd d LEFT JOIN exact e ON e.doc_id = d.doc_id
+              LEFT JOIN near nr ON nr.doc_id = d.doc_id
+    WHERE d.is_new
+    ORDER BY d.doc_id
 """
 
 ORACLE_SQL["q_doc_simhash_sig"] = """

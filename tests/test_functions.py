@@ -1677,3 +1677,56 @@ def test_coverage_select_modes_match_bruteforce_greedy():
     got2 = coverage_select(rd.from_pandas(one), k=5, mode="shuffle")
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   got2.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------
+# Incremental-ingestion dedup (dedup.delta_dedup)
+# ---------------------------------------------------------------
+
+def test_delta_dedup_three_tiers_and_min_match():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import _md5_32, delta_dedup
+
+    # pick ids deterministically on both sides of the split rule
+    new_ids = [i for i in range(200) if _md5_32(str(i)) % 5 == 0]
+    base_ids = [i for i in range(200) if _md5_32(str(i)) % 5 != 0]
+    base_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near_text = base_text.replace("theta", "iota", 1)  # 1-shingle edit
+    rows = []
+    # two base docs share the exact text -> exact match must be MIN id
+    rows.append((base_ids[0], base_text))
+    rows.append((base_ids[1], base_text))
+    rows.append((base_ids[2], "completely different words here " * 6))
+    rows.append((new_ids[0], base_text))            # exact_dup
+    rows.append((new_ids[1], near_text))            # near_dup (bands)
+    rows.append((new_ids[2], "nothing like anything else at all "
+                 "qqq www eee rrr ttt yyy uuu iii ooo ppp"))  # fresh
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = delta_dedup(ds)
+    got = {r.doc_id: (r.status, r.match_id) for r in out.itertuples()}
+    assert got[new_ids[0]] == ("exact_dup", min(base_ids[0],
+                                                base_ids[1]))
+    assert got[new_ids[1]][0] == "near_dup"
+    assert got[new_ids[1]][1] in (base_ids[0], base_ids[1])
+    assert got[new_ids[2]] == ("fresh", -1)
+    assert len(out) == 3  # only the new shard reports
+
+
+def test_delta_dedup_all_fresh_and_empty_tiers():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import _md5_32, delta_dedup
+
+    new_id = next(i for i in range(100) if _md5_32(str(i)) % 5 == 0)
+    base_id = next(i for i in range(100) if _md5_32(str(i)) % 5 != 0)
+    ds = rd.from_pandas(pd.DataFrame(
+        [(new_id, "unique words one two three four five six"),
+         (base_id, "other totally distinct seven eight nine ten")],
+        columns=["doc_id", "text"]))
+    out = delta_dedup(ds)
+    assert list(out.status) == ["fresh"]
+    assert list(out.match_id) == [-1]
