@@ -2537,6 +2537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_simrank": _kg_simrank,
         # incremental-ingestion dedup: new shard vs accumulated corpus
         "q_doc_delta_dedup": q.q_doc_delta_dedup,
+        # exact-phrase retrieval by positional adjacency
+        "q_doc_phrase_search": q.q_doc_phrase_search,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2723,6 +2725,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Thirteenth rotation: q_doc_phrase_search (brand-new positional
+    # phrase retrieval) displaces q_doc_bigram — the corpus bigram-
+    # count combiner it exercised is the FIRST STAGE of
+    # q_doc_phrase_search (still in-window), and the LM-scoring side
+    # stays pinned by q_doc_bigram_xent's sweep greens + pytests;
+    # swept green at sf0.001+0.01.
     # Twelfth rotation: q_doc_delta_dedup (brand-new incremental-
     # ingestion dedup — new shard vs accumulated corpus, the daily-
     # update curation shape) displaces q_cube_revenue — CUBE is the
@@ -2766,7 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text/retrieval — never driver-checked
         "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_textrank",
-        "q_doc_bigram",
+        "q_doc_phrase_search",
         "q_basket_itemsets",
         # events/orders — never driver-checked
         "q_events_allen", "q_orders_pareto",

@@ -2223,3 +2223,71 @@ def dipre_bootstrap(pages_ds, facts_ds, *, rounds: int = 2,
     out["round"] = out["round"].astype("int64")
     return (out[out_cols].sort_values(out_cols)
             .reset_index(drop=True))
+
+
+def phrase_search(docs_ds, *, id_col: str = "doc_id",
+                  text_col: str = "text", top_phrases: int = 5,
+                  phrase_limit: int = 1_000_000):
+    """Positional phrase retrieval (the inverted-index adjacency
+    primitive behind every "exact phrase" search box — Zobel & Moffat,
+    ACM CS'06): the query set is the corpus's ``top_phrases`` most
+    frequent word bigrams (count DESC, phrase ASC — deterministic),
+    each then retrieved by POSITIONAL ADJACENCY — token w₁ at position
+    p and w₂ at p+1 — never substring matching: an intervening token
+    breaks the phrase while intervening punctuation does not (token
+    semantics, where a raw LIKE scan gets both wrong).  Tokens follow
+    the corpus-wide ``[a-z0-9_]+`` lowercase contract shared by every
+    retrieval oracle in this repo.
+
+    Scale shape: bigram counting is a per-doc vectorized shift-compare
+    feeding ONE pre-combined groupby (combiner-first, no token
+    explosion leaves its batch); the top-K query set is a driver-sized
+    broadcast (guarded by ``phrase_limit`` distinct bigrams on the
+    collect); retrieval is a second linear pass probing each doc's
+    adjacency set — two corpus passes total, no join fan-out.
+
+    Returns a pandas frame (phrase, doc_id int64) sorted."""
+    import re as _re
+
+    from .relational import _collect_limited, groupby_agg
+
+    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict = {}
+        for t in b[text_col].to_numpy(object):
+            toks = _re.findall("[a-z0-9_]+", t.lower())
+            for w1, w2 in zip(toks[:-1], toks[1:]):
+                k = f"{w1} {w2}"
+                cnt[k] = cnt.get(k, 0) + 1
+        return pd.DataFrame({"phrase": list(cnt.keys()),
+                             "n": np.fromiter(cnt.values(),
+                                              dtype=np.int64,
+                                              count=len(cnt))})
+
+    counts = groupby_agg(
+        docs_ds.map_batches(bigram_counts, batch_format="pandas"),
+        ["phrase"], [("n", "sum", "n")])
+    cdf = _collect_limited(counts, phrase_limit, "phrase_search")
+    if not len(cdf):
+        return pd.DataFrame({"phrase": pd.Series(dtype="object"),
+                             id_col: pd.Series(dtype="int64")})
+    top = (cdf.sort_values(["n", "phrase"], ascending=[False, True],
+                           kind="mergesort").head(top_phrases))
+    queries = set(top["phrase"])
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        ids, phrases = [], []
+        for i, t in zip(b[id_col].to_numpy(),
+                        b[text_col].to_numpy(object)):
+            toks = _re.findall("[a-z0-9_]+", t.lower())
+            hit = {f"{w1} {w2}" for w1, w2 in zip(toks[:-1], toks[1:])
+                   } & queries
+            for ph in hit:
+                ids.append(i)
+                phrases.append(ph)
+        return pd.DataFrame({"phrase": pd.Series(phrases,
+                                                 dtype="object"),
+                             id_col: pd.Series(ids, dtype="int64")})
+
+    df = docs_ds.map_batches(probe, batch_format="pandas").to_pandas()
+    return (df.sort_values(["phrase", id_col])
+            .reset_index(drop=True))

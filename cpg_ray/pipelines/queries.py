@@ -918,6 +918,18 @@ def q_doc_delta_dedup(sf_dir: str) -> pd.DataFrame:
     return delta_dedup(ds, mod=5, new_slot=0)
 
 
+def q_doc_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact-phrase retrieval by positional adjacency
+    (text.phrase_search): the 5 most frequent corpus bigrams as the
+    deterministic query set, hits = docs where the two tokens are
+    ADJACENT under the shared token contract — the inverted-index
+    primitive, not substring matching."""
+    from ..functions.text import phrase_search
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return phrase_search(ds, top_phrases=5)
+
+
 def q_sem_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup over the embeddings table (similarity.sem_dedup,
     arXiv:2303.09540 shape): k-means clusters (k=8, 4 rounds,
@@ -5258,6 +5270,32 @@ ORACLE_SQL["q_doc_minhash_sig"] = f"""
            {_MINHASH_SIGS}
     FROM x GROUP BY doc_id ORDER BY doc_id
 """
+
+ORACLE_SQL["q_doc_phrase_search"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, i AS p, l[i] AS w
+        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+              FROM toks)
+    ), big AS (
+        SELECT a.w || ' ' || b.w AS phrase, count(*)::BIGINT AS n
+        FROM pos a JOIN pos b
+          ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        GROUP BY 1
+    ), top5 AS (
+        SELECT phrase FROM big ORDER BY n DESC, phrase LIMIT 5
+    )
+    SELECT DISTINCT t.phrase, a.doc_id
+    FROM top5 t
+    JOIN pos a ON a.w = split_part(t.phrase, ' ', 1)
+    JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+             AND b.w = split_part(t.phrase, ' ', 2)
+    ORDER BY phrase, a.doc_id
+"""
+
 
 _DD_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, is_new, {k} AS k, sig{2 * k} AS s1, "

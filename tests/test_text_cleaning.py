@@ -707,3 +707,37 @@ def test_dipre_uses_last_mention_before_object():
     ], columns=["url", "a", "b"]))
     out = dipre_bootstrap(pages, facts, rounds=1, min_support=3)
     assert set(out["pattern"]) == {" works for "}
+
+
+# ---------------------------------------------------------------
+# Positional phrase search (text.phrase_search)
+# ---------------------------------------------------------------
+
+def test_phrase_search_adjacency_semantics():
+    from cpg_ray.functions.text import phrase_search
+
+    docs = rd.from_pandas(pd.DataFrame([
+        # "big data" dominates the bigram counts (3 adjacent uses)
+        (1, "big data big data big data"),
+        (2, "big, data!  yes"),            # punctuation: still adjacent
+        (3, "big red data"),               # intervening token: NO hit
+        (4, "nothing relevant here"),
+    ], columns=["doc_id", "text"]))
+    out = phrase_search(docs, top_phrases=1)
+    assert set(out["phrase"]) == {"big data"}
+    assert set(out["doc_id"]) == {1, 2}
+
+
+def test_phrase_search_deterministic_tiebreak_and_empty():
+    from cpg_ray.functions.text import phrase_search
+
+    docs = rd.from_pandas(pd.DataFrame([
+        (1, "aa bb"), (2, "cc dd"),
+    ], columns=["doc_id", "text"]))
+    # both bigrams count 1 -> phrase ASC tiebreak picks "aa bb"
+    out = phrase_search(docs, top_phrases=1)
+    assert list(out["phrase"]) == ["aa bb"]
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"),
+         "text": pd.Series(dtype="object")}))
+    assert phrase_search(empty).empty
