@@ -985,6 +985,38 @@ def _kg_rpq(sf_dir: str):
     return rpq_reach(tri, max_hops=4)
 
 
+def _kg_temporal_reach(sf_dir: str):
+    """Time-respecting earliest-arrival reachability over the fact
+    graph timestamped by first crawl observation (temporal-KG
+    diffusion radius: whom could the information have reached by
+    when?) — per-(edge) min warc_ts from the pages, then 3 bounded
+    rounds of graphalgo.temporal_reach's non-decreasing-ts
+    Bellman-Ford; arrivals export as int64 epoch-microseconds so the
+    unrolled per-round SQL twin hash-matches."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import temporal_reach
+    from cpg_ray.functions.relational import broadcast_join
+
+    out_dir = _ensure_graph(sf_dir, "mixed")
+    pages_path, _cfg = _pages_path(sf_dir, "mixed")
+    ts = rd.read_parquet(pages_path,
+                         columns=["url", "warc_ts"]).to_pandas()
+    triples = rd.read_parquet(
+        sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet")),
+        columns=["canonical_subj", "canonical_obj", "url"])
+    joined = broadcast_join(triples, ts, left_on="url")
+    edges = joined.map_batches(
+        lambda b: pd.DataFrame({"src": b.canonical_subj,
+                                "dst": b.canonical_obj,
+                                "ts": b.warc_ts}),
+        batch_format="pandas")
+    return temporal_reach(edges, rounds=3)
+
+
 def _kg_simrank(sf_dir: str):
     """SimRank structural similarity over the fact graph (Jeh & Widom
     KDD'02): two entities are similar when their in-neighbors are —
@@ -2539,6 +2571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_delta_dedup": q.q_doc_delta_dedup,
         # exact-phrase retrieval by positional adjacency
         "q_doc_phrase_search": q.q_doc_phrase_search,
+        # time-respecting earliest-arrival reachability
+        "kg_temporal_reach": _kg_temporal_reach,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2725,6 +2759,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Fourteenth rotation: kg_temporal_reach (brand-new time-
+    # respecting Bellman-Ford) displaces kg_fact_timeline — the
+    # timeline's broadcast url→warc_ts join + per-fact min groupby IS
+    # kg_temporal_reach's first stage (running in-window every driver
+    # pass), and its max/count aggregates are the groupby_agg kernel
+    # repped by every census query; timeline swept green at
+    # sf0.001+0.01 across r4/r5 sessions.
     # Thirteenth rotation: q_doc_phrase_search (brand-new positional
     # phrase retrieval) displaces q_doc_bigram — the corpus bigram-
     # count combiner it exercised is the FIRST STAGE of
@@ -2764,7 +2805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kge_eval", "kg_mis",
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
-        "kg_fact_timeline", "q_kmeans",
+        "kg_temporal_reach", "q_kmeans",
         "kg_simrank", "q_part_skyline",
         # graph family — never driver-checked
         "kg_sameas",
@@ -5131,6 +5172,41 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    per.n_reached = pa.n2 AS converged
             FROM per JOIN pa USING (s)
             ORDER BY source
+        """
+    # unrolled temporal Bellman-Ford: per round, UNION the previous
+    # arrivals with every time-respecting relaxation, then min —
+    # identical min-merge to the engine's join + combine rounds
+    out["kg_temporal_reach"] = f"""
+            WITH raw AS (
+                SELECT t.canonical_subj AS s, t.canonical_obj AS o,
+                       p.warc_ts AS ts
+                FROM read_parquet('{triples_glob}') t
+                JOIN read_parquet('{pages_glob}') p USING (url)
+                WHERE t.canonical_subj <> t.canonical_obj),
+            f AS MATERIALIZED (
+                SELECT s, o, min(epoch_us(ts))::BIGINT AS t
+                FROM raw GROUP BY s, o),
+            a1 AS MATERIALIZED (
+                SELECT s AS src, o AS node, min(t)::BIGINT AS arr
+                FROM f WHERE substr(s, 1, 1) = 'P' GROUP BY 1, 2),
+            a2 AS MATERIALIZED (
+                SELECT src, node, min(arr)::BIGINT AS arr FROM (
+                    SELECT src, node, arr FROM a1
+                    UNION ALL
+                    SELECT a.src, f.o AS node, f.t AS arr
+                    FROM a1 a JOIN f ON f.s = a.node
+                                    AND f.t >= a.arr)
+                GROUP BY 1, 2),
+            a3 AS MATERIALIZED (
+                SELECT src, node, min(arr)::BIGINT AS arr FROM (
+                    SELECT src, node, arr FROM a2
+                    UNION ALL
+                    SELECT a.src, f.o AS node, f.t AS arr
+                    FROM a2 a JOIN f ON f.s = a.node
+                                    AND f.t >= a.arr)
+                GROUP BY 1, 2)
+            SELECT src, node AS dst, arr AS arrival_us
+            FROM a3 ORDER BY src, dst
         """
     # unrolled SimRank pair joins: s1 from common in-neighbors, s2
     # via the symmetric s1 ⋈ edges ⋈ edges T pass; every score an

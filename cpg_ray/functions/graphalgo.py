@@ -4922,3 +4922,116 @@ def simrank(edges_ds, *, src: str = "src", dst: str = "dst",
     db = allp["b"].map(din).to_numpy("int64")
     allp["simrank"] = (c_num * (scale * cc + tt)) // (c_den * da * db)
     return _finish(allp[["a", "b", "simrank"]])
+
+
+def temporal_reach(edges_ds, *, src: str = "src", dst: str = "dst",
+                   ts: str = "ts", start_prefix: str = "P",
+                   rounds: int = 3, mode: str = "auto",
+                   driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Time-respecting earliest-arrival reachability over a temporal
+    edge set (Holme & Saramäki, Phys. Rep. 2012; Wu et al., VLDB'14
+    one-pass earliest-arrival — public): a path is valid only if edge
+    timestamps are NON-DECREASING along it (information can't hop
+    backwards in time), and each reached node reports its EARLIEST
+    arrival.  Bounded Bellman-Ford-style rounds from every node whose
+    id starts with ``start_prefix``:
+
+        A₁(s, v)   = min ts over edges (s, v, ts)
+        A_h(s, v)  = min(A_{h-1}(s, v),
+                         min_{(u,v,ts)∈E, ts ≥ A_{h-1}(s,u)} ts)
+
+    — exact timestamp comparisons and min-combines only, so the
+    unrolled per-round SQL twin hash-matches (arrivals exported as
+    int64 epoch-microseconds).  Self-loop edges drop.  Rounds bound
+    the hop radius the way kg_sssp bounds Bellman-Ford — the classic
+    diffusion question ("whom could the information have reached by
+    when?") needs the near radius, not the transitive closure.
+
+    Scale shape: each round is ONE hash join of the arrival frontier
+    with the edge set keyed on the frontier node (the ts ≥ arr filter
+    rides inside the join's map side) + a pre-combined per-(src, v)
+    min, then a min-merge with the previous round — kg_sssp's
+    exchange pattern with a temporal relaxation; the guarded driver
+    twin (≤ ``driver_edge_limit`` distinct edges) runs the same
+    rounds as pandas merges and is pinned equal in pytest.
+
+    Returns a pandas frame (src, dst, arrival_us int64) sorted."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def _to_us(a) -> np.ndarray:
+        return np.asarray(a).astype("datetime64[us]").astype("int64")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"node": "dst"})
+        out["arrival_us"] = out["arrival_us"].astype("int64")
+        return (out[["src", "dst", "arrival_us"]]
+                .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"src": pd.Series(dtype="object"),
+                             "dst": pd.Series(dtype="object"),
+                             "arrival_us": pd.Series(dtype="int64")})
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b[src] != b[dst]]
+        return pd.DataFrame({"s": d[src].to_numpy(object),
+                             "o": d[dst].to_numpy(object),
+                             "t": _to_us(d[ts].to_numpy())})
+
+    e_ds = groupby_agg(
+        edges_ds.map_batches(prep, batch_format="pandas"),
+        ["s", "o"], [("t", "min", "t")]).materialize()
+
+    if mode != "shuffle" and e_ds.count() <= driver_edge_limit:
+        f = e_ds.to_pandas()
+        if not len(f):
+            return _empty()
+        a = (f[f["s"].str.startswith(start_prefix)]
+             .groupby(["s", "o"], as_index=False)["t"].min()
+             .rename(columns={"s": "src", "o": "node",
+                              "t": "arrival_us"}))
+        for _ in range(rounds - 1):
+            step = a.merge(f, left_on="node", right_on="s")
+            step = step[step["t"] >= step["arrival_us"]]
+            step = (step.groupby(["src", "o"], as_index=False)["t"]
+                    .min().rename(columns={"o": "node",
+                                           "t": "arrival_us"}))
+            a = (pd.concat([a, step], ignore_index=True)
+                 .groupby(["src", "node"], as_index=False)
+                 ["arrival_us"].min())
+        return _finish(a)
+
+    # shuffle path: per round one frontier ⋈ edges join + min-combine
+    a_ds = groupby_agg(
+        e_ds.map_batches(
+            lambda b: (b[b["s"].str.startswith(start_prefix)]
+                       .rename(columns={"s": "src", "o": "node",
+                                        "t": "arrival_us"})),
+            batch_format="pandas"),
+        ["src", "node"], [("arrival_us", "min", "arrival_us")]
+    ).materialize()
+    for _ in range(rounds - 1):
+        step = hash_join(
+            a_ds, e_ds.map_batches(
+                lambda b: b.rename(columns={"s": "node"}),
+                batch_format="pandas"),
+            on="node", empty_safe=True).map_batches(
+            lambda b: (b.loc[b["t"] >= b["arrival_us"],
+                             ["src", "o", "t"]]
+                       .rename(columns={"o": "node",
+                                        "t": "arrival_us"})),
+            batch_format="pandas")
+        a_ds = groupby_agg(
+            a_ds.union(step), ["src", "node"],
+            [("arrival_us", "min", "arrival_us")]).materialize()
+    df = a_ds.to_pandas()
+    if not len(df):
+        return _empty()
+    return _finish(df)

@@ -1867,3 +1867,61 @@ def test_simrank_pair_guard_refuses_not_truncates():
     with pytest.raises(GuardExceeded):
         simrank(_simrank_edges(), rounds=2, pair_limit=0,
                 mode="driver")
+
+
+# ---------------------------------------------------------------
+# Time-respecting reachability (graphalgo.temporal_reach)
+# ---------------------------------------------------------------
+
+def _temporal_edges():
+    import pandas as pd
+    import ray.data as rd
+
+    t = pd.Timestamp
+    rows = [
+        # P1 -> A at t2; A -> B at t3 (valid: 3 >= 2); A -> C at t1
+        # (INVALID from P1: 1 < 2, time runs backwards)
+        ("P1", "A", t("2024-01-02")),
+        ("A", "B", t("2024-01-03")),
+        ("A", "C", t("2024-01-01")),
+        # a later direct edge P1 -> B at t5 must LOSE to the t3 path
+        ("P1", "B", t("2024-01-05")),
+        # P2's only edge; duplicate observation keeps the MIN ts
+        ("P2", "A", t("2024-01-04")),
+        ("P2", "A", t("2024-01-06")),
+        # self-loop drops
+        ("P1", "P1", t("2024-01-01")),
+    ]
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["src", "dst", "ts"]))
+
+
+def test_temporal_reach_respects_time_and_min_arrival():
+    import numpy as np
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import temporal_reach
+
+    out = temporal_reach(_temporal_edges(), rounds=3)
+    us = lambda s: int(np.datetime64(s, "us").astype("int64"))
+    got = {(r.src, r.dst): r.arrival_us for r in out.itertuples()}
+    assert got[("P1", "A")] == us("2024-01-02")
+    # earliest arrival at B: via A at t3, not the direct t5 edge
+    assert got[("P1", "B")] == us("2024-01-03")
+    # C is NOT time-respecting-reachable from P1 (edge predates arrival)
+    assert ("P1", "C") not in got
+    # P2 reaches A at its MIN observation, then B is unreachable
+    # (A->B at t3 < arrival t4) but nothing later exists
+    assert got[("P2", "A")] == us("2024-01-04")
+    assert ("P2", "B") not in got
+    assert ("P1", "P1") not in got  # self-loop dropped
+
+
+def test_temporal_reach_driver_and_shuffle_paths_agree():
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import temporal_reach
+
+    a = temporal_reach(_temporal_edges(), rounds=3)
+    b = temporal_reach(_temporal_edges(), rounds=3, mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
