@@ -1730,3 +1730,23 @@ def test_delta_dedup_all_fresh_and_empty_tiers():
     out = delta_dedup(ds)
     assert list(out.status) == ["fresh"]
     assert list(out.match_id) == [-1]
+
+
+def test_delta_dedup_driver_and_shuffle_paths_agree():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import _md5_32, delta_dedup
+
+    new_ids = [i for i in range(300) if _md5_32(str(i)) % 5 == 0][:4]
+    base_ids = [i for i in range(300) if _md5_32(str(i)) % 5 != 0][:6]
+    base = "one two three four five six seven eight nine ten " * 3
+    rows = ([(b, base + f"tail {j}") for j, b in enumerate(base_ids)]
+            + [(new_ids[0], base + "tail 0"),            # exact
+               (new_ids[1], base.replace("nine", "NINE2", 1)),  # near
+               (new_ids[2], "wholly different words " * 8),
+               (new_ids[3], base + "tail 3")])            # exact
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    a = delta_dedup(rd.from_pandas(df))
+    b = delta_dedup(rd.from_pandas(df), mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
