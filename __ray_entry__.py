@@ -2573,6 +2573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_phrase_search": q.q_doc_phrase_search,
         # time-respecting earliest-arrival reachability
         "kg_temporal_reach": _kg_temporal_reach,
+        # simhash Hamming<=3 near-dup pairs (pigeonhole chunk index)
+        "q_doc_simhash_dedup": q.q_doc_simhash_dedup,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2759,6 +2761,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Fifteenth rotation: q_doc_simhash_dedup (brand-new Hamming-
+    # radius pigeonhole pairing, never driver-checked) displaces
+    # kg_mis — MIS's deterministic-priority anti-join rounds are
+    # repped in-window by kg_trans_reduce (left_anti finish) and
+    # kg_msf (bounded deterministic rounds), its _compact_nonempty
+    # join hardening by every chain-join op; swept green twice (r5
+    # second session + this session's window sweep).
     # Fourteenth rotation: kg_temporal_reach (brand-new time-
     # respecting Bellman-Ford) displaces kg_fact_timeline — the
     # timeline's broadcast url→warc_ts join + per-fact min groupby IS
@@ -2802,7 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalize, the lowest-risk class, repped in-window by
         # kg_clean_text; swept green at sf0.001+0.01)
         "kg_rule_mining", "kg_shacl", "q_retrieval_eval",
-        "kg_kge_eval", "kg_mis",
+        "kg_kge_eval", "q_doc_simhash_dedup",
         # verdict-named never-driver-checked r4 additions
         "kg_link_jaccard",
         "kg_temporal_reach", "q_kmeans",

@@ -1618,3 +1618,94 @@ def delta_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     df = out.map_batches(finish, batch_format="pandas").to_pandas()
     return df.sort_values(id_col).reset_index(drop=True)
+
+
+def simhash_near_pairs(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16,
+                       chunks: int = 4, max_hamming: int = 3,
+                       bucket_cap: int = 10_000,
+                       pair_limit: int = 5_000_000) -> pd.DataFrame:
+    """SimHash near-duplicate PAIRS by Hamming radius (Charikar
+    STOC'02 + the Manku/Jain/Sarma WWW'07 chunk-pigeonhole index —
+    public): signatures from :func:`simhash_signatures_md5`, then any
+    two docs within Hamming distance ``max_hamming`` must agree on at
+    least one of ``chunks`` equal bit-chunks (pigeonhole: d < chunks
+    differing bits can't touch every chunk), so candidates generate
+    per (chunk_idx, chunk_value) BUCKET — never all-pairs — and
+    verify by exact popcount of the signature XOR.
+
+    Buckets larger than ``bucket_cap`` docs are SKIPPED and REPORTED
+    (``skipped_buckets`` on the attrs dict — a flat chunk value at
+    web scale means a degenerate feature, the documented skew posture
+    shared with ``minhash_lsh_pairs``).  The signature table (one row
+    per doc — never the text) collects under a guarded driver finish;
+    past ``pair_limit`` signature rows or candidate pairs the
+    operator raises
+    :class:`~cpg_ray.functions.relational.GuardExceeded` — an honest
+    refusal; the distributed scale path for banded candidate
+    generation is :func:`minhash_lsh_pairs`' bucketed groupby shape
+    and applies here unchanged when a corpus needs it.
+
+    Returns a pandas frame (a, b, hamming int64), a < b by doc id,
+    sorted; each pair once even when it collides in several chunks."""
+    from .relational import GuardExceeded, _collect_limited
+
+    sigs = simhash_signatures_md5(
+        ds, id_col=id_col, text_col=text_col, bits=bits)
+    sp = _collect_limited(
+        sigs.map_batches(lambda b: b[[id_col, f"simhash{bits}"]],
+                         batch_format="pandas"),
+        pair_limit, "simhash_near_pairs")
+    if not len(sp):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    ids = sp[id_col].to_numpy("int64")
+    sig = sp[f"simhash{bits}"].to_numpy("int64")
+    cbits = bits // chunks
+    mask = (1 << cbits) - 1
+    cand_a, cand_b = [], []
+    skipped = 0
+    for k in range(chunks):
+        cv = (sig >> (k * cbits)) & mask
+        order = np.argsort(cv, kind="stable")
+        cs = cv[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        lens = np.diff(np.r_[starts, len(cs)])
+        for s, n in zip(starts, lens):
+            if n < 2:
+                continue
+            if n > bucket_cap:
+                skipped += 1
+                continue
+            grp = order[s:s + n]
+            ii, jj = np.triu_indices(n, k=1)
+            cand_a.append(grp[ii])
+            cand_b.append(grp[jj])
+    if not cand_a:
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64"),
+                            "hamming": pd.Series(dtype="int64")})
+        out.attrs["skipped_buckets"] = skipped
+        return out
+    ia = np.concatenate(cand_a)
+    ib = np.concatenate(cand_b)
+    if len(ia) > pair_limit:
+        raise GuardExceeded(
+            f"simhash_near_pairs: {len(ia)} candidate pairs exceed "
+            f"pair_limit={pair_limit}")
+    ham = np.zeros(len(ia), dtype=np.int64)
+    # vectorized popcount over the bits-wide xor
+    v = sig[ia] ^ sig[ib]
+    while v.any():
+        ham += v & 1
+        v >>= 1
+    keep = ham <= max_hamming
+    a = np.minimum(ids[ia[keep]], ids[ib[keep]])
+    b = np.maximum(ids[ia[keep]], ids[ib[keep]])
+    out = (pd.DataFrame({"a": a, "b": b, "hamming": ham[keep]})
+           .drop_duplicates(["a", "b"])
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    out["hamming"] = out["hamming"].astype("int64")
+    out.attrs["skipped_buckets"] = skipped
+    return out

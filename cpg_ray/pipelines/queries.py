@@ -5350,6 +5350,51 @@ ORACLE_SQL["q_doc_delta_dedup"] = f"""
     ORDER BY d.doc_id
 """
 
+def q_doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup PAIRS at Hamming ≤ 3 via the 4-chunk
+    pigeonhole index (dedup.simhash_near_pairs — Manku WWW'07): a
+    pair within radius 3 must agree on one of four 4-bit chunks, so
+    candidates generate per chunk bucket, never all-pairs, then
+    verify by exact popcount of the signature XOR."""
+    from ..functions.dedup import simhash_near_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+ORACLE_SQL["q_doc_simhash_dedup"] = """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, l[i] || ' ' || l[i + 1] AS s
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+              FROM d WHERE len(l) >= 2)
+    ), x AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+        FROM sh
+    ), votes AS (
+        SELECT doc_id, b.i AS bit,
+               SUM(((x >> b.i) & 1) * 2 - 1)::BIGINT AS v
+        FROM x CROSS JOIN (SELECT unnest(range(0, 16)) AS i) b
+        GROUP BY 1, 2
+    ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                        ELSE 0 END)::BIGINT AS sh16
+        FROM votes GROUP BY doc_id
+    ), ch AS (
+        SELECT doc_id, sh16, k.k, (sh16 >> (k.k * 4)) & 15 AS cv
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           bit_count(xor(a.sh16, b.sh16))::BIGINT AS hamming
+    FROM ch a JOIN ch b
+      ON b.k = a.k AND b.cv = a.cv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh16, b.sh16)) <= 3
+    ORDER BY a, b
+"""
+
 ORACLE_SQL["q_doc_simhash_sig"] = """
     WITH d AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l

@@ -1750,3 +1750,42 @@ def test_delta_dedup_driver_and_shuffle_paths_agree():
     a = delta_dedup(rd.from_pandas(df))
     b = delta_dedup(rd.from_pandas(df), mode="shuffle")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_near_pairs_pigeonhole_and_radius():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import simhash_near_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau") * 2
+    docs = rd.from_pandas(pd.DataFrame([
+        (1, base),
+        (2, base.replace("kappa", "kapa", 1)),   # tiny edit: near
+        (3, "utterly different content " * 10),
+        (4, base),                                # identical: ham 0
+    ], columns=["doc_id", "text"]))
+    out = simhash_near_pairs(docs, max_hamming=3)
+    got = {(r.a, r.b): r.hamming for r in out.itertuples()}
+    assert got[(1, 4)] == 0
+    assert all(h <= 3 for h in got.values())
+    # pair appears ONCE even though identical sigs share all 4 chunks
+    assert len(out) == len(set(zip(out.a, out.b)))
+    assert out.attrs["skipped_buckets"] == 0
+
+
+def test_simhash_near_pairs_bucket_cap_reported():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import simhash_near_pairs
+
+    # 8 identical docs -> every chunk bucket holds all 8 -> cap at 4
+    # skips those buckets and reports them, finding no pairs
+    docs = rd.from_pandas(pd.DataFrame(
+        [(i, "same words again and again here") for i in range(8)],
+        columns=["doc_id", "text"]))
+    out = simhash_near_pairs(docs, bucket_cap=4)
+    assert out.empty
+    assert out.attrs["skipped_buckets"] >= 4
