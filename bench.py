@@ -168,6 +168,13 @@ BENCH_QUERIES = [
     "kg_dipre",
     "kg_corpus_overlap",
     "kg_geo_infer",
+    # closing-session additions
+    "kg_rpq",
+    "kg_simrank",
+    "q_doc_delta_dedup",
+    "q_doc_phrase_search",
+    "kg_temporal_reach",
+    "q_doc_simhash_dedup",
 ]
 
 
