@@ -2575,6 +2575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_temporal_reach": _kg_temporal_reach,
         # simhash Hamming<=3 near-dup pairs (pigeonhole chunk index)
         "q_doc_simhash_dedup": q.q_doc_simhash_dedup,
+        # winnowing fingerprint selection (MOSS rightmost-min rule)
+        "q_doc_winnowing": q.q_doc_winnowing,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2761,6 +2763,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Sixteenth rotation: q_doc_winnowing (brand-new MOSS
+    # fingerprint selection, never driver-checked) displaces
+    # q_sample_priority — its md5 52-bit-uniform + threshold
+    # machinery stays in-window via q_events_dquantiles (same
+    # deterministic-uniform sampling kernel) and the DLT estimator is
+    # pinned by the priority-sampling pytests; swept green at
+    # sf0.001+0.01 across r5 sessions.
     # Fifteenth rotation: q_doc_simhash_dedup (brand-new Hamming-
     # radius pigeonhole pairing, never driver-checked) displaces
     # kg_mis — MIS's deterministic-priority anti-join rounds are
@@ -2803,7 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rpq", "kg_harmonic", "kg_para_dedup",
         # round-5 continuation additions — new code this round
         "q_doc_setjoin_prefix", "kg_snapshot_merge",
-        "kg_c4_filter", "q_sample_priority",
+        "kg_c4_filter", "q_doc_winnowing",
         "q_hard_negatives", "q_events_dquantiles", "kg_owl_entail",
         "kg_betweenness",
         # this-session additions — new code, never driver-checked

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_doc_phrase_search",
     "kg_temporal_reach",
     "q_doc_simhash_dedup",
+    "q_doc_winnowing",
 ]
 
 

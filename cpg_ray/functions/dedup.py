@@ -1709,3 +1709,76 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id",
     out["hamming"] = out["hamming"].astype("int64")
     out.attrs["skipped_buckets"] = skipped
     return out
+
+
+def winnowing_fingerprints(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 5,
+                           w: int = 4,
+                           max_len: int = (1 << 20) - 1):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detection selection rule, public):
+    clean the text to ``[a-z0-9]`` lowercase, hash every char
+    ``k``-gram (md5_32, the repo's cross-engine hash), slide a window
+    of ``w`` consecutive hashes and select each window's MINIMUM —
+    rightmost on ties (the robust-winnowing tie rule) — so any
+    sufficiently long match between two documents is guaranteed to
+    share a selected fingerprint, while only ~2/(w+1) of positions are
+    kept.
+
+    The rightmost-min tie rule vectorizes as one integer key,
+    ``key = h·L − pos`` with L > max position: minimizing the key
+    picks the smallest hash and, among equal hashes, the largest
+    position — a single sliding-window min in both engines (numpy
+    ``sliding_window_view`` here, a ROWS-frame window min in the SQL
+    twin), keeping every step int64-exact (h < 2³², L = 2²⁰ →
+    key < 2⁵²).  Documents with fewer than ``w`` k-grams contribute
+    nothing (no full window — both engines agree); cleaned texts
+    longer than ``max_len`` raise (the key bijection needs pos < L).
+
+    One stateless pass; per-doc work never leaves its batch.
+    Returns a pandas frame (doc_id int64, pos int64, fp int64) of the
+    DISTINCT selected fingerprints, sorted — pos is the 1-based END
+    position of the k-gram in the cleaned text."""
+    import re as _re
+
+    L = np.int64(1 << 20)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+        ids, poss, fps = [], [], []
+        for i, t in zip(batch[id_col].to_numpy(),
+                        batch[text_col].to_numpy(object)):
+            s = _re.sub("[^a-z0-9]", "", t.lower())
+            if len(s) > max_len:
+                raise ValueError(
+                    f"winnowing_fingerprints: cleaned doc {i} has "
+                    f"{len(s)} chars > max_len={max_len}")
+            n = len(s) - k + 1
+            if n < w:
+                continue
+            memo: dict = {}
+            h = np.fromiter(
+                (memo.setdefault(s[j:j + k], _md5_32(s[j:j + k]))
+                 for j in range(n)),
+                dtype=np.int64, count=n)
+            pos = np.arange(1, n + 1, dtype=np.int64)
+            key = h * L - pos
+            wk = sliding_window_view(key, w).min(axis=1)
+            sel = np.unique(wk)
+            fp = (sel + L) // L
+            p = fp * L - sel
+            ids.append(np.full(len(sel), int(i), dtype=np.int64))
+            poss.append(p)
+            fps.append(fp)
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "fp": pd.Series(dtype="int64")})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "pos": np.concatenate(poss),
+                             "fp": np.concatenate(fps)})
+
+    df = ds.map_batches(select, batch_format="pandas").to_pandas()
+    return (df.drop_duplicates()
+            .sort_values([id_col, "pos", "fp"])
+            .reset_index(drop=True))

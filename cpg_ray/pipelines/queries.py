@@ -5350,6 +5350,18 @@ ORACLE_SQL["q_doc_delta_dedup"] = f"""
     ORDER BY d.doc_id
 """
 
+def q_doc_winnowing(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint selection (dedup.winnowing_fingerprints,
+    the MOSS rule): char-5-gram md5 hashes over cleaned text, window
+    of 4, rightmost-min selection via the h·L−pos key — the
+    guaranteed-overlap sparse fingerprint set for plagiarism-style
+    matching."""
+    from ..functions.dedup import winnowing_fingerprints
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnowing_fingerprints(ds, k=5, w=4)
+
+
 def q_doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup PAIRS at Hamming ≤ 3 via the 4-chunk
     pigeonhole index (dedup.simhash_near_pairs — Manku WWW'07): a
@@ -5361,6 +5373,34 @@ def q_doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_near_pairs(ds, max_hamming=3)
 
+
+ORACLE_SQL["q_doc_winnowing"] = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(substr(t, i, 5)), 1, 8))::BIGINT
+                   AS h
+        FROM d, unnest(range(1, length(t) - 5 + 2)) AS u(i)
+        WHERE length(t) >= 5
+    ), wk AS (
+        -- rightmost-min tie rule as one integer key: h*L - pos
+        SELECT doc_id, pos,
+               min(h * 1048576 - pos) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        FROM g
+    ), chosen AS (
+        SELECT DISTINCT doc_id, sel FROM wk WHERE pos >= 4
+    )
+    SELECT doc_id,
+           ((sel + 1048576) // 1048576) * 1048576 - sel AS pos,
+           (sel + 1048576) // 1048576 AS fp
+    FROM chosen
+    ORDER BY doc_id, pos, fp
+"""
 
 ORACLE_SQL["q_doc_simhash_dedup"] = """
     WITH d AS (

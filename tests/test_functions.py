@@ -1789,3 +1789,36 @@ def test_simhash_near_pairs_bucket_cap_reported():
     out = simhash_near_pairs(docs, bucket_cap=4)
     assert out.empty
     assert out.attrs["skipped_buckets"] >= 4
+
+
+def test_winnowing_guarantee_and_tie_rule():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import winnowing_fingerprints
+
+    shared = "thequickbrownfoxjumpsoverthelazydog"
+    docs = rd.from_pandas(pd.DataFrame([
+        (1, "AAA " + shared + " BBB"),
+        (2, "xyz! " + shared + "???"),     # same cleaned substring
+        (3, "nothingincommonwiththeothers"),
+        (4, "tiny"),                        # < k+w-1 grams: no window
+    ], columns=["doc_id", "text"]))
+    out = winnowing_fingerprints(docs, k=5, w=4)
+    by = {i: set(g.fp) for i, g in out.groupby("doc_id")}
+    # the winnowing guarantee: a long shared substring must share at
+    # least one selected fingerprint between the two docs
+    assert by[1] & by[2]
+    assert 4 not in by
+    # density: ~2/(w+1) of positions selected, never more than all
+    n1 = len(out[out.doc_id == 1])
+    grams1 = len("aaa" + shared + "bbb") - 5 + 1
+    assert 0 < n1 < grams1
+    # rightmost tie rule: a doc of one repeated char has ONE distinct
+    # hash; each window selects its rightmost (=current) position
+    rep = winnowing_fingerprints(rd.from_pandas(pd.DataFrame(
+        [(9, "aaaaaaaaaaaa")], columns=["doc_id", "text"])), k=5, w=4)
+    # every full window end-position appears (rightmost of each)
+    assert list(rep.pos) == list(range(4, 12 - 5 + 2))
+    assert rep.fp.nunique() == 1
