@@ -1711,6 +1711,12 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id",
     return out
 
 
+# k-gram → md5_32 cache shared across batches inside one worker
+# process (natural-language grams repeat heavily; cleared past 4M
+# entries to bound the heap)
+_WINNOW_MEMO: dict = {}
+
+
 def winnowing_fingerprints(ds, *, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5,
                            w: int = 4,
@@ -1756,11 +1762,13 @@ def winnowing_fingerprints(ds, *, id_col: str = "doc_id",
             n = len(s) - k + 1
             if n < w:
                 continue
-            memo: dict = {}
+            memo = _WINNOW_MEMO  # per-worker-process, grams repeat
             h = np.fromiter(
                 (memo.setdefault(s[j:j + k], _md5_32(s[j:j + k]))
                  for j in range(n)),
                 dtype=np.int64, count=n)
+            if len(memo) > 4_000_000:  # bound worker heap
+                memo.clear()
             pos = np.arange(1, n + 1, dtype=np.int64)
             key = h * L - pos
             wk = sliding_window_view(key, w).min(axis=1)
