@@ -1251,6 +1251,24 @@ def _kg_lpa(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_conductance(sf_dir: str):
+    """Per-community conductance over the 4-round LPA labeling
+    (Leskovec WWW'08 NCP methodology): cut / min(vol, 2m−vol) per
+    community in exact ppm — the community-QUALITY census beside
+    kg_lpa's community assignment and kg_modularity's global score.
+    One linear pass over the symmetric edge set with the label map
+    broadcast (graphalgo.conductance_census)."""
+    from cpg_ray.functions.graphalgo import (conductance_census,
+                                             label_propagation)
+
+    labels = label_propagation(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", rounds=4).to_pandas()
+    return conductance_census(
+        _entity_edges(sf_dir), labels,
+        src="canonical_subj", dst="canonical_obj")
+
+
 def _kg_pagerank(sf_dir: str):
     """Fixed-point PageRank over the canonical entity graph (exact
     integer semantics so the unrolled recursive-CTE oracle is
@@ -2577,6 +2595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_simhash_dedup": q.q_doc_simhash_dedup,
         # winnowing fingerprint selection (MOSS rightmost-min rule)
         "q_doc_winnowing": q.q_doc_winnowing,
+        # per-community conductance over the LPA labeling
+        "kg_conductance": _kg_conductance,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2763,6 +2783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Seventeenth rotation: kg_conductance (brand-new community-
+    # quality census over the LPA labeling, never driver-checked)
+    # displaces kg_cypher_undirected — the cypher string surface
+    # stays repped in-window by kg_cypher_optional (the r5-changed
+    # co-location path, slot 2), kg_cypher_varlen was r4
+    # driver-green, and the undirected orientation-union compile is
+    # pinned by the cypher pytests; swept green at sf0.01 across r5.
     # Sixteenth rotation: q_doc_winnowing (brand-new MOSS
     # fingerprint selection, never driver-checked) displaces
     # q_sample_priority — its md5 52-bit-uniform + threshold
@@ -2829,7 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas",
         "kg_wl_colors", "kg_scc",
         "kg_clustering_coef",
-        "kg_cypher_undirected",
+        "kg_conductance",
         # text/retrieval — never driver-checked
         "q_doc_bm25_search",
         "q_doc_pii_scrub", "q_doc_textrank",
@@ -5547,6 +5574,42 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                        FROM c{r})
                    WHERE rn = 1)"""
         for r in range(1, 5))
+    # conductance census over the SAME 4-round LPA labeling: vol =
+    # count of symmetric edge rows with src in S (== Σ degree over
+    # members), cut = those whose endpoint labels differ (each
+    # undirected cut edge has exactly one orientation leaving S),
+    # φ_ppm = cut·1e6 // min(vol, 2m − vol); zero-denominator
+    # communities excluded (both engines)
+    out["kg_conductance"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)
+            {lpa_rounds},
+            per AS (SELECT la.lbl AS community,
+                           count(*)::BIGINT AS vol,
+                           sum(CASE WHEN la.lbl <> lb.lbl
+                                    THEN 1 ELSE 0 END)::BIGINT
+                               AS cut_edges
+                    FROM und u
+                    JOIN l4 la ON la.node = u.src
+                    JOIN l4 lb ON lb.node = u.dst
+                    GROUP BY 1),
+            nn AS (SELECT lbl AS community, count(*)::BIGINT AS n_nodes
+                   FROM l4 GROUP BY lbl),
+            m2 AS (SELECT sum(vol)::BIGINT AS v FROM per)
+            SELECT per.community, nn.n_nodes, per.vol, per.cut_edges,
+                   (per.cut_edges * 1000000
+                    // least(per.vol, (SELECT v FROM m2) - per.vol)
+                    )::BIGINT AS conductance_ppm
+            FROM per JOIN nn USING (community)
+            WHERE least(per.vol, (SELECT v FROM m2) - per.vol) > 0
+            ORDER BY community
+        """
     out["kg_lpa"] = f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
                                         canonical_obj AS dst

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "kg_temporal_reach",
     "q_doc_simhash_dedup",
     "q_doc_winnowing",
+    "kg_conductance",
 ]
 
 

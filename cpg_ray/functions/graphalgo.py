@@ -5035,3 +5035,86 @@ def temporal_reach(edges_ds, *, src: str = "src", dst: str = "dst",
     if not len(df):
         return _empty()
     return _finish(df)
+
+
+def conductance_census(edges_ds, labels: pd.DataFrame, *,
+                       src: str = "src", dst: str = "dst",
+                       node_col: str = "entity",
+                       label_col: str = "community",
+                       scale: int = 1_000_000) -> pd.DataFrame:
+    """Per-community conductance over a node labeling (Leskovec et
+    al., WWW'08 network-community-profile methodology — public):
+    φ(S) = cut(S) / min(vol(S), 2m − vol(S)) with cut = undirected
+    edges leaving S and vol = Σ degree over members, reported as an
+    exact int64 floor ``conductance_ppm = cut·scale //
+    min(vol, 2m−vol)`` so the SQL twin hash-matches.  Communities
+    whose denominator is 0 (the whole graph in one label) are
+    excluded — both engines agree.
+
+    Scale shape: ONE linear pass over the symmetric distinct edge set
+    with the node→label map broadcast (``ray.put``; label tables are
+    entity-vocabulary-bounded, the same posture as the KB-enrich
+    broadcast) emitting per-label (vol, cut) combiner partials — each
+    symmetric edge row contributes 1 to vol(label(src)) and, when the
+    endpoint labels differ, 1 to cut — then one label-sized groupby
+    finish on the driver.  No pair fan-out, no shuffle beyond the
+    edge distinct.
+
+    Returns (community, n_nodes, vol, cut_edges, conductance_ppm)
+    sorted by community."""
+    import ray
+
+    from .relational import bcast_get, distinct_on
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b[src] != b[dst]]
+        return pd.DataFrame({
+            "a": np.concatenate([d[src].to_numpy(object),
+                                 d[dst].to_numpy(object)]),
+            "b": np.concatenate([d[dst].to_numpy(object),
+                                 d[src].to_numpy(object)])})
+
+    und = distinct_on(
+        edges_ds.map_batches(to_sym, batch_format="pandas"),
+        ["a", "b"]).materialize()
+    lmap_ref = ray.put(dict(zip(labels[node_col], labels[label_col])))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        m = bcast_get(lmap_ref)
+        la = b["a"].map(m)
+        lb = b["b"].map(m)
+        g = pd.DataFrame({"community": la.to_numpy(object),
+                          "vol": np.int64(1),
+                          "cut": (la.to_numpy(object)
+                                  != lb.to_numpy(object))
+                          .astype("int64")})
+        return (g.groupby("community", as_index=False)
+                [["vol", "cut"]].sum())
+
+    part = und.map_batches(partials, batch_format="pandas").to_pandas()
+    if not len(part):
+        return pd.DataFrame({
+            "community": pd.Series(dtype="object"),
+            "n_nodes": pd.Series(dtype="int64"),
+            "vol": pd.Series(dtype="int64"),
+            "cut_edges": pd.Series(dtype="int64"),
+            "conductance_ppm": pd.Series(dtype="int64")})
+    agg = part.groupby("community", as_index=False)[["vol", "cut"]] \
+        .sum()
+    m2 = int(agg["vol"].sum())
+    nn = (labels.groupby(label_col).size().rename("n_nodes")
+          .reset_index().rename(columns={label_col: "community"}))
+    out = agg.merge(nn, on="community", how="left")
+    out["n_nodes"] = out["n_nodes"].fillna(0).astype("int64")
+    vol = out["vol"].to_numpy("int64")
+    den = np.minimum(vol, m2 - vol)
+    keep = den > 0
+    out = out[keep]
+    out["conductance_ppm"] = (
+        out["cut"].to_numpy("int64") * scale
+        // den[keep]).astype("int64")
+    out = out.rename(columns={"cut": "cut_edges"})
+    out["vol"] = out["vol"].astype("int64")
+    return (out[["community", "n_nodes", "vol", "cut_edges",
+                 "conductance_ppm"]]
+            .sort_values("community").reset_index(drop=True))

@@ -1925,3 +1925,45 @@ def test_temporal_reach_driver_and_shuffle_paths_agree():
     a = temporal_reach(_temporal_edges(), rounds=3)
     b = temporal_reach(_temporal_edges(), rounds=3, mode="shuffle")
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------
+# Community conductance (graphalgo.conductance_census)
+# ---------------------------------------------------------------
+
+def test_conductance_two_cliques_one_bridge():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import conductance_census
+
+    # two triangles joined by one bridge edge; label = clique
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+             ("a1", "b1")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    labels = pd.DataFrame({
+        "entity": ["a1", "a2", "a3", "b1", "b2", "b3"],
+        "community": ["A", "A", "A", "B", "B", "B"]})
+    out = conductance_census(ds, labels)
+    got = out.set_index("community")
+    # vol(A) = 2+2+2 intra-degrees + 1 bridge end = 7; cut = 1
+    assert got.loc["A", "vol"] == 7 and got.loc["A", "cut_edges"] == 1
+    assert got.loc["A", "n_nodes"] == 3
+    # phi = 1e6 * 1 // min(7, 14-7) = 142857
+    assert got.loc["A", "conductance_ppm"] == 142857
+    assert got.loc["B", "conductance_ppm"] == 142857
+
+
+def test_conductance_single_community_excluded():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import conductance_census
+
+    ds = rd.from_pandas(pd.DataFrame(
+        [("x", "y"), ("y", "z")], columns=["src", "dst"]))
+    labels = pd.DataFrame({"entity": ["x", "y", "z"],
+                           "community": ["C", "C", "C"]})
+    # the whole graph in one label -> denominator 0 -> excluded
+    assert conductance_census(ds, labels).empty
