@@ -1251,6 +1251,19 @@ def _kg_lpa(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_assortativity(sf_dir: str):
+    """Degree assortativity of the canonical entity graph (Newman PRL
+    2002): exact integer moment sums over the symmetric edge set plus
+    sign·r²-ppm — no square root, so the SQL twin is bit-identical
+    (DuckDB's HUGEINT promotion mirrors Python arbitrary ints for the
+    cov² product)."""
+    from cpg_ray.functions.graphalgo import degree_assortativity
+
+    return degree_assortativity(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj")
+
+
 def _kg_conductance(sf_dir: str):
     """Per-community conductance over the 4-round LPA labeling
     (Leskovec WWW'08 NCP methodology): cut / min(vol, 2m−vol) per
@@ -2597,6 +2610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_winnowing": q.q_doc_winnowing,
         # per-community conductance over the LPA labeling
         "kg_conductance": _kg_conductance,
+        # degree assortativity (exact moment sums + sign·r²-ppm)
+        "kg_assortativity": _kg_assortativity,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -5574,6 +5589,45 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                        FROM c{r})
                    WHERE rn = 1)"""
         for r in range(1, 5))
+    # assortativity: moment sums over symmetric edges with endpoint
+    # degrees; cov² promotes to HUGEINT in DuckDB == Python int —
+    # exact on both engines; only the ≤1e6 ppm result casts back
+    out["kg_assortativity"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT a, b FROM (
+                        SELECT src AS a, dst AS b FROM e0
+                        UNION ALL SELECT dst AS a, src AS b FROM e0)),
+            deg AS (SELECT a, count(*)::BIGINT AS d
+                    FROM und GROUP BY a),
+            xy AS (SELECT da.d AS x, db.d AS y
+                   FROM und u JOIN deg da ON da.a = u.a
+                              JOIN deg db ON db.a = u.b),
+            t AS (SELECT count(*)::BIGINT AS m,
+                         sum(x)::BIGINT AS sum_x,
+                         sum(y)::BIGINT AS sum_y,
+                         sum(x * y)::BIGINT AS sum_xy,
+                         sum(x * x)::BIGINT AS sum_x2,
+                         sum(y * y)::BIGINT AS sum_y2
+                  FROM xy),
+            c AS (SELECT *,
+                         m * sum_xy - sum_x * sum_y AS cov,
+                         m * sum_x2 - sum_x * sum_x AS vx,
+                         m * sum_y2 - sum_y * sum_y AS vy
+                  FROM t)
+            SELECT m, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+                   (CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1
+                         ELSE 0 END)::BIGINT AS sign,
+                   (CASE WHEN vx > 0 AND vy > 0 THEN
+                        (CASE WHEN cov > 0 THEN 1 WHEN cov < 0
+                              THEN -1 ELSE 0 END)
+                        * ((cov::HUGEINT * cov::HUGEINT * 1000000)
+                           // (vx::HUGEINT * vy::HUGEINT))
+                    ELSE 0 END)::BIGINT AS r2_ppm
+            FROM c
+        """
     # conductance census over the SAME 4-round LPA labeling: vol =
     # count of symmetric edge rows with src in S (== Σ degree over
     # members), cut = those whose endpoint labels differ (each

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "q_doc_simhash_dedup",
     "q_doc_winnowing",
     "kg_conductance",
+    "kg_assortativity",
 ]
 
 

@@ -5118,3 +5118,66 @@ def conductance_census(edges_ds, labels: pd.DataFrame, *,
     return (out[["community", "n_nodes", "vol", "cut_edges",
                  "conductance_ppm"]]
             .sort_values("community").reset_index(drop=True))
+
+
+def degree_assortativity(edges_ds, *, src: str = "src",
+                         dst: str = "dst",
+                         scale: int = 1_000_000) -> pd.DataFrame:
+    """Degree assortativity (Newman, PRL 2002 — public): the Pearson
+    correlation of endpoint degrees across the symmetric distinct
+    edge set, kept EXACT by avoiding the square root — report the
+    covariance/variance building blocks as int64 sums plus
+    ``r2_ppm = sign · (cov² · scale) // (var_x · var_y)`` (r² in ppm
+    with r's sign), all integer floor arithmetic both engines
+    reproduce bit-for-bit.
+
+    Over the symmetric edge list (each undirected edge twice, once
+    per orientation) x = deg(a), y = deg(b) per row — the standard
+    undirected estimator; x and y are exchangeable so Σx = Σy and
+    var_x = var_y, but both report for the census shape.
+
+    Scale shape: degrees come from one pre-combined groupby broadcast
+    as a node→degree map (entity-vocabulary-bounded); the moment sums
+    (Σx, Σy, Σxy, Σx², Σy², m) are per-batch combiner partials — one
+    linear pass, one tiny driver fold.  Returns a single-row frame
+    (m, sum_x, sum_y, sum_xy, sum_x2, sum_y2, sign, r2_ppm)."""
+    import ray
+
+    from .relational import bcast_get, distinct_on, groupby_agg
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b[src] != b[dst]]
+        return pd.DataFrame({
+            "a": np.concatenate([d[src].to_numpy(object),
+                                 d[dst].to_numpy(object)]),
+            "b": np.concatenate([d[dst].to_numpy(object),
+                                 d[src].to_numpy(object)])})
+
+    und = distinct_on(
+        edges_ds.map_batches(to_sym, batch_format="pandas"),
+        ["a", "b"]).materialize()
+    deg = groupby_agg(und, ["a"], [("b", "count", "d")]).to_pandas()
+    dref = ray.put(dict(zip(deg["a"], deg["d"].astype("int64"))))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        m = bcast_get(dref)
+        x = b["a"].map(m).to_numpy("int64")
+        y = b["b"].map(m).to_numpy("int64")
+        return pd.DataFrame({
+            "m": [np.int64(len(b))], "sum_x": [x.sum()],
+            "sum_y": [y.sum()], "sum_xy": [(x * y).sum()],
+            "sum_x2": [(x * x).sum()], "sum_y2": [(y * y).sum()]})
+
+    p = und.map_batches(moments, batch_format="pandas").to_pandas()
+    cols = ["m", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    t = {c: int(p[c].sum()) for c in cols}
+    cov = t["m"] * t["sum_xy"] - t["sum_x"] * t["sum_y"]
+    vx = t["m"] * t["sum_x2"] - t["sum_x"] * t["sum_x"]
+    vy = t["m"] * t["sum_y2"] - t["sum_y"] * t["sum_y"]
+    sign = 0 if cov == 0 else (1 if cov > 0 else -1)
+    r2 = (cov * cov * scale) // (vx * vy) if vx > 0 and vy > 0 else 0
+    out = pd.DataFrame([{**t, "sign": np.int64(sign),
+                         "r2_ppm": np.int64(sign * r2)}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1967,3 +1967,24 @@ def test_conductance_single_community_excluded():
                            "community": ["C", "C", "C"]})
     # the whole graph in one label -> denominator 0 -> excluded
     assert conductance_census(ds, labels).empty
+
+
+def test_assortativity_star_vs_clique():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.graphalgo import degree_assortativity
+
+    # star: hub degree n-1 meets leaves degree 1 -> perfectly
+    # DISassortative (r = -1 -> sign -1, r2_ppm = -1_000_000)
+    star = rd.from_pandas(pd.DataFrame(
+        [("h", f"l{i}") for i in range(5)], columns=["src", "dst"]))
+    s = degree_assortativity(star).iloc[0]
+    assert s["sign"] == -1 and s["r2_ppm"] == -1_000_000
+    assert s["m"] == 10  # 5 undirected edges, both orientations
+    # regular graph (triangle): zero degree variance -> r undefined,
+    # reported as 0 by the shared vx>0 rule
+    tri = rd.from_pandas(pd.DataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], columns=["src", "dst"]))
+    t = degree_assortativity(tri).iloc[0]
+    assert t["sign"] == 0 and t["r2_ppm"] == 0
