@@ -2612,6 +2612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conductance": _kg_conductance,
         # degree assortativity (exact moment sums + sign·r²-ppm)
         "kg_assortativity": _kg_assortativity,
+        # disordered-stream sessions through ReorderBuffer->Sessionizer
+        "q_events_reorder_sessions": q.q_events_reorder_sessions,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -2798,6 +2800,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kg_clustering_coef (wedge census) and kg_harmonic (chunk-
     # guarded expansion), and it swept green at sf0.01 this round
     # (window_sweep_s4).
+    # Eighteenth rotation: q_events_reorder_sessions (brand-new —
+    # makes the stateful ReorderBuffer→Sessionizer actor chain
+    # ORACLE-PAIRED via the closed-form drop rule, closing the
+    # "stateful streaming is rows-only" exemption) displaces
+    # q_events_hll — its md5-HLL register + integer-estimator
+    # machinery runs in-window inside kg_anf (HyperANF max-merges the
+    # same registers per hop), and the distinct-count variant is
+    # pinned by the sketches pytests; swept green at sf0.001+0.01.
     # Seventeenth rotation: kg_conductance (brand-new community-
     # quality census over the LPA labeling, never driver-checked)
     # displaces kg_cypher_undirected — the cypher string surface
@@ -2881,7 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_allen", "q_orders_pareto",
         "q_doc_delta_dedup",
         # final-session additions — new code, never driver-checked
-        "q_events_cusum", "q_events_hll", "q_doc_coverage",
+        "q_events_cusum", "q_events_reorder_sessions", "q_doc_coverage",
         "kg_eccentricity", "kg_metapath",
         "kg_truth_iter", "kg_trans_reduce", "kg_msf",
         "kg_anf", "kg_dipre", "kg_corpus_overlap",

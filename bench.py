@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q_doc_winnowing",
     "kg_conductance",
     "kg_assortativity",
+    "q_events_reorder_sessions",
 ]
 
 

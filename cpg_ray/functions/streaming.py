@@ -535,6 +535,87 @@ def ordered_scan(ds, order_col: str, specs: list, *,
     return local.map_batches(finalize, batch_format="pandas")
 
 
+def sessionize_disordered(events_ds, *, gap_seconds: float = 1800.0,
+                          lateness_s: float = 300.0,
+                          jitter_s: float = 600.0,
+                          n_buckets: int = 8,
+                          batch_rows: int = 4096) -> pd.DataFrame:
+    """Sessionize a DISORDERED event stream through the
+    :class:`ReorderBuffer` → :class:`Sessionizer` actor chain — the
+    allowed-lateness ingestion shape (Beam/Flink) where events arrive
+    displaced from event-time order and anything later than the
+    released watermark is dropped, counted, and excluded from its
+    session.
+
+    The disorder is SYNTHESIZED deterministically so a SQL twin can
+    reproduce the exact drop set: arrival key = epoch_µs(ts) +
+    (md5_32(event_id) mod 2J) − J with J = ``jitter_s`` (bounded ±J
+    displacement), tie-broken by event_id; each user-hash bucket
+    feeds its buffer in ``batch_rows`` arrival-order chunks.  The
+    buffer's drop rule then reduces to closed form — an event in
+    chunk c drops iff ts ≤ runmax(chunk maxima < c) − lateness (a
+    dropped event can never carry the chunk max, so the running max
+    ignores drops) — which is one window expression cross-engine.
+    Kept events reach the sessionizer in strict ts order by
+    construction, so sessions over them are the standard gap rule.
+
+    Scale shape: identical to :func:`sessionize_streaming` — the only
+    exchange is the bucket hash shuffle; buffer + sessionizer state
+    stay bounded by lateness-window × open sessions per bucket.
+
+    Returns the closed-session frame (user_id, session_start,
+    session_end, n_events) with ``attrs['dropped_late']`` holding the
+    total dropped-event count."""
+    import hashlib as _h
+
+    J = int(jitter_s * 1_000_000)
+
+    def add_keys(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        jit = np.array([int(_h.md5(str(int(e)).encode())
+                            .hexdigest()[:8], 16) % (2 * J) - J
+                        for e in b["event_id"].to_numpy()],
+                       dtype=np.int64)
+        b["__arr"] = us + jit
+        b["__b"] = (b.user_id % n_buckets).astype("int32")
+        return b
+
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rb = ReorderBuffer(Sessionizer(gap_seconds),
+                           allowed_lateness_s=lateness_s)
+        g = (g.sort_values(["__arr", "event_id"], kind="mergesort")
+             .drop(columns=["__arr", "__b"]))
+        frames = [rb.feed(g.iloc[i: i + batch_rows])
+                  for i in range(0, len(g), batch_rows)]
+        frames.append(rb.flush())
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(columns=cols + ["__dropped"])
+        out = pd.concat(frames, ignore_index=True)
+        out["__dropped"] = np.int64(0)
+        if len(out):
+            out.iloc[0, out.columns.get_loc("__dropped")] = np.int64(
+                rb.dropped_late)
+        return out
+
+    out = (events_ds.map_batches(add_keys, batch_format="pandas")
+           .groupby("__b")
+           .map_groups(run_bucket, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        res = pd.DataFrame(columns=cols)
+        res.attrs["dropped_late"] = 0
+        return res
+    dropped = int(out["__dropped"].sum())
+    res = (out[cols].sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    res.attrs["dropped_late"] = dropped
+    return res
+
+
 class ReorderBuffer:
     """Bounded event-time reorder buffer in front of any ts-ordered
     consumer (the Beam/Flink ALLOWED-LATENESS model for an input that

@@ -1896,6 +1896,73 @@ def q_events_sessions_streaming(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_reorder_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization of a DISORDERED stream through the
+    ReorderBuffer → Sessionizer actor chain
+    (streaming.sessionize_disordered): md5-jittered arrival order
+    (±600 s), 300 s allowed lateness — events beyond the released
+    watermark drop, counted, excluded from their session.  The drop
+    rule reduces to a closed form (ts ≤ runmax of prior chunk maxima
+    − lateness) the SQL twin reproduces exactly."""
+    from ..functions.streaming import sessionize_disordered
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    sessions = sessionize_disordered(
+        ds, gap_seconds=1800, lateness_s=300, jitter_s=600,
+        n_buckets=8, batch_rows=4096)
+    agg = (sessions.groupby("user_id")
+           .agg(n_sessions=("session_start", "size"),
+                n_events=("n_events", "sum"))
+           .reset_index())
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_SQL_REORDER = """
+    WITH a AS (
+        SELECT user_id, ts, event_id, user_id % 8 AS b,
+               epoch_us(ts)
+               + (('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+                  ::BIGINT % 1200000000) - 600000000 AS arr
+        FROM events
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY b ORDER BY arr, event_id) AS rn
+        FROM a
+    ), ch AS (
+        SELECT *, (rn - 1) // 4096 AS c FROM r
+    ), cm AS (
+        SELECT b, c, max(ts) AS cmax FROM ch GROUP BY b, c
+    ), wm AS (
+        SELECT b, c, max(cmax) OVER (
+            PARTITION BY b ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prevmax
+        FROM cm
+    ), kept AS (
+        SELECT ch.user_id, ch.ts
+        FROM ch JOIN wm ON wm.b = ch.b AND wm.c = ch.c
+        WHERE wm.prevmax IS NULL
+           OR ch.ts > wm.prevmax - INTERVAL 300 SECOND
+    )
+    SELECT user_id,
+           sum(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+           count(*)                            AS n_events
+    FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_ts
+        FROM kept
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 def q_approx_stats(sf_dir: str) -> pd.DataFrame:
     """Sketch-based approximate aggregates (rows-only): HLL distinct
     users + sample quantiles of event value, with the mergeable
@@ -4266,6 +4333,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    "q_events_reorder_sessions": ORACLE_SQL_REORDER,
     "q_events_sessions_streaming": """
         SELECT user_id,
                sum(CASE WHEN prev_ts IS NULL

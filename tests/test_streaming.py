@@ -462,3 +462,34 @@ def test_allen_census_skip_guard_and_point_intervals():
     assert out.attrs["skipped_groups"] == 1
     assert list(out.itertuples(index=False, name=None)) == [
         ("x", "y", "meets", 1)]
+
+
+def test_sessionize_disordered_drops_beyond_lateness():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.streaming import sessionize_disordered
+
+    t0 = pd.Timestamp("2024-01-01")
+    # one user, events a minute apart over 2 hours; tiny jitter makes
+    # arrival ~ts order EXCEPT one straggler displaced far beyond the
+    # lateness allowance (forced by feeding chunk size 4: by the time
+    # it arrives, the watermark has passed it)
+    rows = [(i, 7, t0 + pd.Timedelta(minutes=i)) for i in range(120)]
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts"]))
+    out = sessionize_disordered(ds, gap_seconds=1800, lateness_s=60,
+                                jitter_s=3600, n_buckets=1,
+                                batch_rows=4)
+    # big jitter + small lateness: SOME events must drop, the rest
+    # sessionize in pure ts order (gaps <= 30 min unless a dropped
+    # run opens one)
+    assert out.attrs["dropped_late"] > 0
+    assert out.n_events.sum() + out.attrs["dropped_late"] == 120
+    # zero-jitter control: nothing drops, one session
+    out2 = sessionize_disordered(ds, gap_seconds=1800, lateness_s=60,
+                                 jitter_s=0.000001, n_buckets=1,
+                                 batch_rows=4)
+    assert out2.attrs["dropped_late"] == 0
+    assert len(out2) == 1 and out2.n_events.iloc[0] == 120
