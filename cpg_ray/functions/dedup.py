@@ -1624,7 +1624,9 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 16,
                        chunks: int = 4, max_hamming: int = 3,
                        bucket_cap: int = 10_000,
-                       pair_limit: int = 5_000_000) -> pd.DataFrame:
+                       pair_limit: int = 5_000_000,
+                       mode: str = "auto",
+                       driver_limit: int = 2_000_000) -> pd.DataFrame:
     """SimHash near-duplicate PAIRS by Hamming radius (Charikar
     STOC'02 + the Manku/Jain/Sarma WWW'07 chunk-pigeonhole index —
     public): signatures from :func:`simhash_signatures_md5`, then any
@@ -1637,25 +1639,88 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id",
     Buckets larger than ``bucket_cap`` docs are SKIPPED and REPORTED
     (``skipped_buckets`` on the attrs dict — a flat chunk value at
     web scale means a degenerate feature, the documented skew posture
-    shared with ``minhash_lsh_pairs``).  The signature table (one row
-    per doc — never the text) collects under a guarded driver finish;
-    past ``pair_limit`` signature rows or candidate pairs the
+    shared with ``minhash_lsh_pairs``).  Under ``driver_limit``
+    signature rows (mode='auto') the doc-row-sized signature table —
+    never the text — collects for a driver finish; past it (or with
+    mode='shuffle') candidates generate DISTRIBUTED: band rows
+    groupby (chunk, value) with the pair expansion + popcount verify
+    inside each bucket's ``map_groups`` task, over-cap buckets
+    emitting a counted skip marker instead of pairs — only verified
+    pairs travel.  Past ``pair_limit`` verified/candidate pairs the
     operator raises
     :class:`~cpg_ray.functions.relational.GuardExceeded` — an honest
-    refusal; the distributed scale path for banded candidate
-    generation is :func:`minhash_lsh_pairs`' bucketed groupby shape
-    and applies here unchanged when a corpus needs it.
+    refusal (partial pair sets corrupt downstream clustering); both
+    paths are pinned equal in pytest, bucket_cap exercised on each.
 
     Returns a pandas frame (a, b, hamming int64), a < b by doc id,
     sorted; each pair once even when it collides in several chunks."""
     from .relational import GuardExceeded, _collect_limited
 
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cbits_ = bits // chunks
+    mask_ = (1 << cbits_) - 1
+
     sigs = simhash_signatures_md5(
-        ds, id_col=id_col, text_col=text_col, bits=bits)
-    sp = _collect_limited(
-        sigs.map_batches(lambda b: b[[id_col, f"simhash{bits}"]],
-                         batch_format="pandas"),
-        pair_limit, "simhash_near_pairs")
+        ds, id_col=id_col, text_col=text_col, bits=bits).map_batches(
+        lambda b: b[[id_col, f"simhash{bits}"]],
+        batch_format="pandas").materialize()
+
+    if mode == "shuffle" or (mode == "auto"
+                             and sigs.count() > driver_limit):
+        def to_bands(b: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for k in range(chunks):
+                frames.append(pd.DataFrame({
+                    "k": np.int64(k),
+                    "cv": (b[f"simhash{bits}"].to_numpy("int64")
+                           >> (k * cbits_)) & mask_,
+                    "id": b[id_col].to_numpy("int64"),
+                    "sg": b[f"simhash{bits}"].to_numpy("int64")}))
+            return pd.concat(frames, ignore_index=True)
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            n = len(g)
+            if n < 2:
+                return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                     "b": pd.Series(dtype="int64"),
+                                     "hamming": pd.Series(dtype="int64"),
+                                     "skip": pd.Series(dtype="int64")})
+            if n > bucket_cap:
+                return pd.DataFrame({"a": [np.int64(-1)],
+                                     "b": [np.int64(-1)],
+                                     "hamming": [np.int64(-1)],
+                                     "skip": [np.int64(1)]})
+            gid = g["id"].to_numpy("int64")
+            gsg = g["sg"].to_numpy("int64")
+            ii, jj = np.triu_indices(n, k=1)
+            ham = np.zeros(len(ii), dtype=np.int64)
+            v = gsg[ii] ^ gsg[jj]
+            while v.any():
+                ham += v & 1
+                v >>= 1
+            keep = ham <= max_hamming
+            return pd.DataFrame({
+                "a": np.minimum(gid[ii[keep]], gid[jj[keep]]),
+                "b": np.maximum(gid[ii[keep]], gid[jj[keep]]),
+                "hamming": ham[keep],
+                "skip": np.int64(0)})
+
+        rows = _collect_limited(
+            sigs.map_batches(to_bands, batch_format="pandas")
+            .groupby(["k", "cv"])
+            .map_groups(bucket_pairs, batch_format="pandas"),
+            pair_limit, "simhash_near_pairs")
+        skipped = int(rows["skip"].sum()) if len(rows) else 0
+        pairs = rows[rows["skip"] == 0] if len(rows) else rows
+        out = (pairs[["a", "b", "hamming"]].drop_duplicates(["a", "b"])
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out.attrs["skipped_buckets"] = skipped
+        return out
+
+    sp = _collect_limited(sigs, pair_limit, "simhash_near_pairs")
     if not len(sp):
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),

@@ -1822,3 +1822,32 @@ def test_winnowing_guarantee_and_tie_rule():
     # every full window end-position appears (rightmost of each)
     assert list(rep.pos) == list(range(4, 12 - 5 + 2))
     assert rep.fp.nunique() == 1
+
+
+def test_simhash_near_pairs_driver_and_shuffle_agree():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import simhash_near_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau") * 2
+    docs = pd.DataFrame([
+        (1, base), (2, base.replace("kappa", "kapa", 1)),
+        (3, "utterly different content " * 10), (4, base),
+        (5, base.replace("zeta", "zzz", 1)),
+    ], columns=["doc_id", "text"])
+    a = simhash_near_pairs(rd.from_pandas(docs))
+    b = simhash_near_pairs(rd.from_pandas(docs), mode="shuffle")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.attrs["skipped_buckets"] == b.attrs["skipped_buckets"]
+    # bucket_cap parity: identical docs overflow a cap of 4 on BOTH
+    rep = pd.DataFrame([(i, "same words again and again here")
+                        for i in range(8)],
+                       columns=["doc_id", "text"])
+    ra = simhash_near_pairs(rd.from_pandas(rep), bucket_cap=4)
+    rb = simhash_near_pairs(rd.from_pandas(rep), bucket_cap=4,
+                            mode="shuffle")
+    assert ra.empty and rb.empty
+    assert (ra.attrs["skipped_buckets"]
+            == rb.attrs["skipped_buckets"] > 0)
