@@ -1282,6 +1282,20 @@ def _kg_conductance(sf_dir: str):
         src="canonical_subj", dst="canonical_obj")
 
 
+def _kg_squares(sf_dir: str):
+    """4-cycle (square) census of the canonical entity graph
+    (graphalgo.square_census, the Chiba–Nishizeki rectangle-count
+    identity): squares = Σ_pairs C(cn,2)/2 over common-neighbor
+    counts — the minimal even-cycle motif, the bipartite-ish density
+    signal triangles are blind to; exact int64 throughout so the SQL
+    wedge-groupby twin is bit-identical."""
+    from cpg_ray.functions.graphalgo import square_census
+
+    return square_census(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj")
+
+
 def _kg_pagerank(sf_dir: str):
     """Fixed-point PageRank over the canonical entity graph (exact
     integer semantics so the unrolled recursive-CTE oracle is
@@ -2614,6 +2628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _kg_assortativity,
         # disordered-stream sessions through ReorderBuffer->Sessionizer
         "q_events_reorder_sessions": q.q_events_reorder_sessions,
+        # 4-cycle (square) motif census — rectangle-count identity
+        "kg_squares": _kg_squares,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -5673,6 +5689,32 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             FROM per JOIN nn USING (community)
             WHERE least(per.vol, (SELECT v FROM m2) - per.vol) > 0
             ORDER BY community
+        """
+    # square census: wedge self-join (u1.dst < u2.dst keeps each
+    # unordered leaf pair once per center) -> per-pair 2-path counts
+    # -> Σ C(cn,2) // 2 counts each 4-cycle once via its two diagonals
+    out["kg_squares"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+            pc AS (SELECT u1.dst AS x, u2.dst AS y,
+                          count(*)::BIGINT AS cn
+                   FROM und u1 JOIN und u2
+                     ON u1.src = u2.src AND u1.dst < u2.dst
+                   GROUP BY 1, 2)
+            SELECT (SELECT count(DISTINCT src) FROM und)::BIGINT
+                       AS n_nodes,
+                   ((SELECT count(*) FROM und) // 2)::BIGINT AS n_edges,
+                   coalesce((SELECT sum(cn) FROM pc), 0)::BIGINT
+                       AS wedges,
+                   (SELECT count(*) FROM pc)::BIGINT AS diag_pairs,
+                   (coalesce((SELECT sum(cn * (cn - 1) // 2) FROM pc),
+                             0) // 2)::BIGINT AS squares,
+                   0::BIGINT AS skipped_centers
         """
     out["kg_lpa"] = f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,

@@ -5181,3 +5181,187 @@ def degree_assortativity(edges_ds, *, src: str = "src",
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---- 4-cycle (square) census --------------------------------------------
+
+
+def _squares_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                    wedge_limit: int,
+                    chunk_wedges: int = 20_000_000) -> pd.DataFrame:
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    zero = pd.DataFrame([{
+        "n_nodes": np.int64(n), "n_edges": np.int64(0),
+        "wedges": np.int64(0), "diag_pairs": np.int64(0),
+        "squares": np.int64(0), "skipped_centers": np.int64(0)}])
+    if n == 0:
+        return zero
+    keep = s_i != d_i
+    lo = np.minimum(s_i[keep], d_i[keep])
+    hi = np.maximum(s_i[keep], d_i[keep])
+    ukey = np.unique(lo * n + hi)
+    if not len(ukey):
+        return zero
+    zero["n_edges"] = np.int64(len(ukey))
+    # symmetric (center, leaf) sorted by center then leaf index, so
+    # within-center pairs come out with x < y by construction
+    c = np.concatenate([ukey // n, ukey % n])
+    leaf = np.concatenate([ukey % n, ukey // n])
+    order = np.lexsort((leaf, c))
+    c, leaf = c[order], leaf[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    sizes = np.diff(np.r_[starts, len(c)])
+    n_wedges = int((sizes * (sizes - 1) // 2).sum())
+    if n_wedges > wedge_limit:
+        raise GuardExceeded(
+            f"square_census(mode='driver'): {n_wedges} wedges > "
+            f"{wedge_limit}; use mode='shuffle'")
+    # chunk the wedge expansion over center ranges so peak memory is
+    # bounded by chunk_wedges keys, not the whole fan-out (the ADVICE
+    # r4 k-truss lesson applied up front)
+    wcum = np.cumsum(sizes * (sizes - 1) // 2)
+    key_parts: list[np.ndarray] = []
+    cnt_parts: list[np.ndarray] = []
+    g0 = 0
+    while g0 < len(sizes):
+        g1 = int(np.searchsorted(
+            wcum, (wcum[g0 - 1] if g0 else 0) + chunk_wedges,
+            side="right")) + 1
+        g1 = min(max(g1, g0 + 1), len(sizes))
+        a0, a1 = starts[g0], starts[g1 - 1] + sizes[g1 - 1]
+        first, second = _pair_ranges(sizes[g0:g1])
+        sub = leaf[a0:a1]
+        pk = sub[first] * n + sub[second]
+        uk, ct = np.unique(pk, return_counts=True)
+        key_parts.append(uk)
+        cnt_parts.append(ct.astype(np.int64))
+        g0 = g1
+    keys = np.concatenate(key_parts) if key_parts else np.array([], np.int64)
+    cnts = np.concatenate(cnt_parts) if cnt_parts else np.array([], np.int64)
+    o = np.argsort(keys, kind="mergesort")
+    keys, cnts = keys[o], cnts[o]
+    bnd = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) \
+        if len(keys) else np.array([], np.int64)
+    cn = np.add.reduceat(cnts, bnd) if len(keys) else np.array([], np.int64)
+    squares2 = int((cn * (cn - 1) // 2).sum())
+    return pd.DataFrame([{
+        "n_nodes": np.int64(n), "n_edges": np.int64(len(ukey)),
+        "wedges": np.int64(int(cn.sum())),
+        "diag_pairs": np.int64(len(cn)),
+        "squares": np.int64(squares2 // 2),
+        "skipped_centers": np.int64(0)}])
+
+
+def square_census(edges_ds, *, src: str = "src", dst: str = "dst",
+                  mode: str = "auto",
+                  driver_edge_limit: int = _DEF_EDGE_LIMIT,
+                  wedge_limit: int = 100_000_000,
+                  max_center: int = 5000,
+                  n_buckets: int | None = None) -> pd.DataFrame:
+    """4-cycle (square) census of the undirected distinct graph: every
+    4-cycle a–x–c–y–a is counted once via its two diagonal pairs —
+    ``squares = Σ_{unordered pairs (x,y)} C(cn(x,y), 2) / 2`` where
+    ``cn`` is the common-neighbor (2-path) count (the rectangle-count
+    identity; Chiba & Nishizeki SIAM J. Comput. 1985, public).  Exact
+    int64 arithmetic end to end, so the SQL wedge-groupby twin is
+    bit-identical.  Squares are the minimal even-cycle motif —
+    bipartite-ish density signal where triangles are blind (KG
+    co-mention graphs: two entities sharing two distinct contexts).
+
+    Returns ONE row: (n_nodes, n_edges, wedges, diag_pairs, squares,
+    skipped_centers) — all int64.
+
+    Scale shape: the wedge fan-out is Σ_c C(deg_c, 2), hub-quadratic
+    with no orientation rescue (every square must close through BOTH
+    diagonals), so each mode carries its own bound: driver mode guards
+    total wedges (``wedge_limit``, GuardExceeded past it) and chunks
+    the expansion over center ranges (peak memory ≈ chunk keys, not
+    the fan-out); shuffle mode fans wedges out per center bucket
+    (one bounded exchange), CAPS centers wider than ``max_center``
+    (skips REPORTED in ``skipped_centers``, the co_occurrence_pairs
+    contract — never silent), pre-combines C(cn,2) per batch after the
+    pair groupby, and only census partials reach the driver."""
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            return _squares_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, wedge_limit=wedge_limit)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _squares_shuffle(edges_ds, src, dst, max_center=max_center,
+                            n_buckets=n_buckets)
+
+
+def _squares_shuffle(edges_ds, src: str, dst: str, *, max_center: int,
+                     n_buckets: int | None) -> pd.DataFrame:
+    from .relational import default_n_buckets, distinct_on, groupby_agg
+
+    nb = n_buckets or default_n_buckets()
+
+    def to_sym(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b[src] != b[dst]]
+        return pd.DataFrame({
+            "c": np.concatenate([d[src].to_numpy(object),
+                                 d[dst].to_numpy(object)]),
+            "l": np.concatenate([d[dst].to_numpy(object),
+                                 d[src].to_numpy(object)])})
+
+    und = distinct_on(
+        edges_ds.map_batches(to_sym, batch_format="pandas"),
+        ["c", "l"]).materialize()
+    n_nodes = int(groupby_agg(und, ["c"], [("l", "count", "d")]).count())
+    n_edges = int(und.count()) // 2
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "l"], kind="mergesort")
+        cc = g["c"].to_numpy(object)
+        ll = g["l"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]]) \
+            if len(cc) else np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(cc)])
+        hot = sizes > max_center
+        keepmask = ~np.repeat(hot, sizes)
+        first, second = _pair_ranges(sizes[~hot])
+        lk = ll[keepmask]
+        out = pd.DataFrame({"x": lk[first], "y": lk[second],
+                            "skipped": np.int64(0)})
+        if hot.any():
+            out = pd.concat([out, pd.DataFrame(
+                {"x": cc[starts[hot]], "y": "",
+                 "skipped": np.int64(1)})], ignore_index=True)
+        return out
+
+    wedge_ds = und.map_batches(
+        lambda b: b.assign(__bk=pd.util.hash_array(
+            b["c"].to_numpy(object)) % nb),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(pairs, batch_format="pandas") \
+        .materialize()
+    skipped = int(
+        wedge_ds.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["skipped"].sum())]}),
+            batch_format="pandas").to_pandas()["s"].sum())
+    pc = groupby_agg(
+        wedge_ds.map_batches(
+            lambda b: b[b["skipped"] == 0][["x", "y"]],
+            batch_format="pandas"),
+        ["x", "y"], [("x", "count", "cn")])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        cn = b["cn"].to_numpy("int64")
+        return pd.DataFrame([{
+            "wedges": np.int64(cn.sum()),
+            "diag_pairs": np.int64(len(cn)),
+            "sq2": np.int64((cn * (cn - 1) // 2).sum())}])
+
+    p = pc.map_batches(census, batch_format="pandas").to_pandas()
+    return pd.DataFrame([{
+        "n_nodes": np.int64(n_nodes), "n_edges": np.int64(n_edges),
+        "wedges": np.int64(int(p["wedges"].sum()) if len(p) else 0),
+        "diag_pairs": np.int64(int(p["diag_pairs"].sum()) if len(p) else 0),
+        "squares": np.int64((int(p["sq2"].sum()) if len(p) else 0) // 2),
+        "skipped_centers": np.int64(skipped)}])

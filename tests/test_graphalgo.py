@@ -1988,3 +1988,71 @@ def test_assortativity_star_vs_clique():
         [("a", "b"), ("b", "c"), ("c", "a")], columns=["src", "dst"]))
     t = degree_assortativity(tri).iloc[0]
     assert t["sign"] == 0 and t["r2_ppm"] == 0
+
+
+# ---- 4-cycle (square) census ---------------------------------------------
+
+
+def _brute_squares(e: pd.DataFrame) -> int:
+    import itertools
+
+    adj: dict[str, set[str]] = {}
+    for s, d in zip(e["src"], e["dst"]):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    nodes = sorted(adj)
+    count = 0
+    # count each 4-cycle a-x-c-y once: unordered diagonal pairs (a,c),
+    # unordered common-neighbor pairs (x,y), then halve (two diagonals)
+    for a, c in itertools.combinations(nodes, 2):
+        cn = len(adj[a] & adj[c])
+        count += cn * (cn - 1) // 2
+    return count // 2
+
+
+def test_squares_known_motifs_and_brute_force():
+    from cpg_ray.functions.graphalgo import square_census
+
+    # one plain 4-cycle -> 1 square; K4 -> 3 squares
+    c4 = pd.DataFrame({"src": list("ABCD"), "dst": list("BCDA")})
+    k4 = pd.DataFrame({"src": ["E", "E", "E", "F", "F", "G"],
+                       "dst": ["F", "G", "H", "G", "H", "H"]})
+    both = pd.concat([c4, k4], ignore_index=True)
+    got = square_census(rd.from_pandas(both), mode="driver")
+    assert int(got.loc[0, "squares"]) == 4
+    assert int(got.loc[0, "n_edges"]) == 10
+    assert int(got.loc[0, "wedges"]) == 16  # Σ C(deg,2): 4·1 + 4·3
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n = int(rng.integers(4, 40))
+        m = int(rng.integers(0, n * 3))
+        e = pd.DataFrame({
+            "src": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+            "dst": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+        })
+        got = square_census(rd.from_pandas(e), mode="driver")
+        assert int(got.loc[0, "squares"]) == _brute_squares(e), trial
+
+
+def test_squares_modes_agree_and_hub_cap():
+    from cpg_ray.functions.graphalgo import square_census
+
+    edges = _rand_edges(50, 400, seed=31)
+    ds = rd.from_pandas(edges)
+    a = square_census(ds, mode="driver")
+    b = square_census(ds, mode="shuffle")
+    assert a.equals(b)
+    # hub wider than max_center: shuffle mode skips it AND reports it
+    hub = pd.DataFrame({
+        "src": ["hub"] * 30, "dst": [f"r{i}" for i in range(30)]})
+    capped = square_census(rd.from_pandas(hub), mode="shuffle",
+                           max_center=10)
+    assert int(capped.loc[0, "skipped_centers"]) == 1
+    assert int(capped.loc[0, "squares"]) == 0
+    # chunked driver expansion (tiny chunk) equals the one-shot result
+    from cpg_ray.functions.graphalgo import _squares_driver
+    chunked = _squares_driver(edges.drop_duplicates(), "src", "dst",
+                              wedge_limit=10**8, chunk_wedges=7)
+    assert chunked.equals(a)
