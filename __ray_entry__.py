@@ -2630,6 +2630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_reorder_sessions": q.q_events_reorder_sessions,
         # 4-cycle (square) motif census — rectangle-count identity
         "kg_squares": _kg_squares,
+        # Flesch reading-ease in exact integer milli-points
+        "q_doc_readability": q.q_doc_readability,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

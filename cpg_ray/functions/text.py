@@ -2291,3 +2291,38 @@ def phrase_search(docs_ds, *, id_col: str = "doc_id",
     df = docs_ds.map_batches(probe, batch_format="pandas").to_pandas()
     return (df.sort_values(["phrase", id_col])
             .reset_index(drop=True))
+
+
+def readability(batch: pd.DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> pd.DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the classic
+    readability curation signal — Kincaid et al. 1975 use the same
+    three counts), computed in EXACT integer milli-points so the SQL
+    twin is bit-identical:
+
+    - ``words``      = non-overlapping ``[A-Za-z]+`` runs,
+    - ``sentences``  = ``[.!?]+`` runs,
+    - ``syllables``  = vowel-group runs ``[aeiouy]+`` over the
+      lowercased text (vowel runs cannot span a word boundary, so
+      whole-text counting equals per-word counting),
+    - ``fre_milli``  = 206835 − (1015·words) // max(sentences, 1)
+                              − (84600·syllables) // max(words, 1)
+
+    (206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) scaled
+    ×1000, each term floor-divided — both engines floor positive
+    operands identically).  ``band`` buckets the score at the standard
+    70/50/30 thresholds.  Stateless single-pass batch fn; every count
+    is one vectorized ``str.count`` — nothing leaves the batch."""
+    t = batch[text_col].fillna("")
+    w = t.str.count(r"[A-Za-z]+").astype("int64")
+    s = t.str.count(r"[.!?]+").astype("int64")
+    y = t.str.lower().str.count(r"[aeiouy]+").astype("int64")
+    fre = (206835 - (1015 * w) // np.maximum(s, 1)
+           - (84600 * y) // np.maximum(w, 1)).astype("int64")
+    band = np.select(
+        [fre >= 70000, fre >= 50000, fre >= 30000],
+        ["easy", "standard", "difficult"], "very_difficult")
+    return pd.DataFrame({
+        id_col: batch[id_col], "words": w, "sentences": s,
+        "syllables": y, "fre_milli": fre,
+        "band": pd.Series(band, index=batch.index, dtype="object")})

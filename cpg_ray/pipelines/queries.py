@@ -6151,3 +6151,40 @@ ORACLE_SQL["q_events_hll"] = """
     FROM ex JOIN z USING (event_type)
     ORDER BY ex.event_type
 """
+
+
+def q_doc_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease readability census (text.readability):
+    exact integer milli-point scores + 70/50/30 band labels per
+    document — the syllable-based curation signal the token-ratio
+    quality features (q_doc_quality, q_doc_gopher) are blind to."""
+    from ..functions.text import readability
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = ds.map_batches(readability, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["q_doc_readability"] = """
+    WITH f AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT
+                   AS words,
+               len(regexp_extract_all(text, '[.!?]+'))::BIGINT
+                   AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                   AS syllables
+        FROM documents),
+    g AS (
+        SELECT *,
+               (206835 - (1015 * words) // greatest(sentences, 1)
+                       - (84600 * syllables) // greatest(words, 1)
+               )::BIGINT AS fre_milli
+        FROM f)
+    SELECT doc_id, words, sentences, syllables, fre_milli,
+           CASE WHEN fre_milli >= 70000 THEN 'easy'
+                WHEN fre_milli >= 50000 THEN 'standard'
+                WHEN fre_milli >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM g ORDER BY doc_id
+"""

@@ -741,3 +741,37 @@ def test_phrase_search_deterministic_tiebreak_and_empty():
         {"doc_id": pd.Series(dtype="int64"),
          "text": pd.Series(dtype="object")}))
     assert phrase_search(empty).empty
+
+
+def test_readability_hand_computed_and_bands():
+    import pandas as pd
+
+    from cpg_ray.functions.text import readability
+
+    # "The cat sat." -> words 3, sentences 1, vowel groups: e,a,a = 3
+    # fre = 206835 - 1015*3//1 - 84600*3//3 = 206835 - 3045 - 84600
+    #     = 119190 -> easy
+    # "Extraordinary notwithstanding circumstances?!" -> words 3,
+    # sentences 1 ('?!' is ONE run), vowel groups:
+    # e,ao,i,a,y | o,i,a,i | i,u,a,e = 13
+    # fre = 206835 - 3045 - 84600*13//3 = 206835-3045-366600 = -162810
+    # empty text -> words 0, sentences 0, syllables 0:
+    # fre = 206835 - 0//1 - 0//1 = 206835 (degenerate doc maxes out;
+    # both engines agree by the max(·,1) clamps)
+    b = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["The cat sat.",
+                 "Extraordinary notwithstanding circumstances?!",
+                 ""]})
+    out = readability(b)
+    assert out["words"].tolist() == [3, 3, 0]
+    assert out["sentences"].tolist() == [1, 1, 0]
+    assert out["syllables"].tolist() == [3, 13, 0]
+    assert out["fre_milli"].tolist() == [119190, -162810, 206835]
+    assert out["band"].tolist() == ["easy", "very_difficult", "easy"]
+    # band thresholds are inclusive at 70000/50000/30000
+    import numpy as np
+
+    scores = pd.DataFrame({"doc_id": [1], "text": ["a"]})
+    got = readability(scores)
+    assert got["band"].dtype == object
