@@ -2632,6 +2632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_squares": _kg_squares,
         # Flesch reading-ease in exact integer milli-points
         "q_doc_readability": q.q_doc_readability,
+        # user-journey census: first-5-event paths per user
+        "q_events_paths": q.q_events_paths,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----

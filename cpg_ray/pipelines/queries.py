@@ -6188,3 +6188,57 @@ ORACLE_SQL["q_doc_readability"] = """
                 ELSE 'very_difficult' END AS band
     FROM g ORDER BY doc_id
 """
+
+
+def q_events_paths(sf_dir: str) -> pd.DataFrame:
+    """User-journey census (clickstream path mining, the funnel's
+    free-form sibling): each user's first 5 events by (ts, event_id)
+    become the journey string 'a>b>c', then a census of how many
+    users walked each journey.  One user-bucketed exchange co-locates
+    each user's stream (the q_events_funnel shape); the per-bucket
+    journey census is a combiner partial, so only journey-vocabulary-
+    sized frames reach the driver — users never do."""
+    import numpy as np
+
+    from ..functions.relational import default_n_buckets
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    nb = default_n_buckets()
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        g = g.groupby("user_id", as_index=False, sort=False).head(5)
+        j = (g.groupby("user_id", sort=False)["event_type"]
+             .agg(">".join).rename("journey").reset_index())
+        return (j.groupby("journey", as_index=False)
+                .agg(n_users=("user_id", "count")))
+
+    part = ds.map_batches(
+        lambda b: b.assign(__bk=(b.user_id % nb).astype("int32")),
+        batch_format="pandas",
+    ).groupby("__bk").map_groups(
+        journeys, batch_format="pandas").to_pandas()
+    out = part.groupby("journey", as_index=False)["n_users"].sum()
+    out["depth"] = (out["journey"].str.count(">") + 1).astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out[["journey", "depth", "n_users"]]
+            .sort_values("journey").reset_index(drop=True))
+
+
+ORACLE_SQL["q_events_paths"] = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    j AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS journey
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+    SELECT journey,
+           len(string_split(journey, '>'))::BIGINT AS depth,
+           count(*)::BIGINT AS n_users
+    FROM j GROUP BY journey ORDER BY journey
+"""

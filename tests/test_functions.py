@@ -1851,3 +1851,33 @@ def test_simhash_near_pairs_driver_and_shuffle_agree():
     assert ra.empty and rb.empty
     assert (ra.attrs["skipped_buckets"]
             == rb.attrs["skipped_buckets"] > 0)
+
+
+def test_events_paths_orders_truncates_and_censuses(tmp_path):
+    """Journey census: per-user ts-then-event_id order, first-5
+    truncation, and the census aggregation across user buckets."""
+    import pandas as pd
+
+    from cpg_ray.pipelines.queries import q_events_paths
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 10, 11, 12],
+        # user 1: six events (truncates to 5); two share ts=2 ->
+        # event_id breaks the tie (id 2 before id 3)
+        "ts": pd.to_datetime(
+            [1, 2, 2, 4, 5, 6, 1, 1, 2, 3], unit="s"),
+        "user_id": [1, 1, 1, 1, 1, 1, 2, 3, 3, 3],
+        "event_type": ["a", "b", "c", "d", "e", "f",
+                       "solo", "x", "y", "z"],
+        "value": 0.0,
+        "props": "",
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ev.to_parquet(sf / "events.parquet", index=False)
+    got = q_events_paths(str(sf))
+    want = pd.DataFrame({
+        "journey": ["a>b>c>d>e", "solo", "x>y>z"],
+        "depth": pd.Series([5, 1, 3], dtype="int64"),
+        "n_users": pd.Series([1, 1, 1], dtype="int64")})
+    assert got.equals(want), got
