@@ -179,6 +179,10 @@ BENCH_QUERIES = [
     "kg_conductance",
     "kg_assortativity",
     "q_events_reorder_sessions",
+    "kg_squares",
+    "q_doc_readability",
+    "q_events_paths",
+    "kg_scan",
 ]
 
 

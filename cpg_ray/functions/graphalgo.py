@@ -5365,3 +5365,384 @@ def _squares_shuffle(edges_ds, src: str, dst: str, *, max_center: int,
         "diag_pairs": np.int64(int(p["diag_pairs"].sum()) if len(p) else 0),
         "squares": np.int64((int(p["sq2"].sum()) if len(p) else 0) // 2),
         "skipped_centers": np.int64(skipped)}])
+
+
+# ---- SCAN structural clustering ------------------------------------------
+
+
+def _scan_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                 eps_num: int, eps_den: int, mu: int,
+                 rounds: int) -> pd.DataFrame:
+    edges = edges[edges[src] != edges[dst]]
+    nodes, s_i, d_i = _index_graph(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "role": pd.Series([], dtype=object),
+                             "cluster": pd.Series([], dtype=object)})
+    lo = np.minimum(s_i, d_i)
+    hi = np.maximum(s_i, d_i)
+    ukey = np.unique(lo * n + hi)
+    a, b = ukey // n, ukey % n
+    deg = (np.bincount(a, minlength=n)
+           + np.bincount(b, minlength=n)).astype(np.int64)
+    sup = _truss_support_int(a, b, n)
+    ccn = sup + 2                      # closed-neighborhood overlap
+    simmask = (eps_den * eps_den) * ccn * ccn \
+        >= (eps_num * eps_num) * (deg[a] + 1) * (deg[b] + 1)
+    sa, sb = a[simmask], b[simmask]
+    simcnt = (np.bincount(sa, minlength=n)
+              + np.bincount(sb, minlength=n)).astype(np.int64)
+    is_core = (simcnt + 1) >= mu
+    # synchronous min-label rounds over core-core similar edges
+    cm = is_core[sa] & is_core[sb]
+    ca, cb = sa[cm], sb[cm]
+    lbl = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        new = lbl.copy()
+        np.minimum.at(new, cb, lbl[ca])
+        np.minimum.at(new, ca, lbl[cb])
+        lbl = new
+    role = np.full(n, "outlier", dtype=object)
+    cluster = np.full(n, "", dtype=object)
+    role[is_core] = "core"
+    cluster[is_core] = nodes[lbl[is_core]]
+    # members: non-core endpoint of a similar edge to a core; cluster
+    # = min core-neighbor cluster (index min == lexicographic min)
+    one_core = is_core[sa] ^ is_core[sb]
+    na = np.where(is_core[sa], sb, sa)[one_core]
+    nc = np.where(is_core[sa], sa, sb)[one_core]
+    mlab = np.full(n, n, dtype=np.int64)
+    np.minimum.at(mlab, na, lbl[nc])
+    is_member = (~is_core) & (mlab < n)
+    role[is_member] = "member"
+    cluster[is_member] = nodes[mlab[is_member]]
+    # hubs among the rest: >= 2 distinct core-neighbor clusters
+    rest = (~is_core) & (~is_member)
+    es = np.concatenate([a, b])
+    ed = np.concatenate([b, a])
+    m2 = is_core[ed] & rest[es]
+    if m2.any():
+        key = es[m2] * np.int64(n) + lbl[ed[m2]]
+        uk = np.unique(key)
+        kcnt = np.bincount(uk // n, minlength=n)
+        role[rest & (kcnt >= 2)] = "hub"
+    return pd.DataFrame({"entity": nodes, "role": role,
+                         "cluster": cluster})
+
+
+def scan_cluster(edges_ds, *, src: str = "src", dst: str = "dst",
+                 eps_num: int = 7, eps_den: int = 10, mu: int = 3,
+                 rounds: int = 8, mode: str = "auto",
+                 driver_edge_limit: int = _DEF_EDGE_LIMIT) -> pd.DataFrame:
+    """SCAN structural graph clustering (Xu et al., KDD'07 — public),
+    deterministic bounded-round variant with every comparison exact
+    int64 so the generated SQL twin is bit-identical:
+
+    - structural similarity per undirected edge:
+      σ(u,v) = |N[u]∩N[v]| / √(|N[u]|·|N[v]|) over CLOSED
+      neighborhoods; the ε-test is squared —
+      ``eps_den²·(cn+2)² ≥ eps_num²·(deg_u+1)·(deg_v+1)`` — so no
+      square root ever materializes (the kg_assortativity discipline);
+    - cores: nodes with ≥ μ ε-similar neighbors (self included,
+      σ(u,u)=1);
+    - clusters: ``rounds`` synchronous min-label rounds over the
+      core–core ε-similar subgraph (label = lexicographically
+      smallest member, exact wherever cluster diameter ≤ rounds);
+    - non-cores: ``member`` of the min ε-similar core neighbor's
+      cluster; else ``hub`` when plain edges reach ≥ 2 distinct core
+      clusters (the bridge role); else ``outlier`` — SCAN's
+      hub/outlier separation is exactly what LPA/components cannot
+      express (noise-robust community detection for KG curation).
+
+    Returns (entity, role, cluster) for EVERY node, cluster '' for
+    hub/outlier rows, sorted by entity.
+
+    Scale shape: the similarity pass is the k-truss edge-support
+    kernel (chunked CSR wedge expansion, O(m^1.5) by orientation);
+    driver mode guards the edge list (GuardExceeded past
+    ``driver_edge_limit``); shuffle mode composes the oriented
+    triangle closure + bounded label_components exchanges — no step
+    is hub-quadratic and nothing row-scale reaches the driver."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            return _scan_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, eps_num=eps_num, eps_den=eps_den, mu=mu,
+                rounds=rounds)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _scan_shuffle(edges_ds, src, dst, eps_num=eps_num,
+                         eps_den=eps_den, mu=mu, rounds=rounds)
+
+
+def _scan_shuffle(edges_ds, src: str, dst: str, *, eps_num: int,
+                  eps_den: int, mu: int, rounds: int) -> pd.DataFrame:
+    """Dataset-native SCAN: oriented wedge closure for per-edge
+    support (the _triangles_shuffle plan, crediting all three edges of
+    each closed triangle), degree joins, the squared ε-test, a core
+    census, label_components(mode='shuffle') over the core-similar
+    subgraph, then member/hub classification via bounded joins.  The
+    final role table is node-sized; only that reaches the driver."""
+    from .relational import (_compact_nonempty, default_n_buckets,
+                             distinct_on, groupby_agg, hash_join)
+
+    def mat(ds):
+        # every join input rides _compact_nonempty: sparse partitions
+        # leave SCHEMALESS empty blocks that crash the next join
+        return _compact_nonempty(ds.materialize())
+
+    def typed_or(ds, **cols):
+        # an ALL-empty groupby/filter output can be schemaless, which
+        # defeats hash_join's empty_safe short-circuit (it needs both
+        # schemas) — substitute a typed empty so outer joins survive
+        import pyarrow as pa
+        import ray.data as rd
+        if ds.count():
+            return ds
+        return rd.from_arrow(pa.table(
+            {k: pa.array([], t) for k, t in cols.items()}))
+
+    nb = default_n_buckets()
+
+    def canon(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt[bt[src] != bt[dst]]
+        s = bt[src].to_numpy(object)
+        d = bt[dst].to_numpy(object)
+        fwd = s < d
+        return pd.DataFrame({"a": np.where(fwd, s, d),
+                             "b": np.where(fwd, d, s)})
+
+    ce = mat(distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"]))
+    deg = mat(groupby_agg(
+        ce.map_batches(
+            lambda bt: pd.DataFrame({"node": pd.concat(
+                [bt["a"], bt["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "deg")]))
+    # oriented wedge closure (degree order, ties by id)
+    ab = hash_join(ce, deg, on="a", right_on="node").map_batches(
+        lambda bt: bt.rename(columns={"deg": "deg_a"}),
+        batch_format="pandas")
+    abd = hash_join(mat(ab), deg, on="b", right_on="node",
+                    empty_safe=True).map_batches(
+        lambda bt: bt.rename(columns={"deg": "deg_b"}),
+        batch_format="pandas")
+
+    def orient(bt: pd.DataFrame) -> pd.DataFrame:
+        fwd = (bt["deg_a"] < bt["deg_b"]) | (
+            (bt["deg_a"] == bt["deg_b"]) & (bt["a"] < bt["b"]))
+        f = fwd.to_numpy()
+        return pd.DataFrame({
+            "u": np.where(f, bt["a"], bt["b"]),
+            "v": np.where(f, bt["b"], bt["a"]),
+            "deg_v": np.where(f, bt["deg_b"], bt["deg_a"]),
+            "__bk": pd.util.hash_array(
+                np.where(f, bt["a"], bt["b"])) % nb})
+
+    oriented = mat(abd.map_batches(orient, batch_format="pandas"))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u_arr = g["u"].to_numpy(object)
+        v_arr = g["v"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, u_arr[1:] != u_arr[:-1]]) \
+            if len(u_arr) else np.array([], np.int64)
+        sizes = np.diff(np.r_[starts, len(u_arr)])
+        first, second = _pair_ranges(sizes)
+        return pd.DataFrame({"wu": u_arr[first], "wv": v_arr[first],
+                             "ww": v_arr[second]})
+
+    wedge_ds = mat(oriented.groupby("__bk").map_groups(
+        wedges, batch_format="pandas"))
+    sup = None
+    if wedge_ds.count():
+        closed = hash_join(
+            wedge_ds,
+            oriented.map_batches(lambda bt: bt[["u", "v"]],
+                                 batch_format="pandas"),
+            on=["wv", "ww"], right_on=["u", "v"])
+
+        def credit(bt: pd.DataFrame) -> pd.DataFrame:
+            # each closed triangle credits its three canonical edges
+            pairs = []
+            for x, y in (("wu", "wv"), ("wu", "ww"), ("wv", "ww")):
+                p = bt[[x, y]].to_numpy(object)
+                loe = np.minimum(p[:, 0], p[:, 1])
+                hie = np.maximum(p[:, 0], p[:, 1])
+                pairs.append(pd.DataFrame({"a": loe, "b": hie}))
+            return pd.concat(pairs, ignore_index=True)
+
+        sup = mat(groupby_agg(
+            closed.map_batches(credit, batch_format="pandas"),
+            ["a", "b"], [("a", "count", "cn")]))
+    se = hash_join(mat(abd), sup, on=["a", "b"],
+                   how="left_outer", empty_safe=True) if sup is not None \
+        else abd.map_batches(lambda bt: bt.assign(cn=np.int64(0)),
+                             batch_format="pandas")
+
+    def simtest(bt: pd.DataFrame) -> pd.DataFrame:
+        cn = bt["cn"].fillna(0).to_numpy("int64") + 2
+        da = bt["deg_a"].to_numpy("int64") + 1
+        db = bt["deg_b"].to_numpy("int64") + 1
+        ok = (eps_den * eps_den) * cn * cn >= \
+            (eps_num * eps_num) * da * db
+        return bt[["a", "b"]][ok]
+
+    import pyarrow as pa
+    sim = typed_or(mat(se.map_batches(simtest, batch_format="pandas")),
+                   a=pa.large_string(), b=pa.large_string())
+    simcnt = groupby_agg(
+        sim.map_batches(
+            lambda bt: pd.DataFrame({"node": pd.concat(
+                [bt["a"], bt["b"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "sc")])
+    cores = typed_or(mat(simcnt.map_batches(
+        lambda bt: bt[bt["sc"] + 1 >= mu][["node"]].assign(
+            is_core=True),
+        batch_format="pandas")),
+        node=pa.large_string(), is_core=pa.bool_())
+    # core-core similar edges -> bounded min-label rounds
+    # int8 flags immediately after each left join: an all-NaN block
+    # otherwise lands as Arrow null-typed and crashes the NEXT join
+    # (the Ray 2.49 sparse-partition defect, sentinel discipline)
+    sc1 = hash_join(sim, cores, on="a", right_on="node",
+                    how="left_outer", empty_safe=True).map_batches(
+        lambda bt: bt.assign(
+            core_a=bt["is_core"].notna().astype("int8")).drop(
+            columns=["is_core"]),
+        batch_format="pandas")
+    sc2 = hash_join(mat(sc1), cores, on="b", right_on="node",
+                    how="left_outer", empty_safe=True).map_batches(
+        lambda bt: bt.assign(
+            core_b=bt["is_core"].notna().astype("int8")).drop(
+            columns=["is_core"]),
+        batch_format="pandas")
+    sc2 = mat(sc2)
+    cc = sc2.map_batches(
+        lambda bt: bt[(bt["core_a"] == 1) & (bt["core_b"] == 1)]
+        [["a", "b"]], batch_format="pandas")
+    have_core_edges = bool(cc.count())
+    if have_core_edges:
+        lab = mat(label_components(cc, src="a", dst="b",
+                                   rounds=rounds,
+                                   mode="shuffle").map_batches(
+            lambda bt: bt[["entity", "component"]].rename(
+                columns={"entity": "node", "component": "lbl"}),
+            batch_format="pandas"))
+    else:
+        import pyarrow as pa
+        import ray.data as rd
+        lab = rd.from_arrow(pa.table({
+            "node": pa.array([], pa.large_string()),
+            "lbl": pa.array([], pa.large_string())}))
+    # isolated cores (no core-core similar edge) label themselves
+    solo = mat(hash_join(cores, lab, on="node", how="left_outer",
+                         empty_safe=True).map_batches(
+        lambda bt: pd.DataFrame({
+            "node": bt["node"],
+            "lbl": bt["lbl"].where(bt["lbl"].notna(),
+                                   bt["node"]).astype(str)}),
+        batch_format="pandas"))
+    # members: non-core endpoint of a similar edge to a core
+    ms = hash_join(sc2, solo, on="a", right_on="node",
+                   how="left_outer", empty_safe=True).map_batches(
+        lambda bt: bt.assign(
+            lbl_a=bt["lbl"].fillna("").astype(str)).drop(
+            columns=["lbl"]),
+        batch_format="pandas")
+    ms2 = hash_join(mat(ms), solo, on="b", right_on="node",
+                    how="left_outer", empty_safe=True).map_batches(
+        lambda bt: bt.assign(
+            lbl_b=bt["lbl"].fillna("").astype(str)).drop(
+            columns=["lbl"]),
+        batch_format="pandas")
+    ms2 = mat(ms2)
+
+    def member_rows(bt: pd.DataFrame) -> pd.DataFrame:
+        ca = (bt["core_a"] == 1).to_numpy()
+        cb = (bt["core_b"] == 1).to_numpy()
+        one = ca ^ cb
+        # the core side's label is always non-'' (solo covers cores)
+        node = np.where(ca, bt["b"], bt["a"])[one]
+        lblc = np.where(ca, bt["lbl_a"], bt["lbl_b"])[one]
+        return pd.DataFrame({"node": node, "clab": lblc})
+
+    # the member/core label tables are renamed BEFORE typed_or: a
+    # map_batches over a 0-row dataset emits ZERO blocks, which blinds
+    # hash_join's empty_safe schema recovery and silently collapses
+    # the left_outer null-extension to an empty result
+    memb = typed_or(mat(groupby_agg(
+        ms2.map_batches(member_rows, batch_format="pandas"),
+        ["node"], [("clab", "min", "memb_lbl")])),
+        node=pa.large_string(), memb_lbl=pa.large_string())
+    # hub test over plain edges: distinct core-neighbor clusters >= 2
+    sym = ce.map_batches(
+        lambda bt: pd.DataFrame({
+            "s": np.concatenate([bt["a"].to_numpy(object),
+                                 bt["b"].to_numpy(object)]),
+            "t": np.concatenate([bt["b"].to_numpy(object),
+                                 bt["a"].to_numpy(object)])}),
+        batch_format="pandas")
+    hn = hash_join(sym, solo, on="t", right_on="node",
+                   how="inner", empty_safe=True)
+    hub_count = None
+    if bool(hn.count()):
+        hub_count = mat(groupby_agg(
+            distinct_on(hn.map_batches(
+                lambda bt: bt[["s", "lbl"]], batch_format="pandas"),
+                ["s", "lbl"]),
+            ["s"], [("lbl", "count", "k")]))
+    # assemble per-node roles
+    nodes_ds = deg.map_batches(lambda bt: bt[["node"]],
+                               batch_format="pandas")
+    solo_r = typed_or(mat(solo.map_batches(
+        lambda bt: bt.rename(columns={"lbl": "core_lbl"}),
+        batch_format="pandas")),
+        node=pa.large_string(), core_lbl=pa.large_string())
+    r1 = hash_join(nodes_ds, solo_r, on="node", how="left_outer",
+                   empty_safe=True).map_batches(
+        lambda bt: bt.assign(
+            core_lbl=bt["core_lbl"].fillna("").astype(str)),
+        batch_format="pandas")
+    r2 = hash_join(mat(r1), memb, on="node", how="left_outer",
+                   empty_safe=True).map_batches(
+        lambda bt: bt.assign(
+            memb_lbl=bt["memb_lbl"].fillna("").astype(str)),
+        batch_format="pandas")
+    if hub_count is not None:
+        r3 = hash_join(mat(r2), hub_count.map_batches(
+            lambda bt: bt.rename(columns={"s": "node"}),
+            batch_format="pandas"), on="node", how="left_outer",
+            empty_safe=True).map_batches(
+            lambda bt: bt.assign(
+                k=bt["k"].fillna(0).astype("int64")),
+            batch_format="pandas")
+    else:
+        r3 = r2.map_batches(lambda bt: bt.assign(k=np.int64(0)),
+                            batch_format="pandas")
+
+    def finish(bt: pd.DataFrame) -> pd.DataFrame:
+        corel = bt["core_lbl"].to_numpy(object)
+        membl = bt["memb_lbl"].to_numpy(object)
+        k = bt["k"].to_numpy("int64")
+        role = np.where(corel != "", "core",
+                        np.where(membl != "", "member",
+                                 np.where(k >= 2, "hub", "outlier")))
+        cluster = np.where(corel != "", corel,
+                           np.where(membl != "", membl, ""))
+        return pd.DataFrame({"entity": bt["node"],
+                             "role": pd.Series(role, dtype=object),
+                             "cluster": pd.Series(cluster,
+                                                  dtype=object)})
+
+    out = r3.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)

@@ -2056,3 +2056,140 @@ def test_squares_modes_agree_and_hub_cap():
     chunked = _squares_driver(edges.drop_duplicates(), "src", "dst",
                               wedge_limit=10**8, chunk_wedges=7)
     assert chunked.equals(a)
+
+
+# ---- SCAN structural clustering ----------------------------------------
+
+
+def _brute_scan(edges: pd.DataFrame, *, eps_num=7, eps_den=10, mu=3,
+                rounds=8) -> pd.DataFrame:
+    """Independent set-based SCAN replay (Xu et al. KDD'07 semantics,
+    bounded synchronous min-label rounds)."""
+    E = {(min(s, d), max(s, d))
+         for s, d in zip(edges["src"], edges["dst"]) if s != d}
+    nodes = sorted({x for e in E for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    sim = set()
+    for a, b in E:
+        cn = len(adj[a] & adj[b]) + 2  # closed neighborhoods
+        if (eps_den * eps_den * cn * cn
+                >= eps_num * eps_num
+                * (len(adj[a]) + 1) * (len(adj[b]) + 1)):
+            sim.add((a, b))
+    simn = {v: set() for v in nodes}
+    for a, b in sim:
+        simn[a].add(b)
+        simn[b].add(a)
+    core = {v for v in nodes if len(simn[v]) + 1 >= mu}
+    lbl = {v: v for v in core}
+    cc = [(a, b) for a, b in sim if a in core and b in core]
+    for _ in range(rounds):
+        new = dict(lbl)
+        for a, b in cc:
+            if lbl[a] < new[b]:
+                new[b] = lbl[a]
+            if lbl[b] < new[a]:
+                new[a] = lbl[b]
+        lbl = new
+    role, cluster = {}, {}
+    for v in core:
+        role[v], cluster[v] = "core", lbl[v]
+    for v in nodes:
+        if v in role:
+            continue
+        cands = [lbl[u] for u in simn[v] if u in core]
+        if cands:
+            role[v], cluster[v] = "member", min(cands)
+    for v in nodes:
+        if v in role:
+            continue
+        ks = {lbl[u] for u in adj[v] if u in core}
+        role[v] = "hub" if len(ks) >= 2 else "outlier"
+        cluster[v] = ""
+    return pd.DataFrame({"entity": nodes,
+                         "role": [role[v] for v in nodes],
+                         "cluster": [cluster[v] for v in nodes]})
+
+
+def _planted_scan_edges() -> pd.DataFrame:
+    # two 6-cliques (cores), a bridge node touching both (hub), a
+    # 3-anchor satellite (member at mu=5), a pendant (outlier), and a
+    # pure self-loop node that must NOT surface
+    rows = []
+    for pre in ("a", "b"):
+        clique = [f"{pre}{i}" for i in range(6)]
+        rows += [(clique[i], clique[j])
+                 for i in range(6) for j in range(i + 1, 6)]
+    rows += [("hub", "a0"), ("hub", "b0"),
+             ("mem", "a1"), ("mem", "a2"), ("mem", "a3"),
+             ("lone", "hub"), ("selfy", "selfy")]
+    return pd.DataFrame(rows, columns=["src", "dst"])
+
+
+def test_scan_all_four_roles_and_brute_force():
+    from cpg_ray.functions.graphalgo import scan_cluster
+
+    edges = _planted_scan_edges()
+    got = scan_cluster(rd.from_pandas(edges), mu=5, mode="driver")
+    exp = _brute_scan(edges, mu=5)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    by = got.set_index("entity")
+    assert (by.loc[[f"a{i}" for i in range(6)], "role"] == "core").all()
+    assert (by.loc[[f"a{i}" for i in range(6)], "cluster"] == "a0").all()
+    assert by.loc["hub", "role"] == "hub" and by.loc["hub", "cluster"] == ""
+    assert by.loc["mem", "role"] == "member" and by.loc["mem", "cluster"] == "a0"
+    assert by.loc["lone", "role"] == "outlier"
+    assert "selfy" not in by.index  # self-loop-only nodes drop
+    # noisy variants, several mu values, against the brute replay
+    for seed, mu in ((3, 3), (9, 2), (21, 4)):
+        rng = np.random.default_rng(seed)
+        noise = pd.DataFrame({
+            "src": [f"n{i:02d}" for i in rng.integers(0, 40, 150)],
+            "dst": [f"n{i:02d}" for i in rng.integers(0, 40, 150)]})
+        e2 = pd.concat([edges, noise], ignore_index=True)
+        got = scan_cluster(rd.from_pandas(e2), mu=mu, mode="driver")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), _brute_scan(e2, mu=mu), )
+
+
+def test_scan_modes_agree_and_guard_degrades():
+    from cpg_ray.functions.graphalgo import scan_cluster
+
+    edges = _planted_scan_edges()
+    rng = np.random.default_rng(5)
+    noise = pd.DataFrame({
+        "src": [f"n{i:02d}" for i in rng.integers(0, 40, 150)],
+        "dst": [f"n{i:02d}" for i in rng.integers(0, 40, 150)]})
+    e2 = pd.concat([edges, noise], ignore_index=True)
+    ds = rd.from_pandas(e2)
+    d = scan_cluster(ds, mu=3, mode="driver")
+    s = scan_cluster(rd.from_pandas(e2), mu=3, mode="shuffle")
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    # auto degrades past the guard instead of raising; driver REFUSES
+    a = scan_cluster(rd.from_pandas(e2), mu=3, mode="auto",
+                     driver_edge_limit=10)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  d.reset_index(drop=True))
+    with pytest.raises(GuardExceeded):
+        scan_cluster(rd.from_pandas(e2), mu=3, mode="driver",
+                     driver_edge_limit=10)
+
+
+def test_scan_shuffle_no_cores_and_empty():
+    from cpg_ray.functions.graphalgo import scan_cluster
+
+    # sparse random graph at strict eps: zero cores -> the whole
+    # core/member/solo join chain runs on typed empties (the
+    # zero-block left_outer regression) and everything is outlier
+    edges = _rand_edges(60, 100, seed=2)
+    for mode in ("driver", "shuffle"):
+        out = scan_cluster(rd.from_pandas(edges), eps_num=99,
+                           eps_den=100, mu=3, mode=mode)
+        assert len(out) and (out["role"] == "outlier").all()
+        assert (out["cluster"] == "").all()
+    empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []}))
+    assert scan_cluster(empty, mode="driver").empty
