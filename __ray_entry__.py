@@ -1798,12 +1798,23 @@ def _kg_triangles(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+# Session-scoped cache of the materialized co-mention edge Dataset:
+# kg_triangles/kg_kcore/kg_ktruss/kg_harmonic all consume the SAME
+# pair fan-out, and rebuilding it per query re-pays the distinct +
+# bucket-groupby exchange each time (~4 s of kg_ktruss's clean-window
+# cost was this shared rebuild — VERDICT r4 #7).  Same posture as
+# _GRAPH_DS_CACHE: the co-mention graph is a long-lived artifact,
+# queries are cheap scans over the materialized blocks.
+_COMENTION_DS_CACHE: dict = {}
+
+
 def _comention_edges(sf_dir: str):
     """Co-mention edges (a < b): entities appearing on the same page.
     Pair fan-out per url via co_occurrence_pairs — capped mega-page
     guard (skip-reported, never silent); the synthetic pages mention a
     handful of entities each, so nothing is ever skipped here and the
-    oracle is exact."""
+    oracle is exact.  Materialized once per sf_dir and shared across
+    the graph-query family."""
     import glob
 
     import pandas as pd
@@ -1811,6 +1822,10 @@ def _comention_edges(sf_dir: str):
 
     from cpg_ray.functions.graphalgo import co_occurrence_pairs
     from cpg_ray.functions.relational import distinct_on
+
+    hit = _COMENTION_DS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
 
     out_dir = _ensure_graph(sf_dir, "mixed")
     tri = rd.read_parquet(
@@ -1827,9 +1842,11 @@ def _comention_edges(sf_dir: str):
             batch_format="pandas"),
         ["url", "e"],
     )
-    return co_occurrence_pairs(men, group_col="url", item_col="e") \
+    edges = co_occurrence_pairs(men, group_col="url", item_col="e") \
         .map_batches(lambda b: b[b["skipped_n"] == 0][["a", "b"]],
-                     batch_format="pandas")
+                     batch_format="pandas").materialize()
+    _COMENTION_DS_CACHE[sf_dir] = edges
+    return edges
 
 
 def _kg_entity_salience(sf_dir: str):
