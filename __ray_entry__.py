@@ -1312,6 +1312,24 @@ def _kg_scan(sf_dir: str):
         dst="canonical_obj", eps_num=1, eps_den=2, mu=3, rounds=8)
 
 
+def _kg_eigen(sf_dir: str):
+    """Eigenvector centrality over the UNDIRECTED canonical entity
+    graph by max-norm integer power iteration — one score vector on
+    the symmetric graph (hub ≡ auth), max- not sum-normalized, the
+    classic mutual-endorsement influence measure kg_hits/kg_pagerank
+    don't express.  Exact int64 floor arithmetic throughout so the
+    generated unrolled-CTE oracle is bit-identical
+    (graphalgo.eigenvector_centrality)."""
+    from cpg_ray.functions.graphalgo import eigenvector_centrality
+
+    df = eigenvector_centrality(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", iters=8,
+    ).to_pandas()
+    df["score"] = df["score"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_pagerank(sf_dir: str):
     """Fixed-point PageRank over the canonical entity graph (exact
     integer semantics so the unrolled recursive-CTE oracle is
@@ -2669,6 +2687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_paths": q.q_events_paths,
         # SCAN structural clustering (core/member/hub/outlier roles)
         "kg_scan": _kg_scan,
+        # eigenvector centrality — max-norm integer power iteration
+        "kg_eigen": _kg_eigen,
     }
 
     # ---- ROUND-5 DRIVER WINDOW (explicit, position-asserted) ----
@@ -3348,6 +3368,44 @@ def _hits_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
         SELECT h.node AS entity, h.score AS hub, a.score AS auth
         FROM h{iters} h JOIN a{iters} a ON a.node = h.node
         ORDER BY entity""")
+    return "".join(parts)
+
+
+def _eigen_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
+    """Generated unrolled-iteration oracle for kg_eigen: per round one
+    join + GROUP BY sum over the symmetrized distinct edges and one
+    scalar-subquery max-norm floor-divide — integer throughout (DuckDB
+    sums in HUGEINT, cast back per round), mirroring
+    graphalgo.eigenvector_centrality by construction: the A+I shift's
+    self term rides as explicit self-loop rows in the adjacency, so
+    each round is ONE join + GROUP BY and the raw-sum table covers the
+    whole node set (no LEFT JOIN).  AS MATERIALIZED everywhere (see
+    _hits_oracle_sql)."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (SELECT DISTINCT canonical_subj AS src,
+                                    canonical_obj AS dst
+                    FROM read_parquet('{triples_glob}')
+                    WHERE canonical_subj <> canonical_obj),
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        adj AS MATERIALIZED (SELECT src, dst FROM und
+                    UNION ALL SELECT DISTINCT src, src FROM und),
+        x0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+                                   {scale}::BIGINT AS score
+                            FROM und)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        , r{t} AS MATERIALIZED (SELECT u.dst AS node, sum(x.score) AS raw
+                       FROM adj u JOIN x{t - 1} x ON x.node = u.src
+                       GROUP BY u.dst)
+        , x{t} AS MATERIALIZED (SELECT node,
+                          (raw // greatest((SELECT max(raw) FROM r{t})
+                                           // {scale}, 1))::BIGINT AS score
+                   FROM r{t})""")
+    parts.append(f"""
+        SELECT node AS entity, score FROM x{iters}
+        ORDER BY score DESC, entity""")
     return "".join(parts)
 
 
@@ -4834,6 +4892,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         """,
         "kg_hits": _hits_oracle_sql(triples_glob, iters=4,
                                     scale=10 ** 12),
+        "kg_eigen": _eigen_oracle_sql(triples_glob, iters=8,
+                                      scale=10 ** 6),
         "kg_random_walks": _walks_oracle_sql(
             triples_glob, walks_per_node=2, length=3),
         "kg_node2vec": _node2vec_oracle_sql(

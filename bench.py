@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "q_doc_readability",
     "q_events_paths",
     "kg_scan",
+    "kg_eigen",
 ]
 
 

@@ -3821,6 +3821,140 @@ def katz_centrality(edges_ds, *, src: str = "src", dst: str = "dst",
                          alpha_num=alpha_num, alpha_den=alpha_den)
 
 
+# ---- eigenvector centrality --------------------------------------------------
+
+
+def _eigen_driver(edges: pd.DataFrame, src: str, dst: str, *,
+                  iters: int, scale: int) -> pd.DataFrame:
+    und = _und_pairs_df(edges, src, dst)
+    if und.empty:
+        return pd.DataFrame({"entity": pd.Series([], dtype=object),
+                             "score": pd.Series([], dtype="int64")})
+    nodes, s_i, d_i = _index_graph(und, "src", "dst")
+    n = len(nodes)
+    x = np.full(n, scale, dtype=np.int64)
+    for _ in range(iters):
+        raw = x.copy()  # A+I shift: self term first
+        np.add.at(raw, d_i, x[s_i])
+        div = max(int(raw.max()) // scale, 1)
+        x = raw // div
+    out = pd.DataFrame({"entity": nodes, "score": x})
+    return out.sort_values(["score", "entity"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def _eigen_shuffle(edges_ds, src: str, dst: str, *, iters: int,
+                   scale: int):
+    """Dataset-native power iteration: per round one hash join
+    (undirected edges ⋈ scores on src), a pre-combined sum by dst, and
+    ONE scalar max aggregate for the floor-normalizer — K bounded
+    exchanges, state is O(nodes)."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["__src"] != d["__dst"]],
+        batch_format="pandas",
+    )
+    und = distinct_on(und, ["__src", "__dst"]).materialize()
+    nodes = distinct_on(
+        und.map_batches(lambda b: pd.DataFrame({"node": b["__src"]}),
+                        batch_format="pandas"),
+        ["node"],
+    ).materialize()
+    if nodes.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "score": pd.Series([], dtype="int64")}))
+    # A+I shift: self-loop rows fold the self term into the same
+    # join + sum as the neighbor terms
+    adj = und.union(nodes.map_batches(
+        lambda b: pd.DataFrame({"__src": b["node"], "__dst": b["node"]}),
+        batch_format="pandas")).materialize()
+    scores = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"],
+                                "score": np.int64(scale)}),
+        batch_format="pandas",
+    ).materialize()
+    for _ in range(iters):
+        contrib = hash_join(adj, scores, on="__src", empty_safe=True,
+                            right_on="node").map_batches(
+            lambda b: pd.DataFrame({"node": b["__dst"],
+                                    "part": b["score"]}),
+            batch_format="pandas")
+        raw = groupby_agg(contrib, ["node"],
+                          [("part", "sum", "raw")]).materialize()
+        # every node of the symmetric graph has >=1 in-neighbor, so
+        # raw covers the whole node set — no left join needed
+        div = max(int(raw.max("raw") or 0) // scale, 1)
+        scores = raw.map_batches(
+            lambda b, d=div: pd.DataFrame({
+                "node": b["node"],
+                "score": b["raw"].astype("int64") // np.int64(d),
+            }),
+            batch_format="pandas",
+        ).materialize()
+    return scores.map_batches(
+        lambda b: pd.DataFrame({"entity": b["node"],
+                                "score": b["score"].astype("int64")}),
+        batch_format="pandas").sort(["score", "entity"],
+                                    descending=[True, False])
+
+
+def eigenvector_centrality(edges_ds, *, src: str = "src",
+                           dst: str = "dst", iters: int = 8,
+                           scale: int = 10 ** 6, mode: str = "auto",
+                           driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Eigenvector centrality (Bonacich 1972) by MAX-NORM integer
+    power iteration over the UNDIRECTED distinct entity graph,
+    self-loops dropped:
+
+        x₀(v)     = scale
+        raw(v)    = x_k(v) + Σ_{u ∈ N(v)} x_k(u)     (A+I shift)
+        x_{k+1}(v) = raw(v) // max(max_raw // scale, 1)
+
+    The self term is the standard A+I spectral shift: identical
+    eigenvectors, but the iteration CONVERGES on bipartite components
+    (plain power iteration oscillates with period 2 there — a star
+    graph never settles).  The per-round normalizer is the GLOBAL max
+    of the raw sums floored to units of ``scale`` — every operation is
+    exact int64 (floor division, no floats), so the generated
+    unrolled-CTE SQL twin is bit-identical; max-norm keeps the top
+    score in [scale, 2·scale) and every other score proportional to
+    its eigenvector share.  Differs from kg_hits machinery: ONE score
+    vector over the symmetric graph (hub ≡ auth), max- not
+    sum-normalized — the classic influence measure for
+    mutual-endorsement graphs.
+
+    int64 budget: scores ≤ ~2·scale after normalization, so raw sums
+    ≤ 2·scale·deg_max ≈ 2×10⁶·deg — overflow needs deg_max > ~4×10¹²,
+    unreachable.  Scale shape: mode='shuffle' is K bounded exchanges
+    (join + pre-combined sum + one scalar max per round); mode='auto'
+    uses the driver kernel under ``driver_edge_limit`` distinct edges
+    and degrades to shuffle past it.  Returns (entity, score int64)
+    sorted score desc, entity asc."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if mode in ("driver", "auto"):
+        try:
+            df = _eigen_driver(
+                _edges_to_driver(edges_ds, src, dst, driver_edge_limit),
+                src, dst, iters=iters, scale=scale)
+            return rd.from_pandas(df)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _eigen_shuffle(edges_ds, src, dst, iters=iters, scale=scale)
+
+
 # ---- Weisfeiler-Lehman color refinement -------------------------------------
 
 

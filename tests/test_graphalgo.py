@@ -2193,3 +2193,54 @@ def test_scan_shuffle_no_cores_and_empty():
         assert (out["cluster"] == "").all()
     empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []}))
     assert scan_cluster(empty, mode="driver").empty
+
+
+# ---- eigenvector centrality ----------------------------------------------
+
+
+def _brute_eigen(edges: pd.DataFrame, iters: int, scale: int) -> pd.DataFrame:
+    e = {(a, b) for a, b in zip(edges.src, edges.dst) if a != b}
+    und = e | {(b, a) for a, b in e}
+    nodes = sorted({x for ab in und for x in ab})
+    x = {v: scale for v in nodes}
+    for _ in range(iters):
+        raw = dict(x)  # A+I shift
+        for s, d in und:
+            raw[d] += x[s]
+        div = max(max(raw.values()) // scale, 1)
+        x = {v: raw[v] // div for v in nodes}
+    return (pd.DataFrame({"entity": nodes,
+                          "score": [x[v] for v in nodes]})
+            .astype({"score": "int64"})
+            .sort_values(["score", "entity"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def test_eigen_matches_brute_force_and_modes_agree():
+    from cpg_ray.functions.graphalgo import eigenvector_centrality
+
+    edges = _rand_edges(n_nodes=25, n_edges=80, seed=7)
+    expect = _brute_eigen(edges, iters=5, scale=10 ** 6)
+    d = eigenvector_centrality(rd.from_pandas(edges), iters=5,
+                               mode="driver").to_pandas()
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), expect, check_dtype=False)
+    s = eigenvector_centrality(rd.from_pandas(edges), iters=5,
+                               mode="shuffle").to_pandas()
+    s = s.reset_index(drop=True)
+    s["score"] = s["score"].astype("int64")
+    pd.testing.assert_frame_equal(s, expect, check_dtype=False)
+
+
+def test_eigen_star_center_dominates():
+    from cpg_ray.functions.graphalgo import eigenvector_centrality
+
+    # hub with 4 leaves: the hub's eigenvector share is sqrt(deg)
+    # larger — with max-norm the hub holds the top score and all
+    # leaves tie below it
+    star = pd.DataFrame({"src": ["h"] * 4, "dst": ["a", "b", "c", "d"]})
+    r = eigenvector_centrality(rd.from_pandas(star), iters=6,
+                               mode="driver").to_pandas()
+    assert r.iloc[0]["entity"] == "h"
+    leaves = r[r.entity != "h"]["score"].unique()
+    assert len(leaves) == 1 and leaves[0] < r.iloc[0]["score"]
