@@ -2354,6 +2354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-paired, NEW in round 4 (fourth session): CCNet-style
         # bigram-LM perplexity filter (per-doc cross-entropy)
         "q_doc_bigram_xent": q.q_doc_bigram_xent,
+        # Kneser-Ney bigram LM — continuation-count smoothing
+        "q_doc_kneser_ney": q.q_doc_kneser_ney,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "q_events_paths",
     "kg_scan",
     "kg_eigen",
+    "q_doc_kneser_ney",
 ]
 
 

@@ -1445,6 +1445,105 @@ def bigram_xent(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
     return docs_ds.map_batches(score, batch_format="pandas")
 
 
+def kneser_ney_xent(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", discount_milli: int = 750,
+                    ndigits: int = 6, mode: str = "auto",
+                    driver_term_limit: int = 5_000_000):
+    """Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    Chen & Goodman 1999 §2.7, both public): per-doc mean −ln P_KN over
+    bigram occurrences, where
+
+        P_KN(w2|w1) = (c(w1,w2) − D) / c1(w1)
+                      + ((D · N1+(w1·)) / c1(w1)) · (N1+(·w2) / T)
+
+    with D = discount_milli/1000 (default 0.75, the Chen-Goodman
+    standard), c1(w1) = Σ_w2 c(w1,w2), N1+(w1·) = distinct successors
+    of w1, N1+(·w2) = distinct predecessors of w2 (the CONTINUATION
+    count — "how many contexts has w2 completed", the KN insight
+    add-one smoothing lacks), and T = total distinct bigram types.
+    Scoring the corpus under its own LM means every doc bigram has
+    c ≥ 1, so the discounted term is ≥ (1−D)/c1 > 0 — no zero-prob
+    branch.  Low xent = fluent text whose continuations are typical;
+    the KN continuation term specifically DOWN-weights tokens that are
+    frequent only inside one fixed collocation ("Francisco") — the
+    quality signal bigram_xent's add-one LM cannot express.
+
+    Shape: the SAME single exploded pass + one pre-combined exchange
+    as bigram_xent, but grouped to the bigram TYPE table; c1 / both
+    N1+ tallies / T all derive from that type table driver-side
+    (guarded by ``driver_term_limit``); the type-keyed log-prob table
+    broadcasts once; scoring is one stateless pass.  Float expression
+    parenthesized identically to the SQL oracle; per-doc means rounded
+    to ``ndigits``.
+
+    Returns a Dataset of ``(id_col, n_bigrams, kn_xent)``.
+    """
+    import ray
+
+    from .relational import GuardExceeded, bcast_get, groupby_agg
+
+    d_f = discount_milli / 1000.0
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b[text_col].str.split(" ")
+        n = lists.str.len().to_numpy("int64")
+        total = int(n.sum())
+        if total < 2:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object)})
+        flat = np.concatenate(
+            [np.asarray(v, dtype=object) for v in lists])
+        doc = b[id_col].to_numpy().repeat(n)
+        same = doc[:-1] == doc[1:]
+        gram = flat[:-1] + " " + flat[1:]
+        return pd.DataFrame({"gram": gram[same]})
+
+    cnt = groupby_agg(
+        docs_ds.map_batches(grams, batch_format="pandas"),
+        ["gram"], [("gram", "count", "c")], mode=mode)
+
+    parts, total = [], 0
+    for part in cnt.iter_batches(batch_format="pandas", batch_size=None):
+        total += len(part)
+        if total > driver_term_limit:
+            raise GuardExceeded(
+                f"kneser_ney_xent: type table > {driver_term_limit}")
+        parts.append(part)
+    tdf = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame({"gram": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype="int64")}))
+    sp = tdf["gram"].str.split(" ", n=1)
+    w1, w2 = sp.str[0], sp.str[1]
+    c12 = tdf["c"].to_numpy(np.float64)
+    g1 = tdf.groupby(w1, sort=False)["c"]
+    c1 = g1.transform("sum").to_numpy(np.float64)
+    n1p = g1.transform("size").to_numpy(np.float64)
+    cont = tdf.groupby(w2, sort=False)["c"].transform("size") \
+        .to_numpy(np.float64)
+    tt = float(len(tdf))
+    # identical parenthesization to the SQL oracle:
+    # -ln(((c12 - D) / c1) + ((D * n1p) / c1) * (cont / T))
+    lp = -np.log(((c12 - d_f) / c1) + ((d_f * n1p) / c1) * (cont / tt)) \
+        if len(tdf) else np.array([], dtype=np.float64)
+    lp_ref = ray.put(dict(zip(tdf["gram"], lp)))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lmap = bcast_get(lp_ref)
+        t = _bigram_frame(b, id_col, text_col)
+        if not len(t):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=b[id_col].dtype),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "kn_xent": pd.Series([], dtype="float64")})
+        s = t["gram"].map(lmap).astype(np.float64)
+        g = s.groupby(t[id_col])
+        out = pd.DataFrame({
+            "n_bigrams": g.size().astype("int64"),
+            "kn_xent": (g.sum() / g.size()).round(ndigits)})
+        return out.reset_index()
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
 def dsir_scores(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
                 target_col: str = "is_tgt", ndigits: int = 6,
                 driver_term_limit: int = 5_000_000):

@@ -3017,6 +3017,22 @@ def q_doc_bigram_xent(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_kneser_ney(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per doc
+    (text.kneser_ney_xent): the continuation-count smoothing the
+    add-one LM of q_doc_bigram_xent cannot express — distinct-successor
+    / distinct-predecessor tallies over the bigram TYPE table, one
+    exploded pass + one pre-combined exchange, type-keyed log-prob
+    table broadcast once."""
+    from ..functions.text import kneser_ney_xent
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df = kneser_ney_xent(docs, id_col="doc_id").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_bigrams"] = df["n_bigrams"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT ...) per group, two-phase: per-batch
     (hour, user) distinct combiner -> global distinct (distinct_on,
@@ -3694,6 +3710,41 @@ ORACLE_SQL: dict[str, str] = {
                              / (c1.s + (SELECT v FROM v))))
                      / count(*), 6) AS xent
         FROM g JOIN cnt c USING (gram) JOIN c1 ON c1.w1 = g.w1
+        GROUP BY g.doc_id ORDER BY doc_id
+    """,
+    # Kneser-Ney: distinct-successor (n1p) / distinct-predecessor
+    # (cont) tallies over the bigram TYPE table; D = 0.75 exactly;
+    # parenthesization matches text.kneser_ney_xent term by term
+    "q_doc_kneser_ney": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(
+                       1, array_length(string_split(text, ' ')))) AS i
+            FROM documents
+        ), g AS (
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS gram,
+                   a.tok AS w1, b.tok AS w2
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ), cnt AS (
+            SELECT gram, min(w1) AS w1, min(w2) AS w2,
+                   count(*)::BIGINT AS c12
+            FROM g GROUP BY gram
+        ), c1 AS (
+            SELECT w1, sum(c12)::BIGINT AS s, count(*)::BIGINT AS n1p
+            FROM cnt GROUP BY w1
+        ), cont AS (
+            SELECT w2, count(*)::BIGINT AS cc FROM cnt GROUP BY w2
+        ), t AS (SELECT count(*)::DOUBLE AS tt FROM cnt)
+        SELECT g.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(sum(-ln(((c.c12 - 0.75) / c1.s)
+                             + ((0.75 * c1.n1p) / c1.s)
+                               * (cont.cc / (SELECT tt FROM t))))
+                     / count(*), 6) AS kn_xent
+        FROM g JOIN cnt c USING (gram)
+        JOIN c1 ON c1.w1 = g.w1 JOIN cont ON cont.w2 = g.w2
         GROUP BY g.doc_id ORDER BY doc_id
     """,
     "q_embedding_centroid": """

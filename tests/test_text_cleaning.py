@@ -482,6 +482,51 @@ def test_bigram_xent_hand_computed_smoothed_lm():
     assert out.loc[1, "xent"] < out.loc[2, "xent"]
 
 
+def test_kneser_ney_hand_computed_and_sums_to_one():
+    """Interpolated KN bigram LM: hand-check discounted + continuation
+    terms on a fixed corpus, and pin the KN completeness property —
+    Σ_{w2 ∈ V} P_KN(w2|w1) = 1 when the continuation term extends over
+    the whole vocabulary (text.kneser_ney_xent)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.text import kneser_ney_xent
+
+    texts = ["a b a b", "a b c", "x b"]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": texts}))
+    out = kneser_ney_xent(docs).to_pandas().set_index("doc_id")
+    # bigram types: 'a b'(c=3), 'b a'(1), 'b c'(1), 'x b'(1) → T = 4
+    # c1: a=3, b=2, x=1 ; N1+(a·)=1, N1+(b·)=2, N1+(x·)=1
+    # cont: b=2 ('a b','x b'), a=1, c=1
+    d = 0.75
+    t = 4.0
+
+    def p(c12, c1, n1p, cc):
+        return ((c12 - d) / c1) + ((d * n1p) / c1) * (cc / t)
+
+    lp_ab = -math.log(p(3, 3, 1, 2))
+    lp_ba = -math.log(p(1, 2, 2, 1))
+    lp_bc = -math.log(p(1, 2, 2, 1))
+    assert out.loc[1, "n_bigrams"] == 3
+    assert abs(out.loc[1, "kn_xent"]
+               - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out.loc[2, "n_bigrams"] == 2
+    assert abs(out.loc[2, "kn_xent"]
+               - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
+    # completeness over the vocab {a, b, c, x} for context w1='b':
+    # observed ('b a','b c') use the full formula; unobserved get only
+    # the continuation share — the interpolated mass sums to exactly 1
+    cont = {"a": 1, "b": 2, "c": 1, "x": 0}
+    total = sum(
+        (max(({"a": 1, "c": 1}.get(w2, 0)) - d, 0) / 2)
+        + ((d * 2) / 2) * (cont[w2] / t)
+        for w2 in ["a", "b", "c", "x"])
+    assert abs(total - 1.0) < 1e-12
+
+
 # ---- duplicate_spans (ExactSubstr cut list) ---------------------------------
 
 
