@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "kg_scan",
     "kg_eigen",
     "q_doc_kneser_ney",
+    "q_emb_rp",
 ]
 
 

@@ -689,3 +689,67 @@ def hard_negatives(ds, anchor_ids: list, k: int = 10, *,
         drop=True)
     topk["rank"] = topk.groupby("anchor_id").cumcount() + 1
     return topk
+
+
+def random_projection(ds, *, k: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      quant_shift: int = 20):
+    """Johnson-Lindenstrauss random projection (Achlioptas 2001,
+    "Database-friendly random projections", public) with EXACT integer
+    arithmetic: inputs quantize as q_i = floor(x_i·2^quant_shift)
+    (IEEE-exact for float32 inputs), the projection matrix is the
+    deterministic ±1 sign matrix
+
+        s(i, j) = +1  if the top-32-bit md5("i|j") hex is even
+                  −1  otherwise
+
+    (Achlioptas's ±1 Rademacher variant — JL guarantees hold with the
+    same constants as Gaussian entries), and each output coordinate is
+    the int64 sum  y_j = Σ_i q_i · s(i, j)  — no floats anywhere after
+    quantization, so the SQL twin (unnest + md5-sign join + group-sum)
+    is bit-identical.  Distances shrink by the common factor
+    2^quant_shift/√k, preserved in expectation per JL.
+
+    Shape: the (D × k) sign matrix is built ONCE driver-side (D·k md5
+    calls — 64×16 here, microseconds) and broadcast; the projection is
+    one numpy matmul per batch, no shuffle, output is O(rows × k)
+    long-format (id, j, y) rows for the oracle's group-by.
+
+    Returns a Dataset of ``(id_col, j int64, y int64)``.
+    """
+    import hashlib
+
+    import ray
+
+    def sign_matrix(d: int) -> np.ndarray:
+        s = np.empty((d, k), dtype=np.int64)
+        for i in range(d):
+            for j in range(k):
+                h = hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8]
+                s[i, j] = 1 if int(h, 16) % 2 == 0 else -1
+        return s
+
+    # D is static for a given table — probe one row, build the sign
+    # matrix once, broadcast
+    first = ds.take(1)
+    d = len(first[0][vec_col]) if first else 0
+    sref = ray.put(sign_matrix(d) if d else np.zeros((0, k), np.int64))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        s = bcast_get(sref)
+        mat = np.stack(b[vec_col].to_numpy())
+        q = np.floor(mat.astype(np.float64)
+                     * (1 << quant_shift)).astype(np.int64)
+        y = q @ s  # (B, k) int64 exact
+        n = len(b)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy().repeat(k),
+            "j": np.tile(np.arange(k, dtype=np.int64), n),
+            "y": y.ravel(),
+        })
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -3033,6 +3033,21 @@ def q_doc_kneser_ney(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_emb_rp(sf_dir: str) -> pd.DataFrame:
+    """Johnson-Lindenstrauss random projection of the embeddings table
+    to k=16 dims (similarity.random_projection): deterministic ±1
+    md5-sign matrix, inputs integer-quantized at 2^20, each output
+    coordinate an exact int64 dot product — the dimensionality-
+    reduction front end for billion-scale ANN (project once, index the
+    16-dim table).  One matmul per batch, no shuffle."""
+    from ..functions.similarity import random_projection
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = random_projection(ds, k=16).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df.sort_values(["vec_id", "j"]).reset_index(drop=True)
+
+
 def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT ...) per group, two-phase: per-batch
     (hour, user) distinct combiner -> global distinct (distinct_on,
@@ -3746,6 +3761,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM g JOIN cnt c USING (gram)
         JOIN c1 ON c1.w1 = g.w1 JOIN cont ON cont.w2 = g.w2
         GROUP BY g.doc_id ORDER BY doc_id
+    """,
+    # JL random projection: the ±1 sign matrix is the parity of the
+    # top-32-bit md5("i|j") hex — identical to
+    # similarity.random_projection's driver-built matrix
+    "q_emb_rp": """
+        WITH x AS (
+            SELECT vec_id,
+                   unnest(range(len(embedding))) AS i,
+                   unnest(embedding)::DOUBLE AS e
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, i, floor(e * 1048576)::BIGINT AS qv FROM x
+        ), s AS (
+            SELECT i, j,
+                   CASE WHEN ('0x' || substr(md5(i::VARCHAR || '|'
+                              || j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM (SELECT DISTINCT i FROM x)
+            CROSS JOIN (SELECT unnest(range(16)) AS j)
+        )
+        SELECT q.vec_id, s.j::BIGINT AS j,
+               sum(q.qv * s.sgn)::BIGINT AS y
+        FROM q JOIN s ON s.i = q.i
+        GROUP BY q.vec_id, s.j
+        ORDER BY vec_id, j
     """,
     "q_embedding_centroid": """
         WITH x AS (

@@ -1881,3 +1881,44 @@ def test_events_paths_orders_truncates_and_censuses(tmp_path):
         "depth": pd.Series([5, 1, 3], dtype="int64"),
         "n_users": pd.Series([1, 1, 1], dtype="int64")})
     assert got.equals(want), got
+
+
+def test_random_projection_exact_and_jl_distortion():
+    """JL projection: (1) bit-exact vs a driver-side numpy replay of
+    the md5-sign matmul; (2) pairwise distances in the projected space
+    are within loose JL distortion bounds after the 2^20·√k rescale."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.similarity import random_projection
+
+    rng = np.random.default_rng(3)
+    n, d, k = 40, 24, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(vecs)}))
+    out = random_projection(ds, k=k).to_pandas()
+    out = out.sort_values(["vec_id", "j"]).reset_index(drop=True)
+
+    s = np.empty((d, k), dtype=np.int64)
+    for i in range(d):
+        for j in range(k):
+            h = hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8]
+            s[i, j] = 1 if int(h, 16) % 2 == 0 else -1
+    q = np.floor(vecs.astype(np.float64) * (1 << 20)).astype(np.int64)
+    want = q @ s
+    got = out["y"].to_numpy().reshape(n, k)
+    assert (got == want).all()
+
+    # JL distortion: median pairwise-distance ratio ≈ 1 after rescale
+    y = got.astype(np.float64) / ((1 << 20) * np.sqrt(k))
+    x = vecs.astype(np.float64)
+    dx = np.linalg.norm(x[:, None] - x[None, :], axis=2)
+    dy = np.linalg.norm(y[:, None] - y[None, :], axis=2)
+    iu = np.triu_indices(n, 1)
+    ratio = dy[iu] / dx[iu]
+    assert 0.8 < np.median(ratio) < 1.2
+    assert (ratio > 0.3).all() and (ratio < 1.9).all()
