@@ -2358,6 +2358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_kneser_ney": q.q_doc_kneser_ney,
         # JL random projection — md5-sign matrix, exact int64
         "q_emb_rp": q.q_emb_rp,
+        # top principal component — distributed Gram + integer power it
+        "q_emb_pca": q.q_emb_pca,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "kg_eigen",
     "q_doc_kneser_ney",
     "q_emb_rp",
+    "q_emb_pca",
 ]
 
 

@@ -753,3 +753,79 @@ def random_projection(ds, *, k: int = 16, id_col: str = "vec_id",
         })
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def pca_top_component(ds, *, vec_col: str = "embedding",
+                      iters: int = 10, scale: int = 10 ** 6,
+                      quant_shift: int = 10):
+    """Top principal component (uncentered PCA / top right-singular
+    vector) by EXACT-INTEGER power iteration on the distributed Gram
+    matrix:
+
+    1. quantize  q_i = floor(x_i · 2^quant_shift)  (true floor — both
+       numpy and SQL ``floor()`` floor negative floats);
+    2. Gram      C[a,b] = Σ_rows q_a · q_b  — per-batch QᵀQ partials
+       (one (D×D) int64 matmul per batch, long-format (a, b, v) rows),
+       ONE pre-combined groupby exchange, never a row-wise self-join;
+    3. rescale   Cs = tdiv(C, max(maxabs(C) // 2^32, 1)) so the
+       iteration's products stay inside int64;
+    4. iterate   raw = Cs @ v;  v' = tdiv(raw, max(maxabs(raw) //
+       scale, 1)) — max-norm, like eigenvector_centrality but on a
+       dense D×D driver-side matrix (D ≈ 64; the DATA pass is the
+       distributed part, the D² iteration is microseconds);
+    5. sign      the max-|loading| coordinate (ties → lowest dim) is
+       made positive — eigenvectors are sign-ambiguous.
+
+    tdiv is TRUNCATING division (sign(a)·(|a|//d)) — matching DuckDB's
+    ``//`` on negatives (DuckDB truncates, numpy floors; mixing them
+    diverges on any negative intermediate), so the SQL twin is
+    bit-identical.  C is PSD ⇒ power iteration converges without the
+    bipartite shift.  int64 budget: |Cs| ≤ 2^32, |v| < 2·scale,
+    D = 64 ⇒ |raw| ≤ 64·2^32·2·10^6 ≈ 5.5×10^17 < 2^63.
+
+    Returns a pandas DataFrame of ``(j int64, loading int64)``, one
+    row per input dimension, sorted by j.
+    """
+    from .relational import groupby_agg
+
+    def tdiv(a: np.ndarray, d: int) -> np.ndarray:
+        return np.sign(a) * (np.abs(a) // d)
+
+    def gram_partials(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        mat = np.stack(b[vec_col].to_numpy())
+        q = np.floor(mat.astype(np.float64)
+                     * (1 << quant_shift)).astype(np.int64)
+        c = q.T @ q  # (D, D) int64 exact
+        d = c.shape[0]
+        return pd.DataFrame({
+            "a": np.repeat(np.arange(d, dtype=np.int64), d),
+            "b": np.tile(np.arange(d, dtype=np.int64), d),
+            "v": c.ravel(),
+        })
+
+    cdf = groupby_agg(
+        ds.map_batches(gram_partials, batch_format="pandas"),
+        ["a", "b"], [("v", "sum", "v")]).to_pandas()
+    if not len(cdf):
+        return pd.DataFrame({"j": pd.Series([], dtype="int64"),
+                             "loading": pd.Series([], dtype="int64")})
+    d = int(cdf["a"].max()) + 1
+    c = np.zeros((d, d), dtype=np.int64)
+    c[cdf["a"].to_numpy(), cdf["b"].to_numpy()] = \
+        cdf["v"].to_numpy("int64")
+    div = max(int(np.abs(c).max()) // (1 << 32), 1)
+    cs = tdiv(c, div)
+    v = np.full(d, scale, dtype=np.int64)
+    for _ in range(iters):
+        raw = cs @ v
+        m = max(int(np.abs(raw).max()) // scale, 1)
+        v = tdiv(raw, m)
+    jstar = int(np.lexsort((np.arange(d), -np.abs(v)))[0])
+    if v[jstar] < 0:
+        v = -v
+    return pd.DataFrame({"j": np.arange(d, dtype=np.int64),
+                         "loading": v.astype("int64")})

@@ -3048,6 +3048,19 @@ def q_emb_rp(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["vec_id", "j"]).reset_index(drop=True)
 
 
+def q_emb_pca(sf_dir: str) -> pd.DataFrame:
+    """Top principal component of the embeddings table
+    (similarity.pca_top_component): distributed Gram matrix — per-batch
+    QᵀQ int64 partials, one pre-combined exchange, never a row-wise
+    self-join — then exact-integer max-norm power iteration on the
+    D×D result driver-side, truncating division matching DuckDB's //
+    on negatives, sign fixed at the max-|loading| coordinate."""
+    from ..functions.similarity import pca_top_component
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    return pca_top_component(ds, iters=10)
+
+
 def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT ...) per group, two-phase: per-batch
     (hour, user) distinct combiner -> global distinct (distinct_on,
@@ -6333,3 +6346,59 @@ ORACLE_SQL["q_events_paths"] = """
            count(*)::BIGINT AS n_users
     FROM j GROUP BY journey ORDER BY journey
 """
+
+
+def _pca_oracle_sql(*, iters: int, scale: int = 10 ** 6,
+                    quant_shift: int = 10) -> str:
+    """Generated unrolled-iteration oracle for q_emb_pca: Gram matrix
+    via a vec_id self-join + group-sum, then per-round matrix-vector
+    join + max-norm.  DuckDB's ``//`` TRUNCATES on negatives (numpy
+    floors) — every signed division is spelled as the explicit
+    truncating form CASE WHEN x < 0 THEN -((-x) // d) ELSE x // d END
+    to match similarity.pca_top_component's tdiv.  AS MATERIALIZED
+    everywhere (unrolled chains re-execute per reference otherwise)."""
+    parts = [f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id, unnest(range(len(embedding))) AS i,
+                   unnest(embedding)::DOUBLE AS e
+            FROM embeddings
+        ), q AS MATERIALIZED (
+            SELECT vec_id, i, floor(e * {1 << quant_shift})::BIGINT AS qv
+            FROM x
+        ), c AS MATERIALIZED (
+            SELECT a.i AS a, b.i AS b, sum(a.qv * b.qv)::BIGINT AS v
+            FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+        ), dv AS MATERIALIZED (
+            SELECT greatest(max(abs(v)) // {1 << 32}, 1) AS d FROM c
+        ), cs AS MATERIALIZED (
+            SELECT a, b,
+                   CASE WHEN v < 0
+                        THEN -((-v) // (SELECT d FROM dv))
+                        ELSE v // (SELECT d FROM dv) END AS cv
+            FROM c
+        ), v0 AS MATERIALIZED (
+            SELECT DISTINCT i AS j, {scale}::BIGINT AS v FROM x)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        , r{t} AS MATERIALIZED (
+            SELECT cs.a AS j, sum(cs.cv * p.v) AS raw
+            FROM cs JOIN v{t - 1} p ON p.j = cs.b GROUP BY cs.a)
+        , m{t} AS MATERIALIZED (
+            SELECT greatest(max(abs(raw)) // {scale}, 1) AS m FROM r{t})
+        , v{t} AS MATERIALIZED (
+            SELECT j, (CASE WHEN raw < 0
+                            THEN -((-raw) // (SELECT m FROM m{t}))
+                            ELSE raw // (SELECT m FROM m{t})
+                       END)::BIGINT AS v
+            FROM r{t})""")
+    parts.append(f"""
+        , top AS (SELECT v FROM v{iters}
+                  ORDER BY abs(v) DESC, j LIMIT 1)
+        SELECT j::BIGINT AS j,
+               (CASE WHEN (SELECT v FROM top) < 0
+                     THEN -v ELSE v END)::BIGINT AS loading
+        FROM v{iters} ORDER BY j""")
+    return "".join(parts)
+
+
+ORACLE_SQL["q_emb_pca"] = _pca_oracle_sql(iters=10)

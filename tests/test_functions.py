@@ -1922,3 +1922,28 @@ def test_random_projection_exact_and_jl_distortion():
     ratio = dy[iu] / dx[iu]
     assert 0.8 < np.median(ratio) < 1.2
     assert (ratio > 0.3).all() and (ratio < 1.9).all()
+
+
+def test_pca_top_component_recovers_planted_direction():
+    """Integer power iteration on the distributed Gram matrix recovers
+    a planted dominant direction (|cosine| > 0.98 after the sign fix),
+    and the sign convention makes the max-|loading| coordinate
+    positive."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.similarity import pca_top_component
+
+    rng = np.random.default_rng(11)
+    d = 24
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    s = rng.normal(size=200)[:, None] * 3.0
+    vecs = (s * u[None, :]
+            + rng.normal(size=(200, d)) * 0.1).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"embedding": list(vecs)}))
+    out = pca_top_component(ds, iters=12)
+    v = out["loading"].to_numpy(np.float64)
+    cos = abs(v @ u) / np.linalg.norm(v)
+    assert cos > 0.98
+    assert v[np.argmax(np.abs(v))] > 0
