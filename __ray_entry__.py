@@ -2486,6 +2486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _kg_two_hop,
         "kg_condensation": _kg_condensation,
         "q_events_mad": q.q_events_mad,
+        # Gini skew census — histogram MAD identity, exact integer
+        "q_events_gini": q.q_events_gini,
         "q_events_winsor": q.q_events_winsor,
         "q_events_retention": q.q_events_retention,
         "kg_scc": _kg_scc,

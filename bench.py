@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "q_doc_kneser_ney",
     "q_emb_rp",
     "q_emb_pca",
+    "q_events_gini",
 ]
 
 

@@ -3181,6 +3181,50 @@ def q_lineitem_stats(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_events_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user event-count concentration (the
+    skew census that tells you whether a partitioning key is safe:
+    gini → 1 means a few hot users own the traffic).  EXACT INTEGER
+    via the mean-absolute-difference identity over the count
+    HISTOGRAM:
+
+        Σ_{i<j} c_i c_j (v_j − v_i)
+            = Σ_j v_j c_j C_{<j} − Σ_j c_j S_{<j}
+
+    (values v ascending, C/S = cumulative count/sum of smaller
+    values; the sum counts each unordered pair ONCE), so
+    gini_ppm = (Σ_{i<j}|Δ|·10^6) // (n·Σx) needs only int64 sums and
+    one floor division — no floats, hash-exact.
+
+    Scale shape: per-user counts are ONE pre-combined exchange
+    (user-sized), the value histogram a SECOND tiny exchange
+    (distinct-count-sized — bounded by the max events any user has),
+    and the cumulative finish runs on that tiny table driver-side.
+    Never sorts the user table globally."""
+    from ..functions.relational import groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    per_user = groupby_agg(ds, ["user_id"],
+                           [("user_id", "count", "n")])
+    hist = groupby_agg(per_user, ["n"],
+                       [("n", "count", "c")]).to_pandas()
+    hist = hist.sort_values("n").reset_index(drop=True)
+    v = hist["n"].to_numpy("int64")
+    c = hist["c"].to_numpy("int64")
+    cum_c = np.concatenate([[0], np.cumsum(c)[:-1]])
+    cum_s = np.concatenate([[0], np.cumsum(c * v)[:-1]])
+    num = int((v * c * cum_c).sum() - (c * cum_s).sum())
+    n_users = int(c.sum())
+    total = int((c * v).sum())
+    gini_ppm = (num * 1_000_000) // (n_users * total) \
+        if n_users and total else 0
+    return pd.DataFrame({
+        "n_users": pd.Series([n_users], dtype="int64"),
+        "n_events": pd.Series([total], dtype="int64"),
+        "gini_ppm": pd.Series([gini_ppm], dtype="int64"),
+    })
+
+
 def q_events_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type Shannon entropy (behavioral-diversity
     feature): H = Σ_type (c/n)·ln(n/c), kept INTEGER-EXACT as a sum of
@@ -6402,3 +6446,35 @@ def _pca_oracle_sql(*, iters: int, scale: int = 10 ** 6,
 
 
 ORACLE_SQL["q_emb_pca"] = _pca_oracle_sql(iters=10)
+
+
+# Gini via the histogram MAD identity: window cumulants over the
+# ordered distinct per-user counts, all integer
+ORACLE_SQL["q_events_gini"] = """
+    WITH pu AS (
+        SELECT user_id, count(*)::BIGINT AS n
+        FROM events GROUP BY user_id
+    ), h AS (
+        SELECT n AS v, count(*)::BIGINT AS c FROM pu GROUP BY n
+    ), w AS (
+        SELECT v, c,
+               coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cum_c,
+               coalesce(sum(c * v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cum_s
+        FROM h
+    ), agg AS (
+        SELECT sum(v * c * cum_c)::BIGINT - sum(c * cum_s)::BIGINT
+                   AS num,
+               sum(c)::BIGINT AS n_users,
+               sum(c * v)::BIGINT AS n_events
+        FROM w
+    )
+    SELECT n_users, n_events,
+           CASE WHEN n_users > 0 AND n_events > 0
+                THEN (num * 1000000) // (n_users * n_events)
+                ELSE 0 END::BIGINT AS gini_ppm
+    FROM agg
+"""

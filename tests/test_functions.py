@@ -1947,3 +1947,32 @@ def test_pca_top_component_recovers_planted_direction():
     cos = abs(v @ u) / np.linalg.norm(v)
     assert cos > 0.98
     assert v[np.argmax(np.abs(v))] > 0
+
+
+def test_gini_histogram_identity_matches_naive():
+    """The histogram MAD identity equals the O(n²) textbook Gini on a
+    skewed fixture, and hits the exact endpoints: all-equal → 0,
+    one-owner → (n-1)/n."""
+    import pandas as pd
+
+    def naive_ppm(xs):
+        n, s = len(xs), sum(xs)
+        num = sum(abs(a - b) for a in xs for b in xs)
+        return (num * 10**6) // (2 * n * s)
+
+    def hist_ppm(xs):
+        vc = pd.Series(xs).value_counts().sort_index()
+        v = vc.index.to_numpy(np.int64)
+        c = vc.to_numpy(np.int64)
+        cum_c = np.concatenate([[0], np.cumsum(c)[:-1]])
+        cum_s = np.concatenate([[0], np.cumsum(c * v)[:-1]])
+        num = int((v * c * cum_c).sum() - (c * cum_s).sum())
+        return (num * 10**6) // (len(xs) * sum(xs))
+
+    rng = np.random.default_rng(5)
+    xs = list(rng.zipf(1.7, size=300).clip(max=10**6).astype(int))
+    assert hist_ppm(xs) == naive_ppm(xs)
+    assert hist_ppm([7] * 50) == 0
+    one = [0] * 99 + [1000]
+    # all mass on one user: gini = (n-1)/n = 0.99
+    assert hist_ppm(one) == naive_ppm(one) == 990000
