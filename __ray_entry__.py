@@ -2488,6 +2488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_mad": q.q_events_mad,
         # Gini skew census — histogram MAD identity, exact integer
         "q_events_gini": q.q_events_gini,
+        # Fellegi-Sunter probabilistic record linkage (u from data)
+        "q_customer_fs": q.q_customer_fs,
         "q_events_winsor": q.q_events_winsor,
         "q_events_retention": q.q_events_retention,
         "kg_scc": _kg_scc,

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "q_emb_rp",
     "q_emb_pca",
     "q_events_gini",
+    "q_customer_fs",
 ]
 
 

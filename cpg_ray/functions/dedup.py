@@ -1855,3 +1855,87 @@ def winnowing_fingerprints(ds, *, id_col: str = "doc_id",
     return (df.drop_duplicates()
             .sort_values([id_col, "pos", "fp"])
             .reset_index(drop=True))
+
+
+def fellegi_sunter_scores(ds, *, id_col: str, block_col: str,
+                          field_cols: list, m_milli: int = 950,
+                          scale: int = 10 ** 6):
+    """Fellegi-Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969, public; the Splink/RecordLinkage model): candidate
+    pairs are generated WITHIN ``block_col`` blocks (a self-join per
+    block, never the full cross product), each pair scores
+
+        score = Σ_f  floor(scale · w_f)          (int64 sum of floored
+                                                  per-field terms —
+                                                  the entropy float
+                                                  discipline)
+        w_f   = ln(m / u_f)          if the pair AGREES on field f
+                ln((1−m) / (1−u_f))  otherwise
+
+    with m fixed at ``m_milli``/1000 (the conventional prior for
+    match-given-agreement) and u_f ESTIMATED FROM THE DATA as the
+    random-pair agreement rate  u_f = Σ_v c_v(c_v−1) / (N(N−1)) over
+    field f's value frequencies — the unsupervised half of the FS
+    model (rare values ⇒ small u ⇒ large agreement reward).
+
+    Scale shape: per-field value frequencies are tiny pre-combined
+    groupbys; u and both weights per field are driver scalars; the
+    block self-join is the ONLY quadratic step and is bounded by the
+    largest block (pick ``block_col`` accordingly — at corpus scale a
+    composite block key caps it); scoring is vectorized CASE terms.
+
+    Returns a Dataset of ``(a, b, score_micro int64, is_match bool)``
+    for pairs with a < b on ``id_col``; is_match = score > 0.
+    """
+    import math
+
+    from .relational import groupby_agg, hash_join
+
+    cols = [id_col, block_col] + list(field_cols)
+    base = ds.map_batches(lambda b: b[cols], batch_format="pandas") \
+        .materialize()
+
+    n = base.count()
+    weights = {}
+    for f in field_cols:
+        vc = groupby_agg(base, [f], [(f, "count", "c")]).to_pandas()
+        c = vc["c"].to_numpy("int64")
+        agree_pairs = int((c * (c - 1)).sum())
+        u = agree_pairs / (n * (n - 1)) if n > 1 else 0.5
+        u = min(max(u, 1e-9), 1 - 1e-9)
+        m = m_milli / 1000.0
+        weights[f] = (
+            int(np.floor(scale * math.log(m / u))),
+            int(np.floor(scale * math.log((1 - m) / (1 - u)))),
+        )
+
+    left = base.map_batches(
+        lambda b: b.rename(columns={
+            id_col: "a", **{f: f + "_a" for f in field_cols}}),
+        batch_format="pandas").materialize()
+    right = base.map_batches(
+        lambda b: b.rename(columns={
+            id_col: "b", **{f: f + "_b" for f in field_cols}}),
+        batch_format="pandas").materialize()
+    pairs = hash_join(left, right, on=block_col, empty_safe=True)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["a"] < b["b"]]
+        if not len(b):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "score_micro": pd.Series([], dtype="int64"),
+                "is_match": pd.Series([], dtype="bool")})
+        s = np.zeros(len(b), dtype=np.int64)
+        for f in field_cols:
+            wa, wd = weights[f]
+            agree = (b[f + "_a"].to_numpy() == b[f + "_b"].to_numpy())
+            s += np.where(agree, np.int64(wa), np.int64(wd))
+        return pd.DataFrame({
+            "a": b["a"].to_numpy("int64"),
+            "b": b["b"].to_numpy("int64"),
+            "score_micro": s,
+            "is_match": s > 0})
+
+    return pairs.map_batches(score, batch_format="pandas")

@@ -2947,6 +2947,43 @@ def q_supplier_er(sf_dir: str) -> pd.DataFrame:
             .sort_values("name").reset_index(drop=True))
 
 
+def q_customer_fs(sf_dir: str) -> pd.DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over customers
+    blocked by nation (dedup.fellegi_sunter_scores): u-probabilities
+    estimated from per-field value frequencies, m fixed at 0.95,
+    per-field milli-log-odds floored to exact int64 terms (the entropy
+    float discipline); returns the pairs the model calls matches
+    (score > 0) — agreement on RARE buckets is what pushes a pair
+    over the line."""
+    from ..functions.dedup import fellegi_sunter_scores
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal",
+                             "c_mktsegment"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["c_acctbal"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": b["c_nationkey"],
+            "seg": b["c_mktsegment"],
+            "bal_bucket": np.floor(cents / 100000.0).astype("int64"),
+            "bal_pos": cents >= 0,
+        })
+
+    scored = fellegi_sunter_scores(
+        ds.map_batches(derive, batch_format="pandas"),
+        id_col="c_custkey", block_col="c_nationkey",
+        field_cols=["seg", "bal_bucket", "bal_pos"])
+    df = scored.map_batches(
+        lambda b: b[b["is_match"]][["a", "b", "score_micro"]],
+        batch_format="pandas").to_pandas()
+    for c in ("a", "b", "score_micro"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_doc_regex(sf_dir: str) -> pd.DataFrame:
     """Vectorized regex field extraction (pandas .str kernels — one
     compiled scan per column, no per-row Python): first match, match
@@ -6477,4 +6514,68 @@ ORACLE_SQL["q_events_gini"] = """
                 THEN (num * 1000000) // (n_users * n_events)
                 ELSE 0 END::BIGINT AS gini_ppm
     FROM agg
+"""
+
+
+# Fellegi-Sunter: u from value frequencies Σc(c−1)/(N(N−1)), m=0.95;
+# per-field floor(1e6·ln) weights summed as int64; blocked self-join
+ORACLE_SQL["q_customer_fs"] = """
+    WITH base AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
+               floor(round(c_acctbal * 100) / 100000.0)::BIGINT
+                   AS bal_bucket,
+               round(c_acctbal * 100) >= 0 AS bal_pos
+        FROM customer
+    ), n AS (SELECT count(*)::BIGINT AS n FROM base),
+    u_seg AS (
+        SELECT sum(c * (c - 1))::DOUBLE
+               / ((SELECT n FROM n) * ((SELECT n FROM n) - 1)) AS u
+        FROM (SELECT count(*)::BIGINT AS c FROM base GROUP BY seg)
+    ), u_bb AS (
+        SELECT sum(c * (c - 1))::DOUBLE
+               / ((SELECT n FROM n) * ((SELECT n FROM n) - 1)) AS u
+        FROM (SELECT count(*)::BIGINT AS c FROM base
+              GROUP BY bal_bucket)
+    ), u_bp AS (
+        SELECT sum(c * (c - 1))::DOUBLE
+               / ((SELECT n FROM n) * ((SELECT n FROM n) - 1)) AS u
+        FROM (SELECT count(*)::BIGINT AS c FROM base GROUP BY bal_pos)
+    ), w AS (
+        SELECT
+            floor(1000000 * ln(0.95 / least(greatest(
+                (SELECT u FROM u_seg), 1e-9), 1 - 1e-9)))::BIGINT
+                AS seg_a,
+            floor(1000000 * ln((1 - 0.95) / (1 - least(greatest(
+                (SELECT u FROM u_seg), 1e-9), 1 - 1e-9))))::BIGINT
+                AS seg_d,
+            floor(1000000 * ln(0.95 / least(greatest(
+                (SELECT u FROM u_bb), 1e-9), 1 - 1e-9)))::BIGINT
+                AS bb_a,
+            floor(1000000 * ln((1 - 0.95) / (1 - least(greatest(
+                (SELECT u FROM u_bb), 1e-9), 1 - 1e-9))))::BIGINT
+                AS bb_d,
+            floor(1000000 * ln(0.95 / least(greatest(
+                (SELECT u FROM u_bp), 1e-9), 1 - 1e-9)))::BIGINT
+                AS bp_a,
+            floor(1000000 * ln((1 - 0.95) / (1 - least(greatest(
+                (SELECT u FROM u_bp), 1e-9), 1 - 1e-9))))::BIGINT
+                AS bp_d
+    ), scored AS (
+        SELECT x.c_custkey AS a, y.c_custkey AS b,
+               (CASE WHEN x.seg = y.seg
+                     THEN (SELECT seg_a FROM w)
+                     ELSE (SELECT seg_d FROM w) END
+                + CASE WHEN x.bal_bucket = y.bal_bucket
+                       THEN (SELECT bb_a FROM w)
+                       ELSE (SELECT bb_d FROM w) END
+                + CASE WHEN x.bal_pos = y.bal_pos
+                       THEN (SELECT bp_a FROM w)
+                       ELSE (SELECT bp_d FROM w) END)::BIGINT
+                   AS score_micro
+        FROM base x JOIN base y
+          ON y.c_nationkey = x.c_nationkey
+         AND x.c_custkey < y.c_custkey
+    )
+    SELECT a, b, score_micro FROM scored
+    WHERE score_micro > 0 ORDER BY a, b
 """

@@ -1976,3 +1976,48 @@ def test_gini_histogram_identity_matches_naive():
     one = [0] * 99 + [1000]
     # all mass on one user: gini = (n-1)/n = 0.99
     assert hist_ppm(one) == naive_ppm(one) == 990000
+
+
+def test_fellegi_sunter_weights_and_classification():
+    """FS scoring: u estimated from value frequencies, full-agreement
+    pairs in a block classify as matches, full-disagreement pairs do
+    not, and rare-value agreement outscores common-value agreement."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import fellegi_sunter_scores
+
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "blk": [0] * 8,
+        # 'x' is common (6 of 8), 'r' rare (2 of 8)
+        "f1": ["x", "x", "x", "x", "x", "x", "r", "r"],
+        "f2": [1, 1, 2, 3, 4, 5, 6, 6],
+    })
+    out = fellegi_sunter_scores(
+        rd.from_pandas(df), id_col="id", block_col="blk",
+        field_cols=["f1", "f2"]).to_pandas()
+    out = out.set_index(["a", "b"])
+
+    # replay the weight estimation
+    def u_of(col):
+        c = df[col].value_counts().to_numpy()
+        return (c * (c - 1)).sum() / (8 * 7)
+
+    def w(col, agree):
+        u = min(max(u_of(col), 1e-9), 1 - 1e-9)
+        return int(np.floor(1e6 * (math.log(0.95 / u) if agree
+                                   else math.log((1 - 0.95) / (1 - u)))))
+
+    # pair (0,1): agrees on both f1 (common) and f2 (count-2 value)
+    assert out.loc[(0, 1), "score_micro"] == w("f1", True) + w("f2", True)
+    assert bool(out.loc[(0, 1), "is_match"])
+    # pair (6,7): agrees on both, f1 value is RARE — same score shape
+    assert bool(out.loc[(6, 7), "is_match"])
+    # pair (2,6): disagrees on both → negative
+    assert out.loc[(2, 6), "score_micro"] < 0
+    assert not bool(out.loc[(2, 6), "is_match"])
+    # all 28 within-block pairs scored
+    assert len(out) == 28
