@@ -64,6 +64,68 @@ def read_warc_files(path, columns=None, **kw):
     return read_warc(path, **kw)
 
 
+def _file_task_read(path, loader, columns=None):
+    """Distributed task-per-file read for formats Ray Data has no
+    native reader for: a Dataset of file paths fans out, each task
+    loads ONE file with the pyarrow ``loader`` and emits its rows as
+    an Arrow table (column-pruned at the read).  Same shape as Ray's
+    own file-based datasources — reads scale with file count, nothing
+    lands on the driver."""
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if not f.startswith(("_", ".")))
+    else:
+        files = sorted(_expand_glob(path))
+    if not files:
+        raise FileNotFoundError(f"no data files under {path}")
+
+    def load(batch):
+        import pyarrow as pa
+
+        tables = [loader(p, columns) for p in batch["path"]]
+        return pa.concat_tables(tables) if tables else loader(
+            files[0], columns).slice(0, 0)
+
+    paths = rd.from_items([{"path": p} for p in files])
+    return paths.map_batches(load, batch_format="pandas", batch_size=1)
+
+
+def _expand_glob(path):
+    import glob as _g
+
+    hits = _g.glob(path)
+    return hits if hits else [path]
+
+
+@_register(".orc")
+def read_orc(path, columns=None, **kw):
+    """ORC read (no native Ray reader): task-per-file via pyarrow.orc,
+    columns pruned inside the stripe read."""
+
+    def loader(p, cols):
+        import pyarrow.orc as _orc
+
+        return _orc.ORCFile(p).read(columns=cols)
+
+    return _file_task_read(path, loader, columns)
+
+
+@_register(".feather", ".arrow")
+def read_feather(path, columns=None, **kw):
+    """Arrow IPC / Feather v2 read: task-per-file via
+    pyarrow.feather (zero-copy mmap inside the task)."""
+
+    def loader(p, cols):
+        import pyarrow.feather as _f
+
+        return _f.read_table(p, columns=cols)
+
+    return _file_task_read(path, loader, columns)
+
+
 def _dispatch_suffix(name: str) -> str:
     """Compound-aware suffix: '.gz' dispatches on the inner suffix
     (data.warc.gz → '.warc.gz', data.csv.gz → '.csv.gz' → explicit

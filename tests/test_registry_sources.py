@@ -317,3 +317,38 @@ def test_check_registry_runtime_plugins(tmp_path):
 
     with pytest.raises(ValueError):
         reg.add("plugin_boom", lambda ctx: (True, ""))
+
+
+def test_read_any_orc_and_feather(tmp_path):
+    """Task-per-file ORC / Arrow-IPC readers: suffix dispatch, column
+    pruning at the read, multi-file directory fan-out."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.orc as orc
+
+    from cpg_ray.sources.readers import read_any
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                       "c": [0.5, 1.5, 2.5]})
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    orc.write_table(t, str(tmp_path / "t.orc"))
+    feather.write_feather(t, str(tmp_path / "t.feather"))
+
+    for name in ("t.orc", "t.feather"):
+        got = read_any(str(tmp_path / name)).to_pandas() \
+            .sort_values("a").reset_index(drop=True)
+        assert list(got.a) == [1, 2, 3], name
+        assert list(got.columns) == ["a", "b", "c"], name
+
+    # column pruning
+    got = read_any(str(tmp_path / "t.orc"), columns=["a"]).to_pandas()
+    assert list(got.columns) == ["a"]
+
+    # directory of several files fans out task-per-file
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(3):
+        orc.write_table(
+            pa.table({"a": [i * 10, i * 10 + 1]}), str(d / f"p{i}.orc"))
+    got = read_any(str(d)).to_pandas().sort_values("a")
+    assert list(got.a) == [0, 1, 10, 11, 20, 21]
