@@ -880,6 +880,23 @@ def _kg_mis(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_coarsen(sf_dir: str):
+    """METIS-style heavy-edge matching over the triple-multiplicity-
+    weighted entity graph (graphalgo.heavy_edge_matching): mutual
+    max-weight proposals contract to supernodes — the multilevel
+    coarsening primitive for partitioning a 10^12-edge graph (halve
+    the node count per round, partition the coarse graph, project
+    back).  One pre-combined weight exchange + one grouped argmax +
+    one node-sized self-join; exact on any engine."""
+    from cpg_ray.functions.graphalgo import heavy_edge_matching
+
+    df = heavy_edge_matching(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj").to_pandas()
+    df["matched"] = df["matched"].astype(bool)
+    return df.reset_index(drop=True)
+
+
 def _kg_sameas(sf_dir: str):
     """owl:sameAs closure (the entity-resolution merge step of KG
     construction): entities sharing a surface alias get a sameAs edge
@@ -2641,6 +2658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kge_eval": _kg_kge_eval,
         # deterministic Luby maximal-independent-set rounds
         "kg_mis": _kg_mis,
+        # heavy-edge matching — multilevel coarsening primitive
+        "kg_coarsen": _kg_coarsen,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -5030,6 +5049,35 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
         # deterministic Luby MIS: generated unrolled round CTEs
         "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
+        # mutual max-weight proposals (ties -> smallest neighbor);
+        # matched pairs contract to least(u, v)
+        "kg_coarsen": f"""
+            WITH pw AS (
+                SELECT least(canonical_subj, canonical_obj) AS a,
+                       greatest(canonical_subj, canonical_obj) AS b,
+                       count(*)::BIGINT AS w
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+                GROUP BY 1, 2
+            ), sym AS (
+                SELECT a AS node, b AS nbr, w FROM pw
+                UNION ALL SELECT b, a, w FROM pw
+            ), prop AS (
+                SELECT node, nbr FROM (
+                    SELECT node, nbr,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY w DESC, nbr) AS rn
+                    FROM sym)
+                WHERE rn = 1
+            )
+            SELECT p.node AS entity,
+                   CASE WHEN q.nbr = p.node
+                        THEN least(p.node, p.nbr)
+                        ELSE p.node END AS supernode,
+                   coalesce(q.nbr = p.node, FALSE) AS matched
+            FROM prop p LEFT JOIN prop q ON q.node = p.nbr
+            ORDER BY entity
+        """,
         "kg_msf": _msf_oracle_sql(triples_glob, rounds=6, jumps=8),
         "kg_anf": _anf_oracle_sql(triples_glob, hops=4, m=16),
         "kg_wl_colors": _wl_oracle_sql(triples_glob, rounds=3),

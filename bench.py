@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "q_emb_pca",
     "q_events_gini",
     "q_customer_fs",
+    "kg_coarsen",
 ]
 
 

@@ -5880,3 +5880,115 @@ def _scan_shuffle(edges_ds, src: str, dst: str, *, eps_num: int,
 
     out = r3.map_batches(finish, batch_format="pandas").to_pandas()
     return out.sort_values("entity").reset_index(drop=True)
+
+
+def heavy_edge_matching(edges_ds, *, src: str = "src", dst: str = "dst",
+                        mode: str = "auto",
+                        driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """One round of deterministic HEAVY-EDGE MATCHING (the METIS
+    multilevel coarsening primitive, Karypis & Kumar 1998, public)
+    over the weighted undirected entity graph: edge weight = triple
+    multiplicity per unordered pair; every node PROPOSES to its
+    max-weight neighbor (ties → lexicographically smallest neighbor);
+    an edge matches iff the proposals are MUTUAL — the classic
+    one-round parallel matching that needs no sequential visit order.
+    Matched pairs contract to supernode = min(u, v); unmatched nodes
+    keep themselves.  Mutual-proposal matching is maximal-in-practice
+    (≈ half of a maximum matching in the worst case) and every step is
+    an argmax or a join — exact on any engine.
+
+    Scale shape: ONE pre-combined pair-count exchange (the weight
+    table), one grouped top-1 (algebraic combiner, no map_groups on
+    the hot path), one self-join of the node-sized proposal table.
+    Differs from maximal_independent_set: matching pairs NODES via
+    mutual argmax (coarsening), MIS selects an antichain via hash
+    priorities (symmetry breaking).
+
+    Returns a Dataset of ``(entity, supernode, matched bool)`` sorted
+    by entity."""
+    import ray.data as rd
+
+    from .relational import distinct_on, groupby_agg, grouped_topk, hash_join
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[src] != b[dst]]
+        a = b[src].to_numpy(dtype=object)
+        c = b[dst].to_numpy(dtype=object)
+        lo = np.where(a < c, a, c)
+        hi = np.where(a < c, c, a)
+        return pd.DataFrame({"a": lo, "b": hi})
+
+    pw = groupby_agg(
+        edges_ds.map_batches(pairs, batch_format="pandas"),
+        ["a", "b"], [("a", "count", "w")])
+
+    if mode in ("driver", "auto"):
+        try:
+            parts, total = [], 0
+            for part in pw.iter_batches(batch_format="pandas",
+                                        batch_size=None):
+                total += len(part)
+                if total > driver_edge_limit:
+                    raise GuardExceeded(
+                        f"heavy_edge_matching: > {driver_edge_limit} "
+                        "weighted edges; use mode='shuffle'")
+                parts.append(part)
+            df = (pd.concat(parts, ignore_index=True) if parts
+                  else pd.DataFrame({"a": pd.Series([], dtype=object),
+                                     "b": pd.Series([], dtype=object),
+                                     "w": pd.Series([], dtype="int64")}))
+            sym = pd.DataFrame({
+                "node": np.concatenate([df["a"].to_numpy(object),
+                                        df["b"].to_numpy(object)]),
+                "nbr": np.concatenate([df["b"].to_numpy(object),
+                                       df["a"].to_numpy(object)]),
+                "w": np.concatenate([df["w"].to_numpy(np.int64)] * 2)
+                if len(df) else np.array([], dtype=np.int64),
+            })
+            sym = sym.sort_values(["w", "nbr"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+            prop = sym.groupby("node", sort=False).head(1)
+            back = prop.set_index("node")["nbr"]
+            mutual = prop["nbr"].map(back).to_numpy(object) \
+                == prop["node"].to_numpy(object)
+            node = prop["node"].to_numpy(object)
+            nbr = prop["nbr"].to_numpy(object)
+            sup = np.where(mutual, np.where(node < nbr, node, nbr), node)
+            out = pd.DataFrame({"entity": node, "supernode": sup,
+                                "matched": mutual})
+            out = out.sort_values("entity").reset_index(drop=True)
+            return rd.from_pandas(out)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    sym = pw.map_batches(
+        lambda b: pd.DataFrame({
+            "node": pd.concat([b["a"], b["b"]], ignore_index=True),
+            "nbr": pd.concat([b["b"], b["a"]], ignore_index=True),
+            "w": pd.concat([b["w"], b["w"]], ignore_index=True),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    prop = grouped_topk(sym, ["node"], "w", 1, descending=True,
+                        tie_break="nbr", mode="shuffle").materialize()
+    other = prop.map_batches(
+        lambda b: pd.DataFrame({"o_node": b["node"],
+                                "o_nbr": b["nbr"]}),
+        batch_format="pandas").materialize()
+    joined = hash_join(prop, other, on="nbr", right_on="o_node",
+                       how="left_outer", empty_safe=True)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        node = b["node"].to_numpy(object)
+        nbr = b["nbr"].to_numpy(object)
+        mutual = b["o_nbr"].to_numpy(object) == node
+        sup = np.where(mutual, np.where(node < nbr, node, nbr), node)
+        return pd.DataFrame({"entity": node, "supernode": sup,
+                             "matched": mutual})
+
+    return joined.map_batches(finish, batch_format="pandas") \
+        .sort("entity")

@@ -2244,3 +2244,40 @@ def test_eigen_star_center_dominates():
     assert r.iloc[0]["entity"] == "h"
     leaves = r[r.entity != "h"]["score"].unique()
     assert len(leaves) == 1 and leaves[0] < r.iloc[0]["score"]
+
+
+def test_heavy_edge_matching_mutual_and_modes_agree():
+    """Heavy-edge matching: mutual max-weight proposals match, ties
+    break to the smallest neighbor, matched pairs share supernode =
+    min(u,v), unmatched keep themselves; driver == shuffle; matching
+    is a valid matching (no node in two pairs)."""
+    from cpg_ray.functions.graphalgo import heavy_edge_matching
+
+    # weights via multiplicity: (a,b)×3, (b,c)×1, (c,d)×2 →
+    # a↔b mutual (w3), c→d & d→c mutual (w2): two matched pairs
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "b", "c", "c", "c"],
+        "dst": ["b", "b", "a", "c", "d", "d", "c"],
+    })
+    d = heavy_edge_matching(rd.from_pandas(edges),
+                            mode="driver").to_pandas()
+    s = heavy_edge_matching(rd.from_pandas(edges),
+                            mode="shuffle").to_pandas()
+    s["matched"] = s["matched"].astype(bool)
+    pd.testing.assert_frame_equal(
+        d.reset_index(drop=True), s.reset_index(drop=True),
+        check_dtype=False)
+    m = d.set_index("entity")
+    assert m.loc["a", "supernode"] == "a" and bool(m.loc["a", "matched"])
+    assert m.loc["b", "supernode"] == "a"
+    assert m.loc["c", "supernode"] == "c" and bool(m.loc["c", "matched"])
+    assert m.loc["d", "supernode"] == "c"
+    # star: center proposes to one leaf; only that pair matches
+    star = pd.DataFrame({"src": ["h"] * 3, "dst": ["x", "y", "z"]})
+    r = heavy_edge_matching(rd.from_pandas(star),
+                            mode="driver").to_pandas().set_index("entity")
+    assert bool(r.loc["h", "matched"]) and r.loc["h", "supernode"] == "h"
+    assert bool(r.loc["x", "matched"])  # tie-break → smallest nbr 'x'
+    assert not bool(r.loc["y", "matched"]) and not bool(r.loc["z", "matched"])
+    # validity: each supernode hosts ≤ 2 members
+    assert d.groupby("supernode").size().max() <= 2
