@@ -2021,3 +2021,27 @@ def test_fellegi_sunter_weights_and_classification():
     assert not bool(out.loc[(2, 6), "is_match"])
     # all 28 within-block pairs scored
     assert len(out) == 28
+
+
+def test_fellegi_sunter_broadcast_and_join_modes_agree():
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.dedup import fellegi_sunter_scores
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(60, dtype=np.int64),
+        "blk": rng.integers(0, 4, 60),
+        "f1": rng.choice(list("abc"), 60),
+        "f2": rng.integers(0, 5, 60),
+    })
+    kw = dict(id_col="id", block_col="blk", field_cols=["f1", "f2"])
+    a = fellegi_sunter_scores(rd.from_pandas(df), mode="broadcast",
+                              **kw).to_pandas()
+    b = fellegi_sunter_scores(rd.from_pandas(df), mode="shuffle",
+                              **kw).to_pandas()
+    key = ["a", "b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
