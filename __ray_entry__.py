@@ -2505,6 +2505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_mad": q.q_events_mad,
         # Gini skew census — histogram MAD identity, exact integer
         "q_events_gini": q.q_events_gini,
+        # multi-touch attribution — exact largest-remainder cents
+        "q_events_attribution": q.q_events_attribution,
         # Fellegi-Sunter probabilistic record linkage (u from data)
         "q_customer_fs": q.q_customer_fs,
         "q_events_winsor": q.q_events_winsor,

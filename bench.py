@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "q_events_gini",
     "q_customer_fs",
     "kg_coarsen",
+    "q_events_attribution",
 ]
 
 

@@ -3262,6 +3262,81 @@ def q_events_gini(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_events_attribution(sf_dir: str) -> pd.DataFrame:
+    """Linear multi-touch revenue attribution with EXACT largest-
+    remainder cent apportionment: each purchase's cents split across
+    the user's click/view touches in the prior 3 days — every touch
+    gets cents // k, the cents % k remainder goes one cent each to the
+    MOST RECENT touches (ts desc, event_id desc tie-break), so
+    Σ attributed == purchase cents exactly (the classic money-split
+    invariant; floats would leak cents).
+
+    Shape: one interval join (mode=auto broadcasts the touch side
+    under the guard, bucketed exchange past it), then a vectorized
+    per-purchase rank + apportion pass — quadratic only within one
+    user's window, bounded by per-user event volume."""
+    from ..functions.relational import interval_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id",
+                             "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda b: pd.DataFrame({
+            "purchase_id": b[b.event_type == "purchase"]["event_id"],
+            "user_id": b[b.event_type == "purchase"]["user_id"],
+            "ts": b[b.event_type == "purchase"]["ts"],
+            "cents": np.round(
+                b[b.event_type == "purchase"]["value"]
+                .to_numpy("float64") * 100).astype("int64"),
+        }),
+        batch_format="pandas")
+    touches = ev.map_batches(
+        lambda b: b[b.event_type.isin(["click", "view"])]
+        .rename(columns={"event_id": "touch_id"})
+        [["touch_id", "user_id", "ts"]],
+        batch_format="pandas")
+
+    joined = interval_join(
+        purchases, touches, by="user_id", on="ts",
+        lower=pd.Timedelta(days=-3), upper=pd.Timedelta(0),
+        right_value_cols=["touch_id"])
+
+    def apportion(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "purchase_id": pd.Series([], dtype="int64"),
+                "touch_id": pd.Series([], dtype="int64"),
+                "attributed_cents": pd.Series([], dtype="int64")})
+        b = b.sort_values(["purchase_id", "ts_r", "touch_id_r"],
+                          ascending=[True, False, False],
+                          kind="mergesort")
+        g = b.groupby("purchase_id", sort=False)
+        k = g["touch_id_r"].transform("size").to_numpy("int64")
+        rank = g.cumcount().to_numpy("int64")
+        cents = b["cents"].to_numpy("int64")
+        attributed = cents // k + (rank < cents % k).astype("int64")
+        return pd.DataFrame({
+            "purchase_id": b["purchase_id"].to_numpy("int64"),
+            "touch_id": b["touch_id_r"].to_numpy("int64"),
+            "attributed_cents": attributed})
+
+    # a purchase's touches must share one frame for the rank/apportion
+    # pass — bucket by purchase hash and apportion inside the bucket
+    # (the q_events_paths idiom: one map_groups per BUCKET, pandas
+    # groupby per purchase inside — never one Python call per tiny
+    # group, never a driver finish on the pair-sized table)
+    from ..functions.relational import default_n_buckets
+    nb = default_n_buckets()
+    bucketed = joined.map_batches(
+        lambda b: b.assign(__bucket=b["purchase_id"].to_numpy("int64")
+                           % nb),
+        batch_format="pandas")
+    out = bucketed.groupby("__bucket").map_groups(
+        apportion, batch_format="pandas").to_pandas()
+    return out.sort_values(["purchase_id", "touch_id"]) \
+        .reset_index(drop=True)
+
+
 def q_events_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type Shannon entropy (behavioral-diversity
     feature): H = Σ_type (c/n)·ln(n/c), kept INTEGER-EXACT as a sum of
@@ -6578,4 +6653,33 @@ ORACLE_SQL["q_customer_fs"] = """
     )
     SELECT a, b, score_micro FROM scored
     WHERE score_micro > 0 ORDER BY a, b
+"""
+
+
+# attribution: interval join + row_number rank (ts desc, id desc) +
+# largest-remainder apportionment — Σ attributed == cents exactly
+ORACLE_SQL["q_events_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts,
+               round(value * 100)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT event_id AS touch_id, user_id, ts
+        FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT p.purchase_id, p.cents, t.touch_id,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY t.ts DESC, t.touch_id DESC)
+                   - 1 AS rnk,
+               count(*) OVER (PARTITION BY p.purchase_id) AS k
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.ts >= p.ts - INTERVAL 3 DAY
+         AND t.ts < p.ts
+    )
+    SELECT purchase_id, touch_id,
+           (cents // k + CASE WHEN rnk < cents % k
+                              THEN 1 ELSE 0 END)::BIGINT
+               AS attributed_cents
+    FROM j ORDER BY purchase_id, touch_id
 """

@@ -2045,3 +2045,29 @@ def test_fellegi_sunter_broadcast_and_join_modes_agree():
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_attribution_conserves_cents_exactly():
+    """Largest-remainder apportionment: Σ attributed == purchase cents
+    for every attributed purchase, remainder cents land on the MOST
+    RECENT touches."""
+    import duckdb
+    import pandas as pd
+
+    from cpg_ray.pipelines.queries import ORACLE_SQL, q_events_attribution
+
+    sf = "/root/testdata/sf0.001"
+    out = q_events_attribution(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    cents = dict(zip(
+        ev[ev.event_type == "purchase"]["event_id"],
+        np.round(ev[ev.event_type == "purchase"]["value"]
+                 .to_numpy("float64") * 100).astype("int64")))
+    got = out.groupby("purchase_id")["attributed_cents"].sum()
+    for pid, s in got.items():
+        assert s == cents[pid], pid
+    # remainder bias: within one purchase, attributed cents differ by
+    # at most 1 and the larger shares come first in recency order
+    per = out.groupby("purchase_id")["attributed_cents"]
+    assert int((per.max() - per.min()).max()) <= 1
