@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "q_customer_fs",
     "kg_coarsen",
     "q_events_attribution",
+    "q_events_seqpairs",
 ]
 
 

@@ -3262,6 +3262,58 @@ def q_events_gini(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_events_seqpairs(sf_dir: str) -> pd.DataFrame:
+    """Gapped sequential-pattern census (the PrefixSpan 2-item case,
+    Pei et al. 2001): for every ordered event-type pair (a, b), how
+    many users have SOME a strictly before SOME b — any gap, unlike
+    q_events_transitions' consecutive pairs.  Containment reduces to
+    per-user first/last timestamps: a-then-b ⇔ min_ts(a) < max_ts(b)
+    (ties broken by event_id so the census is exact under equal
+    timestamps).
+
+    Shape: ONE pre-combined (user, type) exchange carrying min/max of
+    the (ts, event_id) lexicographic key, then a per-user type×type
+    cross inside a bucket groupby (≤ |types|² = 25 rows per user) and
+    one tiny census groupby."""
+    from ..functions.relational import default_n_buckets, groupby_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic (ms-tick, event_id) as one sortable int key:
+        # epoch millis < 2^41, event ids < 2^22 — key < 2^63 (micro
+        # ticks would overflow int64; sub-ms order falls to the
+        # event_id tie-break, the SAME definition on both engines)
+        ticks = b["ts"].astype("int64").to_numpy() // 1000
+        key = ticks * (1 << 22) + b["event_id"].to_numpy("int64")
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "t": b["event_type"], "k": key})
+
+    mm = groupby_agg(ev.map_batches(keyed, batch_format="pandas"),
+                     ["user_id", "t"],
+                     [("k", "min", "kmin"), ("k", "max", "kmax")])
+    nb = default_n_buckets()
+    bucketed = mm.map_batches(
+        lambda b: b.assign(__bucket=b["user_id"].to_numpy("int64") % nb),
+        batch_format="pandas")
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["kmin_a"] < m["kmax_b"]]
+        return pd.DataFrame({"a": m["t_a"], "b": m["t_b"]})
+
+    pairs = bucketed.groupby("__bucket").map_groups(
+        cross, batch_format="pandas")
+    df = groupby_agg(pairs, ["a", "b"],
+                     [("a", "count", "n_users")]).to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_events_attribution(sf_dir: str) -> pd.DataFrame:
     """Linear multi-touch revenue attribution with EXACT largest-
     remainder cent apportionment: each purchase's cents split across
@@ -6682,4 +6734,21 @@ ORACLE_SQL["q_events_attribution"] = """
                               THEN 1 ELSE 0 END)::BIGINT
                AS attributed_cents
     FROM j ORDER BY purchase_id, touch_id
+"""
+
+
+# gapped a-then-b containment: min/max of the (ts, event_id) lex key
+ORACLE_SQL["q_events_seqpairs"] = """
+    WITH k AS (
+        SELECT user_id, event_type AS t,
+               epoch_ms(ts) * 4194304 + event_id AS k
+        FROM events
+    ), mm AS (
+        SELECT user_id, t, min(k) AS kmin, max(k) AS kmax
+        FROM k GROUP BY user_id, t
+    )
+    SELECT x.t AS a, y.t AS b, count(*)::BIGINT AS n_users
+    FROM mm x JOIN mm y
+      ON y.user_id = x.user_id AND x.kmin < y.kmax
+    GROUP BY x.t, y.t ORDER BY a, b
 """

@@ -2071,3 +2071,28 @@ def test_attribution_conserves_cents_exactly():
     # at most 1 and the larger shares come first in recency order
     per = out.groupby("purchase_id")["attributed_cents"]
     assert int((per.max() - per.min()).max()) <= 1
+
+
+def test_seqpairs_gapped_containment_vs_naive():
+    """PrefixSpan-2 census equals a naive per-user subsequence scan on
+    a small replay of the sf0.001 events (gapped ≠ consecutive: the
+    census counts a-then-b with ANY gap)."""
+    import pandas as pd
+
+    from cpg_ray.pipelines.queries import q_events_seqpairs
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_seqpairs(sf).set_index(["a", "b"])["n_users"]
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    ev["k"] = (ev["ts"].astype("int64") // 1000) * (1 << 22) \
+        + ev["event_id"]
+    naive = {}
+    for uid, g in ev.groupby("user_id"):
+        mm = g.groupby("event_type")["k"].agg(["min", "max"])
+        for a in mm.index:
+            for b in mm.index:
+                if mm.loc[a, "min"] < mm.loc[b, "max"]:
+                    naive[(a, b)] = naive.get((a, b), 0) + 1
+    assert dict(got) == naive
