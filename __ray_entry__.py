@@ -897,6 +897,43 @@ def _kg_coarsen(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_coarse_graph(sf_dir: str):
+    """The CONTRACTED graph one heavy-edge-matching round produces
+    (the second half of multilevel coarsening): relabel both triple
+    endpoints to their supernode, drop intra-supernode self-loops,
+    re-aggregate multiplicity weights per unordered supernode pair —
+    the input a partitioner would cut next round.  Composition:
+    heavy_edge_matching + broadcast relabel + one pre-combined
+    exchange."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from cpg_ray.functions.graphalgo import heavy_edge_matching
+    from cpg_ray.functions.relational import bcast_get, groupby_agg
+
+    edges = _entity_edges(sf_dir)
+    match = heavy_edge_matching(
+        edges, src="canonical_subj", dst="canonical_obj").to_pandas()
+    ref = ray.put(dict(zip(match["entity"], match["supernode"])))
+
+    def relabel(b: pd.DataFrame) -> pd.DataFrame:
+        lut = bcast_get(ref)
+        a = b["canonical_subj"].map(lut)
+        c = b["canonical_obj"].map(lut)
+        keep = (a != c) & a.notna() & c.notna()
+        a, c = a[keep].to_numpy(object), c[keep].to_numpy(object)
+        lo = np.where(a < c, a, c)
+        hi = np.where(a < c, c, a)
+        return pd.DataFrame({"sa": lo, "sb": hi})
+
+    pw = groupby_agg(
+        edges.map_batches(relabel, batch_format="pandas"),
+        ["sa", "sb"], [("sa", "count", "w")]).to_pandas()
+    pw["w"] = pw["w"].astype("int64")
+    return pw.sort_values(["sa", "sb"]).reset_index(drop=True)
+
+
 def _kg_sameas(sf_dir: str):
     """owl:sameAs closure (the entity-resolution merge step of KG
     construction): entities sharing a surface alias get a sameAs edge
@@ -2664,6 +2701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mis": _kg_mis,
         # heavy-edge matching — multilevel coarsening primitive
         "kg_coarsen": _kg_coarsen,
+        # the contracted supernode graph that matching round produces
+        "kg_coarse_graph": _kg_coarse_graph,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -5081,6 +5120,40 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    coalesce(q.nbr = p.node, FALSE) AS matched
             FROM prop p LEFT JOIN prop q ON q.node = p.nbr
             ORDER BY entity
+        """,
+        "kg_coarse_graph": f"""
+            WITH pw AS (
+                SELECT least(canonical_subj, canonical_obj) AS a,
+                       greatest(canonical_subj, canonical_obj) AS b,
+                       count(*)::BIGINT AS w
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+                GROUP BY 1, 2
+            ), sym AS (
+                SELECT a AS node, b AS nbr, w FROM pw
+                UNION ALL SELECT b, a, w FROM pw
+            ), prop AS (
+                SELECT node, nbr FROM (
+                    SELECT node, nbr,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY w DESC, nbr) AS rn
+                    FROM sym)
+                WHERE rn = 1
+            ), sup AS (
+                SELECT p.node AS entity,
+                       CASE WHEN q.nbr = p.node
+                            THEN least(p.node, p.nbr)
+                            ELSE p.node END AS supernode
+                FROM prop p LEFT JOIN prop q ON q.node = p.nbr
+            )
+            SELECT least(sa.supernode, sb.supernode) AS sa,
+                   greatest(sa.supernode, sb.supernode) AS sb,
+                   count(*)::BIGINT AS w
+            FROM read_parquet('{triples_glob}') t
+            JOIN sup sa ON sa.entity = t.canonical_subj
+            JOIN sup sb ON sb.entity = t.canonical_obj
+            WHERE sa.supernode <> sb.supernode
+            GROUP BY 1, 2 ORDER BY sa, sb
         """,
         "kg_msf": _msf_oracle_sql(triples_glob, rounds=6, jumps=8),
         "kg_anf": _anf_oracle_sql(triples_glob, hops=4, m=16),

@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "kg_coarsen",
     "q_events_attribution",
     "q_events_seqpairs",
+    "kg_coarse_graph",
 ]
 
 
