@@ -2546,6 +2546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_attribution": q.q_events_attribution,
         # gapped a-then-b sequence containment census (PrefixSpan-2)
         "q_events_seqpairs": q.q_events_seqpairs,
+        # Theil-Sen robust trend — exact-rational median of slopes
+        "q_events_theilsen": q.q_events_theilsen,
         # Fellegi-Sunter probabilistic record linkage (u from data)
         "q_customer_fs": q.q_customer_fs,
         "q_events_winsor": q.q_events_winsor,

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "q_events_attribution",
     "q_events_seqpairs",
     "kg_coarse_graph",
+    "q_events_theilsen",
 ]
 
 

@@ -3262,6 +3262,45 @@ def q_events_gini(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_events_theilsen(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend of daily event volume (the median of all
+    pairwise slopes — 29% breakdown point, the robust alternative to
+    least squares): slopes are EXACT RATIONALS (Δcount, Δday); the
+    median is the lower-median row of the slope list ordered by VALUE
+    (IEEE double division of identical real quotients rounds
+    identically on any engine) with (num, den) as the deterministic
+    tie-break among equal-value fractions — so both engines select the
+    SAME fraction and the output is integer-exact, no float ever
+    stored.
+
+    Shape: daily counts are one pre-combined exchange (day-sized);
+    slopes are the tiny O(days²) driver table."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    daily = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({"day": b["ts"].dt.floor("D")}),
+            batch_format="pandas"),
+        ["day"], [("day", "count", "n")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = (daily["day"] - daily["day"].min()).dt.days.to_numpy("int64")
+    n = daily["n"].to_numpy("int64")
+    i, j = np.triu_indices(len(x), 1)
+    num = n[j] - n[i]
+    den = x[j] - x[i]
+    val = num / den
+    order = np.lexsort((den, num, val))
+    k = (len(num) - 1) // 2
+    sel = order[k]
+    return pd.DataFrame({
+        "num": pd.Series([int(num[sel])], dtype="int64"),
+        "den": pd.Series([int(den[sel])], dtype="int64"),
+        "n_days": pd.Series([len(x)], dtype="int64"),
+        "n_pairs": pd.Series([len(num)], dtype="int64"),
+    })
+
+
 def q_events_seqpairs(sf_dir: str) -> pd.DataFrame:
     """Gapped sequential-pattern census (the PrefixSpan 2-item case,
     Pei et al. 2001): for every ordered event-type pair (a, b), how
@@ -6751,4 +6790,27 @@ ORACLE_SQL["q_events_seqpairs"] = """
     FROM mm x JOIN mm y
       ON y.user_id = x.user_id AND x.kmin < y.kmax
     GROUP BY x.t, y.t ORDER BY a, b
+"""
+
+
+# Theil-Sen: lower-median pairwise slope, ordered by double value
+# with (num, den) tie-break — both engines pick the same fraction
+ORACLE_SQL["q_events_theilsen"] = """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), d2 AS (
+        SELECT datediff('day', (SELECT min(day) FROM d), day)::BIGINT
+                   AS x, n
+        FROM d
+    ), p AS (
+        SELECT (b.n - a.n)::BIGINT AS num, (b.x - a.x)::BIGINT AS den
+        FROM d2 a JOIN d2 b ON b.x > a.x
+    ), c AS (SELECT count(*)::BIGINT AS cnt FROM p)
+    SELECT num, den,
+           (SELECT count(*) FROM d)::BIGINT AS n_days,
+           (SELECT cnt FROM c) AS n_pairs
+    FROM p
+    ORDER BY num::DOUBLE / den, num, den
+    LIMIT 1 OFFSET (((SELECT cnt FROM c) - 1) // 2)
 """

@@ -2096,3 +2096,20 @@ def test_seqpairs_gapped_containment_vs_naive():
                 if mm.loc[a, "min"] < mm.loc[b, "max"]:
                     naive[(a, b)] = naive.get((a, b), 0) + 1
     assert dict(got) == naive
+
+
+def test_theilsen_lexsort_median_is_robust():
+    """Median-of-slopes machinery: replay the lexsort selection on a
+    planted series with one wild outlier — the Theil-Sen slope stays
+    at the true trend (robustness), and the selected fraction is the
+    lower median by value with (num, den) tie-break."""
+    x = np.arange(10, dtype=np.int64)
+    n = 3 * x + 5
+    n[7] = 1000  # outlier
+    i, j = np.triu_indices(len(x), 1)
+    num, den = n[j] - n[i], x[j] - x[i]
+    val = num / den
+    order = np.lexsort((den, num, val))
+    sel = order[(len(num) - 1) // 2]
+    # robust: the median slope is exactly 3 despite the outlier
+    assert num[sel] == 3 * den[sel]
