@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q_events_seqpairs",
     "kg_coarse_graph",
     "q_events_theilsen",
+    "q_supplier_lev",
 ]
 
 

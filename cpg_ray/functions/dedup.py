@@ -1996,3 +1996,53 @@ def fellegi_sunter_scores(ds, *, id_col: str, block_col: str,
                            b["b"].to_numpy("int64"), agree)
 
     return pairs.map_batches(score, batch_format="pandas")
+
+
+def levenshtein_capped(a_names, b_names, k: int = 2) -> np.ndarray:
+    """Exact Levenshtein distances for P name pairs, VECTORIZED across
+    the pair axis (one Wagner-Fischer DP where every cell op is a
+    P-wide numpy ufunc — ma×mb scalar iterations total, never a
+    Python loop over pairs) and CAPPED at ``k + 1`` (cells clamp, so
+    any true distance > k reports exactly k + 1 — the verifier
+    contract: callers filter ≤ k and the cap bounds the DP's value
+    range to int8-size regardless of string length).
+
+    Returns an int64 array of min(true_distance, k + 1) per pair.
+    """
+    p = len(a_names)
+    if p == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in a_names), np.int32, p)
+    lb = np.fromiter((len(s) for s in b_names), np.int32, p)
+    ma, mb = int(la.max()), int(lb.max())
+    cap = np.int32(k + 1)
+    # char-code matrices, -1 padding (never equal to a real char)
+    am = np.full((p, ma), -1, np.int32)
+    bm = np.full((p, mb), -1, np.int32)
+    for r, s in enumerate(a_names):
+        am[r, :len(s)] = np.frombuffer(
+            s.encode("utf-32-le"), np.uint32).astype(np.int32)
+    for r, s in enumerate(b_names):
+        bm[r, :len(s)] = np.frombuffer(
+            s.encode("utf-32-le"), np.uint32).astype(np.int32)
+
+    out = np.empty(p, dtype=np.int32)
+    prev = np.minimum(np.broadcast_to(
+        np.arange(mb + 1, dtype=np.int32), (p, mb + 1)), cap).copy()
+    done0 = la == 0
+    if done0.any():
+        out[done0] = prev[done0, lb[done0]]
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = min(i, int(cap))
+        for j in range(1, mb + 1):
+            sub = prev[:, j - 1] + (am[:, i - 1] != bm[:, j - 1])
+            ins = cur[:, j - 1] + 1
+            dele = prev[:, j] + 1
+            cur[:, j] = np.minimum(
+                np.minimum(sub, np.minimum(ins, dele)), cap)
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return out.astype(np.int64)

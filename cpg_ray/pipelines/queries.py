@@ -1822,6 +1822,50 @@ def q_supplier_blocking(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_supplier_lev(sf_dir: str) -> pd.DataFrame:
+    """Exact edit-distance verification of sorted-neighborhood ER
+    candidates: SN blocking proposes pairs (position distance ≤ 4 in
+    the global name order), the vectorized capped Wagner-Fischer DP
+    (dedup.levenshtein_capped — P-wide numpy cells, no Python loop
+    over pairs) verifies true Levenshtein ≤ 2.  The classic two-stage
+    blocking-then-verify ER shape with an EXACT integer verifier —
+    unlike q_supplier_typo_pairs' generate-side ed1 neighborhoods,
+    this measures the distance of arbitrary candidates."""
+    import ray
+
+    from ..functions.dedup import (levenshtein_capped,
+                                   sorted_neighborhood_pairs)
+    from ..functions.relational import bcast_get
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    cands = sorted_neighborhood_pairs(
+        sup, key_col="s_name", id_col="s_suppkey", window=4)
+    names = dict(zip(*(lambda d: (d["s_suppkey"], d["s_name"]))(
+        sup.to_pandas())))
+    ref = ray.put(names)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "lev": pd.Series([], dtype="int64")})
+        lut = bcast_get(ref)
+        a = b["id_a"].map(lut).to_numpy(object)
+        c = b["id_b"].map(lut).to_numpy(object)
+        d = levenshtein_capped(a, c, k=2)
+        keep = d <= 2
+        return pd.DataFrame({
+            "id_a": b["id_a"].to_numpy("int64")[keep],
+            "id_b": b["id_b"].to_numpy("int64")[keep],
+            "lev": d[keep]})
+
+    df = cands.map_batches(verify, batch_format="pandas").to_pandas()
+    for c in ("id_a", "id_b", "lev"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_doc_balanced(sf_dir: str) -> pd.DataFrame:
     """Class-balanced downsampling: cap every language at the SAME
     number of documents (k=50), chosen by md5 hash order — the
@@ -6813,4 +6857,20 @@ ORACLE_SQL["q_events_theilsen"] = """
     FROM p
     ORDER BY num::DOUBLE / den, num, den
     LIMIT 1 OFFSET (((SELECT cnt FROM c) - 1) // 2)
+"""
+
+
+# SN candidates + exact Levenshtein verify (DuckDB builtin vs the
+# vectorized capped Wagner-Fischer DP)
+ORACLE_SQL["q_supplier_lev"] = """
+    WITH r AS (
+        SELECT s_suppkey, s_name,
+               row_number() OVER (ORDER BY s_name, s_suppkey) AS rn
+        FROM supplier
+    )
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           levenshtein(a.s_name, b.s_name)::BIGINT AS lev
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    ORDER BY id_a, id_b
 """

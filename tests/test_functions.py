@@ -2113,3 +2113,30 @@ def test_theilsen_lexsort_median_is_robust():
     sel = order[(len(num) - 1) // 2]
     # robust: the median slope is exactly 3 despite the outlier
     assert num[sel] == 3 * den[sel]
+
+
+def test_levenshtein_capped_vs_reference_dp():
+    """Vectorized capped Wagner-Fischer equals a scalar reference DP
+    on mixed-length unicode strings, including the cap contract
+    (true distance > k reports exactly k+1)."""
+    from cpg_ray.functions.dedup import levenshtein_capped
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(dp[j] + 1, nd[-1] + 1,
+                              dp[j - 1] + (ca != cb)))
+            dp = nd
+        return dp[-1]
+
+    words = ["", "a", "ab", "ba", "kitten", "sitting", "flaw", "lawn",
+             "Supplier#000000001", "Supplier#000000010", "naïve",
+             "naive", "añejo"]
+    pairs = [(a, b) for a in words for b in words]
+    got = levenshtein_capped(
+        np.array([p[0] for p in pairs], object),
+        np.array([p[1] for p in pairs], object), k=2)
+    want = [min(ref(a, b), 3) for a, b in pairs]
+    assert list(got) == want
