@@ -897,6 +897,21 @@ def _kg_coarsen(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_slashburn(sf_dir: str):
+    """SlashBurn hub-removal ordering (k=5, 3 rounds): hubs out, graph
+    shatters, spokes retire, recurse on the GCC — the adjacency-
+    concentrating order for power-law graphs with no good cut
+    (graphalgo.slashburn); every tie explicit so the generated
+    unrolled twin is bit-identical."""
+    from cpg_ray.functions.graphalgo import slashburn
+
+    df = slashburn(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", k=5, rounds=3, label_rounds=8).to_pandas()
+    df["round"] = df["round"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def _kg_coarse_graph(sf_dir: str):
     """The CONTRACTED graph one heavy-edge-matching round produces
     (the second half of multilevel coarsening): relabel both triple
@@ -2707,6 +2722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coarsen": _kg_coarsen,
         # the contracted supernode graph that matching round produces
         "kg_coarse_graph": _kg_coarse_graph,
+        # SlashBurn hub-removal ordering (hub/spoke/core roles)
+        "kg_slashburn": _kg_slashburn,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -3513,6 +3530,73 @@ def _eigen_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
     parts.append(f"""
         SELECT node AS entity, score FROM x{iters}
         ORDER BY score DESC, entity""")
+    return "".join(parts)
+
+
+def _slashburn_oracle_sql(triples_glob: str, *, k: int, rounds: int,
+                          label_rounds: int) -> str:
+    """Generated unrolled oracle for kg_slashburn: per outer round a
+    degree GROUP BY + (deg DESC, node) LIMIT-k hub pick, an inner
+    unrolled min-label chain over the hub-free remainder, GCC by
+    (size DESC, label) LIMIT 1, spokes = rest; next round's edges are
+    the GCC-induced subgraph.  Nodes isolated by hub removal keep
+    their self label — singleton components, i.e. spokes.  AS
+    MATERIALIZED everywhere (see _hits_oracle_sql)."""
+    parts = [f"""
+        WITH e1 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT canonical_subj AS src, canonical_obj AS dst
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj
+                UNION ALL
+                SELECT canonical_obj, canonical_subj
+                FROM read_parquet('{triples_glob}')
+                WHERE canonical_subj <> canonical_obj))"""]
+    sel = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        , h{r} AS MATERIALIZED (
+            SELECT src AS node FROM e{r}
+            GROUP BY src ORDER BY count(*) DESC, src LIMIT {k})
+        , re{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{r} e
+            WHERE e.src NOT IN (SELECT node FROM h{r})
+              AND e.dst NOT IN (SELECT node FROM h{r}))
+        , rn{r} AS MATERIALIZED (
+            SELECT src AS node FROM e{r} GROUP BY src
+            EXCEPT SELECT node FROM h{r})
+        , l{r}_0 AS MATERIALIZED (
+            SELECT node, node AS lbl FROM rn{r})""")
+        for t in range(1, label_rounds + 1):
+            parts.append(f"""
+        , l{r}_{t} AS MATERIALIZED (
+            SELECT p.node, least(p.lbl, coalesce(n.m, p.lbl)) AS lbl
+            FROM l{r}_{t - 1} p LEFT JOIN (
+                SELECT e.src AS node, min(q.lbl) AS m
+                FROM re{r} e JOIN l{r}_{t - 1} q ON q.node = e.dst
+                GROUP BY e.src) n USING (node))""")
+        parts.append(f"""
+        , gcc{r} AS MATERIALIZED (
+            SELECT lbl FROM l{r}_{label_rounds}
+            GROUP BY lbl ORDER BY count(*) DESC, lbl LIMIT 1)
+        , e{r + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM re{r} e
+            JOIN l{r}_{label_rounds} a ON a.node = e.src
+            JOIN l{r}_{label_rounds} b ON b.node = e.dst
+            WHERE a.lbl = (SELECT lbl FROM gcc{r})
+              AND b.lbl = (SELECT lbl FROM gcc{r}))""")
+        sel.append(f"""
+        SELECT node AS entity, {r}::BIGINT AS round, 'hub' AS role
+        FROM h{r}""")
+        sel.append(f"""
+        SELECT node, {r}::BIGINT, 'spoke' FROM l{r}_{label_rounds}
+        WHERE lbl <> (SELECT lbl FROM gcc{r})""")
+    sel.append(f"""
+        SELECT src, {rounds + 1}::BIGINT, 'core'
+        FROM e{rounds + 1} GROUP BY src""")
+    parts.append("\n        " + "\n        UNION ALL".join(sel))
+    parts.append("""
+        ORDER BY round, role, entity""")
     return "".join(parts)
 
 
@@ -5127,6 +5211,8 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_kcore": _kcore_oracle_sql(triples_glob, k=3, rounds=6),
         # deterministic Luby MIS: generated unrolled round CTEs
         "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
+        "kg_slashburn": _slashburn_oracle_sql(
+            triples_glob, k=5, rounds=3, label_rounds=8),
         # mutual max-weight proposals (ties -> smallest neighbor);
         # matched pairs contract to least(u, v)
         "kg_coarsen": f"""

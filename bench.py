@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "kg_coarse_graph",
     "q_events_theilsen",
     "q_supplier_lev",
+    "kg_slashburn",
 ]
 
 

@@ -5992,3 +5992,166 @@ def heavy_edge_matching(edges_ds, *, src: str = "src", dst: str = "dst",
 
     return joined.map_batches(finish, batch_format="pandas") \
         .sort("entity")
+
+
+def slashburn(edges_ds, *, src: str = "src", dst: str = "dst",
+              k: int = 5, rounds: int = 3, label_rounds: int = 8,
+              mode: str = "auto",
+              driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """SlashBurn hub-removal ordering (Kang & Faloutsos, ICDM 2011,
+    public — the "no good cut" answer for power-law graphs): per
+    round, remove the k highest-degree hubs (ties → lexicographically
+    smallest entity), let the graph shatter, set aside every node
+    outside the giant connected component as a SPOKE, and recurse on
+    the GCC.  The hub/spoke order concentrates the adjacency matrix's
+    nonzeros — the compression / cache-layout ordering for graphs
+    where balanced cuts don't exist.
+
+    Determinism: hub selection (degree desc, entity asc), components
+    by ``label_rounds`` bounded synchronous min-label rounds, GCC by
+    (size desc, min label asc) — every tie explicit, so the generated
+    unrolled SQL twin is bit-identical.  Nodes isolated by hub removal
+    become singleton components, i.e. spokes.
+
+    Returns (entity, round int64, role) — role ∈ 'hub' | 'spoke' for
+    retired nodes (round = retirement round 1..R), 'core' (round =
+    R + 1) for what remains in the final GCC.  Bounded-round caveat:
+    if ``label_rounds`` has not converged, edges straddling two labels
+    of one true component are dropped from the next round's induced
+    subgraph — the SAME rule on both engines (and the SQL twin), so
+    results stay bit-identical; raise ``label_rounds`` for graphs with
+    long chains.
+
+    Scale shape: each round is one degree groupby + a k-row top-k +
+    ``label_rounds`` bounded label exchanges on a SHRINKING graph —
+    mode='auto' runs the identical kernel driver-side under
+    ``driver_edge_limit`` distinct edges and falls back to the
+    composed Dataset ops past it."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _driver(edges: pd.DataFrame) -> pd.DataFrame:
+        und = _und_pairs_df(edges, src, dst)
+        out_rows = []
+        cur = und  # symmetric pair list
+        for r in range(1, rounds + 1):
+            if cur.empty:
+                break
+            nodes = np.unique(cur["src"].to_numpy(object))
+            deg = cur.groupby("src", sort=False).size()
+            deg = deg.reindex(nodes, fill_value=0)
+            order = sorted(nodes,
+                           key=lambda v: (-int(deg[v]), v))
+            hubs = set(order[:k])
+            for h in sorted(hubs):
+                out_rows.append((h, r, "hub"))
+            rest = cur[~cur["src"].isin(hubs)
+                       & ~cur["dst"].isin(hubs)]
+            rest_nodes = np.array(
+                sorted(set(nodes) - hubs), dtype=object)
+            if not len(rest_nodes):
+                cur = rest.iloc[0:0]
+                continue
+            # bounded synchronous min-label
+            lbl = {v: v for v in rest_nodes}
+            e_pairs = list(zip(rest["src"], rest["dst"]))
+            for _ in range(label_rounds):
+                nxt = dict(lbl)
+                for a, b in e_pairs:
+                    if lbl[b] < nxt[a]:
+                        nxt[a] = lbl[b]
+                changed = nxt != lbl
+                lbl = nxt
+                if not changed:
+                    break
+            comp = pd.Series(lbl)
+            sizes = comp.value_counts()
+            gcc = sorted(sizes.index[sizes == sizes.max()])[0]
+            spokes = comp[comp != gcc].index
+            for v in sorted(spokes):
+                out_rows.append((v, r, "spoke"))
+            keep = set(comp[comp == gcc].index)
+            # filter BOTH endpoints: with bounded label rounds two
+            # connected nodes can carry different labels, so a
+            # src-only filter would leave asymmetric cross-label edges
+            cur = rest[rest["src"].isin(keep)
+                       & rest["dst"].isin(keep)]
+        for v in sorted(set(cur["src"]) | set(cur["dst"])) \
+                if len(cur) else []:
+            out_rows.append((v, rounds + 1, "core"))
+        return pd.DataFrame(out_rows,
+                            columns=["entity", "round", "role"]) \
+            .astype({"round": "int64"}) \
+            .sort_values(["round", "role", "entity"]) \
+            .reset_index(drop=True)
+
+    if mode in ("driver", "auto"):
+        try:
+            return rd.from_pandas(_driver(
+                _edges_to_driver(edges_ds, src, dst,
+                                 driver_edge_limit)))
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    # composed-Dataset fallback: same kernel over Dataset primitives
+    from .relational import groupby_agg
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["src"] != d["dst"]].drop_duplicates(),
+        batch_format="pandas")
+    from .relational import distinct_on
+    cur = distinct_on(und, ["src", "dst"]).materialize()
+    out_frames = []
+    for r in range(1, rounds + 1):
+        if cur.count() == 0:
+            break
+        deg = groupby_agg(cur, ["src"],
+                          [("dst", "count", "deg")]).to_pandas()
+        deg = deg.sort_values(["deg", "src"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        hubs = set(deg["src"].head(k))
+        out_frames.append(pd.DataFrame(
+            {"entity": sorted(hubs), "round": np.int64(r),
+             "role": "hub"}))
+        hub_list = sorted(hubs)
+        rest = cur.map_batches(
+            lambda b, hl=tuple(hub_list): b[
+                ~b["src"].isin(hl) & ~b["dst"].isin(hl)],
+            batch_format="pandas").materialize()
+        rest_nodes = set(deg["src"]) - hubs
+        if not rest_nodes:
+            cur = rest
+            continue
+        comp = label_components(
+            rest, src="src", dst="dst",
+            rounds=label_rounds).to_pandas()
+        lbl = dict(zip(comp["entity"], comp["component"]))
+        series = pd.Series({v: lbl.get(v, v) for v in rest_nodes})
+        sizes = series.value_counts()
+        gcc = sorted(sizes.index[sizes == sizes.max()])[0]
+        spokes = sorted(series[series != gcc].index)
+        out_frames.append(pd.DataFrame(
+            {"entity": spokes, "round": np.int64(r),
+             "role": "spoke"}))
+        keep = tuple(sorted(series[series == gcc].index))
+        cur = rest.map_batches(
+            lambda b, kp=keep: b[b["src"].isin(kp)
+                                 & b["dst"].isin(kp)],
+            batch_format="pandas").materialize()
+    tail = cur.to_pandas()
+    core = sorted(set(tail["src"]) | set(tail["dst"])) \
+        if len(tail) else []
+    out_frames.append(pd.DataFrame(
+        {"entity": core, "round": np.int64(rounds + 1),
+         "role": "core"}))
+    out = pd.concat(out_frames, ignore_index=True) \
+        .astype({"round": "int64"}) \
+        .sort_values(["round", "role", "entity"]) \
+        .reset_index(drop=True)
+    return rd.from_pandas(out)

@@ -2281,3 +2281,32 @@ def test_heavy_edge_matching_mutual_and_modes_agree():
     assert not bool(r.loc["y", "matched"]) and not bool(r.loc["z", "matched"])
     # validity: each supernode hosts ≤ 2 members
     assert d.groupby("supernode").size().max() <= 2
+
+
+def test_slashburn_roles_and_modes_agree():
+    """SlashBurn on a planted hub-and-spoke graph: the hub retires
+    round 1, isolated leaves become spokes, the surviving clique stays
+    core; driver == composed-Dataset mode; every node classified
+    exactly once."""
+    from cpg_ray.functions.graphalgo import slashburn
+
+    # hub h connects 4 leaves and clique {c1,c2,c3}; k=1 removes h,
+    # leaves shatter to singleton spokes, clique is the GCC
+    e = [("h", x) for x in ["l1", "l2", "l3", "l4", "c1"]]
+    e += [("c1", "c2"), ("c2", "c3"), ("c1", "c3")]
+    edges = pd.DataFrame(e, columns=["src", "dst"])
+    d = slashburn(rd.from_pandas(edges), k=1, rounds=1,
+                  mode="driver").to_pandas()
+    s = slashburn(rd.from_pandas(edges), k=1, rounds=1,
+                  mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True),
+                                  check_dtype=False)
+    m = d.set_index("entity")
+    assert m.loc["h", "role"] == "hub" and m.loc["h", "round"] == 1
+    for leaf in ["l1", "l2", "l3", "l4"]:
+        assert m.loc[leaf, "role"] == "spoke", leaf
+    for c in ["c1", "c2", "c3"]:
+        assert m.loc[c, "role"] == "core", c
+    # exactly-once classification
+    assert len(d) == d["entity"].nunique() == 8
