@@ -2699,6 +2699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_owl_entail": _kg_owl_entail,
         "q_multimodal_frames": q.q_multimodal_frames,
         "q_multimodal_audio": q.q_multimodal_audio,
+        # frame-wise exact-int audio features via builtin codecs
+        "q_multimodal_audio_features": q.q_multimodal_audio_features,
         "q_sample_events": q.q_sample_events,
         "q_approx_stats": q.q_approx_stats,
         "q_events_heavy_hitters": q.q_events_heavy_hitters,

