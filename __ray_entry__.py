@@ -897,6 +897,20 @@ def _kg_coarsen(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_bowtie(sf_dir: str):
+    """Web bow-tie decomposition (Broder et al. 2000) of the directed
+    entity graph: CORE = fwd∩bwd reach of the deterministic max-degree
+    pivot, IN/OUT the one-sided reaches, 'other' the tendril rest —
+    the macro-shape census of a crawl graph
+    (graphalgo.bowtie)."""
+    from cpg_ray.functions.graphalgo import bowtie
+
+    df = bowtie(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", rounds=8).to_pandas()
+    return df.reset_index(drop=True)
+
+
 def _kg_slashburn(sf_dir: str):
     """SlashBurn hub-removal ordering (k=5, 3 rounds): hubs out, graph
     shatters, spokes retire, recurse on the GCC — the adjacency-
@@ -2726,6 +2740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coarse_graph": _kg_coarse_graph,
         # SlashBurn hub-removal ordering (hub/spoke/core roles)
         "kg_slashburn": _kg_slashburn,
+        # bow-tie macro-shape census (core/in/out/other)
+        "kg_bowtie": _kg_bowtie,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -3532,6 +3548,55 @@ def _eigen_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
     parts.append(f"""
         SELECT node AS entity, score FROM x{iters}
         ORDER BY score DESC, entity""")
+    return "".join(parts)
+
+
+def _bowtie_oracle_sql(triples_glob: str, *, rounds: int) -> str:
+    """Generated unrolled oracle for kg_bowtie: max-degree pivot
+    (d DESC, node), two monotone bounded reach closures (forward /
+    backward, one join + DISTINCT-union per round), CASE
+    classification.  AS MATERIALIZED everywhere."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT canonical_subj AS src,
+                            canonical_obj AS dst
+            FROM read_parquet('{triples_glob}')
+            WHERE canonical_subj <> canonical_obj),
+        nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+            SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)),
+        deg AS MATERIALIZED (
+            SELECT n AS node, count(*) AS d FROM (
+                SELECT src AS n FROM e0
+                UNION ALL SELECT dst AS n FROM e0)
+            GROUP BY n),
+        f0 AS MATERIALIZED (
+            SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+        b0 AS MATERIALIZED (SELECT node FROM f0)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        , f{t} AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT node FROM f{t - 1}
+                UNION ALL
+                SELECT e.dst FROM e0 e
+                JOIN f{t - 1} x ON x.node = e.src))
+        , b{t} AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT node FROM b{t - 1}
+                UNION ALL
+                SELECT e.src FROM e0 e
+                JOIN b{t - 1} x ON x.node = e.dst))""")
+    parts.append(f"""
+        SELECT n.n AS entity,
+               CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                    THEN 'core'
+                    WHEN f.node IS NOT NULL THEN 'out'
+                    WHEN b.node IS NOT NULL THEN 'in'
+                    ELSE 'other' END AS cls
+        FROM nodes n
+        LEFT JOIN f{rounds} f ON f.node = n.n
+        LEFT JOIN b{rounds} b ON b.node = n.n
+        ORDER BY entity""")
     return "".join(parts)
 
 
@@ -5215,6 +5280,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_mis": _mis_oracle_sql(triples_glob, rounds=4),
         "kg_slashburn": _slashburn_oracle_sql(
             triples_glob, k=5, rounds=3, label_rounds=8),
+        "kg_bowtie": _bowtie_oracle_sql(triples_glob, rounds=8),
         # mutual max-weight proposals (ties -> smallest neighbor);
         # matched pairs contract to least(u, v)
         "kg_coarsen": f"""

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q_events_theilsen",
     "q_supplier_lev",
     "kg_slashburn",
+    "kg_bowtie",
 ]
 
 

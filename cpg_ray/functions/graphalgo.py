@@ -6155,3 +6155,137 @@ def slashburn(edges_ds, *, src: str = "src", dst: str = "dst",
         .sort_values(["round", "role", "entity"]) \
         .reset_index(drop=True)
     return rd.from_pandas(out)
+
+
+def bowtie(edges_ds, *, src: str = "src", dst: str = "dst",
+           rounds: int = 8, mode: str = "auto",
+           driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Web bow-tie decomposition (Broder et al., WWW 2000, public) of
+    the directed entity graph with bounded deterministic semantics:
+
+    - pivot p = the max-(in+out)-degree node over the distinct edge
+      set, ties → lexicographically smallest (on a web-shaped graph p
+      sits in the giant SCC);
+    - CORE = forward-reach(p) ∩ backward-reach(p), both closures run
+      ``rounds`` bounded BFS rounds; since p reaches all of CORE,
+      fwd(p) = fwd(CORE) — the two reaches classify everything:
+    - OUT = fwd(p) \\ CORE, IN = bwd(p) \\ CORE, other = the rest
+      (tendrils/tubes/disconnected — the census most curation
+      decisions don't need split further).
+
+    Returns (entity, cls) with cls ∈ 'core' | 'in' | 'out' | 'other',
+    sorted by entity.  Scale shape: one degree groupby for the pivot +
+    2×``rounds`` frontier exchanges (directed join + pre-combined
+    distinct per round); driver mode runs the identical kernel under
+    ``driver_edge_limit``."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def classify(nodes, fwd: set, bwd: set) -> pd.DataFrame:
+        core = fwd & bwd
+        cls = []
+        for v in nodes:
+            if v in core:
+                cls.append("core")
+            elif v in fwd:
+                cls.append("out")
+            elif v in bwd:
+                cls.append("in")
+            else:
+                cls.append("other")
+        return pd.DataFrame({"entity": nodes, "cls": cls}) \
+            .sort_values("entity").reset_index(drop=True)
+
+    if mode in ("driver", "auto"):
+        try:
+            edges = _edges_to_driver(edges_ds, src, dst,
+                                     driver_edge_limit)
+            if edges.empty:
+                return rd.from_pandas(pd.DataFrame(
+                    {"entity": pd.Series([], dtype=object),
+                     "cls": pd.Series([], dtype=object)}))
+            a = edges[src].to_numpy(object)
+            b = edges[dst].to_numpy(object)
+            nodes = np.unique(np.concatenate([a, b]))
+            deg = pd.concat([pd.Series(a), pd.Series(b)]) \
+                .value_counts()
+            top = deg[deg == deg.max()].index
+            pivot = sorted(top)[0]
+            fw = {}
+            for s_, d_ in zip(a, b):
+                fw.setdefault(s_, []).append(d_)
+            bw = {}
+            for s_, d_ in zip(a, b):
+                bw.setdefault(d_, []).append(s_)
+
+            def reach(adj) -> set:
+                seen = {pivot}
+                frontier = [pivot]
+                for _ in range(rounds):
+                    nxt = []
+                    for v in frontier:
+                        for w in adj.get(v, ()):
+                            if w not in seen:
+                                seen.add(w)
+                                nxt.append(w)
+                    if not nxt:
+                        break
+                    frontier = nxt
+                return seen
+
+            return rd.from_pandas(classify(nodes, reach(fw), reach(bw)))
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    from .relational import bcast_get, distinct_on, groupby_agg, hash_join
+
+    pairs = distinct_on(
+        edges_ds.map_batches(
+            lambda t: t[t[src] != t[dst]].rename(
+                columns={src: "e_src", dst: "e_dst"})[["e_src",
+                                                       "e_dst"]],
+            batch_format="pandas"),
+        ["e_src", "e_dst"]).materialize()
+    deg = groupby_agg(
+        pairs.map_batches(
+            lambda t: pd.DataFrame({"node": pd.concat(
+                [t["e_src"], t["e_dst"]], ignore_index=True)}),
+            batch_format="pandas"),
+        ["node"], [("node", "count", "d")]).to_pandas()
+    if not len(deg):
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=object),
+             "cls": pd.Series([], dtype=object)}))
+    deg = deg.sort_values(["d", "node"], ascending=[False, True],
+                          kind="mergesort")
+    pivot = deg["node"].iloc[0]
+
+    def reach_ds(from_col: str, to_col: str) -> set:
+        seen = {pivot}
+        frontier = rd.from_pandas(pd.DataFrame({"node": [pivot]}))
+        for _ in range(rounds):
+            nxt = distinct_on(
+                hash_join(pairs, frontier.materialize(),
+                          on=from_col, right_on="node",
+                          empty_safe=True).map_batches(
+                    lambda t, tc=to_col: pd.DataFrame(
+                        {"node": t[tc]}),
+                    batch_format="pandas"),
+                ["node"])
+            ndf = nxt.to_pandas()
+            # a 0-row map_batches emits ZERO blocks and loses the
+            # schema — treat a column-less frame as an empty frontier
+            col = ndf["node"] if "node" in ndf.columns else []
+            new_nodes = [v for v in col if v not in seen]
+            if not new_nodes:
+                break
+            seen.update(new_nodes)
+            frontier = rd.from_pandas(pd.DataFrame({"node": new_nodes}))
+        return seen
+
+    fwd = reach_ds("e_src", "e_dst")
+    bwd = reach_ds("e_dst", "e_src")
+    nodes = deg["node"].sort_values().to_numpy(object)
+    return rd.from_pandas(classify(nodes, fwd, bwd))

@@ -2310,3 +2310,27 @@ def test_slashburn_roles_and_modes_agree():
         assert m.loc[c, "role"] == "core", c
     # exactly-once classification
     assert len(d) == d["entity"].nunique() == 8
+
+
+def test_bowtie_classification_and_modes_agree():
+    """Bow-tie on a planted shape: 2-cycle core {p,q} (p max degree),
+    upstream tail → IN, downstream tail → OUT, disconnected pair →
+    other; driver == shuffle."""
+    from cpg_ray.functions.graphalgo import bowtie
+
+    e = [("p", "q"), ("q", "p"),          # core 2-cycle
+         ("i1", "p"), ("i2", "i1"),       # IN chain
+         ("q", "o1"), ("o1", "o2"),       # OUT chain
+         ("x", "y")]                       # disconnected
+    # make p the unambiguous max-degree pivot
+    e += [("p", "o1"), ("i1", "q")]
+    edges = pd.DataFrame(e, columns=["src", "dst"])
+    d = bowtie(rd.from_pandas(edges), mode="driver").to_pandas()
+    s = bowtie(rd.from_pandas(edges), mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True))
+    m = d.set_index("entity")["cls"]
+    assert m["p"] == "core" and m["q"] == "core"
+    assert m["i1"] == "in" and m["i2"] == "in"
+    assert m["o1"] == "out" and m["o2"] == "out"
+    assert m["x"] == "other" and m["y"] == "other"
