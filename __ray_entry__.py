@@ -897,6 +897,21 @@ def _kg_coarsen(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_coreness(sf_dir: str):
+    """Full core decomposition by the bounded h-index fixpoint (Lü et
+    al. 2016): per-node coreness, the peel-free parallel formulation —
+    6 uniform rounds from degree, converged flag via one probe round
+    (graphalgo.coreness)."""
+    from cpg_ray.functions.graphalgo import coreness
+
+    df = coreness(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", rounds=6).to_pandas()
+    df["coreness"] = df["coreness"].astype("int64")
+    df["converged"] = df["converged"].astype(bool)
+    return df.reset_index(drop=True)
+
+
 def _kg_bowtie(sf_dir: str):
     """Web bow-tie decomposition (Broder et al. 2000) of the directed
     entity graph: CORE = fwd∩bwd reach of the deterministic max-degree
@@ -2744,6 +2759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_slashburn": _kg_slashburn,
         # bow-tie macro-shape census (core/in/out/other)
         "kg_bowtie": _kg_bowtie,
+        # full core decomposition — bounded h-index fixpoint
+        "kg_coreness": _kg_coreness,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -3550,6 +3567,39 @@ def _eigen_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
     parts.append(f"""
         SELECT node AS entity, score FROM x{iters}
         ORDER BY score DESC, entity""")
+    return "".join(parts)
+
+
+def _coreness_oracle_sql(triples_glob: str, *, rounds: int) -> str:
+    """Generated unrolled oracle for kg_coreness: v0 = degree over the
+    symmetric distinct graph; per round v' = per-node h-index of
+    neighbor values (rank neighbors by value desc, h = max(least(rn,
+    val))); converged = one probe round changes nothing."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (SELECT DISTINCT canonical_subj AS src,
+                                    canonical_obj AS dst
+                    FROM read_parquet('{triples_glob}')
+                    WHERE canonical_subj <> canonical_obj),
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        v0 AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS v
+                            FROM und GROUP BY src)"""]
+    for t in range(1, rounds + 2):
+        parts.append(f"""
+        , v{t} AS MATERIALIZED (
+            SELECT src AS node, max(least(rn, val))::BIGINT AS v
+            FROM (SELECT u.src, x.v AS val,
+                         row_number() OVER (PARTITION BY u.src
+                             ORDER BY x.v DESC) AS rn
+                  FROM und u JOIN v{t - 1} x ON x.node = u.dst)
+            GROUP BY src)""")
+    parts.append(f"""
+        SELECT a.node AS entity, a.v AS coreness,
+               (SELECT bool_and(x.v = y.v)
+                FROM v{rounds} x JOIN v{rounds + 1} y USING (node))
+                   AS converged
+        FROM v{rounds} a ORDER BY entity""")
     return "".join(parts)
 
 
@@ -5283,6 +5333,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_slashburn": _slashburn_oracle_sql(
             triples_glob, k=5, rounds=3, label_rounds=8),
         "kg_bowtie": _bowtie_oracle_sql(triples_glob, rounds=8),
+        "kg_coreness": _coreness_oracle_sql(triples_glob, rounds=6),
         # mutual max-weight proposals (ties -> smallest neighbor);
         # matched pairs contract to least(u, v)
         "kg_coarsen": f"""

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "kg_slashburn",
     "kg_bowtie",
     "q_events_streaks",
+    "kg_coreness",
 ]
 
 

@@ -6289,3 +6289,127 @@ def bowtie(edges_ds, *, src: str = "src", dst: str = "dst",
     bwd = reach_ds("e_dst", "e_src")
     nodes = deg["node"].sort_values().to_numpy(object)
     return rd.from_pandas(classify(nodes, fwd, bwd))
+
+
+def coreness(edges_ds, *, src: str = "src", dst: str = "dst",
+             rounds: int = 6, mode: str = "auto",
+             driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Full core decomposition by the H-INDEX fixpoint (Lü, Zhou,
+    Zhang & Stanley, Nature Comm. 2016, public): start every node at
+    its degree; each round replace a node's value with the H-INDEX of
+    its neighbors' values (the largest h with ≥ h neighbors valued
+    ≥ h); the fixpoint is exactly the node's CORENESS (the largest k
+    with the node inside the k-core).  Unlike the sequential
+    min-degree peel, every round is a uniform vectorized pass — the
+    parallel-friendly formulation — and a BOUNDED round count gives
+    deterministic intermediate values any engine replays.
+
+    Returns (entity, coreness int64, converged bool) sorted by entity;
+    ``converged`` reports whether one more round would change any
+    value (h-index iteration is monotone non-increasing from degree).
+
+    Scale shape: per round ONE join (edges ⋈ values on dst) + a
+    per-src h-index reduce — rank neighbors by value desc inside the
+    exchange, h = max(min(rank, value)); driver mode is the identical
+    kernel via lexsort + reduceat under ``driver_edge_limit``."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def h_pass_np(s_i, vals_at_dst, n):
+        """h-index per src from (src_idx, neighbor value) arrays."""
+        order = np.lexsort((-vals_at_dst, s_i))
+        ss, vv = s_i[order], vals_at_dst[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        rank = np.arange(len(ss), dtype=np.int64)
+        rank -= np.repeat(starts, np.diff(np.r_[starts, len(ss)]))
+        cand = np.minimum(rank + 1, vv)
+        h = np.zeros(n, dtype=np.int64)
+        np.maximum.at(h, ss, cand)
+        return h
+
+    if mode in ("driver", "auto"):
+        try:
+            edges = _edges_to_driver(edges_ds, src, dst,
+                                     driver_edge_limit)
+            und = _und_pairs_df(edges, src, dst)
+            if und.empty:
+                return rd.from_pandas(pd.DataFrame(
+                    {"entity": pd.Series([], dtype=object),
+                     "coreness": pd.Series([], dtype="int64"),
+                     "converged": pd.Series([], dtype="bool")}))
+            nodes, s_i, d_i = _index_graph(und, "src", "dst")
+            n = len(nodes)
+            val = np.bincount(s_i, minlength=n).astype(np.int64)
+            for _ in range(rounds):
+                val = h_pass_np(s_i, val[d_i], n)
+            probe = h_pass_np(s_i, val[d_i], n)
+            return rd.from_pandas(pd.DataFrame(
+                {"entity": nodes, "coreness": val,
+                 "converged": bool((probe == val).all())}))
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    und = edges_ds.map_batches(
+        lambda b: pd.DataFrame({
+            "__src": pd.concat([b[src], b[dst]], ignore_index=True),
+            "__dst": pd.concat([b[dst], b[src]], ignore_index=True),
+        }).loc[lambda d: d["__src"] != d["__dst"]],
+        batch_format="pandas")
+    und = distinct_on(und, ["__src", "__dst"]).materialize()
+    vals = groupby_agg(und, ["__src"],
+                       [("__dst", "count", "v")]).materialize()
+
+    def h_pass_ds(vals_ds):
+        joined = hash_join(und, vals_ds, on="__dst",
+                           right_on="__src", empty_safe=True)
+        nb_ = None
+
+        def hix(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame(
+                    {"__src": pd.Series([], dtype=object),
+                     "v": pd.Series([], dtype="int64")})
+            g = g.sort_values(["__src", "v"],
+                              ascending=[True, False],
+                              kind="mergesort")
+            ss = g["__src"].to_numpy(object)
+            vv = g["v"].to_numpy(np.int64)
+            new = np.r_[True, ss[1:] != ss[:-1]]
+            rank = np.arange(len(ss), dtype=np.int64)
+            rank -= np.maximum.accumulate(np.where(new, rank, -1))
+            cand = np.minimum(rank + 1, vv)
+            f = pd.DataFrame({"__src": ss, "cand": cand})
+            h = f.groupby("__src", sort=False)["cand"].max()
+            return pd.DataFrame({"__src": h.index,
+                                 "v": h.to_numpy(np.int64)})
+
+        from .relational import default_n_buckets
+        nb_ = default_n_buckets()
+        import zlib
+
+        def bk(b: pd.DataFrame) -> pd.DataFrame:
+            key = b["__src"].astype(str).map(
+                lambda x: zlib.crc32(x.encode()) % nb_)
+            return b.assign(__bucket=key.astype("int32"))
+
+        return joined.map_batches(bk, batch_format="pandas") \
+            .groupby("__bucket").map_groups(
+                lambda g: hix(g.drop(columns="__bucket")),
+                batch_format="pandas").materialize()
+
+    for _ in range(rounds):
+        vals = h_pass_ds(vals)
+    probe = h_pass_ds(vals)
+    a = vals.to_pandas().rename(columns={"v": "coreness"})
+    b_ = probe.to_pandas().rename(columns={"v": "probe"})
+    m = a.merge(b_, on="__src")
+    conv = bool((m["coreness"] == m["probe"]).all())
+    out = pd.DataFrame({"entity": m["__src"],
+                        "coreness": m["coreness"].astype("int64"),
+                        "converged": conv})
+    return rd.from_pandas(
+        out.sort_values("entity").reset_index(drop=True))

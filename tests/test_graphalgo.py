@@ -2334,3 +2334,29 @@ def test_bowtie_classification_and_modes_agree():
     assert m["i1"] == "in" and m["i2"] == "in"
     assert m["o1"] == "out" and m["o2"] == "out"
     assert m["x"] == "other" and m["y"] == "other"
+
+
+def test_coreness_hindex_converges_to_true_coreness():
+    """H-index fixpoint equals the classic peel coreness on a planted
+    graph (4-clique + pendant chain), modes agree, converged flag
+    true once the fixpoint is reached."""
+    from cpg_ray.functions.graphalgo import coreness
+
+    # 4-clique (coreness 3) with a chain a-b-c hanging off (coreness 1)
+    e = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+         ("k2", "k3"), ("k2", "k4"), ("k3", "k4"),
+         ("k4", "a"), ("a", "b"), ("b", "c")]
+    edges = pd.DataFrame(e, columns=["src", "dst"])
+    d = coreness(rd.from_pandas(edges), rounds=6,
+                 mode="driver").to_pandas()
+    s = coreness(rd.from_pandas(edges), rounds=6,
+                 mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True),
+                                  check_dtype=False)
+    m = d.set_index("entity")["coreness"]
+    for k in ["k1", "k2", "k3", "k4"]:
+        assert m[k] == 3, k
+    for v in ["a", "b", "c"]:
+        assert m[v] == 1, v
+    assert d["converged"].all()
