@@ -3082,11 +3082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_jaccard",
         "kg_temporal_reach", "q_kmeans",
         "kg_simrank", "q_part_skyline",
-        # graph family — never driver-checked
-        "kg_scc",
-        "kg_conductance",
         # text/retrieval — never driver-checked
-        "q_doc_textrank",
         "q_doc_phrase_search",
         "q_basket_itemsets",
         # events/orders — never driver-checked
@@ -3126,6 +3122,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_gini", "q_customer_fs", "kg_coarsen",
         "q_events_attribution", "q_events_theilsen",
         "q_events_seqpairs",
+        # late-session brand-new machinery, never driver-checked;
+        # evictees re-confirmed green at sf0.01 with this binary:
+        # - kg_slashburn (iterative hub-removal reduction) displaces
+        #   kg_geo_infer — chain-join rule lifting repped in-window by
+        #   kg_owl_entail's propertyChainAxiom machinery
+        # - kg_coreness (h-index fixpoint decomposition) displaces
+        #   kg_scc — directed bounded-reach machinery repped in-window
+        #   by kg_temporal_reach + kg_rpq's NFA-product BFS
+        # - q_events_streaks (gaps-and-islands) displaces
+        #   q_doc_textrank — co-occurrence graph build is
+        #   kg_cooccur_pmi's (sweep-green), rank iteration the
+        #   kg_simrank/kg_truth_iter fixpoint family in-window
+        # - q_supplier_lev (vectorized capped-DP verifier) displaces
+        #   kg_conductance — label-pair cut/volume aggregates repped
+        #   in-window by kg_metapath's typed-pair census
+        "kg_slashburn", "kg_coreness", "q_events_streaks",
+        "q_supplier_lev",
         # final-session additions — new code, never driver-checked
         # (kg_scan displaces kg_eccentricity: both never-checked, but
         # eccentricity's pruned-BFS level-set machinery is already
@@ -3138,7 +3151,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scan", "kg_metapath",
         "kg_truth_iter", "kg_trans_reduce", "kg_msf",
         "kg_dipre", "kg_corpus_overlap",
-        "kg_geo_infer",
     ]
     # position-count contract (the r3 off-by-three lesson): exactly 50
     # distinct names, all resolvable — fail HERE, not in the driver
