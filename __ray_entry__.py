@@ -2598,6 +2598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)
         "q_customer_fs": q.q_customer_fs,
+        # golden-record survivorship after FS matching
+        "q_customer_golden": q.q_customer_golden,
         "q_events_winsor": q.q_events_winsor,
         "q_events_retention": q.q_events_retention,
         "kg_scc": _kg_scc,

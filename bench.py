@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "kg_bowtie",
     "q_events_streaks",
     "kg_coreness",
+    "q_customer_golden",
 ]
 
 

@@ -3064,6 +3064,87 @@ def q_customer_fs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_customer_golden(sf_dir: str) -> pd.DataFrame:
+    """Golden-record survivorship (the MDM step after matching):
+    FS match pairs (q_customer_fs's model) close into clusters by
+    bounded min-label propagation (8 rounds), every customer lands in
+    a cluster (singletons stay themselves), and each cluster elects
+    one survivor row — representative id = min custkey, segment by
+    MODAL vote (count desc, value asc tie-break), balance = max exact
+    cents, plus member count.  The deterministic merge policy a
+    dedup-then-canonicalize pipeline needs.
+
+    Shape: matching reuses the broadcast FS pass; clustering is the
+    bounded label_components kernel on the (tiny) match-pair list;
+    survivorship is one pre-combined groupby over the
+    cluster-annotated dimension table."""
+    import ray
+
+    from ..functions.dedup import fellegi_sunter_scores
+    from ..functions.graphalgo import label_components
+    from ..functions.relational import bcast_get, groupby_agg
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal",
+                             "c_mktsegment"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["c_acctbal"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": b["c_nationkey"],
+            "seg": b["c_mktsegment"],
+            "cents": cents,
+            "bal_bucket": np.floor(cents / 100000.0).astype("int64"),
+            "bal_pos": cents >= 0,
+        })
+
+    base = ds.map_batches(derive, batch_format="pandas").materialize()
+    scored = fellegi_sunter_scores(
+        base, id_col="c_custkey", block_col="c_nationkey",
+        field_cols=["seg", "bal_bucket", "bal_pos"])
+    pairs = scored.map_batches(
+        lambda b: b[b["is_match"]][["a", "b"]],
+        batch_format="pandas").materialize()
+    comp = label_components(pairs, src="a", dst="b",
+                            rounds=8).to_pandas()
+    lut = ray.put(dict(zip(comp["entity"].astype("int64"),
+                           comp["component"].astype("int64"))))
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        m = bcast_get(lut)
+        keys = b["c_custkey"].to_numpy("int64")
+        cl = np.array([m.get(k, k) for k in keys], dtype=np.int64)
+        return pd.DataFrame({"cluster": cl,
+                             "c_custkey": keys,
+                             "seg": b["seg"],
+                             "cents": b["cents"].to_numpy("int64")})
+
+    ann = base.map_batches(annotate, batch_format="pandas") \
+        .materialize()
+    votes = groupby_agg(ann, ["cluster", "seg"],
+                        [("seg", "count", "n")]).to_pandas()
+    votes = votes.sort_values(["cluster", "n", "seg"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    modal = votes.groupby("cluster", sort=False).head(1) \
+        .rename(columns={"seg": "golden_segment"})[
+        ["cluster", "golden_segment"]]
+    agg = groupby_agg(ann, ["cluster"],
+                      [("c_custkey", "min", "golden_custkey"),
+                       ("cents", "max", "golden_cents"),
+                       ("c_custkey", "count", "n_members")]) \
+        .to_pandas()
+    df = agg.merge(modal, on="cluster")
+    for c in ("cluster", "golden_custkey", "golden_cents",
+              "n_members"):
+        df[c] = df[c].astype("int64")
+    return df[["cluster", "golden_custkey", "golden_segment",
+               "golden_cents", "n_members"]] \
+        .sort_values("cluster").reset_index(drop=True)
+
+
 def q_doc_regex(sf_dir: str) -> pd.DataFrame:
     """Vectorized regex field extraction (pandas .str kernels — one
     compiled scan per column, no per-row Python): first match, match
@@ -6998,3 +7079,61 @@ ORACLE_SQL["q_events_streaks"] = """
            start_day AS streak_start_day
     FROM best WHERE rn = 1 ORDER BY user_id
 """
+
+
+def _golden_oracle_sql(rounds: int = 8) -> str:
+    """Generated oracle for q_customer_golden: the FS match query
+    rides as a subquery (DuckDB allows WITH inside subqueries), match
+    clusters close by the SAME bounded min-label rule as
+    graphalgo.label_components (self-loop adjacency, 8 rounds), then
+    modal/min/max survivorship per cluster."""
+    lbl = ""
+    for t in range(1, rounds + 1):
+        lbl += f"""
+    , l{t} AS MATERIALIZED (
+        SELECT p.node, least(p.lbl, coalesce(n.m, p.lbl)) AS lbl
+        FROM l{t - 1} p LEFT JOIN (
+            SELECT u.s AS node, min(q.lbl) AS m
+            FROM und u JOIN l{t - 1} q ON q.node = u.t
+            GROUP BY u.s) n USING (node))"""
+    return f"""
+    WITH mp AS MATERIALIZED (
+        SELECT a, b FROM ({{fs}})
+    ), und AS MATERIALIZED (
+        SELECT a AS s, b AS t FROM mp
+        UNION ALL SELECT b, a FROM mp
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT s AS node, s AS lbl FROM und)
+    {lbl}
+    , base AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               round(c_acctbal * 100)::BIGINT AS cents
+        FROM customer
+    ), cl AS (
+        SELECT b.c_custkey,
+               coalesce(l.lbl, b.c_custkey)::BIGINT AS cluster,
+               b.seg, b.cents
+        FROM base b LEFT JOIN l{rounds} l ON l.node = b.c_custkey
+    ), votes AS (
+        SELECT cluster, seg, count(*)::BIGINT AS n FROM cl
+        GROUP BY cluster, seg
+    ), modal AS (
+        SELECT cluster, seg AS golden_segment FROM (
+            SELECT cluster, seg, row_number() OVER (
+                PARTITION BY cluster ORDER BY n DESC, seg) AS rn
+            FROM votes) WHERE rn = 1
+    ), agg AS (
+        SELECT cluster, min(c_custkey)::BIGINT AS golden_custkey,
+               max(cents)::BIGINT AS golden_cents,
+               count(*)::BIGINT AS n_members
+        FROM cl GROUP BY cluster
+    )
+    SELECT a.cluster, a.golden_custkey, m.golden_segment,
+           a.golden_cents, a.n_members
+    FROM agg a JOIN modal m USING (cluster)
+    ORDER BY cluster
+"""
+
+
+ORACLE_SQL["q_customer_golden"] = _golden_oracle_sql().format(
+    fs=ORACLE_SQL["q_customer_fs"])

