@@ -2594,6 +2594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_theilsen": q.q_events_theilsen,
         # gaps-and-islands longest-streak census
         "q_events_streaks": q.q_events_streaks,
+        # exact-integer EWMA smoothing, vectorized across users
+        "q_events_ewma": q.q_events_ewma,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

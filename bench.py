@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "q_events_streaks",
     "kg_coreness",
     "q_customer_golden",
+    "q_events_ewma",
 ]
 
 

@@ -3423,6 +3423,71 @@ def q_events_gini(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_events_ewma(sf_dir: str) -> pd.DataFrame:
+    """Exact-integer exponential smoothing per user (α = 1/4):
+
+        y₁ = x₁ ;  y_t = (x_t + 3·y_{t−1}) // 4     (cents, floor)
+
+    — the classic streaming engagement smoother, kept INTEGER so the
+    recursive-CTE twin is bit-identical (floor of nonnegative cents;
+    floats would drift by ulps across engines).  The recurrence is
+    sequential per user but VECTORIZED ACROSS USERS: inside a bucket
+    the per-user sequences align by step index (CSR offsets) and the
+    loop runs over the LONGEST sequence, each iteration one numpy op
+    over every user still active — no per-row or per-user Python.
+
+    Shape: one user-hash bucket exchange; per bucket one sort + one
+    offsets pass + max-len vector steps."""
+    from ..functions.relational import default_n_buckets
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    nb = default_n_buckets()
+    bucketed = ev.map_batches(
+        lambda b: pd.DataFrame({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "cents": np.round(b["value"].to_numpy("float64")
+                              * 100).astype("int64"),
+            "__bucket": (b["user_id"].to_numpy("int64") % nb)
+            .astype("int32"),
+        }),
+        batch_format="pandas")
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ewma_cents": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy("int64")
+        x = g["cents"].to_numpy("int64")
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        y = np.empty(len(u), dtype=np.int64)
+        # step 0: every user's first event
+        idx = starts.copy()
+        y[idx] = x[idx]
+        max_len = int(counts.max())
+        for t in range(1, max_len):
+            act = counts > t
+            cur = starts[act] + t
+            y[cur] = (x[cur] + 3 * y[cur - 1]) // 4
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy("int64"),
+            "user_id": u, "ewma_cents": y})
+
+    df = bucketed.groupby("__bucket").map_groups(
+        lambda g: smooth(g.drop(columns="__bucket")),
+        batch_format="pandas").to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_streaks(sf_dir: str) -> pd.DataFrame:
     """Longest consecutive-day activity streak per user — the classic
     GAPS-AND-ISLANDS: distinct active days, islands identified by the
@@ -7137,3 +7202,25 @@ def _golden_oracle_sql(rounds: int = 8) -> str:
 
 ORACLE_SQL["q_customer_golden"] = _golden_oracle_sql().format(
     fs=ORACLE_SQL["q_customer_fs"])
+
+
+# integer EWMA: recursive CTE joining rn -> rn+1 per user
+ORACLE_SQL["q_events_ewma"] = """
+    WITH RECURSIVE x AS (
+        SELECT event_id, user_id,
+               round(value * 100)::BIGINT AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), rec AS (
+        SELECT event_id, user_id, rn, cents AS y
+        FROM x WHERE rn = 1
+        UNION ALL
+        SELECT n.event_id, n.user_id, n.rn,
+               (n.cents + 3 * r.y) // 4
+        FROM rec r JOIN x n
+          ON n.user_id = r.user_id AND n.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, y::BIGINT AS ewma_cents
+    FROM rec ORDER BY event_id
+"""

@@ -2203,3 +2203,25 @@ def test_golden_record_survivorship_rules():
     assert set(out["golden_cents"]) <= cents
     # segments come from the domain
     assert set(out["golden_segment"]) <= set(cust["c_mktsegment"])
+
+
+def test_ewma_integer_recurrence_hand_check():
+    """The cross-user vectorized recurrence equals the scalar replay:
+    y1=x1, yt=(xt+3y)//4 — and ragged sequence lengths align
+    correctly (one user longer than another)."""
+    import pandas as pd
+
+    u = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    x = np.array([100, 200, 40, 8, 9], dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    counts = np.diff(np.r_[starts, len(u)])
+    y = np.empty(len(u), dtype=np.int64)
+    y[starts] = x[starts]
+    for t in range(1, int(counts.max())):
+        act = counts > t
+        cur = starts[act] + t
+        y[cur] = (x[cur] + 3 * y[cur - 1]) // 4
+    # scalar replay
+    exp = [100, (200 + 300) // 4, (40 + 3 * 125) // 4,
+           8, (9 + 24) // 4]
+    assert list(y) == exp
