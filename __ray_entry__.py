@@ -2458,6 +2458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_rp": q.q_emb_rp,
         # top principal component — distributed Gram + integer power it
         "q_emb_pca": q.q_emb_pca,
+        # reciprocal best hits — mutual-NN bitext-mining primitive
+        "q_emb_rbh": q.q_emb_rbh,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,

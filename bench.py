@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "kg_coreness",
     "q_customer_golden",
     "q_events_ewma",
+    "q_emb_rbh",
 ]
 
 

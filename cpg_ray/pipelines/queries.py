@@ -806,6 +806,91 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_emb_rbh(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal best hits between the even- and odd-id embedding
+    sets — the mutual-nearest-neighbor primitive of bitext mining
+    (Artetxe & Schwenk's margin criterion starts here): a pair (a, b)
+    survives iff b is a's top cosine match AND a is b's.  Scores are
+    BIT-DETERMINISTIC cross-engine: exact int64 dot products of
+    2^10-quantized vectors divided by IEEE-correctly-rounded sqrt of
+    the exact integer norm — numpy and DuckDB produce the identical
+    double, ties break by smallest candidate id.  Output carries only
+    integers (the pair + the exact dot), never a float column.
+
+    Shape: one quantized matmul per batch against the broadcast
+    smaller side + per-row argmax; the mutual check is a tiny merge of
+    the two argmax tables."""
+    import ray
+
+    from ..functions.relational import bcast_get
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # B = the odd-id pivot set, broadcast once (the bounded side); A
+    # streams through map_batches — each batch emits A-side argmaxes
+    # EXACTLY plus per-B PARTIAL argmax candidates (argmax is
+    # associative with the deterministic (score desc, id asc)
+    # tie-break, so batch partials combine order-free)
+    bdf = ds.map_batches(
+        lambda b: b[b["vec_id"].to_numpy("int64") % 2 == 1],
+        batch_format="pandas").to_pandas()
+    qb = np.floor(np.stack(bdf["embedding"].to_numpy())
+                  .astype(np.float64) * (1 << 10)).astype(np.int64)
+    ib = bdf["vec_id"].to_numpy("int64")
+    nb = (qb * qb).sum(axis=1)
+    ref = ray.put((qb, ib, nb))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        qb_, ib_, nb_ = bcast_get(ref)
+        sel = batch["vec_id"].to_numpy("int64") % 2 == 0
+        if not sel.any():
+            return pd.DataFrame({"kind": pd.Series([], dtype=object),
+                                 "x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "dot": pd.Series([], dtype="int64"),
+                                 "nx": pd.Series([], dtype="int64")})
+        qa = np.floor(np.stack(batch["embedding"].to_numpy()[sel])
+                      .astype(np.float64)
+                      * (1 << 10)).astype(np.int64)
+        ia = batch["vec_id"].to_numpy("int64")[sel]
+        na = (qa * qa).sum(axis=1)
+        dots = qa @ qb_.T  # exact int64
+        # A-side exact argmax over the complete B
+        sa = dots.astype(np.float64) / np.sqrt(
+            nb_.astype(np.float64))
+        oa = np.lexsort((np.broadcast_to(ib_, sa.shape),
+                         -sa), axis=1)[:, 0]
+        a_rows = pd.DataFrame({
+            "kind": "a", "x": ia, "y": ib_[oa],
+            "dot": dots[np.arange(len(ia)), oa], "nx": na})
+        # B-side PARTIAL argmax over this A batch
+        sb = dots.astype(np.float64) / np.sqrt(
+            na.astype(np.float64))[:, None]
+        ob = np.lexsort((np.broadcast_to(ia[:, None],
+                                         sb.shape), -sb), axis=0)[0]
+        b_rows = pd.DataFrame({
+            "kind": "b", "x": ib_, "y": ia[ob],
+            "dot": dots[ob, np.arange(len(ib_))],
+            "nx": na[ob]})
+        return pd.concat([a_rows, b_rows], ignore_index=True)
+
+    parts = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    a_best = parts[parts["kind"] == "a"][["x", "y", "dot"]]
+    bp = parts[parts["kind"] == "b"].copy()
+    # combine B partials: score = dot/sqrt(na(candidate)), tie → min y
+    bp["score"] = bp["dot"].to_numpy("int64").astype(np.float64) \
+        / np.sqrt(bp["nx"].to_numpy("int64").astype(np.float64))
+    bp = bp.sort_values(["x", "score", "y"],
+                        ascending=[True, False, True],
+                        kind="mergesort")
+    b_best = bp.groupby("x", sort=False).head(1)[["x", "y"]]
+    m = a_best.merge(b_best, left_on=["x", "y"],
+                     right_on=["y", "x"], suffixes=("_a", "_b"))
+    out = pd.DataFrame({"a": m["x_a"].astype("int64"),
+                        "b": m["y_a"].astype("int64"),
+                        "qdot": m["dot"].astype("int64")})
+    return out.sort_values("a").reset_index(drop=True)
+
+
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed approximate top-10 (the scale path) — rows-only;
     tests measure recall vs brute force."""
@@ -7223,4 +7308,44 @@ ORACLE_SQL["q_events_ewma"] = """
     )
     SELECT event_id, user_id, y::BIGINT AS ewma_cents
     FROM rec ORDER BY event_id
+"""
+
+
+# RBH: exact int dots of 2^10-quantized vectors; score = dot /
+# sqrt(norm) — correctly-rounded IEEE ops, identical doubles both
+# engines; argmax ties -> smallest id; mutual join
+ORACLE_SQL["q_emb_rbh"] = """
+    WITH x AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS i,
+               floor(unnest(embedding)::DOUBLE * 1024)::BIGINT AS qv
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, sum(qv * qv)::BIGINT AS nrm
+        FROM x GROUP BY vec_id
+    ), d AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               sum(a.qv * b.qv)::BIGINT AS dot
+        FROM x a JOIN x b ON b.i = a.i
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        GROUP BY 1, 2
+    ), abest AS (
+        SELECT a, b, dot FROM (
+            SELECT d.a, d.b, d.dot,
+                   row_number() OVER (PARTITION BY d.a
+                       ORDER BY d.dot::DOUBLE / sqrt(nb.nrm::DOUBLE)
+                                DESC, d.b) AS rn
+            FROM d JOIN n nb ON nb.vec_id = d.b)
+        WHERE rn = 1
+    ), bbest AS (
+        SELECT a, b FROM (
+            SELECT d.a, d.b,
+                   row_number() OVER (PARTITION BY d.b
+                       ORDER BY d.dot::DOUBLE / sqrt(na.nrm::DOUBLE)
+                                DESC, d.a) AS rn
+            FROM d JOIN n na ON na.vec_id = d.a)
+        WHERE rn = 1
+    )
+    SELECT ab.a AS a, ab.b AS b, ab.dot AS qdot
+    FROM abest ab JOIN bbest bb ON bb.a = ab.a AND bb.b = ab.b
+    ORDER BY ab.a
 """

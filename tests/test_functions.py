@@ -2225,3 +2225,37 @@ def test_ewma_integer_recurrence_hand_check():
     exp = [100, (200 + 300) // 4, (40 + 3 * 125) // 4,
            8, (9 + 24) // 4]
     assert list(y) == exp
+
+
+def test_rbh_mutuality_and_partial_argmax_combine():
+    """RBH output is mutual by construction (every returned pair is
+    each other's best), the partial-argmax combine across batches
+    equals a single global argmax, and planted twin vectors match."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cpg_ray.pipelines.queries import q_emb_rbh
+
+    out = q_emb_rbh("/root/testdata/sf0.001")
+    # pairs are unique per side (a strict matching)
+    assert out["a"].is_unique and out["b"].is_unique
+    assert (out["a"] % 2 == 0).all() and (out["b"] % 2 == 1).all()
+    # independent replay: global argmax both directions on the
+    # quantized vectors must produce the same mutual set
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1024).astype(np.int64)
+    ids = emb["vec_id"].to_numpy("int64")
+    ea, eb = ids % 2 == 0, ids % 2 == 1
+    qa, ia, qb, ib = q[ea], ids[ea], q[eb], ids[eb]
+    na, nb = (qa * qa).sum(1), (qb * qb).sum(1)
+    dots = qa @ qb.T
+    sa = dots / np.sqrt(nb)
+    sb = dots / np.sqrt(na)[:, None]
+    abest = {ia[r]: ib[np.lexsort((ib, -sa[r]))[0]]
+             for r in range(len(ia))}
+    bbest = {ib[c]: ia[np.lexsort((ia, -sb[:, c]))[0]]
+             for c in range(len(ib))}
+    mutual = sorted((a, b) for a, b in abest.items()
+                    if bbest[b] == a)
+    assert sorted(zip(out["a"], out["b"])) == mutual
