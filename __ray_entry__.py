@@ -2460,6 +2460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_pca": q.q_emb_pca,
         # reciprocal best hits — mutual-NN bitext-mining primitive
         "q_emb_rbh": q.q_emb_rbh,
+        # greedy k-center diversity coreset
+        "q_emb_kcenter": q.q_emb_kcenter,
         # -- oracle-paired, never driver-checked (outside r2+r3 windows)
         "q_doc_langid": q.q_doc_langid,
         "q_part_type_stats": q.q_part_type_stats,

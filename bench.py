@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "q_customer_golden",
     "q_events_ewma",
     "q_emb_rbh",
+    "q_emb_kcenter",
 ]
 
 

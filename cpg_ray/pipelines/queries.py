@@ -891,6 +891,80 @@ def q_emb_rbh(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("a").reset_index(drop=True)
 
 
+def q_emb_kcenter(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation diversity coreset data curation
+    uses): seed = min vec_id; each round add the point FARTHEST from
+    the selected set (exact int64 squared distance of 2^10-quantized
+    vectors, ties → smallest id).  Every comparison is integer, so the
+    generated unrolled SQL twin is bit-identical.
+
+    Shape: k bounded passes — each round broadcasts the ≤ k selected
+    vectors and streams the corpus once computing min-dist²-to-set
+    per batch with a per-batch argmax partial (associative, combined
+    driver-side); no all-pairs table, no state between rounds beyond
+    the k selected rows."""
+    import ray
+
+    from ..functions.relational import bcast_get
+
+    k = 6
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(b: pd.DataFrame):
+        q = np.floor(np.stack(b["embedding"].to_numpy())
+                     .astype(np.float64) * (1 << 10)).astype(np.int64)
+        return b["vec_id"].to_numpy("int64"), q
+
+    seed_df = ds.map_batches(
+        lambda b: pd.DataFrame({"vec_id": [b["vec_id"].min()],
+                                "embedding": [b["embedding"].iloc[
+                                    b["vec_id"].to_numpy().argmin()]]}),
+        batch_format="pandas").to_pandas()
+    s0 = seed_df.loc[seed_df["vec_id"].idxmin()]
+    sel_ids = [int(s0["vec_id"])]
+    sel_q = [np.floor(np.asarray(s0["embedding"], dtype=np.float64)
+                      * (1 << 10)).astype(np.int64)]
+    picked = [(1, sel_ids[0], 0)]
+    for t in range(2, k + 1):
+        ref = ray.put((np.stack(sel_q), tuple(sel_ids)))
+
+        def far(b: pd.DataFrame) -> pd.DataFrame:
+            ids, q = quant(b)
+            s, taken = bcast_get(ref)  # (m, D), selected ids
+            keep = ~np.isin(ids, taken)
+            if not keep.any():
+                return pd.DataFrame({"vec_id": pd.Series(
+                    [], dtype="int64"),
+                    "d2": pd.Series([], dtype="int64")})
+            ids, q = ids[keep], q[keep]
+            # dist² = |c|² + |s|² − 2 c·s, exact int64
+            d2 = ((q * q).sum(1)[:, None] + (s * s).sum(1)[None, :]
+                  - 2 * (q @ s.T))
+            m = d2.min(axis=1)
+            o = np.lexsort((ids, -m))[0]
+            return pd.DataFrame({"vec_id": [ids[o]],
+                                 "d2": [int(m[o])]})
+
+        cand = ds.map_batches(far, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(["d2", "vec_id"],
+                                ascending=[False, True],
+                                kind="mergesort")
+        pick = int(cand["vec_id"].iloc[0])
+        picked.append((t, pick, int(cand["d2"].iloc[0])))
+        row = ds.filter(
+            lambda r, p=pick: r["vec_id"] == p).to_pandas()
+        sel_q.append(np.floor(
+            np.asarray(row["embedding"].iloc[0], dtype=np.float64)
+            * (1 << 10)).astype(np.int64))
+        sel_ids.append(pick)
+    return pd.DataFrame({
+        "round": pd.Series([p[0] for p in picked], dtype="int64"),
+        "vec_id": pd.Series([p[1] for p in picked], dtype="int64"),
+        "d2": pd.Series([p[2] for p in picked], dtype="int64"),
+    })
+
+
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed approximate top-10 (the scale path) — rows-only;
     tests measure recall vs brute force."""
@@ -7349,3 +7423,69 @@ ORACLE_SQL["q_emb_rbh"] = """
     FROM abest ab JOIN bbest bb ON bb.a = ab.a AND bb.b = ab.b
     ORDER BY ab.a
 """
+
+
+def _kcenter_oracle_sql(k: int = 6) -> str:
+    """Generated unrolled oracle for q_emb_kcenter: per round one
+    dot-product join against the single previous pick, dist² =
+    |c|²+|s|²−2c·s exact BIGINT, min-fold into the running
+    min-dist-to-set, argmax pick (d2 DESC, vec_id)."""
+    parts = ["""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, unnest(range(len(embedding))) AS i,
+               floor(unnest(embedding)::DOUBLE * 1024)::BIGINT AS qv
+        FROM embeddings
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id, sum(qv * qv)::BIGINT AS n FROM x
+        GROUP BY vec_id
+    ), s1 AS MATERIALIZED (
+        SELECT min(vec_id)::BIGINT AS v FROM embeddings)"""]
+    prev_m = None
+    for t in range(2, k + 1):
+        sprev = f"s{t - 1}" if t > 2 else "s1"
+        parts.append(f"""
+    , dot{t} AS MATERIALIZED (
+        SELECT a.vec_id, sum(a.qv * b.qv)::BIGINT AS dot
+        FROM x a JOIN x b ON b.i = a.i
+        WHERE b.vec_id = (SELECT p FROM pick{t - 1})
+        GROUP BY a.vec_id
+    )""" if t > 2 else f"""
+    , dot{t} AS MATERIALIZED (
+        SELECT a.vec_id, sum(a.qv * b.qv)::BIGINT AS dot
+        FROM x a JOIN x b ON b.i = a.i
+        WHERE b.vec_id = (SELECT v FROM s1)
+        GROUP BY a.vec_id
+    )""")
+        dist = (f"""cn.n + (SELECT nn.n FROM nrm nn
+                     WHERE nn.vec_id = (SELECT p FROM pick{t - 1}))
+                 - 2 * d.dot""" if t > 2 else
+                """cn.n + (SELECT nn.n FROM nrm nn
+                     WHERE nn.vec_id = (SELECT v FROM s1))
+                 - 2 * d.dot""")
+        fold = (f"least(m.d2, ({dist}))" if prev_m else f"({dist})")
+        join_m = (f"JOIN m{t - 1} m ON m.vec_id = d.vec_id" if prev_m else "")
+        parts.append(f"""
+    , m{t} AS MATERIALIZED (
+        SELECT d.vec_id AS vec_id, ({fold})::BIGINT AS d2
+        FROM dot{t} d JOIN nrm cn ON cn.vec_id = d.vec_id {join_m}
+    )
+    , pick{t} AS MATERIALIZED (
+        SELECT vec_id AS p, d2 FROM m{t}
+        WHERE vec_id NOT IN (SELECT v FROM s1){"".join(
+            f" AND vec_id <> (SELECT p FROM pick{r})"
+            for r in range(2, t))}
+        ORDER BY d2 DESC, vec_id LIMIT 1
+    )""")
+        prev_m = t
+    sel = ["""
+    SELECT 1::BIGINT AS round, (SELECT v FROM s1) AS vec_id,
+           0::BIGINT AS d2"""]
+    for t in range(2, k + 1):
+        sel.append(f"""
+    SELECT {t}::BIGINT, p, d2 FROM pick{t}""")
+    parts.append("\n    UNION ALL".join(sel))
+    parts.append("\n    ORDER BY round")
+    return "".join(parts)
+
+
+ORACLE_SQL["q_emb_kcenter"] = _kcenter_oracle_sql(6)

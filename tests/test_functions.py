@@ -2259,3 +2259,22 @@ def test_rbh_mutuality_and_partial_argmax_combine():
     mutual = sorted((a, b) for a, b in abest.items()
                     if bbest[b] == a)
     assert sorted(zip(out["a"], out["b"])) == mutual
+
+
+def test_kcenter_farthest_point_property():
+    """Gonzalez farthest-point on sf0.001: each round's pick is at
+    least as far from the selected set as every later pick (the
+    monotone non-increasing radius invariant), picks are distinct,
+    and round 1 is the min vec_id."""
+    import pandas as pd
+
+    from cpg_ray.pipelines.queries import q_emb_kcenter
+
+    out = q_emb_kcenter("/root/testdata/sf0.001")
+    assert len(out) == 6
+    assert out["vec_id"].is_unique
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert out["vec_id"].iloc[0] == emb["vec_id"].min()
+    d2 = out["d2"].to_numpy()[1:]
+    assert (np.diff(d2) <= 0).all()  # radius shrinks monotonically
+    assert (d2 > 0).all()
