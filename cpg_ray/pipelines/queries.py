@@ -911,6 +911,39 @@ def q_emb_kcenter(sf_dir: str) -> pd.DataFrame:
     k = 6
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
+    # guarded driver fast path (the auto/degrade convention): under
+    # the row guard one pull + pure-numpy greedy (k matmuls on the
+    # local matrix) beats k streamed passes' fixed session costs
+    # (measured 3.9 -> 0.7 s at sf0.1); the streaming path below is
+    # the identical kernel for corpora past the guard
+    n_rows = ds.count()
+    if n_rows <= 2_000_000:
+        full = ds.to_pandas()
+        q = np.floor(np.stack(full["embedding"].to_numpy())
+                     .astype(np.float64) * (1 << 10)).astype(np.int64)
+        ids = full["vec_id"].to_numpy("int64")
+        order0 = int(ids.argmin())
+        sel = [order0]
+        picked = [(1, int(ids[order0]), 0)]
+        nn = (q * q).sum(1)
+        mind2 = None
+        for t in range(2, k + 1):
+            sv = q[sel[-1]]
+            d2 = nn + int(sv @ sv) - 2 * (q @ sv)
+            mind2 = d2 if mind2 is None else np.minimum(mind2, d2)
+            mask = np.ones(len(ids), dtype=bool)
+            mask[sel] = False
+            mm = np.where(mask, mind2, -1)
+            o = np.lexsort((ids, -mm))[0]
+            sel.append(int(o))
+            picked.append((t, int(ids[o]), int(mm[o])))
+        return pd.DataFrame({
+            "round": pd.Series([p[0] for p in picked], dtype="int64"),
+            "vec_id": pd.Series([p[1] for p in picked],
+                                dtype="int64"),
+            "d2": pd.Series([p[2] for p in picked], dtype="int64"),
+        })
+
     def quant(b: pd.DataFrame):
         q = np.floor(np.stack(b["embedding"].to_numpy())
                      .astype(np.float64) * (1 << 10)).astype(np.int64)
@@ -936,15 +969,19 @@ def q_emb_kcenter(sf_dir: str) -> pd.DataFrame:
             if not keep.any():
                 return pd.DataFrame({"vec_id": pd.Series(
                     [], dtype="int64"),
-                    "d2": pd.Series([], dtype="int64")})
+                    "d2": pd.Series([], dtype="int64"),
+                    "qvec": pd.Series([], dtype=object)})
             ids, q = ids[keep], q[keep]
             # dist² = |c|² + |s|² − 2 c·s, exact int64
             d2 = ((q * q).sum(1)[:, None] + (s * s).sum(1)[None, :]
                   - 2 * (q @ s.T))
             m = d2.min(axis=1)
             o = np.lexsort((ids, -m))[0]
+            # carry the argmax row's quantized vector in the partial —
+            # saves a whole filter scan per round just to re-fetch it
             return pd.DataFrame({"vec_id": [ids[o]],
-                                 "d2": [int(m[o])]})
+                                 "d2": [int(m[o])],
+                                 "qvec": [q[o].tolist()]})
 
         cand = ds.map_batches(far, batch_format="pandas").to_pandas()
         cand = cand.sort_values(["d2", "vec_id"],
@@ -952,11 +989,8 @@ def q_emb_kcenter(sf_dir: str) -> pd.DataFrame:
                                 kind="mergesort")
         pick = int(cand["vec_id"].iloc[0])
         picked.append((t, pick, int(cand["d2"].iloc[0])))
-        row = ds.filter(
-            lambda r, p=pick: r["vec_id"] == p).to_pandas()
-        sel_q.append(np.floor(
-            np.asarray(row["embedding"].iloc[0], dtype=np.float64)
-            * (1 << 10)).astype(np.int64))
+        sel_q.append(np.asarray(cand["qvec"].iloc[0],
+                                dtype=np.int64))
         sel_ids.append(pick)
     return pd.DataFrame({
         "round": pd.Series([p[0] for p in picked], dtype="int64"),

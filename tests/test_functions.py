@@ -2278,3 +2278,30 @@ def test_kcenter_farthest_point_property():
     d2 = out["d2"].to_numpy()[1:]
     assert (np.diff(d2) <= 0).all()  # radius shrinks monotonically
     assert (d2 > 0).all()
+
+
+def test_kcenter_driver_and_streaming_paths_agree():
+    import pandas as pd
+
+    from cpg_ray.pipelines import queries as qq
+
+    sf = "/root/testdata/sf0.001"
+    fast = qq.q_emb_kcenter(sf)
+    # force the streaming path by inflating the guard's row count
+    import cpg_ray.pipelines.queries as qmod
+    real_read = qmod.read_table
+
+    class FakeDS:
+        def __init__(self, ds): self.ds = ds
+        def count(self): return 10_000_000
+        def __getattr__(self, a): return getattr(self.ds, a)
+
+    def fake_read(sf_dir, table, columns=None):
+        return FakeDS(real_read(sf_dir, table, columns=columns))
+
+    qmod.read_table, orig = fake_read, qmod.read_table
+    try:
+        slow = qq.q_emb_kcenter(sf)
+    finally:
+        qmod.read_table = orig
+    pd.testing.assert_frame_equal(fast, slow)
