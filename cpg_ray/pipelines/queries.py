@@ -3271,11 +3271,8 @@ def q_customer_golden(sf_dir: str) -> pd.DataFrame:
     bounded label_components kernel on the (tiny) match-pair list;
     survivorship is one pre-combined groupby over the
     cluster-annotated dimension table."""
-    import ray
-
     from ..functions.dedup import fellegi_sunter_scores
     from ..functions.graphalgo import label_components
-    from ..functions.relational import bcast_get, groupby_agg
 
     ds = read_table(sf_dir, "customer",
                     columns=["c_custkey", "c_nationkey", "c_acctbal",
