@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "q_events_ewma",
     "q_emb_rbh",
     "q_emb_kcenter",
+    "q_doc_pipeline",
 ]
 
 

@@ -636,6 +636,79 @@ def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The END-TO-END curation funnel — the composition this engine
+    exists for, as ONE oracle-paired query: non-eval documents flow
+    through Gopher quality → exact text dedup (keep-first by md5) →
+    benchmark decontamination (8-gram broadcast set), with per-stage
+    (docs, tokens) tallies — the funnel report every production
+    curation run ships.  Every stage reuses the already-verified
+    kernels; tallies are exact ints (tokens = \\S+ runs, the gopher
+    token contract).
+
+    Shape: one streamed pass per stage boundary, global count/sum
+    aggregates only; the eval-gram set broadcasts once; the dedup
+    winner table is one pre-combined exchange + a join."""
+    import hashlib
+
+    import ray
+
+    from ..functions.relational import hash_join
+    from ..functions.text import gopher_quality, word_ngram_set
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b[b.doc_id % 50 == 0], batch_format="pandas"
+    ).to_pandas()
+    grams = frozenset().union(*(word_ngram_set(t, 8) for t in bench.text)) \
+        if len(bench) else frozenset()
+    gref = ray.put(grams)
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.doc_id % 50 != 0]
+        feats = gopher_quality(b)
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy("int64"),
+            "text": b["text"].values,
+            "n_words": feats["n_words"].to_numpy("int64"),
+            "gopher_pass": feats["gopher_pass"].to_numpy(bool),
+            "key": [hashlib.md5(t.encode()).hexdigest()
+                    for t in b["text"]],
+        })
+        return out
+
+    base = docs.map_batches(enrich, batch_format="pandas") \
+        .materialize()
+
+    def tally(ds_, stage, name):
+        return {"stage": stage, "stage_name": name,
+                "docs": int(ds_.count()),
+                "tokens": int(ds_.sum("n_words") or 0)}
+
+    rows = [tally(base, 1, "input")]
+    g = base.filter(lambda r: r["gopher_pass"]).materialize()
+    rows.append(tally(g, 2, "gopher_quality"))
+    winners = groupby_agg(g, ["key"],
+                          [("doc_id", "min", "w")]).materialize()
+    d = hash_join(g, winners, on="key", empty_safe=True).filter(
+        lambda r: r["doc_id"] == r["w"]).materialize()
+    rows.append(tally(d, 3, "exact_dedup"))
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.relational import bcast_get
+        gs = bcast_get(gref)
+        keep = [not any(x in gs for x in word_ngram_set(t, 8))
+                for t in b["text"]]
+        return b[np.asarray(keep, dtype=bool)]
+
+    f = d.map_batches(clean, batch_format="pandas").materialize()
+    rows.append(tally(f, 4, "decontaminated"))
+    out = pd.DataFrame(rows)
+    for c in ("stage", "docs", "tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_orders_priority_leftjoin(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER broadcast join (the fabricate-nothing miss case —
     unmatched left rows survive with nulls) + grouped match counting."""
@@ -7522,3 +7595,64 @@ def _kcenter_oracle_sql(k: int = 6) -> str:
 
 
 ORACLE_SQL["q_emb_kcenter"] = _kcenter_oracle_sql(6)
+
+
+# the curation funnel: gopher gate -> md5 keep-first -> 8-gram
+# decontamination, per-stage exact (docs, tokens) tallies
+ORACLE_SQL["q_doc_pipeline"] = """
+    WITH d0 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    ), f AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+               greatest(len(regexp_extract_all(text, '\\S+')), 1) AS nw,
+               len(regexp_extract_all(text, '\\S'))::DOUBLE AS n_chars,
+               len(regexp_extract_all(text, '[#…]'))::DOUBLE AS n_sym,
+               len(regexp_extract_all(text, '(?m)^[-*•]'))::DOUBLE
+                   AS n_bullets,
+               greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+               len(list_distinct(string_split(text, chr(10))))::DOUBLE
+                   AS n_uniq
+        FROM d0
+    ), d1 AS (
+        SELECT doc_id, text, n_words FROM f
+        WHERE n_words BETWEEN 50 AND 100000
+          AND n_chars / nw BETWEEN 3.0 AND 10.0
+          AND n_sym / nw <= 0.1
+          AND n_bullets / n_lines <= 0.9
+          AND (1.0 - n_uniq / n_lines) <= 0.3
+    ), w AS (
+        SELECT md5(text) AS key, min(doc_id) AS win FROM d1 GROUP BY 1
+    ), d2 AS (
+        SELECT d.doc_id, d.text, d.n_words
+        FROM d1 d JOIN w ON w.key = md5(d.text) AND w.win = d.doc_id
+    ), bg AS (
+        SELECT DISTINCT
+               array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+        FROM (SELECT string_split(text, ' ') AS words FROM documents
+              WHERE doc_id % 50 = 0) x,
+             LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), dg AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM d2) x,
+             LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), hits AS (
+        SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)
+    ), d3 AS (
+        SELECT * FROM d2
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    )
+    SELECT 1::BIGINT AS stage, 'input' AS stage_name,
+           count(*)::BIGINT AS docs,
+           coalesce(sum(n_words), 0)::BIGINT AS tokens FROM f
+    UNION ALL SELECT 2, 'gopher_quality', count(*),
+           coalesce(sum(n_words), 0) FROM d1
+    UNION ALL SELECT 3, 'exact_dedup', count(*),
+           coalesce(sum(n_words), 0) FROM d2
+    UNION ALL SELECT 4, 'decontaminated', count(*),
+           coalesce(sum(n_words), 0) FROM d3
+    ORDER BY stage
+"""

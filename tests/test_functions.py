@@ -2305,3 +2305,20 @@ def test_kcenter_driver_and_streaming_paths_agree():
     finally:
         qmod.read_table = orig
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_doc_pipeline_funnel_monotone_and_consistent():
+    """The curation funnel never grows, stage tallies agree with the
+    standalone stage queries (gopher pass-count equality)."""
+    from cpg_ray.pipelines.queries import q_doc_gopher, q_doc_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_pipeline(sf)
+    assert list(out["stage"]) == [1, 2, 3, 4]
+    assert (out["docs"].diff().dropna() <= 0).all()
+    assert (out["tokens"].diff().dropna() <= 0).all()
+    g = q_doc_gopher(sf)
+    non_eval_pass = int(
+        g[(g["doc_id"] % 50 != 0) & g["gopher_pass"]].shape[0])
+    assert int(out.loc[out["stage"] == 2, "docs"].iloc[0]) \
+        == non_eval_pass
