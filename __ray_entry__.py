@@ -2693,6 +2693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_gopher": q.q_doc_gopher,
         # the end-to-end curation funnel as one oracle-paired query
         "q_doc_pipeline": q.q_doc_pipeline,
+        # KMV theta-sketch join-cardinality estimate
+        "q_join_kmv": q.q_join_kmv,
         "q_doc_top_tokens": q.q_doc_top_tokens,
         "q_orders_priority_leftjoin": q.q_orders_priority_leftjoin,
         # -- oracle-paired overflow: twice-driver-green, code unchanged

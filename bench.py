@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "q_emb_rbh",
     "q_emb_kcenter",
     "q_doc_pipeline",
+    "q_join_kmv",
 ]
 
 

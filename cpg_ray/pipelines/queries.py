@@ -636,6 +636,71 @@ def q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_join_kmv(sf_dir: str) -> pd.DataFrame:
+    """Join-cardinality estimation by KMV θ-sketch SET ALGEBRA
+    (Beyer et al. SIGMOD'07 / the DataSketches theta model): bottom-64
+    md5 sketches of orders.o_custkey and customer.c_custkey merge into
+    a union sketch; θ = its kth minimum; the intersection estimate is
+
+        ρ = |common hashes < θ|,  est = ρ/k · (k−1)/θ_frac
+
+    — the planner's ingredient for sizing a join WITHOUT scanning
+    either side fully.  Deterministic md5 hashing → the same sketch on
+    both engines; the output carries the exact integer sketch facts
+    (ρ, k, the exact distinct counts for calibration) plus the floored
+    milli estimate.
+
+    Shape: one pre-combined bottom-k pass per table (per-batch bottom-k
+    partials are associative), driver finish on 2×64 hashes."""
+    import hashlib
+
+    from ..functions.relational import distinct_on
+
+    k = 64
+
+    def sketch(table, col):
+        ds = read_table(sf_dir, table, columns=[col])
+
+        def bk(b: pd.DataFrame) -> pd.DataFrame:
+            u = pd.unique(b[col])
+            h = np.array([int(hashlib.md5(str(v).encode())
+                              .hexdigest()[:8], 16) for v in u],
+                         dtype=np.int64)
+            h.sort()
+            return pd.DataFrame({"h": h[:k]})
+
+        parts = ds.map_batches(bk, batch_format="pandas").to_pandas()
+        hs = np.unique(parts["h"].to_numpy("int64"))
+        return hs[:k]
+
+    def exact(table, col):
+        ds = read_table(sf_dir, table, columns=[col])
+        return int(distinct_on(ds, [col]).count())
+
+    sa = sketch("orders", "o_custkey")
+    sb = sketch("customer", "c_custkey")
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    theta = int(union[-1]) if len(union) >= k else (1 << 32)
+    common = np.intersect1d(sa, sb)
+    rho = int((common < theta).sum())
+    ku = min(k, len(union))
+    est_union = (ku - 1) / (theta / float(1 << 32)) \
+        if theta and ku > 1 else 0.0
+    est_inter_milli = int(np.floor(rho / k * est_union * 1000)) \
+        if k else 0
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "rho": pd.Series([rho], dtype="int64"),
+        "theta": pd.Series([theta], dtype="int64"),
+        "est_inter_milli": pd.Series([est_inter_milli],
+                                     dtype="int64"),
+        "exact_orders_keys": pd.Series([exact("orders", "o_custkey")],
+                                       dtype="int64"),
+        "exact_customer_keys": pd.Series(
+            [exact("customer", "c_custkey")], dtype="int64"),
+    })
+
+
 def q_doc_pipeline(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END curation funnel — the composition this engine
     exists for, as ONE oracle-paired query: non-eval documents flow
@@ -7655,4 +7720,46 @@ ORACLE_SQL["q_doc_pipeline"] = """
     UNION ALL SELECT 4, 'decontaminated', count(*),
            coalesce(sum(n_words), 0) FROM d3
     ORDER BY stage
+"""
+
+
+# KMV theta-sketch join-size estimate: bottom-64 md5 sketches per
+# side, union sketch kth-min theta, rho = common below theta
+ORACLE_SQL["q_join_kmv"] = """
+    WITH sa AS (
+        SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))
+                   ::BIGINT AS h
+        FROM orders ORDER BY h LIMIT 64
+    ), sb AS (
+        SELECT DISTINCT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))
+                   ::BIGINT AS h
+        FROM customer ORDER BY h LIMIT 64
+    ), un AS (
+        SELECT DISTINCT h FROM (SELECT h FROM sa
+                                UNION ALL SELECT h FROM sb)
+        ORDER BY h LIMIT 64
+    ), th AS (
+        SELECT CASE WHEN (SELECT count(*) FROM un) >= 64
+                    THEN (SELECT max(h) FROM un)
+                    ELSE 4294967296 END AS theta,
+               (SELECT count(*) FROM un)::BIGINT AS ku
+    ), rho AS (
+        SELECT count(*)::BIGINT AS rho
+        FROM sa JOIN sb USING (h)
+        WHERE h < (SELECT theta FROM th)
+    )
+    SELECT 64::BIGINT AS k,
+           (SELECT rho FROM rho) AS rho,
+           (SELECT theta FROM th)::BIGINT AS theta,
+           CASE WHEN (SELECT theta FROM th) > 0
+                     AND (SELECT ku FROM th) > 1
+                THEN floor((SELECT rho FROM rho) / 64.0
+                     * (((SELECT ku FROM th) - 1)
+                        / ((SELECT theta FROM th) / 4294967296.0))
+                     * 1000)::BIGINT
+                ELSE 0 END AS est_inter_milli,
+           (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+               AS exact_orders_keys,
+           (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
+               AS exact_customer_keys
 """

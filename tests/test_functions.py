@@ -2322,3 +2322,25 @@ def test_doc_pipeline_funnel_monotone_and_consistent():
         g[(g["doc_id"] % 50 != 0) & g["gopher_pass"]].shape[0])
     assert int(out.loc[out["stage"] == 2, "docs"].iloc[0]) \
         == non_eval_pass
+
+
+def test_join_kmv_estimate_calibration():
+    """θ-sketch intersection estimate lands within a loose factor of
+    the true overlap (orders custkeys ⊆ customer custkeys here, so
+    truth = distinct order custkeys)."""
+    import duckdb
+
+    from cpg_ray.pipelines.queries import q_join_kmv
+
+    sf = "/root/testdata/sf0.01"
+    out = q_join_kmv(sf).iloc[0]
+    truth = duckdb.sql(f"""
+        SELECT count(*) FROM (
+            SELECT DISTINCT o_custkey
+            FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/customer.parquet' c
+              ON c.c_custkey = o.o_custkey)""").fetchone()[0]
+    est = out["est_inter_milli"] / 1000.0
+    assert truth > 0
+    # k=64 gives ~1/sqrt(64) ≈ 12% σ; allow a loose 2.5× band
+    assert truth / 2.5 <= est <= truth * 2.5, (est, truth)
