@@ -3151,6 +3151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   in-window by kg_metapath's typed-pair census
         "kg_slashburn", "kg_coreness", "q_events_streaks",
         "q_supplier_lev",
+        # - q_doc_pipeline (the end-to-end curation funnel showcase)
+        #   displaces kg_corpus_overlap — the funnel's
+        #   decontamination stage runs the SAME 8-gram containment
+        #   machinery on the SAME gram contract in-window, plus the
+        #   gopher gate and md5 keep-first stages (sweep-green twins)
+        "q_doc_pipeline",
         # final-session additions — new code, never driver-checked
         # (kg_scan displaces kg_eccentricity: both never-checked, but
         # eccentricity's pruned-BFS level-set machinery is already
@@ -3162,7 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_cusum", "q_events_reorder_sessions",
         "kg_scan", "kg_metapath",
         "kg_truth_iter", "kg_trans_reduce", "kg_msf",
-        "kg_dipre", "kg_corpus_overlap",
+        "kg_dipre",
     ]
     # position-count contract (the r3 off-by-three lesson): exactly 50
     # distinct names, all resolvable — fail HERE, not in the driver
