@@ -2600,6 +2600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_streaks": q.q_events_streaks,
         # exact-integer EWMA smoothing, vectorized across users
         "q_events_ewma": q.q_events_ewma,
+        # PSI drift census — first-half decile edges, floored ln terms
+        "q_events_psi": q.q_events_psi,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

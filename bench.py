@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "q_emb_kcenter",
     "q_doc_pipeline",
     "q_join_kmv",
+    "q_events_psi",
 ]
 
 

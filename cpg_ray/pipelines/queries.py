@@ -3878,6 +3878,74 @@ def q_events_streaks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_psi(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index drift census (the ML-ops
+    distribution-shift monitor): event values in the FIRST time half
+    define decile edges (exact order statistics — the element at index
+    floor((N−1)·k/10) of the sorted first-half cents, deterministic on
+    any engine); both halves bucket against those edges; per bucket
+
+        term = (p − q) · ln(p / q),   p,q Laplace-smoothed shares
+
+    floored to nano units (the entropy float discipline — one IEEE
+    ln/divide per bucket on exact integer counts, order-free int sum).
+    PSI > 0.2 is the classic retrain trigger.
+
+    Shape: min/max ts one combiner pass; the edge selection pulls ONLY
+    the 9 order statistics (first half sorted cents are a driver pull
+    at this table's size — guarded); bucket counts are one
+    pre-combined groupby per half."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def cents_half(b: pd.DataFrame) -> pd.DataFrame:
+        # normalize to MICROsecond ticks explicitly: the midpoint's
+        # floor-div halving must happen in the same unit as the SQL
+        # twin's epoch_us or a boundary event can flip halves
+        return pd.DataFrame({
+            "t": b["ts"].astype("datetime64[us]").astype("int64"),
+            "cents": np.round(b["value"].to_numpy("float64")
+                              * 100).astype("int64")})
+
+    base = ev.map_batches(cents_half, batch_format="pandas") \
+        .materialize()
+    tmin = int(base.min("t"))
+    tmax = int(base.max("t"))
+    mid = tmin + (tmax - tmin) // 2
+    first = base.filter(lambda r, m=mid: r["t"] < m).materialize()
+    fc = first.to_pandas()["cents"].to_numpy("int64")
+    if len(fc) > 20_000_000:
+        raise RuntimeError("q_events_psi: first half past the "
+                           "order-statistic driver guard")
+    fc.sort()
+    n1 = len(fc)
+    edges = np.array([fc[(n1 - 1) * k // 10] for k in range(1, 10)],
+                     dtype=np.int64)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cents"].to_numpy("int64")
+        bk = (c[:, None] > edges[None, :]).sum(axis=1)
+        half = np.where(b["t"].to_numpy("int64") < mid, 1, 2)
+        return pd.DataFrame({"half": half, "bucket": bk})
+
+    cnt = groupby_agg(
+        base.map_batches(bucketize, batch_format="pandas"),
+        ["half", "bucket"], [("bucket", "count", "n")]).to_pandas()
+    g = cnt.pivot_table(index="bucket", columns="half", values="n",
+                        fill_value=0).reindex(range(10),
+                                              fill_value=0)
+    nf = g.get(1, pd.Series(0, index=g.index)).to_numpy("int64")
+    ns = g.get(2, pd.Series(0, index=g.index)).to_numpy("int64")
+    tot1, tot2 = int(nf.sum()), int(ns.sum())
+    p = (nf + 1.0) / (tot1 + 10.0)
+    q = (ns + 1.0) / (tot2 + 10.0)
+    term = np.floor((p - q) * np.log(p / q) * 1e9).astype("int64")
+    return pd.DataFrame({
+        "bucket": pd.Series(range(10), dtype="int64"),
+        "n_first": nf, "n_second": ns, "term_nano": term})
+
+
 def q_events_theilsen(sf_dir: str) -> pd.DataFrame:
     """Theil-Sen robust trend of daily event volume (the median of all
     pairwise slopes — 29% breakdown point, the robust alternative to
@@ -7762,4 +7830,58 @@ ORACLE_SQL["q_join_kmv"] = """
                AS exact_orders_keys,
            (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
                AS exact_customer_keys
+"""
+
+
+# PSI: first-half exact decile order statistics as edges, Laplace
+# shares, floored nano ln terms
+ORACLE_SQL["q_events_psi"] = """
+    WITH c AS (
+        SELECT epoch_us(ts) AS t, round(value * 100)::BIGINT AS cents
+        FROM events
+    ), m AS (
+        SELECT min(t) + (max(t) - min(t)) // 2 AS mid FROM c
+    ), f AS (
+        SELECT cents FROM c WHERE t < (SELECT mid FROM m)
+    ), n1 AS (SELECT count(*)::BIGINT AS n FROM f),
+    r AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM f
+    ), e AS (
+        SELECT k, (SELECT cents FROM r
+                   WHERE rn = ((SELECT n FROM n1) - 1) * k // 10 + 1)
+                   AS edge
+        FROM unnest(range(1, 10)) AS t(k)
+    ), bk AS (
+        SELECT CASE WHEN t < (SELECT mid FROM m) THEN 1 ELSE 2 END
+                   AS half,
+               (SELECT count(*) FROM e WHERE c.cents > e.edge)::BIGINT
+                   AS bucket
+        FROM c
+    ), cnt AS (
+        SELECT half, bucket, count(*)::BIGINT AS n FROM bk
+        GROUP BY half, bucket
+    ), grid AS (SELECT unnest(range(10))::BIGINT AS bucket),
+    tot AS (
+        SELECT coalesce(sum(CASE WHEN half = 1 THEN n END), 0)::BIGINT
+                   AS t1,
+               coalesce(sum(CASE WHEN half = 2 THEN n END), 0)::BIGINT
+                   AS t2
+        FROM cnt
+    )
+    SELECT g.bucket,
+           coalesce(f1.n, 0)::BIGINT AS n_first,
+           coalesce(f2.n, 0)::BIGINT AS n_second,
+           floor(((coalesce(f1.n, 0) + 1.0)
+                      / ((SELECT t1 FROM tot) + 10.0)
+                  - (coalesce(f2.n, 0) + 1.0)
+                      / ((SELECT t2 FROM tot) + 10.0))
+                 * ln(((coalesce(f1.n, 0) + 1.0)
+                           / ((SELECT t1 FROM tot) + 10.0))
+                      / ((coalesce(f2.n, 0) + 1.0)
+                           / ((SELECT t2 FROM tot) + 10.0)))
+                 * 1e9)::BIGINT AS term_nano
+    FROM grid g
+    LEFT JOIN cnt f1 ON f1.bucket = g.bucket AND f1.half = 1
+    LEFT JOIN cnt f2 ON f2.bucket = g.bucket AND f2.half = 2
+    ORDER BY g.bucket
 """

@@ -2344,3 +2344,29 @@ def test_join_kmv_estimate_calibration():
     assert truth > 0
     # k=64 gives ~1/sqrt(64) ≈ 12% σ; allow a loose 2.5× band
     assert truth / 2.5 <= est <= truth * 2.5, (est, truth)
+
+
+def test_psi_detects_planted_drift():
+    """PSI machinery: identical halves give ~0 PSI; a planted mean
+    shift pushes PSI past the classic 0.2 retrain trigger (replay of
+    the bucket/term kernel on synthetic data)."""
+    rng = np.random.default_rng(2)
+
+    def psi(first, second):
+        first = np.sort(first)
+        n1 = len(first)
+        edges = np.array([first[(n1 - 1) * k // 10]
+                          for k in range(1, 10)])
+        b1 = (first[:, None] > edges[None, :]).sum(1)
+        b2 = (second[:, None] > edges[None, :]).sum(1)
+        nf = np.bincount(b1, minlength=10)[:10]
+        ns = np.bincount(b2, minlength=10)[:10]
+        p = (nf + 1.0) / (len(first) + 10.0)
+        q = (ns + 1.0) / (len(second) + 10.0)
+        return float(((p - q) * np.log(p / q)).sum())
+
+    a = rng.normal(100, 15, 4000).astype(int)
+    b = rng.normal(100, 15, 4000).astype(int)
+    c = rng.normal(140, 15, 4000).astype(int)  # drifted mean
+    assert psi(a, b) < 0.05
+    assert psi(a, c) > 0.2
