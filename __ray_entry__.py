@@ -897,6 +897,19 @@ def _kg_coarsen(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_densest(sf_dir: str):
+    """Bahmani-Kumar-Vassilvitskii parallel densest-subgraph peel
+    (ε=0): per round drop every below-average-degree node (exact
+    integer cross-multiplied comparison), report the (nodes, edges,
+    density) round census — the densest-community certificate sweep
+    (graphalgo.densest_subgraph_peel)."""
+    from cpg_ray.functions.graphalgo import densest_subgraph_peel
+
+    return densest_subgraph_peel(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj", rounds=6).to_pandas()
+
+
 def _kg_coreness(sf_dir: str):
     """Full core decomposition by the bounded h-index fixpoint (Lü et
     al. 2016): per-node coreness, the peel-free parallel formulation —
@@ -2775,6 +2788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie": _kg_bowtie,
         # full core decomposition — bounded h-index fixpoint
         "kg_coreness": _kg_coreness,
+        # parallel densest-subgraph peel round census
+        "kg_densest": _kg_densest,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -3599,6 +3614,49 @@ def _eigen_oracle_sql(triples_glob: str, *, iters: int, scale: int) -> str:
     parts.append(f"""
         SELECT node AS entity, score FROM x{iters}
         ORDER BY score DESC, entity""")
+    return "".join(parts)
+
+
+def _densest_oracle_sql(triples_glob: str, *, rounds: int) -> str:
+    """Generated unrolled oracle for kg_densest: per round a degree
+    GROUP BY over the surviving unordered pairs, the below-average
+    set by exact cross-multiplication (d·n < 2·m), and the induced
+    next-round pair set; a round's census row emits only while the
+    peel is still shrinking (the engine's early stop)."""
+    parts = [f"""
+        WITH p1 AS MATERIALIZED (
+            SELECT DISTINCT least(canonical_subj, canonical_obj) AS a,
+                            greatest(canonical_subj, canonical_obj) AS b
+            FROM read_parquet('{triples_glob}')
+            WHERE canonical_subj <> canonical_obj)"""]
+    sel = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        , d{r} AS MATERIALIZED (
+            SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT a AS node FROM p{r}
+                UNION ALL SELECT b FROM p{r})
+            GROUP BY node)
+        , st{r} AS MATERIALIZED (
+            SELECT (SELECT count(*) FROM d{r})::BIGINT AS n,
+                   (SELECT count(*) FROM p{r})::BIGINT AS m)
+        , low{r} AS MATERIALIZED (
+            SELECT node FROM d{r}
+            WHERE d * (SELECT n FROM st{r})
+                  < 2 * (SELECT m FROM st{r}))
+        , p{r + 1} AS MATERIALIZED (
+            SELECT a, b FROM p{r}
+            WHERE a NOT IN (SELECT node FROM low{r})
+              AND b NOT IN (SELECT node FROM low{r}))""")
+        gate = (f"AND EXISTS (SELECT 1 FROM low{r - 1})"
+                if r > 1 else "")
+        sel.append(f"""
+        SELECT {r}::BIGINT AS round, n AS n_nodes, m AS n_pairs,
+               (1000 * m // n)::BIGINT AS density_milli
+        FROM st{r} WHERE m > 0 {gate}""")
+    parts.append("\n        UNION ALL".join(sel))
+    parts.append("""
+        ORDER BY round""")
     return "".join(parts)
 
 
@@ -5366,6 +5424,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             triples_glob, k=5, rounds=3, label_rounds=8),
         "kg_bowtie": _bowtie_oracle_sql(triples_glob, rounds=8),
         "kg_coreness": _coreness_oracle_sql(triples_glob, rounds=6),
+        "kg_densest": _densest_oracle_sql(triples_glob, rounds=6),
         # mutual max-weight proposals (ties -> smallest neighbor);
         # matched pairs contract to least(u, v)
         "kg_coarsen": f"""

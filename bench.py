@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "q_doc_pipeline",
     "q_join_kmv",
     "q_events_psi",
+    "kg_densest",
 ]
 
 

@@ -6413,3 +6413,96 @@ def coreness(edges_ds, *, src: str = "src", dst: str = "dst",
                         "converged": conv})
     return rd.from_pandas(
         out.sort_values("entity").reset_index(drop=True))
+
+
+def densest_subgraph_peel(edges_ds, *, src: str = "src",
+                          dst: str = "dst", rounds: int = 6,
+                          mode: str = "auto",
+                          driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Parallel densest-subgraph peeling (Bahmani, Kumar & Vassilvitskii,
+    VLDB 2012, public — the canonical MapReduce graph algorithm): per
+    round, on the surviving undirected graph remove EVERY node whose
+    degree is below the average (deg·n < 2·m, exact integer
+    cross-multiplication — no rational ever floats), recording each
+    round's (nodes, edges, density).  With ε=0 this is the classic
+    2-approximation sweep; the density-max round's subgraph is the
+    certificate.  Returns one row per observed round:
+    (round, n_nodes, n_pairs, density_milli = 1000·m // n) — the round
+    census a curation pipeline reads to find the densest community
+    scale.  Stops early when no node falls below average (e.g. a
+    regular graph).
+
+    Scale shape: per round one degree groupby + a broadcast removal
+    filter; driver mode runs the identical kernel under
+    ``driver_edge_limit``."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def census(rows):
+        return pd.DataFrame(
+            rows, columns=["round", "n_nodes", "n_pairs",
+                           "density_milli"]).astype(
+            {"round": "int64", "n_nodes": "int64",
+             "n_pairs": "int64", "density_milli": "int64"})
+
+    if mode in ("driver", "auto"):
+        try:
+            edges = _edges_to_driver(edges_ds, src, dst,
+                                     driver_edge_limit)
+            und = _und_pairs_df(edges, src, dst)
+            # unordered pair list
+            a = und["src"].to_numpy(object)
+            b = und["dst"].to_numpy(object)
+            keep = a < b
+            pairs = pd.DataFrame({"a": a[keep], "b": b[keep]})
+            rows = []
+            for r in range(1, rounds + 1):
+                if pairs.empty:
+                    break
+                deg = pd.concat([pairs["a"], pairs["b"]]) \
+                    .value_counts()
+                n = int(len(deg))
+                m = int(len(pairs))
+                rows.append((r, n, m, 1000 * m // n))
+                low = set(deg.index[deg.to_numpy() * n < 2 * m])
+                if not low:
+                    break
+                pairs = pairs[~pairs["a"].isin(low)
+                              & ~pairs["b"].isin(low)]
+            return rd.from_pandas(census(rows))
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    from .relational import distinct_on, groupby_agg
+
+    und = edges_ds.map_batches(
+        lambda t: (lambda f: (lambda aa, bb: pd.DataFrame(
+            {"a": np.where(aa < bb, aa, bb),
+             "b": np.where(aa < bb, bb, aa)}))(
+            f[src].to_numpy(object), f[dst].to_numpy(object)))(
+            t[t[src] != t[dst]]),
+        batch_format="pandas")
+    pairs = distinct_on(und, ["a", "b"]).materialize()
+    rows = []
+    for r in range(1, rounds + 1):
+        m = int(pairs.count())
+        if not m:
+            break
+        deg = groupby_agg(
+            pairs.map_batches(
+                lambda t: pd.DataFrame({"node": pd.concat(
+                    [t["a"], t["b"]], ignore_index=True)}),
+                batch_format="pandas"),
+            ["node"], [("node", "count", "d")]).to_pandas()
+        n = int(len(deg))
+        rows.append((r, n, m, 1000 * m // n))
+        low = tuple(sorted(
+            deg.loc[deg["d"].to_numpy("int64") * n < 2 * m, "node"]))
+        if not low:
+            break
+        pairs = pairs.map_batches(
+            lambda t, lo=low: t[~t["a"].isin(lo) & ~t["b"].isin(lo)],
+            batch_format="pandas").materialize()
+    return rd.from_pandas(census(rows))

@@ -2360,3 +2360,23 @@ def test_coreness_hindex_converges_to_true_coreness():
     for v in ["a", "b", "c"]:
         assert m[v] == 1, v
     assert d["converged"].all()
+
+
+def test_densest_peel_finds_planted_clique():
+    """Peel on a 6-clique + sparse star fringe: the fringe peels away,
+    a later round reports the clique's density (m/n = 15/6 → 2500
+    milli), modes agree, density column is exact cross-multiplied."""
+    from cpg_ray.functions.graphalgo import densest_subgraph_peel
+
+    cl = [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
+    fringe = [("c0", f"x{i}") for i in range(8)]
+    edges = pd.DataFrame(cl + fringe, columns=["src", "dst"])
+    d = densest_subgraph_peel(rd.from_pandas(edges), rounds=6,
+                              mode="driver").to_pandas()
+    s = densest_subgraph_peel(rd.from_pandas(edges), rounds=6,
+                              mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(d.reset_index(drop=True),
+                                  s.reset_index(drop=True),
+                                  check_dtype=False)
+    assert d["density_milli"].max() == 2500  # the clique round
+    assert d.iloc[0]["n_nodes"] == 14  # full graph first
