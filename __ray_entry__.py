@@ -2615,6 +2615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_ewma": q.q_events_ewma,
         # PSI drift census — first-half decile edges, floored ln terms
         "q_events_psi": q.q_events_psi,
+        # deterministic permutation test — exact big-int p-value
+        "q_events_abtest": q.q_events_abtest,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "q_join_kmv",
     "q_events_psi",
     "kg_densest",
+    "q_events_abtest",
 ]
 
 

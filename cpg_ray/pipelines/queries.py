@@ -3888,6 +3888,96 @@ def q_events_streaks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_abtest(sf_dir: str) -> pd.DataFrame:
+    """DETERMINISTIC permutation test for an A/B split (the
+    experimentation primitive, Fisher-style): users hash-assign to
+    arms by md5 parity; the statistic is the arm mean difference of
+    per-user purchase cents; B=64 PSEUDO-RANDOM reassignments (arm of
+    user u in resample b = parity of md5(u|b)) rebuild the statistic;
+    p = (#resamples at least as extreme) / B.  EVERY comparison is
+    exact: |sA_b·nB_b − sB_b·nA_b| · (nA·nB) vs |sA·nB − sB·nA| ·
+    (nA_b·nB_b) — cross-multiplied in arbitrary-precision Python ints
+    (the SQL twin uses HUGEINT), so the p-value is bit-identical on
+    any engine; no RNG state, no float.
+
+    Shape: per-user cents one pre-combined exchange; each resample's
+    sums ride ONE (user × 64) exploded pre-combined groupby — a single
+    exchange for all resamples; the comparison table is 64 rows."""
+    import hashlib
+
+    from ..functions.relational import groupby_agg
+
+    nb = 64
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    per_user = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "user_id": b["user_id"],
+                "cents": np.where(
+                    b["event_type"].to_numpy() == "purchase",
+                    np.round(b["value"].to_numpy("float64") * 100)
+                    .astype("int64"), 0)}),
+            batch_format="pandas"),
+        ["user_id"], [("cents", "sum", "s")])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy("int64")
+        s = b["s"].to_numpy("int64")
+        arm0 = np.array([int(hashlib.md5(str(x).encode())
+                             .hexdigest()[:8], 16) % 2
+                         for x in u], dtype=np.int64)
+        rows = {"b": [], "arm": [], "s": []}
+        # b = 0 is the OBSERVED assignment; b = 1..64 the resamples
+        rows["b"].append(np.zeros(len(u), dtype=np.int64))
+        rows["arm"].append(arm0)
+        rows["s"].append(s)
+        for t in range(1, nb + 1):
+            arm = np.array([int(hashlib.md5(f"{x}|{t}".encode())
+                                .hexdigest()[:8], 16) % 2
+                            for x in u], dtype=np.int64)
+            rows["b"].append(np.full(len(u), t, dtype=np.int64))
+            rows["arm"].append(arm)
+            rows["s"].append(s)
+        return pd.DataFrame({k: np.concatenate(v)
+                             for k, v in rows.items()})
+
+    sums = groupby_agg(
+        per_user.map_batches(explode, batch_format="pandas"),
+        ["b", "arm"], [("s", "sum", "sum_c"),
+                       ("s", "count", "n")]).to_pandas()
+    g = sums.set_index(["b", "arm"])
+
+    def stat(bi):
+        sa = int(g.loc[(bi, 0), "sum_c"]) if (bi, 0) in g.index else 0
+        na = int(g.loc[(bi, 0), "n"]) if (bi, 0) in g.index else 0
+        sb = int(g.loc[(bi, 1), "sum_c"]) if (bi, 1) in g.index else 0
+        nb_ = int(g.loc[(bi, 1), "n"]) if (bi, 1) in g.index else 0
+        return sa, na, sb, nb_
+
+    sa0, na0, sb0, nb0 = stat(0)
+    t0_num = abs(sa0 * nb0 - sb0 * na0)
+    t0_den = na0 * nb0 if na0 and nb0 else 1
+    n_extreme = 0
+    for bi in range(1, nb + 1):
+        sa, na, sb, nb_ = stat(bi)
+        num = abs(sa * nb_ - sb * na)
+        den = na * nb_ if na and nb_ else 1
+        # |T_b| >= |T0|  <=>  num·t0_den >= t0_num·den  (exact ints)
+        if num * t0_den >= t0_num * den:
+            n_extreme += 1
+    return pd.DataFrame({
+        "n_users_a": pd.Series([na0], dtype="int64"),
+        "n_users_b": pd.Series([nb0], dtype="int64"),
+        "sum_a": pd.Series([sa0], dtype="int64"),
+        "sum_b": pd.Series([sb0], dtype="int64"),
+        "b_resamples": pd.Series([nb], dtype="int64"),
+        "n_extreme": pd.Series([n_extreme], dtype="int64"),
+        "p_milli": pd.Series([n_extreme * 1000 // nb],
+                             dtype="int64"),
+    })
+
+
 def q_events_psi(sf_dir: str) -> pd.DataFrame:
     """Population Stability Index drift census (the ML-ops
     distribution-shift monitor): event values in the FIRST time half
@@ -7894,4 +7984,64 @@ ORACLE_SQL["q_events_psi"] = """
     LEFT JOIN cnt f1 ON f1.bucket = g.bucket AND f1.half = 1
     LEFT JOIN cnt f2 ON f2.bucket = g.bucket AND f2.half = 2
     ORDER BY g.bucket
+"""
+
+
+# permutation test: md5-parity arms, 64 md5(u|b) resamples, HUGEINT
+# cross-multiplied extremeness comparison
+ORACLE_SQL["q_events_abtest"] = """
+    WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN round(value * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS s
+        FROM events GROUP BY user_id
+    ), ex AS (
+        SELECT b, CASE WHEN b = 0
+                  THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                       ::BIGINT % 2
+                  ELSE ('0x' || substr(md5(user_id::VARCHAR || '|'
+                                           || b::VARCHAR), 1, 8))
+                       ::BIGINT % 2 END AS arm,
+               s
+        FROM pu CROSS JOIN (SELECT unnest(range(0, 65)) AS b)
+    ), sums AS (
+        SELECT b, arm, sum(s)::BIGINT AS sum_c, count(*)::BIGINT AS n
+        FROM ex GROUP BY b, arm
+    ), wide AS (
+        SELECT b,
+               coalesce(sum(CASE WHEN arm = 0 THEN sum_c END), 0)
+                   ::BIGINT AS sa,
+               coalesce(sum(CASE WHEN arm = 0 THEN n END), 0)
+                   ::BIGINT AS na,
+               coalesce(sum(CASE WHEN arm = 1 THEN sum_c END), 0)
+                   ::BIGINT AS sb,
+               coalesce(sum(CASE WHEN arm = 1 THEN n END), 0)
+                   ::BIGINT AS nb
+        FROM sums GROUP BY b
+    ), obs AS (
+        SELECT abs(sa::HUGEINT * nb - sb::HUGEINT * na) AS num,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN na::HUGEINT * nb ELSE 1::HUGEINT END AS den,
+               sa, na, sb, nb
+        FROM wide WHERE b = 0
+    ), ext AS (
+        SELECT count(*)::BIGINT AS n_extreme
+        FROM wide w
+        WHERE w.b > 0
+          AND abs(w.sa::HUGEINT * w.nb - w.sb::HUGEINT * w.na)
+              * (SELECT den FROM obs)
+              >= (SELECT num FROM obs)
+                 * (CASE WHEN w.na > 0 AND w.nb > 0
+                         THEN w.na::HUGEINT * w.nb
+                         ELSE 1::HUGEINT END)
+    )
+    SELECT (SELECT na FROM obs) AS n_users_a,
+           (SELECT nb FROM obs) AS n_users_b,
+           (SELECT sa FROM obs) AS sum_a,
+           (SELECT sb FROM obs) AS sum_b,
+           64::BIGINT AS b_resamples,
+           (SELECT n_extreme FROM ext) AS n_extreme,
+           ((SELECT n_extreme FROM ext) * 1000 // 64)::BIGINT
+               AS p_milli
 """

@@ -2370,3 +2370,49 @@ def test_psi_detects_planted_drift():
     c = rng.normal(140, 15, 4000).astype(int)  # drifted mean
     assert psi(a, b) < 0.05
     assert psi(a, c) > 0.2
+
+
+def test_abtest_permutation_null_and_effect():
+    """Permutation-test machinery on synthetic per-user tables: a null
+    (hash-random) split gives a non-extreme p; a planted large effect
+    drives p to ~0.  Replays the exact cross-multiplied comparison."""
+    import hashlib
+
+    def run(svals):
+        u = np.arange(len(svals), dtype=np.int64)
+        s = np.asarray(svals, dtype=np.int64)
+
+        def arms(tag):
+            if tag == 0:
+                return np.array([int(hashlib.md5(str(x).encode())
+                                     .hexdigest()[:8], 16) % 2
+                                 for x in u])
+            return np.array([int(hashlib.md5(f"{x}|{tag}".encode())
+                                 .hexdigest()[:8], 16) % 2
+                             for x in u])
+
+        def stat(arm):
+            sa, na = int(s[arm == 0].sum()), int((arm == 0).sum())
+            sb, nb = int(s[arm == 1].sum()), int((arm == 1).sum())
+            return sa, na, sb, nb
+
+        sa0, na0, sb0, nb0 = stat(arms(0))
+        t_num = abs(sa0 * nb0 - sb0 * na0)
+        t_den = na0 * nb0 or 1
+        n_ext = 0
+        for b in range(1, 65):
+            sa, na, sb, nb = stat(arms(b))
+            num, den = abs(sa * nb - sb * na), (na * nb or 1)
+            if num * t_den >= t_num * den:
+                n_ext += 1
+        return n_ext
+
+    rng = np.random.default_rng(4)
+    null = rng.integers(0, 1000, 400)
+    assert run(null) >= 3  # null split: not extreme at 5%-ish
+    # planted effect aligned with the OBSERVED md5 arms
+    u = np.arange(400, dtype=np.int64)
+    arm0 = np.array([int(hashlib.md5(str(x).encode())
+                         .hexdigest()[:8], 16) % 2 for x in u])
+    effect = np.where(arm0 == 0, 5000, 10).astype(np.int64)
+    assert run(effect) == 0  # no resample reaches the planted gap
