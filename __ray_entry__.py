@@ -2617,6 +2617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_psi": q.q_events_psi,
         # deterministic permutation test — exact big-int p-value
         "q_events_abtest": q.q_events_abtest,
+        # split conformal prediction — exact order-statistic radius
+        "q_events_conformal": q.q_events_conformal,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q_events_psi",
     "kg_densest",
     "q_events_abtest",
+    "q_events_conformal",
 ]
 
 

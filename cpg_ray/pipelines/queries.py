@@ -3888,6 +3888,77 @@ def q_events_streaks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_conformal(sf_dir: str) -> pd.DataFrame:
+    """Split conformal prediction (Vovk/Lei-Wasserman, the
+    distribution-free coverage guarantee modern ML-ops ships):
+    calibration = first time half, predictor = per-event-type FLOOR
+    mean of cents (exact integers), conformal radius q̂ = the
+    ⌈(n+1)·0.9⌉-th smallest absolute residual (EXACT order statistic,
+    clamped to n), then the guarantee audited on the held-out second
+    half: coverage = share of |cents − μ_type| ≤ q̂ — finite-sample
+    ≥ 90% in expectation, every number integer-exact.
+
+    Shape: the µs-midpoint split (the PSI discipline), per-type means
+    one pre-combined exchange, the order statistic a guarded driver
+    pull of calibration residuals, coverage one stateless pass."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t": b["ts"].astype("datetime64[us]").astype("int64"),
+            "typ": b["event_type"],
+            "cents": np.round(b["value"].to_numpy("float64")
+                              * 100).astype("int64")})
+
+    base = ev.map_batches(prep, batch_format="pandas").materialize()
+    tmin, tmax = int(base.min("t")), int(base.max("t"))
+    mid = tmin + (tmax - tmin) // 2
+    cal = base.map_batches(lambda b, m=mid: b[b["t"] < m],
+                           batch_format="pandas").materialize()
+    mu = groupby_agg(cal, ["typ"],
+                     [("cents", "sum", "s"),
+                      ("cents", "count", "n")]).to_pandas()
+    mu["mu"] = mu["s"].to_numpy("int64") // mu["n"].to_numpy("int64")
+    mumap = dict(zip(mu["typ"], mu["mu"].astype("int64")))
+
+    cdf = cal.to_pandas()
+    if len(cdf) > 20_000_000:
+        raise RuntimeError("q_events_conformal: calibration half past "
+                           "the order-statistic driver guard")
+    res = np.abs(cdf["cents"].to_numpy("int64")
+                 - cdf["typ"].map(mumap).to_numpy("int64"))
+    res.sort()
+    n_cal = len(res)
+    k = min(-(-((n_cal + 1) * 9) // 10), n_cal)  # ceil, clamped
+    q_hat = int(res[k - 1]) if n_cal else 0
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["t"] >= mid]
+        if not len(b):
+            return pd.DataFrame({"n": [0], "cov": [0]})
+        m = b["typ"].map(mumap)
+        known = m.notna()
+        r = np.abs(b["cents"].to_numpy("int64")[known.to_numpy()]
+                   - m[known].to_numpy("int64"))
+        return pd.DataFrame({"n": [int(known.sum())],
+                             "cov": [int((r <= q_hat).sum())]})
+
+    t = base.map_batches(cover, batch_format="pandas").to_pandas()
+    n_test, n_cov = int(t["n"].sum()), int(t["cov"].sum())
+    return pd.DataFrame({
+        "n_cal": pd.Series([n_cal], dtype="int64"),
+        "q_hat": pd.Series([q_hat], dtype="int64"),
+        "n_test": pd.Series([n_test], dtype="int64"),
+        "n_covered": pd.Series([n_cov], dtype="int64"),
+        "coverage_milli": pd.Series(
+            [n_cov * 1000 // n_test if n_test else 0],
+            dtype="int64"),
+    })
+
+
 def q_events_abtest(sf_dir: str) -> pd.DataFrame:
     """DETERMINISTIC permutation test for an A/B split (the
     experimentation primitive, Fisher-style): users hash-assign to
@@ -8044,4 +8115,48 @@ ORACLE_SQL["q_events_abtest"] = """
            (SELECT n_extreme FROM ext) AS n_extreme,
            ((SELECT n_extreme FROM ext) * 1000 // 64)::BIGINT
                AS p_milli
+"""
+
+
+# split conformal: per-type floor means on the calibration half,
+# exact ceil((n+1)*0.9) order-statistic radius, held-out coverage
+ORACLE_SQL["q_events_conformal"] = """
+    WITH c AS (
+        SELECT epoch_us(ts) AS t, event_type AS typ,
+               round(value * 100)::BIGINT AS cents
+        FROM events
+    ), m AS (SELECT min(t) + (max(t) - min(t)) // 2 AS mid FROM c),
+    cal AS (SELECT * FROM c WHERE t < (SELECT mid FROM m)),
+    mu AS (
+        SELECT typ, sum(cents)::BIGINT // count(*)::BIGINT AS mu
+        FROM cal GROUP BY typ
+    ), res AS (
+        SELECT abs(cal.cents - mu.mu)::BIGINT AS r
+        FROM cal JOIN mu USING (typ)
+    ), nc AS (SELECT count(*)::BIGINT AS n FROM res),
+    kk AS (
+        SELECT least(((SELECT n FROM nc) + 1) * 9 // 10
+                     + CASE WHEN ((SELECT n FROM nc) + 1) * 9 % 10
+                                 > 0 THEN 1 ELSE 0 END,
+                     (SELECT n FROM nc)) AS k
+    ), q AS (
+        SELECT r AS q_hat FROM (
+            SELECT r, row_number() OVER (ORDER BY r) AS rn FROM res)
+        WHERE rn = (SELECT k FROM kk)
+    ), tst AS (
+        SELECT c.cents, mu.mu FROM c JOIN mu USING (typ)
+        WHERE c.t >= (SELECT mid FROM m)
+    ), cov AS (
+        SELECT count(*)::BIGINT AS n_test,
+               sum(CASE WHEN abs(cents - mu) <= (SELECT q_hat FROM q)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_covered
+        FROM tst
+    )
+    SELECT (SELECT n FROM nc) AS n_cal,
+           (SELECT q_hat FROM q)::BIGINT AS q_hat,
+           n_test, n_covered,
+           CASE WHEN n_test > 0
+                THEN n_covered * 1000 // n_test ELSE 0 END::BIGINT
+               AS coverage_milli
+    FROM cov
 """

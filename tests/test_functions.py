@@ -2416,3 +2416,15 @@ def test_abtest_permutation_null_and_effect():
                          .hexdigest()[:8], 16) % 2 for x in u])
     effect = np.where(arm0 == 0, 5000, 10).astype(np.int64)
     assert run(effect) == 0  # no resample reaches the planted gap
+
+
+def test_conformal_coverage_guarantee():
+    """Split conformal on sf0.01: held-out coverage lands near the
+    nominal 90% (finite-sample guarantee is ≥ 90% in EXPECTATION;
+    allow sampling slack), q_hat is an actual calibration residual."""
+    from cpg_ray.pipelines.queries import q_events_conformal
+
+    out = q_events_conformal("/root/testdata/sf0.01").iloc[0]
+    assert out["n_cal"] > 100 and out["n_test"] > 100
+    assert 840 <= out["coverage_milli"] <= 1000
+    assert out["q_hat"] >= 0
