@@ -2619,6 +2619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_abtest": q.q_events_abtest,
         # split conformal prediction — exact order-statistic radius
         "q_events_conformal": q.q_events_conformal,
+        # Mann-Whitney rank-sum with exact doubled midranks
+        "q_events_mannwhitney": q.q_events_mannwhitney,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "kg_densest",
     "q_events_abtest",
     "q_events_conformal",
+    "q_events_mannwhitney",
 ]
 
 

@@ -3888,6 +3888,68 @@ def q_events_streaks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Exact Mann-Whitney rank-sum comparison of per-user purchase
+    totals across the md5-parity arms — the nonparametric two-sample
+    test, kept INTEGER via DOUBLED MIDRANKS: a tied value group's
+    doubled midrank is min(rn)+max(rn) (always an integer), so
+    2·R₁ = Σ_{a-rows}(min+max), U₂ = 2·U = 2R₁ − n₁(n₁+1), and the
+    common-language effect size AUC = U/(n₁n₂) reports as
+    U₂·1000 // (2n₁n₂) — every quantity exact on any engine (the tie
+    correction that float ranks get wrong).
+
+    Shape: per-user totals one pre-combined exchange; rank statistics
+    over the (value → min/max rank, per-arm counts) GROUP table —
+    value-distinct-sized, one more exchange; constant-size output."""
+    import hashlib
+
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    per_user = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "user_id": b["user_id"],
+                "cents": np.where(
+                    b["event_type"].to_numpy() == "purchase",
+                    np.round(b["value"].to_numpy("float64") * 100)
+                    .astype("int64"), 0)}),
+            batch_format="pandas"),
+        ["user_id"], [("cents", "sum", "s")])
+
+    def armed(b: pd.DataFrame) -> pd.DataFrame:
+        arm = np.array([int(hashlib.md5(str(x).encode())
+                            .hexdigest()[:8], 16) % 2
+                        for x in b["user_id"].to_numpy("int64")],
+                       dtype=np.int64)
+        return pd.DataFrame({"s": b["s"].to_numpy("int64"),
+                             "arm": arm})
+
+    groups = groupby_agg(
+        per_user.map_batches(armed, batch_format="pandas"),
+        ["s"], [("arm", "sum", "n_b"),
+                ("arm", "count", "n_all")]).to_pandas()
+    groups = groups.sort_values("s").reset_index(drop=True)
+    n_all = groups["n_all"].to_numpy("int64")
+    n_b = groups["n_b"].to_numpy("int64")
+    n_a_g = n_all - n_b
+    ends = np.cumsum(n_all)
+    starts = ends - n_all + 1
+    dbl_mid = starts + ends  # min(rn) + max(rn) per value group
+    n1 = int(n_a_g.sum())
+    n2 = int(n_b.sum())
+    two_r1 = int((n_a_g * dbl_mid).sum())
+    u2 = two_r1 - n1 * (n1 + 1)
+    auc_milli = u2 * 1000 // (2 * n1 * n2) if n1 and n2 else 0
+    return pd.DataFrame({
+        "n_a": pd.Series([n1], dtype="int64"),
+        "n_b": pd.Series([n2], dtype="int64"),
+        "u2": pd.Series([u2], dtype="int64"),
+        "auc_milli": pd.Series([auc_milli], dtype="int64"),
+    })
+
+
 def q_events_conformal(sf_dir: str) -> pd.DataFrame:
     """Split conformal prediction (Vovk/Lei-Wasserman, the
     distribution-free coverage guarantee modern ML-ops ships):
@@ -8159,4 +8221,45 @@ ORACLE_SQL["q_events_conformal"] = """
                 THEN n_covered * 1000 // n_test ELSE 0 END::BIGINT
                AS coverage_milli
     FROM cov
+"""
+
+
+# Mann-Whitney with doubled midranks: per distinct value the group's
+# min+max global rank; U2 = 2R1 - n1(n1+1), all integer
+ORACLE_SQL["q_events_mannwhitney"] = """
+    WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN round(value * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS s
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT s, ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+                   ::BIGINT % 2 AS arm
+        FROM pu
+    ), g AS (
+        SELECT s, sum(arm)::BIGINT AS n_b, count(*)::BIGINT AS n_all
+        FROM a GROUP BY s
+    ), w AS (
+        SELECT s, n_b, n_all,
+               sum(n_all) OVER (ORDER BY s
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS ends
+        FROM g
+    ), mid AS (
+        SELECT (n_all - n_b) AS n_a_g,
+               (ends - n_all + 1 + ends)::BIGINT AS dbl_mid,
+               n_b, n_all
+        FROM w
+    ), agg AS (
+        SELECT sum(n_a_g)::BIGINT AS n1, sum(n_b)::BIGINT AS n2,
+               sum(n_a_g * dbl_mid)::BIGINT AS two_r1
+        FROM mid
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           (two_r1 - n1 * (n1 + 1))::BIGINT AS u2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN (two_r1 - n1 * (n1 + 1)) * 1000
+                     // (2 * n1 * n2)
+                ELSE 0 END::BIGINT AS auc_milli
+    FROM agg
 """

@@ -2428,3 +2428,33 @@ def test_conformal_coverage_guarantee():
     assert out["n_cal"] > 100 and out["n_test"] > 100
     assert 840 <= out["coverage_milli"] <= 1000
     assert out["q_hat"] >= 0
+
+
+def test_mannwhitney_doubled_midranks_vs_scipy_free_reference():
+    """U via doubled midranks equals the textbook tie-corrected U on a
+    hand fixture, and AUC hits the no-overlap endpoints."""
+    def u2_of(sa, sb):
+        import pandas as pd
+        vals = pd.Series(sa + sb)
+        arm = np.array([0] * len(sa) + [1] * len(sb))
+        g = pd.DataFrame({"s": vals, "arm": arm}).groupby("s").agg(
+            n_b=("arm", "sum"), n_all=("arm", "count")).sort_index()
+        n_all = g["n_all"].to_numpy()
+        n_b = g["n_b"].to_numpy()
+        ends = np.cumsum(n_all)
+        dbl = (ends - n_all + 1) + ends
+        n1 = int((n_all - n_b).sum())
+        two_r1 = int(((n_all - n_b) * dbl).sum())
+        return two_r1 - n1 * (n1 + 1), n1, int(n_b.sum())
+
+    # textbook: A={1,2,4}, B={3,5}: ranks 1,2,4 → R1=7, U=7-6=1... U2=2
+    u2, n1, n2 = u2_of([1, 2, 4], [3, 5])
+    assert (u2, n1, n2) == (2 * (7 - 6), 3, 2)
+    # ties: A={1,2}, B={2,3} — midrank of the tied 2s is 2.5 → 2R1=1*2+5=7
+    u2, n1, n2 = u2_of([1, 2], [2, 3])
+    assert u2 == 7 - 2 * 3  # 2R1 − n1(n1+1) = 7 − 6 = 1
+    # no overlap endpoints: all A below B → U=0 → AUC 0
+    u2, n1, n2 = u2_of([1, 2], [5, 6])
+    assert u2 == 0
+    u2, n1, n2 = u2_of([5, 6], [1, 2])
+    assert u2 == 2 * n1 * n2  # AUC = 1
