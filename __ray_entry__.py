@@ -2621,6 +2621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_conformal": q.q_events_conformal,
         # Mann-Whitney rank-sum with exact doubled midranks
         "q_events_mannwhitney": q.q_events_mannwhitney,
+        # day-of-week chi-square uniformity, exactly scaled
+        "q_events_dow_chi2": q.q_events_dow_chi2,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q_events_abtest",
     "q_events_conformal",
     "q_events_mannwhitney",
+    "q_events_dow_chi2",
 ]
 
 

@@ -3888,6 +3888,37 @@ def q_events_streaks(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_dow_chi2(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality census with the EXACTLY-SCALED
+    chi-square uniformity statistic: χ² against uniform expectation
+    e = N/7 is rational, but χ²·7N = Σ(7·o_d − N)² is an integer —
+    report THAT (plus per-day counts), no float ever; the reader
+    divides by 7N once if they want the classic value.  One
+    pre-combined groupby."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    cnt = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "dow": ((b["ts"].astype("datetime64[us]")
+                         .astype("int64") // 86_400_000_000 + 4)
+                        % 7).astype("int64")}),
+            batch_format="pandas"),
+        ["dow"], [("dow", "count", "n")]).to_pandas()
+    cnt = cnt.set_index("dow").reindex(range(7), fill_value=0)
+    o = cnt["n"].to_numpy("int64")
+    n_total = int(o.sum())
+    chi2_scaled = int(((7 * o - n_total) ** 2).sum())
+    out = pd.DataFrame({
+        "dow": pd.Series(range(7), dtype="int64"),
+        "n": o,
+        "n_total": pd.Series([n_total] * 7, dtype="int64"),
+        "chi2_scaled": pd.Series([chi2_scaled] * 7, dtype="int64"),
+    })
+    return out
+
+
 def q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
     """Exact Mann-Whitney rank-sum comparison of per-user purchase
     totals across the md5-parity arms — the nonparametric two-sample
@@ -8262,4 +8293,29 @@ ORACLE_SQL["q_events_mannwhitney"] = """
                      // (2 * n1 * n2)
                 ELSE 0 END::BIGINT AS auc_milli
     FROM agg
+"""
+
+
+# dow = (epoch_day + 4) % 7 — same arithmetic both engines (no
+# dayofweek() dialect dependence); chi2 exactly scaled by 7N
+ORACLE_SQL["q_events_dow_chi2"] = """
+    WITH d AS (
+        SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+        FROM events
+    ), c AS (
+        SELECT dow, count(*)::BIGINT AS n FROM d GROUP BY dow
+    ), grid AS (SELECT unnest(range(7))::BIGINT AS dow),
+    f AS (
+        SELECT g.dow, coalesce(c.n, 0)::BIGINT AS n
+        FROM grid g LEFT JOIN c USING (dow)
+    ), t AS (
+        SELECT sum(n)::BIGINT AS n_total,
+               sum((7 * n - (SELECT sum(n) FROM f))
+                   * (7 * n - (SELECT sum(n) FROM f)))::BIGINT
+                   AS chi2_scaled
+        FROM f
+    )
+    SELECT f.dow, f.n, (SELECT n_total FROM t) AS n_total,
+           (SELECT chi2_scaled FROM t) AS chi2_scaled
+    FROM f ORDER BY f.dow
 """
