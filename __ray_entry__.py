@@ -897,6 +897,52 @@ def _kg_coarsen(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _kg_cluster_rand(sf_dir: str):
+    """EXACT Rand-index agreement between two of the suite's own
+    clusterings (LPA communities vs connected components — how much
+    finer the community structure is than mere connectivity):
+
+        agree = C(n,2) + 2·Σ_ij C(n_ij,2) − Σ_i C(a_i,2) − Σ_j C(b_j,2)
+
+    over the label-pair contingency — pure integer combinatorics, no
+    expected-value rationals (the Rand numerator/denominator report
+    exactly; rand_milli = agree·1000 // C(n,2)).  Clusterings run the
+    already-verified kernels; the contingency is a driver finish on
+    the node-sized label table."""
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import (label_components,
+                                             label_propagation)
+
+    edges = _entity_edges(sf_dir)
+    a = label_propagation(
+        edges, src="canonical_subj", dst="canonical_obj",
+        rounds=4).to_pandas()[["entity", "community"]]
+    b = label_components(edges, src="canonical_subj",
+                         dst="canonical_obj",
+                         rounds=12).to_pandas()[["entity",
+                                                 "component"]]
+    m = a.merge(b, on="entity")
+    n = len(m)
+
+    def c2(x):
+        x = x.astype("int64")
+        return int((x * (x - 1) // 2).sum())
+
+    nij = m.groupby(["community", "component"]).size()
+    ai = m.groupby("community").size()
+    bj = m.groupby("component").size()
+    total = n * (n - 1) // 2
+    agree = total + 2 * c2(nij) - c2(ai) - c2(bj)
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n], dtype="int64"),
+        "pairs_total": pd.Series([total], dtype="int64"),
+        "pairs_agree": pd.Series([agree], dtype="int64"),
+        "rand_milli": pd.Series(
+            [agree * 1000 // total if total else 0], dtype="int64"),
+    })
+
+
 def _kg_densest(sf_dir: str):
     """Bahmani-Kumar-Vassilvitskii parallel densest-subgraph peel
     (ε=0): per round drop every below-average-degree node (exact
@@ -2798,6 +2844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coreness": _kg_coreness,
         # parallel densest-subgraph peel round census
         "kg_densest": _kg_densest,
+        # exact Rand agreement between LPA and components
+        "kg_cluster_rand": _kg_cluster_rand,
         # 1-WL color refinement (md5 multiset hashing, 3 rounds)
         "kg_wl_colors": _kg_wl_colors,
         # owl:sameAs closure over shared-alias entity pairs
@@ -6403,6 +6451,40 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         SELECT c.entity, c.deg, c.triangles, c.cc, p.score
         FROM cc c JOIN pr p ON p.entity = c.entity
         ORDER BY c.entity
+    """
+    # Rand agreement between the verified LPA and components bodies:
+    # pure integer pair combinatorics over the label contingency
+    out["kg_cluster_rand"] = f"""
+        WITH la AS MATERIALIZED ({out["kg_lpa"]}),
+             lb AS MATERIALIZED ({out["kg_components"]}),
+             m AS MATERIALIZED (
+                 SELECT la.entity, la.community AS ca,
+                        lb.component AS cb
+                 FROM la JOIN lb USING (entity)),
+             n AS (SELECT count(*)::BIGINT AS n FROM m),
+             nij AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS v FROM (
+                 SELECT count(*)::BIGINT AS c FROM m
+                 GROUP BY ca, cb)),
+             ai AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS v FROM (
+                 SELECT count(*)::BIGINT AS c FROM m GROUP BY ca)),
+             bj AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS v FROM (
+                 SELECT count(*)::BIGINT AS c FROM m GROUP BY cb))
+        SELECT (SELECT n FROM n) AS n_nodes,
+               ((SELECT n FROM n) * ((SELECT n FROM n) - 1) // 2)
+                   ::BIGINT AS pairs_total,
+               ((SELECT n FROM n) * ((SELECT n FROM n) - 1) // 2
+                + 2 * (SELECT v FROM nij)
+                - (SELECT v FROM ai) - (SELECT v FROM bj))
+                   ::BIGINT AS pairs_agree,
+               CASE WHEN (SELECT n FROM n) > 1
+                    THEN ((SELECT n FROM n) * ((SELECT n FROM n) - 1)
+                          // 2
+                          + 2 * (SELECT v FROM nij)
+                          - (SELECT v FROM ai)
+                          - (SELECT v FROM bj)) * 1000
+                         // ((SELECT n FROM n)
+                             * ((SELECT n FROM n) - 1) // 2)
+                    ELSE 0 END::BIGINT AS rand_milli
     """
     return out
 

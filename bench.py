@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q_events_conformal",
     "q_events_mannwhitney",
     "q_events_dow_chi2",
+    "kg_cluster_rand",
 ]
 
 

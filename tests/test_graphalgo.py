@@ -2380,3 +2380,38 @@ def test_densest_peel_finds_planted_clique():
                                   check_dtype=False)
     assert d["density_milli"].max() == 2500  # the clique round
     assert d.iloc[0]["n_nodes"] == 14  # full graph first
+
+
+def test_rand_index_combinatorics_identity():
+    """The contingency identity agree = C(n,2) + 2ΣC(nij,2) − ΣC(ai,2)
+    − ΣC(bj,2) equals a brute-force pair count on a hand labeling, and
+    identical labelings give Rand = 1."""
+    import itertools
+
+    a = {1: "x", 2: "x", 3: "y", 4: "y", 5: "y"}
+    b = {1: "p", 2: "p", 3: "p", 4: "q", 5: "q"}
+
+    def agree_pairs(a, b):
+        n = 0
+        for i, j in itertools.combinations(sorted(a), 2):
+            same_a = a[i] == a[j]
+            same_b = b[i] == b[j]
+            n += same_a == same_b
+        return n
+
+    import pandas as pd
+    m = pd.DataFrame({"k": list(a), "ca": [a[k] for k in a],
+                      "cb": [b[k] for k in a]})
+
+    def c2(s):
+        return int((s * (s - 1) // 2).sum())
+
+    n = len(m)
+    total = n * (n - 1) // 2
+    ident = (total + 2 * c2(m.groupby(["ca", "cb"]).size())
+             - c2(m.groupby("ca").size())
+             - c2(m.groupby("cb").size()))
+    assert ident == agree_pairs(a, b)
+    same = (total + 2 * c2(m.groupby(["ca", "ca"]).size())
+            - 2 * c2(m.groupby("ca").size()))
+    assert same == total  # identical labelings agree on every pair
