@@ -2669,6 +2669,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_mannwhitney": q.q_events_mannwhitney,
         # day-of-week chi-square uniformity, exactly scaled
         "q_events_dow_chi2": q.q_events_dow_chi2,
+        # Benford first-digit conformance, literal-ppm expectation
+        "q_events_benford": q.q_events_benford,
+        # Spearman rank correlation, doubled midranks on both margins
+        "q_events_spearman": q.q_events_spearman,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -8319,3 +8319,211 @@ ORACLE_SQL["q_events_dow_chi2"] = """
            (SELECT chi2_scaled FROM t) AS chi2_scaled
     FROM f ORDER BY f.dow
 """
+
+
+# ---- round-5 eighth-session additions -------------------------------------
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — the Benford expectation
+# as LITERAL ppm constants (identical table in the SQL twin, so no
+# engine ever evaluates a transcendental)
+_BENFORD_PPM = np.array([301029, 176091, 124938, 96910, 79181,
+                         66946, 57991, 51152, 45757], dtype=np.int64)
+
+
+def q_events_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit conformance census (the classic
+    fraud / data-quality screen): leading digit of the positive value
+    cents vs the Benford expectation, kept EXACT by hard-coding the
+    expectation as literal ppm constants and reporting the signed
+    per-digit deviation dev_ppm = 1e6·o_d − N·p_ppm[d] (an integer —
+    divide by 1e6·N once for the classic proportion gap) plus the
+    total absolute deviation.  Digit extraction is vectorized
+    log10-with-fixups (float log10 can land one power off at exact
+    powers of ten; both misestimates are corrected integrally, so the
+    result is exact on any libm).
+
+    Shape: one map_batches digit pass + one pre-combined groupby;
+    constant-size (9-row) driver finish."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def digits(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["value"].to_numpy("float64") * 100).astype("int64")
+        c = c[c > 0]
+        p = np.floor(np.log10(c.astype("float64"))).astype("int64")
+        pw = np.power(10, np.maximum(p, 0)).astype("int64")
+        fd = c // pw
+        over = fd >= 10          # log10 rounded low at a power boundary
+        fd[over] //= 10
+        under = fd == 0          # log10 rounded high
+        fd[under] = c[under] // (pw[under] // 10)
+        return pd.DataFrame({"digit": fd})
+
+    cnt = groupby_agg(
+        ev.map_batches(digits, batch_format="pandas"),
+        ["digit"], [("digit", "count", "n")]).to_pandas()
+    cnt = cnt.set_index("digit").reindex(range(1, 10), fill_value=0)
+    o = cnt["n"].to_numpy("int64")
+    n_total = int(o.sum())
+    dev = 1_000_000 * o - n_total * _BENFORD_PPM
+    total_abs = int(np.abs(dev).sum())
+    return pd.DataFrame({
+        "digit": pd.Series(range(1, 10), dtype="int64"),
+        "n": o,
+        "n_total": pd.Series([n_total] * 9, dtype="int64"),
+        "dev_ppm": dev,
+        "total_abs_dev_ppm": pd.Series([total_abs] * 9, dtype="int64"),
+    })
+
+
+ORACLE_SQL["q_events_benford"] = """
+    WITH c AS (
+        SELECT round(value * 100)::BIGINT AS cents
+        FROM events WHERE round(value * 100)::BIGINT > 0
+    ), d AS (
+        SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit FROM c
+    ), cnt AS (
+        SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit
+    ), p AS (
+        SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+                              (4, 96910), (5, 79181), (6, 66946),
+                              (7, 57991), (8, 51152), (9, 45757))
+                 AS t(digit, ppm)
+    ), f AS (
+        SELECT p.digit::BIGINT AS digit, coalesce(cnt.n, 0)::BIGINT AS n,
+               p.ppm::BIGINT AS ppm
+        FROM p LEFT JOIN cnt ON cnt.digit = p.digit
+    ), t AS (
+        SELECT sum(n)::BIGINT AS n_total FROM f
+    ), dev AS (
+        SELECT f.digit, f.n, t.n_total,
+               (1000000 * f.n - t.n_total * f.ppm)::BIGINT AS dev_ppm
+        FROM f, t
+    )
+    SELECT digit, n, n_total, dev_ppm,
+           (SELECT sum(abs(dev_ppm))::BIGINT FROM dev)
+               AS total_abs_dev_ppm
+    FROM dev ORDER BY digit
+"""
+
+
+def q_events_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user purchase spend (total cents) — the
+    nonparametric engagement-monetization monitor — kept EXACT with
+    DOUBLED MIDRANKS on both margins (q_events_mannwhitney's tie
+    discipline): a tied group's doubled midrank min(rn)+max(rn) is an
+    integer, so every moment (Sx, Sy, Sxx, Syy, Sxy) is an int64 sum
+    and cov = n·Sxy − Sx·Sy / var = n·Sxx − Sx² are exact ints.
+    rho² reports in ppm as cov² // max(varx·vary // 1e6, 1) — the
+    denominator is integer-truncated BEFORE the divide (documented
+    bias ≤ 1 ppm) so the numerator stays inside 128-bit on any
+    engine; sign(cov) reports separately (no sqrt anywhere).
+
+    Shape: per-user totals one pre-combined exchange; each margin's
+    rank table is value-distinct-sized (one more exchange each); the
+    dmid maps broadcast into a linear partial-moment pass; output is
+    one row."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    per_user = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "user_id": b["user_id"].to_numpy("int64"),
+                "cents": np.where(
+                    b["event_type"].to_numpy() == "purchase",
+                    np.round(b["value"].to_numpy("float64") * 100)
+                    .astype("int64"), 0),
+                "one": np.ones(len(b), dtype="int64")}),
+            batch_format="pandas"),
+        ["user_id"], [("cents", "sum", "s"),
+                      ("one", "sum", "c")]).materialize()
+
+    def dmid_map(col: str) -> dict[int, int]:
+        g = groupby_agg(per_user, [col], [(col, "count", "n")]) \
+            .to_pandas().sort_values(col).reset_index(drop=True)
+        n_all = g["n"].to_numpy("int64")
+        ends = np.cumsum(n_all)
+        dbl = ends - n_all + 1 + ends  # min(rank) + max(rank)
+        return dict(zip(g[col].to_numpy("int64").tolist(),
+                        dbl.tolist()))
+
+    ms, mc = dmid_map("s"), dmid_map("c")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["s"].map(ms).to_numpy("int64")
+        y = b["c"].map(mc).to_numpy("int64")
+        return pd.DataFrame({
+            "n": [np.int64(len(b))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()]})
+
+    agg = per_user.map_batches(moments, batch_format="pandas") \
+        .to_pandas().sum()
+    n = int(agg["n"])
+    sx, sy = int(agg["sx"]), int(agg["sy"])
+    sxx, syy, sxy = int(agg["sxx"]), int(agg["syy"]), int(agg["sxy"])
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    den = max((varx * vary) // 1_000_000, 1)
+    rho2_ppm = (cov * cov) // den
+    sign = 0 if cov == 0 else (1 if cov > 0 else -1)
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "sign": pd.Series([sign], dtype="int64"),
+        "rho2_ppm": pd.Series([rho2_ppm], dtype="int64"),
+    })
+
+
+ORACLE_SQL["q_events_spearman"] = """
+    WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN round(value * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS s,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY user_id
+    ), gs AS (
+        SELECT s, count(*)::BIGINT AS n FROM pu GROUP BY s
+    ), ws AS (
+        SELECT s, (2 * sum(n) OVER (ORDER BY s ROWS UNBOUNDED
+                                    PRECEDING) - n + 1)::BIGINT
+                   AS dmid
+        FROM gs
+    ), gc AS (
+        SELECT c, count(*)::BIGINT AS n FROM pu GROUP BY c
+    ), wc AS (
+        SELECT c, (2 * sum(n) OVER (ORDER BY c ROWS UNBOUNDED
+                                    PRECEDING) - n + 1)::BIGINT
+                   AS dmid
+        FROM gc
+    ), r AS (
+        SELECT ws.dmid AS x, wc.dmid AS y
+        FROM pu JOIN ws USING (s) JOIN wc USING (c)
+    ), m AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x * x)::HUGEINT AS sxx,
+               sum(y * y)::HUGEINT AS syy,
+               sum(x * y)::HUGEINT AS sxy
+        FROM r
+    ), f AS (
+        SELECT n,
+               (n * sxy - sx * sy) AS cov,
+               (n * sxx - sx * sx) AS varx,
+               (n * syy - sy * sy) AS vary
+        FROM m
+    )
+    SELECT n::BIGINT AS n,
+           (CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1
+                 ELSE 0 END)::BIGINT AS sign,
+           ((cov * cov) // greatest((varx * vary) // 1000000, 1))
+               ::BIGINT AS rho2_ppm
+    FROM f
+"""

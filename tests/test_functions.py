@@ -2458,3 +2458,63 @@ def test_mannwhitney_doubled_midranks_vs_scipy_free_reference():
     assert u2 == 0
     u2, n1, n2 = u2_of([5, 6], [1, 2])
     assert u2 == 2 * n1 * n2  # AUC = 1
+
+
+def test_benford_digit_extraction_boundaries_and_invariant():
+    """The log10-with-fixups first-digit kernel is exact at power-of-
+    ten boundaries, and the census's signed deviations sum to 5N ppm
+    exactly (Σ benford_ppm = 999995)."""
+    import numpy as np
+
+    def first_digit(c):
+        c = np.asarray(c, dtype="int64")
+        p = np.floor(np.log10(c.astype("float64"))).astype("int64")
+        pw = np.power(10, np.maximum(p, 0)).astype("int64")
+        fd = c // pw
+        over = fd >= 10
+        fd[over] //= 10
+        under = fd == 0
+        fd[under] = c[under] // (pw[under] // 10)
+        return fd
+
+    vals = [1, 2, 9, 10, 11, 99, 100, 101, 999, 1000, 1001,
+            10**6, 10**6 - 1, 10**12, 10**15, 10**15 - 1,
+            7 * 10**14, 123456789]
+    expect = [int(str(v)[0]) for v in vals]
+    assert first_digit(vals).tolist() == expect
+
+    from cpg_ray.pipelines.queries import q_events_benford
+    out = q_events_benford("/root/testdata/sf0.001")
+    n_total = int(out["n_total"].iloc[0])
+    assert int(out["n"].sum()) == n_total
+    assert int(out["dev_ppm"].sum()) == 5 * n_total
+    assert int(out["total_abs_dev_ppm"].iloc[0]) == \
+        int(out["dev_ppm"].abs().sum())
+
+
+def test_spearman_doubled_midranks_equal_average_ranks():
+    """Doubled midranks from the group table equal 2× the textbook
+    average ranks (pandas rank method='average'), ties included, and
+    the one-row output hits rho² = 1e6 ppm on a perfectly monotone
+    fixture."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    v = rng.randint(0, 20, size=300).astype("int64")
+    g = pd.Series(v).value_counts().sort_index()
+    n_all = g.to_numpy("int64")
+    ends = np.cumsum(n_all)
+    dbl = ends - n_all + 1 + ends
+    dmid = dict(zip(g.index.tolist(), dbl.tolist()))
+    mine = pd.Series(v).map(dmid).to_numpy("int64")
+    ref = (pd.Series(v).rank(method="average") * 2).to_numpy("int64")
+    assert (mine == ref).all()
+
+    # perfectly monotone margins → cov² == varx·vary exactly
+    x = np.arange(1, 51, dtype="int64") * 2  # doubled ranks, no ties
+    n = len(x)
+    sx = int(x.sum()); sxx = int((x * x).sum())
+    cov = n * sxx - sx * sx
+    rho2_ppm = (cov * cov) // max((cov * cov) // 1_000_000, 1)
+    assert rho2_ppm == 1_000_000
