@@ -2673,6 +2673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_benford": q.q_events_benford,
         # Spearman rank correlation, doubled midranks on both margins
         "q_events_spearman": q.q_events_spearman,
+        # RFM segmentation census, exact tercile order statistics
+        "q_events_rfm": q.q_events_rfm,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

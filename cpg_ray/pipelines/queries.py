@@ -8527,3 +8527,118 @@ ORACLE_SQL["q_events_spearman"] = """
                ::BIGINT AS rho2_ppm
     FROM f
 """
+
+
+def q_events_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation census (the classic CRM customer-value
+    stratification): per purchasing user recency (days since last
+    purchase, vs the corpus's latest purchase day), frequency
+    (#purchases) and monetary (total cents), each scored 1-3 against
+    EXACT tercile order statistics — the element at sorted ascending
+    position ceil(n/3)-1 / ceil(2n/3)-1, deterministic on any engine
+    (ntile() ties are engine-defined; explicit thresholds are not).
+    Scores: frequency/monetary rise with value (v > edge), recency
+    falls (r <= edge is better).  Segment code = 100r + 10f + m.
+
+    Shape: one pre-combined per-user exchange; the 6 edges come from
+    a guarded driver pull of the user-dimension-sized table (the PSI
+    order-statistic pattern); census is one more pre-combined
+    groupby."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "value"])
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["event_type"].to_numpy() == "purchase"
+        b = b[keep]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy("int64"),
+            "day": (b["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000).astype("int64"),
+            "cents": np.round(b["value"].to_numpy("float64") * 100)
+            .astype("int64"),
+            "one": np.ones(keep.sum(), dtype="int64")})
+
+    per_user = groupby_agg(
+        ev.map_batches(purchases, batch_format="pandas"),
+        ["user_id"], [("day", "max", "last_day"),
+                      ("one", "sum", "f"),
+                      ("cents", "sum", "m")]).to_pandas()
+    if len(per_user) > 20_000_000:
+        raise RuntimeError("q_events_rfm: per-user table past the "
+                           "order-statistic driver guard")
+    ref_day = int(per_user["last_day"].max())
+    rec = (ref_day - per_user["last_day"].to_numpy("int64"))
+    f = per_user["f"].to_numpy("int64")
+    m = per_user["m"].to_numpy("int64")
+    n = len(per_user)
+
+    def edges(v: np.ndarray) -> tuple[int, int]:
+        s = np.sort(v)
+        return int(s[(n + 2) // 3 - 1]), int(s[(2 * n + 2) // 3 - 1])
+
+    e1r, e2r = edges(rec)
+    e1f, e2f = edges(f)
+    e1m, e2m = edges(m)
+    r_score = 1 + (rec <= e1r).astype("int64") + (rec <= e2r)
+    f_score = 1 + (f > e1f).astype("int64") + (f > e2f)
+    m_score = 1 + (m > e1m).astype("int64") + (m > e2m)
+    seg = 100 * r_score + 10 * f_score + m_score
+    out = pd.DataFrame({"segment": seg, "m": m}) \
+        .groupby("segment").agg(n_users=("m", "count"),
+                                sum_cents=("m", "sum")).reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+ORACLE_SQL["q_events_rfm"] = """
+    WITH p AS (
+        SELECT user_id,
+               max(epoch_us(ts) // 86400000000)::BIGINT AS last_day,
+               count(*)::BIGINT AS f,
+               sum(round(value * 100)::BIGINT)::BIGINT AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), ref AS (
+        SELECT max(last_day)::BIGINT AS rd, count(*)::BIGINT AS n
+        FROM p
+    ), r AS (
+        SELECT (SELECT rd FROM ref) - last_day AS rec, f, m FROM p
+    ), k AS (
+        SELECT ((SELECT n FROM ref) + 2) // 3 AS k1,
+               (2 * (SELECT n FROM ref) + 2) // 3 AS k2
+    ), rr AS (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn
+              FROM r),
+    rf AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn
+           FROM r),
+    rm AS (SELECT m AS v, row_number() OVER (ORDER BY m) AS rn
+           FROM r),
+    e AS (
+        SELECT (SELECT v FROM rr WHERE rn = (SELECT k1 FROM k)) AS e1r,
+               (SELECT v FROM rr WHERE rn = (SELECT k2 FROM k)) AS e2r,
+               (SELECT v FROM rf WHERE rn = (SELECT k1 FROM k)) AS e1f,
+               (SELECT v FROM rf WHERE rn = (SELECT k2 FROM k)) AS e2f,
+               (SELECT v FROM rm WHERE rn = (SELECT k1 FROM k)) AS e1m,
+               (SELECT v FROM rm WHERE rn = (SELECT k2 FROM k)) AS e2m
+    ), scored AS (
+        SELECT (100 * (1 + (CASE WHEN rec <= (SELECT e1r FROM e)
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN rec <= (SELECT e2r FROM e)
+                                 THEN 1 ELSE 0 END))
+                + 10 * (1 + (CASE WHEN f > (SELECT e1f FROM e)
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN f > (SELECT e2f FROM e)
+                                  THEN 1 ELSE 0 END))
+                + (1 + (CASE WHEN m > (SELECT e1m FROM e)
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN m > (SELECT e2m FROM e)
+                             THEN 1 ELSE 0 END)))::BIGINT AS segment,
+               m
+        FROM r
+    )
+    SELECT segment, count(*)::BIGINT AS n_users,
+           sum(m)::BIGINT AS sum_cents
+    FROM scored GROUP BY segment ORDER BY segment
+"""

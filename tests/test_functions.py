@@ -2518,3 +2518,30 @@ def test_spearman_doubled_midranks_equal_average_ranks():
     cov = n * sxx - sx * sx
     rho2_ppm = (cov * cov) // max((cov * cov) // 1_000_000, 1)
     assert rho2_ppm == 1_000_000
+
+
+def test_rfm_tercile_scores_on_hand_fixture():
+    """Tercile edges at ceil(n/3)-1 / ceil(2n/3)-1 and the three
+    scoring directions behave on a 9-user hand fixture: the biggest
+    spender/most frequent/most recent lands 333, the opposite 111."""
+    import numpy as np
+
+    n = 9
+    k1, k2 = (n + 2) // 3 - 1, (2 * n + 2) // 3 - 1
+    v = np.array([10, 20, 30, 40, 50, 60, 70, 80, 90], dtype="int64")
+    s = np.sort(v)
+    e1, e2 = int(s[k1]), int(s[k2])
+    assert (e1, e2) == (30, 60)
+    # monetary-style scoring: v > edge
+    score = 1 + (v > e1).astype(int) + (v > e2).astype(int)
+    assert score.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # recency-style scoring: r <= edge is better
+    rscore = 1 + (v <= e1).astype(int) + (v <= e2).astype(int)
+    assert rscore.tolist() == [3, 3, 3, 2, 2, 2, 1, 1, 1]
+
+    from cpg_ray.pipelines.queries import q_events_rfm
+    out = q_events_rfm("/root/testdata/sf0.001")
+    assert (out["segment"] // 100).between(1, 3).all()
+    assert ((out["segment"] // 10) % 10).between(1, 3).all()
+    assert (out["segment"] % 10).between(1, 3).all()
+    assert (out["n_users"] > 0).all()
