@@ -1453,6 +1453,20 @@ def _kg_squares(sf_dir: str):
         dst="canonical_obj")
 
 
+def _kg_k4(sf_dir: str):
+    """4-clique (K4) census of the canonical entity graph
+    (graphalgo.k4_census): every K4 {a<b<c<d} counted once by closing
+    ordered triangles against the common neighborhood above their top
+    node — the cohesive-subgroup motif k-truss thresholds but never
+    counts.  Exact int64; the SQL twin is the literal 6-join over
+    canonical a<b edges."""
+    from cpg_ray.functions.graphalgo import k4_census
+
+    return k4_census(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj")
+
+
 def _kg_scan(sf_dir: str):
     """SCAN structural clustering (Xu et al. KDD'07) of the canonical
     entity graph: per-node (role, cluster) where role ∈ core / member
@@ -2902,6 +2916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_reorder_sessions": q.q_events_reorder_sessions,
         # 4-cycle (square) motif census — rectangle-count identity
         "kg_squares": _kg_squares,
+        # 4-clique census — ordered-triangle closure, 6-join oracle
+        "kg_k4": _kg_k4,
         # Flesch reading-ease in exact integer milli-points
         "q_doc_readability": q.q_doc_readability,
         # user-journey census: first-5-event paths per user
@@ -6351,6 +6367,32 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    (coalesce((SELECT sum(cn * (cn - 1) // 2) FROM pc),
                              0) // 2)::BIGINT AS squares,
                    0::BIGINT AS skipped_centers
+        """
+    # K4: canonical a<b edges; triangles via the ordered 3-join; K4
+    # via the literal 6-join (each clique appears exactly once in
+    # a<b<c<d order)
+    out["kg_k4"] = f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            ce AS (SELECT DISTINCT least(src, dst) AS a,
+                                   greatest(src, dst) AS b FROM e0),
+            tri AS (SELECT e1.a, e1.b, e2.b AS c
+                    FROM ce e1
+                    JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+            k4 AS (SELECT count(*)::BIGINT AS k4
+                   FROM tri t
+                   JOIN ce e4 ON e4.a = t.c
+                   JOIN ce e5 ON e5.a = t.b AND e5.b = e4.b
+                   JOIN ce e6 ON e6.a = t.a AND e6.b = e4.b)
+            SELECT (SELECT count(DISTINCT v) FROM (
+                        SELECT a AS v FROM ce
+                        UNION ALL SELECT b FROM ce))::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM ce)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM tri)::BIGINT AS triangles,
+                   (SELECT k4 FROM k4)::BIGINT AS k4
         """
     out["kg_lpa"] = f"""
             WITH e0 AS (SELECT DISTINCT canonical_subj AS src,

@@ -6506,3 +6506,151 @@ def densest_subgraph_peel(edges_ds, *, src: str = "src",
             lambda t, lo=low: t[~t["a"].isin(lo) & ~t["b"].isin(lo)],
             batch_format="pandas").materialize()
     return rd.from_pandas(census(rows))
+
+
+def k4_census(edges_ds, *, src: str = "src", dst: str = "dst",
+              mode: str = "auto",
+              driver_edge_limit: int = _DEF_EDGE_LIMIT,
+              bitset_budget: int = 200_000_000) -> pd.DataFrame:
+    """4-clique (K4) census of the undirected distinct graph — the
+    minimal dense-motif beyond triangles (cohesive-subgroup signal
+    k-truss thresholds but never counts).  Each K4 {a<b<c<d} is
+    counted exactly once by closing every ordered triangle (a,b,c)
+    against the common neighborhood above c.  Exact int64 end to end.
+
+    Returns ONE row: (n_nodes, n_edges, triangles, k4).
+
+    Scale shape: no orientation rescue exists for K4 (every clique
+    must close through all four triangles), so driver mode bounds BOTH
+    the distinct edge pull (``driver_edge_limit``) and the n²/8-byte
+    adjacency bitset (``bitset_budget`` bytes, GuardExceeded past
+    either — the ADVICE-r4 lesson: gate on the allocation, not the
+    edge count alone); mode='auto' degrades to the shuffle path —
+    a 5-join chain (wedge → triangle → extend → two closure checks),
+    each join hash-partitioned and ``empty_safe`` against the Ray
+    2.49 empty-intermediate defect, so only census partials reach the
+    driver."""
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode in ("driver", "auto"):
+        try:
+            e = _edges_to_driver(edges_ds, src, dst, driver_edge_limit)
+            return _k4_driver(e, src, dst, bitset_budget=bitset_budget)
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    return _k4_shuffle(edges_ds, src, dst)
+
+
+def _k4_driver(e: pd.DataFrame, src: str, dst: str, *,
+               bitset_budget: int) -> pd.DataFrame:
+    a = e[src].to_numpy(object)
+    b = e[dst].to_numpy(object)
+    lo = np.where(a < b, a, b)
+    hi = np.where(a < b, b, a)
+    ce = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+    nodes = pd.unique(np.concatenate([ce["a"].to_numpy(object),
+                                      ce["b"].to_numpy(object)]))
+    nodes.sort()
+    idx = {v: i for i, v in enumerate(nodes.tolist())}
+    n = len(nodes)
+    w = (n + 63) // 64
+    if n * w * 8 > bitset_budget:
+        raise GuardExceeded(
+            f"k4_census(mode='driver'): adjacency bitset {n}x{w} "
+            "words past bitset_budget; use mode='shuffle'")
+    u = ce["a"].map(idx).to_numpy(np.int64)
+    v = ce["b"].map(idx).to_numpy(np.int64)
+    adj = np.zeros((n, w), np.uint64)
+    # bitwise_or.at, NOT fancy |= — duplicate (row, word) targets
+    # drop bits under buffered fancy assignment
+    np.bitwise_or.at(adj, (u, v >> 6),
+                     np.uint64(1) << (v & 63).astype(np.uint64))
+    np.bitwise_or.at(adj, (v, u >> 6),
+                     np.uint64(1) << (u & 63).astype(np.uint64))
+    pop = np.array([bin(i).count("1") for i in range(256)], np.uint16)
+
+    def bits_above(row: np.ndarray, k: int) -> np.ndarray:
+        """Indices of set bits strictly above position k."""
+        m = row.copy()
+        m[: k >> 6] = 0
+        m[k >> 6] &= ~(np.uint64((1 << ((k & 63) + 1)) - 1))
+        u8 = np.unpackbits(m.view(np.uint8), bitorder="little")
+        return np.flatnonzero(u8)
+
+    tri = 0
+    k4 = 0
+    for eu, ev in zip(u.tolist(), v.tolist()):
+        common = adj[eu] & adj[ev]
+        ws = bits_above(common, ev)
+        tri += len(ws)
+        for wn in ws.tolist():
+            cc = common & adj[wn]
+            m = cc.copy()
+            m[: wn >> 6] = 0
+            m[wn >> 6] &= ~(np.uint64((1 << ((wn & 63) + 1)) - 1))
+            k4 += int(pop[m.view(np.uint8)].sum())
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n], dtype="int64"),
+        "n_edges": pd.Series([len(ce)], dtype="int64"),
+        "triangles": pd.Series([tri], dtype="int64"),
+        "k4": pd.Series([k4], dtype="int64")})
+
+
+def _k4_shuffle(edges_ds, src: str, dst: str) -> pd.DataFrame:
+    from .relational import distinct_on, groupby_agg, hash_join
+
+    def canon(bt: pd.DataFrame) -> pd.DataFrame:
+        d = bt[bt[src] != bt[dst]]
+        aa = d[src].to_numpy(object)
+        bb = d[dst].to_numpy(object)
+        return pd.DataFrame({"a": np.where(aa < bb, aa, bb),
+                             "b": np.where(aa < bb, bb, aa)})
+
+    ce = distinct_on(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"]).materialize()
+    n_edges = int(ce.count())
+    n_nodes = int(groupby_agg(
+        ce.map_batches(
+            lambda bt: pd.DataFrame({
+                "v": np.concatenate([bt["a"].to_numpy(object),
+                                     bt["b"].to_numpy(object)])}),
+            batch_format="pandas"),
+        ["v"], [("v", "count", "d")]).count())
+
+    # wedge (a, b, c): (a,b) ⋈ (a,c), b < c
+    left = ce.map_batches(lambda bt: bt.rename(columns={"b": "c"}),
+                          batch_format="pandas")
+    wedges = hash_join(ce, left, on="a", empty_safe=True).filter(
+        lambda r: r["b"] < r["c"])
+    # triangle: (b, c) must be an edge
+    tri = hash_join(
+        wedges, ce.map_batches(
+            lambda bt: bt.rename(columns={"a": "b", "b": "c"}),
+            batch_format="pandas"),
+        on=["b", "c"], empty_safe=True).materialize()
+    n_tri = int(tri.count())
+    # extend by (c, d), d > c by canonical order
+    ext = hash_join(
+        tri, ce.map_batches(
+            lambda bt: bt.rename(columns={"a": "c", "b": "d"}),
+            batch_format="pandas"),
+        on="c", empty_safe=True)
+    # closure checks (b, d) and (a, d)
+    bd = hash_join(
+        ext, ce.map_batches(
+            lambda bt: bt.rename(columns={"a": "b", "b": "d"}),
+            batch_format="pandas"),
+        on=["b", "d"], empty_safe=True)
+    ad = hash_join(
+        bd, ce.map_batches(
+            lambda bt: bt.rename(columns={"a": "a", "b": "d"}),
+            batch_format="pandas"),
+        on=["a", "d"], empty_safe=True)
+    k4 = int(ad.count())
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "triangles": pd.Series([n_tri], dtype="int64"),
+        "k4": pd.Series([k4], dtype="int64")})

@@ -2415,3 +2415,58 @@ def test_rand_index_combinatorics_identity():
     same = (total + 2 * c2(m.groupby(["ca", "ca"]).size())
             - 2 * c2(m.groupby("ca").size()))
     assert same == total  # identical labelings agree on every pair
+
+
+def test_k4_known_motifs_brute_force_and_modes_agree():
+    """K5 → C(5,4)=5 cliques / C(5,3)=10 triangles; a hanging chain
+    adds neither; random graphs match itertools brute force; the
+    driver bitset path equals the 5-join shuffle path."""
+    from itertools import combinations
+
+    from cpg_ray.functions.graphalgo import k4_census
+
+    k5_nodes = list("ABCDE")
+    k5 = pd.DataFrame(
+        [(a, b) for a, b in combinations(k5_nodes, 2)],
+        columns=["src", "dst"])
+    chain = pd.DataFrame({"src": ["E", "X"], "dst": ["X", "Y"]})
+    e = pd.concat([k5, chain], ignore_index=True)
+    got = k4_census(rd.from_pandas(e), mode="driver")
+    assert int(got.loc[0, "triangles"]) == 10
+    assert int(got.loc[0, "k4"]) == 5
+    assert int(got.loc[0, "n_edges"]) == 12
+
+    def brute(e: pd.DataFrame) -> tuple[int, int]:
+        es = {tuple(sorted(t)) for t in
+              zip(e["src"], e["dst"]) if t[0] != t[1]}
+        vs = sorted({v for t in es for v in t})
+        tri = sum(1 for c in combinations(vs, 3)
+                  if all(tuple(sorted(p)) in es
+                         for p in combinations(c, 2)))
+        k4 = sum(1 for c in combinations(vs, 4)
+                 if all(tuple(sorted(p)) in es
+                        for p in combinations(c, 2)))
+        return tri, k4
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = int(rng.integers(5, 25))
+        m = int(rng.integers(n, n * 4))
+        e = pd.DataFrame({
+            "src": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+            "dst": [f"n{i:03d}" for i in rng.integers(0, n, m)],
+        })
+        drv = k4_census(rd.from_pandas(e), mode="driver")
+        tri, k4 = brute(e)
+        assert (int(drv.loc[0, "triangles"]),
+                int(drv.loc[0, "k4"])) == (tri, k4), trial
+
+    shf = k4_census(rd.from_pandas(pd.concat([k5, chain],
+                                             ignore_index=True)),
+                    mode="shuffle")
+    assert shf.equals(got)
+    # auto degrades past the edge guard and still agrees
+    auto = k4_census(rd.from_pandas(pd.concat([k5, chain],
+                                              ignore_index=True)),
+                     mode="auto", driver_edge_limit=3)
+    assert auto.equals(got)
