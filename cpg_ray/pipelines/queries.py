@@ -8642,3 +8642,86 @@ ORACLE_SQL["q_events_rfm"] = """
            sum(m)::BIGINT AS sum_cents
     FROM scored GROUP BY segment ORDER BY segment
 """
+
+
+def q_doc_zipf(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law fit of the corpus token rank-frequency curve — the
+    log-log slope every corpus-health audit quotes (natural text ≈ −1;
+    boilerplate/spam bends it) — estimated ROBUSTLY by Theil-Sen over
+    the top-256 tokens: points are (L(rank), L(freq)) with
+    L(v) = floor(1e9·ln v) (the PSI floored-nano-ln discipline — one
+    IEEE ln per integer input, identical on both engines), the median
+    slope an EXACT RATIONAL selected by (value, num, den) order (the
+    q_events_theilsen selection rule), so the output is integer-exact.
+
+    Shape: corpus token counts one pre-combined exchange; the top-256
+    cut is deterministic (freq DESC, token ASC); slopes are the tiny
+    O(T²/2) driver table."""
+    from ..functions.relational import groupby_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode_counts(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: one row per (token, batch), never one
+        # per occurrence (the q_doc_top_tokens shuffle contract)
+        toks = b["text"].str.lower().str.findall("[a-z0-9_]+").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"tok": vc.index, "n": vc.values})
+
+    tf = groupby_agg(
+        docs.map_batches(explode_counts, batch_format="pandas"),
+        ["tok"], [("n", "sum", "f")]).to_pandas()
+    top = tf.sort_values(["f", "tok"], ascending=[False, True],
+                         kind="mergesort").head(256).reset_index(drop=True)
+    t_n = len(top)
+    r = np.arange(1, t_n + 1, dtype="int64")
+    f = top["f"].to_numpy("int64")
+    lx = np.floor(np.log(r.astype("float64")) * 1e9).astype("int64")
+    ly = np.floor(np.log(f.astype("float64")) * 1e9).astype("int64")
+    i, j = np.triu_indices(t_n, 1)
+    num = ly[j] - ly[i]
+    den = lx[j] - lx[i]
+    val = num / den
+    order = np.lexsort((den, num, val))
+    k = (len(num) - 1) // 2
+    sel = order[k]
+    return pd.DataFrame({
+        "num": pd.Series([int(num[sel])], dtype="int64"),
+        "den": pd.Series([int(den[sel])], dtype="int64"),
+        "n_tokens": pd.Series([t_n], dtype="int64"),
+        "n_pairs": pd.Series([len(num)], dtype="int64"),
+    })
+
+
+ORACLE_SQL["q_doc_zipf"] = """
+    WITH tf AS (
+        SELECT tok, count(*)::BIGINT AS f
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+        FROM tf QUALIFY r <= 256
+    ), l AS (
+        SELECT floor(ln(r) * 1000000000)::BIGINT AS lx,
+               floor(ln(f) * 1000000000)::BIGINT AS ly,
+               r
+        FROM top
+    ), pairs AS (
+        SELECT (b.ly - a.ly)::BIGINT AS num,
+               (b.lx - a.lx)::BIGINT AS den
+        FROM l a JOIN l b ON b.r > a.r
+    ), stats AS (
+        SELECT count(*)::BIGINT AS n_pairs FROM pairs
+    ), sel AS (
+        SELECT num, den
+        FROM pairs
+        ORDER BY num / den, num, den
+        LIMIT 1 OFFSET (SELECT (n_pairs - 1) // 2 FROM stats)
+    )
+    SELECT (SELECT num FROM sel) AS num,
+           (SELECT den FROM sel) AS den,
+           (SELECT count(*) FROM top)::BIGINT AS n_tokens,
+           (SELECT n_pairs FROM stats) AS n_pairs
+"""

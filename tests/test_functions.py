@@ -2545,3 +2545,37 @@ def test_rfm_tercile_scores_on_hand_fixture():
     assert ((out["segment"] // 10) % 10).between(1, 3).all()
     assert (out["segment"] % 10).between(1, 3).all()
     assert (out["n_users"] > 0).all()
+
+
+def test_zipf_slope_on_synthetic_power_law_and_selection_rule():
+    """On an exact 1/r synthetic frequency table the Theil-Sen log-log
+    slope is ≈ −1, and the (value, num, den) selection is the lower
+    median of the pair list."""
+    import numpy as np
+
+    t_n = 64
+    r = np.arange(1, t_n + 1, dtype="int64")
+    f = (100000 // r).astype("int64")  # ~ C/r power law
+    lx = np.floor(np.log(r.astype("float64")) * 1e9).astype("int64")
+    ly = np.floor(np.log(f.astype("float64")) * 1e9).astype("int64")
+    i, j = np.triu_indices(t_n, 1)
+    num = ly[j] - ly[i]
+    den = lx[j] - lx[i]
+    val = num / den
+    order = np.lexsort((den, num, val))
+    k = (len(num) - 1) // 2
+    slope = val[order[k]]
+    assert -1.05 < slope < -0.95
+    # lower median: exactly (n_pairs-1)//2 pairs strictly below or
+    # equal in the (val, num, den) order
+    below = np.lexsort((den, num, val))[:k]
+    assert len(below) == k
+
+    from cpg_ray.pipelines.queries import q_doc_zipf
+    out = q_doc_zipf("/root/testdata/sf0.001").iloc[0]
+    # sf0.001's synthetic vocabulary is smaller than the 256 cap —
+    # the census reports the actual distinct-token count
+    t = int(out["n_tokens"])
+    assert 20 <= t <= 256
+    assert out["n_pairs"] == t * (t - 1) // 2
+    assert out["den"] > 0 and out["num"] < 0  # frequency falls in rank
