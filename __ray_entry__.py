@@ -2691,6 +2691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_rfm": q.q_events_rfm,
         # Zipf rank-frequency slope, Theil-Sen over floored-nano-ln
         "q_doc_zipf": q.q_doc_zipf,
+        # Holt level+trend smoothing, truncating-div milli recurrence
+        "q_events_holt": q.q_events_holt,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -8725,3 +8725,80 @@ ORACLE_SQL["q_doc_zipf"] = """
            (SELECT count(*) FROM top)::BIGINT AS n_tokens,
            (SELECT n_pairs FROM stats) AS n_pairs
 """
+
+
+def q_events_holt(sf_dir: str) -> pd.DataFrame:
+    """Holt's linear-trend double exponential smoothing of the daily
+    event volume (α=0.3, β=0.1 — the level+trend forecaster plain
+    EWMA can't express), kept EXACT in milli-units with TRUNCATING
+    integer division (DuckDB's ``//`` truncates toward zero — -7//2 is
+    -3 there and -4 in Python; the q_emb_pca divergence lesson):
+
+        l_t = (3·1000·y_t + 7·(l_{t-1} + b_{t-1})) /trunc/ 10
+        b_t = ((l_t − l_{t-1}) + 9·b_{t-1}) /trunc/ 10
+
+    initialized l_1 = 1000·y_1, b_1 = 1000·(y_2 − y_1).  The SQL twin
+    is a literal recursive CTE over the same day-indexed series.
+
+    Shape: daily counts one pre-combined exchange; the recurrence is
+    inherently serial over the day-sized series (driver loop, ~100
+    steps)."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    daily = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "day": (b["ts"].astype("datetime64[us]")
+                        .astype("int64") // 86_400_000_000)}),
+            batch_format="pandas"),
+        ["day"], [("day", "count", "n")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy("int64")
+    y = daily["n"].to_numpy("int64")
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (DuckDB //) for positive b
+        return -((-a) // b) if a < 0 else a // b
+
+    n = len(y)
+    lvl = [0] * n
+    trd = [0] * n
+    lvl[0] = 1000 * int(y[0])
+    trd[0] = 1000 * (int(y[1]) - int(y[0])) if n > 1 else 0
+    for t in range(1, n):
+        lp, bp = lvl[t - 1], trd[t - 1]
+        lt = tdiv(3 * 1000 * int(y[t]) + 7 * (lp + bp), 10)
+        bt = tdiv((lt - lp) + 9 * bp, 10)
+        lvl[t], trd[t] = lt, bt
+    return pd.DataFrame({
+        "day": days,
+        "n": y,
+        "level_milli": pd.Series(lvl, dtype="int64"),
+        "trend_milli": pd.Series(trd, dtype="int64"),
+    })
+
+
+ORACLE_SQL["q_events_holt"] = """
+    WITH RECURSIVE daily AS (
+        SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT day, n, row_number() OVER (ORDER BY day) AS t
+        FROM daily
+    ), h(t, day, n, l, b) AS (
+        SELECT 1::BIGINT, day, n, (1000 * n)::BIGINT,
+               (1000 * (coalesce((SELECT n FROM d WHERE t = 2), n)
+                        - n))::BIGINT
+        FROM d WHERE t = 1
+        UNION ALL
+        SELECT d.t, d.day, d.n,
+               ((3 * 1000 * d.n + 7 * (h.l + h.b)) // 10)::BIGINT,
+               (((((3 * 1000 * d.n + 7 * (h.l + h.b)) // 10) - h.l)
+                 + 9 * h.b) // 10)::BIGINT
+        FROM h JOIN d ON d.t = h.t + 1
+    )
+    SELECT day, n, l AS level_milli, b AS trend_milli
+    FROM h ORDER BY day
+"""

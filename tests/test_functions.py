@@ -2579,3 +2579,27 @@ def test_zipf_slope_on_synthetic_power_law_and_selection_rule():
     assert 20 <= t <= 256
     assert out["n_pairs"] == t * (t - 1) // 2
     assert out["den"] > 0 and out["num"] < 0  # frequency falls in rank
+
+
+def test_holt_converges_to_linear_trend_and_truncdiv_matches_duckdb():
+    """On an exactly linear series Holt locks the slope (trend →
+    1000·slope milli-units), and the truncating division matches
+    DuckDB's // on negatives."""
+    import duckdb
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    for a in (-7, 7, -10, 9, -1):
+        assert tdiv(a, 2) == duckdb.sql(f"SELECT ({a}) // 2").fetchone()[0]
+
+    # y_t = 50 + 5t: init b_1 = 1000·5 exactly, recurrence keeps it
+    y = [50 + 5 * t for t in range(40)]
+    lvl = 1000 * y[0]
+    trd = 1000 * (y[1] - y[0])
+    for t in range(1, len(y)):
+        lp, bp = lvl, trd
+        lvl = tdiv(3 * 1000 * y[t] + 7 * (lp + bp), 10)
+        trd = tdiv((lvl - lp) + 9 * bp, 10)
+    assert trd == 5000
+    assert abs(lvl - 1000 * y[-1]) < 2000  # level tracks the line
