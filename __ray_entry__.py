@@ -2693,6 +2693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_zipf": q.q_doc_zipf,
         # Holt level+trend smoothing, truncating-div milli recurrence
         "q_events_holt": q.q_events_holt,
+        # lag 1-7 autocorrelation census, exact integer moments
+        "q_events_autocorr": q.q_events_autocorr,
+        # Heaps vocabulary-growth table, first-seen census
+        "q_doc_heaps": q.q_doc_heaps,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -8418,9 +8418,11 @@ def q_events_spearman(sf_dir: str) -> pd.DataFrame:
     integer, so every moment (Sx, Sy, Sxx, Syy, Sxy) is an int64 sum
     and cov = n·Sxy − Sx·Sy / var = n·Sxx − Sx² are exact ints.
     rho² reports in ppm as cov² // max(varx·vary // 1e6, 1) — the
-    denominator is integer-truncated BEFORE the divide (documented
-    bias ≤ 1 ppm) so the numerator stays inside 128-bit on any
-    engine; sign(cov) reports separately (no sqrt anywhere).
+    denominator is integer-truncated BEFORE the divide (biases UP by
+    the truncation slack — ≤ 1 ppm once varx·vary ≥ ~1e12, larger on
+    tiny moments, identical on both engines) so the numerator stays
+    inside 128-bit; sign(cov) reports separately (no sqrt
+    anywhere).
 
     Shape: per-user totals one pre-combined exchange; each margin's
     rank table is value-distinct-sized (one more exchange each); the
@@ -8801,4 +8803,161 @@ ORACLE_SQL["q_events_holt"] = """
     )
     SELECT day, n, l AS level_milli, b AS trend_milli
     FROM h ORDER BY day
+"""
+
+
+def q_events_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation census of the daily event volume at lags 1-7
+    (the seasonality screen a forecasting pipeline runs before model
+    choice), kept EXACT: per lag the Pearson moments over the aligned
+    (y_t, y_{t+lag}) pairs are int64 sums, cov/var are exact ints, and
+    r² reports in ppm as cov² // max(varx·vary // 1e6, 1) with
+    sign(cov) separate (the q_events_spearman truncation discipline —
+    biases up by the truncation slack, identical on both engines; no
+    sqrt, no float).
+
+    Shape: daily counts one pre-combined exchange; the lag table is
+    the tiny O(7·days) driver frame; SQL twin is a literal self-join
+    on the day index."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    daily = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "day": (b["ts"].astype("datetime64[us]")
+                        .astype("int64") // 86_400_000_000)}),
+            batch_format="pandas"),
+        ["day"], [("day", "count", "n")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    y = daily["n"].to_numpy("int64")
+    rows = []
+    for lag in range(1, 8):
+        if lag >= len(y):
+            rows.append((lag, 0, 0, 0))
+            continue
+        a = y[:-lag].astype(object)
+        b = y[lag:].astype(object)
+        n = len(a)
+        sx, sy = int(sum(a)), int(sum(b))
+        sxx = int(sum(x * x for x in a))
+        syy = int(sum(x * x for x in b))
+        sxy = int(sum(p * q for p, q in zip(a, b)))
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        den = max((varx * vary) // 1_000_000, 1)
+        r2 = (cov * cov) // den
+        sign = 0 if cov == 0 else (1 if cov > 0 else -1)
+        rows.append((lag, n, sign, r2))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "sign",
+                                       "r2_ppm"]).astype("int64")
+
+
+ORACLE_SQL["q_events_autocorr"] = """
+    WITH daily AS (
+        SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT n, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), lags AS (SELECT unnest(range(1, 8))::BIGINT AS lag),
+    pairs AS (
+        SELECT l.lag, a.n AS x, b.n AS y
+        FROM lags l
+        JOIN d a ON TRUE
+        JOIN d b ON b.t = a.t + l.lag
+    ), m AS (
+        SELECT lag, count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy,
+               sum(x * y)::HUGEINT AS sxy
+        FROM pairs GROUP BY lag
+    ), f AS (
+        SELECT lag, n,
+               (n * sxy - sx * sy) AS cov,
+               (n * sxx - sx * sx) AS varx,
+               (n * syy - sy * sy) AS vary
+        FROM m
+    )
+    SELECT l.lag,
+           coalesce(f.n, 0)::BIGINT AS n_pairs,
+           coalesce(CASE WHEN f.cov > 0 THEN 1
+                         WHEN f.cov < 0 THEN -1 ELSE 0 END,
+                    0)::BIGINT AS sign,
+           coalesce((f.cov * f.cov)
+                    // greatest((f.varx * f.vary) // 1000000, 1),
+                    0)::BIGINT AS r2_ppm
+    FROM lags l LEFT JOIN f USING (lag)
+    ORDER BY l.lag
+"""
+
+
+def q_doc_heaps(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth table: streaming the corpus in
+    doc_id order, after each document the cumulative token count and
+    the distinct-vocabulary size (V(n) ≈ K·n^β — the sublinear growth
+    curve a healthy natural corpus follows; a flat or linear curve
+    flags template spam / vocabulary collapse).  Exact integers: a
+    token's first appearance is min(doc_id), so vocab at d = running
+    sum of first-seen counts — no estimation anywhere.
+
+    Shape: two pre-combined exchanges (per-doc token counts; per-token
+    min doc_id → per-doc first-seen census); running sums over the
+    doc-dimension-sized table on the driver."""
+    from ..functions.relational import groupby_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.set_index("doc_id")["text"].str.lower() \
+            .str.findall("[a-z0-9_]+").explode().dropna()
+        g = s.reset_index()
+        g.columns = ["doc_id", "tok"]
+        # per-batch combiner: (doc_id, tok) partial counts + mins
+        vc = g.groupby(["doc_id", "tok"]).size().reset_index(name="n")
+        return vc
+
+    per = docs.map_batches(explode, batch_format="pandas") \
+        .materialize()
+    cnt = groupby_agg(per, ["doc_id"], [("n", "sum", "n")]).to_pandas()
+    fs = groupby_agg(per, ["tok"], [("doc_id", "min", "d")])
+    fd = groupby_agg(fs, ["d"], [("d", "count", "new_toks")]).to_pandas()
+
+    base = read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    base = base.merge(cnt, on="doc_id", how="left") \
+        .merge(fd.rename(columns={"d": "doc_id"}), on="doc_id",
+               how="left").fillna(0)
+    base["cum_tokens"] = base["n"].astype("int64").cumsum()
+    base["vocab"] = base["new_toks"].astype("int64").cumsum()
+    out = base[["doc_id", "cum_tokens", "vocab"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE_SQL["q_doc_heaps"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9_]+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id
+    ), fs AS (
+        SELECT tok, min(doc_id) AS d FROM tok GROUP BY tok
+    ), fd AS (
+        SELECT d AS doc_id, count(*)::BIGINT AS new_toks
+        FROM fs GROUP BY d
+    )
+    SELECT b.doc_id,
+           CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY b.doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(f.new_toks, 0)) OVER (ORDER BY b.doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+    FROM documents b
+    LEFT JOIN cnt c USING (doc_id)
+    LEFT JOIN fd f USING (doc_id)
+    ORDER BY b.doc_id
 """

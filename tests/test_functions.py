@@ -2603,3 +2603,51 @@ def test_holt_converges_to_linear_trend_and_truncdiv_matches_duckdb():
         trd = tdiv((lvl - lp) + 9 * bp, 10)
     assert trd == 5000
     assert abs(lvl - 1000 * y[-1]) < 2000  # level tracks the line
+
+
+def test_autocorr_periodic_signal_peaks_at_its_period():
+    """Moment formula sanity: a perfect period-2 alternation has lag-2
+    r² = 1e6 (ppm) with positive sign, lag-1 negative."""
+    y = np.array([10, 20] * 20, dtype="int64")
+
+    def r2(lag):
+        a, b = y[:-lag].astype(object), y[lag:].astype(object)
+        n = len(a)
+        sx, sy = int(sum(a)), int(sum(b))
+        sxx = int(sum(x * x for x in a))
+        syy = int(sum(x * x for x in b))
+        sxy = int(sum(p * q for p, q in zip(a, b)))
+        cov = n * sxy - sx * sy
+        varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+        return ((cov * cov) // max((varx * vary) // 1_000_000, 1),
+                1 if cov > 0 else -1 if cov < 0 else 0)
+
+    # the truncated denominator biases UP (never down): perfect
+    # correlation reads ≥ 1e6 ppm, by at most den-truncation slack
+    ppm2, sign2 = r2(2)
+    assert sign2 == 1 and 1_000_000 <= ppm2 <= 1_001_000
+    ppm1, sign1 = r2(1)
+    assert sign1 == -1 and ppm1 > 900_000
+
+    from cpg_ray.pipelines.queries import q_events_autocorr
+    out = q_events_autocorr("/root/testdata/sf0.001")
+    assert len(out) == 7
+    assert (out["r2_ppm"] >= 0).all()
+    assert (out["r2_ppm"] <= 1_001_000).all()
+
+
+def test_heaps_growth_is_monotone_and_concave_ish():
+    """Vocabulary growth is monotone nondecreasing, bounded by
+    cumulative tokens, and the LAST row's vocab equals the corpus
+    distinct-token count exactly."""
+    from cpg_ray.pipelines.queries import q_doc_heaps, q_doc_zipf
+
+    out = q_doc_heaps("/root/testdata/sf0.001")
+    assert (out["vocab"].diff().dropna() >= 0).all()
+    assert (out["cum_tokens"].diff().dropna() >= 0).all()
+    assert (out["vocab"] <= out["cum_tokens"]).all()
+    # final vocab == distinct tokens (q_doc_zipf reports the same
+    # vocabulary under the same tokenizer, capped at 256)
+    z = q_doc_zipf("/root/testdata/sf0.001").iloc[0]
+    final_vocab = int(out["vocab"].iloc[-1])
+    assert final_vocab == int(z["n_tokens"]) or final_vocab > 256
