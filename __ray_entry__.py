@@ -1453,6 +1453,23 @@ def _kg_squares(sf_dir: str):
         dst="canonical_obj")
 
 
+def _kg_onion(sf_dir: str):
+    """Onion decomposition of the canonical entity graph
+    (graphalgo.onion_layers): the k-core peel's LAYER ORDER — per
+    entity (layer, core) where core matches classic coreness and
+    layer records centre-to-periphery depth (spoke vs deep-core at
+    equal k, the structural signal kg_coreness's values erase).
+    Exact integers; the SQL twin is the literal unrolled peel."""
+    from cpg_ray.functions.graphalgo import onion_layers
+
+    df = onion_layers(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj").to_pandas()
+    for c in ("layer", "core"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("entity").reset_index(drop=True)
+
+
 def _kg_k4(sf_dir: str):
     """4-clique (K4) census of the canonical entity graph
     (graphalgo.k4_census): every K4 {a<b<c<d} counted once by closing
@@ -2926,6 +2943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_squares": _kg_squares,
         # 4-clique census — ordered-triangle closure, 6-join oracle
         "kg_k4": _kg_k4,
+        # onion decomposition — peel-layer order over the k-core
+        "kg_onion": _kg_onion,
         # Flesch reading-ease in exact integer milli-points
         "q_doc_readability": q.q_doc_readability,
         # user-journey census: first-5-event paths per user
@@ -3776,6 +3795,53 @@ def _coreness_oracle_sql(triples_glob: str, *, rounds: int) -> str:
                 FROM v{rounds} x JOIN v{rounds + 1} y USING (node))
                    AS converged
         FROM v{rounds} a ORDER BY entity""")
+    return "".join(parts)
+
+
+def _onion_oracle_sql(triples_glob: str, *, rounds: int) -> str:
+    """Generated unrolled oracle for kg_onion: per round the remaining
+    subgraph's degree census (both endpoints alive), the threshold
+    k_r = max(k_{r-1}, min remaining degree), removal of every node
+    with d ≤ k_r at (layer=r, core=k_r).  Rounds must cover the true
+    layer count — a short budget loses rows and the gate flags it."""
+    parts = [f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT canonical_subj AS src,
+                            canonical_obj AS dst
+            FROM read_parquet('{triples_glob}')
+            WHERE canonical_subj <> canonical_obj),
+        und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+        k0 AS (SELECT 0::BIGINT AS k)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        , d{r} AS MATERIALIZED (
+            SELECT a.node, coalesce(c.d, 0)::BIGINT AS d
+            FROM a{r - 1} a LEFT JOIN (
+                SELECT u.src AS node, count(*)::BIGINT AS d
+                FROM und u
+                JOIN a{r - 1} x ON x.node = u.src
+                JOIN a{r - 1} y ON y.node = u.dst
+                GROUP BY u.src) c USING (node)),
+        k{r} AS MATERIALIZED (
+            SELECT greatest((SELECT k FROM k{r - 1}),
+                            coalesce((SELECT min(d) FROM d{r}), 0))
+                   ::BIGINT AS k),
+        rem{r} AS MATERIALIZED (
+            SELECT node, {r}::BIGINT AS layer,
+                   (SELECT k FROM k{r}) AS core
+            FROM d{r} WHERE d <= (SELECT k FROM k{r})),
+        a{r} AS MATERIALIZED (
+            SELECT node FROM d{r}
+            WHERE d > (SELECT k FROM k{r}))""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM rem{r}" for r in range(1, rounds + 1))
+    parts.append(f"""
+        SELECT node AS entity, layer, core FROM (
+            {union})
+        ORDER BY entity""")
     return "".join(parts)
 
 
@@ -5510,6 +5576,7 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             triples_glob, k=5, rounds=3, label_rounds=8),
         "kg_bowtie": _bowtie_oracle_sql(triples_glob, rounds=8),
         "kg_coreness": _coreness_oracle_sql(triples_glob, rounds=6),
+        "kg_onion": _onion_oracle_sql(triples_glob, rounds=12),
         "kg_densest": _densest_oracle_sql(triples_glob, rounds=6),
         # mutual max-weight proposals (ties -> smallest neighbor);
         # matched pairs contract to least(u, v)

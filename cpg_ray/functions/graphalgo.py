@@ -6654,3 +6654,123 @@ def _k4_shuffle(edges_ds, src: str, dst: str) -> pd.DataFrame:
         "n_edges": pd.Series([n_edges], dtype="int64"),
         "triangles": pd.Series([n_tri], dtype="int64"),
         "k4": pd.Series([k4], dtype="int64")})
+
+
+def onion_layers(edges_ds, *, src: str = "src", dst: str = "dst",
+                 mode: str = "auto", max_rounds: int = 256,
+                 driver_edge_limit: int = _DEF_EDGE_LIMIT):
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci.
+    Rep. 2016, public): the LAYER ORDER of the k-core peel that
+    coreness values erase.  Each round removes EVERY node whose
+    remaining degree is ≤ the current threshold k, where k only ever
+    rises to the minimum remaining degree (so consecutive empty peel
+    stages collapse into one round — the round census is identical on
+    any engine); a removed node records (layer, core=k-at-removal).
+    Core values equal classic coreness; layers add the centre-to-
+    periphery ordering (spokes vs deep core at equal k).
+
+    Returns (entity, layer int64, core int64) sorted by entity.
+
+    Scale shape: each round is one degree census over the remaining
+    symmetric edge set + one threshold broadcast + one removal filter.
+    Driver mode runs the identical kernel in numpy bincounts under
+    ``driver_edge_limit``; shuffle mode keeps edges distributed —
+    per round one pre-combined degree groupby, a scalar min-reduce,
+    and a broadcast-removal semi filter (removed set is layer-sized,
+    never corpus-sized); ``max_rounds`` bounds the loop
+    (GuardExceeded past it — peel layers grow like the graph's
+    degeneracy ordering depth, not |V|)."""
+    import ray.data as rd
+
+    if mode not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    empty = pd.DataFrame({"entity": pd.Series([], dtype=object),
+                          "layer": pd.Series([], dtype="int64"),
+                          "core": pd.Series([], dtype="int64")})
+    if mode in ("driver", "auto"):
+        try:
+            edges = _edges_to_driver(edges_ds, src, dst,
+                                     driver_edge_limit)
+            und = _und_pairs_df(edges, src, dst)
+            if und.empty:
+                return rd.from_pandas(empty)
+            nodes, s_i, d_i = _index_graph(und, "src", "dst")
+            n = len(nodes)
+            alive = np.ones(n, bool)
+            ealive = np.ones(len(s_i), bool)
+            layer = np.zeros(n, np.int64)
+            core = np.zeros(n, np.int64)
+            k = 0
+            lyr = 0
+            while alive.any():
+                lyr += 1
+                if lyr > max_rounds:
+                    raise GuardExceeded(
+                        f"onion_layers: > {max_rounds} peel rounds")
+                deg = np.bincount(s_i[ealive], minlength=n)
+                k = max(k, int(deg[alive].min()))
+                s_mask = alive & (deg <= k)
+                layer[s_mask] = lyr
+                core[s_mask] = k
+                alive &= ~s_mask
+                ealive &= alive[s_i] & alive[d_i]
+            return rd.from_pandas(pd.DataFrame(
+                {"entity": nodes, "layer": layer, "core": core}))
+        except GuardExceeded:
+            if mode == "driver":
+                raise
+    from .relational import distinct_on, groupby_agg
+
+    und = distinct_on(
+        edges_ds.map_batches(
+            lambda b: pd.DataFrame({
+                "s": pd.concat([b[src], b[dst]], ignore_index=True),
+                "t": pd.concat([b[dst], b[src]], ignore_index=True),
+            }).loc[lambda d: d["s"] != d["t"]],
+            batch_format="pandas"),
+        ["s", "t"]).materialize()
+    # node state lives on the driver (V-sized, the kg_msf per-round
+    # label-map regime: edges stay distributed, node maps broadcast);
+    # WITHOUT it a node whose last edge is peeled away would vanish
+    # from the edge census and never receive its layer
+    import ray as _ray
+
+    from .relational import bcast_get
+
+    alive = groupby_agg(und, ["s"], [("t", "count", "d")]) \
+        .to_pandas().rename(columns={"s": "node"})
+    out_parts: list[pd.DataFrame] = []
+    k = 0
+    lyr = 0
+    while len(alive):
+        lyr += 1
+        if lyr > max_rounds:
+            raise GuardExceeded(
+                f"onion_layers: > {max_rounds} peel rounds")
+        k = max(k, int(alive["d"].min()))
+        gone_mask = (alive["d"] <= k).to_numpy()
+        gone = alive.loc[gone_mask, "node"]
+        out_parts.append(pd.DataFrame(
+            {"entity": gone.to_numpy(object),
+             "layer": np.full(len(gone), lyr, np.int64),
+             "core": np.full(len(gone), k, np.int64)}))
+        alive = alive.loc[~gone_mask].copy()
+        if not len(alive):
+            break
+        ref = _ray.put(frozenset(gone.tolist()))
+
+        def drop(b: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            gs = bcast_get(_r)
+            return b[~b["s"].isin(gs) & ~b["t"].isin(gs)]
+
+        und = und.map_batches(drop, batch_format="pandas") \
+            .materialize()
+        deg = groupby_agg(und, ["s"], [("t", "count", "d")]) \
+            .to_pandas().rename(columns={"s": "node"})
+        alive = alive[["node"]].merge(deg, on="node", how="left")
+        alive["d"] = alive["d"].fillna(0).astype("int64")
+    res = (pd.concat(out_parts, ignore_index=True)
+           if out_parts else empty)
+    return rd.from_pandas(
+        res.sort_values("entity", kind="mergesort")
+        .reset_index(drop=True))

@@ -2470,3 +2470,37 @@ def test_k4_known_motifs_brute_force_and_modes_agree():
                                               ignore_index=True)),
                      mode="auto", driver_edge_limit=3)
     assert auto.equals(got)
+
+
+def test_onion_layers_known_graph_and_modes_agree():
+    """Star + triangle-with-tail: the star leaves peel at layer 1
+    core 1, the tail at layer 1 too, the hub after its leaves, the
+    triangle last at core 2; cores equal classic coreness; driver ==
+    shuffle; isolated-by-peel nodes still get their layer in shuffle
+    mode (the node-state fix)."""
+    from cpg_ray.functions.graphalgo import coreness, onion_layers
+
+    # star S with 3 leaves + triangle A-B-C with tail T attached to A
+    e = pd.DataFrame({
+        "src": ["S", "S", "S", "A", "B", "C", "A"],
+        "dst": ["l1", "l2", "l3", "B", "C", "A", "T"],
+    })
+    drv = onion_layers(rd.from_pandas(e), mode="driver").to_pandas() \
+        .sort_values("entity").reset_index(drop=True)
+    shf = onion_layers(rd.from_pandas(e), mode="shuffle").to_pandas() \
+        .sort_values("entity").reset_index(drop=True)
+    assert drv.equals(shf)
+    row = drv.set_index("entity")
+    # leaves + tail first (deg 1 ≤ k=1)
+    assert row.loc["l1", "layer"] == 1 and row.loc["l1", "core"] == 1
+    assert row.loc["T", "layer"] == 1
+    # hub S isolated by its leaves' removal → next layer, still core 1
+    # (the isolated-node case shuffle mode must not lose)
+    assert row.loc["S", "layer"] == 2 and row.loc["S", "core"] == 1
+    # triangle peels last at core 2
+    assert (row.loc[["A", "B", "C"], "core"] == 2).all()
+    assert row.loc["B", "layer"] == row["layer"].max()
+    # cores equal classic coreness everywhere
+    cor = coreness(rd.from_pandas(e), mode="driver").to_pandas() \
+        .set_index("entity")["coreness"]
+    assert (row["core"] == cor.loc[row.index]).all()
