@@ -2714,6 +2714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_autocorr": q.q_events_autocorr,
         # Heaps vocabulary-growth table, first-seen census
         "q_doc_heaps": q.q_doc_heaps,
+        # kNN-distance outlier census, broadcast-matrix linear pass
+        "q_emb_outliers": q.q_emb_outliers,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -8961,3 +8961,80 @@ ORACLE_SQL["q_doc_heaps"] = """
     LEFT JOIN fd f USING (doc_id)
     ORDER BY b.doc_id
 """
+
+
+def q_emb_outliers(sf_dir: str) -> pd.DataFrame:
+    """Distance-based outlier census (Ramaswamy et al. SIGMOD'00 —
+    the classic kNN-distance outlier rule curation uses to surface
+    mislabeled/junk embeddings): a point's score is its squared
+    distance to its 5th nearest neighbor (2^10-quantized exact int64,
+    the q_emb_kcenter discipline); report the top 20 by (score DESC,
+    vec_id) — the k-th order statistic of a multiset needs no
+    tie-break to be value-deterministic.
+
+    Shape: the quantized corpus matrix broadcasts ONCE (ray.put);
+    each batch computes its rows' distances to all via one matmul and
+    keeps only the 5th-smallest per row — O(n²) flops but O(batch)
+    memory and one linear pass; the row guard REFUSES past 200k
+    vectors (GuardExceeded — at that scale the honest path is the
+    q_knn_ivf/q_knn_lsh ANN family, not a dense all-pairs)."""
+    import ray
+
+    from ..functions.relational import GuardExceeded, bcast_get, topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = ds.to_pandas()
+    if len(full) > 200_000:
+        raise GuardExceeded("q_emb_outliers: > 200k vectors; use the "
+                            "ANN family for the scale path")
+    q = np.floor(np.stack(full["embedding"].to_numpy())
+                 .astype(np.float64) * (1 << 10)).astype(np.int64)
+    ids = full["vec_id"].to_numpy("int64")
+    order = np.argsort(ids, kind="mergesort")
+    q, ids = q[order], ids[order]
+    ref = ray.put((ids, q, (q * q).sum(1)))
+
+    def knn5(b: pd.DataFrame) -> pd.DataFrame:
+        cids, cq, cnn = bcast_get(ref)
+        bq = np.floor(np.stack(b["embedding"].to_numpy())
+                      .astype(np.float64) * (1 << 10)).astype(np.int64)
+        bids = b["vec_id"].to_numpy("int64")
+        d2 = (bq * bq).sum(1)[:, None] + cnn[None, :] - 2 * (bq @ cq.T)
+        # mask self (same vec_id) with +inf-like sentinel
+        self_mask = bids[:, None] == cids[None, :]
+        d2[self_mask] = np.iinfo(np.int64).max
+        kth = np.partition(d2, 4, axis=1)[:, 4]
+        return pd.DataFrame({"vec_id": bids, "knn_d2": kth})
+
+    scored = ds.map_batches(knn5, batch_format="pandas")
+    out = topk(scored, ["knn_d2", "vec_id"], 20,
+               descending=[True, False]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+ORACLE_SQL["q_emb_outliers"] = """
+    WITH q AS (
+        SELECT vec_id, idx,
+               floor(qv * 1024)::BIGINT AS qq
+        FROM (SELECT vec_id,
+                     unnest(embedding)::DOUBLE AS qv,
+                     generate_subscripts(embedding, 1) AS idx
+              FROM embeddings)
+    ), d AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               sum((a.qq - b.qq) * (a.qq - b.qq))::BIGINT AS d2
+        FROM q a JOIN q b ON a.idx = b.idx AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ), r AS (
+        SELECT i AS vec_id, d2,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY d2, j) AS rn
+        FROM d
+    )
+    SELECT vec_id, d2 AS knn_d2
+    FROM r WHERE rn = 5
+    ORDER BY knn_d2 DESC, vec_id
+    LIMIT 20
+"""

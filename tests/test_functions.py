@@ -2651,3 +2651,22 @@ def test_heaps_growth_is_monotone_and_concave_ish():
     z = q_doc_zipf("/root/testdata/sf0.001").iloc[0]
     final_vocab = int(out["vocab"].iloc[-1])
     assert final_vocab == int(z["n_tokens"]) or final_vocab > 256
+
+
+def test_knn_outlier_partition_equals_brute_and_planted_outlier():
+    """np.partition's 5th-smallest equals the sorted reference, and a
+    planted far point gets the max kNN-distance score."""
+    rng = np.random.RandomState(3)
+    x = rng.randint(-50, 50, size=(40, 8)).astype("int64")
+    x[7] += 100_000  # planted outlier
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(2)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    kth_part = np.partition(d2, 4, axis=1)[:, 4]
+    kth_sort = np.sort(d2, axis=1)[:, 4]
+    assert (kth_part == kth_sort).all()
+    assert kth_part.argmax() == 7
+
+    from cpg_ray.pipelines.queries import q_emb_outliers
+    out = q_emb_outliers("/root/testdata/sf0.001")
+    assert len(out) == 20
+    assert (out["knn_d2"].diff().dropna() <= 0).all()  # desc order
