@@ -2716,6 +2716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_heaps": q.q_doc_heaps,
         # kNN-distance outlier census, broadcast-matrix linear pass
         "q_emb_outliers": q.q_emb_outliers,
+        # Markov stationary distribution, integer power iteration
+        "q_events_stationary": q.q_events_stationary,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

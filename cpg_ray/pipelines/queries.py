@@ -9038,3 +9038,89 @@ ORACLE_SQL["q_emb_outliers"] = """
     ORDER BY knn_d2 DESC, vec_id
     LIMIT 20
 """
+
+
+def q_events_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain (the
+    long-run behavior profile of q_events_transitions' bigram model):
+    12 rounds of integer power iteration π' = πP over the transition
+    counts, each term tdiv(π_i·C(i,j), R_i) with R_i the row sum —
+    non-negative, so floor == truncation and every engine agrees;
+    start π = 1e6 per type, report the raw (un-renormalized) masses
+    plus each type's row sum.  The SQL twin unrolls the 12 rounds
+    over the tiny type×type matrix.
+
+    Shape: the transition census is q_events_transitions' bucketed
+    shift pass (one exchange); the iteration is a 5×5 driver loop."""
+    tr = q_events_transitions(sf_dir)
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    from ..functions.relational import groupby_agg
+
+    types = groupby_agg(ev, ["event_type"],
+                        [("event_type", "count", "cnt")]).to_pandas()
+    types = sorted(types["event_type"].tolist())
+    t_idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    c = np.zeros((k, k), dtype="int64")
+    for _, row in tr.iterrows():
+        c[t_idx[row["from_type"]], t_idx[row["to_type"]]] = row["n"]
+    rs = c.sum(1)
+    p = np.full(k, 1_000_000, dtype=object)
+    for _ in range(12):
+        nxt = [0] * k
+        for i in range(k):
+            if rs[i] == 0:
+                continue
+            for j in range(k):
+                nxt[j] += (int(p[i]) * int(c[i, j])) // int(rs[i])
+        p = np.array(nxt, dtype=object)
+    return pd.DataFrame({
+        "event_type": pd.Series(types, dtype=object),
+        "pi_ppm": pd.Series([int(x) for x in p], dtype="int64"),
+        "row_sum": pd.Series(rs, dtype="int64"),
+    })
+
+
+def _stationary_oracle_rounds(rounds: int = 12) -> str:
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        , p{r} AS MATERIALIZED (
+            SELECT ty.event_type,
+                   coalesce((SELECT sum((p.p * t.n) // r.rs)
+                             FROM p{r - 1} p
+                             JOIN t ON t.from_type = p.event_type
+                             JOIN r ON r.from_type = t.from_type
+                             WHERE t.to_type = ty.event_type),
+                            0)::BIGINT AS p
+            FROM types ty)""")
+    return "".join(parts)
+
+
+ORACLE_SQL["q_events_stationary"] = f"""
+    WITH nxt AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ), t AS MATERIALIZED (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*)::BIGINT AS n
+        FROM nxt WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), r AS MATERIALIZED (
+        SELECT from_type, sum(n)::BIGINT AS rs FROM t GROUP BY 1
+    ), types AS MATERIALIZED (
+        SELECT DISTINCT event_type FROM events
+    ), p0 AS MATERIALIZED (
+        SELECT event_type, 1000000::BIGINT AS p FROM types
+    ){_stationary_oracle_rounds(12)}
+    SELECT ty.event_type,
+           p12.p AS pi_ppm,
+           coalesce(r.rs, 0)::BIGINT AS row_sum
+    FROM types ty
+    JOIN p12 ON p12.event_type = ty.event_type
+    LEFT JOIN r ON r.from_type = ty.event_type
+    ORDER BY ty.event_type
+"""

@@ -2670,3 +2670,29 @@ def test_knn_outlier_partition_equals_brute_and_planted_outlier():
     out = q_emb_outliers("/root/testdata/sf0.001")
     assert len(out) == 20
     assert (out["knn_d2"].diff().dropna() <= 0).all()  # desc order
+
+
+def test_stationary_power_iteration_matches_eigenvector_on_fixture():
+    """On a 2-state chain with known stationary distribution
+    (π ∝ (q, p) for flip probs p, q) the integer iteration converges
+    to the right ratio, and mass decays only by flooring."""
+    c = np.array([[70, 30],    # P = [[0.7, 0.3], [0.6, 0.4]]
+                  [60, 40]], dtype="int64")
+    rs = c.sum(1)
+    p = [1_000_000, 1_000_000]
+    for _ in range(12):
+        nxt = [0, 0]
+        for i in range(2):
+            for j in range(2):
+                nxt[j] += (p[i] * int(c[i, j])) // int(rs[i])
+        p = nxt
+    # exact stationary: π = (2/3, 1/3) of total mass
+    total = sum(p)
+    assert abs(p[0] / total - 2 / 3) < 1e-3
+    assert total <= 2_000_000  # floor-only decay, never growth
+
+    from cpg_ray.pipelines.queries import q_events_stationary
+    out = q_events_stationary("/root/testdata/sf0.001")
+    assert len(out) == 5
+    assert (out["pi_ppm"] > 0).all()
+    assert int(out["pi_ppm"].sum()) <= 5_000_000
