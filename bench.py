@@ -212,6 +212,18 @@ BENCH_QUERIES = [
     "q_events_mannwhitney",
     "q_events_dow_chi2",
     "kg_cluster_rand",
+    # round-5 eighth-session additions
+    "q_events_benford",
+    "q_events_spearman",
+    "q_events_rfm",
+    "q_doc_zipf",
+    "q_events_holt",
+    "q_events_autocorr",
+    "q_doc_heaps",
+    "kg_k4",
+    "kg_onion",
+    "q_emb_outliers",
+    "q_events_stationary",
 ]
 
 
