@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "kg_onion",
     "q_emb_outliers",
     "q_events_stationary",
+    "q_emb_facility",
 ]
 
 

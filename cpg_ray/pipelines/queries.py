@@ -9124,3 +9124,140 @@ ORACLE_SQL["q_events_stationary"] = f"""
     LEFT JOIN r ON r.from_type = ty.event_type
     ORDER BY ty.event_type
 """
+
+
+def q_emb_facility(sf_dir: str) -> pd.DataFrame:
+    """Greedy facility-location data selection (the submodular
+    REPRESENTATIVENESS objective — Σ_v max(0, max_{s∈S} sim(v,s)) —
+    behind CRAIG-style coreset curation; the complement of
+    q_emb_kcenter's min-max DIVERSITY pick): 6 greedy rounds, sim =
+    exact int64 dot of the 2^10-quantized vectors, coverage floored
+    at 0, pick = argmax total coverage (ties → smallest vec_id), so
+    every comparison is integer and the unrolled SQL twin is
+    bit-identical.  The picked total after round r IS the next
+    round's baseline (Σ_v max(best_v, dot(v,c)) at the argmax), so
+    gains need no separate coverage pass.
+
+    Shape: under the row guard one pull + 6 numpy argmax rounds over
+    the Gram matrix; past it the quantized corpus matrix broadcasts
+    ONCE (ray.put, n×d ints — dimension-bounded) and each round
+    streams the corpus in one linear pass: per batch a B×n matmul
+    clipped by the batch rows' current coverage emits an n-sized
+    candidate-total partial (associative sum — the kcenter partial
+    discipline); no n×n table ever materializes."""
+    import ray
+
+    from ..functions.relational import bcast_get
+
+    k = 6
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(df: pd.DataFrame):
+        qm = np.floor(np.stack(df["embedding"].to_numpy())
+                      .astype(np.float64) * (1 << 10)).astype(np.int64)
+        return df["vec_id"].to_numpy("int64"), qm
+
+    n_rows = ds.count()
+    if n_rows <= 8_000:
+        full = ds.to_pandas()
+        ids, qm = quant(full)
+        order = np.argsort(ids, kind="mergesort")
+        ids, qm = ids[order], qm[order]
+        gram = np.maximum(qm @ qm.T, 0)  # coverage floors at 0
+        best = np.zeros(len(ids), dtype="int64")
+        picked: list[tuple[int, int, int]] = []
+        best_total = 0
+        for r in range(1, k + 1):
+            tot = np.maximum(gram, best[:, None]).sum(0)
+            picked_pos = [int(np.searchsorted(ids, v))
+                          for _, v, _ in picked]
+            tot[picked_pos] = np.iinfo(np.int64).min
+            c = int(tot.argmax())  # ids sorted asc → first max = min id
+            picked.append((r, int(ids[c]), int(tot[c]) - best_total))
+            best_total = int(tot[c])
+            best = np.maximum(best, gram[:, c])
+        return pd.DataFrame(picked, columns=["rank", "vec_id", "gain"]) \
+            .astype("int64")
+
+    # streaming path: corpus matrix broadcast once, k linear passes
+    full = ds.to_pandas()
+    ids, qm = quant(full)
+    order = np.argsort(ids, kind="mergesort")
+    ids, qm = ids[order], qm[order]
+    mref = ray.put((ids, qm))
+    sel_pos: list[int] = []
+    picked = []
+    best_total = 0
+    for r in range(1, k + 1):
+        pref = ray.put(np.array(sel_pos, dtype="int64"))
+
+        def gains(b: pd.DataFrame, _m=mref, _p=pref) -> pd.DataFrame:
+            cids, cq = bcast_get(_m)
+            spos = bcast_get(_p)
+            _, bq = quant(b)
+            dots = np.maximum(bq @ cq.T, 0)  # B×n, floored coverage
+            best_b = (dots[:, spos].max(1) if len(spos)
+                      else np.zeros(len(bq), dtype="int64"))
+            part = np.maximum(dots, best_b[:, None]).sum(0)
+            return pd.DataFrame({"pos": np.arange(len(cids),
+                                                  dtype="int64"),
+                                 "tot": part})
+
+        parts = ds.map_batches(gains, batch_format="pandas").to_pandas()
+        tot = parts.groupby("pos")["tot"].sum().to_numpy("int64")
+        tot[sel_pos] = np.iinfo(np.int64).min
+        c = int(tot.argmax())
+        picked.append((r, int(ids[c]), int(tot[c]) - best_total))
+        best_total = int(tot[c])
+        sel_pos.append(c)
+    return pd.DataFrame(picked, columns=["rank", "vec_id", "gain"]) \
+        .astype("int64")
+
+
+def _facility_oracle_sql(k: int = 6) -> str:
+    """Generated unrolled oracle for q_emb_facility: the full
+    quantized dot matrix (floored at 0) materializes once; per round
+    the candidate totals fold the running per-point coverage with
+    greatest(), the pick is (tot DESC, vec_id), and the pick's total
+    becomes the next baseline."""
+    parts = ["""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, unnest(range(len(embedding))) AS i,
+               floor(unnest(embedding)::DOUBLE * 1024)::BIGINT AS qv
+        FROM embeddings
+    ), dotm AS MATERIALIZED (
+        SELECT a.vec_id AS v, b.vec_id AS c,
+               greatest(sum(a.qv * b.qv), 0)::BIGINT AS dot
+        FROM x a JOIN x b ON b.i = a.i
+        GROUP BY a.vec_id, b.vec_id
+    ), m0 AS MATERIALIZED (
+        SELECT DISTINCT vec_id AS v, 0::BIGINT AS b FROM embeddings)"""]
+    for t in range(1, k + 1):
+        not_in = ("" if t == 1 else
+                  "WHERE d.c NOT IN (" + " UNION ALL ".join(
+                      f"SELECT p FROM pick{s}" for s in range(1, t))
+                  + ")")
+        parts.append(f"""
+    , g{t} AS MATERIALIZED (
+        SELECT d.c, sum(greatest(m.b, d.dot))::BIGINT AS tot
+        FROM dotm d JOIN m{t - 1} m ON m.v = d.v
+        {not_in}
+        GROUP BY d.c
+    ), pick{t} AS MATERIALIZED (
+        SELECT c AS p, tot FROM g{t} ORDER BY tot DESC, c LIMIT 1
+    ), m{t} AS MATERIALIZED (
+        SELECT m.v, greatest(m.b, d.dot)::BIGINT AS b
+        FROM m{t - 1} m JOIN dotm d
+          ON d.v = m.v AND d.c = (SELECT p FROM pick{t}))""")
+    sel = " UNION ALL ".join(
+        f"""SELECT {t}::BIGINT AS rank, (SELECT p FROM pick{t}) AS vec_id,
+             ((SELECT tot FROM pick{t})
+              - {f'(SELECT tot FROM pick{t - 1})' if t > 1 else '0'})
+                 ::BIGINT AS gain"""
+        for t in range(1, k + 1))
+    parts.append(f"""
+    SELECT * FROM ({sel}) ORDER BY rank""")
+    return "".join(parts)
+
+
+ORACLE_SQL["q_emb_facility"] = _facility_oracle_sql(6)

@@ -2696,3 +2696,27 @@ def test_stationary_power_iteration_matches_eigenvector_on_fixture():
     assert len(out) == 5
     assert (out["pi_ppm"] > 0).all()
     assert int(out["pi_ppm"].sum()) <= 5_000_000
+
+
+def test_facility_streaming_path_equals_driver_and_is_submodular():
+    """The broadcast-matrix streaming path returns the identical pick
+    sequence as the Gram-matrix driver path (guard forced), and the
+    greedy gains are non-increasing (submodularity of the floored
+    coverage objective)."""
+    from cpg_ray.pipelines.queries import q_emb_facility
+
+    sf = "/root/testdata/sf0.001"
+    drv = q_emb_facility(sf)
+
+    import cpg_ray.pipelines.queries as qmod
+    import ray.data as rd
+    orig = rd.Dataset.count
+    try:
+        rd.Dataset.count = lambda self: 10_000_000  # force streaming
+        stream = q_emb_facility(sf)
+    finally:
+        rd.Dataset.count = orig
+    assert stream.equals(drv)
+    assert (drv["gain"].diff().dropna() <= 0).all()
+    assert drv["rank"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert drv["vec_id"].is_unique
