@@ -1453,6 +1453,18 @@ def _kg_squares(sf_dir: str):
         dst="canonical_obj")
 
 
+def _kg_powerlaw(sf_dir: str):
+    """Degree-tail power-law exponent of the canonical entity graph
+    (graphalgo.powerlaw_alpha, Clauset-Shalizi-Newman MLE with the
+    floored-nano-ln discipline — the scale-free sanity check of a
+    web-derived KG's degree distribution)."""
+    from cpg_ray.functions.graphalgo import powerlaw_alpha
+
+    return powerlaw_alpha(
+        _entity_edges(sf_dir), src="canonical_subj",
+        dst="canonical_obj")
+
+
 def _kg_onion(sf_dir: str):
     """Onion decomposition of the canonical entity graph
     (graphalgo.onion_layers): the k-core peel's LAYER ORDER — per
@@ -2951,6 +2963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_k4": _kg_k4,
         # onion decomposition — peel-layer order over the k-core
         "kg_onion": _kg_onion,
+        # degree-tail power-law MLE, floored-nano-ln discipline
+        "kg_powerlaw": _kg_powerlaw,
         # Flesch reading-ease in exact integer milli-points
         "q_doc_readability": q.q_doc_readability,
         # user-journey census: first-5-event paths per user
@@ -5622,6 +5636,32 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_bowtie": _bowtie_oracle_sql(triples_glob, rounds=8),
         "kg_coreness": _coreness_oracle_sql(triples_glob, rounds=6),
         "kg_onion": _onion_oracle_sql(triples_glob, rounds=12),
+        # power-law tail MLE: symmetric degree census → distinct-degree
+        # table → cnt·floor(1e9·ln(2d/3)) sum (dmin=2), α in milli
+        "kg_powerlaw": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst
+                        FROM e0)),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                    FROM und GROUP BY src),
+            dc AS (SELECT d, count(*)::BIGINT AS cnt FROM deg
+                   WHERE d >= 2 GROUP BY d),
+            agg AS (SELECT sum(cnt)::BIGINT AS n_tail,
+                           sum(cnt * floor(ln((2 * d)::DOUBLE / 3)
+                                           * 1000000000)::BIGINT)
+                               ::BIGINT AS s
+                    FROM dc)
+            SELECT n_tail, s AS sum_ln_nano,
+                   (CASE WHEN s > 0 THEN 1000
+                         + (1000 * n_tail * 1000000000) // s
+                         ELSE 0 END)::BIGINT AS alpha_milli
+            FROM agg
+        """,
         "kg_densest": _densest_oracle_sql(triples_glob, rounds=6),
         # mutual max-weight proposals (ties -> smallest neighbor);
         # matched pairs contract to least(u, v)

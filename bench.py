@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q_emb_outliers",
     "q_events_stationary",
     "q_emb_facility",
+    "kg_powerlaw",
 ]
 
 

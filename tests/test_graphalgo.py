@@ -2504,3 +2504,33 @@ def test_onion_layers_known_graph_and_modes_agree():
     cor = coreness(rd.from_pandas(e), mode="driver").to_pandas() \
         .set_index("entity")["coreness"]
     assert (row["core"] == cor.loc[row.index]).all()
+
+
+def test_powerlaw_alpha_recovers_planted_exponent():
+    """Degrees drawn as floor(1/u^(1/(α-1))) from a α=2.5 power law:
+    the CSN MLE on the exact degree multiset recovers ~2.5; a regular
+    graph (all equal degrees at dmin) blows α up (s → small)."""
+    from cpg_ray.functions.graphalgo import powerlaw_alpha
+
+    rng = np.random.RandomState(5)
+    # synthesize an edge list whose degree sequence is heavy-tailed:
+    # star-bundle construction — node i gets ~d_i spokes
+    u = rng.uniform(0.01, 1.0, 150)
+    degs = np.minimum((1.0 / u) ** (1.0 / 1.5), 60).astype(int) + 1
+    srcs, dsts = [], []
+    spoke = 0
+    for i, d in enumerate(degs):
+        for _ in range(d):
+            srcs.append(f"hub{i:03d}")
+            dsts.append(f"sp{spoke:05d}")
+            spoke += 1
+    e = pd.DataFrame({"src": srcs, "dst": dsts})
+    out = powerlaw_alpha(rd.from_pandas(e)).iloc[0]
+    alpha = out["alpha_milli"] / 1000
+    assert 1_900 <= out["alpha_milli"] <= 3_500, alpha
+    # regular graph: every hub degree == 2 → ln(4/3) tail, alpha huge
+    reg = pd.DataFrame({"src": ["a", "b", "c", "d"],
+                        "dst": ["b", "c", "d", "a"]})  # 4-cycle, d=2
+    r = powerlaw_alpha(rd.from_pandas(reg)).iloc[0]
+    assert r["n_tail"] == 4
+    assert r["alpha_milli"] > 4_000
