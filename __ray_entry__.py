@@ -1829,6 +1829,44 @@ def _kg_anf(sf_dir: str):
                             hops=4, m=16)
 
 
+def _kg_effdiam(sf_dir: str):
+    """Effective diameter d90 of the canonical entity graph from the
+    ANF neighborhood function (the Leskovec shrinking-diameters
+    metric): the smallest hop h with 10·N(h) ≥ 9·N(4) plus the
+    standard linear interpolation, reported in EXACT milli-hops
+    ((9·N_H − 10·N_{h-1}) // (10·ΔN) — 0.9 is 9/10, never a float);
+    N(0) = |V| (every node reaches itself), N(h>0) from the same
+    md5-deterministic HyperANF registers kg_anf pins."""
+    import pandas as pd
+
+    from cpg_ray.functions.graphalgo import anf_neighborhood
+
+    anf = anf_neighborhood(_entity_edges(sf_dir),
+                           src="canonical_subj",
+                           dst="canonical_obj", hops=4, m=16)
+    ent = _entity_edges(sf_dir).to_pandas()
+    und = ent[ent["canonical_subj"] != ent["canonical_obj"]]
+    n_nodes = len(set(und["canonical_subj"]) | set(und["canonical_obj"]))
+    nf = {0: n_nodes}
+    for _, r in anf.iterrows():
+        nf[int(r["hop"])] = int(r["nf_est"])
+    h_max = max(nf)
+    nf_h = nf[h_max]
+    d90_hop = next(h for h in sorted(nf) if 10 * nf[h] >= 9 * nf_h)
+    if d90_hop == 0:
+        d90_milli = 0
+    else:
+        prev, cur = nf[d90_hop - 1], nf[d90_hop]
+        frac = ((1000 * (9 * nf_h - 10 * prev)) // (10 * (cur - prev))
+                if cur > prev else 0)
+        d90_milli = 1000 * (d90_hop - 1) + frac
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "nf_max": pd.Series([nf_h], dtype="int64"),
+        "d90_hop": pd.Series([d90_hop], dtype="int64"),
+        "d90_milli": pd.Series([d90_milli], dtype="int64")})
+
+
 def _kg_msf(sf_dir: str):
     """Maximum-evidence spanning forest via bounded-round
     deterministic Borůvka over the canonical entity graph: edge
@@ -2535,6 +2573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_msf": _kg_msf,
         # HyperANF neighborhood function (reachability profile)
         "kg_anf": _kg_anf,
+        # ANF effective diameter d90, exact milli interpolation
+        "kg_effdiam": _kg_effdiam,
         # DIPRE bootstrapped pattern induction
         "kg_dipre": _kg_dipre,
         # KMV corpus-slice overlap (lang-pair Jaccard sketch)
@@ -5728,6 +5768,50 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         """,
         "kg_msf": _msf_oracle_sql(triples_glob, rounds=6, jumps=8),
         "kg_anf": _anf_oracle_sql(triples_glob, hops=4, m=16),
+        # effective diameter: the kg_anf oracle wrapped as a derived
+        # table + N(0)=|V|, threshold 10·N(h) ≥ 9·N(4), exact milli
+        # interpolation (9/10 as integers, never a float)
+        "kg_effdiam": f"""
+            WITH anf AS (
+                SELECT hop, nf_est FROM (
+                    {_anf_oracle_sql(triples_glob, hops=4, m=16)}
+                ) t
+            ), nn AS (
+                SELECT count(DISTINCT v)::BIGINT AS n FROM (
+                    SELECT canonical_subj AS v
+                    FROM read_parquet('{triples_glob}')
+                    WHERE canonical_subj <> canonical_obj
+                    UNION ALL
+                    SELECT canonical_obj AS v
+                    FROM read_parquet('{triples_glob}')
+                    WHERE canonical_subj <> canonical_obj)
+            ), curve AS (
+                SELECT 0::BIGINT AS hop, (SELECT n FROM nn) AS nf
+                UNION ALL SELECT hop, nf_est FROM anf
+            ), mx AS (
+                SELECT nf AS nf_h FROM curve
+                ORDER BY hop DESC LIMIT 1
+            ), d90 AS (
+                SELECT min(hop)::BIGINT AS h FROM curve
+                WHERE 10 * nf >= 9 * (SELECT nf_h FROM mx)
+            ), parts AS (
+                SELECT (SELECT h FROM d90) AS h,
+                       (SELECT nf FROM curve
+                        WHERE hop = (SELECT h FROM d90) - 1) AS prev,
+                       (SELECT nf FROM curve
+                        WHERE hop = (SELECT h FROM d90)) AS cur,
+                       (SELECT nf_h FROM mx) AS nf_h
+            )
+            SELECT (SELECT n FROM nn) AS n_nodes,
+                   nf_h AS nf_max,
+                   h AS d90_hop,
+                   (CASE WHEN h = 0 THEN 0
+                         WHEN cur > prev THEN 1000 * (h - 1)
+                              + (1000 * (9 * nf_h - 10 * prev))
+                                // (10 * (cur - prev))
+                         ELSE 1000 * (h - 1) END)::BIGINT AS d90_milli
+            FROM parts
+        """,
         "kg_wl_colors": _wl_oracle_sql(triples_glob, rounds=3),
         "kg_ktruss": _ktruss_oracle_sql(triples_glob, k=4, rounds=4),
         "kg_harmonic": f"""

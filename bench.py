@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "q_events_stationary",
     "q_emb_facility",
     "kg_powerlaw",
+    "kg_effdiam",
 ]
 
 

@@ -2534,3 +2534,16 @@ def test_powerlaw_alpha_recovers_planted_exponent():
     r = powerlaw_alpha(rd.from_pandas(reg)).iloc[0]
     assert r["n_tail"] == 4
     assert r["alpha_milli"] > 4_000
+
+
+def test_effdiam_interpolation_on_path_graph():
+    """Interpolation arithmetic on a hand N(h) curve: path of 5 nodes
+    has N = [5, 13, 19, 23, 25]; 0.9·25 = 22.5 → first h with
+    10·N ≥ 225 is h=3, frac = (225−190)/(10·(23−19)) → 875/1000."""
+    nf = {0: 5, 1: 13, 2: 19, 3: 23, 4: 25}
+    nf_h = nf[4]
+    d90_hop = next(h for h in sorted(nf) if 10 * nf[h] >= 9 * nf_h)
+    assert d90_hop == 3
+    prev, cur = nf[2], nf[3]
+    frac = (1000 * (9 * nf_h - 10 * prev)) // (10 * (cur - prev))
+    assert 1000 * (d90_hop - 1) + frac == 2875
