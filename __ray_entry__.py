@@ -2772,6 +2772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_stationary": q.q_events_stationary,
         # greedy facility-location selection, integer coverage folds
         "q_emb_facility": q.q_emb_facility,
+        # per-doc 8-gram novelty, first-seen census at gram grain
+        "q_doc_novelty": q.q_doc_novelty,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

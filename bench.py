@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "q_emb_facility",
     "kg_powerlaw",
     "kg_effdiam",
+    "q_doc_novelty",
 ]
 
 

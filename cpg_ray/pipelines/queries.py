@@ -9261,3 +9261,76 @@ def _facility_oracle_sql(k: int = 6) -> str:
 
 
 ORACLE_SQL["q_emb_facility"] = _facility_oracle_sql(6)
+
+
+def q_doc_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document 8-gram novelty scoring (the incremental-crawl
+    freshness signal dedup pipelines rank by): streaming the corpus in
+    doc_id order, a document's novelty = how many of its DISTINCT
+    word-8-grams have never appeared in any earlier document (first
+    appearance = min doc_id — the q_doc_heaps first-seen census at
+    gram granularity).  Exact integers: (doc_id, n_grams, n_novel).
+    Documents shorter than 8 words report 0/0.
+
+    Shape: per-batch per-doc distinct gram explode (a doc never
+    straddles batches) → ONE pre-combined (gram → min doc, count-per-
+    doc) exchange pair; no gram ever reaches the driver."""
+    from ..functions.relational import groupby_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, text in zip(b["doc_id"], b["text"]):
+            toks = str(text).split(" ")
+            if len(toks) < 8:
+                continue
+            for g in {" ".join(toks[i:i + 8])
+                      for i in range(len(toks) - 7)}:
+                doc_ids.append(did)
+                grams.append(g)
+        return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
+                             "gram": pd.Series(grams, dtype=object)})
+
+    per = docs.map_batches(explode, batch_format="pandas").materialize()
+    cnt = groupby_agg(per, ["doc_id"],
+                      [("gram", "count", "n_grams")]).to_pandas()
+    fs = groupby_agg(per, ["gram"], [("doc_id", "min", "first_doc")])
+    nov = groupby_agg(fs, ["first_doc"],
+                      [("first_doc", "count", "n_novel")]).to_pandas()
+
+    base = read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    base = base.merge(cnt, on="doc_id", how="left") \
+        .merge(nov.rename(columns={"first_doc": "doc_id"}),
+               on="doc_id", how="left").fillna(0)
+    for c in ("n_grams", "n_novel"):
+        base[c] = base[c].astype("int64")
+    return base[["doc_id", "n_grams", "n_novel"]]
+
+
+ORACLE_SQL["q_doc_novelty"] = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+        FROM w, LATERAL unnest(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ), cnt AS (
+        SELECT doc_id, count(*)::BIGINT AS n_grams FROM g
+        GROUP BY doc_id
+    ), fs AS (
+        SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    ), nov AS (
+        SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel
+        FROM fs GROUP BY first_doc
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(n.n_novel, 0)::BIGINT AS n_novel
+    FROM documents d
+    LEFT JOIN cnt c USING (doc_id)
+    LEFT JOIN nov n USING (doc_id)
+    ORDER BY d.doc_id
+"""

