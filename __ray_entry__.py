@@ -2774,6 +2774,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_facility": q.q_emb_facility,
         # per-doc 8-gram novelty, first-seen census at gram grain
         "q_doc_novelty": q.q_doc_novelty,
+        # variance-to-mean burstiness index, exact milli
+        "q_events_vmr": q.q_events_vmr,
+        # Wald-Wolfowitz runs test vs exact positional median
+        "q_events_runs": q.q_events_runs,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "kg_powerlaw",
     "kg_effdiam",
     "q_doc_novelty",
+    "q_events_vmr",
+    "q_events_runs",
 ]
 
 

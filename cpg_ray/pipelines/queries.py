@@ -9334,3 +9334,122 @@ ORACLE_SQL["q_doc_novelty"] = """
     LEFT JOIN nov n USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def q_events_vmr(sf_dir: str) -> pd.DataFrame:
+    """Burstiness census: the variance-to-mean ratio (index of
+    dispersion) of daily event volume — a Poisson arrival stream reads
+    ~1000 milli, clustered/bursty traffic reads high, super-regular
+    low.  Exactly: VMR = s²/ȳ = (n·Σy² − S²) / ((n−1)·S) reported as
+    vmr_milli = 1000·(n·Σy² − S²) // ((n−1)·S) — every term an
+    integer.
+
+    Shape: daily counts one pre-combined exchange; constant driver
+    finish."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    daily = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "day": (b["ts"].astype("datetime64[us]")
+                        .astype("int64") // 86_400_000_000)}),
+            batch_format="pandas"),
+        ["day"], [("day", "count", "n")]).to_pandas()
+    y = daily["n"].to_numpy("int64")
+    n = len(y)
+    s = int(y.sum())
+    s2 = int((y.astype(object) ** 2).sum())
+    vmr_milli = (1000 * (n * s2 - s * s)) // ((n - 1) * s) \
+        if n > 1 and s > 0 else 0
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "total": pd.Series([s], dtype="int64"),
+        "vmr_milli": pd.Series([vmr_milli], dtype="int64")})
+
+
+ORACLE_SQL["q_events_vmr"] = """
+    WITH daily AS (
+        SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT count(*)::HUGEINT AS n, sum(n)::HUGEINT AS s,
+               sum(n * n)::HUGEINT AS s2
+        FROM daily
+    )
+    SELECT n::BIGINT AS n_days, s::BIGINT AS total,
+           (CASE WHEN n > 1 AND s > 0
+                 THEN (1000 * (n * s2 - s * s)) // ((n - 1) * s)
+                 ELSE 0 END)::BIGINT AS vmr_milli
+    FROM m
+"""
+
+
+def q_events_runs(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test census on the daily-volume sequence:
+    days label above (1) / at-or-below (0) the EXACT median-by-
+    position (lower median of the sorted counts — an order statistic,
+    no float), runs = label changes + 1; the expected run count under
+    randomness, E[R] = 2·n1·n0/(n1+n0) + 1, reports as an exact
+    milli floor.  R far from E[R] flags trending (few runs) or
+    oscillating (many runs) traffic.
+
+    Shape: daily counts one pre-combined exchange; day-sized driver
+    finish (the sequence scan is inherently ordered)."""
+    from ..functions.relational import groupby_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    daily = groupby_agg(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "day": (b["ts"].astype("datetime64[us]")
+                        .astype("int64") // 86_400_000_000)}),
+            batch_format="pandas"),
+        ["day"], [("day", "count", "n")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    y = daily["n"].to_numpy("int64")
+    n = len(y)
+    med = int(np.sort(y)[(n - 1) // 2])
+    lab = (y > med).astype("int64")
+    runs = int((lab[1:] != lab[:-1]).sum()) + 1 if n else 0
+    n1 = int(lab.sum())
+    n0 = n - n1
+    er_milli = (1000 * 2 * n1 * n0) // (n1 + n0) + 1000 \
+        if (n1 + n0) > 0 else 0
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "median": pd.Series([med], dtype="int64"),
+        "n_above": pd.Series([n1], dtype="int64"),
+        "runs": pd.Series([runs], dtype="int64"),
+        "expected_runs_milli": pd.Series([er_milli], dtype="int64")})
+
+
+ORACLE_SQL["q_events_runs"] = """
+    WITH daily AS (
+        SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT n AS m FROM daily ORDER BY n
+        LIMIT 1 OFFSET (SELECT (count(*) - 1) // 2 FROM daily)
+    ), lab AS (
+        SELECT day, (CASE WHEN n > (SELECT m FROM med)
+                          THEN 1 ELSE 0 END)::BIGINT AS l
+        FROM daily
+    ), chg AS (
+        SELECT l, lag(l) OVER (ORDER BY day) AS pl FROM lab
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN pl IS NOT NULL AND l <> pl
+                        THEN 1 ELSE 0 END)::BIGINT + 1 AS runs,
+               sum(l)::BIGINT AS n1
+        FROM chg
+    )
+    SELECT n AS n_days, (SELECT m FROM med) AS median,
+           n1 AS n_above, runs,
+           (CASE WHEN n > 0
+                 THEN (1000 * 2 * n1 * (n - n1)) // n + 1000
+                 ELSE 0 END)::BIGINT AS expected_runs_milli
+    FROM agg
+"""

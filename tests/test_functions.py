@@ -2737,3 +2737,37 @@ def test_novelty_first_doc_gets_full_credit_and_copy_gets_none():
     # total novel grams == corpus distinct grams (every gram is novel
     # exactly once)
     assert int(out["n_novel"].sum()) > 0
+
+
+def test_vmr_poisson_vs_bursty_and_runs_alternating_vs_trending():
+    """VMR ≈ 1000 milli on a Poisson-ish stream, ≫ 1000 on a bursty
+    one; runs test: alternating labels maximize runs, a trend
+    minimizes them."""
+    rng = np.random.RandomState(11)
+
+    def vmr_milli(y):
+        n, s = len(y), int(y.sum())
+        s2 = int((y.astype(object) ** 2).sum())
+        return (1000 * (n * s2 - s * s)) // ((n - 1) * s)
+
+    pois = rng.poisson(300, 200).astype("int64")
+    burst = np.concatenate([rng.poisson(50, 100),
+                            rng.poisson(550, 100)]).astype("int64")
+    assert 800 <= vmr_milli(pois) <= 1_300
+    assert vmr_milli(burst) > 10_000
+
+    def runs_of(y):
+        med = int(np.sort(y)[(len(y) - 1) // 2])
+        lab = (y > med).astype("int64")
+        return int((lab[1:] != lab[:-1]).sum()) + 1
+
+    alt = np.array([1, 9] * 20, dtype="int64")
+    trend = np.arange(40, dtype="int64")
+    assert runs_of(alt) == 40      # every step flips
+    assert runs_of(trend) == 2     # one flip at the median
+
+    from cpg_ray.pipelines.queries import q_events_runs, q_events_vmr
+    v = q_events_vmr("/root/testdata/sf0.001").iloc[0]
+    r = q_events_runs("/root/testdata/sf0.001").iloc[0]
+    assert v["n_days"] == r["n_days"]
+    assert 1 <= r["runs"] <= r["n_days"]
