@@ -1336,11 +1336,11 @@ def _kg_sssp(sf_dir: str):
 
     out_dir = _ensure_graph(sf_dir, "mixed")
     files = sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet"))
-    seeds = rd.read_parquet(files, columns=["pred", "canonical_obj"]
-                            ).filter(lambda r: r["pred"] == "works_for"
-                                     ).map_batches(
-        lambda b: b[["canonical_obj"]].rename(
-            columns={"canonical_obj": "node"}),
+    seeds = rd.read_parquet(
+        files, columns=["pred", "canonical_obj"]).map_batches(
+        # batch mask, not Dataset.filter's per-row lambda
+        lambda b: b.loc[b["pred"] == "works_for", ["canonical_obj"]]
+        .rename(columns={"canonical_obj": "node"}),
         batch_format="pandas")
 
     def weigh(b):
@@ -1573,7 +1573,10 @@ def _kg_ppr(sf_dir: str):
     files = sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet"))
     seeds = set(
         rd.read_parquet(files, columns=["pred", "canonical_obj"])
-        .filter(lambda r: r["pred"] == "works_for")
+        .map_batches(
+            lambda b: b.loc[b["pred"] == "works_for",
+                            ["canonical_obj"]],
+            batch_format="pandas")
         .to_pandas()["canonical_obj"])
     df = pagerank(
         _entity_edges(sf_dir), src="canonical_subj", dst="canonical_obj",
@@ -1997,11 +2000,11 @@ def _kg_bfs_dist(sf_dir: str):
 
     out_dir = _ensure_graph(sf_dir, "mixed")
     files = sorted(glob.glob(f"{out_dir}/triples/shard=*/*.parquet"))
-    seeds = rd.read_parquet(files, columns=["pred", "canonical_obj"]
-                            ).filter(lambda r: r["pred"] == "works_for"
-                                     ).map_batches(
-        lambda b: b[["canonical_obj"]].rename(
-            columns={"canonical_obj": "node"}),
+    seeds = rd.read_parquet(
+        files, columns=["pred", "canonical_obj"]).map_batches(
+        # batch mask, not Dataset.filter's per-row lambda
+        lambda b: b.loc[b["pred"] == "works_for", ["canonical_obj"]]
+        .rename(columns={"canonical_obj": "node"}),
         batch_format="pandas")
     df = bfs_distances(
         _entity_edges(sf_dir), seeds, src="canonical_subj",

@@ -578,8 +578,12 @@ def knn_exact_quantized(ds, query_ids: list, k: int = 10, *,
     tiny global merge, ties broken by ascending id."""
     import ray
 
-    qdf = (ds.filter(lambda r: r[id_col] in set(query_ids))
-           .to_pandas().sort_values(id_col))
+    _qset = set(query_ids)
+    qdf = (ds.map_batches(
+        # batch mask (Dataset.filter's row lambda rebuilt the set per
+        # ROW on top of the per-row call cost)
+        lambda b: b[b[id_col].isin(_qset)], batch_format="pandas")
+        .to_pandas().sort_values(id_col))
     if len(qdf) != len(query_ids):
         raise ValueError("some query ids missing from the corpus")
     qm = np.floor(_as_matrix(qdf[vec_col]) * float(q_scale)).astype(np.int64)
@@ -639,8 +643,10 @@ def hard_negatives(ds, anchor_ids: list, k: int = 10, *,
     merge over k × anchors × batches candidate rows."""
     import ray
 
-    qdf = (ds.filter(lambda r: r[id_col] in set(anchor_ids))
-           .to_pandas().sort_values(id_col))
+    _aset = set(anchor_ids)
+    qdf = (ds.map_batches(
+        lambda b: b[b[id_col].isin(_aset)], batch_format="pandas")
+        .to_pandas().sort_values(id_col))
     if len(qdf) != len(anchor_ids):
         raise ValueError("some anchor ids missing from the corpus")
     qm = np.floor(_as_matrix(qdf[vec_col]) * float(q_scale)).astype(np.int64)
