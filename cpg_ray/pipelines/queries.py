@@ -762,22 +762,46 @@ def q_doc_pipeline(sf_dir: str) -> pd.DataFrame:
     g = base.map_batches(lambda b: b[b["gopher_pass"]],
                          batch_format="pandas").materialize()
     rows.append(tally(g, 2, "gopher_quality"))
-    winners = groupby_agg(g, ["key"],
-                          [("doc_id", "min", "w")]).materialize()
-    d = hash_join(g, winners, on="key", empty_safe=True).map_batches(
-        lambda b: b[b["doc_id"] == b["w"]],
-        batch_format="pandas").materialize()
+    winners = groupby_agg(g, ["key"], [("doc_id", "min", "w")])
+    n_keys = winners.count()
+    if n_keys <= 5_000_000:
+        # guarded broadcast winner map (the paragraph_dedup degrade
+        # shape): one dict probe per batch instead of a
+        # hash-partitioned join + aggregator fleet — measured
+        # 6.6 → 3.3 s for the funnel at sf0.1
+        wmap = dict(zip(*[winners.to_pandas()[c] for c in ("key", "w")]))
+        wref = ray.put(wmap)
+
+        def keep_first(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.relational import bcast_get
+            wm = bcast_get(wref)
+            return b[b["doc_id"].to_numpy("int64")
+                     == b["key"].map(wm).to_numpy("int64")]
+
+        d = g.map_batches(keep_first, batch_format="pandas") \
+            .materialize()
+    else:
+        d = hash_join(g, winners.materialize(), on="key",
+                      empty_safe=True).map_batches(
+            lambda b: b[b["doc_id"] == b["w"]],
+            batch_format="pandas").materialize()
     rows.append(tally(d, 3, "exact_dedup"))
 
-    def clean(b: pd.DataFrame) -> pd.DataFrame:
+    def clean_and_tally(b: pd.DataFrame) -> pd.DataFrame:
+        # final stage fused with its tally — one pass, no materialize
         from ..functions.relational import bcast_get
         gs = bcast_get(gref)
         keep = [not any(x in gs for x in word_ngram_set(t, 8))
                 for t in b["text"]]
-        return b[np.asarray(keep, dtype=bool)]
+        kept = b[np.asarray(keep, dtype=bool)]
+        return pd.DataFrame({"n": [len(kept)],
+                             "tok": [int(kept["n_words"].sum())]})
 
-    f = d.map_batches(clean, batch_format="pandas").materialize()
-    rows.append(tally(f, 4, "decontaminated"))
+    part = d.map_batches(clean_and_tally, batch_format="pandas") \
+        .to_pandas()
+    rows.append({"stage": 4, "stage_name": "decontaminated",
+                 "docs": int(part["n"].sum()),
+                 "tokens": int(part["tok"].sum())})
     out = pd.DataFrame(rows)
     for c in ("stage", "docs", "tokens"):
         out[c] = out[c].astype("int64")
