@@ -4244,21 +4244,36 @@ def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
         })
 
     kd = pairs.map_batches(keyed, batch_format="pandas").materialize()
-    rev = kd.map_batches(
-        lambda b: pd.DataFrame({"__key": b["__rev"],
-                                "__hit": np.int64(1)}),
-        batch_format="pandas")
-    joined = hash_join(kd, distinct_on(rev, ["__key"]).materialize(),
-                       on="__key", how="left_outer", empty_safe=True)
-    out = groupby_agg(
-        joined.map_batches(
-            lambda b: pd.DataFrame({
-                "grp": b["__grp"],
-                "one": np.int64(1),
-                "rec": b["__hit"].fillna(0).astype(np.int64)}),
-            batch_format="pandas"),
-        ["grp"], [("one", "sum", "n_pairs"), ("rec", "sum", "n_recip")],
-    ).to_pandas()
+    if kd.count() <= 5_000_000:
+        # guarded driver fast path: the pair table is bounded, and a
+        # set-probe beats the hash_join aggregator-fleet spin-up
+        # (measured 3.1 → 1.1 s warm at sf0.1); the distributed join
+        # below is the identical semantics past the guard
+        df = kd.to_pandas()
+        hit = df["__key"].isin(set(df["__rev"]))
+        out = df.assign(one=1, rec=hit.astype("int64")) \
+            .groupby("__grp").agg(n_pairs=("one", "sum"),
+                                  n_recip=("rec", "sum")) \
+            .reset_index().rename(columns={"__grp": "grp"})
+    else:
+        rev = kd.map_batches(
+            lambda b: pd.DataFrame({"__key": b["__rev"],
+                                    "__hit": np.int64(1)}),
+            batch_format="pandas")
+        joined = hash_join(kd,
+                           distinct_on(rev, ["__key"]).materialize(),
+                           on="__key", how="left_outer",
+                           empty_safe=True)
+        out = groupby_agg(
+            joined.map_batches(
+                lambda b: pd.DataFrame({
+                    "grp": b["__grp"],
+                    "one": np.int64(1),
+                    "rec": b["__hit"].fillna(0).astype(np.int64)}),
+                batch_format="pandas"),
+            ["grp"], [("one", "sum", "n_pairs"),
+                      ("rec", "sum", "n_recip")],
+        ).to_pandas()
     out["n_pairs"] = out["n_pairs"].astype("int64")
     out["n_recip"] = out["n_recip"].astype("int64")
     out["recip_ppm"] = (out["n_recip"] * 1_000_000

@@ -2547,3 +2547,30 @@ def test_effdiam_interpolation_on_path_graph():
     prev, cur = nf[2], nf[3]
     frac = (1000 * (9 * nf_h - 10 * prev)) // (10 * (cur - prev))
     assert 1000 * (d90_hop - 1) + frac == 2875
+
+
+def test_reciprocity_driver_fast_path_equals_distributed():
+    """The guarded set-probe path and the hash_join path agree on a
+    mixed fixture (full two-way, one-way, per-class split)."""
+    from cpg_ray.functions.graphalgo import reciprocity
+
+    e = pd.DataFrame({
+        "pred": ["p", "p", "p", "q", "q"],
+        "src": ["a", "b", "a", "x", "y"],
+        "dst": ["b", "a", "c", "y", "x"],
+    })
+    ds = rd.from_pandas(e)
+    fast = reciprocity(ds, by="pred")
+    # force the distributed branch by dropping the guard via a big
+    # fake count
+    import cpg_ray.functions.graphalgo as g
+    orig = rd.Dataset.count
+    try:
+        rd.Dataset.count = lambda self: 10_000_000
+        slow = reciprocity(rd.from_pandas(e), by="pred")
+    finally:
+        rd.Dataset.count = orig
+    assert fast.equals(slow)
+    row = fast.set_index("grp")
+    assert row.loc["p", "n_pairs"] == 3 and row.loc["p", "n_recip"] == 2
+    assert row.loc["q", "n_recip"] == 2
