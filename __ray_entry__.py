@@ -2781,6 +2781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_vmr": q.q_events_vmr,
         # Wald-Wolfowitz runs test vs exact positional median
         "q_events_runs": q.q_events_runs,
+        # signed feature hashing (hashing-trick featurizer)
+        "q_doc_hashvec": q.q_doc_hashvec,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

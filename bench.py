@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "q_doc_novelty",
     "q_events_vmr",
     "q_events_runs",
+    "q_doc_hashvec",
 ]
 
 

@@ -9487,3 +9487,86 @@ ORACLE_SQL["q_events_runs"] = """
                  ELSE 0 END)::BIGINT AS expected_runs_milli
     FROM agg
 """
+
+
+def q_doc_hashvec(sf_dir: str) -> pd.DataFrame:
+    """Signed feature hashing (Weinberger et al. ICML'09 — the
+    hashing-trick featurizer linear text classifiers train on):
+    every token occurrence lands in bucket md5[0:8] % 64 with sign
+    from md5[8] parity; per doc the signed bucket vector's exact
+    integer profile — nnz buckets, Σ|v| and Σv² (the sign trick makes
+    E[Σv²] equal the true token-count norm despite collisions).
+    md5 windows are disjoint hex slices so the SQL twin is
+    bit-identical.
+
+    Shape: one explode pass with a per-batch (doc, bucket) combiner;
+    one pre-combined groupby; per-doc profile aggregation."""
+    import hashlib
+
+    from ..functions.relational import groupby_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def buckets(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.set_index("doc_id")["text"].str.lower() \
+            .str.findall("[a-z0-9_]+").explode().dropna()
+        g = toks.reset_index()
+        g.columns = ["doc_id", "tok"]
+        uniq = g["tok"].unique()
+        hs = {t: hashlib.md5(t.encode()).hexdigest() for t in uniq}
+        g["bucket"] = g["tok"].map(
+            lambda t: int(hs[t][:8], 16) % 64).astype("int64")
+        g["sgn"] = g["tok"].map(
+            lambda t: 1 if int(hs[t][8], 16) % 2 == 0 else -1
+        ).astype("int64")
+        # per-batch combiner: one row per (doc, bucket)
+        vc = g.groupby(["doc_id", "bucket"])["sgn"].sum() \
+            .reset_index(name="v")
+        return vc
+
+    per = groupby_agg(
+        docs.map_batches(buckets, batch_format="pandas"),
+        ["doc_id", "bucket"], [("v", "sum", "v")]).to_pandas()
+    per = per[per["v"] != 0]
+    prof = per.assign(one=1, l1=per["v"].abs(),
+                      l2=per["v"] * per["v"]) \
+        .groupby("doc_id").agg(nnz=("one", "sum"), l1=("l1", "sum"),
+                               l2sq=("l2", "sum")).reset_index()
+    base = read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out = base.merge(prof, on="doc_id", how="left").fillna(0)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE_SQL["q_doc_hashvec"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9_]+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64
+                   AS bucket,
+               (CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2
+                          = 0
+                     THEN 1 ELSE -1 END)::BIGINT AS sgn
+        FROM tok
+    ), per AS (
+        SELECT doc_id, bucket, sum(sgn)::BIGINT AS v
+        FROM h GROUP BY doc_id, bucket
+        HAVING sum(sgn) <> 0
+    ), prof AS (
+        SELECT doc_id, count(*)::BIGINT AS nnz,
+               sum(abs(v))::BIGINT AS l1,
+               sum(v * v)::BIGINT AS l2sq
+        FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.nnz, 0)::BIGINT AS nnz,
+           coalesce(p.l1, 0)::BIGINT AS l1,
+           coalesce(p.l2sq, 0)::BIGINT AS l2sq
+    FROM documents d LEFT JOIN prof p USING (doc_id)
+    ORDER BY d.doc_id
+"""

