@@ -2574,3 +2574,27 @@ def test_reciprocity_driver_fast_path_equals_distributed():
     row = fast.set_index("grp")
     assert row.loc["p", "n_pairs"] == 3 and row.loc["p", "n_recip"] == 2
     assert row.loc["q", "n_recip"] == 2
+
+
+def test_k4_bitset_budget_guard_and_onion_round_guard():
+    """k4_census driver mode REFUSES when the n²/8 bitset allocation
+    exceeds the budget (and auto degrades to the join path);
+    onion_layers REFUSES past max_rounds instead of looping."""
+    import pytest
+
+    from cpg_ray.functions.graphalgo import (GuardExceeded, k4_census,
+                                             onion_layers)
+
+    e = pd.DataFrame({"src": ["a", "b", "c", "d"],
+                      "dst": ["b", "c", "d", "a"]})
+    with pytest.raises(GuardExceeded):
+        k4_census(rd.from_pandas(e), mode="driver", bitset_budget=8)
+    # auto mode degrades to shuffle and still answers
+    auto = k4_census(rd.from_pandas(e), mode="auto", bitset_budget=8)
+    assert int(auto.loc[0, "k4"]) == 0
+    assert int(auto.loc[0, "n_edges"]) == 4
+
+    # a path graph peels in several rounds; max_rounds=1 must refuse
+    chain = pd.DataFrame({"src": list("abcde"), "dst": list("bcdef")})
+    with pytest.raises(GuardExceeded):
+        onion_layers(rd.from_pandas(chain), mode="driver", max_rounds=1)
