@@ -2783,6 +2783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_runs": q.q_events_runs,
         # signed feature hashing (hashing-trick featurizer)
         "q_doc_hashvec": q.q_doc_hashvec,
+        # classifier calibration census (reliability-diagram table)
+        "q_doc_calibration": q.q_doc_calibration,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "q_events_vmr",
     "q_events_runs",
     "q_doc_hashvec",
+    "q_doc_calibration",
 ]
 
 

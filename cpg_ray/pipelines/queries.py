@@ -9570,3 +9570,86 @@ ORACLE_SQL["q_doc_hashvec"] = """
     FROM documents d LEFT JOIN prof p USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def q_doc_calibration(sf_dir: str) -> pd.DataFrame:
+    """Classifier calibration census (the reliability-diagram table an
+    ML-ops quality gate ships): q_doc_fasttext's scores ranked into 10
+    equal-count bins by the TOTAL order (score, doc_id) — engine-
+    deterministic where ntile() tie placement is not — against the
+    'en' language tag as reference label; per bin n_docs, n_en and
+    en_rate_ppm (exact integers).  A well-calibrated filter shows a
+    monotone en_rate curve; a flat one means the score carries no
+    signal at that grain.
+
+    Shape: the scoring pass is q_doc_fasttext's (stateless, weights
+    in the closure); the rank is over the doc-dimension table
+    (guarded driver sort, the PSI order-statistic regime); census one
+    groupby."""
+    from ..functions.text import fasttext_scores
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang"]).to_pandas()
+    sc = fasttext_scores(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id").to_pandas()[["doc_id", "score_scaled"]]
+    if len(sc) > 20_000_000:
+        raise RuntimeError("q_doc_calibration: doc table past the "
+                           "rank driver guard")
+    df = sc.merge(docs, on="doc_id")
+    df = df.sort_values(["score_scaled", "doc_id"],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    df["bin"] = (np.arange(n, dtype="int64") * 10) // n
+    df["is_en"] = (df["lang"] == "en").astype("int64")
+    out = df.groupby("bin").agg(
+        n_docs=("is_en", "count"), n_en=("is_en", "sum")).reset_index()
+    out["en_rate_ppm"] = out["n_en"] * 1_000_000 // out["n_docs"]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ORACLE_SQL["q_doc_calibration"] = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ), uni AS (
+        SELECT doc_id, unnest(l) AS f FROM d
+    ), big AS (
+        SELECT doc_id, l[i] || ' ' || l[i + 1] AS f
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, greatest(len(l), 1)::BIGINT)) AS i
+              FROM d)
+    ), feats AS (
+        SELECT doc_id, f FROM uni
+        UNION ALL SELECT doc_id, f FROM big
+    ), ws AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_feats,
+               SUM(('0x' || substr(md5(
+                       ((('0x' || substr(md5(f), 1, 8))::BIGINT
+                         % 1024))::VARCHAR), 1, 8))::BIGINT
+                   % 2001 - 1000)::BIGINT AS w_sum
+        FROM feats GROUP BY doc_id
+    ), scored AS (
+        SELECT dd.doc_id,
+               COALESCE(CAST(floor(1000000.0 * (ws.w_sum
+                   / (1000.0 * ws.n_feats))) AS BIGINT), 0)::BIGINT
+                   AS score_scaled,
+               (CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                   AS is_en
+        FROM documents dd LEFT JOIN ws USING (doc_id)
+    ), ranked AS (
+        SELECT is_en,
+               ((row_number() OVER (ORDER BY score_scaled, doc_id)
+                 - 1) * 10)
+               // (SELECT count(*) FROM scored) AS bin
+        FROM scored
+    )
+    SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+           sum(is_en)::BIGINT AS n_en,
+           (sum(is_en) * 1000000 // count(*))::BIGINT AS en_rate_ppm
+    FROM ranked GROUP BY bin ORDER BY bin
+"""

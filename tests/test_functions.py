@@ -2793,3 +2793,16 @@ def test_hashvec_sign_trick_unbiased_and_consistent():
     assert (out["nnz"] <= 64).all()
     assert (out["l2sq"] >= out["l1"]).any() or True
     assert (out["l1"] >= out["nnz"]).all()  # each nnz bucket has |v|≥1
+
+
+def test_calibration_bins_partition_evenly_and_rates_bounded():
+    """Equal-count binning by total order: bin sizes differ by ≤ 1,
+    all rates in [0, 1e6], bins cover 0-9."""
+    from cpg_ray.pipelines.queries import q_doc_calibration
+
+    out = q_doc_calibration("/root/testdata/sf0.001")
+    assert out["bin"].tolist() == list(range(10))
+    sizes = out["n_docs"].to_numpy()
+    assert sizes.max() - sizes.min() <= 1
+    assert (out["en_rate_ppm"].between(0, 1_000_000)).all()
+    assert (out["n_en"] <= out["n_docs"]).all()
