@@ -2785,6 +2785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_hashvec": q.q_doc_hashvec,
         # classifier calibration census (reliability-diagram table)
         "q_doc_calibration": q.q_doc_calibration,
+        # cluster-scatter census (Calinski-Harabasz ingredients)
+        "q_emb_scatter": q.q_emb_scatter,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

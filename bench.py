@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "q_events_runs",
     "q_doc_hashvec",
     "q_doc_calibration",
+    "q_emb_scatter",
 ]
 
 

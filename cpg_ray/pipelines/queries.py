@@ -9653,3 +9653,81 @@ ORACLE_SQL["q_doc_calibration"] = """
            (sum(is_en) * 1000000 // count(*))::BIGINT AS en_rate_ppm
     FROM ranked GROUP BY bin ORDER BY bin
 """
+
+
+def q_emb_scatter(sf_dir: str) -> pd.DataFrame:
+    """Cluster-scatter census over the q_kmeans assignment — the
+    Calinski-Harabasz ingredients as EXACT per-cluster integers:
+    within_floor = (n_c·Σ‖x‖² − ‖Σx‖²) // n_c (the n_c-scaled
+    within-cluster scatter, floored once) and between_floor =
+    ‖n·S_c − n_c·S‖² // (n_c·n²) (the cluster-mean-to-global-mean
+    term with both means cross-multiplied away before the single
+    floor).  All products stay inside 128-bit for dimension-bounded
+    corpora, so the SQL twin (the k-means CTE chain + one HUGEINT
+    rollup) is bit-identical.  CH(k) = (ΣB/(k−1)) / (ΣW/(n−k)) to the
+    floor resolution.
+
+    Shape: the assignment is q_kmeans' broadcast-round pass; scatter
+    needs ONE more pre-combined (cluster, dim) sum exchange; the k×d
+    finish is driver-trivial."""
+    from ..functions.similarity import kmeans_quantized
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign, _hist = kmeans_quantized(ds, k=8, rounds=4)
+    adf = assign.to_pandas()
+    full = ds.to_pandas().merge(adf, on="vec_id")
+    q = np.floor(np.stack(full["embedding"].to_numpy())
+                 .astype(np.float64) * 1024).astype(np.int64)
+    cl = full["cluster"].to_numpy("int64")
+    n = len(full)
+    s_all = q.astype(object).sum(0)
+    rows = []
+    for c in sorted(set(cl.tolist())):
+        m = cl == c
+        nc = int(m.sum())
+        qc = q[m].astype(object)
+        ssq = int((qc * qc).sum())
+        sc = qc.sum(0)
+        s2 = int((sc * sc).sum())
+        within = (nc * ssq - s2) // nc
+        dvec = n * sc - nc * s_all
+        between = int((dvec * dvec).sum()) // (nc * n * n)
+        rows.append((c, nc, within, between))
+    return pd.DataFrame(rows, columns=["cluster", "n", "within_floor",
+                                       "between_floor"]).astype("int64")
+
+
+def _scatter_oracle_sql(*, k: int, rounds: int, dim: int,
+                        q_scale: int) -> str:
+    ctes, fin = _kmeans_ctes(k=k, rounds=rounds, dim=dim,
+                             q_scale=q_scale)
+    ssq = " + ".join(f"x{i} * x{i}" for i in range(dim))
+    sums = ", ".join(f"SUM(x{i})::HUGEINT AS s{i}" for i in range(dim))
+    gsums = ", ".join(f"SUM(x{i})::HUGEINT AS g{i}"
+                      for i in range(dim))
+    s2 = " + ".join(f"s{i} * s{i}" for i in range(dim))
+    # plain column references via one cross join — a scalar subquery
+    # inside each of the 64 chain terms blows DuckDB's binder
+    # recursion limit (observed at depth 128)
+    dvec = " + ".join(
+        f"(t.n * p.s{i} - p.n * g.g{i})"
+        f" * (t.n * p.s{i} - p.n * g.g{i})"
+        for i in range(dim))
+    s2p = " + ".join(f"p.s{i} * p.s{i}" for i in range(dim))
+    return ("WITH " + ",\n".join(ctes) + f""",
+    snap AS MATERIALIZED (SELECT * FROM {fin}),
+    tot AS (SELECT count(*)::HUGEINT AS n FROM snap),
+    gl AS (SELECT {gsums} FROM snap),
+    per AS (
+        SELECT cluster, count(*)::HUGEINT AS n,
+               SUM({ssq})::HUGEINT AS ssq, {sums}
+        FROM snap GROUP BY cluster
+    )
+    SELECT p.cluster::BIGINT AS cluster, p.n::BIGINT AS n,
+           ((p.n * p.ssq - ({s2p})) // p.n)::BIGINT AS within_floor,
+           (({dvec}) // (p.n * t.n * t.n))::BIGINT AS between_floor
+    FROM per p, tot t, gl g ORDER BY p.cluster""")
+
+
+ORACLE_SQL["q_emb_scatter"] = _scatter_oracle_sql(k=8, rounds=4,
+                                                  dim=64, q_scale=1024)

