@@ -2787,6 +2787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_calibration": q.q_doc_calibration,
         # cluster-scatter census (Calinski-Harabasz ingredients)
         "q_emb_scatter": q.q_emb_scatter,
+        # Jensen-Shannon divergence between language subcorpora
+        "q_doc_jsd": q.q_doc_jsd,
         # SN blocking + vectorized capped-Levenshtein verify
         "q_supplier_lev": q.q_supplier_lev,
         # Fellegi-Sunter probabilistic record linkage (u from data)

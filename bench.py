@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "q_doc_hashvec",
     "q_doc_calibration",
     "q_emb_scatter",
+    "q_doc_jsd",
 ]
 
 

@@ -9731,3 +9731,101 @@ def _scatter_oracle_sql(*, k: int, rounds: int, dim: int,
 
 ORACLE_SQL["q_emb_scatter"] = _scatter_oracle_sql(k=8, rounds=4,
                                                   dim=64, q_scale=1024)
+
+
+def q_doc_jsd(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    token distributions (the subcorpus-shift census a mixing pipeline
+    monitors — symmetric, bounded, defined even on disjoint support,
+    unlike raw KL): add-one-smoothed unigram distributions over the
+    JOINT vocabulary, JSD = ½KL(p‖m) + ½KL(q‖m) with every ln term
+    floored to nanos on exact integer count ratios (the PSI float
+    discipline — one IEEE ln per vocab term, order-free integer sum).
+    Reports the two KL halves and the JSD in nano units plus the
+    vocab/token tallies.
+
+    Shape: ONE exploded (group, token) pre-combined exchange; the
+    vocabulary-sized table drives a vectorized driver finish."""
+    from ..functions.relational import groupby_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        grp = np.where(b["lang"].to_numpy() == "en", "en", "other")
+        s = pd.DataFrame({
+            "grp": grp,
+            "toks": b["text"].str.lower().str.findall("[a-z0-9_]+"),
+        }).explode("toks").dropna()
+        vc = s.groupby(["grp", "toks"]).size().reset_index(name="n")
+        vc.columns = ["grp", "tok", "n"]
+        return vc
+
+    cnt = groupby_agg(
+        docs.map_batches(explode, batch_format="pandas"),
+        ["grp", "tok"], [("n", "sum", "n")]).to_pandas()
+    piv = cnt.pivot_table(index="tok", columns="grp", values="n",
+                          fill_value=0)
+    a = piv.get("en", pd.Series(0, index=piv.index)).to_numpy("int64")
+    b_ = piv.get("other", pd.Series(0, index=piv.index)) \
+        .to_numpy("int64")
+    v = len(piv)
+    na, nb = int(a.sum()), int(b_.sum())
+    # add-one smoothing: p_t = (a_t+1)/(na+V), q_t likewise; m = (p+q)/2
+    p = (a + 1.0) / (na + v)
+    q = (b_ + 1.0) / (nb + v)
+    m = (p + q) / 2.0
+    kl_pm = int(np.floor(p * np.log(p / m) * 1e9).astype("int64").sum())
+    kl_qm = int(np.floor(q * np.log(q / m) * 1e9).astype("int64").sum())
+    jsd_nano = (kl_pm + kl_qm) // 2
+    return pd.DataFrame({
+        "vocab": pd.Series([v], dtype="int64"),
+        "n_en": pd.Series([na], dtype="int64"),
+        "n_other": pd.Series([nb], dtype="int64"),
+        "kl_pm_nano": pd.Series([kl_pm], dtype="int64"),
+        "kl_qm_nano": pd.Series([kl_qm], dtype="int64"),
+        "jsd_nano": pd.Series([jsd_nano], dtype="int64")})
+
+
+ORACLE_SQL["q_doc_jsd"] = """
+    WITH tok AS (
+        SELECT (CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END)
+                   AS grp,
+               unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9_]+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT grp, tok, count(*)::BIGINT AS n
+        FROM tok GROUP BY grp, tok
+    ), piv AS (
+        SELECT tok,
+               coalesce(sum(CASE WHEN grp = 'en' THEN n END), 0)
+                   ::BIGINT AS a,
+               coalesce(sum(CASE WHEN grp = 'other' THEN n END), 0)
+                   ::BIGINT AS b
+        FROM cnt GROUP BY tok
+    ), tots AS (
+        SELECT count(*)::BIGINT AS v, sum(a)::BIGINT AS na,
+               sum(b)::BIGINT AS nb
+        FROM piv
+    ), terms AS (
+        SELECT
+            floor(((p.a + 1.0) / (t.na + t.v))
+                  * ln(((p.a + 1.0) / (t.na + t.v))
+                       / ((((p.a + 1.0) / (t.na + t.v))
+                           + ((p.b + 1.0) / (t.nb + t.v))) / 2.0))
+                  * 1000000000)::BIGINT AS tp,
+            floor(((p.b + 1.0) / (t.nb + t.v))
+                  * ln(((p.b + 1.0) / (t.nb + t.v))
+                       / ((((p.a + 1.0) / (t.na + t.v))
+                           + ((p.b + 1.0) / (t.nb + t.v))) / 2.0))
+                  * 1000000000)::BIGINT AS tq
+        FROM piv p, tots t
+    )
+    SELECT (SELECT v FROM tots) AS vocab,
+           (SELECT na FROM tots) AS n_en,
+           (SELECT nb FROM tots) AS n_other,
+           sum(tp)::BIGINT AS kl_pm_nano,
+           sum(tq)::BIGINT AS kl_qm_nano,
+           ((sum(tp) + sum(tq)) // 2)::BIGINT AS jsd_nano
+    FROM terms
+"""

@@ -2839,3 +2839,34 @@ def test_scatter_identity_total_equals_within_plus_between():
     assert (out["within_floor"] >= 0).all()
     assert (out["between_floor"] >= 0).all()
     assert int(out["n"].sum()) == 500
+
+
+def test_jsd_bounds_and_identical_distributions():
+    """JSD of identical count vectors is ~0; disjoint supports
+    approach ln 2 (0.693e9 nano); symmetric in its arguments."""
+    def jsd_nano(a, b):
+        import numpy as np
+        a = np.asarray(a, dtype="int64")
+        b = np.asarray(b, dtype="int64")
+        v = len(a)
+        na, nb = int(a.sum()), int(b.sum())
+        p = (a + 1.0) / (na + v)
+        q = (b + 1.0) / (nb + v)
+        m = (p + q) / 2.0
+        kp = int(np.floor(p * np.log(p / m) * 1e9)
+                 .astype("int64").sum())
+        kq = int(np.floor(q * np.log(q / m) * 1e9)
+                 .astype("int64").sum())
+        return (kp + kq) // 2
+
+    same = jsd_nano([100, 200, 300], [100, 200, 300])
+    assert -5 <= same <= 5  # floor jitter only
+    disj = jsd_nano([1000, 1000, 0, 0], [0, 0, 1000, 1000])
+    assert 600_000_000 <= disj <= 694_000_000
+    assert abs(jsd_nano([5, 9, 2], [7, 1, 8])
+               - jsd_nano([7, 1, 8], [5, 9, 2])) <= 2
+
+    from cpg_ray.pipelines.queries import q_doc_jsd
+    out = q_doc_jsd("/root/testdata/sf0.001").iloc[0]
+    assert 0 <= out["jsd_nano"] <= 694_000_000
+    assert out["vocab"] > 0
