@@ -1453,6 +1453,52 @@ def _kg_squares(sf_dir: str):
         dst="canonical_obj")
 
 
+def _kg_degree_ccdf(sf_dir: str):
+    """Log-binned degree CCDF of the canonical entity graph — the
+    survival curve every scale-free claim is judged on (kg_powerlaw's
+    MLE summarizes it to one exponent; this is the full table).
+    Bin b holds degrees in [2^b, 2^(b+1)); the bin index is the
+    INTEGER bit length minus one (length(bin(d))-1 in the twin — no
+    float log2 anywhere, so power-of-two degrees can never straddle a
+    bin cross-engine); n_ge = nodes with degree ≥ 2^b (suffix sum).
+
+    Shape: one symmetric degree census + a distinct-degree-sized
+    driver finish."""
+    import pandas as pd
+
+    from cpg_ray.functions.relational import distinct_on, groupby_agg
+
+    ent = _entity_edges(sf_dir)
+    sym = distinct_on(
+        ent.map_batches(
+            lambda b: pd.DataFrame({
+                "n": pd.concat([b["canonical_subj"],
+                                b["canonical_obj"]],
+                               ignore_index=True),
+                "m": pd.concat([b["canonical_obj"],
+                                b["canonical_subj"]],
+                               ignore_index=True),
+            }).loc[lambda d: d["n"] != d["m"]],
+            batch_format="pandas"),
+        ["n", "m"])
+    deg = groupby_agg(sym, ["n"], [("m", "count", "d")])
+    import numpy as np
+
+    dc = groupby_agg(deg, ["d"], [("d", "count", "cnt")]).to_pandas()
+    dc = dc.sort_values("d").reset_index(drop=True)
+    d = dc["d"].to_numpy("int64")
+    cnt = dc["cnt"].to_numpy("int64")
+    bins = np.array([int(x).bit_length() - 1 for x in d],
+                    dtype="int64")
+    out = pd.DataFrame({"bin": bins, "cnt": cnt}) \
+        .groupby("bin")["cnt"].sum().reset_index(name="n_nodes")
+    out = out.sort_values("bin").reset_index(drop=True)
+    out["n_ge"] = out["n_nodes"][::-1].cumsum()[::-1]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _kg_powerlaw(sf_dir: str):
     """Degree-tail power-law exponent of the canonical entity graph
     (graphalgo.powerlaw_alpha, Clauset-Shalizi-Newman MLE with the
@@ -3022,6 +3068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_onion": _kg_onion,
         # degree-tail power-law MLE, floored-nano-ln discipline
         "kg_powerlaw": _kg_powerlaw,
+        # log-binned degree CCDF table, integer bit-length bins
+        "kg_degree_ccdf": _kg_degree_ccdf,
         # Flesch reading-ease in exact integer milli-points
         "q_doc_readability": q.q_doc_readability,
         # user-journey census: first-5-event paths per user
@@ -5693,6 +5741,28 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_bowtie": _bowtie_oracle_sql(triples_glob, rounds=8),
         "kg_coreness": _coreness_oracle_sql(triples_glob, rounds=6),
         "kg_onion": _onion_oracle_sql(triples_glob, rounds=12),
+        # degree CCDF: integer bit-length bins (length(bin(d))-1), one
+        # window suffix sum for n_ge
+        "kg_degree_ccdf": f"""
+            WITH e0 AS (SELECT DISTINCT canonical_subj AS src,
+                                        canonical_obj AS dst
+                        FROM read_parquet('{triples_glob}')
+                        WHERE canonical_subj <> canonical_obj),
+            und AS (SELECT DISTINCT src, dst FROM (
+                        SELECT src, dst FROM e0
+                        UNION ALL SELECT dst AS src, src AS dst
+                        FROM e0)),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                    FROM und GROUP BY src),
+            binned AS (SELECT (length(bin(d)) - 1)::BIGINT AS bin
+                       FROM deg),
+            c AS (SELECT bin, count(*)::BIGINT AS n_nodes
+                  FROM binned GROUP BY bin)
+            SELECT bin, n_nodes,
+                   CAST(sum(n_nodes) OVER (ORDER BY bin DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ge
+            FROM c ORDER BY bin
+        """,
         # power-law tail MLE: symmetric degree census → distinct-degree
         # table → cnt·floor(1e9·ln(2d/3)) sum (dmin=2), α in milli
         "kg_powerlaw": f"""

@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "q_doc_calibration",
     "q_emb_scatter",
     "q_doc_jsd",
+    "kg_degree_ccdf",
 ]
 
 

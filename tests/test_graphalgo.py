@@ -2598,3 +2598,19 @@ def test_k4_bitset_budget_guard_and_onion_round_guard():
     chain = pd.DataFrame({"src": list("abcde"), "dst": list("bcdef")})
     with pytest.raises(GuardExceeded):
         onion_layers(rd.from_pandas(chain), mode="driver", max_rounds=1)
+
+
+def test_degree_ccdf_bit_length_bins_and_suffix_sum():
+    """bit_length-1 bins agree with the SQL length(bin(d))-1 rule at
+    power-of-two boundaries, and n_ge is a proper survival curve."""
+    import duckdb
+
+    for d in (1, 2, 3, 4, 7, 8, 1023, 1024):
+        sql = duckdb.sql(f"SELECT length(bin({d})) - 1").fetchone()[0]
+        assert sql == d.bit_length() - 1, d
+
+    import __ray_entry__ as e
+    out = e.queries()["kg_degree_ccdf"]("/root/testdata/sf0.001")
+    assert (out["bin"].diff().dropna() > 0).all()
+    assert (out["n_ge"].diff().dropna() <= 0).all()  # non-increasing
+    assert int(out["n_ge"].iloc[0]) == int(out["n_nodes"].sum())
