@@ -1453,6 +1453,28 @@ def _kg_squares(sf_dir: str):
         dst="canonical_obj")
 
 
+def _kg_comp_sizes(sf_dir: str):
+    """Component-size distribution of the canonical entity graph (the
+    fragmentation census behind every crawl-coverage claim): per
+    component size the number of components, plus the giant-component
+    share in exact ppm (kg_components reports the labeling; this is
+    the table analysts actually read from it)."""
+    import pandas as pd
+
+    df = _kg_components(sf_dir)
+    sizes = df.groupby("component").size()
+    dist = sizes.value_counts().sort_index().reset_index()
+    dist.columns = ["size", "n_components"]
+    n_total = int(sizes.sum())
+    gcc = int(sizes.max()) if len(sizes) else 0
+    out = dist.astype("int64")
+    out["n_nodes_total"] = n_total
+    out["gcc_share_ppm"] = gcc * 1_000_000 // n_total if n_total else 0
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("size").reset_index(drop=True)
+
+
 def _kg_degree_ccdf(sf_dir: str):
     """Log-binned degree CCDF of the canonical entity graph — the
     survival curve every scale-free claim is judged on (kg_powerlaw's
@@ -3070,6 +3092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_powerlaw": _kg_powerlaw,
         # log-binned degree CCDF table, integer bit-length bins
         "kg_degree_ccdf": _kg_degree_ccdf,
+        # component-size distribution + giant-component share
+        "kg_comp_sizes": _kg_comp_sizes,
         # Flesch reading-ease in exact integer milli-points
         "q_doc_readability": q.q_doc_readability,
         # user-journey census: first-5-event paths per user
@@ -6174,6 +6198,29 @@ def _kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             ORDER BY entity
         """,
     }
+    # component-size distribution: the kg_components min-label
+    # recursion nested as a derived table, then two census rollups
+    out["kg_comp_sizes"] = f"""
+            WITH comp AS (
+                SELECT entity, component FROM (
+                    {out["kg_components"]}
+                ) t
+            ), sizes AS (
+                SELECT component, count(*)::BIGINT AS sz
+                FROM comp GROUP BY component
+            ), dist AS (
+                SELECT sz AS size, count(*)::BIGINT AS n_components
+                FROM sizes GROUP BY sz
+            ), tot AS (
+                SELECT sum(sz)::BIGINT AS n, max(sz)::BIGINT AS gcc
+                FROM sizes
+            )
+            SELECT d.size, d.n_components,
+                   (SELECT n FROM tot) AS n_nodes_total,
+                   ((SELECT gcc FROM tot) * 1000000
+                    // (SELECT n FROM tot))::BIGINT AS gcc_share_ppm
+            FROM dist d ORDER BY d.size
+        """
     # weighted SSSP: 8 Bellman-Ford rounds; (node, d, hops) recursion
     # states are bounded (d ≤ 9·hops, hops ≤ 9), so UNION dedup keeps
     # the walk table ≤ n·82·10 rows

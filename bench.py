@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "q_emb_scatter",
     "q_doc_jsd",
     "kg_degree_ccdf",
+    "kg_comp_sizes",
 ]
 
 

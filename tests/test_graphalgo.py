@@ -2614,3 +2614,18 @@ def test_degree_ccdf_bit_length_bins_and_suffix_sum():
     assert (out["bin"].diff().dropna() > 0).all()
     assert (out["n_ge"].diff().dropna() <= 0).all()  # non-increasing
     assert int(out["n_ge"].iloc[0]) == int(out["n_nodes"].sum())
+
+
+def test_comp_sizes_census_consistency():
+    """Size distribution sums to the node total; the GCC share uses
+    the max component size; sizes partition the kg_components
+    labeling exactly."""
+    import __ray_entry__ as e
+
+    comp = e.queries()["kg_components"]("/root/testdata/sf0.001")
+    out = e.queries()["kg_comp_sizes"]("/root/testdata/sf0.001")
+    assert int((out["size"] * out["n_components"]).sum()) \
+        == int(out["n_nodes_total"].iloc[0]) == len(comp)
+    gcc = int(comp.groupby("component").size().max())
+    assert int(out["gcc_share_ppm"].iloc[0]) \
+        == gcc * 1_000_000 // len(comp)
